@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math kernels as Catalyst column expressions.
+  *
+  * Mirrors the reference's two distance kernels
+  * (`/root/reference/src/lib.rs:28-30` l2_squared_distance,
+  * `/root/reference/src/lib.rs:32-47` cosine_similarity) but expressed as
+  * built-in higher-order functions (`zip_with` + `aggregate`), which stay
+  * inside whole-stage codegen — no UDF serialization, no boxing of the
+  * whole array per call.
+  *
+  * All math is carried out in Double: float32 inputs widen exactly, the
+  * accumulation is deterministic left-to-right, and results compare
+  * bit-stably against a DuckDB oracle computing the same fold in double.
+  * (The reference accumulates in f32; ranking is unaffected.)
+  */
+object VectorFunctions {
+
+  /** Dot product of two array<float|double> columns, accumulated in double. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d),
+      (acc, v) => acc + v)
+
+  /** Squared L2 (Euclidean) distance — no sqrt, monotone for ranking,
+    * same contract as the reference's `l2_squared_distance`. */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0d),
+      (acc, v) => acc + v)
+
+  /** L2 norm of a vector column. */
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  /** Cosine similarity with the reference's zero-vector guard:
+    * returns 0.0 when either norm is 0 (`src/lib.rs:43-45`). */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val na = l2Norm(a)
+    val nb = l2Norm(b)
+    when(na === lit(0.0d) || nb === lit(0.0d), lit(0.0d))
+      .otherwise(dotProduct(a, b) / (na * nb))
+  }
+
+  /** Cosine distance = 1 - cosine similarity. */
+  def cosineDistance(a: Column, b: Column): Column =
+    lit(1.0d) - cosineSimilarity(a, b)
+
+  /** A vector literal usable against array<float> columns. */
+  def vecLit(v: Seq[Float]): Column = {
+    import org.apache.spark.sql.functions.{array => arr}
+    arr(v.map(x => lit(x)): _*)
+  }
+
+  /** Dimension-validation predicate: the reference's only data-validation
+    * rule (`src/lib.rs:62-69`, `src/disk_store.rs:22-27`). */
+  def hasDim(vec: Column, dim: Int): Column = size(vec) === lit(dim)
+}
