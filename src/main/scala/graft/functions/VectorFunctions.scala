@@ -41,12 +41,27 @@ object VectorFunctions {
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
   /** Cosine similarity with the reference's zero-vector guard:
-    * returns 0.0 when either norm is 0 (`src/lib.rs:43-45`). */
+    * returns 0.0 when either norm is 0 (`src/lib.rs:43-45`).
+    *
+    * One-pass: a single `aggregate` folds (dot, normA², normB²) in a
+    * struct accumulator — mirrors the reference's single loop and avoids
+    * re-walking the arrays per subterm (Catalyst subexpression
+    * elimination is limited inside higher-order functions).
+    */
   def cosineSimilarity(a: Column, b: Column): Column = {
-    val na = l2Norm(a)
-    val nb = l2Norm(b)
+    val acc = aggregate(
+      zip_with(a, b, (x, y) => struct(
+        x.cast("double").as("x"), y.cast("double").as("y"))),
+      struct(lit(0.0d).as("dot"), lit(0.0d).as("na"), lit(0.0d).as("nb")),
+      (s, p) => struct(
+        (s("dot") + p("x") * p("y")).as("dot"),
+        (s("na") + p("x") * p("x")).as("na"),
+        (s("nb") + p("y") * p("y")).as("nb")))
+    val dot = acc("dot")
+    val na = sqrt(acc("na"))
+    val nb = sqrt(acc("nb"))
     when(na === lit(0.0d) || nb === lit(0.0d), lit(0.0d))
-      .otherwise(dotProduct(a, b) / (na * nb))
+      .otherwise(dot / (na * nb))
   }
 
   /** Cosine distance = 1 - cosine similarity. */
@@ -60,6 +75,8 @@ object VectorFunctions {
   }
 
   /** Dimension-validation predicate: the reference's only data-validation
-    * rule (`src/lib.rs:62-69`, `src/disk_store.rs:22-27`). */
-  def hasDim(vec: Column, dim: Int): Column = size(vec) === lit(dim)
+    * rule (`src/lib.rs:62-69`, `src/disk_store.rs:22-27`). NULL arrays
+    * count as invalid (strict validation semantics, not three-valued). */
+  def hasDim(vec: Column, dim: Int): Column =
+    coalesce(size(vec) === lit(dim), lit(false))
 }
