@@ -1,155 +1,44 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions._
-import graft.operators.Knn
+import graft.queries.{QueryDef, RelationalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every operator from SURVEY.md §2 (plus the LLM-pipeline extensions)
-  * is registered here as a named query over the driver fixtures, paired
-  * with DuckDB-equivalent oracle SQL where SQL can express it.
+  * is registered as a named query over the driver fixtures, paired with
+  * DuckDB-equivalent oracle SQL where SQL can express it. Query
+  * implementations live in graft.queries.* (one object per domain).
   *
   * Conventions shared by the Spark queries and their oracles (so the
   * driver's row/schema/hash compare is stable):
-  *   - distances are computed in double and rounded to a fixed number of
-  *     decimals in BOTH engines (accumulation-order noise is ~1e-13);
+  *   - distances are computed in double and rounded to a fixed number
+  *     of decimals in BOTH engines (accumulation-order noise ~1e-13);
+  *   - SUMs over double columns cast per-row to DECIMAL(18,6) first so
+  *     both engines accumulate identical exact decimals;
   *   - every query has a total ORDER BY with an id tiebreak;
   *   - aggregates are aliased to identical column names on both sides.
   */
 object SparkEntry {
 
-  val Dim = 64 // embeddings.parquet vector dimensionality (all sf)
-
-  private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+  def registry: Seq[QueryDef] =
+    VectorQueries.all ++ TextQueries.all ++ RelationalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exact top-10 L2² neighbors of vector 0 — the reference's core query
     * (`/root/reference/src/lib.rs:74-97`) incl. the self-query invariant
     * (`src/lib.rs:546-549`: first hit is the query row at distance 0). */
   def entry(spark: SparkSession): DataFrame =
-    qKnnExact(spark, "/root/testdata/sf0.001")
-
-  // ---- reference-parity queries -------------------------------------
-
-  /** Brute-force exact k-NN (ref `src/lib.rs:74-97` via `:344-347`). */
-  private def qKnnExact(s: SparkSession, dir: String): DataFrame =
-    Knn.searchKnnById(emb(s, dir), qid = 0L, k = 10)
-      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
-
-  /** Same top-k under cosine distance (ref kernel `src/lib.rs:32-47`). */
-  private def qKnnCosine(s: SparkSession, dir: String): DataFrame =
-    Knn.searchKnnById(emb(s, dir), qid = 0L, k = 10, metric = Knn.Cosine)
-      .select(col("vec_id"), round(col("dist"), 4).as("dist"))
-
-  /** L2² kernel over the whole table (ref `src/lib.rs:28-30`). */
-  private def qL2Kernel(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val q = e.filter(col("vec_id") === 1L).select(col("embedding").as("__qv"))
-    e.crossJoin(broadcast(q))
-      .select(col("vec_id"), round(l2Sq(col("embedding"), col("__qv")), 3).as("dist"))
-      .orderBy("vec_id")
-  }
-
-  /** Cosine kernel incl. the zero-vector guard (ref `src/lib.rs:43-45`):
-    * `cos_zero` pins the guard — cosine against an all-zero vector is
-    * defined as 0.0, never NaN. */
-  private def qCosineKernel(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val q = e.filter(col("vec_id") === 1L).select(col("embedding").as("__qv"))
-    val zero = array_repeat(lit(0.0f), Dim)
-    e.crossJoin(broadcast(q))
-      .select(
-        col("vec_id"),
-        round(cosineSimilarity(col("embedding"), col("__qv")), 4).as("cos_sim"),
-        round(cosineSimilarity(col("embedding"), zero), 4).as("cos_zero"))
-      .orderBy("vec_id")
-  }
-
-  /** Multi-query k-NN join: 8 query vectors × corpus, top-5 each
-    * (SURVEY §7.2 M1 — the batch-serving shape). */
-  private def qKnnMulti(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val queries = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    Knn.knnJoin(e, queries, k = 5)
-      .select(col("qid"), col("rank").as("rnk"), col("vec_id"), round(col("dist"), 3).as("dist"))
-      .orderBy("qid", "rnk")
-  }
-
-  /** Ingest validation + len (ref `src/lib.rs:62-69` dimension check,
-    * `src/disk_store.rs:22-27` size check, `src/lib.rs:350-352` len). */
-  private def qValidate(s: SparkSession, dir: String): DataFrame =
-    emb(s, dir).agg(
-      count(lit(1)).as("n_rows"),
-      count(when(hasDim(col("embedding"), Dim), 1)).as("n_valid"),
-      count(when(!hasDim(col("embedding"), Dim), 1)).as("n_invalid"))
-
-  // ---- registry -----------------------------------------------------
+    VectorQueries.qKnnExact(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_knn_exact" -> (qKnnExact(_, _)),
-    "q_knn_cosine" -> (qKnnCosine(_, _)),
-    "q_l2_kernel" -> (qL2Kernel(_, _)),
-    "q_cosine_kernel" -> (qCosineKernel(_, _)),
-    "q_knn_multi" -> (qKnnMulti(_, _)),
-    "q_validate" -> (qValidate(_, _)),
-  )
-
-  // DuckDB helpers (textual SQL fragments used by several oracles).
-  private val l2SqlAB =
-    "list_sum(list_transform(list_zip(%s, %s), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))^2))"
-  private def l2Sql(a: String, b: String): String = l2SqlAB.format(a, b)
-  private def cosSql(a: String, b: String): String =
-    s"""(CASE WHEN sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)^2))) = 0
-       |        OR sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)^2))) = 0
-       |   THEN 0.0
-       |   ELSE list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-       |        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)^2)))
-       |           * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)^2))))
-       |   END)""".stripMargin.replaceAll("\\s+", " ")
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q_knn_exact" ->
-      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-         |SELECT e.vec_id, round(${l2Sql("e.embedding", "q.qv")}, 3) AS dist
-         |FROM embeddings e CROSS JOIN q
-         |ORDER BY ${l2Sql("e.embedding", "q.qv")}, e.vec_id LIMIT 10""".stripMargin,
-    "q_knn_cosine" ->
-      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |scored AS (SELECT e.vec_id, 1.0 - ${cosSql("e.embedding", "q.qv")} AS d
-         |           FROM embeddings e CROSS JOIN q)
-         |SELECT vec_id, round(d, 4) AS dist FROM scored
-         |ORDER BY d, vec_id LIMIT 10""".stripMargin,
-    "q_l2_kernel" ->
-      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
-         |SELECT e.vec_id, round(${l2Sql("e.embedding", "q.qv")}, 3) AS dist
-         |FROM embeddings e CROSS JOIN q ORDER BY e.vec_id""".stripMargin,
-    "q_cosine_kernel" ->
-      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
-         |SELECT e.vec_id,
-         |  round(${cosSql("e.embedding", "q.qv")}, 4) AS cos_sim,
-         |  0.0 AS cos_zero
-         |FROM embeddings e CROSS JOIN q ORDER BY e.vec_id""".stripMargin,
-    "q_knn_multi" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
-         |scored AS (SELECT q.qid, e.vec_id, ${l2Sql("e.embedding", "q.qv")} AS d
-         |           FROM embeddings e CROSS JOIN q),
-         |ranked AS (SELECT qid, vec_id, d,
-         |                  row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
-         |           FROM scored)
-         |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(d, 3) AS dist
-         |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
-    "q_validate" ->
-      s"""SELECT count(*) AS n_rows,
-         |       count(*) FILTER (WHERE len(embedding) = $Dim) AS n_valid,
-         |       count(*) FILTER (WHERE len(embedding) != $Dim OR embedding IS NULL) AS n_invalid
-         |FROM embeddings""".stripMargin,
-  )
+    * the same parquet tables. Omitted entries get a weaker rows-only
+    * check from the driver. */
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernels for the LLM-data-pipeline extensions
+  * (north-star ops beyond the reference's surface — the reference's own
+  * text path is `semantic_search.py:6-25`, which embeds externally).
+  *
+  * All kernels are pure column expressions (codegen-friendly, no UDFs)
+  * and deterministic, so each has an exact DuckDB-SQL twin for the
+  * oracle gate.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** BPE-ish regex token count: alpha runs, digit runs, and single
+    * non-alnum marks each count as one token. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** Polynomial rolling-hash fingerprint of a document, mod 1e9+7.
+    * The streaming analog of content-defined fingerprinting: identical
+    * normalized text ⇒ identical fingerprint. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (h, c) => (h * 31L + ascii(c)) % lit(1000000007L))
+
+  /** Count of tokens contained in `words`. */
+  def tokensIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Per-language stopword profiles for the n-gram-free language-ID
+    * heuristic. Tiny on purpose: broadcastable, codegen-able. */
+  val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  val StopEs = Seq("el", "la", "de", "que", "y", "en", "un", "los")
+  val StopDe = Seq("der", "die", "das", "und", "ist", "von", "ein", "zu")
+  val StopFr = Seq("le", "la", "de", "et", "un", "est", "les", "des")
+
+  /** Language-ID by stopword-profile argmax; 'und' when no profile
+    * matches. Tie order en > es > de > fr is part of the contract (the
+    * oracle SQL encodes the same CASE chain). */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val en = tokensIn(t, StopEn)
+    val es = tokensIn(t, StopEs)
+    val de = tokensIn(t, StopDe)
+    val fr = tokensIn(t, StopFr)
+    when(en === 0 && es === 0 && de === 0 && fr === 0, lit("und"))
+      .when(en >= es && en >= de && en >= fr, lit("en"))
+      .when(es >= de && es >= fr, lit("es"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"()-]", ""))
+
+  /** Heuristic document quality score in [0,1]:
+    * 0.4·min(1, n_tokens/50) + 0.3·(1 − punct_ratio) + 0.3·stop_ratio.
+    * The shape a pretraining-data quality filter uses (length prior,
+    * punctuation sanity, function-word rate). */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val n = size(t).cast("double")
+    val stopRatio = tokensIn(t, StopEn).cast("double") / n
+    val punctRatio = punctCount(text).cast("double") / length(text).cast("double")
+    lit(0.4) * least(lit(1.0), n / lit(50.0)) +
+      lit(0.3) * (lit(1.0) - punctRatio) +
+      lit(0.3) * stopRatio
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for large-scale corpus curation (north-star
+  * extensions; the reference has no text path — its unit of dedup is
+  * the self-query invariant `/root/reference/src/lib.rs:546-549`).
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup is a hash `groupBy` — one shuffle on the group key,
+  *    map-side partial aggregation for the counts;
+  *  - the n-gram similarity join uses an inverted index on shingles
+  *    (explode → equi-join → count), never an all-pairs cross join;
+  *    hot shingles are the skew risk — AQE skew-join handles moderate
+  *    skew, and a stopword-shingle drop list is the escape hatch;
+  *  - MinHash-LSH (see [[MinHash]]) replaces the inverted index when
+  *    even shingle-equi-join fan-out is too large.
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed by content hash: one row per distinct
+    * text with the surviving (minimum) doc id and the group size. */
+  def exactDupGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Word n-gram shingles (distinct). Built as a reduce of `slice` +
+    * `zip_with` rather than `transform(sequence, i -> element_at(...))`:
+    * higher-order functions re-evaluate expressions nested in the
+    * *lambda body* per element (which would make shingling O(n²) when
+    * the token array is itself a split() expression), but array
+    * *arguments* are evaluated exactly once — so each slice and the
+    * underlying split run once per row. */
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column = {
+    val len = size(toks) - (n - 1)
+    val parts = (0 until n).map(j => slice(toks, lit(j + 1), len))
+    val grams = parts.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit("_"), y)))
+    array_distinct(when(size(toks) < n, array().cast("array<string>")).otherwise(grams))
+  }
+
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(TextFunctions.tokens(text), n)
+
+  /** Exact n-gram Jaccard similarity join: all pairs with
+    * J(a,b) = |A∩B| / |A∪B| >= tau, via an inverted index on shingles
+    * (only pairs sharing at least one shingle are ever materialized —
+    * exact for any tau > 0).
+    *
+    * Output: (a, b, jac) with a < b.
+    */
+  def jaccardJoin(
+      docs: DataFrame,
+      tau: Double,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // Carry each side's set size through the join: one groupBy computes
+    // intersection and both sizes — no extra size-lookup joins. The two
+    // shuffles of `inv` on s are identical, so ReuseExchange evaluates
+    // the shingling subtree once.
+    val inv = sh.select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    inv.as("x")
+      .join(inv.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"), max(col("x.n_sh")).as("na"), max(col("y.n_sh")).as("nb"))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jac") >= tau)
+      .select(col("a"), col("b"), col("jac"))
+  }
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational coverage over the TPC-H-ish fixture tables: scan, filter
+  * pushdown, hash aggregate, broadcast + shuffle joins, window
+  * functions, global top-k, JSON extraction, gap-based sessionization.
+  * (Extensions beyond the reference, which has no relational surface —
+  * SURVEY.md §2.1.)
+  *
+  * Numeric determinism: every SUM over a double column casts per-row to
+  * DECIMAL(18,6) first, so Spark and DuckDB accumulate identical exact
+  * decimals; the final cast back to double is then bit-identical. Raw
+  * double pass-through columns (no arithmetic) are also bit-identical.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def decSum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,6)")).cast("double")
+
+  /** TPC-H Q1-shaped pricing summary: filter pushdown + hash agg with
+    * map-side partials. */
+  def qAggPricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
+        (sum(col("l_discount").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Revenue per nation: shuffle join (orders x customer) + broadcast
+    * join against the tiny nation dim. */
+  def qJoinRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(decSum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+
+  /** Top-3 orders per customer — ranking window function. */
+  def qWindowOrders(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rnk")
+  }
+
+  /** Global top-10 lineitem rows by price — TakeOrderedAndProject (the
+    * distributed bounded heap, same algorithm as ref `src/lib.rs:74-97`
+    * applied relationally). */
+  def qTopnPrice(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(10)
+
+  /** Hourly event rollup with JSON property extraction. `ts` arrives as
+    * nanos-since-epoch (nanosAsLong read mode); truncate to micros for
+    * the calendar bucketing. */
+  def qEventsHourly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("hour", "event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        decSum(col("value")).as("sum_value"),
+        sum(col("k")).as("sum_k"))
+      .orderBy("hour", "event_type")
+
+  /** Gap-based sessionization (30-min inactivity): the batch rendering
+    * of the streaming session-window operator. */
+  def qEventsSessions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    // ts is nanos-since-epoch; the 30-min gap compares exact nanos on
+    // both engines (oracle uses epoch_ns) — no truncation ambiguity.
+    t(s, dir, "events")
+      .withColumn("gap", col("ts") - lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("gap").isNull || col("gap") <= lit(1800L * 1000000000L), 0).otherwise(1))
+      .groupBy("user_id")
+      .agg(
+        (sum(col("new_s")) + 1).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_agg_pricing", qAggPricing, Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+    QueryDef("q_join_revenue", qJoinRevenue, Some(
+      """SELECT n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+    QueryDef("q_window_orders", qWindowOrders, Some(
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |SELECT o_custkey, CAST(rnk AS INT) AS rnk, o_orderkey, o_totalprice
+        |FROM r WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin)),
+    QueryDef("q_topn_price", qTopnPrice, Some(
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin)),
+    QueryDef("q_events_hourly", qEventsHourly, Some(
+      """SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
+    QueryDef("q_events_sessions", qEventsSessions, Some(
+      """WITH g AS (SELECT user_id, event_id,
+        |  epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN gap IS NULL OR gap <= CAST(1800 AS BIGINT) * 1000000000 THEN 0 ELSE 1 END) + 1 AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+  )
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.Knn
+
+/** Reference-parity vector queries (SURVEY.md §2 ops 1-8, 15-17).
+  * Each mirrors a public function of the reference; citations inline. */
+object VectorQueries {
+
+  val Dim = 64 // embeddings.parquet vector dimensionality (all sf)
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Brute-force exact k-NN (ref `src/lib.rs:74-97` via `:344-347`),
+    * incl. the self-query invariant (`src/lib.rs:546-549`). */
+  def qKnnExact(s: SparkSession, dir: String): DataFrame =
+    Knn.searchKnnById(emb(s, dir), qid = 0L, k = 10)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+
+  /** Same top-k under cosine distance (ref kernel `src/lib.rs:32-47`). */
+  def qKnnCosine(s: SparkSession, dir: String): DataFrame =
+    Knn.searchKnnById(emb(s, dir), qid = 0L, k = 10, metric = Knn.Cosine)
+      .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+
+  /** L2² kernel over the whole table (ref `src/lib.rs:28-30`). */
+  def qL2Kernel(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") === 1L).select(col("embedding").as("__qv"))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"), round(l2Sq(col("embedding"), col("__qv")), 3).as("dist"))
+      .orderBy("vec_id")
+  }
+
+  /** Cosine kernel incl. the zero-vector guard (ref `src/lib.rs:43-45`):
+    * `cos_zero` pins the guard — cosine against an all-zero vector is
+    * defined as 0.0, never NaN. */
+  def qCosineKernel(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") === 1L).select(col("embedding").as("__qv"))
+    val zero = array_repeat(lit(0.0f), Dim)
+    e.crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        round(cosineSimilarity(col("embedding"), col("__qv")), 4).as("cos_sim"),
+        round(cosineSimilarity(col("embedding"), zero), 4).as("cos_zero"))
+      .orderBy("vec_id")
+  }
+
+  /** Multi-query k-NN join: 8 query vectors × corpus, top-5 each
+    * (SURVEY §7.2 M1 — the batch-serving shape). */
+  def qKnnMulti(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Knn.knnJoin(e, queries, k = 5)
+      .select(col("qid"), col("rank").as("rnk"), col("vec_id"), round(col("dist"), 3).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Ingest validation + len (ref `src/lib.rs:62-69` dimension check,
+    * `src/disk_store.rs:22-27` size check, `src/lib.rs:350-352` len). */
+  def qValidate(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      count(when(hasDim(col("embedding"), Dim), 1)).as("n_valid"),
+      count(when(!hasDim(col("embedding"), Dim), 1)).as("n_invalid"))
+
+  // ---- DuckDB oracle fragments --------------------------------------
+
+  private val l2SqlAB =
+    "list_sum(list_transform(list_zip(%s, %s), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))^2))"
+  def l2Sql(a: String, b: String): String = l2SqlAB.format(a, b)
+  def cosSql(a: String, b: String): String =
+    s"""(CASE WHEN sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)^2))) = 0
+       |        OR sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)^2))) = 0
+       |   THEN 0.0
+       |   ELSE list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)^2)))
+       |           * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)^2))))
+       |   END)""".stripMargin.replaceAll("\\s+", " ")
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_knn_exact", qKnnExact, Some(
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, round(${l2Sql("e.embedding", "q.qv")}, 3) AS dist
+         |FROM embeddings e CROSS JOIN q
+         |ORDER BY ${l2Sql("e.embedding", "q.qv")}, e.vec_id LIMIT 10""".stripMargin)),
+    QueryDef("q_knn_cosine", qKnnCosine, Some(
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |scored AS (SELECT e.vec_id, 1.0 - ${cosSql("e.embedding", "q.qv")} AS d
+         |           FROM embeddings e CROSS JOIN q)
+         |SELECT vec_id, round(d, 4) AS dist FROM scored
+         |ORDER BY d, vec_id LIMIT 10""".stripMargin)),
+    QueryDef("q_l2_kernel", qL2Kernel, Some(
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+         |SELECT e.vec_id, round(${l2Sql("e.embedding", "q.qv")}, 3) AS dist
+         |FROM embeddings e CROSS JOIN q ORDER BY e.vec_id""".stripMargin)),
+    QueryDef("q_cosine_kernel", qCosineKernel, Some(
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+         |SELECT e.vec_id,
+         |  round(${cosSql("e.embedding", "q.qv")}, 4) AS cos_sim,
+         |  0.0 AS cos_zero
+         |FROM embeddings e CROSS JOIN q ORDER BY e.vec_id""".stripMargin)),
+    QueryDef("q_knn_multi", qKnnMulti, Some(
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+         |scored AS (SELECT q.qid, e.vec_id, ${l2Sql("e.embedding", "q.qv")} AS d
+         |           FROM embeddings e CROSS JOIN q),
+         |ranked AS (SELECT qid, vec_id, d,
+         |                  row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
+         |           FROM scored)
+         |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(d, 3) AS dist
+         |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+    QueryDef("q_validate", qValidate, Some(
+      s"""SELECT count(*) AS n_rows,
+         |       count(*) FILTER (WHERE len(embedding) = $Dim) AS n_valid,
+         |       count(*) FILTER (WHERE len(embedding) != $Dim OR embedding IS NULL) AS n_invalid
+         |FROM embeddings""".stripMargin)),
+  )
+}
