@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.index.{HnswIndex, HnswParams}
+import graft.operators.Knn
+
+/** User-facing database handle — the Spark rendering of the reference's
+  * `VectorDB` (`/root/reference/src/lib.rs:310-352`): one vector table +
+  * one (optional) ANN index, with dimension validation at open.
+  *
+  * Reference parity map:
+  *  - ctor/open (`src/lib.rs:319-333`): [[VectorDB.open]] — reads the
+  *    parquet source and rejects rows whose vector length != dims (the
+  *    mmap open's divisibility check, `src/disk_store.rs:22-27`, plus
+  *    `add_vector`'s dimension rule, `src/lib.rs:62-69`);
+  *  - `len` (`src/lib.rs:350-352`): [[VectorDB.len]];
+  *  - `build_index(start,end)` (`src/lib.rs:336-341`): [[VectorDB.buildIndex]]
+  *    with an optional id-range filter (partition-prunable predicate);
+  *  - `search` (`src/lib.rs:344-347`): [[VectorDB.search]] — ANN over the
+  *    built index, or exact brute-force when no index exists.
+  */
+final class VectorDB private (
+    val vectors: DataFrame,
+    val dims: Int,
+    val params: HnswParams,
+    val idCol: String,
+    val vecCol: String) {
+
+  private var index: Option[Dataset[HnswIndex.IndexRow]] = None
+
+  /** Row count (`src/lib.rs:350-352`). */
+  def len: Long = vectors.count()
+
+  /** Build the ANN index over an optional contiguous id range
+    * (`src/lib.rs:336-341`); partitioning routes vectors into
+    * `numParts` IVF-style cells by id hash unless a partition column is
+    * supplied upstream. */
+  def buildIndex(startId: Long = Long.MinValue, endId: Long = Long.MaxValue,
+      numParts: Int = 16, partCol: Option[String] = None): Dataset[HnswIndex.IndexRow] = {
+    val ranged = vectors.filter(col(idCol) >= startId && col(idCol) < endId)
+    val parted = partCol match {
+      case Some(c) => ranged.withColumn("part", col(c).cast("int"))
+      case None    => ranged.withColumn("part", pmod(hash(col(idCol)), lit(numParts)))
+    }
+    val built = HnswIndex.build(parted, params, idCol, vecCol, "part")
+    index = Some(built)
+    built
+  }
+
+  /** Top-k search: ANN when an index is built, exact otherwise. */
+  def search(queryVec: Seq[Float], k: Int): DataFrame = index match {
+    case Some(idx) =>
+      val spark = vectors.sparkSession
+      val q = spark.range(1).select(lit(0L).as("qid"), typedLit(queryVec).cast("array<float>").as("qv"))
+      HnswIndex.search(idx, q, k, params).drop("qid", "rank")
+    case None =>
+      Knn.searchKnn(vectors, queryVec, k, idCol, vecCol)
+  }
+}
+
+object VectorDB {
+  /** Open a parquet vector table, enforcing the dimension rule: any row
+    * whose vector length differs from `dims` aborts the open (the
+    * reference returns an error string / PyIOError; we throw). */
+  def open(spark: SparkSession, path: String, dims: Int,
+      params: HnswParams = HnswParams(),
+      idCol: String = "vec_id", vecCol: String = "embedding"): VectorDB = {
+    val df = spark.read.parquet(path)
+    val bad = df.filter(!hasDim(col(vecCol), dims)).limit(1).count()
+    if (bad > 0)
+      throw new IllegalArgumentException(
+        s"vector dimension mismatch: expected $dims (ref src/lib.rs:62-69 semantics)")
+    new VectorDB(df, dims, params, idCol, vecCol)
+  }
+}

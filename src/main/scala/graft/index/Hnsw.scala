@@ -1,0 +1,216 @@
+package graft.index
+
+import scala.collection.mutable
+
+/** HNSW build/search parameters.
+  *
+  * Derivations follow the reference (`/root/reference/src/lib.rs:127-142`):
+  * m is clamped to >= 2, layer-0 degree cap is 2m, and the level-sampling
+  * factor is 1/ln(m). `efSearch = max(efConstruction, k)` at query time
+  * (`src/lib.rs:164`).
+  */
+final case class HnswParams(m: Int = 16, efConstruction: Int = 32) {
+  val mEff: Int = math.max(2, m)
+  val mMax0: Int = mEff * 2
+  val mL: Double = 1.0 / math.log(mEff.toDouble)
+  def mMax(layer: Int): Int = if (layer == 0) mMax0 else mEff
+}
+
+object Hnsw {
+  /** Deterministic level assignment: the reference samples
+    * `floor(-ln(U(0,1]) * mL)` from an unseeded RNG
+    * (`/root/reference/src/lib.rs:144-150`); we derive U from the vector
+    * id with a Knuth multiplicative hash so builds are reproducible and
+    * the level histogram is SQL-expressible for the oracle gate. */
+  def levelFor(id: Long, mL: Double): Int = {
+    val u = ((id * 2654435761L) % 1000003L + 1L).toDouble / 1000003.0
+    math.floor(-math.log(u) * mL).toInt
+  }
+
+  def l2Sq(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - b(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+}
+
+/** A partition-local HNSW graph: the sequential priority-queue walk is
+  * inherently single-threaded (SURVEY.md §7.4), so each executor
+  * partition owns an independent graph built inside `mapPartitions`;
+  * cross-partition parallelism comes from IVF-style routing above it.
+  *
+  * Semantics mirror the reference: greedy descent with ef=1 above the
+  * insertion level (`/root/reference/src/lib.rs:244-253`), beam search
+  * with efConstruction per layer, bidirectional linking to the m
+  * closest, degree-capped neighbor pruning by recomputed distance
+  * (`src/lib.rs:271-290`), entry-point promotion (`src/lib.rs:298-301`),
+  * and search = descent + layer-0 beam with `ef = max(efc, k)`
+  * (`src/lib.rs:152-169`). Implementation is original Scala against the
+  * published HNSW algorithm.
+  */
+final class HnswGraph(params: HnswParams, vectors: IndexedSeq[Array[Float]], levels: Int => Int) {
+
+  /** adjacency(node)(layer) = neighbor node ordinals (mutable during build). */
+  private val adjacency = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+  private var entryPoint: Int = -1
+  private var maxLayer: Int = 0
+
+  def size: Int = adjacency.length
+  def entry: Int = entryPoint
+  def topLayer: Int = maxLayer
+
+  /** Neighbors of `node` at `layer` (empty when the node tops out below). */
+  def neighbors(node: Int, layer: Int): Seq[Int] = {
+    val layers = adjacency(node)
+    if (layer < layers.length) layers(layer).toSeq else Seq.empty
+  }
+
+  /** Number of layers this node participates in (top layer + 1). */
+  def layerCount(node: Int): Int = adjacency(node).length
+
+  def hasLayer(node: Int, layer: Int): Boolean = layer < adjacency(node).length
+
+  private def dist(q: Array[Float], node: Int): Double = Hnsw.l2Sq(q, vectors(node))
+
+  /** Best-first beam search within one layer. Returns up to `ef`
+    * (node, dist) pairs ascending by distance. */
+  def searchLayer(q: Array[Float], entryId: Int, layer: Int, ef: Int): mutable.ArrayBuffer[(Int, Double)] = {
+    val visited = mutable.BitSet(entryId)
+    // candidates: closest first; results: farthest first (bounded at ef)
+    val candidates = mutable.PriorityQueue((dist(q, entryId), entryId))(Ordering.by(-_._1))
+    val results = mutable.PriorityQueue((dist(q, entryId), entryId))(Ordering.by(_._1))
+
+    while (candidates.nonEmpty) {
+      val (cd, c) = candidates.dequeue()
+      if (cd > results.head._1 && results.size >= ef) {
+        candidates.clear() // all remaining candidates are farther still
+      } else {
+        val nbrs = adjacency(c)
+        if (layer < nbrs.length) {
+          nbrs(layer).foreach { n =>
+            if (!visited(n)) {
+              visited += n
+              val d = dist(q, n)
+              if (results.size < ef || d < results.head._1) {
+                candidates.enqueue((d, n))
+                results.enqueue((d, n))
+                if (results.size > ef) results.dequeue()
+              }
+            }
+          }
+        }
+      }
+    }
+    val out = mutable.ArrayBuffer.empty[(Int, Double)]
+    val drained: Seq[(Double, Int)] = results.dequeueAll
+    drained.reverseIterator.foreach { dn => out += ((dn._2, dn._1)) }
+    out
+  }
+
+  /** Greedy single-path descent from the top layer down to `toLayer`
+    * (exclusive), returning the entry for the next phase. */
+  private def descend(q: Array[Float], toLayer: Int): Int = {
+    var ep = entryPoint
+    var layer = maxLayer
+    while (layer > toLayer) {
+      ep = searchLayer(q, ep, layer, 1).head._1
+      layer -= 1
+    }
+    ep
+  }
+
+  /** Append a fully-formed node during reconstruction from persisted
+    * adjacency (no linking, no pruning — the graph was already built). */
+  private[index] def loadNode(layers: Array[mutable.ArrayBuffer[Int]]): Unit = {
+    val node = adjacency.length
+    adjacency += layers
+    val top = layers.length - 1
+    if (entryPoint < 0 || top > maxLayer) {
+      entryPoint = node
+      maxLayer = top
+    }
+  }
+
+  /** Insert the next vector (ordinals must be appended 0,1,2,...). */
+  def insert(node: Int): Unit = {
+    val level = levels(node)
+    val q = vectors(node)
+    adjacency += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+
+    if (entryPoint < 0) {
+      entryPoint = node
+      maxLayer = level
+      return
+    }
+
+    var ep = descend(q, math.min(level, maxLayer))
+    var layer = math.min(level, maxLayer)
+    while (layer >= 0) {
+      val found = searchLayer(q, ep, layer, params.efConstruction)
+      val targets = found.take(params.mEff)
+      targets.foreach { case (n, _) =>
+        adjacency(node)(layer) += n
+        adjacency(n)(layer) += node
+        val cap = params.mMax(layer)
+        if (adjacency(n)(layer).length > cap) {
+          // prune back to the cap closest by recomputed distance
+          val kept = adjacency(n)(layer)
+            .map(x => (Hnsw.l2Sq(vectors(n), vectors(x)), x))
+            .sorted
+            .take(cap)
+            .map(_._2)
+          adjacency(n)(layer) = mutable.ArrayBuffer(kept.toSeq: _*)
+        }
+      }
+      ep = found.head._1
+      layer -= 1
+    }
+
+    if (level > maxLayer) {
+      maxLayer = level
+      entryPoint = node
+    }
+  }
+
+  /** ANN top-k: empty-graph guard, descent to layer 1, layer-0 beam with
+    * `ef = max(efConstruction, k)`, truncate to k ascending. */
+  def search(q: Array[Float], k: Int): Seq[(Int, Double)] =
+    searchEf(q, k, math.max(params.efConstruction, k))
+
+  /** ANN top-k with an explicit beam width (recall/latency knob). */
+  def searchEf(q: Array[Float], k: Int, ef: Int): Seq[(Int, Double)] = {
+    if (adjacency.isEmpty) return Seq.empty
+    val ep = descend(q, 0)
+    searchLayer(q, ep, 0, math.max(ef, k)).take(k).toSeq
+  }
+}
+
+object HnswGraph {
+  /** Build a graph over vectors in iteration order (ids are the caller's;
+    * levels derived from the caller-supplied per-ordinal function). */
+  def build(params: HnswParams, vectors: IndexedSeq[Array[Float]], levels: Int => Int): HnswGraph = {
+    val g = new HnswGraph(params, vectors, levels)
+    vectors.indices.foreach(g.insert)
+    g
+  }
+
+  /** Reconstruct a searchable graph from persisted adjacency
+    * (node ordinal -> layer -> neighbor ordinals). The entry point is
+    * the lowest-ordinal node on the top layer — any top-layer node is a
+    * valid entry; lowest makes reconstruction deterministic. */
+  def fromAdjacency(
+      params: HnswParams,
+      vectors: IndexedSeq[Array[Float]],
+      adj: IndexedSeq[Array[Array[Int]]]): HnswGraph = {
+    val g = new HnswGraph(params, vectors, _ => 0)
+    adj.foreach { layers =>
+      g.loadNode(layers.map(l => mutable.ArrayBuffer(l.toSeq: _*)))
+    }
+    g
+  }
+}

@@ -1,0 +1,131 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TopK
+
+/** Distributed HNSW: partition-parallel build, sequential within a
+  * partition (SURVEY.md §7.2 M2/M3; the Spark rendering of the
+  * reference's `build_index`/`search`, `/root/reference/src/lib.rs:336-347`).
+  *
+  * The index is a self-contained DataFrame: one row per vector carrying
+  * its partition key, the vector itself, and the per-layer adjacency
+  * (neighbor *vector ids*, not ordinals). Co-locating vector + adjacency
+  * means a search touches exactly the partitions it probes — no side
+  * lookups, and at 100 TB each IVF cell is an independent parquet
+  * split set.
+  */
+object HnswIndex {
+
+  /** One indexed vector: partition key, id, vector, adjacency by layer. */
+  final case class IndexRow(part: Int, vector_id: Long, vec: Array[Float], layers: Array[Array[Long]])
+
+  /** One search hit. */
+  final case class Hit(qid: Long, vector_id: Long, dist: Double)
+
+  /** Build per-partition HNSW graphs. `partCol` routes each vector to a
+    * graph (IVF cell id, cluster label, or any bucketing — computed
+    * upstream); insertion order within a partition is ascending id, and
+    * levels derive deterministically from ids ([[Hnsw.levelFor]]), so
+    * the build is reproducible run-to-run. */
+  def build(
+      df: DataFrame,
+      params: HnswParams = HnswParams(),
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      partCol: String = "part"): Dataset[IndexRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mL = params.mL
+    df.select(
+        col(partCol).cast("int").as("part"),
+        col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vec"))
+      .repartition(col("part"))
+      .sortWithinPartitions("part", "id")
+      .as[(Int, Long, Array[Float])]
+      .mapPartitions { it =>
+        groupRuns(it)(_._1).flatMap { case (part, rows) =>
+          val ids = rows.map(_._2)
+          val vecs: IndexedSeq[Array[Float]] = rows.map(_._3)
+          val g = HnswGraph.build(params, vecs, ord => Hnsw.levelFor(ids(ord), mL))
+          ids.indices.map { ord =>
+            val layers = (0 until g.layerCount(ord)).map { l =>
+              g.neighbors(ord, l).map(ids(_)).toArray
+            }.toArray
+            IndexRow(part, ids(ord), vecs(ord), layers)
+          }
+        }
+      }
+  }
+
+  /** ANN search: probe every partition graph with every query, then
+    * merge per-query candidates with the bounded-heap top-k. Queries are
+    * a small DataFrame (qid, qv) — broadcast, never the corpus.
+    *
+    * `efSearch = max(efConstruction, k)` per the reference
+    * (`src/lib.rs:164`); pass a larger `efSearch` to trade latency for
+    * recall, or `Int.MaxValue`-ish values to make small-partition
+    * search exhaustive (ANN ≡ exact — used by the oracle-gated query).
+    */
+  def search(
+      index: Dataset[IndexRow],
+      queries: DataFrame,
+      k: Int,
+      params: HnswParams = HnswParams(),
+      efSearch: Int = -1,
+      qidCol: String = "qid",
+      qvecCol: String = "qv"): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val ef = if (efSearch > 0) efSearch else math.max(params.efConstruction, k)
+    val qRows = queries
+      .select(col(qidCol).cast("long"), col(qvecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .collect() // query side is small by contract; ships as a task binary
+    val qBc = spark.sparkContext.broadcast(qRows)
+
+    val candidates = index
+      .repartition(col("part"))
+      .sortWithinPartitions("part", "vector_id")
+      .mapPartitions { it =>
+        groupRuns(it)(_.part).flatMap { case (_, rows) =>
+          val ids = rows.map(_.vector_id)
+          val ordOf = ids.zipWithIndex.toMap
+          val vecs: IndexedSeq[Array[Float]] = rows.map(_.vec)
+          val adj: IndexedSeq[Array[Array[Int]]] =
+            rows.map(_.layers.map(_.map(ordOf)))
+          val g = HnswGraph.fromAdjacency(params, vecs, adj)
+          qBc.value.iterator.flatMap { case (qid, qv) =>
+            g.searchEf(qv, k, ef).map { case (ord, d) => Hit(qid, ids(ord), d) }
+          }
+        }
+      }
+
+    val topk = TopK.topK(k)
+    candidates.toDF()
+      .groupBy(col("qid"))
+      .agg(topk(col("dist"), col("vector_id")).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(
+        col("qid"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("hit._2").as("vector_id"),
+        col("hit._1").as("dist"))
+  }
+
+  /** Group a sorted iterator into (key, materialized run) pairs without
+    * loading more than one run at a time. */
+  private def groupRuns[T, K](it: Iterator[T])(key: T => K): Iterator[(K, Vector[T])] =
+    new Iterator[(K, Vector[T])] {
+      private val buf = it.buffered
+      def hasNext: Boolean = buf.hasNext
+      def next(): (K, Vector[T]) = {
+        val k = key(buf.head)
+        val run = Vector.newBuilder[T]
+        while (buf.hasNext && key(buf.head) == k) run += buf.next()
+        (k, run.result())
+      }
+    }
+}

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.index.{Hnsw, HnswIndex, HnswParams}
+
+/** ANN-index queries: deterministic level sampling, IVF-routed search,
+  * per-partition HNSW build + search (SURVEY.md §7.2 M2/M3; reference
+  * ops 9-14 + 16). */
+object IndexQueries {
+
+  private val P = HnswParams(m = 16, efConstruction = 32)
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Level-sampling histogram (ref `src/lib.rs:144-150`): levels derive
+    * from ids via a Knuth multiplicative hash, so the exponential-decay
+    * histogram is reproducible and SQL-expressible. */
+  def qHnswLevels(s: SparkSession, dir: String): DataFrame = {
+    val u = ((col("vec_id") * lit(2654435761L)) % 1000003L + 1L).cast("double") / 1000003.0
+    emb(s, dir)
+      .select(floor(-log(u) * lit(P.mL)).cast("int").as("level"))
+      .groupBy("level").agg(count(lit(1)).as("n"))
+      .orderBy("level")
+  }
+
+  /** IVF search: label-mean centroids (exact decimal accumulation →
+    * deterministic), probe the 3 nearest cells, brute-force within
+    * probed cells, global top-10. The centroid table is tiny and
+    * broadcast; the corpus scan touches only probed partitions — the
+    * shape that scales to 100 TB (scan 3/L of the data). */
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+
+    // per-label centroid: exact decimal mean per dimension, then packed
+    // back into a (pos-sorted) double array
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg((sum(col("x").cast("decimal(18,12)")).cast("double") / count(lit(1))).as("m"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s("m")).as("cv"))
+
+    val probes = cent.crossJoin(broadcast(q))
+      .select(col("label"), l2Sq(col("cv"), col("qv")).as("cd"))
+      .orderBy(col("cd").asc, col("label").asc)
+      .limit(3)
+      .select("label")
+
+    e.join(broadcast(probes), "label")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), l2Sq(col("embedding"), col("qv")).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), round(col("d"), 3).as("dist"))
+  }
+
+  /** Per-partition HNSW build + search, label-partitioned. At this
+    * fixture scale `efSearch` exceeds every cell size, so the beam
+    * visits each connected component exhaustively and ANN ≡ exact —
+    * which is what makes the DuckDB oracle (brute-force SQL) valid.
+    * Recall at production ef is gated separately in ScalaTest. */
+  def qAnnHnsw(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val idx = HnswIndex.build(e.withColumn("part", col("label")), P)
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    HnswIndex.search(idx, queries, k = 5, P, efSearch = 4096)
+      .select(col("qid"), col("rank").as("rnk"), col("vector_id").as("vec_id"),
+        round(col("dist"), 3).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Index structure stats per cell (ref structure/pruning invariants,
+    * `src/lib.rs:394-467`): node count is oracle-able; degree caps are
+    * asserted in ScalaTest (not SQL-expressible). */
+  def qHnswStats(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val idx = HnswIndex.build(e.withColumn("part", col("label")), P)
+    idx.toDF()
+      .select(col("part"), size(col("layers")).as("n_layers"),
+        size(element_at(col("layers"), 1)).as("deg0"))
+      .groupBy("part")
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        max(col("deg0")).as("max_deg0"),
+        max(col("n_layers")).as("max_layers"))
+      .orderBy("part")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_hnsw_levels", qHnswLevels, Some(
+      """SELECT CAST(floor(-ln(((vec_id * CAST(2654435761 AS BIGINT)) % 1000003 + 1) / 1000003.0)
+        |  * (1.0 / ln(16.0))) AS INT) AS level, count(*) AS n
+        |FROM embeddings GROUP BY 1 ORDER BY level""".stripMargin)),
+    QueryDef("q_ann_ivf", qAnnIvf, Some(
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |ex AS (SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+         |       FROM embeddings),
+         |cent AS (SELECT label, i,
+         |           CAST(sum(CAST(x AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS m
+         |         FROM ex GROUP BY label, i),
+         |cd AS (SELECT c.label, sum((c.m - CAST(q.qv[c.i] AS DOUBLE))^2) AS d
+         |       FROM cent c, q GROUP BY c.label),
+         |probes AS (SELECT label FROM cd ORDER BY d, label LIMIT 3)
+         |SELECT e.vec_id, round(${VectorQueries.l2Sql("e.embedding", "q.qv")}, 3) AS dist
+         |FROM embeddings e JOIN probes USING (label), q
+         |ORDER BY ${VectorQueries.l2Sql("e.embedding", "q.qv")}, e.vec_id LIMIT 10""".stripMargin)),
+    QueryDef("q_ann_hnsw", qAnnHnsw, Some(
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
+         |scored AS (SELECT q.qid, e.vec_id, ${VectorQueries.l2Sql("e.embedding", "q.qv")} AS d
+         |           FROM embeddings e CROSS JOIN q),
+         |ranked AS (SELECT qid, vec_id, d,
+         |                  row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
+         |           FROM scored)
+         |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(d, 3) AS dist
+         |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+    QueryDef("q_hnsw_stats", qHnswStats, None),
+  )
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.{HnswIndex, HnswParams}
+import graft.operators.Knn
+
+/** Distributed index tests over the sf0.001 fixture: the reference's
+  * mmap/self-query test (`/root/reference/src/lib.rs:516-550`) plus the
+  * recall@k gate SURVEY.md §5 calls for (the correctness metric the
+  * reference implies but never measures). */
+class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val P = HnswParams(16, 32)
+
+  test("open + len + dimension validation (ref src/lib.rs:319-333, 350-352)") {
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64)
+    assert(db.len == 500L)
+    val bad = intercept[IllegalArgumentException] {
+      VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 128)
+    }
+    assert(bad.getMessage.contains("dimension mismatch"))
+  }
+
+  test("self-query invariant through the full index (ref src/lib.rs:546-549)") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idx = HnswIndex.build(e.withColumn("part", col("label")), P)
+    val queries = e.filter(col("vec_id").isin(5L, 123L, 400L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val hits = HnswIndex.search(idx, queries, k = 1, P).collect()
+    assert(hits.length == 3)
+    hits.foreach { r =>
+      assert(r.getAs[Long]("vector_id") == r.getAs[Long]("qid"), s"self-query miss: $r")
+      assert(r.getAs[Double]("dist") < 1e-4)
+    }
+  }
+
+  test("index degree caps hold after pruning (ref src/lib.rs:271-290)") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idx = HnswIndex.build(e.withColumn("part", col("label")), P)
+    val viol = idx.toDF()
+      .select(posexplode(col("layers")).as(Seq("layer", "nbrs")))
+      .filter(
+        (col("layer") === 0 && size(col("nbrs")) > P.mMax0) ||
+        (col("layer") > 0 && size(col("nbrs")) > P.mEff))
+      .count()
+    assert(viol == 0L, s"$viol adjacency lists exceed their degree cap")
+  }
+
+  test("recall@10 >= 0.9 vs exact brute force at production ef") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idx = HnswIndex.build(e.withColumn("part", col("label")), P)
+    val qids = Seq(0L, 7L, 42L, 99L, 250L, 333L, 444L, 499L)
+    val queries = e.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+    val ann = HnswIndex.search(idx, queries, k = 10, P) // ef = max(efc, k) = 32
+      .select("qid", "vector_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    val exact = Knn.knnJoin(e, queries, k = 10)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    val recalls = qids.map { q => ann(q).intersect(exact(q)).size / 10.0 }
+    val avg = recalls.sum / recalls.length
+    assert(avg >= 0.9, s"avg recall@10 = $avg (per-query: ${qids.zip(recalls)})")
+  }
+}
