@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash-LSH near-duplicate detection and SimHash fingerprinting —
+  * the scale path for corpus dedup (north-star extension; no reference
+  * analog — its similarity primitive is vector L2,
+  * `/root/reference/src/lib.rs:28-30`).
+  *
+  * Pipeline: shingle → polynomial hash → K minhashes → band buckets →
+  * bucket-equi-join for candidates → exact Jaccard verify. Only
+  * documents sharing a band key are ever paired, so the join cost
+  * follows bucket occupancy, not corpus²; at 100 TB the band table is
+  * the only shuffle and hot buckets are bounded by band width. All
+  * hashing is plain integer arithmetic (no engine-specific hash
+  * builtin), which keeps every stage expressible in the DuckDB oracle.
+  *
+  * Production note: the signature table is computed once and reused by
+  * the band explode and both sides of the verify join — at scale,
+  * persist it (checkpoint / write-out) instead of recomputing.
+  */
+object MinHash {
+
+  val Prime = 2147483647L // 2^31 - 1
+  val HashP = 1000000007L
+  val K = 16 // signature length
+  val Bands = 4 // 4 bands x 4 rows
+
+  /** Fixed, arbitrary (a, b) params for the K universal hashes. */
+  val Params: Seq[(Long, Long)] = (0 until K).map(j => (1000L + 7L * j, 12345L + 101L * j))
+
+  /** Polynomial rolling hash of a string column (same fold as
+    * TextFunctions.fingerprint, applied per shingle). */
+  def polyHash(s: Column): Column =
+    aggregate(split(s, ""), lit(0L), (h, c) => (h * 31L + ascii(c)) % lit(HashP))
+
+  /** K-element minhash signature from an array of shingle hashes. */
+  def signature(hs: Column): Column = {
+    val paramsLit = typedLit(Params)
+    transform(paramsLit, ab =>
+      array_min(transform(hs, x => (ab("_1") * x + ab("_2")) % lit(Prime))))
+  }
+
+  /** 32-bit SimHash from an array of shingle hashes: per-bit majority
+    * vote over the hash population. */
+  def simHash(hs: Column): Column =
+    (0 until 32).map { b =>
+      val vote = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b) % 2 === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Docs -> (id, sh, n_sh, hs): distinct shingles and their hashes. */
+  private def shingled(docs: DataFrame, n: Int, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), Dedup.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), col("sh"), size(col("sh")).as("n_sh"),
+        transform(col("sh"), s => polyHash(s)).as("hs"))
+
+  /** LSH candidate pairs + exact Jaccard verification: every output
+    * pair shares at least one of the `Bands` band keys AND has true
+    * shingle Jaccard >= tau. */
+  def lshDedup(
+      docs: DataFrame,
+      tau: Double,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val rows = K / Bands
+    val base = shingled(docs, n, idCol, textCol)
+    val sig = base.select(col("id"), col("sh"), col("n_sh"), signature(col("hs")).as("sig"))
+
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", slice(col("sig"), b * rows + 1, rows).cast("array<string>")).as("bsig"))
+    }
+    val bands = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), concat(col("bk.band").cast("string"), lit(":"), col("bk.bsig")).as("bkey"))
+
+    val cand = bands.as("x")
+      .join(bands.as("y"), col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+
+    val sets = base.select(col("id"), col("sh"), col("n_sh"))
+    cand
+      .join(sets.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na")), "a")
+      .join(sets.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb")), "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jac") >= tau)
+      .select(col("a"), col("b"), col("jac"))
+  }
+
+  /** Per-document SimHash fingerprints. */
+  def simHashTable(
+      docs: DataFrame,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    shingled(docs, n, idCol, textCol)
+      .select(col("id").as(idCol), simHash(col("hs")).as("simhash"))
+}

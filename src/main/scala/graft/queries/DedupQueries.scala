@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.MinHash
+
+/** Scale-path dedup queries: MinHash-LSH, SimHash, and embedding-cosine
+  * near-dup — every stage arithmetic-only so the full pipelines are
+  * DuckDB-oracle-checked end to end. */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** MinHash-LSH candidates verified at Jaccard >= 0.7. */
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    MinHash.lshDedup(docs(s, dir), tau = 0.7)
+      .select(col("a"), col("b"), round(col("jac"), 3).as("jac"))
+      .orderBy("a", "b")
+
+  /** Per-document 32-bit SimHash. */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    MinHash.simHashTable(docs(s, dir)).orderBy("doc_id")
+
+  /** Embedding-cosine near-dup pairs, blocked by cluster label (the
+    * IVF-cell blocking pattern — at scale, block by coarse quantizer
+    * cell instead of comparing all pairs). */
+  def qDedupEmbcos(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val a = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb"))
+    a.join(b, Seq("label"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", cosineSimilarity(col("va"), col("vb")))
+      .filter(col("cos") >= 0.4)
+      .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+      .orderBy("a", "b")
+  }
+
+  // ---- oracle SQL ---------------------------------------------------
+
+  private val shSql =
+    """list_distinct(list_transform(range(1, len(string_split_regex(text,'\s+')) - 1),
+      | i -> string_split_regex(text,'\s+')[i] || '_' || string_split_regex(text,'\s+')[i+1]
+      |      || '_' || string_split_regex(text,'\s+')[i+2]))""".stripMargin.replaceAll("\\s+", " ")
+  private val hsSql =
+    """list_transform(sh, s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      | list_transform(string_split(s,''), c -> CAST(ord(c) AS BIGINT))),
+      | (h,c) -> (h*31+c) % 1000000007))""".stripMargin.replaceAll("\\s+", " ")
+  private val paramsSql =
+    MinHash.Params.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_dedup_minhash", qDedupMinhash, Some(
+      s"""WITH t AS (SELECT doc_id, $shSql AS sh FROM documents),
+         |hs AS (SELECT doc_id, sh, len(sh) AS n_sh, $hsSql AS hs FROM t WHERE len(sh) > 0),
+         |sig AS (SELECT doc_id, sh, n_sh,
+         |          list_transform($paramsSql, ab ->
+         |            list_min(list_transform(hs, x -> (ab[1]*x + ab[2]) % 2147483647))) AS sig
+         |        FROM hs),
+         |bands AS (SELECT doc_id,
+         |            CAST(b AS VARCHAR) || ':' || array_to_string(sig[b*4+1 : b*4+4], ',') AS bkey
+         |          FROM sig, unnest([0,1,2,3]) AS u(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+         |         ON x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |ver AS (SELECT c.a, c.b, len(list_intersect(ta.sh, tb.sh)) AS i, ta.n_sh AS na, tb.n_sh AS nb
+         |        FROM cand c JOIN hs ta ON ta.doc_id = c.a JOIN hs tb ON tb.doc_id = c.b)
+         |SELECT a, b, round(CAST(i AS DOUBLE)/CAST(na+nb-i AS DOUBLE), 3) AS jac
+         |FROM ver WHERE CAST(i AS DOUBLE)/CAST(na+nb-i AS DOUBLE) >= 0.7 ORDER BY a, b""".stripMargin)),
+    QueryDef("q_dedup_simhash", qDedupSimhash, Some(
+      s"""WITH t AS (SELECT doc_id, $shSql AS sh FROM documents),
+         |hs AS (SELECT doc_id, $hsSql AS hs FROM t WHERE len(sh) > 0)
+         |SELECT doc_id, CAST(list_sum(list_transform(range(0,32), b ->
+         |  CASE WHEN list_sum(list_transform(hs, h ->
+         |    CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |  THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM hs ORDER BY doc_id""".stripMargin)),
+    QueryDef("q_dedup_embcos", qDedupEmbcos, Some(
+      s"""SELECT a.vec_id AS a, b.vec_id AS b,
+         |  round(${VectorQueries.cosSql("a.embedding", "b.embedding")}, 4) AS cos
+         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${VectorQueries.cosSql("a.embedding", "b.embedding")} >= 0.4
+         |ORDER BY a, b""".stripMargin)),
+  )
+}
