@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream (extension —
+  * the reference is batch-only, SURVEY.md §2.1 "Streaming: none").
+  *
+  * Each transform takes a DataFrame so the SAME code path serves both
+  * `spark.readStream` (production) and batch DataFrames (backfill +
+  * tests) — the Structured Streaming unification. Watermarks bound
+  * state: at 100 TB/day the per-key state store only retains windows
+  * newer than the watermark horizon.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour counts per event type with a 10-minute watermark
+    * for late data. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      // decimal-cast sum: deterministic across partition orders (and
+      // engine-comparable in the batch/backfill oracle)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based session windows (30-min inactivity) per user — the
+    * streaming twin of RelationalQueries.qEventsSessions. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state: running per-user totals via
+    * mapGroupsWithState — the KeyValueGroupedDataset surface for logic
+    * window/session operators can't express. */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          batch.foreach { e => n += 1; tot += e.value }
+          val next = UserStat(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Wire a streaming query end-to-end (memory sink, for tests/demos). */
+  def startToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()) =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+}

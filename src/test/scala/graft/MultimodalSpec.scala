@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.operators.MinHash
+
+/** Multimodal plumbing tests (stubbed decode, real schema/batching) +
+  * SimHash locality sanity. */
+class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("media table carries binary content + typed metadata") {
+    val media = Multimodal.mediaFromDocs(spark.read.parquet(s"$sfDir/documents.parquet"))
+    val r = media.select(col("media_id"), length(col("content")).as("len"), col("meta.n_bytes"))
+      .filter(col("media_id") === 0L).collect()(0)
+    assert(r.getInt(1).toLong == r.getLong(2), "binary length must equal metadata n_bytes (ASCII)")
+  }
+
+  test("feature extraction: normalized histogram, batch pipeline") {
+    val media = Multimodal.mediaFromDocs(spark.read.parquet(s"$sfDir/documents.parquet"))
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 500)
+    feats.take(20).foreach { f =>
+      assert(f.features.length == 16)
+      assert(math.abs(f.features.sum - 1.0) < 1e-9, "histogram must be L1-normalized")
+    }
+  }
+
+  test("frame sampling emits every k-th chunk with features") {
+    val media = Multimodal.mediaFromDocs(
+      spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") < 5))
+    val frames = Multimodal.sampleFrames(media, chunkBytes = 64, everyK = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getInt(1) % 2 == 0), "only every 2nd frame index sampled")
+  }
+
+  test("decode stub is deterministic") {
+    val b = "spark filter join".getBytes("UTF-8")
+    assert(Multimodal.decodeStub(b).toSeq == Multimodal.decodeStub(b).toSeq)
+  }
+
+  test("simhash: near-dup docs land at small hamming distance") {
+    // doc pair (8, 245) is a generator-injected near-dup (J ~ 0.988 at sf0.01)
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val sh = MinHash.simHashTable(docs)
+      .filter(col("doc_id").isin(8L, 245L, 100L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(8L), sh(245L)) <= 6, s"near-dups too far: ${hamming(sh(8L), sh(245L))}")
+    assert(hamming(sh(8L), sh(100L)) > hamming(sh(8L), sh(245L)),
+      "unrelated doc should be farther than the near-dup")
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{UserEvent, UserStat}
+
+/** Structured Streaming tests: the same transforms the batch queries
+  * use, driven through readStream-equivalent MemoryStream sources. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("hourly windowed counts over a stream (watermark + tumbling window)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Timestamp, String, Double)]
+    val df = src.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.startToMemory(
+      EventStreams.hourlyCounts(df), "hourly_test", OutputMode.Complete())
+    try {
+      src.addData((ts(5), "click", 1.5), (ts(10), "click", 2.5), (ts(15), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n, sum_value FROM hourly_test ORDER BY event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq(("click", 2L, 4.0), ("view", 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("session windows split on the inactivity gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Timestamp, Long)]
+    val df = src.toDF().toDF("ts", "user_id")
+    val q = EventStreams.startToMemory(
+      EventStreams.sessionWindows(df), "sessions_test", OutputMode.Complete())
+    try {
+      // user 1: two events 5 min apart (one session), then one 50 min
+      // later (second session)
+      src.addData((ts(0), 1L), (ts(5), 1L), (ts(55), 1L))
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM sessions_test WHERE user_id = 1").collect()(0).getLong(0)
+      assert(n == 2L, s"expected 2 sessions, got $n")
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[UserEvent]
+    val q = EventStreams.runningUserTotals(src.toDS()).writeStream
+      .format("memory").queryName("totals_test").outputMode(OutputMode.Update()).start()
+    try {
+      src.addData(UserEvent(1L, ts(0), 2.0), UserEvent(1L, ts(1), 3.0))
+      q.processAllAvailable()
+      src.addData(UserEvent(1L, ts(2), 5.0))
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT n_events, total_value FROM totals_test WHERE user_id = 1 ORDER BY n_events DESC LIMIT 1")
+        .collect()(0)
+      assert(last.getLong(0) == 3L && last.getDouble(1) == 10.0)
+    } finally q.stop()
+  }
+}
