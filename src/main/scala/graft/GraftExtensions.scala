@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expressions.{CosineSimilarityNative, DotProductNative, L2SquaredDistance}
+
+/** Session extensions registering the native vector kernels as SQL
+  * functions (`spark.sql.extensions=graft.GraftExtensions`), callable
+  * from SQL and via `functions.call_function` from the Column API. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("l2sq_native"),
+      info("l2sq_native", "l2sq_native(a, b) - squared L2 distance of two float arrays"),
+      (args: Seq[Expression]) => L2SquaredDistance(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_native"),
+      info("dot_native", "dot_native(a, b) - dot product of two float arrays"),
+      (args: Seq[Expression]) => DotProductNative(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_native"),
+      info("cosine_native", "cosine_native(a, b) - cosine similarity with zero-norm guard"),
+      (args: Seq[Expression]) => CosineSimilarityNative(args(0), args(1))))
+  }
+}

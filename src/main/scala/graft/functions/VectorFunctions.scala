@@ -68,6 +68,26 @@ object VectorFunctions {
   def cosineDistance(a: Column, b: Column): Column =
     lit(1.0d) - cosineSimilarity(a, b)
 
+  // ---- native (codegen) kernels ------------------------------------
+  // Fused single-pass Catalyst expressions (see
+  // graft.functions.expressions.VectorExpressions): same semantics as
+  // the HOF forms above, one traversal, no intermediate arrays. These
+  // are the hot-path kernels; the HOF forms remain as the
+  // builtin-only reference implementation.
+
+  import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+
+  private def asVec(c: Column): Column = c.cast("array<float>")
+
+  def l2SqNative(a: Column, b: Column): Column =
+    toCol(graft.functions.expressions.L2SquaredDistance(toExpr(asVec(a)), toExpr(asVec(b))))
+
+  def dotNative(a: Column, b: Column): Column =
+    toCol(graft.functions.expressions.DotProductNative(toExpr(asVec(a)), toExpr(asVec(b))))
+
+  def cosineNative(a: Column, b: Column): Column =
+    toCol(graft.functions.expressions.CosineSimilarityNative(toExpr(asVec(a)), toExpr(asVec(b))))
+
   /** A vector literal usable against array<float> columns. */
   def vecLit(v: Seq[Float]): Column = {
     import org.apache.spark.sql.functions.{array => arr}

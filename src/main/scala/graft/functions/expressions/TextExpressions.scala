@@ -1,0 +1,167 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen expressions for the dedup hash pipeline — each fuses
+  * what the higher-order-function forms do in K passes with per-element
+  * allocation into one tight loop. Semantics are byte-for-byte the
+  * DuckDB oracle's on ASCII text (the fixtures are ASCII; ord(char) ==
+  * byte value).
+  */
+
+/** Polynomial rolling hash over the string's bytes:
+  * h = fold(h*31 + byte) mod `mod`. Matches TextFunctions.fingerprint /
+  * the oracle's per-char fold for ASCII input. */
+case class PolyHash(child: Expression, mod: Long) extends UnaryExpression {
+  override def prettyName: String = "poly_hash"
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 31L + (bytes(i) & 0xffL)) % mod
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val bts = ctx.freshName("bts")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $bts = $a.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bts.length; $i++) {
+         |  $h = ($h * 31L + ($bts[$i] & 0xffL)) % ${mod}L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** K-way minhash signature over an array<long> of element hashes in a
+  * single pass: sig[j] = min over h of (a_j*h + b_j) mod prime.
+  * Returns null-free array<long> of length K (input must be non-empty —
+  * filtered upstream, mirroring the oracle's len(sh) > 0 guard). */
+case class MinHashSignature(child: Expression, as: Array[Long], bs: Array[Long], prime: Long)
+    extends UnaryExpression {
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = hs.numElements()
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * h + bs(j)) % prime
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, in => {
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val n = ctx.freshName("n")
+      s"""
+         |long[] $mins = new long[$aRef.length];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int $n = $in.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $in.getLong($i);
+         |  for (int $j = 0; $j < $aRef.length; $j++) {
+         |    long $v = ($aRef[$j] * $h + $bRef[$j]) % ${prime}L;
+         |    if ($v < $mins[$j]) $mins[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 32-bit SimHash from an array<long> of element hashes in one pass:
+  * per-bit majority vote, bit set when the vote is positive. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simhash32"
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](32)
+    var i = 0
+    val n = hs.numElements()
+    while (i < n) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 32) {
+        votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $votes = new int[32];
+         |int $n = $in.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $in.getLong($i);
+         |  for (int $b = 0; $b < 32; $b++) {
+         |    $votes[$b] += ((($h >> $b) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 32; $b++) {
+         |  if ($votes[$b] > 0) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -25,8 +25,8 @@ object Knn {
   val Cosine = "cosine"
 
   private def distCol(metric: String)(a: Column, b: Column): Column = metric match {
-    case L2     => l2Sq(a, b)
-    case Cosine => lit(1.0d) - cosineSimilarity(a, b) // distance: ascending = most similar first
+    case L2     => l2SqNative(a, b) // fused codegen loop (same math as l2Sq)
+    case Cosine => lit(1.0d) - cosineNative(a, b) // distance: ascending = most similar first
     case other  => throw new IllegalArgumentException(s"unknown metric: $other")
   }
 

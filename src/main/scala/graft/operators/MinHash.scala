@@ -2,6 +2,10 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.expressions.{MinHashSignature, PolyHash, SimHash32}
 
 /** MinHash-LSH near-duplicate detection and SimHash fingerprinting —
   * the scale path for corpus dedup (north-star extension; no reference
@@ -31,25 +35,20 @@ object MinHash {
   val Params: Seq[(Long, Long)] = (0 until K).map(j => (1000L + 7L * j, 12345L + 101L * j))
 
   /** Polynomial rolling hash of a string column (same fold as
-    * TextFunctions.fingerprint, applied per shingle). */
-  def polyHash(s: Column): Column =
-    aggregate(split(s, ""), lit(0L), (h, c) => (h * 31L + ascii(c)) % lit(HashP))
+    * TextFunctions.fingerprint, applied per shingle) — native one-pass
+    * codegen over the string bytes (== the oracle's per-char fold on
+    * ASCII corpora). */
+  def polyHash(s: Column): Column = toCol(PolyHash(toExpr(s), HashP))
 
-  /** K-element minhash signature from an array of shingle hashes. */
-  def signature(hs: Column): Column = {
-    val paramsLit = typedLit(Params)
-    transform(paramsLit, ab =>
-      array_min(transform(hs, x => (ab("_1") * x + ab("_2")) % lit(Prime))))
-  }
+  /** K-element minhash signature from an array of shingle hashes —
+    * native single pass over the hash array for all K functions. */
+  def signature(hs: Column): Column =
+    toCol(MinHashSignature(toExpr(hs),
+      Params.map(_._1).toArray, Params.map(_._2).toArray, Prime))
 
   /** 32-bit SimHash from an array of shingle hashes: per-bit majority
-    * vote over the hash population. */
-  def simHash(hs: Column): Column =
-    (0 until 32).map { b =>
-      val vote = aggregate(hs, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, b) % 2 === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    * vote over the hash population, one native pass. */
+  def simHash(hs: Column): Column = toCol(SimHash32(toExpr(hs)))
 
   /** Docs -> (id, sh, n_sh, hs): distinct shingles and their hashes. */
   private def shingled(docs: DataFrame, n: Int, idCol: String, textCol: String): DataFrame =
@@ -69,7 +68,10 @@ object MinHash {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val rows = K / Bands
-    val base = shingled(docs, n, idCol, textCol)
+    // materialize the shingle+hash table once: the band explode and both
+    // sides of the verify join all branch from it (without this, the
+    // shingling subtree executes up to 4x)
+    val base = shingled(docs, n, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
     val sig = base.select(col("id"), col("sh"), col("n_sh"), signature(col("hs")).as("sig"))
 
     val bandCols = (0 until Bands).map { b =>

@@ -35,7 +35,7 @@ object DedupQueries {
     val b = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb"))
     a.join(b, Seq("label"))
       .filter(col("a") < col("b"))
-      .withColumn("cos", cosineSimilarity(col("va"), col("vb")))
+      .withColumn("cos", cosineNative(col("va"), col("vb")))
       .filter(col("cos") >= 0.4)
       .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
       .orderBy("a", "b")

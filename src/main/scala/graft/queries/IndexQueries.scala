@@ -53,7 +53,7 @@ object IndexQueries {
 
     e.join(broadcast(probes), "label")
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), l2Sq(col("embedding"), col("qv")).as("d"))
+      .select(col("vec_id"), l2SqNative(col("embedding"), col("qv")).as("d"))
       .orderBy(col("d").asc, col("vec_id").asc)
       .limit(10)
       .select(col("vec_id"), round(col("d"), 3).as("dist"))

@@ -31,7 +31,7 @@ object VectorQueries {
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") === 1L).select(col("embedding").as("__qv"))
     e.crossJoin(broadcast(q))
-      .select(col("vec_id"), round(l2Sq(col("embedding"), col("__qv")), 3).as("dist"))
+      .select(col("vec_id"), round(l2SqNative(col("embedding"), col("__qv")), 3).as("dist"))
       .orderBy("vec_id")
   }
 
@@ -45,8 +45,8 @@ object VectorQueries {
     e.crossJoin(broadcast(q))
       .select(
         col("vec_id"),
-        round(cosineSimilarity(col("embedding"), col("__qv")), 4).as("cos_sim"),
-        round(cosineSimilarity(col("embedding"), zero), 4).as("cos_zero"))
+        round(cosineNative(col("embedding"), col("__qv")), 4).as("cos_sim"),
+        round(cosineNative(col("embedding"), zero), 4).as("cos_zero"))
       .orderBy("vec_id")
   }
 
