@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
+import graft.sources.BinaryVectorSource
 import graft.streaming.EventStreams
 
 /** Pipeline-surface queries: multimodal feature extraction (batched
@@ -38,7 +39,28 @@ object PipelineQueries {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour_start", "event_type")
 
+  /** Packed-f32 binary source round-trip (the reference's disk format,
+    * `/root/reference/src/disk_store.rs`): parquet -> .bin part files ->
+    * binaryRecords read-back; the oracle aggregates the original
+    * parquet — equal iff the round-trip is lossless and ordinal id
+    * assignment matches. */
+  def qBinSource(s: SparkSession, dir: String): DataFrame = {
+    val sfName = dir.replaceAll(".*/", "")
+    val tmp = s"/tmp/graft_bin_$sfName"
+    BinaryVectorSource.write(s.read.parquet(s"$dir/embeddings.parquet"), tmp, dims = 64)
+    BinaryVectorSource.read(s, tmp, dims = 64)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("vec_id")).as("sum_ids"),
+        sum(element_at(col("embedding"), 1).cast("decimal(18,12)")).cast("double").as("sum_e1"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_bin_source", qBinSource, Some(
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(vec_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(CAST(embedding[1] AS DECIMAL(18,12))) AS DOUBLE) AS sum_e1
+        |FROM embeddings""".stripMargin)),
     QueryDef("q_multimodal", qMultimodal, Some(
       """SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
         |  round(CAST(len(list_filter(string_split(text,''), c -> (ord(c) >> 4) = 2)) AS DOUBLE)
