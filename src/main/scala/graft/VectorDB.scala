@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
-import graft.index.{HnswIndex, HnswParams}
+import graft.index.{HnswIndex, HnswParams, IvfIndex}
 import graft.operators.Knn
 
 /** User-facing database handle — the Spark rendering of the reference's
@@ -45,6 +45,19 @@ final class VectorDB private (
       case Some(c) => ranged.withColumn("part", col(c).cast("int"))
       case None    => ranged.withColumn("part", pmod(hash(col(idCol)), lit(numParts)))
     }
+    val built = HnswIndex.build(parted, params, idCol, vecCol, "part")
+    index = Some(built)
+    built
+  }
+
+  /** Build the ANN index with a trained IVF coarse quantizer: k-means
+    * cells become the HNSW partitions, so graph neighborhoods are
+    * semantically clustered (better recall per probe than hash
+    * partitioning) and search can prune to the probed cells. */
+  def buildIndexIvf(numCells: Int = 16, iters: Int = 5): Dataset[HnswIndex.IndexRow] = {
+    val model = IvfIndex.train(vectors, numCells, iters, idCol, vecCol)
+    val parted = IvfIndex.assign(vectors, model, idCol, vecCol)
+      .withColumn("part", col("cell"))
     val built = HnswIndex.build(parted, params, idCol, vecCol, "part")
     index = Some(built)
     built

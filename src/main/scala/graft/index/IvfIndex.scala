@@ -1,0 +1,124 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Trained IVF coarse quantizer: seeded Lloyd's k-means over the
+  * vector table, used to route vectors into ANN cells (the partition
+  * key for per-cell HNSW graphs) and queries into probed cells.
+  *
+  * Scale shape: the centroid model is O(k·d) — it lives on the driver
+  * and broadcasts to tasks (exactly how MLlib's KMeans iterates);
+  * assignment is one map pass over the corpus, the mean update is one
+  * decimal-exact aggregation. Nothing corpus-sized ever reaches the
+  * driver. Determinism: init = the k lowest-id vectors, means
+  * accumulate in exact decimals, ties in assignment break toward the
+  * lower cell id — training is bit-reproducible run to run.
+  *
+  * (Extension: the reference has no quantizer — its coarse-to-fine
+  * structure is the HNSW layer hierarchy, `/root/reference/src/lib.rs:152-169`;
+  * IVF is the standard set-oriented replacement at cluster scale.)
+  */
+object IvfIndex {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+    def assignOne(v: Array[Float]): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val cv = centroids(c)
+        var d = 0.0
+        var i = 0
+        while (i < cv.length) {
+          val t = cv(i) - v(i)
+          d += t * t
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c } // strict < keeps lower cell on ties
+        c += 1
+      }
+      best
+    }
+    /** Cells sorted by centroid distance to the query, closest first. */
+    def probeOrder(q: Array[Float]): Array[Int] =
+      centroids.indices
+        .map { c =>
+          val cv = centroids(c)
+          var d = 0.0
+          var i = 0
+          while (i < cv.length) { val t = cv(i) - q(i); d += t * t; i += 1 }
+          (d, c)
+        }
+        .sorted.map(_._2).toArray
+  }
+
+  /** Exact-decimal per-cell mean of the assigned vectors (the same
+    * deterministic-centroid construction the q_ann_ivf oracle uses). */
+  private def cellMeans(assigned: DataFrame, vecCol: String): Map[Int, Array[Double]] =
+    assigned
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg((sum(col("x").cast("decimal(18,12)")).cast("double") / count(lit(1))).as("m"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s("m")).as("cv"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+
+  /** Train with fixed iterations (Lloyd's: inertia is monotonically
+    * non-increasing; fixed iters keep the train deterministic). */
+  def train(df: DataFrame, k: Int, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val init = df.orderBy(col(idCol).asc).limit(k)
+      .select(col(vecCol).cast("array<double>"))
+      .as[Array[Double]].collect()
+    var model = Model(init)
+    var it = 0
+    while (it < iters) {
+      val means = cellMeans(assign(df, model, idCol, vecCol), vecCol)
+      // empty cells keep their previous centroid (standard Lloyd's fix)
+      model = Model(Array.tabulate(k)(c => means.getOrElse(c, model.centroids(c))))
+      it += 1
+    }
+    model
+  }
+
+  /** Nearest-centroid cell as a pure column expression: the centroid
+    * model rides along as a literal (broadcast with the task binary),
+    * so assignment is a map-only pass — no join, no shuffle. Ties break
+    * to the lowest cell (array_position finds the first minimum),
+    * matching [[Model.assignOne]]. */
+  def assignExpr(vec: org.apache.spark.sql.Column, model: Model): org.apache.spark.sql.Column = {
+    val centLit = typedLit(model.centroids.map(_.toSeq).toSeq)
+    val v = vec.cast("array<double>")
+    val dists = transform(centLit, cv =>
+      aggregate(zip_with(cv, v, (a, b) => (a - b) * (a - b)), lit(0.0), _ + _))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Add a `cell` column: each vector's nearest centroid. */
+  def assign(df: DataFrame, model: Model,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    df.withColumn("cell", assignExpr(col(vecCol), model))
+
+  /** Total within-cluster squared distance (training diagnostic). */
+  def inertia(df: DataFrame, model: Model,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Double = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    df.select(col(vecCol).cast("array<float>")).as[Array[Float]]
+      .map { v =>
+        val cv = bc.value.centroids(bc.value.assignOne(v))
+        var d = 0.0
+        var i = 0
+        while (i < cv.length) { val t = cv(i) - v(i); d += t * t; i += 1 }
+        d
+      }
+      .reduce(_ + _)
+  }
+}

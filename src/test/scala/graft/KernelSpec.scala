@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions._
+import graft.operators.TopKAggregator
+
+/** Native codegen kernels must agree bit-for-bit with the
+  * higher-order-function reference forms (same fold order, same
+  * widening); plus bounded-heap aggregator unit behavior. */
+class KernelSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("native kernels == HOF kernels bit-for-bit on the fixture") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 3L).select(col("embedding").as("qv"))
+    val diff = e.crossJoin(broadcast(q))
+      .select(
+        (l2SqNative(col("embedding"), col("qv")) =!= l2Sq(col("embedding"), col("qv"))).as("d1"),
+        (dotNative(col("embedding"), col("qv")) =!= dotProduct(col("embedding"), col("qv"))).as("d2"),
+        (cosineNative(col("embedding"), col("qv")) =!= cosineSimilarity(col("embedding"), col("qv"))).as("d3"))
+      .filter(col("d1") || col("d2") || col("d3"))
+      .count()
+    assert(diff == 0L, s"$diff rows diverge between native and HOF kernels")
+  }
+
+  test("native cosine zero-vector guard returns 0.0, not NaN") {
+    val df = spark.sql("SELECT array(1.0F, 2.0F) AS a, array(0.0F, 0.0F) AS z")
+    val r = df.select(cosineNative(col("a"), col("z")), cosineNative(col("z"), col("z"))).collect()(0)
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("TopKAggregator: reduce keeps k smallest with id tiebreak, merge preserves order") {
+    val agg = new TopKAggregator(3)
+    val buf = Seq((5.0, 1L), (1.0, 9L), (3.0, 2L), (1.0, 3L), (7.0, 0L))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(buf == List((1.0, 3L), (1.0, 9L), (3.0, 2L)))
+    val other = Seq((0.5, 7L), (2.0, 4L)).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(buf, other) == List((0.5, 7L), (1.0, 3L), (1.0, 9L)))
+    assert(agg.merge(agg.zero, agg.zero) == Nil)
+  }
+
+  test("TopKAggregator ignores entries worse than a full heap") {
+    val agg = new TopKAggregator(2)
+    val buf = Seq((1.0, 1L), (2.0, 2L), (9.0, 9L)).foldLeft(agg.zero)(agg.reduce)
+    assert(buf == List((1.0, 1L), (2.0, 2L)))
+  }
+}
