@@ -30,6 +30,10 @@ final class VectorDB private (
     val vecCol: String) {
 
   private var index: Option[Dataset[HnswIndex.IndexRow]] = None
+  private var ivfModel: Option[IvfIndex.Model] = None
+
+  /** Cells probed per query when an IVF router is trained. */
+  var nprobe: Int = 3
 
   /** Row count (`src/lib.rs:350-352`). */
   def len: Long = vectors.count()
@@ -60,6 +64,7 @@ final class VectorDB private (
       .withColumn("part", col("cell"))
     val built = HnswIndex.build(parted, params, idCol, vecCol, "part")
     index = Some(built)
+    ivfModel = Some(model)
     built
   }
 
@@ -68,7 +73,7 @@ final class VectorDB private (
     case Some(idx) =>
       val spark = vectors.sparkSession
       val q = spark.range(1).select(lit(0L).as("qid"), typedLit(queryVec).cast("array<float>").as("qv"))
-      HnswIndex.search(idx, q, k, params).drop("qid", "rank")
+      HnswIndex.search(idx, q, k, params, router = ivfModel, nprobe = nprobe).drop("qid", "rank")
     case None =>
       Knn.searchKnn(vectors, queryVec, k, idCol, vecCol)
   }

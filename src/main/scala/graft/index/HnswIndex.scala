@@ -76,7 +76,9 @@ object HnswIndex {
       params: HnswParams = HnswParams(),
       efSearch: Int = -1,
       qidCol: String = "qid",
-      qvecCol: String = "qv"): DataFrame = {
+      qvecCol: String = "qv",
+      router: Option[IvfIndex.Model] = None,
+      nprobe: Int = 3): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     val ef = if (efSearch > 0) efSearch else math.max(params.efConstruction, k)
@@ -84,21 +86,40 @@ object HnswIndex {
       .select(col(qidCol).cast("long"), col(qvecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
       .collect() // query side is small by contract; ships as a task binary
+    // With a router, each query targets only its nprobe nearest cells —
+    // search cost scales with nprobe/L of the index instead of all of
+    // it (and with partition pruning on the part column, so do the
+    // parquet reads when the index is cell-partitioned on disk).
+    val targeted: Map[Int, Array[(Long, Array[Float])]] = router match {
+      case Some(model) =>
+        qRows.flatMap { case (qid, qv) =>
+          model.probeOrder(qv).take(nprobe).map(cell => (cell, (qid, qv)))
+        }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+      case None => Map.empty
+    }
+    val routed = router.isDefined
     val qBc = spark.sparkContext.broadcast(qRows)
+    val tBc = spark.sparkContext.broadcast(targeted)
 
     val candidates = index
       .repartition(col("part"))
       .sortWithinPartitions("part", "vector_id")
       .mapPartitions { it =>
-        groupRuns(it)(_.part).flatMap { case (_, rows) =>
-          val ids = rows.map(_.vector_id)
-          val ordOf = ids.zipWithIndex.toMap
-          val vecs: IndexedSeq[Array[Float]] = rows.map(_.vec)
-          val adj: IndexedSeq[Array[Array[Int]]] =
-            rows.map(_.layers.map(_.map(ordOf)))
-          val g = HnswGraph.fromAdjacency(params, vecs, adj)
-          qBc.value.iterator.flatMap { case (qid, qv) =>
-            g.searchEf(qv, k, ef).map { case (ord, d) => Hit(qid, ids(ord), d) }
+        groupRuns(it)(_.part).flatMap { case (part, rows) =>
+          val qs: Iterator[(Long, Array[Float])] =
+            if (routed) tBc.value.getOrElse(part, Array.empty).iterator
+            else qBc.value.iterator
+          if (qs.isEmpty) Iterator.empty
+          else {
+            val ids = rows.map(_.vector_id)
+            val ordOf = ids.zipWithIndex.toMap
+            val vecs: IndexedSeq[Array[Float]] = rows.map(_.vec)
+            val adj: IndexedSeq[Array[Array[Int]]] =
+              rows.map(_.layers.map(_.map(ordOf)))
+            val g = HnswGraph.fromAdjacency(params, vecs, adj)
+            qs.flatMap { case (qid, qv) =>
+              g.searchEf(qv, k, ef).map { case (ord, d) => Hit(qid, ids(ord), d) }
+            }
           }
         }
       }

@@ -46,9 +46,17 @@ object Dedup {
     shinglesFromTokens(TextFunctions.tokens(text), n)
 
   /** Exact n-gram Jaccard similarity join: all pairs with
-    * J(a,b) = |A∩B| / |A∪B| >= tau, via an inverted index on shingles
-    * (only pairs sharing at least one shingle are ever materialized —
-    * exact for any tau > 0).
+    * J(a,b) = |A∩B| / |A∪B| >= tau.
+    *
+    * Scale path (prefix filtering, the PPJoin family): order each
+    * document's shingles by global document frequency (rarest first,
+    * shingle lexicographic tiebreak) and index only the first
+    * `n_sh - ceil(tau * n_sh) + 1` of them — if J(A,B) >= tau the two
+    * prefixes must share a shingle, so the candidate set is exact while
+    * hot (frequent) shingles drop out of the inverted index entirely;
+    * candidates are then verified against the full shingle sets. With
+    * `prefixFilter = false` the full inverted index is used (same
+    * result set by the theorem; the form the oracle SQL mirrors).
     *
     * Output: (a, b, jac) with a < b.
     */
@@ -57,21 +65,37 @@ object Dedup {
       tau: Double,
       n: Int = 3,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      prefixFilter: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = docs
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    // Carry each side's set size through the join: one groupBy computes
-    // intersection and both sizes — no extra size-lookup joins. The two
-    // shuffles of `inv` on s are identical, so ReuseExchange evaluates
-    // the shingling subtree once.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = sh.select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
-    inv.as("x")
-      .join(inv.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
-      .agg(count(lit(1)).as("inter"), max(col("x.n_sh")).as("na"), max(col("y.n_sh")).as("nb"))
+
+    val postings =
+      if (!prefixFilter) inv
+      else {
+        val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("id").orderBy(col("df").asc, col("s").asc)
+        inv.join(freq, "s")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * lit(tau)) + 1)
+          .select("id", "n_sh", "s")
+      }
+
+    val cand = postings.as("x")
+      .join(postings.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+
+    cand
+      .join(sh.select(col("id").as("a"), col("sh").as("sha")), "a")
+      .join(sh.select(col("id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jac", col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")).cast("double"))
+        (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
       .filter(col("jac") >= tau)
       .select(col("a"), col("b"), col("jac"))
   }

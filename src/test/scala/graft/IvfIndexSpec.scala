@@ -47,6 +47,31 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromExpr == local)
   }
 
+  test("routed search: recall rises with nprobe and clears 0.8 at nprobe=5") {
+    import spark.implicits._
+    val P = graft.index.HnswParams(16, 32)
+    val model = graft.index.IvfIndex.train(emb, k = 10, iters = 3)
+    val idx = graft.index.HnswIndex.build(
+      graft.index.IvfIndex.assign(emb, model).withColumn("part", col("cell")), P)
+    val qids = Seq(0L, 7L, 42L, 99L, 250L, 333L, 444L, 499L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = graft.operators.Knn.knnJoin(emb, queries, k = 10)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def recallAt(nprobe: Int): Double = {
+      val ann = graft.index.HnswIndex.search(idx, queries, k = 10, P,
+          router = Some(model), nprobe = nprobe)
+        .select("qid", "vector_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      qids.map { q => ann.getOrElse(q, Set.empty).intersect(exact(q)).size / 10.0 }.sum / qids.length
+    }
+    val (r1, r3, r5) = (recallAt(1), recallAt(3), recallAt(5))
+    // probing more cells only adds candidates -> recall is monotone
+    assert(r1 <= r3 + 1e-9 && r3 <= r5 + 1e-9, s"recall not monotone: $r1, $r3, $r5")
+    assert(r5 >= 0.8, s"recall@10 with nprobe=5: $r5 (nprobe=1: $r1, nprobe=3: $r3)")
+  }
+
   test("VectorDB end-to-end: IVF-partitioned HNSW self-query") {
     val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64)
     db.buildIndexIvf(numCells = 8, iters = 3)
