@@ -68,6 +68,20 @@ final class VectorDB private (
     built
   }
 
+  /** Append rows after validating dimensions — the reference's
+    * `add_vector` ingest rule (`src/lib.rs:62-72`): any bad row rejects
+    * the whole batch. Returns a new handle over the union (the
+    * DataFrame lineage is the append log; callers persist via their
+    * sink of choice). */
+  def add(newRows: DataFrame): VectorDB = {
+    val bad = newRows.filter(!hasDim(col(vecCol), dims)).limit(1).count()
+    if (bad > 0)
+      throw new IllegalArgumentException(
+        s"vector dimension mismatch on ingest: expected $dims (ref src/lib.rs:62-69)")
+    new VectorDB(vectors.select(col(idCol), col(vecCol))
+      .unionByName(newRows.select(col(idCol), col(vecCol))), dims, params, idCol, vecCol)
+  }
+
   /** Top-k search: ANN when an index is built, exact otherwise. */
   def search(queryVec: Seq[Float], k: Int): DataFrame = index match {
     case Some(idx) =>

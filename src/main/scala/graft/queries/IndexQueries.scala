@@ -120,5 +120,15 @@ object IndexQueries {
          |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(d, 3) AS dist
          |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
     QueryDef("q_hnsw_stats", qHnswStats, None),
+    QueryDef("q_ann_cells", qAnnCells, Some(
+      """SELECT CAST(label AS INT) AS part, count(*) AS n_nodes
+        |FROM embeddings GROUP BY 1 ORDER BY part""".stripMargin)),
   )
+
+  /** Structural invariant: the index holds exactly one row per input
+    * vector per cell — node counts equal the source's label counts. */
+  def qAnnCells(s: SparkSession, dir: String): DataFrame = {
+    val idx = HnswIndex.build(emb(s, dir).withColumn("part", col("label")), P)
+    idx.toDF().groupBy("part").agg(count(lit(1)).as("n_nodes")).orderBy("part")
+  }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.index.{Hnsw, HnswGraph, HnswParams}
+import graft.operators.TopKAggregator
+
+/** Property-based invariants (SURVEY.md §5 item 2: the self-query
+  * property over random vectors, plus kernel and aggregator algebra). */
+object HnswProperties extends Properties("graft") {
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.containerOfN[Array, Float](8, Gen.chooseNum(-100f, 100f))
+
+  private val corpusGen: Gen[IndexedSeq[Array[Float]]] =
+    Gen.chooseNum(1, 60).flatMap(n => Gen.containerOfN[Vector, Array[Float]](n, vecGen))
+
+  property("selfQuerySearchReturnsDistanceZero (ref src/lib.rs:546-549)") =
+    forAll(corpusGen) { vecs =>
+      val p = HnswParams(8, 16)
+      val g = HnswGraph.build(p, vecs, ord => Hnsw.levelFor(ord.toLong, p.mL))
+      Prop.all(vecs.indices.take(10).map { i =>
+        val hits = g.search(vecs(i), 1)
+        Prop(hits.nonEmpty && hits.head._2 == 0.0) :| s"self-query miss at $i: $hits"
+      }: _*)
+    }
+
+  property("l2SqIsSymmetricAndNonNegative") =
+    forAll(vecGen, vecGen) { (a, b) =>
+      val d1 = Hnsw.l2Sq(a, b)
+      val d2 = Hnsw.l2Sq(b, a)
+      d1 == d2 && d1 >= 0.0 && Hnsw.l2Sq(a, a) == 0.0
+    }
+
+  property("topKAggregatorEqualsSortTake") =
+    forAll(Gen.chooseNum(1, 8), Gen.listOf(Gen.zip(Gen.chooseNum(-1e6, 1e6), Gen.chooseNum(0L, 1000L)))) {
+      (k, xs) =>
+        val agg = new TopKAggregator(k)
+        val viaAgg = xs.foldLeft(agg.zero)(agg.reduce)
+        val expected = xs.sortBy(t => (t._1, t._2)).take(k)
+        viaAgg == expected
+    }
+
+  property("topKAggregatorMergeIsOrderInsensitive") =
+    forAll(Gen.chooseNum(1, 5),
+        Gen.listOf(Gen.zip(Gen.chooseNum(-1e6, 1e6), Gen.chooseNum(0L, 1000L))),
+        Gen.listOf(Gen.zip(Gen.chooseNum(-1e6, 1e6), Gen.chooseNum(0L, 1000L)))) {
+      (k, xs, ys) =>
+        val agg = new TopKAggregator(k)
+        val bx = xs.foldLeft(agg.zero)(agg.reduce)
+        val by = ys.foldLeft(agg.zero)(agg.reduce)
+        agg.merge(bx, by) == agg.merge(by, bx) &&
+          agg.merge(bx, agg.zero) == bx
+    }
+}

@@ -35,6 +35,18 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.getMessage.contains("dimension mismatch"))
   }
 
+  test("ingest append validates dimensions per batch (ref src/lib.rs:62-72)") {
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64)
+    val good = spark.range(1).select(lit(9999L).as("vec_id"),
+      array_repeat(lit(0.5f), 64).as("embedding"))
+    assert(db.add(good).len == 501L)
+    val badRows = spark.range(1).select(lit(10000L).as("vec_id"),
+      array_repeat(lit(0.5f), 32).as("embedding"))
+    val e = intercept[IllegalArgumentException](db.add(badRows))
+    assert(e.getMessage.contains("dimension mismatch"))
+    assert(db.len == 500L, "a rejected batch must not mutate the table")
+  }
+
   test("self-query invariant through the full index (ref src/lib.rs:546-549)") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val idx = HnswIndex.build(e.withColumn("part", col("label")), P)
