@@ -136,6 +136,23 @@ object HnswIndex {
         col("hit._1").as("dist"))
   }
 
+  /** Persist a built index partitioned by cell: each IVF cell becomes
+    * its own parquet subtree, so a routed search with nprobe cells
+    * reads exactly those subtrees (partition pruning on `part`) —
+    * at 100 TB the probe cost is nprobe/L of the index, not a full
+    * scan. */
+  def save(index: Dataset[IndexRow], path: String): Unit =
+    index.write.mode("overwrite").partitionBy("part").parquet(path)
+
+  /** Reload a persisted index for serving. */
+  def load(spark: SparkSession, path: String): Dataset[IndexRow] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select(col("part").cast("int").as("part"), col("vector_id"),
+        col("vec").cast("array<float>").as("vec"), col("layers"))
+      .as[IndexRow]
+  }
+
   /** Group a sorted iterator into (key, materialized run) pairs without
     * loading more than one run at a time. */
   private def groupRuns[T, K](it: Iterator[T])(key: T => K): Iterator[(K, Vector[T])] =

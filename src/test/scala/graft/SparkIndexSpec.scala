@@ -72,6 +72,21 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viol == 0L, s"$viol adjacency lists exceed their degree cap")
   }
 
+  test("index save/load round-trip serves identical results") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idx = HnswIndex.build(e.withColumn("part", col("label")), P)
+    val path = java.nio.file.Files.createTempDirectory("graft_idx").toString + "/hnsw"
+    HnswIndex.save(idx, path)
+    val loaded = HnswIndex.load(spark, path)
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val fresh = HnswIndex.search(idx, queries, k = 5, P).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val served = HnswIndex.search(loaded, queries, k = 5, P).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(served == fresh, "persisted index must serve the same hits")
+  }
+
   test("recall@10 >= 0.9 vs exact brute force at production ef") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val idx = HnswIndex.build(e.withColumn("part", col("label")), P)
