@@ -123,6 +123,11 @@ object IndexQueries {
     QueryDef("q_ann_cells", qAnnCells, Some(
       """SELECT CAST(label AS INT) AS part, count(*) AS n_nodes
         |FROM embeddings GROUP BY 1 ORDER BY part""".stripMargin)),
+    QueryDef("q_build_range", qBuildRange, Some(
+      """SELECT CAST(label AS INT) AS part, count(*) AS n_nodes,
+        |  min(vec_id) AS min_id, max(vec_id) AS max_id
+        |FROM embeddings WHERE vec_id >= 0 AND vec_id < 250
+        |GROUP BY 1 ORDER BY part""".stripMargin)),
   )
 
   /** Structural invariant: the index holds exactly one row per input
@@ -130,5 +135,20 @@ object IndexQueries {
   def qAnnCells(s: SparkSession, dir: String): DataFrame = {
     val idx = HnswIndex.build(emb(s, dir).withColumn("part", col("label")), P)
     idx.toDF().groupBy("part").agg(count(lit(1)).as("n_nodes")).orderBy("part")
+  }
+
+  /** Range-bounded index build — the reference's
+    * `build_index(start_id, end_id)` (`src/lib.rs:336-341`): the id
+    * range is a partition-prunable scan predicate, and the built index
+    * covers exactly the ranged rows. */
+  def qBuildRange(s: SparkSession, dir: String): DataFrame = {
+    val ranged = emb(s, dir)
+      .filter(col("vec_id") >= 0L && col("vec_id") < 250L)
+      .withColumn("part", col("label"))
+    HnswIndex.build(ranged, P).toDF()
+      .groupBy("part")
+      .agg(count(lit(1)).as("n_nodes"), min(col("vector_id")).as("min_id"),
+        max(col("vector_id")).as("max_id"))
+      .orderBy("part")
   }
 }
