@@ -88,6 +88,20 @@ object VectorFunctions {
   def cosineNative(a: Column, b: Column): Column =
     toCol(graft.functions.expressions.CosineSimilarityNative(toExpr(asVec(a)), toExpr(asVec(b))))
 
+  /** L2-normalize a vector column (zero vectors pass through
+    * unchanged). Use with a materialized `norm` attribute so the norm
+    * is computed once per row, then cosine ANN reduces to L2 ANN on
+    * the normalized vectors: l2²(â,b̂) = 2 − 2·cos(a,b), a monotone
+    * map — rankings are identical. */
+  def l2Normalize(v: Column): Column = {
+    val norm = sqrt(dotNative(v, v))
+    // norm rides in as an array *argument* (evaluated once) — nesting
+    // it in the lambda body would recompute the dot per element
+    when(norm === 0.0, v.cast("array<float>"))
+      .otherwise(zip_with(v, array_repeat(norm, size(v)),
+        (x, nn) => (x.cast("double") / nn).cast("float")))
+  }
+
   /** A vector literal usable against array<float> columns. */
   def vecLit(v: Seq[Float]): Column = {
     import org.apache.spark.sql.functions.{array => arr}

@@ -21,6 +21,37 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Connected components over an undirected near-dup pair graph
+    * (a, b): returns (id, component) with component = the minimum id
+    * reachable — the canonical survivor of each duplicate cluster
+    * ("keep one doc per component"). Min-label propagation, one round
+    * per graph diameter, deterministic. Near-dup components are
+    * shallow (diameter ~ a few hops), so the loop is short; at extreme
+    * scale swap in the large-star/small-star variant. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
+      .union(pairs.select(col("b").cast("long").as("u"), col("a").cast("long").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = edges.join(labels, edges("v") === labels("id"))
+        .groupBy(edges("u").as("nid")).agg(min(col("comp")).as("nbr_comp"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp_next"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = updated.filter(col("comp_next") < col("comp")).count()
+      labels = updated.select(col("id"), col("comp_next").as("comp"))
+      it += 1
+    }
+    labels
+  }
+
   /** Exact duplicate groups keyed by content hash: one row per distinct
     * text with the surviving (minimum) doc id and the group size. */
   def exactDupGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
@@ -85,8 +116,12 @@ object Dedup {
           .select("id", "n_sh", "s")
       }
 
+    // length filter: J(A,B) >= tau forces tau*|B| <= |A| <= |B|/tau —
+    // size-incompatible pairs never become candidates (exact)
     val cand = postings.as("x")
-      .join(postings.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .join(postings.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id") &&
+        col("x.n_sh") >= col("y.n_sh") * lit(tau) &&
+        col("y.n_sh") >= col("x.n_sh") * lit(tau))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
 

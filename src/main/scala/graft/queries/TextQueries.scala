@@ -64,6 +64,15 @@ object TextQueries {
       .select(col("a"), col("b"), round(col("jac"), 3).as("jac"))
       .orderBy("a", "b")
 
+  /** Near-dup clustering: connected components over the Jaccard >= 0.8
+    * pair graph; each doc maps to its cluster's minimum id (the kept
+    * survivor). */
+  def qDedupCluster(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup
+      .connectedComponents(Dedup.jaccardJoin(docs(s, dir), tau = 0.8))
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy("doc_id")
+
   // ---- DuckDB oracle fragments --------------------------------------
 
   private val toksSql = """string_split_regex(text, '\s+')"""
@@ -121,5 +130,16 @@ object TextQueries {
          |SELECT a, b, round(CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE), 3) AS jac
          |FROM p WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.8
          |ORDER BY a, b""".stripMargin)),
+    QueryDef("q_dedup_cluster", qDedupCluster, Some(
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $shSql AS sh FROM documents),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |            / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.8),
+         |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+         |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         |                UNION
+         |                SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
+         |SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -72,6 +72,29 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viol == 0L, s"$viol adjacency lists exceed their degree cap")
   }
 
+  test("cosine ANN via L2 graph on normalized vectors matches exact cosine ranking") {
+    import graft.functions.VectorFunctions._
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val normed = e.select(col("vec_id"), l2Normalize(col("embedding")).as("embedding"), col("label"))
+    val idx = HnswIndex.build(normed.withColumn("part", col("label")), P)
+    val queries = normed.filter(col("vec_id").isin(3L, 77L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // exhaustive ef -> exact L2 top-5 on normalized vectors
+    val viaGraph = HnswIndex.search(idx, queries, k = 5, P, efSearch = 4096)
+      .select("qid", "rank", "vector_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).zip(
+        HnswIndex.search(idx, queries, k = 5, P, efSearch = 4096)
+          .select("vector_id").collect().map(_.getLong(0))).map { case ((q, r), v) => (q, r, v) }.toSet
+    // exact cosine top-5 on the raw vectors (descending similarity)
+    val exact = queries.collect().flatMap { qr =>
+      val qid = qr.getLong(0)
+      Knn.searchKnnById(e, qid, k = 5, metric = Knn.Cosine).collect()
+        .zipWithIndex.map { case (r, i) => (qid, i + 1, r.getLong(0)) }
+    }.toSet
+    assert(viaGraph == exact,
+      s"normalized-L2 ranking must equal cosine ranking:\n$viaGraph\nvs\n$exact")
+  }
+
   test("index save/load round-trip serves identical results") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val idx = HnswIndex.build(e.withColumn("part", col("label")), P)
