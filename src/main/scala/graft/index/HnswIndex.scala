@@ -136,6 +136,36 @@ object HnswIndex {
         col("hit._1").as("dist"))
   }
 
+  /** Incremental maintenance: add a batch of vectors by rebuilding ONLY
+    * the cells the batch touches — untouched cells' graphs pass through
+    * unchanged. This is the batch-append pattern at scale: cell
+    * rebuild cost is proportional to dirty-cell size, not index size,
+    * and with [[save]]'s partitioned layout only dirty subtrees
+    * rewrite. (The reference appends one vector at a time into one
+    * global graph, `src/lib.rs:228-302`; cell-local rebuild is the
+    * set-oriented equivalent.) */
+  def addBatch(
+      index: Dataset[IndexRow],
+      additions: DataFrame,
+      params: HnswParams = HnswParams(),
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      partCol: String = "part"): Dataset[IndexRow] = {
+    import index.sparkSession.implicits._
+    val newRows = additions.select(
+      col(partCol).cast("int").as("part"),
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("vec"))
+    val dirty = newRows.select("part").distinct()
+    val untouched = index.join(broadcast(dirty), Seq("part"), "left_anti").as[IndexRow]
+    val existing = index.join(broadcast(dirty), Seq("part"), "left_semi")
+      .select(col("part"), col("vector_id").as("id"), col("vec"))
+    val rebuilt = build(
+      existing.union(newRows).toDF("part", "vec_id", "embedding"),
+      params, "vec_id", "embedding", "part")
+    untouched.union(rebuilt)
+  }
+
   /** Persist a built index partitioned by cell: each IVF cell becomes
     * its own parquet subtree, so a routed search with nprobe cells
     * reads exactly those subtrees (partition pruning on `part`) —

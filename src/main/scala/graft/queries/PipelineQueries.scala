@@ -55,7 +55,37 @@ object PipelineQueries {
         sum(element_at(col("embedding"), 1).cast("decimal(18,12)")).cast("double").as("sum_e1"))
   }
 
+  /** TRUE streaming execution in the gate: readStream over the events
+    * parquet, the same hourlyCounts transform, Complete-mode memory
+    * sink drained with processAllAvailable — proving the streaming
+    * path computes exactly what the batch oracle computes. */
+  def qStreamExec(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // the fixture table is a single parquet file; the streaming file
+    // source wants a directory, so list the parent filtered to it
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = "graft_stream_exec_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.hourlyCounts(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select(
+        date_format(col("hour_start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_stream_exec", qStreamExec, Some(
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)),
     QueryDef("q_bin_source", qBinSource, Some(
       """SELECT count(*) AS n_rows,
         |  CAST(sum(vec_id) AS BIGINT) AS sum_ids,

@@ -110,6 +110,25 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served == fresh, "persisted index must serve the same hits")
   }
 
+  test("addBatch rebuilds only dirty cells and serves the new vectors") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idx = HnswIndex.build(e.withColumn("part", col("label")), P)
+    val before3 = idx.filter(col("part") === 3).collect().map(r => (r.vector_id, r.layers.map(_.toSeq).toSeq)).toSet
+    val adds = spark.range(3).select(
+      lit(5).as("part"),
+      (col("id") + 1000L).as("vec_id"),
+      array_repeat((col("id") + 1).cast("float") / 10f, 64).as("embedding"))
+    val idx2 = HnswIndex.addBatch(idx, adds, P)
+    assert(idx2.count() == 503L)
+    val after3 = idx2.filter(col("part") === 3).collect().map(r => (r.vector_id, r.layers.map(_.toSeq).toSeq)).toSet
+    assert(after3 == before3, "untouched cell must pass through byte-identical")
+    // the new vector is findable through the updated index
+    val q = Seq((1000L, Array.fill(64)(0.1f))).toDF("qid", "qv")
+    val hit = HnswIndex.search(idx2, q, k = 1, P).collect()(0)
+    assert(hit.getAs[Long]("vector_id") == 1000L && hit.getAs[Double]("dist") < 1e-9)
+  }
+
   test("recall@10 >= 0.9 vs exact brute force at production ef") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val idx = HnswIndex.build(e.withColumn("part", col("label")), P)
