@@ -57,6 +57,11 @@ object TextFunctions {
       .otherwise(lit("fr"))
   }
 
+  /** Canonical text normalization for dedup keys: lowercase, strip
+    * non-alphanumerics to single spaces, trim. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[^.,;:!?'\"()-]", ""))

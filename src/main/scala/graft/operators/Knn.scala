@@ -63,6 +63,22 @@ object Knn {
       .limit(k)
   }
 
+  /** Range (radius) search: all corpus rows within `radius` of the
+    * query under the metric (L2: squared radius, matching the squared
+    * distances everywhere else). A scan + filter — fully pushed into
+    * whole-stage codegen, no shuffle at all. */
+  def rangeSearch(
+      corpus: DataFrame,
+      queryVec: Seq[Float],
+      radius: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      metric: String = L2): DataFrame =
+    corpus
+      .select(col(idCol), distCol(metric)(col(vecCol), vecLit(queryVec)).as("dist"))
+      .filter(col("dist") <= radius)
+      .orderBy(col("dist").asc, col(idCol).asc)
+
   /** Batch k-NN join: for every query row, the k nearest corpus rows.
     *
     * Queries are broadcast (they are the small side in the serving

@@ -64,6 +64,37 @@ object TextQueries {
       .select(col("a"), col("b"), round(col("jac"), 3).as("jac"))
       .orderBy("a", "b")
 
+  /** TF-IDF: top-3 terms per document by tf·idf with smoothed idf
+    * (ln((N+1)/(df+1)) + 1), term-asc tiebreak. The inverted-index /
+    * document-frequency shape every retrieval pipeline needs. */
+  def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val n = d.count() // corpus size: one scalar, computed once
+    val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(df_, "term")
+      .withColumn("tfidf",
+        col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk").cast("int").as("rnk"), col("term"),
+        round(col("tfidf"), 4).as("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** Normalized-text dedup keys: lowercase/strip normalization then
+    * group — catches case/punctuation-variant duplicates exact dedup
+    * misses. */
+  def qDedupNormalized(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(normalizeText(col("text")).cast("binary")).as("norm_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("norm_hash")
+
   /** Near-dup clustering: connected components over the Jaccard >= 0.8
     * pair graph; each doc maps to its cluster's minimum id (the kept
     * survivor). */
@@ -130,6 +161,24 @@ object TextQueries {
          |SELECT a, b, round(CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE), 3) AS jac
          |FROM p WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.8
          |ORDER BY a, b""".stripMargin)),
+    QueryDef("q_tfidf", qTfidf, Some(
+      s"""WITH tf AS (SELECT doc_id, t.term, count(*) AS tf
+         |            FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents) t
+         |            GROUP BY doc_id, t.term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (SELECT tf.doc_id, tf.term,
+         |             tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+         |           FROM tf JOIN df USING (term), n),
+         |ranked AS (SELECT doc_id, term, tfidf,
+         |             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+         |           FROM scored)
+         |SELECT doc_id, CAST(rnk AS INT) AS rnk, term, round(tfidf, 4) AS tfidf
+         |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+    QueryDef("q_dedup_normalized", qDedupNormalized, Some(
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash,
+        |  min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin)),
     QueryDef("q_dedup_cluster", qDedupCluster, Some(
       s"""WITH RECURSIVE t AS (SELECT doc_id, $shSql AS sh FROM documents),
          |p AS (SELECT a.doc_id AS a, b.doc_id AS b

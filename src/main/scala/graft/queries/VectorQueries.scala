@@ -61,6 +61,18 @@ object VectorQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Radius (range) search: every vector within squared-L2 radius 2.0
+    * of query vector 0 — scan + filter, no shuffle. */
+  def qRangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("__qv"))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"), l2SqNative(col("embedding"), col("__qv")).as("d"))
+      .filter(col("d") <= 2.0)
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("d"), 3).as("dist"))
+  }
+
   /** Ingest validation + len (ref `src/lib.rs:62-69` dimension check,
     * `src/disk_store.rs:22-27` size check, `src/lib.rs:350-352` len). */
   def qValidate(s: SparkSession, dir: String): DataFrame =
@@ -114,6 +126,12 @@ object VectorQueries {
          |           FROM scored)
          |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(d, 3) AS dist
          |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+    QueryDef("q_range_search", qRangeSearch, Some(
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, round(${l2Sql("e.embedding", "q.qv")}, 3) AS dist
+         |FROM embeddings e CROSS JOIN q
+         |WHERE ${l2Sql("e.embedding", "q.qv")} <= 2.0
+         |ORDER BY ${l2Sql("e.embedding", "q.qv")}, e.vec_id""".stripMargin)),
     QueryDef("q_validate", qValidate, Some(
       s"""SELECT count(*) AS n_rows,
          |       count(*) FILTER (WHERE len(embedding) = $Dim) AS n_valid,
