@@ -44,7 +44,9 @@ object Dedup {
       val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"), col("comp"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp_next"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        // eager localCheckpoint truncates the lineage each round —
+        // without it the plan nests one full join tree per iteration
+        .localCheckpoint()
       changed = updated.filter(col("comp_next") < col("comp")).count()
       labels = updated.select(col("id"), col("comp_next").as("comp"))
       it += 1
