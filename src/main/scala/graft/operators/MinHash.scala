@@ -105,4 +105,33 @@ object MinHash {
       textCol: String = "text"): DataFrame =
     shingled(docs, n, idCol, textCol)
       .select(col("id").as(idCol), simHash(col("hs")).as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, found
+    * by 8x4-bit banding: if two 32-bit fingerprints differ in at most 7
+    * bits, at least one 4-bit band is identical (pigeonhole), so the
+    * band-bucket equi-join finds EVERY qualifying pair — exact for
+    * maxHamming <= 7, never all-pairs. */
+  def simHashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 6,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxHamming <= 7, "8x4-bit banding guarantees recall only for hamming <= 7")
+    val sh = simHashTable(docs, n, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandCols = (0 until 8).map { b =>
+      struct(lit(b).as("band"), shiftright(col("simhash"), 4 * b).bitwiseAND(15L).as("v"))
+    }
+    val bands = sh.select(col(idCol).as("id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band"), col("bk.v"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

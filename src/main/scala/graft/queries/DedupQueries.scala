@@ -26,6 +26,12 @@ object DedupQueries {
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     MinHash.simHashTable(docs(s, dir)).orderBy("doc_id")
 
+  /** SimHash near-dup pairs (hamming <= 6) via exact 8x4-bit banding. */
+  def qDedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    MinHash.simHashPairs(docs(s, dir), maxHamming = 6)
+      .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+      .orderBy("a", "b")
+
   /** Embedding-cosine near-dup pairs, blocked by cluster label (the
     * IVF-cell blocking pattern — at scale, block by coarse quantizer
     * cell instead of comparing all pairs). */
@@ -79,6 +85,19 @@ object DedupQueries {
          |    CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
          |  THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
          |FROM hs ORDER BY doc_id""".stripMargin)),
+    QueryDef("q_dedup_simhash_pairs", qDedupSimhashPairs, Some(
+      s"""WITH t AS (SELECT doc_id, $shSql AS sh FROM documents),
+         |hs AS (SELECT doc_id, $hsSql AS hs FROM t WHERE len(sh) > 0),
+         |sim AS (SELECT doc_id, CAST(list_sum(list_transform(range(0,32), b ->
+         |  CASE WHEN list_sum(list_transform(hs, h ->
+         |    CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |  THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM hs)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+         |FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+         |ORDER BY a, b""".stripMargin)),
     QueryDef("q_dedup_embcos", qDedupEmbcos, Some(
       s"""SELECT a.vec_id AS a, b.vec_id AS b,
          |  round(${VectorQueries.cosSql("a.embedding", "b.embedding")}, 4) AS cos
