@@ -25,8 +25,11 @@ object TextQueries {
       regexTokenCount(col("text")).as("re_tokens"),
       punctCount(col("text")).as("punct_cnt"),
       tokensIn(t, StopEn).as("stop_cnt"),
-      round(length(regexp_replace(col("text"), " ", "")).cast("double") /
-        size(t).cast("double"), 4).as("avg_tok_len"))
+      // floor-scaling instead of round: integer-ratio arithmetic lands
+      // exactly on .5 rounding boundaries, where Spark (HALF_UP) and
+      // DuckDB disagree; floor of the identical double is tie-free
+      (floor(length(regexp_replace(col("text"), " ", "")).cast("double") /
+        size(t).cast("double") * 10000.0) / 10000.0).as("avg_tok_len"))
       .orderBy("doc_id")
   }
 
@@ -34,7 +37,9 @@ object TextQueries {
     * function-word rate). */
   def qQuality(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), round(qualityScore(col("text")), 4).as("quality"))
+      // floor-scaled, not rounded: see avg_tok_len note in qTextStats
+      .select(col("doc_id"),
+        (floor(qualityScore(col("text")) * 10000.0) / 10000.0).as("quality"))
       .orderBy("doc_id")
 
   /** Stopword-profile language ID (n-gram-free heuristic). */
@@ -125,14 +130,14 @@ object TextQueries {
          |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT) AS re_tokens,
          |  CAST($punctSql AS INT) AS punct_cnt,
          |  CAST(${hitsSql(StopEn)} AS INT) AS stop_cnt,
-         |  round(CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
-         |        / CAST(len($toksSql) AS DOUBLE), 4) AS avg_tok_len
+         |  floor(CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+         |        / CAST(len($toksSql) AS DOUBLE) * 10000.0) / 10000.0 AS avg_tok_len
          |FROM documents ORDER BY doc_id""".stripMargin)),
     QueryDef("q_quality", qQuality, Some(
-      s"""SELECT doc_id, round(
+      s"""SELECT doc_id, floor((
          |  0.4 * least(1.0, CAST(len($toksSql) AS DOUBLE) / 50.0)
          |  + 0.3 * (1.0 - CAST($punctSql AS DOUBLE) / CAST(length(text) AS DOUBLE))
-         |  + 0.3 * (CAST(${hitsSql(StopEn)} AS DOUBLE) / CAST(len($toksSql) AS DOUBLE)), 4) AS quality
+         |  + 0.3 * (CAST(${hitsSql(StopEn)} AS DOUBLE) / CAST(len($toksSql) AS DOUBLE))) * 10000.0) / 10000.0 AS quality
          |FROM documents ORDER BY doc_id""".stripMargin)),
     QueryDef("q_langid", qLangId, Some(
       s"""SELECT doc_id, lang AS lang_labeled,

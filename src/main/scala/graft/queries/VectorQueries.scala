@@ -42,10 +42,13 @@ object VectorQueries {
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") === 1L).select(col("embedding").as("__qv"))
     val zero = array_repeat(lit(0.0f), Dim)
+    // `+ 0.0` normalizes IEEE negative zero: round(-1e-7) yields -0.0
+    // in DuckDB but +0.0 in Spark, and the driver compares stringified
+    // values
     e.crossJoin(broadcast(q))
       .select(
         col("vec_id"),
-        round(cosineNative(col("embedding"), col("__qv")), 4).as("cos_sim"),
+        (round(cosineNative(col("embedding"), col("__qv")), 4) + lit(0.0)).as("cos_sim"),
         round(cosineNative(col("embedding"), zero), 4).as("cos_zero"))
       .orderBy("vec_id")
   }
@@ -114,8 +117,8 @@ object VectorQueries {
     QueryDef("q_cosine_kernel", qCosineKernel, Some(
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
          |SELECT e.vec_id,
-         |  round(${cosSql("e.embedding", "q.qv")}, 4) AS cos_sim,
-         |  0.0 AS cos_zero
+         |  round(${cosSql("e.embedding", "q.qv")}, 4) + CAST(0.0 AS DOUBLE) AS cos_sim,
+         |  CAST(0.0 AS DOUBLE) AS cos_zero
          |FROM embeddings e CROSS JOIN q ORDER BY e.vec_id""".stripMargin)),
     QueryDef("q_knn_multi", qKnnMulti, Some(
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
