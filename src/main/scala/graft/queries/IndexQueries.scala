@@ -123,6 +123,28 @@ object IndexQueries {
     QueryDef("q_ann_cells", qAnnCells, Some(
       """SELECT CAST(label AS INT) AS part, count(*) AS n_nodes
         |FROM embeddings GROUP BY 1 ORDER BY part""".stripMargin)),
+    QueryDef("q_quantized_knn", qQuantizedKnn, Some(
+      """WITH b AS (SELECT i AS pos, CAST(min(x) AS DOUBLE) AS lo, CAST(max(x) AS DOUBLE) AS hi
+        |           FROM (SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+        |                 FROM embeddings) GROUP BY 1),
+        |bl AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM b),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1), i ->
+        |      (CASE WHEN bl.his[i] - bl.los[i] = 0.0 THEN bl.los[i]
+        |            ELSE bl.los[i] + CAST(floor(least(greatest(
+        |                   (CAST(e.embedding[i] AS DOUBLE) - bl.los[i]) / (bl.his[i] - bl.los[i]),
+        |                   0.0), 1.0) * 255.0) AS INT) / 255.0 * (bl.his[i] - bl.los[i])
+        |       END - CAST(q.qv[i] AS DOUBLE))
+        |      * (CASE WHEN bl.his[i] - bl.los[i] = 0.0 THEN bl.los[i]
+        |            ELSE bl.los[i] + CAST(floor(least(greatest(
+        |                   (CAST(e.embedding[i] AS DOUBLE) - bl.los[i]) / (bl.his[i] - bl.los[i]),
+        |                   0.0), 1.0) * 255.0) AS INT) / 255.0 * (bl.his[i] - bl.los[i])
+        |       END - CAST(q.qv[i] AS DOUBLE)))) AS d
+        |  FROM embeddings e, bl, q)
+        |SELECT vec_id, round(d, 3) AS dist FROM scored
+        |ORDER BY d, vec_id LIMIT 10""".stripMargin)),
     QueryDef("q_build_range", qBuildRange, Some(
       """SELECT CAST(label AS INT) AS part, count(*) AS n_nodes,
         |  min(vec_id) AS min_id, max(vec_id) AS max_id
@@ -135,6 +157,24 @@ object IndexQueries {
   def qAnnCells(s: SparkSession, dir: String): DataFrame = {
     val idx = HnswIndex.build(emb(s, dir).withColumn("part", col("label")), P)
     idx.toDF().groupBy("part").agg(count(lit(1)).as("n_nodes")).orderBy("part")
+  }
+
+  /** Int8-quantized search: train per-dim bounds, encode the corpus to
+    * byte codes (4x smaller), answer top-10 by asymmetric decode
+    * distance — full-precision ranking quality is gated in ScalaTest;
+    * here the quantized pipeline itself is oracle-checked bit-for-bit. */
+  def qQuantizedKnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.index.ScalarQuantizer
+    val e = emb(s, dir)
+    val (lo, hi) = ScalarQuantizer.bounds(ScalarQuantizer.train(e))
+    val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("__qv"))
+    e.select(col("vec_id"), ScalarQuantizer.encodeExpr(col("embedding"), lo, hi).as("codes"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        ScalarQuantizer.adcL2Sq(col("codes"), col("__qv"), lo, hi).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), round(col("d"), 3).as("dist"))
   }
 
   /** Range-bounded index build — the reference's

@@ -64,6 +64,21 @@ object VectorQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Hybrid filtered search: metadata predicate + top-k in one plan —
+    * the filter pushes into the scan (at scale: partition pruning on
+    * the predicate column), then the bounded-heap top-k runs over the
+    * surviving rows only. */
+  def qKnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("__qv"))
+    e.filter(col("label").isin(2, 5, 7))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), l2SqNative(col("embedding"), col("__qv")).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), round(col("d"), 3).as("dist"))
+  }
+
   /** Radius (range) search: every vector within squared-L2 radius 2.0
     * of query vector 0 — scan + filter, no shuffle. */
   def qRangeSearch(s: SparkSession, dir: String): DataFrame = {
@@ -129,6 +144,12 @@ object VectorQueries {
          |           FROM scored)
          |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(d, 3) AS dist
          |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+    QueryDef("q_knn_filtered", qKnnFiltered, Some(
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, round(${l2Sql("e.embedding", "q.qv")}, 3) AS dist
+         |FROM embeddings e CROSS JOIN q
+         |WHERE e.label IN (2, 5, 7)
+         |ORDER BY ${l2Sql("e.embedding", "q.qv")}, e.vec_id LIMIT 10""".stripMargin)),
     QueryDef("q_range_search", qRangeSearch, Some(
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${l2Sql("e.embedding", "q.qv")}, 3) AS dist

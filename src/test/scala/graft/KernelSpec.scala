@@ -42,6 +42,35 @@ class KernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
   }
 
+  test("int8 quantization: decode error bounded, quantized ranking near-exact") {
+    import graft.index.ScalarQuantizer
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (lo, hi) = ScalarQuantizer.bounds(ScalarQuantizer.train(e))
+    // max per-dim reconstruction error is one code step
+    val maxStep = lo.zip(hi).map { case (l, h) => (h - l) / 255.0 }.max
+    val err = e.select(ScalarQuantizer.decodeExpr(
+        ScalarQuantizer.encodeExpr(col("embedding"), lo, hi), lo, hi).as("dec"),
+        col("embedding"))
+      .select(aggregate(
+        zip_with(col("dec"), col("embedding"), (x, y) => abs(x - y.cast("double"))),
+        lit(0.0), (a, v) => greatest(a, v)).as("e"))
+      .agg(max(col("e"))).collect()(0).getDouble(0)
+    assert(err <= maxStep + 1e-12, s"decode error $err exceeds code step $maxStep")
+    // quantized top-10 overlaps exact top-10 by >= 8
+    val q = e.filter(col("vec_id") === 7L).select(col("embedding").as("qv"))
+    val exact = e.crossJoin(broadcast(q))
+      .select(col("vec_id"), l2SqNative(col("embedding"), col("qv")).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val quant = e.select(col("vec_id"),
+        ScalarQuantizer.encodeExpr(col("embedding"), lo, hi).as("codes"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), ScalarQuantizer.adcL2Sq(col("codes"), col("qv"), lo, hi).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(quant).size >= 8, s"overlap ${exact.intersect(quant).size}")
+  }
+
   test("TopKAggregator: reduce keeps k smallest with id tiebreak, merge preserves order") {
     val agg = new TopKAggregator(3)
     val buf = Seq((5.0, 1L), (1.0, 9L), (3.0, 2L), (1.0, 3L), (7.0, 0L))
