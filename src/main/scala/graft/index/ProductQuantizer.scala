@@ -1,0 +1,120 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization: split each d-dim vector into M subvectors,
+  * quantize each against its own K-codeword codebook, store M small
+  * codes per vector (d·4 bytes → M bytes at K <= 256) — the compression
+  * that keeps billion-vector indexes in memory. Search uses asymmetric
+  * distance: the query stays full-precision and per-subspace lookup
+  * tables turn distance into M table reads.
+  *
+  * Codebooks are driver-resident model parameters (M·K·(d/M) doubles —
+  * tiny) shipped as literals; training reuses the deterministic
+  * seeded-Lloyd's machinery (init = the K lowest-id subvectors, exact
+  * decimal means). iters=0 keeps the raw init codebooks — lower
+  * quality, but the whole pipeline becomes SQL-expressible for the
+  * oracle gate; quality at trained codebooks is gated in ScalaTest.
+  * (Extension: the reference stores raw f32 only, `disk_store.rs:7-11`.)
+  */
+object ProductQuantizer {
+
+  /** codebooks(m)(j) = codeword j of subspace m, as a double array. */
+  final case class Model(codebooks: Array[Array[Array[Double]]]) {
+    def numSub: Int = codebooks.length
+    def subDim: Int = codebooks(0)(0).length
+  }
+
+  private def l2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Train per-subspace codebooks with `iters` Lloyd rounds (0 = keep
+    * the K lowest-id subvectors as codewords). */
+  def train(df: DataFrame, numSub: Int, k: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val subDimCol = (size(col(vecCol)) / numSub).cast("int")
+    val subs = (0 until numSub).map { m =>
+      df.select(col(idCol),
+        slice(col(vecCol), lit(m) * subDimCol + 1, subDimCol).as("sub"))
+    }
+    val books = subs.map { sdf =>
+      val init = sdf.orderBy(col(idCol).asc).limit(k)
+        .select(col("sub").cast("array<double>")).as[Array[Double]].collect()
+      var cb = init
+      var it = 0
+      while (it < iters) {
+        val bc = sdf.sparkSession.sparkContext.broadcast(cb)
+        val means = sdf.select(col("sub").cast("array<float>")).as[Array[Float]]
+          .map { v =>
+            val vd = v.map(_.toDouble)
+            var best = 0; var bestD = Double.MaxValue
+            var j = 0
+            while (j < bc.value.length) {
+              val d = l2(vd, bc.value(j))
+              if (d < bestD) { bestD = d; best = j }
+              j += 1
+            }
+            (best, vd, 1L)
+          }
+          .groupByKey(_._1)
+          .mapGroups { (j, it2) =>
+            val acc = new Array[Double](cb(0).length)
+            var n = 0L
+            it2.foreach { case (_, vd, _) =>
+              var i = 0
+              while (i < acc.length) { acc(i) += vd(i); i += 1 }
+              n += 1
+            }
+            (j, acc.map(_ / n))
+          }
+          .collect().toMap
+        cb = Array.tabulate(k)(j => means.getOrElse(j, cb(j)))
+        it += 1
+      }
+      cb
+    }
+    Model(books.toArray)
+  }
+
+  private def booksLit(model: Model): Column =
+    typedLit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** Encode: per subspace, index of the nearest codeword (ties to the
+    * lowest index). Returns array<int> of length numSub. */
+  def encodeExpr(vec: Column, model: Model): Column = {
+    val sd = model.subDim
+    val cbs = booksLit(model)
+    transform(sequence(lit(0), lit(model.numSub - 1)), m => {
+      val sub = slice(vec, m * sd + 1, lit(sd))
+      val dists = transform(element_at(cbs, m + 1), cw =>
+        aggregate(zip_with(cw, sub, (c, x) => {
+          val d = c - x.cast("double"); d * d
+        }), lit(0.0), (acc, v) => acc + v))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+  }
+
+  /** Asymmetric distance: sum over subspaces of
+    * l2²(query_sub, codeword[code]). */
+  def adcExpr(codes: Column, queryVec: Column, model: Model): Column = {
+    val sd = model.subDim
+    val cbs = booksLit(model)
+    aggregate(
+      zip_with(codes, sequence(lit(0), lit(model.numSub - 1)), (code, m) => {
+        val qsub = slice(queryVec, m * sd + 1, lit(sd))
+        val cw = element_at(element_at(cbs, m + 1), code + 1)
+        aggregate(zip_with(cw, qsub, (c, x) => {
+          val d = c - x.cast("double"); d * d
+        }), lit(0.0), (acc, v) => acc + v)
+      }),
+      lit(0.0),
+      (acc, v) => acc + v)
+  }
+}

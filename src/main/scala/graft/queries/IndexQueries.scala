@@ -145,6 +145,29 @@ object IndexQueries {
         |  FROM embeddings e, bl, q)
         |SELECT vec_id, round(d, 3) AS dist FROM scored
         |ORDER BY d, vec_id LIMIT 10""".stripMargin)),
+    QueryDef("q_pq_knn", qPqKnn, Some(
+      """WITH ms AS (SELECT unnest(range(0, 8)) AS m),
+        |cw AS (SELECT e.vec_id AS j, ms.m,
+        |         list_transform(e.embedding[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
+        |       FROM embeddings e, ms WHERE e.vec_id < 16),
+        |sub AS (SELECT e.vec_id, ms.m,
+        |          list_transform(e.embedding[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
+        |        FROM embeddings e, ms),
+        |dd AS (SELECT s.vec_id, s.m, c.j,
+        |         list_sum(list_transform(list_zip(c.v, s.v), p -> (p[1] - p[2])^2)) AS d
+        |       FROM sub s JOIN cw c ON s.m = c.m),
+        |code AS (SELECT vec_id, m, j FROM
+        |           (SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+        |            FROM dd) WHERE rn = 1),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |qsub AS (SELECT ms.m, list_transform(q.qv[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
+        |         FROM q, ms),
+        |dist AS (SELECT code.vec_id,
+        |           sum(list_sum(list_transform(list_zip(cw.v, qsub.v), p -> (p[1] - p[2])^2))) AS d
+        |         FROM code JOIN cw ON code.m = cw.m AND code.j = cw.j
+        |         JOIN qsub ON qsub.m = code.m
+        |         GROUP BY code.vec_id)
+        |SELECT vec_id, round(d, 3) AS dist FROM dist ORDER BY d, vec_id LIMIT 10""".stripMargin)),
     QueryDef("q_build_range", qBuildRange, Some(
       """SELECT CAST(label AS INT) AS part, count(*) AS n_nodes,
         |  min(vec_id) AS min_id, max(vec_id) AS max_id
@@ -172,6 +195,24 @@ object IndexQueries {
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         ScalarQuantizer.adcL2Sq(col("codes"), col("__qv"), lo, hi).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), round(col("d"), 3).as("dist"))
+  }
+
+  /** Product-quantized search (M=8 subspaces, K=16 codes): encode the
+    * corpus to 8 small codes per vector, answer top-10 by asymmetric
+    * distance. Codebooks here are the raw lowest-id init (iters=0) so
+    * the whole pipeline is SQL-expressible; trained-codebook quality is
+    * gated in ScalaTest. */
+  def qPqKnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.index.ProductQuantizer
+    val e = emb(s, dir)
+    val model = ProductQuantizer.train(e, numSub = 8, k = 16, iters = 0)
+    val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("__qv"))
+    e.select(col("vec_id"), ProductQuantizer.encodeExpr(col("embedding"), model).as("codes"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), ProductQuantizer.adcExpr(col("codes"), col("__qv"), model).as("d"))
       .orderBy(col("d").asc, col("vec_id").asc)
       .limit(10)
       .select(col("vec_id"), round(col("d"), 3).as("dist"))

@@ -71,6 +71,27 @@ class KernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.intersect(quant).size >= 8, s"overlap ${exact.intersect(quant).size}")
   }
 
+  test("product quantization: trained codebooks rank near-exact, training deterministic") {
+    import graft.index.ProductQuantizer
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val m1 = ProductQuantizer.train(e, numSub = 8, k = 16, iters = 2)
+    val m2 = ProductQuantizer.train(e, numSub = 8, k = 16, iters = 2)
+    assert(m1.codebooks.flatten.flatten.toSeq == m2.codebooks.flatten.flatten.toSeq,
+      "PQ training must be deterministic")
+    val q = e.filter(col("vec_id") === 7L).select(col("embedding").as("qv"))
+    val exact = e.crossJoin(broadcast(q))
+      .select(col("vec_id"), l2SqNative(col("embedding"), col("qv")).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val pq = e.select(col("vec_id"), ProductQuantizer.encodeExpr(col("embedding"), m1).as("codes"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), ProductQuantizer.adcExpr(col("codes"), col("qv"), m1).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = exact.intersect(pq).size
+    assert(overlap >= 5, s"trained PQ top-10 overlap with exact: $overlap/10")
+  }
+
   test("TopKAggregator: reduce keeps k smallest with id tiebreak, merge preserves order") {
     val agg = new TopKAggregator(3)
     val buf = Seq((5.0, 1L), (1.0, 9L), (3.0, 2L), (1.0, 3L), (7.0, 0L))
