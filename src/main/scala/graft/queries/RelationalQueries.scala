@@ -103,6 +103,31 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** As-of join: each purchase event attributed to the user's latest
+    * click at-or-before it (null when none) — the temporal-join
+    * primitive, via the union-window rendering in operators/AsOfJoin. */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_id").as("click_id"))
+    graft.operators.AsOfJoin
+      .asOf(purchases, clicks, key = "user_id", ts = "ts",
+        payloadCol = "click_id", tieBreak = "event_id")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("asof_click_id"))
+      .orderBy("purchase_id")
+  }
+
+  /** Pivot rollup: per-user event counts by type as columns. */
+  def qPivotEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_id")
+
   /** Exact interpolated percentiles per group (Spark `percentile` ==
     * DuckDB `quantile_cont`: both linear interpolation at p·(n−1)). */
   def qPercentiles(s: SparkSession, dir: String): DataFrame =
@@ -115,6 +140,26 @@ object RelationalQueries {
       .orderBy("l_returnflag")
 
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_asof_join", qAsofJoin, Some(
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, 0 AS tag, event_id AS p FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 1, NULL FROM events WHERE event_type = 'purchase'),
+        |w AS (SELECT user_id, ts, event_id, tag,
+        |        last_value(p IGNORE NULLS) OVER (PARTITION BY user_id
+        |          ORDER BY ts, tag, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
+        |      FROM u)
+        |SELECT event_id AS purchase_id, user_id, asof_click_id
+        |FROM w WHERE tag = 1 ORDER BY purchase_id""".stripMargin)),
+    QueryDef("q_pivot_events", qPivotEvents, Some(
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
     QueryDef("q_percentiles", qPercentiles, Some(
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
