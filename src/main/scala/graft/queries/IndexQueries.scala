@@ -76,18 +76,19 @@ object IndexQueries {
   }
 
   /** Index structure stats per cell (ref structure/pruning invariants,
-    * `src/lib.rs:394-467`): node count is oracle-able; degree caps are
-    * asserted in ScalaTest (not SQL-expressible). */
+    * `src/lib.rs:394-467`): node counts AND layer counts are
+    * oracle-able (a node owns exactly level+1 adjacency lists and
+    * levels derive deterministically from ids); degree caps are
+    * asserted in ScalaTest (graph-construction-dependent, not
+    * SQL-expressible). */
   def qHnswStats(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val idx = HnswIndex.build(e.withColumn("part", col("label")), P)
     idx.toDF()
-      .select(col("part"), size(col("layers")).as("n_layers"),
-        size(element_at(col("layers"), 1)).as("deg0"))
+      .select(col("part"), size(col("layers")).as("n_layers"))
       .groupBy("part")
       .agg(
         count(lit(1)).as("n_nodes"),
-        max(col("deg0")).as("max_deg0"),
         max(col("n_layers")).as("max_layers"))
       .orderBy("part")
   }
@@ -119,7 +120,11 @@ object IndexQueries {
          |           FROM scored)
          |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(d, 3) AS dist
          |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
-    QueryDef("q_hnsw_stats", qHnswStats, None),
+    QueryDef("q_hnsw_stats", qHnswStats, Some(
+      """SELECT CAST(label AS INT) AS part, count(*) AS n_nodes,
+        |  CAST(max(floor(-ln(((vec_id * CAST(2654435761 AS BIGINT)) % 1000003 + 1) / 1000003.0)
+        |    * (1.0 / ln(16.0))) + 1) AS INT) AS max_layers
+        |FROM embeddings GROUP BY 1 ORDER BY part""".stripMargin)),
     QueryDef("q_ann_cells", qAnnCells, Some(
       """SELECT CAST(label AS INT) AS part, count(*) AS n_nodes
         |FROM embeddings GROUP BY 1 ORDER BY part""".stripMargin)),

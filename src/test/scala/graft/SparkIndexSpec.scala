@@ -110,6 +110,22 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served == fresh, "persisted index must serve the same hits")
   }
 
+  test("as-of join: null before first right row, same-instant right row matches") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L))
+      .toDF("k", "ts", "lid")
+    // tieBreak column ("lid" here) must exist on both sides — it is the
+    // shared within-timestamp ordering (both sides' own event id)
+    val right = Seq((1L, 100L, 900L), (1L, 150L, 901L))
+      .toDF("k", "ts", "lid").withColumn("payload", col("lid"))
+    val out = AsOfJoin.asOf(left, right, "k", "ts", "payload", "lid")
+      .collect().map(r => (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(out(10L) == Some(900L), "same-instant right row must match (<= semantics)")
+    assert(out(11L) == Some(901L), "latest prior right row wins")
+    assert(out(12L) == None, "no prior right row -> null")
+  }
+
   test("addBatch rebuilds only dirty cells and serves the new vectors") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
