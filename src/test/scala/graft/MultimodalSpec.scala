@@ -52,6 +52,19 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decodeStub(b).toSeq == Multimodal.decodeStub(b).toSeq)
   }
 
+  test("jaccard prefix filter returns exactly the unfiltered result set") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairs(pf: Boolean) =
+      Dedup.jaccardJoin(docs, tau = 0.8, prefixFilter = pf)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filtered = pairs(true)
+    val full = pairs(false)
+    assert(filtered == full,
+      s"prefix filtering must be lossless: only-filtered=${filtered -- full}, missed=${full -- filtered}")
+    assert(full.nonEmpty, "fixture should contain near-dup pairs")
+  }
+
   test("simhash: near-dup docs land at small hamming distance") {
     // doc pair (8, 245) is a generator-injected near-dup (J ~ 0.988 at sf0.01)
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
