@@ -64,6 +64,19 @@ object VectorQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Batch-serving throughput shape: every 4th vector queries the
+    * corpus (125 queries at sf0.01, 500 at sf0.1), top-5 each — the
+    * scheduling overhead amortizes across the whole batch, which is
+    * how this engine replaces the reference's point-query loop. */
+  def qKnnBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.filter(pmod(col("vec_id"), lit(4)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Knn.knnJoin(e, queries, k = 5)
+      .select(col("qid"), col("rank").as("rnk"), col("vec_id"), round(col("dist"), 3).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Hybrid filtered search: metadata predicate + top-k in one plan —
     * the filter pushes into the scan (at scale: partition pruning on
     * the predicate column), then the bounded-heap top-k runs over the
@@ -137,6 +150,15 @@ object VectorQueries {
          |FROM embeddings e CROSS JOIN q ORDER BY e.vec_id""".stripMargin)),
     QueryDef("q_knn_multi", qKnnMulti, Some(
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+         |scored AS (SELECT q.qid, e.vec_id, ${l2Sql("e.embedding", "q.qv")} AS d
+         |           FROM embeddings e CROSS JOIN q),
+         |ranked AS (SELECT qid, vec_id, d,
+         |                  row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
+         |           FROM scored)
+         |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(d, 3) AS dist
+         |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+    QueryDef("q_knn_batch", qKnnBatch, Some(
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 4 = 0),
          |scored AS (SELECT q.qid, e.vec_id, ${l2Sql("e.embedding", "q.qv")} AS d
          |           FROM embeddings e CROSS JOIN q),
          |ranked AS (SELECT qid, vec_id, d,
