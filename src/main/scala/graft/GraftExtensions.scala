@@ -14,18 +14,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  private def binary(name: String)(f: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { args =>
+    if (args.length != 2)
+      throw new IllegalArgumentException(
+        s"$name requires exactly 2 arguments, got ${args.length}")
+    f(args(0), args(1))
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("l2sq_native"),
       info("l2sq_native", "l2sq_native(a, b) - squared L2 distance of two float arrays"),
-      (args: Seq[Expression]) => L2SquaredDistance(args(0), args(1))))
+      binary("l2sq_native")(L2SquaredDistance)))
     ext.injectFunction((
       FunctionIdentifier("dot_native"),
       info("dot_native", "dot_native(a, b) - dot product of two float arrays"),
-      (args: Seq[Expression]) => DotProductNative(args(0), args(1))))
+      binary("dot_native")(DotProductNative)))
     ext.injectFunction((
       FunctionIdentifier("cosine_native"),
       info("cosine_native", "cosine_native(a, b) - cosine similarity with zero-norm guard"),
-      (args: Seq[Expression]) => CosineSimilarityNative(args(0), args(1))))
+      binary("cosine_native")(CosineSimilarityNative)))
   }
 }

@@ -49,7 +49,10 @@ final class VectorDB private (
       case Some(c) => ranged.withColumn("part", col(c).cast("int"))
       case None    => ranged.withColumn("part", pmod(hash(col(idCol)), lit(numParts)))
     }
+    // persist: the handle serves many searches over one build — without
+    // this every query re-executes the whole graph construction lineage
     val built = HnswIndex.build(parted, params, idCol, vecCol, "part")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     index = Some(built)
     built
   }
@@ -63,6 +66,7 @@ final class VectorDB private (
     val parted = IvfIndex.assign(vectors, model, idCol, vecCol)
       .withColumn("part", col("cell"))
     val built = HnswIndex.build(parted, params, idCol, vecCol, "part")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     index = Some(built)
     ivfModel = Some(model)
     built

@@ -75,8 +75,10 @@ object TextFunctions {
     val n = size(t).cast("double")
     val stopRatio = tokensIn(t, StopEn).cast("double") / n
     val punctRatio = punctCount(text).cast("double") / length(text).cast("double")
-    lit(0.4) * least(lit(1.0), n / lit(50.0)) +
-      lit(0.3) * (lit(1.0) - punctRatio) +
-      lit(0.3) * stopRatio
+    // empty documents score 0.0, not NaN (0/0 division guard)
+    when(length(text) === 0, lit(0.0)).otherwise(
+      lit(0.4) * least(lit(1.0), n / lit(50.0)) +
+        lit(0.3) * (lit(1.0) - punctRatio) +
+        lit(0.3) * stopRatio)
   }
 }

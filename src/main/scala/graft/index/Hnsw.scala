@@ -23,8 +23,11 @@ object Hnsw {
     * id with a Knuth multiplicative hash so builds are reproducible and
     * the level histogram is SQL-expressible for the oracle gate. */
   def levelFor(id: Long, mL: Double): Int = {
-    val u = ((id * 2654435761L) % 1000003L + 1L).toDouble / 1000003.0
-    math.floor(-math.log(u) * mL).toInt
+    // floorMod keeps u in (0, 1] even when id * 2654435761 wraps
+    // negative (ids beyond ~3.47e9 — well inside the 100 TB design
+    // range); the plain % would yield u <= 0 -> NaN/Inf levels
+    val u = (Math.floorMod(id * 2654435761L, 1000003L) + 1L).toDouble / 1000003.0
+    math.min(62, math.floor(-math.log(u) * mL).toInt)
   }
 
   def l2Sq(a: Array[Float], b: Array[Float]): Double = {
@@ -175,6 +178,33 @@ final class HnswGraph(params: HnswParams, vectors: IndexedSeq[Array[Float]], lev
       maxLayer = level
       entryPoint = node
     }
+  }
+
+  /** Number of connected components of the layer-0 graph. 1 means every
+    * node is reachable from any beam start — the invariant that makes
+    * exhaustive-ef search exact (degree-cap pruning can in principle
+    * orphan a node; this makes the assumption checkable). */
+  def layer0Components: Int = {
+    val n = adjacency.length
+    if (n == 0) return 0
+    val seen = new mutable.BitSet(n)
+    var components = 0
+    var start = 0
+    while (start < n) {
+      if (!seen(start)) {
+        components += 1
+        val queue = mutable.Queue(start)
+        seen += start
+        while (queue.nonEmpty) {
+          val c = queue.dequeue()
+          adjacency(c)(0).foreach { nb =>
+            if (!seen(nb)) { seen += nb; queue += nb }
+          }
+        }
+      }
+      start += 1
+    }
+    components
   }
 
   /** ANN top-k: empty-graph guard, descent to layer 1, layer-0 beam with

@@ -101,7 +101,13 @@ object HnswIndex {
     val qBc = spark.sparkContext.broadcast(qRows)
     val tBc = spark.sparkContext.broadcast(targeted)
 
-    val candidates = index
+    // routed: restrict the scan to the targeted cells BEFORE the
+    // shuffle — on a save()-partitioned index this predicate prunes to
+    // exactly the probed parquet subtrees (nprobe/L of the data)
+    val scoped =
+      if (routed) index.filter(col("part").isin(targeted.keys.toSeq: _*))
+      else index
+    val candidates = scoped
       .repartition(col("part"))
       .sortWithinPartitions("part", "vector_id")
       .mapPartitions { it =>

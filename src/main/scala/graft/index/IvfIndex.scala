@@ -76,12 +76,15 @@ object IvfIndex {
     val init = df.orderBy(col(idCol).asc).limit(k)
       .select(col(vecCol).cast("array<double>"))
       .as[Array[Double]].collect()
+    // corpora smaller than k train with one cell per row
+    val kEff = init.length
+    require(kEff > 0, "cannot train IVF on an empty corpus")
     var model = Model(init)
     var it = 0
     while (it < iters) {
       val means = cellMeans(assign(df, model, idCol, vecCol), vecCol)
       // empty cells keep their previous centroid (standard Lloyd's fix)
-      model = Model(Array.tabulate(k)(c => means.getOrElse(c, model.centroids(c))))
+      model = Model(Array.tabulate(kEff)(c => means.getOrElse(c, model.centroids(c))))
       it += 1
     }
     model

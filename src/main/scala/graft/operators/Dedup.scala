@@ -28,7 +28,7 @@ object Dedup {
     * per graph diameter, deterministic. Near-dup components are
     * shallow (diameter ~ a few hops), so the loop is short; at extreme
     * scale swap in the large-star/small-star variant. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
       .union(pairs.select(col("b").cast("long").as("u"), col("a").cast("long").as("v")))
@@ -51,6 +51,11 @@ object Dedup {
       labels = updated.select(col("id"), col("comp_next").as("comp"))
       it += 1
     }
+    // fail loudly rather than return partially-propagated (wrong) labels
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          "(component diameter exceeds maxIters) — raise maxIters")
     labels
   }
 

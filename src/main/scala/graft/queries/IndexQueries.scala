@@ -20,9 +20,10 @@ object IndexQueries {
     * from ids via a Knuth multiplicative hash, so the exponential-decay
     * histogram is reproducible and SQL-expressible. */
   def qHnswLevels(s: SparkSession, dir: String): DataFrame = {
-    val u = ((col("vec_id") * lit(2654435761L)) % 1000003L + 1L).cast("double") / 1000003.0
+    // pmod mirrors Hnsw.levelFor's floorMod (safe for ids that wrap)
+    val u = (pmod(col("vec_id") * lit(2654435761L), lit(1000003L)) + 1L).cast("double") / 1000003.0
     emb(s, dir)
-      .select(floor(-log(u) * lit(P.mL)).cast("int").as("level"))
+      .select(least(lit(62), floor(-log(u) * lit(P.mL)).cast("int")).as("level"))
       .groupBy("level").agg(count(lit(1)).as("n"))
       .orderBy("level")
   }
@@ -95,8 +96,9 @@ object IndexQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_hnsw_levels", qHnswLevels, Some(
-      """SELECT CAST(floor(-ln(((vec_id * CAST(2654435761 AS BIGINT)) % 1000003 + 1) / 1000003.0)
-        |  * (1.0 / ln(16.0))) AS INT) AS level, count(*) AS n
+      """SELECT least(62, CAST(floor(-ln(
+        |  ((((vec_id * CAST(2654435761 AS BIGINT)) % 1000003) + 1000003) % 1000003 + 1) / 1000003.0)
+        |  * (1.0 / ln(16.0))) AS INT)) AS level, count(*) AS n
         |FROM embeddings GROUP BY 1 ORDER BY level""".stripMargin)),
     QueryDef("q_ann_ivf", qAnnIvf, Some(
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -122,8 +124,9 @@ object IndexQueries {
          |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
     QueryDef("q_hnsw_stats", qHnswStats, Some(
       """SELECT CAST(label AS INT) AS part, count(*) AS n_nodes,
-        |  CAST(max(floor(-ln(((vec_id * CAST(2654435761 AS BIGINT)) % 1000003 + 1) / 1000003.0)
-        |    * (1.0 / ln(16.0))) + 1) AS INT) AS max_layers
+        |  CAST(max(least(62, CAST(floor(-ln(
+        |    ((((vec_id * CAST(2654435761 AS BIGINT)) % 1000003) + 1000003) % 1000003 + 1) / 1000003.0)
+        |    * (1.0 / ln(16.0))) AS INT)) + 1) AS INT) AS max_layers
         |FROM embeddings GROUP BY 1 ORDER BY part""".stripMargin)),
     QueryDef("q_ann_cells", qAnnCells, Some(
       """SELECT CAST(label AS INT) AS part, count(*) AS n_nodes

@@ -134,10 +134,10 @@ object TextQueries {
          |        / CAST(len($toksSql) AS DOUBLE) * 10000.0) / 10000.0 AS avg_tok_len
          |FROM documents ORDER BY doc_id""".stripMargin)),
     QueryDef("q_quality", qQuality, Some(
-      s"""SELECT doc_id, floor((
+      s"""SELECT doc_id, floor((CASE WHEN length(text) = 0 THEN 0.0 ELSE
          |  0.4 * least(1.0, CAST(len($toksSql) AS DOUBLE) / 50.0)
          |  + 0.3 * (1.0 - CAST($punctSql AS DOUBLE) / CAST(length(text) AS DOUBLE))
-         |  + 0.3 * (CAST(${hitsSql(StopEn)} AS DOUBLE) / CAST(len($toksSql) AS DOUBLE))) * 10000.0) / 10000.0 AS quality
+         |  + 0.3 * (CAST(${hitsSql(StopEn)} AS DOUBLE) / CAST(len($toksSql) AS DOUBLE)) END) * 10000.0) / 10000.0 AS quality
          |FROM documents ORDER BY doc_id""".stripMargin)),
     QueryDef("q_langid", qLangId, Some(
       s"""SELECT doc_id, lang AS lang_labeled,

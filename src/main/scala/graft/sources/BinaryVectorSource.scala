@@ -43,16 +43,23 @@ object BinaryVectorSource {
           s"${st.getPath}: size ${st.getLen} is not a multiple of dims*4=$recordBytes " +
             "(ref MmapVectorStore::open InvalidData, disk_store.rs:22-27)")
     }
-    spark.sparkContext.binaryRecords(path, recordBytes)
-      .zipWithIndex()
-      .map { case (bytes, idx) =>
-        val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-        val arr = new Array[Float](dims)
-        var i = 0
-        while (i < dims) { arr(i) = buf.getFloat(); i += 1 }
-        (idx, arr)
-      }
-      .toDF("vec_id", "embedding")
+    // Hadoop file listing order is NOT guaranteed; read files in
+    // explicit lexicographic order with explicit id offsets so ordinal
+    // assignment is stable on any filesystem.
+    val ordered = statuses.sortBy(_.getPath.getName)
+    val offsets = ordered.map(_.getLen / recordBytes).scanLeft(0L)(_ + _)
+    val rdds = ordered.zip(offsets).map { case (st, offset) =>
+      spark.sparkContext.binaryRecords(st.getPath.toString, recordBytes)
+        .zipWithIndex()
+        .map { case (bytes, idx) =>
+          val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+          val arr = new Array[Float](dims)
+          var i = 0
+          while (i < dims) { arr(i) = buf.getFloat(); i += 1 }
+          (offset + idx, arr)
+        }
+    }
+    spark.sparkContext.union(rdds.toSeq).toDF("vec_id", "embedding")
   }
 
   /** Write vectors as packed-f32 part files under `dir` (overwrites).

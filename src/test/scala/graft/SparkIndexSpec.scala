@@ -60,6 +60,24 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("every cell's layer-0 graph is one connected component (exhaustive-ef exactness precondition)") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val byCell = e.select(col("label"), col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Int, Long, Array[Float])].collect()
+      .groupBy(_._1)
+    byCell.foreach { case (cell, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val vecs: IndexedSeq[Array[Float]] = sorted.map(_._3).toIndexedSeq
+      val ids = sorted.map(_._2)
+      val g = graft.index.HnswGraph.build(P, vecs,
+        ord => graft.index.Hnsw.levelFor(ids(ord), P.mL))
+      assert(g.layer0Components == 1,
+        s"cell $cell layer-0 graph has ${g.layer0Components} components — " +
+          "degree-cap pruning orphaned nodes; q_ann_hnsw's oracle assumption breaks")
+    }
+  }
+
   test("index degree caps hold after pruning (ref src/lib.rs:271-290)") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val idx = HnswIndex.build(e.withColumn("part", col("label")), P)
