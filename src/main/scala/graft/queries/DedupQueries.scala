@@ -26,6 +26,14 @@ object DedupQueries {
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     MinHash.simHashTable(docs(s, dir)).orderBy("doc_id")
 
+  /** Hyperplane-LSH embedding near-dup: bucket by 8 sign bits of fixed
+    * integer hyperplanes, cosine-verify within buckets (the blocking
+    * scheme when no cluster key exists — cf. qDedupEmbcos). */
+  def qDedupEmbLsh(s: SparkSession, dir: String): DataFrame =
+    graft.operators.VectorLSH.cosinePairs(emb(s, dir), tau = 0.3, dim = 64)
+      .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+      .orderBy("a", "b")
+
   /** SimHash near-dup pairs (hamming <= 6) via exact 8x4-bit banding. */
   def qDedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
     MinHash.simHashPairs(docs(s, dir), maxHamming = 6)
@@ -85,6 +93,19 @@ object DedupQueries {
          |    CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
          |  THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
          |FROM hs ORDER BY doc_id""".stripMargin)),
+    QueryDef("q_dedup_emblsh", qDedupEmbLsh, Some(
+      s"""WITH sig AS (SELECT vec_id, embedding,
+         |  CAST(list_sum(list_transform(range(0, 8), j ->
+         |    CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), i ->
+         |           CAST(embedding[i] AS DOUBLE) * (((j * 131 + (i - 1) * 17) % 7) - 3)))
+         |         > 0.0
+         |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sig
+         |  FROM embeddings)
+         |SELECT x.vec_id AS a, y.vec_id AS b,
+         |  round(${VectorQueries.cosSql("x.embedding", "y.embedding")}, 4) AS cos
+         |FROM sig x JOIN sig y ON x.sig = y.sig AND x.vec_id < y.vec_id
+         |WHERE ${VectorQueries.cosSql("x.embedding", "y.embedding")} >= 0.3
+         |ORDER BY a, b""".stripMargin)),
     QueryDef("q_dedup_simhash_pairs", qDedupSimhashPairs, Some(
       s"""WITH t AS (SELECT doc_id, $shSql AS sh FROM documents),
          |hs AS (SELECT doc_id, $hsSql AS hs FROM t WHERE len(sh) > 0),
