@@ -83,38 +83,27 @@ object ProductQuantizer {
     Model(books.toArray)
   }
 
-  private def booksLit(model: Model): Column =
-    typedLit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  private def flat(model: Model): Array[Double] =
+    model.codebooks.flatten.flatten
 
   /** Encode: per subspace, index of the nearest codeword (ties to the
-    * lowest index). Returns array<int> of length numSub. */
+    * lowest index). Returns array<int> of length numSub. Native fused
+    * loop (codebooks ship as one flat reference array); accumulation
+    * order matches the HOF rendering, so the DuckDB oracle still
+    * agrees bit-for-bit. */
   def encodeExpr(vec: Column, model: Model): Column = {
-    val sd = model.subDim
-    val cbs = booksLit(model)
-    transform(sequence(lit(0), lit(model.numSub - 1)), m => {
-      val sub = slice(vec, m * sd + 1, lit(sd))
-      val dists = transform(element_at(cbs, m + 1), cw =>
-        aggregate(zip_with(cw, sub, (c, x) => {
-          val d = c - x.cast("double"); d * d
-        }), lit(0.0), (acc, v) => acc + v))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    })
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    toCol(graft.functions.expressions.PqEncode(
+      toExpr(vec.cast("array<float>")), flat(model),
+      model.numSub, model.codebooks(0).length, model.subDim))
   }
 
   /** Asymmetric distance: sum over subspaces of
-    * l2²(query_sub, codeword[code]). */
+    * l2²(query_sub, codeword[code]) — native fused loop. */
   def adcExpr(codes: Column, queryVec: Column, model: Model): Column = {
-    val sd = model.subDim
-    val cbs = booksLit(model)
-    aggregate(
-      zip_with(codes, sequence(lit(0), lit(model.numSub - 1)), (code, m) => {
-        val qsub = slice(queryVec, m * sd + 1, lit(sd))
-        val cw = element_at(element_at(cbs, m + 1), code + 1)
-        aggregate(zip_with(cw, qsub, (c, x) => {
-          val d = c - x.cast("double"); d * d
-        }), lit(0.0), (acc, v) => acc + v)
-      }),
-      lit(0.0),
-      (acc, v) => acc + v)
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    toCol(graft.functions.expressions.PqAdc(
+      toExpr(codes), toExpr(queryVec.cast("array<float>")), flat(model),
+      model.numSub, model.codebooks(0).length, model.subDim))
   }
 }
