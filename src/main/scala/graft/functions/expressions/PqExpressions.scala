@@ -20,9 +20,13 @@ case class PqEncode(child: Expression, flat: Array[Double], numSub: Int, k: Int,
     extends UnaryExpression {
   override def prettyName: String = "pq_encode"
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // malformed (short) vectors encode to null rather than reading
+  // out-of-bounds memory — the HOF form's null-padding analog
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() < numSub * subDim) return null
     val out = new Array[Int](numSub)
     var m = 0
     while (m < numSub) {
@@ -60,6 +64,9 @@ case class PqEncode(child: Expression, flat: Array[Double], numSub: Int, k: Int,
       val bestD = ctx.freshName("bestD")
       val base = ctx.freshName("base")
       s"""
+         |if ($in.numElements() < ${numSub * subDim}) {
+         |  ${ev.isNull} = true;
+         |} else {
          |int[] $out = new int[$numSub];
          |for (int $m = 0; $m < $numSub; $m++) {
          |  int $best = 0; double $bestD = Double.MAX_VALUE;
@@ -75,6 +82,7 @@ case class PqEncode(child: Expression, flat: Array[Double], numSub: Int, k: Int,
          |  $out[$m] = $best;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
        """.stripMargin
     })
   }
@@ -90,10 +98,21 @@ case class PqAdc(left: Expression, right: Expression, flat: Array[Double],
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def prettyName: String = "pq_adc"
   override def dataType: DataType = DoubleType
+  // malformed codes (wrong length / out-of-range, e.g. from a
+  // mismatched model) yield null rather than indexing the wrong
+  // codebook region silently
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(codesAny: Any, qAny: Any): Any = {
     val codes = codesAny.asInstanceOf[ArrayData]
     val q = qAny.asInstanceOf[ArrayData]
+    if (codes.numElements() < numSub || q.numElements() < numSub * subDim) return null
+    var i0 = 0
+    while (i0 < numSub) {
+      val c = codes.getInt(i0)
+      if (c < 0 || c >= k) return null
+      i0 += 1
+    }
     var acc = 0.0
     var m = 0
     while (m < numSub) {
@@ -120,7 +139,16 @@ case class PqAdc(left: Expression, right: Expression, flat: Array[Double],
       val t = ctx.freshName("t")
       val base = ctx.freshName("base")
       val acc = ctx.freshName("acc")
+      val ok = ctx.freshName("ok")
       s"""
+         |boolean $ok = $in.numElements() >= $numSub && $q.numElements() >= ${numSub * subDim};
+         |for (int $m = 0; $ok && $m < $numSub; $m++) {
+         |  int ${m}_c = $in.getInt($m);
+         |  if (${m}_c < 0 || ${m}_c >= $k) $ok = false;
+         |}
+         |if (!$ok) {
+         |  ${ev.isNull} = true;
+         |} else {
          |double $acc = 0.0;
          |for (int $m = 0; $m < $numSub; $m++) {
          |  int $base = ($m * $k + $in.getInt($m)) * $subDim;
@@ -132,6 +160,7 @@ case class PqAdc(left: Expression, right: Expression, flat: Array[Double],
          |  $acc += $d;
          |}
          |${ev.value} = $acc;
+         |}
        """.stripMargin
     })
   }

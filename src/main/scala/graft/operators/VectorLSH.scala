@@ -24,10 +24,13 @@ object VectorLSH {
   def plane(j: Int, dim: Int): Seq[Double] =
     (0 until dim).map(i => (((j * 131 + i * 17) % 7) - 3).toDouble)
 
-  /** Bucket signature in [0, 2^nBits): bit j set iff dot(v, h_j) > 0. */
+  /** Bucket signature in [0, 2^nBits): bit j set iff dot(v, h_j) > 0.
+    * Uses the native dot kernel (same left-to-right double fold as the
+    * HOF form and the oracle — no intermediate arrays on the hot path;
+    * planes are double-valued small ints, exact as float literals). */
   def signatureExpr(vec: Column, dim: Int, nBits: Int = DefaultBits): Column =
     (0 until nBits).map { j =>
-      val dot = dotProduct(vec, typedLit(plane(j, dim)))
+      val dot = dotNative(vec, typedLit(plane(j, dim)))
       when(dot > 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -41,8 +44,11 @@ object VectorLSH {
       nBits: Int = DefaultBits,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      signatureExpr(col(vecCol), dim, nBits).as("sig"))
+    // drop malformed rows up front: a wrong-length vector would yield a
+    // null dot -> all-zero signature -> every bad row in one bucket
+    val sig = df.filter(hasDim(col(vecCol), dim))
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        signatureExpr(col(vecCol), dim, nBits).as("sig"))
     sig.as("x")
       .join(sig.as("y"), col("x.sig") === col("y.sig") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),

@@ -18,13 +18,20 @@ object IndexQueries {
 
   /** The label-partitioned index is used by several queries; memoize
     * the built (persisted) Dataset per live session + fixture dir so
-    * one harness run constructs each cell graph once. */
+    * one harness run constructs each cell graph once. Keyed by the
+    * session UUID (unique — identity hashes can collide) and dropped
+    * when the owning session has stopped, so a recreated session never
+    * receives a Dataset bound to a dead one. */
   private val idxCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), org.apache.spark.sql.Dataset[HnswIndex.IndexRow]]
-  private def labelIndex(s: SparkSession, dir: String) =
-    idxCache.getOrElseUpdate((System.identityHashCode(s), dir),
-      HnswIndex.build(emb(s, dir).withColumn("part", col("label")), P)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    .empty[(String, String), (SparkSession, org.apache.spark.sql.Dataset[HnswIndex.IndexRow])]
+  private def labelIndex(s: SparkSession, dir: String) = {
+    idxCache.filterInPlace { case (_, (sess, _)) => !sess.sparkContext.isStopped }
+    // applicationId + startTime uniquely identify the live context
+    val key = (s.sparkContext.applicationId + ":" + s.sparkContext.startTime, dir)
+    idxCache.getOrElseUpdate(key,
+      (s, HnswIndex.build(emb(s, dir).withColumn("part", col("label")), P)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))._2
+  }
 
   /** Level-sampling histogram (ref `src/lib.rs:144-150`): levels derive
     * from ids via a Knuth multiplicative hash, so the exponential-decay
