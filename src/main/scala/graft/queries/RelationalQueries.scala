@@ -115,7 +115,10 @@ object RelationalQueries {
     graft.operators.AsOfJoin
       .asOf(purchases, clicks, key = "user_id", ts = "ts",
         payloadCol = "click_id", tieBreak = "event_id")
-      .select(col("event_id").as("purchase_id"), col("user_id"), col("asof_click_id"))
+      // null-free output: no-prior-click encodes as -1 so the driver's
+      // value hashing never sees engine-specific NULL renderings
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        coalesce(col("asof_click_id"), lit(-1L)).as("asof_click_id"))
       .orderBy("purchase_id")
   }
 
@@ -150,7 +153,8 @@ object RelationalQueries {
         |          ORDER BY ts, tag, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
         |      FROM u)
-        |SELECT event_id AS purchase_id, user_id, asof_click_id
+        |SELECT event_id AS purchase_id, user_id,
+        |  coalesce(asof_click_id, -1) AS asof_click_id
         |FROM w WHERE tag = 1 ORDER BY purchase_id""".stripMargin)),
     QueryDef("q_pivot_events", qPivotEvents, Some(
       """SELECT user_id,
