@@ -109,6 +109,19 @@ object TextQueries {
       .select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy("doc_id")
 
+  /** The dedup pipeline's end product: the corpus with every near-dup
+    * cluster collapsed to its minimum-id survivor (detect pairs →
+    * cluster → anti-join the non-survivors). */
+  def qDedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val clusters = graft.operators.Dedup
+      .connectedComponents(Dedup.jaccardJoin(d, tau = 0.8))
+    val dropped = clusters.filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+    d.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   // ---- DuckDB oracle fragments --------------------------------------
 
   private val toksSql = """string_split_regex(text, '\s+')"""
@@ -184,6 +197,20 @@ object TextQueries {
       """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash,
         |  min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin)),
+    QueryDef("q_dedup_corpus", qDedupCorpus, Some(
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $shSql AS sh FROM documents),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |            / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.8),
+         |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+         |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         |                UNION
+         |                SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u)
+         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component)
+         |ORDER BY d.doc_id""".stripMargin)),
     QueryDef("q_dedup_cluster", qDedupCluster, Some(
       s"""WITH RECURSIVE t AS (SELECT doc_id, $shSql AS sh FROM documents),
          |p AS (SELECT a.doc_id AS a, b.doc_id AS b
