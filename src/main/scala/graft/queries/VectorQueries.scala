@@ -21,10 +21,13 @@ object VectorQueries {
     Knn.searchKnnById(emb(s, dir), qid = 0L, k = 10)
       .select(col("vec_id"), round(col("dist"), 3).as("dist"))
 
-  /** Same top-k under cosine distance (ref kernel `src/lib.rs:32-47`). */
+  /** Same top-k under cosine distance (ref kernel `src/lib.rs:32-47`).
+    * `+ 0.0` normalizes IEEE -0.0 on the self-match row (1 - cos(v,v)
+    * rounds to -0.0 in DuckDB, +0.0 in Spark) — same fix as
+    * qCosineKernel. */
   def qKnnCosine(s: SparkSession, dir: String): DataFrame =
     Knn.searchKnnById(emb(s, dir), qid = 0L, k = 10, metric = Knn.Cosine)
-      .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+      .select(col("vec_id"), (round(col("dist"), 4) + lit(0.0)).as("dist"))
 
   /** L2² kernel over the whole table (ref `src/lib.rs:28-30`). */
   def qL2Kernel(s: SparkSession, dir: String): DataFrame = {
@@ -136,7 +139,7 @@ object VectorQueries {
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          |scored AS (SELECT e.vec_id, 1.0 - ${cosSql("e.embedding", "q.qv")} AS d
          |           FROM embeddings e CROSS JOIN q)
-         |SELECT vec_id, round(d, 4) AS dist FROM scored
+         |SELECT vec_id, round(d, 4) + CAST(0.0 AS DOUBLE) AS dist FROM scored
          |ORDER BY d, vec_id LIMIT 10""".stripMargin)),
     QueryDef("q_l2_kernel", qL2Kernel, Some(
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
