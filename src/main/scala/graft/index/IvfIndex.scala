@@ -67,6 +67,21 @@ object IvfIndex {
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .toMap
 
+  /** Router model from an existing partitioning: centroid c = the
+    * decimal-exact mean of the vectors whose `partCol` equals c (the
+    * same deterministic construction the q_ann_ivf oracle SQL uses),
+    * so `Model.probeOrder` routes queries to partition keys directly.
+    * Missing part ids (holes in the key space) get +Inf sentinels and
+    * are never probed. */
+  def fromPartitionMeans(df: DataFrame, partCol: String = "label",
+      vecCol: String = "embedding"): Model = {
+    val means = cellMeans(df.withColumn("cell", col(partCol).cast("int")), vecCol)
+    require(means.nonEmpty, "cannot build a router over an empty corpus")
+    val dim = means.head._2.length
+    Model(Array.tabulate(means.keys.max + 1)(c =>
+      means.getOrElse(c, Array.fill(dim)(Double.PositiveInfinity))))
+  }
+
   /** Train with fixed iterations (Lloyd's: inertia is monotonically
     * non-increasing; fixed iters keep the train deterministic). */
   def train(df: DataFrame, k: Int, iters: Int = 5,

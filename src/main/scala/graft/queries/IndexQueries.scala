@@ -33,6 +33,18 @@ object IndexQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))._2
   }
 
+  /** Router over the label cells, memoized like the index itself: the
+    * centroid aggregation is one Spark job whose result is O(L·d)
+    * driver-resident model parameters. */
+  private val routerCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (SparkSession, graft.index.IvfIndex.Model)]
+  private def labelRouter(s: SparkSession, dir: String) = {
+    routerCache.filterInPlace { case (_, (sess, _)) => !sess.sparkContext.isStopped }
+    val key = (s.sparkContext.applicationId + ":" + s.sparkContext.startTime, dir)
+    routerCache.getOrElseUpdate(key,
+      (s, graft.index.IvfIndex.fromPartitionMeans(emb(s, dir), "label", "embedding")))._2
+  }
+
   /** Level-sampling histogram (ref `src/lib.rs:144-150`): levels derive
     * from ids via a Knuth multiplicative hash, so the exponential-decay
     * histogram is reproducible and SQL-expressible. */
@@ -93,6 +105,26 @@ object IndexQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** The reference's actual serving path (`src/lib.rs:152-169`), routed:
+    * each query descends the coarse router (label-cell centroids) to its
+    * 3 nearest cells and runs the HNSW beam ONLY inside those cells —
+    * scan cost is nprobe/L of the index, and on a [[HnswIndex.save]]d
+    * layout the `part` predicate prunes to exactly the probed parquet
+    * subtrees. `efSearch` exceeds every cell here, so routed ANN ≡
+    * brute force within the probed cells — which is what the oracle
+    * computes (same decimal-exact centroids, same probe choice). */
+  def qAnnRouted(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val idx = labelIndex(s, dir)
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    HnswIndex.search(idx, queries, k = 5, P, efSearch = 4096,
+        router = Some(labelRouter(s, dir)), nprobe = 3)
+      .select(col("qid"), col("rank").as("rnk"), col("vector_id").as("vec_id"),
+        round(col("dist"), 3).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Index structure stats per cell (ref structure/pruning invariants,
     * `src/lib.rs:394-467`): node counts AND layer counts are
     * oracle-able (a node owns exactly level+1 adjacency lists and
@@ -133,6 +165,25 @@ object IndexQueries {
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
          |scored AS (SELECT q.qid, e.vec_id, ${VectorQueries.l2Sql("e.embedding", "q.qv")} AS d
          |           FROM embeddings e CROSS JOIN q),
+         |ranked AS (SELECT qid, vec_id, d,
+         |                  row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
+         |           FROM scored)
+         |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(d, 3) AS dist
+         |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+    QueryDef("q_ann_routed", qAnnRouted, Some(
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
+         |ex AS (SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+         |       FROM embeddings),
+         |cent AS (SELECT label, i,
+         |           CAST(sum(CAST(x AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS m
+         |         FROM ex GROUP BY label, i),
+         |cd AS (SELECT q.qid, c.label, sum((c.m - CAST(q.qv[c.i] AS DOUBLE))^2) AS d
+         |       FROM cent c, q GROUP BY q.qid, c.label),
+         |probes AS (SELECT qid, label FROM
+         |             (SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY d, label) AS rn
+         |              FROM cd) WHERE rn <= 3),
+         |scored AS (SELECT q.qid, e.vec_id, ${VectorQueries.l2Sql("e.embedding", "q.qv")} AS d
+         |           FROM embeddings e JOIN probes p ON e.label = p.label JOIN q ON q.qid = p.qid),
          |ranked AS (SELECT qid, vec_id, d,
          |                  row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
          |           FROM scored)
