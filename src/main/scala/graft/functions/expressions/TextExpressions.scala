@@ -108,33 +108,51 @@ case class MinHashSignature(child: Expression, as: Array[Long], bs: Array[Long],
     copy(child = newChild)
 }
 
-/** 32-bit SimHash from an array<long> of element hashes in one pass:
-  * per-bit majority vote, bit set when the vote is positive. */
-case class SimHash32(child: Expression) extends UnaryExpression {
-  override def prettyName: String = "simhash32"
-  override def dataType: DataType = LongType
+/** 64-bit SimHash from an array<long> of element hashes in one pass,
+  * returned as two 32-bit words `[hi, lo]` (each in [0, 2^32)).
+  *
+  * Each element hash h (< 2^31) is remixed into two independent 32-bit
+  * words by Knuth multiplicative hashing — `lo = h·2654435761 mod 2^32`,
+  * `hi = (h·2246822519 + 12345) mod 2^32` — then every bit position
+  * takes a ±1 majority vote over the population. Splitting into two
+  * words (rather than one 64-bit long) keeps every intermediate value
+  * positive and < 2^62, so the DuckDB oracle can mirror the arithmetic
+  * with checked BIGINT math and no sign-bit edge case at bit 63. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  val LoMult = 2654435761L
+  val HiMult = 2246822519L
+  val HiAdd = 12345L
+  val Mod32 = 4294967296L
+
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override protected def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
-    val votes = new Array[Int](32)
+    val votes = new Array[Int](64)
     var i = 0
     val n = hs.numElements()
     while (i < n) {
       val h = hs.getLong(i)
+      val lo = (h * LoMult) % Mod32
+      val hi = (h * HiMult + HiAdd) % Mod32
       var b = 0
       while (b < 32) {
-        votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+        votes(b) += (if (((lo >> b) & 1L) == 1L) 1 else -1)
+        votes(b + 32) += (if (((hi >> b) & 1L) == 1L) 1 else -1)
         b += 1
       }
       i += 1
     }
-    var out = 0L
+    var loW = 0L
+    var hiW = 0L
     var b = 0
     while (b < 32) {
-      if (votes(b) > 0) out |= (1L << b)
+      if (votes(b) > 0) loW |= (1L << b)
+      if (votes(b + 32) > 0) hiW |= (1L << b)
       b += 1
     }
-    out
+    new GenericArrayData(Array(hiW, loW))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -143,22 +161,29 @@ case class SimHash32(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i")
       val b = ctx.freshName("b")
       val h = ctx.freshName("h")
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
       val n = ctx.freshName("n")
-      val out = ctx.freshName("out")
+      val loW = ctx.freshName("loW")
+      val hiW = ctx.freshName("hiW")
       s"""
-         |int[] $votes = new int[32];
+         |int[] $votes = new int[64];
          |int $n = $in.numElements();
          |for (int $i = 0; $i < $n; $i++) {
          |  long $h = $in.getLong($i);
+         |  long $lo = ($h * ${LoMult}L) % ${Mod32}L;
+         |  long $hi = ($h * ${HiMult}L + ${HiAdd}L) % ${Mod32}L;
          |  for (int $b = 0; $b < 32; $b++) {
-         |    $votes[$b] += ((($h >> $b) & 1L) == 1L) ? 1 : -1;
+         |    $votes[$b] += ((($lo >> $b) & 1L) == 1L) ? 1 : -1;
+         |    $votes[$b + 32] += ((($hi >> $b) & 1L) == 1L) ? 1 : -1;
          |  }
          |}
-         |long $out = 0L;
+         |long $loW = 0L; long $hiW = 0L;
          |for (int $b = 0; $b < 32; $b++) {
-         |  if ($votes[$b] > 0) $out |= (1L << $b);
+         |  if ($votes[$b] > 0) $loW |= (1L << $b);
+         |  if ($votes[$b + 32] > 0) $hiW |= (1L << $b);
          |}
-         |${ev.value} = $out;
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[]{$hiW, $loW});
        """.stripMargin
     })
 

@@ -5,55 +5,80 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
 
-/** Signed-random-projection (hyperplane) LSH over embeddings: each of
-  * `nBits` fixed hyperplanes contributes one sign bit of the dot
-  * product; vectors agreeing on all bits land in the same bucket, and
-  * cosine-similar vectors collide with high probability — the
-  * blocking scheme that replaces all-pairs (or label-block) cosine
-  * comparison when there is no precomputed cluster key.
+/** Signed-random-projection (hyperplane) LSH over embeddings, banded:
+  * the signature is `bands x rowBits` sign bits of fixed hyperplane dot
+  * products, and two vectors are candidates when ANY band's `rowBits`
+  * bits agree — the classic LSH OR-of-ANDs construction. Per band a
+  * random pair collides with probability p^rowBits (p = 1 - θ/π for
+  * angle θ), so bucket occupancy is bounded by 2^rowBits keys per band
+  * and recall is tuned by adding bands, not by fattening buckets —
+  * the shape that stays sub-quadratic as the corpus grows. (A single
+  * 8-bit signature caps the key space at 256 buckets, making the
+  * within-bucket self-join O(n²/256) — quadratic at scale.)
   *
-  * Hyperplanes are deterministic integer lattices
-  * (h_j[i] = ((j*131 + i*17) mod 7) - 3), so signatures are exact
-  * integer/double arithmetic reproducible in the DuckDB oracle —
-  * no RNG, no transcendentals (libm sin/cos differ across engines).
+  * Hyperplanes are deterministic integer lattices: entry i of plane j
+  * is `((((j*131 + i*17 + 7) * 2654435761) mod 2^32) mod 7) - 3`. The
+  * multiplicative remix (Knuth hashing) gives the sequence a period far
+  * beyond the plane count — a plain `(j*131 + i*17) mod 7` repeats
+  * every 7 planes (131·7 ≡ 0 mod 7), which would cap the scheme at 7
+  * distinct hyperplanes. All values are exact small integers, so
+  * signatures are exact integer/double arithmetic reproducible in the
+  * DuckDB oracle — no RNG, no transcendentals (libm sin/cos differ
+  * across engines).
   */
 object VectorLSH {
 
-  val DefaultBits = 8
+  val DefaultBands = 8
+  val DefaultRowBits = 16
 
   def plane(j: Int, dim: Int): Seq[Double] =
-    (0 until dim).map(i => (((j * 131 + i * 17) % 7) - 3).toDouble)
+    (0 until dim).map { i =>
+      ((((j * 131 + i * 17 + 7).toLong * 2654435761L) % 4294967296L) % 7L - 3L).toDouble
+    }
 
-  /** Bucket signature in [0, 2^nBits): bit j set iff dot(v, h_j) > 0.
-    * Uses the native dot kernel (same left-to-right double fold as the
-    * HOF form and the oracle — no intermediate arrays on the hot path;
-    * planes are double-valued small ints, exact as float literals). */
-  def signatureExpr(vec: Column, dim: Int, nBits: Int = DefaultBits): Column =
-    (0 until nBits).map { j =>
-      val dot = dotNative(vec, typedLit(plane(j, dim)))
-      when(dot > 0.0, lit(1L << j)).otherwise(lit(0L))
+  /** `rowBits`-bit signature of band `b`: bit i set iff
+    * dot(v, plane(b*rowBits + i)) > 0. Uses the native dot kernel
+    * (same left-to-right double fold as the oracle). */
+  def bandSignatureExpr(vec: Column, dim: Int, band: Int, rowBits: Int): Column =
+    (0 until rowBits).map { i =>
+      val dot = dotNative(vec, typedLit(plane(band * rowBits + i, dim)))
+      when(dot > 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Near-dup pairs: same LSH bucket AND verified cosine >= tau.
-    * Recall is probabilistic (bucket-collision bound); both the
-    * blocking and the verify are deterministic. */
+  /** Near-dup pairs: same `rowBits`-bit signature in at least one band,
+    * AND verified cosine >= tau. Recall is probabilistic
+    * (1 - (1 - p^rowBits)^bands); both the blocking and the verify are
+    * deterministic. */
   def cosinePairs(
       df: DataFrame,
       tau: Double,
       dim: Int,
-      nBits: Int = DefaultBits,
+      bands: Int = DefaultBands,
+      rowBits: Int = DefaultRowBits,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    require(rowBits <= 62, "band signatures are packed into a long")
     // drop malformed rows up front: a wrong-length vector would yield a
     // null dot -> all-zero signature -> every bad row in one bucket
-    val sig = df.filter(hasDim(col(vecCol), dim))
-      .select(col(idCol).as("id"), col(vecCol).as("v"),
-        signatureExpr(col(vecCol), dim, nBits).as("sig"))
-    sig.as("x")
-      .join(sig.as("y"), col("x.sig") === col("y.sig") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        cosineNative(col("x.v"), col("y.v")).as("cos"))
+    val clean = df.filter(hasDim(col(vecCol), dim))
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"), bandSignatureExpr(col("v"), dim, b, rowBits).as("sig"))
+    }
+    val sigs = clean.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    // candidates collide in >=1 band; distinct before the verify join so
+    // multi-band collisions verify once
+    val cand = sigs.as("x")
+      .join(sigs.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    cand
+      .join(clean.select(col("id").as("a"), col("v").as("va")), "a")
+      .join(clean.select(col("id").as("b"), col("v").as("vb")), "b")
+      .select(col("a"), col("b"), cosineNative(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= tau)
-      .select(col("a"), col("b"), col("cos"))
   }
 }

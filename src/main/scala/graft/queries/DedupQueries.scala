@@ -22,19 +22,23 @@ object DedupQueries {
       .select(col("a"), col("b"), round(col("jac"), 3).as("jac"))
       .orderBy("a", "b")
 
-  /** Per-document 32-bit SimHash. */
+  /** Per-document 64-bit SimHash (two 32-bit words). */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     MinHash.simHashTable(docs(s, dir)).orderBy("doc_id")
 
-  /** Hyperplane-LSH embedding near-dup: bucket by 8 sign bits of fixed
-    * integer hyperplanes, cosine-verify within buckets (the blocking
-    * scheme when no cluster key exists — cf. qDedupEmbcos). */
+  /** Banded hyperplane-LSH embedding near-dup (8 bands x 16 sign bits):
+    * candidates collide in at least one 16-bit band, cosine-verified
+    * (the blocking scheme when no cluster key exists — cf.
+    * qDedupEmbcos). Bucket keys per band: 2^16, so the within-bucket
+    * join stays sub-quadratic as the corpus grows; recall is tuned by
+    * band count. */
   def qDedupEmbLsh(s: SparkSession, dir: String): DataFrame =
     graft.operators.VectorLSH.cosinePairs(emb(s, dir), tau = 0.3, dim = 64)
       .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
       .orderBy("a", "b")
 
-  /** SimHash near-dup pairs (hamming <= 6) via exact 8x4-bit banding. */
+  /** SimHash near-dup pairs (hamming <= 6 of 64) via exact 8x8-bit
+    * banding. */
   def qDedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
     MinHash.simHashPairs(docs(s, dir), maxHamming = 6)
       .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
@@ -67,6 +71,16 @@ object DedupQueries {
       | (h,c) -> (h*31+c) % 1000000007))""".stripMargin.replaceAll("\\s+", " ")
   private val paramsSql =
     MinHash.Params.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
+  /** One 32-bit simhash word: majority vote per bit over the remixed
+    * shingle hashes (mirror of SimHash64's lo/hi words). */
+  private def simWordSql(remix: String): String =
+    s"""CAST(list_sum(list_transform(range(0,32), b ->
+       | CASE WHEN list_sum(list_transform(hs, h ->
+       |   CASE WHEN (($remix) >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       | THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)""".stripMargin
+      .replaceAll("\\s+", " ")
+  private val simLoSql = simWordSql("(h * 2654435761) % 4294967296")
+  private val simHiSql = simWordSql("(h * 2246822519 + 12345) % 4294967296")
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_minhash", qDedupMinhash, Some(
@@ -88,36 +102,35 @@ object DedupQueries {
     QueryDef("q_dedup_simhash", qDedupSimhash, Some(
       s"""WITH t AS (SELECT doc_id, $shSql AS sh FROM documents),
          |hs AS (SELECT doc_id, $hsSql AS hs FROM t WHERE len(sh) > 0)
-         |SELECT doc_id, CAST(list_sum(list_transform(range(0,32), b ->
-         |  CASE WHEN list_sum(list_transform(hs, h ->
-         |    CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-         |  THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+         |SELECT doc_id, $simHiSql AS sim_hi, $simLoSql AS sim_lo
          |FROM hs ORDER BY doc_id""".stripMargin)),
     QueryDef("q_dedup_emblsh", qDedupEmbLsh, Some(
-      s"""WITH sig AS (SELECT vec_id, embedding,
-         |  CAST(list_sum(list_transform(range(0, 8), j ->
-         |    CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), i ->
-         |           CAST(embedding[i] AS DOUBLE) * (((j * 131 + (i - 1) * 17) % 7) - 3)))
+      s"""WITH sigs AS (SELECT e.vec_id, u.band,
+         |  CAST(list_sum(list_transform(range(0, 16), jj ->
+         |    CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1), i ->
+         |           CAST(e.embedding[i] AS DOUBLE) *
+         |           (((((u.band * 16 + jj) * 131 + (i - 1) * 17 + 7) * 2654435761)
+         |             % 4294967296) % 7 - 3)))
          |         > 0.0
-         |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sig
-         |  FROM embeddings)
-         |SELECT x.vec_id AS a, y.vec_id AS b,
-         |  round(${VectorQueries.cosSql("x.embedding", "y.embedding")}, 4) AS cos
-         |FROM sig x JOIN sig y ON x.sig = y.sig AND x.vec_id < y.vec_id
-         |WHERE ${VectorQueries.cosSql("x.embedding", "y.embedding")} >= 0.3
+         |    THEN (CAST(1 AS BIGINT) << jj) ELSE 0 END)) AS BIGINT) AS sig
+         |  FROM embeddings e CROSS JOIN unnest([0,1,2,3,4,5,6,7]) AS u(band)),
+         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |         FROM sigs x JOIN sigs y
+         |         ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id)
+         |SELECT c.a, c.b,
+         |  round(${VectorQueries.cosSql("ea.embedding", "eb.embedding")}, 4) AS cos
+         |FROM cand c JOIN embeddings ea ON ea.vec_id = c.a
+         |            JOIN embeddings eb ON eb.vec_id = c.b
+         |WHERE ${VectorQueries.cosSql("ea.embedding", "eb.embedding")} >= 0.3
          |ORDER BY a, b""".stripMargin)),
     QueryDef("q_dedup_simhash_pairs", qDedupSimhashPairs, Some(
       s"""WITH t AS (SELECT doc_id, $shSql AS sh FROM documents),
          |hs AS (SELECT doc_id, $hsSql AS hs FROM t WHERE len(sh) > 0),
-         |sim AS (SELECT doc_id, CAST(list_sum(list_transform(range(0,32), b ->
-         |  CASE WHEN list_sum(list_transform(hs, h ->
-         |    CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-         |  THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
-         |FROM hs)
+         |sim AS (SELECT doc_id, $simHiSql AS sim_hi, $simLoSql AS sim_lo FROM hs)
          |SELECT x.doc_id AS a, y.doc_id AS b,
-         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+         |  CAST(bit_count(xor(x.sim_hi, y.sim_hi)) + bit_count(xor(x.sim_lo, y.sim_lo)) AS INT) AS hamming
          |FROM sim x JOIN sim y ON x.doc_id < y.doc_id
-         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+         |WHERE bit_count(xor(x.sim_hi, y.sim_hi)) + bit_count(xor(x.sim_lo, y.sim_lo)) <= 6
          |ORDER BY a, b""".stripMargin)),
     QueryDef("q_dedup_embcos", qDedupEmbcos, Some(
       s"""SELECT a.vec_id AS a, b.vec_id AS b,

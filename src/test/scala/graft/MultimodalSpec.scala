@@ -70,8 +70,9 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val sh = MinHash.simHashTable(docs)
       .filter(col("doc_id").isin(8L, 245L, 100L))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def hamming(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
     assert(hamming(sh(8L), sh(245L)) <= 6, s"near-dups too far: ${hamming(sh(8L), sh(245L))}")
     assert(hamming(sh(8L), sh(100L)) > hamming(sh(8L), sh(245L)),
       "unrelated doc should be farther than the near-dup")
