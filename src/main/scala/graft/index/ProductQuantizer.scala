@@ -39,14 +39,18 @@ object ProductQuantizer {
       idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
     val spark = df.sparkSession
     import spark.implicits._
-    val subDimCol = (size(col(vecCol)) / numSub).cast("int")
-    val subs = (0 until numSub).map { m =>
-      df.select(col(idCol),
-        slice(col(vecCol), lit(m) * subDimCol + 1, subDimCol).as("sub"))
-    }
-    val books = subs.map { sdf =>
-      val init = sdf.orderBy(col(idCol).asc).limit(k)
-        .select(col("sub").cast("array<double>")).as[Array[Double]].collect()
+    // ONE init job: collect the k lowest-id FULL vectors once and slice
+    // them into every subspace driver-side (numSub sequential
+    // orderBy/limit/collect jobs would return the same rows numSub
+    // times — sequential driver-side job chains are contention-fragile)
+    val initFull = df.orderBy(col(idCol).asc).limit(k)
+      .select(col(vecCol).cast("array<double>")).as[Array[Double]].collect()
+    require(initFull.nonEmpty, "cannot train PQ on an empty corpus")
+    val subDim = initFull(0).length / numSub
+    val books = (0 until numSub).map { m =>
+      val sdf = df.select(col(idCol),
+        slice(col(vecCol), lit(m * subDim + 1), lit(subDim)).as("sub"))
+      val init = initFull.map(v => java.util.Arrays.copyOfRange(v, m * subDim, (m + 1) * subDim))
       var cb = init
       var it = 0
       while (it < iters) {

@@ -30,16 +30,12 @@ object ScalarQuantizer {
 
   /** Encode a float vector column to int codes in [0, 255]:
     * floor((x - lo) / (hi - lo) * 255), clamped; degenerate dims
-    * (hi == lo) encode to 0. */
+    * (hi == lo) encode to 0. Native fused loop (bounds ship as
+    * reference arrays). */
   def encodeExpr(vec: Column, lo: Seq[Double], hi: Seq[Double]): Column = {
-    val loLit = typedLit(lo)
-    val hiLit = typedLit(hi)
-    val scaled = zip_with(
-      zip_with(vec, loLit, (x, l) => x.cast("double") - l),
-      zip_with(hiLit, loLit, (h, l) => h - l),
-      (num, den) => when(den === 0.0, lit(0.0))
-        .otherwise(least(greatest(num / den, lit(0.0)), lit(1.0)) * 255.0))
-    transform(scaled, s => floor(s).cast("int"))
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    toCol(graft.functions.expressions.SqEncode(
+      toExpr(vec.cast("array<float>")), lo.toArray, hi.toArray))
   }
 
   /** Decode codes back to (approximate) doubles: lo + code/255*(hi-lo). */
@@ -53,11 +49,12 @@ object ScalarQuantizer {
   }
 
   /** Squared L2 between a code array and a raw float query, via decode
-    * (asymmetric distance — query stays full precision). */
-  def adcL2Sq(codes: Column, queryVec: Column, lo: Seq[Double], hi: Seq[Double]): Column =
-    aggregate(
-      zip_with(decodeExpr(codes, lo, hi), queryVec,
-        (x, y) => { val d = x - y.cast("double"); d * d }),
-      lit(0.0),
-      (acc, v) => acc + v)
+    * (asymmetric distance — query stays full precision). Native fused
+    * loop with the same decode arithmetic and dim-ascending
+    * accumulation as the HOF form the oracle mirrors. */
+  def adcL2Sq(codes: Column, queryVec: Column, lo: Seq[Double], hi: Seq[Double]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    toCol(graft.functions.expressions.SqAdc(
+      toExpr(codes), toExpr(queryVec.cast("array<float>")), lo.toArray, hi.toArray))
+  }
 }

@@ -16,34 +16,51 @@ object IndexQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** The label-partitioned index is used by several queries; memoize
-    * the built (persisted) Dataset per live session + fixture dir so
-    * one harness run constructs each cell graph once. Keyed by the
-    * session UUID (unique — identity hashes can collide) and dropped
-    * when the owning session has stopped, so a recreated session never
-    * receives a Dataset bound to a dead one. */
-  private val idxCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), (SparkSession, org.apache.spark.sql.Dataset[HnswIndex.IndexRow])]
-  private def labelIndex(s: SparkSession, dir: String) = {
-    idxCache.filterInPlace { case (_, (sess, _)) => !sess.sparkContext.isStopped }
-    // applicationId + startTime uniquely identify the live context
-    val key = (s.sparkContext.applicationId + ":" + s.sparkContext.startTime, dir)
-    idxCache.getOrElseUpdate(key,
-      (s, HnswIndex.build(emb(s, dir).withColumn("part", col("label")), P)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))._2
+  /** Session-scoped memo: one value per live session + fixture dir, so
+    * a harness run builds each model/index once instead of per query
+    * execution (training inside the per-run query path re-issues the
+    * same driver-side jobs every run — contention-fragile, and
+    * retrain-per-query waste at scale). Keyed by applicationId +
+    * startTime (unique per live context — identity hashes can collide)
+    * and dropped when the owning session stops, so a recreated session
+    * never receives a value bound to a dead one. */
+  private final class SessionMemo[V] {
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[(String, String), (SparkSession, V)]
+    def get(s: SparkSession, dir: String)(build: => V): V = {
+      cache.filterInPlace { case (_, (sess, _)) => !sess.sparkContext.isStopped }
+      val key = (s.sparkContext.applicationId + ":" + s.sparkContext.startTime, dir)
+      cache.getOrElseUpdate(key, (s, build))._2
+    }
   }
 
-  /** Router over the label cells, memoized like the index itself: the
-    * centroid aggregation is one Spark job whose result is O(L·d)
-    * driver-resident model parameters. */
-  private val routerCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), (SparkSession, graft.index.IvfIndex.Model)]
-  private def labelRouter(s: SparkSession, dir: String) = {
-    routerCache.filterInPlace { case (_, (sess, _)) => !sess.sparkContext.isStopped }
-    val key = (s.sparkContext.applicationId + ":" + s.sparkContext.startTime, dir)
-    routerCache.getOrElseUpdate(key,
-      (s, graft.index.IvfIndex.fromPartitionMeans(emb(s, dir), "label", "embedding")))._2
+  /** The label-partitioned index, built (and persisted) once per
+    * session + fixture. */
+  private val idxMemo = new SessionMemo[org.apache.spark.sql.Dataset[HnswIndex.IndexRow]]
+  private def labelIndex(s: SparkSession, dir: String) =
+    idxMemo.get(s, dir)(
+      HnswIndex.build(emb(s, dir).withColumn("part", col("label")), P)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Router over the label cells: one centroid-aggregation job whose
+    * result is O(L·d) driver-resident model parameters. */
+  private val routerMemo = new SessionMemo[graft.index.IvfIndex.Model]
+  private def labelRouter(s: SparkSession, dir: String) =
+    routerMemo.get(s, dir)(
+      graft.index.IvfIndex.fromPartitionMeans(emb(s, dir), "label", "embedding"))
+
+  /** Scalar-quantizer bounds (one bounds-aggregation job). */
+  private val sqMemo = new SessionMemo[(Seq[Double], Seq[Double])]
+  private def sqBounds(s: SparkSession, dir: String) = {
+    import graft.index.ScalarQuantizer
+    sqMemo.get(s, dir)(ScalarQuantizer.bounds(ScalarQuantizer.train(emb(s, dir))))
   }
+
+  /** PQ codebooks (one init-collect job at iters = 0). */
+  private val pqMemo = new SessionMemo[graft.index.ProductQuantizer.Model]
+  private def pqModel(s: SparkSession, dir: String) =
+    pqMemo.get(s, dir)(
+      graft.index.ProductQuantizer.train(emb(s, dir), numSub = 8, k = 16, iters = 0))
 
   /** Level-sampling histogram (ref `src/lib.rs:144-150`): levels derive
     * from ids via a Knuth multiplicative hash, so the exponential-decay
@@ -257,14 +274,15 @@ object IndexQueries {
     idx.toDF().groupBy("part").agg(count(lit(1)).as("n_nodes")).orderBy("part")
   }
 
-  /** Int8-quantized search: train per-dim bounds, encode the corpus to
-    * byte codes (4x smaller), answer top-10 by asymmetric decode
-    * distance — full-precision ranking quality is gated in ScalaTest;
-    * here the quantized pipeline itself is oracle-checked bit-for-bit. */
+  /** Int8-quantized search: per-dim bounds (trained once per session,
+    * memoized), corpus encoded to byte codes (4x smaller), top-10 by
+    * asymmetric decode distance — full-precision ranking quality is
+    * gated in ScalaTest; here the quantized pipeline itself is
+    * oracle-checked bit-for-bit. */
   def qQuantizedKnn(s: SparkSession, dir: String): DataFrame = {
     import graft.index.ScalarQuantizer
     val e = emb(s, dir)
-    val (lo, hi) = ScalarQuantizer.bounds(ScalarQuantizer.train(e))
+    val (lo, hi) = sqBounds(s, dir)
     val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("__qv"))
     e.select(col("vec_id"), ScalarQuantizer.encodeExpr(col("embedding"), lo, hi).as("codes"))
       .crossJoin(broadcast(q))
@@ -277,13 +295,13 @@ object IndexQueries {
 
   /** Product-quantized search (M=8 subspaces, K=16 codes): encode the
     * corpus to 8 small codes per vector, answer top-10 by asymmetric
-    * distance. Codebooks here are the raw lowest-id init (iters=0) so
-    * the whole pipeline is SQL-expressible; trained-codebook quality is
-    * gated in ScalaTest. */
+    * distance. Codebooks here are the raw lowest-id init (iters=0,
+    * one collect job, memoized per session) so the whole pipeline is
+    * SQL-expressible; trained-codebook quality is gated in ScalaTest. */
   def qPqKnn(s: SparkSession, dir: String): DataFrame = {
     import graft.index.ProductQuantizer
     val e = emb(s, dir)
-    val model = ProductQuantizer.train(e, numSub = 8, k = 16, iters = 0)
+    val model = pqModel(s, dir)
     val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("__qv"))
     e.select(col("vec_id"), ProductQuantizer.encodeExpr(col("embedding"), model).as("codes"))
       .crossJoin(broadcast(q))
