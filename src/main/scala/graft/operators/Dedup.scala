@@ -86,15 +86,18 @@ object Dedup {
   /** Exact n-gram Jaccard similarity join: all pairs with
     * J(a,b) = |A∩B| / |A∪B| >= tau.
     *
-    * Scale path (prefix filtering, the PPJoin family): order each
-    * document's shingles by global document frequency (rarest first,
-    * shingle lexicographic tiebreak) and index only the first
-    * `n_sh - ceil(tau * n_sh) + 1` of them — if J(A,B) >= tau the two
-    * prefixes must share a shingle, so the candidate set is exact while
-    * hot (frequent) shingles drop out of the inverted index entirely;
-    * candidates are then verified against the full shingle sets. With
-    * `prefixFilter = false` the full inverted index is used (same
-    * result set by the theorem; the form the oracle SQL mirrors).
+    * Scale path (prefix + positional filtering, the PPJoin family):
+    * order each document's shingles by global document frequency
+    * (rarest first, shingle lexicographic tiebreak) and index only the
+    * first `n_sh - ceil(tau * n_sh) + 1` of them — if J(A,B) >= tau the
+    * two prefixes must share a shingle, so the candidate set is exact
+    * while hot (frequent) shingles drop out of the inverted index
+    * entirely. On each prefix match the PPJoin positional bound
+    * (overlap <= 1 + min of remaining suffixes) prunes candidates the
+    * prefix filter admits, still losslessly; survivors are verified
+    * against the full shingle sets. With `prefixFilter = false` the
+    * full inverted index is used (same result set by the theorems; the
+    * form the oracle SQL mirrors).
     *
     * Output: (a, b, jac) with a < b.
     */
@@ -120,15 +123,29 @@ object Dedup {
         inv.join(freq, "s")
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * lit(tau)) + 1)
-          .select("id", "n_sh", "s")
+          .select("id", "n_sh", "s", "rn")
       }
 
     // length filter: J(A,B) >= tau forces tau*|B| <= |A| <= |B|/tau —
     // size-incompatible pairs never become candidates (exact)
+    val baseCond = col("x.s") === col("y.s") && col("x.id") < col("y.id") &&
+      col("x.n_sh") >= col("y.n_sh") * lit(tau) &&
+      col("y.n_sh") >= col("x.n_sh") * lit(tau)
+    // positional filter (PPJoin): a match at prefix positions (px, py)
+    // bounds the overlap by 1 + min(|A|-px, |B|-py). This prunes no
+    // qualifying pair: the globally-first common shingle s* lies inside
+    // both prefixes (prefix theorem), every other common shingle sorts
+    // after s* in BOTH docs' orderings (the order is one global
+    // df/lexicographic order), so overlap <= 1 + min suffix — and
+    // J >= tau forces overlap >= tau/(1+tau)·(|A|+|B|). The 1e-9 slack
+    // keeps double rounding from over-pruning at integer boundaries.
+    val cond =
+      if (!prefixFilter) baseCond
+      else baseCond &&
+        (lit(1) + least(col("x.n_sh") - col("x.rn"), col("y.n_sh") - col("y.rn")))
+          .cast("double") >= (col("x.n_sh") + col("y.n_sh")) * lit(tau / (1 + tau)) - lit(1e-9)
     val cand = postings.as("x")
-      .join(postings.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id") &&
-        col("x.n_sh") >= col("y.n_sh") * lit(tau) &&
-        col("y.n_sh") >= col("x.n_sh") * lit(tau))
+      .join(postings.as("y"), cond)
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
 

@@ -52,17 +52,20 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decodeStub(b).toSeq == Multimodal.decodeStub(b).toSeq)
   }
 
-  test("jaccard prefix filter returns exactly the unfiltered result set") {
+  test("jaccard prefix+positional filters return exactly the unfiltered result set") {
     import graft.operators.Dedup
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    def pairs(pf: Boolean) =
-      Dedup.jaccardJoin(docs, tau = 0.8, prefixFilter = pf)
-        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val filtered = pairs(true)
-    val full = pairs(false)
-    assert(filtered == full,
-      s"prefix filtering must be lossless: only-filtered=${filtered -- full}, missed=${full -- filtered}")
-    assert(full.nonEmpty, "fixture should contain near-dup pairs")
+    for ((sf, tau) <- Seq(("sf0.001", 0.8), ("sf0.01", 0.7))) {
+      val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+      def pairs(pf: Boolean) =
+        Dedup.jaccardJoin(docs, tau = tau, prefixFilter = pf)
+          .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val filtered = pairs(true)
+      val full = pairs(false)
+      assert(filtered == full,
+        s"$sf tau=$tau filtering must be lossless: " +
+          s"only-filtered=${filtered -- full}, missed=${full -- filtered}")
+      assert(full.nonEmpty, s"$sf fixture should contain near-dup pairs")
+    }
   }
 
   test("simhash: near-dup docs land at small hamming distance") {
