@@ -172,6 +172,45 @@ object HnswIndex {
     untouched.union(rebuilt)
   }
 
+  /** Consolidate a long-lived index's accumulated undersized cells
+    * (the debris of many [[addBatch]] generations routing trickles of
+    * new data into fresh part keys): every cell smaller than
+    * `minCellSize` is dissolved and its vectors reassigned to the
+    * nearest surviving cell by decimal-exact centroid distance; only
+    * the receiving cells rebuild (via [[addBatch]]), untouched cells
+    * pass through — compaction cost is proportional to the moved data
+    * plus the receivers, not the index. If EVERY cell is undersized,
+    * all vectors fold into the largest cell (ties to the lowest part
+    * id). Search results are unchanged wherever search is exhaustive
+    * per cell, and recall is typically improved — tiny graphs have no
+    * small-world structure for the beam to exploit. */
+  def compact(
+      index: Dataset[IndexRow],
+      params: HnswParams = HnswParams(),
+      minCellSize: Int = 64): Dataset[IndexRow] = {
+    // cell census is O(#cells) — driver-resident by design
+    val sizes = index.groupBy("part").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    val survivors = sizes.filter(_._2 >= minCellSize).map(_._1)
+    val keep: Array[Int] =
+      if (survivors.nonEmpty) survivors
+      else if (sizes.isEmpty) return index
+      else Array(sizes.maxBy { case (part, n) => (n, -part.toLong) }._1)
+    val dissolve = sizes.map(_._1).filterNot(keep.contains)
+    if (dissolve.isEmpty) return index
+
+    val kept = index.filter(col("part").isin(keep.toSeq: _*))
+    val router = IvfIndex.fromPartitionMeans(
+      kept.toDF().select(col("part"), col("vec")), "part", "vec")
+    val moved = index.filter(col("part").isin(dissolve.toSeq: _*))
+      .toDF()
+      .select(
+        IvfIndex.assignExpr(col("vec"), router).as("part"),
+        col("vector_id").as("vec_id"),
+        col("vec").as("embedding"))
+    addBatch(kept, moved, params)
+  }
+
   /** Persist a built index partitioned by cell: each IVF cell becomes
     * its own parquet subtree, so a routed search with nprobe cells
     * reads exactly those subtrees (partition pruning on `part`) —

@@ -163,6 +163,43 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hit.getAs[Long]("vector_id") == 1000L && hit.getAs[Double]("dist") < 1e-9)
   }
 
+  test("compact folds undersized cells and preserves exhaustive-ef search results") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // 10 healthy label cells carry vec_id < 400; the remaining 100
+    // vectors scatter into 20 debris cells of ~5 (many addBatch
+    // generations' worth of trickle ingest)
+    val parted = e.withColumn("part",
+      when(col("vec_id") < 400, col("label"))
+        .otherwise(lit(100) + pmod(col("vec_id"), lit(20))))
+    val idx = HnswIndex.build(parted, P)
+    val compacted = HnswIndex.compact(idx, P, minCellSize = 20)
+
+    val pre = idx.groupBy("part").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val post = compacted.groupBy("part").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(pre.count(_._2 < 20) == 20, s"expected 20 debris cells, got $pre")
+    assert(post.values.forall(_ >= 20), s"undersized cells remain: $post")
+    assert(post.keySet.subsetOf(pre.keySet), "compaction must not invent cells")
+    assert(compacted.count() == 500L &&
+      compacted.select("vector_id").distinct().count() == 500L,
+      "compaction must preserve the vector set")
+
+    // exhaustive ef per cell ≡ exact regardless of partitioning, so the
+    // served top-k must be identical before and after
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def top(ds: org.apache.spark.sql.Dataset[HnswIndex.IndexRow]) =
+      HnswIndex.search(ds, queries, k = 5, P, efSearch = 4096)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(top(compacted) == top(idx), "compaction changed served results")
+
+    // an already-healthy index is returned as-is (no rebuild churn)
+    val again = HnswIndex.compact(compacted, P, minCellSize = 20)
+    assert(again.groupBy("part").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap == post)
+  }
+
   test("recall@10 >= 0.9 vs exact brute force at production ef") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val idx = HnswIndex.build(e.withColumn("part", col("label")), P)
