@@ -36,14 +36,20 @@ object VectorLSH {
       ((((j * 131 + i * 17 + 7).toLong * 2654435761L) % 4294967296L) % 7L - 3L).toDouble
     }
 
-  /** `rowBits`-bit signature of band `b`: bit i set iff
-    * dot(v, plane(b*rowBits + i)) > 0. Uses the native dot kernel
-    * (same left-to-right double fold as the oracle). */
-  def bandSignatureExpr(vec: Column, dim: Int, band: Int, rowBits: Int): Column =
-    (0 until rowBits).map { i =>
-      val dot = dotNative(vec, typedLit(plane(band * rowBits + i, dim)))
-      when(dot > 0.0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** All `bands` signatures at once: element b is the `rowBits`-bit
+    * signature of band b (bit j set iff dot(v, plane(b*rowBits+j)) > 0).
+    * One fused native pass — composing bands×rowBits separate dot
+    * expressions overflows whole-stage codegen's method limits and
+    * falls back to interpreted eval (measured 24x slower at 128
+    * planes). Same left-to-right double fold per dot as the oracle. */
+  def signaturesExpr(vec: Column, dim: Int, bands: Int, rowBits: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    val planesFlat = Array.tabulate(bands * rowBits * dim) { x =>
+      plane(x / dim, dim)(x % dim)
+    }
+    toCol(graft.functions.expressions.SrpSignature(
+      toExpr(vec.cast("array<float>")), planesFlat, bands, rowBits))
+  }
 
   /** Near-dup pairs: same `rowBits`-bit signature in at least one band,
     * AND verified cosine >= tau. Recall is probabilistic
@@ -62,11 +68,9 @@ object VectorLSH {
     // null dot -> all-zero signature -> every bad row in one bucket
     val clean = df.filter(hasDim(col(vecCol), dim))
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"), bandSignatureExpr(col("v"), dim, b, rowBits).as("sig"))
-    }
-    val sigs = clean.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val sigs = clean
+      .select(col("id"), signaturesExpr(col("v"), dim, bands, rowBits).as("sigarr"))
+      .select(col("id"), posexplode(col("sigarr")).as(Seq("band", "sig")))
     // candidates collide in >=1 band; distinct before the verify join so
     // multi-band collisions verify once
     val cand = sigs.as("x")
