@@ -45,8 +45,9 @@ object PipelineQueries {
     * parquet — equal iff the round-trip is lossless and ordinal id
     * assignment matches. */
   def qBinSource(s: SparkSession, dir: String): DataFrame = {
-    val sfName = dir.replaceAll(".*/", "")
-    val tmp = s"/tmp/graft_bin_$sfName"
+    // fresh per-run dir: a fixed path would let concurrent or stale runs
+    // interfere through the shared round-trip artifact
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bin_").toString
     BinaryVectorSource.write(s.read.parquet(s"$dir/embeddings.parquet"), tmp, dims = 64)
     BinaryVectorSource.read(s, tmp, dims = 64)
       .agg(
