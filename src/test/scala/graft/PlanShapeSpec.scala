@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{DedupQueries, IndexQueries, RelationalQueries, VectorQueries}
+
+/** Physical-plan shape guards: the scale properties the engine claims
+  * (filter pushdown into the scan, broadcasted small sides, bounded
+  * top-k operators, no accidental cartesian products) asserted against
+  * the optimizer's actual output, so a refactor that silently degrades
+  * a 100 TB plan fails here at sf0.001. */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("single-query top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(VectorQueries.qKnnExact(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"expected bounded top-k operator:\n$p")
+    assert(!p.contains("CartesianProduct"), "query-vector join must broadcast")
+  }
+
+  test("hybrid filtered search pushes the metadata predicate into the parquet scan") {
+    val p = plan(VectorQueries.qKnnFiltered(spark, sfDir))
+    assert(p.contains("PushedFilters: [In(label"),
+      s"label predicate must reach the scan (partition pruning at scale):\n$p")
+  }
+
+  test("IVF probe search broadcasts the probe set and the query vector") {
+    val p = plan(IndexQueries.qAnnIvf(spark, sfDir))
+    assert(p.contains("BroadcastExchange"), s"probes/query must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"final top-k must be bounded:\n$p")
+  }
+
+  test("batch k-NN join broadcasts queries and pre-aggregates per partition") {
+    val df = VectorQueries.qKnnBatch(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"corpus x queries must be a broadcast join, never a shuffle of the corpus:\n$p")
+    // bounded-heap partial aggregation: both partial_ and final merge
+    // phases of the top-k aggregate must appear (map-side combine =>
+    // the shuffle carries O(queries*k), not O(corpus*queries))
+    assert(p.contains("partial_"), s"expected map-side partial top-k aggregation:\n$p")
+  }
+
+  test("LSH band joins are equi-joins, never cartesian or nested-loop") {
+    for ((name, df) <- Seq(
+        "emblsh" -> DedupQueries.qDedupEmbLsh(spark, sfDir),
+        "simhash_pairs" -> DedupQueries.qDedupSimhashPairs(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name blocking join degenerated to all-pairs:\n$p")
+    }
+  }
+
+  test("relational aggregate uses two-phase hash aggregation (map-side combine)") {
+    val p = plan(RelationalQueries.qAggPricing(spark, sfDir))
+    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+    assert(p.contains("partial_"), s"expected a partial (map-side) phase:\n$p")
+  }
+
+  test("distance kernels run inside whole-stage codegen") {
+    // AQE materializes codegen stages only at execution; run the query,
+    // then inspect the finalized adaptive plan
+    val df = VectorQueries.qL2Kernel(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // formatted mode marks codegen'd operators with "[codegen id : N]"
+    assert(p.contains("[codegen id :"), s"kernel fell out of codegen:\n${p.take(3000)}")
+    assert("\\* Project".r.findFirstIn(p).isDefined,
+      s"the kernel projection itself must be inside a codegen stage:\n${p.take(3000)}")
+  }
+
+  test("column pruning reaches the scan: kernel query reads only the needed columns") {
+    val p = plan(VectorQueries.qL2Kernel(spark, sfDir))
+    val scanSchemas = "ReadSchema: [^\\n]*".r.findAllIn(p).toList
+    assert(scanSchemas.nonEmpty)
+    assert(scanSchemas.forall(s => !s.contains("label")),
+      s"scan reads a column the query never uses:\n${scanSchemas.mkString("\n")}")
+  }
+}
