@@ -68,6 +68,12 @@ object HnswIndex {
     * (`src/lib.rs:164`); pass a larger `efSearch` to trade latency for
     * recall, or `Int.MaxValue`-ish values to make small-partition
     * search exhaustive (ANN ≡ exact — used by the oracle-gated query).
+    *
+    * With a router, `adaptiveAlpha = Some(a)` switches from a fixed
+    * probe count to [[IvfIndex.Model.probeAdaptive]]: each query probes
+    * its nearest cells up to `nprobe`, stopping early once centroid
+    * distance exceeds a× the nearest — in-cluster queries touch fewer
+    * cells at equal recall.
     */
   def search(
       index: Dataset[IndexRow],
@@ -78,7 +84,8 @@ object HnswIndex {
       qidCol: String = "qid",
       qvecCol: String = "qv",
       router: Option[IvfIndex.Model] = None,
-      nprobe: Int = 3): DataFrame = {
+      nprobe: Int = 3,
+      adaptiveAlpha: Option[Double] = None): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     val ef = if (efSearch > 0) efSearch else math.max(params.efConstruction, k)
@@ -93,7 +100,11 @@ object HnswIndex {
     val targeted: Map[Int, Array[(Long, Array[Float])]] = router match {
       case Some(model) =>
         qRows.flatMap { case (qid, qv) =>
-          model.probeOrder(qv).take(nprobe).map(cell => (cell, (qid, qv)))
+          val cells = adaptiveAlpha match {
+            case Some(a) => model.probeAdaptive(qv, a, nprobe)
+            case None    => model.probeOrder(qv).take(nprobe)
+          }
+          cells.map(cell => (cell, (qid, qv)))
         }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
       case None => Map.empty
     }

@@ -43,6 +43,9 @@ object IvfIndex {
     }
     /** Cells sorted by centroid distance to the query, closest first. */
     def probeOrder(q: Array[Float]): Array[Int] =
+      probeOrderWithDist(q).map(_._2)
+
+    private def probeOrderWithDist(q: Array[Float]): Array[(Double, Int)] =
       centroids.indices
         .map { c =>
           val cv = centroids(c)
@@ -51,7 +54,24 @@ object IvfIndex {
           while (i < cv.length) { val t = cv(i) - q(i); d += t * t; i += 1 }
           (d, c)
         }
-        .sorted.map(_._2).toArray
+        .sorted.toArray
+
+    /** Adaptive probe set: cells closest-first until `maxProbes` are
+      * taken or the next cell's centroid distance exceeds
+      * `alpha ×` the nearest cell's — a diminishing-returns cutoff, so
+      * a query deep inside a cluster probes 1-2 cells while a
+      * boundary query (near-tied centroids) fans as wide as a fixed
+      * nprobe would. Always probes at least the nearest cell. At scale
+      * this trades a fixed scan fraction (nprobe/L) for a
+      * per-query-difficulty one, cutting mean probe cost at equal
+      * recall. */
+    def probeAdaptive(q: Array[Float], alpha: Double, maxProbes: Int): Array[Int] = {
+      require(alpha >= 1.0 && maxProbes >= 1, "alpha >= 1 and maxProbes >= 1")
+      val ordered = probeOrderWithDist(q)
+      // the nearest cell always survives: d0 <= d0*alpha for alpha >= 1
+      val cutoff = ordered.head._1 * alpha
+      ordered.take(maxProbes).takeWhile(_._1 <= cutoff).map(_._2)
+    }
   }
 
   /** Exact-decimal per-cell mean of the assigned vectors (the same

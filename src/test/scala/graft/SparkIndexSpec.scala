@@ -200,6 +200,32 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap == post)
   }
 
+  test("adaptive nprobe: in-cluster queries probe fewer cells, boundary queries fan wide") {
+    import graft.index.IvfIndex
+    // three well-separated 1-d centroids: the probe geometry is exact
+    val m = IvfIndex.Model(Array(Array(0.0), Array(10.0), Array(20.0)))
+    // deep inside cluster 0: next centroid is 100x farther -> 1 probe
+    assert(m.probeAdaptive(Array(0.5f), alpha = 4.0, maxProbes = 3).toSeq == Seq(0))
+    // midpoint of clusters 0/1: near-tied -> both probed, far cell dropped
+    assert(m.probeAdaptive(Array(5.2f), alpha = 4.0, maxProbes = 3).toSeq == Seq(1, 0))
+    // alpha large enough degenerates to fixed nprobe order
+    assert(m.probeAdaptive(Array(5.2f), alpha = 1e9, maxProbes = 3).toSeq ==
+      m.probeOrder(Array(5.2f)).take(3).toSeq)
+
+    // end-to-end: with a huge alpha the adaptive routed search serves
+    // exactly what the fixed-nprobe routed search serves
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idx = HnswIndex.build(e.withColumn("part", col("label")), P)
+    val router = IvfIndex.fromPartitionMeans(e, "label", "embedding")
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def served(alpha: Option[Double]) =
+      HnswIndex.search(idx, queries, k = 5, P, efSearch = 4096,
+          router = Some(router), nprobe = 3, adaptiveAlpha = alpha)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(served(Some(1e9)) == served(None))
+  }
+
   test("recall@10 >= 0.9 vs exact brute force at production ef") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val idx = HnswIndex.build(e.withColumn("part", col("label")), P)
