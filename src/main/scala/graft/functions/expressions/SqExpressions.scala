@@ -16,7 +16,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Encode a float vector into per-dimension int codes in [0, 255]:
   * floor(clamp((x−lo)/(hi−lo), 0, 1)·255); degenerate dims (hi == lo)
-  * encode to 0. Short (malformed) vectors encode to null. */
+  * encode to 0. Wrong-length (malformed) vectors encode to null — the
+  * zip_with form null-pads either side, so any length mismatch
+  * propagates NULL there too. NaN inputs clamp to code 255, matching
+  * Spark's least/greatest (and DuckDB's) NaN-is-largest ordering. */
 case class SqEncode(child: Expression, lo: Array[Double], hi: Array[Double])
     extends UnaryExpression {
   override def prettyName: String = "sq_encode"
@@ -25,14 +28,14 @@ case class SqEncode(child: Expression, lo: Array[Double], hi: Array[Double])
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    if (v.numElements() < lo.length) return null
+    if (v.numElements() != lo.length) return null
     val out = new Array[Int](lo.length)
     var i = 0
     while (i < lo.length) {
       val den = hi(i) - lo(i)
       if (den != 0.0) {
         val r = (v.getFloat(i).toDouble - lo(i)) / den
-        val c = math.min(math.max(r, 0.0), 1.0) * 255.0
+        val c = (if (java.lang.Double.isNaN(r)) 1.0 else math.min(math.max(r, 0.0), 1.0)) * 255.0
         out(i) = math.floor(c).toInt
       }
       i += 1
@@ -50,7 +53,7 @@ case class SqEncode(child: Expression, lo: Array[Double], hi: Array[Double])
       val r = ctx.freshName("r")
       val c = ctx.freshName("c")
       s"""
-         |if ($in.numElements() < $loRef.length) {
+         |if ($in.numElements() != $loRef.length) {
          |  ${ev.isNull} = true;
          |} else {
          |int[] $out = new int[$loRef.length];
@@ -58,7 +61,7 @@ case class SqEncode(child: Expression, lo: Array[Double], hi: Array[Double])
          |  double $den = $hiRef[$i] - $loRef[$i];
          |  if ($den != 0.0) {
          |    double $r = ((double) $in.getFloat($i) - $loRef[$i]) / $den;
-         |    double $c = Math.min(Math.max($r, 0.0), 1.0) * 255.0;
+         |    double $c = (Double.isNaN($r) ? 1.0 : Math.min(Math.max($r, 0.0), 1.0)) * 255.0;
          |    $out[$i] = (int) Math.floor($c);
          |  }
          |}
@@ -75,8 +78,9 @@ case class SqEncode(child: Expression, lo: Array[Double], hi: Array[Double])
 /** Asymmetric squared-L2 from an int8 code array (left) to a
   * full-precision float query (right): decode each code to
   * `lo + code/255·(hi−lo)` and accumulate squared deltas
-  * dim-ascending. Malformed codes (short array / out-of-range value)
-  * yield null rather than a silently-wrong distance. */
+  * dim-ascending. Malformed inputs (wrong-length arrays on either
+  * side, out-of-range codes) yield null rather than a silently-wrong
+  * distance — the null the zip_with form's padding would propagate. */
 case class SqAdc(left: Expression, right: Expression, lo: Array[Double], hi: Array[Double])
     extends BinaryExpression {
   override def prettyName: String = "sq_adc"
@@ -86,7 +90,7 @@ case class SqAdc(left: Expression, right: Expression, lo: Array[Double], hi: Arr
   override protected def nullSafeEval(codesAny: Any, qAny: Any): Any = {
     val codes = codesAny.asInstanceOf[ArrayData]
     val q = qAny.asInstanceOf[ArrayData]
-    if (codes.numElements() < lo.length || q.numElements() < lo.length) return null
+    if (codes.numElements() != lo.length || q.numElements() != lo.length) return null
     var acc = 0.0
     var i = 0
     while (i < lo.length) {
@@ -111,7 +115,7 @@ case class SqAdc(left: Expression, right: Expression, lo: Array[Double], hi: Arr
       val acc = ctx.freshName("acc")
       val ok = ctx.freshName("ok")
       s"""
-         |boolean $ok = $in.numElements() >= $loRef.length && $q.numElements() >= $loRef.length;
+         |boolean $ok = $in.numElements() == $loRef.length && $q.numElements() == $loRef.length;
          |double $acc = 0.0;
          |for (int $i = 0; $ok && $i < $loRef.length; $i++) {
          |  int $c = $in.getInt($i);

@@ -88,6 +88,8 @@ object HnswIndex {
       adaptiveAlpha: Option[Double] = None): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
+    require(adaptiveAlpha.isEmpty || router.isDefined,
+      "adaptiveAlpha only applies to routed search — pass a router")
     val ef = if (efSearch > 0) efSearch else math.max(params.efConstruction, k)
     val qRows = queries
       .select(col(qidCol).cast("long"), col(qvecCol).cast("array<float>"))

@@ -97,6 +97,10 @@ object IvfIndex {
       vecCol: String = "embedding"): Model = {
     val means = cellMeans(df.withColumn("cell", col(partCol).cast("int")), vecCol)
     require(means.nonEmpty, "cannot build a router over an empty corpus")
+    // the model is an array indexed by part id; negative keys would be
+    // silently unroutable, so reject them loudly
+    require(means.keys.min >= 0,
+      s"partition router requires non-negative part ids, got ${means.keys.min}")
     val dim = means.head._2.length
     Model(Array.tabulate(means.keys.max + 1)(c =>
       means.getOrElse(c, Array.fill(dim)(Double.PositiveInfinity))))

@@ -44,9 +44,7 @@ object VectorLSH {
     * planes). Same left-to-right double fold per dot as the oracle. */
   def signaturesExpr(vec: Column, dim: Int, bands: Int, rowBits: Int): Column = {
     import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
-    val planesFlat = Array.tabulate(bands * rowBits * dim) { x =>
-      plane(x / dim, dim)(x % dim)
-    }
+    val planesFlat = (0 until bands * rowBits).flatMap(j => plane(j, dim)).toArray
     toCol(graft.functions.expressions.SrpSignature(
       toExpr(vec.cast("array<float>")), planesFlat, bands, rowBits))
   }

@@ -44,10 +44,26 @@ object PipelineQueries {
     * binaryRecords read-back; the oracle aggregates the original
     * parquet — equal iff the round-trip is lossless and ordinal id
     * assignment matches. */
+  /** One round-trip dir per JVM + fixture: fresh across JVMs so stale
+    * or concurrent processes never interfere through a shared path,
+    * reused within the JVM (each execution overwrites in place — the
+    * write is part of the round-trip under test), and removed by a
+    * shutdown hook so repeated harness runs don't accumulate
+    * corpus-sized /tmp debris. */
+  private val binDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def binDir(fixture: String): String =
+    binDirs.getOrElseUpdate(fixture, {
+      val p = java.nio.file.Files.createTempDirectory("graft_bin_")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+      p.toString
+    })
+
   def qBinSource(s: SparkSession, dir: String): DataFrame = {
-    // fresh per-run dir: a fixed path would let concurrent or stale runs
-    // interfere through the shared round-trip artifact
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bin_").toString
+    val tmp = binDir(dir)
     BinaryVectorSource.write(s.read.parquet(s"$dir/embeddings.parquet"), tmp, dims = 64)
     BinaryVectorSource.read(s, tmp, dims = 64)
       .agg(
