@@ -61,6 +61,24 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup for document ingest: first event per
+    * content hash passes, later duplicates drop, and — the part that
+    * matters at 100 TB/day — the per-key state store retains a hash
+    * only within the watermark horizon (dropDuplicatesWithinWatermark),
+    * so state is bounded by the duplicate-arrival window, not the
+    * stream's lifetime. The batch twin is
+    * [[graft.operators.Dedup.exactDupGroups]]; near-dup streaming
+    * dedup composes this with the SimHash fingerprint as the key. */
+  def dedupByContent(
+      docs: DataFrame,
+      tsCol: String = "ts",
+      textCol: String = "text",
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Wire a streaming query end-to-end (memory sink, for tests/demos). */
   def startToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()) =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

@@ -42,6 +42,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: duplicate texts drop, state bounded by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Timestamp, Long, String)]
+    val df = src.toDF().toDF("ts", "doc_id", "text")
+    val q = EventStreams.startToMemory(
+      EventStreams.dedupByContent(df, watermark = "30 minutes"), "dedup_test")
+    try {
+      src.addData((ts(0), 1L, "alpha"), (ts(1), 2L, "beta"), (ts(2), 3L, "alpha"))
+      q.processAllAvailable()
+      // duplicate "alpha" within the watermark window is dropped
+      assert(spark.table("dedup_test").select("text").collect().map(_.getString(0)).sorted.toSeq
+        == Seq("alpha", "beta"))
+      // advance event time far past the watermark horizon: the state
+      // for "alpha" has expired, so a re-arrival passes again — the
+      // bounded-state semantics that keep this runnable forever
+      src.addData((Timestamp.from(ts(2).toInstant.plusSeconds(7200)), 4L, "alpha"))
+      q.processAllAvailable()
+      src.addData((Timestamp.from(ts(2).toInstant.plusSeconds(7260)), 5L, "alpha"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_test").select("text").collect().map(_.getString(0))
+      assert(texts.count(_ == "alpha") == 2,
+        s"expired-state re-arrival must pass once more, got ${texts.toSeq}")
+    } finally q.stop()
+  }
+
   test("session windows split on the inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
