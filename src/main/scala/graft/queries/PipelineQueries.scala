@@ -97,7 +97,31 @@ object PipelineQueries {
       .orderBy("hour_start", "event_type")
   }
 
+  /** TRUE streaming dedup in the gate: readStream over the documents
+    * parquet, watermark-bounded exact dedup
+    * (EventStreams.dedupByContent), memory sink. Output is the sorted
+    * distinct content-hash set — survivor-independent, so the oracle
+    * (plain DISTINCT) is deterministic no matter which duplicate
+    * arrives first. Event time derives from doc_id (deterministic;
+    * the fixture has no ingest timestamp). */
+  def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      // offset past epoch 0: the initial watermark is 0, and a row whose
+      // event time equals the watermark is treated as expired state
+      .withColumn("ts", timestamp_micros((col("doc_id") + 1700000000L) * 1000000L))
+    val name = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.startToMemory(EventStreams.dedupByContent(stream), name)
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).select(col("content_hash")).orderBy("content_hash")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_stream_dedup", qStreamDedup, Some(
+      """SELECT DISTINCT md5(text) AS content_hash FROM documents
+        |ORDER BY content_hash""".stripMargin)),
     QueryDef("q_stream_exec", qStreamExec, Some(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start, event_type,
         |  count(*) AS n,
