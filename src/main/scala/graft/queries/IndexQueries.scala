@@ -142,6 +142,24 @@ object IndexQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Routed search with the adaptive probe cutoff: cells are probed
+    * closest-first but stop once centroid distance exceeds 2× the
+    * nearest cell's (max 3) — in-cluster queries touch 1-2 cells
+    * where fixed nprobe=3 would scan all three. Same exhaustive-ef
+    * equivalence as qAnnRouted, so the oracle applies the identical
+    * cutoff in SQL. */
+  def qAnnAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val idx = labelIndex(s, dir)
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    HnswIndex.search(idx, queries, k = 5, P, efSearch = 4096,
+        router = Some(labelRouter(s, dir)), nprobe = 3, adaptiveAlpha = Some(2.0))
+      .select(col("qid"), col("rank").as("rnk"), col("vector_id").as("vec_id"),
+        round(col("dist"), 3).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Index structure stats per cell (ref structure/pruning invariants,
     * `src/lib.rs:394-467`): node counts AND layer counts are
     * oracle-able (a node owns exactly level+1 adjacency lists and
@@ -199,6 +217,27 @@ object IndexQueries {
          |probes AS (SELECT qid, label FROM
          |             (SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY d, label) AS rn
          |              FROM cd) WHERE rn <= 3),
+         |scored AS (SELECT q.qid, e.vec_id, ${VectorQueries.l2Sql("e.embedding", "q.qv")} AS d
+         |           FROM embeddings e JOIN probes p ON e.label = p.label JOIN q ON q.qid = p.qid),
+         |ranked AS (SELECT qid, vec_id, d,
+         |                  row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
+         |           FROM scored)
+         |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(d, 3) AS dist
+         |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+    QueryDef("q_ann_adaptive", qAnnAdaptive, Some(
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
+         |ex AS (SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+         |       FROM embeddings),
+         |cent AS (SELECT label, i,
+         |           CAST(sum(CAST(x AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS m
+         |         FROM ex GROUP BY label, i),
+         |cd AS (SELECT q.qid, c.label, sum((c.m - CAST(q.qv[c.i] AS DOUBLE))^2) AS d
+         |       FROM cent c, q GROUP BY q.qid, c.label),
+         |rcd AS (SELECT qid, label, d,
+         |               row_number() OVER (PARTITION BY qid ORDER BY d, label) AS rn,
+         |               min(d) OVER (PARTITION BY qid) AS d0
+         |        FROM cd),
+         |probes AS (SELECT qid, label FROM rcd WHERE rn <= 3 AND d <= d0 * 2.0),
          |scored AS (SELECT q.qid, e.vec_id, ${VectorQueries.l2Sql("e.embedding", "q.qv")} AS d
          |           FROM embeddings e JOIN probes p ON e.label = p.label JOIN q ON q.qid = p.qid),
          |ranked AS (SELECT qid, vec_id, d,
