@@ -11,15 +11,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * forms' evaluation order exactly — clamp-then-floor on encode,
   * `lo + code/255·(hi−lo)` decode and dim-ascending accumulation on
   * ADC — so results are bit-identical to the `zip_with`/`aggregate`
-  * rendering the DuckDB oracle mirrors.
+  * rendering the DuckDB oracle mirrors for every well-formed
+  * (dimension-matching) input. Malformed input is the one deliberate
+  * deviation: see the per-expression notes.
   */
 
 /** Encode a float vector into per-dimension int codes in [0, 255]:
   * floor(clamp((x−lo)/(hi−lo), 0, 1)·255); degenerate dims (hi == lo)
-  * encode to 0. Wrong-length (malformed) vectors encode to null — the
-  * zip_with form null-pads either side, so any length mismatch
-  * propagates NULL there too. NaN inputs clamp to code 255, matching
-  * Spark's least/greatest (and DuckDB's) NaN-is-largest ordering. */
+  * encode to 0. Wrong-length (malformed) vectors encode to a single
+  * whole-array NULL — an intentional tightening of the zip_with form,
+  * which instead null-padded per element and returned a non-null array
+  * with NULL entries (a shape the declared
+  * `ArrayType(IntegerType, containsNull = false)` forbids); a fully
+  * null code array is an unambiguous reject signal where element-level
+  * nulls decode to silently-wrong distances. NaN inputs clamp to code
+  * 255, matching Spark's least/greatest (and DuckDB's) NaN-is-largest
+  * ordering. */
 case class SqEncode(child: Expression, lo: Array[Double], hi: Array[Double])
     extends UnaryExpression {
   override def prettyName: String = "sq_encode"
@@ -79,8 +86,11 @@ case class SqEncode(child: Expression, lo: Array[Double], hi: Array[Double])
   * full-precision float query (right): decode each code to
   * `lo + code/255·(hi−lo)` and accumulate squared deltas
   * dim-ascending. Malformed inputs (wrong-length arrays on either
-  * side, out-of-range codes) yield null rather than a silently-wrong
-  * distance — the null the zip_with form's padding would propagate. */
+  * side, out-of-range codes) yield NULL for the whole distance — like
+  * SqEncode, an intentional tightening versus the HOF rendering (whose
+  * per-element null-padding could surface as a null or partial sum
+  * depending on the aggregate's null handling), so a malformed row can
+  * never rank. */
 case class SqAdc(left: Expression, right: Expression, lo: Array[Double], hi: Array[Double])
     extends BinaryExpression {
   override def prettyName: String = "sq_adc"

@@ -21,8 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  final case class Model(centroids: Array[Array[Double]]) {
+  /** `centroids(ord)` routes to cell id `cellIds(ord)`. `cellIds` is
+    * empty for identity routing (trained models: cells 0..k-1); a
+    * partition-derived router carries the actual part keys, sorted
+    * ascending, so a sparse or large key space costs O(#cells·d) —
+    * never O(maxKey·d) (a hash-derived part key must not size a dense
+    * driver array). */
+  final case class Model(centroids: Array[Array[Double]], cellIds: Array[Int] = Array.empty) {
     def k: Int = centroids.length
+    /** Cell id for centroid ordinal `ord`. */
+    def cellId(ord: Int): Int = if (cellIds.isEmpty) ord else cellIds(ord)
     def assignOne(v: Array[Float]): Int = {
       var best = 0
       var bestD = Double.MaxValue
@@ -39,7 +47,7 @@ object IvfIndex {
         if (d < bestD) { bestD = d; best = c } // strict < keeps lower cell on ties
         c += 1
       }
-      best
+      cellId(best)
     }
     /** Cells sorted by centroid distance to the query, closest first. */
     def probeOrder(q: Array[Float]): Array[Int] =
@@ -52,7 +60,7 @@ object IvfIndex {
           var d = 0.0
           var i = 0
           while (i < cv.length) { val t = cv(i) - q(i); d += t * t; i += 1 }
-          (d, c)
+          (d, cellId(c))
         }
         .sorted.toArray
 
@@ -91,19 +99,16 @@ object IvfIndex {
     * decimal-exact mean of the vectors whose `partCol` equals c (the
     * same deterministic construction the q_ann_ivf oracle SQL uses),
     * so `Model.probeOrder` routes queries to partition keys directly.
-    * Missing part ids (holes in the key space) get +Inf sentinels and
-    * are never probed. */
+    * Backed by a (sorted cell ids, centroids) pair — driver memory is
+    * O(#cells·d) regardless of the key space, so sparse or
+    * hash-derived part keys (any `Int`, holes included) route without
+    * densifying. */
   def fromPartitionMeans(df: DataFrame, partCol: String = "label",
       vecCol: String = "embedding"): Model = {
     val means = cellMeans(df.withColumn("cell", col(partCol).cast("int")), vecCol)
     require(means.nonEmpty, "cannot build a router over an empty corpus")
-    // the model is an array indexed by part id; negative keys would be
-    // silently unroutable, so reject them loudly
-    require(means.keys.min >= 0,
-      s"partition router requires non-negative part ids, got ${means.keys.min}")
-    val dim = means.head._2.length
-    Model(Array.tabulate(means.keys.max + 1)(c =>
-      means.getOrElse(c, Array.fill(dim)(Double.PositiveInfinity))))
+    val sorted = means.toArray.sortBy(_._1)
+    Model(sorted.map(_._2), sorted.map(_._1))
   }
 
   /** Train with fixed iterations (Lloyd's: inertia is monotonically
@@ -136,10 +141,11 @@ object IvfIndex {
     * matching [[Model.assignOne]]. */
   def assignExpr(vec: org.apache.spark.sql.Column, model: Model): org.apache.spark.sql.Column = {
     val centLit = typedLit(model.centroids.map(_.toSeq).toSeq)
+    val idsLit = typedLit(Array.tabulate(model.k)(model.cellId).toSeq)
     val v = vec.cast("array<double>")
     val dists = transform(centLit, cv =>
       aggregate(zip_with(cv, v, (a, b) => (a - b) * (a - b)), lit(0.0), _ + _))
-    (array_position(dists, array_min(dists)) - 1).cast("int")
+    element_at(idsLit, array_position(dists, array_min(dists)).cast("int"))
   }
 
   /** Add a `cell` column: each vector's nearest centroid. */

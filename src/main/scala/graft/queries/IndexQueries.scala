@@ -49,6 +49,28 @@ object IndexQueries {
     routerMemo.get(s, dir)(
       graft.index.IvfIndex.fromPartitionMeans(emb(s, dir), "label", "embedding"))
 
+  /** Persisted serving index: the label index written cell-partitioned
+    * ([[HnswIndex.save]] → one parquet subtree per cell) and re-loaded
+    * ([[HnswIndex.load]]) — the disk-backed store that IS the
+    * reference's identity (`/root/reference/src/disk_store.rs:7-36`,
+    * `src/lib.rs:344-347`). Queries against this Dataset scan the
+    * saved files, so a routed search exercises partition pruning on
+    * `part` for real: only the probed cells' subtrees are read. One
+    * temp dir per JVM + fixture, removed on JVM exit. */
+  private val persistMemo =
+    new SessionMemo[org.apache.spark.sql.Dataset[HnswIndex.IndexRow]]
+  private def persistedIndex(s: SparkSession, dir: String) =
+    persistMemo.get(s, dir) {
+      val p = java.nio.file.Files.createTempDirectory("graft_idx_")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+      HnswIndex.save(labelIndex(s, dir), p.toString)
+      HnswIndex.load(s, p.toString)
+    }
+
   /** Scalar-quantizer bounds (one bounds-aggregation job). */
   private val sqMemo = new SessionMemo[(Seq[Double], Seq[Double])]
   private def sqBounds(s: SparkSession, dir: String) = {
@@ -160,6 +182,26 @@ object IndexQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** The full serving lifecycle under the gate: build → save
+    * (cell-partitioned parquet) → load → routed search. Identical
+    * semantics to qAnnRouted, but the scan side is the PERSISTED
+    * layout, so the `part IN probes` predicate prunes to exactly the
+    * probed parquet subtrees (PlanShapeSpec asserts the pruning) —
+    * the property that makes a 100 TB index serve at nprobe/L scan
+    * cost. Different query ids than qAnnRouted so the two rows gate
+    * different answers. */
+  def qAnnPersisted(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val idx = persistedIndex(s, dir)
+    val queries = e.filter(col("vec_id") >= 4 && col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    HnswIndex.search(idx, queries, k = 5, P, efSearch = 4096,
+        router = Some(labelRouter(s, dir)), nprobe = 3)
+      .select(col("qid"), col("rank").as("rnk"), col("vector_id").as("vec_id"),
+        round(col("dist"), 3).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Index structure stats per cell (ref structure/pruning invariants,
     * `src/lib.rs:394-467`): node counts AND layer counts are
     * oracle-able (a node owns exactly level+1 adjacency lists and
@@ -238,6 +280,26 @@ object IndexQueries {
          |               min(d) OVER (PARTITION BY qid) AS d0
          |        FROM cd),
          |probes AS (SELECT qid, label FROM rcd WHERE rn <= 3 AND d <= d0 * 2.0),
+         |scored AS (SELECT q.qid, e.vec_id, ${VectorQueries.l2Sql("e.embedding", "q.qv")} AS d
+         |           FROM embeddings e JOIN probes p ON e.label = p.label JOIN q ON q.qid = p.qid),
+         |ranked AS (SELECT qid, vec_id, d,
+         |                  row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
+         |           FROM scored)
+         |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(d, 3) AS dist
+         |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+    QueryDef("q_ann_persisted", qAnnPersisted, Some(
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |           WHERE vec_id >= 4 AND vec_id < 8),
+         |ex AS (SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+         |       FROM embeddings),
+         |cent AS (SELECT label, i,
+         |           CAST(sum(CAST(x AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS m
+         |         FROM ex GROUP BY label, i),
+         |cd AS (SELECT q.qid, c.label, sum((c.m - CAST(q.qv[c.i] AS DOUBLE))^2) AS d
+         |       FROM cent c, q GROUP BY q.qid, c.label),
+         |probes AS (SELECT qid, label FROM
+         |             (SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY d, label) AS rn
+         |              FROM cd) WHERE rn <= 3),
          |scored AS (SELECT q.qid, e.vec_id, ${VectorQueries.l2Sql("e.embedding", "q.qv")} AS d
          |           FROM embeddings e JOIN probes p ON e.label = p.label JOIN q ON q.qid = p.qid),
          |ranked AS (SELECT qid, vec_id, d,

@@ -103,7 +103,15 @@ object PipelineQueries {
     * distinct content-hash set — survivor-independent, so the oracle
     * (plain DISTINCT) is deterministic no matter which duplicate
     * arrives first. Event time derives from doc_id (deterministic;
-    * the fixture has no ingest timestamp). */
+    * the fixture has no ingest timestamp), so it spans exactly
+    * n-docs seconds — the gate's watermark (1000 days) covers any
+    * fixture span, which makes the DISTINCT equivalence independent of
+    * micro-batch structure: state never expires mid-run, so a
+    * duplicate can't re-emit even if the source splits the fixture
+    * across triggers (e.g. a global maxFilesPerTrigger or a multi-file
+    * fixture). Bounded-state expiry semantics — the 100 TB/day
+    * property — are gated separately in StreamingSpec with a tight
+    * watermark. */
   def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
     val stream = s.readStream.schema(schema)
@@ -113,7 +121,8 @@ object PipelineQueries {
       // event time equals the watermark is treated as expired state
       .withColumn("ts", timestamp_micros((col("doc_id") + 1700000000L) * 1000000L))
     val name = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = EventStreams.startToMemory(EventStreams.dedupByContent(stream), name)
+    val q = EventStreams.startToMemory(
+      EventStreams.dedupByContent(stream, watermark = "1000 days"), name)
     try q.processAllAvailable() finally q.stop()
     s.table(name).select(col("content_hash")).orderBy("content_hash")
   }

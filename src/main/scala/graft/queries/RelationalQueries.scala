@@ -122,6 +122,24 @@ object RelationalQueries {
       .orderBy("purchase_id")
   }
 
+  /** Salted skew join: lineitem ⋈ part on partkey with the hot keys
+    * spread over 8 salt buckets (operators/SkewJoin) — the structural
+    * answer to Zipfian join keys at 100 TB, where AQE's post-shuffle
+    * splitting isn't enough. The salt is internal: the join result is
+    * identical to the plain equi-join by construction, which is
+    * exactly what the oracle checks (plain JOIN SQL). Aggregated per
+    * brand so the gated output is stable and small. */
+  def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("partkey"), col("l_extendedprice"))
+    val small = t(s, dir, "part")
+      .select(col("p_partkey").as("partkey"), col("p_brand"))
+    graft.operators.SkewJoin.salted(big, small, key = "partkey", salt = 8)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), decSum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
   /** Pivot rollup: per-user event counts by type as columns. */
   def qPivotEvents(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -156,6 +174,11 @@ object RelationalQueries {
         |SELECT event_id AS purchase_id, user_id,
         |  coalesce(asof_click_id, -1) AS asof_click_id
         |FROM w WHERE tag = 1 ORDER BY purchase_id""".stripMargin)),
+    QueryDef("q_skew_join", qSkewJoin, Some(
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
     QueryDef("q_pivot_events", qPivotEvents, Some(
       """SELECT user_id,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,
