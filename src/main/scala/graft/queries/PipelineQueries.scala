@@ -127,7 +127,88 @@ object PipelineQueries {
     s.table(name).select(col("content_hash")).orderBy("content_hash")
   }
 
+  /** TRUE streaming session windows in the gate: readStream over the
+    * events parquet, 30-min-gap `session_window` aggregation
+    * (EventStreams.sessionWindows — the same transform StreamingSpec
+    * drives incrementally), Complete-mode memory sink. Complete mode
+    * because Append only emits sessions the watermark has CLOSED —
+    * sessions near the end of a bounded fixture would be withheld
+    * forever, while the batch oracle sees all of them; the
+    * bounded-state Append path is gated in StreamingSpec. Session
+    * boundaries are emitted as epoch micros (end = last event + gap;
+    * Spark merges inclusively at exactly-gap spacing, and the oracle's
+    * strict `>` mirrors that). */
+  def qStreamSessions(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = "graft_stream_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.sessionWindows(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select(
+        col("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+  }
+
+  /** TRUE streaming keyed state in the gate: readStream over the
+    * events parquet, mapGroupsWithState running per-user stats
+    * (EventStreams.runningUserStats), Update-mode memory sink. The
+    * sink accumulates one row per (user, update); the gate projects
+    * each user's FINAL update — the row with that user's max n_events
+    * (counts increase strictly across updates, so the projection is
+    * unique and batch-structure independent). Count and max are
+    * arrival-order free, so the oracle is a plain GROUP BY. */
+  def qStreamState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[EventStreams.UserEvent]
+    val name = "graft_stream_state_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.runningUserStats(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    s.table(name)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("n_events"), col("max_value"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_stream_sessions", qStreamSessions, Some(
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |g AS (SELECT user_id, us, event_id,
+        |        CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |               > CAST(1800 AS BIGINT) * 1000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |s AS (SELECT user_id, us,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM g)
+        |SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,
+        |  CAST(max(us) + CAST(1800 AS BIGINT) * 1000000 AS BIGINT) AS end_us,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin)),
+    QueryDef("q_stream_state", qStreamState, Some(
+      """SELECT user_id, count(*) AS n_events, max(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
     QueryDef("q_stream_dedup", qStreamDedup, Some(
       """SELECT DISTINCT md5(text) AS content_hash FROM documents
         |ORDER BY content_hash""".stripMargin)),

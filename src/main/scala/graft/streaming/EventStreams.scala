@@ -61,6 +61,31 @@ object EventStreams {
       }
   }
 
+  final case class UserRunning(user_id: Long, n_events: Long, max_value: Double)
+
+  /** Keyed custom state under the oracle gate: per-user running event
+    * count and max value via mapGroupsWithState. Both accumulators are
+    * arrival-order independent (count, max) — unlike a double sum,
+    * whose accumulation order would differ run to run — so the final
+    * state is deterministic regardless of partitioning or micro-batch
+    * structure, which is what makes a DuckDB oracle valid for it.
+    * State is O(1) per user. */
+  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, Double.NegativeInfinity))
+          var n = prev.n_events
+          var mx = prev.max_value
+          batch.foreach { e => n += 1; if (e.value > mx) mx = e.value }
+          val next = UserRunning(uid, n, mx)
+          state.update(next)
+          next
+      }
+  }
+
   /** Streaming exact dedup for document ingest: first event per
     * content hash passes, later duplicates drop, and — the part that
     * matters at 100 TB/day — the per-key state store retains a hash

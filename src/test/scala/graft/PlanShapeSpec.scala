@@ -65,6 +65,16 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("persisted routed search prunes the scan to the probed cell subtrees") {
+    // the serving claim at 100 TB: a routed query over a save()d index
+    // reads nprobe/L of the data — i.e. the part predicate must land
+    // as a PARTITION filter on the parquet scan, not a post-scan filter
+    val p = plan(IndexQueries.qAnnPersisted(spark, sfDir))
+    val pf = "PartitionFilters: \\[[^\\]]*".r.findFirstIn(p)
+    assert(pf.exists(f => f.contains("part") && f.contains("IN")),
+      s"expected a `part IN (...)` partition filter on the persisted-index scan:\n$p")
+  }
+
   test("relational aggregate uses two-phase hash aggregation (map-side combine)") {
     val p = plan(RelationalQueries.qAggPricing(spark, sfDir))
     assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
