@@ -44,14 +44,39 @@ object DedupQueries {
       .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
       .orderBy("a", "b")
 
-  /** Embedding-cosine near-dup pairs, blocked by cluster label (the
-    * IVF-cell blocking pattern — at scale, block by coarse quantizer
-    * cell instead of comparing all pairs). */
+  /** Corpus-proportional blocking-cell count: one cell per ~32 vectors
+    * (floor 8), so the within-cell self-join stays O(n · cellSize) —
+    * linear in the corpus — at every scale factor. */
+  private def embcosCells(n: Long): Int = math.max(8L, n / 32L).toInt
+
+  /** Blocking router for embedding-cosine dedup: IVF quantizer at
+    * iters = 0 (centroids = the k lowest-id vectors — one tiny limit-k
+    * collect, SQL-expressible), trained once per session + fixture. */
+  private val embcosMemo = new IndexQueries.SessionMemo[graft.index.IvfIndex.Model]
+  private def embcosRouter(s: SparkSession, dir: String) =
+    embcosMemo.get(s, dir) {
+      val e = emb(s, dir)
+      graft.index.IvfIndex.train(e, embcosCells(e.count()), iters = 0)
+    }
+
+  /** Embedding-cosine near-dup pairs, blocked by trained IVF cell: each
+    * vector routes to its nearest coarse centroid in a map-only pass
+    * (the model is an O(k·d) literal, no join, no extra shuffle), and
+    * only within-cell pairs are cosine-verified. The cell count grows
+    * with the corpus ([[embcosCells]]), so the blocked self-join is
+    * O(n · 32) — never O(n²/constant), which a fixed-cardinality key
+    * (e.g. the fixture's 10 labels) degrades to at scale. Near-dup
+    * recall is governed by quantizer locality: near-identical vectors
+    * share a nearest centroid except exactly on a cell boundary — the
+    * standard blocked-dedup tradeoff (cf. qDedupEmbLsh for the
+    * multi-band scheme whose recall is tunable instead). */
   def qDedupEmbcos(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val a = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("va"))
-    val b = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb"))
-    a.join(b, Seq("label"))
+    val cell = graft.index.IvfIndex.assignExpr(col("embedding"), embcosRouter(s, dir))
+    val binned = e.select(cell.as("cell"), col("vec_id"), col("embedding"))
+    val a = binned.select(col("cell"), col("vec_id").as("a"), col("embedding").as("va"))
+    val b = binned.select(col("cell"), col("vec_id").as("b"), col("embedding").as("vb"))
+    a.join(b, Seq("cell"))
       .filter(col("a") < col("b"))
       .withColumn("cos", cosineNative(col("va"), col("vb")))
       .filter(col("cos") >= 0.4)
@@ -133,9 +158,24 @@ object DedupQueries {
          |WHERE bit_count(xor(x.sim_hi, y.sim_hi)) + bit_count(xor(x.sim_lo, y.sim_lo)) <= 6
          |ORDER BY a, b""".stripMargin)),
     QueryDef("q_dedup_embcos", qDedupEmbcos, Some(
-      s"""SELECT a.vec_id AS a, b.vec_id AS b,
+      s"""WITH kk AS (SELECT greatest(8, CAST(count(*) // 32 AS INT)) AS k FROM embeddings),
+         |cent AS (SELECT ord, cv FROM (
+         |           SELECT row_number() OVER (ORDER BY vec_id) AS ord,
+         |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |           FROM embeddings)
+         |         WHERE ord <= (SELECT k FROM kk)),
+         |cd AS (SELECT e.vec_id, c.ord, ${VectorQueries.l2Sql("c.cv", "e.embedding")} AS d
+         |       FROM embeddings e CROSS JOIN cent c),
+         |cell AS (SELECT vec_id, ord AS cell FROM (
+         |           SELECT vec_id, ord,
+         |                  row_number() OVER (PARTITION BY vec_id ORDER BY d, ord) AS rn
+         |           FROM cd)
+         |         WHERE rn = 1)
+         |SELECT a.vec_id AS a, b.vec_id AS b,
          |  round(${VectorQueries.cosSql("a.embedding", "b.embedding")}, 4) AS cos
-         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         |FROM cell ca JOIN cell cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+         |JOIN embeddings a ON a.vec_id = ca.vec_id
+         |JOIN embeddings b ON b.vec_id = cb.vec_id
          |WHERE ${VectorQueries.cosSql("a.embedding", "b.embedding")} >= 0.4
          |ORDER BY a, b""".stripMargin)),
   )

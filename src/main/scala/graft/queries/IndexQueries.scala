@@ -24,7 +24,7 @@ object IndexQueries {
     * startTime (unique per live context — identity hashes can collide)
     * and dropped when the owning session stops, so a recreated session
     * never receives a value bound to a dead one. */
-  private final class SessionMemo[V] {
+  private[queries] final class SessionMemo[V] {
     private val cache =
       scala.collection.concurrent.TrieMap.empty[(String, String), (SparkSession, V)]
     def get(s: SparkSession, dir: String)(build: => V): V = {
