@@ -71,6 +71,24 @@ object IndexQueries {
       HnswIndex.load(s, p.toString)
     }
 
+  /** Compacted index: a deliberately fragmented build — the label
+    * cells plus 20 undersized junk cells holding vec_id < 100 (the
+    * debris a long-lived index accrues from [[HnswIndex.addBatch]]
+    * routing trickles into fresh part keys) — then [[HnswIndex.compact]]
+    * dissolves every sub-16 cell into its nearest surviving cell.
+    * Built once per session + fixture. */
+  private val compactMemo =
+    new SessionMemo[org.apache.spark.sql.Dataset[HnswIndex.IndexRow]]
+  private def compactedIndex(s: SparkSession, dir: String) =
+    compactMemo.get(s, dir) {
+      val fragmented = emb(s, dir).withColumn("part",
+        when(col("vec_id") < 100,
+          lit(100) + pmod(col("vec_id"), lit(20)).cast("int"))
+          .otherwise(col("label").cast("int")))
+      HnswIndex.compact(HnswIndex.build(fragmented, P), P, minCellSize = 16)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Scalar-quantizer bounds (one bounds-aggregation job). */
   private val sqMemo = new SessionMemo[(Seq[Double], Seq[Double])]
   private def sqBounds(s: SparkSession, dir: String) = {
@@ -202,6 +220,24 @@ object IndexQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Search over the [[compactedIndex]]: exhaustive ef makes the
+    * result invariant under any repartitioning — pre- and
+    * post-compaction answers are identical by construction, so the
+    * brute-force oracle checks that dissolving cells (reassign by
+    * decimal-exact centroid distance + dirty-cell rebuild) lost no
+    * vector and corrupted no adjacency. Distinct query ids from the
+    * other ANN rows so this gates fresh answers. */
+  def qAnnCompacted(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val idx = compactedIndex(s, dir)
+    val queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 12)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    HnswIndex.search(idx, queries, k = 5, P, efSearch = 4096)
+      .select(col("qid"), col("rank").as("rnk"), col("vector_id").as("vec_id"),
+        round(col("dist"), 3).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Index structure stats per cell (ref structure/pruning invariants,
     * `src/lib.rs:394-467`): node counts AND layer counts are
     * oracle-able (a node owns exactly level+1 adjacency lists and
@@ -302,6 +338,16 @@ object IndexQueries {
          |              FROM cd) WHERE rn <= 3),
          |scored AS (SELECT q.qid, e.vec_id, ${VectorQueries.l2Sql("e.embedding", "q.qv")} AS d
          |           FROM embeddings e JOIN probes p ON e.label = p.label JOIN q ON q.qid = p.qid),
+         |ranked AS (SELECT qid, vec_id, d,
+         |                  row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
+         |           FROM scored)
+         |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(d, 3) AS dist
+         |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+    QueryDef("q_ann_compacted", qAnnCompacted, Some(
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |           WHERE vec_id >= 8 AND vec_id < 12),
+         |scored AS (SELECT q.qid, e.vec_id, ${VectorQueries.l2Sql("e.embedding", "q.qv")} AS d
+         |           FROM embeddings e CROSS JOIN q),
          |ranked AS (SELECT qid, vec_id, d,
          |                  row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
          |           FROM scored)
