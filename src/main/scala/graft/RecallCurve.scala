@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{HnswIndex, HnswParams, IvfIndex}
+
+/** Measures the ANN quality-latency tradeoff the serving knobs buy:
+  * recall@10 (vs exact brute force) as `efSearch` grows on the
+  * un-routed beam, and as `nprobe` grows on the routed path — the two
+  * levers a 100 TB deployment tunes. Prints a markdown table for
+  * BASELINE.md. The oracle-gated queries pin these knobs at exhaustive
+  * settings (ANN ≡ exact, hash-checkable); this main records what the
+  * PRODUCTION settings give up, so the tradeoff is a published number
+  * rather than only a ScalaTest threshold.
+  *
+  * Usage: `sbt "runMain graft.RecallCurve [sfDir]"`.
+  */
+object RecallCurve {
+
+  private val P = HnswParams(m = 16, efConstruction = 32)
+  private val K = 10
+  private val NQueries = 64
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .appName("graft-recall")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = e.count()
+    val queries = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val idx = HnswIndex.build(e.withColumn("part", col("label")), P)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    idx.count() // materialize the build outside the timed region
+    val router = IvfIndex.fromPartitionMeans(e, "label", "embedding")
+
+    def top(df: DataFrame): Map[Long, Set[Long]] =
+      df.select(col("qid"), col("vector_id"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+    // exhaustive beam == exact: the ground truth
+    val exact = top(HnswIndex.search(idx, queries, K, P, efSearch = 1 << 20))
+
+    def measure(label: String, mk: => DataFrame): (String, Double, Double) = {
+      val t0 = System.nanoTime()
+      val got = top(mk)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall = exact.map { case (q, want) =>
+        got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+      }.sum / exact.size
+      (label, recall, sec)
+    }
+
+    val rows =
+      Seq(16, 32, 64, 128, 256).map { ef =>
+        measure(s"beam, ef=$ef", HnswIndex.search(idx, queries, K, P, efSearch = ef))
+      } ++ Seq(1, 2, 3, 5, 10).map { np =>
+        measure(s"routed, nprobe=$np (ef=256)",
+          HnswIndex.search(idx, queries, K, P, efSearch = 256,
+            router = Some(router), nprobe = np))
+      }
+
+    println(s"\n### recall@$K vs serving knobs ($sfDir, n=$n, $NQueries queries, " +
+      s"m=${P.m}, efConstruction=${P.efConstruction}, 10 label cells)\n")
+    println("| config | recall@10 | wall sec |")
+    println("|---|---|---|")
+    rows.foreach { case (l, r, s) => println(f"| $l | $r%.3f | $s%.2f |") }
+    spark.stop()
+  }
+}

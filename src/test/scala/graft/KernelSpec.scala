@@ -36,6 +36,34 @@ class KernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(diff == 0L, s"$diff rows diverge between native and HOF kernels")
   }
 
+  test("IvfAssign interpreted eval matches the driver-side model (ties + pruning)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val model = graft.index.IvfIndex.train(e, k = 16, iters = 0)
+    val flat = model.centroids.flatten
+    val dim = model.centroids.head.length
+    val vecs = e.select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+    // interpreted path: Expression.eval, never codegen — must agree with
+    // the pure-Scala model (IvfIndexSpec covers the codegen path)
+    vecs.foreach { case (id, v) =>
+      val in = Literal.create(v, ArrayType(FloatType, containsNull = false))
+      val got = graft.functions.expressions.IvfAssign(in, flat, Array.empty[Int], dim)
+        .eval(null).asInstanceOf[Int]
+      assert(got == model.assignOne(v), s"vec $id: interpreted $got != model")
+    }
+    // a duplicated centroid must tie to the lower ordinal in both paths
+    val dup = flat.take(dim) ++ flat.take(dim)
+    val in0 = Literal.create(vecs.head._2, ArrayType(FloatType, containsNull = false))
+    assert(graft.functions.expressions.IvfAssign(in0, dup, Array.empty[Int], dim)
+      .eval(null).asInstanceOf[Int] == 0)
+    // sparse cell-id routing resolves through cellIds, not ordinals
+    assert(graft.functions.expressions.IvfAssign(in0, dup, Array(7, 1900000), dim)
+      .eval(null).asInstanceOf[Int] == 7)
+  }
+
   test("native cosine zero-vector guard returns 0.0, not NaN") {
     val df = spark.sql("SELECT array(1.0F, 2.0F) AS a, array(0.0F, 0.0F) AS z")
     val r = df.select(cosineNative(col("a"), col("z")), cosineNative(col("z"), col("z"))).collect()(0)
