@@ -39,10 +39,24 @@ object RecallCurve {
     val n = e.count()
     val queries = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val idx = HnswIndex.build(e.withColumn("part", col("label")), P)
+
+    // ef curve: ONE graph over the whole corpus, so beam quality is
+    // measured on an n-node small-world graph (per-cell graphs at this
+    // sf are ~n/10 nodes and exact even at ef=16 — uninformative)
+    val one = HnswIndex.build(e.withColumn("part", lit(0)), P)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    idx.count() // materialize the build outside the timed region
-    val router = IvfIndex.fromPartitionMeans(e, "label", "embedding")
+    one.count() // materialize the build outside the timed region
+
+    // nprobe curve: trained IVF cells + the same model as router — the
+    // production routed-serving configuration (routing by an unrelated
+    // partition key, e.g. the fixture's labels, is geometrically
+    // near-random: measured recall ~= nprobe/L)
+    val cells = 16
+    val model = IvfIndex.train(e, k = cells, iters = 3)
+    val routed = HnswIndex.build(
+      IvfIndex.assign(e, model).withColumn("part", col("cell")), P)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    routed.count()
 
     def top(df: DataFrame): Map[Long, Set[Long]] =
       df.select(col("qid"), col("vector_id"))
@@ -51,7 +65,7 @@ object RecallCurve {
         .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
 
     // exhaustive beam == exact: the ground truth
-    val exact = top(HnswIndex.search(idx, queries, K, P, efSearch = 1 << 20))
+    val exact = top(HnswIndex.search(one, queries, K, P, efSearch = 1 << 20))
 
     def measure(label: String, mk: => DataFrame): (String, Double, Double) = {
       val t0 = System.nanoTime()
@@ -64,16 +78,16 @@ object RecallCurve {
     }
 
     val rows =
-      Seq(16, 32, 64, 128, 256).map { ef =>
-        measure(s"beam, ef=$ef", HnswIndex.search(idx, queries, K, P, efSearch = ef))
-      } ++ Seq(1, 2, 3, 5, 10).map { np =>
-        measure(s"routed, nprobe=$np (ef=256)",
-          HnswIndex.search(idx, queries, K, P, efSearch = 256,
-            router = Some(router), nprobe = np))
+      Seq(10, 16, 32, 64, 128).map { ef =>
+        measure(s"single graph, ef=$ef", HnswIndex.search(one, queries, K, P, efSearch = ef))
+      } ++ Seq(1, 2, 3, 5, 8).map { np =>
+        measure(s"routed $cells trained cells, nprobe=$np (ef=256)",
+          HnswIndex.search(routed, queries, K, P, efSearch = 256,
+            router = Some(model), nprobe = np))
       }
 
     println(s"\n### recall@$K vs serving knobs ($sfDir, n=$n, $NQueries queries, " +
-      s"m=${P.m}, efConstruction=${P.efConstruction}, 10 label cells)\n")
+      s"m=${P.m}, efConstruction=${P.efConstruction})\n")
     println("| config | recall@10 | wall sec |")
     println("|---|---|---|")
     rows.foreach { case (l, r, s) => println(f"| $l | $r%.3f | $s%.2f |") }
