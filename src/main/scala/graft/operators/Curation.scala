@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Training-data curation operators: deterministic splits, stratified
+  * sampling, token-budget sharding, and benchmark decontamination
+  * (north-star extensions; the reference has no corpus-pipeline
+  * surface — its data model stops at vectors, `/root/reference/src/lib.rs:55-60`).
+  *
+  * Everything is hash- or prefix-sum-deterministic: re-running a
+  * pipeline over a grown corpus keeps every previously-assigned
+  * decision stable (split membership, sample membership), which is
+  * what makes incremental 100 TB curation reproducible — and every
+  * stage is plain integer arithmetic, expressible in the DuckDB
+  * oracle. */
+object Curation {
+
+  val HashMod = 4294967296L // 2^32
+
+  /** Knuth multiplicative remix of an id column into [0, buckets):
+    * splits/samples derive from the ID alone, so membership is stable
+    * under corpus growth and independent of row order or partitioning.
+    * `mult`/`add` pick independent hash families (the same constants
+    * as the SimHash word remixes) so e.g. the split decision and the
+    * sampling decision are uncorrelated. */
+  def hashBucket(id: Column, buckets: Long,
+      mult: Long = 2654435761L, add: Long = 0L): Column =
+    pmod(pmod(id * lit(mult) + lit(add), lit(HashMod)), lit(buckets))
+
+  /** Deterministic train/val/test assignment by id hash: ~trainPct%
+    * train, ~valPct% val, remainder test. A map-only pass — no
+    * shuffle, no RNG state, no sampling job. */
+  def splitAssign(df: DataFrame, idCol: String = "doc_id",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "need 0 < trainPct, 0 <= valPct, trainPct + valPct < 100")
+    val b = hashBucket(col(idCol), 100L)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Stratified downsampling: keep a row iff its id hash falls under
+    * the stratum's rate (in basis points of 10 000). The id decides —
+    * membership is stable as the corpus grows, and the pass is
+    * map-only (rates ride as a literal CASE). Use an `add` offset
+    * distinct from [[splitAssign]]'s family so sampling is
+    * uncorrelated with splitting. */
+  def stratifiedSample(df: DataFrame, rateBps: Column,
+      idCol: String = "doc_id"): DataFrame =
+    df.filter(hashBucket(col(idCol), 10000L, mult = 2246822519L, add = 12345L) < rateBps)
+
+  /** Shard a corpus into contiguous ~`budgetTokens`-token shards in id
+    * order (the layout step before sequence packing / shard-parallel
+    * tokenization). Shard of a doc = floor(tokens-before-it / budget).
+    *
+    * Distributed prefix sum, NOT a single global window (a global
+    * `ORDER BY` window serializes onto one task at 100 TB): range-
+    * partition by id, local cumsum per partition (parallel windows),
+    * collect only the O(#partitions) per-partition totals to the
+    * driver, and broadcast their prefix offsets back. The persist
+    * pins one physical partitioning so the totals pass and the cumsum
+    * pass see identical partition contents; the assignment itself is
+    * invariant to where the range boundaries land. */
+  def tokenShards(df: DataFrame, budgetTokens: Long, tokCol: Column,
+      idCol: String = "doc_id", partitions: Int = 32): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val base = df.select(col(idCol).as("id"), tokCol.cast("long").as("toks"))
+      .repartitionByRange(partitions, col("id"))
+      .withColumn("pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totals = base.groupBy("pid").agg(sum("toks").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.map(_._1).zip(
+      totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toMap
+    val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("pid") === pid, off).otherwise(acc)
+    }
+    val localBefore = sum(col("toks")).over(
+      Window.partitionBy("pid").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1))
+    base
+      .withColumn("start", coalesce(localBefore, lit(0L)) + offExpr)
+      .withColumn("shard", floor(col("start") / budgetTokens).cast("int"))
+      .select(col("id").as(idCol), col("toks"), col("shard"))
+  }
+
+  /** Benchmark decontamination: for every corpus document, the eval
+    * documents it shares >= `minOverlap` distinct n-gram shingles with.
+    * The eval side (benchmark suites — tiny by contract) becomes a
+    * broadcast inverted index, so the corpus side is one scan + one
+    * aggregation over ACTUAL collisions — never corpus x eval
+    * all-pairs. Shingles are distinct per doc ([[Dedup.shingles]]), so
+    * the per-pair collision count IS the intersection size. */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame,
+      n: Int = 3, minOverlap: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def inv(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as), Dedup.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col(as), explode(col("sh")).as("s"))
+    inv(corpus, "train_id")
+      .join(broadcast(inv(evalDocs, "eval_id")), "s")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+}

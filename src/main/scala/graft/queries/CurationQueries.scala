@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+import graft.operators.Curation
+
+/** Training-data curation queries: deterministic splits, stratified
+  * sampling, token-budget sharding, benchmark decontamination — the
+  * corpus-layout stages of an LLM data pipeline, all hash/prefix-sum
+  * deterministic so the full pipelines are DuckDB-oracle-checked. */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Per-document train/val/test assignment (80/10/10 by id hash):
+    * stable under corpus growth, no RNG, map-only. */
+  def qSplitAssign(s: SparkSession, dir: String): DataFrame =
+    Curation.splitAssign(docs(s, dir))
+      .select(col("doc_id"), col("split"))
+      .orderBy("doc_id")
+
+  /** Stratified downsampling: rebalance the corpus by keeping 25% of
+    * the dominant language and all of the rest — membership decided by
+    * id hash (uncorrelated with the split family), map-only. */
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedSample(
+        docs(s, dir),
+        when(col("lang") === "en", 2500L).otherwise(10000L))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  /** Token-budget sharding: contiguous ~2000-token shards in doc_id
+    * order via the distributed prefix sum (no global-window
+    * serialization), summarized per shard. */
+  def qTokenShards(s: SparkSession, dir: String): DataFrame =
+    Curation.tokenShards(docs(s, dir), budgetTokens = 2000L,
+        tokCol = size(tokens(col("text"))))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      .orderBy("shard")
+
+  /** Benchmark decontamination: every (train doc, eval doc) pair
+    * sharing >= 2 distinct 3-gram shingles; the eval set (doc_id
+    * divisible by 50 — standing in for a benchmark suite) is a
+    * broadcast inverted index, the corpus side a single scan. */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Curation.decontaminate(
+        d.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(50)) === 0),
+        n = 3, minOverlap = 2)
+      .orderBy("train_id", "eval_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_split_assign", qSplitAssign, Some(
+      """SELECT doc_id,
+        |  CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    QueryDef("q_sample_stratified", qSampleStratified, Some(
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2246822519 + 12345) % 4294967296 % 10000
+        |      < CASE WHEN lang = 'en' THEN 2500 ELSE 10000 END
+        |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q_token_shards", qTokenShards, Some(
+      """WITH t AS (SELECT doc_id, len(string_split_regex(text, '\s+')) AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |        COALESCE(sum(toks) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+        |      FROM t)
+        |SELECT CAST(strt // 2000 AS INT) AS shard, count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin)),
+    QueryDef("q_decontaminate", qDecontaminate, Some(
+      s"""WITH t AS (SELECT doc_id, ${DedupQueries.shSql} AS sh FROM documents),
+         |e AS (SELECT doc_id, sh FROM t WHERE doc_id % 50 = 0 AND len(sh) > 0),
+         |tr AS (SELECT doc_id, sh FROM t WHERE doc_id % 50 <> 0 AND len(sh) > 0),
+         |ov AS (SELECT tr.doc_id AS train_id, e.doc_id AS eval_id,
+         |         len(list_intersect(tr.sh, e.sh)) AS n_overlap
+         |       FROM tr, e)
+         |SELECT train_id, eval_id, CAST(n_overlap AS BIGINT) AS n_overlap
+         |FROM ov WHERE n_overlap >= 2 ORDER BY train_id, eval_id""".stripMargin)),
+  )
+}

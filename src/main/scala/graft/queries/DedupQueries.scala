@@ -86,7 +86,7 @@ object DedupQueries {
 
   // ---- oracle SQL ---------------------------------------------------
 
-  private val shSql =
+  private[queries] val shSql =
     """list_distinct(list_transform(range(1, len(string_split_regex(text,'\s+')) - 1),
       | i -> string_split_regex(text,'\s+')[i] || '_' || string_split_regex(text,'\s+')[i+1]
       |      || '_' || string_split_regex(text,'\s+')[i+2]))""".stripMargin.replaceAll("\\s+", " ")

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions.tokens
+import graft.operators.{Curation, Dedup}
+
+/** Curation operators: the distributed prefix-sum sharder must equal
+  * the naive global-window reference, decontamination must equal
+  * all-pairs intersection, and hash-based membership must be stable
+  * and monotone in the rate. */
+class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("tokenShards == naive global-window prefix sum, at several partition counts") {
+    import spark.implicits._
+    val tok = size(tokens(col("text")))
+    val naive = docs
+      .select(col("doc_id"), tok.cast("long").as("toks"))
+      .withColumn("strt", coalesce(sum("toks").over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), floor(col("strt") / 2000L).cast("int").as("shard"))
+      .as[(Long, Int)].collect().toMap
+    for (p <- Seq(1, 4, 32)) {
+      val got = Curation.tokenShards(docs, 2000L, tok, partitions = p)
+        .select(col("doc_id"), col("shard")).as[(Long, Int)].collect().toMap
+      assert(got == naive, s"shard assignment diverged at partitions=$p")
+    }
+  }
+
+  test("decontaminate == all-pairs shingle intersection at the threshold") {
+    import spark.implicits._
+    val ev = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val tr = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    val got = Curation.decontaminate(tr, ev, n = 3, minOverlap = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    def sh(df: org.apache.spark.sql.DataFrame, as: String) = df
+      .select(col("doc_id").as(as), Dedup.shingles(col("text"), 3).as(s"sh_$as"))
+      .filter(size(col(s"sh_$as")) > 0)
+    val naive = sh(tr, "a").crossJoin(sh(ev, "b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n"))
+      .filter(col("n") >= 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == naive)
+  }
+
+  test("splitAssign is deterministic, ~80/10/10, and id-stable under corpus growth") {
+    import spark.implicits._
+    val full = Curation.splitAssign(docs).select(col("doc_id"), col("split"))
+      .as[(Long, String)].collect().toMap
+    val counts = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    val n = full.size.toDouble
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9, s"$counts")
+    assert(counts.getOrElse("val", 0) > 0 && counts.getOrElse("test", 0) > 0, s"$counts")
+    // growth stability: assignments over a subset match the full corpus
+    val sub = Curation.splitAssign(docs.filter(col("doc_id") < 100))
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    assert(sub.forall { case (id, sp) => full(id) == sp })
+  }
+
+  test("stratifiedSample membership is monotone in the rate and never upsamples") {
+    import spark.implicits._
+    def ids(bps: Long) = Curation.stratifiedSample(docs, lit(bps))
+      .select("doc_id").as[Long].collect().toSet
+    val (r25, r50, r100) = (ids(2500L), ids(5000L), ids(10000L))
+    assert(r25.subsetOf(r50) && r50.subsetOf(r100), "bucket membership must nest")
+    assert(r100.size == docs.count(), "rate 10000 bps must keep everything")
+    val frac = r25.size / r100.size.toDouble
+    assert(frac > 0.15 && frac < 0.35, s"rate 2500 bps kept $frac")
+  }
+}
