@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CurationQueries, DedupQueries, IndexQueries, PipelineQueries, QueryDef, RelationalQueries, TextQueries, VectorQueries}
+import graft.queries.{CurationQueries, DedupQueries, HybridQueries, IndexQueries, PipelineQueries, QueryDef, RelationalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,7 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     VectorQueries.all ++ IndexQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ RelationalQueries.all ++ PipelineQueries.all ++
-      CurationQueries.all
+      CurationQueries.all ++ HybridQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exact top-10 L2² neighbors of vector 0 — the reference's core query

@@ -407,6 +407,37 @@ object IndexQueries {
         |         JOIN qsub ON qsub.m = code.m
         |         GROUP BY code.vec_id)
         |SELECT vec_id, round(d, 3) AS dist FROM dist ORDER BY d, vec_id LIMIT 10""".stripMargin)),
+    QueryDef("q_ann_ivfpq", qAnnIvfPq, Some(
+      """WITH ms AS (SELECT unnest(range(0, 8)) AS m),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 12),
+        |ex AS (SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+        |       FROM embeddings),
+        |cent AS (SELECT label, i,
+        |           CAST(sum(CAST(x AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS m
+        |         FROM ex GROUP BY label, i),
+        |cd AS (SELECT c.label, sum((c.m - CAST(q.qv[c.i] AS DOUBLE))^2) AS d
+        |       FROM cent c, q GROUP BY c.label),
+        |probes AS (SELECT label FROM cd ORDER BY d, label LIMIT 3),
+        |cw AS (SELECT e.vec_id AS j, ms.m,
+        |         list_transform(e.embedding[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
+        |       FROM embeddings e, ms WHERE e.vec_id < 16),
+        |sub AS (SELECT e.vec_id, ms.m,
+        |          list_transform(e.embedding[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
+        |        FROM embeddings e JOIN probes USING (label), ms),
+        |dd AS (SELECT s.vec_id, s.m, c.j,
+        |         list_sum(list_transform(list_zip(c.v, s.v), p -> (p[1] - p[2])^2)) AS d
+        |       FROM sub s JOIN cw c ON s.m = c.m),
+        |code AS (SELECT vec_id, m, j FROM
+        |           (SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+        |            FROM dd) WHERE rn = 1),
+        |qsub AS (SELECT ms.m, list_transform(q.qv[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
+        |         FROM q, ms),
+        |dist AS (SELECT code.vec_id,
+        |           sum(list_sum(list_transform(list_zip(cw.v, qsub.v), p -> (p[1] - p[2])^2))) AS d
+        |         FROM code JOIN cw ON code.m = cw.m AND code.j = cw.j
+        |         JOIN qsub ON qsub.m = code.m
+        |         GROUP BY code.vec_id)
+        |SELECT vec_id, round(d, 3) AS dist FROM dist ORDER BY d, vec_id LIMIT 10""".stripMargin)),
     QueryDef("q_build_range", qBuildRange, Some(
       """SELECT CAST(label AS INT) AS part, count(*) AS n_nodes,
         |  min(vec_id) AS min_id, max(vec_id) AS max_id
@@ -451,6 +482,46 @@ object IndexQueries {
     val model = pqModel(s, dir)
     val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("__qv"))
     e.select(col("vec_id"), ProductQuantizer.encodeExpr(col("embedding"), model).as("codes"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), ProductQuantizer.adcExpr(col("codes"), col("__qv"), model).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), round(col("d"), 3).as("dist"))
+  }
+
+  /** IVF-PQ serving — the standard billion-scale ANN configuration
+    * (coarse quantizer routes to nprobe cells, product-quantized codes
+    * rank inside them; Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011, §V): the query descends the
+    * decimal-exact label centroids to its 3 nearest cells, and ONLY
+    * vectors in probed cells are PQ-encoded and ranked by asymmetric
+    * (ADC) distance. At 100 TB the scan touches nprobe/L of the corpus
+    * and the ranking pipeline moves 8-byte codes instead of 256-byte
+    * raw vectors — the memory-bandwidth-bound serving shape. Codebooks
+    * are the memoized iters=0 init (encode depends only on the global
+    * codebooks, so restricting encode to probed cells is exact);
+    * trained-codebook quality is gated in ScalaTest. */
+  def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import graft.index.ProductQuantizer
+    val e = emb(s, dir)
+    val model = pqModel(s, dir)
+    val q = e.filter(col("vec_id") === 12L).select(col("embedding").as("__qv"))
+
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg((sum(col("x").cast("decimal(18,12)")).cast("double") / count(lit(1))).as("m"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s("m")).as("cv"))
+
+    val probes = cent.crossJoin(broadcast(q))
+      .select(col("label"), l2Sq(col("cv"), col("__qv")).as("cd"))
+      .orderBy(col("cd").asc, col("label").asc)
+      .limit(3)
+      .select("label")
+
+    e.join(broadcast(probes), "label")
+      .select(col("vec_id"), ProductQuantizer.encodeExpr(col("embedding"), model).as("codes"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), ProductQuantizer.adcExpr(col("codes"), col("__qv"), model).as("d"))
       .orderBy(col("d").asc, col("vec_id").asc)

@@ -93,6 +93,23 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the kernel projection itself must be inside a codegen stage:\n${p.take(3000)}")
   }
 
+  test("BM25 keeps corpus stats and df broadcast-side; final top-k is bounded") {
+    val p = plan(graft.queries.HybridQueries.qBm25(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"BM25 top-k must be bounded, never a global sort:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"df/stats sides must broadcast (no corpus shuffle to meet them):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-wide shuffle join belongs in the BM25 plan:\n$p")
+  }
+
+  test("IVF-PQ serving broadcasts probes and bounds the ADC top-k") {
+    val p = plan(IndexQueries.qAnnIvfPq(spark, sfDir))
+    assert(p.contains("BroadcastExchange"), s"probe set must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"ADC top-k must be bounded:\n$p")
+    assert(!p.contains("CartesianProduct"), s"query join must broadcast:\n$p")
+  }
+
   test("column pruning reaches the scan: kernel query reads only the needed columns") {
     val p = plan(VectorQueries.qL2Kernel(spark, sfDir))
     val scanSchemas = "ReadSchema: [^\\n]*".r.findAllIn(p).toList
