@@ -59,6 +59,80 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC 2014) — the extreme-scale alternative to
+    * [[connectedComponents]]: rounds scale with O(log²) of the
+    * component size instead of its diameter, so a pathological
+    * chain-shaped duplicate cluster (diameter ~n) converges in a
+    * handful of rounds rather than n. Each round is two
+    * groupBy-min + equi-join passes over the current edge set (the
+    * near-dup pair graph — tiny next to the corpus); no step ever
+    * materializes more than ~2|E| rows.
+    *
+    * large-star: every node points its larger neighbors at the minimum
+    * of its closed neighborhood; small-star: every node folds its
+    * smaller neighbors (and itself) onto that minimum. At the fixpoint
+    * the edges form stars rooted at each component's minimum id —
+    * exactly [[connectedComponents]]'s (id, comp) contract (equivalence
+    * is spec-checked on chain, star, and random graphs). */
+  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+
+    // min of the closed neighborhood Γ(u) ∪ {u}, keyed (cu, mn)
+    def closedMin(e: DataFrame): DataFrame =
+      e.groupBy(col("u"))
+        .agg(min(col("v")).as("mnv"))
+        .select(col("u").as("cu"), least(col("mnv"), col("u")).as("mn"))
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val both = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      both.join(closedMin(both), col("u") === col("cu"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("mn").as("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // edges arrive (u, v) with v < u (large-star output shape), so
+      // every neighbor here is a smaller neighbor
+      val m = closedMin(e)
+      e.join(m, col("u") === col("cu"))
+        .select(col("v").as("u"), col("mn").as("v"))
+        .union(m.select(col("cu").as("u"), col("mn").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var edges = pairs
+      .select(greatest(col("a"), col("b")).cast("long").as("u"),
+        least(col("a"), col("b")).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var it = 0
+    var stable = false
+    while (!stable && it < maxIters) {
+      // localCheckpoint truncates per-round lineage (same reasoning as
+      // the propagation variant)
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // fixpoint test: star edges are canonical (u > v after
+      // convergence), so set equality is an except-count
+      stable = next.except(edges).count() == 0 && edges.except(next).count() == 0
+      edges = next
+      it += 1
+    }
+    if (!stable)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIters rounds")
+    // at fixpoint every non-root points straight at its component min;
+    // roots (component minima) label themselves
+    edges.select(col("u").as("id"), col("v").as("comp"))
+      .union(edges.select(col("v").as("id"), col("v").as("comp")))
+      .distinct()
+  }
+
   /** Exact duplicate groups keyed by content hash: one row per distinct
     * text with the surviving (minimum) doc id and the group size. */
   def exactDupGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

@@ -109,6 +109,19 @@ object TextQueries {
       .select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy("doc_id")
 
+  /** Same clustering contract as [[qDedupCluster]], computed by the
+    * alternating large-star/small-star contraction
+    * ([[graft.operators.Dedup.connectedComponentsStar]]) — rounds
+    * bounded by O(log²) of component size, not diameter, which is what
+    * survives a 100 TB pair graph with chain-shaped clusters. Shares
+    * the recursive-closure oracle: both algorithms must produce the
+    * identical (doc, min-reachable-id) map. */
+  def qDedupClusterStar(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup
+      .connectedComponentsStar(Dedup.jaccardJoin(docs(s, dir), tau = 0.8))
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy("doc_id")
+
   /** The dedup pipeline's end product: the corpus with every near-dup
     * cluster collapsed to its minimum-id survivor (detect pairs →
     * cluster → anti-join the non-survivors). */
@@ -212,6 +225,17 @@ object TextQueries {
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component)
          |ORDER BY d.doc_id""".stripMargin)),
     QueryDef("q_dedup_cluster", qDedupCluster, Some(
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $shSql AS sh FROM documents),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |            / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.8),
+         |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+         |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         |                UNION
+         |                SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
+         |SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u ORDER BY doc_id""".stripMargin)),
+    QueryDef("q_dedup_cluster_star", qDedupClusterStar, Some(
       s"""WITH RECURSIVE t AS (SELECT doc_id, $shSql AS sh FROM documents),
          |p AS (SELECT a.doc_id AS a, b.doc_id AS b
          |      FROM t a JOIN t b ON a.doc_id < b.doc_id
