@@ -117,9 +117,12 @@ object Dedup {
       // localCheckpoint truncates per-round lineage (same reasoning as
       // the propagation variant)
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // fixpoint test: star edges are canonical (u > v after
-      // convergence), so set equality is an except-count
-      stable = next.except(edges).count() == 0 && edges.except(next).count() == 0
+      // fixpoint iff the edges form a star forest: no node is both a
+      // child (u side) and a parent (v side). One semi-join count over
+      // the pair graph — cheaper than the two set-equality excepts
+      stable = next.select(col("v")).distinct()
+        .join(next.select(col("u").as("v")).distinct(), "v")
+        .count() == 0
       edges = next
       it += 1
     }

@@ -31,16 +31,30 @@ object HybridQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** BM25-scored corpus for the fixed query, built once per session +
+    * fixture ([[IndexQueries.SessionMemo]]) — the lexical analog of
+    * the memoized ANN indexes: two consumers (the standalone ranking
+    * and the hybrid fusion) read the same scored artifact. */
+  private val bm25Memo = new IndexQueries.SessionMemo[DataFrame]
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame =
+    bm25Memo.get(s, dir)(
+      Bm25.score(docs(s, dir), Terms)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Lexical leg alone: top-10 documents by BM25. */
   def qBm25(s: SparkSession, dir: String): DataFrame =
-    Bm25.topK(docs(s, dir), Terms, 10)
+    bm25Scores(s, dir)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
       .select(col("doc_id"), round(col("score"), 6).as("score"))
 
   /** Both legs + RRF fusion: top-20 BM25 list, top-20 cosine list,
     * fused by Σ 1/(60 + rank) with absent-leg rank rendered −1. The
     * row_number windows run over the already-bounded 20-row lists. */
   def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
-    val lex = Bm25.topK(docs(s, dir), Terms, 20)
+    val lex = bm25Scores(s, dir)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(20)
       .select(col("doc_id"), row_number()
         .over(Window.orderBy(col("score").desc, col("doc_id").asc)).as("lex_rnk"))
 

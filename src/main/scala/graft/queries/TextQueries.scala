@@ -16,6 +16,18 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** The τ = 0.8 near-dup pair graph, built once per session + corpus
+    * snapshot ([[IndexQueries.SessionMemo]] — the same build-once
+    * rationale as the ANN indexes and quantizer models): the pair list
+    * is a derived artifact that four consumers read (pair report,
+    * both clusterings, corpus materialization); recomputing the
+    * inverted-index join per consumer is rebuild-per-query waste. */
+  private val pairsMemo = new IndexQueries.SessionMemo[DataFrame]
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    pairsMemo.get(s, dir)(
+      Dedup.jaccardJoin(docs(s, dir), tau = 0.8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Per-document token/char/punctuation statistics. */
   def qTextStats(s: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
@@ -65,7 +77,7 @@ object TextQueries {
     * shingle index — never an all-pairs cross join). The fixtures embed
     * generator-injected near-dup pairs at J ~ 0.97+. */
   def qSimJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardJoin(docs(s, dir), tau = 0.8)
+    nearDupPairs(s, dir)
       .select(col("a"), col("b"), round(col("jac"), 3).as("jac"))
       .orderBy("a", "b")
 
@@ -105,7 +117,7 @@ object TextQueries {
     * survivor). */
   def qDedupCluster(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup
-      .connectedComponents(Dedup.jaccardJoin(docs(s, dir), tau = 0.8))
+      .connectedComponents(nearDupPairs(s, dir))
       .select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy("doc_id")
 
@@ -118,7 +130,7 @@ object TextQueries {
     * identical (doc, min-reachable-id) map. */
   def qDedupClusterStar(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup
-      .connectedComponentsStar(Dedup.jaccardJoin(docs(s, dir), tau = 0.8))
+      .connectedComponentsStar(nearDupPairs(s, dir))
       .select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy("doc_id")
 
@@ -128,7 +140,7 @@ object TextQueries {
   def qDedupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val clusters = graft.operators.Dedup
-      .connectedComponents(Dedup.jaccardJoin(d, tau = 0.8))
+      .connectedComponents(nearDupPairs(s, dir))
     val dropped = clusters.filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
     d.join(dropped, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_chars"))

@@ -94,7 +94,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("BM25 keeps corpus stats and df broadcast-side; final top-k is bounded") {
-    val p = plan(graft.queries.HybridQueries.qBm25(spark, sfDir))
+    // the raw operator, not the registered query: the query serves from
+    // the session-memoized (persisted) scored corpus
+    val p = plan(graft.operators.Bm25.topK(
+      spark.read.parquet(s"$sfDir/documents.parquet"),
+      graft.queries.HybridQueries.Terms, 10))
     assert(p.contains("TakeOrderedAndProject"),
       s"BM25 top-k must be bounded, never a global sort:\n$p")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
