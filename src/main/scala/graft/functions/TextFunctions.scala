@@ -57,6 +57,32 @@ object TextFunctions {
       .otherwise(lit("fr"))
   }
 
+  /** Adjacent-token bigrams ("a b"); empty for docs with < 2 tokens.
+    * Row-local (no explode/shuffle) — the building block for the
+    * Gopher-style duplicate-n-gram repetition signal. */
+  def bigrams(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1), i =>
+        concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+
+  /** Occurrence count of the most frequent token, computed row-locally
+    * as the longest equal run of the sorted token array (O(n log n)
+    * per doc, map-only — no explode + per-token shuffle, so a corpus
+    * scan stays one narrow pass at any scale). The empty-string zero
+    * state is safe: a first token equal to the sentinel still starts
+    * its run at 0 + 1. */
+  def topTokenCount(toks: Column): Column =
+    aggregate(
+      sort_array(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, t) => {
+        val run = when(t === st.getField("prev"), st.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+
   /** Canonical text normalization for dedup keys: lowercase, strip
     * non-alphanumerics to single spaces, trim. */
   def normalizeText(text: Column): Column =

@@ -54,9 +54,9 @@ object Curation {
       idCol: String = "doc_id"): DataFrame =
     df.filter(hashBucket(col(idCol), 10000L, mult = 2246822519L, add = 12345L) < rateBps)
 
-  /** Shard a corpus into contiguous ~`budgetTokens`-token shards in id
-    * order (the layout step before sequence packing / shard-parallel
-    * tokenization). Shard of a doc = floor(tokens-before-it / budget).
+  /** Global token-stream offsets in id order: for each doc, the count
+    * of tokens in all earlier docs (`start`), so doc `d` occupies the
+    * half-open token span [start, start + toks).
     *
     * Distributed prefix sum, NOT a single global window (a global
     * `ORDER BY` window serializes onto one task at 100 TB): range-
@@ -66,9 +66,8 @@ object Curation {
     * pins one physical partitioning so the totals pass and the cumsum
     * pass see identical partition contents; the assignment itself is
     * invariant to where the range boundaries land. */
-  def tokenShards(df: DataFrame, budgetTokens: Long, tokCol: Column,
-      idCol: String = "doc_id", partitions: Int = 32): DataFrame = {
-    require(budgetTokens > 0, "budgetTokens must be positive")
+  private def globalTokenStarts(df: DataFrame, tokCol: Column,
+      idCol: String, partitions: Int): DataFrame = {
     val base = df.select(col(idCol).as("id"), tokCol.cast("long").as("toks"))
       .repartitionByRange(partitions, col("id"))
       .withColumn("pid", spark_partition_id())
@@ -83,11 +82,59 @@ object Curation {
     val localBefore = sum(col("toks")).over(
       Window.partitionBy("pid").orderBy("id")
         .rowsBetween(Window.unboundedPreceding, -1))
-    base
-      .withColumn("start", coalesce(localBefore, lit(0L)) + offExpr)
+    base.withColumn("start", coalesce(localBefore, lit(0L)) + offExpr)
+  }
+
+  /** Shard a corpus into contiguous ~`budgetTokens`-token shards in id
+    * order (the layout step before sequence packing / shard-parallel
+    * tokenization). Shard of a doc = floor(tokens-before-it / budget),
+    * via the distributed prefix sum ([[globalTokenStarts]]). */
+  def tokenShards(df: DataFrame, budgetTokens: Long, tokCol: Column,
+      idCol: String = "doc_id", partitions: Int = 32): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    globalTokenStarts(df, tokCol, idCol, partitions)
       .withColumn("shard", floor(col("start") / budgetTokens).cast("int"))
       .select(col("id").as(idCol), col("toks"), col("shard"))
   }
+
+  /** Pack the corpus token stream into fixed-length training sequences
+    * (GPT-style concat-and-chunk): the global stream in id order is cut
+    * every `seqLen` tokens, and each doc maps to every sequence its
+    * span [start, start + toks) overlaps, with the overlapping token
+    * count. Output: one row per (doc, sequence) incidence —
+    * (idCol, toks, seq, n_tok_in_seq).
+    *
+    * Built on the same distributed prefix sum as [[tokenShards]]; the
+    * explode fans each doc out to ceil(toks / seqLen) + 1 rows at most,
+    * so the pass stays linear in corpus tokens. Zero-token docs are
+    * dropped (they occupy no span). */
+  def packSequences(df: DataFrame, seqLen: Long, tokCol: Column,
+      idCol: String = "doc_id", partitions: Int = 32): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val L = lit(seqLen)
+    globalTokenStarts(df, tokCol, idCol, partitions)
+      .filter(col("toks") > 0L)
+      .withColumn("seq",
+        explode(sequence(
+          floor(col("start") / L).cast("long"),
+          floor((col("start") + col("toks") - 1L) / L).cast("long"))))
+      .withColumn("n_tok_in_seq",
+        least(col("start") + col("toks"), (col("seq") + 1L) * L) -
+          greatest(col("start"), col("seq") * L))
+      .select(col("id").as(idCol), col("toks"),
+        col("seq").cast("int").as("seq"), col("n_tok_in_seq"))
+  }
+
+  /** Deterministic weighted upsampling (data-mixing repetition): emit
+    * `copiesCol` copies of each row, tagged 1..n in `copy`. The
+    * mixture-weight stage of a training-data pipeline — map-only
+    * (explode of a generated range), no RNG, so the exact multiset is
+    * reproducible at any parallelism. Rows with copies < 1 drop. */
+  def upsample(df: DataFrame, copiesCol: Column): DataFrame =
+    df.withColumn("__copies", copiesCol.cast("int"))
+      .filter(col("__copies") >= 1)
+      .withColumn("copy", explode(sequence(lit(1), col("__copies"))))
+      .drop("__copies")
 
   /** Benchmark decontamination: for every corpus document, the eval
     * documents it shares >= `minOverlap` distinct n-gram shingles with.

@@ -55,7 +55,45 @@ object CurationQueries {
       .orderBy("train_id", "eval_id")
   }
 
+  /** Sequence packing: cut the global token stream (doc_id order) into
+    * 512-token training sequences and summarize each — every interior
+    * sequence must hold exactly 512 tokens, which checks the packing
+    * arithmetic end-to-end. */
+  def qSeqPack(s: SparkSession, dir: String): DataFrame =
+    Curation.packSequences(docs(s, dir), seqLen = 512L,
+        tokCol = size(tokens(col("text"))))
+      .groupBy("seq")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok_in_seq").as("n_tokens"))
+      .orderBy("seq")
+
+  /** Deterministic mixture-weight upsampling: repeat under-represented
+    * languages (everything except the dominant 'en') 3x, 'en' 1x —
+    * the data-mixing stage, exactly reproducible (no RNG). */
+  def qUpsample(s: SparkSession, dir: String): DataFrame =
+    Curation.upsample(docs(s, dir),
+        when(col("lang") === "en", 1).otherwise(3))
+      .select(col("doc_id"), col("copy"), col("lang"))
+      .orderBy("doc_id", "copy")
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_seq_pack", qSeqPack, Some(
+      """WITH t AS (SELECT doc_id, len(string_split_regex(text, '\s+')) AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |        CAST(COALESCE(sum(toks) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+        |      FROM t WHERE toks > 0),
+        |x AS (SELECT doc_id, toks, strt,
+        |        unnest(range(strt // 512, (strt + toks - 1) // 512 + 1)) AS seq
+        |      FROM c),
+        |o AS (SELECT seq, least(strt + toks, (seq + 1) * 512)
+        |             - greatest(strt, seq * 512) AS tok_in FROM x)
+        |SELECT CAST(seq AS INT) AS seq, count(*) AS n_docs,
+        |  CAST(sum(tok_in) AS BIGINT) AS n_tokens
+        |FROM o GROUP BY 1 ORDER BY seq""".stripMargin)),
+    QueryDef("q_upsample", qUpsample, Some(
+      """SELECT doc_id, CAST(unnest(range(1, CASE WHEN lang = 'en' THEN 1 ELSE 3 END + 1)) AS INT) AS copy, lang
+        |FROM documents ORDER BY doc_id, copy""".stripMargin)),
     QueryDef("q_split_assign", qSplitAssign, Some(
       """SELECT doc_id,
         |  CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'

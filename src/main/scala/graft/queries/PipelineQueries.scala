@@ -191,7 +191,43 @@ object PipelineQueries {
       .orderBy("user_id")
   }
 
+  /** TRUE stream-stream join in the gate: two readStreams over the
+    * events parquet (clicks and purchases), inner-joined per user with
+    * a [0, 30 min] attribution window (EventStreams.correlateWithin),
+    * Append memory sink. Inner-join matches emit as found, so Append
+    * loses nothing on a bounded fixture; the gate watermark (365 days)
+    * covers the fixture span so no buffered row can expire mid-run
+    * even if the source splits into multiple triggers (the same
+    * batch-structure-independence argument as q_stream_dedup).
+    * Bounded-state expiry with a tight watermark is exercised in
+    * StreamingSpec. Timestamps compare in micros on both engines
+    * (nanos truncate via `ts div 1000`; the oracle mirrors with
+    * epoch_ns // 1000). */
+  def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    def stream() = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = stream().filter(col("event_type") === "click")
+    val purchases = stream().filter(col("event_type") === "purchase")
+    val name = "graft_stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.startToMemory(
+      EventStreams.correlateWithin(clicks, purchases, watermark = "365 days"), name)
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select(col("user_id"), col("l_id").as("click_id"), col("r_id").as("purchase_id"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_stream_join", qStreamJoin, Some(
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events)
+        |SELECT l.user_id, l.event_id AS click_id, r.event_id AS purchase_id
+        |FROM e l JOIN e r ON l.user_id = r.user_id
+        | AND l.event_type = 'click' AND r.event_type = 'purchase'
+        | AND r.us >= l.us AND r.us <= l.us + CAST(1800 AS BIGINT) * 1000000
+        |ORDER BY l.user_id, click_id, purchase_id""".stripMargin)),
     QueryDef("q_stream_sessions", qStreamSessions, Some(
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
         |g AS (SELECT user_id, us, event_id,

@@ -39,6 +39,23 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Multi-level aggregate: ROLLUP over (returnflag, linestatus) in
+    * one pass — detail, per-flag subtotals, and the grand total come
+    * from a single expand + hash aggregate (one shuffle), not three
+    * separate scans. Subtotal NULLs render as 'ALL' (the fixture
+    * columns are non-null, so the marker is unambiguous). */
+  def qRollupPricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("sum_price"), col("n"))
+      .orderBy("rf", "ls")
+
   /** Revenue per nation: shuffle join (orders x customer) + broadcast
     * join against the tiny nation dim. */
   def qJoinRevenue(s: SparkSession, dir: String): DataFrame =
@@ -193,6 +210,13 @@ object RelationalQueries {
         |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    QueryDef("q_rollup_pricing", qRollupPricing, Some(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin)),
     QueryDef("q_agg_pricing", qAggPricing, Some(
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,

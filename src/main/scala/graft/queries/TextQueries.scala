@@ -69,6 +69,48 @@ object TextQueries {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Intra-document repetition stats (the Gopher/C4 repetition-rule
+    * family): duplicate-token count, duplicate-bigram count, and the
+    * most-frequent-token count. All counts are integers (exact across
+    * engines — no float-threshold hazard) and every signal is computed
+    * row-locally ([[bigrams]]/[[topTokenCount]]), so the whole report
+    * is one narrow map-only corpus pass at any scale. */
+  def qRepetition(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val bi = bigrams(t)
+    docs(s, dir).select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      topTokenCount(t).cast("int").as("top_tok"),
+      (size(t) - size(array_distinct(t))).as("dup_tok"),
+      (size(bi) - size(array_distinct(bi))).as("dup_bigram"))
+      .orderBy("doc_id")
+  }
+
+  /** C4/Gopher-style quality filter cascade: each document gets
+    * per-rule flags (too short, repetitive, non-English) and the final
+    * keep decision. Every rule compares integers or strings — the
+    * thresholds are exact rationals rendered as cross-multiplied
+    * integer comparisons (top_tok/n > 0.28 becomes top_tok·100 > n·28)
+    * so no float boundary can disagree between engines. Map-only. */
+  def qFilterCascade(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val bi = bigrams(t)
+    val n = size(t).cast("long")
+    val dupBi = (size(bi) - size(array_distinct(bi))).cast("long")
+    val short_ = n < 20L
+    val repetitive = dupBi * 100L > (n - 1L) * 8L ||
+      topTokenCount(t) * 100L > n * 28L
+    val nonEn = langId(col("text")) =!= "en"
+    docs(s, dir).select(
+      col("doc_id"),
+      short_.as("flag_short"),
+      repetitive.as("flag_repetitive"),
+      nonEn.as("flag_non_en"),
+      (!(short_ || repetitive || nonEn)).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Exact dedup groups by content hash. */
   def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactDupGroups(docs(s, dir)).orderBy("content_hash")
@@ -161,7 +203,44 @@ object TextQueries {
       | i -> string_split_regex(text,'\s+')[i] || '_' || string_split_regex(text,'\s+')[i+1]
       |      || '_' || string_split_regex(text,'\s+')[i+2]))""".stripMargin.replaceAll("\\s+", " ")
 
+  /** Shared oracle CTE fragments for the repetition queries: `tk`
+    * token lists, per-doc `top_tok` (unnest + group-by in SQL — the
+    * values must match graft's row-local sorted-run form, the shape
+    * need not), and the duplicate-bigram count. */
+  private val tkSql =
+    s"""t AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+       |tc AS (SELECT doc_id, max(c) AS top_tok FROM
+       |        (SELECT doc_id, term, count(*) AS c FROM
+       |          (SELECT doc_id, unnest(tk) AS term FROM t) GROUP BY doc_id, term)
+       |       GROUP BY doc_id),
+       |rep AS (SELECT doc_id, text, len(tk) AS n,
+       |          len(tk) - len(list_distinct(tk)) AS dup_tok,
+       |          CASE WHEN len(tk) < 2 THEN 0 ELSE
+       |            len(tk) - 1 - len(list_distinct(list_transform(range(1, len(tk)),
+       |              i -> tk[i] || ' ' || tk[i+1]))) END AS dup_bigram
+       |        FROM t)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_repetition", qRepetition, Some(
+      s"""WITH $tkSql
+         |SELECT rep.doc_id, CAST(n AS INT) AS n_tokens, CAST(top_tok AS INT) AS top_tok,
+         |  CAST(dup_tok AS INT) AS dup_tok, CAST(dup_bigram AS INT) AS dup_bigram
+         |FROM rep JOIN tc USING (doc_id) ORDER BY doc_id""".stripMargin)),
+    QueryDef("q_filter_cascade", qFilterCascade, Some(
+      s"""WITH $tkSql,
+         |f AS (SELECT rep.doc_id, n < 20 AS flag_short,
+         |        (dup_bigram * 100 > (n - 1) * 8) OR (top_tok * 100 > n * 28) AS flag_repetitive,
+         |        (CASE WHEN ${hitsSql(StopEn)} = 0 AND ${hitsSql(StopEs)} = 0
+         |                   AND ${hitsSql(StopDe)} = 0 AND ${hitsSql(StopFr)} = 0 THEN 'und'
+         |              WHEN ${hitsSql(StopEn)} >= ${hitsSql(StopEs)} AND ${hitsSql(StopEn)} >= ${hitsSql(StopDe)}
+         |                   AND ${hitsSql(StopEn)} >= ${hitsSql(StopFr)} THEN 'en'
+         |              WHEN ${hitsSql(StopEs)} >= ${hitsSql(StopDe)} AND ${hitsSql(StopEs)} >= ${hitsSql(StopFr)} THEN 'es'
+         |              WHEN ${hitsSql(StopDe)} >= ${hitsSql(StopFr)} THEN 'de'
+         |              ELSE 'fr' END) <> 'en' AS flag_non_en
+         |      FROM rep JOIN tc USING (doc_id))
+         |SELECT doc_id, flag_short, flag_repetitive, flag_non_en,
+         |  NOT (flag_short OR flag_repetitive OR flag_non_en) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin)),
     QueryDef("q_text_stats", qTextStats, Some(
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS INT) AS n_tokens,

@@ -74,6 +74,42 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sub.forall { case (id, sp) => full(id) == sp })
   }
 
+  test("packSequences covers each doc exactly, fills interior sequences, and is partition-invariant") {
+    import spark.implicits._
+    val tok = size(tokens(col("text")))
+    val packed = Curation.packSequences(docs, 512L, tok, partitions = 4)
+    // per-doc coverage: a doc's overlap counts sum to its token count
+    val broken = packed.groupBy("doc_id")
+      .agg(sum("n_tok_in_seq").as("covered"), first("toks").as("toks"))
+      .filter(col("covered") =!= col("toks")).count()
+    assert(broken == 0, "doc token spans must be covered exactly once")
+    // interior sequences hold exactly seqLen tokens; only the last may be short
+    val seqs = packed.groupBy("seq").agg(sum("n_tok_in_seq").as("s"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    assert(seqs.dropRight(1).forall(_._2 == 512L),
+      s"interior sequences must be full: ${seqs.filter(_._2 != 512L).toSeq}")
+    assert(seqs.last._2 <= 512L)
+    // the (doc, seq, overlap) incidence is invariant to the partition count
+    def asSet(p: Int) = Curation.packSequences(docs, 512L, tok, partitions = p)
+      .select(col("doc_id"), col("seq"), col("n_tok_in_seq"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(asSet(1) == asSet(32))
+  }
+
+  test("upsample emits the requested multiplicity with 1..n copy tags") {
+    import spark.implicits._
+    val up = Curation.upsample(docs, when(col("lang") === "en", 1).otherwise(3))
+      .select(col("doc_id"), col("lang"), col("copy"))
+      .as[(Long, String, Int)].collect()
+    val byDoc = up.groupBy(_._1)
+    assert(byDoc.forall { case (_, rows) =>
+      val want = if (rows.head._2 == "en") 1 else 3
+      rows.length == want && rows.map(_._3).sorted.toSeq == (1 to want)
+    })
+    // dropped entirely when the weight is < 1
+    assert(Curation.upsample(docs, lit(0)).count() == 0L)
+  }
+
   test("stratifiedSample membership is monotone in the rate and never upsamples") {
     import spark.implicits._
     def ids(bps: Long) = Curation.stratifiedSample(docs, lit(bps))

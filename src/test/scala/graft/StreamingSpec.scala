@@ -85,6 +85,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream join matches within the horizon, across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val buys = MemoryStream[(Timestamp, Long, Long)]
+    val q = EventStreams.startToMemory(
+      EventStreams.correlateWithin(
+        clicks.toDF().toDF("ts", "user_id", "event_id"),
+        buys.toDF().toDF("ts", "user_id", "event_id"),
+        horizon = "30 minutes", watermark = "2 hours"),
+      "sjoin_test")
+    try {
+      clicks.addData((ts(0), 1L, 100L), (ts(0), 2L, 101L), (ts(10), 3L, 102L))
+      q.processAllAvailable()
+      // the matching purchase arrives in a LATER micro-batch — the
+      // buffered left state must still pair it
+      buys.addData((ts(20), 1L, 200L))
+      q.processAllAvailable()
+      // outside the horizon (45 min after the click) and before the
+      // click: both excluded
+      buys.addData((ts(45), 2L, 201L), (ts(5), 3L, 202L))
+      q.processAllAvailable()
+      val rows = spark.table("sjoin_test")
+        .select("user_id", "l_id", "r_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 100L, 200L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions.{bigrams, tokens, topTokenCount}
+
+/** Row-local repetition kernels: the shuffle-free forms must equal the
+  * explode/groupBy renderings they replace (the map-only property is
+  * what keeps q_repetition/q_filter_cascade one narrow corpus pass). */
+class TextStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("topTokenCount (sorted-run, row-local) == explode/groupBy mode count") {
+    val t = tokens(col("text"))
+    val local = docs.select(col("doc_id"), topTokenCount(t).as("top"))
+    val viaShuffle = docs.select(col("doc_id"), explode(t).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_ref"))
+    val diverged = local.join(viaShuffle, "doc_id")
+      .filter(col("top") =!= col("top_ref")).count()
+    assert(diverged == 0)
+  }
+
+  test("bigrams: n-1 adjacent pairs, empty under 2 tokens, duplicate-aware") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "b")), // bigrams: a b, b a, a b → 1 dup
+      (2L, Seq("x")),
+      (3L, Seq.empty[String]),
+      (4L, Seq("q", "q", "q")) // q q, q q → 1 dup
+    ).toDF("id", "toks")
+    val got = df.select(
+        col("id"),
+        size(bigrams(col("toks"))).as("n"),
+        (size(bigrams(col("toks"))) -
+          size(array_distinct(bigrams(col("toks"))))).as("dups"))
+      .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 3, 1), (2L, 0, 0), (3L, 0, 0), (4L, 2, 1)))
+  }
+
+  test("topTokenCount edge cases: empty array and all-equal tokens") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq.empty[String]),
+      (2L, Seq("z", "z", "z")),
+      (3L, Seq("", "", "a")) // empty-string tokens count like any other
+    ).toDF("id", "toks")
+    val got = df.select(col("id"), topTokenCount(col("toks")).as("top"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0L), (2L, 3L), (3L, 2L)))
+  }
+}
