@@ -114,6 +114,40 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), s"query join must broadcast:\n$p")
   }
 
+  test("repetition stats compile to one narrow map-only pass (no shuffle, no explode)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.{bigrams, tokens, topTokenCount}
+    // the stats projection itself (the registered query adds only a
+    // presentation orderBy): row-local kernels must introduce neither
+    // an Exchange (shuffle) nor a Generate (explode)
+    val t = tokens(col("text"))
+    val bi = bigrams(t)
+    val p = plan(spark.read.parquet(s"$sfDir/documents.parquet").select(
+      col("doc_id"),
+      topTokenCount(t).as("top_tok"),
+      (size(t) - size(array_distinct(t))).as("dup_tok"),
+      (size(bi) - size(array_distinct(bi))).as("dup_bigram")))
+    assert(!p.contains("Exchange"), s"repetition stats must not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"repetition stats must not explode:\n$p")
+  }
+
+  test("rollup computes every grouping set from a single scan (expand + two-phase agg)") {
+    val p = plan(RelationalQueries.qRollupPricing(spark, sfDir))
+    assert(p.contains("Expand"),
+      s"ROLLUP must expand grouping sets in one pass, not rescan per level:\n$p")
+    assert(p.contains("partial_"), s"expected map-side partial aggregation:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"all subtotal levels must come from ONE lineitem scan:\n$p")
+  }
+
+  test("decontamination broadcasts the eval inverted index") {
+    val p = plan(graft.queries.CurationQueries.qDecontaminate(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (tiny) eval side must broadcast — the corpus side is one scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no corpus shuffle or all-pairs join belongs in the decontamination plan:\n$p")
+  }
+
   test("column pruning reaches the scan: kernel query reads only the needed columns") {
     val p = plan(VectorQueries.qL2Kernel(spark, sfDir))
     val scanSchemas = "ReadSchema: [^\\n]*".r.findAllIn(p).toList
