@@ -42,18 +42,28 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
       .orderBy("shard")
 
+  /** The (train, eval, overlap) contamination pair table, built once
+    * per session + fixture ([[IndexQueries.SessionMemo]] — the same
+    * derived-artifact rationale as the near-dup pair graph): two
+    * consumers read it (the pair report and the cleaned-corpus
+    * materialization), and the shingle join is the expensive part. */
+  private val decontamMemo = new IndexQueries.SessionMemo[DataFrame]
+  private def contaminationPairs(s: SparkSession, dir: String): DataFrame =
+    decontamMemo.get(s, dir) {
+      val d = docs(s, dir)
+      Curation.decontaminate(
+          d.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+          d.filter(pmod(col("doc_id"), lit(50)) === 0),
+          n = 3, minOverlap = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Benchmark decontamination: every (train doc, eval doc) pair
     * sharing >= 2 distinct 3-gram shingles; the eval set (doc_id
     * divisible by 50 — standing in for a benchmark suite) is a
     * broadcast inverted index, the corpus side a single scan. */
-  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    Curation.decontaminate(
-        d.filter(pmod(col("doc_id"), lit(50)) =!= 0),
-        d.filter(pmod(col("doc_id"), lit(50)) === 0),
-        n = 3, minOverlap = 2)
-      .orderBy("train_id", "eval_id")
-  }
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame =
+    contaminationPairs(s, dir).orderBy("train_id", "eval_id")
 
   /** Sequence packing: cut the global token stream (doc_id order) into
     * 512-token training sequences and summarize each — every interior
@@ -75,7 +85,30 @@ object CurationQueries {
       .select(col("doc_id"), col("copy"), col("lang"))
       .orderBy("doc_id", "copy")
 
+  /** The decontamination pipeline's end product: the training corpus
+    * with every eval-overlapping document removed (detect → distinct
+    * offender ids → anti-join). The anti-join's right side is the
+    * bounded contaminated-id set, so application costs one more
+    * corpus pass. */
+  def qDecontaminatedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val train = docs(s, dir).filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    val contaminated = contaminationPairs(s, dir)
+      .select(col("train_id").as("doc_id")).distinct()
+    train.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_decontaminated_corpus", qDecontaminatedCorpus, Some(
+      s"""WITH t AS (SELECT doc_id, ${DedupQueries.shSql} AS sh FROM documents),
+         |e AS (SELECT doc_id, sh FROM t WHERE doc_id % 50 = 0 AND len(sh) > 0),
+         |tr AS (SELECT doc_id, sh FROM t WHERE doc_id % 50 <> 0 AND len(sh) > 0),
+         |bad AS (SELECT DISTINCT tr.doc_id FROM tr, e
+         |        WHERE len(list_intersect(tr.sh, e.sh)) >= 2)
+         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         |WHERE d.doc_id % 50 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY d.doc_id""".stripMargin)),
     QueryDef("q_seq_pack", qSeqPack, Some(
       """WITH t AS (SELECT doc_id, len(string_split_regex(text, '\s+')) AS toks
         |           FROM documents),

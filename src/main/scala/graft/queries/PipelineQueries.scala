@@ -76,6 +76,24 @@ object PipelineQueries {
     * parquet, the same hourlyCounts transform, Complete-mode memory
     * sink drained with processAllAvailable — proving the streaming
     * path computes exactly what the batch oracle computes. */
+  /** Run `body` (a streaming start→drain→stop round-trip) with the
+    * session's shuffle-partition count — which fixes the streaming
+    * state-store partition count at query start — sized to the
+    * fixture stream, restoring the previous value after. Stateful
+    * streaming cost on a bounded fixture is dominated by per-partition
+    * state-store instances (a stream-stream join runs FOUR stores per
+    * partition), so sizing partitions to the stream is the same
+    * capacity decision a production deployment makes per topic —
+    * batch queries in the session are untouched (queries execute
+    * sequentially in Verify/Bench; the previous value is restored in
+    * a finally). */
+  private def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   def qStreamExec(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     // the fixture table is a single parquet file; the streaming file
@@ -85,11 +103,13 @@ object PipelineQueries {
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = "graft_stream_exec_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = EventStreams.hourlyCounts(stream)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamPartitions(s, 4) {
+      val q = EventStreams.hourlyCounts(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name)
       .select(
         date_format(col("hour_start"), "yyyy-MM-dd HH:mm").as("hour_start"),
@@ -121,9 +141,11 @@ object PipelineQueries {
       // event time equals the watermark is treated as expired state
       .withColumn("ts", timestamp_micros((col("doc_id") + 1700000000L) * 1000000L))
     val name = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = EventStreams.startToMemory(
-      EventStreams.dedupByContent(stream, watermark = "1000 days"), name)
-    try q.processAllAvailable() finally q.stop()
+    withStreamPartitions(s, 4) {
+      val q = EventStreams.startToMemory(
+        EventStreams.dedupByContent(stream, watermark = "1000 days"), name)
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name).select(col("content_hash")).orderBy("content_hash")
   }
 
@@ -145,11 +167,13 @@ object PipelineQueries {
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = "graft_stream_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = EventStreams.sessionWindows(stream)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamPartitions(s, 4) {
+      val q = EventStreams.sessionWindows(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name)
       .select(
         col("user_id"),
@@ -177,11 +201,13 @@ object PipelineQueries {
       .select(col("user_id"), col("ts"), col("value"))
       .as[EventStreams.UserEvent]
     val name = "graft_stream_state_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = EventStreams.runningUserStats(stream)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamPartitions(s, 4) {
+      val q = EventStreams.runningUserStats(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("n_events").desc)
     s.table(name)
@@ -212,9 +238,11 @@ object PipelineQueries {
     val clicks = stream().filter(col("event_type") === "click")
     val purchases = stream().filter(col("event_type") === "purchase")
     val name = "graft_stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = EventStreams.startToMemory(
-      EventStreams.correlateWithin(clicks, purchases, watermark = "365 days"), name)
-    try q.processAllAvailable() finally q.stop()
+    withStreamPartitions(s, 4) {
+      val q = EventStreams.startToMemory(
+        EventStreams.correlateWithin(clicks, purchases, watermark = "365 days"), name)
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name)
       .select(col("user_id"), col("l_id").as("click_id"), col("r_id").as("purchase_id"))
       .orderBy("user_id", "click_id", "purchase_id")

@@ -145,6 +145,37 @@ object TextQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Unigram language-model quality score (the perplexity-filter
+    * stand-in a pretraining pipeline runs where a trained LM isn't
+    * available): train the corpus unigram distribution p(t) = cf/total
+    * in one hash aggregate, then score each doc by its mean token
+    * log-probability. Low scores = gibberish / OOV-heavy docs.
+    *
+    * Scale shape: two hash aggregates with map-side combine (per-(doc,
+    * term) tf, then per-term cf); the vocabulary joins back on `term`
+    * and the (1-row) total broadcasts. Per-(doc,term) contributions
+    * cast to exact decimals before the per-doc sum — the BM25
+    * determinism convention (ulp differences in ln quantize away at
+    * 1e-6, far above the ~1e-14 cross-engine libm spread). */
+  def qUnigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy("term").agg(sum("tf").as("cf"))
+    val total = cf.agg(sum("cf").cast("double").as("total"))
+    val perDoc = tf.join(cf, "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("tf"),
+        (col("tf") * log(col("cf").cast("double") / col("total")))
+          .cast("decimal(18,6)").as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("double").as("lp"), sum("tf").as("n"))
+    perDoc
+      .select(col("doc_id"),
+        (floor(col("lp") / col("n") * 10000.0) / 10000.0).as("logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Normalized-text dedup keys: lowercase/strip normalization then
     * group — catches case/punctuation-variant duplicates exact dedup
     * misses. */
@@ -241,6 +272,18 @@ object TextQueries {
          |SELECT doc_id, flag_short, flag_repetitive, flag_non_en,
          |  NOT (flag_short OR flag_repetitive OR flag_non_en) AS keep
          |FROM f ORDER BY doc_id""".stripMargin)),
+    QueryDef("q_unigram_logprob", qUnigramLogprob, Some(
+      s"""WITH u AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM u GROUP BY doc_id, term),
+         |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+         |tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS total FROM cf),
+         |sc AS (SELECT doc_id, tf.tf,
+         |         CAST(tf.tf * ln(CAST(cf.cf AS DOUBLE) / total) AS DECIMAL(18,6)) AS c
+         |       FROM tf JOIN cf USING (term), tot),
+         |pd AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS lp,
+         |         CAST(sum(tf) AS BIGINT) AS n FROM sc GROUP BY doc_id)
+         |SELECT doc_id, floor(lp / n * 10000.0) / 10000.0 AS logprob
+         |FROM pd ORDER BY doc_id""".stripMargin)),
     QueryDef("q_text_stats", qTextStats, Some(
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS INT) AS n_tokens,

@@ -141,7 +141,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("decontamination broadcasts the eval inverted index") {
-    val p = plan(graft.queries.CurationQueries.qDecontaminate(spark, sfDir))
+    // the raw operator, not the registered query: the query serves
+    // from the session-memoized (persisted) pair table
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(graft.operators.Curation.decontaminate(
+      d.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+      d.filter(pmod(col("doc_id"), lit(50)) === 0),
+      n = 3, minOverlap = 2))
     assert(p.contains("BroadcastHashJoin"),
       s"the (tiny) eval side must broadcast — the corpus side is one scan:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
