@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Training-data curation operators: deterministic splits, stratified
   * sampling, token-budget sharding, and benchmark decontamination
@@ -59,20 +58,40 @@ object Curation {
     * half-open token span [start, start + toks).
     *
     * Distributed prefix sum, NOT a single global window (a global
-    * `ORDER BY` window serializes onto one task at 100 TB): range-
-    * partition by id, local cumsum per partition (parallel windows),
-    * collect only the O(#partitions) per-partition totals to the
-    * driver, and broadcast their prefix offsets back. The persist
-    * pins one physical partitioning so the totals pass and the cumsum
-    * pass see identical partition contents; the assignment itself is
-    * invariant to where the range boundaries land. */
+    * `ORDER BY` window serializes onto one task at 100 TB): split the
+    * id range into buckets, local cumsum per bucket (parallel
+    * windows), collect only the O(#buckets) per-bucket totals to the
+    * driver, and broadcast their prefix offsets back.
+    *
+    * Buckets come from id boundaries frozen as plan literals (an
+    * approx_percentile collected once on the driver), NOT from
+    * `repartitionByRange` + `spark_partition_id`: the range
+    * partitioner re-SAMPLES on every action, so partition identity
+    * there only holds while a persist pins it — cache loss under
+    * executor failure would silently misalign the offsets. A literal
+    * boundary makes every pass (and any recompute) bucket each row
+    * identically, with nothing cached: two corpus scans total, which
+    * at 100 TB beats pinning the corpus projection in memory. Skewed
+    * boundaries only unbalance the parallel windows, never the
+    * assignment. */
   private def globalTokenStarts(df: DataFrame, tokCol: Column,
       idCol: String, partitions: Int): DataFrame = {
     val base = df.select(col(idCol).as("id"), tokCol.cast("long").as("toks"))
-      .repartitionByRange(partitions, col("id"))
-      .withColumn("pid", spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val totals = base.groupBy("pid").agg(sum("toks").as("t"))
+    val bounds: Seq[Long] =
+      if (partitions <= 1) Seq.empty
+      else {
+        val qs = (1 until partitions).map(i => i.toDouble / partitions)
+        base.agg(expr(
+            s"approx_percentile(id, array(${qs.mkString(",")}), 10000)"))
+          .head().getSeq[Long](0).distinct
+      }
+    // bucket(id) = #boundaries strictly below id — row-local over the
+    // literal boundary array
+    val bucket =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(array(bounds.map(lit(_)): _*), b => b < col("id")))
+    val withB = base.withColumn("pid", bucket)
+    val totals = withB.groupBy("pid").agg(sum("toks").as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = totals.map(_._1).zip(
       totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toMap
@@ -82,7 +101,7 @@ object Curation {
     val localBefore = sum(col("toks")).over(
       Window.partitionBy("pid").orderBy("id")
         .rowsBetween(Window.unboundedPreceding, -1))
-    base.withColumn("start", coalesce(localBefore, lit(0L)) + offExpr)
+    withB.withColumn("start", coalesce(localBefore, lit(0L)) + offExpr)
   }
 
   /** Shard a corpus into contiguous ~`budgetTokens`-token shards in id
@@ -92,8 +111,10 @@ object Curation {
   def tokenShards(df: DataFrame, budgetTokens: Long, tokCol: Column,
       idCol: String = "doc_id", partitions: Int = 32): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
+    // shard ids stay BIGINT: an int wraps at ~4e12 corpus tokens
+    // (budget 2000), inside the 100 TB design envelope
     globalTokenStarts(df, tokCol, idCol, partitions)
-      .withColumn("shard", floor(col("start") / budgetTokens).cast("int"))
+      .withColumn("shard", floor(col("start") / budgetTokens))
       .select(col("id").as(idCol), col("toks"), col("shard"))
   }
 
@@ -112,6 +133,8 @@ object Curation {
       idCol: String = "doc_id", partitions: Int = 32): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val L = lit(seqLen)
+    // sequence ids stay BIGINT: at seqLen=512 an int wraps at ~1.1e12
+    // corpus tokens — a few TB of text, far under the design envelope
     globalTokenStarts(df, tokCol, idCol, partitions)
       .filter(col("toks") > 0L)
       .withColumn("seq",
@@ -121,20 +144,22 @@ object Curation {
       .withColumn("n_tok_in_seq",
         least(col("start") + col("toks"), (col("seq") + 1L) * L) -
           greatest(col("start"), col("seq") * L))
-      .select(col("id").as(idCol), col("toks"),
-        col("seq").cast("int").as("seq"), col("n_tok_in_seq"))
+      .select(col("id").as(idCol), col("toks"), col("seq"),
+        col("n_tok_in_seq"))
   }
 
   /** Deterministic weighted upsampling (data-mixing repetition): emit
     * `copiesCol` copies of each row, tagged 1..n in `copy`. The
     * mixture-weight stage of a training-data pipeline — map-only
     * (explode of a generated range), no RNG, so the exact multiset is
-    * reproducible at any parallelism. Rows with copies < 1 drop. */
-  def upsample(df: DataFrame, copiesCol: Column): DataFrame =
-    df.withColumn("__copies", copiesCol.cast("int"))
-      .filter(col("__copies") >= 1)
-      .withColumn("copy", explode(sequence(lit(1), col("__copies"))))
-      .drop("__copies")
+    * reproducible at any parallelism. Rows with copies < 1 drop
+    * (filtered BEFORE the explode: sequence(1, 0) would descend). */
+  def upsample(df: DataFrame, copiesCol: Column): DataFrame = {
+    require(!df.columns.contains("copy"),
+      "upsample adds a 'copy' column; the input already has one — rename it first")
+    val n = copiesCol.cast("int")
+    df.filter(n >= 1).withColumn("copy", explode(sequence(lit(1), n)))
+  }
 
   /** Benchmark decontamination: for every corpus document, the eval
     * documents it shares >= `minOverlap` distinct n-gram shingles with.

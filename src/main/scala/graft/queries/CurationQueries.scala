@@ -121,7 +121,7 @@ object CurationQueries {
         |      FROM c),
         |o AS (SELECT seq, least(strt + toks, (seq + 1) * 512)
         |             - greatest(strt, seq * 512) AS tok_in FROM x)
-        |SELECT CAST(seq AS INT) AS seq, count(*) AS n_docs,
+        |SELECT CAST(seq AS BIGINT) AS seq, count(*) AS n_docs,
         |  CAST(sum(tok_in) AS BIGINT) AS n_tokens
         |FROM o GROUP BY 1 ORDER BY seq""".stripMargin)),
     QueryDef("q_upsample", qUpsample, Some(
@@ -145,7 +145,7 @@ object CurationQueries {
         |        COALESCE(sum(toks) OVER (ORDER BY doc_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
         |      FROM t)
-        |SELECT CAST(strt // 2000 AS INT) AS shard, count(*) AS n_docs,
+        |SELECT CAST(strt // 2000 AS BIGINT) AS shard, count(*) AS n_docs,
         |  CAST(sum(toks) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1 ORDER BY shard""".stripMargin)),
     QueryDef("q_decontaminate", qDecontaminate, Some(

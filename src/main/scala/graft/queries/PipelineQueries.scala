@@ -72,10 +72,6 @@ object PipelineQueries {
         sum(element_at(col("embedding"), 1).cast("decimal(18,12)")).cast("double").as("sum_e1"))
   }
 
-  /** TRUE streaming execution in the gate: readStream over the events
-    * parquet, the same hourlyCounts transform, Complete-mode memory
-    * sink drained with processAllAvailable — proving the streaming
-    * path computes exactly what the batch oracle computes. */
   /** Run `body` (a streaming start→drain→stop round-trip) with the
     * session's shuffle-partition count — which fixes the streaming
     * state-store partition count at query start — sized to the
@@ -94,6 +90,10 @@ object PipelineQueries {
     try body finally s.conf.set(key, prev)
   }
 
+  /** TRUE streaming execution in the gate: readStream over the events
+    * parquet, the same hourlyCounts transform, Complete-mode memory
+    * sink drained with processAllAvailable — proving the streaming
+    * path computes exactly what the batch oracle computes. */
   def qStreamExec(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     // the fixture table is a single parquet file; the streaming file

@@ -92,15 +92,19 @@ object TextQueries {
     * keep decision. Every rule compares integers or strings — the
     * thresholds are exact rationals rendered as cross-multiplied
     * integer comparisons (top_tok/n > 0.28 becomes top_tok·100 > n·28)
-    * so no float boundary can disagree between engines. Map-only. */
+    * so no float boundary can disagree between engines. The
+    * repetition rule carries the Gopher-style min-length guard (a
+    * 1-3-token doc trivially has top_tok/n > 0.28 — that's shortness,
+    * not repetition; flag_short owns it). Map-only. */
   def qFilterCascade(s: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
     val bi = bigrams(t)
     val n = size(t).cast("long")
     val dupBi = (size(bi) - size(array_distinct(bi))).cast("long")
     val short_ = n < 20L
-    val repetitive = dupBi * 100L > (n - 1L) * 8L ||
-      topTokenCount(t) * 100L > n * 28L
+    val repetitive = n >= 10L &&
+      (dupBi * 100L > (n - 1L) * 8L ||
+        topTokenCount(t) * 100L > n * 28L)
     val nonEn = langId(col("text")) =!= "en"
     docs(s, dir).select(
       col("doc_id"),
@@ -260,7 +264,7 @@ object TextQueries {
     QueryDef("q_filter_cascade", qFilterCascade, Some(
       s"""WITH $tkSql,
          |f AS (SELECT rep.doc_id, n < 20 AS flag_short,
-         |        (dup_bigram * 100 > (n - 1) * 8) OR (top_tok * 100 > n * 28) AS flag_repetitive,
+         |        n >= 10 AND ((dup_bigram * 100 > (n - 1) * 8) OR (top_tok * 100 > n * 28)) AS flag_repetitive,
          |        (CASE WHEN ${hitsSql(StopEn)} = 0 AND ${hitsSql(StopEs)} = 0
          |                   AND ${hitsSql(StopDe)} = 0 AND ${hitsSql(StopFr)} = 0 THEN 'und'
          |              WHEN ${hitsSql(StopEn)} >= ${hitsSql(StopEs)} AND ${hitsSql(StopEn)} >= ${hitsSql(StopDe)}

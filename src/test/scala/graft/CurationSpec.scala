@@ -34,11 +34,11 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("doc_id"), tok.cast("long").as("toks"))
       .withColumn("strt", coalesce(sum("toks").over(
         Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("doc_id"), floor(col("strt") / 2000L).cast("int").as("shard"))
-      .as[(Long, Int)].collect().toMap
+      .select(col("doc_id"), floor(col("strt") / 2000L).as("shard"))
+      .as[(Long, Long)].collect().toMap
     for (p <- Seq(1, 4, 32)) {
       val got = Curation.tokenShards(docs, 2000L, tok, partitions = p)
-        .select(col("doc_id"), col("shard")).as[(Long, Int)].collect().toMap
+        .select(col("doc_id"), col("shard")).as[(Long, Long)].collect().toMap
       assert(got == naive, s"shard assignment diverged at partitions=$p")
     }
   }
@@ -85,14 +85,14 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(broken == 0, "doc token spans must be covered exactly once")
     // interior sequences hold exactly seqLen tokens; only the last may be short
     val seqs = packed.groupBy("seq").agg(sum("n_tok_in_seq").as("s"))
-      .as[(Int, Long)].collect().sortBy(_._1)
+      .as[(Long, Long)].collect().sortBy(_._1)
     assert(seqs.dropRight(1).forall(_._2 == 512L),
       s"interior sequences must be full: ${seqs.filter(_._2 != 512L).toSeq}")
     assert(seqs.last._2 <= 512L)
     // the (doc, seq, overlap) incidence is invariant to the partition count
     def asSet(p: Int) = Curation.packSequences(docs, 512L, tok, partitions = p)
       .select(col("doc_id"), col("seq"), col("n_tok_in_seq"))
-      .as[(Long, Int, Long)].collect().toSet
+      .as[(Long, Long, Long)].collect().toSet
     assert(asSet(1) == asSet(32))
   }
 
