@@ -59,11 +59,19 @@ object TextFunctions {
 
   /** Adjacent-token bigrams ("a b"); empty for docs with < 2 tokens.
     * Row-local (no explode/shuffle) — the building block for the
-    * Gopher-style duplicate-n-gram repetition signal. */
+    * Gopher-style duplicate-n-gram repetition signal. Built as two
+    * `slice`s + one `zip_with` (the `Dedup.shinglesFromTokens`
+    * pattern): array *arguments* to a higher-order function are
+    * evaluated once per row, whereas expressions nested in the lambda
+    * *body* re-evaluate per element — `element_at(toks, i)` with
+    * `toks` a split() expression would re-tokenize per bigram,
+    * O(tokens²) per doc. */
   def bigrams(toks: Column): Column =
     when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - 1), i =>
-        concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (x, y) => concat(x, lit(" "), y)))
 
   /** Occurrence count of the most frequent token, computed row-locally
     * as the longest equal run of the sorted token array (O(n log n)

@@ -81,9 +81,13 @@ object Curation {
       if (partitions <= 1) Seq.empty
       else {
         val qs = (1 until partitions).map(i => i.toDouble / partitions)
-        base.agg(expr(
+        // approx_percentile over ZERO rows yields NULL, not an empty
+        // array — guard so an empty corpus shards to an empty result
+        // instead of an NPE
+        val row = base.agg(expr(
             s"approx_percentile(id, array(${qs.mkString(",")}), 10000)"))
-          .head().getSeq[Long](0).distinct
+          .head()
+        if (row.isNullAt(0)) Seq.empty else row.getSeq[Long](0).distinct
       }
     // bucket(id) = #boundaries strictly below id — row-local over the
     // literal boundary array

@@ -44,10 +44,18 @@ object DedupQueries {
       .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
       .orderBy("a", "b")
 
-  /** Corpus-proportional blocking-cell count: one cell per ~32 vectors
-    * (floor 8), so the within-cell self-join stays O(n · cellSize) —
-    * linear in the corpus — at every scale factor. */
-  private def embcosCells(n: Long): Int = math.max(8L, n / 32L).toInt
+  /** Blocking-cell count ⌈√n⌉ (floor 8) — the balance point where BOTH
+    * sides of the blocked dedup stay sub-quadratic: expected cell size
+    * is ~√n, so within-cell pairs total O(n^1.5); the router model is
+    * O(√n·d) (driver + per-task footprint grows with the *root* of the
+    * corpus, not the corpus); and per-row assignment scans √n centroids
+    * → O(n^1.5·d) total compute. A corpus-proportional count (n/c)
+    * makes the pair join linear but the router model and assignment
+    * quadratic — the cost just moves. √n of integer n is IEEE-exact in
+    * both engines, so the oracle's `ceil(sqrt(count(*)))` matches
+    * bit-for-bit. */
+  private def embcosCells(n: Long): Int =
+    math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
 
   /** Blocking router for embedding-cosine dedup: IVF quantizer at
     * iters = 0 (centroids = the k lowest-id vectors — one tiny limit-k
@@ -61,15 +69,16 @@ object DedupQueries {
 
   /** Embedding-cosine near-dup pairs, blocked by trained IVF cell: each
     * vector routes to its nearest coarse centroid in a map-only pass
-    * (the model is an O(k·d) literal, no join, no extra shuffle), and
+    * (the model is an O(√n·d) literal, no join, no extra shuffle), and
     * only within-cell pairs are cosine-verified. The cell count grows
-    * with the corpus ([[embcosCells]]), so the blocked self-join is
-    * O(n · 32) — never O(n²/constant), which a fixed-cardinality key
-    * (e.g. the fixture's 10 labels) degrades to at scale. Near-dup
-    * recall is governed by quantizer locality: near-identical vectors
-    * share a nearest centroid except exactly on a cell boundary — the
-    * standard blocked-dedup tradeoff (cf. qDedupEmbLsh for the
-    * multi-band scheme whose recall is tunable instead). */
+    * as ⌈√n⌉ ([[embcosCells]]), so EVERY stage is sub-quadratic:
+    * blocked pairs O(n^1.5), per-row routing O(√n·d), model O(√n·d) —
+    * never O(n²/constant), which a fixed-cardinality key (e.g. the
+    * fixture's 10 labels) degrades to at scale. Near-dup recall is
+    * governed by quantizer locality: near-identical vectors share a
+    * nearest centroid except exactly on a cell boundary — the standard
+    * blocked-dedup tradeoff (cf. qDedupEmbLsh for the multi-band
+    * scheme whose recall is tunable instead). */
   def qDedupEmbcos(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val cell = graft.index.IvfIndex.assignExpr(col("embedding"), embcosRouter(s, dir))
@@ -158,7 +167,7 @@ object DedupQueries {
          |WHERE bit_count(xor(x.sim_hi, y.sim_hi)) + bit_count(xor(x.sim_lo, y.sim_lo)) <= 6
          |ORDER BY a, b""".stripMargin)),
     QueryDef("q_dedup_embcos", qDedupEmbcos, Some(
-      s"""WITH kk AS (SELECT greatest(8, CAST(count(*) // 32 AS INT)) AS k FROM embeddings),
+      s"""WITH kk AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS INT)) AS k FROM embeddings),
          |cent AS (SELECT ord, cv FROM (
          |           SELECT row_number() OVER (ORDER BY vec_id) AS ord,
          |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
