@@ -35,6 +35,13 @@ final class VectorDB private (
   /** Cells probed per query when an IVF router is trained. */
   var nprobe: Int = 3
 
+  /** Beam width for indexed search; <= 0 = the reference's default
+    * `max(efConstruction, k)` (`src/lib.rs:164`). Raise to trade
+    * latency for recall; set above the largest cell to make indexed
+    * search exhaustive within probed cells (ANN ≡ exact — what the
+    * oracle-gated query does). */
+  var efSearch: Int = -1
+
   /** Row count (`src/lib.rs:350-352`). */
   def len: Long = vectors.count()
 
@@ -91,7 +98,8 @@ final class VectorDB private (
     case Some(idx) =>
       val spark = vectors.sparkSession
       val q = spark.range(1).select(lit(0L).as("qid"), typedLit(queryVec).cast("array<float>").as("qv"))
-      HnswIndex.search(idx, q, k, params, router = ivfModel, nprobe = nprobe).drop("qid", "rank")
+      HnswIndex.search(idx, q, k, params, efSearch = efSearch,
+        router = ivfModel, nprobe = nprobe).drop("qid", "rank")
     case None =>
       Knn.searchKnn(vectors, queryVec, k, idCol, vecCol)
   }

@@ -89,6 +89,42 @@ object IndexQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Trained coarse quantizer: one Lloyd's iteration at k = 16 (init =
+    * the 16 lowest-id vectors — decimal-exact and SQL-expressible, so
+    * the TRAINED router itself sits under the oracle gate, not just the
+    * fixture-label router). */
+  private val trainedMemo = new SessionMemo[graft.index.IvfIndex.Model]
+  private def trainedRouter(s: SparkSession, dir: String) =
+    trainedMemo.get(s, dir)(
+      graft.index.IvfIndex.train(emb(s, dir), k = 16, iters = 1))
+
+  /** Index partitioned by the TRAINED cells (vs [[labelIndex]]'s
+    * fixture labels) — the layout every real deployment serves from. */
+  private val trainedIdxMemo =
+    new SessionMemo[org.apache.spark.sql.Dataset[HnswIndex.IndexRow]]
+  private def trainedIndex(s: SparkSession, dir: String) =
+    trainedIdxMemo.get(s, dir) {
+      val parted = graft.index.IvfIndex.assign(emb(s, dir), trainedRouter(s, dir))
+        .withColumn("part", col("cell"))
+      HnswIndex.build(parted, P)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Incrementally-maintained index: built WITHOUT the odd-id vectors
+    * of labels 0-4, which then arrive via [[HnswIndex.addBatch]] — so
+    * the gate covers both addBatch branches: labels 5+ pass through the
+    * untouched anti-join, labels 0-4 take the dirty-cell rebuild. */
+  private val incrMemo =
+    new SessionMemo[org.apache.spark.sql.Dataset[HnswIndex.IndexRow]]
+  private def incrementalIndex(s: SparkSession, dir: String) =
+    incrMemo.get(s, dir) {
+      val e = emb(s, dir).withColumn("part", col("label"))
+      val late = (col("vec_id") % 2 === 1) && (col("label") < 5)
+      val base = HnswIndex.build(e.filter(!late), P)
+      HnswIndex.addBatch(base, e.filter(late), P)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Scalar-quantizer bounds (one bounds-aggregation job). */
   private val sqMemo = new SessionMemo[(Seq[Double], Seq[Double])]
   private def sqBounds(s: SparkSession, dir: String) = {
@@ -238,6 +274,73 @@ object IndexQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Routed search where BOTH the router and the cell layout come from
+    * a TRAINED k-means quantizer (`IvfIndex.train(k = 16, iters = 1)`)
+    * rather than fixture labels — the path a real deployment tunes
+    * first. One Lloyd's iteration is decimal-exact (init = lowest-id
+    * vectors, update = exact-decimal means), so the oracle replays the
+    * identical training in SQL and then the identical routed search.
+    * `efSearch` exceeds every cell ⇒ ANN ≡ brute force within probed
+    * cells. */
+  def qAnnTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") >= 16 && col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    HnswIndex.search(trainedIndex(s, dir), queries, k = 5, P, efSearch = 4096,
+        router = Some(trainedRouter(s, dir)), nprobe = 3)
+      .select(col("qid"), col("rank").as("rnk"), col("vector_id").as("vec_id"),
+        round(col("dist"), 3).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Direct gate on [[HnswIndex.addBatch]]: build → addBatch → search
+    * with exhaustive ef, so the answer must equal brute force over the
+    * FULL corpus — a dropped/duplicated vector or corrupted adjacency
+    * in either the rebuilt or the passed-through cells surfaces as a
+    * hash mismatch. (q_ann_compacted gates addBatch only via compact's
+    * internal call.) */
+  def qAnnIncremental(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") >= 20 && col("vec_id") < 24)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    HnswIndex.search(incrementalIndex(s, dir), queries, k = 5, P, efSearch = 4096)
+      .select(col("qid"), col("rank").as("rnk"), col("vector_id").as("vec_id"),
+        round(col("dist"), 3).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** The user-facing [[graft.VectorDB]] handle, opened on the fixture
+    * with a trained-IVF index (`buildIndexIvf(16, 1)` — the same
+    * decimal-exact one-iteration train as [[trainedRouter]], so the
+    * trained-cells oracle applies) and exhaustive ef. */
+  private val vdbMemo = new SessionMemo[graft.VectorDB]
+  private def vdbHandle(s: SparkSession, dir: String) =
+    vdbMemo.get(s, dir) {
+      val db = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
+      db.efSearch = 4096
+      db.buildIndexIvf(numCells = 16, iters = 1)
+      db
+    }
+
+  /** Gate on the public `VectorDB.search` DISPATCH surface itself (ref
+    * op 17, `src/lib.rs:344-352`) rather than the query objects: the
+    * same query vector runs through BOTH arms — `ann` = open →
+    * buildIndexIvf → routed HNSW search, `exact` = open → brute-force
+    * fallback (no index) — so the user-facing API cannot drift from the
+    * gated paths. */
+  def qVectordbSearch(s: SparkSession, dir: String): DataFrame = {
+    val qv = emb(s, dir).filter(col("vec_id") === 24L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val ann = vdbHandle(s, dir).search(qv, k = 5)
+      .select(lit("ann").as("mode"), col("vector_id").as("vec_id"), col("dist").as("d"))
+    val exact = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
+      .search(qv, k = 5)
+      .select(lit("exact").as("mode"), col("vec_id"), col("dist").as("d"))
+    ann.unionByName(exact)
+      .orderBy("mode", "d", "vec_id")
+      .select(col("mode"), col("vec_id"), round(col("d"), 3).as("dist"))
+  }
+
   /** Index structure stats per cell (ref structure/pruning invariants,
     * `src/lib.rs:394-467`): node counts AND layer counts are
     * oracle-able (a node owns exactly level+1 adjacency lists and
@@ -255,6 +358,125 @@ object IndexQueries {
       .orderBy("part")
   }
 
+  // ---- shared oracle fragments ---------------------------------------
+  // One definition per routed-ANN building block; every q_ann_* oracle
+  // composes these, so a centroid-construction change can never
+  // silently diverge one copy (same policy as VectorQueries.l2Sql).
+
+  /** Decimal-exact label-cell centroids (`cent(label, i, m)`). */
+  private val centSql =
+    """ex AS (SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+      |       FROM embeddings),
+      |cent AS (SELECT label, i,
+      |           CAST(sum(CAST(x AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS m
+      |         FROM ex GROUP BY label, i)""".stripMargin
+
+  /** Single-query probe set: the 3 nearest label cells to `q.qv`. */
+  private val probesSingleSql =
+    """cd AS (SELECT c.label, sum((c.m - CAST(q.qv[c.i] AS DOUBLE))^2) AS d
+      |       FROM cent c, q GROUP BY c.label),
+      |probes AS (SELECT label FROM cd ORDER BY d, label LIMIT 3)""".stripMargin
+
+  /** Per-qid centroid distances for a multi-query table `q(qid, qv)`. */
+  private val cdPerQidSql =
+    """cd AS (SELECT q.qid, c.label, sum((c.m - CAST(q.qv[c.i] AS DOUBLE))^2) AS d
+      |       FROM cent c, q GROUP BY q.qid, c.label)""".stripMargin
+
+  /** Fixed nprobe=3 probe set per qid. */
+  private val probesFixedSql =
+    """probes AS (SELECT qid, label FROM
+      |             (SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY d, label) AS rn
+      |              FROM cd) WHERE rn <= 3)""".stripMargin
+
+  /** Adaptive probe set: closest-first, stop past 2× the nearest cell
+    * distance, max 3 (mirror of [[IvfIndex.Model.probeAdaptive]]). */
+  private val probesAdaptiveSql =
+    """rcd AS (SELECT qid, label, d,
+      |               row_number() OVER (PARTITION BY qid ORDER BY d, label) AS rn,
+      |               min(d) OVER (PARTITION BY qid) AS d0
+      |        FROM cd),
+      |probes AS (SELECT qid, label FROM rcd WHERE rn <= 3 AND d <= d0 * 2.0)""".stripMargin
+
+  /** Rank the probed cells' vectors per qid, keep top-5. */
+  private val rankedTailSql =
+    s"""scored AS (SELECT q.qid, e.vec_id, ${VectorQueries.l2Sql("e.embedding", "q.qv")} AS d
+       |           FROM embeddings e JOIN probes p ON e.label = p.label JOIN q ON q.qid = p.qid),
+       |ranked AS (SELECT qid, vec_id, d,
+       |                  row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
+       |           FROM scored)
+       |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(d, 3) AS dist
+       |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  /** Full routed-search oracle: queries selected by `qWhere`, label
+    * centroids, a probe policy, brute force within probed cells. */
+  private def routedOracleSql(qWhere: String, probes: String): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE $qWhere),
+       |$centSql,
+       |$cdPerQidSql,
+       |$probes,
+       |$rankedTailSql""".stripMargin
+
+  /** Exhaustive (unrouted) top-5 oracle — exact brute force over the
+    * whole corpus for queries selected by `qWhere`. */
+  private def bruteOracleSql(qWhere: String): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE $qWhere),
+       |scored AS (SELECT q.qid, e.vec_id, ${VectorQueries.l2Sql("e.embedding", "q.qv")} AS d
+       |           FROM embeddings e CROSS JOIN q),
+       |ranked AS (SELECT qid, vec_id, d,
+       |                  row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
+       |           FROM scored)
+       |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(d, 3) AS dist
+       |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  /** One decimal-exact Lloyd's iteration at k=16 in SQL (mirror of
+    * `IvfIndex.train(k = 16, iters = 1)`): init = the 16 lowest-id
+    * vectors, assign under the init centroids, update = per-cell
+    * decimal-exact means (empty cells keep their init centroid), plus
+    * the final corpus assignment `a1(vec_id, cell)` under the trained
+    * centroids `c1(cell, i, m)`. */
+  private val trainedCellsSql =
+    """init AS (SELECT cell, cv FROM (
+      |           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+      |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      |           FROM embeddings) WHERE cell < 16),
+      |c0 AS (SELECT cell, generate_subscripts(cv, 1) AS i, unnest(cv) AS m FROM init),
+      |a0d AS (SELECT e.vec_id, c.cell, sum((c.m - CAST(e.embedding[c.i] AS DOUBLE))^2) AS d
+      |        FROM c0 c, embeddings e GROUP BY e.vec_id, c.cell),
+      |a0 AS (SELECT vec_id, cell FROM
+      |         (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |          FROM a0d) WHERE rn = 1),
+      |ex1 AS (SELECT a0.cell, generate_subscripts(e.embedding, 1) AS i, unnest(e.embedding) AS x
+      |        FROM embeddings e JOIN a0 ON a0.vec_id = e.vec_id),
+      |mu AS (SELECT cell, i, CAST(sum(CAST(x AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS m
+      |       FROM ex1 GROUP BY cell, i),
+      |c1 AS (SELECT c0.cell, c0.i, coalesce(mu.m, c0.m) AS m
+      |       FROM c0 LEFT JOIN mu ON mu.cell = c0.cell AND mu.i = c0.i),
+      |a1d AS (SELECT e.vec_id, c.cell, sum((c.m - CAST(e.embedding[c.i] AS DOUBLE))^2) AS d
+      |        FROM c1 c, embeddings e GROUP BY e.vec_id, c.cell),
+      |a1 AS (SELECT vec_id, cell FROM
+      |         (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |          FROM a1d) WHERE rn = 1)""".stripMargin
+
+  /** Routed search over the TRAINED cells: queries route to their 3
+    * nearest trained centroids, brute force among vectors whose trained
+    * cell is probed. */
+  private def trainedOracleSql(qWhere: String): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE $qWhere),
+       |$trainedCellsSql,
+       |cd AS (SELECT q.qid, c.cell, sum((c.m - CAST(q.qv[c.i] AS DOUBLE))^2) AS d
+       |       FROM c1 c, q GROUP BY q.qid, c.cell),
+       |probes AS (SELECT qid, cell FROM
+       |             (SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY d, cell) AS rn
+       |              FROM cd) WHERE rn <= 3),
+       |scored AS (SELECT q.qid, e.vec_id, ${VectorQueries.l2Sql("e.embedding", "q.qv")} AS d
+       |           FROM embeddings e JOIN a1 ON a1.vec_id = e.vec_id
+       |           JOIN probes p ON a1.cell = p.cell JOIN q ON q.qid = p.qid),
+       |ranked AS (SELECT qid, vec_id, d,
+       |                  row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
+       |           FROM scored)
+       |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(d, 3) AS dist
+       |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_hnsw_levels", qHnswLevels, Some(
       """SELECT least(62, CAST(floor(-ln(
@@ -263,96 +485,45 @@ object IndexQueries {
         |FROM embeddings GROUP BY 1 ORDER BY level""".stripMargin)),
     QueryDef("q_ann_ivf", qAnnIvf, Some(
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |ex AS (SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
-         |       FROM embeddings),
-         |cent AS (SELECT label, i,
-         |           CAST(sum(CAST(x AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS m
-         |         FROM ex GROUP BY label, i),
-         |cd AS (SELECT c.label, sum((c.m - CAST(q.qv[c.i] AS DOUBLE))^2) AS d
-         |       FROM cent c, q GROUP BY c.label),
-         |probes AS (SELECT label FROM cd ORDER BY d, label LIMIT 3)
+         |$centSql,
+         |$probesSingleSql
          |SELECT e.vec_id, round(${VectorQueries.l2Sql("e.embedding", "q.qv")}, 3) AS dist
          |FROM embeddings e JOIN probes USING (label), q
          |ORDER BY ${VectorQueries.l2Sql("e.embedding", "q.qv")}, e.vec_id LIMIT 10""".stripMargin)),
-    QueryDef("q_ann_hnsw", qAnnHnsw, Some(
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
-         |scored AS (SELECT q.qid, e.vec_id, ${VectorQueries.l2Sql("e.embedding", "q.qv")} AS d
-         |           FROM embeddings e CROSS JOIN q),
-         |ranked AS (SELECT qid, vec_id, d,
-         |                  row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
-         |           FROM scored)
-         |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(d, 3) AS dist
-         |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
-    QueryDef("q_ann_routed", qAnnRouted, Some(
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
-         |ex AS (SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
-         |       FROM embeddings),
-         |cent AS (SELECT label, i,
-         |           CAST(sum(CAST(x AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS m
-         |         FROM ex GROUP BY label, i),
-         |cd AS (SELECT q.qid, c.label, sum((c.m - CAST(q.qv[c.i] AS DOUBLE))^2) AS d
-         |       FROM cent c, q GROUP BY q.qid, c.label),
-         |probes AS (SELECT qid, label FROM
-         |             (SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY d, label) AS rn
+    QueryDef("q_ann_hnsw", qAnnHnsw, Some(bruteOracleSql("vec_id < 4"))),
+    QueryDef("q_ann_routed", qAnnRouted,
+      Some(routedOracleSql("vec_id < 4", probesFixedSql))),
+    QueryDef("q_ann_adaptive", qAnnAdaptive,
+      Some(routedOracleSql("vec_id < 4", probesAdaptiveSql))),
+    QueryDef("q_ann_persisted", qAnnPersisted,
+      Some(routedOracleSql("vec_id >= 4 AND vec_id < 8", probesFixedSql))),
+    QueryDef("q_ann_compacted", qAnnCompacted,
+      Some(bruteOracleSql("vec_id >= 8 AND vec_id < 12"))),
+    QueryDef("q_ann_trained", qAnnTrained,
+      Some(trainedOracleSql("vec_id >= 16 AND vec_id < 20"))),
+    QueryDef("q_ann_incremental", qAnnIncremental,
+      Some(bruteOracleSql("vec_id >= 20 AND vec_id < 24"))),
+    QueryDef("q_vectordb_search", qVectordbSearch, Some(
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id = 24),
+         |$trainedCellsSql,
+         |cd AS (SELECT q.qid, c.cell, sum((c.m - CAST(q.qv[c.i] AS DOUBLE))^2) AS d
+         |       FROM c1 c, q GROUP BY q.qid, c.cell),
+         |probes AS (SELECT qid, cell FROM
+         |             (SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY d, cell) AS rn
          |              FROM cd) WHERE rn <= 3),
-         |scored AS (SELECT q.qid, e.vec_id, ${VectorQueries.l2Sql("e.embedding", "q.qv")} AS d
-         |           FROM embeddings e JOIN probes p ON e.label = p.label JOIN q ON q.qid = p.qid),
-         |ranked AS (SELECT qid, vec_id, d,
-         |                  row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
-         |           FROM scored)
-         |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(d, 3) AS dist
-         |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
-    QueryDef("q_ann_adaptive", qAnnAdaptive, Some(
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
-         |ex AS (SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
-         |       FROM embeddings),
-         |cent AS (SELECT label, i,
-         |           CAST(sum(CAST(x AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS m
-         |         FROM ex GROUP BY label, i),
-         |cd AS (SELECT q.qid, c.label, sum((c.m - CAST(q.qv[c.i] AS DOUBLE))^2) AS d
-         |       FROM cent c, q GROUP BY q.qid, c.label),
-         |rcd AS (SELECT qid, label, d,
-         |               row_number() OVER (PARTITION BY qid ORDER BY d, label) AS rn,
-         |               min(d) OVER (PARTITION BY qid) AS d0
-         |        FROM cd),
-         |probes AS (SELECT qid, label FROM rcd WHERE rn <= 3 AND d <= d0 * 2.0),
-         |scored AS (SELECT q.qid, e.vec_id, ${VectorQueries.l2Sql("e.embedding", "q.qv")} AS d
-         |           FROM embeddings e JOIN probes p ON e.label = p.label JOIN q ON q.qid = p.qid),
-         |ranked AS (SELECT qid, vec_id, d,
-         |                  row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
-         |           FROM scored)
-         |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(d, 3) AS dist
-         |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
-    QueryDef("q_ann_persisted", qAnnPersisted, Some(
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-         |           WHERE vec_id >= 4 AND vec_id < 8),
-         |ex AS (SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
-         |       FROM embeddings),
-         |cent AS (SELECT label, i,
-         |           CAST(sum(CAST(x AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS m
-         |         FROM ex GROUP BY label, i),
-         |cd AS (SELECT q.qid, c.label, sum((c.m - CAST(q.qv[c.i] AS DOUBLE))^2) AS d
-         |       FROM cent c, q GROUP BY q.qid, c.label),
-         |probes AS (SELECT qid, label FROM
-         |             (SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY d, label) AS rn
-         |              FROM cd) WHERE rn <= 3),
-         |scored AS (SELECT q.qid, e.vec_id, ${VectorQueries.l2Sql("e.embedding", "q.qv")} AS d
-         |           FROM embeddings e JOIN probes p ON e.label = p.label JOIN q ON q.qid = p.qid),
-         |ranked AS (SELECT qid, vec_id, d,
-         |                  row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
-         |           FROM scored)
-         |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(d, 3) AS dist
-         |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
-    QueryDef("q_ann_compacted", qAnnCompacted, Some(
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-         |           WHERE vec_id >= 8 AND vec_id < 12),
-         |scored AS (SELECT q.qid, e.vec_id, ${VectorQueries.l2Sql("e.embedding", "q.qv")} AS d
-         |           FROM embeddings e CROSS JOIN q),
-         |ranked AS (SELECT qid, vec_id, d,
-         |                  row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
-         |           FROM scored)
-         |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(d, 3) AS dist
-         |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+         |annscored AS (SELECT e.vec_id, ${VectorQueries.l2Sql("e.embedding", "q.qv")} AS d
+         |              FROM embeddings e JOIN a1 ON a1.vec_id = e.vec_id
+         |              JOIN probes p ON a1.cell = p.cell CROSS JOIN q),
+         |annranked AS (SELECT vec_id, d, row_number() OVER (ORDER BY d, vec_id) AS rnk
+         |              FROM annscored),
+         |exscored AS (SELECT e.vec_id, ${VectorQueries.l2Sql("e.embedding", "q.qv")} AS d
+         |             FROM embeddings e CROSS JOIN q),
+         |exranked AS (SELECT vec_id, d, row_number() OVER (ORDER BY d, vec_id) AS rnk
+         |             FROM exscored),
+         |u AS (SELECT 'ann' AS mode, vec_id, d FROM annranked WHERE rnk <= 5
+         |      UNION ALL
+         |      SELECT 'exact' AS mode, vec_id, d FROM exranked WHERE rnk <= 5)
+         |SELECT mode, vec_id, round(d, 3) AS dist FROM u ORDER BY mode, d, vec_id""".stripMargin)),
     QueryDef("q_hnsw_stats", qHnswStats, Some(
       """SELECT CAST(label AS INT) AS part, count(*) AS n_nodes,
         |  CAST(max(least(62, CAST(floor(-ln(
@@ -408,16 +579,10 @@ object IndexQueries {
         |         GROUP BY code.vec_id)
         |SELECT vec_id, round(d, 3) AS dist FROM dist ORDER BY d, vec_id LIMIT 10""".stripMargin)),
     QueryDef("q_ann_ivfpq", qAnnIvfPq, Some(
-      """WITH ms AS (SELECT unnest(range(0, 8)) AS m),
+      s"""WITH ms AS (SELECT unnest(range(0, 8)) AS m),
         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 12),
-        |ex AS (SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
-        |       FROM embeddings),
-        |cent AS (SELECT label, i,
-        |           CAST(sum(CAST(x AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS m
-        |         FROM ex GROUP BY label, i),
-        |cd AS (SELECT c.label, sum((c.m - CAST(q.qv[c.i] AS DOUBLE))^2) AS d
-        |       FROM cent c, q GROUP BY c.label),
-        |probes AS (SELECT label FROM cd ORDER BY d, label LIMIT 3),
+        |$centSql,
+        |$probesSingleSql,
         |cw AS (SELECT e.vec_id AS j, ms.m,
         |         list_transform(e.embedding[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
         |       FROM embeddings e, ms WHERE e.vec_id < 16),
