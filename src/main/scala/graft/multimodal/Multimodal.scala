@@ -12,10 +12,15 @@ import org.apache.spark.sql.types._
   * Design for 100 TB of media: the binary column stays opaque to
   * Catalyst (no per-byte expressions); decode/feature-extraction runs
   * inside `mapPartitions` so one task amortizes codec setup over a
-  * whole batch — the JVM equivalent of a `mapInPandas` batch UDF. The
-  * actual image/audio codecs are NOT available in this environment, so
-  * [[decodeStub]] is a clearly-marked deterministic stand-in; the
-  * schema, partitioning, batch shape, and feature plumbing are real.
+  * whole batch — the JVM equivalent of a `mapInPandas` batch UDF.
+  *
+  * The image path is a REAL binary-format decode: media rows carry P6
+  * PPM bytes (binary magic + ASCII header + raw RGB pixel plane) and
+  * [[decodePpm]] parses the header and computes per-channel pixel
+  * statistics — the same parse-validate-extract shape a JPEG decoder
+  * stage has, feasible inside this sandbox (no image libs) because PPM
+  * is self-describing. Codec-less modalities fall back to
+  * [[byteHistogram]], a clearly-labeled stand-in.
   */
 object Multimodal {
 
@@ -34,11 +39,53 @@ object Multimodal {
       n_bytes: Long,
       features: Array[Double])
 
-  /** STUB decoder: where a real pipeline would run an image/audio codec
-    * (JPEG decode, resample, frame-sample), this computes a
-    * deterministic 16-bin byte histogram, L1-normalized — a stand-in
-    * feature vector with the same shape/contract a codec would emit. */
-  def decodeStub(content: Array[Byte]): Array[Double] = {
+  val PpmModality = "image/x-portable-pixmap"
+
+  /** Fixture images are 4×4 RGB (48 pixel bytes). */
+  val PpmW = 4
+  val PpmH = 4
+  private val PpmHeader = s"P6\n$PpmW $PpmH\n255\n"
+
+  /** Decode a binary P6 PPM: parse the magic, whitespace-separated
+    * width/height/maxval header, validate the pixel plane length, and
+    * emit `[width, height, meanR, meanG, meanB]` (channel means over
+    * the raw bytes). Malformed input throws — a decoder that silently
+    * swallows corrupt media poisons the corpus downstream. */
+  def decodePpm(content: Array[Byte]): Array[Double] = {
+    var pos = 0
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def token(): String = {
+      while (pos < content.length && isWs(content(pos))) pos += 1
+      val st = pos
+      while (pos < content.length && !isWs(content(pos))) pos += 1
+      new String(content, st, pos - st, "US-ASCII")
+    }
+    val magic = token()
+    require(magic == "P6", s"not a binary PPM: magic '$magic'")
+    val w = token().toInt
+    val h = token().toInt
+    val maxv = token().toInt
+    require(maxv == 255, s"unsupported maxval $maxv")
+    pos += 1 // exactly ONE whitespace byte separates header from pixels
+    require(content.length - pos == w * h * 3,
+      s"pixel plane is ${content.length - pos} bytes, want ${w * h * 3}")
+    var r = 0L; var g = 0L; var b = 0L
+    var i = pos
+    while (i < content.length) {
+      r += content(i) & 0xff
+      g += content(i + 1) & 0xff
+      b += content(i + 2) & 0xff
+      i += 3
+    }
+    val n = (w * h).toDouble
+    Array(w.toDouble, h.toDouble, r / n, g / n, b / n)
+  }
+
+  /** STUB for codec-less modalities: a deterministic 16-bin byte
+    * histogram, L1-normalized — a stand-in feature vector with the
+    * same shape/contract a real audio/video codec would emit (none are
+    * available in this sandbox). */
+  def byteHistogram(content: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](16)
     var i = 0
     while (i < content.length) {
@@ -49,17 +96,26 @@ object Multimodal {
     hist.map(_ / n)
   }
 
-  /** Build a media table from the documents fixture: UTF-8 bytes stand
-    * in for encoded media; metadata travels as a typed struct. */
-  def mediaFromDocs(docs: DataFrame): DataFrame =
+  /** Build a media table from the documents fixture: each doc renders
+    * to a REAL P6 PPM — header + 48 raw RGB bytes taken from the doc's
+    * first 48 printable characters ('.'-padded), so the binary column
+    * is genuinely self-describing media, not ASCII-as-bytes. The pixel
+    * expression is mirrored by the q_multimodal oracle, which
+    * recomputes the channel stats from the same generating expression. */
+  def mediaFromDocs(docs: DataFrame): DataFrame = {
+    val px = rpad(substring(regexp_replace(col("text"), "[^ -~]", "."), 1, 48),
+      48, ".")
+    val content = concat(encode(lit(PpmHeader), "UTF-8"), encode(px, "UTF-8"))
     docs.select(
       col("doc_id").as("media_id"),
-      lit("text/plain").as("modality"),
-      encode(col("text"), "UTF-8").as("content"),
-      struct(col("source"), length(col("text")).cast("long").as("n_bytes")).as("meta"))
+      lit(PpmModality).as("modality"),
+      content.as("content"),
+      struct(col("source"), length(content).cast("long").as("n_bytes")).as("meta"))
+  }
 
   /** Batched feature extraction: one decoder instantiation per
-    * partition, streamed row batches — the mapInPandas shape on the JVM. */
+    * partition, streamed row batches — the mapInPandas shape on the
+    * JVM. Dispatches on modality: PPM rows take the real decode path. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -69,18 +125,20 @@ object Multimodal {
         // per-partition decoder setup would happen here (codec init)
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("content")
-          MediaFeatures(
-            r.getAs[Long]("media_id"),
-            r.getAs[String]("modality"),
-            bytes.length.toLong,
-            decodeStub(bytes))
+          val modality = r.getAs[String]("modality")
+          val features =
+            if (modality == PpmModality) decodePpm(bytes)
+            else byteHistogram(bytes)
+          MediaFeatures(r.getAs[Long]("media_id"), modality,
+            bytes.length.toLong, features)
         }
       }
   }
 
   /** "Frame sampling" stub: every k-th fixed-size chunk of the payload
     * (a video pipeline would emit decoded frames; the chunking/explode
-    * plumbing is the real part). */
+    * plumbing is the real part — chunks are not self-describing, so
+    * features fall back to [[byteHistogram]]). */
   def sampleFrames(media: DataFrame, chunkBytes: Int, everyK: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -89,7 +147,7 @@ object Multimodal {
       .flatMap { case (id, bytes) =>
         bytes.grouped(chunkBytes).zipWithIndex
           .filter(_._2 % everyK == 0)
-          .map { case (chunk, idx) => (id, idx, chunk.length, decodeStub(chunk)) }
+          .map { case (chunk, idx) => (id, idx, chunk.length, byteHistogram(chunk)) }
       }
       .toDF("media_id", "frame_idx", "frame_bytes", "frame_features")
   }

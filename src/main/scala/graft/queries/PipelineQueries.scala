@@ -12,9 +12,13 @@ import graft.streaming.EventStreams
   * transform applied in batch mode (backfill path). */
 object PipelineQueries {
 
-  /** Binary media -> stub features, projected to oracle-comparable
-    * scalars (byte histogram bins; corpus is ASCII so DuckDB can
-    * recompute them from character codes). */
+  /** Real binary-format decode under the gate: docs render to P6 PPM
+    * bytes ([[Multimodal.mediaFromDocs]]), the extractor PARSES the
+    * format (magic, header dims, pixel-plane length check) and emits
+    * per-channel pixel means; the oracle recomputes the same stats
+    * from the generating expression. n_bytes (59 = 11-byte header +
+    * 48 pixels) gates that the emitted bytes really carry the format,
+    * and w/h gate that the header round-trips through the parser. */
   def qMultimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
         Multimodal.mediaFromDocs(s.read.parquet(s"$dir/documents.parquet")))
@@ -22,9 +26,11 @@ object PipelineQueries {
       .select(
         col("media_id"),
         col("n_bytes"),
-        round(element_at(col("features"), 3), 4).as("f2"),
-        round(element_at(col("features"), 7), 4).as("f6"),
-        round(element_at(col("features"), 8), 4).as("f7"))
+        element_at(col("features"), 1).cast("int").as("w"),
+        element_at(col("features"), 2).cast("int").as("h"),
+        round(element_at(col("features"), 3), 4).as("mean_r"),
+        round(element_at(col("features"), 4), 4).as("mean_g"),
+        round(element_at(col("features"), 5), 4).as("mean_b"))
       .orderBy("media_id")
 
   /** The streaming hourly-counts transform run over the batch events
@@ -287,14 +293,17 @@ object PipelineQueries {
         |  CAST(sum(CAST(embedding[1] AS DECIMAL(18,12))) AS DOUBLE) AS sum_e1
         |FROM embeddings""".stripMargin)),
     QueryDef("q_multimodal", qMultimodal, Some(
-      """SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
-        |  round(CAST(len(list_filter(string_split(text,''), c -> (ord(c) >> 4) = 2)) AS DOUBLE)
-        |        / CAST(length(text) AS DOUBLE), 4) AS f2,
-        |  round(CAST(len(list_filter(string_split(text,''), c -> (ord(c) >> 4) = 6)) AS DOUBLE)
-        |        / CAST(length(text) AS DOUBLE), 4) AS f6,
-        |  round(CAST(len(list_filter(string_split(text,''), c -> (ord(c) >> 4) = 7)) AS DOUBLE)
-        |        / CAST(length(text) AS DOUBLE), 4) AS f7
-        |FROM documents ORDER BY media_id""".stripMargin)),
+      """WITH px AS (SELECT doc_id,
+        |              rpad(substring(regexp_replace(text, '[^ -~]', '.', 'g'), 1, 48),
+        |                   48, '.') AS p FROM documents),
+        |codes AS (SELECT doc_id,
+        |            list_transform(string_split(p, ''), ch -> ord(ch)) AS c FROM px)
+        |SELECT doc_id AS media_id, CAST(59 AS BIGINT) AS n_bytes,
+        |  CAST(4 AS INT) AS w, CAST(4 AS INT) AS h,
+        |  round(CAST(list_sum(list_transform(range(0,16), j -> c[j*3+1])) AS DOUBLE) / 16.0, 4) AS mean_r,
+        |  round(CAST(list_sum(list_transform(range(0,16), j -> c[j*3+2])) AS DOUBLE) / 16.0, 4) AS mean_g,
+        |  round(CAST(list_sum(list_transform(range(0,16), j -> c[j*3+3])) AS DOUBLE) / 16.0, 4) AS mean_b
+        |FROM codes ORDER BY media_id""".stripMargin)),
     QueryDef("q_stream_hourly", qStreamHourly, Some(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start, event_type,
         |  count(*) AS n,

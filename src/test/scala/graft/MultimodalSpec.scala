@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.multimodal.Multimodal
 import graft.operators.MinHash
 
-/** Multimodal plumbing tests (stubbed decode, real schema/batching) +
+/** Multimodal tests (real PPM decode + schema/batching plumbing) +
   * SimHash locality sanity. */
 class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -29,14 +29,37 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(1).toLong == r.getLong(2), "binary length must equal metadata n_bytes (ASCII)")
   }
 
-  test("feature extraction: normalized histogram, batch pipeline") {
+  test("feature extraction: real PPM header parse + channel means") {
     val media = Multimodal.mediaFromDocs(spark.read.parquet(s"$sfDir/documents.parquet"))
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == 500)
     feats.take(20).foreach { f =>
-      assert(f.features.length == 16)
-      assert(math.abs(f.features.sum - 1.0) < 1e-9, "histogram must be L1-normalized")
+      assert(f.n_bytes == 59, "11-byte P6 header + 48 pixel bytes")
+      assert(f.features.length == 5)
+      assert(f.features(0) == 4.0 && f.features(1) == 4.0, "header dims round-trip")
+      // pixels are printable ASCII, so channel means live in [32, 126]
+      f.features.drop(2).foreach(m => assert(m >= 32.0 && m <= 126.0))
     }
+  }
+
+  test("PPM decode rejects malformed media instead of swallowing it") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm("P5\n4 4\n255\nxxxx".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm("P6\n4 4\n255\nshort".getBytes("US-ASCII"))
+    }
+  }
+
+  test("PPM decode: exact channel means on a known image") {
+    val pixels = Array.tabulate(48)(i => (i % 3 match {
+      case 0 => 10 + i / 3 // R: 10..25, mean 17.5
+      case 1 => 100        // G
+      case 2 => 200        // B
+    }).toByte)
+    val ppm = "P6\n4 4\n255\n".getBytes("US-ASCII") ++ pixels
+    val f = Multimodal.decodePpm(ppm)
+    assert(f.toSeq == Seq(4.0, 4.0, 17.5, 100.0, 200.0))
   }
 
   test("frame sampling emits every k-th chunk with features") {
@@ -47,9 +70,10 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.forall(_.getInt(1) % 2 == 0), "only every 2nd frame index sampled")
   }
 
-  test("decode stub is deterministic") {
+  test("byte-histogram fallback is deterministic and L1-normalized") {
     val b = "spark filter join".getBytes("UTF-8")
-    assert(Multimodal.decodeStub(b).toSeq == Multimodal.decodeStub(b).toSeq)
+    assert(Multimodal.byteHistogram(b).toSeq == Multimodal.byteHistogram(b).toSeq)
+    assert(math.abs(Multimodal.byteHistogram(b).sum - 1.0) < 1e-9)
   }
 
   test("jaccard prefix+positional filters return exactly the unfiltered result set") {
