@@ -160,7 +160,16 @@ object TextQueries {
     * and the (1-row) total broadcasts. Per-(doc,term) contributions
     * cast to exact decimals before the per-doc sum — the BM25
     * determinism convention (ulp differences in ln quantize away at
-    * 1e-6, far above the ~1e-14 cross-engine libm spread). */
+    * 1e-6, far above the ~1e-14 cross-engine libm spread).
+    *
+    * The final `floor(lp/n*10000)/10000` is NOT a cross-engine hazard:
+    * `lp` is an exact decimal sum whose double cast is correctly
+    * rounded, `n` is an integer, and both engines evaluate the
+    * identical IEEE expression tree on identical inputs — so the floor
+    * argument is bit-identical and the boundary case cannot diverge.
+    * The one residual window is the per-term decimal(18,6) cast of
+    * `tf·ln(cf/total)` landing within the libm spread of a rounding
+    * boundary — accepted repo-wide (same as BM25). */
   def qUnigramLogprob(s: SparkSession, dir: String): DataFrame = {
     val tf = docs(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))

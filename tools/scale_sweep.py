@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Scale-sweep super-linearity detector.
+
+Runs graft.Bench at sf0.001 / sf0.01 / sf0.1, then compares each
+query's sf0.01 -> sf0.1 wall-clock growth against the growth of its
+primary fixture table. A query whose time grows much faster than its
+data is a scale-killer candidate (the check that would have flagged
+the round-3 embcos pair join automatically).
+
+Flag rule: time_ratio > FLAG_FACTOR x data_ratio AND t(sf0.1) >
+MIN_SECS (below that, fixed per-query costs — session/stream/JIT —
+dominate and ratios are noise).
+
+Usage: python3 tools/scale_sweep.py [--reuse]
+  --reuse  skip the bench runs, reuse /tmp/graft_sweep_sf*.json
+"""
+import json
+import os
+import subprocess
+import sys
+
+SFS = ["0.001", "0.01", "0.1"]
+FLAG_FACTOR = 1.5
+MIN_SECS = 0.5
+
+# sf0.01 -> sf0.1 row growth by primary table: embeddings 500->2000
+# (x4); documents/events/lineitem/orders/customer/part/supplier x10.
+EMB_X4 = 4.0
+DOC_X10 = 10.0
+
+# queries whose dominant input is the embeddings table
+EMB_QUERIES = {
+    "q_knn_exact", "q_knn_cosine", "q_knn_filtered", "q_knn_multi",
+    "q_knn_batch", "q_l2_kernel", "q_cosine_kernel", "q_range_search",
+    "q_validate", "q_bin_source", "q_hnsw_levels", "q_hnsw_stats",
+    "q_ann_ivf", "q_ann_hnsw", "q_ann_routed", "q_ann_adaptive",
+    "q_ann_persisted", "q_ann_compacted", "q_ann_cells", "q_ann_trained",
+    "q_ann_incremental", "q_ann_ivfpq", "q_build_range",
+    "q_quantized_knn", "q_pq_knn", "q_dedup_emblsh", "q_dedup_embcos",
+    "q_vectordb_search",
+}
+
+
+def run_bench(sf):
+    out = f"/tmp/graft_sweep_sf{sf}.json"
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=f"/root/testdata/sf{sf}")
+    subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env,
+                   check=True, capture_output=True, cwd="/root/repo")
+    os.replace("/tmp/graft_bench.json", out)
+    return out
+
+
+def main():
+    reuse = "--reuse" in sys.argv
+    data = {}
+    for sf in SFS:
+        path = f"/tmp/graft_sweep_sf{sf}.json"
+        if not (reuse and os.path.exists(path)):
+            path = run_bench(sf)
+        with open(path) as f:
+            data[sf] = json.load(f)
+
+    queries = sorted(data["0.1"]["queries"])
+    print("| query | sf0.001 s | sf0.01 s | sf0.1 s | t ratio (.01->.1) | "
+          "data ratio | verdict |")
+    print("|---|---|---|---|---|---|---|")
+    flagged = []
+    for q in queries:
+        t = [data[sf]["queries"].get(q) for sf in SFS]
+        if any(x is None for x in t):
+            print(f"| {q} | - | - | - | - | - | missing at some sf |")
+            continue
+        ratio = t[2] / t[1] if t[1] > 0 else float("inf")
+        growth = EMB_X4 if q in EMB_QUERIES else DOC_X10
+        if t[2] <= MIN_SECS:
+            verdict = "clean (fixed-cost regime)"
+        elif ratio > FLAG_FACTOR * growth:
+            verdict = f"**FLAGGED** (time x{ratio:.1f} vs data x{growth:.0f})"
+            flagged.append(q)
+        else:
+            verdict = "clean"
+        print(f"| {q} | {t[0]:.2f} | {t[1]:.2f} | {t[2]:.2f} | "
+              f"x{ratio:.1f} | x{growth:.0f} | {verdict} |")
+    totals = [data[sf]["value"] for sf in SFS]
+    print(f"\nTotals: sf0.001 {totals[0]:.1f}s, sf0.01 {totals[1]:.1f}s, "
+          f"sf0.1 {totals[2]:.1f}s; flagged: {flagged or 'none'}")
+    errs = {sf: data[sf].get("errors") for sf in SFS
+            if data[sf].get("errors") not in ({}, None)}
+    if errs:
+        print(f"Errors: {errs}")
+
+
+if __name__ == "__main__":
+    main()
