@@ -58,6 +58,15 @@ object RecallCurve {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     routed.count()
 
+    // contrast: routing by the fixture's label partitions — a cell key
+    // UNRELATED to vector geometry, i.e. what routing degrades to when
+    // the coarse quantizer is never trained (expect recall ~ nprobe/L)
+    val labelIdx = HnswIndex.build(e.withColumn("part", col("label")), P)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labelIdx.count()
+    val labelRouter = IvfIndex.fromPartitionMeans(e, "label", "embedding")
+    val labelCells = labelRouter.k
+
     def top(df: DataFrame): Map[Long, Set[Long]] =
       df.select(col("qid"), col("vector_id"))
         .collect()
@@ -84,6 +93,10 @@ object RecallCurve {
         measure(s"routed $cells trained cells, nprobe=$np (ef=256)",
           HnswIndex.search(routed, queries, K, P, efSearch = 256,
             router = Some(model), nprobe = np))
+      } ++ Seq(1, 3).map { np =>
+        measure(s"routed $labelCells LABEL cells (untrained), nprobe=$np (ef=256)",
+          HnswIndex.search(labelIdx, queries, K, P, efSearch = 256,
+            router = Some(labelRouter), nprobe = np))
       }
 
     println(s"\n### recall@$K vs serving knobs ($sfDir, n=$n, $NQueries queries, " +

@@ -65,6 +65,37 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("embcos blocking join is an equi-join on the trained cell (never all-pairs)") {
+    val p = plan(DedupQueries.qDedupEmbcos(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cell-blocked self-join degenerated to all-pairs:\n$p")
+    assert(p.contains("ivf_assign") || p.contains("IvfAssign"),
+      s"routing must run through the native codegen kernel, not an HOF chain:\n$p")
+  }
+
+  test("addBatch isolates dirty cells via broadcast semi/anti joins (no corpus shuffle)") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("part", col("label"))
+    val late = (col("vec_id") % 2 === 1) && (col("label") < 5)
+    val base = graft.index.HnswIndex.build(e.filter(!late))
+    val p = plan(graft.index.HnswIndex.addBatch(base, e.filter(late)).toDF())
+    // the dirty-cell set is O(#cells) — both the untouched anti-join and
+    // the rebuild semi-join must broadcast it, never shuffle the index
+    assert(p.contains("BroadcastHashJoin"),
+      s"dirty-cell joins must broadcast the tiny cell set:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"addBatch must not shuffle the index to meet the dirty set:\n$p")
+  }
+
+  test("media feature extraction is one narrow map pass (no shuffle)") {
+    import graft.multimodal.Multimodal
+    val p = plan(Multimodal.extractFeatures(Multimodal.mediaFromDocs(
+      spark.read.parquet(s"$sfDir/documents.parquet"))).toDF())
+    assert(!p.contains("Exchange"),
+      s"PPM decode must stay partition-local (mapInPandas shape):\n$p")
+  }
+
   test("persisted routed search prunes the scan to the probed cell subtrees") {
     // the serving claim at 100 TB: a routed query over a save()d index
     // reads nprobe/L of the data — i.e. the part predicate must land
