@@ -33,6 +33,24 @@ object PipelineQueries {
         round(element_at(col("features"), 5), 4).as("mean_b"))
       .orderBy("media_id")
 
+  /** Frame-sampling plumbing under the gate: every 2nd 16-byte chunk
+    * of each media payload (the video-pipeline explode shape), with
+    * per-chunk byte-histogram features. The PPM payload is printable
+    * ASCII, so the oracle rebuilds the exact content string (header +
+    * pixel plane) and recomputes the sampled chunks' stats. */
+  def qFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.mediaFromDocs(s.read.parquet(s"$dir/documents.parquet")),
+        chunkBytes = 16, everyK = 2)
+      .select(
+        col("media_id"),
+        col("frame_idx"),
+        col("frame_bytes"),
+        round(element_at(col("frame_features"), 3), 4).as("f2"),
+        round(element_at(col("frame_features"), 7), 4).as("f6"),
+        round(element_at(col("frame_features"), 8), 4).as("f7"))
+      .orderBy("media_id", "frame_idx")
+
   /** The streaming hourly-counts transform run over the batch events
     * table — same code path `readStream` uses (watermark is a no-op in
     * batch). `ts` arrives as nanos-since-epoch; truncate to micros. */
@@ -304,6 +322,23 @@ object PipelineQueries {
         |  round(CAST(list_sum(list_transform(range(0,16), j -> c[j*3+2])) AS DOUBLE) / 16.0, 4) AS mean_g,
         |  round(CAST(list_sum(list_transform(range(0,16), j -> c[j*3+3])) AS DOUBLE) / 16.0, 4) AS mean_b
         |FROM codes ORDER BY media_id""".stripMargin)),
+    QueryDef("q_frames", qFrames, Some(
+      """WITH media AS (SELECT doc_id,
+        |    'P6' || chr(10) || '4 4' || chr(10) || '255' || chr(10) ||
+        |    rpad(substring(regexp_replace(text, '[^ -~]', '.', 'g'), 1, 48), 48, '.')
+        |    AS content FROM documents),
+        |frames AS (SELECT doc_id, u.fi,
+        |             substring(content, u.fi * 16 + 1, 16) AS sub
+        |           FROM media CROSS JOIN unnest([0, 2]) AS u(fi)),
+        |c AS (SELECT doc_id, fi, length(sub) AS n,
+        |        list_transform(string_split(sub, ''), ch -> ord(ch)) AS codes
+        |      FROM frames)
+        |SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(n AS INT) AS frame_bytes,
+        |  round(CAST(len(list_filter(codes, o -> (o >> 4) = 2)) AS DOUBLE) / n, 4) AS f2,
+        |  round(CAST(len(list_filter(codes, o -> (o >> 4) = 6)) AS DOUBLE) / n, 4) AS f6,
+        |  round(CAST(len(list_filter(codes, o -> (o >> 4) = 7)) AS DOUBLE) / n, 4) AS f7
+        |FROM c ORDER BY media_id, frame_idx""".stripMargin)),
     QueryDef("q_stream_hourly", qStreamHourly, Some(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start, event_type,
         |  count(*) AS n,
