@@ -96,12 +96,14 @@ object Curation {
       else size(filter(array(bounds.map(lit(_)): _*), b => b < col("id")))
     val withB = base.withColumn("pid", bucket)
     val totals = withB.groupBy("pid").agg(sum("toks").as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = totals.map(_._1).zip(
-      totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toMap
-    val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("pid") === pid, off).otherwise(acc)
-    }
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // dense offset table indexed by pid (pids are 0..#bounds by
+    // construction; empty buckets contribute 0) — an O(1)-depth array
+    // lookup per row, where a when-chain would stack #buckets deep and
+    // fall out of codegen at high partition counts
+    val dense = Array.tabulate(bounds.size + 1)(p => totals.getOrElse(p, 0L))
+    val offsets = dense.scanLeft(0L)(_ + _).dropRight(1)
+    val offExpr = element_at(array(offsets.map(lit(_)): _*), col("pid") + 1)
     val localBefore = sum(col("toks")).over(
       Window.partitionBy("pid").orderBy("id")
         .rowsBetween(Window.unboundedPreceding, -1))

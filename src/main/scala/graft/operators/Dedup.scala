@@ -176,6 +176,16 @@ object Dedup {
     * full inverted index is used (same result set by the theorems; the
     * form the oracle SQL mirrors).
     *
+    * PPJoin+'s suffix filter is deliberately NOT ported: it prunes by
+    * probing the two records' suffix ARRAYS during candidate
+    * generation, which in a relational rendering means shipping every
+    * doc's ordered shingle array through the candidate join — the
+    * shuffle-width blowup this design exists to avoid. Single-node,
+    * that trade wins because verification is random access; here
+    * verification is a bounded equi-join fetched only for
+    * post-distinct survivors, so the array transfer it would save is
+    * already deferred past the filter.
+    *
     * Output: (a, b, jac) with a < b.
     */
   def jaccardJoin(
