@@ -167,6 +167,31 @@ object Curation {
     df.filter(n >= 1).withColumn("copy", explode(sequence(lit(1), n)))
   }
 
+  /** Per-domain quota cap: keep at most `cap` rows per domain, best
+    * score first (ties to the lowest id) — the corpus-balancing stage
+    * that stops one crawl domain from dominating the training mix.
+    *
+    * Implemented as the bounded-heap [[graft.operators.TopK]]
+    * aggregate, NOT a ranking window: a window sorts each domain
+    * inside a single task (one hot domain serializes the job at
+    * 100 TB), while the heap runs map-side partial top-`cap` per
+    * input partition and shuffles O(#domains · cap) rows. */
+  def domainCap(df: DataFrame, cap: Int, scoreCol: Column,
+      domainCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(cap >= 1, "cap must be at least 1")
+    val topk = graft.operators.TopK.topK(cap)
+    df.select(col(domainCol).as("domain"),
+        (-scoreCol).cast("double").as("__neg"), col(idCol).cast("long").as("__id"))
+      .groupBy("domain")
+      .agg(topk(col("__neg"), col("__id")).as("hits"))
+      .select(col("domain"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(
+        col("domain"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("hit._2").as(idCol),
+        (-col("hit._1")).as("score"))
+  }
+
   /** Benchmark decontamination: for every corpus document, the eval
     * documents it shares >= `minOverlap` distinct n-gram shingles with.
     * The eval side (benchmark suites — tiny by contract) becomes a

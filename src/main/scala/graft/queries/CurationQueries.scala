@@ -99,7 +99,28 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-domain quota cap: each source keeps its 3 best docs by the
+    * floor-quantized quality score (ties to the lowest doc_id) — the
+    * corpus-balancing stage. Rides the bounded-heap TopK aggregate
+    * (map-side partial top-3 per partition; one hot domain never
+    * serializes a sort, unlike a ranking window). Quality is quantized
+    * at 1e-4 BEFORE ranking, so both engines rank identical exact
+    * values. */
+  def qDomainCap(s: SparkSession, dir: String): DataFrame =
+    Curation.domainCap(docs(s, dir), cap = 3,
+        scoreCol = floor(graft.functions.TextFunctions.qualityScore(col("text")) * 10000.0) / 10000.0)
+      .select(col("domain"), col("rnk"), col("doc_id"), col("score").as("quality"))
+      .orderBy("domain", "rnk")
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_domain_cap", qDomainCap, Some(
+      s"""WITH q AS (SELECT doc_id, source, ${TextQueries.qualitySql} AS quality
+         |           FROM documents),
+         |r AS (SELECT source AS domain, doc_id, quality,
+         |        row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rnk
+         |      FROM q)
+         |SELECT domain, CAST(rnk AS INT) AS rnk, doc_id, quality
+         |FROM r WHERE rnk <= 3 ORDER BY domain, rnk""".stripMargin)),
     QueryDef("q_decontaminated_corpus", qDecontaminatedCorpus, Some(
       s"""WITH t AS (SELECT doc_id, ${DedupQueries.shSql} AS sh FROM documents),
          |e AS (SELECT doc_id, sh FROM t WHERE doc_id % 50 = 0 AND len(sh) > 0),

@@ -242,6 +242,14 @@ object TextQueries {
     s"len(list_filter($toksSql, t -> list_contains(${listLit(words)}, t)))"
   private val punctSql =
     """length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))"""
+  /** The floor-quantized quality score (single definition — q_quality
+    * and q_domain_cap both rank on it). */
+  private[queries] lazy val qualitySql: String =
+    s"""floor((CASE WHEN length(text) = 0 THEN 0.0 ELSE
+       |  0.4 * least(1.0, CAST(len($toksSql) AS DOUBLE) / 50.0)
+       |  + 0.3 * (1.0 - CAST($punctSql AS DOUBLE) / CAST(length(text) AS DOUBLE))
+       |  + 0.3 * (CAST(${hitsSql(StopEn)} AS DOUBLE) / CAST(len($toksSql) AS DOUBLE)) END) * 10000.0) / 10000.0""".stripMargin
+      .replaceAll("\\s+", " ")
   private val shSql =
     """list_distinct(list_transform(range(1, len(string_split_regex(text,'\s+')) - 1),
       | i -> string_split_regex(text,'\s+')[i] || '_' || string_split_regex(text,'\s+')[i+1]
@@ -307,10 +315,7 @@ object TextQueries {
          |        / CAST(len($toksSql) AS DOUBLE) * 10000.0) / 10000.0 AS avg_tok_len
          |FROM documents ORDER BY doc_id""".stripMargin)),
     QueryDef("q_quality", qQuality, Some(
-      s"""SELECT doc_id, floor((CASE WHEN length(text) = 0 THEN 0.0 ELSE
-         |  0.4 * least(1.0, CAST(len($toksSql) AS DOUBLE) / 50.0)
-         |  + 0.3 * (1.0 - CAST($punctSql AS DOUBLE) / CAST(length(text) AS DOUBLE))
-         |  + 0.3 * (CAST(${hitsSql(StopEn)} AS DOUBLE) / CAST(len($toksSql) AS DOUBLE)) END) * 10000.0) / 10000.0 AS quality
+      s"""SELECT doc_id, $qualitySql AS quality
          |FROM documents ORDER BY doc_id""".stripMargin)),
     QueryDef("q_langid", qLangId, Some(
       s"""SELECT doc_id, lang AS lang_labeled,

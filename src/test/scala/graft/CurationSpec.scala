@@ -110,6 +110,27 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Curation.upsample(docs, lit(0)).count() == 0L)
   }
 
+  test("domainCap == ranking window, incl. ties, at several partition counts") {
+    val score = floor(graft.functions.TextFunctions.qualityScore(col("text")) * 10000.0) / 10000.0
+    val w = Window.partitionBy("source").orderBy(col("q").desc, col("doc_id").asc)
+    val want = docs.withColumn("q", score)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("source"), col("rnk"), col("doc_id"), col("q"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    for (parts <- Seq(1, 7)) {
+      val got = Curation.domainCap(docs.repartition(parts), cap = 3, scoreCol = score)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == want, s"parts=$parts: heap top-3 must equal the ranking window")
+    }
+  }
+
+  test("domainCap keeps every domain when cap exceeds the domain size") {
+    val n = docs.count()
+    val all = Curation.domainCap(docs, cap = n.toInt, scoreCol = lit(1.0))
+    assert(all.count() == n, "cap >= domain size must pass every row through")
+  }
+
   test("stratifiedSample membership is monotone in the rate and never upsamples") {
     import spark.implicits._
     def ids(bps: Long) = Curation.stratifiedSample(docs, lit(bps))
