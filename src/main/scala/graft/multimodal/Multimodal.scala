@@ -65,10 +65,13 @@ object Multimodal {
     val w = token().toInt
     val h = token().toInt
     val maxv = token().toInt
+    require(w > 0 && h > 0, s"non-positive dimensions ${w}x$h")
     require(maxv == 255, s"unsupported maxval $maxv")
     pos += 1 // exactly ONE whitespace byte separates header from pixels
-    require(content.length - pos == w * h * 3,
-      s"pixel plane is ${content.length - pos} bytes, want ${w * h * 3}")
+    // long arithmetic: a hostile header like 65536x65536 overflows the
+    // Int plane size to 0 and would validate against an empty payload
+    require((content.length - pos).toLong == w.toLong * h * 3L,
+      s"pixel plane is ${content.length - pos} bytes, want ${w.toLong * h * 3L}")
     var r = 0L; var g = 0L; var b = 0L
     var i = pos
     while (i < content.length) {

@@ -175,12 +175,19 @@ object Curation {
     * aggregate, NOT a ranking window: a window sorts each domain
     * inside a single task (one hot domain serializes the job at
     * 100 TB), while the heap runs map-side partial top-`cap` per
-    * input partition and shuffles O(#domains · cap) rows. */
+    * input partition and shuffles O(#domains · cap) rows.
+    *
+    * Rows whose score is NULL or NaN are EXCLUDED (a quality scorer
+    * emits NaN on degenerate input, e.g. 0/0 ratios): NaN is outside
+    * the heap comparator's total order, so admitting it would make
+    * the kept set depend on partition arrival order — the exclusion
+    * is the deterministic contract, mirrored by the oracle. */
   def domainCap(df: DataFrame, cap: Int, scoreCol: Column,
       domainCol: String = "source", idCol: String = "doc_id"): DataFrame = {
     require(cap >= 1, "cap must be at least 1")
     val topk = graft.operators.TopK.topK(cap)
-    df.select(col(domainCol).as("domain"),
+    df.filter(scoreCol.isNotNull && !isnan(scoreCol))
+      .select(col(domainCol).as("domain"),
         (-scoreCol).cast("double").as("__neg"), col(idCol).cast("long").as("__id"))
       .groupBy("domain")
       .agg(topk(col("__neg"), col("__id")).as("hits"))

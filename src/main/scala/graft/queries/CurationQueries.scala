@@ -118,7 +118,7 @@ object CurationQueries {
          |           FROM documents),
          |r AS (SELECT source AS domain, doc_id, quality,
          |        row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rnk
-         |      FROM q)
+         |      FROM q WHERE quality IS NOT NULL AND NOT isnan(quality))
          |SELECT domain, CAST(rnk AS INT) AS rnk, doc_id, quality
          |FROM r WHERE rnk <= 3 ORDER BY domain, rnk""".stripMargin)),
     QueryDef("q_decontaminated_corpus", qDecontaminatedCorpus, Some(

@@ -322,6 +322,14 @@ object IndexQueries {
       db
     }
 
+  /** The same handle WITHOUT an index — dispatch picks the exact
+    * brute-force arm. Memoized too: `open` pays a dimension-validation
+    * scan job, which should run once per session, not per execution. */
+  private val vdbExactMemo = new SessionMemo[graft.VectorDB]
+  private def vdbExactHandle(s: SparkSession, dir: String) =
+    vdbExactMemo.get(s, dir)(
+      graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P))
+
   /** Gate on the public `VectorDB.search` DISPATCH surface itself (ref
     * op 17, `src/lib.rs:344-352`) rather than the query objects: the
     * same query vector runs through BOTH arms — `ann` = open →
@@ -333,8 +341,7 @@ object IndexQueries {
       .select(col("embedding")).head().getSeq[Float](0)
     val ann = vdbHandle(s, dir).search(qv, k = 5)
       .select(lit("ann").as("mode"), col("vector_id").as("vec_id"), col("dist").as("d"))
-    val exact = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
-      .search(qv, k = 5)
+    val exact = vdbExactHandle(s, dir).search(qv, k = 5)
       .select(lit("exact").as("mode"), col("vec_id"), col("dist").as("d"))
     ann.unionByName(exact)
       .orderBy("mode", "d", "vec_id")

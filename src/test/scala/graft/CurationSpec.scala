@@ -125,6 +125,20 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("domainCap excludes NaN/null scores deterministically at any partitioning") {
+    import spark.implicits._
+    // NaN sits outside the heap comparator's total order; the contract
+    // is exclusion, identical no matter which partition sees it first
+    val rows = Seq(("a", 1L, 1.0), ("a", 2L, Double.NaN), ("a", 3L, 0.5),
+      ("b", 4L, Double.NaN)).toDF("source", "doc_id", "q")
+    for (parts <- Seq(1, 4)) {
+      val got = Curation.domainCap(rows.repartition(parts), cap = 2, scoreCol = col("q"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == Set(("a", 1, 1L), ("a", 2, 3L)),
+        s"parts=$parts: NaN rows must drop, domain 'b' (all NaN) must vanish")
+    }
+  }
+
   test("domainCap keeps every domain when cap exceeds the domain size") {
     val n = docs.count()
     val all = Curation.domainCap(docs, cap = n.toInt, scoreCol = lit(1.0))

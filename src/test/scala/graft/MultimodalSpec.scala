@@ -49,6 +49,15 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       Multimodal.decodePpm("P6\n4 4\n255\nshort".getBytes("US-ASCII"))
     }
+    // hostile headers: 65536x65536 overflows the Int plane size to 0;
+    // -4 x -4 multiplies back to +48 — both must throw, not decode
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm("P6\n65536 65536\n255\n".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm(
+        ("P6\n-4 -4\n255\n" + "x" * 48).getBytes("US-ASCII"))
+    }
   }
 
   test("PPM decode: exact channel means on a known image") {

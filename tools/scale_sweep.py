@@ -60,7 +60,10 @@ def main():
         with open(path) as f:
             data[sf] = json.load(f)
 
-    queries = sorted(data["0.1"]["queries"])
+    # union across SFs: a query that ERRORS at one sf is absent from
+    # that sf's "queries" map — it must surface as a missing row, not
+    # silently drop out of the table and the flag set
+    queries = sorted({q for sf in SFS for q in data[sf]["queries"]})
     print("| query | sf0.001 s | sf0.01 s | sf0.1 s | t ratio (.01->.1) | "
           "data ratio | verdict |")
     print("|---|---|---|---|---|---|---|")
