@@ -348,6 +348,22 @@ object IndexQueries {
       .select(col("mode"), col("vec_id"), round(col("d"), 3).as("dist"))
   }
 
+  /** Gate on `VectorDB.add`'s ACCEPT path (ref op 4's happy case,
+    * `src/lib.rs:62-72` — q_validate gates the reject case): append a
+    * shifted copy of the corpus through the public handle, then exact
+    * search over the union. Every hit appears at two ids with equal
+    * distance, so the id tiebreak (originals first) is itself under
+    * the gate. */
+  def qVectordbAdd(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val grown = vdbExactHandle(s, dir).add(
+      e.select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+    val qv = e.filter(col("vec_id") === 25L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    grown.search(qv, k = 5)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
   /** Index structure stats per cell (ref structure/pruning invariants,
     * `src/lib.rs:394-467`): node counts AND layer counts are
     * oracle-able (a node owns exactly level+1 adjacency lists and
@@ -510,6 +526,14 @@ object IndexQueries {
       Some(trainedOracleSql("vec_id >= 16 AND vec_id < 20"))),
     QueryDef("q_ann_incremental", qAnnIncremental,
       Some(bruteOracleSql("vec_id >= 20 AND vec_id < 24"))),
+    QueryDef("q_vectordb_add", qVectordbAdd, Some(
+      s"""WITH u AS (SELECT vec_id, embedding FROM embeddings
+         |           UNION ALL
+         |           SELECT vec_id + 100000, embedding FROM embeddings),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 25)
+         |SELECT u.vec_id, round(${VectorQueries.l2Sql("u.embedding", "q.qv")}, 3) AS dist
+         |FROM u, q
+         |ORDER BY ${VectorQueries.l2Sql("u.embedding", "q.qv")}, u.vec_id LIMIT 5""".stripMargin)),
     QueryDef("q_vectordb_search", qVectordbSearch, Some(
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id = 24),
          |$trainedCellsSql,
