@@ -96,6 +96,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"PPM decode must stay partition-local (mapInPandas shape):\n$p")
   }
 
+  test("domainCap pre-aggregates per partition (bounded-heap map-side combine)") {
+    import org.apache.spark.sql.functions.col
+    val p = plan(graft.operators.Curation.domainCap(
+      spark.read.parquet(s"$sfDir/documents.parquet"),
+      cap = 3, scoreCol = col("n_chars").cast("double")))
+    // the 100 TB claim: the shuffle carries O(#domains * cap) partial
+    // heaps, never the corpus — and no ranking-window sort appears
+    assert(p.contains("partial_"), s"expected map-side partial top-k:\n$p")
+    assert(!p.contains("Window"), s"domainCap must not rank via a window sort:\n$p")
+  }
+
   test("persisted routed search prunes the scan to the probed cell subtrees") {
     // the serving claim at 100 TB: a routed query over a save()d index
     // reads nprobe/L of the data — i.e. the part predicate must land
