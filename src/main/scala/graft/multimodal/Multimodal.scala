@@ -67,7 +67,13 @@ object Multimodal {
     val maxv = token().toInt
     require(w > 0 && h > 0, s"non-positive dimensions ${w}x$h")
     require(maxv == 255, s"unsupported maxval $maxv")
-    pos += 1 // exactly ONE whitespace byte separates header from pixels
+    // exactly ONE whitespace byte separates header from pixels; check it
+    // IS whitespace rather than skipping blind (a '#' here would mean a
+    // comment — this decoder accepts the comment-free P6 subset only,
+    // and must reject, not misparse, anything else)
+    require(pos < content.length && isWs(content(pos)),
+      "header must end in a single whitespace byte (P6 comments unsupported)")
+    pos += 1
     // long arithmetic: a hostile header like 65536x65536 overflows the
     // Int plane size to 0 and would validate against an empty payload
     require((content.length - pos).toLong == w.toLong * h * 3L,

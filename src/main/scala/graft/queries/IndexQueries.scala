@@ -125,6 +125,25 @@ object IndexQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** The ANN ≡ brute-force gates require `efSearch` to exceed every
+    * probed cell (the beam then visits each connected component
+    * exhaustively, so the DuckDB brute-force oracle is valid). A
+    * hardcoded constant silently stops being exhaustive at larger
+    * fixtures, so derive ef from the measured max cell size instead —
+    * the precondition is checked, not assumed. One tiny agg job per
+    * (session, fixture, index), memoized; floor of 4096 keeps today's
+    * behavior bit-identical. */
+  private val efMemo =
+    new SessionMemo[scala.collection.concurrent.TrieMap[String, Int]]
+  private def exhaustiveEf(s: SparkSession, dir: String, kind: String)(
+      idx: => org.apache.spark.sql.Dataset[HnswIndex.IndexRow]): Int =
+    efMemo.get(s, dir)(scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(kind, {
+        val maxCell =
+          idx.groupBy("part").count().agg(max("count")).head().getLong(0)
+        math.max(4096L, maxCell + 1L).min(Int.MaxValue).toInt
+      })
+
   /** Scalar-quantizer bounds (one bounds-aggregation job). */
   private val sqMemo = new SessionMemo[(Seq[Double], Seq[Double])]
   private def sqBounds(s: SparkSession, dir: String) = {
@@ -150,15 +169,14 @@ object IndexQueries {
       .orderBy("level")
   }
 
-  /** IVF search: label-mean centroids (exact decimal accumulation →
-    * deterministic), probe the 3 nearest cells, brute-force within
-    * probed cells, global top-10. The centroid table is tiny and
-    * broadcast; the corpus scan touches only probed partitions — the
-    * shape that scales to 100 TB (scan 3/L of the data). */
-  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
-
+  /** Decimal-exact label-cell centroids + the `n` nearest cells to the
+    * single query `q` (a one-column DataFrame holding the query
+    * vector) — the engine-side twin of [[centSql]]/[[probesSingleSql]],
+    * shared by [[qAnnIvf]] and [[qAnnIvfPq]] so the centroid + probe
+    * construction has exactly one definition on each side of the gate.
+    * The centroid table is O(L·d) and broadcast. */
+  private def labelProbes(e: DataFrame, q: DataFrame, n: Int): DataFrame = {
+    val qv = col(q.columns.head)
     // per-label centroid: exact decimal mean per dimension, then packed
     // back into a (pos-sorted) double array
     val cent = e
@@ -167,14 +185,22 @@ object IndexQueries {
       .agg((sum(col("x").cast("decimal(18,12)")).cast("double") / count(lit(1))).as("m"))
       .groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s("m")).as("cv"))
-
-    val probes = cent.crossJoin(broadcast(q))
-      .select(col("label"), l2Sq(col("cv"), col("qv")).as("cd"))
+    cent.crossJoin(broadcast(q))
+      .select(col("label"), l2Sq(col("cv"), qv).as("cd"))
       .orderBy(col("cd").asc, col("label").asc)
-      .limit(3)
+      .limit(n)
       .select("label")
+  }
 
-    e.join(broadcast(probes), "label")
+  /** IVF search: label-mean centroids (exact decimal accumulation →
+    * deterministic), probe the 3 nearest cells, brute-force within
+    * probed cells, global top-10. The centroid table is tiny and
+    * broadcast; the corpus scan touches only probed partitions — the
+    * shape that scales to 100 TB (scan 3/L of the data). */
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+    e.join(broadcast(labelProbes(e, q, 3)), "label")
       .crossJoin(broadcast(q))
       .select(col("vec_id"), l2SqNative(col("embedding"), col("qv")).as("d"))
       .orderBy(col("d").asc, col("vec_id").asc)
@@ -192,7 +218,8 @@ object IndexQueries {
     val idx = labelIndex(s, dir)
     val queries = e.filter(col("vec_id") < 4)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    HnswIndex.search(idx, queries, k = 5, P, efSearch = 4096)
+    HnswIndex.search(idx, queries, k = 5, P,
+        efSearch = exhaustiveEf(s, dir, "label")(idx))
       .select(col("qid"), col("rank").as("rnk"), col("vector_id").as("vec_id"),
         round(col("dist"), 3).as("dist"))
       .orderBy("qid", "rnk")
@@ -211,7 +238,8 @@ object IndexQueries {
     val idx = labelIndex(s, dir)
     val queries = e.filter(col("vec_id") < 4)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    HnswIndex.search(idx, queries, k = 5, P, efSearch = 4096,
+    HnswIndex.search(idx, queries, k = 5, P,
+        efSearch = exhaustiveEf(s, dir, "label")(idx),
         router = Some(labelRouter(s, dir)), nprobe = 3)
       .select(col("qid"), col("rank").as("rnk"), col("vector_id").as("vec_id"),
         round(col("dist"), 3).as("dist"))
@@ -229,7 +257,8 @@ object IndexQueries {
     val idx = labelIndex(s, dir)
     val queries = e.filter(col("vec_id") < 4)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    HnswIndex.search(idx, queries, k = 5, P, efSearch = 4096,
+    HnswIndex.search(idx, queries, k = 5, P,
+        efSearch = exhaustiveEf(s, dir, "label")(idx),
         router = Some(labelRouter(s, dir)), nprobe = 3, adaptiveAlpha = Some(2.0))
       .select(col("qid"), col("rank").as("rnk"), col("vector_id").as("vec_id"),
         round(col("dist"), 3).as("dist"))
@@ -249,7 +278,8 @@ object IndexQueries {
     val idx = persistedIndex(s, dir)
     val queries = e.filter(col("vec_id") >= 4 && col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    HnswIndex.search(idx, queries, k = 5, P, efSearch = 4096,
+    HnswIndex.search(idx, queries, k = 5, P,
+        efSearch = exhaustiveEf(s, dir, "persisted")(idx),
         router = Some(labelRouter(s, dir)), nprobe = 3)
       .select(col("qid"), col("rank").as("rnk"), col("vector_id").as("vec_id"),
         round(col("dist"), 3).as("dist"))
@@ -268,7 +298,8 @@ object IndexQueries {
     val idx = compactedIndex(s, dir)
     val queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 12)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    HnswIndex.search(idx, queries, k = 5, P, efSearch = 4096)
+    HnswIndex.search(idx, queries, k = 5, P,
+        efSearch = exhaustiveEf(s, dir, "compacted")(idx))
       .select(col("qid"), col("rank").as("rnk"), col("vector_id").as("vec_id"),
         round(col("dist"), 3).as("dist"))
       .orderBy("qid", "rnk")
@@ -286,7 +317,8 @@ object IndexQueries {
     val e = emb(s, dir)
     val queries = e.filter(col("vec_id") >= 16 && col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    HnswIndex.search(trainedIndex(s, dir), queries, k = 5, P, efSearch = 4096,
+    HnswIndex.search(trainedIndex(s, dir), queries, k = 5, P,
+        efSearch = exhaustiveEf(s, dir, "trained")(trainedIndex(s, dir)),
         router = Some(trainedRouter(s, dir)), nprobe = 3)
       .select(col("qid"), col("rank").as("rnk"), col("vector_id").as("vec_id"),
         round(col("dist"), 3).as("dist"))
@@ -303,7 +335,8 @@ object IndexQueries {
     val e = emb(s, dir)
     val queries = e.filter(col("vec_id") >= 20 && col("vec_id") < 24)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    HnswIndex.search(incrementalIndex(s, dir), queries, k = 5, P, efSearch = 4096)
+    HnswIndex.search(incrementalIndex(s, dir), queries, k = 5, P,
+        efSearch = exhaustiveEf(s, dir, "incremental")(incrementalIndex(s, dir)))
       .select(col("qid"), col("rank").as("rnk"), col("vector_id").as("vec_id"),
         round(col("dist"), 3).as("dist"))
       .orderBy("qid", "rnk")
@@ -317,8 +350,9 @@ object IndexQueries {
   private def vdbHandle(s: SparkSession, dir: String) =
     vdbMemo.get(s, dir) {
       val db = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
-      db.efSearch = 4096
-      db.buildIndexIvf(numCells = 16, iters = 1)
+      val built = db.buildIndexIvf(numCells = 16, iters = 1)
+      // derived, not assumed: ef must exceed every cell for ANN == exact
+      db.efSearch = exhaustiveEf(s, dir, "vdb_ivf")(built)
       db
     }
 
@@ -361,6 +395,9 @@ object IndexQueries {
     val qv = e.filter(col("vec_id") === 25L)
       .select(col("embedding")).head().getSeq[Float](0)
     grown.search(qv, k = 5)
+      // explicit total order: don't rely on searchKnn's internal
+      // orderBy().limit() surviving the outer projection + write
+      .orderBy(col("dist").asc, col("vec_id").asc)
       .select(col("vec_id"), round(col("dist"), 3).as("dist"))
   }
 
@@ -702,21 +739,7 @@ object IndexQueries {
     val e = emb(s, dir)
     val model = pqModel(s, dir)
     val q = e.filter(col("vec_id") === 12L).select(col("embedding").as("__qv"))
-
-    val cent = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("label", "pos")
-      .agg((sum(col("x").cast("decimal(18,12)")).cast("double") / count(lit(1))).as("m"))
-      .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s("m")).as("cv"))
-
-    val probes = cent.crossJoin(broadcast(q))
-      .select(col("label"), l2Sq(col("cv"), col("__qv")).as("cd"))
-      .orderBy(col("cd").asc, col("label").asc)
-      .limit(3)
-      .select("label")
-
-    e.join(broadcast(probes), "label")
+    e.join(broadcast(labelProbes(e, q, 3)), "label")
       .select(col("vec_id"), ProductQuantizer.encodeExpr(col("embedding"), model).as("codes"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), ProductQuantizer.adcExpr(col("codes"), col("__qv"), model).as("d"))

@@ -37,7 +37,7 @@ EMB_QUERIES = {
     "q_ann_persisted", "q_ann_compacted", "q_ann_cells", "q_ann_trained",
     "q_ann_incremental", "q_ann_ivfpq", "q_build_range",
     "q_quantized_knn", "q_pq_knn", "q_dedup_emblsh", "q_dedup_embcos",
-    "q_vectordb_search",
+    "q_vectordb_search", "q_vectordb_add",
 }
 
 
