@@ -125,6 +125,32 @@ object IndexQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** The corpus with unit-normalized vectors: on unit vectors
+    * 1 − cos(a,b) = ‖â−b̂‖²/2 (a monotone map), so COSINE serving
+    * reduces to the existing L2 walk over normalized vectors — no new
+    * graph code. (The reference exposes a pub cosine kernel,
+    * `/root/reference/src/lib.rs:32-47`, but never wires it to its
+    * index; this closes that gap.) */
+  private def embNorm(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).withColumn("embedding", l2Normalize(col("embedding")))
+
+  /** Cosine-metric serving index: the label-partitioned HNSW built over
+    * UNIT vectors — its L2 beam walk ranks by cosine. */
+  private val cosIdxMemo =
+    new SessionMemo[org.apache.spark.sql.Dataset[HnswIndex.IndexRow]]
+  private def cosineIndex(s: SparkSession, dir: String) =
+    cosIdxMemo.get(s, dir)(
+      HnswIndex.build(embNorm(s, dir).withColumn("part", col("label")), P)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Router for the cosine index: centroids live in the SAME unit
+    * space as the index vectors, so probe selection is cosine-native
+    * (nearest mean direction), not a raw-space approximation. */
+  private val cosRouterMemo = new SessionMemo[graft.index.IvfIndex.Model]
+  private def cosineRouter(s: SparkSession, dir: String) =
+    cosRouterMemo.get(s, dir)(
+      graft.index.IvfIndex.fromPartitionMeans(embNorm(s, dir), "label", "embedding"))
+
   /** The ANN ≡ brute-force gates require `efSearch` to exceed every
     * probed cell (the beam then visits each connected component
     * exhaustively, so the DuckDB brute-force oracle is valid). A
@@ -342,6 +368,42 @@ object IndexQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Cosine-metric ANN serving end to end (VERDICT r5 item #1): the
+    * query routes through unit-space centroids to its 3 nearest cells,
+    * the HNSW beam walks the NORMALIZED graph (L2 on unit vectors ≡
+    * cosine ranking), and the final top-5 is re-scored with the exact
+    * double cosine on the RAW vectors — the same formula the oracle
+    * computes, so cross-engine agreement doesn't depend on float
+    * normalization noise. The walk over-fetches (k=8 → top-5 after
+    * re-score) so a <1e-7 unit-space ranking wiggle at the k boundary
+    * can't drop a true hit; with exhaustive ef the candidate set is
+    * every vector in the probed cells, making ANN ≡ brute force there. */
+  def qAnnCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qWhere = col("vec_id") >= 26 && col("vec_id") < 30
+    val queriesRaw = e.filter(qWhere)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val queriesUnit = embNorm(s, dir).filter(qWhere)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val idx = cosineIndex(s, dir)
+    val hits = HnswIndex.search(idx, queriesUnit, k = 8, P,
+      efSearch = exhaustiveEf(s, dir, "cosine")(idx),
+      router = Some(cosineRouter(s, dir)), nprobe = 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("d").asc, col("vec_id").asc)
+    e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(hits.select(col("qid"), col("vector_id").as("vec_id"))), Seq("vec_id"))
+      .join(broadcast(queriesRaw), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        (lit(1.0d) - cosineNative(col("embedding"), col("qv"))).as("d"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      // `+ 0.0` normalizes IEEE -0.0 on self-match rows (q_knn_cosine)
+      .select(col("qid"), col("rnk").cast("int").as("rnk"), col("vec_id"),
+        (round(col("d"), 4) + lit(0.0)).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
   /** The user-facing [[graft.VectorDB]] handle, opened on the fixture
     * with a trained-IVF index (`buildIndexIvf(16, 1)` — the same
     * decimal-exact one-iteration train as [[trainedRouter]], so the
@@ -488,6 +550,42 @@ object IndexQueries {
        |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(d, 3) AS dist
        |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
+  /** Cosine-routed oracle (mirror of [[qAnnCosine]]): normalize each
+    * vector to unit length THROUGH a float cast (DuckDB `REAL` =
+    * Spark `float` — IEEE round-half-even double→float rounding, so
+    * the unit vectors are bit-identical across engines and the
+    * decimal-exact unit-space centroids replay exactly), route each
+    * query to its 3 nearest unit-space cells, then brute-force cosine
+    * on the RAW vectors within the probed cells. The zero-norm CASE
+    * mirrors [[graft.functions.VectorFunctions.l2Normalize]]'s
+    * pass-through. */
+  private def cosineOracleSql(qWhere: String): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE $qWhere),
+       |nn AS (SELECT vec_id, label, embedding,
+       |         sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm
+       |       FROM embeddings),
+       |nv AS (SELECT vec_id, label,
+       |         list_transform(embedding, x -> CAST(CASE WHEN nrm = 0 THEN CAST(x AS DOUBLE)
+       |                                                  ELSE CAST(x AS DOUBLE) / nrm END AS REAL)) AS uv
+       |       FROM nn),
+       |ex AS (SELECT label, generate_subscripts(uv, 1) AS i, unnest(uv) AS x FROM nv),
+       |cent AS (SELECT label, i,
+       |           CAST(sum(CAST(x AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS m
+       |         FROM ex GROUP BY label, i),
+       |qn AS (SELECT q.qid, n.uv FROM q JOIN nv n ON n.vec_id = q.qid),
+       |cd AS (SELECT qn.qid, c.label, sum((c.m - CAST(qn.uv[c.i] AS DOUBLE))^2) AS d
+       |       FROM cent c, qn GROUP BY qn.qid, c.label),
+       |probes AS (SELECT qid, label FROM
+       |             (SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY d, label) AS rn
+       |              FROM cd) WHERE rn <= 3),
+       |scored AS (SELECT q.qid, e.vec_id, 1.0 - ${VectorQueries.cosSql("e.embedding", "q.qv")} AS d
+       |           FROM embeddings e JOIN probes p ON e.label = p.label JOIN q ON q.qid = p.qid),
+       |ranked AS (SELECT qid, vec_id, d,
+       |                  row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
+       |           FROM scored)
+       |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(d, 4) + CAST(0.0 AS DOUBLE) AS dist
+       |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   /** One decimal-exact Lloyd's iteration at k=16 in SQL (mirror of
     * `IvfIndex.train(k = 16, iters = 1)`): init = the 16 lowest-id
     * vectors, assign under the init centroids, update = per-cell
@@ -563,6 +661,8 @@ object IndexQueries {
       Some(trainedOracleSql("vec_id >= 16 AND vec_id < 20"))),
     QueryDef("q_ann_incremental", qAnnIncremental,
       Some(bruteOracleSql("vec_id >= 20 AND vec_id < 24"))),
+    QueryDef("q_ann_cosine", qAnnCosine,
+      Some(cosineOracleSql("vec_id >= 26 AND vec_id < 30"))),
     QueryDef("q_vectordb_add", qVectordbAdd, Some(
       s"""WITH u AS (SELECT vec_id, embedding FROM embeddings
          |           UNION ALL

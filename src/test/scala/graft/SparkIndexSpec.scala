@@ -226,6 +226,55 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served(Some(1e9)) == served(None))
   }
 
+  test("cosine serving: routed recall@10 at production ef tracks the L2 pipeline on normalized fixtures") {
+    import graft.functions.VectorFunctions._
+    import graft.index.IvfIndex
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val normed = e.select(col("vec_id"), l2Normalize(col("embedding")).as("embedding"), col("label"))
+    val cosIdx = HnswIndex.build(normed.withColumn("part", col("label")), P)
+    val l2Idx = HnswIndex.build(e.withColumn("part", col("label")), P)
+    val cosRouter = IvfIndex.fromPartitionMeans(normed, "label", "embedding")
+    val l2Router = IvfIndex.fromPartitionMeans(e, "label", "embedding")
+    val qids = Seq(0L, 7L, 42L, 99L, 250L, 333L, 444L, 499L)
+
+    def recallOf(idx: org.apache.spark.sql.Dataset[HnswIndex.IndexRow],
+        queries: org.apache.spark.sql.DataFrame, router: IvfIndex.Model,
+        ef: Int, exact: Map[Long, Set[Long]]): Double = {
+      val ann = HnswIndex.search(idx, queries, k = 10, P, efSearch = ef,
+          router = Some(router), nprobe = 3)
+        .select("qid", "vector_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      qids.map(q => ann(q).intersect(exact(q)).size / 10.0).sum / qids.length
+    }
+    def exactTop(metric: String): Map[Long, Set[Long]] = qids.map { q =>
+      q -> Knn.searchKnnById(e, q, k = 10, metric = metric)
+        .collect().map(_.getLong(0)).toSet
+    }.toMap
+
+    val qCos = normed.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val qL2 = e.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // Exhaustive ef isolates ROUTING coverage (the fraction of true
+    // top-10 living in the 3 probed cells) — on this fixture the label
+    // cells are raw-space clusters, so cosine neighbors scatter wider
+    // than L2 neighbors and absolute routed recall is data-limited.
+    // Parity is therefore measured as BEAM loss vs each pipeline's own
+    // routing ceiling: the normalized-L2 walk must lose no more to its
+    // beam than the raw-L2 walk loses to its own.
+    val exactCos = exactTop(Knn.Cosine)
+    val exactL2 = exactTop(Knn.L2)
+    val cosCeil = recallOf(cosIdx, qCos, cosRouter, 4096, exactCos)
+    val cosProd = recallOf(cosIdx, qCos, cosRouter, 32, exactCos)
+    val l2Ceil = recallOf(l2Idx, qL2, l2Router, 4096, exactL2)
+    val l2Prod = recallOf(l2Idx, qL2, l2Router, 32, exactL2)
+    assert(cosCeil > 0.5, s"routing coverage ceiling degenerate: $cosCeil")
+    assert(cosProd >= cosCeil - 0.05,
+      s"cosine beam loses too much vs its routing ceiling: $cosProd vs $cosCeil")
+    assert((cosCeil - cosProd) <= (l2Ceil - l2Prod) + 0.1,
+      s"cosine beam loss (${cosCeil - cosProd}) must track L2 beam loss (${l2Ceil - l2Prod})")
+  }
+
   test("recall@10 >= 0.9 vs exact brute force at production ef") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val idx = HnswIndex.build(e.withColumn("part", col("label")), P)
