@@ -81,16 +81,29 @@ final class HnswGraph(params: HnswParams, vectors: IndexedSeq[Array[Float]], lev
   private def dist(q: Array[Float], node: Int): Double = Hnsw.l2Sq(q, vectors(node))
 
   /** Best-first beam search within one layer. Returns up to `ef`
-    * (node, dist) pairs ascending by distance. */
-  def searchLayer(q: Array[Float], entryId: Int, layer: Int, ef: Int): mutable.ArrayBuffer[(Int, Double)] = {
+    * (node, dist) pairs ascending by distance.
+    *
+    * `keep` is the filtered-ANN hook (the post-filtering strategy of
+    * hnswlib/Qdrant-style engines): the beam NAVIGATES through every
+    * node — the graph's small-world structure is only usable intact —
+    * but the RESULT heap admits matching nodes only, so filtered-out
+    * rows can bridge the walk yet never surface as hits. With the
+    * default accept-all `keep` the walk is bit-identical to the
+    * unfiltered one. */
+  def searchLayer(q: Array[Float], entryId: Int, layer: Int, ef: Int,
+      keep: Int => Boolean = _ => true): mutable.ArrayBuffer[(Int, Double)] = {
     val visited = mutable.BitSet(entryId)
+    val d0 = dist(q, entryId)
     // candidates: closest first; results: farthest first (bounded at ef)
-    val candidates = mutable.PriorityQueue((dist(q, entryId), entryId))(Ordering.by(-_._1))
-    val results = mutable.PriorityQueue((dist(q, entryId), entryId))(Ordering.by(_._1))
+    val candidates = mutable.PriorityQueue((d0, entryId))(Ordering.by(-_._1))
+    val results = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(_._1))
+    if (keep(entryId)) results.enqueue((d0, entryId))
 
     while (candidates.nonEmpty) {
       val (cd, c) = candidates.dequeue()
-      if (cd > results.head._1 && results.size >= ef) {
+      // size check FIRST: with a selective filter the result heap can be
+      // empty while candidates remain (head would throw)
+      if (results.size >= ef && cd > results.head._1) {
         candidates.clear() // all remaining candidates are farther still
       } else {
         val nbrs = adjacency(c)
@@ -101,8 +114,10 @@ final class HnswGraph(params: HnswParams, vectors: IndexedSeq[Array[Float]], lev
               val d = dist(q, n)
               if (results.size < ef || d < results.head._1) {
                 candidates.enqueue((d, n))
-                results.enqueue((d, n))
-                if (results.size > ef) results.dequeue()
+                if (keep(n)) {
+                  results.enqueue((d, n))
+                  if (results.size > ef) results.dequeue()
+                }
               }
             }
           }
@@ -212,11 +227,14 @@ final class HnswGraph(params: HnswParams, vectors: IndexedSeq[Array[Float]], lev
   def search(q: Array[Float], k: Int): Seq[(Int, Double)] =
     searchEf(q, k, math.max(params.efConstruction, k))
 
-  /** ANN top-k with an explicit beam width (recall/latency knob). */
-  def searchEf(q: Array[Float], k: Int, ef: Int): Seq[(Int, Double)] = {
+  /** ANN top-k with an explicit beam width (recall/latency knob) and
+    * an optional result predicate ([[searchLayer]]'s `keep` — descent
+    * ignores it: upper layers only pick the navigation entry point). */
+  def searchEf(q: Array[Float], k: Int, ef: Int,
+      keep: Int => Boolean = _ => true): Seq[(Int, Double)] = {
     if (adjacency.isEmpty) return Seq.empty
     val ep = descend(q, 0)
-    searchLayer(q, ep, 0, math.max(ef, k)).take(k).toSeq
+    searchLayer(q, ep, 0, math.max(ef, k), keep).take(k).toSeq
   }
 }
 

@@ -74,7 +74,15 @@ object HnswIndex {
     * its nearest cells up to `nprobe`, stopping early once centroid
     * distance exceeds a× the nearest — in-cluster queries touch fewer
     * cells at equal recall.
-    */
+    *
+    * `candidateFilter` is metadata-filtered ANN (extension — the
+    * reference's search takes no predicate, `src/lib.rs:344-347`): a
+    * boolean Column over the index row (`part`, `vector_id`, `vec`)
+    * evaluated in the scan stage BEFORE the shuffle; the beam then
+    * navigates the intact graph but only admits matching rows as hits
+    * ([[HnswGraph.searchLayer]]'s `keep`). Over-provision `efSearch`
+    * to cover filtered-out candidates (exhaustive ef makes the
+    * filtered result exact within probed cells). */
   def search(
       index: Dataset[IndexRow],
       queries: DataFrame,
@@ -85,7 +93,8 @@ object HnswIndex {
       qvecCol: String = "qv",
       router: Option[IvfIndex.Model] = None,
       nprobe: Int = 3,
-      adaptiveAlpha: Option[Double] = None): DataFrame = {
+      adaptiveAlpha: Option[Double] = None,
+      candidateFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     require(adaptiveAlpha.isEmpty || router.isDefined,
@@ -120,24 +129,32 @@ object HnswIndex {
     val scoped =
       if (routed) index.filter(col("part").isin(targeted.keys.toSeq: _*))
       else index
-    val candidates = scoped
+    // the candidate predicate is projected in the scan stage (below the
+    // part exchange), so filtered-ANN eligibility is computed where the
+    // data lives — never post-hoc on shuffled hits
+    val keepExpr = candidateFilter.getOrElse(lit(true))
+    val candidates = scoped.toDF()
+      .select(col("part"), col("vector_id"), col("vec"), col("layers"),
+        keepExpr.cast("boolean").as("__keep"))
+      .as[(Int, Long, Array[Float], Array[Array[Long]], Boolean)]
       .repartition(col("part"))
       .sortWithinPartitions("part", "vector_id")
       .mapPartitions { it =>
-        groupRuns(it)(_.part).flatMap { case (part, rows) =>
+        groupRuns(it)(_._1).flatMap { case (part, rows) =>
           val qs: Iterator[(Long, Array[Float])] =
             if (routed) tBc.value.getOrElse(part, Array.empty).iterator
             else qBc.value.iterator
           if (qs.isEmpty) Iterator.empty
           else {
-            val ids = rows.map(_.vector_id)
+            val ids = rows.map(_._2)
             val ordOf = ids.zipWithIndex.toMap
-            val vecs: IndexedSeq[Array[Float]] = rows.map(_.vec)
+            val vecs: IndexedSeq[Array[Float]] = rows.map(_._3)
             val adj: IndexedSeq[Array[Array[Int]]] =
-              rows.map(_.layers.map(_.map(ordOf)))
+              rows.map(_._4.map(_.map(ordOf)))
+            val keep: IndexedSeq[Boolean] = rows.map(_._5)
             val g = HnswGraph.fromAdjacency(params, vecs, adj)
             qs.flatMap { case (qid, qv) =>
-              g.searchEf(qv, k, ef).map { case (ord, d) => Hit(qid, ids(ord), d) }
+              g.searchEf(qv, k, ef, keep).map { case (ord, d) => Hit(qid, ids(ord), d) }
             }
           }
         }
@@ -183,6 +200,30 @@ object HnswIndex {
       existing.union(newRows).toDF("part", "vec_id", "embedding"),
       params, "vec_id", "embedding", "part")
     untouched.union(rebuilt)
+  }
+
+  /** Incremental deletes — the mirror of [[addBatch]] (extension: the
+    * reference is append-only, `src/lib.rs:228-302`, but a long-lived
+    * 100 TB index needs a remove path): cells containing a removed id
+    * rebuild over their surviving vectors; untouched cells' graphs pass
+    * through unchanged via a broadcast anti-join. The removal set is
+    * small by contract (it broadcasts); cost is proportional to dirty
+    * cells, not index size. Removing ids that aren't present is a
+    * no-op, so the operation is idempotent. */
+  def removeBatch(
+      index: Dataset[IndexRow],
+      removals: DataFrame,
+      params: HnswParams = HnswParams(),
+      idCol: String = "vec_id"): Dataset[IndexRow] = {
+    import index.sparkSession.implicits._
+    val ids = removals.select(col(idCol).cast("long").as("vector_id")).distinct()
+    val dirty = index.join(broadcast(ids), Seq("vector_id"), "left_semi")
+      .select("part").distinct()
+    val untouched = index.join(broadcast(dirty), Seq("part"), "left_anti").as[IndexRow]
+    val survivors = index.join(broadcast(dirty), Seq("part"), "left_semi")
+      .join(broadcast(ids), Seq("vector_id"), "left_anti")
+      .select(col("part"), col("vector_id").as("vec_id"), col("vec").as("embedding"))
+    untouched.union(build(survivors, params))
   }
 
   /** Consolidate a long-lived index's accumulated undersized cells

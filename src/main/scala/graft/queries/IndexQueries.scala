@@ -368,6 +368,59 @@ object IndexQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Metadata-filtered routed ANN (VERDICT r5 item #2): the predicate
+    * (even vector ids) is evaluated in the index-scan stage before the
+    * shuffle; the beam navigates the intact cell graphs but admits only
+    * matching rows as hits. Exhaustive ef ⇒ the filtered result equals
+    * filtered brute force within the probed cells, which is exactly
+    * what the oracle computes (same centroids, same probes, candidate
+    * predicate applied to the scored set). */
+  def qAnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val idx = labelIndex(s, dir)
+    val queries = e.filter(col("vec_id") >= 30 && col("vec_id") < 34)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    HnswIndex.search(idx, queries, k = 5, P,
+        efSearch = exhaustiveEf(s, dir, "label")(idx),
+        router = Some(labelRouter(s, dir)), nprobe = 3,
+        candidateFilter = Some(pmod(col("vector_id"), lit(2)) === 0))
+      .select(col("qid"), col("rank").as("rnk"), col("vector_id").as("vec_id"),
+        round(col("dist"), 3).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Index with a deleted slice: [[HnswIndex.removeBatch]] drops the
+    * `vec_id % 5 == 2` vectors of labels 0-3, so the gate exercises
+    * BOTH branches — labels 4+ pass through the untouched anti-join,
+    * labels 0-3 take the dirty-cell rebuild over survivors. */
+  private val deletedMemo =
+    new SessionMemo[org.apache.spark.sql.Dataset[HnswIndex.IndexRow]]
+  private def deletedIndex(s: SparkSession, dir: String) =
+    deletedMemo.get(s, dir) {
+      val gone = emb(s, dir)
+        .filter(col("vec_id") % 5 === 2 && col("label") < 4)
+        .select("vec_id")
+      HnswIndex.removeBatch(labelIndex(s, dir), gone, P)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Direct gate on [[HnswIndex.removeBatch]] (VERDICT r5 item #3):
+    * build → remove a slice → exhaustive search must equal brute force
+    * over the REMAINDER — a surviving tombstone, a dropped survivor, or
+    * corrupted adjacency in either branch surfaces as a hash mismatch.
+    * Query 37 is itself a removed vector: its self-match must be gone
+    * while it still works as a query. */
+  def qAnnDeleted(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") >= 34 && col("vec_id") < 38)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    HnswIndex.search(deletedIndex(s, dir), queries, k = 5, P,
+        efSearch = exhaustiveEf(s, dir, "deleted")(deletedIndex(s, dir)))
+      .select(col("qid"), col("rank").as("rnk"), col("vector_id").as("vec_id"),
+        round(col("dist"), 3).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Cosine-metric ANN serving end to end (VERDICT r5 item #1): the
     * query routes through unit-space centroids to its 3 nearest cells,
     * the HNSW beam walks the NORMALIZED graph (L2 on unit vectors ≡
@@ -519,10 +572,12 @@ object IndexQueries {
       |        FROM cd),
       |probes AS (SELECT qid, label FROM rcd WHERE rn <= 3 AND d <= d0 * 2.0)""".stripMargin
 
-  /** Rank the probed cells' vectors per qid, keep top-5. */
-  private val rankedTailSql =
+  /** Rank the probed cells' vectors per qid, keep top-5. `candWhere`
+    * restricts the candidate rows (filtered ANN / deletes). */
+  private def rankedTailSql(candWhere: String = "TRUE"): String =
     s"""scored AS (SELECT q.qid, e.vec_id, ${VectorQueries.l2Sql("e.embedding", "q.qv")} AS d
-       |           FROM embeddings e JOIN probes p ON e.label = p.label JOIN q ON q.qid = p.qid),
+       |           FROM embeddings e JOIN probes p ON e.label = p.label JOIN q ON q.qid = p.qid
+       |           WHERE $candWhere),
        |ranked AS (SELECT qid, vec_id, d,
        |                  row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
        |           FROM scored)
@@ -530,20 +585,23 @@ object IndexQueries {
        |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
   /** Full routed-search oracle: queries selected by `qWhere`, label
-    * centroids, a probe policy, brute force within probed cells. */
-  private def routedOracleSql(qWhere: String, probes: String): String =
+    * centroids, a probe policy, brute force within probed cells over
+    * the candidates selected by `candWhere`. */
+  private def routedOracleSql(qWhere: String, probes: String,
+      candWhere: String = "TRUE"): String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE $qWhere),
        |$centSql,
        |$cdPerQidSql,
        |$probes,
-       |$rankedTailSql""".stripMargin
+       |${rankedTailSql(candWhere)}""".stripMargin
 
   /** Exhaustive (unrouted) top-5 oracle — exact brute force over the
-    * whole corpus for queries selected by `qWhere`. */
-  private def bruteOracleSql(qWhere: String): String =
+    * corpus rows selected by `candWhere` for queries selected by
+    * `qWhere`. */
+  private def bruteOracleSql(qWhere: String, candWhere: String = "TRUE"): String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE $qWhere),
        |scored AS (SELECT q.qid, e.vec_id, ${VectorQueries.l2Sql("e.embedding", "q.qv")} AS d
-       |           FROM embeddings e CROSS JOIN q),
+       |           FROM embeddings e CROSS JOIN q WHERE $candWhere),
        |ranked AS (SELECT qid, vec_id, d,
        |                  row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
        |           FROM scored)
@@ -663,6 +721,12 @@ object IndexQueries {
       Some(bruteOracleSql("vec_id >= 20 AND vec_id < 24"))),
     QueryDef("q_ann_cosine", qAnnCosine,
       Some(cosineOracleSql("vec_id >= 26 AND vec_id < 30"))),
+    QueryDef("q_ann_filtered", qAnnFiltered,
+      Some(routedOracleSql("vec_id >= 30 AND vec_id < 34", probesFixedSql,
+        candWhere = "e.vec_id % 2 = 0"))),
+    QueryDef("q_ann_deleted", qAnnDeleted,
+      Some(bruteOracleSql("vec_id >= 34 AND vec_id < 38",
+        candWhere = "NOT (e.vec_id % 5 = 2 AND e.label < 4)"))),
     QueryDef("q_vectordb_add", qVectordbAdd, Some(
       s"""WITH u AS (SELECT vec_id, embedding FROM embeddings
          |           UNION ALL

@@ -88,6 +88,30 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"addBatch must not shuffle the index to meet the dirty set:\n$p")
   }
 
+  test("filtered ANN evaluates the candidate predicate in the scan stage, below the part exchange") {
+    val p = plan(IndexQueries.qAnnFiltered(spark, sfDir))
+    val ex = p.indexOf("Exchange hashpartitioning(part")
+    assert(ex >= 0, s"expected the index repartition exchange:\n$p")
+    // the predicate projection must sit BELOW (= printed after) the
+    // exchange: eligibility is computed where the index rows live, not
+    // post-hoc on shuffled hits
+    assert(p.indexOf("pmod", ex) > ex,
+      s"candidate predicate must be computed in the scan stage:\n$p")
+  }
+
+  test("removeBatch isolates dirty cells via broadcast semi/anti joins (no corpus shuffle)") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("part", col("label"))
+    val base = graft.index.HnswIndex.build(e)
+    val gone = e.filter(col("vec_id") % 5 === 2 && col("label") < 4).select("vec_id")
+    val p = plan(graft.index.HnswIndex.removeBatch(base, gone).toDF())
+    assert(p.contains("BroadcastHashJoin"),
+      s"dirty-cell + tombstone joins must broadcast the tiny sets:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"removeBatch must not shuffle the index to meet the removal set:\n$p")
+  }
+
   test("media feature extraction is one narrow map pass (no shuffle)") {
     import graft.multimodal.Multimodal
     val p = plan(Multimodal.extractFeatures(Multimodal.mediaFromDocs(

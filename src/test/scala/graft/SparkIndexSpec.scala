@@ -163,6 +163,62 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hit.getAs[Long]("vector_id") == 1000L && hit.getAs[Double]("dist") < 1e-9)
   }
 
+  test("filtered search admits only matching rows and equals filtered brute force at exhaustive ef") {
+    import org.apache.spark.sql.functions.pmod
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idx = HnswIndex.build(e.withColumn("part", col("label")), P)
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val hits = HnswIndex.search(idx, queries, k = 5, P, efSearch = 4096,
+        candidateFilter = Some(pmod(col("vector_id"), lit(3)) === 0))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(hits.forall(_._3 % 3 == 0), s"a filtered-out row surfaced as a hit: $hits")
+    // exhaustive ef ⇒ must equal brute force over the matching subset
+    val exact = Knn.knnJoin(e.filter(col("vec_id") % 3 === 0), queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(hits == exact, s"filtered ANN != filtered brute force:\n$hits\nvs\n$exact")
+    // a never-matching filter returns no hits (and doesn't throw on the
+    // empty result heap)
+    assert(HnswIndex.search(idx, queries, k = 5, P, efSearch = 4096,
+      candidateFilter = Some(lit(false))).count() == 0L)
+  }
+
+  test("removeBatch drops exactly the removed ids, passes untouched cells through, and is idempotent") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idx = HnswIndex.build(e.withColumn("part", col("label")), P)
+    val gone = e.filter(col("vec_id") % 5 === 2 && col("label") < 4).select("vec_id")
+    val goneIds = gone.collect().map(_.getLong(0)).toSet
+    assert(goneIds.nonEmpty)
+    val removed = HnswIndex.removeBatch(idx, gone, P)
+
+    val servedIds = removed.select("vector_id").collect().map(_.getLong(0)).toSet
+    assert(servedIds.intersect(goneIds).isEmpty, "tombstoned ids still present")
+    assert(servedIds.size == 500 - goneIds.size, "a survivor was dropped")
+
+    // untouched cells (labels 4+) pass through byte-identical
+    val before = idx.filter(col("part") >= 4).collect()
+      .map(r => (r.vector_id, r.layers.map(_.toSeq).toSeq)).toSet
+    val after = removed.filter(col("part") >= 4).collect()
+      .map(r => (r.vector_id, r.layers.map(_.toSeq).toSeq)).toSet
+    assert(after == before, "untouched cell must pass through unchanged")
+
+    // removing the same ids again is a no-op (tombstones are idempotent)
+    val again = HnswIndex.removeBatch(removed, gone, P)
+    assert(again.collect().map(r => (r.vector_id, r.part)).toSet ==
+      removed.collect().map(r => (r.vector_id, r.part)).toSet)
+
+    // compact interaction: compacting the post-delete index still
+    // serves exhaustive-ef results equal to brute force over survivors
+    val compacted = HnswIndex.compact(removed, P, minCellSize = 16)
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val served = HnswIndex.search(compacted, queries, k = 5, P, efSearch = 4096)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = Knn.knnJoin(e.filter(!col("vec_id").isin(goneIds.toSeq: _*)), queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(served == exact, "post-delete compaction corrupted served results")
+  }
+
   test("compact folds undersized cells and preserves exhaustive-ef search results") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // 10 healthy label cells carry vec_id < 400; the remaining 100

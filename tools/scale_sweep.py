@@ -35,7 +35,8 @@ EMB_QUERIES = {
     "q_validate", "q_bin_source", "q_hnsw_levels", "q_hnsw_stats",
     "q_ann_ivf", "q_ann_hnsw", "q_ann_routed", "q_ann_adaptive",
     "q_ann_persisted", "q_ann_compacted", "q_ann_cells", "q_ann_trained",
-    "q_ann_incremental", "q_ann_ivfpq", "q_build_range",
+    "q_ann_incremental", "q_ann_cosine", "q_ann_filtered", "q_ann_deleted",
+    "q_ann_ivfpq", "q_build_range",
     "q_quantized_knn", "q_pq_knn", "q_dedup_emblsh", "q_dedup_embcos",
     "q_vectordb_search", "q_vectordb_add",
 }
