@@ -9,13 +9,22 @@ import graft.operators.Knn
 
 /** User-facing database handle — the Spark rendering of the reference's
   * `VectorDB` (`/root/reference/src/lib.rs:310-352`): one vector table +
-  * one (optional) ANN index, with dimension validation at open.
+  * one (optional) ANN index, with dimension validation on ingest.
+  *
+  * Validation is PAY-AS-YOU-GO: `open`/`add` launch no job — the
+  * dimension rule rides in the scan as a guarded projection, so the
+  * first action that evaluates a bad vector throws (with the row id in
+  * the message). At 100 TB an up-front validation pass would read the
+  * whole corpus before the first query; fusing the check into whatever
+  * job runs first costs one `size()` comparison per row instead. Call
+  * [[validate]] for the reference's eager open-time rejection.
   *
   * Reference parity map:
-  *  - ctor/open (`src/lib.rs:319-333`): [[VectorDB.open]] — reads the
-  *    parquet source and rejects rows whose vector length != dims (the
-  *    mmap open's divisibility check, `src/disk_store.rs:22-27`, plus
-  *    `add_vector`'s dimension rule, `src/lib.rs:62-69`);
+  *  - ctor/open (`src/lib.rs:319-333`): [[VectorDB.open]] — rejects rows
+  *    whose vector length != dims (the mmap open's divisibility check,
+  *    `src/disk_store.rs:22-27`, plus `add_vector`'s dimension rule,
+  *    `src/lib.rs:62-69`), enforced at first evaluation or eagerly via
+  *    [[validate]];
   *  - `len` (`src/lib.rs:350-352`): [[VectorDB.len]];
   *  - `build_index(start,end)` (`src/lib.rs:336-341`): [[VectorDB.buildIndex]]
   *    with an optional id-range filter (partition-prunable predicate);
@@ -23,11 +32,20 @@ import graft.operators.Knn
   *    built index, or exact brute-force when no index exists.
   */
 final class VectorDB private (
-    val vectors: DataFrame,
+    raw: DataFrame,
     val dims: Int,
     val params: HnswParams,
     val idCol: String,
     val vecCol: String) {
+
+  /** The vector table with the dimension guard fused in: evaluating the
+    * vector column of a bad row throws. Every query path reads this. */
+  val vectors: DataFrame = raw.withColumn(vecCol,
+    when(hasDim(col(vecCol), dims), col(vecCol))
+      .otherwise(raise_error(format_string(
+        s"vector dimension mismatch: expected $dims, got %s at id %s (ref src/lib.rs:62-69)",
+        coalesce(size(col(vecCol)).cast("string"), lit("NULL")),
+        col(idCol).cast("string")))))
 
   private var index: Option[Dataset[HnswIndex.IndexRow]] = None
   private var ivfModel: Option[IvfIndex.Model] = None
@@ -42,8 +60,20 @@ final class VectorDB private (
     * oracle-gated query does). */
   var efSearch: Int = -1
 
+  /** Eagerly enforce the dimension rule — the reference's open/ingest
+    * semantics (`src/lib.rs:62-72`, error at open/add): one
+    * short-circuit job over the UNGUARDED source; throws on the first
+    * bad row, returns this for chaining. */
+  def validate(): VectorDB = {
+    val bad = raw.filter(!hasDim(col(vecCol), dims)).limit(1).count()
+    if (bad > 0)
+      throw new IllegalArgumentException(
+        s"vector dimension mismatch: expected $dims (ref src/lib.rs:62-69 semantics)")
+    this
+  }
+
   /** Row count (`src/lib.rs:350-352`). */
-  def len: Long = vectors.count()
+  def len: Long = raw.count()
 
   /** Build the ANN index over an optional contiguous id range
     * (`src/lib.rs:336-341`); partitioning routes vectors into
@@ -79,19 +109,17 @@ final class VectorDB private (
     built
   }
 
-  /** Append rows after validating dimensions — the reference's
-    * `add_vector` ingest rule (`src/lib.rs:62-72`): any bad row rejects
-    * the whole batch. Returns a new handle over the union (the
-    * DataFrame lineage is the append log; callers persist via their
-    * sink of choice). */
-  def add(newRows: DataFrame): VectorDB = {
-    val bad = newRows.filter(!hasDim(col(vecCol), dims)).limit(1).count()
-    if (bad > 0)
-      throw new IllegalArgumentException(
-        s"vector dimension mismatch on ingest: expected $dims (ref src/lib.rs:62-69)")
-    new VectorDB(vectors.select(col(idCol), col(vecCol))
+  /** Append rows — the reference's `add_vector` ingest rule
+    * (`src/lib.rs:62-72`, any bad row rejects the batch) applies
+    * lazily: the returned handle's guard covers the appended rows, so
+    * the batch rejects at the first action that evaluates it (or
+    * eagerly via [[validate]]). Returns a new handle over the union
+    * (the DataFrame lineage is the append log; callers persist via
+    * their sink of choice) — a rejected batch never mutates this
+    * handle. */
+  def add(newRows: DataFrame): VectorDB =
+    new VectorDB(raw.select(col(idCol), col(vecCol))
       .unionByName(newRows.select(col(idCol), col(vecCol))), dims, params, idCol, vecCol)
-  }
 
   /** Top-k search: ANN when an index is built, exact otherwise. */
   def search(queryVec: Seq[Float], k: Int): DataFrame = index match {
@@ -106,17 +134,13 @@ final class VectorDB private (
 }
 
 object VectorDB {
-  /** Open a parquet vector table, enforcing the dimension rule: any row
-    * whose vector length differs from `dims` aborts the open (the
-    * reference returns an error string / PyIOError; we throw). */
+  /** Open a parquet vector table. Launches NO job: the dimension rule
+    * (any row whose vector length differs from `dims` is an error —
+    * the reference returns an error string / PyIOError, we throw) is
+    * fused into the scan and fires at the first action; call
+    * `.validate()` on the handle for eager open-time rejection. */
   def open(spark: SparkSession, path: String, dims: Int,
       params: HnswParams = HnswParams(),
-      idCol: String = "vec_id", vecCol: String = "embedding"): VectorDB = {
-    val df = spark.read.parquet(path)
-    val bad = df.filter(!hasDim(col(vecCol), dims)).limit(1).count()
-    if (bad > 0)
-      throw new IllegalArgumentException(
-        s"vector dimension mismatch: expected $dims (ref src/lib.rs:62-69 semantics)")
-    new VectorDB(df, dims, params, idCol, vecCol)
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): VectorDB =
+    new VectorDB(spark.read.parquet(path), dims, params, idCol, vecCol)
 }

@@ -46,12 +46,12 @@ object Multimodal {
   val PpmH = 4
   private val PpmHeader = s"P6\n$PpmW $PpmH\n255\n"
 
-  /** Decode a binary P6 PPM: parse the magic, whitespace-separated
-    * width/height/maxval header, validate the pixel plane length, and
-    * emit `[width, height, meanR, meanG, meanB]` (channel means over
-    * the raw bytes). Malformed input throws — a decoder that silently
+  /** Parse + validate a P6 header: magic, whitespace-separated
+    * width/height/maxval, the single header-terminating whitespace
+    * byte, and the pixel-plane length. Returns (width, height,
+    * plane offset). Malformed input throws — a decoder that silently
     * swallows corrupt media poisons the corpus downstream. */
-  def decodePpm(content: Array[Byte]): Array[Double] = {
+  private def parsePpmHeader(content: Array[Byte]): (Int, Int, Int) = {
     var pos = 0
     def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
     def token(): String = {
@@ -78,6 +78,14 @@ object Multimodal {
     // Int plane size to 0 and would validate against an empty payload
     require((content.length - pos).toLong == w.toLong * h * 3L,
       s"pixel plane is ${content.length - pos} bytes, want ${w.toLong * h * 3L}")
+    (w, h, pos)
+  }
+
+  /** Decode a binary P6 PPM: parse + validate the header and emit
+    * `[width, height, meanR, meanG, meanB]` (channel means over the
+    * raw pixel bytes). */
+  def decodePpm(content: Array[Byte]): Array[Double] = {
+    val (w, h, pos) = parsePpmHeader(content)
     var r = 0L; var g = 0L; var b = 0L
     var i = pos
     while (i < content.length) {
@@ -88,6 +96,28 @@ object Multimodal {
     }
     val n = (w * h).toDouble
     Array(w.toDouble, h.toDouble, r / n, g / n, b / n)
+  }
+
+  /** Channel-aware chunk features for a known P6 payload: per-channel
+    * means over the pixel bytes the chunk `[start, start+len)` covers
+    * (header bytes contribute nothing; a channel absent from the chunk
+    * reports 0.0). The channel of a pixel byte derives from its offset
+    * in the pixel plane — this is what lets a "frame" of a decodable
+    * format report real pixel statistics where an opaque modality can
+    * only report a byte histogram. */
+  def ppmChunkFeatures(content: Array[Byte], start: Int, len: Int): Array[Double] = {
+    val (_, _, off) = parsePpmHeader(content)
+    val sums = new Array[Long](3)
+    val counts = new Array[Long](3)
+    var g = math.max(start, off)
+    val end = math.min(start + len, content.length)
+    while (g < end) {
+      val ch = (g - off) % 3
+      sums(ch) += content(g) & 0xff
+      counts(ch) += 1
+      g += 1
+    }
+    Array.tabulate(3)(c => if (counts(c) == 0) 0.0 else sums(c).toDouble / counts(c))
   }
 
   /** STUB for codec-less modalities: a deterministic 16-bin byte
@@ -144,19 +174,29 @@ object Multimodal {
       }
   }
 
-  /** "Frame sampling" stub: every k-th fixed-size chunk of the payload
-    * (a video pipeline would emit decoded frames; the chunking/explode
-    * plumbing is the real part — chunks are not self-describing, so
-    * features fall back to [[byteHistogram]]). */
+  /** Frame sampling: every k-th fixed-size chunk of the payload (a
+    * video pipeline would emit decoded frames; the chunking/explode
+    * plumbing is the scale-relevant part). Features dispatch on
+    * modality like [[extractFeatures]]: chunks of a PPM payload emit
+    * real per-channel pixel means ([[ppmChunkFeatures]] — the payload
+    * IS self-describing, so the chunk can be located in the pixel
+    * plane); opaque modalities fall back to the labeled
+    * [[byteHistogram]] stand-in. */
   def sampleFrames(media: DataFrame, chunkBytes: Int, everyK: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("media_id"), col("content"))
-      .as[(Long, Array[Byte])]
-      .flatMap { case (id, bytes) =>
+    media.select(col("media_id"), col("modality"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .flatMap { case (id, modality, bytes) =>
         bytes.grouped(chunkBytes).zipWithIndex
           .filter(_._2 % everyK == 0)
-          .map { case (chunk, idx) => (id, idx, chunk.length, byteHistogram(chunk)) }
+          .map { case (chunk, idx) =>
+            val features =
+              if (modality == PpmModality)
+                ppmChunkFeatures(bytes, idx * chunkBytes, chunk.length)
+              else byteHistogram(chunk)
+            (id, idx, chunk.length, features)
+          }
       }
       .toDF("media_id", "frame_idx", "frame_bytes", "frame_features")
   }

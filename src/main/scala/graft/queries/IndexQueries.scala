@@ -472,8 +472,9 @@ object IndexQueries {
     }
 
   /** The same handle WITHOUT an index — dispatch picks the exact
-    * brute-force arm. Memoized too: `open` pays a dimension-validation
-    * scan job, which should run once per session, not per execution. */
+    * brute-force arm. (`open` is pay-as-you-go since r6 — no
+    * validation job — but the handle is still memoized for symmetry
+    * with [[vdbHandle]].) */
   private val vdbExactMemo = new SessionMemo[graft.VectorDB]
   private def vdbExactHandle(s: SparkSession, dir: String) =
     vdbExactMemo.get(s, dir)(

@@ -33,11 +33,15 @@ object PipelineQueries {
         round(element_at(col("features"), 5), 4).as("mean_b"))
       .orderBy("media_id")
 
-  /** Frame-sampling plumbing under the gate: every 2nd 16-byte chunk
-    * of each media payload (the video-pipeline explode shape), with
-    * per-chunk byte-histogram features. The PPM payload is printable
-    * ASCII, so the oracle rebuilds the exact content string (header +
-    * pixel plane) and recomputes the sampled chunks' stats. */
+  /** Frame-sampling under the gate: every 2nd 16-byte chunk of each
+    * media payload (the video-pipeline explode shape), with CHANNEL-
+    * AWARE features — the payload is real P6, so each chunk reports
+    * per-channel means over the pixel bytes it covers
+    * ([[Multimodal.ppmChunkFeatures]]), not a byte histogram. The PPM
+    * payload is printable ASCII, so the oracle rebuilds the exact
+    * content string and recomputes each sampled chunk's channel means
+    * from the same generating expression (channel = pixel-plane offset
+    * mod 3; header bytes excluded). */
   def qFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
         Multimodal.mediaFromDocs(s.read.parquet(s"$dir/documents.parquet")),
@@ -46,9 +50,9 @@ object PipelineQueries {
         col("media_id"),
         col("frame_idx"),
         col("frame_bytes"),
-        round(element_at(col("frame_features"), 3), 4).as("f2"),
-        round(element_at(col("frame_features"), 7), 4).as("f6"),
-        round(element_at(col("frame_features"), 8), 4).as("f7"))
+        round(element_at(col("frame_features"), 1), 4).as("mean_r"),
+        round(element_at(col("frame_features"), 2), 4).as("mean_g"),
+        round(element_at(col("frame_features"), 3), 4).as("mean_b"))
       .orderBy("media_id", "frame_idx")
 
   /** The streaming hourly-counts transform run over the batch events
@@ -327,18 +331,22 @@ object PipelineQueries {
         |    'P6' || chr(10) || '4 4' || chr(10) || '255' || chr(10) ||
         |    rpad(substring(regexp_replace(text, '[^ -~]', '.', 'g'), 1, 48), 48, '.')
         |    AS content FROM documents),
-        |frames AS (SELECT doc_id, u.fi,
-        |             substring(content, u.fi * 16 + 1, 16) AS sub
-        |           FROM media CROSS JOIN unnest([0, 2]) AS u(fi)),
-        |c AS (SELECT doc_id, fi, length(sub) AS n,
-        |        list_transform(string_split(sub, ''), ch -> ord(ch)) AS codes
-        |      FROM frames)
-        |SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx,
-        |  CAST(n AS INT) AS frame_bytes,
-        |  round(CAST(len(list_filter(codes, o -> (o >> 4) = 2)) AS DOUBLE) / n, 4) AS f2,
-        |  round(CAST(len(list_filter(codes, o -> (o >> 4) = 6)) AS DOUBLE) / n, 4) AS f6,
-        |  round(CAST(len(list_filter(codes, o -> (o >> 4) = 7)) AS DOUBLE) / n, 4) AS f7
-        |FROM c ORDER BY media_id, frame_idx""".stripMargin)),
+        |codes AS (SELECT doc_id, list_transform(string_split(content, ''), ch -> ord(ch)) AS c,
+        |                 length(content) AS n FROM media),
+        |f AS (SELECT doc_id, u.fi,
+        |        least(u.fi * 16 + 16, n) - u.fi * 16 AS fb,
+        |        list_transform(list_filter(range(u.fi * 16 + 1, least(u.fi * 16 + 17, n + 1)),
+        |                                   p -> p >= 12 AND (p - 12) % 3 = 0), p -> c[p]) AS pr,
+        |        list_transform(list_filter(range(u.fi * 16 + 1, least(u.fi * 16 + 17, n + 1)),
+        |                                   p -> p >= 12 AND (p - 12) % 3 = 1), p -> c[p]) AS pg,
+        |        list_transform(list_filter(range(u.fi * 16 + 1, least(u.fi * 16 + 17, n + 1)),
+        |                                   p -> p >= 12 AND (p - 12) % 3 = 2), p -> c[p]) AS pb
+        |      FROM codes CROSS JOIN unnest([0, 2]) AS u(fi))
+        |SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx, CAST(fb AS INT) AS frame_bytes,
+        |  round(CASE WHEN len(pr) = 0 THEN 0.0 ELSE CAST(list_sum(pr) AS DOUBLE) / len(pr) END, 4) AS mean_r,
+        |  round(CASE WHEN len(pg) = 0 THEN 0.0 ELSE CAST(list_sum(pg) AS DOUBLE) / len(pg) END, 4) AS mean_g,
+        |  round(CASE WHEN len(pb) = 0 THEN 0.0 ELSE CAST(list_sum(pb) AS DOUBLE) / len(pb) END, 4) AS mean_b
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin)),
     QueryDef("q_stream_hourly", qStreamHourly, Some(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start, event_type,
         |  count(*) AS n,

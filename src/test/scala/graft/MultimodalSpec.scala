@@ -71,6 +71,24 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.toSeq == Seq(4.0, 4.0, 17.5, 100.0, 200.0))
   }
 
+  test("PPM chunk features: exact channel means over the covered pixel window") {
+    // R=10..25 ascending, G=100, B=200 (as in the decode test); plane
+    // offset is 11, so chunk [0,16) covers pixel bytes 11..15 =
+    // R(10), G(100), B(200), R(11), G(100)
+    val pixels = Array.tabulate(48)(i => (i % 3 match {
+      case 0 => 10 + i / 3
+      case 1 => 100
+      case 2 => 200
+    }).toByte)
+    val ppm = "P6\n4 4\n255\n".getBytes("US-ASCII") ++ pixels
+    assert(Multimodal.ppmChunkFeatures(ppm, 0, 16).toSeq == Seq(10.5, 100.0, 200.0))
+    // a header-only window reports all-absent channels as 0.0
+    assert(Multimodal.ppmChunkFeatures(ppm, 0, 8).toSeq == Seq(0.0, 0.0, 0.0))
+    // full-payload window reproduces the decode's channel means
+    assert(Multimodal.ppmChunkFeatures(ppm, 0, ppm.length).toSeq ==
+      Multimodal.decodePpm(ppm).drop(2).toSeq)
+  }
+
   test("frame sampling emits every k-th chunk with features") {
     val media = Multimodal.mediaFromDocs(
       spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") < 5))

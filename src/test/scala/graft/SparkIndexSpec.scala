@@ -26,13 +26,25 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val P = HnswParams(16, 32)
 
+  /** Messages down the cause chain (executor-side guard errors arrive
+    * wrapped in SparkException layers). */
+  private def messages(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).toSeq
+
   test("open + len + dimension validation (ref src/lib.rs:319-333, 350-352)") {
     val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64)
     assert(db.len == 500L)
-    val bad = intercept[IllegalArgumentException] {
-      VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 128)
-    }
-    assert(bad.getMessage.contains("dimension mismatch"))
+    db.validate() // all-valid corpus passes the eager check
+    // open is pay-as-you-go (no validation job): a wrong-dims open
+    // succeeds, the eager check throws, and the fused guard fires at
+    // the first action that evaluates the vector column
+    val lazyBad = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 128)
+    val eager = intercept[IllegalArgumentException](lazyBad.validate())
+    assert(eager.getMessage.contains("dimension mismatch"))
+    val guard = intercept[Exception](lazyBad.search(Seq.fill(128)(0f), 1).collect())
+    assert(messages(guard).exists(_.contains("dimension mismatch")),
+      s"expected the fused guard to fire on first evaluation: ${messages(guard)}")
   }
 
   test("ingest append validates dimensions per batch (ref src/lib.rs:62-72)") {
@@ -40,10 +52,17 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val good = spark.range(1).select(lit(9999L).as("vec_id"),
       array_repeat(lit(0.5f), 64).as("embedding"))
     assert(db.add(good).len == 501L)
+    db.add(good).validate()
     val badRows = spark.range(1).select(lit(10000L).as("vec_id"),
       array_repeat(lit(0.5f), 32).as("embedding"))
-    val e = intercept[IllegalArgumentException](db.add(badRows))
+    // add launches no job; the bad batch rejects eagerly via validate()
+    // or at the first action through the fused guard
+    val grown = db.add(badRows)
+    val e = intercept[IllegalArgumentException](grown.validate())
     assert(e.getMessage.contains("dimension mismatch"))
+    val g = intercept[Exception](grown.search(Seq.fill(64)(0f), 1).collect())
+    assert(messages(g).exists(_.contains("dimension mismatch")),
+      s"expected the fused guard to fire on first evaluation: ${messages(g)}")
     assert(db.len == 500L, "a rejected batch must not mutate the table")
   }
 
