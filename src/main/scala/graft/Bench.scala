@@ -14,16 +14,44 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // per-query shuffle volume: wall-clock in the fixed-cost regime
+    // hides data-movement growth, so record task-level shuffle
+    // read/write deltas alongside the timings (the scale sweep flags
+    // super-linear BYTES growth too)
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+    def drained[T](body: => T): T = {
+      val r = body
+      // listener events are async: drain before reading the counters so
+      // the delta belongs to the query that just ran
+      try org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+      catch { case _: Throwable => () }
+      r
+    }
     // one untimed warmup pass: JVM/JIT + codegen compilation + parquet
     // footer caching are session costs, not per-query engine cost
     sorted.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val rowCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val shuffles = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
     val results = sorted.flatMap { case (name, fn) =>
+      try org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+      catch { case _: Throwable => () }
+      val (r0, w0) = (shufRead.get(), shufWrite.get())
       val t0 = System.nanoTime()
       try {
-        rowCounts(name) = fn(spark, sfDir).count()
+        rowCounts(name) = drained(fn(spark, sfDir).count())
+        shuffles(name) = (shufRead.get() - r0, shufWrite.get() - w0)
         Some(name -> (System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
@@ -37,9 +65,14 @@ object Bench {
       .mkString("{", ",", "}")
     val rows = rowCounts.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val shufR = shuffles.map { case (k, v) => s"\"" + k + "\":" + v._1 }
+      .mkString("{", ",", "}")
+    val shufW = shuffles.map { case (k, v) => s"\"" + k + "\":" + v._2 }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,""" +
+        s""""shuffle_read":$shufR,"shuffle_write":$shufW,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // also persist the line: stdout can be lost to log truncation when
     // the harness captures only a tail

@@ -11,6 +11,11 @@ Flag rule: time_ratio > FLAG_FACTOR x data_ratio AND t(sf0.1) >
 MIN_SECS (below that, fixed per-query costs — session/stream/JIT —
 dominate and ratios are noise).
 
+Shuffle rule: wall-clock in the fixed-cost regime hides data-movement
+growth, so the same comparison runs on per-query shuffle bytes
+(read+write, from Bench's task-metrics listener): flag when
+bytes_ratio > FLAG_FACTOR x data_ratio AND bytes(sf0.1) > MIN_BYTES.
+
 Usage: python3 tools/scale_sweep.py [--reuse]
   --reuse  skip the bench runs, reuse /tmp/graft_sweep_sf*.json
 """
@@ -22,6 +27,7 @@ import sys
 SFS = ["0.001", "0.01", "0.1"]
 FLAG_FACTOR = 1.5
 MIN_SECS = 0.5
+MIN_BYTES = 8 * 1024 * 1024  # below this, shuffle is metadata noise
 
 # sf0.01 -> sf0.1 row growth by primary table: embeddings 500->2000
 # (x4); documents/events/lineitem/orders/customer/part/supplier x10.
@@ -64,27 +70,54 @@ def main():
     # union across SFs: a query that ERRORS at one sf is absent from
     # that sf's "queries" map — it must surface as a missing row, not
     # silently drop out of the table and the flag set
+    def shuf(sf, q):
+        d = data[sf]
+        if "shuffle_read" not in d:
+            return None  # bench predates the shuffle listener
+        return d["shuffle_read"].get(q, 0) + d["shuffle_write"].get(q, 0)
+
+    def fmt_bytes(b):
+        if b is None:
+            return "-"
+        if b >= 1 << 20:
+            return f"{b / (1 << 20):.1f}M"
+        if b >= 1 << 10:
+            return f"{b / (1 << 10):.1f}K"
+        return str(b)
+
     queries = sorted({q for sf in SFS for q in data[sf]["queries"]})
     print("| query | sf0.001 s | sf0.01 s | sf0.1 s | t ratio (.01->.1) | "
-          "data ratio | verdict |")
-    print("|---|---|---|---|---|---|---|")
+          "data ratio | shuffle sf0.1 | bytes ratio | verdict |")
+    print("|---|---|---|---|---|---|---|---|---|")
     flagged = []
     for q in queries:
         t = [data[sf]["queries"].get(q) for sf in SFS]
         if any(x is None for x in t):
-            print(f"| {q} | - | - | - | - | - | missing at some sf |")
+            print(f"| {q} | - | - | - | - | - | - | - | missing at some sf |")
             continue
         ratio = t[2] / t[1] if t[1] > 0 else float("inf")
         growth = EMB_X4 if q in EMB_QUERIES else DOC_X10
+        verdicts = []
         if t[2] <= MIN_SECS:
-            verdict = "clean (fixed-cost regime)"
+            verdicts.append("clean (fixed-cost regime)")
         elif ratio > FLAG_FACTOR * growth:
-            verdict = f"**FLAGGED** (time x{ratio:.1f} vs data x{growth:.0f})"
+            verdicts.append(f"**FLAGGED** (time x{ratio:.1f} vs data x{growth:.0f})")
             flagged.append(q)
         else:
-            verdict = "clean"
+            verdicts.append("clean")
+        s1, s2 = shuf("0.01", q), shuf("0.1", q)
+        if s1 is None or s2 is None:
+            bratio = "-"
+        else:
+            bratio = f"x{s2 / s1:.1f}" if s1 > 0 else ("x0" if s2 == 0 else "new")
+            if s2 > MIN_BYTES and s1 > 0 and s2 / s1 > FLAG_FACTOR * growth:
+                verdicts.append(f"**SHUFFLE-FLAGGED** (bytes x{s2 / s1:.1f} "
+                                f"vs data x{growth:.0f})")
+                if q not in flagged:
+                    flagged.append(q)
         print(f"| {q} | {t[0]:.2f} | {t[1]:.2f} | {t[2]:.2f} | "
-              f"x{ratio:.1f} | x{growth:.0f} | {verdict} |")
+              f"x{ratio:.1f} | x{growth:.0f} | {fmt_bytes(s2)} | {bratio} | "
+              f"{'; '.join(verdicts)} |")
     totals = [data[sf]["value"] for sf in SFS]
     print(f"\nTotals: sf0.001 {totals[0]:.1f}s, sf0.01 {totals[1]:.1f}s, "
           f"sf0.1 {totals[2]:.1f}s; flagged: {flagged or 'none'}")
