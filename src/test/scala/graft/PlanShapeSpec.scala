@@ -73,6 +73,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"routing must run through the native codegen kernel, not an HOF chain:\n$p")
   }
 
+  test("two-level embcos: coarse kernel routing, map-side argmin, equi-join blocking (never all-pairs)") {
+    val p = plan(DedupQueries.qDedupEmbcos2(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cell-blocked self-join degenerated to all-pairs:\n$p")
+    assert(p.contains("ivf_assign") || p.contains("IvfAssign"),
+      s"coarse routing must run through the native codegen kernel:\n$p")
+    // the inner-level argmin must pre-aggregate map-side: the shuffle
+    // carries one partial min per (vec_id, c0), never the n x k2 join
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      s"inner argmin must have a map-side partial phase:\n$p")
+  }
+
   test("addBatch isolates dirty cells via broadcast semi/anti joins (no corpus shuffle)") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
