@@ -29,14 +29,12 @@ object Bench {
         }
       }
     })
-    def drained[T](body: => T): T = {
-      val r = body
-      // listener events are async: drain before reading the counters so
-      // the delta belongs to the query that just ran
+    // listener events are async: drain before each snapshot so deltas
+    // attribute to the query that ran them. Drains happen OUTSIDE the
+    // timed window — the wait is instrumentation cost, not query cost.
+    def drain(): Unit =
       try org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
       catch { case _: Throwable => () }
-      r
-    }
     // one untimed warmup pass: JVM/JIT + codegen compilation + parquet
     // footer caching are session costs, not per-query engine cost
     sorted.foreach { case (_, fn) =>
@@ -45,14 +43,15 @@ object Bench {
     val rowCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
     val shuffles = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
     val results = sorted.flatMap { case (name, fn) =>
-      try org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
-      catch { case _: Throwable => () }
+      drain()
       val (r0, w0) = (shufRead.get(), shufWrite.get())
       val t0 = System.nanoTime()
       try {
-        rowCounts(name) = drained(fn(spark, sfDir).count())
+        rowCounts(name) = fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        drain()
         shuffles(name) = (shufRead.get() - r0, shufWrite.get() - w0)
-        Some(name -> (System.nanoTime() - t0) / 1e9)
+        Some(name -> dt)
       } catch {
         case e: Throwable =>
           errors(name) = e.getClass.getSimpleName
