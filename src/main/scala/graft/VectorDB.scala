@@ -121,6 +121,18 @@ final class VectorDB private (
     new VectorDB(raw.select(col(idCol), col(vecCol))
       .unionByName(newRows.select(col(idCol), col(vecCol))), dims, params, idCol, vecCol)
 
+  /** Remove rows by id (extension — the reference is append-only): the
+    * removal set is small by contract and broadcasts into an anti-join,
+    * so the lineage stays one narrow pass over the table. Returns a new
+    * index-less handle (a changed corpus invalidates a built index —
+    * rebuild via [[buildIndex]]/[[buildIndexIvf]], or use
+    * [[graft.index.HnswIndex.removeBatch]] for dirty-cell-incremental
+    * index maintenance). Absent ids are a no-op, mirroring
+    * `removeBatch`'s idempotence. */
+  def remove(ids: DataFrame): VectorDB =
+    new VectorDB(raw.join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti"),
+      dims, params, idCol, vecCol)
+
   /** Top-k search: ANN when an index is built, exact otherwise. */
   def search(queryVec: Seq[Float], k: Int): DataFrame = index match {
     case Some(idx) =>

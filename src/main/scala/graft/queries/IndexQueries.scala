@@ -517,6 +517,24 @@ object IndexQueries {
       .select(col("vec_id"), round(col("dist"), 3).as("dist"))
   }
 
+  /** Gate on the public `VectorDB.remove` surface (the user-facing
+    * mirror of q_ann_deleted's index-level removeBatch): drop the
+    * `vec_id % 7 == 3` slice through the handle, then exact search over
+    * the remainder — a row surviving the anti-join (or a dropped
+    * survivor) surfaces as a hash mismatch. Uses a distinct removal
+    * predicate and query id from q_ann_deleted so the two rows gate
+    * different answers. */
+  def qVectordbRemove(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val shrunk = vdbExactHandle(s, dir).remove(
+      e.filter(col("vec_id") % 7 === 3).select("vec_id"))
+    val qv = e.filter(col("vec_id") === 38L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    shrunk.search(qv, k = 5)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
   /** Index structure stats per cell (ref structure/pruning invariants,
     * `src/lib.rs:394-467`): node counts AND layer counts are
     * oracle-able (a node owns exactly level+1 adjacency lists and
@@ -736,6 +754,12 @@ object IndexQueries {
          |SELECT u.vec_id, round(${VectorQueries.l2Sql("u.embedding", "q.qv")}, 3) AS dist
          |FROM u, q
          |ORDER BY ${VectorQueries.l2Sql("u.embedding", "q.qv")}, u.vec_id LIMIT 5""".stripMargin)),
+    QueryDef("q_vectordb_remove", qVectordbRemove, Some(
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 38)
+         |SELECT e.vec_id, round(${VectorQueries.l2Sql("e.embedding", "q.qv")}, 3) AS dist
+         |FROM embeddings e CROSS JOIN q
+         |WHERE NOT (e.vec_id % 7 = 3)
+         |ORDER BY ${VectorQueries.l2Sql("e.embedding", "q.qv")}, e.vec_id LIMIT 5""".stripMargin)),
     QueryDef("q_vectordb_search", qVectordbSearch, Some(
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id = 24),
          |$trainedCellsSql,

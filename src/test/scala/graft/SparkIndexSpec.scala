@@ -66,6 +66,20 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(db.len == 500L, "a rejected batch must not mutate the table")
   }
 
+  test("remove drops ids through the public handle without mutating the source") {
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64)
+    val ids = spark.range(10).select((col("id") * 7).as("vec_id"))
+    val shrunk = db.remove(ids)
+    assert(shrunk.len == 490L)
+    assert(db.len == 500L, "remove must not mutate the source handle")
+    // absent ids are a no-op (idempotent removal)
+    assert(shrunk.remove(ids).len == 490L)
+    val gone = shrunk.search(Seq.fill(64)(0f), 500)
+      .collect().map(_.getLong(0)).toSet
+      .intersect((0 until 10).map(_ * 7L).toSet)
+    assert(gone.isEmpty, s"removed ids still served: $gone")
+  }
+
   test("self-query invariant through the full index (ref src/lib.rs:546-549)") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val idx = HnswIndex.build(e.withColumn("part", col("label")), P)
