@@ -49,6 +49,7 @@ final class VectorDB private (
 
   private var index: Option[Dataset[HnswIndex.IndexRow]] = None
   private var ivfModel: Option[IvfIndex.Model] = None
+  private var indexMetric: String = Knn.L2
 
   /** Cells probed per query when an IVF router is trained. */
   var nprobe: Int = 3
@@ -97,15 +98,27 @@ final class VectorDB private (
   /** Build the ANN index with a trained IVF coarse quantizer: k-means
     * cells become the HNSW partitions, so graph neighborhoods are
     * semantically clustered (better recall per probe than hash
-    * partitioning) and search can prune to the probed cells. */
-  def buildIndexIvf(numCells: Int = 16, iters: Int = 5): Dataset[HnswIndex.IndexRow] = {
-    val model = IvfIndex.train(vectors, numCells, iters, idCol, vecCol)
-    val parted = IvfIndex.assign(vectors, model, idCol, vecCol)
+    * partitioning) and search can prune to the probed cells.
+    *
+    * `metric = Knn.Cosine` builds the COSINE serving configuration:
+    * vectors are unit-normalized before train/assign/build (on unit
+    * vectors 1 − cos = ‖â−b̂‖²/2, so the L2 graph walk ranks by
+    * cosine), and [[search]] normalizes the query, walks the unit
+    * graph, and re-scores its over-fetched top-k with the exact double
+    * cosine on the raw vectors. */
+  def buildIndexIvf(numCells: Int = 16, iters: Int = 5,
+      metric: String = Knn.L2): Dataset[HnswIndex.IndexRow] = {
+    val src =
+      if (metric == Knn.Cosine) vectors.withColumn(vecCol, l2Normalize(col(vecCol)))
+      else vectors
+    val model = IvfIndex.train(src, numCells, iters, idCol, vecCol)
+    val parted = IvfIndex.assign(src, model, idCol, vecCol)
       .withColumn("part", col("cell"))
     val built = HnswIndex.build(parted, params, idCol, vecCol, "part")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     index = Some(built)
     ivfModel = Some(model)
+    indexMetric = metric
     built
   }
 
@@ -133,8 +146,23 @@ final class VectorDB private (
     new VectorDB(raw.join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti"),
       dims, params, idCol, vecCol)
 
-  /** Top-k search: ANN when an index is built, exact otherwise. */
+  /** Top-k search: ANN when an index is built (under the index's
+    * metric), exact L2 otherwise. */
   def search(queryVec: Seq[Float], k: Int): DataFrame = index match {
+    case Some(idx) if indexMetric == Knn.Cosine =>
+      val spark = vectors.sparkSession
+      // walk the unit graph with the normalized query (cosine ranking),
+      // over-fetch, then re-score exactly on the raw vectors so the
+      // reported distances carry no float-normalization noise
+      val q = spark.range(1).select(lit(0L).as("qid"),
+        typedLit(unitVec(queryVec)).cast("array<float>").as("qv"))
+      val hits = HnswIndex.search(idx, q, k + 3, params, efSearch = efSearch,
+        router = ivfModel, nprobe = nprobe).select(col("vector_id").as(idCol))
+      vectors.join(broadcast(hits), Seq(idCol))
+        .select(col(idCol),
+          (lit(1.0d) - cosineNative(col(vecCol), vecLit(queryVec))).as("dist"))
+        .orderBy(col("dist").asc, col(idCol).asc)
+        .limit(k)
     case Some(idx) =>
       val spark = vectors.sparkSession
       val q = spark.range(1).select(lit(0L).as("qid"), typedLit(queryVec).cast("array<float>").as("qv"))
@@ -142,6 +170,13 @@ final class VectorDB private (
         router = ivfModel, nprobe = nprobe).drop("qid", "rank")
     case None =>
       Knn.searchKnn(vectors, queryVec, k, idCol, vecCol)
+  }
+
+  private def unitVec(v: Seq[Float]): Seq[Float] = {
+    var s = 0.0
+    v.foreach(x => s += x.toDouble * x.toDouble)
+    val n = math.sqrt(s)
+    if (n == 0) v else v.map(x => (x / n).toFloat)
   }
 }
 

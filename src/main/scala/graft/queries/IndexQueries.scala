@@ -517,6 +517,36 @@ object IndexQueries {
       .select(col("vec_id"), round(col("dist"), 3).as("dist"))
   }
 
+  /** Cosine-metric handle: trained IVF over the UNIT-normalized corpus,
+    * exhaustive ef, nprobe = every cell — the handle-level gate covers
+    * the dispatch + normalized-build + raw-cosine re-score path, and
+    * with all cells probed ANN ≡ GLOBAL brute-force cosine, so the
+    * oracle is the plain cosine kernel (selective-routing replay is
+    * q_ann_cosine's job). */
+  private val vdbCosMemo = new SessionMemo[graft.VectorDB]
+  private def vdbCosineHandle(s: SparkSession, dir: String) =
+    vdbCosMemo.get(s, dir) {
+      val db = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
+      val built = db.buildIndexIvf(numCells = 16, iters = 1,
+        metric = graft.operators.Knn.Cosine)
+      db.efSearch = exhaustiveEf(s, dir, "vdb_cos")(built)
+      db.nprobe = 16
+      db
+    }
+
+  /** Gate on the public cosine-metric `VectorDB` serving path (the
+    * user-facing composition of VERDICT r5 item #1): open →
+    * buildIndexIvf(metric = cosine) → search must equal brute-force
+    * cosine over the whole corpus. */
+  def qVectordbCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 39L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbCosineHandle(s, dir).search(qv, k = 5)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), (round(col("dist"), 4) + lit(0.0)).as("dist"))
+  }
+
   /** Gate on the public `VectorDB.remove` surface (the user-facing
     * mirror of q_ann_deleted's index-level removeBatch): drop the
     * `vec_id % 7 == 3` slice through the handle, then exact search over
@@ -754,6 +784,12 @@ object IndexQueries {
          |SELECT u.vec_id, round(${VectorQueries.l2Sql("u.embedding", "q.qv")}, 3) AS dist
          |FROM u, q
          |ORDER BY ${VectorQueries.l2Sql("u.embedding", "q.qv")}, u.vec_id LIMIT 5""".stripMargin)),
+    QueryDef("q_vectordb_cosine", qVectordbCosine, Some(
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 39),
+         |scored AS (SELECT e.vec_id, 1.0 - ${VectorQueries.cosSql("e.embedding", "q.qv")} AS d
+         |           FROM embeddings e CROSS JOIN q)
+         |SELECT vec_id, round(d, 4) + CAST(0.0 AS DOUBLE) AS dist FROM scored
+         |ORDER BY d, vec_id LIMIT 5""".stripMargin)),
     QueryDef("q_vectordb_remove", qVectordbRemove, Some(
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 38)
          |SELECT e.vec_id, round(${VectorQueries.l2Sql("e.embedding", "q.qv")}, 3) AS dist
