@@ -148,29 +148,50 @@ final class VectorDB private (
 
   /** Top-k search: ANN when an index is built (under the index's
     * metric), exact L2 otherwise. */
-  def search(queryVec: Seq[Float], k: Int): DataFrame = index match {
-    case Some(idx) if indexMetric == Knn.Cosine =>
-      val spark = vectors.sparkSession
-      // walk the unit graph with the normalized query (cosine ranking),
-      // over-fetch, then re-score exactly on the raw vectors so the
-      // reported distances carry no float-normalization noise
-      val q = spark.range(1).select(lit(0L).as("qid"),
-        typedLit(unitVec(queryVec)).cast("array<float>").as("qv"))
-      val hits = HnswIndex.search(idx, q, k + 3, params, efSearch = efSearch,
-        router = ivfModel, nprobe = nprobe).select(col("vector_id").as(idCol))
-      vectors.join(broadcast(hits), Seq(idCol))
-        .select(col(idCol),
-          (lit(1.0d) - cosineNative(col(vecCol), vecLit(queryVec))).as("dist"))
-        .orderBy(col("dist").asc, col(idCol).asc)
-        .limit(k)
-    case Some(idx) =>
-      val spark = vectors.sparkSession
-      val q = spark.range(1).select(lit(0L).as("qid"), typedLit(queryVec).cast("array<float>").as("qv"))
-      HnswIndex.search(idx, q, k, params, efSearch = efSearch,
-        router = ivfModel, nprobe = nprobe).drop("qid", "rank")
-    case None =>
-      Knn.searchKnn(vectors, queryVec, k, idCol, vecCol)
-  }
+  def search(queryVec: Seq[Float], k: Int): DataFrame =
+    searchImpl(queryVec, k, None)
+
+  /** Metadata-filtered top-k: rows whose id fails `idPred` are never
+    * served. `idPred` receives the id column — the same predicate
+    * applies to the corpus scan (exact arm) and to the index rows
+    * (ANN arm, where it becomes [[HnswIndex.search]]'s
+    * `candidateFilter`: the beam navigates the intact graph but admits
+    * only matching rows). Over-provision [[efSearch]] to cover
+    * filtered-out candidates. */
+  def searchFiltered(queryVec: Seq[Float], k: Int,
+      idPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
+    searchImpl(queryVec, k, Some(idPred))
+
+  private def searchImpl(queryVec: Seq[Float], k: Int,
+      idPred: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column]): DataFrame =
+    index match {
+      case Some(idx) if indexMetric == Knn.Cosine =>
+        val spark = vectors.sparkSession
+        // walk the unit graph with the normalized query (cosine
+        // ranking), over-fetch, then re-score exactly on the raw
+        // vectors so the reported distances carry no
+        // float-normalization noise
+        val q = spark.range(1).select(lit(0L).as("qid"),
+          typedLit(unitVec(queryVec)).cast("array<float>").as("qv"))
+        val hits = HnswIndex.search(idx, q, k + 3, params, efSearch = efSearch,
+            router = ivfModel, nprobe = nprobe,
+            candidateFilter = idPred.map(p => p(col("vector_id"))))
+          .select(col("vector_id").as(idCol))
+        vectors.join(broadcast(hits), Seq(idCol))
+          .select(col(idCol),
+            (lit(1.0d) - cosineNative(col(vecCol), vecLit(queryVec))).as("dist"))
+          .orderBy(col("dist").asc, col(idCol).asc)
+          .limit(k)
+      case Some(idx) =>
+        val spark = vectors.sparkSession
+        val q = spark.range(1).select(lit(0L).as("qid"), typedLit(queryVec).cast("array<float>").as("qv"))
+        HnswIndex.search(idx, q, k, params, efSearch = efSearch,
+          router = ivfModel, nprobe = nprobe,
+          candidateFilter = idPred.map(p => p(col("vector_id")))).drop("qid", "rank")
+      case None =>
+        val base = idPred.map(p => vectors.filter(p(col(idCol)))).getOrElse(vectors)
+        Knn.searchKnn(base, queryVec, k, idCol, vecCol)
+    }
 
   private def unitVec(v: Seq[Float]): Seq[Float] = {
     var s = 0.0

@@ -547,6 +547,34 @@ object IndexQueries {
       .select(col("vec_id"), (round(col("dist"), 4) + lit(0.0)).as("dist"))
   }
 
+  /** L2 handle probing EVERY trained cell at exhaustive ef, so indexed
+    * search ≡ global brute force — the configuration that lets
+    * handle-surface gates use plain brute-force oracles (selective
+    * routing replay is q_ann_trained / q_vectordb_search's job). */
+  private val vdbAllMemo = new SessionMemo[graft.VectorDB]
+  private def vdbAllCellsHandle(s: SparkSession, dir: String) =
+    vdbAllMemo.get(s, dir) {
+      val db = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
+      val built = db.buildIndexIvf(numCells = 16, iters = 1)
+      db.efSearch = exhaustiveEf(s, dir, "vdb_all")(built)
+      db.nprobe = 16
+      db
+    }
+
+  /** Gate on the public `VectorDB.searchFiltered` surface (the
+    * user-facing mirror of q_ann_filtered): the id predicate must
+    * restrict the served set exactly — indexed search over every cell
+    * at exhaustive ef ≡ filtered global brute force. */
+  def qVectordbFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 40L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbAllCellsHandle(s, dir).searchFiltered(qv, k = 5, id => pmod(id, lit(3)) === 1)
+      .select(col("vector_id").as("vec_id"), col("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
   /** Gate on the public `VectorDB.remove` surface (the user-facing
     * mirror of q_ann_deleted's index-level removeBatch): drop the
     * `vec_id % 7 == 3` slice through the handle, then exact search over
@@ -784,6 +812,12 @@ object IndexQueries {
          |SELECT u.vec_id, round(${VectorQueries.l2Sql("u.embedding", "q.qv")}, 3) AS dist
          |FROM u, q
          |ORDER BY ${VectorQueries.l2Sql("u.embedding", "q.qv")}, u.vec_id LIMIT 5""".stripMargin)),
+    QueryDef("q_vectordb_filtered", qVectordbFiltered, Some(
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 40)
+         |SELECT e.vec_id, round(${VectorQueries.l2Sql("e.embedding", "q.qv")}, 3) AS dist
+         |FROM embeddings e CROSS JOIN q
+         |WHERE e.vec_id % 3 = 1
+         |ORDER BY ${VectorQueries.l2Sql("e.embedding", "q.qv")}, e.vec_id LIMIT 5""".stripMargin)),
     QueryDef("q_vectordb_cosine", qVectordbCosine, Some(
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 39),
          |scored AS (SELECT e.vec_id, 1.0 - ${VectorQueries.cosSql("e.embedding", "q.qv")} AS d

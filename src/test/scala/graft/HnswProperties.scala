@@ -1,7 +1,7 @@
 package graft
 
 import org.scalacheck.{Gen, Prop, Properties}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 
 import graft.index.{Hnsw, HnswGraph, HnswParams}
 import graft.operators.TopKAggregator
@@ -36,6 +36,27 @@ object HnswProperties extends Properties("graft") {
       Prop.all(vecs.indices.take(10).map { i =>
         val hits = g.search(vecs(i), 1)
         Prop(hits.nonEmpty && hits.head._2 == 0.0) :| s"self-query miss at $i: $hits"
+      }: _*)
+    }
+
+  /** Filtered beam at exhaustive ef ≡ brute force over the matching
+    * subset (single-component graphs: the beam can then reach every
+    * node, so only result-admission — not navigation — is filtered).
+    * Distances compare as sequences (tie ORDER among equal distances
+    * is heap-dependent; the distance profile is not). */
+  property("filteredExhaustiveSearchEqualsBruteForceOverMatches") =
+    forAll(corpusGen, Gen.chooseNum(2, 5)) { (vecs, mod) =>
+      val p = HnswParams(8, 16)
+      val g = HnswGraph.build(p, vecs, ord => Hnsw.levelFor(ord.toLong, p.mL))
+      (g.layer0Components == 1) ==> Prop.all(vecs.indices.take(3).map { i =>
+        val q = vecs(i)
+        val keep: Int => Boolean = ord => ord % mod == 0
+        val hits = g.searchEf(q, 5, ef = vecs.length + 1, keep)
+        val expect = vecs.indices.filter(keep(_))
+          .map(j => (j, Hnsw.l2Sq(q, vecs(j))))
+          .sortBy(t => (t._2, t._1)).take(5)
+        Prop(hits.map(_._2) == expect.map(_._2) && hits.forall(h => keep(h._1))) :|
+          s"q=$i mod=$mod hits=$hits expect=$expect"
       }: _*)
     }
 

@@ -45,7 +45,7 @@ EMB_QUERIES = {
     "q_ann_ivfpq", "q_build_range",
     "q_quantized_knn", "q_pq_knn", "q_dedup_emblsh", "q_dedup_embcos",
     "q_dedup_embcos2", "q_vectordb_search", "q_vectordb_add",
-    "q_vectordb_remove", "q_vectordb_cosine",
+    "q_vectordb_remove", "q_vectordb_cosine", "q_vectordb_filtered",
 }
 
 
