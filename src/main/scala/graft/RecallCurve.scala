@@ -67,34 +67,51 @@ object RecallCurve {
     val labelRouter = IvfIndex.fromPartitionMeans(e, "label", "embedding")
     val labelCells = labelRouter.k
 
+    // cosine serving curve: the unit-normalized graph (its L2 walk
+    // ranks by cosine) — quantifies what the round-6 cosine pipeline
+    // gives up at production ef vs its own exhaustive ground truth
+    val normed = e.select(col("vec_id"),
+        graft.functions.VectorFunctions.l2Normalize(col("embedding")).as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oneCos = HnswIndex.build(normed.withColumn("part", lit(0)), P)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    oneCos.count()
+    val queriesCos = normed.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
     def top(df: DataFrame): Map[Long, Set[Long]] =
       df.select(col("qid"), col("vector_id"))
         .collect()
         .groupBy(_.getLong(0))
         .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
 
-    // exhaustive beam == exact: the ground truth
+    // exhaustive beam == exact: the ground truths (L2 and cosine)
     val exact = top(HnswIndex.search(one, queries, K, P, efSearch = 1 << 20))
+    val exactCos = top(HnswIndex.search(oneCos, queriesCos, K, P, efSearch = 1 << 20))
 
-    def measure(label: String, mk: => DataFrame): (String, Double, Double) = {
+    def measure(label: String, truth: Map[Long, Set[Long]], mk: => DataFrame): (String, Double, Double) = {
       val t0 = System.nanoTime()
       val got = top(mk)
       val sec = (System.nanoTime() - t0) / 1e9
-      val recall = exact.map { case (q, want) =>
+      val recall = truth.map { case (q, want) =>
         got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
-      }.sum / exact.size
+      }.sum / truth.size
       (label, recall, sec)
     }
 
     val rows =
       Seq(10, 16, 32, 64, 128).map { ef =>
-        measure(s"single graph, ef=$ef", HnswIndex.search(one, queries, K, P, efSearch = ef))
+        measure(s"single graph, ef=$ef", exact,
+          HnswIndex.search(one, queries, K, P, efSearch = ef))
+      } ++ Seq(16, 32, 64).map { ef =>
+        measure(s"cosine (unit graph), ef=$ef", exactCos,
+          HnswIndex.search(oneCos, queriesCos, K, P, efSearch = ef))
       } ++ Seq(1, 2, 3, 5, 8).map { np =>
-        measure(s"routed $cells trained cells, nprobe=$np (ef=256)",
+        measure(s"routed $cells trained cells, nprobe=$np (ef=256)", exact,
           HnswIndex.search(routed, queries, K, P, efSearch = 256,
             router = Some(model), nprobe = np))
       } ++ Seq(1, 3).map { np =>
-        measure(s"routed $labelCells LABEL cells (untrained), nprobe=$np (ef=256)",
+        measure(s"routed $labelCells LABEL cells (untrained), nprobe=$np (ef=256)", exact,
           HnswIndex.search(labelIdx, queries, K, P, efSearch = 256,
             router = Some(labelRouter), nprobe = np))
       }

@@ -173,11 +173,14 @@ final class VectorDB private (
         // float-normalization noise
         val q = spark.range(1).select(lit(0L).as("qid"),
           typedLit(unitVec(queryVec)).cast("array<float>").as("qv"))
-        val hits = HnswIndex.search(idx, q, k + 3, params, efSearch = efSearch,
+        // the hit set is bounded (k+3 ids) — collect it and re-scan
+        // through a pushed-down In(id) filter (row-group pruning at
+        // scale), never a full corpus scan per re-score
+        val hitIds = HnswIndex.search(idx, q, k + 3, params, efSearch = efSearch,
             router = ivfModel, nprobe = nprobe,
             candidateFilter = idPred.map(p => p(col("vector_id"))))
-          .select(col("vector_id").as(idCol))
-        vectors.join(broadcast(hits), Seq(idCol))
+          .select(col("vector_id")).collect().map(_.getLong(0)).toSeq
+        vectors.filter(col(idCol).isin(hitIds: _*))
           .select(col(idCol),
             (lit(1.0d) - cosineNative(col(vecCol), vecLit(queryVec))).as("dist"))
           .orderBy(col("dist").asc, col(idCol).asc)

@@ -439,13 +439,22 @@ object IndexQueries {
     val queriesUnit = embNorm(s, dir).filter(qWhere)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val idx = cosineIndex(s, dir)
-    val hits = HnswIndex.search(idx, queriesUnit, k = 8, P,
-      efSearch = exhaustiveEf(s, dir, "cosine")(idx),
-      router = Some(cosineRouter(s, dir)), nprobe = 3)
+    // the walk's hit set is bounded (q x 8 pairs) — collect it and
+    // re-scan the corpus through a pushed-down id filter (In(vec_id)
+    // prunes parquet row groups), instead of full-scanning the corpus
+    // just to hash-probe a handful of ids
+    val hitPairs = HnswIndex.search(idx, queriesUnit, k = 8, P,
+        efSearch = exhaustiveEf(s, dir, "cosine")(idx),
+        router = Some(cosineRouter(s, dir)), nprobe = 3)
+      .select(col("qid"), col("vector_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    import s.implicits._
+    val hits = hitPairs.toSeq.toDF("qid", "vec_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("d").asc, col("vec_id").asc)
     e.select(col("vec_id"), col("embedding"))
-      .join(broadcast(hits.select(col("qid"), col("vector_id").as("vec_id"))), Seq("vec_id"))
+      .filter(col("vec_id").isin(hitPairs.map(_._2).distinct.toSeq: _*))
+      .join(broadcast(hits), Seq("vec_id"))
       .join(broadcast(queriesRaw), Seq("qid"))
       .select(col("qid"), col("vec_id"),
         (lit(1.0d) - cosineNative(col("embedding"), col("qv"))).as("d"))

@@ -100,6 +100,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"addBatch must not shuffle the index to meet the dirty set:\n$p")
   }
 
+  test("cosine re-score scans through a pushed-down id filter, not a full corpus probe") {
+    val p = plan(IndexQueries.qAnnCosine(spark, sfDir))
+    // the returned plan is the re-score side (the walk ran eagerly to
+    // collect the bounded hit set): its corpus scan must carry the
+    // In(vec_id, ...) filter so row-group pruning applies at scale
+    assert(p.contains("PushedFilters: [In(vec_id"),
+      s"re-score must push the hit-id filter into the parquet scan:\n$p")
+  }
+
   test("filtered ANN evaluates the candidate predicate in the scan stage, below the part exchange") {
     val p = plan(IndexQueries.qAnnFiltered(spark, sfDir))
     val ex = p.indexOf("Exchange hashpartitioning(part")
