@@ -92,6 +92,12 @@ final class VectorDB private (
     val built = HnswIndex.build(parted, params, idCol, vecCol, "part")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     index = Some(built)
+    // a plain rebuild replaces whatever was there: clear the IVF router
+    // and reset the metric, or search() would dispatch to the cosine
+    // arm (and route through a stale unit-space model) against an L2
+    // hash-partitioned graph
+    ivfModel = None
+    indexMetric = Knn.L2
     built
   }
 
@@ -131,8 +137,8 @@ final class VectorDB private (
     * their sink of choice) — a rejected batch never mutates this
     * handle. */
   def add(newRows: DataFrame): VectorDB =
-    new VectorDB(raw.select(col(idCol), col(vecCol))
-      .unionByName(newRows.select(col(idCol), col(vecCol))), dims, params, idCol, vecCol)
+    tuned(new VectorDB(raw.select(col(idCol), col(vecCol))
+      .unionByName(newRows.select(col(idCol), col(vecCol))), dims, params, idCol, vecCol))
 
   /** Remove rows by id (extension — the reference is append-only): the
     * removal set is small by contract and broadcasts into an anti-join,
@@ -143,8 +149,17 @@ final class VectorDB private (
     * index maintenance). Absent ids are a no-op, mirroring
     * `removeBatch`'s idempotence. */
   def remove(ids: DataFrame): VectorDB =
-    new VectorDB(raw.join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti"),
-      dims, params, idCol, vecCol)
+    tuned(new VectorDB(raw.join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti"),
+      dims, params, idCol, vecCol))
+
+  /** Derived handles keep this handle's serving knobs (they carry no
+    * index, but losing the tuning on every add/remove would silently
+    * revert a rebuilt index to default nprobe/efSearch). */
+  private def tuned(db: VectorDB): VectorDB = {
+    db.nprobe = nprobe
+    db.efSearch = efSearch
+    db
+  }
 
   /** Top-k search: ANN when an index is built (under the index's
     * metric), exact L2 otherwise. */
@@ -173,10 +188,15 @@ final class VectorDB private (
         // float-normalization noise
         val q = spark.range(1).select(lit(0L).as("qid"),
           typedLit(unitVec(queryVec)).cast("array<float>").as("qv"))
-        // the hit set is bounded (k+3 ids) — collect it and re-scan
+        // the hit set is bounded (k+8 ids) — collect it and re-scan
         // through a pushed-down In(id) filter (row-group pruning at
-        // scale), never a full corpus scan per re-score
-        val hitIds = HnswIndex.search(idx, q, k + 3, params, efSearch = efSearch,
+        // scale), never a full corpus scan per re-score. The over-fetch
+        // margin covers unit-space/raw-space rank wiggle at the k
+        // boundary; an exact-tie group wider than the margin (k+8
+        // duplicate vectors at the same distance) should be deduped
+        // upstream — within the margin any tie resolution re-ranks to
+        // the deterministic (dist, id) order below
+        val hitIds = HnswIndex.search(idx, q, k + 8, params, efSearch = efSearch,
             router = ivfModel, nprobe = nprobe,
             candidateFilter = idPred.map(p => p(col("vector_id"))))
           .select(col("vector_id")).collect().map(_.getLong(0)).toSeq
@@ -188,9 +208,12 @@ final class VectorDB private (
       case Some(idx) =>
         val spark = vectors.sparkSession
         val q = spark.range(1).select(lit(0L).as("qid"), typedLit(queryVec).cast("array<float>").as("qv"))
+        // every arm serves the id under idCol — a caller must not have
+        // to know which dispatch arm answered
         HnswIndex.search(idx, q, k, params, efSearch = efSearch,
           router = ivfModel, nprobe = nprobe,
-          candidateFilter = idPred.map(p => p(col("vector_id")))).drop("qid", "rank")
+          candidateFilter = idPred.map(p => p(col("vector_id"))))
+          .select(col("vector_id").as(idCol), col("dist"))
       case None =>
         val base = idPred.map(p => vectors.filter(p(col(idCol)))).getOrElse(vectors)
         Knn.searchKnn(base, queryVec, k, idCol, vecCol)

@@ -132,10 +132,12 @@ object HnswIndex {
     // the candidate predicate is projected in the scan stage (below the
     // part exchange), so filtered-ANN eligibility is computed where the
     // data lives — never post-hoc on shuffled hits
-    val keepExpr = candidateFilter.getOrElse(lit(true))
+    // coalesce: a predicate that is NULL for a row must EXCLUDE it
+    // (SQL filter semantics), not crash the non-nullable encoder field
+    val keepExpr = coalesce(candidateFilter.getOrElse(lit(true)).cast("boolean"), lit(false))
     val candidates = scoped.toDF()
       .select(col("part"), col("vector_id"), col("vec"), col("layers"),
-        keepExpr.cast("boolean").as("__keep"))
+        keepExpr.as("__keep"))
       .as[(Int, Long, Array[Float], Array[Array[Long]], Boolean)]
       .repartition(col("part"))
       .sortWithinPartitions("part", "vector_id")

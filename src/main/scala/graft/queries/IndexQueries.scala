@@ -439,11 +439,13 @@ object IndexQueries {
     val queriesUnit = embNorm(s, dir).filter(qWhere)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val idx = cosineIndex(s, dir)
-    // the walk's hit set is bounded (q x 8 pairs) — collect it and
+    // the walk's hit set is bounded (q x 13 pairs) — collect it and
     // re-scan the corpus through a pushed-down id filter (In(vec_id)
     // prunes parquet row groups), instead of full-scanning the corpus
-    // just to hash-probe a handful of ids
-    val hitPairs = HnswIndex.search(idx, queriesUnit, k = 8, P,
+    // just to hash-probe a handful of ids. k+8 over-fetch covers
+    // unit-space/raw-space rank wiggle at the top-5 boundary (exact-tie
+    // groups wider than the margin belong to dedup, not search)
+    val hitPairs = HnswIndex.search(idx, queriesUnit, k = 13, P,
         efSearch = exhaustiveEf(s, dir, "cosine")(idx),
         router = Some(cosineRouter(s, dir)), nprobe = 3)
       .select(col("qid"), col("vector_id"))
@@ -499,7 +501,7 @@ object IndexQueries {
     val qv = emb(s, dir).filter(col("vec_id") === 24L)
       .select(col("embedding")).head().getSeq[Float](0)
     val ann = vdbHandle(s, dir).search(qv, k = 5)
-      .select(lit("ann").as("mode"), col("vector_id").as("vec_id"), col("dist").as("d"))
+      .select(lit("ann").as("mode"), col("vec_id"), col("dist").as("d"))
     val exact = vdbExactHandle(s, dir).search(qv, k = 5)
       .select(lit("exact").as("mode"), col("vec_id"), col("dist").as("d"))
     ann.unionByName(exact)
@@ -579,7 +581,6 @@ object IndexQueries {
     val qv = e.filter(col("vec_id") === 40L)
       .select(col("embedding")).head().getSeq[Float](0)
     vdbAllCellsHandle(s, dir).searchFiltered(qv, k = 5, id => pmod(id, lit(3)) === 1)
-      .select(col("vector_id").as("vec_id"), col("dist"))
       .orderBy(col("dist").asc, col("vec_id").asc)
       .select(col("vec_id"), round(col("dist"), 3).as("dist"))
   }

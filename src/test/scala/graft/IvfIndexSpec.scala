@@ -80,7 +80,8 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("embedding").cast("array<float>")).as[Array[Float]].collect()(0)
     val hits = db.search(qv.toSeq, k = 3).collect()
     assert(hits.nonEmpty)
-    assert(hits(0).getAs[Long]("vector_id") == 42L, s"self-query must rank itself first: ${hits.toSeq}")
+    // every dispatch arm serves the id under idCol ("vec_id")
+    assert(hits(0).getAs[Long]("vec_id") == 42L, s"self-query must rank itself first: ${hits.toSeq}")
     assert(hits(0).getAs[Double]("dist") < 1e-4)
   }
 }

@@ -196,6 +196,17 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hit.getAs[Long]("vector_id") == 1000L && hit.getAs[Double]("dist") < 1e-9)
   }
 
+  test("cosine handle: filtered-to-empty search returns no rows; unfiltered serves k") {
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64)
+    db.buildIndexIvf(numCells = 4, iters = 1, metric = Knn.Cosine)
+    db.efSearch = 4096
+    db.nprobe = 4
+    val q = Seq.fill(64)(0.1f)
+    // empty hit set must flow through the pushed-down re-scan cleanly
+    assert(db.searchFiltered(q, 5, _ => lit(false)).count() == 0L)
+    assert(db.search(q, 5).count() == 5L)
+  }
+
   test("filtered search admits only matching rows and equals filtered brute force at exhaustive ef") {
     import org.apache.spark.sql.functions.pmod
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")

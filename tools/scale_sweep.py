@@ -111,9 +111,14 @@ def main():
             bratio = "-"
         else:
             bratio = f"x{s2 / s1:.1f}" if s1 > 0 else ("x0" if s2 == 0 else "new")
-            if s2 > MIN_BYTES and s1 > 0 and s2 / s1 > FLAG_FACTOR * growth:
-                verdicts.append(f"**SHUFFLE-FLAGGED** (bytes x{s2 / s1:.1f} "
-                                f"vs data x{growth:.0f})")
+            # a zero base with a large sf0.1 volume is an INFINITE ratio
+            # (e.g. a broadcast join falling back to shuffle past the
+            # threshold) — flag it, don't let s1 == 0 dodge the rule
+            if s2 > MIN_BYTES and (s1 == 0 or s2 / s1 > FLAG_FACTOR * growth):
+                verdicts.append(
+                    f"**SHUFFLE-FLAGGED** (bytes "
+                    f"{'new at sf0.1' if s1 == 0 else f'x{s2 / s1:.1f}'} "
+                    f"vs data x{growth:.0f})")
                 if q not in flagged:
                     flagged.append(q)
         print(f"| {q} | {t[0]:.2f} | {t[1]:.2f} | {t[2]:.2f} | "
