@@ -104,14 +104,16 @@ object DedupQueries {
     * centroid literal (per-task footprint O(n^¼·d), down from the
     * single-level O(√n·d)); level 2 routes within the coarse cell via a
     * per-cell centroid TABLE (the k2 = ⌈k/k1⌉ lowest-id members of each
-    * coarse cell) broadcast-joined on the coarse id — the full √n-cell
-    * model never materializes as one driver/task literal, which is the
-    * piece that stops scaling first at extreme n (at 100 TB the inner
-    * table can also shuffle-join on c0 instead of broadcasting). The
-    * final blocking key is (coarse, inner) ≈ k cells, so within-cell
-    * pair compute stays O(n^1.5) exactly like [[qDedupEmbcos]]; every
-    * routing choice (lowest-id init, argmin with lowest-ordinal
-    * tie-break) is decimal-exact and replayed by the oracle. */
+    * coarse cell) joined on the coarse id — the full √n-cell model
+    * never materializes as one driver/task literal, which is the piece
+    * that stops scaling first at extreme n. The inner table broadcasts
+    * below `graft.embcos2.broadcastLimit` rows (default 65536 ≈ 16 MB
+    * at d=64) and shuffle-joins on c0 above it, so the broadcast itself
+    * never becomes the limit. The final blocking key is (coarse, inner)
+    * ≈ k cells, so within-cell pair compute stays O(n^1.5) exactly like
+    * [[qDedupEmbcos]]; every routing choice (lowest-id init, argmin
+    * with lowest-ordinal tie-break) is decimal-exact and replayed by
+    * the oracle. */
   def qDedupEmbcos2(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val k = embcosCells(e.count())
@@ -119,19 +121,39 @@ object DedupQueries {
     val k2 = math.ceil(k.toDouble / k1).toInt
     val binned = e.select(col("vec_id"), col("embedding"),
       graft.index.IvfIndex.assignExpr(col("embedding"), embcos2Coarse(s, dir, k1)).as("c0"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("c0").orderBy("vec_id")
-    val inr = binned
-      .withColumn("iord", row_number().over(w) - 1)
-      .filter(col("iord") < k2)
+    // Inner pivots: the k2 LOWEST-id members of each coarse cell. A
+    // per-cell ranking window would shuffle the WHOLE corpus into k1 ≈
+    // n^¼ partitions and sort n^¾ rows per task (the serialized-hot-
+    // partition shape domainCap exists to avoid); the bounded-heap TopK
+    // aggregator keeps a k2-entry heap per task instead — map-side
+    // partial, shuffle O(k1·k2). Heap order is (dist, id); dist ≡ 0
+    // makes the id tiebreak the entire order ("k2 lowest ids") without
+    // a lossy id→double cast. posexplode of the ascending heap output
+    // re-derives iord = rank-by-id, matching the oracle's row_number.
+    val topk2 = graft.operators.TopK.topK(k2)
+    val pivotIds = binned
+      .groupBy(col("c0"))
+      .agg(topk2(lit(0.0d), col("vec_id")).as("pv"))
+      .select(col("c0"), posexplode(col("pv")).as(Seq("iord", "p")))
+      .select(col("c0"), col("iord").cast("int").as("iord"), col("p._2").as("vec_id"))
+    // pivot embeddings via one broadcast join back (pivot table ≈ k
+    // rows — tiny), a map-only pass over the corpus
+    val inr = binned.join(broadcast(pivotIds), Seq("c0", "vec_id"))
       .select(col("c0"), col("iord"), col("embedding").as("cv"))
-    val assigned = binned.join(broadcast(inr), Seq("c0"))
+    val inrSide =
+      if (k <= s.conf.get("graft.embcos2.broadcastLimit", "65536").toInt) broadcast(inr)
+      else inr
+    val assigned = binned.join(inrSide, Seq("c0"))
       .select(col("vec_id"), col("embedding"), col("c0"), col("iord"),
         l2SqNative(col("embedding"), col("cv")).as("d"))
       .groupBy(col("vec_id"), col("c0"))
-      // argmin with lowest-iord tie-break: lexicographic struct min
-      .agg(min(struct(col("d"), col("iord"))).as("m"),
-        first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("embedding"),
+      // argmin with lowest-iord tie-break: lexicographic struct min.
+      // The embedding rides inside the min struct — the unique (d,
+      // iord) prefix alone decides the order, so the carry is
+      // deterministic (unlike first(), which Spark declares
+      // non-deterministic and which blocks optimizer rewrites)
+      .agg(min(struct(col("d"), col("iord"), col("embedding"))).as("m"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"),
         (col("c0") * k2 + col("m.iord")).as("cell"))
     val a = assigned.select(col("cell"), col("vec_id").as("a"), col("embedding").as("va"))
     val b = assigned.select(col("cell"), col("vec_id").as("b"), col("embedding").as("vb"))

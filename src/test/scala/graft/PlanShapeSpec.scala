@@ -83,6 +83,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // carries one partial min per (vec_id, c0), never the n x k2 join
     assert(p.contains("partial_min") || p.contains("partial_"),
       s"inner argmin must have a map-side partial phase:\n$p")
+    // pivot selection must be the bounded-heap TopK aggregate, never a
+    // per-cell ranking window (which serializes the whole corpus into
+    // k1 ~ n^(1/4) partitions and sorts n^(3/4) rows per task)
+    assert(!p.contains("Window"),
+      s"inner-pivot selection must not rank via a window sort:\n$p")
   }
 
   test("addBatch isolates dirty cells via broadcast semi/anti joins (no corpus shuffle)") {
