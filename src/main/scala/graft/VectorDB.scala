@@ -50,6 +50,13 @@ final class VectorDB private (
   private var index: Option[Dataset[HnswIndex.IndexRow]] = None
   private var ivfModel: Option[IvfIndex.Model] = None
   private var indexMetric: String = Knn.L2
+  /** The metric the USER chose, surviving index loss: add/remove return
+    * index-less handles, and without this a handle built with
+    * `buildIndexIvf(metric = Cosine)` would silently serve exact L2
+    * (a ranking-semantics change, not a precision change) until the
+    * index is rebuilt. The no-index arm serves exact search under this
+    * metric instead. */
+  private var intendedMetric: String = Knn.L2
 
   /** Cells probed per query when an IVF router is trained. */
   var nprobe: Int = 3
@@ -98,6 +105,7 @@ final class VectorDB private (
     // hash-partitioned graph
     ivfModel = None
     indexMetric = Knn.L2
+    intendedMetric = Knn.L2
     built
   }
 
@@ -125,6 +133,7 @@ final class VectorDB private (
     index = Some(built)
     ivfModel = Some(model)
     indexMetric = metric
+    intendedMetric = metric
     built
   }
 
@@ -158,11 +167,12 @@ final class VectorDB private (
   private def tuned(db: VectorDB): VectorDB = {
     db.nprobe = nprobe
     db.efSearch = efSearch
+    db.intendedMetric = intendedMetric
     db
   }
 
   /** Top-k search: ANN when an index is built (under the index's
-    * metric), exact L2 otherwise. */
+    * metric), exact search under the intended metric otherwise. */
   def search(queryVec: Seq[Float], k: Int): DataFrame =
     searchImpl(queryVec, k, None)
 
@@ -171,59 +181,133 @@ final class VectorDB private (
     * applies to the corpus scan (exact arm) and to the index rows
     * (ANN arm, where it becomes [[HnswIndex.search]]'s
     * `candidateFilter`: the beam navigates the intact graph but admits
-    * only matching rows). Over-provision [[efSearch]] to cover
-    * filtered-out candidates. */
+    * only matching rows). With [[efSearch]] unset, filtered search
+    * widens the default beam to `max(efConstruction, 16·k)` — a
+    * documented minimum covering predicates down to ~1/16 selectivity;
+    * set [[efSearch]] explicitly for sparser predicates. */
   def searchFiltered(queryVec: Seq[Float], k: Int,
       idPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
     searchImpl(queryVec, k, Some(idPred))
+
+  /** Batch top-k — the amortized serving shape (the reference loops
+    * point queries, `/root/reference/benchmark.py:26-33`, paying per-
+    * query job-scheduling overhead that batching amortizes): one
+    * search job answers every row of `queries` (`qidCol`, `qvecCol`).
+    * Dispatch mirrors [[search]] — routed ANN under the index's
+    * metric when an index is built, exact brute force under the
+    * intended metric otherwise. Output: (qid, rank, idCol, dist),
+    * rank 1-based ascending by distance. The query side is small by
+    * contract (it broadcasts); the corpus/index side never collects. */
+  def searchBatch(queries: DataFrame, k: Int,
+      qidCol: String = "qid", qvecCol: String = "qv"): DataFrame = {
+    val q = queries.select(
+      col(qidCol).cast("long").as("qid"), col(qvecCol).cast("array<float>").as("qv"))
+    index match {
+      case Some(idx) if indexMetric == Knn.Cosine =>
+        cosineServe(idx, q, k, None)
+      case Some(idx) =>
+        HnswIndex.search(idx, q, k, params, efSearch = efSearch,
+          router = ivfModel, nprobe = nprobe)
+          .select(col("qid"), col("rank"), col("vector_id").as(idCol), col("dist"))
+      case None =>
+        Knn.knnJoin(vectors, q, k, idCol, vecCol, "qid", "qv", metric = intendedMetric)
+    }
+  }
 
   private def searchImpl(queryVec: Seq[Float], k: Int,
       idPred: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column]): DataFrame =
     index match {
       case Some(idx) if indexMetric == Knn.Cosine =>
         val spark = vectors.sparkSession
-        // walk the unit graph with the normalized query (cosine
-        // ranking), over-fetch, then re-score exactly on the raw
-        // vectors so the reported distances carry no
-        // float-normalization noise
         val q = spark.range(1).select(lit(0L).as("qid"),
-          typedLit(unitVec(queryVec)).cast("array<float>").as("qv"))
-        // the hit set is bounded (k+8 ids) — collect it and re-scan
-        // through a pushed-down In(id) filter (row-group pruning at
-        // scale), never a full corpus scan per re-score. The over-fetch
-        // margin covers unit-space/raw-space rank wiggle at the k
-        // boundary; an exact-tie group wider than the margin (k+8
-        // duplicate vectors at the same distance) should be deduped
-        // upstream — within the margin any tie resolution re-ranks to
-        // the deterministic (dist, id) order below
-        val hitIds = HnswIndex.search(idx, q, k + 8, params, efSearch = efSearch,
-            router = ivfModel, nprobe = nprobe,
-            candidateFilter = idPred.map(p => p(col("vector_id"))))
-          .select(col("vector_id")).collect().map(_.getLong(0)).toSeq
-        vectors.filter(col(idCol).isin(hitIds: _*))
-          .select(col(idCol),
-            (lit(1.0d) - cosineNative(col(vecCol), vecLit(queryVec))).as("dist"))
+          typedLit(queryVec).cast("array<float>").as("qv"))
+        cosineServe(idx, q, k, idPred.map(p => p(col("vector_id"))))
+          .select(col(idCol), col("dist"))
           .orderBy(col("dist").asc, col(idCol).asc)
-          .limit(k)
       case Some(idx) =>
         val spark = vectors.sparkSession
         val q = spark.range(1).select(lit(0L).as("qid"), typedLit(queryVec).cast("array<float>").as("qv"))
         // every arm serves the id under idCol — a caller must not have
         // to know which dispatch arm answered
-        HnswIndex.search(idx, q, k, params, efSearch = efSearch,
+        HnswIndex.search(idx, q, k, params, efSearch = filteredEf(k, idPred.isDefined),
           router = ivfModel, nprobe = nprobe,
           candidateFilter = idPred.map(p => p(col("vector_id"))))
           .select(col("vector_id").as(idCol), col("dist"))
       case None =>
         val base = idPred.map(p => vectors.filter(p(col(idCol)))).getOrElse(vectors)
-        Knn.searchKnn(base, queryVec, k, idCol, vecCol)
+        Knn.searchKnn(base, queryVec, k, idCol, vecCol, metric = intendedMetric)
     }
 
-  private def unitVec(v: Seq[Float]): Seq[Float] = {
-    var s = 0.0
-    v.foreach(x => s += x.toDouble * x.toDouble)
-    val n = math.sqrt(s)
-    if (n == 0) v else v.map(x => (x / n).toFloat)
+  /** Default beam width, widened under a candidate filter: filtered-out
+    * rows still occupy beam slots, so the unfiltered default
+    * `max(efConstruction, k)` can under-fill k under a selective
+    * predicate. `16·k` is the documented floor (covers ~1/16
+    * selectivity); an explicit [[efSearch]] always wins. */
+  private def filteredEf(k: Int, filtered: Boolean): Int =
+    if (efSearch > 0 || !filtered) efSearch
+    else math.max(params.efConstruction, 16 * k)
+
+  /** Cosine serving for a (qid, qv) RAW-vector query table: normalize
+    * the queries, walk the unit graph (L2 on unit vectors ranks by
+    * cosine), over-fetch, then re-score the bounded hit set with the
+    * exact double cosine on the raw vectors — reported distances carry
+    * no float-normalization noise. The hit set is O(q·(k+margin)) ids,
+    * collected and re-scanned through a pushed-down In(id) filter
+    * (row-group pruning at scale), never a full corpus re-scan.
+    *
+    * The margin covers unit-space/raw-space rank wiggle at the k
+    * boundary — and instead of assuming 8 always suffices, the
+    * boundary is CHECKED: if a query's re-scored k-th distance equals
+    * its last-fetched distance (an exact-tie group may extend past the
+    * fetch), the walk re-runs with a doubled margin, up to 128, then
+    * logs a warning and serves (a >128-wide exact-tie group is
+    * upstream dedup's problem, not search's). Returns
+    * (qid, rank, idCol, dist) with rank <= k. */
+  private def cosineServe(idx: Dataset[HnswIndex.IndexRow], qRaw: DataFrame, k: Int,
+      candidateFilter: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val qUnit = qRaw.select(col("qid"), l2Normalize(col("qv")).as("qv"))
+    var margin = 8
+    var result: DataFrame = null
+    var widen = true
+    while (widen) {
+      val pairs = HnswIndex.search(idx, qUnit, k + margin, params,
+          efSearch = filteredEf(k + margin, candidateFilter.isDefined),
+          router = ivfModel, nprobe = nprobe, candidateFilter = candidateFilter)
+        .select(col("qid"), col("vector_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val hits = pairs.toSeq.toDF("qid", idCol)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("dist").asc, col(idCol).asc)
+      // the window runs over the bounded hit set (q·(k+margin) rows),
+      // never the corpus
+      val rescored = vectors
+        .filter(col(idCol).isin(pairs.map(_._2).distinct.toSeq: _*))
+        .select(col(idCol), col(vecCol))
+        .join(broadcast(hits), Seq(idCol))
+        .join(broadcast(qRaw), Seq("qid"))
+        .select(col("qid"), col(idCol),
+          (lit(1.0d) - cosineNative(col(vecCol), col("qv"))).as("dist"))
+        .withColumn("rank", row_number().over(w))
+      // boundary-tie check on the re-scored edge rows (a tiny collect):
+      // a qid whose k-th distance equals its (k+margin)-th may have tie
+      // members beyond the fetch — widen and re-walk
+      val edges = rescored.filter(col("rank") === k || col("rank") === (k + margin))
+        .groupBy("qid")
+        .agg(min("dist").as("lo"), max("dist").as("hi"), count(lit(1)).as("n"))
+        .filter(col("n") === 2 && col("lo") === col("hi"))
+        .count()
+      if (edges == 0 || margin >= 128) {
+        if (edges > 0)
+          org.slf4j.LoggerFactory.getLogger(classOf[VectorDB]).warn(
+            s"$edges queries still tie at the k+$margin boundary; serving the (dist,id)-deterministic cut")
+        result = rescored.filter(col("rank") <= k)
+          .select(col("qid"), col("rank"), col(idCol), col("dist"))
+        widen = false
+      } else margin *= 2
+    }
+    result
   }
 }
 

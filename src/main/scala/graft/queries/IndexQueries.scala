@@ -603,6 +603,32 @@ object IndexQueries {
       .select(col("vec_id"), round(col("dist"), 3).as("dist"))
   }
 
+  /** Gate on the public `VectorDB.searchBatch` surface — the amortized
+    * serving shape (one job per BATCH, not per query; the reference
+    * loops point queries, `/root/reference/benchmark.py:26-33`, and
+    * BASELINE.md measures ~0.2 s scheduling overhead per point query
+    * that batching amortizes). The SAME 3-query batch runs through all
+    * three dispatch arms — `ann` (all cells probed at exhaustive ef ≡
+    * global brute force), `exact` (no index → knnJoin), `cosine`
+    * (unit-graph walk + raw re-score, all cells ≡ global brute-force
+    * cosine) — so the batch API cannot drift from the gated
+    * single-query semantics on any arm. */
+  def qVectordbBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") >= 41 && col("vec_id") < 44)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val ann = vdbAllCellsHandle(s, dir).searchBatch(queries, k = 5)
+      .select(lit("ann").as("mode"), col("qid"), col("rank").as("rnk"),
+        col("vec_id"), round(col("dist"), 3).as("dist"))
+    val exact = vdbExactHandle(s, dir).searchBatch(queries, k = 5)
+      .select(lit("exact").as("mode"), col("qid"), col("rank").as("rnk"),
+        col("vec_id"), round(col("dist"), 3).as("dist"))
+    val cos = vdbCosineHandle(s, dir).searchBatch(queries, k = 5)
+      .select(lit("cosine").as("mode"), col("qid"), col("rank").as("rnk"),
+        col("vec_id"), (round(col("dist"), 4) + lit(0.0)).as("dist"))
+    ann.unionByName(exact).unionByName(cos).orderBy("mode", "qid", "rnk")
+  }
+
   /** Index structure stats per cell (ref structure/pruning invariants,
     * `src/lib.rs:394-467`): node counts AND layer counts are
     * oracle-able (a node owns exactly level+1 adjacency lists and
@@ -861,6 +887,29 @@ object IndexQueries {
          |      UNION ALL
          |      SELECT 'exact' AS mode, vec_id, d FROM exranked WHERE rnk <= 5)
          |SELECT mode, vec_id, round(d, 3) AS dist FROM u ORDER BY mode, d, vec_id""".stripMargin)),
+    QueryDef("q_vectordb_batch", qVectordbBatch, Some(
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |           WHERE vec_id >= 41 AND vec_id < 44),
+         |l2s AS (SELECT q.qid, e.vec_id, ${VectorQueries.l2Sql("e.embedding", "q.qv")} AS d
+         |        FROM embeddings e CROSS JOIN q),
+         |l2r AS (SELECT qid, vec_id, d,
+         |               row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
+         |        FROM l2s),
+         |css AS (SELECT q.qid, e.vec_id, 1.0 - ${VectorQueries.cosSql("e.embedding", "q.qv")} AS d
+         |        FROM embeddings e CROSS JOIN q),
+         |csr AS (SELECT qid, vec_id, d,
+         |               row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
+         |        FROM css),
+         |u AS (SELECT 'ann' AS mode, qid, rnk, vec_id, round(d, 3) AS dist
+         |      FROM l2r WHERE rnk <= 5
+         |      UNION ALL
+         |      SELECT 'exact' AS mode, qid, rnk, vec_id, round(d, 3) AS dist
+         |      FROM l2r WHERE rnk <= 5
+         |      UNION ALL
+         |      SELECT 'cosine' AS mode, qid, rnk, vec_id, round(d, 4) + CAST(0.0 AS DOUBLE) AS dist
+         |      FROM csr WHERE rnk <= 5)
+         |SELECT mode, qid, CAST(rnk AS INT) AS rnk, vec_id, dist
+         |FROM u ORDER BY mode, qid, rnk""".stripMargin)),
     QueryDef("q_hnsw_stats", qHnswStats, Some(
       """SELECT CAST(label AS INT) AS part, count(*) AS n_nodes,
         |  CAST(max(least(62, CAST(floor(-ln(
