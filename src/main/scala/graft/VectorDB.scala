@@ -49,6 +49,10 @@ final class VectorDB private (
 
   private var index: Option[Dataset[HnswIndex.IndexRow]] = None
   private var ivfModel: Option[IvfIndex.Model] = None
+  /** The parquet path this handle was opened on (None for add/remove
+    * lineage handles) — recorded by [[save]] so [[VectorDB.load]] can
+    * reopen the corpus without copying it. */
+  private var sourcePath: Option[String] = None
   private var indexMetric: String = Knn.L2
   /** The metric the USER chose, surviving index loss: add/remove return
     * index-less handles, and without this a handle built with
@@ -238,6 +242,45 @@ final class VectorDB private (
         Knn.searchKnn(base, queryVec, k, idCol, vecCol, metric = intendedMetric)
     }
 
+  /** Persist the FULL serving state — not just the index rows
+    * ([[HnswIndex.save]], cell-partitioned parquet) but the trained
+    * router centroids, the metric, and the serving knobs — so a restart
+    * reloads everything from disk instead of re-aggregating the corpus
+    * (at 100 TB, recomputing `fromPartitionMeans` on every restart is a
+    * full-corpus job the deployment pays for no reason). The corpus
+    * itself is NOT copied: the open path is recorded in the manifest
+    * (derived add/remove handles, which have lineage instead of a path,
+    * materialize their corpus under `path/corpus` — the one case where
+    * a corpus-scale write is the point of the call). */
+  def save(path: String): Unit = {
+    val idx = index.getOrElse(throw new IllegalStateException(
+      "save requires a built index — call buildIndex/buildIndexIvf first"))
+    val spark = raw.sparkSession
+    import spark.implicits._
+    HnswIndex.save(idx, s"$path/index")
+    ivfModel.foreach { m =>
+      m.centroids.indices
+        .map(i => (i, m.cellId(i), m.centroids(i).toSeq))
+        .toDF("ord", "cell", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/router")
+    }
+    val corpusRef = sourcePath.getOrElse {
+      raw.write.mode("overwrite").parquet(s"$path/corpus")
+      s"$path/corpus"
+    }
+    val meta = Seq(
+      s"dims=$dims", s"metric=$indexMetric", s"intendedMetric=$intendedMetric",
+      s"nprobe=$nprobe", s"efSearch=$efSearch",
+      s"m=${params.m}", s"efConstruction=${params.efConstruction}",
+      s"idCol=$idCol", s"vecCol=$vecCol", s"corpus=$corpusRef",
+      s"hasRouter=${ivfModel.isDefined}").mkString("", "\n", "\n")
+    val p = new org.apache.hadoop.fs.Path(path, "graft_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Default beam width, widened under a candidate filter: filtered-out
     * rows still occupy beam slots, so the unfiltered default
     * `max(efConstruction, k)` can under-fill k under a selective
@@ -319,6 +362,48 @@ object VectorDB {
     * `.validate()` on the handle for eager open-time rejection. */
   def open(spark: SparkSession, path: String, dims: Int,
       params: HnswParams = HnswParams(),
-      idCol: String = "vec_id", vecCol: String = "embedding"): VectorDB =
-    new VectorDB(spark.read.parquet(path), dims, params, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding"): VectorDB = {
+    val db = new VectorDB(spark.read.parquet(path), dims, params, idCol, vecCol)
+    db.sourcePath = Some(path)
+    db
+  }
+
+  /** Reload a [[VectorDB#save saved]] serving state: corpus handle (by
+    * recorded path — never copied), index rows (cell-partitioned
+    * parquet, so routed searches prune to probed subtrees), trained
+    * router centroids, metric, and nprobe/efSearch. The ONLY job this
+    * launches is the O(#cells·d) router read — a restarted 100 TB
+    * deployment serves its first query without touching the corpus. */
+  def load(spark: SparkSession, path: String): VectorDB = {
+    val p = new org.apache.hadoop.fs.Path(path, "graft_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val metaText =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val meta = metaText.linesIterator.filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+    val params = HnswParams(meta("m").toInt, meta("efConstruction").toInt)
+    val db = new VectorDB(spark.read.parquet(meta("corpus")), meta("dims").toInt,
+      params, meta("idCol"), meta("vecCol"))
+    db.sourcePath = Some(meta("corpus"))
+    db.index = Some(HnswIndex.load(spark, s"$path/index"))
+    if (meta("hasRouter").toBoolean) {
+      val rows = spark.read.parquet(s"$path/router")
+        .select(col("ord").cast("int"), col("cell").cast("int"),
+          col("cv").cast("array<double>"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        .sortBy(_._1)
+      val cellIds = rows.map(_._2)
+      db.ivfModel = Some(IvfIndex.Model(rows.map(_._3),
+        if (cellIds.zipWithIndex.forall { case (c, i) => c == i }) Array.empty
+        else cellIds))
+    }
+    db.indexMetric = meta("metric")
+    db.intendedMetric = meta("intendedMetric")
+    db.nprobe = meta("nprobe").toInt
+    db.efSearch = meta("efSearch").toInt
+    db
+  }
 }

@@ -161,6 +161,52 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served == fresh, "persisted index must serve the same hits")
   }
 
+  test("VectorDB save/load restores router + knobs and launches no corpus-scale job") {
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    db.buildIndexIvf(numCells = 4, iters = 1)
+    db.nprobe = 2
+    db.efSearch = 4096
+    val qv = Seq.tabulate(64)(i => (i % 7) / 10.0f)
+    val before = db.search(qv, 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    val path = java.nio.file.Files.createTempDirectory("graft_vdb_spec").toString
+    db.save(path)
+    // a restart must NOT re-aggregate the corpus: the only data load
+    // reads is the O(#cells·d) router table (plus parquet footers) —
+    // count task input records across every job load launches
+    val recs = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          recs.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val loaded =
+      try {
+        val l = VectorDB.load(spark, path)
+        org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+        l
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(recs.get() < 100,
+      s"load read ${recs.get()} records — a restart must not re-aggregate the corpus (500 rows)")
+    assert(loaded.nprobe == 2 && loaded.efSearch == 4096,
+      "serving knobs must survive the restart")
+    val after = loaded.search(qv, 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before, s"restart changed served results:\n$before\nvs\n$after")
+
+    // cosine metric survives too: a cosine handle must keep cosine
+    // ranking semantics across save/load
+    val cdb = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    cdb.buildIndexIvf(numCells = 4, iters = 1, metric = Knn.Cosine)
+    cdb.efSearch = 4096
+    cdb.nprobe = 4
+    val cpath = java.nio.file.Files.createTempDirectory("graft_vdb_spec_cos").toString
+    cdb.save(cpath)
+    val cBefore = cdb.search(qv, 5).collect().map(_.getLong(0)).toSeq
+    val cAfter = VectorDB.load(spark, cpath).search(qv, 5).collect().map(_.getLong(0)).toSeq
+    assert(cAfter == cBefore, "cosine serving must survive the restart")
+  }
+
   test("as-of join: null before first right row, same-instant right row matches") {
     import spark.implicits._
     import graft.operators.AsOfJoin
