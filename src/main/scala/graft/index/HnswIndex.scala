@@ -18,8 +18,15 @@ import graft.operators.TopK
   */
 object HnswIndex {
 
-  /** One indexed vector: partition key, id, vector, adjacency by layer. */
-  final case class IndexRow(part: Int, vector_id: Long, vec: Array[Float], layers: Array[Array[Long]])
+  /** One indexed vector: partition key, id, vector, adjacency by layer,
+    * plus an optional metadata payload (attribute name → string value)
+    * carried from build. The payload is what makes filtered ANN filter
+    * on real attributes (label, source, date) instead of id arithmetic:
+    * `search`'s `candidateFilter` evaluates against the index row IN
+    * THE SCAN STAGE, so any predicate over the payload prunes where the
+    * data lives — no side join at query time. */
+  final case class IndexRow(part: Int, vector_id: Long, vec: Array[Float],
+      layers: Array[Array[Long]], payload: Map[String, String] = Map.empty)
 
   /** One search hit. */
   final case class Hit(qid: Long, vector_id: Long, dist: Double)
@@ -29,22 +36,38 @@ object HnswIndex {
     * upstream); insertion order within a partition is ascending id, and
     * levels derive deterministically from ids ([[Hnsw.levelFor]]), so
     * the build is reproducible run-to-run. */
+  /** Internal pass-through column name for an already-packed payload
+    * map (addBatch/removeBatch/compact carry existing rows' payloads
+    * through a rebuild under this name). */
+  private val PayCol = "__pay"
+
   def build(
       df: DataFrame,
       params: HnswParams = HnswParams(),
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      partCol: String = "part"): Dataset[IndexRow] = {
+      partCol: String = "part",
+      payloadCols: Seq[String] = Nil): Dataset[IndexRow] = {
     val spark = df.sparkSession
     import spark.implicits._
     val mL = params.mL
+    // payload: pack the named attribute columns into the row's map; a
+    // pre-packed __pay column (rebuild paths) passes through as-is
+    val payExpr =
+      if (payloadCols.nonEmpty)
+        map_from_arrays(
+          array(payloadCols.map(lit): _*),
+          array(payloadCols.map(c => col(c).cast("string")): _*))
+      else if (df.columns.contains(PayCol)) col(PayCol)
+      else typedLit(Map.empty[String, String])
     df.select(
         col(partCol).cast("int").as("part"),
         col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<float>").as("vec"))
+        col(vecCol).cast("array<float>").as("vec"),
+        payExpr.as("pay"))
       .repartition(col("part"))
       .sortWithinPartitions("part", "id")
-      .as[(Int, Long, Array[Float])]
+      .as[(Int, Long, Array[Float], Map[String, String])]
       .mapPartitions { it =>
         groupRuns(it)(_._1).flatMap { case (part, rows) =>
           val ids = rows.map(_._2)
@@ -54,7 +77,7 @@ object HnswIndex {
             val layers = (0 until g.layerCount(ord)).map { l =>
               g.neighbors(ord, l).map(ids(_)).toArray
             }.toArray
-            IndexRow(part, ids(ord), vecs(ord), layers)
+            IndexRow(part, ids(ord), vecs(ord), layers, rows(ord)._4)
           }
         }
       }
@@ -77,7 +100,9 @@ object HnswIndex {
     *
     * `candidateFilter` is metadata-filtered ANN (extension — the
     * reference's search takes no predicate, `src/lib.rs:344-347`): a
-    * boolean Column over the index row (`part`, `vector_id`, `vec`)
+    * boolean Column over the index row (`part`, `vector_id`, `vec`,
+    * and the `payload` attribute map packed at build — e.g.
+    * `element_at(col("payload"), "label") === "news"`)
     * evaluated in the scan stage BEFORE the shuffle; the beam then
     * navigates the intact graph but only admits matching rows as hits
     * ([[HnswGraph.searchLayer]]'s `keep`). Over-provision `efSearch`
@@ -188,18 +213,30 @@ object HnswIndex {
       params: HnswParams = HnswParams(),
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      partCol: String = "part"): Dataset[IndexRow] = {
+      partCol: String = "part",
+      payloadCols: Seq[String] = Nil): Dataset[IndexRow] = {
     import index.sparkSession.implicits._
+    // payload for the arriving rows: pack from payloadCols, or pass a
+    // pre-packed __pay through (compact's moved rows); existing rows
+    // keep their built payload either way
+    val newPay =
+      if (payloadCols.nonEmpty)
+        map_from_arrays(
+          array(payloadCols.map(lit): _*),
+          array(payloadCols.map(c => col(c).cast("string")): _*))
+      else if (additions.columns.contains(PayCol)) col(PayCol)
+      else typedLit(Map.empty[String, String])
     val newRows = additions.select(
       col(partCol).cast("int").as("part"),
       col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<float>").as("vec"))
+      col(vecCol).cast("array<float>").as("vec"),
+      newPay.as("pay"))
     val dirty = newRows.select("part").distinct()
     val untouched = index.join(broadcast(dirty), Seq("part"), "left_anti").as[IndexRow]
     val existing = index.join(broadcast(dirty), Seq("part"), "left_semi")
-      .select(col("part"), col("vector_id").as("id"), col("vec"))
+      .select(col("part"), col("vector_id").as("id"), col("vec"), col("payload"))
     val rebuilt = build(
-      existing.union(newRows).toDF("part", "vec_id", "embedding"),
+      existing.union(newRows).toDF("part", "vec_id", "embedding", PayCol),
       params, "vec_id", "embedding", "part")
     untouched.union(rebuilt)
   }
@@ -224,7 +261,8 @@ object HnswIndex {
     val untouched = index.join(broadcast(dirty), Seq("part"), "left_anti").as[IndexRow]
     val survivors = index.join(broadcast(dirty), Seq("part"), "left_semi")
       .join(broadcast(ids), Seq("vector_id"), "left_anti")
-      .select(col("part"), col("vector_id").as("vec_id"), col("vec").as("embedding"))
+      .select(col("part"), col("vector_id").as("vec_id"), col("vec").as("embedding"),
+        col("payload").as(PayCol))
     untouched.union(build(survivors, params))
   }
 
@@ -263,7 +301,8 @@ object HnswIndex {
       .select(
         IvfIndex.assignExpr(col("vec"), router).as("part"),
         col("vector_id").as("vec_id"),
-        col("vec").as("embedding"))
+        col("vec").as("embedding"),
+        col("payload").as(PayCol))
     addBatch(kept, moved, params)
   }
 
@@ -275,12 +314,18 @@ object HnswIndex {
   def save(index: Dataset[IndexRow], path: String): Unit =
     index.write.mode("overwrite").partitionBy("part").parquet(path)
 
-  /** Reload a persisted index for serving. */
+  /** Reload a persisted index for serving. Pre-payload saves load with
+    * an empty payload map. */
   def load(spark: SparkSession, path: String): Dataset[IndexRow] = {
     import spark.implicits._
-    spark.read.parquet(path)
-      .select(col("part").cast("int").as("part"), col("vector_id"),
-        col("vec").cast("array<float>").as("vec"), col("layers"))
+    val df = spark.read.parquet(path)
+    val pay =
+      if (df.columns.contains("payload"))
+        coalesce(col("payload"), typedLit(Map.empty[String, String]))
+      else typedLit(Map.empty[String, String])
+    df.select(col("part").cast("int").as("part"), col("vector_id"),
+        col("vec").cast("array<float>").as("vec"), col("layers"),
+        pay.as("payload"))
       .as[IndexRow]
   }
 

@@ -389,6 +389,42 @@ object IndexQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Payload-carrying label index (VERDICT r6 item #4): every row
+    * packs `{bucket: vec_id % 3}` as a metadata attribute at build —
+    * the index rows THEMSELVES carry the filterable attributes, so a
+    * metadata predicate is evaluable in the scan stage with no side
+    * join at query time. */
+  private val metaIdxMemo =
+    new SessionMemo[org.apache.spark.sql.Dataset[HnswIndex.IndexRow]]
+  private def metaIndex(s: SparkSession, dir: String) =
+    metaIdxMemo.get(s, dir)(
+      HnswIndex.build(
+        emb(s, dir).withColumn("part", col("label"))
+          .withColumn("bucket", pmod(col("vec_id"), lit(3))),
+        P, payloadCols = Seq("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Metadata-filtered routed ANN over the PAYLOAD map (q_ann_filtered
+    * gates the id-arithmetic predicate; this gates the attribute path
+    * real deployments use): the predicate reads the `bucket` attribute
+    * packed into the index rows at build — evaluated in the index-scan
+    * stage below the part exchange (plan-asserted), never joined at
+    * query time. Exhaustive ef ⇒ equals attribute-filtered brute force
+    * within the probed cells. */
+  def qAnnFilteredMeta(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val idx = metaIndex(s, dir)
+    val queries = e.filter(col("vec_id") >= 49 && col("vec_id") < 53)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    HnswIndex.search(idx, queries, k = 5, P,
+        efSearch = exhaustiveEf(s, dir, "meta")(idx),
+        router = Some(labelRouter(s, dir)), nprobe = 3,
+        candidateFilter = Some(element_at(col("payload"), "bucket") === "1"))
+      .select(col("qid"), col("rank").as("rnk"), col("vector_id").as("vec_id"),
+        round(col("dist"), 3).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Index with a deleted slice: [[HnswIndex.removeBatch]] drops the
     * `vec_id % 5 == 2` vectors of labels 0-3, so the gate exercises
     * BOTH branches — labels 4+ pass through the untouched anti-join,
@@ -877,6 +913,9 @@ object IndexQueries {
     QueryDef("q_ann_filtered", qAnnFiltered,
       Some(routedOracleSql("vec_id >= 30 AND vec_id < 34", probesFixedSql,
         candWhere = "e.vec_id % 2 = 0"))),
+    QueryDef("q_ann_filtered_meta", qAnnFilteredMeta,
+      Some(routedOracleSql("vec_id >= 49 AND vec_id < 53", probesFixedSql,
+        candWhere = "e.vec_id % 3 = 1"))),
     QueryDef("q_ann_deleted", qAnnDeleted,
       Some(bruteOracleSql("vec_id >= 34 AND vec_id < 38",
         candWhere = "NOT (e.vec_id % 5 = 2 AND e.label < 4)"))),

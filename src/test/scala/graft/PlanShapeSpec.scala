@@ -125,6 +125,16 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"candidate predicate must be computed in the scan stage:\n$p")
   }
 
+  test("payload-filtered ANN evaluates the attribute predicate in the scan stage, below the part exchange") {
+    val p = plan(IndexQueries.qAnnFilteredMeta(spark, sfDir))
+    val ex = p.indexOf("Exchange hashpartitioning(part")
+    assert(ex >= 0, s"expected the index repartition exchange:\n$p")
+    // the payload-map lookup must be computed where the index rows
+    // live (below the exchange), not post-hoc on shuffled hits
+    assert(p.indexOf("payload", ex) > ex,
+      s"payload attribute predicate must be computed in the scan stage:\n$p")
+  }
+
   test("removeBatch isolates dirty cells via broadcast semi/anti joins (no corpus shuffle)") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
