@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.{HnswIndex, HnswParams, IvfIndex}
+import graft.operators.Knn
+
+/** Production-config recall FLOORS (VERDICT r6 item #5): the
+  * oracle-gated queries pin ef/nprobe at exhaustive settings, and
+  * [[RecallCurve]] only REPORTS the production tradeoff — so before
+  * this spec, a refactor that silently degraded production recall
+  * (a beam bug that only bites under candidate pressure, a router
+  * regression) would change BASELINE.md numbers without failing
+  * anything. These assertions pin the measured round-6 curve
+  * (BASELINE.md: single graph ef=16 → 0.987, routed 16 trained cells
+  * nprobe=8 → 0.869) with a small margin, on the same fixture and
+  * query set the table is measured on (sf0.1: n=2000, 64 queries). */
+class RecallSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.1"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val P = HnswParams(m = 16, efConstruction = 32)
+  private val K = 10
+  private val NQueries = 64
+
+  private lazy val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private lazy val queries = e.filter(col("vec_id") < NQueries)
+    .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+  /** Exact top-10 ids per qid — the ground truth both floors score
+    * against (same construction as RecallCurve's). */
+  private lazy val exact: Map[Long, Set[Long]] =
+    Knn.knnJoin(e, queries, K)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  private def recallOf(hits: org.apache.spark.sql.DataFrame): Double = {
+    val ann = hits.select("qid", "vector_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    exact.keys.toSeq.map(q => ann.getOrElse(q, Set.empty).intersect(exact(q)).size / K.toDouble)
+      .sum / exact.size
+  }
+
+  test("single-graph beam at production ef=16 holds recall@10 >= 0.98 (measured 0.987)") {
+    val one = HnswIndex.build(e.withColumn("part", lit(0)), P)
+    val r = recallOf(HnswIndex.search(one, queries, K, P, efSearch = 16))
+    assert(r >= 0.98, s"production-ef beam recall regressed: $r (floor 0.98, measured 0.987)")
+  }
+
+  test("routed 16 trained cells at production nprobe=8 holds recall@10 >= 0.85 (measured 0.869)") {
+    val model = IvfIndex.train(e, k = 16, iters = 3)
+    val routed = HnswIndex.build(
+      IvfIndex.assign(e, model).withColumn("part", col("cell")), P)
+    val r = recallOf(HnswIndex.search(routed, queries, K, P, efSearch = 256,
+      router = Some(model), nprobe = 8))
+    assert(r >= 0.85, s"routed production recall regressed: $r (floor 0.85, measured 0.869)")
+  }
+}
