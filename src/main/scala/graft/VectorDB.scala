@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
-import graft.index.{HnswIndex, HnswParams, IvfIndex}
-import graft.operators.Knn
+import graft.index.{HnswIndex, HnswParams, IvfIndex, ProductQuantizer, ScalarQuantizer}
+import graft.operators.{Knn, TopK}
 
 /** User-facing database handle — the Spark rendering of the reference's
   * `VectorDB` (`/root/reference/src/lib.rs:310-352`): one vector table +
@@ -53,6 +53,10 @@ final class VectorDB private (
     * lineage handles) — recorded by [[save]] so [[VectorDB.load]] can
     * reopen the corpus without copying it. */
   private var sourcePath: Option[String] = None
+  /** Compressed serving state (mutually exclusive with the HNSW
+    * index): the encoded-codes table plus the model that decodes it. */
+  private var pqState: Option[(DataFrame, ProductQuantizer.Model)] = None
+  private var sqState: Option[(DataFrame, Seq[Double], Seq[Double])] = None
   private var indexMetric: String = Knn.L2
   /** The metric the USER chose, surviving index loss: add/remove return
     * index-less handles, and without this a handle built with
@@ -110,6 +114,8 @@ final class VectorDB private (
     ivfModel = None
     indexMetric = Knn.L2
     intendedMetric = Knn.L2
+    pqState = None
+    sqState = None
     built
   }
 
@@ -138,7 +144,55 @@ final class VectorDB private (
     ivfModel = Some(model)
     indexMetric = metric
     intendedMetric = metric
+    pqState = None
+    sqState = None
     built
+  }
+
+  /** Build the IVF-PQ serving configuration — the standard
+    * billion-scale shape (coarse quantizer routes to nprobe cells,
+    * product-quantized codes rank inside them by asymmetric distance):
+    * the corpus is encoded ONCE into M-byte codes per vector (persisted
+    * — the whole point is that the codes table, ~d·4/M× smaller than
+    * the raw vectors, is what search scans), and [[search]] dispatches
+    * to ADC ranking within the probed cells. Replaces any HNSW index on
+    * this handle (extension — the reference stores raw f32 only,
+    * `/root/reference/src/disk_store.rs:7-11`). */
+  def buildIndexPq(numCells: Int = 16, routerIters: Int = 1, numSub: Int = 8,
+      codebookK: Int = 16, pqIters: Int = 0): DataFrame = {
+    val router = IvfIndex.train(vectors, numCells, routerIters, idCol, vecCol)
+    val model = ProductQuantizer.train(vectors, numSub, codebookK, pqIters, idCol, vecCol)
+    val codes = IvfIndex.assign(vectors, router, idCol, vecCol)
+      .select(col(idCol), col("cell"),
+        ProductQuantizer.encodeExpr(col(vecCol), model).as("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    index = None
+    ivfModel = Some(router)
+    indexMetric = Knn.L2
+    intendedMetric = Knn.L2
+    pqState = Some((codes, model))
+    sqState = None
+    codes
+  }
+
+  /** Build the int8 scalar-quantized serving configuration: per-dim
+    * bounds trained from the corpus, byte codes 4× smaller than f32,
+    * routed ADC ranking within probed cells (see [[buildIndexPq]] for
+    * the serving shape). */
+  def buildIndexSq(numCells: Int = 16, routerIters: Int = 1): DataFrame = {
+    val router = IvfIndex.train(vectors, numCells, routerIters, idCol, vecCol)
+    val (lo, hi) = ScalarQuantizer.bounds(ScalarQuantizer.train(vectors, vecCol))
+    val codes = IvfIndex.assign(vectors, router, idCol, vecCol)
+      .select(col(idCol), col("cell"),
+        ScalarQuantizer.encodeExpr(col(vecCol), lo, hi).as("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    index = None
+    ivfModel = Some(router)
+    indexMetric = Knn.L2
+    intendedMetric = Knn.L2
+    pqState = None
+    sqState = Some((codes, lo, hi))
+    codes
   }
 
   /** Append rows — the reference's `add_vector` ingest rule
@@ -206,7 +260,8 @@ final class VectorDB private (
       qidCol: String = "qid", qvecCol: String = "qv"): DataFrame = {
     val q = queries.select(
       col(qidCol).cast("long").as("qid"), col(qvecCol).cast("array<float>").as("qv"))
-    index match {
+    if (pqState.isDefined || sqState.isDefined) adcServeBatch(q, k)
+    else index match {
       case Some(idx) if indexMetric == Knn.Cosine =>
         cosineServe(idx, q, k, None)
       case Some(idx) =>
@@ -218,9 +273,58 @@ final class VectorDB private (
     }
   }
 
+  /** The compressed-codes table being served (PQ or SQ). */
+  private def codesTable: DataFrame =
+    pqState.map(_._1).orElse(sqState.map(_._1)).get
+
+  /** Asymmetric (ADC) distance of each codes row to the full-precision
+    * query column `qv` — the query never quantizes, only the corpus. */
+  private def adcDist(qv: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pqState.map { case (_, m) => ProductQuantizer.adcExpr(col("codes"), qv, m) }
+      .orElse(sqState.map { case (_, lo, hi) =>
+        ScalarQuantizer.adcL2Sq(col("codes"), qv, lo, hi) })
+      .get
+
+  /** Batch ADC serving: route every query to its nprobe cells through
+    * the driver-resident router, restrict the codes scan to the union
+    * of probed cells (prunable predicate), broadcast the per-qid probe
+    * pairs + query vectors, rank by ADC with the bounded-heap top-k
+    * (map-side partial — the shuffle carries O(q·k) rows). */
+  private def adcServeBatch(q: DataFrame, k: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val router = ivfModel.getOrElse(throw new IllegalStateException(
+      "compressed serving requires the trained router"))
+    val qRows = q.as[(Long, Array[Float])].collect()
+    val probePairs = qRows.flatMap { case (qid, qv) =>
+      router.probeOrder(qv).take(nprobe).map(c => (qid, c))
+    }.toSeq
+    val probesDF = probePairs.toDF("qid", "cell")
+    val topk = TopK.topK(k)
+    codesTable
+      .filter(col("cell").isin(probePairs.map(_._2).distinct: _*))
+      .join(broadcast(probesDF), Seq("cell"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col(idCol), adcDist(col("qv")).as("dist"))
+      .groupBy(col("qid"))
+      .agg(topk(col("dist"), col(idCol)).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("hit._2").as(idCol), col("hit._1").as("dist"))
+  }
+
   private def searchImpl(queryVec: Seq[Float], k: Int,
       idPred: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column]): DataFrame =
-    index match {
+    if (pqState.isDefined || sqState.isDefined) {
+      val router = ivfModel.getOrElse(throw new IllegalStateException(
+        "compressed serving requires the trained router"))
+      val probes = router.probeOrder(queryVec.toArray).take(nprobe).toSeq
+      val probed = codesTable.filter(col("cell").isin(probes: _*))
+      val base = idPred.map(p => probed.filter(p(col(idCol)))).getOrElse(probed)
+      base.select(col(idCol), adcDist(vecLit(queryVec)).as("dist"))
+        .orderBy(col("dist").asc, col(idCol).asc)
+        .limit(k)
+    } else index match {
       case Some(idx) if indexMetric == Knn.Cosine =>
         val spark = vectors.sparkSession
         val q = spark.range(1).select(lit(0L).as("qid"),

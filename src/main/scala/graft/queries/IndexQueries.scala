@@ -705,6 +705,55 @@ object IndexQueries {
     ann.unionByName(exact).unionByName(cos).orderBy("mode", "qid", "rnk")
   }
 
+  /** Compressed-serving handles (VERDICT r6 item #6): the public API
+    * now reaches the gated IVF-PQ/SQ paths. The PQ handle routes at
+    * nprobe = 3 through the trained router (probe choice under the
+    * gate); the SQ handle probes every cell, so its ADC ranking is
+    * global and the plain SQ oracle applies. */
+  private val vdbPqMemo = new SessionMemo[graft.VectorDB]
+  private def vdbPqHandle(s: SparkSession, dir: String) =
+    vdbPqMemo.get(s, dir) {
+      val db = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
+      db.buildIndexPq(numCells = 16, routerIters = 1, numSub = 8,
+        codebookK = 16, pqIters = 0)
+      db.nprobe = 3
+      db
+    }
+
+  private val vdbSqMemo = new SessionMemo[graft.VectorDB]
+  private def vdbSqHandle(s: SparkSession, dir: String) =
+    vdbSqMemo.get(s, dir) {
+      val db = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
+      db.buildIndexSq(numCells = 16, routerIters = 1)
+      db.nprobe = 16
+      db
+    }
+
+  /** Gate on public IVF-PQ serving: open → buildIndexPq → search must
+    * equal the trained-router probe selection + init-codebook ADC
+    * ranking the oracle replays (routing AND compression both decisive
+    * through the public handle). */
+  def qVectordbPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 53L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbPqHandle(s, dir).search(qv, k = 10)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
+  /** Gate on public int8-SQ serving: all cells probed ⇒ handle ADC
+    * ranking ≡ global SQ ADC ranking (the q_quantized_knn oracle shape
+    * at a distinct query). */
+  def qVectordbSq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 54L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbSqHandle(s, dir).search(qv, k = 10)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
   /** Index structure stats per cell (ref structure/pruning invariants,
     * `src/lib.rs:394-467`): node counts AND layer counts are
     * oracle-able (a node owns exactly level+1 adjacency lists and
@@ -862,6 +911,68 @@ object IndexQueries {
       |         (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
       |          FROM a1d) WHERE rn = 1)""".stripMargin
 
+  /** Int8-SQ ADC oracle (mirror of [[qQuantizedKnn]] /
+    * [[qVectordbSq]]): per-dim min/max bounds, 255-step encode, decode
+    * to the bucket floor, full-precision query — one definition for
+    * every SQ gate. */
+  private def sqOracleSql(qid: Long): String =
+    s"""WITH b AS (SELECT i AS pos, CAST(min(x) AS DOUBLE) AS lo, CAST(max(x) AS DOUBLE) AS hi
+       |           FROM (SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+       |                 FROM embeddings) GROUP BY 1),
+       |bl AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM b),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid),
+       |scored AS (
+       |  SELECT e.vec_id,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1), i ->
+       |      (CASE WHEN bl.his[i] - bl.los[i] = 0.0 THEN bl.los[i]
+       |            ELSE bl.los[i] + CAST(floor(least(greatest(
+       |                   (CAST(e.embedding[i] AS DOUBLE) - bl.los[i]) / (bl.his[i] - bl.los[i]),
+       |                   0.0), 1.0) * 255.0) AS INT) / 255.0 * (bl.his[i] - bl.los[i])
+       |       END - CAST(q.qv[i] AS DOUBLE))
+       |      * (CASE WHEN bl.his[i] - bl.los[i] = 0.0 THEN bl.los[i]
+       |            ELSE bl.los[i] + CAST(floor(least(greatest(
+       |                   (CAST(e.embedding[i] AS DOUBLE) - bl.los[i]) / (bl.his[i] - bl.los[i]),
+       |                   0.0), 1.0) * 255.0) AS INT) / 255.0 * (bl.his[i] - bl.los[i])
+       |       END - CAST(q.qv[i] AS DOUBLE)))) AS d
+       |  FROM embeddings e, bl, q)
+       |SELECT vec_id, round(d, 3) AS dist FROM scored
+       |ORDER BY d, vec_id LIMIT 10""".stripMargin
+
+  /** IVF-PQ over TRAINED cells oracle (mirror of [[qVectordbPq]]):
+    * trained-router probe selection ([[trainedCellsSql]]'s `c1`/`a1`)
+    * composed with the PQ init-codebook ADC pipeline (the same
+    * encode/rank CTEs as q_pq_knn, restricted to probed cells). */
+  private def pqTrainedOracleSql(qid: Long): String =
+    s"""WITH ms AS (SELECT unnest(range(0, 8)) AS m),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid),
+       |$trainedCellsSql,
+       |cd AS (SELECT c.cell, sum((c.m - CAST(q.qv[c.i] AS DOUBLE))^2) AS d
+       |       FROM c1 c, q GROUP BY c.cell),
+       |probes AS (SELECT cell FROM
+       |             (SELECT cell, row_number() OVER (ORDER BY d, cell) AS rn FROM cd)
+       |           WHERE rn <= 3),
+       |cw AS (SELECT e.vec_id AS j, ms.m,
+       |         list_transform(e.embedding[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
+       |       FROM embeddings e, ms WHERE e.vec_id < 16),
+       |sub AS (SELECT e.vec_id, ms.m,
+       |          list_transform(e.embedding[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
+       |        FROM embeddings e JOIN a1 ON a1.vec_id = e.vec_id
+       |        JOIN probes p ON a1.cell = p.cell, ms),
+       |dd AS (SELECT s.vec_id, s.m, c.j,
+       |         list_sum(list_transform(list_zip(c.v, s.v), p -> (p[1] - p[2])^2)) AS d
+       |       FROM sub s JOIN cw c ON s.m = c.m),
+       |code AS (SELECT vec_id, m, j FROM
+       |           (SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+       |            FROM dd) WHERE rn = 1),
+       |qsub AS (SELECT ms.m, list_transform(q.qv[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
+       |         FROM q, ms),
+       |dist AS (SELECT code.vec_id,
+       |           sum(list_sum(list_transform(list_zip(cw.v, qsub.v), p -> (p[1] - p[2])^2))) AS d
+       |         FROM code JOIN cw ON code.m = cw.m AND code.j = cw.j
+       |         JOIN qsub ON qsub.m = code.m
+       |         GROUP BY code.vec_id)
+       |SELECT vec_id, round(d, 3) AS dist FROM dist ORDER BY d, vec_id LIMIT 10""".stripMargin
+
   /** Routed search over the TRAINED cells: queries route to their 3
     * nearest trained centroids, brute force among vectors whose trained
     * cell is probed. */
@@ -1000,28 +1111,9 @@ object IndexQueries {
     QueryDef("q_ann_cells", qAnnCells, Some(
       """SELECT CAST(label AS INT) AS part, count(*) AS n_nodes
         |FROM embeddings GROUP BY 1 ORDER BY part""".stripMargin)),
-    QueryDef("q_quantized_knn", qQuantizedKnn, Some(
-      """WITH b AS (SELECT i AS pos, CAST(min(x) AS DOUBLE) AS lo, CAST(max(x) AS DOUBLE) AS hi
-        |           FROM (SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
-        |                 FROM embeddings) GROUP BY 1),
-        |bl AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM b),
-        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        |scored AS (
-        |  SELECT e.vec_id,
-        |    list_sum(list_transform(range(1, len(e.embedding) + 1), i ->
-        |      (CASE WHEN bl.his[i] - bl.los[i] = 0.0 THEN bl.los[i]
-        |            ELSE bl.los[i] + CAST(floor(least(greatest(
-        |                   (CAST(e.embedding[i] AS DOUBLE) - bl.los[i]) / (bl.his[i] - bl.los[i]),
-        |                   0.0), 1.0) * 255.0) AS INT) / 255.0 * (bl.his[i] - bl.los[i])
-        |       END - CAST(q.qv[i] AS DOUBLE))
-        |      * (CASE WHEN bl.his[i] - bl.los[i] = 0.0 THEN bl.los[i]
-        |            ELSE bl.los[i] + CAST(floor(least(greatest(
-        |                   (CAST(e.embedding[i] AS DOUBLE) - bl.los[i]) / (bl.his[i] - bl.los[i]),
-        |                   0.0), 1.0) * 255.0) AS INT) / 255.0 * (bl.his[i] - bl.los[i])
-        |       END - CAST(q.qv[i] AS DOUBLE)))) AS d
-        |  FROM embeddings e, bl, q)
-        |SELECT vec_id, round(d, 3) AS dist FROM scored
-        |ORDER BY d, vec_id LIMIT 10""".stripMargin)),
+    QueryDef("q_quantized_knn", qQuantizedKnn, Some(sqOracleSql(0))),
+    QueryDef("q_vectordb_pq", qVectordbPq, Some(pqTrainedOracleSql(53))),
+    QueryDef("q_vectordb_sq", qVectordbSq, Some(sqOracleSql(54))),
     QueryDef("q_pq_knn", qPqKnn, Some(
       """WITH ms AS (SELECT unnest(range(0, 8)) AS m),
         |cw AS (SELECT e.vec_id AS j, ms.m,
