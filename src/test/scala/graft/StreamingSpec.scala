@@ -26,6 +26,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
+  test("foreachBatch micro-batches drive incremental index maintenance (multi-trigger addBatch)") {
+    import org.apache.spark.sql.functions._
+    import graft.index.{HnswIndex, HnswParams}
+    val P = HnswParams(16, 32)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("part", col("label"))
+    val late = col("vec_id") % 2 === 1
+    var idx = HnswIndex.build(e.filter(!late), P)
+    // stage the late rows as 3 files -> maxFilesPerTrigger=1 yields 3
+    // REAL micro-batches, each one addBatch generation
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_spec_").toString
+    e.filter(late).select("vec_id", "embedding", "label")
+      .repartition(3, col("vec_id")).write.mode("overwrite").parquet(stage)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stream = spark.readStream.schema(spark.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (b.count() > 0) batches.incrementAndGet()
+        idx = HnswIndex.addBatch(idx, b.withColumn("part", col("label")), P)
+        idx = idx.persist()
+        idx.count()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches.get() >= 2,
+      s"expected multiple micro-batch generations, got ${batches.get()}")
+    assert(idx.count() == 500L, "streamed index must cover the full corpus")
+    // exhaustive-ef search over the streamed index == batch-built index
+    val full = HnswIndex.build(e, P)
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def top(ds: org.apache.spark.sql.Dataset[HnswIndex.IndexRow]) =
+      HnswIndex.search(ds, queries, k = 5, P, efSearch = 4096)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(top(idx) == top(full),
+      "stream-maintained index must serve identically to a batch build")
+  }
+
   test("hourly windowed counts over a stream (watermark + tumbling window)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
