@@ -34,11 +34,12 @@ object Bench {
     // timed window — the wait is instrumentation cost, not query cost.
     def drain(): Unit =
       try org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     // one untimed warmup pass: JVM/JIT + codegen compilation + parquet
     // footer caching are session costs, not per-query engine cost
     sorted.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).count()
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     val rowCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
     val shuffles = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
@@ -53,12 +54,20 @@ object Bench {
         shuffles(name) = (shufRead.get() - r0, shufWrite.get() - w0)
         Some(name -> dt)
       } catch {
-        case e: Throwable =>
+        // NonFatal only: a dying JVM (OOM, interrupt) must kill the
+        // bench loudly, not mask itself as one query's error and
+        // mis-attribute the next query's shuffle delta
+        case scala.util.control.NonFatal(e) =>
           errors(name) = e.getClass.getSimpleName
           None
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // STDOUT gets the COMPACT line (times at 3dp + errors only): the
+    // round-5/6 full line (rows + shuffle bytes) grew past what the
+    // driver capture keeps intact, truncating mid-record and losing the
+    // per-query times. The full detail still lands in the JSON file.
+    def fmt(d: Double): String = f"$d%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
@@ -69,16 +78,19 @@ object Bench {
     val shufW = shuffles.map { case (k, v) => s"\"" + k + "\":" + v._2 }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json =
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+        s""""errors":$errs,"sf":"$sfDir","detail":"/tmp/graft_bench.json"}"""
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,""" +
         s""""shuffle_read":$shufR,"shuffle_write":$shufW,"errors":$errs,"sf":"$sfDir"}"""
-    println(json)
-    // also persist the line: stdout can be lost to log truncation when
+    println(compact)
+    // persist the full line: stdout can be lost to log truncation when
     // the harness captures only a tail
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("/tmp/graft_bench.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }
