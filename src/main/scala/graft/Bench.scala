@@ -66,8 +66,14 @@ object Bench {
     // round-5/6 full line (rows + shuffle bytes) grew past what the
     // driver capture keeps intact, truncating mid-record and losing the
     // per-query times. The full detail still lands in the JSON file.
-    def fmt(d: Double): String = f"$d%.3f"
+    // Locale.ROOT: a non-dot-decimal default locale must not emit
+    // "0,123" into the JSON
+    def fmt(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    // the FULL file keeps raw doubles — sub-ms queries must not
+    // truncate to 0.000 in the line the scale sweep consumes
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
@@ -82,7 +88,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""errors":$errs,"sf":"$sfDir","detail":"/tmp/graft_bench.json"}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"rows":$rows,""" +
         s""""shuffle_read":$shufR,"shuffle_write":$shufW,"errors":$errs,"sf":"$sfDir"}"""
     println(compact)
     // persist the full line: stdout can be lost to log truncation when

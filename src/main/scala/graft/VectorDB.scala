@@ -419,8 +419,15 @@ final class VectorDB private (
     var result: DataFrame = null
     var widen = true
     while (widen) {
+      // the beam must be able to RETURN k+margin rows or the boundary
+      // check below is inert (an explicit efSearch below the fetch
+      // target caps the walk before rank k+margin can exist); widening
+      // the beam never loses recall, so raising ef to the fetch size
+      // is semantics-safe
+      val baseEf = filteredEf(k + margin, candidateFilter.isDefined)
+      val ef = if (baseEf > 0) math.max(baseEf, k + margin) else baseEf
       val pairs = HnswIndex.search(idx, qUnit, k + margin, params,
-          efSearch = filteredEf(k + margin, candidateFilter.isDefined),
+          efSearch = ef,
           router = ivfModel, nprobe = nprobe, candidateFilter = candidateFilter)
         .select(col("qid"), col("vector_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1)))

@@ -41,6 +41,19 @@ object HnswIndex {
     * through a rebuild under this name). */
   private val PayCol = "__pay"
 
+  /** The payload map for incoming rows: pack the named attribute
+    * columns, else pass a pre-packed [[PayCol]] through (rebuild
+    * paths), else empty. ONE definition — build and addBatch must pack
+    * identically or rebuilt cells would carry differently-shaped maps
+    * than fresh builds. */
+  private def payExpr(df: DataFrame, payloadCols: Seq[String]): org.apache.spark.sql.Column =
+    if (payloadCols.nonEmpty)
+      map_from_arrays(
+        array(payloadCols.map(lit): _*),
+        array(payloadCols.map(c => col(c).cast("string")): _*))
+    else if (df.columns.contains(PayCol)) col(PayCol)
+    else typedLit(Map.empty[String, String])
+
   def build(
       df: DataFrame,
       params: HnswParams = HnswParams(),
@@ -51,20 +64,11 @@ object HnswIndex {
     val spark = df.sparkSession
     import spark.implicits._
     val mL = params.mL
-    // payload: pack the named attribute columns into the row's map; a
-    // pre-packed __pay column (rebuild paths) passes through as-is
-    val payExpr =
-      if (payloadCols.nonEmpty)
-        map_from_arrays(
-          array(payloadCols.map(lit): _*),
-          array(payloadCols.map(c => col(c).cast("string")): _*))
-      else if (df.columns.contains(PayCol)) col(PayCol)
-      else typedLit(Map.empty[String, String])
     df.select(
         col(partCol).cast("int").as("part"),
         col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vec"),
-        payExpr.as("pay"))
+        payExpr(df, payloadCols).as("pay"))
       .repartition(col("part"))
       .sortWithinPartitions("part", "id")
       .as[(Int, Long, Array[Float], Map[String, String])]
@@ -219,13 +223,7 @@ object HnswIndex {
     // payload for the arriving rows: pack from payloadCols, or pass a
     // pre-packed __pay through (compact's moved rows); existing rows
     // keep their built payload either way
-    val newPay =
-      if (payloadCols.nonEmpty)
-        map_from_arrays(
-          array(payloadCols.map(lit): _*),
-          array(payloadCols.map(c => col(c).cast("string")): _*))
-      else if (additions.columns.contains(PayCol)) col(PayCol)
-      else typedLit(Map.empty[String, String])
+    val newPay = payExpr(additions, payloadCols)
     val newRows = additions.select(
       col(partCol).cast("int").as("part"),
       col(idCol).cast("long").as("id"),

@@ -1003,26 +1003,20 @@ object IndexQueries {
        |SELECT vec_id, round(d, 3) AS dist FROM scored
        |ORDER BY d, vec_id LIMIT 10""".stripMargin
 
-  /** IVF-PQ over TRAINED cells oracle (mirror of [[qVectordbPq]]):
-    * trained-router probe selection ([[trainedCellsSql]]'s `c1`/`a1`)
-    * composed with the PQ init-codebook ADC pipeline (the same
-    * encode/rank CTEs as q_pq_knn, restricted to probed cells). */
-  private def pqTrainedOracleSql(qid: Long): String =
-    s"""WITH ms AS (SELECT unnest(range(0, 8)) AS m),
-       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid),
-       |$trainedCellsSql,
-       |cd AS (SELECT c.cell, sum((c.m - CAST(q.qv[c.i] AS DOUBLE))^2) AS d
-       |       FROM c1 c, q GROUP BY c.cell),
-       |probes AS (SELECT cell FROM
-       |             (SELECT cell, row_number() OVER (ORDER BY d, cell) AS rn FROM cd)
-       |           WHERE rn <= 3),
-       |cw AS (SELECT e.vec_id AS j, ms.m,
+  /** PQ init-codebook ADC pipeline (encode candidates, rank by
+    * asymmetric distance, top-10): `subFrom` supplies the FROM/JOIN
+    * clause selecting the candidate rows `e`. ONE definition for every
+    * PQ gate (q_pq_knn = whole corpus, q_ann_ivfpq = label probes,
+    * q_vectordb_pq = trained-cell probes) — the repo's
+    * shared-oracle-fragment rule. Expects `ms` (subspace ordinals) and
+    * `q` (the query) to be in scope. */
+  private def pqAdcSql(subFrom: String): String =
+    s"""cw AS (SELECT e.vec_id AS j, ms.m,
        |         list_transform(e.embedding[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
        |       FROM embeddings e, ms WHERE e.vec_id < 16),
        |sub AS (SELECT e.vec_id, ms.m,
        |          list_transform(e.embedding[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
-       |        FROM embeddings e JOIN a1 ON a1.vec_id = e.vec_id
-       |        JOIN probes p ON a1.cell = p.cell, ms),
+       |        FROM $subFrom, ms),
        |dd AS (SELECT s.vec_id, s.m, c.j,
        |         list_sum(list_transform(list_zip(c.v, s.v), p -> (p[1] - p[2])^2)) AS d
        |       FROM sub s JOIN cw c ON s.m = c.m),
@@ -1037,6 +1031,20 @@ object IndexQueries {
        |         JOIN qsub ON qsub.m = code.m
        |         GROUP BY code.vec_id)
        |SELECT vec_id, round(d, 3) AS dist FROM dist ORDER BY d, vec_id LIMIT 10""".stripMargin
+
+  /** IVF-PQ over TRAINED cells oracle (mirror of [[qVectordbPq]]):
+    * trained-router probe selection ([[trainedCellsSql]]'s `c1`/`a1`)
+    * composed with [[pqAdcSql]] restricted to probed cells. */
+  private def pqTrainedOracleSql(qid: Long): String =
+    s"""WITH ms AS (SELECT unnest(range(0, 8)) AS m),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid),
+       |$trainedCellsSql,
+       |cd AS (SELECT c.cell, sum((c.m - CAST(q.qv[c.i] AS DOUBLE))^2) AS d
+       |       FROM c1 c, q GROUP BY c.cell),
+       |probes AS (SELECT cell FROM
+       |             (SELECT cell, row_number() OVER (ORDER BY d, cell) AS rn FROM cd)
+       |           WHERE rn <= 3),
+       |${pqAdcSql("embeddings e JOIN a1 ON a1.vec_id = e.vec_id JOIN probes p ON a1.cell = p.cell")}""".stripMargin
 
   /** Routed search over the TRAINED cells: queries route to their 3
     * nearest trained centroids, brute force among vectors whose trained
@@ -1182,53 +1190,15 @@ object IndexQueries {
     QueryDef("q_vectordb_pq", qVectordbPq, Some(pqTrainedOracleSql(53))),
     QueryDef("q_vectordb_sq", qVectordbSq, Some(sqOracleSql(54))),
     QueryDef("q_pq_knn", qPqKnn, Some(
-      """WITH ms AS (SELECT unnest(range(0, 8)) AS m),
-        |cw AS (SELECT e.vec_id AS j, ms.m,
-        |         list_transform(e.embedding[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
-        |       FROM embeddings e, ms WHERE e.vec_id < 16),
-        |sub AS (SELECT e.vec_id, ms.m,
-        |          list_transform(e.embedding[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
-        |        FROM embeddings e, ms),
-        |dd AS (SELECT s.vec_id, s.m, c.j,
-        |         list_sum(list_transform(list_zip(c.v, s.v), p -> (p[1] - p[2])^2)) AS d
-        |       FROM sub s JOIN cw c ON s.m = c.m),
-        |code AS (SELECT vec_id, m, j FROM
-        |           (SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
-        |            FROM dd) WHERE rn = 1),
-        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        |qsub AS (SELECT ms.m, list_transform(q.qv[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
-        |         FROM q, ms),
-        |dist AS (SELECT code.vec_id,
-        |           sum(list_sum(list_transform(list_zip(cw.v, qsub.v), p -> (p[1] - p[2])^2))) AS d
-        |         FROM code JOIN cw ON code.m = cw.m AND code.j = cw.j
-        |         JOIN qsub ON qsub.m = code.m
-        |         GROUP BY code.vec_id)
-        |SELECT vec_id, round(d, 3) AS dist FROM dist ORDER BY d, vec_id LIMIT 10""".stripMargin)),
+      s"""WITH ms AS (SELECT unnest(range(0, 8)) AS m),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |${pqAdcSql("embeddings e")}""".stripMargin)),
     QueryDef("q_ann_ivfpq", qAnnIvfPq, Some(
       s"""WITH ms AS (SELECT unnest(range(0, 8)) AS m),
-        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 12),
-        |$centSql,
-        |$probesSingleSql,
-        |cw AS (SELECT e.vec_id AS j, ms.m,
-        |         list_transform(e.embedding[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
-        |       FROM embeddings e, ms WHERE e.vec_id < 16),
-        |sub AS (SELECT e.vec_id, ms.m,
-        |          list_transform(e.embedding[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
-        |        FROM embeddings e JOIN probes USING (label), ms),
-        |dd AS (SELECT s.vec_id, s.m, c.j,
-        |         list_sum(list_transform(list_zip(c.v, s.v), p -> (p[1] - p[2])^2)) AS d
-        |       FROM sub s JOIN cw c ON s.m = c.m),
-        |code AS (SELECT vec_id, m, j FROM
-        |           (SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
-        |            FROM dd) WHERE rn = 1),
-        |qsub AS (SELECT ms.m, list_transform(q.qv[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
-        |         FROM q, ms),
-        |dist AS (SELECT code.vec_id,
-        |           sum(list_sum(list_transform(list_zip(cw.v, qsub.v), p -> (p[1] - p[2])^2))) AS d
-        |         FROM code JOIN cw ON code.m = cw.m AND code.j = cw.j
-        |         JOIN qsub ON qsub.m = code.m
-        |         GROUP BY code.vec_id)
-        |SELECT vec_id, round(d, 3) AS dist FROM dist ORDER BY d, vec_id LIMIT 10""".stripMargin)),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 12),
+         |$centSql,
+         |$probesSingleSql,
+         |${pqAdcSql("embeddings e JOIN probes USING (label)")}""".stripMargin)),
     QueryDef("q_build_range", qBuildRange, Some(
       """SELECT CAST(label AS INT) AS part, count(*) AS n_nodes,
         |  min(vec_id) AS min_id, max(vec_id) AS max_id

@@ -129,10 +129,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan(IndexQueries.qAnnFilteredMeta(spark, sfDir))
     val ex = p.indexOf("Exchange hashpartitioning(part")
     assert(ex >= 0, s"expected the index repartition exchange:\n$p")
-    // the payload-map lookup must be computed where the index rows
-    // live (below the exchange), not post-hoc on shuffled hits
-    assert(p.indexOf("payload", ex) > ex,
+    // the payload-map LOOKUP (element_at) must be computed where the
+    // index rows live (below the exchange), not post-hoc on shuffled
+    // hits — matching the column name "payload" would be vacuous (the
+    // scan prints it in its schema wherever the filter sits), so match
+    // the lookup function itself
+    assert(p.indexOf("element_at", ex) > ex,
       s"payload attribute predicate must be computed in the scan stage:\n$p")
+    assert(p.lastIndexOf("element_at", ex) < 0,
+      s"payload lookup leaked above the part exchange:\n$p")
   }
 
   test("removeBatch isolates dirty cells via broadcast semi/anti joins (no corpus shuffle)") {
