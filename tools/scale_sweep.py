@@ -46,6 +46,8 @@ EMB_QUERIES = {
     "q_quantized_knn", "q_pq_knn", "q_dedup_emblsh", "q_dedup_embcos",
     "q_dedup_embcos2", "q_vectordb_search", "q_vectordb_add",
     "q_vectordb_remove", "q_vectordb_cosine", "q_vectordb_filtered",
+    "q_ann_filtered_meta", "q_stream_index", "q_vectordb_batch",
+    "q_vectordb_persisted", "q_vectordb_pq", "q_vectordb_sq",
 }
 
 
