@@ -57,6 +57,10 @@ final class VectorDB private (
     * index): the encoded-codes table plus the model that decodes it. */
   private var pqState: Option[(DataFrame, ProductQuantizer.Model)] = None
   private var sqState: Option[(DataFrame, Seq[Double], Seq[Double])] = None
+  /** Attribute columns packed into index-row payloads at the last
+    * build — the exact arm packs the same map on the fly so
+    * [[searchWhere]] predicates mean the same thing on both arms. */
+  private var servedPayloadCols: Seq[String] = Nil
   private var indexMetric: String = Knn.L2
   /** The metric the USER chose, surviving index loss: add/remove return
     * index-less handles, and without this a handle built with
@@ -75,6 +79,13 @@ final class VectorDB private (
     * search exhaustive within probed cells (ANN ≡ exact — what the
     * oracle-gated query does). */
   var efSearch: Int = -1
+
+  /** Adaptive probe cutoff ([[IvfIndex.Model.probeAdaptive]]): when
+    * set, routed search probes cells closest-first but stops past
+    * `alpha ×` the nearest cell's centroid distance (max [[nprobe]]) —
+    * in-cluster queries touch fewer cells at equal recall. None =
+    * fixed [[nprobe]]. */
+  var adaptiveAlpha: Option[Double] = None
 
   /** Eagerly enforce the dimension rule — the reference's open/ingest
     * semantics (`src/lib.rs:62-72`, error at open/add): one
@@ -96,7 +107,8 @@ final class VectorDB private (
     * `numParts` IVF-style cells by id hash unless a partition column is
     * supplied upstream. */
   def buildIndex(startId: Long = Long.MinValue, endId: Long = Long.MaxValue,
-      numParts: Int = 16, partCol: Option[String] = None): Dataset[HnswIndex.IndexRow] = {
+      numParts: Int = 16, partCol: Option[String] = None,
+      payloadCols: Seq[String] = Nil): Dataset[HnswIndex.IndexRow] = {
     val ranged = vectors.filter(col(idCol) >= startId && col(idCol) < endId)
     val parted = partCol match {
       case Some(c) => ranged.withColumn("part", col(c).cast("int"))
@@ -104,9 +116,10 @@ final class VectorDB private (
     }
     // persist: the handle serves many searches over one build — without
     // this every query re-executes the whole graph construction lineage
-    val built = HnswIndex.build(parted, params, idCol, vecCol, "part")
+    val built = HnswIndex.build(parted, params, idCol, vecCol, "part", payloadCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     index = Some(built)
+    servedPayloadCols = payloadCols
     // a plain rebuild replaces whatever was there: clear the IVF router
     // and reset the metric, or search() would dispatch to the cosine
     // arm (and route through a stale unit-space model) against an L2
@@ -131,16 +144,18 @@ final class VectorDB private (
     * graph, and re-scores its over-fetched top-k with the exact double
     * cosine on the raw vectors. */
   def buildIndexIvf(numCells: Int = 16, iters: Int = 5,
-      metric: String = Knn.L2): Dataset[HnswIndex.IndexRow] = {
+      metric: String = Knn.L2,
+      payloadCols: Seq[String] = Nil): Dataset[HnswIndex.IndexRow] = {
     val src =
       if (metric == Knn.Cosine) vectors.withColumn(vecCol, l2Normalize(col(vecCol)))
       else vectors
     val model = IvfIndex.train(src, numCells, iters, idCol, vecCol)
     val parted = IvfIndex.assign(src, model, idCol, vecCol)
       .withColumn("part", col("cell"))
-    val built = HnswIndex.build(parted, params, idCol, vecCol, "part")
+    val built = HnswIndex.build(parted, params, idCol, vecCol, "part", payloadCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     index = Some(built)
+    servedPayloadCols = payloadCols
     ivfModel = Some(model)
     indexMetric = metric
     intendedMetric = metric
@@ -225,7 +240,13 @@ final class VectorDB private (
   private def tuned(db: VectorDB): VectorDB = {
     db.nprobe = nprobe
     db.efSearch = efSearch
+    db.adaptiveAlpha = adaptiveAlpha
     db.intendedMetric = intendedMetric
+    // remove-derived handles keep every corpus column, so exact-arm
+    // searchWhere can still pack the declared payload attributes
+    // (add-derived handles keep only id+vec — a payload predicate
+    // there fails analysis loudly rather than matching nothing)
+    db.servedPayloadCols = servedPayloadCols
     db
   }
 
@@ -245,7 +266,21 @@ final class VectorDB private (
     * set [[efSearch]] explicitly for sparser predicates. */
   def searchFiltered(queryVec: Seq[Float], k: Int,
       idPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
-    searchImpl(queryVec, k, Some(idPred))
+    searchImpl(queryVec, k, Some(idPred(col("vector_id"))))
+
+  /** Attribute-filtered top-k: `pred` is a boolean Column over the
+    * served row — `vector_id` plus the `payload` attribute map packed
+    * at build from `buildIndex*`'s `payloadCols` (e.g.
+    * `element_at(col("payload"), "label") === "news"`). On the ANN arm
+    * the predicate is evaluated in the index-scan stage
+    * ([[HnswIndex.search]]'s `candidateFilter`); on the exact arm the
+    * SAME payload map is packed on the fly from the build-time
+    * columns, so a predicate means the same thing on both arms.
+    * Compressed (PQ/SQ) serving supports `vector_id` predicates only —
+    * codes carry no payload. */
+  def searchWhere(queryVec: Seq[Float], k: Int,
+      pred: org.apache.spark.sql.Column): DataFrame =
+    searchImpl(queryVec, k, Some(pred))
 
   /** Batch top-k — the amortized serving shape (the reference loops
     * point queries, `/root/reference/benchmark.py:26-33`, paying per-
@@ -266,7 +301,7 @@ final class VectorDB private (
         cosineServe(idx, q, k, None)
       case Some(idx) =>
         HnswIndex.search(idx, q, k, params, efSearch = efSearch,
-          router = ivfModel, nprobe = nprobe)
+          router = ivfModel, nprobe = nprobe, adaptiveAlpha = routedAlpha)
           .select(col("qid"), col("rank"), col("vector_id").as(idCol), col("dist"))
       case None =>
         Knn.knnJoin(vectors, q, k, idCol, vecCol, "qid", "qv", metric = intendedMetric)
@@ -313,14 +348,37 @@ final class VectorDB private (
         col("hit._2").as(idCol), col("hit._1").as("dist"))
   }
 
+  /** The payload map for the EXACT arm, packed on the fly from the
+    * build-time payload columns — identical shape to the map the index
+    * rows carry, so [[searchWhere]] predicates are arm-agnostic. */
+  private def exactPayExpr: org.apache.spark.sql.Column =
+    if (servedPayloadCols.nonEmpty)
+      map_from_arrays(
+        array(servedPayloadCols.map(lit): _*),
+        array(servedPayloadCols.map(c => col(c).cast("string")): _*))
+    else typedLit(Map.empty[String, String])
+
+  /** True if `pred` references the payload column (compressed codes
+    * can't serve those — they carry no payload). Spark 4 Columns are
+    * ColumnNode-backed (the catalyst tree only materializes inside a
+    * session), so the check reads the column's rendering — a
+    * word-bounded match keeps `payload_x` attributes out. */
+  private def referencesPayload(pred: org.apache.spark.sql.Column): Boolean =
+    "\\bpayload\\b".r.findFirstIn(pred.toString).isDefined
+
   private def searchImpl(queryVec: Seq[Float], k: Int,
-      idPred: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column]): DataFrame =
+      pred: Option[org.apache.spark.sql.Column]): DataFrame =
     if (pqState.isDefined || sqState.isDefined) {
+      if (pred.exists(referencesPayload))
+        throw new IllegalStateException(
+          "payload predicates require an HNSW index or exact serving — compressed codes carry no payload")
       val router = ivfModel.getOrElse(throw new IllegalStateException(
         "compressed serving requires the trained router"))
       val probes = router.probeOrder(queryVec.toArray).take(nprobe).toSeq
       val probed = codesTable.filter(col("cell").isin(probes: _*))
-      val base = idPred.map(p => probed.filter(p(col(idCol)))).getOrElse(probed)
+      val base = pred
+        .map(p => probed.withColumn("vector_id", col(idCol)).filter(p))
+        .getOrElse(probed)
       base.select(col(idCol), adcDist(vecLit(queryVec)).as("dist"))
         .orderBy(col("dist").asc, col(idCol).asc)
         .limit(k)
@@ -329,7 +387,7 @@ final class VectorDB private (
         val spark = vectors.sparkSession
         val q = spark.range(1).select(lit(0L).as("qid"),
           typedLit(queryVec).cast("array<float>").as("qv"))
-        cosineServe(idx, q, k, idPred.map(p => p(col("vector_id"))))
+        cosineServe(idx, q, k, pred)
           .select(col(idCol), col("dist"))
           .orderBy(col("dist").asc, col(idCol).asc)
       case Some(idx) =>
@@ -337,12 +395,16 @@ final class VectorDB private (
         val q = spark.range(1).select(lit(0L).as("qid"), typedLit(queryVec).cast("array<float>").as("qv"))
         // every arm serves the id under idCol — a caller must not have
         // to know which dispatch arm answered
-        HnswIndex.search(idx, q, k, params, efSearch = filteredEf(k, idPred.isDefined),
-          router = ivfModel, nprobe = nprobe,
-          candidateFilter = idPred.map(p => p(col("vector_id"))))
+        HnswIndex.search(idx, q, k, params, efSearch = filteredEf(k, pred.isDefined),
+          router = ivfModel, nprobe = nprobe, adaptiveAlpha = routedAlpha,
+          candidateFilter = pred)
           .select(col("vector_id").as(idCol), col("dist"))
       case None =>
-        val base = idPred.map(p => vectors.filter(p(col(idCol)))).getOrElse(vectors)
+        val base = pred.map { p =>
+          vectors.withColumn("vector_id", col(idCol))
+            .withColumn("payload", exactPayExpr)
+            .filter(p)
+        }.getOrElse(vectors)
         Knn.searchKnn(base, queryVec, k, idCol, vecCol, metric = intendedMetric)
     }
 
@@ -357,11 +419,29 @@ final class VectorDB private (
     * materialize their corpus under `path/corpus` — the one case where
     * a corpus-scale write is the point of the call). */
   def save(path: String): Unit = {
-    val idx = index.getOrElse(throw new IllegalStateException(
-      "save requires a built index — call buildIndex/buildIndexIvf first"))
+    if (index.isEmpty && pqState.isEmpty && sqState.isEmpty)
+      throw new IllegalStateException(
+        "save requires a built index — call buildIndex/buildIndexIvf/buildIndexPq/buildIndexSq first")
     val spark = raw.sparkSession
     import spark.implicits._
-    HnswIndex.save(idx, s"$path/index")
+    index.foreach(idx => HnswIndex.save(idx, s"$path/index"))
+    // compressed serving state: the codes table persists CELL-
+    // PARTITIONED (probe pruning applies to the restored layout too)
+    // plus the model that decodes it
+    pqState.foreach { case (codes, model) =>
+      codes.write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+      val rows = for {
+        m <- model.codebooks.indices
+        j <- model.codebooks(m).indices
+      } yield (m, j, model.codebooks(m)(j).toSeq)
+      rows.toDF("m", "j", "v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
+    }
+    sqState.foreach { case (codes, lo, hi) =>
+      codes.write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+      lo.indices.map(i => (i, lo(i), hi(i))).toDF("pos", "lo", "hi")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/sq")
+    }
     ivfModel.foreach { m =>
       m.centroids.indices
         .map(i => (i, m.cellId(i), m.centroids(i).toSeq))
@@ -372,11 +452,16 @@ final class VectorDB private (
       raw.write.mode("overwrite").parquet(s"$path/corpus")
       s"$path/corpus"
     }
+    val compressed =
+      if (pqState.isDefined) "pq" else if (sqState.isDefined) "sq" else "none"
     val meta = Seq(
       s"dims=$dims", s"metric=$indexMetric", s"intendedMetric=$intendedMetric",
       s"nprobe=$nprobe", s"efSearch=$efSearch",
       s"m=${params.m}", s"efConstruction=${params.efConstruction}",
       s"idCol=$idCol", s"vecCol=$vecCol", s"corpus=$corpusRef",
+      s"hasIndex=${index.isDefined}", s"compressed=$compressed",
+      s"payloadCols=${servedPayloadCols.mkString(",")}",
+      s"adaptiveAlpha=${adaptiveAlpha.map(_.toString).getOrElse("")}",
       s"hasRouter=${ivfModel.isDefined}").mkString("", "\n", "\n")
     val p = new org.apache.hadoop.fs.Path(path, "graft_meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -384,6 +469,11 @@ final class VectorDB private (
     try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
+
+  /** [[adaptiveAlpha]] applies only to ROUTED search (HnswIndex.search
+    * requires a router with it). */
+  private def routedAlpha: Option[Double] =
+    if (ivfModel.isDefined) adaptiveAlpha else None
 
   /** Default beam width, widened under a candidate filter: filtered-out
     * rows still occupy beam slots, so the unfiltered default
@@ -428,7 +518,8 @@ final class VectorDB private (
       val ef = if (baseEf > 0) math.max(baseEf, k + margin) else baseEf
       val pairs = HnswIndex.search(idx, qUnit, k + margin, params,
           efSearch = ef,
-          router = ivfModel, nprobe = nprobe, candidateFilter = candidateFilter)
+          router = ivfModel, nprobe = nprobe, adaptiveAlpha = routedAlpha,
+          candidateFilter = candidateFilter)
         .select(col("qid"), col("vector_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
       val hits = pairs.toSeq.toDF("qid", idCol)
@@ -498,7 +589,32 @@ object VectorDB {
     val db = new VectorDB(spark.read.parquet(meta("corpus")), meta("dims").toInt,
       params, meta("idCol"), meta("vecCol"))
     db.sourcePath = Some(meta("corpus"))
-    db.index = Some(HnswIndex.load(spark, s"$path/index"))
+    // pre-r7 manifests have no hasIndex/compressed keys (HNSW always)
+    if (meta.getOrElse("hasIndex", "true").toBoolean)
+      db.index = Some(HnswIndex.load(spark, s"$path/index"))
+    db.servedPayloadCols =
+      meta.getOrElse("payloadCols", "").split(",").filter(_.nonEmpty).toSeq
+    meta.getOrElse("compressed", "none") match {
+      case "pq" =>
+        val codes = spark.read.parquet(s"$path/codes")
+          .select(col(meta("idCol")), col("cell").cast("int").as("cell"), col("codes"))
+        val rows = spark.read.parquet(s"$path/pq")
+          .select(col("m").cast("int"), col("j").cast("int"),
+            col("v").cast("array<double>"))
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        val books = rows.groupBy(_._1).toArray.sortBy(_._1)
+          .map { case (_, js) => js.sortBy(_._2).map(_._3) }
+        db.pqState = Some((codes, ProductQuantizer.Model(books)))
+      case "sq" =>
+        val codes = spark.read.parquet(s"$path/codes")
+          .select(col(meta("idCol")), col("cell").cast("int").as("cell"), col("codes"))
+        val rows = spark.read.parquet(s"$path/sq")
+          .select(col("pos").cast("int"), col("lo"), col("hi"))
+          .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+          .sortBy(_._1)
+        db.sqState = Some((codes, rows.map(_._2).toSeq, rows.map(_._3).toSeq))
+      case _ => ()
+    }
     if (meta("hasRouter").toBoolean) {
       val rows = spark.read.parquet(s"$path/router")
         .select(col("ord").cast("int"), col("cell").cast("int"),
@@ -515,6 +631,7 @@ object VectorDB {
     db.intendedMetric = meta("intendedMetric")
     db.nprobe = meta("nprobe").toInt
     db.efSearch = meta("efSearch").toInt
+    db.adaptiveAlpha = meta.get("adaptiveAlpha").filter(_.nonEmpty).map(_.toDouble)
     db
   }
 }

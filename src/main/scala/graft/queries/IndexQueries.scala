@@ -744,6 +744,36 @@ object IndexQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Payload-carrying L2 handle: trained IVF cells with the fixture's
+    * `label` packed as a payload attribute, every cell probed at
+    * exhaustive ef — so attribute-filtered serving ≡ attribute-filtered
+    * global brute force. */
+  private val vdbMetaMemo = new SessionMemo[graft.VectorDB]
+  private def vdbMetaHandle(s: SparkSession, dir: String) =
+    vdbMetaMemo.get(s, dir) {
+      val db = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
+      val built = db.buildIndexIvf(numCells = 16, iters = 1,
+        payloadCols = Seq("label"))
+      db.efSearch = exhaustiveEf(s, dir, "vdb_meta")(built)
+      db.nprobe = 16
+      db
+    }
+
+  /** Gate on the public `VectorDB.searchWhere` surface (the handle
+    * mirror of q_ann_filtered_meta): the predicate reads the `label`
+    * attribute from the payload map the build packed — a REAL
+    * attribute filter through the public API, equal to label-filtered
+    * brute force with all cells probed. */
+  def qVectordbMeta(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 59L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbMetaHandle(s, dir)
+      .searchWhere(qv, k = 5, element_at(col("payload"), "label").cast("int") <= 4)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
   /** Gate on the public `VectorDB.searchBatch` surface — the amortized
     * serving shape (one job per BATCH, not per query; the reference
     * loops point queries, `/root/reference/benchmark.py:26-33`, and
@@ -803,6 +833,67 @@ object IndexQueries {
     val qv = e.filter(col("vec_id") === 53L)
       .select(col("embedding")).head().getSeq[Float](0)
     vdbPqHandle(s, dir).search(qv, k = 10)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
+  /** PQ handle saved + reloaded: the codes table round-trips CELL-
+    * PARTITIONED (probe pruning holds on the restored layout), the
+    * codebooks and router reload from their model parquets, and the
+    * LOADED handle's routed ADC answer must equal the same composed
+    * oracle as [[qVectordbPq]] — decisive on every persisted piece. */
+  private val vdbPqPersistMemo = new SessionMemo[graft.VectorDB]
+  private def vdbPqPersistedHandle(s: SparkSession, dir: String) =
+    vdbPqPersistMemo.get(s, dir) {
+      val db = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
+      db.buildIndexPq(numCells = 16, routerIters = 1, numSub = 8,
+        codebookK = 16, pqIters = 0)
+      db.nprobe = 3
+      val p = java.nio.file.Files.createTempDirectory("graft_vdb_pq_")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+      db.save(p.toString)
+      graft.VectorDB.load(s, p.toString)
+    }
+
+  /** Gate on compressed-state persistence: save → load → ADC search
+    * through the restored codes + codebooks + router. */
+  def qVectordbPqPersisted(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 60L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbPqPersistedHandle(s, dir).search(qv, k = 10)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
+  /** Adaptive handle: trained cells, exhaustive ef, nprobe = 3 with
+    * the diminishing-returns cutoff alpha = 2 — the handle mirror of
+    * q_ann_adaptive on the TRAINED layout. */
+  private val vdbAdaptMemo = new SessionMemo[graft.VectorDB]
+  private def vdbAdaptiveHandle(s: SparkSession, dir: String) =
+    vdbAdaptMemo.get(s, dir) {
+      val db = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
+      val built = db.buildIndexIvf(numCells = 16, iters = 1)
+      db.efSearch = exhaustiveEf(s, dir, "vdb_adapt")(built)
+      db.nprobe = 3
+      db.adaptiveAlpha = Some(2.0)
+      db
+    }
+
+  /** Gate on the public adaptive-probing knob: probes = trained cells
+    * closest-first, cut past 2× the nearest centroid distance (max 3),
+    * exhaustive ef ⇒ ≡ brute force within the adaptively-probed cells
+    * — the oracle replays the identical cutoff over the trained
+    * centroids. */
+  def qVectordbAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 61L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbAdaptiveHandle(s, dir).search(qv, k = 5)
       .orderBy(col("dist").asc, col("vec_id").asc)
       .select(col("vec_id"), round(col("dist"), 3).as("dist"))
   }
@@ -1152,6 +1243,12 @@ object IndexQueries {
          |      UNION ALL
          |      SELECT 'exact' AS mode, vec_id, d FROM exranked WHERE rnk <= 5)
          |SELECT mode, vec_id, round(d, 3) AS dist FROM u ORDER BY mode, d, vec_id""".stripMargin)),
+    QueryDef("q_vectordb_meta", qVectordbMeta, Some(
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 59)
+         |SELECT e.vec_id, round(${VectorQueries.l2Sql("e.embedding", "q.qv")}, 3) AS dist
+         |FROM embeddings e CROSS JOIN q
+         |WHERE e.label <= 4
+         |ORDER BY ${VectorQueries.l2Sql("e.embedding", "q.qv")}, e.vec_id LIMIT 5""".stripMargin)),
     QueryDef("q_vectordb_persisted", qVectordbPersisted,
       Some(trainedOracleSql("vec_id >= 45 AND vec_id < 49"))),
     QueryDef("q_vectordb_batch", qVectordbBatch, Some(
@@ -1189,6 +1286,21 @@ object IndexQueries {
     QueryDef("q_quantized_knn", qQuantizedKnn, Some(sqOracleSql(0))),
     QueryDef("q_vectordb_pq", qVectordbPq, Some(pqTrainedOracleSql(53))),
     QueryDef("q_vectordb_sq", qVectordbSq, Some(sqOracleSql(54))),
+    QueryDef("q_vectordb_pq_persisted", qVectordbPqPersisted,
+      Some(pqTrainedOracleSql(60))),
+    QueryDef("q_vectordb_adaptive", qVectordbAdaptive, Some(
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 61),
+         |$trainedCellsSql,
+         |cd AS (SELECT c.cell, sum((c.m - CAST(q.qv[c.i] AS DOUBLE))^2) AS d
+         |       FROM c1 c, q GROUP BY c.cell),
+         |rcd AS (SELECT cell, d, row_number() OVER (ORDER BY d, cell) AS rn,
+         |               min(d) OVER () AS d0
+         |        FROM cd),
+         |probes AS (SELECT cell FROM rcd WHERE rn <= 3 AND d <= d0 * 2.0)
+         |SELECT e.vec_id, round(${VectorQueries.l2Sql("e.embedding", "q.qv")}, 3) AS dist
+         |FROM embeddings e JOIN a1 ON a1.vec_id = e.vec_id
+         |JOIN probes p ON a1.cell = p.cell CROSS JOIN q
+         |ORDER BY ${VectorQueries.l2Sql("e.embedding", "q.qv")}, e.vec_id LIMIT 5""".stripMargin)),
     QueryDef("q_pq_knn", qPqKnn, Some(
       s"""WITH ms AS (SELECT unnest(range(0, 8)) AS m),
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

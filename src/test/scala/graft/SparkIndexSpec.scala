@@ -207,6 +207,34 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cAfter == cBefore, "cosine serving must survive the restart")
   }
 
+  test("searchWhere filters on payload attributes through ANN, exact, and compressed arms") {
+    import org.apache.spark.sql.functions.element_at
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    db.buildIndexIvf(numCells = 4, iters = 1, payloadCols = Seq("label"))
+    db.efSearch = 4096
+    db.nprobe = 4
+    val qv = Seq.tabulate(64)(i => (i % 5) / 10.0f)
+    val pred = element_at(col("payload"), "label").cast("int") === 2
+    val ann = db.searchWhere(qv, 5, pred).collect().map(_.getLong(0)).toSeq
+    assert(ann.nonEmpty)
+    val label2 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("label") === 2).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ann.forall(label2.contains), s"a wrong-label row surfaced: $ann")
+    // exact arm (remove-derived handle keeps corpus columns + declared
+    // payload): same predicate, same meaning
+    val removed = db.remove(spark.range(1).select(lit(-1L).as("vec_id"))) // no-op removal
+    val exact = removed.searchWhere(qv, 5, pred).collect().map(_.getLong(0)).toSeq
+    assert(exact == ann,
+      s"exact-arm payload filtering must equal ANN at exhaustive ef:\n$ann\nvs\n$exact")
+    // compressed serving: id predicates work, payload predicates reject
+    val cdb = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    cdb.buildIndexSq(numCells = 4, routerIters = 1)
+    cdb.nprobe = 4
+    assert(cdb.searchWhere(qv, 5, col("vector_id") % 2 === 0)
+      .collect().forall(_.getLong(0) % 2 == 0))
+    intercept[IllegalStateException](cdb.searchWhere(qv, 5, pred))
+  }
+
   test("as-of join: null before first right row, same-instant right row matches") {
     import spark.implicits._
     import graft.operators.AsOfJoin
