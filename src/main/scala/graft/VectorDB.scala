@@ -292,19 +292,44 @@ final class VectorDB private (
     * rank 1-based ascending by distance. The query side is small by
     * contract (it broadcasts); the corpus/index side never collects. */
   def searchBatch(queries: DataFrame, k: Int,
-      qidCol: String = "qid", qvecCol: String = "qv"): DataFrame = {
+      qidCol: String = "qid", qvecCol: String = "qv"): DataFrame =
+    searchBatchImpl(queries, k, qidCol, qvecCol, None)
+
+  /** Attribute-filtered batch top-k — [[searchWhere]]'s predicate
+    * contract ([[searchBatch]]'s serving shape): one job answers the
+    * whole batch, serving only rows matching `pred` (a boolean Column
+    * over `vector_id` + the build-time `payload` map). */
+  def searchBatchWhere(queries: DataFrame, k: Int,
+      pred: org.apache.spark.sql.Column,
+      qidCol: String = "qid", qvecCol: String = "qv"): DataFrame =
+    searchBatchImpl(queries, k, qidCol, qvecCol, Some(pred))
+
+  private def searchBatchImpl(queries: DataFrame, k: Int,
+      qidCol: String, qvecCol: String,
+      pred: Option[org.apache.spark.sql.Column]): DataFrame = {
     val q = queries.select(
       col(qidCol).cast("long").as("qid"), col(qvecCol).cast("array<float>").as("qv"))
-    if (pqState.isDefined || sqState.isDefined) adcServeBatch(q, k)
-    else index match {
+    if (pqState.isDefined || sqState.isDefined) {
+      if (pred.exists(referencesPayload))
+        throw new IllegalStateException(
+          "payload predicates require an HNSW index or exact serving — compressed codes carry no payload")
+      adcServeBatch(q, k, pred)
+    } else index match {
       case Some(idx) if indexMetric == Knn.Cosine =>
-        cosineServe(idx, q, k, None)
+        cosineServe(idx, q, k, pred)
       case Some(idx) =>
-        HnswIndex.search(idx, q, k, params, efSearch = efSearch,
-          router = ivfModel, nprobe = nprobe, adaptiveAlpha = routedAlpha)
+        HnswIndex.search(idx, q, k, params,
+          efSearch = filteredEf(k, pred.isDefined),
+          router = ivfModel, nprobe = nprobe, adaptiveAlpha = routedAlpha,
+          candidateFilter = pred)
           .select(col("qid"), col("rank"), col("vector_id").as(idCol), col("dist"))
       case None =>
-        Knn.knnJoin(vectors, q, k, idCol, vecCol, "qid", "qv", metric = intendedMetric)
+        val base = pred.map { p =>
+          vectors.withColumn("vector_id", col(idCol))
+            .withColumn("payload", exactPayExpr)
+            .filter(p)
+        }.getOrElse(vectors)
+        Knn.knnJoin(base, q, k, idCol, vecCol, "qid", "qv", metric = intendedMetric)
     }
   }
 
@@ -325,7 +350,8 @@ final class VectorDB private (
     * of probed cells (prunable predicate), broadcast the per-qid probe
     * pairs + query vectors, rank by ADC with the bounded-heap top-k
     * (map-side partial — the shuffle carries O(q·k) rows). */
-  private def adcServeBatch(q: DataFrame, k: Int): DataFrame = {
+  private def adcServeBatch(q: DataFrame, k: Int,
+      pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val router = ivfModel.getOrElse(throw new IllegalStateException(
@@ -336,8 +362,10 @@ final class VectorDB private (
     }.toSeq
     val probesDF = probePairs.toDF("qid", "cell")
     val topk = TopK.topK(k)
-    codesTable
+    val scoped = codesTable
       .filter(col("cell").isin(probePairs.map(_._2).distinct: _*))
+    pred.map(p => scoped.withColumn("vector_id", col(idCol)).filter(p))
+      .getOrElse(scoped)
       .join(broadcast(probesDF), Seq("cell"))
       .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col(idCol), adcDist(col("qv")).as("dist"))

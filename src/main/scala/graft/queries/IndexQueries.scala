@@ -774,6 +774,22 @@ object IndexQueries {
       .select(col("vec_id"), round(col("dist"), 3).as("dist"))
   }
 
+  /** Gate on `VectorDB.searchBatchWhere` — the filtered BATCH serving
+    * shape (one job, many queries, attribute predicate): same payload
+    * handle as q_vectordb_meta, per-qid results must equal
+    * label-filtered brute force (all cells probed, exhaustive ef). */
+  def qVectordbBatchWhere(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") >= 62 && col("vec_id") < 65)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    vdbMetaHandle(s, dir)
+      .searchBatchWhere(queries, k = 5,
+        element_at(col("payload"), "label").cast("int") <= 4)
+      .select(col("qid"), col("rank").as("rnk"), col("vec_id"),
+        round(col("dist"), 3).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Gate on the public `VectorDB.searchBatch` surface — the amortized
     * serving shape (one job per BATCH, not per query; the reference
     * loops point queries, `/root/reference/benchmark.py:26-33`, and
@@ -1249,6 +1265,9 @@ object IndexQueries {
          |FROM embeddings e CROSS JOIN q
          |WHERE e.label <= 4
          |ORDER BY ${VectorQueries.l2Sql("e.embedding", "q.qv")}, e.vec_id LIMIT 5""".stripMargin)),
+    QueryDef("q_vectordb_batch_where", qVectordbBatchWhere,
+      Some(bruteOracleSql("vec_id >= 62 AND vec_id < 65",
+        candWhere = "e.label <= 4"))),
     QueryDef("q_vectordb_persisted", qVectordbPersisted,
       Some(trainedOracleSql("vec_id >= 45 AND vec_id < 49"))),
     QueryDef("q_vectordb_batch", qVectordbBatch, Some(
