@@ -48,6 +48,8 @@ EMB_QUERIES = {
     "q_vectordb_remove", "q_vectordb_cosine", "q_vectordb_filtered",
     "q_ann_filtered_meta", "q_stream_index", "q_vectordb_batch",
     "q_vectordb_persisted", "q_vectordb_pq", "q_vectordb_sq",
+    "q_vectordb_meta", "q_vectordb_pq_persisted", "q_vectordb_adaptive",
+    "q_vectordb_batch_where",
 }
 
 
