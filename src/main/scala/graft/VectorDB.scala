@@ -102,6 +102,12 @@ final class VectorDB private (
   /** Row count (`src/lib.rs:350-352`). */
   def len: Long = raw.count()
 
+  /** True when this handle serves through a built (or incrementally
+    * maintained) HNSW index — i.e. which dispatch arm a [[search]]
+    * takes — observable without a corpus job. Compressed (PQ/SQ)
+    * handles serve ADC and report false here. */
+  def hasIndex: Boolean = index.isDefined
+
   /** Build the ANN index over an optional contiguous id range
     * (`src/lib.rs:336-341`); partitioning routes vectors into
     * `numParts` IVF-style cells by id hash unless a partition column is
@@ -217,26 +223,73 @@ final class VectorDB private (
     * eagerly via [[validate]]). Returns a new handle over the union
     * (the DataFrame lineage is the append log; callers persist via
     * their sink of choice) — a rejected batch never mutates this
-    * handle. */
-  def add(newRows: DataFrame): VectorDB =
-    tuned(new VectorDB(raw.select(col(idCol), col(vecCol))
-      .unionByName(newRows.select(col(idCol), col(vecCol))), dims, params, idCol, vecCol))
+    * handle.
+    *
+    * When this handle serves an HNSW index (and no compressed state),
+    * the derived handle carries the index MAINTAINED incrementally
+    * ([[graft.index.HnswIndex.addBatch]] — rebuild cost ∝ cells the
+    * batch touches, never the whole index): additions are routed
+    * through the trained router when one exists (the same id-hash rule
+    * as [[buildIndex]] otherwise), unit-normalized first under the
+    * cosine metric, and must carry the build-time payload columns.
+    * Compressed (PQ/SQ) handles still derive index-less — codes are a
+    * one-shot global encode; re-encode via [[buildIndexPq]]/
+    * [[buildIndexSq]]. */
+  def add(newRows: DataFrame): VectorDB = {
+    val keep = (Seq(idCol, vecCol) ++ servedPayloadCols).map(col)
+    val db = tuned(new VectorDB(raw.select(keep: _*)
+      .unionByName(newRows.select(keep: _*)), dims, params, idCol, vecCol))
+    maintained(db) { idx =>
+      val src =
+        if (indexMetric == Knn.Cosine)
+          newRows.withColumn(vecCol, l2Normalize(col(vecCol)))
+        else newRows
+      val parted = ivfModel match {
+        case Some(m) => IvfIndex.assign(src, m, idCol, vecCol)
+          .withColumn("part", col("cell"))
+        case None =>
+          // mirror buildIndex's id-hash rule at the index's own cell
+          // count (one tiny agg over the persisted index, no corpus job)
+          val nParts = idx.agg(max("part")).head().getInt(0) + 1
+          src.withColumn("part", pmod(hash(col(idCol)), lit(nParts)))
+      }
+      HnswIndex.addBatch(idx, parted, params, idCol, vecCol, "part", servedPayloadCols)
+    }
+  }
 
   /** Remove rows by id (extension — the reference is append-only): the
     * removal set is small by contract and broadcasts into an anti-join,
-    * so the lineage stays one narrow pass over the table. Returns a new
-    * index-less handle (a changed corpus invalidates a built index —
-    * rebuild via [[buildIndex]]/[[buildIndexIvf]], or use
-    * [[graft.index.HnswIndex.removeBatch]] for dirty-cell-incremental
-    * index maintenance). Absent ids are a no-op, mirroring
-    * `removeBatch`'s idempotence. */
-  def remove(ids: DataFrame): VectorDB =
-    tuned(new VectorDB(raw.join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti"),
+    * so the lineage stays one narrow pass over the table. When this
+    * handle serves an HNSW index (and no compressed state), the derived
+    * handle carries the index maintained incrementally
+    * ([[graft.index.HnswIndex.removeBatch]] — only cells that held a
+    * removed id rebuild); otherwise it derives index-less. Absent ids
+    * are a no-op, mirroring `removeBatch`'s idempotence. */
+  def remove(ids: DataFrame): VectorDB = {
+    val db = tuned(new VectorDB(
+      raw.join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti"),
       dims, params, idCol, vecCol))
+    maintained(db)(idx => HnswIndex.removeBatch(idx, ids, params, idCol))
+  }
 
-  /** Derived handles keep this handle's serving knobs (they carry no
-    * index, but losing the tuning on every add/remove would silently
-    * revert a rebuilt index to default nprobe/efSearch). */
+  /** Carries this handle's index — incrementally updated by `f` — onto
+    * a derived handle, together with the serving state the index arm
+    * needs (metric, router). No-op for index-less and compressed
+    * handles. */
+  private def maintained(db: VectorDB)(
+      f: Dataset[HnswIndex.IndexRow] => Dataset[HnswIndex.IndexRow]): VectorDB = {
+    if (pqState.isEmpty && sqState.isEmpty) index.foreach { idx =>
+      db.index = Some(f(idx)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      db.indexMetric = indexMetric
+      db.ivfModel = ivfModel
+    }
+    db
+  }
+
+  /** Derived handles keep this handle's serving knobs — losing the
+    * tuning on every add/remove would silently revert a maintained (or
+    * rebuilt) index to default nprobe/efSearch. */
   private def tuned(db: VectorDB): VectorDB = {
     db.nprobe = nprobe
     db.efSearch = efSearch

@@ -914,6 +914,71 @@ object IndexQueries {
       .select(col("vec_id"), round(col("dist"), 3).as("dist"))
   }
 
+  /** Indexed-ADD handle: trained IVF cells, then rows 0-4 re-appended
+    * under shifted ids through `VectorDB.add` — the derived handle's
+    * index is MAINTAINED incrementally (`HnswIndex.addBatch`, routed
+    * through the trained router; only touched cells rebuild), never
+    * rebuilt from the corpus. Exhaustive ef on the grown handle is the
+    * parent's derived ef plus the batch size (cells grow by at most
+    * the batch). */
+  private val vdbAddIdxMemo = new SessionMemo[graft.VectorDB]
+  private def vdbAddIndexedHandle(s: SparkSession, dir: String) =
+    vdbAddIdxMemo.get(s, dir) {
+      val db = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
+      val built = db.buildIndexIvf(numCells = 16, iters = 1)
+      db.efSearch = exhaustiveEf(s, dir, "vdb_add_idx")(built) + 5
+      db.nprobe = 16
+      val e = emb(s, dir)
+      db.add(e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 200000L).as("vec_id"), col("embedding")))
+    }
+
+  /** Gate on maintained-index ADD through the public handle: the grown
+    * handle (all cells probed, exhaustive ef) must equal brute force
+    * over corpus ∪ additions — the query is row 2's own embedding, so
+    * its shifted twin (dist 0) MUST surface from the maintained index.
+    * The dispatch arm itself (index kept, not dropped to exact) is
+    * pinned by SparkIndexSpec via [[graft.VectorDB.hasIndex]]. */
+  def qVectordbAddIndexed(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 2L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbAddIndexedHandle(s, dir).search(qv, k = 5)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
+  /** Indexed-REMOVE handle: trained IVF cells, then every `vec_id ≡ 3
+    * (mod 7)` removed through `VectorDB.remove` — the derived handle's
+    * index is maintained by `HnswIndex.removeBatch` (only cells that
+    * held a removed id rebuild). The parent's exhaustive ef still
+    * covers the shrunken cells. */
+  private val vdbRmIdxMemo = new SessionMemo[graft.VectorDB]
+  private def vdbRemoveIndexedHandle(s: SparkSession, dir: String) =
+    vdbRmIdxMemo.get(s, dir) {
+      val db = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
+      val built = db.buildIndexIvf(numCells = 16, iters = 1)
+      db.efSearch = exhaustiveEf(s, dir, "vdb_rm_idx")(built)
+      db.nprobe = 16
+      val e = emb(s, dir)
+      db.remove(e.filter(col("vec_id") % 7 === 3).select("vec_id"))
+    }
+
+  /** Gate on maintained-index REMOVE through the public handle: the
+    * query is removed row 38's own embedding, so a remove that failed
+    * to reach the index would surface 38 at dist 0 — the result must
+    * equal brute force over the remainder (decisive on index-side
+    * deletion when the index arm serves; the arm is pinned in
+    * SparkIndexSpec). */
+  def qVectordbRemoveIndexed(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 38L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbRemoveIndexedHandle(s, dir).search(qv, k = 5)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
   /** Gate on public int8-SQ serving: all cells probed ⇒ handle ADC
     * ranking ≡ global SQ ADC ranking (the q_quantized_knn oracle shape
     * at a distinct query). */
@@ -1268,6 +1333,21 @@ object IndexQueries {
     QueryDef("q_vectordb_batch_where", qVectordbBatchWhere,
       Some(bruteOracleSql("vec_id >= 62 AND vec_id < 65",
         candWhere = "e.label <= 4"))),
+    QueryDef("q_vectordb_add_indexed", qVectordbAddIndexed, Some(
+      s"""WITH u AS (SELECT vec_id, embedding FROM embeddings
+         |           UNION ALL
+         |           SELECT vec_id + 200000 AS vec_id, embedding
+         |           FROM embeddings WHERE vec_id < 5),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 2)
+         |SELECT u.vec_id, round(${VectorQueries.l2Sql("u.embedding", "q.qv")}, 3) AS dist
+         |FROM u CROSS JOIN q
+         |ORDER BY ${VectorQueries.l2Sql("u.embedding", "q.qv")}, u.vec_id LIMIT 5""".stripMargin)),
+    QueryDef("q_vectordb_remove_indexed", qVectordbRemoveIndexed, Some(
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 38)
+         |SELECT e.vec_id, round(${VectorQueries.l2Sql("e.embedding", "q.qv")}, 3) AS dist
+         |FROM embeddings e CROSS JOIN q
+         |WHERE e.vec_id % 7 <> 3
+         |ORDER BY ${VectorQueries.l2Sql("e.embedding", "q.qv")}, e.vec_id LIMIT 5""".stripMargin)),
     QueryDef("q_vectordb_persisted", qVectordbPersisted,
       Some(trainedOracleSql("vec_id >= 45 AND vec_id < 49"))),
     QueryDef("q_vectordb_batch", qVectordbBatch, Some(

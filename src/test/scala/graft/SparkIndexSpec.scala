@@ -220,10 +220,24 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val label2 = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .filter(col("label") === 2).select("vec_id").collect().map(_.getLong(0)).toSet
     assert(ann.forall(label2.contains), s"a wrong-label row surfaced: $ann")
-    // exact arm (remove-derived handle keeps corpus columns + declared
-    // payload): same predicate, same meaning
+    // remove-derived handles now MAINTAIN the index incrementally — a
+    // no-op removal serves the identical ANN answer through the
+    // carried index
     val removed = db.remove(spark.range(1).select(lit(-1L).as("vec_id"))) // no-op removal
-    val exact = removed.searchWhere(qv, 5, pred).collect().map(_.getLong(0)).toSeq
+    assert(removed.hasIndex, "remove must maintain the index, not drop it")
+    val kept = removed.searchWhere(qv, 5, pred).collect().map(_.getLong(0)).toSeq
+    assert(kept == ann,
+      s"maintained-index payload filtering must equal the parent's:\n$ann\nvs\n$kept")
+    // exact arm: a compressed rebuild drops the HNSW index but keeps
+    // the declared payload columns, and deriving from a compressed
+    // handle loses the codes too — that handle serves brute force,
+    // packing the SAME payload map on the fly
+    val pdb = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    pdb.buildIndexIvf(numCells = 4, iters = 1, payloadCols = Seq("label"))
+    pdb.buildIndexSq(numCells = 4, routerIters = 1)
+    val exactH = pdb.remove(spark.range(1).select(lit(-1L).as("vec_id")))
+    assert(!exactH.hasIndex, "compressed-derived handles serve exact")
+    val exact = exactH.searchWhere(qv, 5, pred).collect().map(_.getLong(0)).toSeq
     assert(exact == ann,
       s"exact-arm payload filtering must equal ANN at exhaustive ef:\n$ann\nvs\n$exact")
     // compressed serving: id predicates work, payload predicates reject
@@ -268,6 +282,42 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = Seq((1000L, Array.fill(64)(0.1f))).toDF("qid", "qv")
     val hit = HnswIndex.search(idx2, q, k = 1, P).collect()(0)
     assert(hit.getAs[Long]("vector_id") == 1000L && hit.getAs[Double]("dist") < 1e-9)
+  }
+
+  test("add/remove maintain the index incrementally through the handle") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    db.buildIndexIvf(numCells = 4, iters = 1)
+    db.efSearch = 8192
+    db.nprobe = 4
+    val qv = e.filter(col("vec_id") === 7L)
+      .select("embedding").head().getSeq[Float](0).toSeq
+    // add a shifted twin of row 7: the grown handle must surface BOTH
+    // zero-distance rows through its maintained index
+    val grown = db.add(e.filter(col("vec_id") === 7L)
+      .select((col("vec_id") + 9000L).as("vec_id"), col("embedding")))
+    assert(grown.hasIndex, "add must maintain the index, not drop it")
+    val top = grown.search(qv, 2).collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(7L, 9007L),
+      s"the added twin must serve from the maintained index: $top")
+    // remove row 7: it must disappear from ANN serving
+    val shrunk = db.remove(e.filter(col("vec_id") === 7L).select("vec_id"))
+    assert(shrunk.hasIndex, "remove must maintain the index, not drop it")
+    val after = shrunk.search(qv, 5).collect().map(_.getLong(0)).toSeq
+    assert(!after.contains(7L), s"removed row still served: $after")
+    // a cosine handle's additions are unit-normalized before they
+    // enter the unit-space graph — the twin must still serve at
+    // cosine distance 0
+    val cdb = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    cdb.buildIndexIvf(numCells = 4, iters = 1, metric = Knn.Cosine)
+    cdb.efSearch = 8192
+    cdb.nprobe = 4
+    val cGrown = cdb.add(e.filter(col("vec_id") === 7L)
+      .select((col("vec_id") + 9000L).as("vec_id"), col("embedding")))
+    assert(cGrown.hasIndex)
+    val cTop = cGrown.search(qv, 2).collect().map(_.getLong(0)).toSeq
+    assert(cTop == Seq(7L, 9007L),
+      s"cosine maintained-add must serve the unit-normalized twin: $cTop")
   }
 
   test("cosine handle: filtered-to-empty search returns no rows; unfiltered serves k") {

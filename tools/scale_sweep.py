@@ -49,7 +49,7 @@ EMB_QUERIES = {
     "q_ann_filtered_meta", "q_stream_index", "q_vectordb_batch",
     "q_vectordb_persisted", "q_vectordb_pq", "q_vectordb_sq",
     "q_vectordb_meta", "q_vectordb_pq_persisted", "q_vectordb_adaptive",
-    "q_vectordb_batch_where",
+    "q_vectordb_batch_where", "q_vectordb_add_indexed", "q_vectordb_remove_indexed",
 }
 
 
