@@ -272,6 +272,32 @@ final class VectorDB private (
     maintained(db)(idx => HnswIndex.removeBatch(idx, ids, params, idCol))
   }
 
+  /** Replace-or-insert by id (extension — training pipelines re-embed
+    * documents under stable ids): removes the incoming ids, then adds
+    * the rows. Both derivations MAINTAIN a served HNSW index
+    * incrementally, so the total rebuild cost stays proportional to
+    * the cells the batch touches, never the corpus. */
+  def upsert(rows: DataFrame): VectorDB =
+    remove(rows.select(col(idCol))).add(rows)
+
+  /** All rows within `radius` of the query — the reference's range
+    * semantics (`q_range_search`) through the handle, under this
+    * handle's metric (L2² for L2, 1−cosine for cosine). Served as ONE
+    * map-only corpus scan (the distance filter fuses into the scan —
+    * no shuffle, no index walk): exact range must not miss boundary
+    * rows, and a full scan with a fused filter is the shape that holds
+    * at any scale, so every handle serves it from the corpus. Result:
+    * (idCol, dist) ascending with an id tiebreak. */
+  def searchRange(queryVec: Seq[Float], radius: Double): DataFrame = {
+    val d =
+      if (intendedMetric == Knn.Cosine)
+        lit(1.0d) - cosineNative(col(vecCol), vecLit(queryVec))
+      else l2SqNative(col(vecCol), vecLit(queryVec))
+    vectors.select(col(idCol), d.as("dist"))
+      .filter(col("dist") <= radius)
+      .orderBy(col("dist").asc, col(idCol).asc)
+  }
+
   /** Carries this handle's index — incrementally updated by `f` — onto
     * a derived handle, together with the serving state the index arm
     * needs (metric, router). No-op for index-less and compressed

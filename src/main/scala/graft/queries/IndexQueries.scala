@@ -979,6 +979,49 @@ object IndexQueries {
       .select(col("vec_id"), round(col("dist"), 3).as("dist"))
   }
 
+  /** UPSERT handle: trained IVF cells, then rows 0-4 replaced with the
+    * embeddings of rows 10-14 through `VectorDB.upsert` — a
+    * remove-then-add composition whose BOTH derivations maintain the
+    * index incrementally. */
+  private val vdbUpsertMemo = new SessionMemo[graft.VectorDB]
+  private def vdbUpsertHandle(s: SparkSession, dir: String) =
+    vdbUpsertMemo.get(s, dir) {
+      val db = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
+      val built = db.buildIndexIvf(numCells = 16, iters = 1)
+      db.efSearch = exhaustiveEf(s, dir, "vdb_upsert")(built) + 5
+      db.nprobe = 16
+      val e = emb(s, dir)
+      val repl = e.filter(col("vec_id") < 5).alias("t")
+        .join(e.alias("r"), col("r.vec_id") === col("t.vec_id") + 10L)
+        .select(col("t.vec_id"), col("r.embedding"))
+      db.upsert(repl)
+    }
+
+  /** Gate on replace-or-insert through the public handle: after the
+    * upsert, row 2 carries row 12's embedding — querying with that
+    * embedding must surface BOTH ids at dist 0 from the maintained
+    * index, and the whole result must equal brute force over the
+    * replaced corpus. */
+  def qVectordbUpsert(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 12L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbUpsertHandle(s, dir).search(qv, k = 5)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
+  /** Gate on range search through the public handle: every row within
+    * L2² ≤ 2.0 of row 66's embedding, one map-only corpus scan — the
+    * q_range_search semantics behind the handle's metric dispatch. */
+  def qVectordbRange(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 66L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbExactHandle(s, dir).searchRange(qv, radius = 2.0)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
   /** Gate on public int8-SQ serving: all cells probed ⇒ handle ADC
     * ranking ≡ global SQ ADC ranking (the q_quantized_knn oracle shape
     * at a distinct query). */
@@ -1348,6 +1391,22 @@ object IndexQueries {
          |FROM embeddings e CROSS JOIN q
          |WHERE e.vec_id % 7 <> 3
          |ORDER BY ${VectorQueries.l2Sql("e.embedding", "q.qv")}, e.vec_id LIMIT 5""".stripMargin)),
+    QueryDef("q_vectordb_upsert", qVectordbUpsert, Some(
+      s"""WITH u AS (SELECT t.vec_id, r.embedding
+         |           FROM embeddings t JOIN embeddings r ON r.vec_id = t.vec_id + 10
+         |           WHERE t.vec_id < 5
+         |           UNION ALL
+         |           SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 12)
+         |SELECT u.vec_id, round(${VectorQueries.l2Sql("u.embedding", "q.qv")}, 3) AS dist
+         |FROM u CROSS JOIN q
+         |ORDER BY ${VectorQueries.l2Sql("u.embedding", "q.qv")}, u.vec_id LIMIT 5""".stripMargin)),
+    QueryDef("q_vectordb_range", qVectordbRange, Some(
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 66)
+         |SELECT e.vec_id, round(${VectorQueries.l2Sql("e.embedding", "q.qv")}, 3) AS dist
+         |FROM embeddings e CROSS JOIN q
+         |WHERE ${VectorQueries.l2Sql("e.embedding", "q.qv")} <= 2.0
+         |ORDER BY ${VectorQueries.l2Sql("e.embedding", "q.qv")}, e.vec_id""".stripMargin)),
     QueryDef("q_vectordb_persisted", qVectordbPersisted,
       Some(trainedOracleSql("vec_id >= 45 AND vec_id < 49"))),
     QueryDef("q_vectordb_batch", qVectordbBatch, Some(

@@ -320,6 +320,38 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"cosine maintained-add must serve the unit-normalized twin: $cTop")
   }
 
+  test("upsert replaces by id through the maintained index; searchRange matches the scan") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    db.buildIndexIvf(numCells = 4, iters = 1)
+    db.efSearch = 8192
+    db.nprobe = 4
+    // replace row 7 with row 8's embedding: querying with row 8's
+    // embedding must surface BOTH ids at dist 0
+    val up = db.upsert(e.filter(col("vec_id") === 8L)
+      .select(lit(7L).as("vec_id"), col("embedding")))
+    assert(up.hasIndex, "upsert must maintain the index")
+    assert(up.len == db.len, "upsert of an existing id must not grow the corpus")
+    val qv = e.filter(col("vec_id") === 8L)
+      .select("embedding").head().getSeq[Float](0).toSeq
+    val top = up.search(qv, 2).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top.map(_._1) == Seq(7L, 8L) && top.forall(_._2 < 1e-9),
+      s"the upserted embedding must serve from the maintained index: $top")
+    // range search equals the brute-force radius scan, under both metrics
+    val inRange = db.searchRange(qv, radius = 2.0).collect().map(_.getLong(0)).toSeq
+    val brute = e.select(col("vec_id"),
+        graft.functions.VectorFunctions.l2SqNative(col("embedding"),
+          graft.functions.VectorFunctions.vecLit(qv)).as("d"))
+      .filter(col("d") <= 2.0).orderBy(col("d"), col("vec_id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(inRange == brute, s"range serve != radius scan:\n$inRange\nvs\n$brute")
+    val cdb = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    cdb.buildIndexIvf(numCells = 4, iters = 1, metric = Knn.Cosine)
+    val cosRows = cdb.searchRange(qv, radius = 0.05)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(cosRows.forall(_._2 <= 0.05), s"cosine range served out-of-radius rows")
+  }
+
   test("cosine handle: filtered-to-empty search returns no rows; unfiltered serves k") {
     val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64)
     db.buildIndexIvf(numCells = 4, iters = 1, metric = Knn.Cosine)
