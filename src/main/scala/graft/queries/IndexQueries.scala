@@ -1011,6 +1011,102 @@ object IndexQueries {
       .select(col("vec_id"), round(col("dist"), 3).as("dist"))
   }
 
+  /** SQ handle saved + reloaded — the int8 mirror of
+    * [[vdbPqPersistedHandle]]: codes round-trip cell-partitioned, the
+    * per-dimension lo/hi ranges and the router reload from their model
+    * parquets. */
+  private val vdbSqPersistMemo = new SessionMemo[graft.VectorDB]
+  private def vdbSqPersistedHandle(s: SparkSession, dir: String) =
+    vdbSqPersistMemo.get(s, dir) {
+      val db = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
+      db.buildIndexSq(numCells = 16, routerIters = 1)
+      db.nprobe = 16
+      val p = java.nio.file.Files.createTempDirectory("graft_vdb_sq_")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+      db.save(p.toString)
+      graft.VectorDB.load(s, p.toString)
+    }
+
+  /** Gate on int8-SQ state persistence: save → load → ADC search
+    * through the restored codes + ranges + router, all cells probed ≡
+    * global SQ ADC ranking (the q_vectordb_sq oracle shape at a
+    * distinct query). */
+  def qVectordbSqPersisted(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 67L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbSqPersistedHandle(s, dir).search(qv, k = 10)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
+  /** Live-ingest handle: the corpus's even rows open as the serving
+    * handle (trained IVF cells), then the odd rows arrive as a 4-file
+    * parquet STREAM whose foreachBatch generations land in an ingest
+    * log (one parquet dir per generation — the stable-storage hop a
+    * real deployment makes before mutating serving state) and fold in
+    * through [[graft.VectorDB.add]]: the maintained index rebuilds
+    * only the touched cells per generation, and a 1-NN probe inside
+    * each batch forces real per-generation materialization. After the
+    * stream, exhaustive ef derives from the handle's own row count. */
+  private val vdbStreamMemo = new SessionMemo[graft.VectorDB]
+  private def streamedVdbHandle(s: SparkSession, dir: String) =
+    vdbStreamMemo.get(s, dir) {
+      val e = emb(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_vdb_stream_")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+      e.filter(col("vec_id") % 2 === 0).select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$base/corpus")
+      var db = graft.VectorDB.open(s, s"$base/corpus", dims = 64, P)
+      db.buildIndexIvf(numCells = 16, iters = 1)
+      db.nprobe = 16
+      val stage = s"$base/stage"
+      e.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding")
+        .repartition(4, col("vec_id"))
+        .write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val probe = e.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], gen: Long) =>
+          val p = s"$base/gen_$gen"
+          batch.write.mode("overwrite").parquet(p)
+          db = db.add(s.read.parquet(p))
+          db.search(probe, 1).count()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      db.efSearch = math.max(4096L, db.len).min(Int.MaxValue.toLong).toInt
+      db
+    }
+
+  /** Gate on live ingest through the public handle — the composition
+    * of the gated pieces (true readStream micro-batches, maintained-
+    * index add, batch serving): post-stream batch search must equal
+    * brute force over the WHOLE corpus — a vector dropped or
+    * duplicated by any generation surfaces as a hash mismatch. */
+  def qVectordbStream(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") >= 68 && col("vec_id") < 72)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    streamedVdbHandle(s, dir).searchBatch(queries, k = 5)
+      .select(col("qid"), col("rank").as("rnk"), col("vec_id"),
+        round(col("dist"), 3).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Gate on range search through the public handle: every row within
     * L2² ≤ 2.0 of row 66's embedding, one map-only corpus scan — the
     * q_range_search semantics behind the handle's metric dispatch. */
@@ -1446,6 +1542,10 @@ object IndexQueries {
     QueryDef("q_vectordb_sq", qVectordbSq, Some(sqOracleSql(54))),
     QueryDef("q_vectordb_pq_persisted", qVectordbPqPersisted,
       Some(pqTrainedOracleSql(60))),
+    QueryDef("q_vectordb_sq_persisted", qVectordbSqPersisted,
+      Some(sqOracleSql(67))),
+    QueryDef("q_vectordb_stream", qVectordbStream,
+      Some(bruteOracleSql("vec_id >= 68 AND vec_id < 72"))),
     QueryDef("q_vectordb_adaptive", qVectordbAdaptive, Some(
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 61),
          |$trainedCellsSql,

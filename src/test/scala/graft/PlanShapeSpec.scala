@@ -238,6 +238,19 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Generate"), s"repetition stats must not explode:\n$p")
   }
 
+  test("range search fuses the radius filter into the scan (no hash shuffle, no join)") {
+    val db = graft.VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64)
+    val p = plan(db.searchRange(Seq.fill(64)(0.1f), 2.0))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"range search must not shuffle corpus rows by key:\n$p")
+    assert(!p.contains("Join"),
+      s"the query vector is a literal — no join may appear:\n$p")
+    // the only allowed exchange is the bounded result's presentation
+    // sort (rangepartitioning over matched rows, never the corpus scan)
+    assert("(?<!Broadcast)Exchange(?! rangepartitioning)".r.findFirstIn(p).isEmpty,
+      s"unexpected exchange in the range-search plan:\n$p")
+  }
+
   test("rollup computes every grouping set from a single scan (expand + two-phase agg)") {
     val p = plan(RelationalQueries.qRollupPricing(spark, sfDir))
     assert(p.contains("Expand"),
