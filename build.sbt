@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit the forked run's stdio instead of logging it: sbt's default
+// LoggedOutput prefixes every stdout line with "[info] ", which breaks
+// any downstream per-line JSON parse of the bench output (the driver
+// capture does exactly that).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -62,15 +62,9 @@ object Bench {
           None
       }
     }
-    // STDOUT gets the COMPACT line (times at 3dp + errors only): the
-    // round-5/6 full line (rows + shuffle bytes) grew past what the
-    // driver capture keeps intact, truncating mid-record and losing the
-    // per-query times. The full detail still lands in the JSON file.
     // Locale.ROOT: a non-dot-decimal default locale must not emit
     // "0,123" into the JSON
     def fmt(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     // the FULL file keeps raw doubles — sub-ms queries must not
     // truncate to 0.000 in the line the scale sweep consumes
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -84,19 +78,41 @@ object Bench {
     val shufW = shuffles.map { case (k, v) => s"\"" + k + "\":" + v._2 }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-        s""""errors":$errs,"sf":"$sfDir","detail":"/tmp/graft_bench.json"}"""
+    // STDOUT gets ONE budget-capped JSON line. The downstream capture
+    // keeps only a ~2000-char tail of the run's output (with sbt's
+    // "[success] ..." line after ours), so a line carrying all ~100
+    // query names can never survive it intact. Spend the budget on the
+    // EXPENSIVE queries — sort by time descending, include entries
+    // while they fit — which is exactly the set a performance
+    // comparison needs; the full per-query detail (raw times, rows,
+    // shuffle bytes) always lands in the detail file.
+    val lineBudget = 1850
+    val head =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_timed":${results.size},""" +
+        s""""errors":$errs,"sf":"${new java.io.File(sfDir).getName}",""" +
+        s""""detail":"/tmp/graft_bench.json","queries":{"""
+    var used = head.length + 2 // closing "}}"
+    val picked = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    results.sortBy(-_._2).foreach { case (k, v) =>
+      val cost = k.length + 3 + fmt(v).length + (if (picked.isEmpty) 0 else 1)
+      if (used + cost <= lineBudget) { picked += (k -> v); used += cost }
+    }
+    val qs = picked.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString(",")
+    val compact = head + qs + "}}"
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"rows":$rows,""" +
         s""""shuffle_read":$shufR,"shuffle_write":$shufW,"errors":$errs,"sf":"$sfDir"}"""
-    println(compact)
-    // persist the full line: stdout can be lost to log truncation when
-    // the harness captures only a tail
+    // persist the full line FIRST: stdout can be lost to log truncation
+    // when the harness captures only a tail
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("/tmp/graft_bench.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
+    // print LAST, after stop(): nothing (shutdown WARNs included) may
+    // land between this line and process exit and push it out of the
+    // capture's tail window
+    println(compact)
   }
 }

@@ -57,11 +57,10 @@ object PipelineQueries {
 
   /** The streaming hourly-counts transform run over the batch events
     * table — same code path `readStream` uses (watermark is a no-op in
-    * batch). `ts` arrives as nanos-since-epoch; truncate to micros. */
+    * batch). `ts` normalizes to a micros timestamp via
+    * [[EventsFixture]] whatever dtype the fixture shipped. */
   def qStreamHourly(s: SparkSession, dir: String): DataFrame =
-    EventStreams.hourlyCounts(
-        s.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    EventStreams.hourlyCounts(EventsFixture.events(s, dir))
       .select(
         date_format(col("hour_start"), "yyyy-MM-dd HH:mm").as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
@@ -126,10 +125,10 @@ object PipelineQueries {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     // the fixture table is a single parquet file; the streaming file
     // source wants a directory, so list the parent filtered to it
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = EventsFixture.normalizeTs(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
     val name = "graft_stream_exec_" + java.util.UUID.randomUUID().toString.replace("-", "")
     withStreamPartitions(s, 4) {
       val q = EventStreams.hourlyCounts(stream)
@@ -190,10 +189,10 @@ object PipelineQueries {
     * strict `>` mirrors that). */
   def qStreamSessions(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = EventsFixture.normalizeTs(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
     val name = "graft_stream_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
     withStreamPartitions(s, 4) {
       val q = EventStreams.sessionWindows(stream)
@@ -222,10 +221,10 @@ object PipelineQueries {
   def qStreamState(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = EventsFixture.normalizeTs(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir))
       .select(col("user_id"), col("ts"), col("value"))
       .as[EventStreams.UserEvent]
     val name = "graft_stream_state_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -255,14 +254,14 @@ object PipelineQueries {
     * batch-structure-independence argument as q_stream_dedup).
     * Bounded-state expiry with a tight watermark is exercised in
     * StreamingSpec. Timestamps compare in micros on both engines
-    * (nanos truncate via `ts div 1000`; the oracle mirrors with
+    * (the normalized ts is micros precision; the oracle mirrors with
     * epoch_ns // 1000). */
   def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    def stream() = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def stream() = EventsFixture.normalizeTs(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
     val clicks = stream().filter(col("event_type") === "click")
     val purchases = stream().filter(col("event_type") === "purchase")
     val name = "graft_stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")

@@ -86,13 +86,13 @@ object RelationalQueries {
       .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
       .limit(10)
 
-  /** Hourly event rollup with JSON property extraction. `ts` arrives as
-    * nanos-since-epoch (nanosAsLong read mode); truncate to micros for
-    * the calendar bucketing. */
+  /** Hourly event rollup with JSON property extraction. `ts` is
+    * normalized to a micros timestamp by [[EventsFixture]] whatever
+    * dtype the fixture shipped. */
   def qEventsHourly(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+    EventsFixture.events(s, dir)
       .select(
-        date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH:00").as("hour"),
+        date_format(col("ts"), "yyyy-MM-dd HH:00").as("hour"),
         col("event_type"),
         col("value"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -107,12 +107,14 @@ object RelationalQueries {
     * of the streaming session-window operator. */
   def qEventsSessions(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-    // ts is nanos-since-epoch; the 30-min gap compares exact nanos on
-    // both engines (oracle uses epoch_ns) — no truncation ambiguity.
-    t(s, dir, "events")
-      .withColumn("gap", col("ts") - lag(col("ts"), 1).over(w))
+    // gaps compare in exact epoch micros on both engines (the
+    // normalized ts is micros precision; the oracle's epoch_ns gap
+    // threshold is the same cut at 1000× scale) — no ambiguity.
+    EventsFixture.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
       .withColumn("new_s",
-        when(col("gap").isNull || col("gap") <= lit(1800L * 1000000000L), 0).otherwise(1))
+        when(col("gap").isNull || col("gap") <= lit(1800L * 1000000L), 0).otherwise(1))
       .groupBy("user_id")
       .agg(
         (sum(col("new_s")) + 1).as("n_sessions"),
