@@ -62,6 +62,13 @@ final class VectorDB private (
     * [[searchWhere]] predicates mean the same thing on both arms. */
   private var servedPayloadCols: Seq[String] = Nil
   private var indexMetric: String = Knn.L2
+  /** MIPS serving state: the max squared corpus norm captured at
+    * `buildIndexIvf(metric = Dot)` time. The dot index is an L2 graph
+    * over norm-AUGMENTED vectors — each x extends with
+    * sqrt(M² − ‖x‖²) so every augmented vector has norm M and
+    * argmin-L2 against the 0-extended query is argmax-dot — and adds
+    * must augment with the SAME M or their graph distances shear. */
+  private var mipsMaxNormSq: Option[Double] = None
   /** The metric the USER chose, surviving index loss: add/remove return
     * index-less handles, and without this a handle built with
     * `buildIndexIvf(metric = Cosine)` would silently serve exact L2
@@ -133,10 +140,25 @@ final class VectorDB private (
     ivfModel = None
     indexMetric = Knn.L2
     intendedMetric = Knn.L2
+    mipsMaxNormSq = None
     pqState = None
     sqState = None
     built
   }
+
+  /** The MIPS→L2 augmentation: extend `v` with sqrt(M² − ‖v‖²) so the
+    * augmented corpus lies on a sphere of radius M and L2 ranking
+    * against the 0-extended query equals dot-product ranking
+    * (Bachrach et al.'s order-preserving reduction). The `greatest(0,·)`
+    * clamp only absorbs float rounding at ‖v‖ ≈ M: vectors with norms
+    * genuinely above M never reach this expression — [[add]] detects
+    * them and rebuilds under the new M, because a clamped over-norm
+    * vector would carry a +(‖v‖²−M²) penalty in augmented space and
+    * the walk could miss it entirely (recall loss, not just rank
+    * noise). */
+  private def mipsAugment(v: org.apache.spark.sql.Column, maxNormSq: Double) =
+    concat(v.cast("array<float>"),
+      array(sqrt(greatest(lit(0.0d), lit(maxNormSq) - dotNative(v, v))).cast("float")))
 
   /** Build the ANN index with a trained IVF coarse quantizer: k-means
     * cells become the HNSW partitions, so graph neighborhoods are
@@ -148,13 +170,26 @@ final class VectorDB private (
     * vectors 1 − cos = ‖â−b̂‖²/2, so the L2 graph walk ranks by
     * cosine), and [[search]] normalizes the query, walks the unit
     * graph, and re-scores its over-fetched top-k with the exact double
-    * cosine on the raw vectors. */
+    * cosine on the raw vectors.
+    *
+    * `metric = Knn.Dot` builds the MIPS serving configuration via the
+    * same shape: vectors are norm-augmented ([[mipsAugment]] — one
+    * max-norm aggregate over the corpus, then a map-only extension)
+    * before train/assign/build, and [[search]] 0-extends the query,
+    * walks the L2 graph, and re-scores with the exact double dot on
+    * the raw vectors (dist = −dot, ascending = largest dot first). */
   def buildIndexIvf(numCells: Int = 16, iters: Int = 5,
       metric: String = Knn.L2,
       payloadCols: Seq[String] = Nil): Dataset[HnswIndex.IndexRow] = {
-    val src =
-      if (metric == Knn.Cosine) vectors.withColumn(vecCol, l2Normalize(col(vecCol)))
-      else vectors
+    val src = metric match {
+      case Knn.Cosine => vectors.withColumn(vecCol, l2Normalize(col(vecCol)))
+      case Knn.Dot =>
+        val m2 = vectors
+          .agg(max(dotNative(col(vecCol), col(vecCol)))).head().getDouble(0)
+        mipsMaxNormSq = Some(m2)
+        vectors.withColumn(vecCol, mipsAugment(col(vecCol), m2))
+      case _ => vectors
+    }
     val model = IvfIndex.train(src, numCells, iters, idCol, vecCol)
     val parted = IvfIndex.assign(src, model, idCol, vecCol)
       .withColumn("part", col("cell"))
@@ -165,6 +200,7 @@ final class VectorDB private (
     ivfModel = Some(model)
     indexMetric = metric
     intendedMetric = metric
+    if (metric != Knn.Dot) mipsMaxNormSq = None
     pqState = None
     sqState = None
     built
@@ -191,6 +227,7 @@ final class VectorDB private (
     ivfModel = Some(router)
     indexMetric = Knn.L2
     intendedMetric = Knn.L2
+    mipsMaxNormSq = None
     pqState = Some((codes, model))
     sqState = None
     codes
@@ -211,6 +248,7 @@ final class VectorDB private (
     ivfModel = Some(router)
     indexMetric = Knn.L2
     intendedMetric = Knn.L2
+    mipsMaxNormSq = None
     pqState = None
     sqState = Some((codes, lo, hi))
     codes
@@ -239,11 +277,34 @@ final class VectorDB private (
     val keep = (Seq(idCol, vecCol) ++ servedPayloadCols).map(col)
     val db = tuned(new VectorDB(raw.select(keep: _*)
       .unionByName(newRows.select(keep: _*)), dims, params, idCol, vecCol))
+    if (pqState.isEmpty && sqState.isEmpty && index.isDefined &&
+        indexMetric == Knn.Dot) {
+      val m2 = mipsMaxNormSq.getOrElse(
+        throw new IllegalStateException("dot index without its captured max norm"))
+      val batchM2 = newRows
+        .agg(max(dotNative(col(vecCol), col(vecCol)))).head().getDouble(0)
+      if (batchM2 > m2) {
+        // norm-expanding add: every existing extension references the
+        // build-time M, so the augmentation geometry is global — a
+        // batch that raises the max norm rebuilds the dot index under
+        // the new M instead of maintaining incrementally (clamping
+        // instead would bury the new vectors in augmented space)
+        db.buildIndexIvf(
+          numCells = ivfModel.map(_.centroids.length).getOrElse(16),
+          iters = 1, metric = Knn.Dot, payloadCols = servedPayloadCols)
+        return db
+      }
+    }
     maintained(db) { idx =>
-      val src =
-        if (indexMetric == Knn.Cosine)
-          newRows.withColumn(vecCol, l2Normalize(col(vecCol)))
-        else newRows
+      val src = indexMetric match {
+        case Knn.Cosine => newRows.withColumn(vecCol, l2Normalize(col(vecCol)))
+        // augment with the BUILD-time max norm: the graph's geometry is
+        // fixed at build; re-deriving M from the batch would shear it
+        case Knn.Dot => newRows.withColumn(vecCol,
+          mipsAugment(col(vecCol), mipsMaxNormSq.getOrElse(
+            throw new IllegalStateException("dot index without its captured max norm"))))
+        case _ => newRows
+      }
       val parted = ivfModel match {
         case Some(m) => IvfIndex.assign(src, m, idCol, vecCol)
           .withColumn("part", col("cell"))
@@ -280,6 +341,60 @@ final class VectorDB private (
   def upsert(rows: DataFrame): VectorDB =
     remove(rows.select(col(idCol))).add(rows)
 
+  /** Consolidate the served index's undersized cells
+    * ([[graft.index.HnswIndex.compact]] — the defrag a long-lived
+    * handle needs after many [[remove]] generations shrink cells, or
+    * many [[add]] trickles fragment them): cells below `minCellSize`
+    * dissolve into their nearest surviving cell and only the receivers
+    * rebuild, so the cost is proportional to the moved data, never the
+    * index. The router (when one is trained) is RE-DERIVED from the
+    * compacted layout — a stale router would probe dissolved cells
+    * that no longer exist and silently lose their vectors. Corpus and
+    * serving knobs carry over; requires a served HNSW index. */
+  def compact(minCellSize: Int = 64): VectorDB = {
+    val idx = index.getOrElse(throw new IllegalStateException(
+      "compact requires a built HNSW index — call buildIndex/buildIndexIvf first"))
+    val compacted = HnswIndex.compact(idx, params, minCellSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val db = tuned(new VectorDB(raw, dims, params, idCol, vecCol))
+    db.sourcePath = sourcePath
+    db.index = Some(compacted)
+    db.indexMetric = indexMetric
+    db.mipsMaxNormSq = mipsMaxNormSq
+    db.ivfModel = ivfModel.map(_ => IvfIndex.fromPartitionMeans(
+      compacted.toDF().select(col("part"), col("vec")), "part", "vec"))
+    db
+  }
+
+  /** Deterministic serving-state census — `len` tells a deployment how
+    * big the corpus is; this tells it how the handle would SERVE: one
+    * row of (corpus count, declared dims, serving mode, metric, cell
+    * count, indexed-row count, smallest/largest cell, router
+    * presence). Costs one corpus count plus one O(#cells) aggregate
+    * over the index/codes table; never collects vectors. */
+  def stats: DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val serving =
+      if (pqState.isDefined) "pq"
+      else if (sqState.isDefined) "sq"
+      else if (index.isDefined) "hnsw"
+      else "exact"
+    val cellCounts: Array[Long] =
+      if (index.isDefined)
+        index.get.groupBy("part").count().collect().map(_.getLong(1))
+      else if (pqState.isDefined || sqState.isDefined)
+        codesTable.groupBy("cell").count().collect().map(_.getLong(1))
+      else Array.empty
+    Seq((len, dims, serving, intendedMetric, cellCounts.length.toLong,
+        cellCounts.sum,
+        if (cellCounts.isEmpty) 0L else cellCounts.min,
+        if (cellCounts.isEmpty) 0L else cellCounts.max,
+        ivfModel.isDefined))
+      .toDF("n_vectors", "dims", "serving", "metric", "n_cells",
+        "n_indexed", "min_cell", "max_cell", "has_router")
+  }
+
   /** All rows within `radius` of the query — the reference's range
     * semantics (`q_range_search`) through the handle, under this
     * handle's metric (L2² for L2, 1−cosine for cosine). Served as ONE
@@ -289,10 +404,12 @@ final class VectorDB private (
     * at any scale, so every handle serves it from the corpus. Result:
     * (idCol, dist) ascending with an id tiebreak. */
   def searchRange(queryVec: Seq[Float], radius: Double): DataFrame = {
-    val d =
-      if (intendedMetric == Knn.Cosine)
-        lit(1.0d) - cosineNative(col(vecCol), vecLit(queryVec))
-      else l2SqNative(col(vecCol), vecLit(queryVec))
+    val d = intendedMetric match {
+      case Knn.Cosine => lit(1.0d) - cosineNative(col(vecCol), vecLit(queryVec))
+      // dot serves dist = −dot: pass radius = −minDot for "dot ≥ minDot"
+      case Knn.Dot => -dotNative(col(vecCol), vecLit(queryVec))
+      case _ => l2SqNative(col(vecCol), vecLit(queryVec))
+    }
     vectors.select(col(idCol), d.as("dist"))
       .filter(col("dist") <= radius)
       .orderBy(col("dist").asc, col(idCol).asc)
@@ -309,6 +426,7 @@ final class VectorDB private (
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       db.indexMetric = indexMetric
       db.ivfModel = ivfModel
+      db.mipsMaxNormSq = mipsMaxNormSq
     }
     db
   }
@@ -394,8 +512,8 @@ final class VectorDB private (
           "payload predicates require an HNSW index or exact serving — compressed codes carry no payload")
       adcServeBatch(q, k, pred)
     } else index match {
-      case Some(idx) if indexMetric == Knn.Cosine =>
-        cosineServe(idx, q, k, pred)
+      case Some(idx) if indexMetric == Knn.Cosine || indexMetric == Knn.Dot =>
+        rescoredServe(idx, q, k, pred)
       case Some(idx) =>
         HnswIndex.search(idx, q, k, params,
           efSearch = filteredEf(k, pred.isDefined),
@@ -490,11 +608,11 @@ final class VectorDB private (
         .orderBy(col("dist").asc, col(idCol).asc)
         .limit(k)
     } else index match {
-      case Some(idx) if indexMetric == Knn.Cosine =>
+      case Some(idx) if indexMetric == Knn.Cosine || indexMetric == Knn.Dot =>
         val spark = vectors.sparkSession
         val q = spark.range(1).select(lit(0L).as("qid"),
           typedLit(queryVec).cast("array<float>").as("qv"))
-        cosineServe(idx, q, k, pred)
+        rescoredServe(idx, q, k, pred)
           .select(col(idCol), col("dist"))
           .orderBy(col("dist").asc, col(idCol).asc)
       case Some(idx) =>
@@ -569,6 +687,7 @@ final class VectorDB private (
       s"hasIndex=${index.isDefined}", s"compressed=$compressed",
       s"payloadCols=${servedPayloadCols.mkString(",")}",
       s"adaptiveAlpha=${adaptiveAlpha.map(_.toString).getOrElse("")}",
+      s"mipsMaxNormSq=${mipsMaxNormSq.map(_.toString).getOrElse("")}",
       s"hasRouter=${ivfModel.isDefined}").mkString("", "\n", "\n")
     val p = new org.apache.hadoop.fs.Path(path, "graft_meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -591,13 +710,17 @@ final class VectorDB private (
     if (efSearch > 0 || !filtered) efSearch
     else math.max(params.efConstruction, 16 * k)
 
-  /** Cosine serving for a (qid, qv) RAW-vector query table: normalize
-    * the queries, walk the unit graph (L2 on unit vectors ranks by
-    * cosine), over-fetch, then re-score the bounded hit set with the
-    * exact double cosine on the raw vectors — reported distances carry
-    * no float-normalization noise. The hit set is O(q·(k+margin)) ids,
-    * collected and re-scanned through a pushed-down In(id) filter
-    * (row-group pruning at scale), never a full corpus re-scan.
+  /** Reduced-space serving for a (qid, qv) RAW-vector query table —
+    * the shared shape behind the cosine AND dot (MIPS) metrics: map
+    * the query into the space the graph was built in (cosine: unit
+    * normalize; dot: 0-extend against the norm-augmented corpus), walk
+    * the L2 graph (whose ranking equals the target metric's by the
+    * respective reduction), over-fetch, then re-score the bounded hit
+    * set with the exact double metric on the raw vectors — reported
+    * distances carry no reduction noise. The hit set is
+    * O(q·(k+margin)) ids, collected and re-scanned through a
+    * pushed-down In(id) filter (row-group pruning at scale), never a
+    * full corpus re-scan.
     *
     * The margin covers unit-space/raw-space rank wiggle at the k
     * boundary — and instead of assuming 8 always suffices, the
@@ -607,11 +730,15 @@ final class VectorDB private (
     * logs a warning and serves (a >128-wide exact-tie group is
     * upstream dedup's problem, not search's). Returns
     * (qid, rank, idCol, dist) with rank <= k. */
-  private def cosineServe(idx: Dataset[HnswIndex.IndexRow], qRaw: DataFrame, k: Int,
+  private def rescoredServe(idx: Dataset[HnswIndex.IndexRow], qRaw: DataFrame, k: Int,
       candidateFilter: Option[org.apache.spark.sql.Column]): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val qUnit = qRaw.select(col("qid"), l2Normalize(col("qv")).as("qv"))
+    val qReduced = indexMetric match {
+      case Knn.Dot => qRaw.select(col("qid"),
+        concat(col("qv").cast("array<float>"), array(lit(0.0f))).as("qv"))
+      case _ => qRaw.select(col("qid"), l2Normalize(col("qv")).as("qv"))
+    }
     var margin = 8
     var result: DataFrame = null
     var widen = true
@@ -623,7 +750,7 @@ final class VectorDB private (
       // is semantics-safe
       val baseEf = filteredEf(k + margin, candidateFilter.isDefined)
       val ef = if (baseEf > 0) math.max(baseEf, k + margin) else baseEf
-      val pairs = HnswIndex.search(idx, qUnit, k + margin, params,
+      val pairs = HnswIndex.search(idx, qReduced, k + margin, params,
           efSearch = ef,
           router = ivfModel, nprobe = nprobe, adaptiveAlpha = routedAlpha,
           candidateFilter = candidateFilter)
@@ -640,7 +767,8 @@ final class VectorDB private (
         .join(broadcast(hits), Seq(idCol))
         .join(broadcast(qRaw), Seq("qid"))
         .select(col("qid"), col(idCol),
-          (lit(1.0d) - cosineNative(col(vecCol), col("qv"))).as("dist"))
+          (if (indexMetric == Knn.Dot) -dotNative(col(vecCol), col("qv"))
+           else lit(1.0d) - cosineNative(col(vecCol), col("qv"))).as("dist"))
         .withColumn("rank", row_number().over(w))
       // boundary-tie check on the re-scored edge rows (a tiny collect):
       // a qid whose k-th distance equals its (k+margin)-th may have tie
@@ -739,6 +867,7 @@ object VectorDB {
     db.nprobe = meta("nprobe").toInt
     db.efSearch = meta("efSearch").toInt
     db.adaptiveAlpha = meta.get("adaptiveAlpha").filter(_.nonEmpty).map(_.toDouble)
+    db.mipsMaxNormSq = meta.get("mipsMaxNormSq").filter(_.nonEmpty).map(_.toDouble)
     db
   }
 }

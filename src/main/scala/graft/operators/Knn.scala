@@ -23,10 +23,15 @@ object Knn {
   /** Metric names accepted by search APIs. */
   val L2 = "l2"
   val Cosine = "cosine"
+  /** Maximum-inner-product (MIPS): dist = −dot, so ascending order
+    * ranks the highest dot products first — the same "smaller is
+    * better" contract as the other metrics. */
+  val Dot = "dot"
 
   private def distCol(metric: String)(a: Column, b: Column): Column = metric match {
     case L2     => l2SqNative(a, b) // fused codegen loop (same math as l2Sq)
     case Cosine => lit(1.0d) - cosineNative(a, b) // distance: ascending = most similar first
+    case Dot    => -dotNative(a, b) // MIPS: negate so ascending = largest dot
     case other  => throw new IllegalArgumentException(s"unknown metric: $other")
   }
 

@@ -124,6 +124,8 @@ object VectorQueries {
   private val l2SqlAB =
     "list_sum(list_transform(list_zip(%s, %s), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))^2))"
   def l2Sql(a: String, b: String): String = l2SqlAB.format(a, b)
+  def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
   def cosSql(a: String, b: String): String =
     s"""(CASE WHEN sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)^2))) = 0
        |        OR sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)^2))) = 0

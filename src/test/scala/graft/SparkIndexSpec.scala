@@ -531,6 +531,72 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"cosine beam loss (${cosCeil - cosProd}) must track L2 beam loss (${l2Ceil - l2Prod})")
   }
 
+  test("dot metric: indexed search equals brute-force max inner product; add maintains the augmented index") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qv = e.filter(col("vec_id") === 7L).select("embedding").head().getSeq[Float](0)
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    db.buildIndexIvf(numCells = 4, iters = 1, metric = Knn.Dot)
+    db.efSearch = 4096
+    db.nprobe = 4
+    val got = db.search(qv, 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = Knn.searchKnn(e, qv, 10, metric = Knn.Dot)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == want.map(_._1).toSeq,
+      s"MIPS ranking diverged: ${got.toSeq} vs ${want.toSeq}")
+    got.zip(want).foreach { case ((_, g), (_, w)) =>
+      assert(math.abs(g - w) < 1e-9, s"re-scored dot must be exact: $g vs $w") }
+    // incremental add with a norm ABOVE the build-time max: the
+    // augmentation clamps (over-ranks in the walk — recall-safe) and
+    // the exact re-score places it correctly: 3·q dominates dot(·, q)
+    val dominant = spark.range(1).select(lit(99999L).as("vec_id"),
+      typedLit(qv.map(x => x * 3f)).as("embedding"))
+    val grown = db.add(dominant)
+    assert(grown.hasIndex, "add must maintain the dot index incrementally")
+    val top = grown.search(qv, 3).collect().map(_.getLong(0))
+    assert(top.head == 99999L, s"dominant-dot vector must rank first: ${top.toSeq}")
+  }
+
+  test("VectorDB.compact dissolves shrunken cells, refreshes the router, and preserves search") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    db.buildIndexIvf(numCells = 8, iters = 1)
+    db.nprobe = 8
+    db.efSearch = 4096
+    // remove-heavy churn: 80% of rows leave, every cell shrinks
+    val shrunk = db.remove(e.filter(col("vec_id") % 5 =!= 0).select("vec_id"))
+    val preCells = shrunk.stats.select("n_cells").head().getLong(0)
+    val compacted = shrunk.compact(minCellSize = (shrunk.len / 8 + 1).toInt)
+    val st = compacted.stats.head()
+    assert(st.getAs[Long]("n_cells") < preCells,
+      s"adaptive threshold must dissolve at least one cell: ${st.getAs[Long]("n_cells")} vs $preCells")
+    assert(st.getAs[Long]("n_indexed") == shrunk.len,
+      "compaction must preserve the indexed vector set")
+    assert(st.getAs[Boolean]("has_router"),
+      "the refreshed router must survive compaction")
+    val qv = e.filter(col("vec_id") === 5L).select("embedding").head().getSeq[Float](0)
+    val got = compacted.search(qv, 10).collect().map(_.getLong(0)).toSeq
+    val want = Knn.searchKnn(e.filter(col("vec_id") % 5 === 0), qv, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == want, s"compacted serving diverged from brute force: $got vs $want")
+  }
+
+  test("stats reports the serving census across exact, hnsw, and compressed modes") {
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    val ex = db.stats.head()
+    assert(ex.getAs[Long]("n_vectors") == 500L && ex.getAs[Int]("dims") == 64)
+    assert(ex.getAs[String]("serving") == "exact" && ex.getAs[Long]("n_cells") == 0L)
+    assert(!ex.getAs[Boolean]("has_router"))
+    db.buildIndexIvf(numCells = 4, iters = 1)
+    val ix = db.stats.head()
+    assert(ix.getAs[String]("serving") == "hnsw" && ix.getAs[String]("metric") == "l2")
+    assert(ix.getAs[Long]("n_indexed") == 500L && ix.getAs[Long]("n_cells") <= 4L)
+    assert(ix.getAs[Long]("min_cell") >= 1L &&
+      ix.getAs[Long]("max_cell") <= 500L && ix.getAs[Boolean]("has_router"))
+    db.buildIndexSq(numCells = 4)
+    val sq = db.stats.head()
+    assert(sq.getAs[String]("serving") == "sq" && sq.getAs[Long]("n_indexed") == 500L)
+  }
+
   test("recall@10 >= 0.9 vs exact brute force at production ef") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val idx = HnswIndex.build(e.withColumn("part", col("label")), P)
