@@ -1043,6 +1043,22 @@ object IndexQueries {
       .select(col("vec_id"), (round(col("dist"), 3) + lit(0.0)).as("dist"))
   }
 
+  /** Gate on the BATCH serving arm of the dot metric: one
+    * [[graft.VectorDB.searchBatch]] job answers a 3-query batch
+    * through the reduced-walk + exact-re-score path; with every cell
+    * probed at exhaustive ef the per-query result equals brute-force
+    * argmax dot, so the oracle is a per-qid window over the exact dot
+    * scores. */
+  def qVectordbBatchDot(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") >= 72 && col("vec_id") < 75)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    vdbDotHandle(s, dir).searchBatch(queries, k = 5)
+      .select(col("qid"), col("rank").as("rnk"), col("vec_id"),
+        (round(col("dist"), 3) + lit(0.0)).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Churned-then-compacted handle (VERDICT r7 item #5): trained-IVF
     * build, then a remove→add round trip of the `vec_id % 9 == 5`
     * slice (both maintain the index incrementally — dirty cells
@@ -1597,6 +1613,18 @@ object IndexQueries {
          |  round(-(${VectorQueries.dotSql("e.embedding", "q.qv")}), 3) + CAST(0.0 AS DOUBLE) AS dist
          |FROM embeddings e CROSS JOIN q
          |ORDER BY -(${VectorQueries.dotSql("e.embedding", "q.qv")}), e.vec_id LIMIT 5""".stripMargin)),
+    QueryDef("q_vectordb_batch_dot", qVectordbBatchDot, Some(
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |           WHERE vec_id >= 72 AND vec_id < 75),
+         |s AS (SELECT q.qid, e.vec_id,
+         |        -(${VectorQueries.dotSql("e.embedding", "q.qv")}) AS d
+         |      FROM embeddings e CROSS JOIN q),
+         |r AS (SELECT qid, vec_id, d,
+         |        row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
+         |      FROM s)
+         |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id,
+         |  round(d, 3) + CAST(0.0 AS DOUBLE) AS dist
+         |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
     QueryDef("q_vectordb_compact", qVectordbCompact, Some(
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 71)
          |SELECT e.vec_id, round(${VectorQueries.l2Sql("e.embedding", "q.qv")}, 3) AS dist

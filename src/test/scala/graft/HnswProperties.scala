@@ -60,6 +60,31 @@ object HnswProperties extends Properties("graft") {
       }: _*)
     }
 
+  /** The MIPS→L2 reduction behind `buildIndexIvf(metric = Dot)`
+    * (VectorDB.mipsAugment): extending each vector with
+    * sqrt(M²−‖x‖²) — M = max corpus norm — makes augmented-L2 order
+    * against the 0-extended query equal dot-product order. The
+    * extension is float-rounded exactly as the engine stores it, so
+    * the property also bounds the reduction noise: on the 0.25-spaced
+    * dot grid the served order's dot profile never deviates. */
+  property("mipsAugmentationPreservesDotRanking (VectorDB dot serving)") =
+    forAll(corpusGen, gridVecGen) { (vecs, q) =>
+      def dot(a: Array[Float], b: Array[Float]): Double =
+        a.iterator.zip(b.iterator).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val m2 = vecs.map(v => dot(v, v)).max
+      val qAug = q :+ 0.0f
+      def augL2(v: Array[Float]): Double = {
+        val ext = math.sqrt(math.max(0.0, m2 - dot(v, v))).toFloat
+        (v :+ ext).iterator.zip(qAug.iterator)
+          .map { case (x, y) => val d = x.toDouble - y.toDouble; d * d }.sum
+      }
+      val byDot = vecs.map(v => dot(v, q)).sorted(Ordering[Double].reverse)
+      val byAug = vecs.sortBy(augL2).map(v => dot(v, q))
+      Prop.all(byDot.zip(byAug).map { case (a, b) =>
+        Prop(math.abs(a - b) <= 0.2) :| s"augmented-L2 order broke dot order: $a vs $b"
+      }: _*)
+    }
+
   property("l2SqIsSymmetricAndNonNegative") =
     forAll(vecGen, vecGen) { (a, b) =>
       val d1 = Hnsw.l2Sq(a, b)

@@ -114,6 +114,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"re-score must push the hit-id filter into the parquet scan:\n$p")
   }
 
+  test("dot (MIPS) re-score scans through a pushed-down id filter, not a full corpus probe") {
+    val p = plan(IndexQueries.qVectordbDot(spark, sfDir))
+    // same contract as the cosine arm: the returned plan is the exact-
+    // dot re-score side and its corpus scan must carry the In(vec_id)
+    // filter so row-group pruning applies at scale
+    assert(p.contains("PushedFilters: [In(vec_id"),
+      s"dot re-score must push the hit-id filter into the parquet scan:\n$p")
+  }
+
   test("filtered ANN evaluates the candidate predicate in the scan stage, below the part exchange") {
     val p = plan(IndexQueries.qAnnFiltered(spark, sfDir))
     val ex = p.indexOf("Exchange hashpartitioning(part")
