@@ -1059,6 +1059,49 @@ object IndexQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Dot handle saved + reloaded — gates that the MIPS serving state
+    * (augmented-space index + router, metric, and the captured max
+    * norm the manifest now carries) round-trips disk: the LOADED
+    * handle is what serves. */
+  private val vdbDotPersistMemo = new SessionMemo[graft.VectorDB]
+  private def vdbDotPersistedHandle(s: SparkSession, dir: String) =
+    vdbDotPersistMemo.get(s, dir) {
+      val db = vdbDotHandle(s, dir)
+      val p = java.nio.file.Files.createTempDirectory("graft_vdb_dot_")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+      db.save(p.toString)
+      graft.VectorDB.load(s, p.toString)
+    }
+
+  /** Gate on dot-metric persistence: save → load → search through the
+    * restored augmented-space index must still equal brute-force
+    * argmax dot (distinct query id from q_vectordb_dot so the two
+    * rows gate different answers). */
+  def qVectordbDotPersisted(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 76L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbDotPersistedHandle(s, dir).search(qv, k = 5)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), (round(col("dist"), 3) + lit(0.0)).as("dist"))
+  }
+
+  /** Gate on range search under the cosine metric (q_vectordb_range
+    * gates the L2 arm): all rows with 1−cos ≤ 0.9 from the cosine
+    * handle's corpus — served as one map-only fused scan whatever the
+    * handle's index state. */
+  def qVectordbRangeCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 77L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbCosineHandle(s, dir).searchRange(qv, radius = 0.9)
+      .select(col("vec_id"), (round(col("dist"), 4) + lit(0.0)).as("dist"))
+  }
+
   /** Churned-then-compacted handle (VERDICT r7 item #5): trained-IVF
     * build, then a remove→add round trip of the `vec_id % 9 == 5`
     * slice (both maintain the index incrementally — dirty cells
@@ -1625,6 +1668,18 @@ object IndexQueries {
          |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id,
          |  round(d, 3) + CAST(0.0 AS DOUBLE) AS dist
          |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+    QueryDef("q_vectordb_dot_persisted", qVectordbDotPersisted, Some(
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 76)
+         |SELECT e.vec_id,
+         |  round(-(${VectorQueries.dotSql("e.embedding", "q.qv")}), 3) + CAST(0.0 AS DOUBLE) AS dist
+         |FROM embeddings e CROSS JOIN q
+         |ORDER BY -(${VectorQueries.dotSql("e.embedding", "q.qv")}), e.vec_id LIMIT 5""".stripMargin)),
+    QueryDef("q_vectordb_range_cosine", qVectordbRangeCosine, Some(
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 77),
+         |scored AS (SELECT e.vec_id, 1.0 - ${VectorQueries.cosSql("e.embedding", "q.qv")} AS d
+         |           FROM embeddings e CROSS JOIN q)
+         |SELECT vec_id, round(d, 4) + CAST(0.0 AS DOUBLE) AS dist FROM scored
+         |WHERE d <= 0.9 ORDER BY d, vec_id""".stripMargin)),
     QueryDef("q_vectordb_compact", qVectordbCompact, Some(
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 71)
          |SELECT e.vec_id, round(${VectorQueries.l2Sql("e.embedding", "q.qv")}, 3) AS dist

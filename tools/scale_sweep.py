@@ -52,7 +52,8 @@ EMB_QUERIES = {
     "q_vectordb_batch_where", "q_vectordb_add_indexed", "q_vectordb_remove_indexed",
     "q_vectordb_upsert", "q_vectordb_range", "q_vectordb_sq_persisted",
     "q_vectordb_stream", "q_vectordb_dot", "q_vectordb_compact",
-    "q_vectordb_stats", "q_vectordb_batch_dot",
+    "q_vectordb_stats", "q_vectordb_batch_dot", "q_vectordb_dot_persisted",
+    "q_vectordb_range_cosine",
 }
 
 
