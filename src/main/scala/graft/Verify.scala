@@ -12,8 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
-      // default; read as nanos-since-epoch longs instead.
+      // dtype-drift armor: should a fixture refresh ship TIMESTAMP(NANOS)
+      // again (as rounds <=6 did), read it as nanos longs instead of
+      // failing the scan — EventsFixture.normalizeTs adapts either way.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

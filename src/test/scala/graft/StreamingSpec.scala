@@ -26,6 +26,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
+  test("EventsFixture.normalizeTs adapts to int64-nanos, timestamp, and castable ts dtypes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.TimestampType
+    import spark.implicits._
+    // the nanos branch no longer occurs in the driver fixtures (they
+    // ship timestamp[us] since round 7) — keep it covered here so the
+    // next dtype flip either way stays a no-op
+    val nanos = Seq((1L, 1700000000000000000L)).toDF("event_id", "ts")
+    val n = graft.queries.EventsFixture.normalizeTs(nanos)
+    assert(n.schema("ts").dataType == TimestampType)
+    assert(n.select(unix_micros(col("ts"))).head().getLong(0) == 1700000000000000L)
+    // timestamp passes through unchanged
+    val p = graft.queries.EventsFixture.normalizeTs(n)
+    assert(p.select(unix_micros(col("ts"))).head().getLong(0) == 1700000000000000L)
+    // anything else takes the cast fallback
+    val c = graft.queries.EventsFixture.normalizeTs(
+      Seq("2023-11-14 22:13:20").toDF("ts"))
+    assert(c.schema("ts").dataType == TimestampType)
+  }
+
   test("foreachBatch micro-batches drive incremental index maintenance (multi-trigger addBatch)") {
     import org.apache.spark.sql.functions._
     import graft.index.{HnswIndex, HnswParams}
