@@ -479,6 +479,26 @@ final class VectorDB private (
       pred: org.apache.spark.sql.Column): DataFrame =
     searchImpl(queryVec, k, Some(pred))
 
+  /** Exact-refined compressed search — the standard IVFADC re-ranking
+    * step (Jégou et al.: ADC ranks approximately, a small exact pass
+    * fixes the final order): ADC ranks the probed cells' codes to
+    * top-(k·refine), then ONLY that bounded candidate set re-scores
+    * with exact L2² on the raw vectors through a pushed-down In(id)
+    * scan — row-group pruning at scale, never a corpus re-scan. The
+    * codes table still bounds what search scans; the exact pass
+    * touches k·refine rows. Requires compressed (PQ/SQ) serving. */
+  def searchRefined(queryVec: Seq[Float], k: Int, refine: Int = 4): DataFrame = {
+    if (pqState.isEmpty && sqState.isEmpty)
+      throw new IllegalStateException(
+        "searchRefined re-ranks compressed serving — call buildIndexPq/buildIndexSq first")
+    val cand = searchImpl(queryVec, k * refine, None)
+      .select(col(idCol)).collect().map(_.getLong(0))
+    vectors.filter(col(idCol).isin(cand.toSeq: _*))
+      .select(col(idCol), l2SqNative(col(vecCol), vecLit(queryVec)).as("dist"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Batch top-k — the amortized serving shape (the reference loops
     * point queries, `/root/reference/benchmark.py:26-33`, paying per-
     * query job-scheduling overhead that batching amortizes): one

@@ -853,6 +853,23 @@ object IndexQueries {
       .select(col("vec_id"), round(col("dist"), 3).as("dist"))
   }
 
+  /** Gate on exact-refined compressed serving — the standard IVFADC
+    * re-ranking step through the public handle
+    * ([[graft.VectorDB.searchRefined]]): ADC ranks the probed cells to
+    * top-(k·refine), then ONLY that bounded set re-scores with exact
+    * L2² on the raw vectors. The oracle replays the whole composition
+    * (trained probes → init-codebook ADC → candidate cut → exact
+    * re-score), so routing, compression, the cut boundary, and the
+    * refine pass are ALL decisive. */
+  def qVectordbPqRefined(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 78L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbPqHandle(s, dir).searchRefined(qv, k = 5, refine = 4)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
   /** PQ handle saved + reloaded: the codes table round-trips CELL-
     * PARTITIONED (probe pruning holds on the restored layout), the
     * codebooks and router reload from their model parquets, and the
@@ -1474,7 +1491,10 @@ object IndexQueries {
     * q_vectordb_pq = trained-cell probes) — the repo's
     * shared-oracle-fragment rule. Expects `ms` (subspace ordinals) and
     * `q` (the query) to be in scope. */
-  private def pqAdcSql(subFrom: String): String =
+  /** The ADC scoring pipeline only, through the `dist` CTE — callers
+    * append their own final SELECT (top-10 ADC ranking, or a bounded
+    * candidate cut for the exact-refine oracle). */
+  private def pqAdcCoreSql(subFrom: String): String =
     s"""cw AS (SELECT e.vec_id AS j, ms.m,
        |         list_transform(e.embedding[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
        |       FROM embeddings e, ms WHERE e.vec_id < 16),
@@ -1493,7 +1513,10 @@ object IndexQueries {
        |           sum(list_sum(list_transform(list_zip(cw.v, qsub.v), p -> (p[1] - p[2])^2))) AS d
        |         FROM code JOIN cw ON code.m = cw.m AND code.j = cw.j
        |         JOIN qsub ON qsub.m = code.m
-       |         GROUP BY code.vec_id)
+       |         GROUP BY code.vec_id)""".stripMargin
+
+  private def pqAdcSql(subFrom: String): String =
+    s"""${pqAdcCoreSql(subFrom)}
        |SELECT vec_id, round(d, 3) AS dist FROM dist ORDER BY d, vec_id LIMIT 10""".stripMargin
 
   /** IVF-PQ over TRAINED cells oracle (mirror of [[qVectordbPq]]):
@@ -1509,6 +1532,25 @@ object IndexQueries {
        |             (SELECT cell, row_number() OVER (ORDER BY d, cell) AS rn FROM cd)
        |           WHERE rn <= 3),
        |${pqAdcSql("embeddings e JOIN a1 ON a1.vec_id = e.vec_id JOIN probes p ON a1.cell = p.cell")}""".stripMargin
+
+  /** IVF-PQ + exact-refine oracle: the [[pqTrainedOracleSql]] ADC
+    * pipeline cut at the top-(k·refine) candidate set, then exact L2²
+    * re-scored on the raw vectors — the composed replay of
+    * [[graft.VectorDB.searchRefined]]. */
+  private def pqRefinedOracleSql(qid: Long, k: Int, refine: Int): String =
+    s"""WITH ms AS (SELECT unnest(range(0, 8)) AS m),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid),
+       |$trainedCellsSql,
+       |cd AS (SELECT c.cell, sum((c.m - CAST(q.qv[c.i] AS DOUBLE))^2) AS d
+       |       FROM c1 c, q GROUP BY c.cell),
+       |probes AS (SELECT cell FROM
+       |             (SELECT cell, row_number() OVER (ORDER BY d, cell) AS rn FROM cd)
+       |           WHERE rn <= 3),
+       |${pqAdcCoreSql("embeddings e JOIN a1 ON a1.vec_id = e.vec_id JOIN probes p ON a1.cell = p.cell")},
+       |cand AS (SELECT vec_id FROM dist ORDER BY d, vec_id LIMIT ${k * refine})
+       |SELECT e.vec_id, round(${VectorQueries.l2Sql("e.embedding", "q.qv")}, 3) AS dist
+       |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+       |ORDER BY ${VectorQueries.l2Sql("e.embedding", "q.qv")}, e.vec_id LIMIT $k""".stripMargin
 
   /** Routed search over the TRAINED cells: queries route to their 3
     * nearest trained centroids, brute force among vectors whose trained
@@ -1735,6 +1777,8 @@ object IndexQueries {
         |FROM embeddings GROUP BY 1 ORDER BY part""".stripMargin)),
     QueryDef("q_quantized_knn", qQuantizedKnn, Some(sqOracleSql(0))),
     QueryDef("q_vectordb_pq", qVectordbPq, Some(pqTrainedOracleSql(53))),
+    QueryDef("q_vectordb_pq_refined", qVectordbPqRefined,
+      Some(pqRefinedOracleSql(78, k = 5, refine = 4))),
     QueryDef("q_vectordb_sq", qVectordbSq, Some(sqOracleSql(54))),
     QueryDef("q_vectordb_pq_persisted", qVectordbPqPersisted,
       Some(pqTrainedOracleSql(60))),

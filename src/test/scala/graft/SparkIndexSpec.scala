@@ -580,6 +580,31 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want, s"compacted serving diverged from brute force: $got vs $want")
   }
 
+  test("searchRefined re-ranks ADC candidates with exact distances") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qv = e.filter(col("vec_id") === 11L).select("embedding").head().getSeq[Float](0)
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    db.buildIndexPq(numCells = 4, routerIters = 1)
+    db.nprobe = 4
+    // refine wide enough to cover the whole 500-row corpus: the exact
+    // re-rank must then equal exact brute force BIT-FOR-BIT — ADC
+    // approximation error cannot reach the output
+    val refined = db.searchRefined(qv, k = 10, refine = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = Knn.searchKnn(e, qv, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(refined.toSeq == exact.toSeq,
+      s"wide refine must equal exact brute force: ${refined.toSeq} vs ${exact.toSeq}")
+    // plain ADC at the same k generally DIFFERS in distances (it ranks
+    // by codebook approximation) — the refine pass is what fixes them
+    val adc = db.search(qv, 10).collect().map(_.getDouble(1))
+    assert(!(adc.toSeq == exact.map(_._2).toSeq),
+      "ADC distances should be approximate; if exact, the refine gate is vacuous")
+    // non-compressed handles reject loudly
+    val plain = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    intercept[IllegalStateException](plain.searchRefined(qv, 5))
+  }
+
   test("stats reports the serving census across exact, hnsw, and compressed modes") {
     val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
     val ex = db.stats.head()
