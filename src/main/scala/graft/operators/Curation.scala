@@ -154,6 +154,33 @@ object Curation {
         col("n_tok_in_seq"))
   }
 
+  /** Fixed-size character-window chunking with overlap — the RAG /
+    * pretraining document-windowing primitive, provenance-preserving
+    * (each chunk carries its 1-based start offset) and distinct from
+    * [[packSequences]]' cross-document token packing. Map-only: one
+    * explode of a per-row generated range — no shuffle, no RNG, so
+    * the chunk set is deterministic at any parallelism and output
+    * volume is corpus-chars/stride at any scale. Chunks start every
+    * `size − overlap` characters; the last chunk of a document may be
+    * short (never empty); empty documents emit nothing. */
+  def chunkDocs(df: DataFrame, size: Int, overlap: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      "need 0 <= overlap < size")
+    val stride = size - overlap
+    df.select(col(idCol), col(textCol))
+      .filter(length(col(textCol)) > 0)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0),
+          floor((length(col(textCol)) - 1) / stride).cast("int"))))
+      .withColumn("start_pos", col("chunk_idx").cast("long") * stride + 1L)
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        col("start_pos"),
+        col(textCol).substr(col("start_pos").cast("int"), lit(size)).as("chunk"))
+  }
+
   /** Deterministic weighted upsampling (data-mixing repetition): emit
     * `copiesCol` copies of each row, tagged 1..n in `copy`. The
     * mixture-weight stage of a training-data pipeline — map-only

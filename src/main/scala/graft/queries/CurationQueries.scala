@@ -42,6 +42,17 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
       .orderBy("shard")
 
+  /** Overlapping character-window chunking (size 256, overlap 32 —
+    * the RAG/pretraining windowing shape): map-only explode, chunk
+    * text gated by hash so the window boundaries, provenance offsets,
+    * and substring semantics all sit under the oracle. */
+  def qChunkDocs(s: SparkSession, dir: String): DataFrame =
+    Curation.chunkDocs(docs(s, dir), size = 256, overlap = 32)
+      .select(col("doc_id"), col("chunk_idx"), col("start_pos"),
+        length(col("chunk")).as("chunk_len"),
+        md5(col("chunk").cast("binary")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** The (train, eval, overlap) contamination pair table, built once
     * per session + fixture ([[IndexQueries.SessionMemo]] — the same
     * derived-artifact rationale as the near-dup pair graph): two
@@ -113,6 +124,16 @@ object CurationQueries {
       .orderBy("domain", "rnk")
 
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_chunk_docs", qChunkDocs, Some(
+      """WITH c AS (
+        |  SELECT doc_id, u.i AS chunk_idx, u.i * 224 + 1 AS start_pos,
+        |         substring(text, CAST(u.i * 224 + 1 AS INT), 256) AS chunk
+        |  FROM documents CROSS JOIN unnest(range(0, (length(text)-1)//224 + 1)) AS u(i)
+        |  WHERE length(text) > 0)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(start_pos AS BIGINT) AS start_pos,
+        |  CAST(length(chunk) AS INT) AS chunk_len, md5(chunk) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
     QueryDef("q_domain_cap", qDomainCap, Some(
       s"""WITH q AS (SELECT doc_id, source, ${TextQueries.qualitySql} AS quality
          |           FROM documents),

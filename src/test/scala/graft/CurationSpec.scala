@@ -96,6 +96,40 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(asSet(1) == asSet(32))
   }
 
+  test("chunkDocs windows cover every character with the declared overlap") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "abcdefghij"),   // 10 chars: size 4 / overlap 1 -> starts 1,4,7,10
+      (2L, "xyz"),          // shorter than one chunk -> single short chunk
+      (3L, "")              // empty -> no chunks
+    ).toDF("doc_id", "text")
+    val got = Curation.chunkDocs(d, size = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0, 1L, "abcd"), (1L, 1, 4L, "defg"), (1L, 2, 7L, "ghij"), (1L, 3, 10L, "j"),
+      (2L, 0, 1L, "xyz")))
+    // reconstruction: dropping each chunk's overlap prefix (except the
+    // first) and concatenating rebuilds the document exactly
+    val rebuilt = got.filter(_._1 == 1L).zipWithIndex
+      .map { case ((_, _, _, c), i) => if (i == 0) c else c.drop(1) }.mkString
+    assert(rebuilt == "abcdefghij")
+    // fixture-scale invariants: every chunk starts on the stride grid
+    // with length min(size, remaining), and the windows reach the last
+    // character of every non-empty document
+    val chunks = Curation.chunkDocs(docs, size = 256, overlap = 32)
+      .join(docs.select(col("doc_id"), length(col("text")).as("len")), "doc_id")
+    val bad = chunks.filter(
+      col("start_pos") =!= col("chunk_idx").cast("long") * 224L + 1L ||
+        length(col("chunk")) =!= least(lit(256), col("len") - col("start_pos") + 1))
+    assert(bad.count() == 0, "chunk grid/length invariant violated")
+    val tails = chunks.groupBy("doc_id")
+      .agg(max(col("start_pos") + length(col("chunk")) - 1).as("end"),
+        first(col("len")).as("len"))
+    assert(tails.filter(col("end") =!= col("len")).count() == 0,
+      "windows must reach each document's last character")
+  }
+
   test("upsample emits the requested multiplicity with 1..n copy tags") {
     import spark.implicits._
     val up = Curation.upsample(docs, when(col("lang") === "en", 1).otherwise(3))
