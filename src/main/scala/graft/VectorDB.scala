@@ -499,6 +499,33 @@ final class VectorDB private (
       .limit(k)
   }
 
+  /** Batch exact-refine — [[searchRefined]]'s contract at
+    * [[searchBatch]]'s amortized shape: ONE ADC job ranks every
+    * query's probed codes to top-(k·refine), then the union of
+    * candidates (bounded O(q·k·refine) ids) re-scores exact L2² in
+    * ONE In(id)-pruned scan and re-ranks per query. Output
+    * (qid, rank, idCol, dist) like [[searchBatch]]. */
+  def searchBatchRefined(queries: DataFrame, k: Int, refine: Int = 4,
+      qidCol: String = "qid", qvecCol: String = "qv"): DataFrame = {
+    if (pqState.isEmpty && sqState.isEmpty)
+      throw new IllegalStateException(
+        "searchBatchRefined re-ranks compressed serving — call buildIndexPq/buildIndexSq first")
+    val q = queries.select(
+      col(qidCol).cast("long").as("qid"), col(qvecCol).cast("array<float>").as("qv"))
+    val cand = adcServeBatch(q, k * refine).select(col("qid"), col(idCol))
+    val ids = cand.select(idCol).distinct().collect().map(_.getLong(0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("dist").asc, col(idCol).asc)
+    vectors.filter(col(idCol).isin(ids.toSeq: _*))
+      .select(col(idCol), col(vecCol))
+      .join(broadcast(cand), Seq(idCol))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col(idCol), l2SqNative(col(vecCol), col("qv")).as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("int").as("rank"), col(idCol), col("dist"))
+  }
+
   /** Batch top-k — the amortized serving shape (the reference loops
     * point queries, `/root/reference/benchmark.py:26-33`, paying per-
     * query job-scheduling overhead that batching amortizes): one

@@ -870,6 +870,21 @@ object IndexQueries {
       .select(col("vec_id"), round(col("dist"), 3).as("dist"))
   }
 
+  /** Gate on BATCH exact-refined compressed serving
+    * ([[graft.VectorDB.searchBatchRefined]]): one ADC job ranks a
+    * 3-query batch's probed codes to top-(k·refine), one In(id) scan
+    * re-scores the candidate union exactly; the oracle replays the
+    * per-qid composition (probes → ADC → cut → exact re-rank). */
+  def qVectordbBatchRefined(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") >= 79 && col("vec_id") < 82)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    vdbPqHandle(s, dir).searchBatchRefined(queries, k = 5, refine = 4)
+      .select(col("qid"), col("rank").as("rnk"), col("vec_id"),
+        round(col("dist"), 3).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
   /** PQ handle saved + reloaded: the codes table round-trips CELL-
     * PARTITIONED (probe pruning holds on the restored layout), the
     * codebooks and router reload from their model parquets, and the
@@ -1552,6 +1567,53 @@ object IndexQueries {
        |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
        |ORDER BY ${VectorQueries.l2Sql("e.embedding", "q.qv")}, e.vec_id LIMIT $k""".stripMargin
 
+  /** Batched IVF-PQ + exact-refine oracle: [[pqRefinedOracleSql]]'s
+    * composition carried per-qid — probes, ADC codeword assignment,
+    * candidate cut, and the exact re-rank all PARTITION BY qid. The
+    * codeword argmin is q-independent; replaying it per qid duplicates
+    * a little oracle work but keeps the SQL mechanical. */
+  private def pqBatchRefinedOracleSql(qWhere: String, k: Int, refine: Int): String =
+    s"""WITH ms AS (SELECT unnest(range(0, 8)) AS m),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE $qWhere),
+       |$trainedCellsSql,
+       |cd AS (SELECT q.qid, c.cell, sum((c.m - CAST(q.qv[c.i] AS DOUBLE))^2) AS d
+       |       FROM c1 c, q GROUP BY q.qid, c.cell),
+       |probes AS (SELECT qid, cell FROM
+       |             (SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY d, cell) AS rn
+       |              FROM cd) WHERE rn <= 3),
+       |cw AS (SELECT e.vec_id AS j, ms.m,
+       |         list_transform(e.embedding[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
+       |       FROM embeddings e, ms WHERE e.vec_id < 16),
+       |sub AS (SELECT p.qid, e.vec_id, ms.m,
+       |          list_transform(e.embedding[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
+       |        FROM embeddings e JOIN a1 ON a1.vec_id = e.vec_id
+       |        JOIN probes p ON a1.cell = p.cell, ms),
+       |dd AS (SELECT s.qid, s.vec_id, s.m, c.j,
+       |         list_sum(list_transform(list_zip(c.v, s.v), p -> (p[1] - p[2])^2)) AS d
+       |       FROM sub s JOIN cw c ON s.m = c.m),
+       |code AS (SELECT qid, vec_id, m, j FROM
+       |           (SELECT qid, vec_id, m, j,
+       |              row_number() OVER (PARTITION BY qid, vec_id, m ORDER BY d, j) AS rn
+       |            FROM dd) WHERE rn = 1),
+       |qsub AS (SELECT q.qid, ms.m,
+       |           list_transform(q.qv[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
+       |         FROM q, ms),
+       |dist AS (SELECT code.qid, code.vec_id,
+       |           sum(list_sum(list_transform(list_zip(cw.v, qsub.v), p -> (p[1] - p[2])^2))) AS d
+       |         FROM code JOIN cw ON code.m = cw.m AND code.j = cw.j
+       |         JOIN qsub ON qsub.m = code.m AND qsub.qid = code.qid
+       |         GROUP BY code.qid, code.vec_id),
+       |cand AS (SELECT qid, vec_id FROM
+       |           (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+       |            FROM dist) WHERE rn <= ${k * refine}),
+       |rs AS (SELECT c.qid, e.vec_id, ${VectorQueries.l2Sql("e.embedding", "q.qv")} AS d
+       |       FROM cand c JOIN embeddings e USING (vec_id) JOIN q ON q.qid = c.qid),
+       |rr AS (SELECT qid, vec_id, d,
+       |         row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rnk
+       |       FROM rs)
+       |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(d, 3) AS dist
+       |FROM rr WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+
   /** Routed search over the TRAINED cells: queries route to their 3
     * nearest trained centroids, brute force among vectors whose trained
     * cell is probed. */
@@ -1779,6 +1841,8 @@ object IndexQueries {
     QueryDef("q_vectordb_pq", qVectordbPq, Some(pqTrainedOracleSql(53))),
     QueryDef("q_vectordb_pq_refined", qVectordbPqRefined,
       Some(pqRefinedOracleSql(78, k = 5, refine = 4))),
+    QueryDef("q_vectordb_batch_refined", qVectordbBatchRefined,
+      Some(pqBatchRefinedOracleSql("vec_id >= 79 AND vec_id < 82", k = 5, refine = 4))),
     QueryDef("q_vectordb_sq", qVectordbSq, Some(sqOracleSql(54))),
     QueryDef("q_vectordb_pq_persisted", qVectordbPqPersisted,
       Some(pqTrainedOracleSql(60))),

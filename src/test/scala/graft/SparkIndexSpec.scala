@@ -605,6 +605,24 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalStateException](plain.searchRefined(qv, 5))
   }
 
+  test("searchBatchRefined equals the per-query searchRefined loop") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    db.buildIndexPq(numCells = 4, routerIters = 1)
+    db.nprobe = 2
+    val qids = Seq(3L, 17L)
+    val queries = e.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch = db.searchBatchRefined(queries, k = 5, refine = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val single = qids.flatMap { qid =>
+      val qv = e.filter(col("vec_id") === qid).select("embedding").head().getSeq[Float](0)
+      db.searchRefined(qv, k = 5, refine = 3).collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1, r.getLong(0), r.getDouble(1)) }
+    }.toSet
+    assert(batch == single, s"batch refine diverged:\n$batch\nvs\n$single")
+  }
+
   test("stats reports the serving census across exact, hnsw, and compressed modes") {
     val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
     val ex = db.stats.head()
