@@ -58,6 +58,23 @@ class RecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r >= 0.98, s"production-ef beam recall regressed: $r (floor 0.98, measured 0.987)")
   }
 
+  test("dot-metric handle at production nprobe=8/ef=64 holds recall@10 vs exact MIPS") {
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    db.buildIndexIvf(numCells = 16, iters = 3, metric = Knn.Dot)
+    db.nprobe = 8
+    db.efSearch = 64
+    val ann = db.searchBatch(queries, K)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exactDot = Knn.knnJoin(e, queries, K, metric = Knn.Dot)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val r = exactDot.keys.toSeq
+      .map(q => ann.getOrElse(q, Set.empty).intersect(exactDot(q)).size / K.toDouble)
+      .sum / exactDot.size
+    assert(r >= 0.85, s"dot-serving production recall regressed: $r (floor 0.85)")
+  }
+
   test("routed 16 trained cells at production nprobe=8 holds recall@10 >= 0.85 (measured 0.869)") {
     val model = IvfIndex.train(e, k = 16, iters = 3)
     val routed = HnswIndex.build(
