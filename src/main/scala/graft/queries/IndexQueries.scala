@@ -885,6 +885,19 @@ object IndexQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Gate on exact-refined int8-SQ serving — [[qVectordbPqRefined]]'s
+    * contract on the OTHER compressed mode: global SQ ADC ranking
+    * (every cell probed) cut at top-(k·refine), then the exact L2²
+    * re-rank. */
+  def qVectordbSqRefined(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 82L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbSqHandle(s, dir).searchRefined(qv, k = 5, refine = 4)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
   /** PQ handle saved + reloaded: the codes table round-trips CELL-
     * PARTITIONED (probe pruning holds on the restored layout), the
     * codebooks and router reload from their model parquets, and the
@@ -1476,7 +1489,10 @@ object IndexQueries {
     * [[qVectordbSq]]): per-dim min/max bounds, 255-step encode, decode
     * to the bucket floor, full-precision query — one definition for
     * every SQ gate. */
-  private def sqOracleSql(qid: Long): String =
+  /** The SQ ADC scoring pipeline through the `scored` CTE — callers
+    * append the final SELECT (ADC top-10, or the candidate cut for the
+    * exact-refine composition). */
+  private def sqAdcCoreSql(qid: Long): String =
     s"""WITH b AS (SELECT i AS pos, CAST(min(x) AS DOUBLE) AS lo, CAST(max(x) AS DOUBLE) AS hi
        |           FROM (SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
        |                 FROM embeddings) GROUP BY 1),
@@ -1495,9 +1511,23 @@ object IndexQueries {
        |                   (CAST(e.embedding[i] AS DOUBLE) - bl.los[i]) / (bl.his[i] - bl.los[i]),
        |                   0.0), 1.0) * 255.0) AS INT) / 255.0 * (bl.his[i] - bl.los[i])
        |       END - CAST(q.qv[i] AS DOUBLE)))) AS d
-       |  FROM embeddings e, bl, q)
+       |  FROM embeddings e, bl, q)""".stripMargin
+
+  private def sqOracleSql(qid: Long): String =
+    s"""${sqAdcCoreSql(qid)}
        |SELECT vec_id, round(d, 3) AS dist FROM scored
        |ORDER BY d, vec_id LIMIT 10""".stripMargin
+
+  /** Int8-SQ + exact-refine oracle: the ADC ranking cut at
+    * top-(k·refine), then exact L2² re-scored — the SQ twin of
+    * [[pqRefinedOracleSql]] (the SQ handle probes every cell, so the
+    * ADC scan is global). */
+  private def sqRefinedOracleSql(qid: Long, k: Int, refine: Int): String =
+    s"""${sqAdcCoreSql(qid)},
+       |cand AS (SELECT vec_id FROM scored ORDER BY d, vec_id LIMIT ${k * refine})
+       |SELECT e.vec_id, round(${VectorQueries.l2Sql("e.embedding", "q.qv")}, 3) AS dist
+       |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+       |ORDER BY ${VectorQueries.l2Sql("e.embedding", "q.qv")}, e.vec_id LIMIT $k""".stripMargin
 
   /** PQ init-codebook ADC pipeline (encode candidates, rank by
     * asymmetric distance, top-10): `subFrom` supplies the FROM/JOIN
@@ -1843,6 +1873,8 @@ object IndexQueries {
       Some(pqRefinedOracleSql(78, k = 5, refine = 4))),
     QueryDef("q_vectordb_batch_refined", qVectordbBatchRefined,
       Some(pqBatchRefinedOracleSql("vec_id >= 79 AND vec_id < 82", k = 5, refine = 4))),
+    QueryDef("q_vectordb_sq_refined", qVectordbSqRefined,
+      Some(sqRefinedOracleSql(82, k = 5, refine = 4))),
     QueryDef("q_vectordb_sq", qVectordbSq, Some(sqOracleSql(54))),
     QueryDef("q_vectordb_pq_persisted", qVectordbPqPersisted,
       Some(pqTrainedOracleSql(60))),

@@ -54,7 +54,7 @@ EMB_QUERIES = {
     "q_vectordb_stream", "q_vectordb_dot", "q_vectordb_compact",
     "q_vectordb_stats", "q_vectordb_batch_dot", "q_vectordb_dot_persisted",
     "q_vectordb_range_cosine", "q_vectordb_pq_refined",
-    "q_vectordb_batch_refined",
+    "q_vectordb_batch_refined", "q_vectordb_sq_refined",
 }
 
 
