@@ -87,9 +87,27 @@ object Bench {
     // comparison needs; the full per-query detail (raw times, rows,
     // shuffle bytes) always lands in the detail file.
     val lineBudget = 1850
+    // the errors object rides in the uncapped head, so IT must fit the
+    // budget too: a run with many failing queries would otherwise push
+    // the whole line past the capture's tail window exactly when the
+    // error detail matters — keep the first errors verbatim and
+    // truncate the rest to a count (full detail is in the file)
+    val errsCapped = {
+      val entries = errors.toSeq.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      val errBudget = 600
+      var used = 0
+      val kept = entries.takeWhile { e =>
+        val fits = used + e.length + 1 <= errBudget
+        if (fits) used += e.length + 1
+        fits
+      }
+      val dropped = entries.size - kept.size
+      val tail = if (dropped > 0) Seq(s"\"_truncated\":\"+$dropped more\"") else Nil
+      (kept ++ tail).mkString("{", ",", "}")
+    }
     val head =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_timed":${results.size},""" +
-        s""""errors":$errs,"sf":"${new java.io.File(sfDir).getName}",""" +
+        s""""errors":$errsCapped,"sf":"${new java.io.File(sfDir).getName}",""" +
         s""""detail":"/tmp/graft_bench.json","queries":{"""
     var used = head.length + 2 // closing "}}"
     val picked = scala.collection.mutable.ArrayBuffer[(String, Double)]()

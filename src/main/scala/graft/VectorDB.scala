@@ -76,6 +76,13 @@ final class VectorDB private (
     * index is rebuilt. The no-index arm serves exact search under this
     * metric instead. */
   private var intendedMetric: String = Knn.L2
+  /** Build-time shape knobs, recorded so metric-preserving rebuilds
+    * (a norm-expanding add on a dot handle retrains the whole serving
+    * state) replay the USER's configuration — cell count, iteration
+    * budget, codebook shape — instead of library defaults. */
+  private var ivfBuildParams: Option[(Int, Int)] = None
+  private var pqBuildParams: Option[(Int, Int, Int, Int, Int)] = None
+  private var sqBuildParams: Option[(Int, Int)] = None
 
   /** Cells probed per query when an IVF router is trained. */
   var nprobe: Int = 3
@@ -115,6 +122,31 @@ final class VectorDB private (
     * handles serve ADC and report false here. */
   def hasIndex: Boolean = index.isDefined
 
+  /** Release and clear every piece of cached serving state — called at
+    * the top of each buildIndex* so a rebuild can never leave a
+    * superseded generation pinned in the executor cache (a long-lived
+    * handle that rebuilds N times would otherwise hold N dead index
+    * datasets at MEMORY_AND_DISK), and so stale routers/metrics can't
+    * leak into the new configuration. Rebuilds read only the corpus,
+    * never the old index, so the release is safe before the new build
+    * materializes. */
+  private def dropServingState(): Unit = {
+    index.foreach(_.unpersist(blocking = false))
+    pqState.foreach(_._1.unpersist(blocking = false))
+    sqState.foreach(_._1.unpersist(blocking = false))
+    index = None
+    pqState = None
+    sqState = None
+    ivfModel = None
+    indexMetric = Knn.L2
+    intendedMetric = Knn.L2
+    mipsMaxNormSq = None
+    servedPayloadCols = Nil
+    ivfBuildParams = None
+    pqBuildParams = None
+    sqBuildParams = None
+  }
+
   /** Build the ANN index over an optional contiguous id range
     * (`src/lib.rs:336-341`); partitioning routes vectors into
     * `numParts` IVF-style cells by id hash unless a partition column is
@@ -122,6 +154,11 @@ final class VectorDB private (
   def buildIndex(startId: Long = Long.MinValue, endId: Long = Long.MaxValue,
       numParts: Int = 16, partCol: Option[String] = None,
       payloadCols: Seq[String] = Nil): Dataset[HnswIndex.IndexRow] = {
+    // a plain rebuild replaces whatever was there: release the
+    // superseded cache and reset router/metric, or search() would
+    // dispatch to the cosine arm (and route through a stale unit-space
+    // model) against an L2 hash-partitioned graph
+    dropServingState()
     val ranged = vectors.filter(col(idCol) >= startId && col(idCol) < endId)
     val parted = partCol match {
       case Some(c) => ranged.withColumn("part", col(c).cast("int"))
@@ -133,16 +170,6 @@ final class VectorDB private (
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     index = Some(built)
     servedPayloadCols = payloadCols
-    // a plain rebuild replaces whatever was there: clear the IVF router
-    // and reset the metric, or search() would dispatch to the cosine
-    // arm (and route through a stale unit-space model) against an L2
-    // hash-partitioned graph
-    ivfModel = None
-    indexMetric = Knn.L2
-    intendedMetric = Knn.L2
-    mipsMaxNormSq = None
-    pqState = None
-    sqState = None
     built
   }
 
@@ -159,6 +186,70 @@ final class VectorDB private (
   private def mipsAugment(v: org.apache.spark.sql.Column, maxNormSq: Double) =
     concat(v.cast("array<float>"),
       array(sqrt(greatest(lit(0.0d), lit(maxNormSq) - dotNative(v, v))).cast("float")))
+
+  /** Zero-pad a `from`-wide vector column to `width`: PQ subspaces must
+    * divide the encoded width, and zero pads are metric-neutral — the
+    * query pads with zeros too, so every padded dim contributes 0 to
+    * any distance. */
+  private def zeroPad(v: org.apache.spark.sql.Column, width: Int, from: Int) =
+    if (width == from) v else concat(v, array_repeat(lit(0.0f), width - from))
+
+  /** The corpus mapped into `metric`'s serving space — the shared
+    * preprocessing behind the HNSW AND compressed (PQ/SQ) builds:
+    * unit-normalize for cosine (L2 ranking on unit vectors = cosine
+    * ranking), norm-augment for dot ([[mipsAugment]] — captures
+    * [[mipsMaxNormSq]]; one max-norm aggregate, then a map-only
+    * extension), raw for L2. `width` > the mapped dimensionality adds
+    * zero pads (PQ divisibility). */
+  private def reducedCorpus(metric: String, width: Int): DataFrame = metric match {
+    case Knn.Cosine => vectors.withColumn(vecCol, l2Normalize(col(vecCol)))
+    case Knn.Dot =>
+      // nullable read: agg(max(...)) over an EMPTY corpus yields null,
+      // and an empty dot build must behave like every other metric's
+      // (no rows, no geometry) instead of NPEing
+      val row = vectors.agg(max(dotNative(col(vecCol), col(vecCol)))).head()
+      val m2 = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      mipsMaxNormSq = Some(m2)
+      vectors.withColumn(vecCol, zeroPad(mipsAugment(col(vecCol), m2), width, dims + 1))
+    case _ => vectors
+  }
+
+  /** A raw query vector mapped into the compressed index's serving
+    * space, driver-side — the float-exact mirror of [[reducedCorpus]]'s
+    * per-row map (same double accumulation order, same double→float
+    * rounding as [[graft.functions.VectorFunctions.l2Normalize]] /
+    * [[mipsAugment]]'s query side), so probe selection and ADC
+    * distances are bit-identical to an engine-side reduction. */
+  private def reduceQueryVec(q: Seq[Float]): Array[Float] = indexMetric match {
+    case Knn.Cosine =>
+      val a = q.toArray
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0.0) a else a.map(x => (x.toDouble / n).toFloat)
+    case Knn.Dot =>
+      // 0-extend over the augmentation dim and any PQ zero pad: the
+      // query's augmentation coordinate is 0 by the reduction
+      q.toArray.padTo(codesWidth, 0.0f)
+    case _ => q.toArray
+  }
+
+  /** The width vectors were encoded at (augmentation + pads included). */
+  private def codesWidth: Int =
+    pqState.map { case (_, m) => m.numSub * m.subDim }
+      .orElse(sqState.map(_._2.length))
+      .getOrElse(if (indexMetric == Knn.Dot) dims + 1 else dims)
+
+  /** Exact distance under this handle's intended metric — what refine
+    * passes and exact arms re-score with on the RAW vectors. */
+  private def exactDist(vc: org.apache.spark.sql.Column,
+      qc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    intendedMetric match {
+      case Knn.Cosine => lit(1.0d) - cosineNative(vc, qc)
+      case Knn.Dot    => -dotNative(vc, qc)
+      case _          => l2SqNative(vc, qc)
+    }
 
   /** Build the ANN index with a trained IVF coarse quantizer: k-means
     * cells become the HNSW partitions, so graph neighborhoods are
@@ -181,15 +272,8 @@ final class VectorDB private (
   def buildIndexIvf(numCells: Int = 16, iters: Int = 5,
       metric: String = Knn.L2,
       payloadCols: Seq[String] = Nil): Dataset[HnswIndex.IndexRow] = {
-    val src = metric match {
-      case Knn.Cosine => vectors.withColumn(vecCol, l2Normalize(col(vecCol)))
-      case Knn.Dot =>
-        val m2 = vectors
-          .agg(max(dotNative(col(vecCol), col(vecCol)))).head().getDouble(0)
-        mipsMaxNormSq = Some(m2)
-        vectors.withColumn(vecCol, mipsAugment(col(vecCol), m2))
-      case _ => vectors
-    }
+    dropServingState()
+    val src = reducedCorpus(metric, if (metric == Knn.Dot) dims + 1 else dims)
     val model = IvfIndex.train(src, numCells, iters, idCol, vecCol)
     val parted = IvfIndex.assign(src, model, idCol, vecCol)
       .withColumn("part", col("cell"))
@@ -200,9 +284,7 @@ final class VectorDB private (
     ivfModel = Some(model)
     indexMetric = metric
     intendedMetric = metric
-    if (metric != Knn.Dot) mipsMaxNormSq = None
-    pqState = None
-    sqState = None
+    ivfBuildParams = Some((numCells, iters))
     built
   }
 
@@ -216,41 +298,57 @@ final class VectorDB private (
     * this handle (extension — the reference stores raw f32 only,
     * `/root/reference/src/disk_store.rs:7-11`). */
   def buildIndexPq(numCells: Int = 16, routerIters: Int = 1, numSub: Int = 8,
-      codebookK: Int = 16, pqIters: Int = 0): DataFrame = {
-    val router = IvfIndex.train(vectors, numCells, routerIters, idCol, vecCol)
-    val model = ProductQuantizer.train(vectors, numSub, codebookK, pqIters, idCol, vecCol)
-    val codes = IvfIndex.assign(vectors, router, idCol, vecCol)
+      codebookK: Int = 16, pqIters: Int = 0, metric: String = Knn.L2,
+      payloadCols: Seq[String] = Nil): DataFrame = {
+    dropServingState()
+    // PQ subspaces must divide the encoded width: the dot reduction
+    // adds one augmentation dim, so pad to the next numSub multiple
+    val width = metric match {
+      case Knn.Dot => ((dims + 1 + numSub - 1) / numSub) * numSub
+      case _ =>
+        require(dims % numSub == 0, s"numSub=$numSub must divide dims=$dims")
+        dims
+    }
+    val src = reducedCorpus(metric, width)
+    val router = IvfIndex.train(src, numCells, routerIters, idCol, vecCol)
+    val model = ProductQuantizer.train(src, numSub, codebookK, pqIters, idCol, vecCol)
+    val codes = IvfIndex.assign(src, router, idCol, vecCol)
       .select(col(idCol), col("cell"),
-        ProductQuantizer.encodeExpr(col(vecCol), model).as("codes"))
+        ProductQuantizer.encodeExpr(col(vecCol), model).as("codes"),
+        payExpr(payloadCols).as("payload"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    index = None
     ivfModel = Some(router)
-    indexMetric = Knn.L2
-    intendedMetric = Knn.L2
-    mipsMaxNormSq = None
+    indexMetric = metric
+    intendedMetric = metric
+    servedPayloadCols = payloadCols
     pqState = Some((codes, model))
-    sqState = None
+    pqBuildParams = Some((numCells, routerIters, numSub, codebookK, pqIters))
     codes
   }
 
   /** Build the int8 scalar-quantized serving configuration: per-dim
     * bounds trained from the corpus, byte codes 4× smaller than f32,
     * routed ADC ranking within probed cells (see [[buildIndexPq]] for
-    * the serving shape). */
-  def buildIndexSq(numCells: Int = 16, routerIters: Int = 1): DataFrame = {
-    val router = IvfIndex.train(vectors, numCells, routerIters, idCol, vecCol)
-    val (lo, hi) = ScalarQuantizer.bounds(ScalarQuantizer.train(vectors, vecCol))
-    val codes = IvfIndex.assign(vectors, router, idCol, vecCol)
+    * the serving shape; `metric` selects the same cosine/dot
+    * reductions). */
+  def buildIndexSq(numCells: Int = 16, routerIters: Int = 1,
+      metric: String = Knn.L2, payloadCols: Seq[String] = Nil): DataFrame = {
+    dropServingState()
+    val src = reducedCorpus(metric, if (metric == Knn.Dot) dims + 1 else dims)
+    val router = IvfIndex.train(src, numCells, routerIters, idCol, vecCol)
+    val (lo, hi) = ScalarQuantizer.bounds(ScalarQuantizer.train(src, vecCol))
+    val codes = IvfIndex.assign(src, router, idCol, vecCol)
       .select(col(idCol), col("cell"),
-        ScalarQuantizer.encodeExpr(col(vecCol), lo, hi).as("codes"))
+        ScalarQuantizer.encodeExpr(col(vecCol), lo, hi).as("codes"),
+        payExpr(payloadCols).as("payload"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    index = None
     ivfModel = Some(router)
-    indexMetric = Knn.L2
-    intendedMetric = Knn.L2
-    mipsMaxNormSq = None
+    indexMetric = metric
+    intendedMetric = metric
+    servedPayloadCols = payloadCols
     pqState = None
     sqState = Some((codes, lo, hi))
+    sqBuildParams = Some((numCells, routerIters))
     codes
   }
 
@@ -270,31 +368,38 @@ final class VectorDB private (
     * through the trained router when one exists (the same id-hash rule
     * as [[buildIndex]] otherwise), unit-normalized first under the
     * cosine metric, and must carry the build-time payload columns.
-    * Compressed (PQ/SQ) handles still derive index-less — codes are a
-    * one-shot global encode; re-encode via [[buildIndexPq]]/
-    * [[buildIndexSq]]. */
+    * Compressed (PQ/SQ) handles carry their codes MAINTAINED too: the
+    * batch encodes with the existing model and appends cell-assigned
+    * codes rows — the resident codes never re-encode — so one appended
+    * row keeps ADC serving instead of degrading to brute force. */
   def add(newRows: DataFrame): VectorDB = {
     val keep = (Seq(idCol, vecCol) ++ servedPayloadCols).map(col)
     val db = tuned(new VectorDB(raw.select(keep: _*)
       .unionByName(newRows.select(keep: _*)), dims, params, idCol, vecCol))
-    if (pqState.isEmpty && sqState.isEmpty && index.isDefined &&
-        indexMetric == Knn.Dot) {
+    val servesDot = intendedMetric == Knn.Dot &&
+      (index.isDefined || pqState.isDefined || sqState.isDefined)
+    if (servesDot) {
       val m2 = mipsMaxNormSq.getOrElse(
         throw new IllegalStateException("dot index without its captured max norm"))
-      val batchM2 = newRows
-        .agg(max(dotNative(col(vecCol), col(vecCol)))).head().getDouble(0)
+      // nullable read: an EMPTY batch aggregates max to null, and a
+      // no-op add must neither NPE nor trigger a rebuild
+      val bRow = newRows.agg(max(dotNative(col(vecCol), col(vecCol)))).head()
+      val batchM2 =
+        if (bRow.isNullAt(0)) Double.NegativeInfinity else bRow.getDouble(0)
       if (batchM2 > m2) {
         // norm-expanding add: every existing extension references the
         // build-time M, so the augmentation geometry is global — a
-        // batch that raises the max norm rebuilds the dot index under
-        // the new M instead of maintaining incrementally (clamping
+        // batch that raises the max norm rebuilds the dot serving
+        // state under the new M (replaying the RECORDED build shape —
+        // cell count, iteration budget, codebook shape — not library
+        // defaults) instead of maintaining incrementally (clamping
         // instead would bury the new vectors in augmented space)
-        db.buildIndexIvf(
-          numCells = ivfModel.map(_.centroids.length).getOrElse(16),
-          iters = 1, metric = Knn.Dot, payloadCols = servedPayloadCols)
+        rebuildOnto(db)
         return db
       }
     }
+    if (pqState.isDefined || sqState.isDefined)
+      return maintainedCodes(db, codesTable.unionByName(encodeBatch(newRows)))
     maintained(db) { idx =>
       val src = indexMetric match {
         case Knn.Cosine => newRows.withColumn(vecCol, l2Normalize(col(vecCol)))
@@ -318,18 +423,94 @@ final class VectorDB private (
     }
   }
 
+  /** Replay this handle's RECORDED build configuration onto a derived
+    * handle (the rebuild arm of norm-expanding dot adds): same cell
+    * count, iteration budget, codebook shape, metric, and payload
+    * columns the user chose. The rebuild reads only the derived
+    * corpus, so the parent's superseded cache releases immediately. */
+  private def rebuildOnto(db: VectorDB): Unit = {
+    if (pqState.isDefined) {
+      val (nc, ri, ns, ck, pi) = pqBuildParams.getOrElse((16, 1, 8, 16, 0))
+      db.buildIndexPq(nc, ri, ns, ck, pi, metric = intendedMetric,
+        payloadCols = servedPayloadCols)
+    } else if (sqState.isDefined) {
+      val (nc, ri) = sqBuildParams.getOrElse((16, 1))
+      db.buildIndexSq(nc, ri, metric = intendedMetric,
+        payloadCols = servedPayloadCols)
+    } else {
+      val (nc, it) = ivfBuildParams.getOrElse((ivfModel.map(_.k).getOrElse(16), 1))
+      db.buildIndexIvf(nc, it, metric = intendedMetric,
+        payloadCols = servedPayloadCols)
+    }
+    index.foreach(_.unpersist(blocking = false))
+    pqState.foreach(_._1.unpersist(blocking = false))
+    sqState.foreach(_._1.unpersist(blocking = false))
+  }
+
+  /** Encode an incoming batch with the EXISTING compressed model:
+    * reduce into the index's serving space, route through the trained
+    * router, emit codes rows in the served schema. Only the batch
+    * encodes — the resident codes pass through [[maintainedCodes]]
+    * untouched (the dirty-work-only contract
+    * [[graft.index.HnswIndex.addBatch]] keeps for graphs). */
+  private def encodeBatch(newRows: DataFrame): DataFrame = {
+    val keep = (Seq(idCol, vecCol) ++ servedPayloadCols).map(col)
+    val rows = newRows.select(keep: _*)
+    val reduced = indexMetric match {
+      case Knn.Cosine => rows.withColumn(vecCol, l2Normalize(col(vecCol)))
+      // build-time max norm: norm-expanding batches take the rebuild
+      // arm in [[add]] before reaching here
+      case Knn.Dot => rows.withColumn(vecCol,
+        zeroPad(mipsAugment(col(vecCol), mipsMaxNormSq.getOrElse(
+          throw new IllegalStateException("dot codes without their captured max norm"))),
+          codesWidth, dims + 1))
+      case _ => rows
+    }
+    val router = ivfModel.getOrElse(throw new IllegalStateException(
+      "compressed serving requires the trained router"))
+    val enc = pqState
+      .map { case (_, m) => ProductQuantizer.encodeExpr(col(vecCol), m) }
+      .orElse(sqState.map { case (_, lo, hi) =>
+        ScalarQuantizer.encodeExpr(col(vecCol), lo, hi) })
+      .get
+    IvfIndex.assign(reduced, router, idCol, vecCol)
+      .select(col(idCol), col("cell"), enc.as("codes"),
+        payExpr(servedPayloadCols).as("payload"))
+  }
+
+  /** Carry this handle's compressed serving state onto a derived
+    * handle with `newCodes` as its codes table: the new generation
+    * persists and MATERIALIZES, then the superseded codes release — a
+    * churn chain pins one live generation, never the whole history. */
+  private def maintainedCodes(db: VectorDB, newCodes: DataFrame): VectorDB = {
+    val next = newCodes
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    next.count()
+    codesTable.unpersist(blocking = false)
+    db.pqState = pqState.map { case (_, m) => (next, m) }
+    db.sqState = sqState.map { case (_, lo, hi) => (next, lo, hi) }
+    db.indexMetric = indexMetric
+    db.ivfModel = ivfModel
+    db.mipsMaxNormSq = mipsMaxNormSq
+    db
+  }
+
   /** Remove rows by id (extension — the reference is append-only): the
     * removal set is small by contract and broadcasts into an anti-join,
     * so the lineage stays one narrow pass over the table. When this
     * handle serves an HNSW index (and no compressed state), the derived
     * handle carries the index maintained incrementally
     * ([[graft.index.HnswIndex.removeBatch]] — only cells that held a
-    * removed id rebuild); otherwise it derives index-less. Absent ids
-    * are a no-op, mirroring `removeBatch`'s idempotence. */
+    * removed id rebuild); compressed (PQ/SQ) handles carry their codes
+    * pruned by the same anti-join; otherwise it derives index-less.
+    * Absent ids are a no-op, mirroring `removeBatch`'s idempotence. */
   def remove(ids: DataFrame): VectorDB = {
     val db = tuned(new VectorDB(
       raw.join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti"),
       dims, params, idCol, vecCol))
+    if (pqState.isDefined || sqState.isDefined)
+      return maintainedCodes(db, codesTable
+        .join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti"))
     maintained(db)(idx => HnswIndex.removeBatch(idx, ids, params, idCol))
   }
 
@@ -356,6 +537,10 @@ final class VectorDB private (
       "compact requires a built HNSW index — call buildIndex/buildIndexIvf first"))
     val compacted = HnswIndex.compact(idx, params, minCellSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the compacted generation, then release the
+    // superseded one — a defrag must shrink the cache, not double it
+    compacted.count()
+    idx.unpersist(blocking = false)
     val db = tuned(new VectorDB(raw, dims, params, idCol, vecCol))
     db.sourcePath = sourcePath
     db.index = Some(compacted)
@@ -417,13 +602,19 @@ final class VectorDB private (
 
   /** Carries this handle's index — incrementally updated by `f` — onto
     * a derived handle, together with the serving state the index arm
-    * needs (metric, router). No-op for index-less and compressed
-    * handles. */
+    * needs (metric, router). The new generation persists and
+    * MATERIALIZES (its lineage reads the old one), then the superseded
+    * generation releases — without this every add/remove in a churn
+    * chain pins another dead index at MEMORY_AND_DISK. No-op for
+    * index-less and compressed handles. */
   private def maintained(db: VectorDB)(
       f: Dataset[HnswIndex.IndexRow] => Dataset[HnswIndex.IndexRow]): VectorDB = {
     if (pqState.isEmpty && sqState.isEmpty) index.foreach { idx =>
-      db.index = Some(f(idx)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val next = f(idx)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      idx.unpersist(blocking = false)
+      db.index = Some(next)
       db.indexMetric = indexMetric
       db.ivfModel = ivfModel
       db.mipsMaxNormSq = mipsMaxNormSq
@@ -439,6 +630,9 @@ final class VectorDB private (
     db.efSearch = efSearch
     db.adaptiveAlpha = adaptiveAlpha
     db.intendedMetric = intendedMetric
+    db.ivfBuildParams = ivfBuildParams
+    db.pqBuildParams = pqBuildParams
+    db.sqBuildParams = sqBuildParams
     // remove-derived handles keep every corpus column, so exact-arm
     // searchWhere can still pack the declared payload attributes
     // (add-derived handles keep only id+vec — a payload predicate
@@ -472,9 +666,9 @@ final class VectorDB private (
     * the predicate is evaluated in the index-scan stage
     * ([[HnswIndex.search]]'s `candidateFilter`); on the exact arm the
     * SAME payload map is packed on the fly from the build-time
-    * columns, so a predicate means the same thing on both arms.
-    * Compressed (PQ/SQ) serving supports `vector_id` predicates only —
-    * codes carry no payload. */
+    * columns; compressed (PQ/SQ) serving evaluates it on the payload
+    * map its codes rows packed at build — so a predicate means the
+    * same thing on every arm. */
   def searchWhere(queryVec: Seq[Float], k: Int,
       pred: org.apache.spark.sql.Column): DataFrame =
     searchImpl(queryVec, k, Some(pred))
@@ -486,7 +680,10 @@ final class VectorDB private (
     * with exact L2² on the raw vectors through a pushed-down In(id)
     * scan — row-group pruning at scale, never a corpus re-scan. The
     * codes table still bounds what search scans; the exact pass
-    * touches k·refine rows. Requires compressed (PQ/SQ) serving. */
+    * touches k·refine rows. The re-score runs in the HANDLE's metric
+    * (raw L2² / 1−cosine / −dot), so a cosine or dot compressed handle
+    * refines to its own exact ranking. Requires compressed (PQ/SQ)
+    * serving. */
   def searchRefined(queryVec: Seq[Float], k: Int, refine: Int = 4): DataFrame = {
     if (pqState.isEmpty && sqState.isEmpty)
       throw new IllegalStateException(
@@ -494,7 +691,7 @@ final class VectorDB private (
     val cand = searchImpl(queryVec, k * refine, None)
       .select(col(idCol)).collect().map(_.getLong(0))
     vectors.filter(col(idCol).isin(cand.toSeq: _*))
-      .select(col(idCol), l2SqNative(col(vecCol), vecLit(queryVec)).as("dist"))
+      .select(col(idCol), exactDist(col(vecCol), vecLit(queryVec)).as("dist"))
       .orderBy(col("dist").asc, col(idCol).asc)
       .limit(k)
   }
@@ -520,7 +717,7 @@ final class VectorDB private (
       .select(col(idCol), col(vecCol))
       .join(broadcast(cand), Seq(idCol))
       .join(broadcast(q), Seq("qid"))
-      .select(col("qid"), col(idCol), l2SqNative(col(vecCol), col("qv")).as("dist"))
+      .select(col("qid"), col(idCol), exactDist(col(vecCol), col("qv")).as("dist"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("int").as("rank"), col(idCol), col("dist"))
@@ -554,9 +751,6 @@ final class VectorDB private (
     val q = queries.select(
       col(qidCol).cast("long").as("qid"), col(qvecCol).cast("array<float>").as("qv"))
     if (pqState.isDefined || sqState.isDefined) {
-      if (pred.exists(referencesPayload))
-        throw new IllegalStateException(
-          "payload predicates require an HNSW index or exact serving — compressed codes carry no payload")
       adcServeBatch(q, k, pred)
     } else index match {
       case Some(idx) if indexMetric == Knn.Cosine || indexMetric == Knn.Dot =>
@@ -581,6 +775,12 @@ final class VectorDB private (
   private def codesTable: DataFrame =
     pqState.map(_._1).orElse(sqState.map(_._1)).get
 
+  /** The served codes table, when compressed — package-private so the
+    * specs can assert maintenance shape (appended codes must reuse the
+    * cached parent generation, never re-encode the resident corpus). */
+  private[graft] def servedCodes: Option[DataFrame] =
+    pqState.map(_._1).orElse(sqState.map(_._1))
+
   /** Asymmetric (ADC) distance of each codes row to the full-precision
     * query column `qv` — the query never quantizes, only the corpus. */
   private def adcDist(qv: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -589,11 +789,14 @@ final class VectorDB private (
         ScalarQuantizer.adcL2Sq(col("codes"), qv, lo, hi) })
       .get
 
-  /** Batch ADC serving: route every query to its nprobe cells through
-    * the driver-resident router, restrict the codes scan to the union
-    * of probed cells (prunable predicate), broadcast the per-qid probe
-    * pairs + query vectors, rank by ADC with the bounded-heap top-k
-    * (map-side partial — the shuffle carries O(q·k) rows). */
+  /** Batch ADC serving: map every query into the index's serving space
+    * (driver-side — [[reduceQueryVec]]), route it to its nprobe cells
+    * through the driver-resident router, restrict the codes scan to
+    * the union of probed cells (prunable predicate), broadcast the
+    * per-qid probe pairs + REDUCED query vectors, rank by ADC with the
+    * bounded-heap top-k (map-side partial — the shuffle carries O(q·k)
+    * rows). Payload predicates evaluate on the payload map the codes
+    * rows carry from build. */
   private def adcServeBatch(q: DataFrame, k: Int,
       pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val spark = vectors.sparkSession
@@ -601,17 +804,19 @@ final class VectorDB private (
     val router = ivfModel.getOrElse(throw new IllegalStateException(
       "compressed serving requires the trained router"))
     val qRows = q.as[(Long, Array[Float])].collect()
+      .map { case (qid, qv) => (qid, reduceQueryVec(qv.toSeq)) }
     val probePairs = qRows.flatMap { case (qid, qv) =>
       router.probeOrder(qv).take(nprobe).map(c => (qid, c))
     }.toSeq
     val probesDF = probePairs.toDF("qid", "cell")
+    val qReduced = qRows.toSeq.toDF("qid", "qv")
     val topk = TopK.topK(k)
     val scoped = codesTable
       .filter(col("cell").isin(probePairs.map(_._2).distinct: _*))
     pred.map(p => scoped.withColumn("vector_id", col(idCol)).filter(p))
       .getOrElse(scoped)
       .join(broadcast(probesDF), Seq("cell"))
-      .join(broadcast(q), Seq("qid"))
+      .join(broadcast(qReduced), Seq("qid"))
       .select(col("qid"), col(idCol), adcDist(col("qv")).as("dist"))
       .groupBy(col("qid"))
       .agg(topk(col("dist"), col(idCol)).as("hits"))
@@ -620,38 +825,33 @@ final class VectorDB private (
         col("hit._2").as(idCol), col("hit._1").as("dist"))
   }
 
-  /** The payload map for the EXACT arm, packed on the fly from the
-    * build-time payload columns — identical shape to the map the index
-    * rows carry, so [[searchWhere]] predicates are arm-agnostic. */
-  private def exactPayExpr: org.apache.spark.sql.Column =
-    if (servedPayloadCols.nonEmpty)
+  /** The payload attribute map packed from `cols` — one shape across
+    * every arm (index rows, codes rows, and the exact arm's on-the-fly
+    * packing), so [[searchWhere]] predicates are arm-agnostic. */
+  private def payExpr(cols: Seq[String]): org.apache.spark.sql.Column =
+    if (cols.nonEmpty)
       map_from_arrays(
-        array(servedPayloadCols.map(lit): _*),
-        array(servedPayloadCols.map(c => col(c).cast("string")): _*))
+        array(cols.map(lit): _*),
+        array(cols.map(c => col(c).cast("string")): _*))
     else typedLit(Map.empty[String, String])
 
-  /** True if `pred` references the payload column (compressed codes
-    * can't serve those — they carry no payload). Spark 4 Columns are
-    * ColumnNode-backed (the catalyst tree only materializes inside a
-    * session), so the check reads the column's rendering — a
-    * word-bounded match keeps `payload_x` attributes out. */
-  private def referencesPayload(pred: org.apache.spark.sql.Column): Boolean =
-    "\\bpayload\\b".r.findFirstIn(pred.toString).isDefined
+  /** The payload map for the EXACT arm, packed on the fly from the
+    * build-time payload columns. */
+  private def exactPayExpr: org.apache.spark.sql.Column =
+    payExpr(servedPayloadCols)
 
   private def searchImpl(queryVec: Seq[Float], k: Int,
       pred: Option[org.apache.spark.sql.Column]): DataFrame =
     if (pqState.isDefined || sqState.isDefined) {
-      if (pred.exists(referencesPayload))
-        throw new IllegalStateException(
-          "payload predicates require an HNSW index or exact serving — compressed codes carry no payload")
       val router = ivfModel.getOrElse(throw new IllegalStateException(
         "compressed serving requires the trained router"))
-      val probes = router.probeOrder(queryVec.toArray).take(nprobe).toSeq
+      val rq = reduceQueryVec(queryVec)
+      val probes = router.probeOrder(rq).take(nprobe).toSeq
       val probed = codesTable.filter(col("cell").isin(probes: _*))
       val base = pred
         .map(p => probed.withColumn("vector_id", col(idCol)).filter(p))
         .getOrElse(probed)
-      base.select(col(idCol), adcDist(vecLit(queryVec)).as("dist"))
+      base.select(col(idCol), adcDist(vecLit(rq.toSeq)).as("dist"))
         .orderBy(col("dist").asc, col(idCol).asc)
         .limit(k)
     } else index match {
@@ -735,6 +935,9 @@ final class VectorDB private (
       s"payloadCols=${servedPayloadCols.mkString(",")}",
       s"adaptiveAlpha=${adaptiveAlpha.map(_.toString).getOrElse("")}",
       s"mipsMaxNormSq=${mipsMaxNormSq.map(_.toString).getOrElse("")}",
+      s"ivfParams=${ivfBuildParams.map { case (a, b) => s"$a,$b" }.getOrElse("")}",
+      s"pqParams=${pqBuildParams.map { case (a, b, c, d, e) => s"$a,$b,$c,$d,$e" }.getOrElse("")}",
+      s"sqParams=${sqBuildParams.map { case (a, b) => s"$a,$b" }.getOrElse("")}",
       s"hasRouter=${ivfModel.isDefined}").mkString("", "\n", "\n")
     val p = new org.apache.hadoop.fs.Path(path, "graft_meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -876,10 +1079,19 @@ object VectorDB {
       db.index = Some(HnswIndex.load(spark, s"$path/index"))
     db.servedPayloadCols =
       meta.getOrElse("payloadCols", "").split(",").filter(_.nonEmpty).toSeq
+    // pre-r9 codes parquets carry no payload column — restore an empty
+    // map so the served schema is uniform
+    def codesCompat(): DataFrame = {
+      val raw = spark.read.parquet(s"$path/codes")
+      val pay =
+        if (raw.columns.contains("payload")) col("payload")
+        else typedLit(Map.empty[String, String]).as("payload")
+      raw.select(col(meta("idCol")), col("cell").cast("int").as("cell"),
+        col("codes"), pay)
+    }
     meta.getOrElse("compressed", "none") match {
       case "pq" =>
-        val codes = spark.read.parquet(s"$path/codes")
-          .select(col(meta("idCol")), col("cell").cast("int").as("cell"), col("codes"))
+        val codes = codesCompat()
         val rows = spark.read.parquet(s"$path/pq")
           .select(col("m").cast("int"), col("j").cast("int"),
             col("v").cast("array<double>"))
@@ -888,8 +1100,7 @@ object VectorDB {
           .map { case (_, js) => js.sortBy(_._2).map(_._3) }
         db.pqState = Some((codes, ProductQuantizer.Model(books)))
       case "sq" =>
-        val codes = spark.read.parquet(s"$path/codes")
-          .select(col(meta("idCol")), col("cell").cast("int").as("cell"), col("codes"))
+        val codes = codesCompat()
         val rows = spark.read.parquet(s"$path/sq")
           .select(col("pos").cast("int"), col("lo"), col("hi"))
           .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
@@ -915,6 +1126,11 @@ object VectorDB {
     db.efSearch = meta("efSearch").toInt
     db.adaptiveAlpha = meta.get("adaptiveAlpha").filter(_.nonEmpty).map(_.toDouble)
     db.mipsMaxNormSq = meta.get("mipsMaxNormSq").filter(_.nonEmpty).map(_.toDouble)
+    def ints(key: String): Option[Array[Int]] =
+      meta.get(key).filter(_.nonEmpty).map(_.split(",").map(_.toInt))
+    db.ivfBuildParams = ints("ivfParams").map(a => (a(0), a(1)))
+    db.pqBuildParams = ints("pqParams").map(a => (a(0), a(1), a(2), a(3), a(4)))
+    db.sqBuildParams = ints("sqParams").map(a => (a(0), a(1)))
     db
   }
 }

@@ -108,8 +108,9 @@ object RelationalQueries {
   def qEventsSessions(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     // gaps compare in exact epoch micros on both engines (the
-    // normalized ts is micros precision; the oracle's epoch_ns gap
-    // threshold is the same cut at 1000× scale) — no ambiguity.
+    // normalized ts is micros precision; the oracle truncates
+    // epoch_ns // 1000 to the same micros before the cut) — no
+    // ambiguity even if the fixture reverts to nanos precision.
     EventsFixture.events(s, dir)
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
@@ -250,12 +251,18 @@ object RelationalQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
+    // gaps cut at MICROS on both engines (epoch_ns // 1000 = the same
+    // truncation normalizeTs applies), and the window orders by the
+    // truncated value too — a fixture revert to nanos precision can't
+    // diverge the two engines at the 1800 s boundary or on sub-µs
+    // event orderings (same convention as q_stream_sessions)
     QueryDef("q_events_sessions", qEventsSessions, Some(
-      """WITH g AS (SELECT user_id, event_id,
-        |  epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
-        |  FROM events)
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |g AS (SELECT user_id, event_id,
+        |  us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+        |  FROM e)
         |SELECT user_id,
-        |  CAST(sum(CASE WHEN gap IS NULL OR gap <= CAST(1800 AS BIGINT) * 1000000000 THEN 0 ELSE 1 END) + 1 AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN gap IS NULL OR gap <= CAST(1800 AS BIGINT) * 1000000 THEN 0 ELSE 1 END) + 1 AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
   )

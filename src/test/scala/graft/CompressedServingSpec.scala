@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.HnswParams
+import graft.operators.Knn
+
+/** Compressed (PQ/SQ) serving under the cosine and dot metrics, the
+  * incremental codes maintenance that keeps add/remove on ADC serving,
+  * and the cache hygiene contract (superseded serving generations must
+  * release — a churn chain pins ONE live generation, never its
+  * history). Complements the oracle gates: q_vectordb_pq_cosine,
+  * q_vectordb_sq_dot, q_vectordb_pq_add, q_vectordb_sq_remove. */
+class CompressedServingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val P = HnswParams(16, 32)
+  private lazy val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+  private def qvOf(id: Long): Seq[Float] =
+    e.filter(col("vec_id") === id).select("embedding").head().getSeq[Float](0)
+
+  test("cosine PQ/SQ: wide refine equals exact brute-force cosine bit-for-bit") {
+    val qv = qvOf(11L)
+    val exact = Knn.searchKnn(e, qv, 10, metric = Knn.Cosine)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    for ((build, tag) <- Seq(
+        ((db: VectorDB) => db.buildIndexPq(numCells = 4, routerIters = 1,
+          metric = Knn.Cosine), "pq"),
+        ((db: VectorDB) => db.buildIndexSq(numCells = 4, routerIters = 1,
+          metric = Knn.Cosine), "sq"))) {
+      val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+      build(db)
+      db.nprobe = 4
+      // refine covers the whole 500-row corpus: the exact cosine
+      // re-rank must equal brute force — the unit-space ADC
+      // approximation cannot reach the output
+      val refined = db.searchRefined(qv, k = 10, refine = 64)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(refined.toSeq == exact.toSeq,
+        s"$tag cosine wide refine diverged:\n${refined.toSeq}\nvs\n${exact.toSeq}")
+    }
+  }
+
+  test("dot PQ/SQ: wide refine equals exact max-inner-product bit-for-bit") {
+    val qv = qvOf(13L)
+    val exact = Knn.searchKnn(e, qv, 10, metric = Knn.Dot)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    for ((build, tag) <- Seq(
+        // 64 dims + 1 augmentation dim pads to 72 = 9-wide subspaces
+        ((db: VectorDB) => db.buildIndexPq(numCells = 4, routerIters = 1,
+          metric = Knn.Dot), "pq"),
+        ((db: VectorDB) => db.buildIndexSq(numCells = 4, routerIters = 1,
+          metric = Knn.Dot), "sq"))) {
+      val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+      build(db)
+      db.nprobe = 4
+      val refined = db.searchRefined(qv, k = 10, refine = 64)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(refined.toSeq == exact.toSeq,
+        s"$tag dot wide refine diverged:\n${refined.toSeq}\nvs\n${exact.toSeq}")
+    }
+  }
+
+  test("compressed add appends batch codes only; resident codes reuse the cached generation") {
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    db.buildIndexPq(numCells = 4, routerIters = 1)
+    db.nprobe = 4
+    val batch = e.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    val grown = db.add(batch)
+    val codes = grown.servedCodes.getOrElse(fail("add must maintain the codes"))
+    assert(codes.count() == 505L, "union codes must cover corpus + batch")
+    // maintenance contract: the appended generation's plan reads the
+    // PARENT's cached codes (InMemoryTableScan) — the resident corpus
+    // never re-encodes, only the 5-row batch does
+    val plan = codes.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"appended codes must reuse the cached parent generation:\n$plan")
+    // the shifted twin of row 3 serves at the same ADC distance as
+    // row 3 itself (identical vector → identical codes)
+    val hits = grown.search(qvOf(3L), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val d3 = hits.toMap.apply(3L)
+    assert(hits.toMap.get(900003L).contains(d3),
+      s"appended row must serve from codes at its twin's ADC distance: ${hits.toSeq}")
+    // stats stays truthful: still compressed serving, census covers
+    // the union
+    val st = grown.stats.head()
+    assert(st.getAs[String]("serving") == "pq" && st.getAs[Long]("n_indexed") == 505L)
+    // remove prunes codes back without touching bounds/codebooks
+    val shrunk = grown.remove(batch.select("vec_id"))
+    assert(shrunk.servedCodes.get.count() == 500L)
+    val roundTrip = shrunk.search(qvOf(3L), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val original = db.search(qvOf(3L), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(roundTrip.toSeq == original.toSeq,
+      "add → remove round trip must serve exactly the original ranking")
+  }
+
+  test("churn chains release superseded serving generations (cache census)") {
+    def census(): Int = spark.sparkContext.getPersistentRDDs.size
+    // HNSW chain: build → remove → add → compact holds ONE live index
+    val before = census()
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    db.buildIndexIvf(numCells = 4, iters = 1)
+    db.nprobe = 4
+    db.efSearch = 4096
+    val slice = e.filter(col("vec_id") % 9 === 5).select("vec_id", "embedding")
+    val churned = db.remove(slice.select("vec_id")).add(slice)
+    val compacted = churned.compact(minCellSize = (churned.len / 4 + 1).toInt)
+    compacted.search(qvOf(5L), 5).count()
+    val afterHnsw = census()
+    assert(afterHnsw - before <= 1,
+      s"HNSW churn chain pinned ${afterHnsw - before} generations (want <= 1)")
+    // rebuilds on the same handle release the replaced state too
+    db.buildIndexIvf(numCells = 4, iters = 1)
+    db.buildIndexSq(numCells = 4, routerIters = 1)
+    db.search(qvOf(5L), 5).count()
+    val afterRebuilds = census()
+    assert(afterRebuilds - before <= 2,
+      s"rebuild chain pinned ${afterRebuilds - before} cached datasets (want <= 2: one live per handle)")
+    // compressed chain: build → add → remove holds ONE live codes table
+    val cdb = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    cdb.buildIndexPq(numCells = 4, routerIters = 1)
+    val batch = e.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 910000L).as("vec_id"), col("embedding"))
+    val chained = cdb.add(batch).remove(batch.select("vec_id"))
+    chained.search(qvOf(5L), 5).count()
+    val afterCodes = census()
+    assert(afterCodes - afterRebuilds <= 1,
+      s"codes churn chain pinned ${afterCodes - afterRebuilds} generations (want <= 1)")
+  }
+
+  test("dot handles: empty add is a no-op; norm-expanding add rebuilds with recorded shape") {
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    db.buildIndexIvf(numCells = 8, iters = 1, metric = Knn.Dot)
+    db.nprobe = 8
+    db.efSearch = 4096
+    val qv = qvOf(21L)
+    val want = db.search(qv, 5).collect().map(_.getLong(0)).toSeq
+    // ADVICE r8: agg(max) over an empty batch is null — must not NPE,
+    // must not rebuild
+    val emptyBatch = e.filter(lit(false)).select("vec_id", "embedding")
+    val same = db.add(emptyBatch)
+    assert(same.search(qv, 5).collect().map(_.getLong(0)).toSeq == want)
+    // a norm-expanding batch rebuilds under the new M with the
+    // RECORDED build shape (numCells = 8, not the 16 default)
+    val big = spark.range(1).select(lit(990000L).as("vec_id"),
+      array_repeat(lit(9.9f), 64).as("embedding"))
+    val grown = db.add(big)
+    assert(grown.stats.head().getAs[Long]("n_cells") <= 8L,
+      "rebuild must replay the recorded cell count, not defaults")
+    val top = grown.search(qvOf(21L).map(x => math.abs(x) + 0.1f), 3)
+      .collect().map(_.getLong(0))
+    assert(top.head == 990000L,
+      s"dominant-dot vector must rank first after the rebuild: ${top.toSeq}")
+    // compressed dot handles take the same rebuild arm and stay on ADC
+    val cdb = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    cdb.buildIndexSq(numCells = 8, routerIters = 1, metric = Knn.Dot)
+    cdb.nprobe = 8
+    val cGrown = cdb.add(big)
+    assert(cGrown.servedCodes.isDefined,
+      "norm-expanding add on a compressed dot handle must rebuild codes, not degrade")
+    assert(cGrown.servedCodes.get.count() == 501L)
+    val cTop = cGrown.searchRefined(qvOf(21L).map(x => math.abs(x) + 0.1f), 3, refine = 8)
+      .collect().map(_.getLong(0))
+    assert(cTop.head == 990000L,
+      s"rebuilt dot codes must surface the dominant vector: ${cTop.toSeq}")
+  }
+
+  test("compressed cosine state survives save/load with payloads") {
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    db.buildIndexPq(numCells = 4, routerIters = 1, metric = Knn.Cosine,
+      payloadCols = Seq("label"))
+    db.nprobe = 4
+    val qv = qvOf(17L)
+    val pred = element_at(col("payload"), "label").cast("int") === 3
+    val before = db.searchWhere(qv, 5, pred).collect().map(_.getLong(0)).toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft_cos_pq_").toString
+    db.save(path)
+    val loaded = VectorDB.load(spark, path)
+    val after = loaded.searchWhere(qv, 5, pred).collect().map(_.getLong(0)).toSeq
+    assert(after == before,
+      s"cosine PQ + payload serving must survive the restart: $before vs $after")
+    val plain = loaded.search(qv, 5).collect().map(_.getLong(0)).toSeq
+    assert(plain == db.search(qv, 5).collect().map(_.getLong(0)).toSeq)
+  }
+}

@@ -228,25 +228,33 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val kept = removed.searchWhere(qv, 5, pred).collect().map(_.getLong(0)).toSeq
     assert(kept == ann,
       s"maintained-index payload filtering must equal the parent's:\n$ann\nvs\n$kept")
-    // exact arm: a compressed rebuild drops the HNSW index but keeps
-    // the declared payload columns, and deriving from a compressed
-    // handle loses the codes too — that handle serves brute force,
-    // packing the SAME payload map on the fly
+    // compressed serving packs the payload map into its codes rows at
+    // build: an SQ handle built WITH payloadCols serves searchWhere,
+    // and a remove-derived compressed handle keeps serving ADC through
+    // its MAINTAINED codes (no silent downgrade to brute force)
     val pdb = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
-    pdb.buildIndexIvf(numCells = 4, iters = 1, payloadCols = Seq("label"))
-    pdb.buildIndexSq(numCells = 4, routerIters = 1)
-    val exactH = pdb.remove(spark.range(1).select(lit(-1L).as("vec_id")))
-    assert(!exactH.hasIndex, "compressed-derived handles serve exact")
-    val exact = exactH.searchWhere(qv, 5, pred).collect().map(_.getLong(0)).toSeq
-    assert(exact == ann,
-      s"exact-arm payload filtering must equal ANN at exhaustive ef:\n$ann\nvs\n$exact")
-    // compressed serving: id predicates work, payload predicates reject
+    pdb.buildIndexSq(numCells = 4, routerIters = 1, payloadCols = Seq("label"))
+    pdb.nprobe = 4
+    val adc = pdb.searchWhere(qv, 5, pred).collect().map(_.getLong(0)).toSeq
+    assert(adc.nonEmpty && adc.forall(label2.contains),
+      s"a wrong-label row surfaced from the codes payload: $adc")
+    val prunedH = pdb.remove(spark.range(1).select(lit(-1L).as("vec_id")))
+    assert(!prunedH.hasIndex && prunedH.servedCodes.isDefined,
+      "remove on a compressed handle must maintain the codes, not degrade to exact")
+    assert(prunedH.stats.head().getAs[String]("serving") == "sq",
+      "the derived handle's census must still report compressed serving")
+    val pruned = prunedH.searchWhere(qv, 5, pred).collect().map(_.getLong(0)).toSeq
+    assert(pruned == adc,
+      s"maintained-codes payload filtering must equal the parent's:\n$adc\nvs\n$pruned")
+    // id predicates on codes still work
+    assert(pdb.searchWhere(qv, 5, col("vector_id") % 2 === 0)
+      .collect().forall(_.getLong(0) % 2 == 0))
+    // a payload predicate against codes built WITHOUT payloads matches
+    // nothing (empty map, same as the exact arm) rather than guessing
     val cdb = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
     cdb.buildIndexSq(numCells = 4, routerIters = 1)
     cdb.nprobe = 4
-    assert(cdb.searchWhere(qv, 5, col("vector_id") % 2 === 0)
-      .collect().forall(_.getLong(0) % 2 == 0))
-    intercept[IllegalStateException](cdb.searchWhere(qv, 5, pred))
+    assert(cdb.searchWhere(qv, 5, pred).collect().isEmpty)
   }
 
   test("as-of join: null before first right row, same-instant right row matches") {
