@@ -75,6 +75,54 @@ class RecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r >= 0.85, s"dot-serving production recall regressed: $r (floor 0.85)")
   }
 
+  /** Recall of a handle's batch serving vs the exact L2 ground truth
+    * (handles emit the id under `vec_id`; index-level search emits
+    * `vector_id` — see [[recallOf]]). */
+  private def handleRecall(db: VectorDB, refined: Boolean): Double = {
+    val hits = (if (refined) db.searchBatchRefined(queries, K, refine = 4)
+                else db.searchBatch(queries, K))
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    exact.keys.toSeq
+      .map(q => hits.getOrElse(q, Set.empty).intersect(exact(q)).size / K.toDouble)
+      .sum / exact.size
+  }
+
+  /** ADC floors pin the PRODUCTION compressed config (PQ 8×256 with 2
+    * trained Lloyd rounds, SQ int8; 16 trained cells, nprobe = 8,
+    * refine = 4) — the serving mode whose recall is most sensitive to
+    * its knobs. Measured on this fixture (sf0.1, 64 queries, k=10):
+    * PQ ADC 0.406 → 0.713 refined; SQ ADC 0.858 → 0.869 refined (the
+    * nprobe=8 routing cap is ≈0.869 — SQ's in-cell ranking is
+    * near-exact, PQ's 8-dim subspaces pay real quantization error on
+    * this clusterless synthetic corpus). The whole train/encode
+    * pipeline is deterministic, so the floors carry only a small
+    * fixture-drift margin. */
+  test("PQ 8x256 ADC at production nprobe=8 holds recall@10 >= 0.35 (0.65 refined; measured 0.406/0.713)") {
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    db.buildIndexPq(numCells = 16, routerIters = 3, numSub = 8,
+      codebookK = 256, pqIters = 2)
+    db.nprobe = 8
+    val adc = handleRecall(db, refined = false)
+    val ref = handleRecall(db, refined = true)
+    info(f"pq adc=$adc%.4f refined=$ref%.4f")
+    assert(adc >= 0.35, s"pq adc recall regressed: $adc (floor 0.35, measured 0.406)")
+    assert(ref >= 0.65, s"pq refined recall regressed: $ref (floor 0.65, measured 0.713)")
+    assert(ref >= adc, s"refine must not lose recall: $ref vs $adc")
+  }
+
+  test("SQ int8 ADC at production nprobe=8 holds recall@10 >= 0.82 (0.85 refined; measured 0.858/0.869)") {
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    db.buildIndexSq(numCells = 16, routerIters = 3)
+    db.nprobe = 8
+    val adc = handleRecall(db, refined = false)
+    val ref = handleRecall(db, refined = true)
+    info(f"sq adc=$adc%.4f refined=$ref%.4f")
+    assert(adc >= 0.82, s"sq adc recall regressed: $adc (floor 0.82, measured 0.858)")
+    assert(ref >= 0.85, s"sq refined recall regressed: $ref (floor 0.85, measured 0.869)")
+    assert(ref >= adc, s"refine must not lose recall: $ref vs $adc")
+  }
+
   test("routed 16 trained cells at production nprobe=8 holds recall@10 >= 0.85 (measured 0.869)") {
     val model = IvfIndex.train(e, k = 16, iters = 3)
     val routed = HnswIndex.build(
