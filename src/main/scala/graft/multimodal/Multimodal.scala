@@ -120,6 +120,106 @@ object Multimodal {
     Array.tabulate(3)(c => if (counts(c) == 0) 0.0 else sums(c).toDouble / counts(c))
   }
 
+  val WavModality = "audio/x-wav"
+
+  /** Fixture audio: mono 16-bit PCM at 8 kHz, 48 samples. */
+  val WavRate = 8000
+  val WavSamples = 48
+
+  private def le32(v: Int): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  /** Canonical RIFF/WAVE header for the fixture shape: RIFF size,
+    * "fmt " chunk (PCM, mono, 8 kHz, 16-bit), "data" chunk size. */
+  private val WavHeader: Array[Byte] =
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + WavSamples * 2) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(WavRate) ++ le32(WavRate * 2) ++
+      le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(WavSamples * 2)
+
+  /** Little-endian unsigned read of `n` bytes at `off`. */
+  private def leInt(b: Array[Byte], off: Int, n: Int): Long = {
+    var v = 0L
+    var i = n - 1
+    while (i >= 0) { v = (v << 8) | (b(off + i) & 0xffL); i -= 1 }
+    v
+  }
+
+  /** Decode a RIFF/WAVE payload — the second REAL binary-format decode
+    * (same parse-validate-extract rigor as [[decodePpm]]): validate the
+    * RIFF magic and declared size, WALK the chunk list (RIFF chunks pad
+    * to even length; unknown chunks skip), require a PCM 16-bit "fmt "
+    * chunk and a frame-aligned "data" chunk, then emit
+    * `[sampleRate, channels, framesPerChannel, meanCh0, …]` (per-channel
+    * means over the signed little-endian int16 samples). Malformed
+    * input throws — a decoder that silently swallows corrupt media
+    * poisons the corpus downstream. */
+  def decodeWav(content: Array[Byte]): Array[Double] = {
+    require(content.length >= 44, s"truncated RIFF header (${content.length} bytes)")
+    require(new String(content, 0, 4, "US-ASCII") == "RIFF", "not a RIFF payload")
+    require(new String(content, 8, 4, "US-ASCII") == "WAVE", "not a WAVE form")
+    require(leInt(content, 4, 4) == content.length - 8L,
+      s"RIFF size ${leInt(content, 4, 4)} != payload ${content.length - 8}")
+    var pos = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None
+    while (pos + 8 <= content.length) {
+      val id = new String(content, pos, 4, "US-ASCII")
+      val sz = leInt(content, pos + 4, 4)
+      require(pos + 8 + sz <= content.length, s"chunk '$id' overruns the payload")
+      if (id == "fmt ") {
+        require(sz >= 16, s"fmt chunk too short ($sz bytes)")
+        fmt = Some((leInt(content, pos + 8, 2).toInt, leInt(content, pos + 10, 2).toInt,
+          leInt(content, pos + 12, 4).toInt, leInt(content, pos + 22, 2).toInt))
+      } else if (id == "data") data = Some((pos + 8, sz.toInt))
+      pos += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even length
+    }
+    val (audioFormat, channels, rate, bits) =
+      fmt.getOrElse(throw new IllegalArgumentException("no fmt chunk"))
+    require(audioFormat == 1, s"unsupported audio format $audioFormat (PCM only)")
+    require(channels >= 1, s"non-positive channel count $channels")
+    require(bits == 16, s"unsupported bit depth $bits (PCM16 only)")
+    val (off, len) = data.getOrElse(throw new IllegalArgumentException("no data chunk"))
+    require(len % (2 * channels) == 0,
+      s"data chunk ($len bytes) not aligned to ${2 * channels}-byte frames")
+    val frames = len / (2 * channels)
+    val sums = new Array[Long](channels)
+    var i = 0
+    while (i < len) {
+      // signed little-endian int16
+      val v = ((content(off + i) & 0xff) | (content(off + i + 1) << 8)).toShort
+      sums((i / 2) % channels) += v
+      i += 2
+    }
+    Array(rate.toDouble, channels.toDouble, frames.toDouble) ++
+      sums.map(s => if (frames == 0) 0.0 else s.toDouble / frames)
+  }
+
+  /** Build an AUDIO media table from the documents fixture: each doc
+    * renders to a REAL mono PCM16 WAV — canonical 44-byte RIFF header
+    * plus 48 little-endian samples whose values are the doc's first 48
+    * printable character codes ('.'-padded), generated by interleaving
+    * the characters with NUL bytes. The sample expression is mirrored
+    * by the q_multimodal_audio oracle, which recomputes the mean
+    * amplitude from the same generating characters. */
+  def audioFromDocs(docs: DataFrame): DataFrame = {
+    val px = rpad(substring(regexp_replace(col("text"), "[^ -~]", "."), 1, WavSamples),
+      WavSamples, ".")
+    // each printable char c becomes the int16 LE sample (c, 0x00)
+    val samples = encode(regexp_replace(px, "(.)", "$1\u0000"), "UTF-8")
+    val content = concat(lit(WavHeader), samples)
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit(WavModality).as("modality"),
+      content.as("content"),
+      struct(col("source"), length(content).cast("long").as("n_bytes")).as("meta"))
+  }
+
   /** STUB for codec-less modalities: a deterministic 16-bin byte
     * histogram, L1-normalized — a stand-in feature vector with the
     * same shape/contract a real audio/video codec would emit (none are
@@ -154,7 +254,9 @@ object Multimodal {
 
   /** Batched feature extraction: one decoder instantiation per
     * partition, streamed row batches — the mapInPandas shape on the
-    * JVM. Dispatches on modality: PPM rows take the real decode path. */
+    * JVM. Dispatches on modality: PPM and WAV rows take the real
+    * decode paths; only codec-less modalities fall back to the labeled
+    * [[byteHistogram]] stand-in. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -167,6 +269,7 @@ object Multimodal {
           val modality = r.getAs[String]("modality")
           val features =
             if (modality == PpmModality) decodePpm(bytes)
+            else if (modality == WavModality) decodeWav(bytes)
             else byteHistogram(bytes)
           MediaFeatures(r.getAs[Long]("media_id"), modality,
             bytes.length.toLong, features)

