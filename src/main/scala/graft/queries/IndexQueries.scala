@@ -992,6 +992,76 @@ object IndexQueries {
       .select(col("vec_id"), round(col("dist"), 3).as("dist"))
   }
 
+  /** Cosine PQ handle saved + reloaded: the unit-space codes, the
+    * unit-space router, the codebooks, AND the metric must all
+    * round-trip disk — a lost metric would serve raw-space ADC against
+    * unit-space codes. */
+  private val vdbPqCosPersistMemo = new SessionMemo[graft.VectorDB]
+  private def vdbPqCosPersistedHandle(s: SparkSession, dir: String) =
+    vdbPqCosPersistMemo.get(s, dir) {
+      val db = vdbPqCosHandle(s, dir)
+      val p = java.nio.file.Files.createTempDirectory("graft_vdb_pqcos_")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+      db.save(p.toString)
+      graft.VectorDB.load(s, p.toString)
+    }
+
+  /** Gate on cosine-compressed persistence: save → load → unit-space
+    * routed ADC through the restored state ≡ the same composed oracle
+    * as [[qVectordbPqCosine]] at a distinct query id. */
+  def qVectordbPqCosPersisted(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 89L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbPqCosPersistedHandle(s, dir).search(qv, k = 10)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
+  /** Gate on exact-refined DOT compressed serving: augmented-space SQ
+    * ADC ranks to top-(k·refine), then the bounded set re-scores with
+    * exact −dot on the RAW vectors — the metric-aware refine on the
+    * third metric. */
+  def qVectordbSqDotRefined(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 90L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbSqDotHandle(s, dir).searchRefined(qv, k = 5, refine = 4)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), (round(col("dist"), 3) + lit(0.0)).as("dist"))
+  }
+
+  /** Dot-metric PQ handle — the last metric × compressed-mode cell:
+    * the corpus norm-augments to 65 dims and zero-pads to 72 (PQ
+    * subspaces must divide the width; pads are metric-neutral), giving
+    * 8 subspaces of 9 dims. Every cell probed ⇒ the padded
+    * augmented-space ADC ranking is global. */
+  private val vdbPqDotMemo = new SessionMemo[graft.VectorDB]
+  private def vdbPqDotHandle(s: SparkSession, dir: String) =
+    vdbPqDotMemo.get(s, dir) {
+      val db = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
+      db.buildIndexPq(numCells = 16, routerIters = 1, numSub = 8,
+        codebookK = 16, pqIters = 0, metric = graft.operators.Knn.Dot)
+      db.nprobe = 16
+      db
+    }
+
+  /** Gate on DOT (MIPS) product-quantized serving: augment → pad →
+    * encode → ADC against the 0-extended query, replayed by the oracle
+    * over the padded augmented corpus with 9-wide subspace slices. */
+  def qVectordbPqDot(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 91L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbPqDotHandle(s, dir).search(qv, k = 10)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
   /** Maintained-ADD PQ handle (VERDICT r8 item #3): L2 PQ build, then
     * rows 0-4 re-appended under shifted ids through `VectorDB.add` —
     * the batch encodes with the EXISTING model and its codes rows
@@ -1763,12 +1833,13 @@ object IndexQueries {
     * codebook-source relation aliased `e` (the 16 lowest-id rows of it
     * are the iters=0 init codewords) — the normalized CTE for cosine
     * handles, the union corpus for maintained-add gates. */
-  private def pqAdcCoreSql(subFrom: String, cwFrom: String = "embeddings e"): String =
+  private def pqAdcCoreSql(subFrom: String, cwFrom: String = "embeddings e",
+      subDim: Int = 8): String =
     s"""cw AS (SELECT e.vec_id AS j, ms.m,
-       |         list_transform(e.embedding[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
+       |         list_transform(e.embedding[ms.m*$subDim+1 : ms.m*$subDim+$subDim], x -> CAST(x AS DOUBLE)) AS v
        |       FROM $cwFrom, ms WHERE e.vec_id < 16),
        |sub AS (SELECT e.vec_id, ms.m,
-       |          list_transform(e.embedding[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
+       |          list_transform(e.embedding[ms.m*$subDim+1 : ms.m*$subDim+$subDim], x -> CAST(x AS DOUBLE)) AS v
        |        FROM $subFrom, ms),
        |dd AS (SELECT s.vec_id, s.m, c.j,
        |         list_sum(list_transform(list_zip(c.v, s.v), p -> (p[1] - p[2])^2)) AS d
@@ -1776,7 +1847,7 @@ object IndexQueries {
        |code AS (SELECT vec_id, m, j FROM
        |           (SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
        |            FROM dd) WHERE rn = 1),
-       |qsub AS (SELECT ms.m, list_transform(q.qv[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
+       |qsub AS (SELECT ms.m, list_transform(q.qv[ms.m*$subDim+1 : ms.m*$subDim+$subDim], x -> CAST(x AS DOUBLE)) AS v
        |         FROM q, ms),
        |dist AS (SELECT code.vec_id,
        |           sum(list_sum(list_transform(list_zip(cw.v, qsub.v), p -> (p[1] - p[2])^2))) AS d
@@ -1784,8 +1855,9 @@ object IndexQueries {
        |         JOIN qsub ON qsub.m = code.m
        |         GROUP BY code.vec_id)""".stripMargin
 
-  private def pqAdcSql(subFrom: String, cwFrom: String = "embeddings e"): String =
-    s"""${pqAdcCoreSql(subFrom, cwFrom)}
+  private def pqAdcSql(subFrom: String, cwFrom: String = "embeddings e",
+      subDim: Int = 8): String =
+    s"""${pqAdcCoreSql(subFrom, cwFrom, subDim)}
        |SELECT vec_id, round(d, 3) AS dist FROM dist ORDER BY d, vec_id LIMIT 10""".stripMargin
 
   /** IVF-PQ over TRAINED cells oracle (mirror of [[qVectordbPq]]):
@@ -2164,6 +2236,37 @@ object IndexQueries {
       s"""WITH ms AS (SELECT unnest(range(0, 8)) AS m),
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 88),
          |${pqAdcSql("(SELECT * FROM embeddings WHERE label <= 4) e")}""".stripMargin)),
+    QueryDef("q_vectordb_pq_cos_persisted", qVectordbPqCosPersisted, Some(
+      s"""WITH ms AS (SELECT unnest(range(0, 8)) AS m),
+         |$nvSql,
+         |q AS (SELECT embedding AS qv FROM nv WHERE vec_id = 89),
+         |${trainedCellsSqlFrom("nv")},
+         |cd AS (SELECT c.cell, sum((c.m - CAST(q.qv[c.i] AS DOUBLE))^2) AS d
+         |       FROM c1 c, q GROUP BY c.cell),
+         |probes AS (SELECT cell FROM
+         |             (SELECT cell, row_number() OVER (ORDER BY d, cell) AS rn FROM cd)
+         |           WHERE rn <= 3),
+         |${pqAdcSql("nv e JOIN a1 ON a1.vec_id = e.vec_id JOIN probes p ON a1.cell = p.cell",
+                     cwFrom = "nv e")}""".stripMargin)),
+    QueryDef("q_vectordb_pq_dot", qVectordbPqDot, Some(
+      s"""WITH ms AS (SELECT unnest(range(0, 8)) AS m),
+         |$avSql,
+         |av72 AS (SELECT vec_id, label,
+         |           list_concat(embedding, list_transform(range(0, 7), x -> CAST(0.0 AS REAL))) AS embedding
+         |         FROM av),
+         |q AS (SELECT list_concat(embedding, list_transform(range(0, 8), x -> CAST(0.0 AS REAL))) AS qv
+         |      FROM embeddings WHERE vec_id = 91),
+         |${pqAdcSql("av72 e", cwFrom = "av72 e", subDim = 9)}""".stripMargin)),
+    QueryDef("q_vectordb_sq_dot_refined", qVectordbSqDotRefined, Some(
+      s"""${sqAdcCoreSql(
+             qCte = "q AS (SELECT list_append(embedding, CAST(0.0 AS REAL)) AS qv FROM embeddings WHERE vec_id = 90)",
+             src = "av", pre = avSql + ",\n")},
+         |cand AS (SELECT vec_id FROM scored ORDER BY d, vec_id LIMIT 20),
+         |qr AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 90)
+         |SELECT e.vec_id,
+         |  round(-(${VectorQueries.dotSql("e.embedding", "qr.qv")}), 3) + CAST(0.0 AS DOUBLE) AS dist
+         |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qr
+         |ORDER BY -(${VectorQueries.dotSql("e.embedding", "qr.qv")}), e.vec_id LIMIT 5""".stripMargin)),
     QueryDef("q_vectordb_stream", qVectordbStream,
       Some(bruteOracleSql("vec_id >= 68 AND vec_id < 72"))),
     QueryDef("q_vectordb_adaptive", qVectordbAdaptive, Some(

@@ -55,6 +55,11 @@ EMB_QUERIES = {
     "q_vectordb_stats", "q_vectordb_batch_dot", "q_vectordb_dot_persisted",
     "q_vectordb_range_cosine", "q_vectordb_pq_refined",
     "q_vectordb_batch_refined", "q_vectordb_sq_refined",
+    "q_vectordb_pq_cosine", "q_vectordb_pq_cosine_refined",
+    "q_vectordb_sq_cosine", "q_vectordb_sq_dot", "q_vectordb_pq_add",
+    "q_vectordb_sq_remove", "q_vectordb_pq_meta",
+    "q_vectordb_pq_cos_persisted", "q_vectordb_sq_dot_refined",
+    "q_vectordb_pq_dot",
 }
 
 
