@@ -453,19 +453,23 @@ final class VectorDB private (
     * encodes — the resident codes pass through [[maintainedCodes]]
     * untouched (the dirty-work-only contract
     * [[graft.index.HnswIndex.addBatch]] keeps for graphs). */
+  /** Rows mapped into the index's serving space with the STORED
+    * reduction state (build-time max norm for dot — never recaptured;
+    * a batch-derived M would shear the augmentation geometry). */
+  private def reduceRows(rows: DataFrame): DataFrame = indexMetric match {
+    case Knn.Cosine => rows.withColumn(vecCol, l2Normalize(col(vecCol)))
+    case Knn.Dot => rows.withColumn(vecCol,
+      zeroPad(mipsAugment(col(vecCol), mipsMaxNormSq.getOrElse(
+        throw new IllegalStateException("dot codes without their captured max norm"))),
+        codesWidth, dims + 1))
+    case _ => rows
+  }
+
   private def encodeBatch(newRows: DataFrame): DataFrame = {
     val keep = (Seq(idCol, vecCol) ++ servedPayloadCols).map(col)
-    val rows = newRows.select(keep: _*)
-    val reduced = indexMetric match {
-      case Knn.Cosine => rows.withColumn(vecCol, l2Normalize(col(vecCol)))
-      // build-time max norm: norm-expanding batches take the rebuild
-      // arm in [[add]] before reaching here
-      case Knn.Dot => rows.withColumn(vecCol,
-        zeroPad(mipsAugment(col(vecCol), mipsMaxNormSq.getOrElse(
-          throw new IllegalStateException("dot codes without their captured max norm"))),
-          codesWidth, dims + 1))
-      case _ => rows
-    }
+    // build-time max norm on the dot arm: norm-expanding batches take
+    // the rebuild arm in [[add]] before reaching here
+    val reduced = reduceRows(newRows.select(keep: _*))
     val router = ivfModel.getOrElse(throw new IllegalStateException(
       "compressed serving requires the trained router"))
     val enc = pqState
@@ -533,8 +537,9 @@ final class VectorDB private (
     * that no longer exist and silently lose their vectors. Corpus and
     * serving knobs carry over; requires a served HNSW index. */
   def compact(minCellSize: Int = 64): VectorDB = {
+    if (pqState.isDefined || sqState.isDefined) return compactCodes(minCellSize)
     val idx = index.getOrElse(throw new IllegalStateException(
-      "compact requires a built HNSW index — call buildIndex/buildIndexIvf first"))
+      "compact requires a built index — call buildIndex/buildIndexIvf/buildIndexPq/buildIndexSq first"))
     val compacted = HnswIndex.compact(idx, params, minCellSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize the compacted generation, then release the
@@ -549,6 +554,53 @@ final class VectorDB private (
     db.ivfModel = ivfModel.map(_ => IvfIndex.fromPartitionMeans(
       compacted.toDF().select(col("part"), col("vec")), "part", "vec"))
     db
+  }
+
+  /** Codes-table defrag — [[compact]]'s contract on the compressed
+    * modes: cells below `minCellSize` DISSOLVE and their rows re-route
+    * to the nearest SURVIVING centroid; the router restricts to the
+    * survivors so no probe ever targets a dissolved cell. The codes
+    * themselves never change — PQ/SQ encode the full vector against
+    * global codebooks/bounds, so cell membership is routing metadata
+    * only — and re-routing reads the raw vectors of ONLY the moved
+    * rows (an id-join against the corpus, cost ∝ the dissolved data,
+    * never the codes table). */
+  private def compactCodes(minCellSize: Int): VectorDB = {
+    val router = ivfModel.getOrElse(throw new IllegalStateException(
+      "compressed compaction requires the trained router"))
+    val counts = codesTable.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val small = counts.filter(_._2 < minCellSize).keys.toSet
+    require(counts.keySet.diff(small).nonEmpty,
+      s"minCellSize=$minCellSize would dissolve every cell")
+    val db = tuned(new VectorDB(raw, dims, params, idCol, vecCol))
+    db.sourcePath = sourcePath
+    db.indexMetric = indexMetric
+    db.mipsMaxNormSq = mipsMaxNormSq
+    if (small.isEmpty) {
+      // nothing below threshold: the live generation carries over
+      db.pqState = pqState
+      db.sqState = sqState
+      db.ivfModel = ivfModel
+      return db
+    }
+    val survOrds = router.centroids.indices.filter(o => !small(router.cellId(o)))
+    val survModel = IvfIndex.Model(
+      survOrds.map(router.centroids).toArray,
+      survOrds.map(router.cellId).toArray)
+    val movedCodes = codesTable
+      .filter(col("cell").isin(small.toSeq: _*))
+      .drop("cell")
+    // reduce + reassign ONLY the moved rows' raw vectors
+    val reassigned = IvfIndex.assign(
+        reduceRows(vectors.select(col(idCol), col(vecCol)))
+          .join(movedCodes, Seq(idCol)),
+        survModel, idCol, vecCol)
+      .select(col(idCol), col("cell"), col("codes"), col("payload"))
+    val kept = codesTable.filter(!col("cell").isin(small.toSeq: _*))
+    val out = maintainedCodes(db, kept.unionByName(reassigned))
+    out.ivfModel = Some(survModel)
+    out
   }
 
   /** Deterministic serving-state census — `len` tells a deployment how

@@ -1120,6 +1120,124 @@ object IndexQueries {
       .select(col("vec_id"), round(col("dist"), 3).as("dist"))
   }
 
+  /** Upsert on a COMPRESSED handle: rows 0-4 replaced with the
+    * embeddings of rows 10-14 through `VectorDB.upsert` — the codes
+    * table anti-joins the removed ids, the replacement batch encodes
+    * with the BUILD-time model (codebooks/router never retrain on
+    * churn), and serving stays ADC end to end. */
+  private val vdbPqUpsertMemo = new SessionMemo[graft.VectorDB]
+  private def vdbPqUpsertHandle(s: SparkSession, dir: String) =
+    vdbPqUpsertMemo.get(s, dir) {
+      val db = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
+      db.buildIndexPq(numCells = 16, routerIters = 1, numSub = 8,
+        codebookK = 16, pqIters = 0)
+      db.nprobe = 16
+      val e = emb(s, dir)
+      val repl = e.filter(col("vec_id") < 5).alias("t")
+        .join(e.alias("r"), col("r.vec_id") === col("t.vec_id") + 10L)
+        .select(col("t.vec_id"), col("r.embedding"))
+      db.upsert(repl)
+    }
+
+  /** Gate on replace-or-insert over maintained codes: after the
+    * upsert, row 2 carries row 12's embedding, so querying with that
+    * embedding must surface BOTH ids at row 12's self-ADC distance —
+    * the whole ranking must equal global ADC over the replaced corpus
+    * encoded with the build-time codebooks. */
+  def qVectordbPqUpsert(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 12L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbPqUpsertHandle(s, dir).search(qv, k = 10)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
+  /** Live ingest into a COMPRESSED handle — the codes mirror of
+    * [[streamedVdbHandle]]: the full fixture opens with IVF-PQ
+    * serving, then 20 shifted rows arrive as a 4-file parquet STREAM
+    * whose foreachBatch generations land in an ingest log and fold in
+    * through `VectorDB.add` — each generation encodes ONLY its batch
+    * with the build-time model, appends codes rows, and releases the
+    * superseded generation (the cache never stacks across triggers). */
+  private val vdbPqStreamMemo = new SessionMemo[graft.VectorDB]
+  private def streamedPqHandle(s: SparkSession, dir: String) =
+    vdbPqStreamMemo.get(s, dir) {
+      val e = emb(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_vdb_pq_stream_")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+      var db = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
+      db.buildIndexPq(numCells = 16, routerIters = 1, numSub = 8,
+        codebookK = 16, pqIters = 0)
+      db.nprobe = 16
+      val stage = s"$base/stage"
+      e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 400000L).as("vec_id"), col("embedding"))
+        .repartition(4, col("vec_id"))
+        .write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], gen: Long) =>
+          val p = s"$base/gen_$gen"
+          batch.write.mode("overwrite").parquet(p)
+          db = db.add(s.read.parquet(p))
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      db
+    }
+
+  /** Gate on streaming ingest over maintained codes — the composition
+    * of the gated pieces (true readStream micro-batches, per-batch
+    * codes encode/append, ADC serving): post-stream search must equal
+    * global ADC over corpus ∪ streamed rows under the build-time
+    * codebooks — a codes row dropped or duplicated by any generation
+    * surfaces as a hash mismatch. */
+  def qVectordbPqStream(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 7L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    streamedPqHandle(s, dir).search(qv, k = 10)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
+  /** Compacted COMPRESSED handle: IVF-PQ build, then
+    * `compact(avg-cell-size + 1)` — guaranteed to dissolve at least
+    * one below-average cell at every SF. Dissolved cells' rows
+    * re-route to surviving centroids (codes unchanged — they encode
+    * against global codebooks) and the router restricts to survivors.
+    * All surviving cells probed ⇒ ADC ranking is global, so the gate
+    * is LOSSLESSNESS: a row lost or duplicated in dissolution is a
+    * hash mismatch; the structural shrink is asserted in ScalaTest. */
+  private val vdbPqCompactMemo = new SessionMemo[graft.VectorDB]
+  private def vdbPqCompactHandle(s: SparkSession, dir: String) =
+    vdbPqCompactMemo.get(s, dir) {
+      val db = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
+      db.buildIndexPq(numCells = 16, routerIters = 1, numSub = 8,
+        codebookK = 16, pqIters = 0)
+      db.nprobe = 16
+      db.compact(minCellSize = (db.len / 16L + 1L).toInt)
+    }
+
+  /** Gate on codes-table defrag through the public handle. */
+  def qVectordbPqCompact(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 92L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbPqCompactHandle(s, dir).search(qv, k = 10)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
   /** Payload-carrying PQ handle (VERDICT r8 item #4): the fixture's
     * `label` packs into the codes rows at encode, so attribute
     * predicates reach compressed serving. All cells probed ⇒ filtered
@@ -2236,6 +2354,27 @@ object IndexQueries {
       s"""WITH ms AS (SELECT unnest(range(0, 8)) AS m),
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 88),
          |${pqAdcSql("(SELECT * FROM embeddings WHERE label <= 4) e")}""".stripMargin)),
+    QueryDef("q_vectordb_pq_compact", qVectordbPqCompact, Some(
+      s"""WITH ms AS (SELECT unnest(range(0, 8)) AS m),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 92),
+         |${pqAdcSql("embeddings e")}""".stripMargin)),
+    QueryDef("q_vectordb_pq_upsert", qVectordbPqUpsert, Some(
+      s"""WITH u AS (SELECT t.vec_id, r.embedding
+         |           FROM embeddings t JOIN embeddings r ON r.vec_id = t.vec_id + 10
+         |           WHERE t.vec_id < 5
+         |           UNION ALL
+         |           SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+         |ms AS (SELECT unnest(range(0, 8)) AS m),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 12),
+         |${pqAdcSql("u e", cwFrom = "embeddings e")}""".stripMargin)),
+    QueryDef("q_vectordb_pq_stream", qVectordbPqStream, Some(
+      s"""WITH u AS (SELECT vec_id, embedding FROM embeddings
+         |           UNION ALL
+         |           SELECT vec_id + 400000 AS vec_id, embedding
+         |           FROM embeddings WHERE vec_id < 20),
+         |ms AS (SELECT unnest(range(0, 8)) AS m),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+         |${pqAdcSql("u e", cwFrom = "u e")}""".stripMargin)),
     QueryDef("q_vectordb_pq_cos_persisted", qVectordbPqCosPersisted, Some(
       s"""WITH ms AS (SELECT unnest(range(0, 8)) AS m),
          |$nvSql,

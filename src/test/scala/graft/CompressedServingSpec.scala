@@ -181,6 +181,36 @@ class CompressedServingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rebuilt dot codes must surface the dominant vector: ${cTop.toSeq}")
   }
 
+  test("compact on compressed handles dissolves small cells losslessly and restricts the router") {
+    for ((build, tag) <- Seq(
+        ((db: VectorDB) => db.buildIndexPq(numCells = 16, routerIters = 1), "pq"),
+        ((db: VectorDB) => db.buildIndexSq(numCells = 16, routerIters = 1), "sq"))) {
+      val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+      build(db)
+      db.nprobe = 16
+      val qv = qvOf(9L)
+      val before = db.search(qv, 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val pre = db.stats.head().getAs[Long]("n_cells")
+      val compacted = db.compact(minCellSize = (db.len / 16L + 1L).toInt)
+      val st = compacted.stats.head()
+      assert(st.getAs[String]("serving") == tag,
+        s"$tag compaction must stay on compressed serving")
+      assert(st.getAs[Long]("n_cells") < pre,
+        s"$tag: adaptive threshold must dissolve at least one cell (${st.getAs[Long]("n_cells")} vs $pre)")
+      assert(st.getAs[Long]("n_indexed") == 500L,
+        s"$tag compaction must preserve the codes row set")
+      // all surviving cells probed: the compacted ADC ranking must
+      // equal the parent's (codes never change, only routing cells)
+      val after = compacted.search(qv, 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(after.toSeq == before.toSeq,
+        s"$tag compaction changed the global ADC ranking:\n${before.toSeq}\nvs\n${after.toSeq}")
+      // routed probes (nprobe < cells) must never target dissolved
+      // cells — the restricted router serves without error and k hits
+      compacted.nprobe = 2
+      assert(compacted.search(qv, 5).collect().length == 5)
+    }
+  }
+
   test("compressed cosine state survives save/load with payloads") {
     val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
     db.buildIndexPq(numCells = 4, routerIters = 1, metric = Knn.Cosine,
