@@ -142,6 +142,27 @@ object RelationalQueries {
       .orderBy("purchase_id")
   }
 
+  /** Time-range join: for each purchase event, the number of clicks by
+    * the same user in the trailing hour — operators/RangeJoin's binned
+    * rendering (each purchase meets exactly two (user, hour-bin)
+    * buckets; the oracle states the same semantics as the naive
+    * inequality join, so the bin decomposition is proven exactly
+    * equivalent). Timestamps compare in epoch micros on both engines. */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = EventsFixture.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"))
+    graft.operators.RangeJoin.countInWindow(
+        purchases, clicks, key = "user_id", leftId = "event_id",
+        leftTs = "us", rightTs = "us",
+        windowMicros = 3600L * 1000000L, outCol = "n_clicks")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("n_clicks"))
+      .orderBy("purchase_id")
+  }
+
   /** Salted skew join: lineitem ⋈ part on partkey with the hot keys
     * spread over 8 salt buckets (operators/SkewJoin) — the structural
     * answer to Zipfian join keys at 100 TB, where AQE's post-shuffle
@@ -194,6 +215,17 @@ object RelationalQueries {
         |SELECT event_id AS purchase_id, user_id,
         |  coalesce(asof_click_id, -1) AS asof_click_id
         |FROM w WHERE tag = 1 ORDER BY purchase_id""".stripMargin)),
+    QueryDef("q_range_join", qRangeJoin, Some(
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS pus
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ns(ts) // 1000 AS cus
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |  count(c.cus) AS n_clicks
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |  AND c.cus >= p.pus - CAST(3600 AS BIGINT) * 1000000
+        |  AND c.cus < p.pus
+        |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin)),
     QueryDef("q_skew_join", qSkewJoin, Some(
       """SELECT p_brand, count(*) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price

@@ -111,6 +111,27 @@ object VectorQueries {
       .select(col("vec_id"), round(col("d"), 3).as("dist"))
   }
 
+  /** Truncated-dimension (Matryoshka-style) search: rank by L2² over
+    * only the FIRST 16 of 64 dims — the coarse pass of
+    * matryoshka-representation serving, where nested-prefix embeddings
+    * let a pipeline scan 4× less vector data per candidate and refine
+    * survivors at full width (Kusupati et al., "Matryoshka
+    * Representation Learning", NeurIPS 2022). `slice` is a plain
+    * column expression, so the projection prunes INSIDE the scan — at
+    * 100 TB the truncated pass reads prefix bytes, not a second copy
+    * of the corpus. The full-width refine of the truncated candidates
+    * composes from the gated pieces (In(id) re-score, q_*_refined). */
+  def qKnnTruncated(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+    val q = e.filter(col("vec_id") === 93L).select(col("embedding").as("__qv"))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"), l2SqNative(col("embedding"), col("__qv")).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), round(col("d"), 3).as("dist"))
+  }
+
   /** Ingest validation + len (ref `src/lib.rs:62-69` dimension check,
     * `src/disk_store.rs:22-27` size check, `src/lib.rs:350-352` len). */
   def qValidate(s: SparkSession, dir: String): DataFrame =
@@ -136,6 +157,12 @@ object VectorQueries {
        |   END)""".stripMargin.replaceAll("\\s+", " ")
 
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_knn_truncated", qKnnTruncated, Some(
+      s"""WITH t AS (SELECT vec_id, embedding[1:16] AS embedding FROM embeddings),
+         |q AS (SELECT embedding AS qv FROM t WHERE vec_id = 93)
+         |SELECT e.vec_id, round(${l2Sql("e.embedding", "q.qv")}, 3) AS dist
+         |FROM t e CROSS JOIN q
+         |ORDER BY ${l2Sql("e.embedding", "q.qv")}, e.vec_id LIMIT 10""".stripMargin)),
     QueryDef("q_knn_exact", qKnnExact, Some(
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${l2Sql("e.embedding", "q.qv")}, 3) AS dist

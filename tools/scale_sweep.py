@@ -60,7 +60,7 @@ EMB_QUERIES = {
     "q_vectordb_sq_remove", "q_vectordb_pq_meta",
     "q_vectordb_pq_cos_persisted", "q_vectordb_sq_dot_refined",
     "q_vectordb_pq_dot", "q_vectordb_pq_upsert", "q_vectordb_pq_stream",
-    "q_vectordb_pq_compact",
+    "q_vectordb_pq_compact", "q_knn_truncated",
 }
 
 
