@@ -535,7 +535,8 @@ final class VectorDB private (
     * index. The router (when one is trained) is RE-DERIVED from the
     * compacted layout — a stale router would probe dissolved cells
     * that no longer exist and silently lose their vectors. Corpus and
-    * serving knobs carry over; requires a served HNSW index. */
+    * serving knobs carry over. Compressed (PQ/SQ) handles take
+    * [[compactCodes]] — same dissolve semantics on the codes table. */
   def compact(minCellSize: Int = 64): VectorDB = {
     if (pqState.isDefined || sqState.isDefined) return compactCodes(minCellSize)
     val idx = index.getOrElse(throw new IllegalStateException(
