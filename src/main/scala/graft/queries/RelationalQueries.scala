@@ -163,6 +163,53 @@ object RelationalQueries {
       .orderBy("purchase_id")
   }
 
+  /** Ordered step funnel (signup → click → purchase): per user, the
+    * first signup, then the first click strictly AFTER it, then the
+    * first purchase strictly after THAT — the sequential-pattern
+    * analytics shape. Each stage is one per-user min-aggregate joined
+    * to the previous stage's survivors (user cardinality is the small
+    * side — the stage joins broadcast), so the plan is three bounded
+    * hash-agg + join rounds, never a per-user event sort. Timestamps
+    * compare in epoch micros on both engines. */
+  def qEventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = EventsFixture.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val t1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(broadcast(t1), Seq("user_id"))
+      .filter(col("us") > col("t1"))
+      .groupBy("user_id").agg(min("us").as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(t2), Seq("user_id"))
+      .filter(col("us") > col("t2"))
+      .groupBy("user_id").agg(min("us").as("t3"))
+    def stage(df: DataFrame, step: Int, name: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).cast("int").as("step"), lit(name).as("event_type"),
+          col("n_users"))
+    stage(t1, 1, "signup")
+      .unionByName(stage(t2, 2, "click"))
+      .unionByName(stage(t3, 3, "purchase"))
+      .orderBy("step")
+  }
+
+  /** Weekly cohort retention: users bucket into the week of their
+    * FIRST event (the cohort), and the matrix counts distinct active
+    * users per (cohort, activity week) — the standard retention
+    * rollup. Two shuffles (per-user min, then the matrix group-by);
+    * weeks truncate to ISO Mondays identically on both engines. */
+  def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val w = EventsFixture.events(s, dir)
+      .select(col("user_id"),
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("wk"))
+    val cohort = w.groupBy("user_id").agg(min("wk").as("cohort"))
+    w.join(cohort, Seq("user_id"))
+      .groupBy("cohort", "wk")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort", "wk")
+  }
+
   /** Salted skew join: lineitem ⋈ part on partkey with the hot keys
     * spread over 8 salt buckets (operators/SkewJoin) — the structural
     * answer to Zipfian join keys at 100 TB, where AQE's post-shuffle
@@ -215,6 +262,24 @@ object RelationalQueries {
         |SELECT event_id AS purchase_id, user_id,
         |  coalesce(asof_click_id, -1) AS asof_click_id
         |FROM w WHERE tag = 1 ORDER BY purchase_id""".stripMargin)),
+    QueryDef("q_events_funnel", qEventsFunnel, Some(
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |t1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+        |SELECT CAST(1 AS INT) AS step, 'signup' AS event_type, count(*) AS n_users FROM t1
+        |UNION ALL SELECT 2, 'click', count(*) FROM t2
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM t3
+        |ORDER BY step""".stripMargin)),
+    QueryDef("q_cohort_retention", qCohortRetention, Some(
+      """WITH w AS (SELECT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk
+        |           FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1)
+        |SELECT c.cohort, w.wk, count(DISTINCT w.user_id) AS n_users
+        |FROM w JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, wk""".stripMargin)),
     QueryDef("q_range_join", qRangeJoin, Some(
       """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS pus
         |           FROM events WHERE event_type = 'purchase'),
