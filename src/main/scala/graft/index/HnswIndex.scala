@@ -26,7 +26,8 @@ object HnswIndex {
     * THE SCAN STAGE, so any predicate over the payload prunes where the
     * data lives — no side join at query time. */
   final case class IndexRow(part: Int, vector_id: Long, vec: Array[Float],
-      layers: Array[Array[Long]], payload: Map[String, String] = Map.empty)
+      layers: Array[Array[Long]], payload: Map[String, String] = Map.empty,
+      sub: Int = 0)
 
   /** One search hit. */
   final case class Hit(qid: Long, vector_id: Long, dist: Double)
@@ -54,26 +55,57 @@ object HnswIndex {
     else if (df.columns.contains(PayCol)) col(PayCol)
     else typedLit(Map.empty[String, String])
 
+  /** Default per-task cell cap: one build/search task never materializes
+    * more than this many vectors (at 1k-dim floats that is ~256 MB of
+    * vectors — comfortably inside an executor). A skewed k-means cell
+    * (or a careless `numCells` at 100×) splits instead of OOMing one
+    * task; the reference's per-walk memory is likewise bounded (its
+    * graph holds at most `m_max` neighbors per node,
+    * `/root/reference/src/lib.rs:271-290`). */
+  val DefaultMaxCellSize: Int = 1 << 16
+
   def build(
       df: DataFrame,
       params: HnswParams = HnswParams(),
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       partCol: String = "part",
-      payloadCols: Seq[String] = Nil): Dataset[IndexRow] = {
+      payloadCols: Seq[String] = Nil,
+      maxCellSize: Int = DefaultMaxCellSize): Dataset[IndexRow] = {
     val spark = df.sparkSession
     import spark.implicits._
+    require(maxCellSize > 0, s"maxCellSize must be positive, got $maxCellSize")
     val mL = params.mL
-    df.select(
-        col(partCol).cast("int").as("part"),
-        col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<float>").as("vec"),
-        payExpr(df, payloadCols).as("pay"))
-      .repartition(col("part"))
-      .sortWithinPartitions("part", "id")
-      .as[(Int, Long, Array[Float], Map[String, String])]
+    val base = df.select(
+      col(partCol).cast("int").as("part"),
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("vec"),
+      payExpr(df, payloadCols).as("pay"))
+    // Cell-size cap: a lazy census finds cells over the cap (O(#oversized)
+    // rows — broadcast, never collected on the driver inside the plan)
+    // and splits each into deterministic id-hash sub-parts. The load
+    // target is HALF the cap: binomial fluctuation of a uniform hash
+    // puts a sub-part within O(√target) of the target, so cap/2 keeps
+    // the realized max many σ under the cap even for caps of a few
+    // dozen. Every sub-part is an independent graph built and searched
+    // in its own task, and search probes all sub-parts of a probed
+    // cell together, so routing semantics (and results at exhaustive
+    // ef) are unchanged.
+    val loadTarget = math.max(1, maxCellSize / 2)
+    val oversized = base.groupBy("part").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxCellSize)
+      .select(col("part"),
+        greatest(lit(2L), ceil(col("__n").cast("double") / loadTarget)).cast("int").as("__nsub"))
+    base
+      .join(broadcast(oversized), Seq("part"), "left_outer")
+      .select(col("part"), col("id"), col("vec"), col("pay"),
+        when(col("__nsub").isNull, lit(0))
+          .otherwise(pmod(xxhash64(col("id")), col("__nsub")).cast("int")).as("sub"))
+      .repartition(col("part"), col("sub"))
+      .sortWithinPartitions("part", "sub", "id")
+      .as[(Int, Long, Array[Float], Map[String, String], Int)]
       .mapPartitions { it =>
-        groupRuns(it)(_._1).flatMap { case (part, rows) =>
+        groupRuns(it)(r => (r._1, r._5)).flatMap { case ((part, sub), rows) =>
           val ids = rows.map(_._2)
           val vecs: IndexedSeq[Array[Float]] = rows.map(_._3)
           val g = HnswGraph.build(params, vecs, ord => Hnsw.levelFor(ids(ord), mL))
@@ -81,7 +113,7 @@ object HnswIndex {
             val layers = (0 until g.layerCount(ord)).map { l =>
               g.neighbors(ord, l).map(ids(_)).toArray
             }.toArray
-            IndexRow(part, ids(ord), vecs(ord), layers, rows(ord)._4)
+            IndexRow(part, ids(ord), vecs(ord), layers, rows(ord)._4, sub)
           }
         }
       }
@@ -164,25 +196,29 @@ object HnswIndex {
     // coalesce: a predicate that is NULL for a row must EXCLUDE it
     // (SQL filter semantics), not crash the non-nullable encoder field
     val keepExpr = coalesce(candidateFilter.getOrElse(lit(true)).cast("boolean"), lit(false))
+    // group per (part, sub): a capped-build mega-cell is several
+    // independent sub-graphs — each searches in its own task (bounded
+    // materialization), and because every sub-part carries the logical
+    // part id, a routed probe of a cell reaches ALL its sub-parts
     val candidates = scoped.toDF()
-      .select(col("part"), col("vector_id"), col("vec"), col("layers"),
+      .select(col("part"), col("sub"), col("vector_id"), col("vec"), col("layers"),
         keepExpr.as("__keep"))
-      .as[(Int, Long, Array[Float], Array[Array[Long]], Boolean)]
-      .repartition(col("part"))
-      .sortWithinPartitions("part", "vector_id")
+      .as[(Int, Int, Long, Array[Float], Array[Array[Long]], Boolean)]
+      .repartition(col("part"), col("sub"))
+      .sortWithinPartitions("part", "sub", "vector_id")
       .mapPartitions { it =>
-        groupRuns(it)(_._1).flatMap { case (part, rows) =>
+        groupRuns(it)(r => (r._1, r._2)).flatMap { case ((part, _), rows) =>
           val qs: Iterator[(Long, Array[Float])] =
             if (routed) tBc.value.getOrElse(part, Array.empty).iterator
             else qBc.value.iterator
           if (qs.isEmpty) Iterator.empty
           else {
-            val ids = rows.map(_._2)
+            val ids = rows.map(_._3)
             val ordOf = ids.zipWithIndex.toMap
-            val vecs: IndexedSeq[Array[Float]] = rows.map(_._3)
+            val vecs: IndexedSeq[Array[Float]] = rows.map(_._4)
             val adj: IndexedSeq[Array[Array[Int]]] =
-              rows.map(_._4.map(_.map(ordOf)))
-            val keep: IndexedSeq[Boolean] = rows.map(_._5)
+              rows.map(_._5.map(_.map(ordOf)))
+            val keep: IndexedSeq[Boolean] = rows.map(_._6)
             val g = HnswGraph.fromAdjacency(params, vecs, adj)
             qs.flatMap { case (qid, qv) =>
               g.searchEf(qv, k, ef, keep).map { case (ord, d) => Hit(qid, ids(ord), d) }
@@ -218,7 +254,8 @@ object HnswIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       partCol: String = "part",
-      payloadCols: Seq[String] = Nil): Dataset[IndexRow] = {
+      payloadCols: Seq[String] = Nil,
+      maxCellSize: Int = DefaultMaxCellSize): Dataset[IndexRow] = {
     import index.sparkSession.implicits._
     // payload for the arriving rows: pack from payloadCols, or pass a
     // pre-packed __pay through (compact's moved rows); existing rows
@@ -235,7 +272,7 @@ object HnswIndex {
       .select(col("part"), col("vector_id").as("id"), col("vec"), col("payload"))
     val rebuilt = build(
       existing.union(newRows).toDF("part", "vec_id", "embedding", PayCol),
-      params, "vec_id", "embedding", "part")
+      params, "vec_id", "embedding", "part", maxCellSize = maxCellSize)
     untouched.union(rebuilt)
   }
 
@@ -251,7 +288,8 @@ object HnswIndex {
       index: Dataset[IndexRow],
       removals: DataFrame,
       params: HnswParams = HnswParams(),
-      idCol: String = "vec_id"): Dataset[IndexRow] = {
+      idCol: String = "vec_id",
+      maxCellSize: Int = DefaultMaxCellSize): Dataset[IndexRow] = {
     import index.sparkSession.implicits._
     val ids = removals.select(col(idCol).cast("long").as("vector_id")).distinct()
     val dirty = index.join(broadcast(ids), Seq("vector_id"), "left_semi")
@@ -261,7 +299,7 @@ object HnswIndex {
       .join(broadcast(ids), Seq("vector_id"), "left_anti")
       .select(col("part"), col("vector_id").as("vec_id"), col("vec").as("embedding"),
         col("payload").as(PayCol))
-    untouched.union(build(survivors, params))
+    untouched.union(build(survivors, params, maxCellSize = maxCellSize))
   }
 
   /** Consolidate a long-lived index's accumulated undersized cells
@@ -279,7 +317,8 @@ object HnswIndex {
   def compact(
       index: Dataset[IndexRow],
       params: HnswParams = HnswParams(),
-      minCellSize: Int = 64): Dataset[IndexRow] = {
+      minCellSize: Int = 64,
+      maxCellSize: Int = DefaultMaxCellSize): Dataset[IndexRow] = {
     // cell census is O(#cells) — driver-resident by design
     val sizes = index.groupBy("part").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1))
@@ -301,7 +340,7 @@ object HnswIndex {
         col("vector_id").as("vec_id"),
         col("vec").as("embedding"),
         col("payload").as(PayCol))
-    addBatch(kept, moved, params)
+    addBatch(kept, moved, params, maxCellSize = maxCellSize)
   }
 
   /** Persist a built index partitioned by cell: each IVF cell becomes
@@ -313,7 +352,8 @@ object HnswIndex {
     index.write.mode("overwrite").partitionBy("part").parquet(path)
 
   /** Reload a persisted index for serving. Pre-payload saves load with
-    * an empty payload map. */
+    * an empty payload map; pre-cap saves (no `sub` column) load as
+    * single-sub cells. */
   def load(spark: SparkSession, path: String): Dataset[IndexRow] = {
     import spark.implicits._
     val df = spark.read.parquet(path)
@@ -321,9 +361,12 @@ object HnswIndex {
       if (df.columns.contains("payload"))
         coalesce(col("payload"), typedLit(Map.empty[String, String]))
       else typedLit(Map.empty[String, String])
+    val sub =
+      if (df.columns.contains("sub")) coalesce(col("sub").cast("int"), lit(0))
+      else lit(0)
     df.select(col("part").cast("int").as("part"), col("vector_id"),
         col("vec").cast("array<float>").as("vec"), col("layers"),
-        pay.as("payload"))
+        pay.as("payload"), sub.as("sub"))
       .as[IndexRow]
   }
 

@@ -89,6 +89,24 @@ object IndexQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Capped-build index over a DELIBERATELY skewed layout: labels 0-7
+    * all collapse into one hot cell (≫ the 64-vector cap), so
+    * [[HnswIndex.build]]'s cell-size cap must split it into id-hash
+    * sub-parts — the guard against one executor task materializing a
+    * skewed mega-cell at 100×. Search probes all sub-parts of a cell
+    * together, so at exhaustive ef the answers are identical to an
+    * uncapped build (ANN ≡ exact — the brute-force oracle checks no
+    * vector was lost or duplicated across the split). */
+  private val cappedMemo =
+    new SessionMemo[org.apache.spark.sql.Dataset[HnswIndex.IndexRow]]
+  private def cappedIndex(s: SparkSession, dir: String) =
+    cappedMemo.get(s, dir) {
+      val skewed = emb(s, dir).withColumn("part",
+        when(col("label") < 8, lit(0)).otherwise(col("label").cast("int")))
+      HnswIndex.build(skewed, P, maxCellSize = 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Trained coarse quantizer: one Lloyd's iteration at k = 16 (init =
     * the 16 lowest-id vectors — decimal-exact and SQL-expressible, so
     * the TRAINED router itself sits under the oracle gate, not just the
@@ -391,6 +409,23 @@ object IndexQueries {
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     HnswIndex.search(idx, queries, k = 5, P,
         efSearch = exhaustiveEf(s, dir, "compacted")(idx))
+      .select(col("qid"), col("rank").as("rnk"), col("vector_id").as("vec_id"),
+        round(col("dist"), 3).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Search over the [[cappedIndex]]: the hot cell (labels 0-7) split
+    * into bounded sub-parts at build; exhaustive ef makes the result
+    * invariant under the split, so the brute-force oracle gates that
+    * capping loses no vector, duplicates none, and corrupts no
+    * sub-graph adjacency. Fresh query ids (83-86). */
+  def qAnnCapped(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val idx = cappedIndex(s, dir)
+    val queries = e.filter(col("vec_id") >= 83 && col("vec_id") < 87)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    HnswIndex.search(idx, queries, k = 5, P,
+        efSearch = exhaustiveEf(s, dir, "capped")(idx))
       .select(col("qid"), col("rank").as("rnk"), col("vector_id").as("vec_id"),
         round(col("dist"), 3).as("dist"))
       .orderBy("qid", "rnk")
@@ -2100,6 +2135,8 @@ object IndexQueries {
       Some(routedOracleSql("vec_id >= 4 AND vec_id < 8", probesFixedSql))),
     QueryDef("q_ann_compacted", qAnnCompacted,
       Some(bruteOracleSql("vec_id >= 8 AND vec_id < 12"))),
+    QueryDef("q_ann_capped", qAnnCapped,
+      Some(bruteOracleSql("vec_id >= 83 AND vec_id < 87"))),
     QueryDef("q_ann_trained", qAnnTrained,
       Some(trainedOracleSql("vec_id >= 16 AND vec_id < 20"))),
     QueryDef("q_ann_incremental", qAnnIncremental,

@@ -167,21 +167,24 @@ object RelationalQueries {
     * first signup, then the first click strictly AFTER it, then the
     * first purchase strictly after THAT — the sequential-pattern
     * analytics shape. Each stage is one per-user min-aggregate joined
-    * to the previous stage's survivors (user cardinality is the small
-    * side — the stage joins broadcast), so the plan is three bounded
-    * hash-agg + join rounds, never a per-user event sort. Timestamps
-    * compare in epoch micros on both engines. */
+    * to the previous stage's survivors, so the plan is three bounded
+    * hash-agg + join rounds, never a per-user event sort. The stage
+    * joins carry NO broadcast hint: the per-user aggregate grows with
+    * the corpus, so a forced broadcast would OOM executors at 100× —
+    * AQE broadcasts when a side is genuinely small and shuffles
+    * otherwise (PlanShapeSpec pins the no-forced-broadcast shape).
+    * Timestamps compare in epoch micros on both engines. */
   def qEventsFunnel(s: SparkSession, dir: String): DataFrame = {
     val ev = EventsFixture.events(s, dir)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
     val t1 = ev.filter(col("event_type") === "signup")
       .groupBy("user_id").agg(min("us").as("t1"))
     val t2 = ev.filter(col("event_type") === "click")
-      .join(broadcast(t1), Seq("user_id"))
+      .join(t1, Seq("user_id"))
       .filter(col("us") > col("t1"))
       .groupBy("user_id").agg(min("us").as("t2"))
     val t3 = ev.filter(col("event_type") === "purchase")
-      .join(broadcast(t2), Seq("user_id"))
+      .join(t2, Seq("user_id"))
       .filter(col("us") > col("t2"))
       .groupBy("user_id").agg(min("us").as("t3"))
     def stage(df: DataFrame, step: Int, name: String) =

@@ -284,6 +284,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no corpus shuffle or all-pairs join belongs in the decontamination plan:\n$p")
   }
 
+  test("funnel stage joins carry no forced broadcast over corpus-derived aggregates") {
+    // the per-user stage aggregates grow with the corpus: a user-forced
+    // broadcast() hint OOMs executors at 100x. The hint surfaces in the
+    // optimized logical plan as a join strategy hint — its absence means
+    // AQE decides at runtime from actual sizes (broadcast when genuinely
+    // small, shuffle otherwise), which is the scale-safe shape.
+    val lp = RelationalQueries.qEventsFunnel(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(!lp.contains("strategy=broadcast"),
+      s"funnel must not force-broadcast a corpus-derived side:\n$lp")
+  }
+
   test("column pruning reaches the scan: kernel query reads only the needed columns") {
     val p = plan(VectorQueries.qL2Kernel(spark, sfDir))
     val scanSchemas = "ReadSchema: [^\\n]*".r.findAllIn(p).toList

@@ -464,6 +464,42 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap == post)
   }
 
+  test("cell-size cap splits a skewed mega-cell into bounded sub-parts without changing results") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // labels 0-7 collapse into one hot cell of ~400 vectors — far over
+    // the 64-vector cap, the skew shape that would OOM one build task
+    // at 100x if the cell materialized whole
+    val skewed = e.withColumn("part",
+      when(col("label") < 8, lit(0)).otherwise(col("label").cast("int")))
+    val capped = HnswIndex.build(skewed, P, maxCellSize = 64)
+
+    // the bound the cap exists for: NO build/search task materializes
+    // more than maxCellSize vectors — group sizes per (part, sub) ARE
+    // the per-task materialization
+    val groups = capped.groupBy("part", "sub").count().collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(groups.values.forall(_ <= 64L),
+      s"a sub-part exceeds the cap: ${groups.filter(_._2 > 64L)}")
+    val hotSubs = groups.keys.count(_._1 == 0)
+    assert(hotSubs >= 2, s"hot cell did not split: $hotSubs sub-part(s)")
+    // cells under the cap stay whole (single sub-part 0)
+    assert(groups.keys.filter(_._1 != 0).forall(_._2 == 0),
+      "an under-cap cell was split")
+    // no vector lost or duplicated across the split
+    assert(capped.count() == 500L &&
+      capped.select("vector_id").distinct().count() == 500L)
+
+    // exhaustive ef per sub-graph ≡ exact regardless of the split: the
+    // capped index serves exactly what an uncapped build serves
+    val uncapped = HnswIndex.build(skewed, P)
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def top(ds: org.apache.spark.sql.Dataset[HnswIndex.IndexRow]) =
+      HnswIndex.search(ds, queries, k = 5, P, efSearch = 4096)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(top(capped) == top(uncapped), "cell cap changed served results")
+  }
+
   test("adaptive nprobe: in-cluster queries probe fewer cells, boundary queries fan wide") {
     import graft.index.IvfIndex
     // three well-separated 1-d centroids: the probe geometry is exact
