@@ -65,11 +65,23 @@ object Bench {
     // Locale.ROOT: a non-dot-decimal default locale must not emit
     // "0,123" into the JSON
     def fmt(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
+    // minimal JSON string escaper for error keys/values: today the
+    // values are exception simple names (safe), but a future switch to
+    // getMessage must not emit malformed JSON
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     // the FULL file keeps raw doubles — sub-ms queries must not
     // truncate to 0.000 in the line the scale sweep consumes
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val rows = rowCounts.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -93,7 +105,7 @@ object Bench {
     // error detail matters — keep the first errors verbatim and
     // truncate the rest to a count (full detail is in the file)
     val errsCapped = {
-      val entries = errors.toSeq.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      val entries = errors.toSeq.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       val errBudget = 600
       var used = 0
       val kept = entries.takeWhile { e =>
@@ -122,11 +134,18 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"rows":$rows,""" +
         s""""shuffle_read":$shufR,"shuffle_write":$shufW,"errors":$errs,"sf":"$sfDir"}"""
     // persist the full line FIRST: stdout can be lost to log truncation
-    // when the harness captures only a tail
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/tmp/graft_bench.json"),
-      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case scala.util.control.NonFatal(_) => () }
+    // when the harness captures only a tail. Two copies: /tmp for the
+    // scale sweep's dev loop, and BENCH_DETAIL.json in the repo root so
+    // the COMMITTED round artifact carries every per-query time (the
+    // budget-capped stdout line only fits the ~70 most expensive
+    // entries; a 127-entry map cannot survive the capture's tail
+    // window at any encoding).
+    for (p <- Seq("/tmp/graft_bench.json", "BENCH_DETAIL.json")) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(p),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     spark.stop()
     // print LAST, after stop(): nothing (shutdown WARNs included) may
     // land between this line and process exit and push it out of the

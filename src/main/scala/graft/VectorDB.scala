@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
-import graft.index.{HnswIndex, HnswParams, IvfIndex, ProductQuantizer, ScalarQuantizer}
+import graft.index.{HnswGraph, HnswIndex, HnswParams, IvfIndex, ProductQuantizer, ScalarQuantizer}
 import graft.operators.{Knn, TopK}
 
 /** User-facing database handle — the Spark rendering of the reference's
@@ -131,6 +131,7 @@ final class VectorDB private (
     * never the old index, so the release is safe before the new build
     * materializes. */
   private def dropServingState(): Unit = {
+    localCells.clear()
     index.foreach(_.unpersist(blocking = false))
     pqState.foreach(_._1.unpersist(blocking = false))
     sqState.foreach(_._1.unpersist(blocking = false))
@@ -371,7 +372,17 @@ final class VectorDB private (
     * Compressed (PQ/SQ) handles carry their codes MAINTAINED too: the
     * batch encodes with the existing model and appends cell-assigned
     * codes rows — the resident codes never re-encode — so one appended
-    * row keeps ADC serving instead of degrading to brute force. */
+    * row keeps ADC serving instead of degrading to brute force.
+    *
+    * SUPERSESSION: the derived handle supersedes this one — the
+    * parent's cached index/codes generation is RELEASED when the child
+    * materializes (one live generation per churn chain, never the
+    * history). A parent handle kept alive afterwards (e.g. A/B serving
+    * during a migration) stays correct but recomputes its build
+    * lineage on the next search; keep serving from the newest handle,
+    * or re-persist the parent's state explicitly if both generations
+    * must serve concurrently. Applies to [[add]], [[remove]],
+    * [[upsert]], and [[compact]]. */
   def add(newRows: DataFrame): VectorDB = {
     val keep = (Seq(idCol, vecCol) ++ servedPayloadCols).map(col)
     val db = tuned(new VectorDB(raw.select(keep: _*)
@@ -394,6 +405,26 @@ final class VectorDB private (
         // cell count, iteration budget, codebook shape — not library
         // defaults) instead of maintaining incrementally (clamping
         // instead would bury the new vectors in augmented space)
+        rebuildOnto(db)
+        return db
+      }
+    }
+    if (sqState.isDefined) {
+      // SQ codes clamp to the build-time per-dim bounds, so a batch
+      // with any component outside [lo, hi] would append codes whose
+      // ADC distances are silently biased toward the interior. Detect
+      // bound expansion (one small aggregate over the BATCH, reduced
+      // into serving space — the space the bounds were trained in) and
+      // take the rebuild arm under the recorded build shape instead —
+      // the exact analog of the dot norm-expansion check above.
+      val (_, lo, hi) = sqState.get
+      val vd = col(vecCol).cast("array<double>")
+      val oob =
+        exists(zip_with(vd, typedLit(lo), (x, l) => x < l), b => b) ||
+          exists(zip_with(vd, typedLit(hi), (x, h) => x > h), b => b)
+      val row = reduceRows(newRows.select(col(idCol), col(vecCol)))
+        .agg(max(when(oob, 1).otherwise(0))).head()
+      if (!row.isNullAt(0) && row.getInt(0) == 1) {
         rebuildOnto(db)
         return db
       }
@@ -485,7 +516,9 @@ final class VectorDB private (
   /** Carry this handle's compressed serving state onto a derived
     * handle with `newCodes` as its codes table: the new generation
     * persists and MATERIALIZES, then the superseded codes release — a
-    * churn chain pins one live generation, never the whole history. */
+    * churn chain pins one live generation, never the whole history.
+    * Same supersession contract as [[maintained]]: the PARENT handle's
+    * cache is released; see the note on [[add]]. */
   private def maintainedCodes(db: VectorDB, newCodes: DataFrame): VectorDB = {
     val next = newCodes
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -563,17 +596,23 @@ final class VectorDB private (
     * survivors so no probe ever targets a dissolved cell. The codes
     * themselves never change — PQ/SQ encode the full vector against
     * global codebooks/bounds, so cell membership is routing metadata
-    * only — and re-routing reads the raw vectors of ONLY the moved
-    * rows (an id-join against the corpus, cost ∝ the dissolved data,
-    * never the codes table). */
+    * only — and re-routing is one corpus scan joined against the
+    * BROADCAST moved-id set: only moved rows reach the reduction and
+    * centroid assignment (the scan itself is the irreducible cost of
+    * reading the moved rows' raw vectors; no shuffle, no corpus-wide
+    * reduction). */
   private def compactCodes(minCellSize: Int): VectorDB = {
     val router = ivfModel.getOrElse(throw new IllegalStateException(
       "compressed compaction requires the trained router"))
     val counts = codesTable.groupBy("cell").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val small = counts.filter(_._2 < minCellSize).keys.toSet
-    require(counts.keySet.diff(small).nonEmpty,
-      s"minCellSize=$minCellSize would dissolve every cell")
+    // empty codes table: nothing to dissolve AND nothing to receive —
+    // fall through to the unchanged-handle fast path below rather than
+    // failing the survivor check with a misleading message
+    if (counts.nonEmpty)
+      require(counts.keySet.diff(small).nonEmpty,
+        s"minCellSize=$minCellSize would dissolve every cell")
     val db = tuned(new VectorDB(raw, dims, params, idCol, vecCol))
     db.sourcePath = sourcePath
     db.indexMetric = indexMetric
@@ -592,10 +631,15 @@ final class VectorDB private (
     val movedCodes = codesTable
       .filter(col("cell").isin(small.toSeq: _*))
       .drop("cell")
-    // reduce + reassign ONLY the moved rows' raw vectors
+    // reduce + reassign ONLY the moved rows' raw vectors: the moved
+    // set BROADCASTS (small by the dissolve contract — the same bound
+    // remove() relies on) and the id-join narrows the corpus rows
+    // BEFORE the reduction map, so neither a corpus shuffle nor a
+    // corpus-wide dot augmentation happens — one corpus scan joined
+    // against a broadcast id set is the whole re-route cost
     val reassigned = IvfIndex.assign(
-        reduceRows(vectors.select(col(idCol), col(vecCol)))
-          .join(movedCodes, Seq(idCol)),
+        reduceRows(vectors.select(col(idCol), col(vecCol))
+          .join(broadcast(movedCodes), Seq(idCol))),
         survModel, idCol, vecCol)
       .select(col(idCol), col("cell"), col("codes"), col("payload"))
     val kept = codesTable.filter(!col("cell").isin(small.toSeq: _*))
@@ -659,7 +703,12 @@ final class VectorDB private (
     * MATERIALIZES (its lineage reads the old one), then the superseded
     * generation releases — without this every add/remove in a churn
     * chain pins another dead index at MEMORY_AND_DISK. No-op for
-    * index-less and compressed handles. */
+    * index-less and compressed handles.
+    *
+    * Supersession contract: the PARENT's cached generation is released
+    * here — the derived handle supersedes it (see the note on
+    * [[add]]). The parent stays CORRECT (its lineage recomputes on
+    * demand), it just stops being cheap. */
   private def maintained(db: VectorDB)(
       f: Dataset[HnswIndex.IndexRow] => Dataset[HnswIndex.IndexRow]): VectorDB = {
     if (pqState.isEmpty && sqState.isEmpty) index.foreach { idx =>
@@ -698,6 +747,93 @@ final class VectorDB private (
     * metric), exact search under the intended metric otherwise. */
   def search(queryVec: Seq[Float], k: Int): DataFrame =
     searchImpl(queryVec, k, None)
+
+  /** Max rows a cell may have and still serve from the driver-local
+    * point-query cache ([[searchLocal]]); a probed cell above the cap
+    * falls back to the distributed path. At 64-1024 dims the default
+    * bounds a cached cell to tens of MB of driver heap. */
+  var localCellRowCap: Int = 1 << 17
+
+  /** Max cells held in the driver-local cache (LRU eviction). */
+  var maxLocalCells: Int = 64
+
+  /** Driver-local serving cache: logical cell id → that cell's
+    * sub-graphs ((ids sorted ascending, walkable graph) per build
+    * sub-part), or None when the cell exceeds [[localCellRowCap]].
+    * LRU-bounded at [[maxLocalCells]]; cleared on every rebuild. */
+  private val localCells =
+    scala.collection.mutable.LinkedHashMap.empty[Int, Option[Seq[(Array[Long], HnswGraph)]]]
+
+  /** Load one cell's graphs to the driver: ONE narrow job whose scan is
+    * pruned to the cell (on a [[save]]d layout, to its parquet subtree).
+    * The limit guard keeps an oversized cell from ever materializing on
+    * the driver — it collects at most cap+1 rows, and cap-breach is
+    * remembered so the cell is probed distributed from then on. */
+  private def localCell(c: Int): Option[Seq[(Array[Long], HnswGraph)]] =
+    localCells.remove(c) match {
+      case Some(v) => localCells.put(c, v); v // LRU refresh
+      case None =>
+        val rows = index.get.filter(col("part") === c)
+          .limit(localCellRowCap + 1).collect()
+        val v =
+          if (rows.length > localCellRowCap) None
+          else Some(rows.groupBy(_.sub).toSeq.sortBy(_._1).map { case (_, rs) =>
+            // ordinals ascend by id — the same order the distributed
+            // walk assigns (sortWithinPartitions by vector_id), so the
+            // reconstructed entry point and walk are bit-identical
+            val sorted = rs.sortBy(_.vector_id)
+            val ids = sorted.map(_.vector_id)
+            val ordOf = ids.zipWithIndex.toMap
+            val vecs: IndexedSeq[Array[Float]] = sorted.toIndexedSeq.map(_.vec)
+            val adj = sorted.toIndexedSeq.map(_.layers.map(_.map(ordOf)))
+            (ids, HnswGraph.fromAdjacency(params, vecs, adj))
+          })
+        if (localCells.size >= maxLocalCells)
+          localCells.remove(localCells.head._1)
+        localCells.put(c, v)
+        v
+    }
+
+  /** Driver-local point-query serving — the reference's headline shape
+    * (an in-process index answers one query in well under a
+    * millisecond, `/root/reference/readme.md:9`, `benchmark.py:26-33`)
+    * that a per-query Spark job can never match (~0.2 s scheduling
+    * floor). The router is already driver-resident; the probed cells'
+    * graphs cache on the driver on first touch (one narrow
+    * partition-pruned job each), and every later query routes, walks,
+    * and merges entirely driver-side — zero jobs, microseconds.
+    *
+    * Serves EXACTLY what the distributed routed path serves: same
+    * probe selection (fixed or adaptive), same per-sub-part beam at
+    * the same ef, same (dist, id) merge order — asserted by the gated
+    * query and the identity spec. Falls back to distributed [[search]]
+    * when any probed cell exceeds [[localCellRowCap]], or for
+    * configurations the local walk doesn't cover (no index, no
+    * router, compressed serving, or a non-L2 metric whose re-score
+    * needs the raw corpus). Returns (id, distance) ascending. */
+  def searchLocal(queryVec: Seq[Float], k: Int): Seq[(Long, Double)] = {
+    val eligible = index.isDefined && ivfModel.isDefined &&
+      pqState.isEmpty && sqState.isEmpty && indexMetric == Knn.L2
+    def distributed(): Seq[(Long, Double)] =
+      search(queryVec, k).select(col(idCol), col("dist")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        .sortBy { case (id, d) => (d, id) }
+    if (!eligible) return distributed()
+    require(queryVec.length == dims,
+      s"query dimension mismatch: expected $dims, got ${queryVec.length}")
+    val qv = queryVec.toArray
+    val router = ivfModel.get
+    val probes = adaptiveAlpha match {
+      case Some(a) => router.probeAdaptive(qv, a, nprobe)
+      case None    => router.probeOrder(qv).take(nprobe)
+    }
+    val cells = probes.map(localCell)
+    if (cells.exists(_.isEmpty)) return distributed()
+    val ef = if (efSearch > 0) efSearch else math.max(params.efConstruction, k)
+    cells.flatMap(_.get).flatMap { case (ids, g) =>
+      g.searchEf(qv, k, ef).map { case (ord, d) => (ids(ord), d) }
+    }.sortBy { case (id, d) => (d, id) }.take(k).toSeq
+  }
 
   /** Metadata-filtered top-k: rows whose id fails `idPred` are never
     * served. `idPred` receives the id column — the same predicate

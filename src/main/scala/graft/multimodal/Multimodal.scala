@@ -220,10 +220,16 @@ object Multimodal {
       struct(col("source"), length(content).cast("long").as("n_bytes")).as("meta"))
   }
 
+  /** Modality label surfaced for rows no codec covers: the feature
+    * rows SAY they are opaque, so the histogram stand-in can never
+    * masquerade downstream as a real decode. */
+  val OpaqueModality = "opaque"
+
   /** STUB for codec-less modalities: a deterministic 16-bin byte
     * histogram, L1-normalized — a stand-in feature vector with the
     * same shape/contract a real audio/video codec would emit (none are
-    * available in this sandbox). */
+    * available in this sandbox). Rows taking this arm surface as
+    * [[OpaqueModality]] in [[extractFeatures]] output. */
   def byteHistogram(content: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](16)
     var i = 0
@@ -255,8 +261,10 @@ object Multimodal {
   /** Batched feature extraction: one decoder instantiation per
     * partition, streamed row batches — the mapInPandas shape on the
     * JVM. Dispatches on modality: PPM and WAV rows take the real
-    * decode paths; only codec-less modalities fall back to the labeled
-    * [[byteHistogram]] stand-in. */
+    * decode paths; a modality no codec covers falls back to the
+    * [[byteHistogram]] stand-in AND surfaces as [[OpaqueModality]] in
+    * the output — callers can always tell decoded features from
+    * stand-in features by the modality column alone. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -267,11 +275,11 @@ object Multimodal {
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("content")
           val modality = r.getAs[String]("modality")
-          val features =
-            if (modality == PpmModality) decodePpm(bytes)
-            else if (modality == WavModality) decodeWav(bytes)
-            else byteHistogram(bytes)
-          MediaFeatures(r.getAs[Long]("media_id"), modality,
+          val (outModality, features) =
+            if (modality == PpmModality) (modality, decodePpm(bytes))
+            else if (modality == WavModality) (modality, decodeWav(bytes))
+            else (OpaqueModality, byteHistogram(bytes))
+          MediaFeatures(r.getAs[Long]("media_id"), outModality,
             bytes.length.toLong, features)
         }
       }

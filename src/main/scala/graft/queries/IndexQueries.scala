@@ -645,6 +645,30 @@ object IndexQueries {
       .select(col("mode"), col("vec_id"), round(col("d"), 3).as("dist"))
   }
 
+  /** Gate on the DRIVER-LOCAL point-query fast path
+    * ([[graft.VectorDB.searchLocal]] — the reference's in-process
+    * single-query serving shape, `/root/reference/benchmark.py:26-33`):
+    * the same trained-IVF handle as q_vectordb_search, served from the
+    * driver-resident router + cached cell graphs. The walk runs at the
+    * handle's exhaustive ef, so local routed ANN ≡ brute force within
+    * the 3 probed trained cells — the oracle replays the trained
+    * routing in SQL. A second searchLocal call (the cache-warm path
+    * every real point query takes) must serve identical rows — gated
+    * as mode='warm' vs mode='cold'. */
+  def qVectordbLocal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qv = emb(s, dir).filter(col("vec_id") === 87L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val db = vdbHandle(s, dir)
+    val cold = db.searchLocal(qv, k = 5)
+    val warm = db.searchLocal(qv, k = 5)
+    (cold.map { case (id, d) => ("cold", id, d) } ++
+      warm.map { case (id, d) => ("warm", id, d) })
+      .toDF("mode", "vec_id", "d")
+      .orderBy(col("mode"), col("d"), col("vec_id"))
+      .select(col("mode"), col("vec_id"), round(col("d"), 3).as("dist"))
+  }
+
   /** Gate on `VectorDB.add`'s ACCEPT path (ref op 4's happy case,
     * `src/lib.rs:62-72` — q_validate gates the reject case): append a
     * shifted copy of the corpus through the public handle, then exact
@@ -2200,6 +2224,22 @@ object IndexQueries {
          |u AS (SELECT 'ann' AS mode, vec_id, d FROM annranked WHERE rnk <= 5
          |      UNION ALL
          |      SELECT 'exact' AS mode, vec_id, d FROM exranked WHERE rnk <= 5)
+         |SELECT mode, vec_id, round(d, 3) AS dist FROM u ORDER BY mode, d, vec_id""".stripMargin)),
+    QueryDef("q_vectordb_local", qVectordbLocal, Some(
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id = 87),
+         |$trainedCellsSql,
+         |cd AS (SELECT q.qid, c.cell, sum((c.m - CAST(q.qv[c.i] AS DOUBLE))^2) AS d
+         |       FROM c1 c, q GROUP BY q.qid, c.cell),
+         |probes AS (SELECT qid, cell FROM
+         |             (SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY d, cell) AS rn
+         |              FROM cd) WHERE rn <= 3),
+         |scored AS (SELECT e.vec_id, ${VectorQueries.l2Sql("e.embedding", "q.qv")} AS d
+         |           FROM embeddings e JOIN a1 ON a1.vec_id = e.vec_id
+         |           JOIN probes p ON a1.cell = p.cell CROSS JOIN q),
+         |top AS (SELECT vec_id, d FROM scored ORDER BY d, vec_id LIMIT 5),
+         |u AS (SELECT 'cold' AS mode, vec_id, d FROM top
+         |      UNION ALL
+         |      SELECT 'warm' AS mode, vec_id, d FROM top)
          |SELECT mode, vec_id, round(d, 3) AS dist FROM u ORDER BY mode, d, vec_id""".stripMargin)),
     QueryDef("q_vectordb_meta", qVectordbMeta, Some(
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 59)

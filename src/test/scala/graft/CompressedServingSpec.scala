@@ -110,6 +110,36 @@ class CompressedServingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "add → remove round trip must serve exactly the original ranking")
   }
 
+  test("SQ bound-expanding add rebuilds bounds instead of appending clamped codes") {
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    db.buildIndexSq(numCells = 4, routerIters = 1)
+    db.nprobe = 4
+    // in-bounds batch (copies of corpus rows — bounds are exact per-dim
+    // min/max, so resident values always re-admit) maintains
+    // incrementally: the parent's cached codes generation is reused
+    val inb = e.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 920000L).as("vec_id"), col("embedding"))
+    val kept = db.add(inb)
+    assert(kept.servedCodes.get.count() == 503L)
+    val plan = kept.servedCodes.get.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"in-bounds add must reuse the cached parent codes:\n$plan")
+    // a component far above every trained hi must take the rebuild arm
+    // (ADVICE r9: clamped codes would bias its ADC distances silently).
+    // With rebuilt bounds the extreme vector encodes exactly (code 255
+    // decodes to the new hi = 10.0) so its ADC self-distance is ~0;
+    // clamped codes would leave it at sum((10 - hi_i)^2) >> 1.
+    val ext = spark.range(1).select(lit(930000L).as("vec_id"),
+      array_repeat(lit(10.0f), 64).as("embedding"))
+    val grown = db.add(ext)
+    assert(grown.servedCodes.isDefined && grown.servedCodes.get.count() == 501L,
+      "bound-expanding add must stay on compressed serving over the grown corpus")
+    val hit = grown.search(Seq.fill(64)(10.0f), 1).collect().head
+    assert(hit.getLong(0) == 930000L, s"extreme vector must self-serve: $hit")
+    assert(hit.getDouble(1) < 1.0,
+      s"ADC self-distance implies clamped codes survived: ${hit.getDouble(1)}")
+  }
+
   test("churn chains release superseded serving generations (cache census)") {
     def census(): Int = spark.sparkContext.getPersistentRDDs.size
     // HNSW chain: build → remove → add → compact holds ONE live index

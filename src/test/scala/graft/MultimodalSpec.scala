@@ -154,6 +154,36 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(Multimodal.byteHistogram(b).sum - 1.0) < 1e-9)
   }
 
+  test("decoded modalities never take the histogram arm; unknown surfaces as opaque") {
+    import spark.implicits._
+    val ppm = Multimodal.mediaFromDocs(
+      spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") < 5))
+    val wav = Multimodal.audioFromDocs(
+      spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") < 5))
+    val unknown = Seq((9001L, "video/x-unknown", "no codec here".getBytes("UTF-8")))
+      .toDF("media_id", "modality", "content")
+      .withColumn("meta", struct(lit("synth").as("source"),
+        length(col("content")).cast("long").as("n_bytes")))
+    val feats = Multimodal.extractFeatures(ppm.unionByName(wav).unionByName(unknown))
+      .collect()
+    // PPM/WAV rows keep their modality and their decoder's feature
+    // shape (5 = [w,h,meanR,meanG,meanB]; 4 = [rate,ch,frames,mean]);
+    // the 16-bin histogram shape may never appear under a decodable
+    // modality
+    feats.filter(_.modality == Multimodal.PpmModality)
+      .foreach(f => assert(f.features.length == 5))
+    feats.filter(_.modality == Multimodal.WavModality)
+      .foreach(f => assert(f.features.length == 4))
+    assert(feats.count(_.modality == Multimodal.PpmModality) == 5)
+    assert(feats.count(_.modality == Multimodal.WavModality) == 5)
+    // the codec-less row surfaces as opaque — the stand-in cannot
+    // masquerade as a decode under its input modality string
+    val op = feats.filter(_.media_id == 9001L)
+    assert(op.length == 1 && op.head.modality == Multimodal.OpaqueModality)
+    assert(op.head.features.length == 16)
+    assert(!feats.exists(_.modality == "video/x-unknown"))
+  }
+
   test("jaccard prefix+positional filters return exactly the unfiltered result set") {
     import graft.operators.Dedup
     for ((sf, tau) <- Seq(("sf0.001", 0.8), ("sf0.01", 0.7))) {

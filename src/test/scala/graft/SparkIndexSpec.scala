@@ -500,6 +500,56 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top(capped) == top(uncapped), "cell cap changed served results")
   }
 
+  test("searchLocal serves the distributed routed results driver-side, with zero jobs when warm") {
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    db.buildIndexIvf(numCells = 16, iters = 1)
+    db.efSearch = 4096 // exhaustive per cell at this fixture
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = e.filter(col("vec_id") < 8).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+
+    // identity: local point serving == the distributed routed path,
+    // (dist, id)-ordered, for every probe pattern the 8 queries hit
+    for ((qid, qv) <- qs) {
+      val local = db.searchLocal(qv, 5)
+      val dist = db.search(qv, 5).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        .sortBy { case (id, d) => (d, id) }
+      assert(local == dist, s"local/distributed divergence for query $qid")
+    }
+
+    // the warm path launches NO Spark job: every probed cell graph is
+    // already driver-resident, so the query routes + walks in-process
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    })
+    org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+    val before = jobs.get()
+    val t0 = System.nanoTime()
+    val warmRuns = 100
+    var i = 0
+    while (i < warmRuns) { db.searchLocal(qs.head._2, 5); i += 1 }
+    val perQueryMs = (System.nanoTime() - t0) / 1e6 / warmRuns
+    org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+    assert(jobs.get() == before, "warm searchLocal must launch no Spark job")
+    info(f"warm searchLocal point latency: $perQueryMs%.3f ms/query over $warmRuns runs")
+    // generous JIT/GC margin — the real bound is "no 0.2s job floor"
+    assert(perQueryMs < 50.0, f"warm point query too slow: $perQueryMs%.3f ms")
+
+    // an oversized probed cell falls back to the distributed path and
+    // still serves the identical answer (db2's cap trips before any
+    // cell can cache, so every probe takes the fallback arm)
+    val db2 = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    db2.buildIndexIvf(numCells = 16, iters = 1)
+    db2.efSearch = 4096
+    db2.localCellRowCap = 1
+    assert(db.searchLocal(qs.head._2, 5) == db2.searchLocal(qs.head._2, 5),
+      "cap-breach fallback diverged from local serving")
+  }
+
   test("adaptive nprobe: in-cluster queries probe fewer cells, boundary queries fan wide") {
     import graft.index.IvfIndex
     // three well-separated 1-d centroids: the probe geometry is exact
