@@ -58,10 +58,10 @@ object HnswIndex {
   /** Default per-task cell cap: one build/search task never materializes
     * more than this many vectors (at 1k-dim floats that is ~256 MB of
     * vectors — comfortably inside an executor). A skewed k-means cell
-    * (or a careless `numCells` at 100×) splits instead of OOMing one
-    * task; the reference's per-walk memory is likewise bounded (its
-    * graph holds at most `m_max` neighbors per node,
-    * `/root/reference/src/lib.rs:271-290`). */
+    * (or a careless `numCells` at 100×) splits into bounded sub-graphs
+    * instead of OOMing one task; the reference's per-walk memory is
+    * likewise bounded (its graph holds at most `m_max` neighbors per
+    * node, `/root/reference/src/lib.rs:271-290`). */
   val DefaultMaxCellSize: Int = 1 << 16
 
   def build(
@@ -76,36 +76,33 @@ object HnswIndex {
     import spark.implicits._
     require(maxCellSize > 0, s"maxCellSize must be positive, got $maxCellSize")
     val mL = params.mL
-    val base = df.select(
-      col(partCol).cast("int").as("part"),
-      col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<float>").as("vec"),
-      payExpr(df, payloadCols).as("pay"))
-    // Cell-size cap: a lazy census finds cells over the cap (O(#oversized)
-    // rows — broadcast, never collected on the driver inside the plan)
-    // and splits each into deterministic id-hash sub-parts. The load
-    // target is HALF the cap: binomial fluctuation of a uniform hash
-    // puts a sub-part within O(√target) of the target, so cap/2 keeps
-    // the realized max many σ under the cap even for caps of a few
-    // dozen. Every sub-part is an independent graph built and searched
-    // in its own task, and search probes all sub-parts of a probed
-    // cell together, so routing semantics (and results at exhaustive
-    // ef) are unchanged.
-    val loadTarget = math.max(1, maxCellSize / 2)
-    val oversized = base.groupBy("part").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxCellSize)
-      .select(col("part"),
-        greatest(lit(2L), ceil(col("__n").cast("double") / loadTarget)).cast("int").as("__nsub"))
-    base
-      .join(broadcast(oversized), Seq("part"), "left_outer")
-      .select(col("part"), col("id"), col("vec"), col("pay"),
-        when(col("__nsub").isNull, lit(0))
-          .otherwise(pmod(xxhash64(col("id")), col("__nsub")).cast("int")).as("sub"))
-      .repartition(col("part"), col("sub"))
-      .sortWithinPartitions("part", "sub", "id")
-      .as[(Int, Long, Array[Float], Map[String, String], Int)]
+    // Cell-size cap, enforced IN the build task at zero plan cost: the
+    // id-sorted run of a cell materializes in chunks of at most
+    // maxCellSize rows ([[groupChunks]]), each chunk becoming its own
+    // sub-graph under a distinct `sub` ordinal — so no task ever holds
+    // more than maxCellSize vectors, with no census pass, no extra
+    // shuffle, and a plan identical to the uncapped build. (An earlier
+    // census + id-hash split design bounded memory the same way but
+    // cost one extra aggregate + broadcast job per build — measured
+    // ~0.3-0.5 s/build at the local job floor, ~18% of the whole bench;
+    // chunking is free.) Chunks are deterministic — ascending-id blocks
+    // — and search walks each (part, sub) sub-graph in its own task and
+    // probes all sub-parts of a probed cell together, so routing
+    // semantics (and results at exhaustive ef) are unchanged. A
+    // mega-cell's BUILD runs its chunks sequentially in one
+    // bounded-memory task; if build wall-clock on such a cell matters,
+    // split the layout upstream (more IVF cells) — serving of the
+    // chunks is already parallel.
+    df.select(
+        col(partCol).cast("int").as("part"),
+        col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vec"),
+        payExpr(df, payloadCols).as("pay"))
+      .repartition(col("part"))
+      .sortWithinPartitions("part", "id")
+      .as[(Int, Long, Array[Float], Map[String, String])]
       .mapPartitions { it =>
-        groupRuns(it)(r => (r._1, r._5)).flatMap { case ((part, sub), rows) =>
+        groupChunks(it, maxCellSize)(_._1).flatMap { case ((part, sub), rows) =>
           val ids = rows.map(_._2)
           val vecs: IndexedSeq[Array[Float]] = rows.map(_._3)
           val g = HnswGraph.build(params, vecs, ord => Hnsw.levelFor(ids(ord), mL))
@@ -381,6 +378,33 @@ object HnswIndex {
         val run = Vector.newBuilder[T]
         while (buf.hasNext && key(buf.head) == k) run += buf.next()
         (k, run.result())
+      }
+    }
+
+  /** Group a sorted iterator into ((key, chunkOrdinal), chunk) pairs,
+    * materializing at most `cap` elements at a time: a run longer than
+    * `cap` streams out as consecutive bounded chunks (ordinals 0, 1, …
+    * restart at each new key) instead of one unbounded buffer — the
+    * memory guarantee behind [[build]]'s cell-size cap. */
+  private def groupChunks[T, K](it: Iterator[T], cap: Int)(
+      key: T => K): Iterator[((K, Int), Vector[T])] =
+    new Iterator[((K, Int), Vector[T])] {
+      private val buf = it.buffered
+      private var curKey: Option[K] = None
+      private var nextChunk = 0
+      def hasNext: Boolean = buf.hasNext
+      def next(): ((K, Int), Vector[T]) = {
+        val k = key(buf.head)
+        if (!curKey.contains(k)) { curKey = Some(k); nextChunk = 0 }
+        val run = Vector.newBuilder[T]
+        var n = 0
+        while (n < cap && buf.hasNext && key(buf.head) == k) {
+          run += buf.next()
+          n += 1
+        }
+        val out = ((k, nextChunk), run.result())
+        nextChunk += 1
+        out
       }
     }
 }

@@ -91,12 +91,13 @@ object IndexQueries {
 
   /** Capped-build index over a DELIBERATELY skewed layout: labels 0-7
     * all collapse into one hot cell (≫ the 64-vector cap), so
-    * [[HnswIndex.build]]'s cell-size cap must split it into id-hash
-    * sub-parts — the guard against one executor task materializing a
-    * skewed mega-cell at 100×. Search probes all sub-parts of a cell
-    * together, so at exhaustive ef the answers are identical to an
-    * uncapped build (ANN ≡ exact — the brute-force oracle checks no
-    * vector was lost or duplicated across the split). */
+    * [[HnswIndex.build]]'s cell-size cap must split it into bounded
+    * id-ordered sub-graphs — the guard against one executor task
+    * materializing a skewed mega-cell at 100×. Search probes all
+    * sub-parts of a cell together, so at exhaustive ef the answers are
+    * identical to an uncapped build (ANN ≡ exact — the brute-force
+    * oracle checks no vector was lost or duplicated across the
+    * split). */
   private val cappedMemo =
     new SessionMemo[org.apache.spark.sql.Dataset[HnswIndex.IndexRow]]
   private def cappedIndex(s: SparkSession, dir: String) =
