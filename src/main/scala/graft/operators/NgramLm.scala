@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Corpus-trained n-gram language-model scoring — the CCNet-style
+  * perplexity quality filter (Wenzek et al., "CCNet: Extracting High
+  * Quality Monolingual Datasets from Web Crawl Data", LREC 2020): rank
+  * documents by how probable their token stream is under a language
+  * model, then keep/bucket by score. Real deployments train KenLM on a
+  * clean reference corpus; this operator implements the same pipeline
+  * shape with an add-one-smoothed bigram model trained ON the corpus —
+  * fully deterministic and SQL-expressible, so the whole train + score
+  * path sits under the DuckDB oracle gate (extension — the reference
+  * has no text ops at all).
+  *
+  * Scale design (100 TB): the model IS two count tables —
+  * C(w1) = bigram-prefix occurrences and C(w1,w2) = bigram occurrences
+  * — built with map-side-combined hash aggregations, then joined back
+  * to the bigram stream on their keys. Nothing collects: the count
+  * tables are corpus-derived (they grow with vocabulary), so they join
+  * as shuffles on the token keys — AQE broadcasts them when genuinely
+  * small. Per-document aggregation is decimal-exact: each bigram's
+  * log-probability casts to DECIMAL(18,6) FIRST (deterministic per
+  * row — the repo-wide BM25/unigram convention), then sums exactly —
+  * the total is order-independent at any parallelism, which is what
+  * lets DuckDB replay it hash-exact.
+  */
+object NgramLm {
+
+  /** Per-document average bigram log-probability under the
+    * add-one-smoothed corpus bigram model:
+    * P(w2|w1) = (C(w1,w2) + 1) / (C(w1) + V), V = |corpus vocabulary|.
+    * Output: (idCol, n_bigrams, avg_logp) — one row per document with
+    * at least one bigram (sub-2-token docs have no bigram stream to
+    * score), avg_logp = floor(Σ decimal(ln P) / n · 1e4) / 1e4,
+    * ascending more surprising. */
+  def bigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = docs.select(col(idCol), toks.as("toks"))
+    // the bigram stream: one row per (doc, position) — the explode is
+    // map-only and linear in corpus tokens
+    val pairs = base.select(
+        col(idCol),
+        explode(zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // vocabulary size: one exact distinct over ALL tokens (bigram
+    // suffix-only vocabularies undercount leading words); a single
+    // O(1) row that cross-joins in broadcast
+    val v = base.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val lp: Column = log((col("c2") + lit(1.0d)) / (col("c1") + col("v")))
+    pairs
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col(idCol), lp.cast("decimal(18,6)").as("c"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).cast("double").as("lp"))
+      .select(col(idCol), col("n_bigrams"),
+        (floor(col("lp") / col("n_bigrams") * 10000.0) / 10000.0).as("avg_logp"))
+  }
+}

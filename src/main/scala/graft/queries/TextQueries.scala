@@ -189,6 +189,19 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Context-aware LM quality score — the bigram upgrade of
+    * [[qUnigramLogprob]] and the shape of the CCNet perplexity filter:
+    * train the add-one-smoothed corpus bigram model
+    * P(w2|w1) = (C(w1,w2)+1)/(C(w1)+V) in two map-side-combined hash
+    * aggregates, then score each doc by its mean bigram
+    * log-probability ([[graft.operators.NgramLm.bigramLogProb]]).
+    * Unlike the unigram score, this penalizes improbable token ORDER —
+    * shuffled gibberish built from common words scores low. Same
+    * determinism conventions as the unigram gate (per-contribution
+    * DECIMAL(18,6) cast, floor-scaled output). */
+  def qBigramLogprob(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NgramLm.bigramLogProb(docs(s, dir)).orderBy("doc_id")
+
   /** Normalized-text dedup keys: lowercase/strip normalization then
     * group — catches case/punctuation-variant duplicates exact dedup
     * misses. */
@@ -304,6 +317,25 @@ object TextQueries {
          |pd AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS lp,
          |         CAST(sum(tf) AS BIGINT) AS n FROM sc GROUP BY doc_id)
          |SELECT doc_id, floor(lp / n * 10000.0) / 10000.0 AS logprob
+         |FROM pd ORDER BY doc_id""".stripMargin)),
+    QueryDef("q_bigram_logprob", qBigramLogprob, Some(
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |p AS (SELECT doc_id,
+         |        unnest(list_transform(range(1, len(toks)),
+         |                              i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg
+         |      FROM t),
+         |p2 AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM p),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM p2 GROUP BY w1),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM p2 GROUP BY w1, w2),
+         |v AS (SELECT count(DISTINCT tok) AS v
+         |      FROM (SELECT unnest(toks) AS tok FROM t)),
+         |sc AS (SELECT doc_id,
+         |         CAST(ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS DECIMAL(18,6)) AS c
+         |       FROM p2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v),
+         |pd AS (SELECT doc_id, count(*) AS n_bigrams,
+         |         CAST(sum(c) AS DOUBLE) AS lp FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         |       floor(lp / n_bigrams * 10000.0) / 10000.0 AS avg_logp
          |FROM pd ORDER BY doc_id""".stripMargin)),
     QueryDef("q_text_stats", qTextStats, Some(
       s"""SELECT doc_id,

@@ -491,13 +491,25 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // exhaustive ef per sub-graph ≡ exact regardless of the split: the
     // capped index serves exactly what an uncapped build serves
-    val uncapped = HnswIndex.build(skewed, P)
+    val uncapped = HnswIndex.build(skewed, P, maxCellSize = Int.MaxValue)
     val queries = e.filter(col("vec_id") < 4)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     def top(ds: org.apache.spark.sql.Dataset[HnswIndex.IndexRow]) =
       HnswIndex.search(ds, queries, k = 5, P, efSearch = 4096)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(top(capped) == top(uncapped), "cell cap changed served results")
+
+    // ROUTED composition: a probed cell's sub-parts are all searched —
+    // routing a capped layout serves exactly what routing the uncapped
+    // layout serves (same router, exhaustive ef within probed cells)
+    val router = graft.index.IvfIndex.fromPartitionMeans(
+      skewed.select(col("part"), col("embedding").as("vec")), "part", "vec")
+    def routedTop(ds: org.apache.spark.sql.Dataset[HnswIndex.IndexRow]) =
+      HnswIndex.search(ds, queries, k = 5, P, efSearch = 4096,
+          router = Some(router), nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(routedTop(capped) == routedTop(uncapped),
+      "routed search over a capped layout missed sub-parts of a probed cell")
   }
 
   test("searchLocal serves the distributed routed results driver-side, with zero jobs when warm") {

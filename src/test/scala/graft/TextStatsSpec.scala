@@ -52,6 +52,34 @@ class TextStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, 3, 1), (2L, 0, 0), (3L, 0, 0), (4L, 2, 1)))
   }
 
+  test("bigram LM penalizes improbable token ORDER; short docs emit no score row") {
+    import spark.implicits._
+    import graft.operators.NgramLm
+    // 20 natural docs + 1 with the SAME words shuffled: the unigram
+    // model cannot tell them apart, the bigram model must — that is
+    // the whole point of the context-aware score
+    val corpus = (Seq.tabulate(20)(i => (i.toLong, "the cat sat")) ++
+      Seq((99L, "sat cat the"), (100L, "solo"))).toDF("doc_id", "text")
+    val scored = NgramLm.bigramLogProb(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(scored(0L)._1 == 2 && scored(99L)._1 == 2)
+    assert(scored(0L)._2 > scored(99L)._2,
+      s"shuffled word order must score lower: ${scored(0L)} vs ${scored(99L)}")
+    // a sub-2-token doc has no bigram stream — no score row, not a 0
+    assert(!scored.contains(100L))
+    // hand-check doc 0 under add-one smoothing with V = 4
+    // ({the, cat, sat, solo}): prefix counts C1(the) = 20 ("the cat"
+    // ×20), C1(cat) = 21 ("cat sat" ×20 + "cat the" ×1), so
+    // P(cat|the) = 21/(20+4) and P(sat|cat) = 21/(21+4); avg of
+    // DECIMAL(18,6)-cast lns, floor-scaled
+    val expect = {
+      val a = BigDecimal(math.log(21.0 / 24.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val b = BigDecimal(math.log(21.0 / 25.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      math.floor((a + b).toDouble / 2 * 10000.0) / 10000.0
+    }
+    assert(scored(0L)._2 == expect, s"${scored(0L)._2} vs hand-computed $expect")
+  }
+
   test("topTokenCount edge cases: empty array and all-equal tokens") {
     import spark.implicits._
     val df = Seq(
