@@ -189,6 +189,49 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Distribution-shift detection for data mixing: per-source KL
+    * divergence KL(p_source ‖ p_corpus) over token distributions —
+    * the corpus-QA census that surfaces a domain whose text drifted
+    * from the mixture (a scraper gone wrong, a source language flip)
+    * BEFORE it trains. Sum runs over the source's own support, where
+    * p_source > 0 and p_corpus > 0 by containment, so the divergence
+    * is always finite.
+    *
+    * Scale shape: two map-side-combined hash aggregates ((source,
+    * term) counts, then per-term corpus counts), joined back on
+    * `term`/`source` — count tables are corpus-derived and join as
+    * shuffles (AQE broadcasts when genuinely small); the 1-row corpus
+    * total broadcasts. Per-term contributions cast to DECIMAL(18,6)
+    * before the per-source sum (order-independent at any parallelism —
+    * the repo-wide convention), floor-scaled output. */
+  def qSourceKl(s: SparkSession, dir: String): DataFrame =
+    sourceKl(docs(s, dir))
+
+  /** The per-source KL pipeline over any (source, text) table — public
+    * so the drift-detection property is spec-testable on synthetic
+    * corpora ([[qSourceKl]] gates the fixture composition). */
+  def sourceKl(d: DataFrame): DataFrame = {
+    val tf = d
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("sf"))
+    val cf = tf.groupBy("term").agg(sum("sf").as("cf"))
+    val stot = tf.groupBy("source").agg(sum("sf").as("stot"))
+    val tot = cf.agg(sum("cf").cast("double").as("tot"))
+    tf.join(cf, "term")
+      .join(stot, "source")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("stot"),
+        ((col("sf").cast("double") / col("stot")) *
+          log((col("sf").cast("double") / col("stot")) /
+            (col("cf").cast("double") / col("tot"))))
+          .cast("decimal(18,6)").as("c"))
+      .groupBy("source")
+      .agg(max("stot").as("n_tokens"), sum("c").cast("double").as("kl"))
+      .select(col("source"), col("n_tokens"),
+        (floor(col("kl") * 10000.0) / 10000.0).as("kl"))
+      .orderBy("source")
+  }
+
   /** Context-aware LM quality score — the bigram upgrade of
     * [[qUnigramLogprob]] and the shape of the CCNet perplexity filter:
     * train the add-one-smoothed corpus bigram model
@@ -318,6 +361,20 @@ object TextQueries {
          |         CAST(sum(tf) AS BIGINT) AS n FROM sc GROUP BY doc_id)
          |SELECT doc_id, floor(lp / n * 10000.0) / 10000.0 AS logprob
          |FROM pd ORDER BY doc_id""".stripMargin)),
+    QueryDef("q_source_kl", qSourceKl, Some(
+      s"""WITH u AS (SELECT source, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT source, term, count(*) AS sf FROM u GROUP BY source, term),
+         |cf AS (SELECT term, CAST(sum(sf) AS BIGINT) AS cf FROM tf GROUP BY term),
+         |st AS (SELECT source, CAST(sum(sf) AS BIGINT) AS stot FROM tf GROUP BY source),
+         |tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS tot FROM cf),
+         |sc AS (SELECT tf.source, st.stot,
+         |         CAST((CAST(tf.sf AS DOUBLE) / st.stot) *
+         |              ln((CAST(tf.sf AS DOUBLE) / st.stot) /
+         |                 (CAST(cf.cf AS DOUBLE) / tot.tot)) AS DECIMAL(18,6)) AS c
+         |       FROM tf JOIN cf USING (term) JOIN st USING (source), tot)
+         |SELECT source, max(stot) AS n_tokens,
+         |       floor(CAST(sum(c) AS DOUBLE) * 10000.0) / 10000.0 AS kl
+         |FROM sc GROUP BY source ORDER BY source""".stripMargin)),
     QueryDef("q_bigram_logprob", qBigramLogprob, Some(
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |p AS (SELECT doc_id,

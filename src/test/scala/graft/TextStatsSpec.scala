@@ -80,6 +80,25 @@ class TextStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scored(0L)._2 == expect, s"${scored(0L)._2} vs hand-computed $expect")
   }
 
+  test("per-source KL divergence: non-negative, near-zero for in-distribution, flags the drifted source") {
+    import spark.implicits._
+    import graft.queries.TextQueries
+    // three sources sharing one distribution + one drifted source
+    // (different vocabulary entirely — the scraper-gone-wrong case)
+    val rows =
+      (for (s <- Seq("a", "b", "c"); i <- 0 until 30)
+        yield (s, s"the cat sat on mat $i")) ++
+        (0 until 30).map(i => ("drift", s"zebra quark flux $i"))
+    val kl = TextQueries.sourceKl(rows.toDF("source", "text")).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // Gibbs: KL >= 0 (floor-scaling can shave at most 1e-4 below)
+    assert(kl.values.forall(_ >= -1e-4), s"negative divergence: $kl")
+    // the drifted source dominates every in-distribution source by a
+    // wide margin, and in-distribution sources sit near their mixture
+    for (s <- Seq("a", "b", "c"))
+      assert(kl("drift") > kl(s) + 0.5, s"drift not flagged: $kl")
+  }
+
   test("topTokenCount edge cases: empty array and all-equal tokens") {
     import spark.implicits._
     val df = Seq(
