@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.index.Hnsw
+
+/** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+  * SIGIR'98) — diversity-aware top-k: instead of the k nearest
+  * neighbors (which at retrieval time are often near-duplicates of
+  * each other), greedily select items maximizing
+  * `λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s)` — relevance minus
+  * redundancy against the already-selected set. The dedup-at-serving
+  * counterpart of the corpus-dedup operators (extension — the
+  * reference serves plain top-k only, `/root/reference/src/lib.rs:74-97`).
+  *
+  * Scale design: the candidate FETCH is the distributed part (exact
+  * top-`fetch` via TakeOrderedAndProject, or any ANN arm upstream);
+  * the greedy pass runs driver-side over the BOUNDED fetch set
+  * (`fetch` rows by contract — the same bounded-collect shape as
+  * [[graft.VectorDB.searchRefined]]'s re-rank). Greedy selection is
+  * inherently sequential in k; running it on O(fetch) driver rows
+  * costs microseconds and keeps the cluster pass embarrassingly
+  * parallel. Similarity is −L2² (monotone with L2 similarity);
+  * deterministic tie-break by ascending id at every pick.
+  */
+object Mmr {
+
+  /** Diversity-aware top-k: fetch the `fetch` nearest rows to
+    * `queryVec` (exact L2², ascending-id ties), then greedily MMR-pick
+    * `k` of them at trade-off `lambda` (1.0 = pure relevance = plain
+    * top-k; 0.0 = pure diversity). Output: (rank, idCol, dist) where
+    * dist is the RELEVANCE distance of the picked row — ranks follow
+    * pick order, not distance order. */
+  def searchMmr(df: DataFrame, queryVec: Seq[Float], k: Int,
+      fetch: Int, lambda: Double = 0.5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(fetch >= k && k > 0, s"need fetch >= k > 0, got fetch=$fetch k=$k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val spark = df.sparkSession
+    val cand = df
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vec"),
+        l2SqNative(col(vecCol), vecLit(queryVec)).as("dist"))
+      .orderBy(col("dist").asc, col("id").asc)
+      .limit(fetch)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    mmrPick(spark, cand, k, lambda, idCol)
+  }
+
+  /** The greedy pass over an already-fetched candidate set — exposed
+    * so ANN/compressed fetch arms can reuse it. */
+  private[graft] def mmrPick(spark: SparkSession,
+      cand: Array[(Long, Array[Float], Double)], k: Int, lambda: Double,
+      idCol: String): DataFrame = {
+    val pool = scala.collection.mutable.ArrayBuffer(cand: _*)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    val selVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    while (picked.length < k && pool.nonEmpty) {
+      // score each remaining candidate; the float math mirrors the
+      // oracle's expression tree exactly: sim = −l2², redundancy =
+      // max over selected sims, m = λ·simRel − (1−λ)·redundancy
+      val best = pool.zipWithIndex.map { case ((id, vec, d), i) =>
+        val m =
+          if (selVecs.isEmpty) lambda * -d
+          else lambda * -d -
+            (1.0 - lambda) * selVecs.map(s => -Hnsw.l2Sq(vec, s)).max
+        (m, id, i)
+      }.minBy { case (m, id, _) => (-m, id) }
+      val (_, id, i) = best
+      val (_, vec, d) = pool(i)
+      picked += ((picked.length + 1, id, d))
+      selVecs += vec
+      pool.remove(i)
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("rank", idCol, "dist")
+  }
+}

@@ -132,6 +132,54 @@ object VectorQueries {
       .select(col("vec_id"), round(col("d"), 3).as("dist"))
   }
 
+  /** Diversity-aware top-k ([[graft.operators.Mmr.searchMmr]]): fetch
+    * the 20 nearest to query 95, MMR-pick 5 at λ = 0.5 — the
+    * dedup-at-serving shape retrieval pipelines run so the k results
+    * aren't near-duplicates of each other. The oracle replays the
+    * greedy selection as 5 unrolled SQL stages with the IDENTICAL
+    * float expression tree (λ·(−d) − (1−λ)·max(−l2(c,s)), id-asc
+    * ties), so pick order itself is under the hash gate. */
+  def qMmr(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 95L)
+      .select("embedding").head().getSeq[Float](0)
+    graft.operators.Mmr.searchMmr(e, qv, k = 5, fetch = 20, lambda = 0.5)
+      .select(col("rank").cast("int").as("rnk"), col("vec_id"),
+        round(col("dist"), 3).as("dist"))
+      .orderBy("rnk")
+  }
+
+  /** Unrolled-greedy MMR oracle: stage i scores the unpicked
+    * candidates against the selected set and picks the max-m (id-asc
+    * tie) row — the same expression tree the driver-side greedy
+    * evaluates. */
+  private def mmrOracleSql(qid: Long, k: Int, fetch: Int): String = {
+    val stages = (2 to k).map { i =>
+      s"""sc$i AS (SELECT c.vec_id,
+         |  0.5 * (-c.d) - 0.5 * max(-(${l2Sql("c.embedding", "s.embedding")})) AS m, c.d AS d
+         |  FROM cand c CROSS JOIN sel${i - 1} s
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |  GROUP BY c.vec_id, c.d),
+         |p$i AS (SELECT vec_id, d FROM sc$i ORDER BY m DESC, vec_id LIMIT 1),
+         |sel$i AS (SELECT vec_id, embedding FROM sel${i - 1}
+         |          UNION ALL
+         |          SELECT c.vec_id, c.embedding FROM cand c JOIN p$i USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    val ranks = (1 to k)
+      .map(i => s"SELECT $i AS rnk, vec_id, d FROM p$i")
+      .mkString("\n UNION ALL\n ")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid),
+       |cand AS (SELECT e.vec_id, e.embedding, ${l2Sql("e.embedding", "q.qv")} AS d
+       |         FROM embeddings e CROSS JOIN q
+       |         ORDER BY d, e.vec_id LIMIT $fetch),
+       |sc1 AS (SELECT vec_id, 0.5 * (-d) AS m, d FROM cand),
+       |p1 AS (SELECT vec_id, d FROM sc1 ORDER BY m DESC, vec_id LIMIT 1),
+       |sel1 AS (SELECT c.vec_id, c.embedding FROM cand c JOIN p1 USING (vec_id)),
+       |$stages
+       |SELECT CAST(rnk AS INT) AS rnk, vec_id, round(d, 3) AS dist
+       |FROM ($ranks) ORDER BY rnk""".stripMargin
+  }
+
   /** Ingest validation + len (ref `src/lib.rs:62-69` dimension check,
     * `src/disk_store.rs:22-27` size check, `src/lib.rs:350-352` len). */
   def qValidate(s: SparkSession, dir: String): DataFrame =
@@ -157,6 +205,7 @@ object VectorQueries {
        |   END)""".stripMargin.replaceAll("\\s+", " ")
 
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_mmr", qMmr, Some(mmrOracleSql(95L, k = 5, fetch = 20))),
     QueryDef("q_knn_truncated", qKnnTruncated, Some(
       s"""WITH t AS (SELECT vec_id, embedding[1:16] AS embedding FROM embeddings),
          |q AS (SELECT embedding AS qv FROM t WHERE vec_id = 93)
