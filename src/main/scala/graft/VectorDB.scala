@@ -885,6 +885,37 @@ final class VectorDB private (
       .limit(k)
   }
 
+  /** Diversity-aware top-k through the handle — serving-time dedup
+    * ([[graft.operators.Mmr]]): fetch the `fetch` nearest under the
+    * CURRENT serving configuration (ANN / compressed ADC / exact —
+    * whatever [[search]] dispatches to), re-read the bounded fetch
+    * set's raw vectors through an In(id)-pruned scan (the
+    * [[searchRefined]] shape — row-group pruning at scale, never a
+    * corpus re-scan), then greedily MMR-pick `k` driver-side with
+    * redundancy scored under this handle's metric (−L2² / cosine /
+    * dot). `fetch` <= 0 defaults to 4·k. Output (rank, idCol, dist):
+    * rank follows pick order, dist is the fetch arm's serving
+    * distance. */
+  def searchDiverse(queryVec: Seq[Float], k: Int, fetch: Int = 0,
+      lambda: Double = 0.5): DataFrame = {
+    val f = if (fetch > 0) fetch else 4 * k
+    require(f >= k && k > 0, s"need fetch >= k > 0, got fetch=$f k=$k")
+    val fetched = search(queryVec, f)
+      .select(col(idCol).cast("long"), col("dist").cast("double")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, d) => (d, id) }
+    val vecs = vectors.filter(col(idCol).isin(fetched.map(_._1).toSeq: _*))
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val sim = intendedMetric match {
+      case Knn.Cosine => graft.operators.Mmr.cosineSim
+      case Knn.Dot    => graft.operators.Mmr.dotSim
+      case _          => graft.operators.Mmr.l2Sim
+    }
+    graft.operators.Mmr.mmrPick(vectors.sparkSession,
+      fetched.map { case (id, d) => (id, vecs(id), d) }, k, lambda, idCol, sim)
+  }
+
   /** Batch exact-refine — [[searchRefined]]'s contract at
     * [[searchBatch]]'s amortized shape: ONE ADC job ranks every
     * query's probed codes to top-(k·refine), then the union of

@@ -50,11 +50,43 @@ object Mmr {
     mmrPick(spark, cand, k, lambda, idCol)
   }
 
+  /** Pairwise similarity = −(pair distance): the constant-offset-free
+    * convention under which MMR pick order is invariant to the
+    * metric's additive normalization (a constant shift in every
+    * redundancy term shifts every candidate's score equally). */
+  val l2Sim: (Array[Float], Array[Float]) => Double =
+    (a, b) => -Hnsw.l2Sq(a, b)
+
+  /** Cosine redundancy sim (zero-norm guard mirrors the serving
+    * kernel's, `/root/reference/src/lib.rs:32-47`). */
+  val cosineSim: (Array[Float], Array[Float]) => Double = (a, b) => {
+    var dp = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dp += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dp / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Inner-product redundancy sim (MIPS handles). */
+  val dotSim: (Array[Float], Array[Float]) => Double = (a, b) => {
+    var dp = 0.0
+    var i = 0
+    while (i < a.length) { dp += a(i).toDouble * b(i).toDouble; i += 1 }
+    dp
+  }
+
   /** The greedy pass over an already-fetched candidate set — exposed
-    * so ANN/compressed fetch arms can reuse it. */
+    * so ANN/compressed/metric fetch arms can reuse it
+    * ([[graft.VectorDB.searchDiverse]]). `sim` scores redundancy
+    * between two corpus vectors (default −L2²). */
   private[graft] def mmrPick(spark: SparkSession,
       cand: Array[(Long, Array[Float], Double)], k: Int, lambda: Double,
-      idCol: String): DataFrame = {
+      idCol: String,
+      sim: (Array[Float], Array[Float]) => Double = l2Sim): DataFrame = {
     val pool = scala.collection.mutable.ArrayBuffer(cand: _*)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
     val selVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
@@ -66,7 +98,7 @@ object Mmr {
         val m =
           if (selVecs.isEmpty) lambda * -d
           else lambda * -d -
-            (1.0 - lambda) * selVecs.map(s => -Hnsw.l2Sq(vec, s)).max
+            (1.0 - lambda) * selVecs.map(s => sim(vec, s)).max
         (m, id, i)
       }.minBy { case (m, id, _) => (-m, id) }
       val (_, id, i) = best

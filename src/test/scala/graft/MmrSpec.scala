@@ -43,6 +43,36 @@ class MmrSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(picks(0.3) == picks(0.3))
   }
 
+  test("handle searchDiverse == raw searchMmr when the fetch arm is exhaustive-exact") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qv = e.filter(col("vec_id") === 7L).select("embedding")
+      .head().getSeq[Float](0)
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64)
+    db.buildIndexIvf(numCells = 16, iters = 1)
+    db.nprobe = 16 // every cell probed + exhaustive ef => fetch == exact
+    db.efSearch = 4096
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaHandle = rows(db.searchDiverse(qv, k = 5, fetch = 20, lambda = 0.5))
+    val raw = rows(Mmr.searchMmr(e, qv, k = 5, fetch = 20, lambda = 0.5))
+    assert(viaHandle == raw,
+      s"handle MMR diverged from the raw operator:\n$viaHandle\nvs\n$raw")
+    // cosine arm serves without error and rank-1 is the top cosine hit
+    val cdb = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64)
+    cdb.buildIndexIvf(numCells = 16, iters = 1,
+      metric = graft.operators.Knn.Cosine)
+    cdb.nprobe = 16
+    cdb.efSearch = 4096
+    val div = cdb.searchDiverse(qv, k = 3, fetch = 12, lambda = 0.5)
+      .orderBy("rank").collect()
+    val top = cdb.search(qv, 1).collect().head.getLong(0)
+    assert(div.length == 3 && div.head.getLong(1) == top,
+      "rank-1 of cosine MMR must be the top cosine hit")
+  }
+
   test("fetch bounds the candidate pool; k > pool size returns the whole pool ranked") {
     import spark.implicits._
     val corpus = Seq(

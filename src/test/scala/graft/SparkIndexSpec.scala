@@ -560,6 +560,20 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     db2.localCellRowCap = 1
     assert(db.searchLocal(qs.head._2, 5) == db2.searchLocal(qs.head._2, 5),
       "cap-breach fallback diverged from local serving")
+
+    // restart story: a save()d + load()ed handle serves the same point
+    // answers locally — the cold path reads only the probed cells'
+    // parquet subtrees, never the corpus
+    val p = java.nio.file.Files.createTempDirectory("graft_local_")
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    db.save(p.toString)
+    val loaded = VectorDB.load(spark, p.toString)
+    assert(loaded.searchLocal(qs.head._2, 5) == db.searchLocal(qs.head._2, 5),
+      "persisted handle's local point serving diverged")
   }
 
   test("adaptive nprobe: in-cluster queries probe fewer cells, boundary queries fan wide") {
