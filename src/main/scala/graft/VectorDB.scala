@@ -916,6 +916,41 @@ final class VectorDB private (
       fetched.map { case (id, d) => (id, vecs(id), d) }, k, lambda, idCol, sim)
   }
 
+  /** Batch diversity-aware top-k — [[searchDiverse]]'s contract at
+    * [[searchBatch]]'s amortized shape: ONE fetch job answers every
+    * query's top-`fetch` under the current serving configuration, the
+    * union of candidates (bounded O(q·fetch) ids) re-reads raw vectors
+    * in ONE In(id)-pruned scan, and the per-query greedy picks run
+    * driver-side (each over its own bounded pool). Output
+    * (qid, rank, idCol, dist) in pick order per qid. */
+  def searchDiverseBatch(queries: DataFrame, k: Int, fetch: Int = 0,
+      lambda: Double = 0.5,
+      qidCol: String = "qid", qvecCol: String = "qv"): DataFrame = {
+    val f = if (fetch > 0) fetch else 4 * k
+    require(f >= k && k > 0, s"need fetch >= k > 0, got fetch=$f k=$k")
+    val fetched = searchBatch(queries, f, qidCol, qvecCol)
+      .select(col("qid").cast("long"), col(idCol).cast("long").as("__id"),
+        col("dist").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val vecs = vectors
+      .filter(col(idCol).isin(fetched.map(_._2).distinct.toSeq: _*))
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val sim = intendedMetric match {
+      case Knn.Cosine => graft.operators.Mmr.cosineSim
+      case Knn.Dot    => graft.operators.Mmr.dotSim
+      case _          => graft.operators.Mmr.l2Sim
+    }
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    fetched.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (qid, rows) =>
+      val cand = rows.map { case (_, id, d) => (id, vecs(id), d) }
+        .sortBy { case (id, _, d) => (d, id) }
+      graft.operators.Mmr.greedy(cand, k, lambda, sim)
+        .map { case (rank, id, d) => (qid, rank, id, d) }
+    }.toDF("qid", "rank", idCol, "dist")
+  }
+
   /** Batch exact-refine — [[searchRefined]]'s contract at
     * [[searchBatch]]'s amortized shape: ONE ADC job ranks every
     * query's probed codes to top-(k·refine), then the union of

@@ -79,21 +79,17 @@ object Mmr {
     dp
   }
 
-  /** The greedy pass over an already-fetched candidate set — exposed
-    * so ANN/compressed/metric fetch arms can reuse it
-    * ([[graft.VectorDB.searchDiverse]]). `sim` scores redundancy
-    * between two corpus vectors (default −L2²). */
-  private[graft] def mmrPick(spark: SparkSession,
-      cand: Array[(Long, Array[Float], Double)], k: Int, lambda: Double,
-      idCol: String,
-      sim: (Array[Float], Array[Float]) => Double = l2Sim): DataFrame = {
+  /** The pure greedy pass: (rank, id, relevance-dist) in pick order.
+    * The float math mirrors the oracle's expression tree exactly:
+    * redundancy = max over selected sims, m = λ·(−d) − (1−λ)·redundancy,
+    * ties by ascending id at every pick. */
+  private[graft] def greedy(cand: Array[(Long, Array[Float], Double)],
+      k: Int, lambda: Double,
+      sim: (Array[Float], Array[Float]) => Double): Seq[(Int, Long, Double)] = {
     val pool = scala.collection.mutable.ArrayBuffer(cand: _*)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
     val selVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
     while (picked.length < k && pool.nonEmpty) {
-      // score each remaining candidate; the float math mirrors the
-      // oracle's expression tree exactly: sim = −l2², redundancy =
-      // max over selected sims, m = λ·simRel − (1−λ)·redundancy
       val best = pool.zipWithIndex.map { case ((id, vec, d), i) =>
         val m =
           if (selVecs.isEmpty) lambda * -d
@@ -107,7 +103,18 @@ object Mmr {
       selVecs += vec
       pool.remove(i)
     }
+    picked.toSeq
+  }
+
+  /** The greedy pass over an already-fetched candidate set — exposed
+    * so ANN/compressed/metric fetch arms can reuse it
+    * ([[graft.VectorDB.searchDiverse]]). `sim` scores redundancy
+    * between two corpus vectors (default −L2²). */
+  private[graft] def mmrPick(spark: SparkSession,
+      cand: Array[(Long, Array[Float], Double)], k: Int, lambda: Double,
+      idCol: String,
+      sim: (Array[Float], Array[Float]) => Double = l2Sim): DataFrame = {
     import spark.implicits._
-    picked.toSeq.toDF("rank", idCol, "dist")
+    greedy(cand, k, lambda, sim).toDF("rank", idCol, "dist")
   }
 }

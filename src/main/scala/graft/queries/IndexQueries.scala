@@ -670,6 +670,63 @@ object IndexQueries {
       .select(col("mode"), col("vec_id"), round(col("d"), 3).as("dist"))
   }
 
+  /** Batch diversity serving through the handle
+    * ([[graft.VectorDB.searchDiverseBatch]] — ONE fetch job for the
+    * whole batch, then per-query driver-side MMR picks): every cell
+    * probed at exhaustive ef, so each query's fetch is its exact
+    * top-16 and the oracle replays the per-qid greedy as unrolled SQL
+    * stages. Fresh query ids (96-98). */
+  def qMmrBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") >= 96 && col("vec_id") < 99)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    vdbAllCellsHandle(s, dir).searchDiverseBatch(queries, k = 4, fetch = 16)
+      .select(col("qid"), col("rank").cast("int").as("rnk"), col("vec_id"),
+        round(col("dist"), 3).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Per-qid unrolled-greedy MMR oracle (the batch twin of
+    * VectorQueries' single-query generator): stage i scores each
+    * qid's unpicked candidates against that qid's selected set and
+    * picks the max-m (id-asc tie) row per qid. */
+  private def mmrBatchOracleSql(qWhere: String, k: Int, fetch: Int): String = {
+    import VectorQueries.l2Sql
+    val stages = (2 to k).map { i =>
+      s"""sc$i AS (SELECT c.qid, c.vec_id,
+         |  0.5 * (-c.d) - 0.5 * max(-(${l2Sql("c.embedding", "s.embedding")})) AS m, c.d AS d
+         |  FROM cand c JOIN sel${i - 1} s ON s.qid = c.qid
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+         |                    WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+         |  GROUP BY c.qid, c.vec_id, c.d),
+         |p$i AS (SELECT qid, vec_id, d FROM
+         |          (SELECT qid, vec_id, d,
+         |             row_number() OVER (PARTITION BY qid ORDER BY m DESC, vec_id) AS rn
+         |           FROM sc$i) WHERE rn = 1),
+         |sel$i AS (SELECT qid, vec_id, embedding FROM sel${i - 1}
+         |          UNION ALL
+         |          SELECT c.qid, c.vec_id, c.embedding FROM cand c JOIN p$i USING (qid, vec_id))""".stripMargin
+    }.mkString(",\n")
+    val ranks = (1 to k)
+      .map(i => s"SELECT qid, $i AS rnk, vec_id, d FROM p$i")
+      .mkString("\n UNION ALL\n ")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE $qWhere),
+       |cand AS (SELECT qid, vec_id, embedding, d FROM
+       |           (SELECT q.qid, e.vec_id, e.embedding, ${l2Sql("e.embedding", "q.qv")} AS d,
+       |              row_number() OVER (PARTITION BY q.qid
+       |                ORDER BY ${l2Sql("e.embedding", "q.qv")}, e.vec_id) AS rn
+       |            FROM embeddings e CROSS JOIN q) WHERE rn <= $fetch),
+       |sc1 AS (SELECT qid, vec_id, 0.5 * (-d) AS m, d FROM cand),
+       |p1 AS (SELECT qid, vec_id, d FROM
+       |         (SELECT qid, vec_id, d,
+       |            row_number() OVER (PARTITION BY qid ORDER BY m DESC, vec_id) AS rn
+       |          FROM sc1) WHERE rn = 1),
+       |sel1 AS (SELECT c.qid, c.vec_id, c.embedding FROM cand c JOIN p1 USING (qid, vec_id)),
+       |$stages
+       |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(d, 3) AS dist
+       |FROM ($ranks) ORDER BY qid, rnk""".stripMargin
+  }
+
   /** Gate on `VectorDB.add`'s ACCEPT path (ref op 4's happy case,
     * `src/lib.rs:62-72` — q_validate gates the reject case): append a
     * shifted copy of the corpus through the public handle, then exact
@@ -2226,6 +2283,8 @@ object IndexQueries {
          |      UNION ALL
          |      SELECT 'exact' AS mode, vec_id, d FROM exranked WHERE rnk <= 5)
          |SELECT mode, vec_id, round(d, 3) AS dist FROM u ORDER BY mode, d, vec_id""".stripMargin)),
+    QueryDef("q_mmr_batch", qMmrBatch,
+      Some(mmrBatchOracleSql("vec_id >= 96 AND vec_id < 99", k = 4, fetch = 16))),
     QueryDef("q_vectordb_local", qVectordbLocal, Some(
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id = 87),
          |$trainedCellsSql,

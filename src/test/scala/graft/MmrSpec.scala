@@ -73,6 +73,28 @@ class MmrSpec extends AnyFunSuite with BeforeAndAfterAll {
       "rank-1 of cosine MMR must be the top cosine hit")
   }
 
+  test("searchDiverseBatch == per-query searchDiverse (one fetch job, same picks)") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64)
+    db.buildIndexIvf(numCells = 16, iters = 1)
+    db.nprobe = 16
+    db.efSearch = 4096
+    val qids = Seq(11L, 12L, 13L)
+    val queries = e.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch = db.searchDiverseBatch(queries, k = 4, fetch = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val single = qids.flatMap { q =>
+      val qv = e.filter(col("vec_id") === q).select("embedding")
+        .head().getSeq[Float](0)
+      db.searchDiverse(qv, k = 4, fetch = 16)
+        .collect().map(r => (q, r.getInt(0), r.getLong(1)))
+    }.toSet
+    assert(batch == single, s"batch/single MMR divergence:\n$batch\nvs\n$single")
+  }
+
   test("fetch bounds the candidate pool; k > pool size returns the whole pool ranked") {
     import spark.implicits._
     val corpus = Seq(
