@@ -340,6 +340,53 @@ object HnswIndex {
     addBatch(kept, moved, params, maxCellSize = maxCellSize)
   }
 
+  /** Split oversized cells into REAL first-class cells — the
+    * parallelism counterpart of [[build]]'s bounded-memory chunking
+    * and the inverse of [[compact]]'s dissolve: a mega-cell's chunks
+    * serve in parallel tasks but BUILD sequentially inside one task;
+    * rebalancing re-routes such a cell's rows into ceil(n/(cap/2))
+    * fresh part ids by deterministic id-hash, so the rebuild (and all
+    * later maintenance) parallelizes across tasks and a [[save]]d
+    * layout prunes at the finer granularity. Untouched cells pass
+    * through. Cell census is O(#cells) — driver-resident by design
+    * (the [[compact]] convention). Derive a fresh router from the
+    * rebalanced layout for routed serving (as [[graft.VectorDB.compact]]
+    * does); search results are unchanged wherever search is exhaustive
+    * per cell. */
+  def rebalance(
+      index: Dataset[IndexRow],
+      params: HnswParams = HnswParams(),
+      maxCellSize: Int = DefaultMaxCellSize): Dataset[IndexRow] = {
+    import index.sparkSession.implicits._
+    require(maxCellSize > 0, s"maxCellSize must be positive, got $maxCellSize")
+    val sizes = index.groupBy("part").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    val over = sizes.filter(_._2 > maxCellSize)
+    if (over.isEmpty) return index
+    val target = math.max(1, maxCellSize / 2)
+    // deterministic new-id allocation: fresh part ids start past the
+    // current max and pack consecutively per split cell
+    var next = sizes.map(_._1).max + 1
+    val plan: Seq[(Int, Int, Int)] = over.toSeq.sortBy(_._1).map { case (c, n) =>
+      val parts = math.max(2L, (n + target - 1) / target).toInt
+      val base = next
+      next += parts
+      (c, base, parts)
+    }
+    val overIds = over.map(_._1).toSeq
+    val untouched = index.filter(!col("part").isin(overIds: _*))
+    val newPart = plan.foldLeft(lit(-1)) { case (acc, (c, base, parts)) =>
+      when(col("part") === c,
+        lit(base) + pmod(xxhash64(col("vector_id")), lit(parts.toLong)).cast("int"))
+        .otherwise(acc)
+    }
+    val moved = index.filter(col("part").isin(overIds: _*))
+      .toDF()
+      .select(newPart.as("part"), col("vector_id").as("vec_id"),
+        col("vec").as("embedding"), col("payload").as(PayCol))
+    untouched.union(build(moved, params, maxCellSize = maxCellSize))
+  }
+
   /** Persist a built index partitioned by cell: each IVF cell becomes
     * its own parquet subtree, so a routed search with nprobe cells
     * reads exactly those subtrees (partition pruning on `part`) —

@@ -108,6 +108,34 @@ object IndexQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** The [[cappedIndex]] REBALANCED: the hot cell's chunks become
+    * first-class cells ([[HnswIndex.rebalance]] — parallel rebuild +
+    * finer persisted pruning granularity, the inverse of compact's
+    * dissolve). Exhaustive ef makes served answers invariant under
+    * any repartitioning, so the brute-force oracle gates that the
+    * split lost no vector, duplicated none, and corrupted no
+    * adjacency. */
+  private val rebalMemo =
+    new SessionMemo[org.apache.spark.sql.Dataset[HnswIndex.IndexRow]]
+  private def rebalancedIndex(s: SparkSession, dir: String) =
+    rebalMemo.get(s, dir) {
+      HnswIndex.rebalance(cappedIndex(s, dir), P, maxCellSize = 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Search over the [[rebalancedIndex]] — fresh query ids (99-102). */
+  def qAnnRebalanced(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val idx = rebalancedIndex(s, dir)
+    val queries = e.filter(col("vec_id") >= 99 && col("vec_id") < 103)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    HnswIndex.search(idx, queries, k = 5, P,
+        efSearch = exhaustiveEf(s, dir, "rebalanced")(idx))
+      .select(col("qid"), col("rank").as("rnk"), col("vector_id").as("vec_id"),
+        round(col("dist"), 3).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Trained coarse quantizer: one Lloyd's iteration at k = 16 (init =
     * the 16 lowest-id vectors — decimal-exact and SQL-expressible, so
     * the TRAINED router itself sits under the oracle gate, not just the
@@ -2219,6 +2247,8 @@ object IndexQueries {
       Some(bruteOracleSql("vec_id >= 8 AND vec_id < 12"))),
     QueryDef("q_ann_capped", qAnnCapped,
       Some(bruteOracleSql("vec_id >= 83 AND vec_id < 87"))),
+    QueryDef("q_ann_rebalanced", qAnnRebalanced,
+      Some(bruteOracleSql("vec_id >= 99 AND vec_id < 103"))),
     QueryDef("q_ann_trained", qAnnTrained,
       Some(trainedOracleSql("vec_id >= 16 AND vec_id < 20"))),
     QueryDef("q_ann_incremental", qAnnIncremental,

@@ -499,6 +499,23 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(top(capped) == top(uncapped), "cell cap changed served results")
 
+    // REBALANCE: the hot cell's rows become first-class cells, each
+    // within the cap, with nothing lost or duplicated — and the
+    // rebalanced layout serves the same exhaustive-ef answers
+    val rebal = HnswIndex.rebalance(capped, P, maxCellSize = 64)
+    val rSizes = rebal.groupBy("part").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rSizes.values.forall(_ <= 64L),
+      s"rebalanced cell exceeds the cap: ${rSizes.filter(_._2 > 64L)}")
+    assert(!rSizes.contains(0), "the oversized source cell must dissolve")
+    assert(rSizes.values.sum == 500L &&
+      rebal.select("vector_id").distinct().count() == 500L)
+    assert(top(rebal) == top(capped), "rebalance changed served results")
+    // idempotence: a balanced layout passes through unchanged
+    assert(HnswIndex.rebalance(rebal, P, maxCellSize = 64)
+      .groupBy("part").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap == rSizes)
+
     // ROUTED composition: a probed cell's sub-parts are all searched —
     // routing a capped layout serves exactly what routing the uncapped
     // layout serves (same router, exhaustive ef within probed cells)
