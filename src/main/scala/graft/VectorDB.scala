@@ -590,6 +590,34 @@ final class VectorDB private (
     db
   }
 
+  /** Split oversized serving cells into first-class cells through the
+    * handle ([[graft.index.HnswIndex.rebalance]] — [[compact]]'s
+    * mirror image: compact dissolves undersized debris, rebalance
+    * breaks up skew-grown mega-cells so rebuilds and maintenance
+    * parallelize and persisted pruning gets finer). The router (when
+    * one is trained) is RE-DERIVED from the rebalanced layout — the
+    * new cells must be routable. HNSW serving only: compressed cell
+    * membership is codes-table routing metadata whose balance
+    * maintenance is [[compactCodes]]' concern. */
+  def rebalance(maxCellSize: Int = HnswIndex.DefaultMaxCellSize): VectorDB = {
+    val idx = index.getOrElse(throw new IllegalStateException(
+      "rebalance requires a built HNSW index — call buildIndex/buildIndexIvf first"))
+    val rebal = HnswIndex.rebalance(idx, params, maxCellSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the rebalanced generation, then release the
+    // superseded one (the compact()/maintained() cache contract)
+    rebal.count()
+    idx.unpersist(blocking = false)
+    val db = tuned(new VectorDB(raw, dims, params, idCol, vecCol))
+    db.sourcePath = sourcePath
+    db.index = Some(rebal)
+    db.indexMetric = indexMetric
+    db.mipsMaxNormSq = mipsMaxNormSq
+    db.ivfModel = ivfModel.map(_ => IvfIndex.fromPartitionMeans(
+      rebal.toDF().select(col("part"), col("vec")), "part", "vec"))
+    db
+  }
+
   /** Codes-table defrag — [[compact]]'s contract on the compressed
     * modes: cells below `minCellSize` DISSOLVE and their rows re-route
     * to the nearest SURVIVING centroid; the router restricts to the

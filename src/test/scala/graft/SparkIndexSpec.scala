@@ -593,6 +593,35 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "persisted handle's local point serving diverged")
   }
 
+  test("handle rebalance: mega-cells split, router re-derived, serving unchanged") {
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    // 4 cells => ~125 rows each; rebalance at 64 must split every cell
+    db.buildIndexIvf(numCells = 4, iters = 1)
+    db.nprobe = 4
+    db.efSearch = 4096
+    val qv = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") === 17L).select("embedding").head().getSeq[Float](0)
+    val before = db.search(qv, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .sortBy { case (id, d) => (d, id) }
+    val preCells = db.stats.head().getAs[Long]("n_cells")
+    val rb = db.rebalance(maxCellSize = 64)
+    val st = rb.stats.head()
+    assert(st.getAs[Long]("n_cells") > preCells, "no cell split")
+    assert(st.getAs[Long]("max_cell") <= 64L,
+      s"a rebalanced cell exceeds the cap: ${st.getAs[Long]("max_cell")}")
+    assert(st.getAs[Long]("n_indexed") == 500L)
+    // every (new) cell probed at exhaustive ef => identical answers
+    rb.nprobe = st.getAs[Long]("n_cells").toInt
+    val after = rb.search(qv, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .sortBy { case (id, d) => (d, id) }
+    assert(after == before, s"rebalance changed served answers:\n$before\nvs\n$after")
+    // the re-derived router serves routed queries over the new cells
+    rb.nprobe = 3
+    assert(rb.search(qv, 5).collect().length == 5)
+  }
+
   test("adaptive nprobe: in-cluster queries probe fewer cells, boundary queries fan wide") {
     import graft.index.IvfIndex
     // three well-separated 1-d centroids: the probe geometry is exact
