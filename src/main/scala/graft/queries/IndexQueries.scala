@@ -698,6 +698,38 @@ object IndexQueries {
       .select(col("mode"), col("vec_id"), round(col("d"), 3).as("dist"))
   }
 
+  /** The all-cells L2 handle REBALANCED through the public surface
+    * ([[graft.VectorDB.rebalance]] — mega-cells split into first-class
+    * cells, router re-derived): probing every post-rebalance cell at
+    * exhaustive ef makes serving ≡ global brute force, so the plain
+    * oracle gates that the handle arm (split + router re-derivation +
+    * cache handoff) lost nothing. */
+  private val vdbRebalMemo = new SessionMemo[graft.VectorDB]
+  private def vdbRebalancedHandle(s: SparkSession, dir: String) =
+    vdbRebalMemo.get(s, dir) {
+      val db = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
+      db.buildIndexIvf(numCells = 4, iters = 1)
+      val rb = db.rebalance(maxCellSize = 64)
+      // derived, not assumed: probe every cell, ef above the largest
+      // (one stats row — the same census the exhaustiveEf memo runs)
+      val st = rb.stats.head()
+      rb.nprobe = st.getAs[Long]("n_cells").toInt
+      rb.efSearch =
+        math.max(4096L, st.getAs[Long]("max_cell") + 1L).min(Int.MaxValue).toInt
+      rb
+    }
+
+  /** Gate on the public rebalance arm — fresh query ids (103-106). */
+  def qVectordbRebalanced(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") >= 103 && col("vec_id") < 107)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    vdbRebalancedHandle(s, dir).searchBatch(queries, k = 5)
+      .select(col("qid"), col("rank").cast("int").as("rnk"), col("vec_id"),
+        round(col("dist"), 3).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Batch diversity serving through the handle
     * ([[graft.VectorDB.searchDiverseBatch]] — ONE fetch job for the
     * whole batch, then per-query driver-side MMR picks): every cell
@@ -2249,6 +2281,8 @@ object IndexQueries {
       Some(bruteOracleSql("vec_id >= 83 AND vec_id < 87"))),
     QueryDef("q_ann_rebalanced", qAnnRebalanced,
       Some(bruteOracleSql("vec_id >= 99 AND vec_id < 103"))),
+    QueryDef("q_vectordb_rebalanced", qVectordbRebalanced,
+      Some(bruteOracleSql("vec_id >= 103 AND vec_id < 107"))),
     QueryDef("q_ann_trained", qAnnTrained,
       Some(trainedOracleSql("vec_id >= 16 AND vec_id < 20"))),
     QueryDef("q_ann_incremental", qAnnIncremental,
