@@ -226,6 +226,39 @@ object Curation {
         (-col("hit._1")).as("score"))
   }
 
+  // ---- PII detection / redaction ------------------------------------
+
+  /** PII regexes shared by the Spark kernels and the DuckDB oracle.
+    * Restricted to syntax Java regex (Spark, leftmost-first) and RE2
+    * (DuckDB, leftmost-longest) interpret identically: character
+    * classes, bounded/greedy repeats, `\b` — no alternations with
+    * overlapping prefixes, no lookaround, no backreferences. With
+    * those forms excluded, both match disciplines pick the same spans,
+    * so redaction is engine-independent. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}"
+
+  /** Per-category PII hit counts (email / IPv4 / intl-format phone):
+    * the detection census a release gate reads before redaction.
+    * Pure column expressions — map-only, codegen'd, no UDF. */
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))),
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))),
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0))))
+
+  /** Redact PII in place with typed placeholders. Replacement order
+    * (email → IPv4 → phone) is part of the contract — the oracle
+    * replays the identical three-pass composition. Placeholders are
+    * letter-only, so no pass can manufacture a match for a later one.
+    * Map-only: at 100 TB this is one narrow scan, no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Benchmark decontamination: for every corpus document, the eval
     * documents it shares >= `minOverlap` distinct n-gram shingles with.
     * The eval side (benchmark suites — tiny by contract) becomes a

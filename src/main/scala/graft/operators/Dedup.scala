@@ -143,6 +143,67 @@ object Dedup {
       .groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Segment-level exact dedup — the repeated-passage removal stage of
+    * an LLM data pipeline (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL'22: document-level dedup
+    * misses passages duplicated ACROSS distinct documents; exact
+    * suffix-array substring dedup is the ideal, non-overlapping
+    * fixed-width segments its scalable approximation).
+    *
+    * Documents split on single spaces into non-overlapping
+    * `segTokens`-token segments (the tail keeps its short remainder).
+    * A segment occurrence is a DUPLICATE when its exact text occurs
+    * anywhere else in the corpus; every occurrence except the
+    * canonical first (minimum (doc_id, seg_idx)) is REMOVED. Returns
+    * one row per input document: the segment census (`n_segs`,
+    * `n_dup`, `n_kept`) plus `clean_text` — the kept segments
+    * reassembled in order (NULL when nothing survives).
+    *
+    * Scale: segments explode to O(corpus_tokens / segTokens) rows; the
+    * census is one map-side-combined hash aggregate on the segment
+    * key, the keep decision a same-key join (co-partitioned with the
+    * census — no second shuffle of the census side), reassembly one
+    * groupBy doc_id. Every stage is linear in the corpus; nothing is
+    * all-pairs, and no task holds more than one document's segments. */
+  def segmentDedup(docs: DataFrame, segTokens: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    val k = segTokens
+    // materialize the token array as a real column first: a split()
+    // nested in the transform lambda would re-tokenize per segment
+    // (the shinglesFromTokens lesson); an attribute reference is free
+    val toks = docs
+      .filter(length(col(textCol)) > 0)
+      .select(col(idCol).cast("long").as("doc_id"),
+        split(col(textCol), " ").as("__toks"))
+    val nseg = ceil(size(col("__toks")).cast("double") / k).cast("int")
+    val segs = toks.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), nseg - 1),
+        i => array_join(slice(col("__toks"), i * k + 1, lit(k)), " ")))
+        .as(Seq("seg_idx", "seg")))
+    val census = segs.groupBy("seg").agg(
+      count(lit(1)).as("__n_occ"),
+      min(struct(col("doc_id"), col("seg_idx"))).as("__first"))
+    val marked = segs.join(census, "seg").select(
+      col("doc_id"), col("seg_idx"), col("seg"),
+      (col("__n_occ") > 1).as("__is_dup"),
+      (col("__n_occ") === 1 ||
+        (col("__first.doc_id") === col("doc_id") &&
+          col("__first.seg_idx") === col("seg_idx"))).as("__keep"))
+    marked.groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_segs"),
+        sum(when(col("__is_dup"), 1).otherwise(0)).cast("int").as("n_dup"),
+        sum(when(col("__keep"), 1).otherwise(0)).cast("int").as("n_kept"),
+        sort_array(collect_list(when(col("__keep"),
+          struct(col("seg_idx"), col("seg"))))).as("__kept"))
+      .select(col("doc_id"), col("n_segs"), col("n_dup"), col("n_kept"),
+        when(col("n_kept") === 0, lit(null).cast("string"))
+          .otherwise(array_join(transform(col("__kept"), _.getField("seg")), " "))
+          .as("clean_text"))
+  }
+
   /** Word n-gram shingles (distinct). Built as a reduce of `slice` +
     * `zip_with` rather than `transform(sequence, i -> element_at(...))`:
     * higher-order functions re-evaluate expressions nested in the

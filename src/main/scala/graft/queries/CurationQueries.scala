@@ -123,7 +123,57 @@ object CurationQueries {
       .select(col("domain"), col("rnk"), col("doc_id"), col("score").as("quality"))
       .orderBy("domain", "rnk")
 
+  /** PII detection + redaction census. The fixture corpus is PII-free
+    * by construction, so the query first plants deterministic contact
+    * strings derived from fixture columns (email on doc_id%3, IPv4 on
+    * %4, intl phone on %5 — overlapping residues exercise multi-hit
+    * and zero-hit rows alike), then runs the real kernels: per-category
+    * counts on the enriched text and the three-pass redaction
+    * ([[Curation.redactPii]]), hash-compared against the oracle's
+    * identical enrichment + RE2 replay. Map-only end to end. */
+  def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val enriched = docs(s, dir).select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact "), col("source"), lit("."),
+            col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), ((col("doc_id") * 7) % 256).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" tel +1 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+    val (nEmail, nIp, nPhone) = Curation.piiCounts(col("text"))
+    enriched.select(
+        col("doc_id"),
+        nEmail.cast("int").as("n_email"),
+        nIp.cast("int").as("n_ip"),
+        nPhone.cast("int").as("n_phone"),
+        md5(Curation.redactPii(col("text"))).as("red_hash"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_pii_redact", qPiiRedact, Some(
+      s"""WITH t AS (SELECT doc_id, text
+         |  || CASE WHEN doc_id % 3 = 0 THEN ' contact ' || source || '.' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         |  || CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+         |  || CASE WHEN doc_id % 5 = 0 THEN ' tel +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${Curation.EmailRe}')) AS INT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '${Curation.Ipv4Re}')) AS INT) AS n_ip,
+         |  CAST(len(regexp_extract_all(text, '${Curation.PhoneRe}')) AS INT) AS n_phone,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${Curation.EmailRe}', '<EMAIL>', 'g'),
+         |    '${Curation.Ipv4Re}', '<IP>', 'g'),
+         |    '${Curation.PhoneRe}', '<PHONE>', 'g')) AS red_hash
+         |FROM t ORDER BY doc_id""".stripMargin)),
     QueryDef("q_chunk_docs", qChunkDocs, Some(
       """WITH c AS (
         |  SELECT doc_id, u.i AS chunk_idx, u.i * 224 + 1 AS start_pos,

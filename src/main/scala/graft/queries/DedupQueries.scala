@@ -188,7 +188,34 @@ object DedupQueries {
   private val simLoSql = simWordSql("(h * 2654435761) % 4294967296")
   private val simHiSql = simWordSql("(h * 2246822519 + 12345) % 4294967296")
 
+  /** Segment-level exact dedup over 8-token segments: per-document
+    * census plus the md5 of the cleaned text (duplicate passages
+    * removed, canonical first occurrence kept) — the oracle replays
+    * segmentation, the corpus-wide census, the keep rule, and the
+    * in-order reassembly. */
+  def qDedupSegments(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.segmentDedup(docs(s, dir), segTokens = 8)
+      .select(col("doc_id"), col("n_segs"), col("n_dup"), col("n_kept"),
+        md5(col("clean_text")).as("clean_hash"))
+      .orderBy("doc_id")
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_dedup_segments", qDedupSegments, Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE length(text) > 0),
+        |segs AS (SELECT doc_id, CAST(u.i AS INT) AS seg_idx,
+        |           array_to_string(toks[CAST(u.i*8+1 AS INT) : CAST(u.i*8+8 AS INT)], ' ') AS seg
+        |         FROM t CROSS JOIN unnest(range(0, (len(toks)-1)//8 + 1)) AS u(i)),
+        |m AS (SELECT doc_id, seg_idx, seg,
+        |        count(*) OVER (PARTITION BY seg) AS n,
+        |        row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+        |      FROM segs)
+        |SELECT doc_id,
+        |  CAST(count(*) AS INT) AS n_segs,
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS INT) AS n_dup,
+        |  CAST(sum(CASE WHEN n = 1 OR rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+        |  md5(string_agg(CASE WHEN n = 1 OR rn = 1 THEN seg END, ' ' ORDER BY seg_idx)) AS clean_hash
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     QueryDef("q_dedup_minhash", qDedupMinhash, Some(
       s"""WITH t AS (SELECT doc_id, $shSql AS sh FROM documents),
          |hs AS (SELECT doc_id, sh, len(sh) AS n_sh, $hsSql AS hs FROM t WHERE len(sh) > 0),

@@ -179,6 +179,35 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.count() == n, "cap >= domain size must pass every row through")
   }
 
+  test("piiCounts + redactPii: typed placeholders, multi-hit and zero-hit rows") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach jo.doe+x@a-b.co or admin@example.org, server 192.168.1.10, tel +44 201-5551"),
+      (2L, "no contact info here at all"),
+      (3L, "1.2.3.4 then text 10.0.0.255 end")).toDF("id", "text")
+    val (ne, ni, np) = Curation.piiCounts(col("text"))
+    val rows = df.select(col("id"), ne.as("e"), ni.as("i"), np.as("p"),
+        Curation.redactPii(col("text")).as("r"))
+      .orderBy("id").collect()
+    assert(rows(0).getInt(1) == 2 && rows(0).getInt(2) == 1 && rows(0).getInt(3) == 1)
+    assert(rows(0).getString(4) ==
+      "reach <EMAIL> or <EMAIL>, server <IP>, tel <PHONE>")
+    assert(rows(1).getInt(1) == 0 && rows(1).getInt(2) == 0 && rows(1).getInt(3) == 0)
+    assert(rows(1).getString(4) == "no contact info here at all",
+      "a PII-free row must pass through byte-identical")
+    assert(rows(2).getInt(2) == 2)
+    assert(rows(2).getString(4) == "<IP> then text <IP> end")
+  }
+
+  test("redactPii placeholders cannot cascade into later passes") {
+    import spark.implicits._
+    // a placeholder inserted by an earlier pass is letter-only, so the
+    // IP/phone passes must leave it alone
+    val r = Seq("mail a@b.co then +1 555-0001")
+      .toDF("text").select(Curation.redactPii(col("text"))).head.getString(0)
+    assert(r == "mail <EMAIL> then <PHONE>")
+  }
+
   test("stratifiedSample membership is monotone in the rate and never upsamples") {
     import spark.implicits._
     def ids(bps: Long) = Curation.stratifiedSample(docs, lit(bps))
