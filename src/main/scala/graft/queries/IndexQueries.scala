@@ -2483,6 +2483,22 @@ object IndexQueries {
       """SELECT CAST(label AS INT) AS part, count(*) AS n_nodes
         |FROM embeddings GROUP BY 1 ORDER BY part""".stripMargin)),
     QueryDef("q_quantized_knn", qQuantizedKnn, Some(sqOracleSql(0))),
+    QueryDef("q_bq_knn", qBqKnn, Some(
+      s"""WITH $bqBaseSql
+         |SELECT qid, CAST(rnk AS INT) AS rank, vec_id, CAST(h AS INT) AS hamming
+         |FROM r WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin)),
+    QueryDef("q_bq_refined", qBqRefined, Some(
+      s"""WITH $bqBaseSql,
+         |sl AS (SELECT qid, vec_id FROM r WHERE rnk <= 32),
+         |x AS (SELECT sl.qid, sl.vec_id,
+         |        ${VectorQueries.l2Sql("c.embedding", "qe.embedding")} AS dd
+         |      FROM sl JOIN embeddings c ON c.vec_id = sl.vec_id
+         |              JOIN embeddings qe ON qe.vec_id = sl.qid),
+         |f AS (SELECT qid, vec_id, dd,
+         |        row_number() OVER (PARTITION BY qid ORDER BY dd, vec_id) AS rnk
+         |      FROM x)
+         |SELECT qid, CAST(rnk AS INT) AS rank, vec_id, round(dd, 3) AS dist
+         |FROM f WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin)),
     QueryDef("q_vectordb_pq", qVectordbPq, Some(pqTrainedOracleSql(53))),
     QueryDef("q_vectordb_pq_refined", qVectordbPqRefined,
       Some(pqRefinedOracleSql(78, k = 5, refine = 4))),
@@ -2644,6 +2660,46 @@ object IndexQueries {
   def qAnnCells(s: SparkSession, dir: String): DataFrame = {
     val idx = labelIndex(s, dir)
     idx.toDF().groupBy("part").agg(count(lit(1)).as("n_nodes")).orderBy("part")
+  }
+
+  /** Shared binary-quantization oracle base: pack both 32-bit sign
+    * words per vector, Hamming-rank every corpus row against the 4
+    * query rows, and rank with the (hamming, id) total order — the
+    * bit-for-bit replay of [[graft.index.BinaryQuant]]. */
+  private lazy val bqBaseSql: String = {
+    val pack = (0 until 2).map { w =>
+      s"CAST(list_sum(list_transform(range(0, 32), i -> CASE WHEN embedding[${w * 32} + i + 1] > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS w$w"
+    }.mkString(", ")
+    s"""p AS (SELECT vec_id, $pack FROM embeddings),
+       |q AS (SELECT vec_id AS qid, w0 AS q0, w1 AS q1 FROM p WHERE vec_id < 4),
+       |d AS (SELECT q.qid, c.vec_id,
+       |        bit_count(xor(q.q0, c.w0)) + bit_count(xor(q.q1, c.w1)) AS h
+       |      FROM q CROSS JOIN p c),
+       |r AS (SELECT qid, vec_id, h,
+       |        row_number() OVER (PARTITION BY qid ORDER BY h, vec_id) AS rnk
+       |      FROM d)""".stripMargin
+  }
+
+  /** Binary (sign-bit) Hamming top-10: the 1-bit serving mode — packed
+    * sign words, XOR/popcount ranking, (hamming, id) tiebreak. */
+  def qBqKnn(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qs = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    graft.index.BinaryQuant.hammingKnn(e, qs, k = 10, dim = VectorQueries.Dim)
+      .orderBy("qid", "rank")
+  }
+
+  /** Binary shortlist (fetch=32 by Hamming) + exact L2² re-rank to
+    * top-10 — the refine shape at 1 bit; both stages replayed in the
+    * oracle. */
+  def qBqRefined(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qs = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    graft.index.BinaryQuant.refinedKnn(e, qs, k = 10, fetch = 32, dim = VectorQueries.Dim)
+      .select(col("qid"), col("rank"), col("vec_id"), round(col("dist"), 3).as("dist"))
+      .orderBy("qid", "rank")
   }
 
   /** Int8-quantized search: per-dim bounds (trained once per session,
