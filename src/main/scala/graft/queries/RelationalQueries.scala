@@ -251,7 +251,28 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** KMV distinct-count sketch vs truth: the bounded-memory
+    * cardinality estimate over lineitem's order keys (k=256 smallest
+    * distinct hashes → (k−1)·2³² / h_k), alongside the exact distinct
+    * count — the oracle replays the hash, the bottom-k cut, and the
+    * estimator arithmetic exactly. */
+  def qDistinctKmv(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    graft.operators.Sketches.kmvDistinct(li, col("l_orderkey"), k = 256)
+      .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("n_exact")))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_distinct_kmv", qDistinctKmv, Some(
+      """WITH h AS (SELECT DISTINCT (l_orderkey * 2654435761 + 987654321) % 4294967296 AS hv
+        |           FROM lineitem),
+        |b AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+        |s AS (SELECT count(*) AS n_cand, max(hv) AS kth FROM b)
+        |SELECT 256 AS k, kth AS kth_hash,
+        |  CASE WHEN n_cand < 256 THEN CAST(n_cand AS DOUBLE)
+        |       ELSE round(255.0 * 4294967296.0 / kth, 2) END AS est,
+        |  (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS n_exact
+        |FROM s""".stripMargin)),
     QueryDef("q_asof_join", qAsofJoin, Some(
       """WITH u AS (
         |  SELECT user_id, ts, event_id, 0 AS tag, event_id AS p FROM events WHERE event_type = 'click'
