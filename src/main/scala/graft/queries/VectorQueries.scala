@@ -204,7 +204,39 @@ object VectorQueries {
        |           * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)^2))))
        |   END)""".stripMargin.replaceAll("\\s+", " ")
 
+  /** ColBERT-style late-interaction retrieval: documents and queries
+    * are SETS of vectors (4 consecutive fixture vectors per set), top-5
+    * docs by MaxSim — every query vector's best-matching doc vector,
+    * summed decimal-exact. The oracle replays the nested-loop scoring,
+    * both aggregates, and the (score DESC, doc_id) ranking. */
+  def qMaxsim(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val dv = e.select(expr("vec_id div 4").as("doc_id"), col("embedding").as("vec"))
+    val qv = e.filter(col("vec_id") < 8)
+      .select(expr("vec_id div 4").as("qid"), col("vec_id").as("q_ord"),
+        col("embedding").as("qv"))
+    graft.operators.LateInteraction.maxSimJoin(dv, qv, k = 5)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        round(col("score"), 3).as("score"))
+      .orderBy("qid", "rank")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_maxsim", qMaxsim, Some(
+      s"""WITH dv AS (SELECT vec_id // 4 AS doc_id, embedding FROM embeddings),
+         |qv AS (SELECT vec_id // 4 AS qid, vec_id AS q_ord, embedding AS qe
+         |       FROM embeddings WHERE vec_id < 8),
+         |m AS (SELECT qv.qid, dv.doc_id, qv.q_ord,
+         |        max(${dotSql("dv.embedding", "qv.qe")}) AS mx
+         |      FROM dv CROSS JOIN qv GROUP BY 1, 2, 3),
+         |sc AS (SELECT qid, doc_id,
+         |         CAST(sum(CAST(mx AS DECIMAL(25,10))) AS DOUBLE) AS score
+         |       FROM m GROUP BY 1, 2),
+         |r AS (SELECT qid, doc_id, score,
+         |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+         |      FROM sc)
+         |SELECT qid, CAST(rnk AS INT) AS rank, doc_id, round(score, 3) AS score
+         |FROM r WHERE rnk <= 5 ORDER BY qid, rank""".stripMargin)),
     QueryDef("q_mmr", qMmr, Some(mmrOracleSql(95L, k = 5, fetch = 20))),
     QueryDef("q_knn_truncated", qKnnTruncated, Some(
       s"""WITH t AS (SELECT vec_id, embedding[1:16] AS embedding FROM embeddings),

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Knn, LateInteraction}
+
+/** MaxSim late interaction: hand-checkable alignment semantics, the
+  * single-vector degenerate case collapsing to dot-metric k-NN, and
+  * partition invariance of the decimal-exact score. */
+class LateInteractionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("hand-computed MaxSim: each query vector aligns with its best doc vector") {
+    import spark.implicits._
+    // doc 1 holds axis vectors e1, e2; doc 2 holds -e1, e2
+    val docs = Seq(
+      (1L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(-1f, 0f)), (2L, Array(0f, 1f))).toDF("doc_id", "vec")
+    // query: two vectors, one per axis -> doc1 scores 1+1, doc2 -? max(-1,0)+max(0,1)=0+1
+    val qs = Seq((7L, 0L, Array(1f, 0f)), (7L, 1L, Array(0f, 1f)))
+      .toDF("qid", "q_ord", "qv")
+    val got = LateInteraction.maxSimJoin(docs, qs, k = 2)
+      .select("qid", "rank", "doc_id", "score")
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq((7L, 1, 1L, 2.0), (7L, 2, 2L, 1.0)))
+  }
+
+  test("one vector per doc and per query degenerates to dot-metric k-NN") {
+    val docs = emb.select(col("vec_id").as("doc_id"), col("embedding").as("vec"))
+    val qs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), lit(0L).as("q_ord"), col("embedding").as("qv"))
+    val got = LateInteraction.maxSimJoin(docs, qs, k = 10)
+      .select("qid", "rank", "doc_id")
+      .orderBy("qid", "rank").collect().toSeq
+    val want = Knn.knnJoin(emb,
+        emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        k = 10, metric = Knn.Dot)
+      .select(col("qid"), col("rank"), col("vec_id").as("doc_id"))
+      .orderBy("qid", "rank").collect().toSeq
+    assert(got == want)
+  }
+
+  test("score is invariant to physical partitioning (decimal-exact sum)") {
+    val qs = emb.filter(col("vec_id") < 8)
+      .select(expr("vec_id div 4").as("qid"), col("vec_id").as("q_ord"),
+        col("embedding").as("qv"))
+    def run(parts: Int) = LateInteraction.maxSimJoin(
+        emb.repartition(parts)
+          .select(expr("vec_id div 4").as("doc_id"), col("embedding").as("vec")),
+        qs, k = 5)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(run(1) == run(32))
+  }
+}
