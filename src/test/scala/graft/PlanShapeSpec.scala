@@ -296,6 +296,53 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"funnel must not force-broadcast a corpus-derived side:\n$lp")
   }
 
+  test("segment dedup: two-phase census agg, equi-join on the segment key, never all-pairs") {
+    val p = plan(DedupQueries.qDedupSegments(spark, sfDir))
+    assert(p.contains("partial_"),
+      s"segment census must pre-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the census keep-join must be an equi-join on seg:\n$p")
+  }
+
+  test("PII redaction is one narrow map pass (no shuffle)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (ne, ni, np) = graft.operators.Curation.piiCounts(org.apache.spark.sql.functions.col("text"))
+    val p = plan(docs.select(org.apache.spark.sql.functions.col("doc_id"),
+      ne.as("e"), ni.as("i"), np.as("p"),
+      graft.operators.Curation.redactPii(org.apache.spark.sql.functions.col("text"))))
+    assert(!p.contains("Exchange"), s"redaction must not shuffle:\n$p")
+  }
+
+  test("binary Hamming k-NN broadcasts packed queries and pre-aggregates the heap") {
+    val p = plan(IndexQueries.qBqKnn(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"packed corpus x packed queries must broadcast the query side:\n$p")
+    assert(p.contains("partial_"), s"expected map-side partial bounded heap:\n$p")
+  }
+
+  test("MaxSim pre-aggregates the per-query-vector max map-side; queries broadcast") {
+    val p = plan(VectorQueries.qMaxsim(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"doc vectors x query vectors must broadcast the query side:\n$p")
+    assert(p.contains("partial_max"),
+      s"the per-(qid,doc,q_ord) max must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("KMV sketch bounds state before any exchange (no distinct shuffle of the corpus)") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val p = plan(graft.operators.Sketches.kmvDistinct(li,
+      org.apache.spark.sql.functions.col("l_orderkey"), k = 64))
+    val firstMap = p.indexOf("MapPartitions")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstMap >= 0, s"expected the bounded per-partition TreeSet pass:\n$p")
+    // executedPlan prints top-down: the scan-side MapPartitions must sit
+    // BELOW (= printed after) every exchange — all shuffles operate on
+    // the already-bounded candidate set, never on raw corpus hashes
+    assert(firstExchange >= 0 && firstExchange < firstMap,
+      s"every exchange must consume the bounded candidates, not the corpus:\n$p")
+  }
+
   test("column pruning reaches the scan: kernel query reads only the needed columns") {
     val p = plan(VectorQueries.qL2Kernel(spark, sfDir))
     val scanSchemas = "ReadSchema: [^\\n]*".r.findAllIn(p).toList
