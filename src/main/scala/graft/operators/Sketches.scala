@@ -32,7 +32,62 @@ object Sketches {
     * rows) then combine with a tiny distinct + sort. No stage ever
     * materializes the distinct key set. */
   def kmvDistinct(df: DataFrame, key: Column, k: Int = 256,
-      mult: Long = 2654435761L, add: Long = 987654321L): DataFrame = {
+      mult: Long = 2654435761L, add: Long = 987654321L): DataFrame =
+    bottomK(df, key, k, mult, add)
+      .agg(count(lit(1)).as("__n"), max(col("hv")).as("kth_hash"))
+      .select(lit(k).as("k"), col("kth_hash"), estExpr(k).as("est"))
+
+  /** Cross-corpus overlap census from two KMV sketches over the SAME
+    * hash family (the theta-sketch set-operation shape, Dasgupta et
+    * al., "Theta Sketch Framework"): among the k smallest distinct
+    * hashes of A ∪ B, every member's presence in A and in B is known
+    * exactly (each side's own threshold is ≥ the union's), so the
+    * matched fraction estimates Jaccard and `jaccard × est_union`
+    * estimates the intersection — the contamination/coverage question
+    * ("how much of corpus B is already in A?") answered from two O(k)
+    * sketches, with neither corpus ever joined against the other.
+    * Returns ONE row:
+    * `(k, est_a, est_b, est_union, jaccard, est_common)`. */
+  def kmvOverlap(dfA: DataFrame, keyA: Column, dfB: DataFrame, keyB: Column,
+      k: Int = 256, mult: Long = 2654435761L, add: Long = 987654321L): DataFrame = {
+    val a = bottomK(dfA, keyA, k, mult, add)
+      .select(col("hv"), lit(1).as("in_a"), lit(0).as("in_b"))
+    val b = bottomK(dfB, keyB, k, mult, add)
+      .select(col("hv"), lit(0).as("in_a"), lit(1).as("in_b"))
+    val union = a.unionByName(b)
+      .groupBy("hv")
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .orderBy("hv").limit(k)
+    val estA = kmvDistinct(dfA, keyA, k, mult, add).select(col("est").as("est_a"))
+    val estB = kmvDistinct(dfB, keyB, k, mult, add).select(col("est").as("est_b"))
+    union
+      .agg(
+        count(lit(1)).as("__n"),
+        max(col("hv")).as("kth_hash"),
+        sum(col("in_a") * col("in_b")).as("__n_both"))
+      .select(lit(k).as("k"), estExpr(k).as("est_union"),
+        round(col("__n_both").cast("double") / col("__n"), 4).as("jaccard"),
+        col("__n_both"), col("__n"))
+      .crossJoin(estA).crossJoin(estB)
+      .select(col("k"), col("est_a"), col("est_b"), col("est_union"),
+        col("jaccard"),
+        round(col("__n_both").cast("double") / col("__n") * col("est_union"), 2)
+          .as("est_common"))
+  }
+
+  /** The KMV estimator over a bottom-k aggregate carrying `__n` (how
+    * many distinct hashes the sketch holds) and `kth_hash`: exact when
+    * the sketch saw everything, (k−1)·2³² / h_k when full. */
+  private def estExpr(k: Int): Column =
+    when(col("__n") < k, col("__n").cast("double"))
+      .otherwise(round(
+        lit((k - 1).toDouble) * lit(HashMod.toDouble) / col("kth_hash"), 2))
+
+  /** The k smallest DISTINCT hash values of a keyed corpus, as a ≤k-row
+    * DataFrame("hv"): bounded per-partition TreeSets, then a toy-sized
+    * distinct + sort over ≤ k·#partitions candidates. */
+  private def bottomK(df: DataFrame, key: Column, k: Int,
+      mult: Long, add: Long): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val spark = df.sparkSession
     import spark.implicits._
@@ -51,14 +106,6 @@ object Sketches {
       scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator)
         .asScala.map(_.longValue)
     }
-    cand.distinct().orderBy(col("value")).limit(k)
-      .agg(count(lit(1)).as("__n"), max(col("value")).as("kth_hash"))
-      .select(
-        lit(k).as("k"),
-        col("kth_hash"),
-        when(col("__n") < k, col("__n").cast("double"))
-          .otherwise(round(
-            lit((k - 1).toDouble) * lit(HashMod.toDouble) / col("kth_hash"), 2))
-          .as("est"))
+    cand.distinct().orderBy(col("value")).limit(k).select(col("value").as("hv"))
   }
 }

@@ -262,7 +262,56 @@ object RelationalQueries {
       .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("n_exact")))
   }
 
+  /** Cross-corpus overlap census from two KMV sketches (lineitem's
+    * order keys vs the orders table): Jaccard and intersection
+    * estimated from the k smallest union hashes, beside the exact
+    * intersection — neither corpus joins the other; the oracle replays
+    * both sketches, the union cut, and the estimator arithmetic. */
+  def qOverlapKmv(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    val exact = li.select(col("l_orderkey")).distinct()
+      .join(ord.select(col("o_orderkey")).distinct(),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n_exact_common"))
+    graft.operators.Sketches.kmvOverlap(
+        li, col("l_orderkey"), ord, col("o_orderkey"), k = 256)
+      .crossJoin(exact)
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_overlap_kmv", qOverlapKmv, Some(
+      """WITH ha AS (SELECT DISTINCT (l_orderkey * 2654435761 + 987654321) % 4294967296 AS hv
+        |            FROM lineitem),
+        |ba AS (SELECT hv FROM ha ORDER BY hv LIMIT 256),
+        |hb AS (SELECT DISTINCT (o_orderkey * 2654435761 + 987654321) % 4294967296 AS hv
+        |       FROM orders),
+        |bb AS (SELECT hv FROM hb ORDER BY hv LIMIT 256),
+        |u AS (SELECT hv, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        |        SELECT hv, 1 AS in_a, 0 AS in_b FROM ba
+        |        UNION ALL SELECT hv, 0 AS in_a, 1 AS in_b FROM bb) t
+        |      GROUP BY hv ORDER BY hv LIMIT 256),
+        |su AS (SELECT count(*) AS n, max(hv) AS kth, sum(in_a * in_b) AS n_both FROM u),
+        |sa AS (SELECT count(*) AS n, max(hv) AS kth FROM ba),
+        |sb AS (SELECT count(*) AS n, max(hv) AS kth FROM bb),
+        |es AS (SELECT
+        |  CASE WHEN sa.n < 256 THEN CAST(sa.n AS DOUBLE)
+        |       ELSE round(255.0 * 4294967296.0 / sa.kth, 2) END AS est_a,
+        |  CASE WHEN sb.n < 256 THEN CAST(sb.n AS DOUBLE)
+        |       ELSE round(255.0 * 4294967296.0 / sb.kth, 2) END AS est_b,
+        |  CASE WHEN su.n < 256 THEN CAST(su.n AS DOUBLE)
+        |       ELSE round(255.0 * 4294967296.0 / su.kth, 2) END AS est_union,
+        |  CAST(su.n_both AS DOUBLE) / su.n AS jac_raw
+        |  FROM su, sa, sb),
+        |ex AS (SELECT count(*) AS n_exact_common
+        |       FROM (SELECT DISTINCT l_orderkey FROM lineitem) l
+        |       JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |         ON l.l_orderkey = o.o_orderkey)
+        |SELECT 256 AS k, est_a, est_b, est_union,
+        |  round(jac_raw, 4) AS jaccard,
+        |  round(jac_raw * est_union, 2) AS est_common,
+        |  n_exact_common
+        |FROM es, ex""".stripMargin)),
     QueryDef("q_distinct_kmv", qDistinctKmv, Some(
       """WITH h AS (SELECT DISTINCT (l_orderkey * 2654435761 + 987654321) % 4294967296 AS hv
         |           FROM lineitem),

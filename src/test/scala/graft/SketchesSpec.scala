@@ -45,6 +45,32 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(once == twice, "KMV estimates distinct keys — multiplicity must not matter")
   }
 
+  test("overlap: disjoint corpora estimate zero, identical corpora estimate Jaccard 1") {
+    import spark.implicits._
+    val a = (0L until 5000L).toDF("id")
+    val b = (10000L until 15000L).toDF("id")
+    val disj = Sketches.kmvOverlap(a, col("id"), b, col("id"), k = 128).head()
+    assert(disj.getDouble(4) == 0.0 && disj.getDouble(5) == 0.0,
+      "disjoint key spaces must estimate zero overlap")
+    val same = Sketches.kmvOverlap(a, col("id"), a, col("id"), k = 128).head()
+    assert(same.getDouble(4) == 1.0, "identical corpora must estimate Jaccard 1")
+    assert(same.getDouble(5) == same.getDouble(1),
+      "self-overlap estimate must equal the self cardinality estimate")
+  }
+
+  test("overlap: intersection estimate within 10% of truth on the fixture pair") {
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    val r = Sketches.kmvOverlap(li, col("l_orderkey"), ord, col("o_orderkey"), k = 256)
+      .head()
+    val exact = li.select(col("l_orderkey")).distinct()
+      .join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .count().toDouble
+    val est = r.getDouble(5)
+    assert(math.abs(est - exact) / exact < 0.10,
+      f"est_common $est%.1f vs exact $exact%.0f drifts past the band")
+  }
+
   test("below k distinct the sketch is exact") {
     import spark.implicits._
     val tiny = (0 until 1000).map(i => i % 10L).toDF("id").repartition(8)
