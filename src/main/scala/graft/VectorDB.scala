@@ -57,6 +57,14 @@ final class VectorDB private (
     * index): the encoded-codes table plus the model that decodes it. */
   private var pqState: Option[(DataFrame, ProductQuantizer.Model)] = None
   private var sqState: Option[(DataFrame, Seq[Double], Seq[Double])] = None
+  /** Binary (sign-bit) codes — the 1-bit serving mode. No model state:
+    * the sign threshold is fixed, so encode is stateless and
+    * maintenance can never expand any trained bound. */
+  private var bqState: Option[DataFrame] = None
+
+  /** True when any compressed (PQ/SQ/BQ) codes table is serving. */
+  private def servesCompressed: Boolean =
+    pqState.isDefined || sqState.isDefined || bqState.isDefined
   /** Attribute columns packed into index-row payloads at the last
     * build — the exact arm packs the same map on the fly so
     * [[searchWhere]] predicates mean the same thing on both arms. */
@@ -83,6 +91,7 @@ final class VectorDB private (
   private var ivfBuildParams: Option[(Int, Int)] = None
   private var pqBuildParams: Option[(Int, Int, Int, Int, Int)] = None
   private var sqBuildParams: Option[(Int, Int)] = None
+  private var bqBuildParams: Option[(Int, Int)] = None
 
   /** Cells probed per query when an IVF router is trained. */
   var nprobe: Int = 3
@@ -135,9 +144,11 @@ final class VectorDB private (
     index.foreach(_.unpersist(blocking = false))
     pqState.foreach(_._1.unpersist(blocking = false))
     sqState.foreach(_._1.unpersist(blocking = false))
+    bqState.foreach(_.unpersist(blocking = false))
     index = None
     pqState = None
     sqState = None
+    bqState = None
     ivfModel = None
     indexMetric = Knn.L2
     intendedMetric = Knn.L2
@@ -146,6 +157,7 @@ final class VectorDB private (
     ivfBuildParams = None
     pqBuildParams = None
     sqBuildParams = None
+    bqBuildParams = None
   }
 
   /** Build the ANN index over an optional contiguous id range
@@ -353,6 +365,35 @@ final class VectorDB private (
     codes
   }
 
+  /** Build the binary (sign-bit) serving configuration — the 1-bit
+    * point on the quantization ladder ([[graft.index.BinaryQuant]]):
+    * each vector's sign pattern packs into 32-bit words (32× smaller
+    * than SQ's byte codes) and [[search]] ranks probed cells by
+    * XOR/popcount Hamming distance (`dist` is the Hamming count —
+    * compose with [[searchRefined]] for exact metric distances on the
+    * shortlist). Stateless encode: no codebook, no bounds — adds can
+    * never expand trained state, so maintenance never triggers a
+    * rebuild. Same routing/serving shape as [[buildIndexPq]]. */
+  def buildIndexBq(numCells: Int = 16, routerIters: Int = 1,
+      metric: String = Knn.L2, payloadCols: Seq[String] = Nil): DataFrame = {
+    dropServingState()
+    val width = if (metric == Knn.Dot) dims + 1 else dims
+    val src = reducedCorpus(metric, width)
+    val router = IvfIndex.train(src, numCells, routerIters, idCol, vecCol)
+    val codes = IvfIndex.assign(src, router, idCol, vecCol)
+      .select(col(idCol), col("cell"),
+        graft.index.BinaryQuant.packExpr(col(vecCol), width).as("codes"),
+        payExpr(payloadCols).as("payload"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ivfModel = Some(router)
+    indexMetric = metric
+    intendedMetric = metric
+    servedPayloadCols = payloadCols
+    bqState = Some(codes)
+    bqBuildParams = Some((numCells, routerIters))
+    codes
+  }
+
   /** Append rows — the reference's `add_vector` ingest rule
     * (`src/lib.rs:62-72`, any bad row rejects the batch) applies
     * lazily: the returned handle's guard covers the appended rows, so
@@ -388,7 +429,7 @@ final class VectorDB private (
     val db = tuned(new VectorDB(raw.select(keep: _*)
       .unionByName(newRows.select(keep: _*)), dims, params, idCol, vecCol))
     val servesDot = intendedMetric == Knn.Dot &&
-      (index.isDefined || pqState.isDefined || sqState.isDefined)
+      (index.isDefined || servesCompressed)
     if (servesDot) {
       val m2 = mipsMaxNormSq.getOrElse(
         throw new IllegalStateException("dot index without its captured max norm"))
@@ -429,7 +470,7 @@ final class VectorDB private (
         return db
       }
     }
-    if (pqState.isDefined || sqState.isDefined)
+    if (servesCompressed)
       return maintainedCodes(db, codesTable.unionByName(encodeBatch(newRows)))
     maintained(db) { idx =>
       val src = indexMetric match {
@@ -468,6 +509,10 @@ final class VectorDB private (
       val (nc, ri) = sqBuildParams.getOrElse((16, 1))
       db.buildIndexSq(nc, ri, metric = intendedMetric,
         payloadCols = servedPayloadCols)
+    } else if (bqState.isDefined) {
+      val (nc, ri) = bqBuildParams.getOrElse((16, 1))
+      db.buildIndexBq(nc, ri, metric = intendedMetric,
+        payloadCols = servedPayloadCols)
     } else {
       val (nc, it) = ivfBuildParams.getOrElse((ivfModel.map(_.k).getOrElse(16), 1))
       db.buildIndexIvf(nc, it, metric = intendedMetric,
@@ -476,6 +521,7 @@ final class VectorDB private (
     index.foreach(_.unpersist(blocking = false))
     pqState.foreach(_._1.unpersist(blocking = false))
     sqState.foreach(_._1.unpersist(blocking = false))
+    bqState.foreach(_.unpersist(blocking = false))
   }
 
   /** Encode an incoming batch with the EXISTING compressed model:
@@ -507,6 +553,8 @@ final class VectorDB private (
       .map { case (_, m) => ProductQuantizer.encodeExpr(col(vecCol), m) }
       .orElse(sqState.map { case (_, lo, hi) =>
         ScalarQuantizer.encodeExpr(col(vecCol), lo, hi) })
+      .orElse(bqState.map { _ =>
+        graft.index.BinaryQuant.packExpr(col(vecCol), codesWidth) })
       .get
     IvfIndex.assign(reduced, router, idCol, vecCol)
       .select(col(idCol), col("cell"), enc.as("codes"),
@@ -526,6 +574,7 @@ final class VectorDB private (
     codesTable.unpersist(blocking = false)
     db.pqState = pqState.map { case (_, m) => (next, m) }
     db.sqState = sqState.map { case (_, lo, hi) => (next, lo, hi) }
+    db.bqState = bqState.map(_ => next)
     db.indexMetric = indexMetric
     db.ivfModel = ivfModel
     db.mipsMaxNormSq = mipsMaxNormSq
@@ -545,7 +594,7 @@ final class VectorDB private (
     val db = tuned(new VectorDB(
       raw.join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti"),
       dims, params, idCol, vecCol))
-    if (pqState.isDefined || sqState.isDefined)
+    if (servesCompressed)
       return maintainedCodes(db, codesTable
         .join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti"))
     maintained(db)(idx => HnswIndex.removeBatch(idx, ids, params, idCol))
@@ -571,7 +620,7 @@ final class VectorDB private (
     * serving knobs carry over. Compressed (PQ/SQ) handles take
     * [[compactCodes]] — same dissolve semantics on the codes table. */
   def compact(minCellSize: Int = 64): VectorDB = {
-    if (pqState.isDefined || sqState.isDefined) return compactCodes(minCellSize)
+    if (servesCompressed) return compactCodes(minCellSize)
     val idx = index.getOrElse(throw new IllegalStateException(
       "compact requires a built index — call buildIndex/buildIndexIvf/buildIndexPq/buildIndexSq first"))
     val compacted = HnswIndex.compact(idx, params, minCellSize)
@@ -649,6 +698,7 @@ final class VectorDB private (
       // nothing below threshold: the live generation carries over
       db.pqState = pqState
       db.sqState = sqState
+      db.bqState = bqState
       db.ivfModel = ivfModel
       return db
     }
@@ -688,12 +738,13 @@ final class VectorDB private (
     val serving =
       if (pqState.isDefined) "pq"
       else if (sqState.isDefined) "sq"
+      else if (bqState.isDefined) "bq"
       else if (index.isDefined) "hnsw"
       else "exact"
     val cellCounts: Array[Long] =
       if (index.isDefined)
         index.get.groupBy("part").count().collect().map(_.getLong(1))
-      else if (pqState.isDefined || sqState.isDefined)
+      else if (servesCompressed)
         codesTable.groupBy("cell").count().collect().map(_.getLong(1))
       else Array.empty
     Seq((len, dims, serving, intendedMetric, cellCounts.length.toLong,
@@ -739,7 +790,7 @@ final class VectorDB private (
     * demand), it just stops being cheap. */
   private def maintained(db: VectorDB)(
       f: Dataset[HnswIndex.IndexRow] => Dataset[HnswIndex.IndexRow]): VectorDB = {
-    if (pqState.isEmpty && sqState.isEmpty) index.foreach { idx =>
+    if (!servesCompressed) index.foreach { idx =>
       val next = f(idx)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       next.count()
@@ -841,7 +892,7 @@ final class VectorDB private (
     * needs the raw corpus). Returns (id, distance) ascending. */
   def searchLocal(queryVec: Seq[Float], k: Int): Seq[(Long, Double)] = {
     val eligible = index.isDefined && ivfModel.isDefined &&
-      pqState.isEmpty && sqState.isEmpty && indexMetric == Knn.L2
+      !servesCompressed && indexMetric == Knn.L2
     def distributed(): Seq[(Long, Double)] =
       search(queryVec, k).select(col(idCol), col("dist")).collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
@@ -902,9 +953,9 @@ final class VectorDB private (
     * refines to its own exact ranking. Requires compressed (PQ/SQ)
     * serving. */
   def searchRefined(queryVec: Seq[Float], k: Int, refine: Int = 4): DataFrame = {
-    if (pqState.isEmpty && sqState.isEmpty)
+    if (!servesCompressed)
       throw new IllegalStateException(
-        "searchRefined re-ranks compressed serving — call buildIndexPq/buildIndexSq first")
+        "searchRefined re-ranks compressed serving — call buildIndexPq/buildIndexSq/buildIndexBq first")
     val cand = searchImpl(queryVec, k * refine, None)
       .select(col(idCol)).collect().map(_.getLong(0))
     vectors.filter(col(idCol).isin(cand.toSeq: _*))
@@ -987,9 +1038,9 @@ final class VectorDB private (
     * (qid, rank, idCol, dist) like [[searchBatch]]. */
   def searchBatchRefined(queries: DataFrame, k: Int, refine: Int = 4,
       qidCol: String = "qid", qvecCol: String = "qv"): DataFrame = {
-    if (pqState.isEmpty && sqState.isEmpty)
+    if (!servesCompressed)
       throw new IllegalStateException(
-        "searchBatchRefined re-ranks compressed serving — call buildIndexPq/buildIndexSq first")
+        "searchBatchRefined re-ranks compressed serving — call buildIndexPq/buildIndexSq/buildIndexBq first")
     val q = queries.select(
       col(qidCol).cast("long").as("qid"), col(qvecCol).cast("array<float>").as("qv"))
     val cand = adcServeBatch(q, k * refine).select(col("qid"), col(idCol))
@@ -1033,7 +1084,7 @@ final class VectorDB private (
       pred: Option[org.apache.spark.sql.Column]): DataFrame = {
     val q = queries.select(
       col(qidCol).cast("long").as("qid"), col(qvecCol).cast("array<float>").as("qv"))
-    if (pqState.isDefined || sqState.isDefined) {
+    if (servesCompressed) {
       adcServeBatch(q, k, pred)
     } else index match {
       case Some(idx) if indexMetric == Knn.Cosine || indexMetric == Knn.Dot =>
@@ -1056,13 +1107,13 @@ final class VectorDB private (
 
   /** The compressed-codes table being served (PQ or SQ). */
   private def codesTable: DataFrame =
-    pqState.map(_._1).orElse(sqState.map(_._1)).get
+    pqState.map(_._1).orElse(sqState.map(_._1)).orElse(bqState).get
 
   /** The served codes table, when compressed — package-private so the
     * specs can assert maintenance shape (appended codes must reuse the
     * cached parent generation, never re-encode the resident corpus). */
   private[graft] def servedCodes: Option[DataFrame] =
-    pqState.map(_._1).orElse(sqState.map(_._1))
+    pqState.map(_._1).orElse(sqState.map(_._1)).orElse(bqState)
 
   /** Asymmetric (ADC) distance of each codes row to the full-precision
     * query column `qv` — the query never quantizes, only the corpus. */
@@ -1070,6 +1121,9 @@ final class VectorDB private (
     pqState.map { case (_, m) => ProductQuantizer.adcExpr(col("codes"), qv, m) }
       .orElse(sqState.map { case (_, lo, hi) =>
         ScalarQuantizer.adcL2Sq(col("codes"), qv, lo, hi) })
+      .orElse(bqState.map { _ =>
+        graft.index.BinaryQuant.hammingExpr(col("codes"),
+          graft.index.BinaryQuant.packExpr(qv, codesWidth)).cast("double") })
       .get
 
   /** Batch ADC serving: map every query into the index's serving space
@@ -1125,7 +1179,7 @@ final class VectorDB private (
 
   private def searchImpl(queryVec: Seq[Float], k: Int,
       pred: Option[org.apache.spark.sql.Column]): DataFrame =
-    if (pqState.isDefined || sqState.isDefined) {
+    if (servesCompressed) {
       val router = ivfModel.getOrElse(throw new IllegalStateException(
         "compressed serving requires the trained router"))
       val rq = reduceQueryVec(queryVec)
@@ -1174,9 +1228,9 @@ final class VectorDB private (
     * materialize their corpus under `path/corpus` — the one case where
     * a corpus-scale write is the point of the call). */
   def save(path: String): Unit = {
-    if (index.isEmpty && pqState.isEmpty && sqState.isEmpty)
+    if (index.isEmpty && !servesCompressed)
       throw new IllegalStateException(
-        "save requires a built index — call buildIndex/buildIndexIvf/buildIndexPq/buildIndexSq first")
+        "save requires a built index — call buildIndex/buildIndexIvf/buildIndexPq/buildIndexSq/buildIndexBq first")
     val spark = raw.sparkSession
     import spark.implicits._
     index.foreach(idx => HnswIndex.save(idx, s"$path/index"))
@@ -1197,6 +1251,8 @@ final class VectorDB private (
       lo.indices.map(i => (i, lo(i), hi(i))).toDF("pos", "lo", "hi")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/sq")
     }
+    // binary codes carry no model — the packed words table IS the state
+    bqState.foreach(_.write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes"))
     ivfModel.foreach { m =>
       m.centroids.indices
         .map(i => (i, m.cellId(i), m.centroids(i).toSeq))
@@ -1208,7 +1264,8 @@ final class VectorDB private (
       s"$path/corpus"
     }
     val compressed =
-      if (pqState.isDefined) "pq" else if (sqState.isDefined) "sq" else "none"
+      if (pqState.isDefined) "pq" else if (sqState.isDefined) "sq"
+      else if (bqState.isDefined) "bq" else "none"
     val meta = Seq(
       s"dims=$dims", s"metric=$indexMetric", s"intendedMetric=$intendedMetric",
       s"nprobe=$nprobe", s"efSearch=$efSearch",
@@ -1221,6 +1278,7 @@ final class VectorDB private (
       s"ivfParams=${ivfBuildParams.map { case (a, b) => s"$a,$b" }.getOrElse("")}",
       s"pqParams=${pqBuildParams.map { case (a, b, c, d, e) => s"$a,$b,$c,$d,$e" }.getOrElse("")}",
       s"sqParams=${sqBuildParams.map { case (a, b) => s"$a,$b" }.getOrElse("")}",
+      s"bqParams=${bqBuildParams.map { case (a, b) => s"$a,$b" }.getOrElse("")}",
       s"hasRouter=${ivfModel.isDefined}").mkString("", "\n", "\n")
     val p = new org.apache.hadoop.fs.Path(path, "graft_meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1389,6 +1447,8 @@ object VectorDB {
           .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
           .sortBy(_._1)
         db.sqState = Some((codes, rows.map(_._2).toSeq, rows.map(_._3).toSeq))
+      case "bq" =>
+        db.bqState = Some(codesCompat())
       case _ => ()
     }
     if (meta("hasRouter").toBoolean) {
@@ -1414,6 +1474,7 @@ object VectorDB {
     db.ivfBuildParams = ints("ivfParams").map(a => (a(0), a(1)))
     db.pqBuildParams = ints("pqParams").map(a => (a(0), a(1), a(2), a(3), a(4)))
     db.sqBuildParams = ints("sqParams").map(a => (a(0), a(1)))
+    db.bqBuildParams = ints("bqParams").map(a => (a(0), a(1)))
     db
   }
 }

@@ -2487,6 +2487,15 @@ object IndexQueries {
       s"""WITH $bqBaseSql
          |SELECT qid, CAST(rnk AS INT) AS rank, vec_id, CAST(h AS INT) AS hamming
          |FROM r WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin)),
+    QueryDef("q_vectordb_bq", qVectordbBq, Some(bqHandleOracleSql(96))),
+    QueryDef("q_vectordb_bq_refined", qVectordbBqRefined,
+      Some(bqRefinedOracleSql(97, k = 5, refine = 4))),
+    QueryDef("q_vectordb_bq_add", qVectordbBqAdd, Some(bqHandleOracleSql(2,
+      """(SELECT vec_id, embedding FROM embeddings
+        | UNION ALL SELECT vec_id + 400000, list_transform(embedding, x -> -x)
+        | FROM embeddings WHERE vec_id < 5)""".stripMargin.replaceAll("\\s+", " ")))),
+    QueryDef("q_vectordb_bq_persisted", qVectordbBqPersisted,
+      Some(bqHandleOracleSql(98))),
     QueryDef("q_bq_refined", qBqRefined, Some(
       s"""WITH $bqBaseSql,
          |sl AS (SELECT qid, vec_id FROM r WHERE rnk <= 32),
@@ -2666,11 +2675,17 @@ object IndexQueries {
     * words per vector, Hamming-rank every corpus row against the 4
     * query rows, and rank with the (hamming, id) total order — the
     * bit-for-bit replay of [[graft.index.BinaryQuant]]. */
-  private lazy val bqBaseSql: String = {
+  /** Packed 32-bit sign words of `src` (aliased `p`) — the shared CTE
+    * of every binary-quantization oracle. */
+  private def bqPackCte(src: String): String = {
     val pack = (0 until 2).map { w =>
       s"CAST(list_sum(list_transform(range(0, 32), i -> CASE WHEN embedding[${w * 32} + i + 1] > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS w$w"
     }.mkString(", ")
-    s"""p AS (SELECT vec_id, $pack FROM embeddings),
+    s"p AS (SELECT vec_id, $pack FROM $src)"
+  }
+
+  private lazy val bqBaseSql: String =
+    s"""${bqPackCte("embeddings")},
        |q AS (SELECT vec_id AS qid, w0 AS q0, w1 AS q1 FROM p WHERE vec_id < 4),
        |d AS (SELECT q.qid, c.vec_id,
        |        bit_count(xor(q.q0, c.w0)) + bit_count(xor(q.q1, c.w1)) AS h
@@ -2678,6 +2693,121 @@ object IndexQueries {
        |r AS (SELECT qid, vec_id, h,
        |        row_number() OVER (PARTITION BY qid ORDER BY h, vec_id) AS rnk
        |      FROM d)""".stripMargin
+
+  /** Global Hamming ranking oracle for the BQ handle gates (the handle
+    * probes every cell at nprobe=16, so handle ADC ≡ global ranking —
+    * the q_vectordb_sq convention at 1 bit). `src` supplies the corpus
+    * (the union relation for the maintained-add gate). */
+  private def bqHandleOracleSql(qid: Long, src: String = "embeddings"): String =
+    s"""WITH ${bqPackCte(src)},
+       |q AS (SELECT w0 AS q0, w1 AS q1 FROM p WHERE vec_id = $qid)
+       |SELECT c.vec_id,
+       |  CAST(bit_count(xor(q.q0, c.w0)) + bit_count(xor(q.q1, c.w1)) AS INT) AS hamming
+       |FROM p c CROSS JOIN q
+       |ORDER BY bit_count(xor(q.q0, c.w0)) + bit_count(xor(q.q1, c.w1)), c.vec_id
+       |LIMIT 10""".stripMargin
+
+  /** BQ + exact-refine oracle: the Hamming shortlist cut at
+    * top-(k·refine), then exact L2² re-scored — [[sqRefinedOracleSql]]
+    * at 1 bit. */
+  private def bqRefinedOracleSql(qid: Long, k: Int, refine: Int): String =
+    s"""WITH ${bqPackCte("embeddings")},
+       |q AS (SELECT w0 AS q0, w1 AS q1 FROM p WHERE vec_id = $qid),
+       |h AS (SELECT c.vec_id,
+       |        bit_count(xor(q.q0, c.w0)) + bit_count(xor(q.q1, c.w1)) AS hm
+       |      FROM p c CROSS JOIN q),
+       |cand AS (SELECT vec_id FROM h ORDER BY hm, vec_id LIMIT ${k * refine}),
+       |qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid)
+       |SELECT e.vec_id, round(${VectorQueries.l2Sql("e.embedding", "qe.qv")}, 3) AS dist
+       |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qe
+       |ORDER BY ${VectorQueries.l2Sql("e.embedding", "qe.qv")}, e.vec_id LIMIT $k""".stripMargin
+
+  /** Public binary-quantized serving: open → buildIndexBq → every cell
+    * probed, so handle Hamming ranking ≡ the global oracle. */
+  private val vdbBqMemo = new SessionMemo[graft.VectorDB]
+  private def vdbBqHandle(s: SparkSession, dir: String) =
+    vdbBqMemo.get(s, dir) {
+      val db = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
+      db.buildIndexBq(numCells = 16, routerIters = 1)
+      db.nprobe = 16
+      db
+    }
+
+  /** Maintained-ADD BQ handle: 5 negated twins appended through the
+    * public handle — the stateless pack encodes the batch, resident
+    * codes never re-encode. */
+  private val vdbBqAddMemo = new SessionMemo[graft.VectorDB]
+  private def vdbBqAddHandle(s: SparkSession, dir: String) =
+    vdbBqAddMemo.get(s, dir) {
+      val db = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
+      db.buildIndexBq(numCells = 16, routerIters = 1)
+      db.nprobe = 16
+      val e = emb(s, dir)
+      db.add(e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 400000L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding")))
+    }
+
+  private val vdbBqPersistMemo = new SessionMemo[graft.VectorDB]
+  private def vdbBqPersistedHandle(s: SparkSession, dir: String) =
+    vdbBqPersistMemo.get(s, dir) {
+      val db = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
+      db.buildIndexBq(numCells = 16, routerIters = 1)
+      db.nprobe = 16
+      val p = java.nio.file.Files.createTempDirectory("graft_vdb_bq_")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+      db.save(p.toString)
+      graft.VectorDB.load(s, p.toString)
+    }
+
+  /** Gate on public BQ serving: 1-bit packed codes, Hamming ranking
+    * through the handle's compressed dispatch. */
+  def qVectordbBq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 96L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbBqHandle(s, dir).search(qv, k = 10)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), col("dist").cast("int").as("hamming"))
+  }
+
+  /** Gate on BQ exact-refine: Hamming shortlist → exact L2² re-rank
+    * through [[graft.VectorDB.searchRefined]]. */
+  def qVectordbBqRefined(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 97L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbBqHandle(s, dir).searchRefined(qv, k = 5, refine = 4)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
+  /** Gate on maintained BQ codes: the appended negated twins must rank
+    * from the APPENDED codes (query row 2 — its negation sits at
+    * Hamming ≈ full width, the originals at their true distances). */
+  def qVectordbBqAdd(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 2L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbBqAddHandle(s, dir).search(qv, k = 10)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), col("dist").cast("int").as("hamming"))
+  }
+
+  /** Gate on BQ persistence: save → load → Hamming serving through the
+    * restored codes + router (no model file — the codes ARE the
+    * state). */
+  def qVectordbBqPersisted(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 98L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbBqPersistedHandle(s, dir).search(qv, k = 10)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), col("dist").cast("int").as("hamming"))
   }
 
   /** Binary (sign-bit) Hamming top-10: the 1-bit serving mode — packed

@@ -241,6 +241,68 @@ class CompressedServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("BQ handle: wide refine equals exact; maintenance keeps 1-bit serving") {
+    val qv = qvOf(21L)
+    val exact = Knn.searchKnn(e, qv, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    db.buildIndexBq(numCells = 4, routerIters = 1)
+    db.nprobe = 4
+    val refined = db.searchRefined(qv, k = 10, refine = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(refined.toSeq == exact.toSeq,
+      s"bq wide refine diverged:\n${refined.toSeq}\nvs\n${exact.toSeq}")
+    // maintained add: the stateless pack encodes only the batch; the
+    // resident codes reuse the cached parent generation
+    val batch = e.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    val grown = db.add(batch)
+    val codes = grown.servedCodes.getOrElse(fail("add must maintain the codes"))
+    assert(codes.count() == 505L)
+    val plan = codes.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"appended codes must reuse the cached parent generation:\n$plan")
+    val st = grown.stats.head()
+    assert(st.getAs[String]("serving") == "bq" && st.getAs[Long]("n_indexed") == 505L)
+    // an identical appended vector packs to the identical sign pattern:
+    // row 3's twin must serve at row 3's own Hamming distance
+    val hits = grown.search(qvOf(3L), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(hits.get(900003L) == hits.get(3L),
+      s"appended twin must serve from codes at the twin Hamming distance: $hits")
+    // remove prunes the codes back; serving returns to the original
+    val shrunk = grown.remove(batch.select("vec_id"))
+    assert(shrunk.servedCodes.get.count() == 500L)
+    assert(shrunk.search(qv, 10).collect().toSeq ==
+      db.search(qv, 10).collect().toSeq)
+  }
+
+  test("BQ cosine/dot: wide refine equals the exact metric ranking; batch == per-query") {
+    import spark.implicits._
+    for ((metric, qid) <- Seq((Knn.Cosine, 23L), (Knn.Dot, 26L))) {
+      val qv = qvOf(qid)
+      val exact = Knn.searchKnn(e, qv, 10, metric = metric)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+      db.buildIndexBq(numCells = 4, routerIters = 1, metric = metric)
+      db.nprobe = 4
+      val refined = db.searchRefined(qv, k = 10, refine = 64)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(refined.toSeq == exact.toSeq,
+        s"bq $metric wide refine diverged:\n${refined.toSeq}\nvs\n${exact.toSeq}")
+      // one batch job serves the same Hamming ranking as point queries
+      val qs = Seq((0L, qvOf(qid).toArray), (1L, qvOf(qid + 1).toArray))
+        .toDF("qid", "qv")
+      val batch = db.searchBatch(qs, 5)
+        .select("qid", "rank", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val single = (for ((q, i) <- Seq(qid, qid + 1).zipWithIndex;
+          (r, j) <- db.search(qvOf(q), 5).collect().zipWithIndex)
+        yield (i.toLong, j + 1, r.getLong(0))).toSet
+      assert(batch == single, s"bq $metric batch arm diverged from point arm")
+    }
+  }
+
   test("compressed cosine state survives save/load with payloads") {
     val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
     db.buildIndexPq(numCells = 4, routerIters = 1, metric = Knn.Cosine,
