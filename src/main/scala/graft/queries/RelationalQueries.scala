@@ -279,7 +279,67 @@ object RelationalQueries {
       .crossJoin(exact)
   }
 
+  /** Deterministic 32-bin equi-width histogram of the lineitem price
+    * column — the numeric-profiling pass before layout/skew decisions;
+    * the exact min/max grid and floor binning replay bit-for-bit. */
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.histogram(
+        t(s, dir, "lineitem"), col("l_extendedprice"), bins = 32)
+      .select(col("bin"), col("lo"), col("hi"), col("n"))
+
+  /** Exact moments + null census for two lineitem columns in one
+    * map-side-combined aggregate each — DECIMAL per-row casts make the
+    * sums order-independent, so mean/variance are bit-stable at any
+    * parallelism. */
+  def qProfileMoments(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def one(c: String) = graft.operators.Profile.moments(li, col(c))
+      .withColumn("col_name", lit(c))
+    // mean at 4dp and the coefficient of variation at 6dp: the DECIMAL
+    // sums are exact, but casting a >2^53-scaled decimal to double is
+    // correctly rounded in Spark and two-step (int128 -> double ->
+    // scale) in DuckDB — an engine ulp the RELATIVE statistics absorb
+    // while raw variance (abs magnitude ~1e9) would surface it
+    one("l_extendedprice").unionByName(one("l_discount"))
+      .select(col("col_name"), col("n"), col("n_null"),
+        col("min"), col("max"), round(col("mean"), 4).as("mean"),
+        round(sqrt(greatest(col("variance"), lit(0.0))) / col("mean"), 6).as("cv"))
+      .orderBy("col_name")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_histogram", qHistogram, Some(
+      """WITH mm AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+        |                   max(CAST(l_extendedprice AS DOUBLE)) AS hi
+        |            FROM lineitem),
+        |w AS (SELECT lo, hi, (hi - lo) / 32 AS width FROM mm),
+        |b AS (SELECT CASE WHEN w.width = 0 THEN 0
+        |             ELSE least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - w.lo) / w.width) AS INT), 31)
+        |             END AS bin
+        |      FROM lineitem, w WHERE l_extendedprice IS NOT NULL)
+        |SELECT bin, w.lo + bin * w.width AS lo,
+        |  w.lo + (bin + 1) * w.width AS hi, count(*) AS n
+        |FROM b, w GROUP BY bin, w.lo, w.width ORDER BY bin""".stripMargin)),
+    QueryDef("q_profile_moments", qProfileMoments, Some(
+      """WITH s AS (
+        |  SELECT 'l_extendedprice' AS col_name,
+        |    count(l_extendedprice) AS n,
+        |    count(*) - count(l_extendedprice) AS n_null,
+        |    min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+        |    max(CAST(l_extendedprice AS DOUBLE)) AS mx,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS s2
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', count(l_discount), count(*) - count(l_discount),
+        |    min(CAST(l_discount AS DOUBLE)), max(CAST(l_discount AS DOUBLE)),
+        |    CAST(sum(CAST(CAST(l_discount AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE),
+        |    CAST(sum(CAST(CAST(l_discount AS DOUBLE) * CAST(l_discount AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
+        |  FROM lineitem)
+        |SELECT col_name, n, n_null, mn AS min, mx AS max,
+        |  round(s1 / n, 4) AS mean,
+        |  round(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) / (s1 / n), 6) AS cv
+        |FROM s ORDER BY col_name""".stripMargin)),
     QueryDef("q_overlap_kmv", qOverlapKmv, Some(
       """WITH ha AS (SELECT DISTINCT (l_orderkey * 2654435761 + 987654321) % 4294967296 AS hv
         |            FROM lineitem),

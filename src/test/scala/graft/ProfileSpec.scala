@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Profile
+
+/** Numeric profiling: histograms must partition the corpus exactly
+  * (coverage, edge ownership, constant columns) and the decimal-exact
+  * moments must match hand math and stay partition-invariant. */
+class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+
+  test("histogram partitions every non-null row into exactly one bin") {
+    val h = Profile.histogram(li, col("l_extendedprice"), bins = 16).collect()
+    assert(h.map(_.getLong(3)).sum == li.filter(col("l_extendedprice").isNotNull).count())
+    assert(h.map(_.getInt(0)).distinct.length == h.length)
+    assert(h.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 16))
+  }
+
+  test("histogram: the maximum lands in the last bin, the minimum in the first") {
+    import spark.implicits._
+    val df = Seq(0.0, 1.0, 2.0, 3.0, 4.0).toDF("v")
+    val h = Profile.histogram(df, col("v"), bins = 4)
+      .select("bin", "n").as[(Int, Long)].collect().toMap
+    assert(h == Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 2L),
+      s"right-closed top edge must own the max: $h")
+  }
+
+  test("histogram of a constant column is one bin holding everything") {
+    import spark.implicits._
+    val df = Seq.fill(100)(7.5).toDF("v").repartition(8)
+    val h = Profile.histogram(df, col("v"), bins = 32).collect()
+    assert(h.length == 1 && h.head.getInt(0) == 0 && h.head.getLong(3) == 100L)
+  }
+
+  test("moments match hand math and count nulls") {
+    import spark.implicits._
+    val df = Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0, null).toDF("v")
+    val r = Profile.moments(df, col("v")).head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 1)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 4.0)
+    assert(r.getDouble(4) == 2.5)
+    assert(r.getDouble(5) == 1.25) // E[x^2] - mean^2 = 7.5 - 6.25
+  }
+
+  test("moments are invariant to physical partitioning (decimal-exact sums)") {
+    def run(parts: Int) =
+      Profile.moments(li.repartition(parts), col("l_extendedprice"))
+        .collect().toSeq
+    assert(run(1) == run(32))
+  }
+}
