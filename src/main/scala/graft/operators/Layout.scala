@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional storage-layout kernels (extension — the reference
+  * stores insertion order only, `/root/reference/src/lib.rs:55-60`).
+  *
+  * Z-ORDER (Morton) interleaving linearizes two key dimensions so rows
+  * close in EITHER key land close in the linear order: range-partition
+  * or sort a 100 TB table by `zValue` and every file's min/max stats
+  * become tight in BOTH keys — a predicate on either dimension prunes
+  * files (data skipping), where a single-key sort gives pruning on one
+  * dimension and none on the other. The interleave is a STATIC
+  * expression tree (no HOF, no UDF — whole-stage codegen'd), and plain
+  * integer bit tests, so the DuckDB oracle replays it exactly.
+  */
+object Layout {
+
+  /** Morton z-value of two non-negative integer keys: bit i of `a`
+    * lands at position 2i, bit i of `b` at 2i+1. `bits` caps the
+    * interleaved width per key (21 bits each → a 42-bit z in a long).
+    * Keys wider than `bits` must be range-reduced first — the top
+    * bits silently truncate (the standard z-cluster convention: layout
+    * quality degrades gracefully, correctness never depends on z). */
+  def zValue(a: Column, b: Column, bits: Int = 21): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val al = a.cast("long")
+    val bl = b.cast("long")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        when(al.bitwiseAND(lit(1L << i)) =!= 0L, lit(1L << (2 * i))).otherwise(0L) +
+        when(bl.bitwiseAND(lit(1L << i)) =!= 0L, lit(1L << (2 * i + 1))).otherwise(0L)
+    }
+  }
+
+  /** The same interleave as DuckDB SQL over expressions `a`/`b` — ONE
+    * generator for both engines (the shared-fragment rule). */
+  def zValueSql(a: String, b: String, bits: Int = 21): String =
+    (0 until bits).flatMap { i =>
+      Seq(
+        s"(CASE WHEN ($a & ${1L << i}) <> 0 THEN ${1L << (2 * i)} ELSE 0 END)",
+        s"(CASE WHEN ($b & ${1L << i}) <> 0 THEN ${1L << (2 * i + 1)} ELSE 0 END)")
+    }.mkString("(", " + ", ")")
+
+  /** Cluster a table for two-dimensional data skipping: NORMALIZE both
+    * keys to a common `bits`-wide range (one min/max aggregate — keys
+    * of unequal magnitude would otherwise let the wider key's high
+    * bits dominate the interleave and collapse z-order to a
+    * single-key sort), then range-partition on the z-value into
+    * `buckets` write tasks and sort within each — the write-side
+    * layout pass before `write.parquet`. File min/max stats then
+    * bound BOTH keys per file, so scans filtered on either key prune
+    * most files. (Range boundaries come from Spark's reservoir
+    * sampling — a layout choice, not a result: downstream results
+    * never depend on which boundary a row lands on.) */
+  def clusterByZ(df: DataFrame, a: Column, b: Column, buckets: Int,
+      bits: Int = 16): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val mm = df.agg(
+      min(a.cast("double")), max(a.cast("double")),
+      min(b.cast("double")), max(b.cast("double"))).head()
+    val top = (1L << bits) - 1
+    def scaled(c: Column, lo: Double, hi: Double): Column =
+      if (mm.anyNull || hi == lo) lit(0L)
+      else floor((c.cast("double") - lit(lo)) / lit(hi - lo) * top).cast("long")
+    val za = scaled(a, mm.getDouble(0), mm.getDouble(1))
+    val zb = scaled(b, mm.getDouble(2), mm.getDouble(3))
+    df.withColumn("__z", zValue(za, zb, bits))
+      .repartitionByRange(buckets, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+}

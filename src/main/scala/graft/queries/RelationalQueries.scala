@@ -307,7 +307,21 @@ object RelationalQueries {
       .orderBy("col_name")
   }
 
+  /** Morton z-values over (l_orderkey, l_partkey) — the storage-layout
+    * kernel behind two-dimensional data skipping, bit-for-bit
+    * replayed from the shared expression generator. */
+  def qZorder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").filter(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        graft.operators.Layout.zValue(col("l_orderkey"), col("l_partkey")).as("z"))
+      .orderBy("z", "l_orderkey", "l_linenumber")
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_zorder", qZorder, Some(
+      s"""SELECT l_orderkey, l_linenumber, l_partkey,
+         |  ${graft.operators.Layout.zValueSql("l_orderkey", "l_partkey")} AS z
+         |FROM lineitem WHERE l_orderkey < 200
+         |ORDER BY z, l_orderkey, l_linenumber""".stripMargin)),
     QueryDef("q_histogram", qHistogram, Some(
       """WITH mm AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
         |                   max(CAST(l_extendedprice AS DOUBLE)) AS hi
