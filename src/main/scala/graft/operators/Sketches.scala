@@ -83,6 +83,51 @@ object Sketches {
       .otherwise(round(
         lit((k - 1).toDouble) * lit(HashMod.toDouble) / col("kth_hash"), 2))
 
+  /** The deterministic Knuth-remix hash every KMV surface shares. */
+  def hashExpr(key: Column, mult: Long = 2654435761L, add: Long = 987654321L): Column =
+    pmod(key.cast("long") * mult + add, lit(HashMod))
+
+  /** The KMV estimator from a sketch's (candidate count, k-th hash):
+    * exact when the sketch saw everything, (k−1)·2³²/h_k when full. */
+  def estFromSketch(k: Int, nCand: Column, kth: Column): Column =
+    when(nCand < k, nCand.cast("double"))
+      .otherwise(round(lit((k - 1).toDouble) * lit(HashMod.toDouble) / kth, 2))
+
+  /** Grouped/streaming KMV sketch as an Aggregator: the bounded
+    * sorted-distinct bottom-k buffer merges associatively and
+    * commutatively, so it runs map-side-combined in batch `groupBy`
+    * AND incrementally inside Structured Streaming's stateful
+    * aggregation — per-group state is O(k) forever, the property that
+    * lets a watermark-bounded stream count distincts without keeping
+    * the key set. Output: (n_cand, kth_hash). */
+  final class KmvAggregator(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, List[Long], (Int, Long)] {
+    require(k >= 2, s"k must be >= 2, got $k")
+    override def zero: List[Long] = Nil
+    override def reduce(buf: List[Long], h: Long): List[Long] =
+      if (buf.contains(h) || (buf.length >= k && h > buf.last)) buf
+      else {
+        val (lo, hi) = buf.span(_ < h)
+        (lo ::: h :: hi).take(k)
+      }
+    override def merge(a: List[Long], b: List[Long]): List[Long] =
+      (a ++ b).distinct.sorted.take(k)
+    override def finish(buf: List[Long]): (Int, Long) =
+      (buf.length, if (buf.isEmpty) -1L else buf.last)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[List[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[(Int, Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Long)]()
+  }
+
+  /** Column function: `kmvAgg(k)(hashExpr(key))` in `groupBy.agg` —
+    * returns struct(_1 = n_cand, _2 = kth_hash). */
+  def kmvAgg(k: Int): Column => Column = {
+    val fn = org.apache.spark.sql.functions.udaf(new KmvAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+    h => fn(h)
+  }
+
   /** The k smallest DISTINCT hash values of a keyed corpus, as a ≤k-row
     * DataFrame("hv"): bounded per-partition TreeSets, then a toy-sized
     * distinct + sort over ≤ k·#partitions candidates. */

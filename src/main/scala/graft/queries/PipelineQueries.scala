@@ -385,5 +385,31 @@ object PipelineQueries {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)),
+    QueryDef("q_stream_kmv", qStreamKmv, Some(
+      """WITH h AS (SELECT DISTINCT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+        |             (user_id * 2654435761 + 987654321) % 4294967296 AS hv
+        |           FROM events),
+        |r AS (SELECT hour_start, hv,
+        |        row_number() OVER (PARTITION BY hour_start ORDER BY hv) AS rn,
+        |        count(*) OVER (PARTITION BY hour_start) AS tot
+        |      FROM h),
+        |s AS (SELECT hour_start, CAST(least(tot, 8) AS INT) AS n_cand,
+        |        max(CASE WHEN rn <= 8 THEN hv END) AS kth_hash
+        |      FROM r GROUP BY hour_start, tot)
+        |SELECT hour_start, n_cand, kth_hash,
+        |  CASE WHEN n_cand < 8 THEN CAST(n_cand AS DOUBLE)
+        |       ELSE round(7.0 * 4294967296.0 / kth_hash, 2) END AS est_users
+        |FROM s ORDER BY hour_start""".stripMargin)),
   )
+
+  /** The streaming KMV distinct-user sketch run over the batch events
+    * table (same code path `readStream` uses): per hour window, the k=8
+    * smallest distinct user-hashes → estimate — O(k) window state
+    * where a streaming count(distinct) would buffer every key. */
+  def qStreamKmv(s: SparkSession, dir: String): DataFrame =
+    EventStreams.hourlyDistinctUsers(EventsFixture.events(s, dir), k = 8)
+      .select(
+        date_format(col("hour_start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("n_cand"), col("kth_hash"), col("est_users"))
+      .orderBy("hour_start")
 }

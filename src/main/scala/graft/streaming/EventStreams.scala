@@ -39,6 +39,26 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Per-hour approximate distinct users via the KMV sketch aggregate
+    * ([[graft.operators.Sketches.KmvAggregator]]): the window's state
+    * is the k smallest distinct user-hashes — O(k) per window forever,
+    * where a `count(distinct)` stream would buffer every key — and the
+    * watermark retires windows. Same code path batch and streaming;
+    * the deterministic hash makes the sketch oracle-replayable. */
+  def hourlyDistinctUsers(events: DataFrame, k: Int = 8): DataFrame = {
+    import graft.operators.Sketches
+    val kmv = Sketches.kmvAgg(k)
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(kmv(Sketches.hashExpr(col("user_id"))).as("sk"))
+      .select(
+        col("window.start").as("hour_start"),
+        col("sk._1").as("n_cand"),
+        col("sk._2").as("kth_hash"),
+        Sketches.estFromSketch(k, col("sk._1"), col("sk._2")).as("est_users"))
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
 

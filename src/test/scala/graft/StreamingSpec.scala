@@ -102,6 +102,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming KMV distinct sketch: incremental micro-batches equal the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Timestamp, Long)]
+    val df = src.toDF().toDF("ts", "user_id")
+    val q = EventStreams.startToMemory(
+      EventStreams.hourlyDistinctUsers(df, k = 4), "kmv_test", OutputMode.Complete())
+    try {
+      // 6 distinct users across two micro-batches (with repeats): the
+      // O(k) sketch state must merge incrementally to the same result
+      // one batch would give
+      src.addData((ts(1), 10L), (ts(2), 11L), (ts(3), 12L), (ts(4), 10L))
+      q.processAllAvailable()
+      src.addData((ts(5), 13L), (ts(6), 14L), (ts(7), 15L), (ts(8), 11L))
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_test")
+        .select("n_cand", "kth_hash", "est_users").head()
+      val batch = EventStreams.hourlyDistinctUsers(
+          (10L to 15L).map(u => (ts(1), u)).toDF("ts", "user_id"), k = 4)
+        .select("n_cand", "kth_hash", "est_users").head()
+      assert(streamed == batch,
+        s"incremental sketch $streamed must equal one-shot batch sketch $batch")
+      assert(streamed.getInt(0) == 4, "6 distinct users must fill the k=4 sketch")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: duplicate texts drop, state bounded by watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
