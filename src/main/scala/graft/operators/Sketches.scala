@@ -128,6 +128,56 @@ object Sketches {
     h => fn(h)
   }
 
+  /** Count-Min sketch (Cormode & Muthukrishnan '05): frequency
+    * estimates for ANY key from a d×w counter grid — build cost is one
+    * map-side-combined aggregate whose shuffle carries O(d·w) rows
+    * (the grid), not the key universe; estimates are upper bounds
+    * (collisions only inflate), exact when a key's d buckets are
+    * collision-free. The textbook heavy-hitter census at 100 TB: the
+    * full token vocabulary never materializes anywhere.
+    *
+    * Hash row j remixes with the Knuth family at distinct constants
+    * (`mult + 2j·step`-style odd multipliers) — deterministic, so the
+    * whole grid AND every estimate replay exactly in the oracle. */
+  object CountMin {
+    val Depth = 4
+
+    /** Row-j bucket of a hashed key (keys pre-hash through a string/
+      * numeric → long fingerprint; `fp` must already be a long). */
+    def bucket(fp: Column, j: Int, width: Int): Column =
+      pmod(pmod(fp * lit(RowMults(j)) + lit(RowAdds(j)), lit(HashMod)), lit(width.toLong))
+
+    /** Independent odd multipliers / offsets per row (the SimHash
+      * remix family extended). */
+    val RowMults: Array[Long] =
+      Array(2654435761L, 2246822519L, 3266489917L, 668265263L)
+    val RowAdds: Array[Long] = Array(0L, 12345L, 374761393L, 2127912214L)
+
+    /** Build the grid over one long-keyed column: rows (row, bucket,
+      * cnt) for every non-empty counter. */
+    def build(df: DataFrame, fp: Column, width: Int = 256): DataFrame = {
+      require(width >= 2, s"width must be >= 2, got $width")
+      // ONE corpus scan: each record explodes into its d (row, bucket)
+      // coordinates, then the grid aggregates map-side
+      val buckets = array((0 until Depth).map(j => bucket(fp, j, width)): _*)
+      df.select(posexplode(buckets).as(Seq("row", "bucket")))
+        .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+    }
+
+    /** Point estimates for a literal key set against a built grid:
+      * est(key) = min over rows of its bucket's counter (0 when a
+      * bucket is empty). The grid is O(d·w) — it broadcasts. */
+    def estimates(grid: DataFrame, keys: DataFrame, fp: Column,
+        width: Int = 256): DataFrame = {
+      val keyed = (0 until Depth).map { j =>
+        keys.select(col("*"), lit(j).as("row"), bucket(fp, j, width).as("bucket"))
+      }.reduce(_.unionByName(_))
+      keyed.join(broadcast(grid), Seq("row", "bucket"), "left")
+        .groupBy(keys.columns.map(col): _*)
+        .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+    }
+  }
+
   /** The k smallest DISTINCT hash values of a keyed corpus, as a ≤k-row
     * DataFrame("hv"): bounded per-partition TreeSets, then a toy-sized
     * distinct + sort over ≤ k·#partitions candidates. */

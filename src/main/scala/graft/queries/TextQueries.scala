@@ -328,7 +328,51 @@ object TextQueries {
        |              i -> tk[i] || ' ' || tk[i+1]))) END AS dup_bigram
        |        FROM t)""".stripMargin
 
+  /** Count-Min token-frequency census: the 4×64 grid built from ONE
+    * corpus scan, then every distinct token's upper-bound estimate
+    * beside its exact count — the bounded-memory heavy-hitter pass
+    * (the grid, not the vocabulary, is what shuffles). Tokens key by
+    * the rolling-hash fingerprint, so grid and estimates replay
+    * exactly. */
+  def qFreqCms(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches.CountMin
+    val toks = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .select(col("token"), graft.functions.TextFunctions.fingerprint(col("token")).as("f"))
+    val grid = CountMin.build(toks, col("f"), width = 64)
+    val keys = toks.groupBy("token", "f").agg(count(lit(1)).as("n_exact"))
+    CountMin.estimates(grid, keys, col("f"), width = 64)
+      .select(col("token"), col("est"), col("n_exact"))
+      .orderBy("token")
+  }
+
+  /** DuckDB bucket expression of the CountMin row family (shared
+    * constants — ONE definition with the Scala side). */
+  private def cmsBucketSql(fCol: String, jCol: String, width: Int): String = {
+    import graft.operators.Sketches.CountMin.{RowAdds, RowMults}
+    val mult = s"CASE $jCol WHEN 0 THEN ${RowMults(0)} WHEN 1 THEN ${RowMults(1)} WHEN 2 THEN ${RowMults(2)} ELSE ${RowMults(3)} END"
+    val add = s"CASE $jCol WHEN 0 THEN ${RowAdds(0)} WHEN 1 THEN ${RowAdds(1)} WHEN 2 THEN ${RowAdds(2)} ELSE ${RowAdds(3)} END"
+    s"((($fCol) * ($mult) + ($add)) % 4294967296) % $width"
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_freq_cms", qFreqCms, Some(
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |fp AS (SELECT token,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(string_split(token, ''), c -> CAST(ord(c) AS BIGINT))),
+         |           (h, c) -> (h * 31 + c) % 1000000007) AS f
+         |       FROM tok),
+         |coords AS (SELECT f, u.j, ${cmsBucketSql("f", "u.j", 64)} AS bucket
+         |           FROM fp CROSS JOIN unnest([0, 1, 2, 3]) AS u(j)),
+         |grid AS (SELECT j, bucket, count(*) AS cnt FROM coords GROUP BY 1, 2),
+         |keys AS (SELECT token, f, count(*) AS n_exact FROM fp GROUP BY 1, 2),
+         |kc AS (SELECT k.token, k.n_exact, u.j, ${cmsBucketSql("k.f", "u.j", 64)} AS bucket
+         |       FROM keys k CROSS JOIN unnest([0, 1, 2, 3]) AS u(j)),
+         |est AS (SELECT token, n_exact, min(coalesce(g.cnt, 0)) AS est
+         |        FROM kc LEFT JOIN grid g ON g.j = kc.j AND g.bucket = kc.bucket
+         |        GROUP BY 1, 2)
+         |SELECT token, est, n_exact FROM est ORDER BY token""".stripMargin)),
     QueryDef("q_repetition", qRepetition, Some(
       s"""WITH $tkSql
          |SELECT rep.doc_id, CAST(n AS INT) AS n_tokens, CAST(top_tok AS INT) AS top_tok,

@@ -71,6 +71,35 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
       f"est_common $est%.1f vs exact $exact%.0f drifts past the band")
   }
 
+  test("Count-Min estimates are upper bounds, exact without collisions, partition-invariant") {
+    import spark.implicits._
+    import graft.operators.Sketches.CountMin
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+      .select(col("token"),
+        graft.functions.TextFunctions.fingerprint(col("token")).as("f"))
+    val keys = toks.groupBy("token", "f").agg(count(lit(1)).as("n_exact"))
+    // upper-bound property at a colliding width
+    val narrow = CountMin.estimates(CountMin.build(toks, col("f"), 64),
+        keys, col("f"), 64)
+      .select(col("token"), col("est"), col("n_exact"))
+      .as[(String, Long, Long)].collect()
+    assert(narrow.forall { case (_, est, n) => est >= n },
+      "Count-Min must never undercount")
+    // a wide grid separates the 31-token vocabulary: all exact
+    val wide = CountMin.estimates(CountMin.build(toks, col("f"), 4096),
+        keys, col("f"), 4096)
+      .select(col("est"), col("n_exact")).as[(Long, Long)].collect()
+    assert(wide.forall { case (est, n) => est == n },
+      "width 4096 must be collision-free on the fixture vocabulary")
+    // the grid is a pure aggregate: physical partitioning is invisible
+    val g1 = CountMin.build(toks.repartition(1), col("f"), 64)
+      .orderBy("row", "bucket").collect().toSeq
+    val g32 = CountMin.build(toks.repartition(32), col("f"), 64)
+      .orderBy("row", "bucket").collect().toSeq
+    assert(g1 == g32)
+  }
+
   test("below k distinct the sketch is exact") {
     import spark.implicits._
     val tiny = (0 until 1000).map(i => i % 10L).toDF("id").repartition(8)
