@@ -136,6 +136,49 @@ object Dedup {
       .distinct()
   }
 
+  /** Triangle census of an undirected pair graph — the clustering-
+    * coefficient QA over a near-dup graph (a triangle-dense dup graph
+    * means transitive duplicate families; a triangle-free one means
+    * isolated pairs — different cleanup strategies). Returns one row
+    * (n_nodes, n_edges, n_triangles).
+    *
+    * Scale shape: edges orient low→high under the (degree, id) total
+    * order, so every triangle materializes as exactly ONE wedge and
+    * the wedge join's fan-out per node is bounded by the oriented
+    * out-degree — O(√E) on any graph (the node-iterator++ bound;
+    * Suri & Vassilvitskii WWW'11) — where a naive wedge join explodes
+    * quadratically on hub nodes. All joins are equi-joins. */
+  def triangleCount(pairs: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val e = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val oriented = withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // under an acyclic orientation each triangle x<y<z (in the order)
+    // is exactly the wedge x→y→z closed by the oriented edge x→z
+    val wedges = oriented.toDF("x", "y")
+      .join(oriented.toDF("y", "z"), "y")
+      .select("x", "z")
+    val tri = wedges.join(oriented.toDF("x", "z"), Seq("x", "z"), "left_semi")
+    val nNodes = deg.count()
+    val nEdges = e.count()
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    tri.agg(count(lit(1)).as("n_triangles"))
+      .select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
+        col("n_triangles"))
+  }
+
   /** Exact duplicate groups keyed by content hash: one row per distinct
     * text with the surviving (minimum) doc id and the group size. */
   def exactDupGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

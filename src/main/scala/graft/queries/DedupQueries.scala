@@ -199,7 +199,30 @@ object DedupQueries {
         md5(col("clean_text")).as("clean_hash"))
       .orderBy("doc_id")
 
+  /** Triangle census over the SimHash near-dup graph: transitivity QA
+    * (triangle-dense ⇒ duplicate families, triangle-free ⇒ isolated
+    * pairs). The oracle recomputes the pair graph and counts ordered
+    * triangles naively; the engine's degree-oriented wedge join must
+    * agree exactly. */
+  def qTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.triangleCount(
+      MinHash.simHashPairs(docs(s, dir), maxHamming = 6).select("a", "b"))
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_triangles", qTriangles, Some(
+      s"""WITH t AS (SELECT doc_id, $shSql AS sh FROM documents),
+         |hs AS (SELECT doc_id, $hsSql AS hs FROM t WHERE len(sh) > 0),
+         |sim AS (SELECT doc_id, $simHiSql AS sim_hi, $simLoSql AS sim_lo FROM hs),
+         |p AS (SELECT x.doc_id AS a, y.doc_id AS b FROM sim x JOIN sim y
+         |      ON x.doc_id < y.doc_id
+         |      WHERE bit_count(xor(x.sim_hi, y.sim_hi)) + bit_count(xor(x.sim_lo, y.sim_lo)) <= 6),
+         |n AS (SELECT count(*) AS n_edges FROM p),
+         |v AS (SELECT count(DISTINCT u) AS n_nodes
+         |      FROM (SELECT a AS u FROM p UNION ALL SELECT b AS u FROM p)),
+         |tr AS (SELECT count(*) AS n_triangles
+         |       FROM p p1 JOIN p p2 ON p1.b = p2.a
+         |       JOIN p p3 ON p3.a = p1.a AND p3.b = p2.b)
+         |SELECT v.n_nodes, n.n_edges, tr.n_triangles FROM n, v, tr""".stripMargin)),
     QueryDef("q_dedup_segments", qDedupSegments, Some(
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents WHERE length(text) > 0),

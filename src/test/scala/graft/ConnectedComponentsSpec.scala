@@ -62,4 +62,35 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val labels = asMap(Dedup.connectedComponentsStar(pairs(es)))
     assert(labels.size == 201 && labels.values.forall(_ == 0L))
   }
+
+  private def tri(es: Seq[(Long, Long)]): (Long, Long, Long) = {
+    val r = Dedup.triangleCount(pairs(es)).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("triangle census: cliques, wedges, and duplicate/reversed edges") {
+    // K5: C(5,3) = 10 triangles; C(5,2) = 10 edges
+    val k5 = for (a <- 0L until 5L; b <- (a + 1) until 5L) yield (a, b)
+    assert(tri(k5) == (5L, 10L, 10L))
+    // a path and a star are triangle-free
+    assert(tri((0L until 6L).map(i => (i, i + 1))) == (7L, 6L, 0L))
+    assert(tri((1L until 8L).map(i => (0L, i))) == (8L, 7L, 0L))
+    // duplicated and reversed edges must not double-count
+    assert(tri(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L))) == (3L, 3L, 1L))
+  }
+
+  test("triangle census equals the naive ordered count on a seeded random graph") {
+    val rnd = new scala.util.Random(7)
+    val es = Seq.fill(120)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val canon = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val edgeSet = canon.toSet
+    val naive = (for {
+      (a, b) <- canon; (c, d) <- canon
+      if b == c && edgeSet.contains((a, d))
+    } yield 1).size
+    val (_, nE, nT) = tri(es)
+    assert(nE == canon.size && nT == naive.toLong,
+      s"oriented wedge count $nT must equal naive $naive")
+  }
 }
