@@ -194,6 +194,30 @@ object Curation {
     df.filter(n >= 1).withColumn("copy", explode(sequence(lit(1), n)))
   }
 
+  /** FRACTIONAL upsampling — the temperature-mixing stage (a source
+    * weighted 1.7× emits every row once, plus a second copy for a
+    * deterministic 70% of ids): `floor(w)` guaranteed copies, one more
+    * iff the row's id hash falls under the fractional remainder (in
+    * basis points, the [[stratifiedSample]] convention — and a THIRD
+    * hash family, so the extra-copy decision is uncorrelated with
+    * split and sample membership). Map-only, no RNG: the exact output
+    * multiset is reproducible at any parallelism, and expected
+    * multiplicity equals the weight for every row. Weights < 1
+    * downsample (0 guaranteed copies, kept with probability w). */
+  def upsampleFractional(df: DataFrame, weightBps: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    require(!df.columns.contains("copy"),
+      "upsampleFractional adds a 'copy' column; the input already has one — rename it first")
+    val whole = (weightBps.cast("long") / 10000L).cast("int")
+    val fracBps = pmod(weightBps.cast("long"), lit(10000L))
+    val extra = (hashBucket(col(idCol), 10000L, mult = 3266489917L, add = 374761393L)
+      < fracBps).cast("int")
+    val n = whole + extra
+    df.withColumn("__n", n).filter(col("__n") >= 1)
+      .withColumn("copy", explode(sequence(lit(1), col("__n"))))
+      .drop("__n")
+  }
+
   /** Per-domain quota cap: keep at most `cap` rows per domain, best
     * score first (ties to the lowest id) — the corpus-balancing stage
     * that stops one crawl domain from dominating the training mix.

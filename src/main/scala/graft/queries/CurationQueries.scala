@@ -158,7 +158,27 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Fractional (temperature) upsampling: en × 1.7, everything else
+    * × 0.5 — floor(w) guaranteed copies plus a deterministic
+    * id-hash-gated extra, so the mixing multiset reproduces exactly
+    * and expected multiplicity equals the weight. */
+  def qUpsampleFrac(s: SparkSession, dir: String): DataFrame =
+    Curation.upsampleFractional(docs(s, dir),
+        when(col("lang") === "en", 17000L).otherwise(5000L))
+      .select(col("doc_id"), col("copy").cast("int").as("copy"), col("lang"))
+      .orderBy("doc_id", "copy")
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_upsample_frac", qUpsampleFrac, Some(
+      """WITH t AS (SELECT doc_id, lang,
+        |    CASE WHEN lang = 'en' THEN 17000 ELSE 5000 END AS w,
+        |    (doc_id * 3266489917 + 374761393) % 4294967296 % 10000 AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |        CAST(w // 10000 + CASE WHEN h < w % 10000 THEN 1 ELSE 0 END AS INT) AS n
+        |      FROM t)
+        |SELECT doc_id, CAST(unnest(range(1, n + 1)) AS INT) AS copy, lang
+        |FROM c WHERE n >= 1 ORDER BY doc_id, copy""".stripMargin)),
     QueryDef("q_pii_redact", qPiiRedact, Some(
       s"""WITH t AS (SELECT doc_id, text
          |  || CASE WHEN doc_id % 3 = 0 THEN ' contact ' || source || '.' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END

@@ -179,6 +179,24 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.count() == n, "cap >= domain size must pass every row through")
   }
 
+  test("upsampleFractional: multiplicities bound by floor/ceil of the weight, rates converge") {
+    import spark.implicits._
+    val w17 = Curation.upsampleFractional(docs, lit(17000L))
+      .groupBy("doc_id").count().as[(Long, Long)].collect()
+    assert(w17.forall { case (_, n) => n == 1L || n == 2L },
+      "weight 1.7 must emit 1 or 2 copies, never 0 or 3")
+    val frac2 = w17.count(_._2 == 2L) / w17.length.toDouble
+    assert(frac2 > 0.6 && frac2 < 0.8, s"expected ~70% double-copies, got $frac2")
+    val kept = Curation.upsampleFractional(docs, lit(5000L)).select("doc_id").distinct().count()
+    val rate = kept / docs.count().toDouble
+    assert(rate > 0.4 && rate < 0.6, s"weight 0.5 must keep ~half, got $rate")
+    // deterministic multiset at any parallelism
+    def multiset(parts: Int) = Curation.upsampleFractional(
+        docs.repartition(parts), lit(17000L))
+      .select("doc_id", "copy").collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(multiset(1) == multiset(32))
+  }
+
   test("piiCounts + redactPii: typed placeholders, multi-hit and zero-hit rows") {
     import spark.implicits._
     val df = Seq(
