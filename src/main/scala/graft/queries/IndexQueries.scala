@@ -313,16 +313,19 @@ object IndexQueries {
     * shared by [[qAnnIvf]] and [[qAnnIvfPq]] so the centroid + probe
     * construction has exactly one definition on each side of the gate.
     * The centroid table is O(L·d) and broadcast. */
+  /** Per-label centroid table (label, cv): exact decimal mean per
+    * dimension, packed back into a (pos-sorted) double array. O(L·d)
+    * — broadcastable. */
+  private def labelCentroids(e: DataFrame): DataFrame = e
+    .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+    .groupBy("label", "pos")
+    .agg((sum(col("x").cast("decimal(18,12)")).cast("double") / count(lit(1))).as("m"))
+    .groupBy("label")
+    .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s("m")).as("cv"))
+
   private def labelProbes(e: DataFrame, q: DataFrame, n: Int): DataFrame = {
     val qv = col(q.columns.head)
-    // per-label centroid: exact decimal mean per dimension, then packed
-    // back into a (pos-sorted) double array
-    val cent = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("label", "pos")
-      .agg((sum(col("x").cast("decimal(18,12)")).cast("double") / count(lit(1))).as("m"))
-      .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s("m")).as("cv"))
+    val cent = labelCentroids(e)
     cent.crossJoin(broadcast(q))
       .select(col("label"), l2Sq(col("cv"), qv).as("cd"))
       .orderBy(col("cd").asc, col("label").asc)
@@ -2657,6 +2660,43 @@ object IndexQueries {
          |$centSql,
          |$probesSingleSql,
          |${pqAdcSql("embeddings e JOIN probes USING (label)")}""".stripMargin)),
+    QueryDef("q_ann_ivfpq_res", qAnnIvfPqRes, Some(
+      s"""WITH ms AS (SELECT unnest(range(0, 8)) AS m),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 28),
+         |$centSql,
+         |$probesSingleSql,
+         |resx AS (SELECT e.vec_id, e.label, c.i,
+         |           CAST(CAST(e.embedding[c.i] AS DOUBLE) - c.m AS FLOAT) AS r
+         |         FROM embeddings e JOIN cent c ON c.label = e.label),
+         |res AS (SELECT vec_id, label, list(r ORDER BY i) AS embedding
+         |        FROM resx GROUP BY vec_id, label),
+         |qresx AS (SELECT c.label, c.i,
+         |            CAST(CAST(q.qv[c.i] AS DOUBLE) - c.m AS FLOAT) AS r
+         |          FROM cent c JOIN probes p ON p.label = c.label, q),
+         |qres AS (SELECT label, list(r ORDER BY i) AS qv FROM qresx GROUP BY label),
+         |cw AS (SELECT e.vec_id AS j, ms.m,
+         |         list_transform(e.embedding[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
+         |       FROM res e, ms WHERE e.vec_id < 16),
+         |sub AS (SELECT e.vec_id, e.label, ms.m,
+         |          list_transform(e.embedding[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
+         |        FROM res e JOIN probes USING (label), ms),
+         |dd AS (SELECT s.vec_id, s.label, s.m, c.j,
+         |         list_sum(list_transform(list_zip(c.v, s.v), p -> (p[1] - p[2])^2)) AS d
+         |       FROM sub s JOIN cw c ON s.m = c.m),
+         |code AS (SELECT vec_id, label, m, j FROM
+         |           (SELECT vec_id, label, m, j,
+         |              row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+         |            FROM dd) WHERE rn = 1),
+         |qsub AS (SELECT qres.label, ms.m,
+         |           list_transform(qres.qv[ms.m*8+1 : ms.m*8+8], x -> CAST(x AS DOUBLE)) AS v
+         |         FROM qres, ms),
+         |dist AS (SELECT code.vec_id,
+         |           sum(list_sum(list_transform(list_zip(cw.v, qsub.v), p -> (p[1] - p[2])^2))) AS d
+         |         FROM code JOIN cw ON code.m = cw.m AND code.j = cw.j
+         |         JOIN qsub ON qsub.m = code.m AND qsub.label = code.label
+         |         GROUP BY code.vec_id)
+         |SELECT vec_id, round(d, 3) AS dist FROM dist
+         |ORDER BY d, vec_id LIMIT 10""".stripMargin)),
     QueryDef("q_build_range", qBuildRange, Some(
       """SELECT CAST(label AS INT) AS part, count(*) AS n_nodes,
         |  min(vec_id) AS min_id, max(vec_id) AS max_id
@@ -2890,6 +2930,43 @@ object IndexQueries {
       .select(col("vec_id"), ProductQuantizer.encodeExpr(col("embedding"), model).as("codes"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), ProductQuantizer.adcExpr(col("codes"), col("__qv"), model).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), round(col("d"), 3).as("dist"))
+  }
+
+  /** TRUE IVFADC — residual quantization (Jégou et al. TPAMI'11 §V:
+    * PQ encodes x − centroid(cell(x)), not x, so the codebook spends
+    * its 2^bits on the WITHIN-cell distribution — the fidelity step
+    * that makes billion-scale IVF-PQ accurate): per-cell residuals
+    * (double-subtract, float-cast — bit-identical in both engines),
+    * codebooks trained on residuals, the query residualized PER PROBED
+    * CELL (each cell ranks against q − its own centroid), ADC within
+    * the probed cells. Every stage — centroids, residuals, codebook
+    * init, per-cell query residuals, code assignment, ADC sums —
+    * replays in the oracle. */
+  def qAnnIvfPqRes(s: SparkSession, dir: String): DataFrame = {
+    import graft.index.ProductQuantizer
+    val e = emb(s, dir)
+    val cent = labelCentroids(e)
+    val res = e.join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"),
+        zip_with(col("embedding"), col("cv"),
+          (x, c) => (x.cast("double") - c).cast("float")).as("embedding"))
+    val resModel = ProductQuantizer.train(res, numSub = 8, k = 16, iters = 0)
+    val q = e.filter(col("vec_id") === 28L).select(col("embedding").as("__qv"))
+    val probes = labelProbes(e, q, 3)
+    val qres = cent.join(broadcast(probes), "label")
+      .crossJoin(broadcast(q))
+      .select(col("label"),
+        zip_with(col("__qv"), col("cv"),
+          (x, c) => (x.cast("double") - c).cast("float")).as("qrv"))
+    res.join(broadcast(probes), "label")
+      .select(col("vec_id"), col("label"),
+        ProductQuantizer.encodeExpr(col("embedding"), resModel).as("codes"))
+      .join(broadcast(qres), "label")
+      .select(col("vec_id"),
+        ProductQuantizer.adcExpr(col("codes"), col("qrv"), resModel).as("d"))
       .orderBy(col("d").asc, col("vec_id").asc)
       .limit(10)
       .select(col("vec_id"), round(col("d"), 3).as("dist"))

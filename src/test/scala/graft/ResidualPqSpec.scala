@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.{IvfIndex, ProductQuantizer}
+
+/** Residual IVFADC mechanics (Jégou §V): residualizing against
+  * geometric cell centroids must strictly reduce the energy the
+  * codebook has to spend (the variance decomposition that motivates
+  * residual encoding), and the per-cell query-residual ADC must be a
+  * faithful estimator of the same exact distance the raw pipeline
+  * targets.
+  *
+  * Measured honesty note: on THIS fixture (i.i.d. gaussian dims, no
+  * cluster structure) residual encoding does NOT beat raw-vector ADC
+  * error with init-only codebooks (raw 0.289 vs residual 0.416 mean
+  * |ADC−exact| under 16 trained cells) — residual gains require
+  * clusterable data, where within-cell variance is a small fraction
+  * of total. The energy reduction below (≈10%) is the i.i.d. floor
+  * case; the pipeline's correctness is oracle-gated either way
+  * (q_ann_ivfpq_res). */
+class ResidualPqSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("residualizing against trained cells strictly reduces corpus energy") {
+    val model = IvfIndex.train(e, 16, iters = 1)
+    val assigned = IvfIndex.assign(e, model)
+    val cents = typedLit(model.centroids.map(_.toSeq).toSeq)
+    val ords = model.centroids.indices.map(o => model.cellId(o) -> o).toMap
+    val cellToOrd = typedLit(ords)
+    val withRes = assigned.select(
+      graft.functions.VectorFunctions.dotNative(col("embedding"), col("embedding")).as("raw2"),
+      aggregate(
+        zip_with(col("embedding"),
+          element_at(cents, element_at(cellToOrd, col("cell")) + 1),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), _ + _).as("res2"))
+    val r = withRes.agg(avg("raw2"), avg("res2")).head()
+    val (raw2, res2) = (r.getDouble(0), r.getDouble(1))
+    info(f"mean energy: raw $raw2%.4f residual $res2%.4f")
+    assert(res2 < raw2,
+      f"k-means residuals must carry less energy: $res2%.4f vs $raw2%.4f")
+  }
+
+  test("residual ADC is lossless on rows that ARE codewords") {
+    // corpus = the 16 init rows themselves: every residual subvector is
+    // its own codeword, so encode→ADC must reproduce exact distances
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg((sum(col("x").cast("decimal(18,12)")).cast("double") / count(lit(1))).as("m"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s("m")).as("cv"))
+    val res = e.join(broadcast(cent), "label")
+      .select(col("vec_id"), col("cv"),
+        zip_with(col("embedding"), col("cv"),
+          (x, c) => (x.cast("double") - c).cast("float")).as("resv"))
+      .filter(col("vec_id") < 16)
+    val model = ProductQuantizer.train(
+      res.select(col("vec_id"), col("resv").as("embedding")),
+      numSub = 8, k = 16, iters = 0)
+    val q = e.filter(col("vec_id") === 28L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qlit = typedLit(q).cast("array<float>")
+    val rows = res.select(
+        ProductQuantizer.adcExpr(
+          ProductQuantizer.encodeExpr(col("resv"), model),
+          zip_with(qlit, col("cv"), (x, c) => (x.cast("double") - c).cast("float")),
+          model).as("adc"),
+        graft.functions.VectorFunctions.l2SqNative(
+          zip_with(qlit, col("cv"), (x, c) => (x.cast("double") - c).cast("float")),
+          col("resv")).as("exact"))
+      .collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9,
+        s"codeword rows must round-trip exactly: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+}
