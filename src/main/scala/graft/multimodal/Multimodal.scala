@@ -285,6 +285,55 @@ object Multimodal {
       }
   }
 
+  /** Nearest-neighbor downsample of a P6 PPM by an integer factor:
+    * output pixel (x, y) is source pixel (x·f, y·f); dimensions round
+    * up so no factor can produce an empty image. Emits a VALID P6
+    * payload (fresh header + packed plane) — the resized bytes
+    * round-trip [[parsePpmHeader]]/[[decodePpm]], so a resize stage
+    * composes with every downstream decode stage. Factor 1 re-emits
+    * the image unchanged. */
+  def resizePpm(content: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val (w, h, off) = parsePpmHeader(content)
+    val w2 = (w + factor - 1) / factor
+    val h2 = (h + factor - 1) / factor
+    val header = s"P6\n$w2 $h2\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w2 * h2 * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var p = header.length
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val src = off + ((y * factor) * w + (x * factor)) * 3
+        out(p) = content(src)
+        out(p + 1) = content(src + 1)
+        out(p + 2) = content(src + 2)
+        p += 3
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Media-table resize stage: PPM rows downsample by `factor`
+    * ([[resizePpm]] — real pixel decimation through the real codec),
+    * other modalities pass through untouched. Batched in
+    * mapPartitions like [[extractFeatures]] (codec setup amortizes per
+    * task); map-only — no shuffle at any scale. */
+  def resizeMedia(media: DataFrame, factor: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("modality"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, modality, bytes) =>
+        val out = if (modality == PpmModality) resizePpm(bytes, factor) else bytes
+        (id, modality, out)
+      })
+      .toDF("media_id", "modality", "content")
+  }
+
   /** Frame sampling: every k-th fixed-size chunk of the payload (a
     * video pipeline would emit decoded frames; the chunking/explode
     * plumbing is the scale-relevant part). Features dispatch on

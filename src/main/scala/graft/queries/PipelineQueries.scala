@@ -56,6 +56,29 @@ object PipelineQueries {
         round(element_at(col("features"), 4), 4).as("mean_amp"))
       .orderBy("media_id")
 
+  /** Real image RESIZE through the real codec: the 4×4 PPMs downsample
+    * ×2 ([[Multimodal.resizeMedia]] — nearest-neighbor decimation of
+    * the actual pixel plane, re-emitted as VALID P6), then the
+    * standard extractor parses the RESIZED payloads — header
+    * round-trip (w=h=2, 23 bytes) plus channel means over exactly the
+    * four surviving pixels, which the oracle recomputes from the
+    * generating characters at the decimation offsets. */
+  def qMultimodalResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+        Multimodal.resizeMedia(
+          Multimodal.mediaFromDocs(s.read.parquet(s"$dir/documents.parquet")),
+          factor = 2))
+      .toDF()
+      .select(
+        col("media_id"),
+        col("n_bytes"),
+        element_at(col("features"), 1).cast("int").as("w"),
+        element_at(col("features"), 2).cast("int").as("h"),
+        round(element_at(col("features"), 3), 4).as("mean_r"),
+        round(element_at(col("features"), 4), 4).as("mean_g"),
+        round(element_at(col("features"), 5), 4).as("mean_b"))
+      .orderBy("media_id")
+
   /** Frame-sampling under the gate: every 2nd 16-byte chunk of each
     * media payload (the video-pipeline explode shape), with CHANNEL-
     * AWARE features — the payload is real P6, so each chunk reports
@@ -347,6 +370,18 @@ object PipelineQueries {
         |  round(CAST(list_sum(list_transform(range(0,16), j -> c[j*3+1])) AS DOUBLE) / 16.0, 4) AS mean_r,
         |  round(CAST(list_sum(list_transform(range(0,16), j -> c[j*3+2])) AS DOUBLE) / 16.0, 4) AS mean_g,
         |  round(CAST(list_sum(list_transform(range(0,16), j -> c[j*3+3])) AS DOUBLE) / 16.0, 4) AS mean_b
+        |FROM codes ORDER BY media_id""".stripMargin)),
+    QueryDef("q_multimodal_resize", qMultimodalResize, Some(
+      """WITH px AS (SELECT doc_id,
+        |              rpad(substring(regexp_replace(text, '[^ -~]', '.', 'g'), 1, 48),
+        |                   48, '.') AS p FROM documents),
+        |codes AS (SELECT doc_id,
+        |            list_transform(string_split(p, ''), ch -> ord(ch)) AS c FROM px)
+        |SELECT doc_id AS media_id, CAST(23 AS BIGINT) AS n_bytes,
+        |  CAST(2 AS INT) AS w, CAST(2 AS INT) AS h,
+        |  round(CAST(c[1] + c[7] + c[25] + c[31] AS DOUBLE) / 4.0, 4) AS mean_r,
+        |  round(CAST(c[2] + c[8] + c[26] + c[32] AS DOUBLE) / 4.0, 4) AS mean_g,
+        |  round(CAST(c[3] + c[9] + c[27] + c[33] AS DOUBLE) / 4.0, 4) AS mean_b
         |FROM codes ORDER BY media_id""".stripMargin)),
     QueryDef("q_multimodal_audio", qMultimodalAudio, Some(
       """WITH px AS (SELECT doc_id,

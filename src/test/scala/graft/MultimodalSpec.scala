@@ -89,6 +89,39 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       Multimodal.decodePpm(ppm).drop(2).toSeq)
   }
 
+  test("PPM resize: exact nearest-neighbor decimation, identity at factor 1, re-parsable output") {
+    // 4x4 image whose pixel (x, y) has bytes (y*4+x, 100+y*4+x, 200)
+    val plane = (0 until 16).flatMap(o => Seq(o.toByte, (100 + o).toByte, 200.toByte))
+    val img = ("P6\n4 4\n255\n".getBytes("US-ASCII") ++ plane).toArray
+    val half = Multimodal.resizePpm(img, 2)
+    val feats = Multimodal.decodePpm(half)
+    assert(feats(0) == 2.0 && feats(1) == 2.0, "resized header must say 2x2")
+    // surviving pixels: ordinals 0, 2, 8, 10 -> mean R = (0+2+8+10)/4
+    assert(feats(2) == 5.0 && feats(3) == 105.0 && feats(4) == 200.0)
+    assert(Multimodal.resizePpm(img, 1).toSeq == img.toSeq,
+      "factor 1 must re-emit the image byte-identically")
+    // odd dimensions round up: 5x3 at factor 2 -> 3x2
+    val odd = ("P6\n5 3\n255\n".getBytes("US-ASCII") ++
+      Array.fill(5 * 3 * 3)(7.toByte)).toArray
+    val oddHalf = Multimodal.decodePpm(Multimodal.resizePpm(odd, 2))
+    assert(oddHalf(0) == 3.0 && oddHalf(1) == 2.0)
+    intercept[IllegalArgumentException] {
+      Multimodal.resizePpm("P6\n4 4\n255\nshort".getBytes("US-ASCII"), 2)
+    }
+  }
+
+  test("resizeMedia passes non-PPM modalities through untouched") {
+    import spark.implicits._
+    val wav = Multimodal.audioFromDocs(
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(3))
+    val before = wav.select("media_id", "content")
+      .as[(Long, Array[Byte])].collect().map { case (i, b) => (i, b.toSeq) }.toMap
+    val after = Multimodal.resizeMedia(wav, 2)
+      .select("media_id", "content")
+      .as[(Long, Array[Byte])].collect().map { case (i, b) => (i, b.toSeq) }.toMap
+    assert(after == before, "a resize stage must never rewrite opaque/audio payloads")
+  }
+
   test("frame sampling emits every k-th chunk with features") {
     val media = Multimodal.mediaFromDocs(
       spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") < 5))
