@@ -61,6 +61,11 @@ EMB_QUERIES = {
     "q_vectordb_pq_cos_persisted", "q_vectordb_sq_dot_refined",
     "q_vectordb_pq_dot", "q_vectordb_pq_upsert", "q_vectordb_pq_stream",
     "q_vectordb_pq_compact", "q_knn_truncated",
+    "q_mmr", "q_mmr_batch", "q_ann_capped", "q_ann_rebalanced",
+    "q_vectordb_rebalanced", "q_vectordb_local",
+    "q_bq_knn", "q_bq_refined", "q_maxsim", "q_ann_ivfpq_res",
+    "q_vectordb_bq", "q_vectordb_bq_refined", "q_vectordb_bq_add",
+    "q_vectordb_bq_persisted",
 }
 
 
