@@ -31,12 +31,22 @@ object BinaryQuant {
     * loop in codegen. */
   private val pow2: Column = typedLit((0 until 32).map(i => 1L << i))
 
+  import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+
   /** Pack a float vector's sign bits into 32-bit words (held in
     * longs): bit `i` of word `w` is set iff component `w·32 + i` is
     * strictly positive. Components past `dim` (the tail of the last
-    * word) stay 0 — `get` returns NULL out of bounds, and the strict
-    * `> 0` test maps NULL to unset. */
-  def packExpr(vec: Column, dim: Int): Column = {
+    * word) stay 0. Native fused loop
+    * ([[graft.functions.expressions.SignPack]]); [[packExprHof]] is the
+    * builtin-only reference form, parity-pinned by the spec. */
+  def packExpr(vec: Column, dim: Int): Column =
+    toCol(graft.functions.expressions.SignPack(
+      toExpr(vec.cast("array<float>")), dim))
+
+  /** Builtin-only reference implementation of [[packExpr]] (HOF form —
+    * `get` returns NULL out of bounds and the strict `> 0` test maps
+    * NULL to unset). */
+  def packExprHof(vec: Column, dim: Int): Column = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
     val nWords = (dim + 31) / 32
     transform(sequence(lit(0), lit(nWords - 1)), w =>
@@ -46,8 +56,14 @@ object BinaryQuant {
   }
 
   /** Hamming distance between two packed sign patterns: summed
-    * popcount of the XOR-ed words. */
+    * popcount of the XOR-ed words. Native XOR + `Long.bitCount` loop
+    * ([[graft.functions.expressions.HammingWords]]); [[hammingExprHof]]
+    * is the builtin-only reference form, parity-pinned by the spec. */
   def hammingExpr(a: Column, b: Column): Column =
+    toCol(graft.functions.expressions.HammingWords(toExpr(a), toExpr(b)))
+
+  /** Builtin-only reference implementation of [[hammingExpr]]. */
+  def hammingExprHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
       lit(0L), _ + _).cast("int")

@@ -60,6 +60,26 @@ class BinaryQuantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(0) == 0 && r.getInt(1) == 64)
   }
 
+  test("native pack/hamming kernels agree bit-for-bit with the HOF reference forms") {
+    val both = emb.select(
+      BinaryQuant.packExpr(col("embedding"), 64).as("nw"),
+      BinaryQuant.packExprHof(col("embedding"), 64).as("hw"))
+    assert(both.filter(col("nw") =!= col("hw")).count() == 0,
+      "native SignPack must equal the HOF pack on every corpus row")
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qv")).head().getSeq[Float](0)
+    val qw = typedLit(q).cast("array<float>")
+    val ham = emb.select(
+      BinaryQuant.hammingExpr(
+        BinaryQuant.packExpr(col("embedding"), 64),
+        BinaryQuant.packExpr(qw, 64)).as("nh"),
+      BinaryQuant.hammingExprHof(
+        BinaryQuant.packExprHof(col("embedding"), 64),
+        BinaryQuant.packExprHof(qw, 64)).as("hh"))
+    assert(ham.filter(col("nh") =!= col("hh")).count() == 0,
+      "native HammingWords must equal the HOF form on every corpus row")
+  }
+
   test("refinedKnn with fetch >= corpus equals exact brute force") {
     val qs = emb.filter(col("vec_id") < 4)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
