@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CosineSimilarityNative, DotProductNative, L2SquaredDistance}
+import graft.functions.expressions.{CosineSimilarityNative, DotProductNative, HammingWords, L2SquaredDistance, SignPack}
 
 /** Session extensions registering the native vector kernels as SQL
   * functions (`spark.sql.extensions=graft.GraftExtensions`), callable
@@ -35,5 +35,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_native"),
       info("cosine_native", "cosine_native(a, b) - cosine similarity with zero-norm guard"),
       binary("cosine_native")(CosineSimilarityNative)))
+    ext.injectFunction((
+      FunctionIdentifier("bq_pack_native"),
+      info("bq_pack_native",
+        "bq_pack_native(vec, dim) - pack a float vector's sign bits into 32-bit words"),
+      { args =>
+        if (args.length != 2)
+          throw new IllegalArgumentException(
+            s"bq_pack_native requires exactly 2 arguments, got ${args.length}")
+        val dim = args(1) match {
+          case lit: org.apache.spark.sql.catalyst.expressions.Literal
+              if lit.value.isInstanceOf[Int] => lit.value.asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"bq_pack_native's dim must be an integer literal, got $other")
+        }
+        SignPack(args(0), dim)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bq_hamming_native"),
+      info("bq_hamming_native",
+        "bq_hamming_native(a, b) - Hamming distance of two packed sign patterns"),
+      binary("bq_hamming_native")(HammingWords)))
   }
 }

@@ -2490,6 +2490,32 @@ object IndexQueries {
       s"""WITH $bqBaseSql
          |SELECT qid, CAST(rnk AS INT) AS rank, vec_id, CAST(h AS INT) AS hamming
          |FROM r WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin)),
+    QueryDef("q_rank_eval", qRankEval, Some {
+      val gains = graft.operators.RankEval.gainTable(10)
+        .map(_.toString).mkString("[", ", ", "]")
+      val ideal10 = graft.operators.RankEval.idealDcg(10)(9).toString
+      s"""WITH $bqBaseSql,
+         |res AS (SELECT qid, vec_id, rnk FROM r WHERE rnk <= 10),
+         |tb AS (SELECT q2.qid, e.vec_id,
+         |         row_number() OVER (PARTITION BY q2.qid
+         |           ORDER BY ${VectorQueries.l2Sql("e.embedding", "q2.qv")}, e.vec_id) AS trnk
+         |       FROM embeddings e CROSS JOIN
+         |         (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4) q2),
+         |tr AS (SELECT qid, vec_id FROM tb WHERE trnk <= 10),
+         |hits AS (SELECT res.qid, res.rnk,
+         |           CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |         FROM res LEFT JOIN tr ON tr.qid = res.qid AND tr.vec_id = res.vec_id),
+         |perq AS (SELECT qid, sum(rel) AS n_hit,
+         |           min(CASE WHEN rel = 1 THEN rnk END) AS frst,
+         |           CAST(sum(CASE WHEN rel = 1 THEN CAST(($gains)[rnk] AS DECIMAL(18,12))
+         |                         ELSE CAST(0 AS DECIMAL(18,12)) END) AS DOUBLE) AS dcg
+         |         FROM hits GROUP BY qid)
+         |SELECT qid, CAST(n_hit AS BIGINT) AS n_hit,
+         |  round(n_hit / 10.0, 4) AS recall,
+         |  round(coalesce(1.0 / frst, 0.0), 4) AS mrr,
+         |  round(dcg / $ideal10, 4) AS ndcg
+         |FROM perq ORDER BY qid""".stripMargin
+    }),
     QueryDef("q_vectordb_bq", qVectordbBq, Some(bqHandleOracleSql(96))),
     QueryDef("q_vectordb_bq_refined", qVectordbBqRefined,
       Some(bqRefinedOracleSql(97, k = 5, refine = 4))),
@@ -2803,6 +2829,27 @@ object IndexQueries {
       db.save(p.toString)
       graft.VectorDB.load(s, p.toString)
     }
+
+  /** Retrieval evaluation under the gate: the Hamming top-10 scored
+    * against exact L2 top-10 ground truth — per-query recall@10, MRR,
+    * and binary-relevance nDCG@10 ([[graft.operators.RankEval]]).
+    * The oracle replays the result pipeline, the truth pipeline, AND
+    * the metric arithmetic (shared pre-rounded literal gain table —
+    * no libm in the comparison path). */
+  def qRankEval(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qs = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val results = graft.index.BinaryQuant.hammingKnn(e, qs, k = 10, dim = VectorQueries.Dim)
+    val truth = graft.operators.Knn.knnJoin(e, qs, k = 10)
+      .select(col("qid"), col("vec_id"))
+    graft.operators.RankEval.evaluate(results, truth, k = 10)
+      .select(col("qid"), col("n_hit"),
+        round(col("recall"), 4).as("recall"),
+        round(col("mrr"), 4).as("mrr"),
+        round(col("ndcg"), 4).as("ndcg"))
+      .orderBy("qid")
+  }
 
   /** Gate on public BQ serving: 1-bit packed codes, Hamming ranking
     * through the handle's compressed dispatch. */

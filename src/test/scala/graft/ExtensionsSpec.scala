@@ -30,4 +30,22 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(2) == 1.0)
     assert(r.getDouble(3) == 0.0)
   }
+
+  test("bq_pack_native / bq_hamming_native usable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  bq_pack_native(array(1.0F, -1.0F, 0.0F, 2.0F, 3.0F), 5) AS packed,
+        |  bq_hamming_native(
+        |    bq_pack_native(array(1.0F, 1.0F), 2),
+        |    bq_pack_native(array(-1.0F, 1.0F), 2)) AS ham
+        |""".stripMargin).collect()(0)
+    assert(r.getSeq[Long](0) == Seq(25L), "bits 0, 3, 4 -> 25")
+    assert(r.getInt(1) == 1)
+    // dim must be a literal — a column reference is a loud error
+    val e = intercept[Exception] {
+      spark.sql("SELECT bq_pack_native(array(1.0F), CAST(id AS INT)) FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      e.getCause != null && e.getCause.getMessage.contains("integer literal"))
+  }
 }
