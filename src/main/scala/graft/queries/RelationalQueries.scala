@@ -316,7 +316,46 @@ object RelationalQueries {
         graft.operators.Layout.zValue(col("l_orderkey"), col("l_partkey")).as("z"))
       .orderBy("z", "l_orderkey", "l_linenumber")
 
+  /** Hourly OHLC bars per user — the time-series downsampling
+    * primitive. Open/close resolve by MIN/MAX over (ts, event_id,
+    * value) STRUCTS in one hash aggregate (map-side combinable — a
+    * window rendering would sort every (user, hour) group in one
+    * task), so a hot user never serializes the job; the (ts, event_id)
+    * tiebreak makes first/last deterministic, and volume sums in exact
+    * decimals. */
+  def qOhlcBars(s: SparkSession, dir: String): DataFrame = {
+    val ev = EventsFixture.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+    ev.groupBy(col("user_id"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"))
+      .agg(
+        min(struct(col("us"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("us"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        count(lit(1)).as("n"),
+        decSum(col("value")).as("volume"))
+      .orderBy("user_id", "hour")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_ohlc_bars", qOhlcBars, Some(
+      """WITH w AS (SELECT user_id,
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, value,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM events)
+        |SELECT user_id, hour,
+        |  min(CASE WHEN ra = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  min(CASE WHEN rd = 1 THEN value END) AS close,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+        |FROM w GROUP BY user_id, hour ORDER BY user_id, hour""".stripMargin)),
     QueryDef("q_zorder", qZorder, Some(
       s"""SELECT l_orderkey, l_linenumber, l_partkey,
          |  ${graft.operators.Layout.zValueSql("l_orderkey", "l_partkey")} AS z

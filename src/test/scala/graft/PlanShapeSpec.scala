@@ -343,6 +343,13 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"every exchange must consume the bounded candidates, not the corpus:\n$p")
   }
 
+  test("OHLC bars aggregate in one map-side-combined hash pass (no window sort)") {
+    val p = plan(RelationalQueries.qOhlcBars(spark, sfDir))
+    assert(!p.contains("Window"),
+      s"open/close must resolve via struct-ordered min/max, never a per-group window sort:\n$p")
+    assert(p.contains("partial_"), s"expected map-side partial aggregation:\n$p")
+  }
+
   test("column pruning reaches the scan: kernel query reads only the needed columns") {
     val p = plan(VectorQueries.qL2Kernel(spark, sfDir))
     val scanSchemas = "ReadSchema: [^\\n]*".r.findAllIn(p).toList
