@@ -154,16 +154,21 @@ object Dedup {
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("d"))
     val withDeg = e
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    // the oriented edge list feeds THREE consumers (both wedge sides +
+    // the closing semi-join) — persist so orientation computes once;
+    // both cached sets are O(E), bounded by the near-dup pair contract
     val oriented = withDeg.select(
       when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
         struct(col("a").as("u"), col("b").as("v")))
         .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // under an acyclic orientation each triangle x<y<z (in the order)
     // is exactly the wedge x→y→z closed by the oriented edge x→z
     val wedges = oriented.toDF("x", "y")

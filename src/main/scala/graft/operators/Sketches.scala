@@ -50,16 +50,24 @@ object Sketches {
     * `(k, est_a, est_b, est_union, jaccard, est_common)`. */
   def kmvOverlap(dfA: DataFrame, keyA: Column, dfB: DataFrame, keyB: Column,
       k: Int = 256, mult: Long = 2654435761L, add: Long = 987654321L): DataFrame = {
-    val a = bottomK(dfA, keyA, k, mult, add)
-      .select(col("hv"), lit(1).as("in_a"), lit(0).as("in_b"))
-    val b = bottomK(dfB, keyB, k, mult, add)
-      .select(col("hv"), lit(0).as("in_a"), lit(1).as("in_b"))
+    // each side's bottom-k feeds BOTH its own estimate and the union —
+    // persist the ≤k-row candidate sets so each corpus scans exactly
+    // once (the whole point of a sketch)
+    val ba = bottomK(dfA, keyA, k, mult, add)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bb = bottomK(dfB, keyB, k, mult, add)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = ba.select(col("hv"), lit(1).as("in_a"), lit(0).as("in_b"))
+    val b = bb.select(col("hv"), lit(0).as("in_a"), lit(1).as("in_b"))
     val union = a.unionByName(b)
       .groupBy("hv")
       .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
       .orderBy("hv").limit(k)
-    val estA = kmvDistinct(dfA, keyA, k, mult, add).select(col("est").as("est_a"))
-    val estB = kmvDistinct(dfB, keyB, k, mult, add).select(col("est").as("est_b"))
+    def sideEst(bot: DataFrame, alias: String) = bot
+      .agg(count(lit(1)).as("__n"), max(col("hv")).as("kth_hash"))
+      .select(estExpr(k).as(alias))
+    val estA = sideEst(ba, "est_a")
+    val estB = sideEst(bb, "est_b")
     union
       .agg(
         count(lit(1)).as("__n"),
