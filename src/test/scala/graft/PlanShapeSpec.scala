@@ -343,6 +343,20 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"every exchange must consume the bounded candidates, not the corpus:\n$p")
   }
 
+  test("residual IVFADC broadcasts probes/centroids/query-residuals; top-k stays bounded") {
+    val p = plan(IndexQueries.qAnnIvfPqRes(spark, sfDir))
+    assert(p.contains("BroadcastExchange"),
+      s"centroids, probes, and per-cell query residuals must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"final top-k must be bounded:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbounded cartesian:\n$p")
+  }
+
+  test("rank-eval joins the truth table hash-side and pre-aggregates per partition") {
+    val p = plan(IndexQueries.qRankEval(spark, sfDir))
+    assert(p.contains("partial_"), s"metric aggregate must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian against the truth table:\n$p")
+  }
+
   test("OHLC bars aggregate in one map-side-combined hash pass (no window sort)") {
     val p = plan(RelationalQueries.qOhlcBars(spark, sfDir))
     assert(!p.contains("Window"),
