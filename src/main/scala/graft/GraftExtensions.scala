@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
 
 import graft.functions.expressions.{CosineSimilarityNative, DotProductNative, HammingWords, L2SquaredDistance, SignPack}
 
@@ -49,12 +50,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"bq_pack_native's dim must be an integer literal, got $other")
         }
-        SignPack(args(0), dim)
+        // SignPack reads via getFloat — cast here so the natural SQL
+        // double-array spelling converts instead of misreading bytes
+        SignPack(Cast(args(0), ArrayType(FloatType)), dim)
       }))
     ext.injectFunction((
       FunctionIdentifier("bq_hamming_native"),
       info("bq_hamming_native",
         "bq_hamming_native(a, b) - Hamming distance of two packed sign patterns"),
-      binary("bq_hamming_native")(HammingWords)))
+      binary("bq_hamming_native")((a, b) =>
+        HammingWords(Cast(a, ArrayType(LongType)), Cast(b, ArrayType(LongType))))))
   }
 }

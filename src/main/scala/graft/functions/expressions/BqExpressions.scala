@@ -3,7 +3,7 @@ package graft.functions.expressions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst kernels for the binary-quantization hot path
   * (extension — the reference stores raw f32 only,
@@ -17,10 +17,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 /** Pack a float vector's sign bits into ceil(dim/32) 32-bit words held
   * in longs: bit `i` of word `i/32` is set iff component `i` is
   * strictly positive. Components past `dim` ignore; a vector shorter
-  * than `dim` leaves its missing bits unset. */
+  * than `dim` leaves its missing bits unset.
+  *
+  * INPUT CONTRACT: `child` must already be `array<float>` — the
+  * kernel reads via `getFloat`, so an uncast double array would be
+  * reinterpreted bytewise (wrong sign pattern). Both builders
+  * ([[graft.index.BinaryQuant.packExpr]] and the SQL registration in
+  * [[graft.GraftExtensions]]) insert the cast; `checkInputDataTypes`
+  * rejects anything else at analysis. */
 case class SignPack(child: Expression, dim: Int) extends UnaryExpression {
   require(dim >= 1, s"dim must be >= 1, got $dim")
   override def prettyName: String = "bq_pack_native"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bq_pack_native requires array<float> input, got ${other.sql}")
+    }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override protected def nullSafeEval(input: Any): Any = {
@@ -58,15 +74,36 @@ case class SignPack(child: Expression, dim: Int) extends UnaryExpression {
 
 /** Hamming distance between two packed sign patterns: summed popcount
   * of the XOR-ed words (XOR + `Long.bitCount` — the CPU-intrinsic
-  * path). */
-case class HammingWords(left: Expression, right: Expression) extends BinaryExpression {
+  * path).
+  *
+  * EQUAL-WIDTH CONTRACT: both sides must be packs of the same `dim`
+  * (same word count). Two packs built at different dims would yield a
+  * silently underestimated distance if truncated to the shorter, so a
+  * word-count mismatch raises instead. Inputs must be `array<bigint>`
+  * (the SQL builder casts; `checkInputDataTypes` rejects anything
+  * else at analysis, so a caller can't bytewise-misread a side). */
+case class HammingWords(left: Expression, right: Expression)
+    extends BinaryExpression {
   override def prettyName: String = "bq_hamming_native"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bq_hamming_native requires two array<bigint> inputs, got ${l.sql} and ${r.sql}")
+    }
   override def dataType: DataType = IntegerType
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"bq_hamming_native: sign patterns packed at different widths " +
+          s"($n vs ${y.numElements()} words)")
     var acc = 0
     var i = 0
     while (i < n) {
@@ -81,7 +118,12 @@ case class HammingWords(left: Expression, right: Expression) extends BinaryExpre
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "bq_hamming_native: sign patterns packed at different widths (" +
+         |      $n + " vs " + $b.numElements() + " words)");
+         |}
          |int ${ev.value}_acc = 0;
          |for (int $i = 0; $i < $n; $i++) {
          |  ${ev.value}_acc += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));

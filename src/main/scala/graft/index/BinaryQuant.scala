@@ -58,7 +58,10 @@ object BinaryQuant {
   /** Hamming distance between two packed sign patterns: summed
     * popcount of the XOR-ed words. Native XOR + `Long.bitCount` loop
     * ([[graft.functions.expressions.HammingWords]]); [[hammingExprHof]]
-    * is the builtin-only reference form, parity-pinned by the spec. */
+    * is the builtin-only reference form, parity-pinned by the spec.
+    * Both sides must be packs of the SAME dim — a word-count mismatch
+    * raises at eval (a truncated distance would silently
+    * underestimate). */
   def hammingExpr(a: Column, b: Column): Column =
     toCol(graft.functions.expressions.HammingWords(toExpr(a), toExpr(b)))
 

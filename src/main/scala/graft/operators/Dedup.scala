@@ -177,11 +177,15 @@ object Dedup {
     val tri = wedges.join(oriented.toDF("x", "z"), Seq("x", "z"), "left_semi")
     val nNodes = deg.count()
     val nEdges = e.count()
+    // the census is ONE row — materialize it and release both O(E)
+    // cached intermediates before returning, so repeated calls in a
+    // long-lived session never accumulate dead cached tables
+    val nTri = tri.agg(count(lit(1))).head().getLong(0)
+    e.unpersist(blocking = false)
+    oriented.unpersist(blocking = false)
     val spark = pairs.sparkSession
     import spark.implicits._
-    tri.agg(count(lit(1)).as("n_triangles"))
-      .select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
-        col("n_triangles"))
+    Seq((nNodes, nEdges, nTri)).toDF("n_nodes", "n_edges", "n_triangles")
   }
 
   /** Exact duplicate groups keyed by content hash: one row per distinct
@@ -203,9 +207,14 @@ object Dedup {
     * A segment occurrence is a DUPLICATE when its exact text occurs
     * anywhere else in the corpus; every occurrence except the
     * canonical first (minimum (doc_id, seg_idx)) is REMOVED. Returns
-    * one row per input document: the segment census (`n_segs`,
-    * `n_dup`, `n_kept`) plus `clean_text` — the kept segments
-    * reassembled in order (NULL when nothing survives).
+    * one row per NON-EMPTY input document (documents whose `textCol`
+    * is the empty string have no segments and are excluded from the
+    * census — filter them upstream if a zero row is needed): the
+    * segment census (`n_segs`, `n_dup`, `n_kept`) plus `clean_text` —
+    * the kept segments reassembled in order (NULL when nothing
+    * survives). Whitespace-only texts split into empty-string tokens,
+    * so their segments can exact-match other whitespace runs — run a
+    * normalization pass first if that matters for the corpus.
     *
     * Scale: segments explode to O(corpus_tokens / segTokens) rows; the
     * census is one map-side-combined hash aggregate on the segment

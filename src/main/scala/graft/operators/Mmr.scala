@@ -88,20 +88,33 @@ object Mmr {
       sim: (Array[Float], Array[Float]) => Double): Seq[(Int, Long, Double)] = {
     val pool = scala.collection.mutable.ArrayBuffer(cand: _*)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
-    val selVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    // running max-similarity of each pool candidate against the
+    // selected set, updated once per pick — O(k·fetch·d) total where
+    // recomputing the full max per pick is O(k·fetch·|S|·d). The
+    // incremental max applies the same pairwise comparisons in the
+    // same (pick) order as a fold over the selected list, so scores
+    // are float-identical to the oracle's expression tree.
+    val maxSim = scala.collection.mutable.ArrayBuffer.fill(pool.length)(0.0)
+    var nSel = 0
     while (picked.length < k && pool.nonEmpty) {
       val best = pool.zipWithIndex.map { case ((id, vec, d), i) =>
         val m =
-          if (selVecs.isEmpty) lambda * -d
-          else lambda * -d -
-            (1.0 - lambda) * selVecs.map(s => sim(vec, s)).max
+          if (nSel == 0) lambda * -d
+          else lambda * -d - (1.0 - lambda) * maxSim(i)
         (m, id, i)
       }.minBy { case (m, id, _) => (-m, id) }
       val (_, id, i) = best
       val (_, vec, d) = pool(i)
       picked += ((picked.length + 1, id, d))
-      selVecs += vec
       pool.remove(i)
+      maxSim.remove(i)
+      var j = 0
+      while (j < pool.length) {
+        val s = sim(pool(j)._2, vec)
+        if (nSel == 0 || s > maxSim(j)) maxSim(j) = s
+        j += 1
+      }
+      nSel += 1
     }
     picked.toSeq
   }

@@ -68,7 +68,7 @@ object Sketches {
       .select(estExpr(k).as(alias))
     val estA = sideEst(ba, "est_a")
     val estB = sideEst(bb, "est_b")
-    union
+    val out = union
       .agg(
         count(lit(1)).as("__n"),
         max(col("hv")).as("kth_hash"),
@@ -81,6 +81,14 @@ object Sketches {
         col("jaccard"),
         round(col("__n_both").cast("double") / col("__n") * col("est_union"), 2)
           .as("est_common"))
+    // the census is ONE row — materialize it and release both cached
+    // bottom-k candidate frames before returning, so repeated overlap
+    // calls in a long-lived session never accumulate cached tables
+    val rows = out.collect()
+    ba.unpersist(blocking = false)
+    bb.unpersist(blocking = false)
+    dfA.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   /** The KMV estimator over a bottom-k aggregate carrying `__n` (how
