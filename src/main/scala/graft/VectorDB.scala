@@ -883,16 +883,24 @@ final class VectorDB private (
     * and merges entirely driver-side — zero jobs, microseconds.
     *
     * Serves EXACTLY what the distributed routed path serves: same
-    * probe selection (fixed or adaptive), same per-sub-part beam at
-    * the same ef, same (dist, id) merge order — asserted by the gated
-    * query and the identity spec. Falls back to distributed [[search]]
-    * when any probed cell exceeds [[localCellRowCap]], or for
-    * configurations the local walk doesn't cover (no index, no
-    * router, compressed serving, or a non-L2 metric whose re-score
-    * needs the raw corpus). Returns (id, distance) ascending. */
+    * probe selection (fixed or adaptive) on the same reduced query,
+    * same per-sub-part beam at the same ef, same (dist, id) merge
+    * order — asserted by the gated queries and the identity spec.
+    * Cosine and dot handles serve too: the walk runs in the reduced
+    * space (unit-normalized / MIPS-augmented — the graph's geometry),
+    * then candidates re-score under the intended metric from the
+    * STORED graph vectors, mirroring the distributed re-score pass
+    * (dot is bit-identical — the augmentation coordinate contributes
+    * exactly 0 to the padded-query dot; cosine agrees to float
+    * normalization rounding, inside the gates' 3dp). The walk fetches
+    * k+8 per sub-part for re-scored metrics so a float-level rank
+    * flip at the k boundary cannot drop a true top-k row. Falls back
+    * to distributed [[search]] when any probed cell exceeds
+    * [[localCellRowCap]], or for configurations the local walk
+    * doesn't cover (no index, no router, compressed serving).
+    * Returns (id, distance) ascending. */
   def searchLocal(queryVec: Seq[Float], k: Int): Seq[(Long, Double)] = {
-    val eligible = index.isDefined && ivfModel.isDefined &&
-      !servesCompressed && indexMetric == Knn.L2
+    val eligible = index.isDefined && ivfModel.isDefined && !servesCompressed
     def distributed(): Seq[(Long, Double)] =
       search(queryVec, k).select(col(idCol), col("dist")).collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
@@ -900,18 +908,62 @@ final class VectorDB private (
     if (!eligible) return distributed()
     require(queryVec.length == dims,
       s"query dimension mismatch: expected $dims, got ${queryVec.length}")
-    val qv = queryVec.toArray
+    // the same driver-side reduction the compressed path uses: probe
+    // selection and the graph walk both run in the index's space
+    val rq = reduceQueryVec(queryVec)
     val router = ivfModel.get
     val probes = adaptiveAlpha match {
-      case Some(a) => router.probeAdaptive(qv, a, nprobe)
-      case None    => router.probeOrder(qv).take(nprobe)
+      case Some(a) => router.probeAdaptive(rq, a, nprobe)
+      case None    => router.probeOrder(rq).take(nprobe)
     }
     val cells = probes.map(localCell)
     if (cells.exists(_.isEmpty)) return distributed()
-    val ef = if (efSearch > 0) efSearch else math.max(params.efConstruction, k)
+    val rescored = indexMetric != Knn.L2
+    val fetchK = if (rescored) k + 8 else k
+    val ef = if (efSearch > 0) efSearch else math.max(params.efConstruction, fetchK)
     cells.flatMap(_.get).flatMap { case (ids, g) =>
-      g.searchEf(qv, k, ef).map { case (ord, d) => (ids(ord), d) }
+      g.searchEf(rq, fetchK, ef).map { case (ord, d) =>
+        val dist = indexMetric match {
+          case Knn.Cosine => localCosineDist(g.vectorAt(ord), rq)
+          case Knn.Dot    => localNegDot(g.vectorAt(ord), rq)
+          case _          => d
+        }
+        (ids(ord), dist)
+      }
     }.sortBy { case (id, d) => (d, id) }.take(k).toSeq
+  }
+
+  /** 1 − cosine of two stored-space vectors, sequential double
+    * accumulation with the serving kernel's zero-norm guard — the
+    * driver-side mirror of `cosineNative` (the distributed path
+    * re-scores raw corpus rows with it; cosine is scale-invariant, so
+    * scoring the unit-normalized graph vector agrees to float
+    * normalization rounding). */
+  private def localCosineDist(v: Array[Float], q: Array[Float]): Double = {
+    var dp = 0.0; var nv = 0.0; var nq = 0.0
+    var i = 0
+    val n = math.min(v.length, q.length)
+    while (i < n) {
+      dp += v(i).toDouble * q(i).toDouble
+      nv += v(i).toDouble * v(i).toDouble
+      nq += q(i).toDouble * q(i).toDouble
+      i += 1
+    }
+    if (nv == 0.0 || nq == 0.0) 1.0
+    else 1.0 - dp / (math.sqrt(nv) * math.sqrt(nq))
+  }
+
+  /** −dot over the augmented graph vector and the zero-padded query:
+    * the augmentation coordinate multiplies the pad's 0, so the
+    * accumulated double equals `-dotNative(rawVec, rawQuery)`
+    * bit-for-bit — the exact value the distributed MIPS re-score
+    * serves. */
+  private def localNegDot(v: Array[Float], q: Array[Float]): Double = {
+    var dp = 0.0
+    var i = 0
+    val n = math.min(v.length, q.length)
+    while (i < n) { dp += v(i).toDouble * q(i).toDouble; i += 1 }
+    -dp
   }
 
   /** Metadata-filtered top-k: rows whose id fails `idPred` are never

@@ -76,6 +76,10 @@ final class HnswGraph(params: HnswParams, vectors: IndexedSeq[Array[Float]], lev
   /** Number of layers this node participates in (top layer + 1). */
   def layerCount(node: Int): Int = adjacency(node).length
 
+  /** The stored vector at `ord` — the driver-local serving path
+    * re-scores candidates under the intended metric from it. */
+  def vectorAt(ord: Int): Array[Float] = vectors(ord)
+
   def hasLayer(node: Int, layer: Int): Boolean = layer < adjacency(node).length
 
   private def dist(q: Array[Float], node: Int): Double = Hnsw.l2Sq(q, vectors(node))

@@ -701,6 +701,57 @@ object IndexQueries {
       .select(col("mode"), col("vec_id"), round(col("d"), 3).as("dist"))
   }
 
+  /** Driver-local point serving under the COSINE metric (VERDICT r10
+    * item #2 — the reference's own demo workload shape,
+    * `/root/reference/semantic_search.py:33-46`, is cosine semantic
+    * search): the unit-space graph walks driver-side, candidates
+    * re-score to 1−cos from the stored vectors. All cells probed at
+    * exhaustive ef, so local ≡ distributed ≡ global brute-force
+    * cosine — mode='dist' (the distributed arm), 'local' (cold cache)
+    * and 'warm' (cached cells) must all serve the same oracle top-5. */
+  def qVectordbLocalCosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qv = emb(s, dir).filter(col("vec_id") === 94L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val db = vdbCosineHandle(s, dir)
+    val dist = db.search(qv, k = 5).select(col("vec_id"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .sortBy { case (id, d) => (d, id) }
+    val local = db.searchLocal(qv, k = 5)
+    val warm = db.searchLocal(qv, k = 5)
+    (dist.map { case (id, d) => ("dist", id, d) } ++
+      local.map { case (id, d) => ("local", id, d) } ++
+      warm.map { case (id, d) => ("warm", id, d) })
+      .toDF("mode", "vec_id", "d")
+      .orderBy(col("mode"), col("d"), col("vec_id"))
+      .select(col("mode"), col("vec_id"), round(col("d"), 3).as("dist"))
+  }
+
+  /** Driver-local point serving under the DOT (MIPS) metric: the
+    * augmented-space graph walks driver-side, candidates re-score to
+    * −dot over the zero-padded query — bit-identical to the
+    * distributed exact re-score (the augmentation coordinate
+    * contributes exactly 0). Same three-mode identity as
+    * [[qVectordbLocalCosine]]. */
+  def qVectordbLocalDot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qv = emb(s, dir).filter(col("vec_id") === 101L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val db = vdbDotHandle(s, dir)
+    val dist = db.search(qv, k = 5).select(col("vec_id"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .sortBy { case (id, d) => (d, id) }
+    val local = db.searchLocal(qv, k = 5)
+    val warm = db.searchLocal(qv, k = 5)
+    (dist.map { case (id, d) => ("dist", id, d) } ++
+      local.map { case (id, d) => ("local", id, d) } ++
+      warm.map { case (id, d) => ("warm", id, d) })
+      .toDF("mode", "vec_id", "d")
+      .orderBy(col("mode"), col("d"), col("vec_id"))
+      .select(col("mode"), col("vec_id"),
+        (round(col("d"), 3) + lit(0.0)).as("dist"))
+  }
+
   /** The all-cells L2 handle REBALANCED through the public surface
     * ([[graft.VectorDB.rebalance]] — mega-cells split into first-class
     * cells, router re-derived): probing every post-rebalance cell at
@@ -2368,6 +2419,25 @@ object IndexQueries {
          |      UNION ALL
          |      SELECT 'warm' AS mode, vec_id, d FROM top)
          |SELECT mode, vec_id, round(d, 3) AS dist FROM u ORDER BY mode, d, vec_id""".stripMargin)),
+    QueryDef("q_vectordb_local_cosine", qVectordbLocalCosine, Some(
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 94),
+         |scored AS (SELECT e.vec_id, 1.0 - ${VectorQueries.cosSql("e.embedding", "q.qv")} AS d
+         |           FROM embeddings e CROSS JOIN q),
+         |top AS (SELECT vec_id, d FROM scored ORDER BY d, vec_id LIMIT 5),
+         |u AS (SELECT 'dist' AS mode, vec_id, d FROM top
+         |      UNION ALL SELECT 'local' AS mode, vec_id, d FROM top
+         |      UNION ALL SELECT 'warm' AS mode, vec_id, d FROM top)
+         |SELECT mode, vec_id, round(d, 3) AS dist FROM u ORDER BY mode, d, vec_id""".stripMargin)),
+    QueryDef("q_vectordb_local_dot", qVectordbLocalDot, Some(
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 101),
+         |scored AS (SELECT e.vec_id, -(${VectorQueries.dotSql("e.embedding", "q.qv")}) AS d
+         |           FROM embeddings e CROSS JOIN q),
+         |top AS (SELECT vec_id, d FROM scored ORDER BY d, vec_id LIMIT 5),
+         |u AS (SELECT 'dist' AS mode, vec_id, d FROM top
+         |      UNION ALL SELECT 'local' AS mode, vec_id, d FROM top
+         |      UNION ALL SELECT 'warm' AS mode, vec_id, d FROM top)
+         |SELECT mode, vec_id, round(d, 3) + CAST(0.0 AS DOUBLE) AS dist
+         |FROM u ORDER BY mode, d, vec_id""".stripMargin)),
     QueryDef("q_vectordb_meta", qVectordbMeta, Some(
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 59)
          |SELECT e.vec_id, round(${VectorQueries.l2Sql("e.embedding", "q.qv")}, 3) AS dist

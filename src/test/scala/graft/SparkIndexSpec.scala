@@ -593,6 +593,62 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "persisted handle's local point serving diverged")
   }
 
+  test("searchLocal serves cosine and dot handles: identity with the distributed re-score, zero jobs warm") {
+    def distOf(db: VectorDB, qv: Seq[Float]) =
+      db.search(qv, 5).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        .sortBy { case (id, d) => (d, id) }
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = e.filter(col("vec_id") < 6).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+
+    val cos = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    cos.buildIndexIvf(numCells = 16, iters = 1, metric = graft.operators.Knn.Cosine)
+    cos.efSearch = 4096
+    for ((qid, qv) <- qs) {
+      val local = cos.searchLocal(qv, 5)
+      val dist = distOf(cos, qv)
+      assert(local.map(_._1) == dist.map(_._1),
+        s"cosine local/distributed id divergence for query $qid")
+      // local re-scores the STORED unit vectors, distributed the raw
+      // corpus rows — scale-invariant up to float normalization
+      local.zip(dist).foreach { case ((_, dl), (_, dd)) =>
+        assert(math.abs(dl - dd) < 1e-6,
+          s"cosine local dist drifted: $dl vs $dd for query $qid")
+      }
+    }
+
+    val dot = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    dot.buildIndexIvf(numCells = 16, iters = 1, metric = graft.operators.Knn.Dot)
+    dot.efSearch = 4096
+    for ((qid, qv) <- qs) {
+      // −dot over the padded query is bit-identical to the distributed
+      // exact re-score, so the whole (id, dist) sequence must match
+      assert(dot.searchLocal(qv, 5) == distOf(dot, qv),
+        s"dot local/distributed divergence for query $qid")
+    }
+
+    // warm cosine point queries launch no Spark job (the reference's
+    // semantic-search workload shape served in-process)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    })
+    org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+    val before = jobs.get()
+    val warmRuns = 100
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < warmRuns) { cos.searchLocal(qs.head._2, 5); i += 1 }
+    val perQueryMs = (System.nanoTime() - t0) / 1e6 / warmRuns
+    org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+    assert(jobs.get() == before, "warm cosine searchLocal must launch no Spark job")
+    info(f"warm cosine searchLocal latency: $perQueryMs%.3f ms/query over $warmRuns runs")
+    assert(perQueryMs < 50.0, f"warm cosine point query too slow: $perQueryMs%.3f ms")
+  }
+
   test("handle rebalance: mega-cells split, router re-derived, serving unchanged") {
     val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
     // 4 cells => ~125 rows each; rebalance at 64 must split every cell
