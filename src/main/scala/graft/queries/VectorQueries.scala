@@ -221,22 +221,51 @@ object VectorQueries {
       .orderBy("qid", "rank")
   }
 
+  /** Exact-MaxSim oracle, shared by the exact arm AND the routed arm
+    * at exhaustive probes (with every cell probed, every document is
+    * a candidate, so routed ≡ exact — the equality the gate pins). */
+  private val maxsimOracleSql =
+    s"""WITH dv AS (SELECT vec_id // 4 AS doc_id, embedding FROM embeddings),
+       |qv AS (SELECT vec_id // 4 AS qid, vec_id AS q_ord, embedding AS qe
+       |       FROM embeddings WHERE vec_id < 8),
+       |m AS (SELECT qv.qid, dv.doc_id, qv.q_ord,
+       |        max(${dotSql("dv.embedding", "qv.qe")}) AS mx
+       |      FROM dv CROSS JOIN qv GROUP BY 1, 2, 3),
+       |sc AS (SELECT qid, doc_id,
+       |         CAST(sum(CAST(mx AS DECIMAL(25,10))) AS DOUBLE) AS score
+       |       FROM m GROUP BY 1, 2),
+       |r AS (SELECT qid, doc_id, score,
+       |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+       |      FROM sc)
+       |SELECT qid, CAST(rnk AS INT) AS rank, doc_id, round(score, 3) AS score
+       |FROM r WHERE rnk <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** The ROUTED MaxSim serving arm at exhaustive probes (VERDICT r10
+    * item #1): a trained doc-vector coarse quantizer generates
+    * candidates (probed-cell inverted listing → (qid, doc) pairs),
+    * then exact MaxSim runs over the In(doc_id)-pruned candidates.
+    * With nprobe = k(router) every doc is a candidate, so the routed
+    * pipeline — train, listing, probe, prune, re-score — must
+    * reproduce the exact arm bit-for-bit against the SAME oracle;
+    * production-nprobe recall is RecallSpec's floor. */
+  def qMaxsimRouted(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val dv = e.select(expr("vec_id div 4").as("doc_id"), col("embedding").as("vec"))
+    val qv = e.filter(col("vec_id") < 8)
+      .select(expr("vec_id div 4").as("qid"), col("vec_id").as("q_ord"),
+        col("embedding").as("qv"))
+    val router = graft.index.IvfIndex.train(e, k = 8, iters = 1)
+    val cells = graft.operators.LateInteraction.docCellListing(dv, router)
+    graft.operators.LateInteraction
+      .maxSimRouted(dv, cells, qv, k = 5, router, nprobe = 8)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        round(col("score"), 3).as("score"))
+      .orderBy("qid", "rank")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    QueryDef("q_maxsim", qMaxsim, Some(
-      s"""WITH dv AS (SELECT vec_id // 4 AS doc_id, embedding FROM embeddings),
-         |qv AS (SELECT vec_id // 4 AS qid, vec_id AS q_ord, embedding AS qe
-         |       FROM embeddings WHERE vec_id < 8),
-         |m AS (SELECT qv.qid, dv.doc_id, qv.q_ord,
-         |        max(${dotSql("dv.embedding", "qv.qe")}) AS mx
-         |      FROM dv CROSS JOIN qv GROUP BY 1, 2, 3),
-         |sc AS (SELECT qid, doc_id,
-         |         CAST(sum(CAST(mx AS DECIMAL(25,10))) AS DOUBLE) AS score
-         |       FROM m GROUP BY 1, 2),
-         |r AS (SELECT qid, doc_id, score,
-         |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
-         |      FROM sc)
-         |SELECT qid, CAST(rnk AS INT) AS rank, doc_id, round(score, 3) AS score
-         |FROM r WHERE rnk <= 5 ORDER BY qid, rank""".stripMargin)),
+    QueryDef("q_maxsim", qMaxsim, Some(maxsimOracleSql)),
+    QueryDef("q_maxsim_routed", qMaxsimRouted, Some(maxsimOracleSql)),
     QueryDef("q_mmr", qMmr, Some(mmrOracleSql(95L, k = 5, fetch = 20))),
     QueryDef("q_knn_truncated", qKnnTruncated, Some(
       s"""WITH t AS (SELECT vec_id, embedding[1:16] AS embedding FROM embeddings),
