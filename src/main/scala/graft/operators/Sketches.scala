@@ -21,7 +21,9 @@ object Sketches {
 
   val HashMod = 4294967296L // 2^32
 
-  /** KMV distinct-count sketch over a numeric key. Returns ONE row:
+  /** KMV distinct-count sketch over a numeric key (string keys go
+    * through [[kmvDistinctText]] — a non-numeric key here raises at
+    * plan time rather than silently hashing NULLs). Returns ONE row:
     * `(k, kth_hash, est)` — when fewer than k distinct hashes exist
     * the sketch has seen everything and `est` is the exact count (the
     * standard KMV small-cardinality convention).
@@ -37,6 +39,27 @@ object Sketches {
       .agg(count(lit(1)).as("__n"), max(col("hv")).as("kth_hash"))
       .select(lit(k).as("k"), col("kth_hash"), estExpr(k).as("est"))
 
+  /** Deterministic string→long fingerprint for text-keyed sketches:
+    * the first 15 hex chars of md5(UTF-8 bytes) parsed base-16 — a
+    * uniform non-negative 60-bit long, exactly replayable by the
+    * oracle as `('0x' || substr(md5(s), 1, 15))::BIGINT`. (xxhash64
+    * would be cheaper per row but has no replayable twin in the
+    * oracle engine; md5 exists in both with identical semantics.) */
+  def stringFingerprint(key: Column): Column =
+    conv(substring(md5(key.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** KMV distinct-count sketch over a STRING key — the sketch suite's
+    * natural 100 TB input is token/shingle/url text, which the
+    * numeric surface rejects. The md5 fingerprint IS the mix (no
+    * Knuth remix: remixing a 60-bit value would overflow the oracle's
+    * checked BIGINT arithmetic, and md5 already uniformizes), reduced
+    * mod 2³² into the sketch's hash space. Same bounded machinery,
+    * same estimator, same one-row output as [[kmvDistinct]]. */
+  def kmvDistinctText(df: DataFrame, key: Column, k: Int = 256): DataFrame =
+    bottomKHv(df, pmod(stringFingerprint(key), lit(HashMod)), k)
+      .agg(count(lit(1)).as("__n"), max(col("hv")).as("kth_hash"))
+      .select(lit(k).as("k"), col("kth_hash"), estExpr(k).as("est"))
+
   /** Cross-corpus overlap census from two KMV sketches over the SAME
     * hash family (the theta-sketch set-operation shape, Dasgupta et
     * al., "Theta Sketch Framework"): among the k smallest distinct
@@ -49,14 +72,28 @@ object Sketches {
     * Returns ONE row:
     * `(k, est_a, est_b, est_union, jaccard, est_common)`. */
   def kmvOverlap(dfA: DataFrame, keyA: Column, dfB: DataFrame, keyB: Column,
-      k: Int = 256, mult: Long = 2654435761L, add: Long = 987654321L): DataFrame = {
+      k: Int = 256, mult: Long = 2654435761L, add: Long = 987654321L): DataFrame =
+    overlapOf(bottomK(dfA, keyA, k, mult, add), bottomK(dfB, keyB, k, mult, add),
+      dfA.sparkSession, k)
+
+  /** [[kmvOverlap]] over STRING keys — both sides share the
+    * [[stringFingerprint]] hash family (the theta-sketch requirement),
+    * so e.g. shingle-level contamination between two text corpora
+    * costs two O(k) sketches. */
+  def kmvOverlapText(dfA: DataFrame, keyA: Column,
+      dfB: DataFrame, keyB: Column, k: Int = 256): DataFrame =
+    overlapOf(
+      bottomKHv(dfA, pmod(stringFingerprint(keyA), lit(HashMod)), k),
+      bottomKHv(dfB, pmod(stringFingerprint(keyB), lit(HashMod)), k),
+      dfA.sparkSession, k)
+
+  private def overlapOf(botA: DataFrame, botB: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, k: Int): DataFrame = {
     // each side's bottom-k feeds BOTH its own estimate and the union —
     // persist the ≤k-row candidate sets so each corpus scans exactly
     // once (the whole point of a sketch)
-    val ba = bottomK(dfA, keyA, k, mult, add)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bb = bottomK(dfB, keyB, k, mult, add)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ba = botA.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bb = botB.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = ba.select(col("hv"), lit(1).as("in_a"), lit(0).as("in_b"))
     val b = bb.select(col("hv"), lit(0).as("in_a"), lit(1).as("in_b"))
     val union = a.unionByName(b)
@@ -87,7 +124,7 @@ object Sketches {
     val rows = out.collect()
     ba.unpersist(blocking = false)
     bb.unpersist(blocking = false)
-    dfA.sparkSession.createDataFrame(
+    spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), out.schema)
   }
 
@@ -169,13 +206,32 @@ object Sketches {
       Array(2654435761L, 2246822519L, 3266489917L, 668265263L)
     val RowAdds: Array[Long] = Array(0L, 12345L, 374761393L, 2127912214L)
 
+    /** Row-j bucket of a STRING key: row j draws its own 28-bit slice
+      * of the md5 hex (chars 8j+1 .. 8j+7) — the d rows hash with
+      * TRULY independent bits (stronger than remixing one
+      * fingerprint), every intermediate fits the oracle's checked
+      * BIGINT arithmetic, and the whole grid replays exactly as
+      * `('0x' || substr(md5(key), 8j+1, 7))::BIGINT % width`. */
+    def textBucket(key: Column, j: Int, width: Int): Column =
+      pmod(
+        conv(substring(md5(key.cast("binary")), 8 * j + 1, 7), 16, 10).cast("long"),
+        lit(width.toLong))
+
     /** Build the grid over one long-keyed column: rows (row, bucket,
       * cnt) for every non-empty counter. */
-    def build(df: DataFrame, fp: Column, width: Int = 256): DataFrame = {
+    def build(df: DataFrame, fp: Column, width: Int = 256): DataFrame =
+      buildWith(df, j => bucket(fp, j, width), width)
+
+    /** [[build]] over a STRING key ([[textBucket]] row hashes). */
+    def buildText(df: DataFrame, key: Column, width: Int = 256): DataFrame =
+      buildWith(df, j => textBucket(key, j, width), width)
+
+    private def buildWith(df: DataFrame, bucketOf: Int => Column,
+        width: Int): DataFrame = {
       require(width >= 2, s"width must be >= 2, got $width")
       // ONE corpus scan: each record explodes into its d (row, bucket)
       // coordinates, then the grid aggregates map-side
-      val buckets = array((0 until Depth).map(j => bucket(fp, j, width)): _*)
+      val buckets = array((0 until Depth).map(bucketOf): _*)
       df.select(posexplode(buckets).as(Seq("row", "bucket")))
         .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
     }
@@ -184,26 +240,88 @@ object Sketches {
       * est(key) = min over rows of its bucket's counter (0 when a
       * bucket is empty). The grid is O(d·w) — it broadcasts. */
     def estimates(grid: DataFrame, keys: DataFrame, fp: Column,
-        width: Int = 256): DataFrame = {
+        width: Int = 256): DataFrame =
+      estimatesWith(grid, keys, j => bucket(fp, j, width))
+
+    /** [[estimates]] for a STRING key ([[textBucket]] row hashes —
+      * must match the [[buildText]] grid's). */
+    def estimatesText(grid: DataFrame, keys: DataFrame, key: Column,
+        width: Int = 256): DataFrame =
+      estimatesWith(grid, keys, j => textBucket(key, j, width))
+
+    private def estimatesWith(grid: DataFrame, keys: DataFrame,
+        bucketOf: Int => Column): DataFrame = {
       val keyed = (0 until Depth).map { j =>
-        keys.select(col("*"), lit(j).as("row"), bucket(fp, j, width).as("bucket"))
+        keys.select(col("*"), lit(j).as("row"), bucketOf(j).as("bucket"))
       }.reduce(_.unionByName(_))
       keyed.join(broadcast(grid), Seq("row", "bucket"), "left")
         .groupBy(keys.columns.map(col): _*)
         .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
     }
+
+    /** End-to-end heavy-hitter census over a STRING key — the
+      * composition a pipeline actually runs (estimate → threshold →
+      * exact verify): one row `(key, est, cnt)` per key whose EXACT
+      * count ≥ `threshold`, with the CMS upper bound `est ≥ cnt`
+      * riding beside the verified count.
+      *
+      * Stage shape at 100 TB: the grid builds from one scan; the
+      * O(d·w) grid then collects and rides into the SECOND scan as
+      * literal bucket→count lookup maps, so the estimate threshold is
+      * a MAP-ONLY filter fused into the scan (no join, no shuffle) —
+      * only candidate-key occurrences survive into the bounded
+      * distinct. The exact verify re-reads ONLY `In(key)`-pruned rows
+      * (the refine-arm contract). CMS never under-counts, so a true
+      * heavy hitter can never be missed; hash-collision false
+      * positives die in the verify. Candidate keys collect to the
+      * driver for the pruning predicate — bounded by ≈ N/threshold
+      * plus the few collision survivors. */
+    def heavyHittersText(df: DataFrame, key: Column, threshold: Long,
+        width: Int = 256): DataFrame = {
+      require(threshold >= 1L, s"threshold must be >= 1, got $threshold")
+      val g = buildText(df, key, width).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val estCol = least((0 until Depth).map { j =>
+        val entries = (0L until width.toLong).flatMap { b =>
+          g.get((j, b)).toSeq.flatMap(c => Seq(lit(b), lit(c)))
+        }
+        if (entries.isEmpty) lit(0L)
+        else coalesce(
+          element_at(map(entries: _*), textBucket(key, j, width)), lit(0L))
+      }: _*)
+      val candKeys = df.filter(estCol >= threshold)
+        .select(key.cast("string").as("key")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      df.filter(key.isin(candKeys: _*))
+        .groupBy(key.cast("string").as("key"))
+        .agg(max(estCol).as("est"), count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= threshold)
+    }
   }
 
-  /** The k smallest DISTINCT hash values of a keyed corpus, as a ≤k-row
-    * DataFrame("hv"): bounded per-partition TreeSets, then a toy-sized
-    * distinct + sort over ≤ k·#partitions candidates. */
+  /** The k smallest DISTINCT hash values of a numerically-keyed
+    * corpus. Non-numeric keys fail loudly here: `cast("long")` on a
+    * string yields NULL, so a text corpus would silently sketch
+    * nothing instead of erroring (route text through
+    * [[kmvDistinctText]] / [[stringFingerprint]]). */
   private def bottomK(df: DataFrame, key: Column, k: Int,
       mult: Long, add: Long): DataFrame = {
+    val dt = df.select(key).schema.head.dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"KMV numeric surface requires a numeric key, got ${dt.sql} — " +
+        "use kmvDistinctText/stringFingerprint for text keys")
+    bottomKHv(df, pmod(key.cast("long") * mult + add, lit(HashMod)), k)
+  }
+
+  /** The k smallest DISTINCT values of a pre-built hash column, as a
+    * ≤k-row DataFrame("hv"): bounded per-partition TreeSets, then a
+    * toy-sized distinct + sort over ≤ k·#partitions candidates. */
+  private def bottomKHv(df: DataFrame, hv: Column, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val spark = df.sparkSession
     import spark.implicits._
     val hashed = df
-      .select(pmod(key.cast("long") * mult + add, lit(HashMod)).as("hv"))
+      .select(hv.as("hv"))
       .as[Long]
     val cand = hashed.mapPartitions { it =>
       val set = new java.util.TreeSet[java.lang.Long]()

@@ -262,6 +262,29 @@ object RelationalQueries {
       .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("n_exact")))
   }
 
+  /** KMV over a TEXT key (VERDICT r10 item #3 — the sketch suite's
+    * natural 100 TB input is token/shingle text, which the numeric
+    * surface now rejects loudly): distinct word 3-shingles of the
+    * document corpus, sketched through the md5 string fingerprint.
+    * The oracle replays the shingling, the fingerprint
+    * (`('0x'||substr(md5(s),1,15))::BIGINT`), the bottom-k cut, and
+    * the estimator; the exact distinct count rides beside it so the
+    * gate also publishes sketch-vs-truth. */
+  def qDistinctKmvText(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // materialize the token array before shingling (the
+    // shinglesFromTokens lesson: HOF lambdas re-evaluate nested
+    // expressions per element; an attribute reference is free)
+    val toks = docs.select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+    val sh = toks.select(explode(transform(
+      sequence(lit(1), size(col("t")) - 2),
+      i => concat_ws("_", element_at(col("t"), i),
+        element_at(col("t"), i + 1), element_at(col("t"), i + 2)))).as("tok3"))
+    graft.operators.Sketches.kmvDistinctText(sh, col("tok3"), k = 256)
+      .crossJoin(sh.agg(countDistinct(col("tok3")).as("n_exact")))
+  }
+
   /** Cross-corpus overlap census from two KMV sketches (lineitem's
     * order keys vs the orders table): Jaccard and intersection
     * estimated from the k smallest union hashes, beside the exact
@@ -434,6 +457,21 @@ object RelationalQueries {
         |  CASE WHEN n_cand < 256 THEN CAST(n_cand AS DOUBLE)
         |       ELSE round(255.0 * 4294967296.0 / kth, 2) END AS est,
         |  (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS n_exact
+        |FROM s""".stripMargin)),
+    QueryDef("q_distinct_kmv_text", qDistinctKmvText, Some(
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT unnest(list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || '_' || t[i+1] || '_' || t[i+2])) AS tok3
+        |       FROM toks),
+        |h AS (SELECT DISTINCT ('0x' || substr(md5(tok3), 1, 15))::BIGINT % 4294967296 AS hv
+        |      FROM sh),
+        |b AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+        |s AS (SELECT count(*) AS n_cand, max(hv) AS kth FROM b)
+        |SELECT 256 AS k, kth AS kth_hash,
+        |  CASE WHEN n_cand < 256 THEN CAST(n_cand AS DOUBLE)
+        |       ELSE round(255.0 * 4294967296.0 / kth, 2) END AS est,
+        |  (SELECT count(DISTINCT tok3) FROM sh) AS n_exact
         |FROM s""".stripMargin)),
     QueryDef("q_asof_join", qAsofJoin, Some(
       """WITH u AS (

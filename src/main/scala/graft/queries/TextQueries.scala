@@ -346,6 +346,27 @@ object TextQueries {
       .orderBy("token")
   }
 
+  /** Heavy-hitter census end to end (VERDICT r10 item #6 — the
+    * composition the CMS grid exists for): tokens whose exact count
+    * clears ceil(N/30) (≈ half the near-uniform fixture vocabulary —
+    * a strict, SF-stable subset), found by the estimate→threshold→
+    * exact-verify pipeline: grid from one scan, estimate filter fused
+    * map-only into the second via literal lookup maps, verify reading
+    * only In(key)-pruned rows. The oracle replays the grid (md5-slice
+    * row hashes), the min-over-rows estimate, and the exact-count
+    * threshold — est ≥ cnt (the CMS upper bound) is visible in the
+    * gated rows. */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val total = toks.count()
+    val threshold = (total + 29L) / 30L
+    graft.operators.Sketches.CountMin
+      .heavyHittersText(toks, col("tok"), threshold, width = 256)
+      .orderBy(col("cnt").desc, col("key"))
+      .select(col("key"), col("est"), col("cnt"))
+  }
+
   /** DuckDB bucket expression of the CountMin row family (shared
     * constants — ONE definition with the Scala side). */
   private def cmsBucketSql(fCol: String, jCol: String, width: Int): String = {
@@ -356,6 +377,25 @@ object TextQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_heavy_hitters", qHeavyHitters, Some(
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tot AS (SELECT count(*) AS n FROM toks),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |coords AS (SELECT tok, j,
+        |             ('0x' || substr(md5(tok), 8 * j + 1, 7))::BIGINT % 256 AS bucket
+        |           FROM toks CROSS JOIN js),
+        |grid AS (SELECT j, bucket, count(*) AS cnt FROM coords GROUP BY 1, 2),
+        |c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        |kc AS (SELECT c.tok, js.j,
+        |         ('0x' || substr(md5(c.tok), 8 * js.j + 1, 7))::BIGINT % 256 AS bucket
+        |       FROM c CROSS JOIN js),
+        |est AS (SELECT kc.tok, min(coalesce(g.cnt, 0)) AS est
+        |        FROM kc LEFT JOIN grid g ON g.j = kc.j AND g.bucket = kc.bucket
+        |        GROUP BY 1)
+        |SELECT c.tok AS key, e.est, c.cnt
+        |FROM c JOIN est e ON e.tok = c.tok
+        |WHERE c.cnt >= ((SELECT n FROM tot) + 29) // 30
+        |ORDER BY c.cnt DESC, c.tok""".stripMargin)),
     QueryDef("q_freq_cms", qFreqCms, Some(
       s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
          |fp AS (SELECT token,

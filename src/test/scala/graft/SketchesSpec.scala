@@ -106,4 +106,56 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = Sketches.kmvDistinct(tiny, col("id"), k = 64).head()
     assert(r.getDouble(2) == 10.0, "fewer than k distinct hashes -> exact count")
   }
+
+  test("numeric surface rejects a string key loudly instead of sketching NULLs") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.kmvDistinct(docs, col("text"))
+    }
+    assert(e.getMessage.contains("kmvDistinctText"),
+      "the error must route the caller to the text surface")
+  }
+
+  test("text KMV: estimate within 10% of truth on fixture token text, partition-invariant") {
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(concat(col("tok"), lit("_"), monotonically_increasing_id() % 97).as("key"))
+    val truth = toks.select(countDistinct(col("key"))).head().getLong(0).toDouble
+    val est = Sketches.kmvDistinctText(toks, col("key"), k = 256).head().getDouble(2)
+    assert(math.abs(est - truth) / truth < 0.10, s"text KMV est $est vs truth $truth")
+    val est1 = Sketches.kmvDistinctText(toks.repartition(1), col("key"), k = 256)
+      .head().getDouble(2)
+    assert(est1 == est, "text sketch must be partition-invariant")
+  }
+
+  test("text overlap: identical corpora give Jaccard 1, disjoint give 0") {
+    import spark.implicits._
+    val a = (0 until 500).map(i => s"tok_$i").toDF("t")
+    val b = (500 until 900).map(i => s"tok_$i").toDF("t")
+    val same = Sketches.kmvOverlapText(a, col("t"), a, col("t"), k = 64).head()
+    assert(same.getDouble(4) == 1.0, "identical corpora must estimate Jaccard 1")
+    val disj = Sketches.kmvOverlapText(a, col("t"), b, col("t"), k = 64).head()
+    assert(disj.getDouble(4) == 0.0, "disjoint corpora must estimate Jaccard 0")
+  }
+
+  test("heavy hitters: exact set, upper-bound estimates, no false results at a collision-prone width") {
+    import spark.implicits._
+    // 3 heavy keys (600/300/120 occurrences) in a sea of 400 singletons
+    val rows = (Seq.fill(600)("hh_a") ++ Seq.fill(300)("hh_b") ++
+      Seq.fill(120)("hh_c") ++ (0 until 400).map(i => s"light_$i")).toDF("k")
+      .repartition(16)
+    // width 8: collisions guaranteed — candidates over-generate, the
+    // exact verify must still return exactly the true heavy set
+    for (w <- Seq(8, 256)) {
+      val got = Sketches.CountMin.heavyHittersText(rows, col("k"), threshold = 100L, width = w)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(got.map(_._1).toSeq == Seq("hh_a", "hh_b", "hh_c"),
+        s"width $w: wrong heavy set ${got.toSeq}")
+      assert(got.map(_._3).toSeq == Seq(600L, 300L, 120L),
+        s"width $w: verified counts wrong")
+      got.foreach { case (k2, est, cnt) =>
+        assert(est >= cnt, s"width $w: CMS estimate under-counts $k2 ($est < $cnt)")
+      }
+    }
+  }
 }
