@@ -213,4 +213,90 @@ class RecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r >= 0.85, s"routed MaxSim recall regressed: $r (floor 0.85, measured 0.925)")
     assert(frac < 0.80, s"routed MaxSim candidate generation stopped pruning: fraction $frac")
   }
+
+  test("TRAINED residual ADC beats raw ADC recall@10 on a clustered corpus (the claim residuals exist for)") {
+    // ResidualPqSpec records the honesty note that residuals do NOT
+    // help on the i.i.d. fixture; this is the counterpart floor on a
+    // DELIBERATELY clustered one (seeded mixture of 16 Gaussians,
+    // within-cluster std 0.5 vs between-center scale 5), where the
+    // variance decomposition argument actually applies: residuals
+    // against trained cell centroids carry ~1% of raw energy, so the
+    // PQ codebook's 16 codes/subspace resolve neighbors instead of
+    // cluster geometry.
+    import spark.implicits._
+    import graft.index.ProductQuantizer
+    val rnd = new scala.util.Random(42)
+    val dims = 64; val nCenters = 16; val n = 2000; val nq = 32; val nprobe = 4
+    val centers = Array.fill(nCenters, dims)(rnd.nextGaussian() * 5.0)
+    def point(c: Int): Array[Float] =
+      Array.tabulate(dims)(d => (centers(c)(d) + rnd.nextGaussian() * 0.5).toFloat)
+    val corpus = (0 until n).map(i => (i.toLong, point(i % nCenters)))
+    val qs = (0 until nq).map(i => (i.toLong, point(i % nCenters)))
+    // exact ground truth, driver-side (tiny)
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i).toDouble - b(i).toDouble; s += t * t; i += 1 }
+      s
+    }
+    val truth: Map[Long, Set[Long]] = qs.map { case (qid, qv) =>
+      qid -> corpus.map { case (id, v) => (l2(qv, v), id) }.sorted.take(K).map(_._2).toSet
+    }.toMap
+    val e = corpus.toDF("vec_id", "embedding")
+    val qdf = qs.toDF("qid", "qv")
+    val router = IvfIndex.train(e, k = nCenters, iters = 3)
+    val assigned = IvfIndex.assign(e, router)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centDf = router.centroids.indices
+      .map(i => (router.cellId(i), router.centroids(i).toSeq)).toDF("cell", "cv")
+    val probePairs = qs.flatMap { case (qid, qv) =>
+      router.probeOrder(qv).take(nprobe).map(qid -> _)
+    }.toDF("qid", "cell")
+    def recallOfAdc(scored: org.apache.spark.sql.DataFrame): Double = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("d").asc, col("vec_id").asc)
+      val hits = scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= K).select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      truth.keys.toSeq
+        .map(q => hits.getOrElse(q, Set.empty).intersect(truth(q)).size / K.toDouble)
+        .sum / truth.size
+    }
+    // raw-vector ADC (trained codebooks, same router/probes)
+    val rawModel = ProductQuantizer.train(e, numSub = 8, k = 16, iters = 2)
+    val rawScored = assigned
+      .select(col("vec_id"), col("cell"),
+        ProductQuantizer.encodeExpr(col("embedding"), rawModel).as("codes"))
+      .join(broadcast(probePairs), "cell")
+      .join(broadcast(qdf), "qid")
+      .select(col("qid"), col("vec_id"),
+        ProductQuantizer.adcExpr(col("codes"), col("qv"), rawModel).as("d"))
+    val rawR = recallOfAdc(rawScored)
+    // residual ADC: encode x − centroid(cell(x)), query residualized
+    // per probed cell, codebooks trained on the residuals
+    val res = assigned.join(broadcast(centDf), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("cv"),
+          (x, c) => (x.cast("double") - c).cast("float")).as("embedding"))
+    val resModel = ProductQuantizer.train(res, numSub = 8, k = 16, iters = 2)
+    val qres = probePairs.join(broadcast(qdf), "qid").join(broadcast(centDf), "cell")
+      .select(col("qid"), col("cell"),
+        zip_with(col("qv"), col("cv"),
+          (x, c) => (x.cast("double") - c).cast("float")).as("qrv"))
+    val resScored = res
+      .select(col("vec_id"), col("cell"),
+        ProductQuantizer.encodeExpr(col("embedding"), resModel).as("codes"))
+      .join(broadcast(qres), "cell")
+      .select(col("qid"), col("vec_id"),
+        ProductQuantizer.adcExpr(col("codes"), col("qrv"), resModel).as("d"))
+    val resR = recallOfAdc(resScored)
+    assigned.unpersist(blocking = false)
+    info(f"clustered-fixture ADC recall@10: raw $rawR%.3f, residual $resR%.3f")
+    // measured 0.081 raw vs 0.309 residual (seeded fixture — stable):
+    // floors pin both the absolute level and the ~4x advantage that
+    // motivates residual encoding, with drift margin
+    assert(resR >= 0.25,
+      f"residual ADC recall regressed: $resR%.3f (floor 0.25, measured 0.309)")
+    assert(resR >= 2.0 * rawR,
+      f"residual ADC lost its clustered-data advantage: $resR%.3f vs raw $rawR%.3f")
+  }
 }
