@@ -266,16 +266,19 @@ object Sketches {
       * riding beside the verified count.
       *
       * Stage shape at 100 TB: the grid builds from one scan; the
-      * O(d·w) grid then collects and rides into the SECOND scan as
-      * literal bucket→count lookup maps, so the estimate threshold is
-      * a MAP-ONLY filter fused into the scan (no join, no shuffle) —
-      * only candidate-key occurrences survive into the bounded
-      * distinct. The exact verify re-reads ONLY `In(key)`-pruned rows
-      * (the refine-arm contract). CMS never under-counts, so a true
-      * heavy hitter can never be missed; hash-collision false
-      * positives die in the verify. Candidate keys collect to the
-      * driver for the pruning predicate — bounded by ≈ N/threshold
-      * plus the few collision survivors. */
+      * O(d·w) grid then collects and rides into the SECOND (and last)
+      * scan as literal bucket→count lookup maps, so the estimate
+      * threshold is a MAP-ONLY filter fused into the scan (no join,
+      * no shuffle) — the est ≥ threshold predicate prunes the scan to
+      * exactly the candidate keys' occurrences (est is constant per
+      * key), i.e. the same bounded set an In(key) list would select
+      * WITHOUT a third scan or a driver round-trip for the list. The
+      * exact verify is then one map-side-combined aggregate over only
+      * those pruned rows: its shuffle carries O(candidates ×
+      * partitions) partials, candidates ≈ N/threshold plus the few
+      * collision survivors. CMS never under-counts, so a true heavy
+      * hitter can never be missed; collision false positives die in
+      * the verify's count filter. */
     def heavyHittersText(df: DataFrame, key: Column, threshold: Long,
         width: Int = 256): DataFrame = {
       require(threshold >= 1L, s"threshold must be >= 1, got $threshold")
@@ -289,10 +292,7 @@ object Sketches {
         else coalesce(
           element_at(map(entries: _*), textBucket(key, j, width)), lit(0L))
       }: _*)
-      val candKeys = df.filter(estCol >= threshold)
-        .select(key.cast("string").as("key")).distinct()
-        .collect().map(_.getString(0)).toSeq
-      df.filter(key.isin(candKeys: _*))
+      df.filter(estCol >= threshold)
         .groupBy(key.cast("string").as("key"))
         .agg(max(estCol).as("est"), count(lit(1)).as("cnt"))
         .filter(col("cnt") >= threshold)

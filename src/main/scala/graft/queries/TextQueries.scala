@@ -351,8 +351,10 @@ object TextQueries {
     * clears ceil(N/30) (≈ half the near-uniform fixture vocabulary —
     * a strict, SF-stable subset), found by the estimate→threshold→
     * exact-verify pipeline: grid from one scan, estimate filter fused
-    * map-only into the second via literal lookup maps, verify reading
-    * only In(key)-pruned rows. The oracle replays the grid (md5-slice
+    * map-only into the second via literal lookup maps — est ≥ T prunes
+    * that scan to exactly the candidate keys' occurrences, so the
+    * verify aggregate reads only the key-pruned set without a third
+    * scan. The oracle replays the grid (md5-slice
     * row hashes), the min-over-rows estimate, and the exact-count
     * threshold — est ≥ cnt (the CMS upper bound) is visible in the
     * gated rows. */
