@@ -1,0 +1,105 @@
+"""PySpark-facing wrapper for the graft vector engine.
+
+Mirrors the reference engine's Python surface (a ``VectorDB`` class
+constructed over a vector file, ``build_index(start, end)``,
+``search(query, k) -> [(id, distance)]``, ``len()``) on top of the
+Scala/Spark implementation, so a user of the reference can switch
+without changing their calling code::
+
+    from graft_db import VectorDB
+
+    db = VectorDB("vectors.bin", 384, 16, 32)   # or a parquet path
+    db.build_index(0, n_docs)
+    results = db.search(query_vector, k=2)       # [(vec_id, l2_sq), ...]
+
+Requirements: a ``pyspark`` matching the engine's Spark version, and
+the compiled graft classes (or jar) on the driver classpath, e.g.::
+
+    SparkSession.builder.config(
+        "spark.driver.extraClassPath", "/path/to/graft/classes-or-jar")
+
+Point queries go through the engine's driver-local serving arm
+(``searchLocal`` — zero Spark jobs once the probed cells are cached,
+the reference's sub-millisecond shape); ``search_df`` exposes the
+distributed arm as a PySpark DataFrame for batch/cluster use.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VectorDB:
+    """A vector database handle backed by the Scala engine.
+
+    ``path`` may be a packed-float32 ``.bin`` file (the reference's
+    on-disk format; ids are assigned by byte order) or a parquet table
+    with ``vec_id``/``embedding`` columns.
+    """
+
+    def __init__(self, path, dimensions, m=16, ef_construction=32, spark=None):
+        self._spark = spark or SparkSession.builder.getOrCreate()
+        self._facade = self._spark._jvm.graft.PyFacade
+        self._jdb = self._facade.open(
+            self._spark._jsparkSession, path, int(dimensions), int(m),
+            int(ef_construction))
+
+    # -- index construction -------------------------------------------------
+
+    def build_index(self, start_id=None, end_id=None, num_parts=16):
+        """Build the HNSW index over ``[start_id, end_id)`` (defaults:
+        everything), id-hash partitioned into ``num_parts`` cells —
+        the reference's ``build_index`` surface."""
+        lo = -(2 ** 63) if start_id is None else int(start_id)
+        hi = (2 ** 63 - 1) if end_id is None else int(end_id)
+        self._facade.buildIndexRange(self._jdb, lo, hi, int(num_parts))
+        return self
+
+    def build_index_ivf(self, num_cells=16, iters=1, metric="l2"):
+        """Trained-IVF build (k-means cells + router): ``metric`` is
+        ``"l2"``, ``"cosine"`` or ``"dot"`` — the serving
+        configuration the engine's own gates use."""
+        self._facade.buildIndexIvf(self._jdb, int(num_cells), int(iters), metric)
+        return self
+
+    def configure(self, nprobe=3, ef_search=0, adaptive_alpha=0.0):
+        """Serving knobs: probed cells per query, beam width (0 =
+        engine default), adaptive probe cutoff (< 1 disables)."""
+        self._facade.configure(self._jdb, int(nprobe), int(ef_search),
+                               float(adaptive_alpha))
+        return self
+
+    # -- serving ------------------------------------------------------------
+
+    def search(self, query, k):
+        """Top-``k`` as ``[(vec_id, distance)]`` ascending — the
+        in-process point-query arm (zero Spark jobs when warm)."""
+        res = self._facade.search(self._jdb, [float(x) for x in query], int(k))
+        return list(zip(res.ids(), res.dists()))
+
+    def search_df(self, query, k):
+        """The distributed serving arm as a PySpark DataFrame."""
+        jdf = self._facade.searchDf(self._jdb, [float(x) for x in query], int(k))
+        return DataFrame(jdf, self._spark)
+
+    def len(self):
+        """Number of vectors (the reference's ``len()``)."""
+        return int(self._facade.length(self._jdb))
+
+    def __len__(self):
+        return self.len()
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, path):
+        """Persist the full serving state (index, router, knobs)."""
+        self._facade.save(self._jdb, path)
+        return self
+
+    @classmethod
+    def load(cls, path, spark=None):
+        """Reload a saved handle; serves without touching the corpus."""
+        spark = spark or SparkSession.builder.getOrCreate()
+        db = cls.__new__(cls)
+        db._spark = spark
+        db._facade = spark._jvm.graft.PyFacade
+        db._jdb = db._facade.load(spark._jsparkSession, path)
+        return db

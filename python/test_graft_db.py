@@ -1,0 +1,64 @@
+"""End-to-end smoke test for the PySpark wrapper (graft_db.py).
+
+Run after `sbt compile` with a pyspark matching the engine's Spark:
+
+    python3 python/test_graft_db.py
+
+Covers the whole reference Python surface: construction over parquet
+AND the packed-f32 .bin format, build_index(start, end), trained-IVF
+build, point search (in-process arm), the distributed DataFrame arm,
+len(), and save/load.
+"""
+import sys, struct, tempfile, os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.001")
+sys.path.insert(0, os.path.join(REPO, "python"))
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.driver.extraClassPath",
+                 os.path.join(REPO, "target/scala-2.13/classes"))
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+from graft_db import VectorDB
+
+# parquet corpus path (reference workload shape)
+db = VectorDB(SF_DIR + "/embeddings.parquet", 64, 16, 32, spark=spark)
+assert db.len() == 500, db.len()
+db.build_index_ivf(num_cells=16, iters=1).configure(nprobe=16, ef_search=4096)
+qv = (spark.read.parquet(SF_DIR + "/embeddings.parquet")
+      .filter("vec_id = 24").select("embedding").head()[0])
+hits = db.search(qv, 5)
+assert len(hits) == 5 and hits[0][0] == 24 and abs(hits[0][1]) < 1e-9, hits
+assert all(hits[i][1] <= hits[i+1][1] for i in range(4)), hits
+print("parquet point search OK:", hits[:3])
+
+sdf = db.search_df(qv, 5)
+rows = [(r[0], r[1]) for r in sdf.collect()]
+assert sorted(rows, key=lambda t: (t[1], t[0])) == hits, (rows, hits)
+print("distributed DataFrame arm OK")
+
+# .bin corpus (the reference's mmap format): 20 vectors of dim 4
+binf = os.path.join(tempfile.mkdtemp(), "vecs.bin")
+with open(binf, "wb") as f:
+    for i in range(20):
+        f.write(struct.pack("<4f", i, i, i, i))
+db2 = VectorDB(binf, 4, 16, 32, spark=spark)
+assert db2.len() == 20
+db2.build_index(0, 20)  # the reference's build_index(start, end)
+h2 = db2.search([3.1, 3.1, 3.1, 3.1], 3)
+assert [i for i, _ in h2] == [3, 4, 2], h2
+print("bin build_index + search OK:", h2)
+
+# save/load round trip
+p = tempfile.mkdtemp() + "/saved"
+db.save(p)
+db3 = VectorDB.load(p, spark=spark)
+assert db3.search(qv, 5) == hits
+print("save/load OK")
+spark.stop()
+print("ALL PY OK")

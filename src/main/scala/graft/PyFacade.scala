@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.index.HnswParams
+import graft.sources.BinaryVectorSource
+
+/** Py4J-friendly facade backing the Python wrapper
+  * (`python/graft_db.py`) — the engine's answer to the reference's
+  * PyO3 module (`/root/reference/src/lib.rs:305-359`, consumed by
+  * `semantic_search.py:29-46` / `benchmark.py`): a Python user
+  * constructs a database over a raw-f32 `.bin` file or a parquet
+  * corpus, builds the index over an id range, and point-queries
+  * in-process.
+  *
+  * Design constraints of the py4j bridge, which this object absorbs
+  * so the public Scala API stays idiomatic: fixed arity (py4j cannot
+  * supply Scala default arguments), no `Option`/`Seq` parameters
+  * (python lists auto-convert to `java.util.List` only), and a field
+  * holder for the (ids, dists) point result instead of Scala tuples.
+  */
+object PyFacade {
+
+  /** `VectorDB(path, dims, m, ef_construction)`: a `.bin` path opens
+    * through the packed-f32 binary source (the reference's mmap
+    * format, divisibility-checked per file); anything else opens as
+    * parquet. */
+  def open(spark: SparkSession, path: String, dims: Int, m: Int,
+      efConstruction: Int): VectorDB = {
+    val params = HnswParams(m, efConstruction)
+    if (path.endsWith(".bin"))
+      VectorDB.fromDataFrame(BinaryVectorSource.read(spark, path, dims), dims, params)
+    else VectorDB.open(spark, path, dims, params)
+  }
+
+  /** `db.build_index(start_id, end_id)` (ref `src/lib.rs:336-341`):
+    * id-hash partitioning into `numParts` cells. */
+  def buildIndexRange(db: VectorDB, startId: Long, endId: Long,
+      numParts: Int): Unit = {
+    db.buildIndex(startId, endId, numParts)
+    ()
+  }
+
+  /** Trained-IVF build (the serving configuration the Scala gates
+    * use): `metric` is "l2", "cosine" or "dot". */
+  def buildIndexIvf(db: VectorDB, numCells: Int, iters: Int,
+      metric: String): Unit = {
+    db.buildIndexIvf(numCells, iters, metric)
+    ()
+  }
+
+  /** Serving knobs (0 / negative alpha = leave unset). */
+  def configure(db: VectorDB, nprobe: Int, efSearch: Int,
+      adaptiveAlpha: Double): Unit = {
+    db.nprobe = nprobe
+    db.efSearch = efSearch
+    db.adaptiveAlpha = if (adaptiveAlpha >= 1.0) Some(adaptiveAlpha) else None
+  }
+
+  /** Point-result holder: parallel (ids, dists), ascending by
+    * (dist, id) — py4j exposes the vals as zero-arg methods. */
+  final class SearchResult(val ids: Array[Long], val dists: Array[Double])
+
+  /** `db.search(query, k)` (ref `src/lib.rs:344-348`): the in-process
+    * point-query arm ([[VectorDB.searchLocal]] — zero Spark jobs
+    * warm, the reference's sub-millisecond serving shape), falling
+    * back to the distributed path for ineligible configurations. */
+  def search(db: VectorDB, query: java.util.List[java.lang.Double],
+      k: Int): SearchResult = {
+    val q = toFloats(query)
+    val hits = db.searchLocal(q, k)
+    new SearchResult(hits.map(_._1).toArray, hits.map(_._2).toArray)
+  }
+
+  /** The distributed serving arm as a DataFrame — the PySpark-native
+    * surface (wrap with `pyspark.sql.DataFrame(jdf, spark)`). */
+  def searchDf(db: VectorDB, query: java.util.List[java.lang.Double],
+      k: Int): DataFrame =
+    db.search(toFloats(query), k)
+
+  /** `db.len()` (ref `src/lib.rs:350-352`). */
+  def length(db: VectorDB): Long = db.len
+
+  /** Persist / reload the full serving state. */
+  def save(db: VectorDB, path: String): Unit = db.save(path)
+  def load(spark: SparkSession, path: String): VectorDB =
+    VectorDB.load(spark, path)
+
+  private def toFloats(query: java.util.List[java.lang.Double]): Seq[Float] = {
+    val out = new Array[Float](query.size())
+    var i = 0
+    while (i < out.length) { out(i) = query.get(i).floatValue(); i += 1 }
+    out.toSeq
+  }
+}

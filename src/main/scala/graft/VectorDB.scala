@@ -1448,6 +1448,16 @@ object VectorDB {
     db
   }
 
+  /** Open a handle over an ALREADY-CONSTRUCTED vector DataFrame (a
+    * binary-source read, a filtered view, a join result) — the
+    * programmatic twin of [[open]]. No source path is recorded, so
+    * [[VectorDB#save]] materializes the corpus under its own
+    * directory. */
+  def fromDataFrame(df: DataFrame, dims: Int,
+      params: HnswParams = HnswParams(),
+      idCol: String = "vec_id", vecCol: String = "embedding"): VectorDB =
+    new VectorDB(df, dims, params, idCol, vecCol)
+
   /** Reload a [[VectorDB#save saved]] serving state: corpus handle (by
     * recorded path — never copied), index rows (cell-partitioned
     * parquet, so routed searches prune to probed subtrees), trained
