@@ -310,6 +310,18 @@ object RelationalQueries {
         t(s, dir, "lineitem"), col("l_extendedprice"), bins = 32)
       .select(col("bin"), col("lo"), col("hi"), col("n"))
 
+  /** EXACT quantiles in two narrow passes + a per-quantile bin-pruned
+    * order-statistic fetch ([[graft.operators.Profile.exactQuantiles]]
+    * — the scale shape replacing a full global sort; ranks are
+    * rational-exact `ceil(num·N/den)` so both engines agree without a
+    * float boundary). The oracle is the direct k-th order statistic
+    * over the whole column — the engine's multi-pass composition must
+    * land on exactly the same values. */
+  def qQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.exactQuantiles(
+      t(s, dir, "lineitem"), col("l_extendedprice"),
+      quantiles = Seq((1, 100), (1, 4), (1, 2), (3, 4), (9, 10), (99, 100)))
+
   /** Exact moments + null census for two lineitem columns in one
     * map-side-combined aggregate each — DECIMAL per-row casts make the
     * sums order-independent, so mean/variance are bit-stable at any
@@ -396,6 +408,16 @@ object RelationalQueries {
         |SELECT bin, w.lo + bin * w.width AS lo,
         |  w.lo + (bin + 1) * w.width AS hi, count(*) AS n
         |FROM b, w GROUP BY bin, w.lo, w.width ORDER BY bin""".stripMargin)),
+    QueryDef("q_quantiles", qQuantiles, Some(
+      """WITH p AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |           WHERE l_extendedprice IS NOT NULL),
+        |nn AS (SELECT count(*) AS n FROM p),
+        |qs(qn, qd) AS (VALUES (1, 100), (1, 4), (1, 2), (3, 4), (9, 10), (99, 100)),
+        |ks AS (SELECT qn, qd, (qn * nn.n + qd - 1) // qd AS k FROM qs, nn),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM p)
+        |SELECT CAST(ks.qn AS DOUBLE) / ks.qd AS q, r.v AS value
+        |FROM ks JOIN r ON r.rn = ks.k
+        |ORDER BY q""".stripMargin)),
     QueryDef("q_profile_moments", qProfileMoments, Some(
       """WITH s AS (
         |  SELECT 'l_extendedprice' AS col_name,

@@ -62,4 +62,41 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().toSeq
     assert(run(1) == run(32))
   }
+
+  test("exactQuantiles: hand-computed order statistics, ties, nulls, tiny bins") {
+    import spark.implicits._
+    // 10 values with a tie block; ceil-rank convention:
+    // q=1/2 -> k=5 -> 5th smallest = 30.0 (inside the tie block)
+    val df = Seq[java.lang.Double](10.0, 20.0, 30.0, 30.0, 30.0,
+      40.0, 50.0, 60.0, 70.0, 80.0, null).toDF("v").repartition(4)
+    val got = Profile.exactQuantiles(df, col("v"),
+        Seq((1, 10), (1, 2), (9, 10), (1, 1)), bins = 3)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(got == Seq((0.1, 10.0), (0.5, 30.0), (0.9, 70.0), (1.0, 80.0)),
+      s"got $got")
+  }
+
+  test("exactQuantiles equals the full-sort order statistic on the fixture at any bin count") {
+    val vs = li.select(col("l_extendedprice").cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    val n = vs.length.toLong
+    def kth(num: Int, den: Int): Double = vs(((num * n + den - 1) / den - 1).toInt)
+    val qs = Seq((1, 4), (1, 2), (99, 100))
+    for (bins <- Seq(4, 64)) {
+      val got = Profile.exactQuantiles(li, col("l_extendedprice"), qs, bins)
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).toMap
+      qs.foreach { case (num, den) =>
+        assert(got(num.toDouble / den) == kth(num, den),
+          s"bins=$bins q=$num/$den: ${got(num.toDouble / den)} != ${kth(num, den)}")
+      }
+    }
+  }
+
+  test("exactQuantiles of a constant column returns the constant") {
+    import spark.implicits._
+    val df = Seq.fill(100)(7.5).toDF("v").repartition(8)
+    val got = Profile.exactQuantiles(df, col("v"), Seq((1, 2), (1, 1)))
+      .collect().map(_.getDouble(1)).toSeq
+    assert(got == Seq(7.5, 7.5))
+  }
 }
