@@ -137,26 +137,25 @@ object LateInteraction {
     val probedCells = probePairs.select("cell").as[Int].collect().distinct.toSeq
     // 2. candidate (qid, doc) pairs from the probed slice of the
     // inverted listing — cell is a partition key on a saved layout,
-    // so this scan reads only the probed subtrees
+    // so this scan reads only the probed subtrees. (Deliberately NOT
+    // persisted: the candidate frame is one pruned listing scan + a
+    // broadcast join, cheap to recompute, and an uncached lazy result
+    // keeps the returned plan inspectable and leaves nothing pinned
+    // in a long-lived session.)
     val cand = docCells
       .filter(col("cell").isin(probedCells: _*))
       .join(broadcast(probePairs), "cell")
       .select(col(queryId), col(docId)).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = cand.select(col(docId)).distinct()
       .collect().map(_.get(0)).toSeq
     // 3. exact MaxSim over the In(doc_id)-pruned corpus, each doc
     // scored against its own candidate queries only
-    val out = rankTail(
+    rankTail(
       docVecs
         .filter(col(docId).isin(candIds: _*))
         .join(broadcast(cand), Seq(docId))
         .join(broadcast(queryVecs.withColumn(queryId, col(queryId).cast("long"))),
           Seq(queryId)),
       k, docId, docVec, queryId, queryOrd, queryVec)
-    val rows = out.collect()
-    cand.unpersist(blocking = false)
-    spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), out.schema)
   }
 }

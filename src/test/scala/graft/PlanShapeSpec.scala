@@ -364,6 +364,49 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_"), s"expected map-side partial aggregation:\n$p")
   }
 
+  test("routed MaxSim prunes the scoring scan by In(doc_id) and broadcasts candidates + queries") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // doc_id as a PHYSICAL column (the real multi-vector corpus
+    // stores one): a derived `vec_id div 4` id would keep the In()
+    // as a post-scan filter — pruning must reach the source
+    val dv = e.select(col("vec_id").as("doc_id"), col("embedding").as("vec"))
+    val qv = e.filter(col("vec_id") < 8)
+      .select(expr("vec_id div 4").as("qid"), col("vec_id").as("q_ord"),
+        col("embedding").as("qv"))
+    val model = graft.index.IvfIndex.train(e, k = 8, iters = 1)
+    val cells = graft.operators.LateInteraction
+      .docCellListing(dv, model, docId = "doc_id", docVec = "vec")
+    val p = plan(graft.operators.LateInteraction
+      .maxSimRouted(dv, cells, qv, k = 5, model, nprobe = 1))
+    // the doc-vector re-read must reach the source pruned: no
+    // corpus-wide nested loop in the routed arm
+    assert(p.contains("PushedFilters: [In(vec_id") || p.contains("PushedFilters: [In(doc_id"),
+      s"candidate id pruning must reach the parquet scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate pairs and query vectors must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the routed arm must never cross the corpus with the query batch:\n$p")
+    assert(p.contains("partial_max"),
+      s"the per-(qid,doc,q_ord) max must combine map-side:\n$p")
+  }
+
+  test("heavy hitters: fused map-only estimate filter, one two-phase verify aggregate, no joins") {
+    import org.apache.spark.sql.functions._
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val p = plan(graft.operators.Sketches.CountMin
+      .heavyHittersText(toks, col("tok"), threshold = 100L, width = 64))
+    assert(p.contains("partial_"),
+      s"the verify count must combine map-side:\n$p")
+    assert(!p.contains("Join"),
+      s"the grid rides as literal lookup maps — the verify plan must contain no join:\n$p")
+    // exactly one exchange: the post-filter key aggregate (the grid
+    // build ran eagerly in its own job at call time)
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"verify must shuffle only candidate partials:\n$p")
+  }
+
   test("column pruning reaches the scan: kernel query reads only the needed columns") {
     val p = plan(VectorQueries.qL2Kernel(spark, sfDir))
     val scanSchemas = "ReadSchema: [^\\n]*".r.findAllIn(p).toList
