@@ -71,15 +71,15 @@ object Profile {
     * they can't be oracle-gated; a global `orderBy` serializes 100 TB
     * onto one task; this is exact AND bounded):
     *
-    * pass 1 = the deterministic equi-width [[histogram]] (min/max
-    * aggregate + per-bin counts, O(bins) to the driver); for each
-    * requested quantile the target RANK locates its bin by cumulative
-    * count, then pass 2 sorts ONLY that bin's rows — the scan is
-    * pruned by a one-bin-slack value-range predicate (reaches the
-    * parquet source) with the exact floor-bin predicate on top (float
-    * rounding at a bin edge can never drop a row), and `limit(rank
-    * within bin) → max` fetches the order statistic without ever
-    * materializing the bin on the driver.
+    * pass 1 = deterministic equi-width bin counts (min/max aggregate
+    * + per-bin census, O(bins) to the driver); each requested
+    * quantile's target RANK locates its bin by cumulative count, then
+    * pass 2 is ONE job fetching every order statistic at once: only
+    * the needed bins' rows survive a fused semi-join filter, a window
+    * ranks within each bin partition (~N/bins rows — never a global
+    * sort), and a broadcast join against the tiny (bin, rank, q)
+    * target table picks the values ([[groupedQuantiles]] with a
+    * single constant group — this method delegates to it).
     *
     * Quantiles are RATIONALS (num, den): the target rank is
     * `ceil(num·N/den)` in integer arithmetic — `(num·N + den − 1) /
@@ -89,6 +89,30 @@ object Profile {
     * num/den as double. NULL values are excluded from ranking (the
     * SQL convention). */
   def exactQuantiles(df: DataFrame, value: Column,
+      quantiles: Seq[(Int, Int)], bins: Int = 64): DataFrame =
+    groupedQuantiles(df, lit("_"), value, quantiles, bins)
+      .select(col("q"), col("value"))
+      .orderBy("q")
+
+  /** Per-GROUP exact quantiles — the per-source length/score profile a
+    * corpus QA runs ("p50/p95 doc length per source") — in two passes
+    * plus ONE bounded fetch job for every (group, quantile) at once:
+    *
+    * pass 1 aggregates (group, bin) counts over a shared equi-width
+    * grid (one exact global min/max fixes it; map-side combined,
+    * shuffle O(groups·bins)); the driver locates each group-quantile's
+    * bin and in-bin rank from that census (O(groups·bins) state — the
+    * BOUNDED-GROUP contract: sources/domains/languages, not user
+    * ids); pass 2 is one job — rows of any needed (group, bin) pair
+    * survive a fused filter, a window ranks WITHIN each (group, bin)
+    * (partitions of ~n_g/bins rows, never a global or per-group full
+    * sort), and a broadcast join against the tiny (group, bin, rank,
+    * q) target table picks each order statistic.
+    *
+    * Same rational-rank convention as [[exactQuantiles]]. Returns
+    * (group, q, value) ascending; groups with no non-null rows are
+    * absent. */
+  def groupedQuantiles(df: DataFrame, group: Column, value: Column,
       quantiles: Seq[(Int, Int)], bins: Int = 64): DataFrame = {
     require(quantiles.nonEmpty, "at least one quantile required")
     quantiles.foreach { case (num, den) =>
@@ -97,34 +121,44 @@ object Profile {
     val spark = df.sparkSession
     import spark.implicits._
     val v = value.cast("double")
-    val rows = df.filter(v.isNotNull)
-    val hist = histogram(rows, value, bins).collect()
-      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
-    if (hist.isEmpty)
-      return Seq.empty[(Double, Double)].toDF("q", "value")
-    val n = hist.map(_._4).sum
-    // bin grid (same exact arithmetic as histogram's)
-    val lo = hist.head._2
-    val width = hist.head._3 - hist.head._2
+    val g = group.cast("string")
+    val rows = df.filter(v.isNotNull && g.isNotNull)
+      .select(g.as("__g"), v.as("__v"))
+    val mm = rows.agg(min(col("__v")).as("lo"), max(col("__v")).as("hi")).head()
+    if (mm.isNullAt(0))
+      return Seq.empty[(String, Double, Double)].toDF("group", "q", "value")
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val width = (hi - lo) / bins
     val binExpr =
       if (width == 0.0) lit(0)
-      else least(floor((v - lit(lo)) / lit(width)).cast("int"), lit(bins - 1))
-    val cum = hist.scanLeft(0L)(_ + _._4).init // cumulative BEFORE each listed bin
-    val out = quantiles.map { case (num, den) =>
-      val k = (num.toLong * n + den - 1) / den // ceil(num·N/den), exact
-      // the first listed bin whose cumulative count reaches k
-      val i = cum.indices.find(i0 => cum(i0) + hist(i0)._4 >= k).get
-      val (b, bLo, bHi, _) = hist(i)
-      val rank = (k - cum(i)).toInt
-      val value0 = rows
-        .filter(v >= lit(bLo - width) && v <= lit(bHi + width)) // pushable slack range
-        .filter(binExpr === b) // exact membership
-        .orderBy(v.asc)
-        .limit(rank)
-        .agg(max(v))
-        .head().getDouble(0)
-      (num.toDouble / den, value0)
+      else least(floor((col("__v") - lit(lo)) / lit(width)).cast("int"), lit(bins - 1))
+    // pass 1: (group, bin) census — O(groups·bins) to the driver
+    val census = rows.groupBy(col("__g"), binExpr.as("__b"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // driver: per (group, quantile) → (bin, rank within bin)
+    val perGroup = census.groupBy(_._1)
+    val targets = perGroup.toSeq.flatMap { case (grp, bs) =>
+      val sorted = bs.sortBy(_._2)
+      val n = sorted.map(_._3).sum
+      val cum = sorted.scanLeft(0L)(_ + _._3).init
+      quantiles.map { case (num, den) =>
+        val k = (num.toLong * n + den - 1) / den
+        val i = cum.indices.find(i0 => cum(i0) + sorted(i0)._3 >= k).get
+        (grp, sorted(i)._2, k - cum(i), num.toDouble / den)
+      }
     }
-    out.toDF("q", "value").orderBy("q")
+    val targetDf = targets.toDF("__g", "__b", "__r", "q")
+    // pass 2: one job — rank within each needed (group, bin) partition
+    // (bounded ~n_g/bins rows each), pick the target order statistics
+    val neededBins = targets.map(t => (t._1, t._2)).distinct.toDF("__g", "__b")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g"), col("__b")).orderBy(col("__v").asc)
+    rows.withColumn("__b", binExpr)
+      .join(broadcast(neededBins), Seq("__g", "__b"), "left_semi")
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .join(broadcast(targetDf), Seq("__g", "__b", "__r"))
+      .select(col("__g").as("group"), col("q"), col("__v").as("value"))
+      .orderBy("group", "q")
   }
 }

@@ -322,6 +322,17 @@ object RelationalQueries {
       t(s, dir, "lineitem"), col("l_extendedprice"),
       quantiles = Seq((1, 100), (1, 4), (1, 2), (3, 4), (9, 10), (99, 100)))
 
+  /** Per-SOURCE exact length quantiles
+    * ([[graft.operators.Profile.groupedQuantiles]] — the corpus-QA
+    * "p50/p90 doc length per source" census): shared-grid (group, bin)
+    * counts, driver rank location over the O(groups·bins) census, ONE
+    * windowed fetch job over only the needed (group, bin) partitions.
+    * The oracle is the direct per-group k-th order statistic. */
+  def qQuantilesGrouped(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.groupedQuantiles(
+      t(s, dir, "documents"), col("source"), col("n_chars"),
+      quantiles = Seq((1, 2), (9, 10)))
+
   /** Exact moments + null census for two lineitem columns in one
     * map-side-combined aggregate each — DECIMAL per-row casts make the
     * sums order-independent, so mean/variance are bit-stable at any
@@ -418,6 +429,16 @@ object RelationalQueries {
         |SELECT CAST(ks.qn AS DOUBLE) / ks.qd AS q, r.v AS value
         |FROM ks JOIN r ON r.rn = ks.k
         |ORDER BY q""".stripMargin)),
+    QueryDef("q_quantiles_grouped", qQuantilesGrouped, Some(
+      """WITH p AS (SELECT CAST(source AS VARCHAR) AS g, CAST(n_chars AS DOUBLE) AS v
+        |           FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        |nn AS (SELECT g, count(*) AS n FROM p GROUP BY 1),
+        |qs(qn, qd) AS (VALUES (1, 2), (9, 10)),
+        |ks AS (SELECT nn.g, qn, qd, (qn * nn.n + qd - 1) // qd AS k FROM nn, qs),
+        |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM p)
+        |SELECT r.g AS "group", CAST(ks.qn AS DOUBLE) / ks.qd AS q, r.v AS value
+        |FROM ks JOIN r ON r.g = ks.g AND r.rn = ks.k
+        |ORDER BY "group", q""".stripMargin)),
     QueryDef("q_profile_moments", qProfileMoments, Some(
       """WITH s AS (
         |  SELECT 'l_extendedprice' AS col_name,

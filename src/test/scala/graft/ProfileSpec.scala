@@ -99,4 +99,32 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getDouble(1)).toSeq
     assert(got == Seq(7.5, 7.5))
   }
+
+  test("groupedQuantiles: hand-computed per-group order statistics, uneven groups") {
+    import spark.implicits._
+    // group a: 1..5 (median 3, p90 -> k=ceil(9/2)... k=ceil(4.5)=5 -> 5)
+    // group b: 10,20 (median -> k=1 -> 10; 9/10 -> k=ceil(1.8)=2 -> 20)
+    val df = (Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0),
+      ("b", 10.0), ("b", 20.0))).toDF("g", "v").repartition(4)
+    val got = Profile.groupedQuantiles(df, col("g"), col("v"),
+        Seq((1, 2), (9, 10)), bins = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("a", 0.5, 3.0), ("a", 0.9, 5.0),
+      ("b", 0.5, 10.0), ("b", 0.9, 20.0)), s"got $got")
+  }
+
+  test("groupedQuantiles equals the per-group full-sort order statistic on the fixture") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val truth = docs.select(col("source"), col("n_chars").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def kth(vs: Array[Double], num: Int, den: Int): Double =
+      vs(((num.toLong * vs.length + den - 1) / den - 1).toInt)
+    val qs = Seq((1, 2), (9, 10))
+    val got = Profile.groupedQuantiles(docs, col("source"), col("n_chars"), qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    for ((g, vs) <- truth; (num, den) <- qs)
+      assert(got((g, num.toDouble / den)) == kth(vs, num, den),
+        s"group $g q=$num/$den mismatch")
+  }
 }
