@@ -435,6 +435,17 @@ object PipelineQueries {
         |  CASE WHEN n_cand < 8 THEN CAST(n_cand AS DOUBLE)
         |       ELSE round(7.0 * 4294967296.0 / kth_hash, 2) END AS est_users
         |FROM s ORDER BY hour_start""".stripMargin)),
+    QueryDef("q_stream_cms", qStreamCms, Some {
+      import graft.operators.Sketches.CountMin.{RowAdds, RowMults}
+      val mult = s"CASE j WHEN 0 THEN ${RowMults(0)} WHEN 1 THEN ${RowMults(1)} WHEN 2 THEN ${RowMults(2)} ELSE ${RowMults(3)} END"
+      val add = s"CASE j WHEN 0 THEN ${RowAdds(0)} WHEN 1 THEN ${RowAdds(1)} WHEN 2 THEN ${RowAdds(2)} ELSE ${RowAdds(3)} END"
+      s"""WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+         |co AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+         |         j, ((user_id * ($mult) + ($add)) % 4294967296) % 16 AS bucket
+         |       FROM events CROSS JOIN js)
+         |SELECT hour_start, CAST(j AS INT) AS row, bucket, count(*) AS cnt
+         |FROM co GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    }),
   )
 
   /** The streaming KMV distinct-user sketch run over the batch events
@@ -447,4 +458,19 @@ object PipelineQueries {
         date_format(col("hour_start"), "yyyy-MM-dd HH:mm").as("hour_start"),
         col("n_cand"), col("kth_hash"), col("est_users"))
       .orderBy("hour_start")
+
+  /** Windowed Count-Min frequency grid ([[EventStreams.hourlyFreqGrid]]
+    * — the frequency twin of q_stream_kmv's cardinality sketch):
+    * per-hour O(d·w) grid state instead of a per-key buffer; the gate
+    * runs the SAME transform the stream runs (watermark is a no-op in
+    * batch) and the oracle replays every window's grid cell; the
+    * incremental micro-batch ≡ one-shot-batch property is pinned in
+    * StreamingSpec. */
+  def qStreamCms(s: SparkSession, dir: String): DataFrame =
+    EventStreams.hourlyFreqGrid(EventsFixture.events(s, dir), col("user_id"),
+        width = 16)
+      .select(
+        date_format(col("hour_start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("row"), col("bucket"), col("cnt"))
+      .orderBy("hour_start", "row", "bucket")
 }

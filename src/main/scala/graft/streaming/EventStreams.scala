@@ -39,6 +39,31 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Per-hour Count-Min frequency grid over the user-id stream — the
+    * windowed FREQUENCY sketch beside [[hourlyDistinctUsers]]'s
+    * cardinality one: each event explodes to its d (row, bucket)
+    * coordinates ([[graft.operators.Sketches.CountMin]]'s
+    * deterministic row family), then a plain windowed count
+    * aggregates them — so the per-window state is the O(d·w) grid
+    * (bounded forever, watermark retires windows) and the key
+    * universe never enters state, where a per-key windowed count
+    * would buffer every hot-key stream key. Point estimates replay
+    * offline from the emitted grid (min over rows). Same transform
+    * batch and streaming. */
+  def hourlyFreqGrid(events: DataFrame, fp: org.apache.spark.sql.Column,
+      width: Int = 16): DataFrame = {
+    import graft.operators.Sketches.CountMin
+    val coords = array(
+      (0 until CountMin.Depth).map(j => CountMin.bucket(fp, j, width)): _*)
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("ts"), posexplode(coords).as(Seq("row", "bucket")))
+      .groupBy(window(col("ts"), "1 hour"), col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("hour_start"),
+        col("row"), col("bucket"), col("cnt"))
+  }
+
   /** Per-hour approximate distinct users via the KMV sketch aggregate
     * ([[graft.operators.Sketches.KmvAggregator]]): the window's state
     * is the k smallest distinct user-hashes — O(k) per window forever,

@@ -128,6 +128,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming Count-Min grid: incremental micro-batches equal the batch grid") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val src = MemoryStream[(Timestamp, Long)]
+    val df = src.toDF().toDF("ts", "user_id")
+    val q = EventStreams.startToMemory(
+      EventStreams.hourlyFreqGrid(df, col("user_id"), width = 8),
+      "cms_test", OutputMode.Complete())
+    try {
+      // repeated hot key 10 across two micro-batches: the grid counts
+      // must merge incrementally to exactly the one-shot batch grid
+      src.addData((ts(1), 10L), (ts(2), 11L), (ts(3), 10L))
+      q.processAllAvailable()
+      src.addData((ts(4), 10L), (ts(5), 12L), (ts(6), 11L))
+      q.processAllAvailable()
+      val streamed = spark.table("cms_test")
+        .select("hour_start", "row", "bucket", "cnt").collect().toSet
+      val batch = EventStreams.hourlyFreqGrid(
+          Seq((ts(1), 10L), (ts(2), 11L), (ts(3), 10L),
+            (ts(4), 10L), (ts(5), 12L), (ts(6), 11L)).toDF("ts", "user_id"),
+          col("user_id"), width = 8)
+        .select("hour_start", "row", "bucket", "cnt").collect().toSet
+      assert(streamed == batch,
+        s"incremental grid must equal the one-shot batch grid:\n$streamed\nvs\n$batch")
+      // the hot key's estimate from the emitted grid is exact here
+      // (no colliding keys in any of its buckets at this tiny load):
+      // min over the 4 rows of key 10's buckets == its true count 3
+      val grid = spark.table("cms_test")
+      val est = graft.operators.Sketches.CountMin.estimates(
+          grid.select("row", "bucket", "cnt"),
+          Seq(10L).toDF("k"), col("k"), width = 8)
+        .head().getLong(1)
+      assert(est == 3L, s"hot-key estimate from the streamed grid: $est != 3")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: duplicate texts drop, state bounded by watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
