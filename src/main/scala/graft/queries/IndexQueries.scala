@@ -2063,7 +2063,7 @@ object IndexQueries {
     * (empty cells keep their init centroid), plus the final corpus
     * assignment `a1(vec_id, cell)` under the trained centroids
     * `c1(cell, i, m)`. */
-  private def trainedCellsSqlFrom(src: String): String =
+  private[queries] def trainedCellsSqlFrom(src: String): String =
     s"""init AS (SELECT cell, cv FROM (
        |           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
        |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv

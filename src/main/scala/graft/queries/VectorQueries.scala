@@ -274,9 +274,72 @@ object VectorQueries {
       .orderBy("qid", "rank")
   }
 
+  private val maxsimSelMemo =
+    new IndexQueries.SessionMemo[(graft.index.IvfIndex.Model, DataFrame)]
+
+  /** Routed MaxSim at SELECTIVE probes (nprobe=2 of 16 trained cells
+    * per query vector): the oracle replays the ROUTED semantics end
+    * to end — the 1-iteration k-means router (the q_vectordb_search
+    * machinery), per-query-vector probe selection, the doc-cell
+    * inverted listing, the (qid, doc) candidate union, and exact
+    * MaxSim over only the candidates — so the pruning path itself is
+    * hash-pinned, not just its exhaustive-probe degenerate case. */
+  def qMaxsimRoutedSelective(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val dv = e.select(expr("vec_id div 4").as("doc_id"), col("embedding").as("vec"))
+    val qv = e.filter(col("vec_id") < 8)
+      .select(expr("vec_id div 4").as("qid"), col("vec_id").as("q_ord"),
+        col("embedding").as("qv"))
+    val (router, cells) = maxsimSelMemo.get(s, dir) {
+      val m = graft.index.IvfIndex.train(e, k = 16, iters = 1)
+      val listing = graft.operators.LateInteraction.docCellListing(dv, m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      listing.count()
+      (m, listing)
+    }
+    graft.operators.LateInteraction
+      .maxSimRouted(dv, cells, qv, k = 5, router, nprobe = 2)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        round(col("score"), 3).as("score"))
+      .orderBy("qid", "rank")
+  }
+
+  private val maxsimRoutedSelectiveOracleSql: String =
+    s"""WITH qv AS (SELECT vec_id // 4 AS qid, vec_id AS q_ord, embedding AS qe
+       |            FROM embeddings WHERE vec_id < 8),
+       |${IndexQueries.trainedCellsSqlFrom("embeddings")},
+       |cd AS (SELECT qv.qid, qv.q_ord, c.cell,
+       |         sum((c.m - CAST(qv.qe[c.i] AS DOUBLE))^2) AS d
+       |       FROM c1 c, qv GROUP BY 1, 2, 3),
+       |probes AS (SELECT qid, cell FROM
+       |             (SELECT qid, q_ord, cell,
+       |                row_number() OVER (PARTITION BY q_ord ORDER BY d, cell) AS rn
+       |              FROM cd) WHERE rn <= 2),
+       |qprobes AS (SELECT DISTINCT qid, cell FROM probes),
+       |dcells AS (SELECT DISTINCT vec_id // 4 AS doc_id, cell FROM a1),
+       |cand AS (SELECT DISTINCT qp.qid, dc.doc_id
+       |         FROM qprobes qp JOIN dcells dc ON dc.cell = qp.cell),
+       |dvv AS (SELECT vec_id // 4 AS doc_id, embedding FROM embeddings),
+       |m AS (SELECT qv.qid, dv.doc_id, qv.q_ord,
+       |        max(${dotSql("dv.embedding", "qv.qe")}) AS mx
+       |      FROM dvv dv
+       |      JOIN cand ON cand.doc_id = dv.doc_id
+       |      JOIN qv ON qv.qid = cand.qid
+       |      GROUP BY 1, 2, 3),
+       |sc AS (SELECT qid, doc_id,
+       |         CAST(sum(CAST(mx AS DECIMAL(25,10))) AS DOUBLE) AS score
+       |       FROM m GROUP BY 1, 2),
+       |r AS (SELECT qid, doc_id, score,
+       |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+       |      FROM sc)
+       |SELECT qid, CAST(rnk AS INT) AS rank, doc_id, round(score, 3) AS score
+       |FROM r WHERE rnk <= 5 ORDER BY qid, rank""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_maxsim", qMaxsim, Some(maxsimOracleSql)),
     QueryDef("q_maxsim_routed", qMaxsimRouted, Some(maxsimOracleSql)),
+    QueryDef("q_maxsim_routed_selective", qMaxsimRoutedSelective,
+      Some(maxsimRoutedSelectiveOracleSql)),
     QueryDef("q_mmr", qMmr, Some(mmrOracleSql(95L, k = 5, fetch = 20))),
     QueryDef("q_knn_truncated", qKnnTruncated, Some(
       s"""WITH t AS (SELECT vec_id, embedding[1:16] AS embedding FROM embeddings),
