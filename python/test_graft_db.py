@@ -60,5 +60,31 @@ db.save(p)
 db3 = VectorDB.load(p, spark=spark)
 assert db3.search(qv, 5) == hits
 print("save/load OK")
+
+# cosine serving through the Python surface (the reference's semantic-
+# search workload shape): top hit for a corpus vector is itself at
+# cosine distance ~0
+dbc = VectorDB(SF_DIR + "/embeddings.parquet", 64, 16, 32, spark=spark)
+dbc.build_index_ivf(num_cells=16, iters=1, metric="cosine")
+dbc.configure(nprobe=16, ef_search=4096)
+hc = dbc.search(qv, 3)
+assert hc[0][0] == 24 and abs(hc[0][1]) < 1e-6, hc
+print("cosine metric OK:", hc[0])
+
+# error paths surface as Python exceptions, not silent wrong answers
+try:
+    db.search([1.0, 2.0], 5)  # wrong dimension
+    raise SystemExit("FAIL: dimension mismatch not raised")
+except Exception as e:
+    assert "dimension" in str(e).lower(), str(e)[:200]
+print("dim-mismatch raise OK")
+
+try:
+    VectorDB(binf, 3, 16, 32, spark=spark)  # 4-float records, dims=3
+    raise SystemExit("FAIL: bin divisibility not raised")
+except Exception as e:
+    assert "multiple" in str(e).lower(), str(e)[:200]
+print("bin divisibility raise OK")
+
 spark.stop()
 print("ALL PY OK")

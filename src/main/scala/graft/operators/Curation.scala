@@ -250,6 +250,24 @@ object Curation {
         (-col("hit._1")).as("score"))
   }
 
+  /** Winsorizing outlier trim: keep rows whose `value` falls inside
+    * the EXACT [loQ, hiQ] quantile band — the length/score
+    * outlier-removal pass that runs before corpus statistics are
+    * trusted (truncated docs, concatenation blowups). Quantile bounds
+    * come from [[Profile.exactQuantiles]] (two narrow passes + one
+    * bounded fetch — no global sort, no approx summaries), then the
+    * trim itself is one map-only filter with the two bounds as plan
+    * literals (pushable to the source). Rational quantiles, the same
+    * ceil-rank convention — exactly oracle-replayable. */
+  def trimOutliers(df: DataFrame, value: Column,
+      loQ: (Int, Int) = (1, 100), hiQ: (Int, Int) = (99, 100)): DataFrame = {
+    require(loQ._1.toLong * hiQ._2 < hiQ._1.toLong * loQ._2,
+      s"loQ ${loQ._1}/${loQ._2} must be below hiQ ${hiQ._1}/${hiQ._2}")
+    val bounds = graft.operators.Profile.exactQuantiles(df, value, Seq(loQ, hiQ))
+      .collect().map(_.getDouble(1))
+    df.filter(value.cast("double").between(bounds(0), bounds(1)))
+  }
+
   // ---- PII detection / redaction ------------------------------------
 
   /** PII regexes shared by the Spark kernels and the DuckDB oracle.

@@ -168,7 +168,36 @@ object CurationQueries {
       .select(col("doc_id"), col("copy").cast("int").as("copy"), col("lang"))
       .orderBy("doc_id", "copy")
 
+  /** Winsorizing length trim ([[Curation.trimOutliers]] — drop docs
+    * outside the exact [p5, p95] n_chars band): the quantile bounds
+    * replay as direct order statistics, the kept-census as a count
+    * under the same between filter. The gated row carries the bounds
+    * AND the kept/total counts, so both the quantile location and the
+    * trim semantics are hash-pinned. */
+  def qTrimOutliers(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val kept = Curation.trimOutliers(d, col("n_chars"),
+      loQ = (1, 20), hiQ = (19, 20))
+    kept.agg(count(lit(1)).as("n_kept"),
+        min(col("n_chars")).as("min_kept"), max(col("n_chars")).as("max_kept"))
+      .crossJoin(d.agg(count(lit(1)).as("n_total")))
+      .select(col("n_total"), col("n_kept"), col("min_kept"), col("max_kept"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_trim_outliers", qTrimOutliers, Some(
+      """WITH p AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |           WHERE n_chars IS NOT NULL),
+        |nn AS (SELECT count(*) AS n FROM p),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM p),
+        |b AS (SELECT
+        |        (SELECT v FROM r, nn WHERE rn = (1 * nn.n + 19) // 20) AS lo,
+        |        (SELECT v FROM r, nn WHERE rn = (19 * nn.n + 19) // 20) AS hi)
+        |SELECT (SELECT count(*) FROM documents) AS n_total,
+        |  count(*) AS n_kept,
+        |  min(CAST(p.v AS BIGINT)) AS min_kept,
+        |  max(CAST(p.v AS BIGINT)) AS max_kept
+        |FROM p, b WHERE p.v BETWEEN b.lo AND b.hi""".stripMargin)),
     QueryDef("q_upsample_frac", qUpsampleFrac, Some(
       """WITH t AS (SELECT doc_id, lang,
         |    CASE WHEN lang = 'en' THEN 17000 ELSE 5000 END AS w,
