@@ -71,8 +71,13 @@ class VectorDB:
 
     def search(self, query, k):
         """Top-``k`` as ``[(vec_id, distance)]`` ascending — the
-        in-process point-query arm (zero Spark jobs when warm)."""
-        res = self._facade.search(self._jdb, [float(x) for x in query], int(k))
+        in-process point-query arm (zero Spark jobs when warm). The
+        query ships as ONE packed-float32 byte array (a boxed
+        per-element list costs several ms of py4j marshalling per
+        call)."""
+        import struct
+        packed = struct.pack("<%df" % len(query), *(float(x) for x in query))
+        res = self._facade.searchPacked(self._jdb, bytearray(packed), int(k))
         return list(zip(res.ids(), res.dists()))
 
     def search_df(self, query, k):

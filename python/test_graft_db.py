@@ -86,5 +86,16 @@ except Exception as e:
     assert "multiple" in str(e).lower(), str(e)[:200]
 print("bin divisibility raise OK")
 
+# warm point-query latency through the py4j bridge (informational):
+# the Scala-side walk is ~0.2 ms; the rest is gateway round-trip
+import time
+db.search(qv, 5)
+t0 = time.perf_counter()
+runs = 100
+for _ in range(runs):
+    db.search(qv, 5)
+ms = (time.perf_counter() - t0) * 1000.0 / runs
+print(f"warm python point query: {ms:.2f} ms/query over {runs} runs")
+
 spark.stop()
 print("ALL PY OK")

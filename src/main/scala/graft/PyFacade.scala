@@ -72,6 +72,22 @@ object PyFacade {
     new SearchResult(hits.map(_._1).toArray, hits.map(_._2).toArray)
   }
 
+  /** [[search]] over a little-endian packed-f32 query (the wrapper's
+    * hot path: ONE byte-array py4j transfer instead of a boxed
+    * per-element list — cuts the gateway marshalling that dominates
+    * warm point-query latency). */
+  def searchPacked(db: VectorDB, query: Array[Byte], k: Int): SearchResult = {
+    require(query.length % 4 == 0,
+      s"packed query must be float32-aligned, got ${query.length} bytes")
+    val buf = java.nio.ByteBuffer.wrap(query)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val q = new Array[Float](query.length / 4)
+    var i = 0
+    while (i < q.length) { q(i) = buf.getFloat(); i += 1 }
+    val hits = db.searchLocal(q.toSeq, k)
+    new SearchResult(hits.map(_._1).toArray, hits.map(_._2).toArray)
+  }
+
   /** The distributed serving arm as a DataFrame — the PySpark-native
     * surface (wrap with `pyspark.sql.DataFrame(jdf, spark)`). */
   def searchDf(db: VectorDB, query: java.util.List[java.lang.Double],
