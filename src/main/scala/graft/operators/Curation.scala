@@ -265,7 +265,14 @@ object Curation {
       s"loQ ${loQ._1}/${loQ._2} must be below hiQ ${hiQ._1}/${hiQ._2}")
     val bounds = graft.operators.Profile.exactQuantiles(df, value, Seq(loQ, hiQ))
       .collect().map(_.getDouble(1))
-    df.filter(value.cast("double").between(bounds(0), bounds(1)))
+    // compare in the COLUMN's native type (the bounds are exact order
+    // statistics of the column, so casting them back is lossless for
+    // any type whose values round-trip through double — all fixture
+    // and practically-profiled types): a `value.cast(double) >= lit`
+    // comparison would wrap the scan column in a cast and block
+    // parquet pushdown, leaving min/max stats pruning on the floor
+    val dt = df.select(value).schema.head.dataType
+    df.filter(value >= lit(bounds(0)).cast(dt) && value <= lit(bounds(1)).cast(dt))
   }
 
   // ---- PII detection / redaction ------------------------------------

@@ -84,6 +84,22 @@ object LateInteraction {
       .select(col(docId), IvfIndex.assignExpr(col(docVec), router).as("cell"))
       .distinct()
 
+  /** Incremental inverted-listing maintenance — the add/remove story
+    * for routed MaxSim serving: removed docs anti-join out of the
+    * listing (broadcast — the removal batch is small by contract),
+    * added docs' vectors assign through the SAME router (one map pass
+    * over only the added vectors) and union in. The result equals a
+    * fresh [[docCellListing]] over the updated corpus (spec-pinned)
+    * without ever re-assigning the resident 100 TB. Whole-document
+    * granularity: to mutate a doc, remove then re-add it. */
+  def updateListing(listing: DataFrame, router: IvfIndex.Model,
+      addedDocVecs: DataFrame, removedDocIds: DataFrame,
+      docId: String = "doc_id", docVec: String = "vec"): DataFrame =
+    listing
+      .join(broadcast(removedDocIds.select(col(docId))), Seq(docId), "left_anti")
+      .unionByName(docCellListing(addedDocVecs, router, docId, docVec))
+      .distinct()
+
   /** Routed (pruned) MaxSim serving — the PLAID/ColBERTv2 candidate-
     * generation shape (Santhanam et al., NAACL'22) that closes the
     * exact arm's full-corpus-scan-per-batch cost, exactly as the

@@ -65,4 +65,23 @@ class LateInteractionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("qid", "rank").collect().toSeq
     assert(run(1) == run(32))
   }
+
+  test("incremental listing maintenance equals a fresh build over the updated corpus") {
+    import graft.index.IvfIndex
+    import spark.implicits._
+    val dv = emb.select(expr("vec_id div 4").as("doc_id"), col("embedding").as("vec"))
+    val router = IvfIndex.train(emb, k = 8, iters = 1)
+    // start from docs 10..124, remove 20-24, add 0-9 back
+    val base = dv.filter(col("doc_id") >= 10)
+    val added = dv.filter(col("doc_id") < 10)
+    val removed = (20L until 25L).toDF("doc_id")
+    val updated = LateInteraction.updateListing(
+        LateInteraction.docCellListing(base, router), router, added, removed)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val fresh = LateInteraction.docCellListing(
+        dv.filter(col("doc_id") < 20 || col("doc_id") >= 25), router)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(updated == fresh,
+      "incrementally maintained listing diverged from a fresh build")
+  }
 }

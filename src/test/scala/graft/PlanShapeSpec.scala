@@ -407,6 +407,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges <= 2, s"verify must shuffle only candidate partials:\n$p")
   }
 
+  test("outlier trim pushes both quantile bounds into the parquet scan") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(graft.operators.Curation.trimOutliers(
+      docs, col("n_chars"), loQ = (1, 20), hiQ = (19, 20)))
+    assert(p.contains("PushedFilters: [") &&
+      p.contains("GreaterThanOrEqual(n_chars") &&
+      p.contains("LessThanOrEqual(n_chars"),
+      s"the between-bounds filter must reach the source:\n$p")
+  }
+
   test("column pruning reaches the scan: kernel query reads only the needed columns") {
     val p = plan(VectorQueries.qL2Kernel(spark, sfDir))
     val scanSchemas = "ReadSchema: [^\\n]*".r.findAllIn(p).toList
