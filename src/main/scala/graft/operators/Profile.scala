@@ -150,11 +150,28 @@ object Profile {
     }
     val targetDf = targets.toDF("__g", "__b", "__r", "q")
     // pass 2: one job — rank within each needed (group, bin) partition
-    // (bounded ~n_g/bins rows each), pick the target order statistics
+    // (bounded ~n_g/bins rows each), pick the target order statistics.
+    // The fetch scan carries a PUSHABLE coarse prune: the needed bins'
+    // global edge span as native-type literals (comparing the raw
+    // column, not its double cast, so parquet min/max stats skip row
+    // groups outside the span; a full-bin + 1 slack each side makes
+    // integral-literal truncation harmless). The exact (group, bin)
+    // semi-join does the precise cut post-scan.
     val neededBins = targets.map(t => (t._1, t._2)).distinct.toDF("__g", "__b")
+    val fetchRows =
+      if (width == 0.0) rows
+      else {
+        val dt = df.select(value).schema.head.dataType
+        val bs = targets.map(_._2)
+        val loB = lo + bs.min * width - width - 1
+        val hiB = lo + (bs.max + 1) * width + width + 1
+        df.filter(value >= lit(loB).cast(dt) && value <= lit(hiB).cast(dt))
+          .filter(v.isNotNull && g.isNotNull)
+          .select(g.as("__g"), v.as("__v"))
+      }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__g"), col("__b")).orderBy(col("__v").asc)
-    rows.withColumn("__b", binExpr)
+    fetchRows.withColumn("__b", binExpr)
       .join(broadcast(neededBins), Seq("__g", "__b"), "left_semi")
       .withColumn("__r", row_number().over(w).cast("long"))
       .join(broadcast(targetDf), Seq("__g", "__b", "__r"))
