@@ -282,8 +282,30 @@ object Sketches {
     def heavyHittersText(df: DataFrame, key: Column, threshold: Long,
         width: Int = 256): DataFrame = {
       require(threshold >= 1L, s"threshold must be >= 1, got $threshold")
-      val g = buildText(df, key, width).collect()
+      verifyAtLeast(df, key, collectGrid(df, key, width), threshold, width)
+    }
+
+    /** [[heavyHittersText]] with a RELATIVE threshold `ceil(N·num/den)`
+      * — N derives from the collected grid itself (every record lands
+      * exactly one coordinate in row 0, so N = Σ row-0 counters): no
+      * separate corpus-count job, still exactly oracle-replayable
+      * rational-rank arithmetic. */
+    def heavyHittersTextFrac(df: DataFrame, key: Column, num: Int, den: Int,
+        width: Int = 256): DataFrame = {
+      require(num >= 1 && den >= num, s"fraction $num/$den out of (0, 1]")
+      val g = collectGrid(df, key, width)
+      val n = g.collect { case ((0, _), c) => c }.sum
+      val threshold = math.max(1L, (num.toLong * n + den - 1) / den)
+      verifyAtLeast(df, key, g, threshold, width)
+    }
+
+    private def collectGrid(df: DataFrame, key: Column,
+        width: Int): Map[(Int, Long), Long] =
+      buildText(df, key, width).collect()
         .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    private def verifyAtLeast(df: DataFrame, key: Column,
+        g: Map[(Int, Long), Long], threshold: Long, width: Int): DataFrame = {
       val estCol = least((0 until Depth).map { j =>
         val entries = (0L until width.toLong).flatMap { b =>
           g.get((j, b)).toSeq.flatMap(c => Seq(lit(b), lit(c)))

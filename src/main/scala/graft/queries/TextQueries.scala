@@ -361,10 +361,10 @@ object TextQueries {
   def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
       .select(explode(split(col("text"), " ")).as("tok"))
-    val total = toks.count()
-    val threshold = (total + 29L) / 30L
+    // relative threshold ceil(N/30) with N derived from the grid's
+    // row-0 sum — no separate corpus-count job
     graft.operators.Sketches.CountMin
-      .heavyHittersText(toks, col("tok"), threshold, width = 256)
+      .heavyHittersTextFrac(toks, col("tok"), num = 1, den = 30, width = 256)
       .orderBy(col("cnt").desc, col("key"))
       .select(col("key"), col("est"), col("cnt"))
   }
