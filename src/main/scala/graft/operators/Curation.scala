@@ -29,6 +29,37 @@ object Curation {
       mult: Long = 2654435761L, add: Long = 0L): Column =
     pmod(pmod(id * lit(mult) + lit(add), lit(HashMod)), lit(buckets))
 
+  /** Deterministic per-epoch training order: sort key =
+    * remix(id, epoch-dependent constants) — every epoch is a fresh
+    * pseudo-random permutation, yet any rerun (or a recovered
+    * executor recomputing its split) reproduces the identical order
+    * with ZERO shuffle-state: the permutation is a pure function of
+    * (id, epoch), not of an RNG stream. Epochs decorrelate through
+    * the odd-multiplier family (epoch folds into both the multiplier
+    * selection and the additive term). Ties cannot exist for distinct
+    * ids at the same epoch UNLESS two ids collide mod 2³² after the
+    * remix — the id itself breaks them, keeping the order total.
+    * Returns the rows with an `epoch_key` column; materialize with
+    * `repartitionByRange(epoch_key) + sortWithinPartitions` for the
+    * write-side layout (the [[Layout.clusterByZ]] shape). */
+  def epochShuffleKey(id: Column, epoch: Int): Column = {
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    // distinct odd multiplier per epoch (Knuth family + 2·epoch·step
+    // stays odd); additive term shifts by a large odd stride
+    val mult = 2654435761L + 2L * (epoch % 1024) * 40503L
+    val add = 987654321L + epoch.toLong * 2246822519L
+    pmod(id * lit(mult) + lit(add), lit(HashMod))
+  }
+
+  /** The same epoch key as DuckDB SQL over `idExpr` — ONE generator
+    * for both engines (the shared-fragment rule). */
+  def epochShuffleKeySql(idExpr: String, epoch: Int): String = {
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    val mult = 2654435761L + 2L * (epoch % 1024) * 40503L
+    val add = 987654321L + epoch.toLong * 2246822519L
+    s"((($idExpr) * $mult + $add) % 4294967296)"
+  }
+
   /** Deterministic train/val/test assignment by id hash: ~trainPct%
     * train, ~valPct% val, remainder test. A map-only pass — no
     * shuffle, no RNG state, no sampling job. */

@@ -184,7 +184,32 @@ object CurationQueries {
       .select(col("n_total"), col("n_kept"), col("min_kept"), col("max_kept"))
   }
 
+  /** Deterministic per-epoch training order
+    * ([[Curation.epochShuffleKey]] — a pure function of (id, epoch),
+    * so any rerun or recovered executor reproduces the identical
+    * permutation with no RNG state): the gate pins the heads of two
+    * epochs' orderings — different permutations (epochs decorrelate),
+    * both exactly replayed by the shared key generator. */
+  def qEpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    def top(e: Int) = d
+      .select(lit(e).as("epoch"), col("doc_id"),
+        Curation.epochShuffleKey(col("doc_id"), e).as("epoch_key"))
+      .orderBy(col("epoch_key").asc, col("doc_id").asc)
+      .limit(15)
+    top(0).unionByName(top(1))
+      .orderBy("epoch", "epoch_key", "doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_epoch_shuffle", qEpochShuffle, Some {
+      def leg(e: Int) =
+        s"""SELECT $e AS epoch, doc_id,
+           |  ${Curation.epochShuffleKeySql("doc_id", e)} AS epoch_key
+           |FROM documents ORDER BY epoch_key, doc_id LIMIT 15""".stripMargin
+      s"""SELECT * FROM ((${leg(0)}) UNION ALL (${leg(1)}))
+         |ORDER BY epoch, epoch_key, doc_id""".stripMargin
+    }),
     QueryDef("q_trim_outliers", qTrimOutliers, Some(
       """WITH p AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
         |           WHERE n_chars IS NOT NULL),
