@@ -649,6 +649,37 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perQueryMs < 50.0, f"warm cosine point query too slow: $perQueryMs%.3f ms")
   }
 
+  test("cache loss never changes answers: serving recomputes from lineage after clearCache") {
+    // the executor-failure story: every cached generation (index rows,
+    // codes) must be a pure performance artifact — blowing away the
+    // entire cache manager state and re-serving must give identical
+    // results through lineage recompute, for the HNSW, PQ, and BQ
+    // serving modes and for a maintained (add-derived) handle
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qv = e.filter(col("vec_id") === 31L)
+      .select("embedding").head().getSeq[Float](0)
+    def hits(db: VectorDB) = db.search(qv, 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .sortBy { case (id, d) => (d, id) }
+
+    val hnsw = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    hnsw.buildIndexIvf(numCells = 16, iters = 1)
+    hnsw.efSearch = 4096; hnsw.nprobe = 16
+    val pq = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    pq.buildIndexPq(numCells = 16, routerIters = 1)
+    val bq = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    bq.buildIndexBq(numCells = 16, routerIters = 1)
+    val grown = hnsw.add(e.filter(col("vec_id") < 3)
+      .select(col("vec_id") + 100000L as "vec_id", col("embedding")))
+    grown.efSearch = 4096; grown.nprobe = 16
+
+    val before = Seq(hnsw, pq, bq, grown).map(hits)
+    spark.sqlContext.clearCache() // every persisted generation gone
+    val after = Seq(hnsw, pq, bq, grown).map(hits)
+    assert(before == after,
+      "serving diverged after cache loss — a cached generation was load-bearing")
+  }
+
   test("handle rebalance: mega-cells split, router re-derived, serving unchanged") {
     val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
     // 4 cells => ~125 rows each; rebalance at 64 must split every cell
