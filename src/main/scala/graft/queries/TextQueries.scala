@@ -369,6 +369,24 @@ object TextQueries {
       .select(col("key"), col("est"), col("cnt"))
   }
 
+  /** Direct normalization gate
+    * ([[graft.functions.TextFunctions.normalizeText]] — until now
+    * only gated INDIRECTLY through the normalized-dedup hash, and the
+    * fixture's document text is already clean so that path never
+    * exercises a rewrite): this runs over a composite with REAL case
+    * and punctuation — the uppercased event type joined to the JSON
+    * props string — where lowercase, punctuation→space collapse, and
+    * trim all fire on every row. Byte-identical oracle via the
+    * restricted Java∩RE2 regex subset. */
+  def qNormalizeText(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    ev.filter(col("event_id") < 200)
+      .select(col("event_id"),
+        graft.functions.TextFunctions.normalizeText(
+          concat(upper(col("event_type")), lit(" >> "), col("props"))).as("norm"))
+      .orderBy("event_id")
+  }
+
   /** DuckDB bucket expression of the CountMin row family (shared
     * constants — ONE definition with the Scala side). */
   private def cmsBucketSql(fCol: String, jCol: String, width: Int): String = {
@@ -379,6 +397,11 @@ object TextQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_normalize_text", qNormalizeText, Some(
+      """SELECT event_id,
+        |  trim(regexp_replace(lower(upper(event_type) || ' >> ' || props),
+        |    '[^a-z0-9]+', ' ', 'g')) AS norm
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin)),
     QueryDef("q_heavy_hitters", qHeavyHitters, Some(
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
         |tot AS (SELECT count(*) AS n FROM toks),
