@@ -435,6 +435,13 @@ object PipelineQueries {
         |  CASE WHEN n_cand < 8 THEN CAST(n_cand AS DOUBLE)
         |       ELSE round(7.0 * 4294967296.0 / kth_hash, 2) END AS est_users
         |FROM s ORDER BY hour_start""".stripMargin)),
+    QueryDef("q_stream_hopping", qStreamHopping, Some(
+      """WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |w AS (SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts) - j * INTERVAL 15 MINUTE,
+        |               '%Y-%m-%d %H:%M') AS win_start, event_type
+        |      FROM events CROSS JOIN js)
+        |SELECT win_start, event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QueryDef("q_stream_cms", qStreamCms, Some {
       import graft.operators.Sketches.CountMin.{RowAdds, RowMults}
       val mult = s"CASE j WHEN 0 THEN ${RowMults(0)} WHEN 1 THEN ${RowMults(1)} WHEN 2 THEN ${RowMults(2)} ELSE ${RowMults(3)} END"
@@ -458,6 +465,17 @@ object PipelineQueries {
         date_format(col("hour_start"), "yyyy-MM-dd HH:mm").as("hour_start"),
         col("n_cand"), col("kth_hash"), col("est_users"))
       .orderBy("hour_start")
+
+  /** Hopping-window counts ([[EventStreams.hoppingCounts]] — 1-hour
+    * windows every 15 minutes, each event in exactly 4 overlapping
+    * windows): the overlap semantics the tumbling gates can't cover;
+    * the oracle replays epoch-aligned window assignment directly. */
+  def qStreamHopping(s: SparkSession, dir: String): DataFrame =
+    EventStreams.hoppingCounts(EventsFixture.events(s, dir))
+      .select(
+        date_format(col("win_start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("n"))
+      .orderBy("win_start", "event_type")
 
   /** Windowed Count-Min frequency grid ([[EventStreams.hourlyFreqGrid]]
     * — the frequency twin of q_stream_kmv's cardinality sketch):

@@ -27,6 +27,21 @@ object EventStreams {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** HOPPING (sliding) 1-hour windows every 15 minutes: each event
+    * lands in exactly 4 overlapping windows — the smoothing view a
+    * rate monitor reads, distinct semantics from the tumbling form
+    * (state is 4× the tumbling row count, still O(windows·types),
+    * watermark retires windows as they close). Same transform batch
+    * and streaming; window assignment is epoch-aligned in both
+    * engines, so the oracle replays it as `time_bucket(15min) −
+    * j·15min` for j ∈ 0..3. */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
   /** Gap-based session windows (30-min inactivity) per user — the
     * streaming twin of RelationalQueries.qEventsSessions. */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
