@@ -126,7 +126,15 @@ object LateInteraction {
     * (RecallSpec pins the floor). Candidate doc ids collect to the
     * driver for the pruning predicate — bounded by the probed cells'
     * doc listing, the same In(id) contract every refine arm uses.
-    * Query ids must be long-castable. */
+    * Query ids must be long-castable.
+    *
+    * `adaptiveAlpha` applies the router's diminishing-returns probe
+    * cutoff PER QUERY VECTOR ([[IvfIndex.Model.probeAdaptive]] — the
+    * same knob the ANN arm serves): a vector deep inside a cluster
+    * contributes 1-2 cells to the candidate union while a boundary
+    * vector fans up to `nprobe`, trading a fixed probed fraction for
+    * a per-vector-difficulty one. Adaptive probe sets are subsets of
+    * the fixed-`nprobe` sets, so candidates only shrink (spec-pinned). */
   def maxSimRouted(
       docVecs: DataFrame,
       docCells: DataFrame,
@@ -134,6 +142,7 @@ object LateInteraction {
       k: Int,
       router: IvfIndex.Model,
       nprobe: Int,
+      adaptiveAlpha: Option[Double] = None,
       docId: String = "doc_id",
       docVec: String = "vec",
       queryId: String = "qid",
@@ -148,7 +157,13 @@ object LateInteraction {
       .select(col(queryId).cast("long"), col(queryVec).cast("array<float>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val probePairs = qRows
-      .flatMap { case (qid, qv) => router.probeOrder(qv).take(nprobe).map(qid -> _) }
+      .flatMap { case (qid, qv) =>
+        val cells = adaptiveAlpha match {
+          case Some(a) => router.probeAdaptive(qv, a, nprobe)
+          case None    => router.probeOrder(qv).take(nprobe)
+        }
+        cells.map(qid -> _)
+      }
       .distinct.toSeq.toDF(queryId, "cell")
     val probedCells = probePairs.select("cell").as[Int].collect().distinct.toSeq
     // 2. candidate (qid, doc) pairs from the probed slice of the

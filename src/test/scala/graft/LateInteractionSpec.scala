@@ -66,6 +66,28 @@ class LateInteractionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(1) == run(32))
   }
 
+  test("adaptive probing: wide alpha equals fixed nprobe; tight alpha only shrinks candidates, nearest cell always probed") {
+    import graft.index.IvfIndex
+    val dv = emb.select(expr("vec_id div 4").as("doc_id"), col("embedding").as("vec"))
+    val qs = emb.filter(col("vec_id") < 8)
+      .select(expr("vec_id div 4").as("qid"), col("vec_id").as("q_ord"),
+        col("embedding").as("qv"))
+    val router = IvfIndex.train(emb, k = 8, iters = 1)
+    val cells = LateInteraction.docCellListing(dv, router)
+    def run(alpha: Option[Double]) = LateInteraction
+      .maxSimRouted(dv, cells, qs, k = 5, router, nprobe = 4, adaptiveAlpha = alpha)
+      .orderBy("qid", "rank").collect().toSeq
+    // an enormous alpha never cuts: identical to the fixed-nprobe run
+    assert(run(Some(1e18)) == run(None),
+      "wide-alpha adaptive must equal fixed-nprobe serving")
+    // alpha=1.0 probes only each vector's nearest cell — a subset of
+    // the fixed probe set, so the run completes and returns ranked
+    // rows for every query (the nearest cell is always probed)
+    val tight = run(Some(1.0))
+    assert(tight.nonEmpty && tight.map(_.getLong(0)).distinct.size == 2,
+      "tight-alpha serving must still answer every query")
+  }
+
   test("incremental listing maintenance equals a fresh build over the updated corpus") {
     import graft.index.IvfIndex
     import spark.implicits._
