@@ -39,6 +39,9 @@ object Curation {
     * selection and the additive term). Ties cannot exist for distinct
     * ids at the same epoch UNLESS two ids collide mod 2³² after the
     * remix — the id itself breaks them, keeping the order total.
+    * Ids must be NON-NEGATIVE (the oracle's `%` keeps the sign where
+    * Spark's pmod wraps — the whole id-hash family shares this
+    * contract) and below ~2³¹ for checked-BIGINT oracle replay.
     * Returns the rows with an `epoch_key` column; materialize with
     * `repartitionByRange(epoch_key) + sortWithinPartitions` for the
     * write-side layout (the [[Layout.clusterByZ]] shape). */
