@@ -337,13 +337,16 @@ object Sketches {
 
   /** The k smallest DISTINCT values of a pre-built hash column, as a
     * ≤k-row DataFrame("hv"): bounded per-partition TreeSets, then a
-    * toy-sized distinct + sort over ≤ k·#partitions candidates. */
+    * toy-sized distinct + sort over ≤ k·#partitions candidates.
+    * NULL keys (⇒ NULL hashes) are skipped — the `COUNT(DISTINCT)`
+    * convention, which the oracle's NULLS-LAST bottom-k matches. */
   private def bottomKHv(df: DataFrame, hv: Column, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val spark = df.sparkSession
     import spark.implicits._
     val hashed = df
       .select(hv.as("hv"))
+      .filter(col("hv").isNotNull)
       .as[Long]
     val cand = hashed.mapPartitions { it =>
       val set = new java.util.TreeSet[java.lang.Long]()
