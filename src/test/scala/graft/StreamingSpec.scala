@@ -128,6 +128,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("hopping windows: each event lands in 4 overlapping windows, incremental equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Timestamp, String, Double)]
+    val df = src.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.startToMemory(
+      EventStreams.hoppingCounts(df), "hop_test", OutputMode.Complete())
+    try {
+      src.addData((ts(1), "click", 1.0), (ts(2), "view", 1.0))
+      q.processAllAvailable()
+      src.addData((ts(3), "click", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("hop_test")
+        .select("win_start", "event_type", "n").collect().toSet
+      val batch = EventStreams.hoppingCounts(
+          Seq((ts(1), "click", 1.0), (ts(2), "view", 1.0), (ts(3), "click", 1.0))
+            .toDF("ts", "event_type", "value"))
+        .select("win_start", "event_type", "n").collect().toSet
+      assert(streamed == batch, s"incremental hopping diverged:\n$streamed\nvs\n$batch")
+      // overlap arithmetic: every event contributes to exactly 4 windows
+      val totalRows = spark.table("hop_test")
+        .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+      assert(totalRows == 3L * 4L,
+        s"3 events x 4 overlapping windows expected, counted $totalRows")
+    } finally q.stop()
+  }
+
   test("streaming Count-Min grid: incremental micro-batches equal the batch grid") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
