@@ -68,4 +68,49 @@ object NgramLm {
       .select(col(idCol), col("n_bigrams"),
         (floor(col("lp") / col("n_bigrams") * 10000.0) / 10000.0).as("avg_logp"))
   }
+
+  /** Pointwise-mutual-information collocation census (Church & Hanks
+    * '90) — the standard detector for multi-word units ("new york")
+    * that tokenizer/vocab decisions read: pmi(w₁,w₂) =
+    * ln( P(w₁w₂) / (P(w₁)·P(w₂)) ) with bigram probability over the
+    * bigram total and unigram probabilities over the token total.
+    * The ratio assembles from EXACT integer counts in double (all
+    * products stay below 2⁵³ at any fixture scale — counts are
+    * per-corpus, not per-key-squared) and only THEN takes one ln,
+    * floored to 4dp — the [[bigramLogProb]] convention that absorbs
+    * cross-engine libm ulps. `minCount` floors bigram support (PMI is
+    * noise for rare pairs); output is the top-`k` by (pmi DESC, w₁,
+    * w₂).
+    *
+    * Scale: two map-side-combined count aggregates + token-key joins,
+    * the same linear shape as [[bigramLogProb]]; the two scalar
+    * totals broadcast. */
+  def pmiTop(docs: DataFrame, minCount: Long, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minCount >= 1 && k >= 1, "minCount and k must be >= 1")
+    val toks = tokens(col(textCol))
+    val base = docs.select(col(idCol), toks.as("toks"))
+    val pairs = base.select(
+        explode(zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val uni = base.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+    val totals = pairs.agg(count(lit(1)).as("nbig"))
+      .crossJoin(base.select(explode(col("toks")).as("tok"))
+        .agg(count(lit(1)).as("ntok")))
+    val ratio = (col("c2").cast("double") * col("ntok") * col("ntok")) /
+      (col("nbig").cast("double") * col("cu1") * col("cu2"))
+    c2.filter(col("c2") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("cu").as("cu1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("cu").as("cu2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c2"),
+        (floor(log(ratio) * 10000.0) / 10000.0).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

@@ -369,6 +369,15 @@ object TextQueries {
       .select(col("key"), col("est"), col("cnt"))
   }
 
+  /** PMI collocation census ([[graft.operators.NgramLm.pmiTop]] —
+    * Church-Hanks pointwise mutual information over word bigrams, the
+    * multi-word-unit detector tokenizer/vocab decisions read): exact
+    * integer counts assemble the probability ratio in double, ONE ln
+    * floored to 4dp (the bigram-LM libm convention), support-floored
+    * and ranked by (pmi DESC, w1, w2). */
+  def qPmi(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NgramLm.pmiTop(docs(s, dir), minCount = 20L, k = 20)
+
   /** Direct normalization gate
     * ([[graft.functions.TextFunctions.normalizeText]] — until now
     * only gated INDIRECTLY through the normalized-dedup hash, and the
@@ -397,6 +406,27 @@ object TextQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_pmi", qPmi, Some(
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |p AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |               i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg
+         |      FROM t),
+         |p2 AS (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM p),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM p2 GROUP BY 1, 2),
+         |u AS (SELECT unnest(toks) AS tok FROM t),
+         |cu AS (SELECT tok, count(*) AS cu FROM u GROUP BY 1),
+         |tot AS (SELECT (SELECT count(*) FROM p2) AS nbig,
+         |               (SELECT count(*) FROM u) AS ntok)
+         |SELECT c2.w1, c2.w2, c2.c2,
+         |  floor(ln((CAST(c2.c2 AS DOUBLE) * tot.ntok * tot.ntok) /
+         |           (CAST(tot.nbig AS DOUBLE) * cu1.cu * cu2.cu)) * 10000.0)
+         |    / 10000.0 AS pmi
+         |FROM c2
+         |JOIN cu cu1 ON cu1.tok = c2.w1
+         |JOIN cu cu2 ON cu2.tok = c2.w2
+         |CROSS JOIN tot
+         |WHERE c2.c2 >= 20
+         |ORDER BY pmi DESC, c2.w1, c2.w2 LIMIT 20""".stripMargin)),
     QueryDef("q_normalize_text", qNormalizeText, Some(
       """SELECT event_id,
         |  trim(regexp_replace(lower(upper(event_type) || ' >> ' || props),
