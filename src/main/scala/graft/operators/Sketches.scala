@@ -181,6 +181,25 @@ object Sketches {
     h => fn(h)
   }
 
+  /** Per-GROUP KMV distinct sketch over a STRING key — the grouped
+    * serving arm of [[KmvAggregator]] (the streaming arm is
+    * `EventStreams.hourlyDistinctUsers`): "distinct vocabulary per
+    * source/domain" corpus QA in ONE map-side-combined hash aggregate
+    * whose per-group state is O(k) forever. A per-group
+    * `COUNT(DISTINCT key)` shuffles every distinct (group, key) pair —
+    * at 100 TB with a token/shingle key that IS the corpus; the sketch
+    * shuffle carries O(groups · k). Same md5 fingerprint + estimator
+    * as [[kmvDistinctText]], so every group's row replays exactly.
+    * Output: one row per group `(group, n_cand, kth_hash, est)`. */
+  def kmvGroupedText(df: DataFrame, group: Column, key: Column,
+      k: Int = 256): DataFrame = {
+    val kmv = kmvAgg(k)
+    df.groupBy(group.as("grp"))
+      .agg(kmv(pmod(stringFingerprint(key), lit(HashMod))).as("sk"))
+      .select(col("grp"), col("sk._1").as("n_cand"), col("sk._2").as("kth_hash"),
+        estFromSketch(k, col("sk._1"), col("sk._2")).as("est"))
+  }
+
   /** Count-Min sketch (Cormode & Muthukrishnan '05): frequency
     * estimates for ANY key from a d×w counter grid — build cost is one
     * map-side-combined aggregate whose shuffle carries O(d·w) rows
@@ -318,6 +337,98 @@ object Sketches {
         .groupBy(key.cast("string").as("key"))
         .agg(max(estCol).as("est"), count(lit(1)).as("cnt"))
         .filter(col("cnt") >= threshold)
+    }
+  }
+
+  /** Bloom filter (Bloom CACM'70) over a STRING key — the
+    * incremental-ingest membership sketch: build an m-bit array from
+    * the resident corpus ONCE, then screen every new batch map-only.
+    * An unset bit is definite ("this key was never ingested"), so the
+    * filter partitions a batch into definitely-new rows and a small
+    * maybe-seen remainder — only the remainder ever needs an exact
+    * check, and at the design fill ratio that remainder is the true
+    * duplicates plus an ε of false positives. At 100 TB this replaces
+    * the batch-vs-corpus anti-join (a shuffle of the resident key set
+    * per ingest) with one O(m/32)-row build aggregate and a literal
+    * lookup fused into the batch scan.
+    *
+    * Bit positions reuse the [[CountMin.textBucket]] md5-slice family
+    * (row j draws its own 28-bit slice), so the whole bit array AND
+    * every probe replay exactly in the oracle as
+    * `('0x'||substr(md5(key),8j+1,7))::BIGINT % m`. Words are 32-bit
+    * (stored in longs): every word value is positive, so no oracle
+    * sign/overflow edge exists anywhere. */
+  object Bloom {
+    /** Number of md5-slice hash functions (≤ 4 — the slice family). */
+    val Depth = 4
+
+    private def checkBits(mBits: Int): Unit =
+      require(mBits >= 64 && mBits <= (1 << 28) && (mBits & (mBits - 1)) == 0,
+        s"mBits must be a power of two in [64, 2^28], got $mBits — " +
+          "the 28-bit md5 slice is uniform mod m only when m divides 2^28")
+
+    /** The set-bit census of the corpus: rows `(word_idx, word)` for
+      * every non-zero 32-bit word of the m-bit array (absent word ⇒
+      * 0). ONE map-side-combined aggregate; the shuffle carries
+      * O(m/32) rows, never the key set. */
+    def build(df: DataFrame, key: Column, mBits: Int): DataFrame = {
+      checkBits(mBits)
+      df.select(explode(array((0 until Depth).map(j =>
+          CountMin.textBucket(key, j, mBits)): _*)).as("pos"))
+        .select((col("pos") / 32).cast("int").as("word_idx"),
+          pmod(col("pos"), lit(32L)).cast("int").as("bit"))
+        .groupBy("word_idx")
+        .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("word"))
+    }
+
+    /** Membership probe as a pure Column over `key`, from a collected
+      * bit array (`build(...).collect()` — bounded O(m/32) rows, the
+      * [[CountMin.heavyHittersText]] literal-grid pattern): TRUE iff
+      * all Depth probed bits are set (maybe seen), FALSE iff any is
+      * unset (definitely new). Fuses map-only into whatever scan the
+      * batch arrives on — no join, no shuffle. */
+    def maybeSeenExpr(grid: Map[Int, Long], key: Column, mBits: Int): Column = {
+      checkBits(mBits)
+      val entries = grid.toSeq.sortBy(_._1)
+        .flatMap { case (w, v) => Seq(lit(w), lit(v)) }
+      val wordOf: Column => Column =
+        if (entries.isEmpty) _ => lit(0L)
+        else p => coalesce(
+          element_at(map(entries: _*), (p / 32).cast("int")), lit(0L))
+      (0 until Depth).map { j =>
+        val p = CountMin.textBucket(key, j, mBits)
+        val mask = call_function("shiftleft", lit(1L), pmod(p, lit(32L)).cast("int"))
+        wordOf(p).bitwiseAND(mask) =!= 0L
+      }.reduce(_ && _)
+    }
+
+    /** [[build]] collected to the literal-map form [[maybeSeenExpr]]
+      * takes (bounded: O(m/32) one-int-one-long rows). */
+    def collectGrid(df: DataFrame, key: Column, mBits: Int): Map[Int, Long] =
+      build(df, key, mBits).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    /** Frame-level probe for corpus-scale m (where the literal-map
+      * form would bloat codegen): one row per input key with its
+      * membership verdict `(key, maybe_seen)`. The Depth probes
+      * explode per key and BROADCAST-join the O(m/32) grid — the
+      * probed frame itself never shuffles on anything but its own
+      * key. Feed DISTINCT keys and join the verdicts back on the key
+      * column when screening a multiset (the verdict is a pure
+      * function of the key). */
+    def maybeSeenFlags(keys: DataFrame, key: Column, grid: DataFrame,
+        mBits: Int): DataFrame = {
+      checkBits(mBits)
+      keys.select(key.as("__bf_key"), explode(array((0 until Depth).map(j =>
+          CountMin.textBucket(key, j, mBits)): _*)).as("pos"))
+        .select(col("__bf_key"), (col("pos") / 32).cast("int").as("word_idx"),
+          pmod(col("pos"), lit(32L)).cast("int").as("bit"))
+        .join(broadcast(grid), Seq("word_idx"), "left")
+        .groupBy("__bf_key")
+        .agg(min(when(coalesce(col("word"), lit(0L))
+          .bitwiseAND(call_function("shiftleft", lit(1L), col("bit"))) =!= 0L,
+          1).otherwise(0)).as("__allset"))
+        .select(col("__bf_key").as("key"), (col("__allset") === 1).as("maybe_seen"))
     }
   }
 

@@ -208,7 +208,77 @@ object DedupQueries {
     graft.operators.Dedup.triangleCount(
       MinHash.simHashPairs(docs(s, dir), maxHamming = 6).select("a", "b"))
 
+  /** Bloom-filter novelty screen ([[graft.operators.Sketches.Bloom]])
+    * — the incremental-ingest dedup shape: the resident corpus (75% of
+    * docs) builds an m-bit filter over its word 3-shingles ONCE; the
+    * arriving batch (the other 25%) screens each shingle against it.
+    * An unset bit is definite, so `n_new` counts shingles PROVABLY
+    * never ingested — no batch-vs-corpus join anywhere on the serving
+    * path (one O(m/32) build aggregate + a broadcast-grid probe over
+    * the batch's distinct keys). The exact truth arm (`n_seen_true`)
+    * rides beside it gate-only — the O(corpus) arm a 100 TB deploy
+    * drops, the q_overlap_kmv convention — which also makes the false
+    * positives visible: (n_sh − n_new) − n_seen_true ≥ 0. */
+  def qBloomDedup(s: SparkSession, dir: String): DataFrame = {
+    val MBits = 131072
+    val sh = docShingles(s, dir)
+    val corpus = sh.filter(col("doc_id") % 4 =!= 0)
+    val batch = sh.filter(col("doc_id") % 4 === 0)
+    val grid = graft.operators.Sketches.Bloom.build(corpus, col("tok3"), MBits)
+    val flags = graft.operators.Sketches.Bloom
+      .maybeSeenFlags(batch.select("tok3").distinct(), col("tok3"), grid, MBits)
+      .withColumnRenamed("key", "tok3")
+    val truth = corpus.select("tok3").distinct().withColumn("in_corpus", lit(true))
+    batch.join(flags, "tok3")
+      .join(truth, Seq("tok3"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(!col("maybe_seen"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("in_corpus"), 1L).otherwise(0L)).as("n_seen_true"))
+      .orderBy("doc_id")
+  }
+
+  /** `(doc_id, tok3)` word 3-shingle multiset of the document corpus
+    * (the q_distinct_kmv_text shingling with provenance). */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 2),
+        i => concat_ws("_", element_at(col("t"), i),
+          element_at(col("t"), i + 1), element_at(col("t"), i + 2)))).as("tok3"))
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_bloom_dedup", qBloomDedup, Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |         i -> tk[i] || '_' || tk[i+1] || '_' || tk[i+2])) AS tok3 FROM t),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |ckeys AS (SELECT DISTINCT tok3 FROM sh WHERE doc_id % 4 <> 0),
+        |cpos AS (SELECT DISTINCT
+        |           ('0x' || substr(md5(tok3), 8 * j + 1, 7))::BIGINT % 131072 AS pos
+        |         FROM ckeys CROSS JOIN js),
+        |grid AS (SELECT pos // 32 AS word_idx,
+        |           bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+        |         FROM cpos GROUP BY 1),
+        |bkeys AS (SELECT DISTINCT tok3 FROM sh WHERE doc_id % 4 = 0),
+        |probe AS (SELECT tok3,
+        |            ('0x' || substr(md5(tok3), 8 * j + 1, 7))::BIGINT % 131072 AS pos
+        |          FROM bkeys CROSS JOIN js),
+        |flags AS (SELECT tok3,
+        |            min(CASE WHEN (coalesce(word, 0) &
+        |                  (1::BIGINT << CAST(pos % 32 AS INT))) <> 0
+        |                THEN 1 ELSE 0 END) = 1 AS maybe_seen
+        |          FROM probe LEFT JOIN grid ON pos // 32 = grid.word_idx
+        |          GROUP BY tok3)
+        |SELECT b.doc_id, count(*) AS n_sh,
+        |  CAST(sum(CASE WHEN NOT f.maybe_seen THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN c.tok3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen_true
+        |FROM sh b JOIN flags f USING (tok3) LEFT JOIN ckeys c USING (tok3)
+        |WHERE b.doc_id % 4 = 0
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)),
     QueryDef("q_triangles", qTriangles, Some(
       s"""WITH t AS (SELECT doc_id, $shSql AS sh FROM documents),
          |hs AS (SELECT doc_id, $hsSql AS hs FROM t WHERE len(sh) > 0),

@@ -271,18 +271,38 @@ object RelationalQueries {
     * the estimator; the exact distinct count rides beside it so the
     * gate also publishes sketch-vs-truth. */
   def qDistinctKmvText(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    // materialize the token array before shingling (the
-    // shinglesFromTokens lesson: HOF lambdas re-evaluate nested
-    // expressions per element; an attribute reference is free)
-    val toks = docs.select(split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 3)
-    val sh = toks.select(explode(transform(
-      sequence(lit(1), size(col("t")) - 2),
-      i => concat_ws("_", element_at(col("t"), i),
-        element_at(col("t"), i + 1), element_at(col("t"), i + 2)))).as("tok3"))
+    val sh = docShingles(s, dir)
     graft.operators.Sketches.kmvDistinctText(sh, col("tok3"), k = 256)
       .crossJoin(sh.agg(countDistinct(col("tok3")).as("n_exact")))
+  }
+
+  /** `(source, tok3)` word 3-shingles of the document corpus — shared
+    * by the global and grouped text-KMV gates. The token array
+    * materializes before shingling (the shinglesFromTokens lesson:
+    * HOF lambdas re-evaluate nested expressions per element; an
+    * attribute reference is free). */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("source"), explode(transform(
+        sequence(lit(1), size(col("t")) - 2),
+        i => concat_ws("_", element_at(col("t"), i),
+          element_at(col("t"), i + 1), element_at(col("t"), i + 2)))).as("tok3"))
+
+  /** Per-SOURCE distinct-shingle census from the GROUPED KMV sketch
+    * ([[graft.operators.Sketches.kmvGroupedText]] — the batch
+    * groupBy arm of the bounded Aggregator already gated streaming by
+    * q_stream_kmv): the "vocabulary per domain" data-mixing QA where
+    * per-group COUNT(DISTINCT shingle) would shuffle the corpus. k=64
+    * so the estimator path (not the exact small-cardinality path) is
+    * what the gate pins; the exact per-group count rides beside it. */
+  def qKmvGrouped(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+    graft.operators.Sketches.kmvGroupedText(sh, col("source"), col("tok3"), k = 64)
+      .withColumnRenamed("grp", "source")
+      .join(sh.groupBy("source").agg(countDistinct(col("tok3")).as("n_exact")), "source")
+      .orderBy("source")
   }
 
   /** Cross-corpus overlap census from two KMV sketches (lineitem's
@@ -516,6 +536,28 @@ object RelationalQueries {
         |       ELSE round(255.0 * 4294967296.0 / kth, 2) END AS est,
         |  (SELECT count(DISTINCT tok3) FROM sh) AS n_exact
         |FROM s""".stripMargin)),
+    QueryDef("q_kmv_grouped", qKmvGrouped, Some(
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT source, unnest(list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || '_' || t[i+1] || '_' || t[i+2])) AS tok3
+        |       FROM toks),
+        |h AS (SELECT DISTINCT source,
+        |        ('0x' || substr(md5(tok3), 1, 15))::BIGINT % 4294967296 AS hv
+        |      FROM sh),
+        |r AS (SELECT source, hv,
+        |        row_number() OVER (PARTITION BY source ORDER BY hv) AS rn,
+        |        count(*) OVER (PARTITION BY source) AS tot
+        |      FROM h),
+        |s AS (SELECT source, CAST(least(tot, 64) AS INT) AS n_cand,
+        |        max(CASE WHEN rn <= 64 THEN hv END) AS kth_hash
+        |      FROM r GROUP BY source, tot),
+        |e AS (SELECT source, count(DISTINCT tok3) AS n_exact FROM sh GROUP BY source)
+        |SELECT s.source, n_cand, kth_hash,
+        |  CASE WHEN n_cand < 64 THEN CAST(n_cand AS DOUBLE)
+        |       ELSE round(63.0 * 4294967296.0 / kth_hash, 2) END AS est,
+        |  e.n_exact
+        |FROM s JOIN e ON s.source = e.source ORDER BY s.source""".stripMargin)),
     QueryDef("q_asof_join", qAsofJoin, Some(
       """WITH u AS (
         |  SELECT user_id, ts, event_id, 0 AS tag, event_id AS p FROM events WHERE event_type = 'click'

@@ -158,4 +158,66 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("bloom: no false negatives, definite news are sound, probe arms agree") {
+    import spark.implicits._
+    val corpus = (0 until 800).map(i => s"key_$i").toDF("k").repartition(8)
+    val batch = (600 until 1400).map(i => s"key_$i").toDF("k")
+    val m = 8192
+    val grid = Sketches.Bloom.build(corpus, col("k"), m)
+    val flags = Sketches.Bloom.maybeSeenFlags(batch, col("k"), grid, m)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // every resident key must probe maybe_seen (an unset bit would be a
+    // false negative — impossible by construction)
+    (600 until 800).foreach(i => assert(flags(s"key_$i"),
+      s"false negative: resident key_$i flagged definitely-new"))
+    // a definitely-new verdict must be sound: key really absent
+    val resident = (0 until 800).map(i => s"key_$i").toSet
+    flags.collect { case (k, false) => k }.foreach(k =>
+      assert(!resident.contains(k), s"unsound definite-new on resident $k"))
+    // and at this fill ratio most truly-new keys are recognized as new
+    val newFrac = (800 until 1400).count(i => !flags(s"key_$i")) / 600.0
+    assert(newFrac > 0.5, f"false-positive rate ${1 - newFrac}%.2f at ~33%% fill")
+    // the literal-map point arm is the same function as the join arm
+    val gmap = Sketches.Bloom.collectGrid(corpus, col("k"), m)
+    val viaExpr = batch
+      .select(col("k"), Sketches.Bloom.maybeSeenExpr(gmap, col("k"), m).as("ms"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(viaExpr == flags, "literal-map probe diverges from broadcast-join probe")
+  }
+
+  test("bloom: grid is partition-invariant and saturates at a toy width") {
+    import spark.implicits._
+    val corpus = (0 until 500).map(i => s"key_$i").toDF("k")
+    def gridAt(parts: Int) =
+      Sketches.Bloom.build(corpus.repartition(parts), col("k"), 4096)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(gridAt(1) == gridAt(16), "bit array must not depend on partitioning")
+    // m=64: 500 keys x 4 probes set essentially every bit -> everything
+    // probes maybe_seen (the filter degrades to useless, never to wrong)
+    val tiny = Sketches.Bloom.collectGrid(corpus, col("k"), 64)
+    val probe = (9000 until 9050).map(i => s"other_$i").toDF("k")
+      .select(Sketches.Bloom.maybeSeenExpr(tiny, col("k"), 64).as("ms"))
+      .collect().map(_.getBoolean(0))
+    assert(probe.forall(identity), "saturated filter must still never claim definite-new falsely")
+  }
+
+  test("grouped text KMV: each group's row equals an independent sketch of that group") {
+    import spark.implicits._
+    val df = (0 until 3000).map { i =>
+      val g = s"g${i % 3}"
+      (g, s"${g}_tok_${i % (300 + 100 * (i % 3))}")
+    }.toDF("grp", "tok")
+    val grouped = Sketches.kmvGroupedText(df, col("grp"), col("tok"), k = 32)
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val part = df.filter(col("grp") === g)
+      // standalone sketch of just this group's rows: (k, kth_hash, est)
+      val solo = Sketches.kmvDistinctText(part, col("tok"), k = 32).head()
+      val nDistinct = part.select(countDistinct(col("tok"))).head().getLong(0)
+      val expected = (math.min(nDistinct, 32L).toInt, solo.getLong(1), solo.getDouble(2))
+      assert(grouped(g) == expected,
+        s"group $g grouped sketch ${grouped(g)} diverges from standalone $expected")
+    }
+  }
 }
