@@ -435,6 +435,12 @@ object PipelineQueries {
         |  CASE WHEN n_cand < 8 THEN CAST(n_cand AS DOUBLE)
         |       ELSE round(7.0 * 4294967296.0 / kth_hash, 2) END AS est_users
         |FROM s ORDER BY hour_start""".stripMargin)),
+    QueryDef("q_stream_enrich", qStreamEnrich, Some(
+      """SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M') AS hour_start,
+        |  c.c_mktsegment AS segment, count(*) AS n,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY hour_start, segment""".stripMargin)),
     QueryDef("q_stream_hopping", qStreamHopping, Some(
       """WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
         |w AS (SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts) - j * INTERVAL 15 MINUTE,
@@ -476,6 +482,21 @@ object PipelineQueries {
         date_format(col("win_start"), "yyyy-MM-dd HH:mm").as("win_start"),
         col("event_type"), col("n"))
       .orderBy("win_start", "event_type")
+
+  /** Stream-static enrichment rollup
+    * ([[EventStreams.enrichedHourlySegments]] — the live stream
+    * broadcast-joined to the customer dimension, hourly value per
+    * market segment): the gate runs the SAME transform `readStream`
+    * runs (watermark a no-op in batch); the incremental micro-batch ≡
+    * one-shot-batch property is pinned in StreamingSpec. */
+  def qStreamEnrich(s: SparkSession, dir: String): DataFrame =
+    EventStreams.enrichedHourlySegments(
+        EventsFixture.events(s, dir),
+        s.read.parquet(s"$dir/customer.parquet"))
+      .select(
+        date_format(col("hour_start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("segment"), col("n"), col("sum_value"))
+      .orderBy("hour_start", "segment")
 
   /** Windowed Count-Min frequency grid ([[EventStreams.hourlyFreqGrid]]
     * — the frequency twin of q_stream_kmv's cardinality sketch):

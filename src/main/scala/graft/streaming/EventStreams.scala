@@ -42,6 +42,27 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
 
+  /** Stream-static enrichment join + windowed rollup: the canonical
+    * "join the live event stream to a slowly-changing dimension"
+    * shape (events → customer → market segment here). The static side
+    * is dimension-sized by contract and BROADCASTS — re-resolved each
+    * micro-batch, so a dimension refresh is picked up without a
+    * restart and the stream side never shuffles for the join; the
+    * only streaming state is the windowed aggregate's, O(windows ×
+    * segments) under the watermark. Inner join: an event without a
+    * dimension row carries no segment and drops (the enrichment
+    * contract). Same transform batch and streaming. */
+  def enrichedHourlySegments(events: DataFrame, dims: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dims.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour_start"),
+        col("c_mktsegment").as("segment"), col("n"), col("sum_value"))
+
   /** Gap-based session windows (30-min inactivity) per user — the
     * streaming twin of RelationalQueries.qEventsSessions. */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =

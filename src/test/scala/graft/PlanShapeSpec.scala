@@ -425,4 +425,20 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scanSchemas.forall(s => !s.contains("label")),
       s"scan reads a column the query never uses:\n${scanSchemas.mkString("\n")}")
   }
+
+  test("stream-static enrichment broadcasts the dimension; the stream never shuffles for the join") {
+    val p = plan(graft.queries.PipelineQueries.qStreamEnrich(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"dimension join must broadcast (stream side must not shuffle):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join here shuffles the event stream on the dim key:\n$p")
+  }
+
+  test("bloom build bounds the shuffle at the grid (bit_or pre-aggregates map-side)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(graft.operators.Sketches.Bloom.build(docs, col("text"), 8192))
+    assert(p.contains("partial_bit_or") || p.contains("partial_"),
+      s"bloom build must pre-aggregate the word census map-side:\n$p")
+  }
 }

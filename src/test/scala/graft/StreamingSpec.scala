@@ -155,6 +155,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: broadcast dim join, incremental equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dims = Seq((1L, "AUTO"), (2L, "RETAIL"), (3L, "AUTO"))
+      .toDF("c_custkey", "c_mktsegment")
+    val src = MemoryStream[(Timestamp, Long, Double)]
+    val df = src.toDF().toDF("ts", "user_id", "value")
+    val q = EventStreams.startToMemory(
+      EventStreams.enrichedHourlySegments(df, dims),
+      "enrich_test", OutputMode.Complete())
+    try {
+      src.addData((ts(1), 1L, 10.0), (ts(2), 2L, 5.0))
+      q.processAllAvailable()
+      // second micro-batch: same segment via a DIFFERENT key (3 is
+      // AUTO like 1) and an un-dimensioned key 99 that must drop
+      src.addData((ts(3), 3L, 2.0), (ts(4), 99L, 100.0))
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_test")
+        .select("hour_start", "segment", "n", "sum_value").collect().toSet
+      val all = Seq((ts(1), 1L, 10.0), (ts(2), 2L, 5.0),
+        (ts(3), 3L, 2.0), (ts(4), 99L, 100.0)).toDF("ts", "user_id", "value")
+      val batch = EventStreams.enrichedHourlySegments(all, dims)
+        .select("hour_start", "segment", "n", "sum_value").collect().toSet
+      assert(streamed == batch, s"incremental enrichment diverged:\n$streamed\nvs\n$batch")
+      // the un-dimensioned event dropped; AUTO merged keys 1 and 3
+      val auto = streamed.filter(_.getString(1) == "AUTO").map(r => (r.getLong(2), r.getDouble(3)))
+      assert(auto == Set((2L, 12.0)), s"AUTO rollup wrong: $auto")
+      assert(!streamed.exists(_.getDouble(3) == 100.0), "key 99 must not survive the enrichment join")
+    } finally q.stop()
+  }
+
   test("streaming Count-Min grid: incremental micro-batches equal the batch grid") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
