@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality for corpus quality weighting (extension — the
+  * reference has no graph surface). A web-scale pretraining pipeline
+  * derives a per-document/per-domain quality prior from the link graph
+  * (the OpenWebText/CCNet lineage: rank the graph, not the text); this
+  * is the census that computes it.
+  */
+object Graph {
+
+  /** Deterministic fixed-iteration PageRank (Brin & Page '98) over a
+    * directed edge list `(src, dst)`.
+    *
+    * Numeric convention (chosen so a SQL oracle replays every round
+    * bit-for-bit): contributions enter each round as INTEGER 1e-12
+    * units — `floor(rank/outdeg · 1e12)` as a long — so the
+    * per-destination sum is exact integer arithmetic with no
+    * accumulation-order noise, and each round's rank re-floors to
+    * 12 dp; every iteration's input is therefore a pure function of
+    * integers and identical IEEE double ops, whatever the
+    * parallelism. The ≤1e-12-per-term floor loss is the price of
+    * cross-engine determinism (a raw double sum is merge-order-
+    * dependent and ungateable — the approx_percentile lesson).
+    *
+    * Contract: every node must have at least one out-edge (any
+    * symmetrized/undirected graph qualifies); dangling nodes leak
+    * damping mass, which this implementation REJECTS loudly rather
+    * than silently mis-normalizing.
+    *
+    * Scale shape: each iteration is the Pregel message pattern in two
+    * bounded shuffles — ONE equi-join of the O(N) rank table to the
+    * O(E) edge list on `src` (co-partitioned with the out-degree
+    * join on the same key) plus ONE map-side-combined integer sum per
+    * `dst`. Degrees and the node set build once; N is a scalar;
+    * nothing collects. `localCheckpoint` per round keeps the plan
+    * flat (the [[Dedup.connectedComponents]] lesson) — at a fixed
+    * iteration count the wall-clock is iters × (join + agg), however
+    * large the graph. */
+  def pageRank(edges: DataFrame, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDangling = nodes.join(deg, nodes("node") === deg("src"), "left_anti").count()
+      require(nDangling == 0,
+        s"$nDangling dangling node(s) — pageRank requires every node to " +
+          "have an out-edge (symmetrize the graph or drop sinks)")
+      val n = nodes.count()
+      val floor12 = (c: Column) => floor(c * lit(1e12)).cast("double") / lit(1e12)
+      var rank = nodes.withColumn("rank", floor12(lit(1.0) / n)).localCheckpoint()
+      for (_ <- 1 to iters) {
+        val units = e.join(deg, "src")
+          .join(rank.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(floor(col("rank") / col("deg") * lit(1e12))).as("u"))
+        rank = nodes.join(units, Seq("node"), "left")
+          .select(col("node"),
+            floor12(lit((1 - damping) / n) + lit(damping) *
+              (coalesce(col("u"), lit(0L)).cast("double") / lit(1e12))).as("rank"))
+          .localCheckpoint()
+      }
+      rank
+    } finally {
+      e.unpersist(); deg.unpersist(); nodes.unpersist()
+    }
+  }
+}

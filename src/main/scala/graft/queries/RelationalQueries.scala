@@ -305,6 +305,39 @@ object RelationalQueries {
       .orderBy("source")
   }
 
+  /** PageRank centrality over the supplier↔part co-purchase graph
+    * ([[graft.operators.Graph.pageRank]] — the link-graph quality
+    * prior of a web-scale corpus pipeline, run here on the fixture's
+    * natural bipartite graph): distinct (l_suppkey, l_partkey) pairs
+    * symmetrized into a directed edge list (part nodes offset into
+    * their own id namespace), 3 damped iterations in exact 1e-12
+    * integer-unit arithmetic, top-50 by (rank DESC, node). The
+    * oracle unrolls all three iterations as CTEs with the identical
+    * floor/unit convention. */
+  def qPageRank(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem")
+      .select(col("l_suppkey").cast("long").as("s"),
+        (col("l_partkey").cast("long") + 1000000L).as("p"))
+      .distinct()
+    val edges = base.select(col("s").as("src"), col("p").as("dst"))
+      .union(base.select(col("p").as("src"), col("s").as("dst")))
+    graft.operators.Graph.pageRank(edges, iters = 3)
+      .orderBy(col("rank").desc, col("node")).limit(50)
+  }
+
+  /** The k-th PageRank iteration as oracle CTEs (`i{k}`, `r{k}` from
+    * `r{k-1}`) — ONE definition of the integer-unit arithmetic shared
+    * across all three unrolled rounds. */
+  private def prIterSql(k: Int): String =
+    s"""i$k AS (SELECT e.dst AS node,
+       |        sum(CAST(floor(r.rank / d.deg * 1e12) AS BIGINT)) AS u
+       |      FROM e JOIN deg d ON e.src = d.src
+       |             JOIN r${k - 1} r ON e.src = r.node GROUP BY 1),
+       |r$k AS (SELECT nodes.node,
+       |        floor(((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+       |               + CAST(0.85 AS DOUBLE) * (CAST(coalesce(u, 0) AS DOUBLE) / 1e12)) * 1e12) / 1e12 AS rank
+       |      FROM nodes CROSS JOIN nn LEFT JOIN i$k ON nodes.node = i$k.node)""".stripMargin
+
   /** Cross-corpus overlap census from two KMV sketches (lineitem's
     * order keys vs the orders table): Jaccard and intersection
     * estimated from the k smallest union hashes, beside the exact
@@ -536,6 +569,20 @@ object RelationalQueries {
         |       ELSE round(255.0 * 4294967296.0 / kth, 2) END AS est,
         |  (SELECT count(DISTINCT tok3) FROM sh) AS n_exact
         |FROM s""".stripMargin)),
+    QueryDef("q_pagerank", qPageRank, Some(
+      s"""WITH e0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+         |              CAST(l_partkey AS BIGINT) + 1000000 AS p FROM lineitem),
+         |e AS (SELECT s AS src, p AS dst FROM e0
+         |      UNION ALL SELECT p AS src, s AS dst FROM e0),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT node, floor(CAST(1.0 AS DOUBLE) / nn.n * 1e12) / 1e12 AS rank
+         |       FROM nodes CROSS JOIN nn),
+         |${prIterSql(1)},
+         |${prIterSql(2)},
+         |${prIterSql(3)}
+         |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 50""".stripMargin)),
     QueryDef("q_kmv_grouped", qKmvGrouped, Some(
       """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents
         |              WHERE len(string_split(text, ' ')) >= 3),

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** PageRank: the structural properties (uniform fixpoint on regular
+  * graphs, hub dominance, mass conservation up to the documented floor
+  * loss, exact partition invariance from the integer-unit convention)
+  * plus a hand-replayed tiny graph and the dangling-node rejection. */
+class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int = 3): Map[Long, Double] = {
+    import spark.implicits._
+    Graph.pageRank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  test("a directed ring (regular graph) keeps the uniform distribution") {
+    val n = 10L
+    val ring = (0L until n).map(i => (i, (i + 1) % n))
+    val r = ranks(ring)
+    val u = math.floor(1.0 / n * 1e12) / 1e12
+    assert(r.values.forall(v => math.abs(v - u) < 2e-12),
+      s"uniform fixpoint must survive damped iterations: $r")
+  }
+
+  test("a star's hub out-ranks its leaves") {
+    // undirected star: hub 0 <-> leaves 1..8
+    val star = (1L to 8L).flatMap(i => Seq((0L, i), (i, 0L)))
+    val r = ranks(star)
+    val hub = r(0L)
+    (1L to 8L).foreach(i => assert(hub > r(i) * 3,
+      s"hub $hub must dominate leaf ${r(i)}"))
+    // leaves are symmetric -> identical ranks (exact, by determinism)
+    assert((1L to 8L).map(r).toSet.size == 1, s"symmetric leaves diverged: $r")
+  }
+
+  test("rank mass is conserved up to the documented floor loss") {
+    val star = (1L to 8L).flatMap(i => Seq((0L, i), (i, 0L)))
+    val total = ranks(star).values.sum
+    // each floor loses < 1e-12; (E + N) terms x 3 rounds bounds the loss
+    assert(total <= 1.0 && total > 1.0 - (16 + 9) * 3 * 1e-12,
+      s"mass $total drifted past the floor-loss bound")
+  }
+
+  test("two-node hand replay: the engine computes exactly the integer-unit recurrence") {
+    // 1 <-> 2: both degree 1, uniform by symmetry; replay the arithmetic
+    val r = ranks(Seq((1L, 2L), (2L, 1L)), iters = 3)
+    var rank = math.floor(1.0 / 2 * 1e12) / 1e12
+    for (_ <- 1 to 3) {
+      val u = math.floor(rank / 1L * 1e12).toLong
+      rank = math.floor(((1 - 0.85) / 2 + 0.85 * (u.toDouble / 1e12)) * 1e12) / 1e12
+    }
+    assert(r(1L) == rank && r(2L) == rank,
+      s"engine ${r(1L)} diverged from the hand recurrence $rank")
+  }
+
+  test("result is exactly partition-invariant (integer-unit sums)") {
+    import spark.implicits._
+    val edges = (for (i <- 0L until 40L; j <- Seq((i * 7 + 3) % 40, (i * 11 + 5) % 40))
+      yield Seq((i, j), (j, i))).flatten
+    def run(parts: Int) =
+      Graph.pageRank(edges.toDF("src", "dst").repartition(parts), iters = 4)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(run(1) == run(16), "PageRank must be bit-identical at any parallelism")
+  }
+
+  test("dangling nodes are rejected loudly, not silently mis-normalized") {
+    import spark.implicits._
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), iters = 1).collect()
+    }
+    assert(ex.getMessage.contains("dangling"))
+  }
+}
