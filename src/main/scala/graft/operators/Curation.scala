@@ -284,6 +284,58 @@ object Curation {
         (-col("hit._1")).as("score"))
   }
 
+  /** Weighted sampling without replacement (Efraimidis & Spirakis,
+    * IPL 2006 — the "exponential race"): each row draws the key
+    * e = −ln(u)/w with u hash-uniform in (0, 1]; the k SMALLEST keys
+    * ARE a weight-proportional sample without replacement. This is
+    * the standard distributed weighted sampler — the key is map-only
+    * and selection is a bounded top-k, so no global sort, no
+    * rejection loop, no sequential pass touches the corpus.
+    *
+    * Determinism + oracle replay: u comes from the Knuth remix family
+    * (`(id·m + a) mod 2³² + 1) / 2³²`), and the ONE ln floors to 6 dp
+    * (the PMI convention absorbing cross-engine libm ulps; ties the
+    * floor introduces break by id). Weights must be strictly
+    * positive — enforced in-plan, a non-positive weight raises at
+    * first evaluation rather than silently skewing the race. */
+  def sampleKey(id: Column, weight: Column): Column = {
+    val u = (graft.operators.Sketches.hashExpr(id) + 1).cast("double") /
+      lit(graft.operators.Sketches.HashMod.toDouble)
+    val e = -log(u) / weight.cast("double")
+    val guarded = when(weight > 0, e).otherwise(raise_error(format_string(
+      "weightedSample requires strictly positive weights, got %s at id %s",
+      weight.cast("string"), id.cast("string"))))
+    floor(guarded * lit(1e6)).cast("double") / lit(1e6)
+  }
+
+  /** The k-row weighted sample: `(id, ekey)` rows of the k smallest
+    * race keys (TakeOrdered — O(k) per-partition heaps). */
+  def weightedSample(df: DataFrame, id: Column, weight: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(id.cast("long").as("id"), sampleKey(id, weight).as("ekey"))
+      .orderBy(col("ekey"), col("id")).limit(k)
+  }
+
+  /** Per-GROUP weighted sampling — "draw k docs per source, weighted
+    * by length/quality" (the mixture-construction primitive): the
+    * same race key through the bounded-heap TopK aggregator (the
+    * [[domainCap]] pattern — map-side partial top-k, O(#groups·k)
+    * shuffle; a hot group never serializes a window sort). Output:
+    * `(group, rnk, id, ekey)`, rnk 1..k by (ekey, id). */
+  def weightedSampleGrouped(df: DataFrame, group: Column, id: Column,
+      weight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val topk = graft.operators.TopK.topK(k)
+    df.select(group.as("grp"), id.cast("long").as("__id"),
+        sampleKey(id, weight).as("__ekey"))
+      .groupBy("grp")
+      .agg(topk(col("__ekey"), col("__id")).as("hits"))
+      .select(col("grp"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("grp"), (col("pos") + 1).cast("int").as("rnk"),
+        col("hit._2").as("id"), col("hit._1").as("ekey"))
+  }
+
   /** Winsorizing outlier trim: keep rows whose `value` falls inside
     * the EXACT [loQ, hiQ] quantile band — the length/score
     * outlier-removal pass that runs before corpus statistics are

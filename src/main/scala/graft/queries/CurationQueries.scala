@@ -201,7 +201,41 @@ object CurationQueries {
       .orderBy("epoch", "epoch_key", "doc_id")
   }
 
+  /** Weighted sampling without replacement
+    * ([[graft.operators.Curation.weightedSample]] — the
+    * Efraimidis-Spirakis exponential race): 100 docs drawn
+    * ∝ n_chars. The oracle replays the hash-uniform draw, the single
+    * floored ln, and the (ekey, id) selection order. */
+  def qSampleWeighted(s: SparkSession, dir: String): DataFrame =
+    Curation.weightedSample(docs(s, dir), col("doc_id"), col("n_chars"), k = 100)
+
+  /** Per-SOURCE weighted sampling
+    * ([[graft.operators.Curation.weightedSampleGrouped]] — "k docs
+    * per domain ∝ length", the mixture-construction primitive):
+    * bounded-heap top-5 per source over the same race key. */
+  def qSampleWeightedGrouped(s: SparkSession, dir: String): DataFrame =
+    Curation.weightedSampleGrouped(docs(s, dir), col("source"),
+        col("doc_id"), col("n_chars"), k = 5)
+      .withColumnRenamed("grp", "source")
+      .orderBy("source", "rnk")
+
+  /** The race-key SQL shared by both weighted-sampling oracles (ONE
+    * definition of the draw arithmetic). */
+  private val ekeySql: String =
+    "floor((-ln((((doc_id * 2654435761 + 987654321) % 4294967296) + 1) " +
+      "/ CAST(4294967296 AS DOUBLE)) / CAST(n_chars AS DOUBLE)) * 1e6) / 1e6"
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_sample_weighted", qSampleWeighted, Some(
+      s"""SELECT doc_id AS id, $ekeySql AS ekey
+         |FROM documents ORDER BY ekey, id LIMIT 100""".stripMargin)),
+    QueryDef("q_sample_weighted_grouped", qSampleWeightedGrouped, Some(
+      s"""WITH w AS (SELECT source, doc_id AS id, $ekeySql AS ekey FROM documents),
+         |r AS (SELECT source, id, ekey,
+         |        CAST(row_number() OVER (PARTITION BY source ORDER BY ekey, id) AS INT) AS rnk
+         |      FROM w)
+         |SELECT source, rnk, id, ekey FROM r WHERE rnk <= 5
+         |ORDER BY source, rnk""".stripMargin)),
     QueryDef("q_epoch_shuffle", qEpochShuffle, Some {
       def leg(e: Int) =
         s"""SELECT $e AS epoch, doc_id,

@@ -236,4 +236,55 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val frac = r25.size / r100.size.toDouble
     assert(frac > 0.15 && frac < 0.35, s"rate 2500 bps kept $frac")
   }
+
+  test("weightedSample draws proportionally to weight (20:1 odds dominate the top-k)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // 2000 ids, half weight 20, half weight 1 -> a 200-row sample
+    // should be overwhelmingly heavy (A-ES inclusion ∝ weight)
+    val df = (0L until 2000L).toDF("id")
+      .withColumn("w", when(col("id") % 2 === 0, lit(20)).otherwise(lit(1)))
+    val picked = Curation.weightedSample(df, col("id"), col("w"), k = 200)
+      .select("id").as[Long].collect()
+    assert(picked.length == 200)
+    val heavy = picked.count(_ % 2 == 0)
+    assert(heavy > 150, s"only $heavy/200 heavy rows at 20:1 odds — race key wrong")
+  }
+
+  test("grouped weighted sample == standalone sample of each group, partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    def run(parts: Int) = Curation.weightedSampleGrouped(
+        docs.repartition(parts), col("source"), col("doc_id"), col("n_chars"), k = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val grouped = run(8)
+    assert(run(1) == grouped, "grouped sample must not depend on partitioning")
+    val sources = docs.select("source").distinct().collect().map(_.getString(0))
+    for (src <- sources.take(3)) {
+      val solo = Curation.weightedSample(
+          docs.filter(col("source") === src), col("doc_id"), col("n_chars"), k = 4)
+        .collect().zipWithIndex
+        .map { case (r, i) => (src, i + 1, r.getLong(0), r.getDouble(1)) }.toSet
+      assert(grouped.filter(_._1 == src) == solo,
+        s"group $src diverges from its standalone sample")
+    }
+  }
+
+  test("weightedSample rejects non-positive weights loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 5), (2L, 0)).toDF("id", "w")
+    val ex = intercept[Exception] {
+      Curation.weightedSample(df, col("id"), col("w"), k = 2).collect()
+    }
+    assert(ex.getMessage.contains("strictly positive"),
+      s"expected the in-plan weight guard, got: ${ex.getMessage}")
+  }
+
+  test("weightedSample global arm compiles to a bounded top-k (no global sort)") {
+    import org.apache.spark.sql.functions.col
+    val p = Curation.weightedSample(docs, col("doc_id"), col("n_chars"), k = 50)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"k-smallest race keys must be a bounded heap, not a sort:\n$p")
+  }
 }
