@@ -396,6 +396,48 @@ object TextQueries {
       .orderBy("event_id")
   }
 
+  /** BPE merge learning ([[graft.operators.Bpe]] — Sennrich et al.
+    * ACL'16, the tokenizer-training primitive): 8 merge rounds over
+    * the word census of the document corpus. Exact integer counts
+    * everywhere, so the oracle replays ALL EIGHT rounds — census,
+    * pair counts, (count DESC, pair ASC) argmax, and the
+    * space-sentinel merge rewrite — as unrolled CTEs from one shared
+    * round definition. */
+  def qBpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.learn(docs(s, dir), col("text"), nMerges = 8)
+      .orderBy("step")
+
+  /** One BPE oracle round: pair census over w{k-1}, argmax b{k},
+    * rewritten vocab w{k}. MATERIALIZED — each round reads its
+    * predecessor twice (census + rewrite), so inlined CTEs would
+    * expand the base scan 2^k times. */
+  private def bpeRoundSql(k: Int): String =
+    s"""p$k AS MATERIALIZED (SELECT pr.a AS a, pr.b AS b, CAST(sum(cnt) AS BIGINT) AS s
+       |       FROM (SELECT unnest(list_transform(range(1, len(t)),
+       |                i -> {'a': t[i], 'b': t[i + 1]})) AS pr, cnt
+       |             FROM (SELECT string_split(w, ' ') AS t, cnt FROM w${k - 1}) tt
+       |             WHERE len(t) >= 2) pp
+       |       GROUP BY 1, 2),
+       |b$k AS MATERIALIZED (SELECT a, b, s FROM p$k ORDER BY s DESC, a, b LIMIT 1),
+       |w$k AS MATERIALIZED (SELECT trim(replace(' ' || w || ' ',
+       |          ' ' || (SELECT a FROM b$k) || ' ' || (SELECT b FROM b$k) || ' ',
+       |          ' ' || (SELECT a FROM b$k) || (SELECT b FROM b$k) || ' ')) AS w, cnt
+       |        FROM w${k - 1})""".stripMargin
+
+  private def bpeOracleSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map(bpeRoundSql).mkString(",\n")
+    val out = (1 to nMerges).map(k =>
+      s"""SELECT $k AS step, a AS "left", b AS "right", s AS cnt FROM b$k""")
+      .mkString("\nUNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (SELECT w, count(*) AS cnt FROM (
+       |  SELECT regexp_replace(tok, '(.)', '\\1 ', 'g') || '</w>' AS w
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u
+       |  WHERE len(tok) > 0) v GROUP BY w),
+       |$rounds
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
   /** DuckDB bucket expression of the CountMin row family (shared
     * constants — ONE definition with the Scala side). */
   private def cmsBucketSql(fCol: String, jCol: String, width: Int): String = {
@@ -406,6 +448,7 @@ object TextQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_bpe_merges", qBpeMerges, Some(bpeOracleSql(8))),
     QueryDef("q_pmi", qPmi, Some(
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |p AS (SELECT unnest(list_transform(range(1, len(toks)),

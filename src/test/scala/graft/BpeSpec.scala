@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bpe
+
+/** BPE merge learning vs an independent in-memory reference
+  * implementation (same greedy contract: count DESC, pair ASC argmax;
+  * left-to-right non-overlapping merge application), plus the
+  * repeated-character edge and partition invariance. */
+class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Naive single-machine BPE with the identical conventions. */
+  private def naive(texts: Seq[String], n: Int): Seq[(Int, String, String, Long)] = {
+    var vocab: Map[String, Long] = texts
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .map(w => w.toCharArray.map(c => s"$c ").mkString + "</w>")
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var stop = false
+    while (step <= n && !stop) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((w, c) <- vocab) {
+        val t = w.split(" ")
+        for (i <- 0 until t.length - 1) pc((t(i), t(i + 1))) += c
+      }
+      if (pc.isEmpty) stop = true
+      else {
+        val ((a, b), s) = pc.toSeq.sortBy { case ((x, y), v) => (-v, x, y) }.head
+        out += ((step, a, b, s))
+        vocab = vocab.toSeq
+          .map { case (w, c) => (" " + w + " ").replace(s" $a $b ", s" $a$b ").trim -> c }
+          .groupBy(_._1).map { case (w, g) => w -> g.map(_._2).sum }
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def learned(texts: Seq[String], n: Int, parts: Int = 4) = {
+    import spark.implicits._
+    Bpe.learn(texts.toDF("text").repartition(parts), col("text"), n)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+  }
+
+  test("matches the naive reference on the Sennrich-style corpus, all 10 merges") {
+    val texts = Seq(
+      "low low low low low lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest")
+    assert(learned(texts, 10) == naive(texts, 10))
+  }
+
+  test("repeated characters merge left-to-right non-overlapping (the greedy BPE order)") {
+    val texts = Seq("aaaa aaaa aa")
+    val got = learned(texts, 4)
+    assert(got == naive(texts, 4), s"repeated-char merge order diverged: $got")
+    // first merge must be (a, a) and count pairs non-overlapping after rewrite
+    assert(got.head._2 == "a" && got.head._3 == "a")
+  }
+
+  test("stops early when the vocabulary is fully merged") {
+    val texts = Seq("ab ab")
+    val got = learned(texts, 50)
+    assert(got == naive(texts, 50))
+    assert(got.size < 50, "a 2-char vocab cannot support 50 merges")
+  }
+
+  test("merge table is partition-invariant on fixture text") {
+    import spark.implicits._
+    val texts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").as[String].collect().toSeq
+    assert(learned(texts, 6, parts = 1) == learned(texts, 6, parts = 16))
+    assert(learned(texts, 6, parts = 1) == naive(texts, 6))
+  }
+}
