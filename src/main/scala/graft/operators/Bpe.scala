@@ -84,4 +84,26 @@ object Bpe {
     learnMerges(vocabCensus(df, text), nMerges).toDF()
       .select(col("step"), col("left"), col("right"), col("cnt"))
   }
+
+  /** Apply a learned merge table to one spaced word form — the ENCODE
+    * side of the tokenizer: the merge list is the bounded driver-side
+    * model artifact, folded in order into a chain of codegen'd
+    * `replace` expressions (each with the same space-sentinel
+    * left-to-right contract the trainer used), so encoding is
+    * map-only at any corpus size and encodes UNSEEN words by
+    * construction. */
+  def applyMerges(spaced: org.apache.spark.sql.Column,
+      merges: Seq[Merge]): org.apache.spark.sql.Column =
+    merges.foldLeft(spaced)((c, m) =>
+      trim(replace(concat(lit(" "), c, lit(" ")),
+        lit(s" ${m.left} ${m.right} "), lit(s" ${m.left}${m.right} "))))
+
+  /** Encode a text column into sub-word tokens under a merge table:
+    * one row per (doc token occurrence, sub-word token). */
+  def encode(df: DataFrame, text: org.apache.spark.sql.Column,
+      merges: Seq[Merge]): DataFrame =
+    df.select(explode(split(text, " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(explode(split(applyMerges(spacedForm(col("tok")), merges), " "))
+        .as("subtok"))
 }

@@ -403,9 +403,32 @@ object TextQueries {
     * pair counts, (count DESC, pair ASC) argmax, and the
     * space-sentinel merge rewrite — as unrolled CTEs from one shared
     * round definition. */
-  def qBpeMerges(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Bpe.learn(docs(s, dir), col("text"), nMerges = 8)
+  /** The 8-round merge table, learned once per session + fixture (a
+    * trained model artifact — the ANN-index/quantizer memo rationale;
+    * both BPE gates consume it). */
+  private val bpeMemo = new IndexQueries.SessionMemo[Seq[graft.operators.Bpe.Merge]]
+  private def bpeMerges(s: SparkSession, dir: String): Seq[graft.operators.Bpe.Merge] =
+    bpeMemo.get(s, dir)(graft.operators.Bpe.learnMerges(
+      graft.operators.Bpe.vocabCensus(docs(s, dir), col("text")), nMerges = 8))
+
+  def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeMerges(s, dir).toDF()
+      .select(col("step"), col("left"), col("right"), col("cnt"))
       .orderBy("step")
+  }
+
+  /** The ENCODE side of the tokenizer ([[graft.operators.Bpe.encode]]
+    * — the learned merge table folded into a map-only chain of
+    * codegen'd replaces over the corpus): top-30 sub-word census. The
+    * oracle derives the census from the TRAINED vocabulary state
+    * (w8), so the gate pins encode ≡ train-state — applying the
+    * merges to each word must land exactly on the vocabulary row the
+    * trainer rewrote. */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.encode(docs(s, dir), col("text"), bpeMerges(s, dir))
+      .groupBy("subtok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("subtok")).limit(30)
 
   /** One BPE oracle round: pair census over w{k-1}, argmax b{k},
     * rewritten vocab w{k}. MATERIALIZED — each round reads its
@@ -424,19 +447,32 @@ object TextQueries {
        |          ' ' || (SELECT a FROM b$k) || (SELECT b FROM b$k) || ' ')) AS w, cnt
        |        FROM w${k - 1})""".stripMargin
 
-  private def bpeOracleSql(nMerges: Int): String = {
+  /** The shared CTE chain: census w0 + nMerges materialized rounds. */
+  private def bpeCtesSql(nMerges: Int): String = {
     val rounds = (1 to nMerges).map(bpeRoundSql).mkString(",\n")
-    val out = (1 to nMerges).map(k =>
-      s"""SELECT $k AS step, a AS "left", b AS "right", s AS cnt FROM b$k""")
-      .mkString("\nUNION ALL ")
     s"""WITH w0 AS MATERIALIZED (SELECT w, count(*) AS cnt FROM (
        |  SELECT regexp_replace(tok, '(.)', '\\1 ', 'g') || '</w>' AS w
        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u
        |  WHERE len(tok) > 0) v GROUP BY w),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeOracleSql(nMerges: Int): String = {
+    val out = (1 to nMerges).map(k =>
+      s"""SELECT $k AS step, a AS "left", b AS "right", s AS cnt FROM b$k""")
+      .mkString("\nUNION ALL ")
+    s"""${bpeCtesSql(nMerges)}
        |$out
        |ORDER BY step""".stripMargin
   }
+
+  /** Sub-word census from the trained vocabulary state w{n} — the
+    * encode oracle (encode ≡ train-state). */
+  private def bpeEncodeOracleSql(nMerges: Int): String =
+    s"""${bpeCtesSql(nMerges)}
+       |SELECT subtok, CAST(sum(cnt) AS BIGINT) AS n FROM (
+       |  SELECT unnest(string_split(w, ' ')) AS subtok, cnt FROM w$nMerges) x
+       |GROUP BY subtok ORDER BY n DESC, subtok LIMIT 30""".stripMargin
 
   /** DuckDB bucket expression of the CountMin row family (shared
     * constants — ONE definition with the Scala side). */
@@ -449,6 +485,7 @@ object TextQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_bpe_merges", qBpeMerges, Some(bpeOracleSql(8))),
+    QueryDef("q_bpe_encode", qBpeEncode, Some(bpeEncodeOracleSql(8))),
     QueryDef("q_pmi", qPmi, Some(
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |p AS (SELECT unnest(list_transform(range(1, len(toks)),

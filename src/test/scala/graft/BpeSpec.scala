@@ -80,6 +80,28 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size < 50, "a 2-char vocab cannot support 50 merges")
   }
 
+  test("encode applies merges to unseen words and reassembles losslessly") {
+    import spark.implicits._
+    val train = Seq("low low low lower newest newest newest widest")
+    val merges = Bpe.learnMerges(
+      Bpe.vocabCensus(train.toDF("text"), col("text")), nMerges = 6)
+    assert(merges.nonEmpty)
+    // an UNSEEN word must encode through the learned merges map-only
+    val toks = Bpe.encode(Seq("lowest").toDF("text"), col("text"), merges)
+      .collect().map(_.getString(0)).toSeq
+    // lossless: concatenating sub-words reproduces word + marker
+    assert(toks.mkString == "lowest</w>", s"reassembly broke: $toks")
+    assert(toks.length > 1 && toks.length < 7,
+      s"merges must have fused some characters of an unseen word: $toks")
+    // train-state equivalence: encoding a training word yields the
+    // same sub-words as the trainer's final vocabulary row
+    val trained = Bpe.applyMerges(Bpe.spacedForm(lit("newest")), merges)
+    val direct = spark.range(1).select(trained.as("w")).head().getString(0)
+    val viaEncode = Bpe.encode(Seq("newest").toDF("text"), col("text"), merges)
+      .collect().map(_.getString(0)).mkString(" ")
+    assert(direct == viaEncode, s"encode '$viaEncode' != trained state '$direct'")
+  }
+
   test("merge table is partition-invariant on fixture text") {
     import spark.implicits._
     val texts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
