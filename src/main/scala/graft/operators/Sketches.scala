@@ -408,6 +408,16 @@ object Sketches {
       build(df, key, mBits).collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
 
+    /** Incremental maintenance: fold a new batch's grid into the
+      * resident filter — bit arrays union by word-wise OR, so ingest
+      * NEVER rebuilds over the resident corpus (screen the batch,
+      * then merge its O(m/32) grid in; both sides tiny). Exactly
+      * `build(corpusA ∪ corpusB)` by associativity of bit_or. */
+    def merge(gridA: DataFrame, gridB: DataFrame): DataFrame =
+      gridA.union(gridB)
+        .groupBy("word_idx")
+        .agg(bit_or(col("word")).as("word"))
+
     /** Frame-level probe for corpus-scale m (where the literal-map
       * form would bloat codegen): one row per input key with its
       * membership verdict `(key, maybe_seen)`. The Depth probes

@@ -335,7 +335,35 @@ object VectorQueries {
        |SELECT qid, CAST(rnk AS INT) AS rank, doc_id, round(score, 3) AS score
        |FROM r WHERE rnk <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** Exact embedding covariance census
+    * ([[graft.index.Pca.covariance]] — the profiling pass feeding the
+    * PCA/OPQ rotation): all 2080 upper-triangle entries from the
+    * integer-unit census (floor(x_i·x_j·1e12) longs — the PageRank
+    * exactness convention, O(d²) per-task state, nothing explodes
+    * per row). The oracle replays every census term and the
+    * covariance assembly arithmetic. */
+  def qEmbedCov(s: SparkSession, dir: String): DataFrame =
+    graft.index.Pca.covariance(emb(s, dir), col("embedding"), Dim)
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_embed_cov", qEmbedCov, Some(
+      """WITH x AS (SELECT embedding AS e FROM embeddings),
+        |nn AS (SELECT count(*) AS n FROM x),
+        |ij AS (SELECT a.i AS i, b.j AS j
+        |       FROM (SELECT unnest(range(1, 65)) AS i) a
+        |       CROSS JOIN (SELECT unnest(range(1, 65)) AS j) b
+        |       WHERE a.i <= b.j),
+        |s2 AS (SELECT i, j,
+        |         sum(CAST(floor(CAST(e[i] AS DOUBLE) * CAST(e[j] AS DOUBLE) * 1e12) AS BIGINT)) AS s
+        |       FROM x CROSS JOIN ij GROUP BY i, j),
+        |s1 AS (SELECT i,
+        |         sum(CAST(floor(CAST(e[i] AS DOUBLE) * 1e12) AS BIGINT)) AS s
+        |       FROM x CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dd GROUP BY i)
+        |SELECT CAST(s2.i AS INT) AS i, CAST(s2.j AS INT) AS j,
+        |  floor(((CAST(s2.s AS DOUBLE) / 1e12) / nn.n
+        |    - (CAST(a.s AS DOUBLE) / 1e12 / nn.n) * (CAST(b.s AS DOUBLE) / 1e12 / nn.n)) * 1e12) / 1e12 AS cov
+        |FROM s2 CROSS JOIN nn JOIN s1 a ON s2.i = a.i JOIN s1 b ON s2.j = b.i
+        |ORDER BY i, j""".stripMargin)),
     QueryDef("q_maxsim", qMaxsim, Some(maxsimOracleSql)),
     QueryDef("q_maxsim_routed", qMaxsimRouted, Some(maxsimOracleSql)),
     QueryDef("q_maxsim_routed_selective", qMaxsimRoutedSelective,

@@ -202,6 +202,20 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(probe.forall(identity), "saturated filter must still never claim definite-new falsely")
   }
 
+  test("bloom: merged grids equal the grid of the merged corpus (incremental ingest)") {
+    import spark.implicits._
+    val a = (0 until 300).map(i => s"key_$i").toDF("k")
+    val b = (200 until 600).map(i => s"key_$i").toDF("k")
+    val m = 4096
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    val merged = Sketches.Bloom.merge(
+      Sketches.Bloom.build(a, col("k"), m), Sketches.Bloom.build(b, col("k"), m))
+    val direct = Sketches.Bloom.build(a.union(b), col("k"), m)
+    assert(norm(merged) == norm(direct),
+      "incremental grid merge must equal a fresh build over the union")
+  }
+
   test("grouped text KMV: each group's row equals an independent sketch of that group") {
     import spark.implicits._
     val df = (0 until 3000).map { i =>
