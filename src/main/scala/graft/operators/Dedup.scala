@@ -222,6 +222,58 @@ object Dedup {
     * census — no second shuffle of the census side), reassembly one
     * groupBy doc_id. Every stage is linear in the corpus; nothing is
     * all-pairs, and no task holds more than one document's segments. */
+  /** Duplicated-span census — the SLIDING-window exact-substring shape
+    * of Lee et al. ACL'22 §3.1 (ExactSubstr: a substring of ≥ L tokens
+    * shared between documents ⟺ every one of its L-token windows is
+    * shared), complementing [[segmentDedup]]'s fixed non-overlapping
+    * segments: overlapping windows catch duplicated passages at ANY
+    * alignment, which fixed segments miss when the copy shifts by a
+    * few tokens. Their distributed suffix array is replaced by the
+    * equivalent window census — one hash aggregate over md5 window
+    * fingerprints (linear in corpus tokens, shuffle carries
+    * fingerprints, never text).
+    *
+    * Per document: every L-token window fingerprints; windows whose
+    * corpus count ≥ 2 are duplicated; the tokens covered by the UNION
+    * of duplicated windows count via the gaps-and-islands lag trick —
+    * window starts are sorted per doc, so each start adds
+    * `min(L, pos − prev_pos)` covered tokens (bounded per-doc window
+    * sort, never global). All-integer output: exactly
+    * oracle-replayable, no float anywhere.
+    *
+    * Output: `(doc_id, n_tokens, n_dup_wins, n_covered)` for every
+    * doc (zeros when nothing duplicates). */
+  def dupSpans(docs: DataFrame, winTokens: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(winTokens >= 2, s"winTokens must be >= 2, got $winTokens")
+    val L = winTokens
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      split(col(textCol), " ").as("__toks"))
+    val base = toks.select(col("doc_id"), size(col("__toks")).as("n_tokens"))
+    val wins = toks
+      .filter(size(col("__toks")) >= L)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("__toks")) - (L - 1)),
+        i => md5(array_join(slice(col("__toks"), i, lit(L)), "_").cast("binary"))))
+        .as(Seq("__p0", "wh")))
+      .select(col("doc_id"), (col("__p0") + 1).as("pos"), col("wh"))
+    val dupKeys = wins.groupBy("wh").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("wh")
+    val dupWins = wins.join(dupKeys, "wh")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val covered = dupWins
+      .withColumn("__add", least(lit(L.toLong),
+        col("pos") - coalesce(lag(col("pos"), 1).over(w), col("pos") - L)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_dup_wins"),
+        sum(col("__add")).as("n_covered"))
+    base.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("n_dup_wins"), lit(0L)).as("n_dup_wins"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+  }
+
   def segmentDedup(docs: DataFrame, segTokens: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")

@@ -238,6 +238,17 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Duplicated-span census ([[graft.operators.Dedup.dupSpans]] — the
+    * sliding-window ExactSubstr shape of Lee et al. §3.1, catching
+    * duplicated passages at ANY alignment where fixed segments miss
+    * shifted copies): per-doc count of duplicated 8-token windows and
+    * the tokens covered by their union (gaps-and-islands lag sum).
+    * All-integer output; the oracle replays fingerprints, census,
+    * and the interval-union arithmetic exactly. */
+  def qDupSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.dupSpans(docs(s, dir), winTokens = 8)
+      .orderBy("doc_id")
+
   /** `(doc_id, tok3)` word 3-shingle multiset of the document corpus
     * (the q_distinct_kmv_text shingling with provenance). */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
@@ -250,6 +261,25 @@ object DedupQueries {
           element_at(col("t"), i + 1), element_at(col("t"), i + 2)))).as("tok3"))
 
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_dup_spans", qDupSpans, Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM t),
+        |w AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6),
+        |        i -> {'pos': i, 'wh': md5(array_to_string(tk[i:i+7], '_'))})) AS u
+        |      FROM t WHERE len(tk) >= 8),
+        |wins AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.wh AS wh FROM w),
+        |dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
+        |dw AS (SELECT wins.doc_id, wins.pos FROM wins JOIN dup USING (wh)),
+        |adds AS (SELECT doc_id, least(8, pos - coalesce(
+        |           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), pos - 8)) AS a
+        |         FROM dw),
+        |cov AS (SELECT doc_id, count(*) AS n_dup_wins, sum(a) AS n_covered
+        |        FROM adds GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |  CAST(coalesce(c.n_dup_wins, 0) AS BIGINT) AS n_dup_wins,
+        |  CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_covered
+        |FROM base b LEFT JOIN cov c ON b.doc_id = c.doc_id
+        |ORDER BY b.doc_id""".stripMargin)),
     QueryDef("q_bloom_dedup", qBloomDedup, Some(
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
         |           WHERE len(string_split(text, ' ')) >= 3),
