@@ -105,6 +105,62 @@ object RelationalQueries {
 
   /** Gap-based sessionization (30-min inactivity): the batch rendering
     * of the streaming session-window operator. */
+  /** SCD type-2 history: per-user validity intervals of the event_type
+    * attribute (the slowly-changing-dimension rendering a warehouse
+    * derives from a change stream): consecutive repeats compress away
+    * (only CHANGES open a new version), `valid_to` is the next
+    * version's start (NULL while current), version numbers count
+    * changes. One per-user window pass — bounded per-key state, no
+    * corpus-wide sort; (ts, event_id) total order. All
+    * integer/timestamp arithmetic — exactly oracle-replayable. */
+  def qScd2History(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val changes = EventsFixture.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("__prev", lag(col("event_type"), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
+    val wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes
+      .withColumn("version", row_number().over(wc))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(wc))
+      .select(col("user_id"), col("version"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"))
+      .orderBy("user_id", "version")
+  }
+
+  /** Trailing-window anomaly census: per event_type hourly counts
+    * z-scored against the previous 24 full hours ((x−μ)/σ with μ, σ²
+    * assembled from EXACT integer window sums — the only float ops
+    * are two divisions and one IEEE-correctly-rounded sqrt, so both
+    * engines agree; z rounds to 4 dp). The drift alarm a pipeline
+    * runs on its ingest volumes; per-type bounded window state, no
+    * global sort. Rows with a full 24-hour history and σ² > 0. */
+  def qAnomalyHourly(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = EventsFixture.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("__cnt", count(col("n")).over(w))
+      .withColumn("__s1", sum(col("n")).over(w))
+      .withColumn("__s2", sum(col("n") * col("n")).over(w))
+      .filter(col("__cnt") === 24)
+      .withColumn("mean", col("__s1").cast("double") / lit(24.0))
+      .withColumn("__var",
+        (col("__s2").cast("double") - col("__s1").cast("double") *
+          col("__s1").cast("double") / lit(24.0)) / lit(24.0))
+      .filter(col("__var") > 0)
+      .select(col("hour"), col("event_type"), col("n"),
+        round(col("mean"), 4).as("mean"),
+        round((col("n").cast("double") - col("mean")) / sqrt(col("__var")), 4).as("z"))
+      .orderBy("hour", "event_type")
+  }
+
   def qEventsSessions(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     // gaps compare in exact epoch micros on both engines (the
@@ -569,6 +625,38 @@ object RelationalQueries {
         |       ELSE round(255.0 * 4294967296.0 / kth, 2) END AS est,
         |  (SELECT count(DISTINCT tok3) FROM sh) AS n_exact
         |FROM s""".stripMargin)),
+    QueryDef("q_scd2_history", qScd2History, Some(
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |     FROM events),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM e
+        |      WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_type, ts,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_ts
+        |     FROM c)
+        |SELECT user_id, version, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S') AS valid_to
+        |FROM v ORDER BY user_id, version""".stripMargin)),
+    QueryDef("q_anomaly_hourly", qAnomalyHourly, Some(
+      """WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |             event_type, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |w AS (SELECT hour, event_type, n,
+        |        count(n) OVER win AS cnt,
+        |        sum(n) OVER win AS s1,
+        |        sum(n * n) OVER win AS s2
+        |      FROM h WINDOW win AS (PARTITION BY event_type ORDER BY hour
+        |        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |g AS (SELECT hour, event_type, n,
+        |        CAST(s1 AS DOUBLE) / CAST(24 AS DOUBLE) AS mean,
+        |        (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |           / CAST(24 AS DOUBLE)) / CAST(24 AS DOUBLE) AS var
+        |      FROM w WHERE cnt = 24)
+        |SELECT hour, event_type, n, round(mean, 4) AS mean,
+        |  round((CAST(n AS DOUBLE) - mean) / sqrt(var), 4) AS z
+        |FROM g WHERE var > 0 ORDER BY hour, event_type""".stripMargin)),
     QueryDef("q_pagerank", qPageRank, Some(
       s"""WITH e0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
          |              CAST(l_partkey AS BIGINT) + 1000000 AS p FROM lineitem),
