@@ -104,6 +104,49 @@ class PcaSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("PQ reconstruction error after PCA rotation on correlated data (OPQ objective)") {
+    import spark.implicits._
+    import graft.index.ProductQuantizer
+    val d = 64
+    val data = correlated(n = 1200, d = d, seed = 11L)
+    val df = data.toDF("vec_id", "embedding")
+    val cov = Pca.covMatrix(Pca.covariance(df, col("embedding"), d).collect(), d)
+    val (_, rot) = Pca.jacobi(cov)
+    val rotDf = Pca.rotate(df, col("embedding"), rot)
+      .select(col("vec_id"), col("rvec").as("embedding"))
+    def mse(frame: org.apache.spark.sql.DataFrame): Double = {
+      val m = ProductQuantizer.train(frame, numSub = 8, k = 16, iters = 2)
+      val vecs = frame.select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val sub = d / 8
+      vecs.map { v =>
+        (0 until 8).map { s =>
+          val x = java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub)
+          m.codebooks(s).map(cw =>
+            x.zip(cw).map { case (a, b) => (a - b) * (a - b) }.sum).min
+        }.sum
+      }.sum / vecs.length
+    }
+    val (rawMse, pcaMse) = (mse(df), mse(rotDf))
+    // the documented caveat: UNbalanced PCA concentrates variance into
+    // block 1 and plain per-block PQ pays for it
+    info(f"PQ 8x16 reconstruction MSE: raw $rawMse%.4f, unbalanced-pca $pcaMse%.4f")
+    // OPQ non-parametric init: balance the variance product per block
+    val (eig, _) = Pca.jacobi(cov)
+    val perm = Pca.balancedOrder(eig, numSub = 8)
+    val balRot = perm.map(rot)
+    val balDf = Pca.rotate(df, col("embedding"), balRot)
+      .select(col("vec_id"), col("rvec").as("embedding"))
+    val balMse = mse(balDf)
+    info(f"PQ 8x16 reconstruction MSE: balanced-pca $balMse%.4f")
+    // measured floors (values in BASELINE.md): balancing must beat
+    // BOTH the raw coordinates and the unbalanced rotation
+    assert(balMse < pcaMse * 0.75,
+      f"balanced allocation must repair the unbalanced rotation: $balMse%.4f vs $pcaMse%.4f")
+    assert(balMse < rawMse * 0.95,
+      f"balanced PCA-PQ must beat raw-coordinate PQ: $balMse%.4f vs $rawMse%.4f")
+  }
+
   test("truncated-16 prefix recall: PCA rotation beats raw truncation on correlated data") {
     import spark.implicits._
     val d = 64
