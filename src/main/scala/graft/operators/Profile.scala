@@ -94,6 +94,31 @@ object Profile {
       .select(col("q"), col("value"))
       .orderBy("q")
 
+  /** Robust location/scale census: EXACT median, MAD (median absolute
+    * deviation — itself an exact order statistic of |x − median|, so
+    * two [[exactQuantiles]] passes, never a global sort), and the
+    * robust-z outlier count at |x − median| > 3·1.4826·MAD (1.4826 =
+    * the normal-consistency constant making MAD estimate σ). The
+    * outlier pass a pipeline trusts when the data ITSELF is
+    * contaminated — a plain z-score threshold moves with the
+    * outliers it hunts; the median/MAD pair doesn't (50% breakdown).
+    * One row: (median, mad, n, n_outliers). Every value is an exact
+    * order statistic or an integer count — deterministic at any
+    * parallelism and exactly oracle-replayable. */
+  def robustStats(df: DataFrame, value: Column): DataFrame = {
+    val med = exactQuantiles(df, value, Seq((1, 2)))
+      .collect()(0).getDouble(1)
+    val dev = df.select(abs(value.cast("double") - lit(med)).as("d"))
+    val mad = exactQuantiles(dev, col("d"), Seq((1, 2)))
+      .collect()(0).getDouble(1)
+    val thr = 3.0 * 1.4826 * mad
+    df.agg(count(lit(1)).as("n"),
+        sum(when(abs(value.cast("double") - lit(med)) > lit(thr), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(lit(med).as("median"), lit(mad).as("mad"),
+        col("n"), col("n_outliers"))
+  }
+
   /** Per-GROUP exact quantiles — the per-source length/score profile a
     * corpus QA runs ("p50/p95 doc length per source") — in two passes
     * plus ONE bounded fetch job for every (group, quantile) at once:

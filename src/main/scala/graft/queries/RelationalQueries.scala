@@ -419,6 +419,17 @@ object RelationalQueries {
         t(s, dir, "lineitem"), col("l_extendedprice"), bins = 32)
       .select(col("bin"), col("lo"), col("hi"), col("n"))
 
+  /** Robust location/scale census
+    * ([[graft.operators.Profile.robustStats]] — exact median, MAD,
+    * and the 3·1.4826·MAD robust-outlier count over lineitem prices;
+    * the contamination-proof twin of the moments profile: a plain
+    * z threshold moves with the outliers it hunts, median/MAD has
+    * 50% breakdown). Two bin-pruned order-statistic passes, never a
+    * global sort; the oracle is the direct rank definition. */
+  def qRobustStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.robustStats(
+      t(s, dir, "lineitem"), col("l_extendedprice"))
+
   /** EXACT quantiles in two narrow passes + a per-quantile bin-pruned
     * order-statistic fetch ([[graft.operators.Profile.exactQuantiles]]
     * — the scale shape replacing a full global sort; ranks are
@@ -528,6 +539,21 @@ object RelationalQueries {
         |SELECT bin, w.lo + bin * w.width AS lo,
         |  w.lo + (bin + 1) * w.width AS hi, count(*) AS n
         |FROM b, w GROUP BY bin, w.lo, w.width ORDER BY bin""".stripMargin)),
+    QueryDef("q_robust_stats", qRobustStats, Some(
+      """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+        |           WHERE l_extendedprice IS NOT NULL),
+        |nn AS (SELECT count(*) AS n FROM v),
+        |m AS (SELECT x AS med FROM
+        |        (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v) t, nn
+        |      WHERE rn = (nn.n + 1) // 2),
+        |d AS (SELECT abs(x - med) AS dx FROM v CROSS JOIN m),
+        |md AS (SELECT dx AS mad FROM
+        |         (SELECT dx, row_number() OVER (ORDER BY dx) AS rn FROM d) t2, nn
+        |       WHERE rn = (nn.n + 1) // 2)
+        |SELECT m.med AS median, md.mad AS mad, nn.n AS n,
+        |  (SELECT count(*) FROM v CROSS JOIN m CROSS JOIN md
+        |   WHERE abs(x - med) > (CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE)) * mad) AS n_outliers
+        |FROM m CROSS JOIN md CROSS JOIN nn""".stripMargin)),
     QueryDef("q_quantiles", qQuantiles, Some(
       """WITH p AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
         |           WHERE l_extendedprice IS NOT NULL),

@@ -127,4 +127,23 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got((g, num.toDouble / den)) == kth(vs, num, den),
         s"group $g q=$num/$den mismatch")
   }
+
+  test("robustStats: hand-math median/MAD, and the threshold does not move with the outlier") {
+    import spark.implicits._
+    // 1..9 plus one gross outlier: median 5 (5th of 10 by ceil-rank),
+    // MAD 2 (5th smallest deviation of {0,1,1,2,2,3,3,4,4,995}),
+    // threshold 3*1.4826*2 = 8.8956 -> exactly the outlier flags
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).toDF("x")
+    val r = Profile.robustStats(df, col("x")).head()
+    assert(r.getDouble(0) == 5.0, s"median ${r.getDouble(0)}")
+    assert(r.getDouble(1) == 2.0, s"mad ${r.getDouble(1)}")
+    assert(r.getLong(2) == 10L && r.getLong(3) == 1L,
+      s"exactly the injected outlier must flag: $r")
+    // contamination-proofness: without the outlier the estimates are
+    // the same location/scale (median 5, mad 2) — the outlier moved
+    // NEITHER (a mean/std threshold would have moved with it)
+    val clean = Profile.robustStats((1 to 9).map(_.toDouble).toDF("x"), col("x")).head()
+    assert(clean.getDouble(0) == 5.0 && clean.getDouble(1) == 2.0 &&
+      clean.getLong(3) == 0L, s"clean baseline: $clean")
+  }
 }
