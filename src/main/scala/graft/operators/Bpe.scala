@@ -16,21 +16,45 @@ import org.apache.spark.sql.functions._
   * one map-only merge rewrite. All arithmetic is exact integer counts,
   * so every round replays bit-for-bit in a SQL oracle.
   *
-  * Word representation: characters space-separated with a trailing
-  * `</w>` end-of-word token (`"low"` → `"l o w </w>"`). A merge
-  * (a, b) rewrites `" a b "` → `" ab "` on the space-padded form —
-  * the space sentinels make token boundaries explicit, and both
-  * engines' `replace` scan left-to-right non-overlapping, which IS
-  * the classic BPE greedy application order.
+  * Word representation — the DOUBLE-SPACE form: tokens are separated
+  * by exactly two spaces and the word is padded with two spaces at
+  * each end (`"low"` → `"  l  o  w  </w>  "`). A merge (a, b)
+  * rewrites `" a  b "` → `" ab "` (single-space pattern edges): the
+  * match consumes only ONE space of each boundary pair, so the
+  * leftover space seeds the very next adjacent match. This makes a
+  * plain left-to-right non-overlapping `replace` — available and
+  * identically specified in Spark (codegen'd) and ANSI SQL — exactly
+  * equivalent to the classic BPE application (Sennrich's
+  * lookaround-regex `(?<!\S)a b(?!\S)` substitution, which RE2-based
+  * SQL engines cannot express):
+  *  - a pattern edge space can only align with the SECOND space of a
+  *    boundary pair (tokens contain no spaces, so the char after the
+  *    first space of a pair is a space, never a token head), hence
+  *    every match is a true token-boundary match;
+  *  - after a match, the scan resumes on `" <next-token>"` — the
+  *    un-consumed half of the trailing boundary — so an immediately
+  *    adjacent (a, b) pair matches too (`"a a a a"` → `"aa aa"`, not
+  *    the `"aa a a"` a single-space sentinel form would give);
+  *  - a merged token can never re-match as `a` at its own position
+  *    (that would need `a + b == a`, impossible for non-empty `b`),
+  *    which is precisely the classic scan's "resume after the
+  *    consumed pair" non-overlap rule.
+  * BpeSpec pins this equivalence against an independent token-array
+  * implementation of the classic scan.
   */
 object Bpe {
 
   /** One BPE merge step. */
   final case class Merge(step: Int, left: String, right: String, cnt: Long)
 
-  /** The space-separated character form with the `</w>` marker. */
+  /** The double-space token form with the `</w>` marker:
+    * `"low"` → `"  l  o  w  </w>  "`. */
   def spacedForm(word: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    concat(regexp_replace(word, "(.)", "$1 "), lit("</w>"))
+    concat(lit("  "), regexp_replace(word, "(.)", "$1  "), lit("</w>  "))
+
+  /** Tokens of a double-space form (drops the empty pad fragments). */
+  private def toks(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(split(w, "  "), t => length(t) > 0)
 
   /** The `(word-form, cnt)` vocabulary census of a text column —
     * the single corpus-scale aggregate. */
@@ -40,10 +64,18 @@ object Bpe {
       .select(spacedForm(col("tok")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
 
+  /** One classic merge application on the double-space form (see the
+    * object doc for why plain `replace` is exact here). */
+  private def rewrite(w: org.apache.spark.sql.Column, a: String,
+      b: String): org.apache.spark.sql.Column =
+    replace(w, lit(s" $a  $b "), lit(s" $a$b "))
+
   /** Learn `nMerges` merges from a vocabulary census. Returns the
     * merge table in order; each round's argmax collects exactly one
     * row (count DESC, left ASC, right ASC). Rounds short-circuit when
-    * no pair remains (fully merged vocabulary). */
+    * no pair remains (fully merged vocabulary). Pair counting is the
+    * classic position census (every adjacent position, including
+    * overlapping repeats — Sennrich's `get_stats`). */
   def learnMerges(vocab0: DataFrame, nMerges: Int): Seq[Merge] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val spark = vocab0.sparkSession
@@ -52,8 +84,8 @@ object Bpe {
     var step = 1
     var done = false
     while (step <= nMerges && !done) {
-      val toks = vocab.select(split(col("w"), " ").as("t"), col("cnt"))
-      val pairs = toks
+      val tt = vocab.select(toks(col("w")).as("t"), col("cnt"))
+      val pairs = tt
         .filter(size(col("t")) >= 2)
         .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
           i => struct(element_at(col("t"), i).as("a"),
@@ -65,10 +97,7 @@ object Bpe {
       else {
         val (a, b, s) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += Merge(step, a, b, s)
-        vocab = vocab.select(
-            trim(replace(concat(lit(" "), col("w"), lit(" ")),
-              lit(s" $a $b "), lit(s" $a$b "))).as("w"),
-            col("cnt"))
+        vocab = vocab.select(rewrite(col("w"), a, b).as("w"), col("cnt"))
           .localCheckpoint()
         step += 1
       }
@@ -85,18 +114,15 @@ object Bpe {
       .select(col("step"), col("left"), col("right"), col("cnt"))
   }
 
-  /** Apply a learned merge table to one spaced word form — the ENCODE
-    * side of the tokenizer: the merge list is the bounded driver-side
-    * model artifact, folded in order into a chain of codegen'd
-    * `replace` expressions (each with the same space-sentinel
-    * left-to-right contract the trainer used), so encoding is
-    * map-only at any corpus size and encodes UNSEEN words by
-    * construction. */
+  /** Apply a learned merge table to one double-space word form — the
+    * ENCODE side of the tokenizer: the merge list is the bounded
+    * driver-side model artifact, folded in order into a chain of
+    * codegen'd `replace` expressions (each the exact classic
+    * application — see the object doc), so encoding is map-only at
+    * any corpus size and encodes UNSEEN words by construction. */
   def applyMerges(spaced: org.apache.spark.sql.Column,
       merges: Seq[Merge]): org.apache.spark.sql.Column =
-    merges.foldLeft(spaced)((c, m) =>
-      trim(replace(concat(lit(" "), c, lit(" ")),
-        lit(s" ${m.left} ${m.right} "), lit(s" ${m.left}${m.right} "))))
+    merges.foldLeft(spaced)((c, m) => rewrite(c, m.left, m.right))
 
   /** Encode a text column into sub-word tokens under a merge table:
     * one row per (doc token occurrence, sub-word token). */
@@ -104,6 +130,6 @@ object Bpe {
       merges: Seq[Merge]): DataFrame =
     df.select(explode(split(text, " ")).as("tok"))
       .filter(length(col("tok")) > 0)
-      .select(explode(split(applyMerges(spacedForm(col("tok")), merges), " "))
+      .select(explode(toks(applyMerges(spacedForm(col("tok")), merges)))
         .as("subtok"))
 }

@@ -400,8 +400,9 @@ object TextQueries {
     * ACL'16, the tokenizer-training primitive): 8 merge rounds over
     * the word census of the document corpus. Exact integer counts
     * everywhere, so the oracle replays ALL EIGHT rounds — census,
-    * pair counts, (count DESC, pair ASC) argmax, and the
-    * space-sentinel merge rewrite — as unrolled CTEs from one shared
+    * pair counts, (count DESC, pair ASC) argmax, and the classic
+    * merge application (exact via the double-space form, see
+    * [[graft.operators.Bpe]]) — as unrolled CTEs from one shared
     * round definition. */
   /** The 8-round merge table, learned once per session + fixture (a
     * trained model artifact — the ANN-index/quantizer memo rationale;
@@ -438,20 +439,21 @@ object TextQueries {
     s"""p$k AS MATERIALIZED (SELECT pr.a AS a, pr.b AS b, CAST(sum(cnt) AS BIGINT) AS s
        |       FROM (SELECT unnest(list_transform(range(1, len(t)),
        |                i -> {'a': t[i], 'b': t[i + 1]})) AS pr, cnt
-       |             FROM (SELECT string_split(w, ' ') AS t, cnt FROM w${k - 1}) tt
+       |             FROM (SELECT list_filter(string_split(w, '  '),
+       |                     x -> len(x) > 0) AS t, cnt FROM w${k - 1}) tt
        |             WHERE len(t) >= 2) pp
        |       GROUP BY 1, 2),
        |b$k AS MATERIALIZED (SELECT a, b, s FROM p$k ORDER BY s DESC, a, b LIMIT 1),
-       |w$k AS MATERIALIZED (SELECT trim(replace(' ' || w || ' ',
-       |          ' ' || (SELECT a FROM b$k) || ' ' || (SELECT b FROM b$k) || ' ',
-       |          ' ' || (SELECT a FROM b$k) || (SELECT b FROM b$k) || ' ')) AS w, cnt
+       |w$k AS MATERIALIZED (SELECT replace(w,
+       |          ' ' || (SELECT a FROM b$k) || '  ' || (SELECT b FROM b$k) || ' ',
+       |          ' ' || (SELECT a FROM b$k) || (SELECT b FROM b$k) || ' ') AS w, cnt
        |        FROM w${k - 1})""".stripMargin
 
   /** The shared CTE chain: census w0 + nMerges materialized rounds. */
   private def bpeCtesSql(nMerges: Int): String = {
     val rounds = (1 to nMerges).map(bpeRoundSql).mkString(",\n")
     s"""WITH w0 AS MATERIALIZED (SELECT w, count(*) AS cnt FROM (
-       |  SELECT regexp_replace(tok, '(.)', '\\1 ', 'g') || '</w>' AS w
+       |  SELECT '  ' || regexp_replace(tok, '(.)', '\\1  ', 'g') || '</w>  ' AS w
        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u
        |  WHERE len(tok) > 0) v GROUP BY w),
        |$rounds""".stripMargin
@@ -471,7 +473,8 @@ object TextQueries {
   private def bpeEncodeOracleSql(nMerges: Int): String =
     s"""${bpeCtesSql(nMerges)}
        |SELECT subtok, CAST(sum(cnt) AS BIGINT) AS n FROM (
-       |  SELECT unnest(string_split(w, ' ')) AS subtok, cnt FROM w$nMerges) x
+       |  SELECT unnest(string_split(w, '  ')) AS subtok, cnt FROM w$nMerges) x
+       |WHERE len(subtok) > 0
        |GROUP BY subtok ORDER BY n DESC, subtok LIMIT 30""".stripMargin
 
   /** DuckDB bucket expression of the CountMin row family (shared

@@ -8,9 +8,14 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Bpe
 
 /** BPE merge learning vs an independent in-memory reference
-  * implementation (same greedy contract: count DESC, pair ASC argmax;
-  * left-to-right non-overlapping merge application), plus the
-  * repeated-character edge and partition invariance. */
+  * implementation of CLASSIC BPE (Sennrich ACL'16: count DESC, pair
+  * ASC argmax; merge application as a left-to-right token-array scan
+  * that resumes after each consumed pair — the semantics of the
+  * original lookaround-regex substitution), plus the adjacent-repeat
+  * edge (`a a a a` → `aa aa`) and partition invariance. The naive
+  * reference deliberately shares NO string-rewrite machinery with the
+  * operator, so it independently pins the double-space `replace`
+  * convention to classic merge-compatibility. */
 class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark: SparkSession = SparkSession.builder()
@@ -21,11 +26,23 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  /** Naive single-machine BPE with the identical conventions. */
+  /** Classic non-overlapping merge: scan left to right, consume the
+    * pair, resume AFTER it (Sennrich's `(?<!\S)a b(?!\S)` re.sub). */
+  private def mergePass(t: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < t.length) {
+      if (i + 1 < t.length && t(i) == a && t(i + 1) == b) { out += (a + b); i += 2 }
+      else { out += t(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Naive single-machine classic BPE over token arrays. */
   private def naive(texts: Seq[String], n: Int): Seq[(Int, String, String, Long)] = {
-    var vocab: Map[String, Long] = texts
+    var vocab: Map[Seq[String], Long] = texts
       .flatMap(_.split(" ")).filter(_.nonEmpty)
-      .map(w => w.toCharArray.map(c => s"$c ").mkString + "</w>")
+      .map(w => w.toCharArray.map(_.toString).toSeq :+ "</w>")
       .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
@@ -33,17 +50,14 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     while (step <= n && !stop) {
       val pc = scala.collection.mutable.Map.empty[(String, String), Long]
         .withDefaultValue(0L)
-      for ((w, c) <- vocab) {
-        val t = w.split(" ")
-        for (i <- 0 until t.length - 1) pc((t(i), t(i + 1))) += c
-      }
+      for ((t, c) <- vocab; i <- 0 until t.length - 1) pc((t(i), t(i + 1))) += c
       if (pc.isEmpty) stop = true
       else {
         val ((a, b), s) = pc.toSeq.sortBy { case ((x, y), v) => (-v, x, y) }.head
         out += ((step, a, b, s))
         vocab = vocab.toSeq
-          .map { case (w, c) => (" " + w + " ").replace(s" $a $b ", s" $a$b ").trim -> c }
-          .groupBy(_._1).map { case (w, g) => w -> g.map(_._2).sum }
+          .map { case (t, c) => mergePass(t.toArray, a, b).toSeq -> c }
+          .groupBy(_._1).map { case (t, g) => t -> g.map(_._2).sum }
         step += 1
       }
     }
@@ -73,6 +87,18 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.head._2 == "a" && got.head._3 == "a")
   }
 
+  test("adjacent repeats apply like classic BPE: a a a a -> aa aa, not aa a a") {
+    import spark.implicits._
+    val m = Seq(Bpe.Merge(1, "a", "a", 7L))
+    val toks = Bpe.encode(Seq("aaaa").toDF("text"), col("text"), m)
+      .collect().map(_.getString(0)).toSeq
+    assert(toks == Seq("aa", "aa", "</w>"), s"got $toks")
+    // odd run: trailing singleton survives (scan resumes after each pair)
+    val t5 = Bpe.encode(Seq("aaaaa").toDF("text"), col("text"), m)
+      .collect().map(_.getString(0)).toSeq
+    assert(t5 == Seq("aa", "aa", "a", "</w>"), s"got $t5")
+  }
+
   test("stops early when the vocabulary is fully merged") {
     val texts = Seq("ab ab")
     val got = learned(texts, 50)
@@ -97,6 +123,7 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // same sub-words as the trainer's final vocabulary row
     val trained = Bpe.applyMerges(Bpe.spacedForm(lit("newest")), merges)
     val direct = spark.range(1).select(trained.as("w")).head().getString(0)
+      .split("  ").filter(_.nonEmpty).mkString(" ")
     val viaEncode = Bpe.encode(Seq("newest").toDF("text"), col("text"), merges)
       .collect().map(_.getString(0)).mkString(" ")
     assert(direct == viaEncode, s"encode '$viaEncode' != trained state '$direct'")
