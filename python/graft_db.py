@@ -62,7 +62,9 @@ class VectorDB:
 
     def configure(self, nprobe=3, ef_search=0, adaptive_alpha=0.0):
         """Serving knobs: probed cells per query, beam width (0 =
-        engine default), adaptive probe cutoff (< 1 disables)."""
+        engine default), adaptive probe cost-growth bound
+        (``<= 0`` disables; valid settings are ``>= 1`` — a fraction
+        in ``(0, 1)`` raises rather than silently disabling)."""
         self._facade.configure(self._jdb, int(nprobe), int(ef_search),
                                float(adaptive_alpha))
         return self

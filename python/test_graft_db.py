@@ -30,6 +30,16 @@ from graft_db import VectorDB
 db = VectorDB(SF_DIR + "/embeddings.parquet", 64, 16, 32, spark=spark)
 assert db.len() == 500, db.len()
 db.build_index_ivf(num_cells=16, iters=1).configure(nprobe=16, ef_search=4096)
+
+# a fractional adaptive_alpha is a misconfiguration and must raise,
+# not silently fall back to fixed-nprobe serving
+try:
+    db.configure(nprobe=16, ef_search=4096, adaptive_alpha=0.5)
+    raise AssertionError("adaptive_alpha=0.5 must raise")
+except Exception as e:
+    assert "adaptive_alpha" in str(e), e
+print("fractional adaptive_alpha raises OK")
+db.configure(nprobe=16, ef_search=4096)  # restore
 qv = (spark.read.parquet(SF_DIR + "/embeddings.parquet")
       .filter("vec_id = 24").select("embedding").head()[0])
 hits = db.search(qv, 5)

@@ -49,9 +49,16 @@ object PyFacade {
     ()
   }
 
-  /** Serving knobs (0 / negative alpha = leave unset). */
+  /** Serving knobs. `adaptiveAlpha <= 0` is the documented "disabled"
+    * sentinel; `>= 1` enables adaptive probing. A value in (0, 1) —
+    * a plausible misreading of the knob as a fraction — would
+    * silently configure fixed-nprobe serving, so it raises instead. */
   def configure(db: VectorDB, nprobe: Int, efSearch: Int,
       adaptiveAlpha: Double): Unit = {
+    require(adaptiveAlpha <= 0.0 || adaptiveAlpha >= 1.0,
+      s"adaptive_alpha must be <= 0 (disabled) or >= 1 (the probe " +
+        s"cost-growth bound), got $adaptiveAlpha — a fraction in (0, 1) " +
+        "is not a valid setting")
     db.nprobe = nprobe
     db.efSearch = efSearch
     db.adaptiveAlpha = if (adaptiveAlpha >= 1.0) Some(adaptiveAlpha) else None

@@ -24,6 +24,21 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * per-row terms enter the census as `floor(x_i · x_j · 1e12)` longs,
   * so sums are exact integers — order-independent at any parallelism
   * and replayable term-for-term by a SQL oracle.
+  *
+  * Overflow discipline (two tiers, so the census NEVER wraps
+  * silently): per-task partials accumulate via `Math.addExact`, which
+  * RAISES if a single task's partial leaves the Long range (for
+  * unit-scale components that is ~9.2e6 rows in ONE task — an
+  * ordinary 128 MB-split task holds ~5e5 d=64 vectors, 18× headroom);
+  * the cross-partition combine then sums as DECIMAL(38,0), exact to
+  * ~1e26 unit-scale rows — beyond any corpus (100 TB of d=64 doubles
+  * is ~2e11 rows → pair sums ~2e23). The d×d covariance assembly
+  * converts the exact integer census to double, which loses ulps
+  * beyond 2^53 integer units (~9e3 unit rows per 1e12 scale — i.e.
+  * covariance VALUES stay exact-to-12dp only while |Σ| < 2^53; past
+  * that the assembly is correctly-rounded double math on an exact
+  * integer, the same contract as the SQL oracle's CAST, so the two
+  * engines still agree bit-for-bit).
   */
 object Pca {
 
@@ -45,10 +60,10 @@ object Pca {
         var i = 0
         var p = d
         while (i < d) {
-          sums(i) += math.floor(v(i) * 1e12).toLong
+          sums(i) = Math.addExact(sums(i), math.floor(v(i) * 1e12).toLong)
           var j = i
           while (j < d) {
-            sums(p) += math.floor(v(i) * v(j) * 1e12).toLong
+            sums(p) = Math.addExact(sums(p), math.floor(v(i) * v(j) * 1e12).toLong)
             p += 1
             j += 1
           }
@@ -77,7 +92,8 @@ object Pca {
         StructField("i", IntegerType, nullable = false),
         StructField("j", IntegerType, nullable = false),
         StructField("s", LongType, nullable = false))))
-      .groupBy("i", "j").agg(sum(col("s")).as("s"))
+      .groupBy("i", "j")
+      .agg(sum(col("s").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
   }
 
   /** The covariance matrix as rows `(i, j, cov)` (upper triangle,

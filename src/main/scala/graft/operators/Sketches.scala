@@ -194,7 +194,13 @@ object Sketches {
   def kmvGroupedText(df: DataFrame, group: Column, key: Column,
       k: Int = 256): DataFrame = {
     val kmv = kmvAgg(k)
-    df.groupBy(group.as("grp"))
+    // NULL keys are skipped (COUNT DISTINCT convention) BEFORE the
+    // aggregator: its Long input encoder is non-nullable, so a NULL
+    // fingerprint would throw mid-aggregate instead of being ignored.
+    // (A group whose keys are ALL null therefore emits no row — the
+    // same shape COUNT(DISTINCT) GROUP BY gives an all-null group.)
+    df.filter(key.isNotNull)
+      .groupBy(group.as("grp"))
       .agg(kmv(pmod(stringFingerprint(key), lit(HashMod))).as("sk"))
       .select(col("grp"), col("sk._1").as("n_cand"), col("sk._2").as("kth_hash"),
         estFromSketch(k, col("sk._1"), col("sk._2")).as("est"))
@@ -241,9 +247,12 @@ object Sketches {
     def build(df: DataFrame, fp: Column, width: Int = 256): DataFrame =
       buildWith(df, j => bucket(fp, j, width), width)
 
-    /** [[build]] over a STRING key ([[textBucket]] row hashes). */
+    /** [[build]] over a STRING key ([[textBucket]] row hashes). NULL
+      * keys are skipped — the `COUNT(DISTINCT)`/[[bottomKHv]]
+      * convention; without the filter a NULL key yields NULL bucket
+      * rows and [[collectGrid]]'s primitive reads would NPE. */
     def buildText(df: DataFrame, key: Column, width: Int = 256): DataFrame =
-      buildWith(df, j => textBucket(key, j, width), width)
+      buildWith(df.filter(key.isNotNull), j => textBucket(key, j, width), width)
 
     private def buildWith(df: DataFrame, bucketOf: Int => Column,
         width: Int): DataFrame = {
@@ -373,7 +382,11 @@ object Sketches {
       * O(m/32) rows, never the key set. */
     def build(df: DataFrame, key: Column, mBits: Int): DataFrame = {
       checkBits(mBits)
-      df.select(explode(array((0 until Depth).map(j =>
+      // NULL keys are skipped (COUNT DISTINCT convention): a NULL key
+      // hashes to NULL positions, and collectGrid's primitive reads
+      // would NPE on the resulting NULL-word row
+      df.filter(key.isNotNull)
+        .select(explode(array((0 until Depth).map(j =>
           CountMin.textBucket(key, j, mBits)): _*)).as("pos"))
         .select((col("pos") / 32).cast("int").as("word_idx"),
           pmod(col("pos"), lit(32L)).cast("int").as("bit"))
