@@ -349,6 +349,95 @@ object Sketches {
     }
   }
 
+  /** HyperLogLog distinct sketch (Flajolet-Fusy-Gandouet-Meunier,
+    * AofA 2007) over a STRING key — the REGISTER-state counterpart of
+    * [[kmvDistinctText]] and the industry-standard distinct sketch:
+    * fixed 2^p registers each holding one small int, and merge is
+    * element-wise MAX — associative, commutative and idempotent, so
+    * per-source register tables union across corpora, partitions,
+    * days or engines with no re-scan (the property KMV's sorted
+    * bottom-k only gets through a re-sort, and an exact
+    * COUNT(DISTINCT) cannot have at all).
+    *
+    * Determinism: the hash is the [[stringFingerprint]] 60-bit md5
+    * value — register index = low p bits, rho = (trailing zeros of
+    * the remaining 51-bit suffix) + 1, capped at 52 for a zero
+    * suffix. Trailing zeros of a uniform integer are geometric(1/2)
+    * exactly like the classic leading-zero rank, and `suffix & -suffix`
+    * isolates the lowest set bit as an exact power of two in BOTH
+    * engines, so `floor(log2(...))` is exact integer arithmetic in
+    * IEEE doubles and the whole register table replays in the oracle.
+    *
+    * Exactness of the estimator: the indicator sum Σ 2^-rho_j
+    * accumulates in integer units of 2^-52 (`shiftleft(1, 52-rho)`
+    * longs, ≤ 2^61 total — no double-rounding order dependence), and
+    * the final estimate is ONE double division by that exact integer
+    * (plus the standard linear-counting branch below 2.5·m when empty
+    * registers remain). Scale shape: ONE map-side-combined aggregate;
+    * the shuffle carries O(m) register rows, never the key set. */
+  object Hll {
+    /** Register-index bits; m = 2^P registers (σ ≈ 1.04/√m ≈ 4.6%). */
+    val P = 9
+    val M: Int = 1 << P
+    /** 60-bit fingerprint minus P index bits. */
+    val SuffixBits: Int = 60 - P
+    /** rho for an all-zero suffix (trailing-zero count saturates). */
+    val RhoCap: Int = SuffixBits + 1
+    /** alpha_m for m ≥ 128 (Flajolet et al. §4). */
+    val Alpha: Double = 0.7213 / (1.0 + 1.079 / M)
+    /** The whole raw-estimate numerator alpha·m²·2^RhoCap — ONE
+      * literal shared verbatim with the oracle SQL, so the raw branch
+      * is a single cross-engine-identical division. */
+    val EstNum: Double = Alpha * M * M * java.lang.Math.scalb(1.0, RhoCap)
+
+    /** The register table `(idx, rho)` of a corpus — one map-side-
+      * combined MAX aggregate; NULL keys skipped (COUNT DISTINCT
+      * convention). Absent idx ⇒ register 0. */
+    def registers(df: DataFrame, key: Column): DataFrame =
+      df.filter(key.isNotNull)
+        .select(stringFingerprint(key).as("fp"))
+        .select((col("fp") % lit(M.toLong)).as("idx"), expr(s"fp div $M").as("sfx"))
+        .select(col("idx"),
+          when(col("sfx") === 0L, lit(RhoCap))
+            .otherwise(floor(log2(col("sfx").bitwiseAND(-col("sfx"))))
+              .cast("int") + lit(1)).as("rho"))
+        .groupBy("idx").agg(max(col("rho")).as("rho"))
+
+    /** Sketch union: element-wise register MAX — exactly
+      * `registers(corpusA ∪ corpusB)` by associativity of max. Both
+      * sides are O(m) rows; nothing re-scans. */
+    def merge(regA: DataFrame, regB: DataFrame): DataFrame =
+      regA.unionByName(regB).groupBy("idx").agg(max(col("rho")).as("rho"))
+
+    /** The estimate from a register table — ONE row
+      * `(m, v_zero, s_units, est)`: v_zero = empty registers,
+      * s_units = the exact integer indicator sum (pins the full
+      * register state through the gate), est = the HLL estimate with
+      * the standard small-range linear-counting branch
+      * (`m·ln(m/V)` when raw ≤ 2.5·m and V > 0). */
+    def estimate(regs: DataFrame): DataFrame =
+      regs.agg(
+          count(lit(1)).as("nz"),
+          coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $RhoCap - rho)")),
+            lit(0L)).as("s_obs"))
+        .select(
+          lit(M).as("m"),
+          (lit(M.toLong) - col("nz")).cast("int").as("v_zero"),
+          (col("s_obs") + (lit(M.toLong) - col("nz")) * lit(1L << RhoCap))
+            .as("s_units"))
+        .select(col("m"), col("v_zero"), col("s_units"),
+          round(
+            when(col("v_zero") > 0 &&
+                lit(EstNum) / col("s_units").cast("double") <= lit(2.5 * M),
+              lit(M.toDouble) * log(lit(M.toDouble) / col("v_zero").cast("double")))
+              .otherwise(lit(EstNum) / col("s_units").cast("double")),
+            2).as("est"))
+
+    /** End-to-end distinct estimate of a STRING key. */
+    def distinctText(df: DataFrame, key: Column): DataFrame =
+      estimate(registers(df, key))
+  }
+
   /** Bloom filter (Bloom CACM'70) over a STRING key — the
     * incremental-ingest membership sketch: build an m-bit array from
     * the resident corpus ONCE, then screen every new batch map-only.

@@ -332,6 +332,19 @@ object RelationalQueries {
       .crossJoin(sh.agg(countDistinct(col("tok3")).as("n_exact")))
   }
 
+  /** HyperLogLog distinct-shingle census ([[graft.operators.Sketches.Hll]]
+    * — the mergeable REGISTER sketch beside the bottom-k KMV gate):
+    * the oracle replays the md5 fingerprint split (low 9 bits →
+    * register, trailing-zero rank of the 51-bit suffix → rho), the
+    * element-wise MAX register table, the exact integer indicator sum
+    * and the one-division estimate; the exact distinct count rides
+    * beside it (sketch-vs-truth). */
+  def qDistinctHll(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+    graft.operators.Sketches.Hll.distinctText(sh, col("tok3"))
+      .crossJoin(sh.agg(countDistinct(col("tok3")).as("n_exact")))
+  }
+
   /** `(source, tok3)` word 3-shingles of the document corpus — shared
     * by the global and grouped text-KMV gates. The token array
     * materializes before shingling (the shinglesFromTokens lesson:
@@ -651,6 +664,31 @@ object RelationalQueries {
         |       ELSE round(255.0 * 4294967296.0 / kth, 2) END AS est,
         |  (SELECT count(DISTINCT tok3) FROM sh) AS n_exact
         |FROM s""".stripMargin)),
+    QueryDef("q_distinct_hll", qDistinctHll, Some {
+      import graft.operators.Sketches.Hll.{EstNum, M, RhoCap}
+      s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents
+         |              WHERE len(string_split(text, ' ')) >= 3),
+         |sh AS (SELECT unnest(list_transform(range(1, len(t) - 1),
+         |                i -> t[i] || '_' || t[i+1] || '_' || t[i+2])) AS tok3
+         |       FROM toks),
+         |h AS (SELECT ('0x' || substr(md5(tok3), 1, 15))::BIGINT AS fp FROM sh),
+         |reg AS (SELECT fp % $M AS idx,
+         |          max(CASE WHEN fp // $M = 0 THEN $RhoCap
+         |               ELSE CAST(floor(log2((fp // $M) & -(fp // $M))) AS INT) + 1 END) AS rho
+         |        FROM h GROUP BY 1),
+         |a AS (SELECT count(*) AS nz,
+         |        coalesce(sum(CAST(1 AS BIGINT) << ($RhoCap - rho)), 0) AS s_obs FROM reg),
+         |b AS (SELECT CAST($M AS INT) AS m, CAST($M - nz AS INT) AS v_zero,
+         |        s_obs + ($M - nz) * (CAST(1 AS BIGINT) << $RhoCap) AS s_units FROM a)
+         |SELECT m, v_zero, s_units,
+         |  round(CASE WHEN v_zero > 0
+         |              AND CAST($EstNum AS DOUBLE) / CAST(s_units AS DOUBLE)
+         |                  <= CAST(${2.5 * M} AS DOUBLE)
+         |        THEN CAST($M AS DOUBLE) * ln(CAST($M AS DOUBLE) / CAST(v_zero AS DOUBLE))
+         |        ELSE CAST($EstNum AS DOUBLE) / CAST(s_units AS DOUBLE) END, 2) AS est,
+         |  (SELECT count(DISTINCT tok3) FROM sh) AS n_exact
+         |FROM b""".stripMargin
+    }),
     QueryDef("q_scd2_history", qScd2History, Some(
       """WITH e AS (SELECT user_id, ts, event_id, event_type,
         |       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
