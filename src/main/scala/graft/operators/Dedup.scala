@@ -415,4 +415,33 @@ object Dedup {
       .filter(col("jac") >= tau)
       .select(col("a"), col("b"), col("jac"))
   }
+
+  /** Quality-aware canonical selection — the "which duplicate
+    * survives" policy that completes the dedup pipeline (the
+    * SemDeDup-style keep decision, Abbas et al. 2023 §3: within each
+    * duplicate cluster keep ONE representative; production pipelines
+    * keep the highest-quality member, not the arbitrary minimum id
+    * the clustering labels happen to produce).
+    *
+    * Input: `members(comp, id, q)` — every document with its cluster
+    * label (singletons carry their own id) and its quality score.
+    * Output: one row per cluster `(component, kept_id, kept_q,
+    * n_members)` with the winner = argmax by (q DESC, id ASC).
+    *
+    * Scale shape: ONE map-side-combined hash aggregate — the argmax
+    * is `min(struct(-q, id))`, so there is NO per-cluster window sort
+    * and NO second join back to the members (the window-function
+    * rendering a SQL engine uses sorts every cluster; the struct-min
+    * carries the winner through the combiner in O(1) state per
+    * group). The negated-q field never leaves the aggregate, so no
+    * −0.0 ever reaches the output (kept_q is max(q), which for the
+    * winner is its own q by construction). */
+  def canonicalByQuality(members: DataFrame): DataFrame =
+    members.groupBy(col("comp").as("component"))
+      .agg(
+        min(struct((-col("q")).as("nq"), col("id").as("id"))).as("w"),
+        max(col("q")).as("kept_q"),
+        count(lit(1)).as("n_members"))
+      .select(col("component"), col("w.id").as("kept_id"),
+        col("kept_q"), col("n_members"))
 }

@@ -276,6 +276,26 @@ object TextQueries {
       .select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy("doc_id")
 
+  /** Quality-aware canonical selection
+    * ([[graft.operators.Dedup.canonicalByQuality]] — the SemDeDup-
+    * style keep decision): every doc joins its near-dup cluster
+    * (singletons label themselves), and each cluster keeps its
+    * argmax-by-(quality DESC, id) member. The floor-quantized quality
+    * is the q_quality convention (ONE shared definition), so the
+    * oracle replays the scores, the clustering closure, and the
+    * winner choice; the Spark side does it in one struct-min hash
+    * aggregate — no per-cluster window sort. */
+  def qDedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val q = docs(s, dir).select(col("doc_id"),
+      (floor(qualityScore(col("text")) * 10000.0) / 10000.0).as("q"))
+    val cc = graft.operators.Dedup.connectedComponents(nearDupPairs(s, dir))
+      .withColumnRenamed("id", "doc_id")
+    val members = q.join(cc, Seq("doc_id"), "left")
+      .select(coalesce(col("comp"), col("doc_id")).as("comp"),
+        col("doc_id").as("id"), col("q"))
+    graft.operators.Dedup.canonicalByQuality(members).orderBy("component")
+  }
+
   /** The dedup pipeline's end product: the corpus with every near-dup
     * cluster collapsed to its minimum-id survivor (detect pairs →
     * cluster → anti-join the non-survivors). */
@@ -709,5 +729,27 @@ object TextQueries {
          |                UNION
          |                SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
          |SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u ORDER BY doc_id""".stripMargin)),
+    QueryDef("q_dedup_canonical", qDedupCanonical, Some(
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $shSql AS sh FROM documents),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |            / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.8),
+         |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+         |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         |                UNION
+         |                SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |cc AS (SELECT u AS doc_id, min(v) AS comp FROM reach GROUP BY u),
+         |q AS (SELECT doc_id, $qualitySql AS q FROM documents),
+         |m AS (SELECT coalesce(cc.comp, q.doc_id) AS component, q.doc_id, q.q
+         |      FROM q LEFT JOIN cc ON q.doc_id = cc.doc_id),
+         |r AS (SELECT component, doc_id, q,
+         |        row_number() OVER (PARTITION BY component
+         |          ORDER BY q DESC, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY component) AS n
+         |      FROM m)
+         |SELECT component, doc_id AS kept_id, q AS kept_q,
+         |  CAST(n AS BIGINT) AS n_members
+         |FROM r WHERE rn = 1 ORDER BY component""".stripMargin)),
   )
 }
