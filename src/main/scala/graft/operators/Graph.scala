@@ -25,10 +25,17 @@ object Graph {
     * cross-engine determinism (a raw double sum is merge-order-
     * dependent and ungateable — the approx_percentile lesson).
     *
-    * Contract: every node must have at least one out-edge (any
-    * symmetrized/undirected graph qualifies); dangling nodes leak
-    * damping mass, which this implementation REJECTS loudly rather
-    * than silently mis-normalizing.
+    * Contract: by default every node must have at least one out-edge
+    * (any symmetrized/undirected graph qualifies); dangling nodes
+    * leak damping mass, which the default REJECTS loudly rather than
+    * silently mis-normalizing. `danglingRedistribute = true` instead
+    * applies the standard web-graph treatment (Page et al. '99 §2.7:
+    * a sink's rank is split uniformly over ALL nodes each round) — a
+    * real crawl graph is full of sinks, and this arm ranks it without
+    * symmetrizing away the link direction. The dangling mass enters
+    * the recurrence in the same exact integer units (Σ floor(rank ·
+    * 1e12) over sinks — ONE scalar per round, crossJoined in-plan,
+    * never collected).
     *
     * Scale shape: each iteration is the Pregel message pattern in two
     * bounded shuffles — ONE equi-join of the O(N) rank table to the
@@ -45,7 +52,8 @@ object Graph {
     * count the wall-clock is iters × (join + agg), however large the
     * graph. */
   def pageRank(edges: DataFrame, iters: Int = 3,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      danglingRedistribute: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges
@@ -57,30 +65,52 @@ object Graph {
     val ed = e.join(deg, "src")
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // nodes carry their sink flag (no out-edge) from one build-time
+    // anti-join — the per-round dangling census is then a filter+agg
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      .distinct()
+      .join(e.select(col("src").as("node")).distinct()
+        .withColumn("__out", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__out"), lit(false)).as("has_out"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val nDangling = nodes.join(ed.select("src"), nodes("node") === ed("src"),
-        "left_anti").count()
-      require(nDangling == 0,
+      val nDangling = nodes.filter(!col("has_out")).count()
+      require(danglingRedistribute || nDangling == 0,
         s"$nDangling dangling node(s) — pageRank requires every node to " +
-          "have an out-edge (symmetrize the graph or drop sinks)")
+          "have an out-edge (symmetrize the graph, drop sinks, or pass " +
+          "danglingRedistribute = true)")
       val n = nodes.count()
       val floor12 = (c: Column) => floor(c * lit(1e12)).cast("double") / lit(1e12)
-      var rank = nodes.withColumn("rank", floor12(lit(1.0) / n)).localCheckpoint()
+      var rank = nodes.select(col("node"), col("has_out"),
+        floor12(lit(1.0) / n).as("rank")).localCheckpoint()
       for (_ <- 1 to iters) {
         val units = ed
           .join(rank.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node"))
           .agg(sum(floor(col("rank") / col("deg") * lit(1e12))).as("u"))
-        rank = nodes.join(units, Seq("node"), "left")
-          .select(col("node"),
-            floor12(lit((1 - damping) / n) + lit(damping) *
-              (coalesce(col("u"), lit(0L)).cast("double") / lit(1e12))).as("rank"))
-          .localCheckpoint()
+        // Σ floor(rank·1e12) over sinks — one exact integer scalar,
+        // rides the plan via crossJoin (1-row frame, auto-broadcast)
+        val dang =
+          if (!danglingRedistribute) null
+          else rank.filter(!col("has_out"))
+            .agg(coalesce(sum(floor(col("rank") * lit(1e12))), lit(0L)).as("du"))
+        val joined = nodes.join(units, Seq("node"), "left")
+        val next =
+          if (!danglingRedistribute)
+            joined.select(col("node"), col("has_out"),
+              floor12(lit((1 - damping) / n) + lit(damping) *
+                (coalesce(col("u"), lit(0L)).cast("double") / lit(1e12))).as("rank"))
+          else
+            joined.crossJoin(dang)
+              .select(col("node"), col("has_out"),
+                floor12(lit((1 - damping) / n) + lit(damping) *
+                  (coalesce(col("u"), lit(0L)).cast("double") / lit(1e12) +
+                    col("du").cast("double") / lit(1e12) / lit(n.toDouble)))
+                  .as("rank"))
+        rank = next.localCheckpoint()
       }
-      rank
+      rank.select(col("node"), col("rank"))
     } finally {
       e.unpersist(); ed.unpersist(); nodes.unpersist()
     }

@@ -432,6 +432,38 @@ object RelationalQueries {
       .orderBy(col("rank").desc, col("node")).limit(50)
   }
 
+  /** PageRank over a graph WITH sinks — the directed customer→order
+    * bipartite graph, where every order node is dangling
+    * ([[graft.operators.Graph.pageRank]] with `danglingRedistribute`:
+    * Page et al. '99 §2.7, sink mass split uniformly per round in the
+    * same exact integer units). The oracle unrolls all three rounds
+    * including the per-round dangling census CTE. */
+  def qPageRankDangling(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders")
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("o_orderkey").cast("long") + 2000000L).as("dst"))
+      .distinct()
+    graft.operators.Graph.pageRank(edges, iters = 3, danglingRedistribute = true)
+      .orderBy(col("rank").desc, col("node")).limit(50)
+  }
+
+  /** The k-th dangling-aware PageRank iteration as oracle CTEs
+    * (`d{k}` sink census, `i{k}` contributions, `r{k}`). */
+  private def prIterDangSql(k: Int): String =
+    s"""d$k AS (SELECT coalesce(sum(CAST(floor(r.rank * 1e12) AS BIGINT)), 0) AS du
+       |        FROM r${k - 1} r LEFT JOIN deg ON r.node = deg.src
+       |        WHERE deg.src IS NULL),
+       |i$k AS (SELECT e.dst AS node,
+       |        sum(CAST(floor(r.rank / d.deg * 1e12) AS BIGINT)) AS u
+       |      FROM e JOIN deg d ON e.src = d.src
+       |             JOIN r${k - 1} r ON e.src = r.node GROUP BY 1),
+       |r$k AS (SELECT nodes.node,
+       |        floor(((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+       |               + CAST(0.85 AS DOUBLE) * (CAST(coalesce(u, 0) AS DOUBLE) / 1e12
+       |                 + CAST(dd.du AS DOUBLE) / 1e12 / nn.n)) * 1e12) / 1e12 AS rank
+       |      FROM nodes CROSS JOIN nn CROSS JOIN d$k dd
+       |           LEFT JOIN i$k ON nodes.node = i$k.node)""".stripMargin
+
   /** The k-th PageRank iteration as oracle CTEs (`i{k}`, `r{k}` from
     * `r{k-1}`) — ONE definition of the integer-unit arithmetic shared
     * across all three unrolled rounds. */
@@ -809,6 +841,18 @@ object RelationalQueries {
          |${prIterSql(1)},
          |${prIterSql(2)},
          |${prIterSql(3)}
+         |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 50""".stripMargin)),
+    QueryDef("q_pagerank_dangling", qPageRankDangling, Some(
+      s"""WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+         |             CAST(o_orderkey AS BIGINT) + 2000000 AS dst FROM orders),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT node, floor(CAST(1.0 AS DOUBLE) / nn.n * 1e12) / 1e12 AS rank
+         |       FROM nodes CROSS JOIN nn),
+         |${prIterDangSql(1)},
+         |${prIterDangSql(2)},
+         |${prIterDangSql(3)}
          |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 50""".stripMargin)),
     QueryDef("q_kmv_grouped", qKmvGrouped, Some(
       """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents

@@ -84,4 +84,37 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(ex.getMessage.contains("dangling"))
   }
+
+  test("dangling redistribution: hand replay of a 1 -> 2 chain (2 is a sink)") {
+    import spark.implicits._
+    val r = Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), iters = 3,
+        danglingRedistribute = true)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    var (ra, rb) = (math.floor(0.5 * 1e12) / 1e12, math.floor(0.5 * 1e12) / 1e12)
+    for (_ <- 1 to 3) {
+      val u = math.floor(rb / 1.0 * 0 + ra / 1L * 1e12).toLong // only a -> b contributes
+      val du = math.floor(rb * 1e12).toLong                    // b is the sink
+      val base = (1 - 0.85) / 2
+      val nra = math.floor((base + 0.85 * (0.0 / 1e12 + du.toDouble / 1e12 / 2.0)) * 1e12) / 1e12
+      val nrb = math.floor((base + 0.85 * (u.toDouble / 1e12 + du.toDouble / 1e12 / 2.0)) * 1e12) / 1e12
+      ra = nra; rb = nrb
+    }
+    assert(r(1L) == ra && r(2L) == rb, s"engine $r vs hand ($ra, $rb)")
+  }
+
+  test("dangling redistribution conserves mass up to the floor loss") {
+    import spark.implicits._
+    // 0..3 -> 4..7 bipartite, all dsts are sinks
+    val edges = for (i <- 0L until 4L; j <- 4L until 8L) yield (i, j)
+    val total = Graph.pageRank(edges.toDF("src", "dst"), iters = 3,
+        danglingRedistribute = true)
+      .agg(org.apache.spark.sql.functions.sum("rank")).head().getDouble(0)
+    assert(total <= 1.0 && total > 1.0 - (16 + 8 + 1) * 3 * 1e-12,
+      s"mass $total drifted past the floor-loss bound")
+    // and sinks with identical in-link structure rank identically
+    val r = Graph.pageRank(edges.toDF("src", "dst"), iters = 3,
+        danglingRedistribute = true)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert((4L until 8L).map(r).toSet.size == 1, s"symmetric sinks diverged: $r")
+  }
 }
