@@ -100,6 +100,37 @@ object TextFunctions {
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[^.,;:!?'\"()-]", ""))
 
+  /** Per-document character-level Shannon entropy in nats — the
+    * gibberish/binary detector beside [[qualityScore]] (the
+    * compressibility-shaped signal of the Gopher/C4 rule family:
+    * base64 blobs and key-mash runs sit far from natural text's
+    * ~2.5-3.5 nats; single-character runs sit at 0).
+    *
+    * ROW-LOCAL: the per-doc character histogram builds inside HOF
+    * lambdas (distinct chars × membership counts — O(k·n) per row,
+    * k = distinct chars ≤ alphabet), so the operator is map-only with
+    * ZERO shuffle at any corpus size — no explode of the corpus's
+    * characters ever reaches a shuffle.
+    *
+    * Determinism (the [[graft.operators.NgramLm]] convention, made
+    * fully integer here): each character's −p·ln p term casts to
+    * DECIMAL(18,6) then scales to exact 1e-6-unit longs; the per-doc
+    * sum is exact long addition inside the HOF fold, and the 4dp
+    * output quantization is an integer divide — after the per-term
+    * cast absorbs the one cross-engine ln ulp, not a single float
+    * rounding depends on order or engine. */
+  def charEntropy(text: Column): Column = {
+    val ch = filter(split(text, ""), c => length(c) > 0)
+    val n = size(ch).cast("double")
+    val units = transform(array_distinct(ch), u => {
+      val p = size(filter(ch, x => x === u)).cast("double") / n
+      (p * log(p)).cast("decimal(18,6)").multiply(lit(1000000)).cast("long")
+    })
+    val su = aggregate(units, lit(0L), (a, x) => a + x)
+    when(size(ch) === 0, lit(0.0)).otherwise(
+      floor((-su).cast("double") / lit(100.0)) / lit(10000.0))
+  }
+
   /** Heuristic document quality score in [0,1]:
     * 0.4·min(1, n_tokens/50) + 0.3·(1 − punct_ratio) + 0.3·stop_ratio.
     * The shape a pretraining-data quality filter uses (length prior,

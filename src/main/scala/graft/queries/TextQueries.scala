@@ -54,6 +54,19 @@ object TextQueries {
         (floor(qualityScore(col("text")) * 10000.0) / 10000.0).as("quality"))
       .orderBy("doc_id")
 
+  /** Character-entropy census ([[graft.functions.TextFunctions.charEntropy]]
+    * — the gibberish/binary detector of the quality-rule family):
+    * per-doc distinct-char count and Shannon entropy in nats,
+    * row-local HOF histogram, exact integer-unit accumulation. The
+    * oracle replays every per-character decimal term. */
+  def qCharEntropy(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        size(array_distinct(filter(split(col("text"), ""),
+          c => length(c) > 0))).as("k_chars"),
+        charEntropy(col("text")).as("entropy"))
+      .orderBy("doc_id")
+
   /** Stopword-profile language ID (n-gram-free heuristic). */
   def qLangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -648,6 +661,21 @@ object TextQueries {
     QueryDef("q_quality", qQuality, Some(
       s"""SELECT doc_id, $qualitySql AS quality
          |FROM documents ORDER BY doc_id""".stripMargin)),
+    QueryDef("q_char_entropy", qCharEntropy, Some(
+      """WITH c AS (SELECT doc_id,
+        |        list_transform(range(1, length(text) + 1), i -> text[i]) AS ch
+        |      FROM documents WHERE length(text) > 0),
+        |u AS (SELECT doc_id, ch, len(ch) AS n, unnest(list_distinct(ch)) AS d FROM c),
+        |t AS (SELECT doc_id, n,
+        |        CAST(CAST((CAST(len(list_filter(ch, x -> x = d)) AS DOUBLE) / n)
+        |             * ln(CAST(len(list_filter(ch, x -> x = d)) AS DOUBLE) / n)
+        |             AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS tu
+        |      FROM u),
+        |s AS (SELECT doc_id, CAST(count(*) AS INT) AS k_chars, sum(tu) AS su
+        |      FROM t GROUP BY 1)
+        |SELECT doc_id, k_chars,
+        |  floor(CAST(-su AS DOUBLE) / 100) / 10000 AS entropy
+        |FROM s ORDER BY doc_id""".stripMargin)),
     QueryDef("q_langid", qLangId, Some(
       s"""SELECT doc_id, lang AS lang_labeled,
          |  CASE WHEN ${hitsSql(StopEn)} = 0 AND ${hitsSql(StopEs)} = 0

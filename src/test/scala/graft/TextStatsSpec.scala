@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.TextFunctions.{bigrams, tokens, topTokenCount}
+import graft.functions.TextFunctions.{bigrams, charEntropy, tokens, topTokenCount}
 
 /** Row-local repetition kernels: the shuffle-free forms must equal the
   * explode/groupBy renderings they replace (the map-only property is
@@ -109,5 +109,19 @@ class TextStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = df.select(col("id"), topTokenCount(col("toks")).as("top"))
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, 0L), (2L, 3L), (3L, 2L)))
+  }
+
+  test("charEntropy: 0 for runs, ln k for uniform alphabets, separates text from key-mash") {
+    import spark.implicits._
+    def h(t: String): Double = Seq(t).toDF("text")
+      .select(charEntropy(col("text"))).head().getDouble(0)
+    assert(h("") == 0.0 && h("aaaaaaa") == 0.0)
+    // uniform over 4 chars -> ln 4, floor-quantized at 4dp
+    val ln4 = math.floor(math.log(4.0) * 1e4) / 1e4
+    assert(math.abs(h("abcdabcdabcd") - ln4) <= 2e-4, s"${h("abcdabcdabcd")} vs $ln4")
+    // natural English sits well below a base64-ish key-mash
+    val eng = h("the quick brown fox jumps over the lazy dog and then sleeps")
+    val mash = h("xK9#mQ2$vL7@pR4!wZ8%nB3^jF6&hT1*")
+    assert(mash > eng + 0.3, s"mash $mash must clearly exceed english $eng")
   }
 }
