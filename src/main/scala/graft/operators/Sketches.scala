@@ -436,6 +436,77 @@ object Sketches {
     /** End-to-end distinct estimate of a STRING key. */
     def distinctText(df: DataFrame, key: Column): DataFrame =
       estimate(registers(df, key))
+
+    /** Spark `round(x, 2)` (BigDecimal HALF_UP) — the aggregator's
+      * estimate must round exactly like the column-expression arm. */
+    private[operators] def round2(x: Double): Double =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    /** The estimate computed from raw register values — shared by the
+      * [[HllAggregator]] finish and any collected-register consumer;
+      * the SAME branches and constants as [[estimate]]'s expression. */
+    private[operators] def estimateFromRegisters(regs: Array[Int]): (Int, Long, Double) = {
+      var nz = 0
+      var s = 0L
+      var i = 0
+      while (i < regs.length) {
+        val r = regs(i)
+        if (r > 0) { nz += 1; s += 1L << (RhoCap - r) }
+        else s += 1L << RhoCap
+        i += 1
+      }
+      val vZero = M - nz
+      val raw = EstNum / s.toDouble
+      val est =
+        if (vZero > 0 && raw <= 2.5 * M) M * math.log(M.toDouble / vZero)
+        else raw
+      (vZero, s, round2(est))
+    }
+  }
+
+  /** [[Hll]] as a typed Aggregator — the STREAMING arm of the register
+    * sketch (the [[KmvAggregator]] rationale): the 2^p register array
+    * is the buffer, `reduce` folds one fingerprint's (idx, rho) in
+    * with integer ops only (trailing zeros — exactly the batch arm's
+    * `log2(sfx & -sfx)` on exact powers of two), and `merge` is the
+    * element-wise MAX the sketch is built around — associative,
+    * commutative, idempotent, so it runs map-side-combined in batch
+    * AND incrementally inside watermark-bounded streaming state at
+    * O(m) per window forever. Output: (v_zero, s_units, est) — the
+    * batch [[Hll.estimate]] columns. */
+  final class HllAggregator extends org.apache.spark.sql.expressions.Aggregator[
+      Long, Array[Int], (Int, Long, Double)] {
+    import Hll._
+    override def zero: Array[Int] = new Array[Int](M)
+    override def reduce(b: Array[Int], fp: Long): Array[Int] = {
+      val idx = (fp % M).toInt
+      val sfx = fp / M
+      val rho = if (sfx == 0L) RhoCap
+        else java.lang.Long.numberOfTrailingZeros(sfx) + 1
+      if (rho > b(idx)) b(idx) = rho
+      b
+    }
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Int]): (Int, Long, Double) =
+      estimateFromRegisters(b)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[(Int, Long, Double)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Long, Double)]()
+  }
+
+  /** Column function: `hllAgg()(pmod-free 60-bit fingerprint)` in
+    * `groupBy.agg` — returns struct(_1 = v_zero, _2 = s_units,
+    * _3 = est). NULL fingerprints must be filtered by the caller
+    * (COUNT DISTINCT convention — the encoder is non-nullable). */
+  def hllAgg(): Column => Column = {
+    val fn = org.apache.spark.sql.functions.udaf(new HllAggregator,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+    h => fn(h)
   }
 
   /** Bloom filter (Bloom CACM'70) over a STRING key — the

@@ -420,6 +420,27 @@ object PipelineQueries {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)),
+    QueryDef("q_stream_hll", qStreamHll, Some {
+      import graft.operators.Sketches.Hll.{EstNum, M, RhoCap}
+      s"""WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+         |        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS fp
+         |      FROM events),
+         |reg AS (SELECT hr, fp % $M AS idx,
+         |          max(CASE WHEN fp // $M = 0 THEN $RhoCap
+         |               ELSE CAST(floor(log2((fp // $M) & -(fp // $M))) AS INT) + 1 END) AS rho
+         |        FROM h GROUP BY 1, 2),
+         |a AS (SELECT hr, count(*) AS nz,
+         |        sum(CAST(1 AS BIGINT) << ($RhoCap - rho)) AS s_obs FROM reg GROUP BY 1),
+         |b AS (SELECT hr, CAST($M - nz AS INT) AS v_zero,
+         |        s_obs + ($M - nz) * (CAST(1 AS BIGINT) << $RhoCap) AS s_units FROM a)
+         |SELECT strftime(hr, '%Y-%m-%d %H:%M') AS hour_start, v_zero, s_units,
+         |  round(CASE WHEN v_zero > 0
+         |              AND CAST($EstNum AS DOUBLE) / CAST(s_units AS DOUBLE)
+         |                  <= CAST(${2.5 * M} AS DOUBLE)
+         |        THEN CAST($M AS DOUBLE) * ln(CAST($M AS DOUBLE) / CAST(v_zero AS DOUBLE))
+         |        ELSE CAST($EstNum AS DOUBLE) / CAST(s_units AS DOUBLE) END, 2) AS est_users
+         |FROM b ORDER BY hour_start""".stripMargin
+    }),
     QueryDef("q_stream_kmv", qStreamKmv, Some(
       """WITH h AS (SELECT DISTINCT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
         |             (user_id * 2654435761 + 987654321) % 4294967296 AS hv
@@ -460,6 +481,20 @@ object PipelineQueries {
          |FROM co GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
     }),
   )
+
+  /** The streaming HLL distinct-user sketch run over the batch events
+    * table (same code path `readStream` uses — the register-state
+    * sibling of [[qStreamKmv]]): per hour window the fixed 2^p
+    * register array, merged by element-wise max in streaming state.
+    * The typed-aggregator arm must land EXACTLY on the batch column-
+    * expression arm's numbers — same fingerprint, same rho, same
+    * integer indicator units, same rounding. */
+  def qStreamHll(s: SparkSession, dir: String): DataFrame =
+    EventStreams.hourlyDistinctUsersHll(EventsFixture.events(s, dir))
+      .select(
+        date_format(col("hour_start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("v_zero"), col("s_units"), col("est_users"))
+      .orderBy("hour_start")
 
   /** The streaming KMV distinct-user sketch run over the batch events
     * table (same code path `readStream` uses): per hour window, the k=8

@@ -100,6 +100,28 @@ object EventStreams {
         col("row"), col("bucket"), col("cnt"))
   }
 
+  /** Per-hour distinct users via the HyperLogLog REGISTER aggregate
+    * ([[graft.operators.Sketches.HllAggregator]] — the register-state
+    * sibling of [[hourlyDistinctUsers]]'s bottom-k): per-window state
+    * is the fixed 2^p register array merged by element-wise max, so
+    * late-arriving micro-batches fold in idempotently and the
+    * watermark retires windows. Deterministic md5 fingerprint ⇒ every
+    * window's registers and estimate replay in the oracle. */
+  def hourlyDistinctUsersHll(events: DataFrame): DataFrame = {
+    import graft.operators.Sketches
+    val hll = Sketches.hllAgg()
+    events
+      .withWatermark("ts", "10 minutes")
+      .filter(col("user_id").isNotNull)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(hll(Sketches.stringFingerprint(col("user_id").cast("string"))).as("sk"))
+      .select(
+        col("window.start").as("hour_start"),
+        col("sk._1").as("v_zero"),
+        col("sk._2").as("s_units"),
+        col("sk._3").as("est_users"))
+  }
+
   /** Per-hour approximate distinct users via the KMV sketch aggregate
     * ([[graft.operators.Sketches.KmvAggregator]]): the window's state
     * is the k smallest distinct user-hashes — O(k) per window forever,

@@ -128,6 +128,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming HLL register sketch: incremental micro-batches equal the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Timestamp, Long)]
+    val df = src.toDF().toDF("ts", "user_id")
+    val q = EventStreams.startToMemory(
+      EventStreams.hourlyDistinctUsersHll(df), "hll_test", OutputMode.Complete())
+    try {
+      // the register state must merge by element-wise max across
+      // micro-batches (with repeated users) to the one-shot answer
+      src.addData((ts(1), 10L), (ts(2), 11L), (ts(3), 12L), (ts(4), 10L))
+      q.processAllAvailable()
+      src.addData((ts(5), 13L), (ts(6), 14L), (ts(7), 15L), (ts(8), 11L))
+      q.processAllAvailable()
+      val streamed = spark.table("hll_test")
+        .select("v_zero", "s_units", "est_users").head()
+      val batch = EventStreams.hourlyDistinctUsersHll(
+          (10L to 15L).map(u => (ts(1), u)).toDF("ts", "user_id"))
+        .select("v_zero", "s_units", "est_users").head()
+      assert(streamed == batch,
+        s"incremental registers $streamed must equal one-shot batch $batch")
+      // 6 distinct users, 512 registers -> linear-counting regime;
+      // register-index collisions can shave ~1 (here 2 of the 6 users
+      // share an index: 505..507 empty registers are all plausible)
+      assert(math.abs(streamed.getDouble(2) - 6.0) <= 1.5, s"$streamed")
+      assert(streamed.getInt(0) >= 512 - 6 && streamed.getInt(0) < 512, s"$streamed")
+    } finally q.stop()
+  }
+
   test("hopping windows: each event lands in 4 overlapping windows, incremental equals batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
