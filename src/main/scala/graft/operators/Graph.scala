@@ -75,12 +75,16 @@ object Graph {
       .select(col("node"), coalesce(col("__out"), lit(false)).as("has_out"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val nDangling = nodes.filter(!col("has_out")).count()
+      // node count + sink census in ONE job (each would otherwise be
+      // its own ~job-floor round trip on a cached O(N) frame)
+      val census = nodes.agg(count(lit(1)).as("n"),
+        coalesce(sum(when(!col("has_out"), 1L).otherwise(0L)), lit(0L)).as("nd"))
+        .head()
+      val (n, nDangling) = (census.getLong(0), census.getLong(1))
       require(danglingRedistribute || nDangling == 0,
         s"$nDangling dangling node(s) — pageRank requires every node to " +
           "have an out-edge (symmetrize the graph, drop sinks, or pass " +
           "danglingRedistribute = true)")
-      val n = nodes.count()
       val floor12 = (c: Column) => floor(c * lit(1e12)).cast("double") / lit(1e12)
       var rank = nodes.select(col("node"), col("has_out"),
         floor12(lit(1.0) / n).as("rank")).localCheckpoint()
