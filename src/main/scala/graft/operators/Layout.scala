@@ -71,4 +71,31 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  /** Bucketed co-located storage — the layout that removes the JOIN
+    * shuffle entirely (the complement of [[clusterByZ]]'s scan
+    * pruning): both sides of a recurring equi-join written with the
+    * SAME hash-bucket count on the join key join bucket-to-bucket
+    * with ZERO Exchange in the plan — at 100 TB this converts every
+    * fact-to-fact join on the layout key from a full two-sided
+    * shuffle into a local per-bucket merge (the sortBy makes each
+    * bucket file key-sorted, so even the merge sort reads
+    * presorted runs). Registered as an EXTERNAL parquet table (data
+    * at `path`) because bucket metadata lives in the catalog — a
+    * plain `spark.read.parquet` cannot carry it.
+    * LayoutSpec pins the no-Exchange plan shape and
+    * result-equality with the unbucketed join. */
+  def writeBucketed(df: DataFrame, path: String, table: String, key: String,
+      numBuckets: Int): Unit = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    df.write
+      .format("parquet")
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .option("path", path)
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
 }

@@ -66,6 +66,34 @@ object RelationalQueries {
       .agg(decSum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
       .orderBy("n_name")
 
+  /** Bucketed co-located join ([[graft.operators.Layout.writeBucketed]]
+    * — both fact tables written with 8 hash buckets on the order key,
+    * once per session via the memo): the orders↔lineitem revenue join
+    * then runs bucket-to-bucket with ZERO Exchange (pinned in
+    * LayoutSpec), the layout a recurring 100 TB fact-join warrants.
+    * The oracle replays the join from the raw parquet — bucketing is
+    * layout, never semantics. */
+  private val bucketMemo = new IndexQueries.SessionMemo[(String, String)]
+  def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (to, tl) = bucketMemo.get(s, dir) {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val (no, nl) = (s"orders_bkt$tag", s"lineitem_bkt$tag")
+      graft.operators.Layout.writeBucketed(t(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority"),
+        s"/tmp/graft_bucketed/$tag/orders", no, "o_orderkey", 8)
+      graft.operators.Layout.writeBucketed(t(s, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        s"/tmp/graft_bucketed/$tag/lineitem", nl, "l_orderkey", 8)
+      (no, nl)
+    }
+    s.table(to).join(s.table(tl), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Top-3 orders per customer — ranking window function. */
   def qWindowOrders(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
@@ -960,6 +988,13 @@ object RelationalQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+    QueryDef("q_bucketed_join", qBucketedJoin, Some(
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+        |           AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
     QueryDef("q_window_orders", qWindowOrders, Some(
       """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk

@@ -129,4 +129,45 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       "control: the single-key layout should decode ~everything on the other key " +
         s"(got $sbRows of $total) — if this fails the measurement is not measuring stats pruning")
   }
+
+  test("bucketed co-located join runs with ZERO shuffle Exchange and matches the unbucketed result") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+    val items = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice")
+    Layout.writeBucketed(orders, "/tmp/graft_bucket_spec/orders",
+      "spec_orders_bkt", "o_orderkey", 4)
+    Layout.writeBucketed(items, "/tmp/graft_bucket_spec/lineitem",
+      "spec_lineitem_bkt", "l_orderkey", 4)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path so the assertion is about bucketing,
+      // not about a broadcast hiding the exchange
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("spec_orders_bkt")
+        .join(spark.table("spec_lineitem_bkt"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val rows = joined.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      // FINAL adaptive plan only (AQE appends the initial plan below
+      // it); the join subtree = everything under SortMergeJoin there.
+      // Scans must be bucketed, and no Exchange may sit below the join
+      // (the aggregation above it legitimately shuffles on its key).
+      val planStr = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val joinSubtree = planStr.linesIterator
+        .dropWhile(l => !l.contains("SortMergeJoin")).mkString("\n")
+      assert(joinSubtree.nonEmpty, s"expected a SortMergeJoin in:\n$planStr")
+      assert(joinSubtree.contains("Bucketed: true"),
+        s"join must read the bucketed layout:\n$planStr")
+      assert(!joinSubtree.contains("Exchange"),
+        s"bucket-to-bucket join must not shuffle either side:\n$planStr")
+      // result equality with the plain (unbucketed) join
+      val expect = orders.join(items, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(rows == expect)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
 }
