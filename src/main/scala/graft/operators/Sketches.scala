@@ -509,6 +509,23 @@ object Sketches {
     h => fn(h)
   }
 
+  /** Per-GROUP HLL distinct sketch over a STRING key — the grouped
+    * batch arm of [[HllAggregator]] (streaming arm:
+    * `EventStreams.hourlyDistinctUsersHll`): "distinct vocabulary per
+    * source/domain" in ONE map-side-combined aggregate at O(m) state
+    * per group — and because registers merge by max, the per-group
+    * tables ALSO roll up to the exact global sketch without
+    * re-scanning (the KMV grouped arm cannot do that without a
+    * re-sort). Output: `(group, v_zero, s_units, est)`. */
+  def hllGroupedText(df: DataFrame, group: Column, key: Column): DataFrame = {
+    val hll = hllAgg()
+    df.filter(key.isNotNull)
+      .groupBy(group.as("grp"))
+      .agg(hll(stringFingerprint(key)).as("sk"))
+      .select(col("grp"), col("sk._1").as("v_zero"),
+        col("sk._2").as("s_units"), col("sk._3").as("est"))
+  }
+
   /** Bloom filter (Bloom CACM'70) over a STRING key — the
     * incremental-ingest membership sketch: build an m-bit array from
     * the resident corpus ONCE, then screen every new batch map-only.

@@ -440,6 +440,20 @@ object RelationalQueries {
       .orderBy("source")
   }
 
+  /** Per-SOURCE HLL register sketch
+    * ([[graft.operators.Sketches.hllGroupedText]] — the grouped twin
+    * of q_distinct_hll, beside the grouped KMV gate): per-domain
+    * distinct-shingle registers at O(m) state per group; the exact
+    * count rides beside (sketch-vs-truth). */
+  def qHllGrouped(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+    graft.operators.Sketches.hllGroupedText(sh, col("source"), col("tok3"))
+      .withColumnRenamed("grp", "source")
+      .join(sh.groupBy("source").agg(countDistinct(col("tok3")).as("n_exact")),
+        "source")
+      .orderBy("source")
+  }
+
   /** PageRank centrality over the supplier↔part co-purchase graph
     * ([[graft.operators.Graph.pageRank]] — the link-graph quality
     * prior of a web-scale corpus pipeline, run here on the fixture's
@@ -824,6 +838,32 @@ object RelationalQueries {
         |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
         |FROM merged WHERE op IS NULL OR op = 'U'
         |ORDER BY o_orderkey""".stripMargin)),
+    QueryDef("q_hll_grouped", qHllGrouped, Some {
+      import graft.operators.Sketches.Hll.{EstNum, M, RhoCap}
+      s"""WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents
+         |              WHERE len(string_split(text, ' ')) >= 3),
+         |sh AS (SELECT source, unnest(list_transform(range(1, len(t) - 1),
+         |                i -> t[i] || '_' || t[i+1] || '_' || t[i+2])) AS tok3
+         |       FROM toks),
+         |h AS (SELECT source, ('0x' || substr(md5(tok3), 1, 15))::BIGINT AS fp FROM sh),
+         |reg AS (SELECT source, fp % $M AS idx,
+         |          max(CASE WHEN fp // $M = 0 THEN $RhoCap
+         |               ELSE CAST(floor(log2((fp // $M) & -(fp // $M))) AS INT) + 1 END) AS rho
+         |        FROM h GROUP BY 1, 2),
+         |a AS (SELECT source, count(*) AS nz,
+         |        sum(CAST(1 AS BIGINT) << ($RhoCap - rho)) AS s_obs FROM reg GROUP BY 1),
+         |b AS (SELECT source, CAST($M - nz AS INT) AS v_zero,
+         |        s_obs + ($M - nz) * (CAST(1 AS BIGINT) << $RhoCap) AS s_units FROM a),
+         |e AS (SELECT source, count(DISTINCT tok3) AS n_exact FROM sh GROUP BY 1)
+         |SELECT b.source, v_zero, s_units,
+         |  round(CASE WHEN v_zero > 0
+         |              AND CAST($EstNum AS DOUBLE) / CAST(s_units AS DOUBLE)
+         |                  <= CAST(${2.5 * M} AS DOUBLE)
+         |        THEN CAST($M AS DOUBLE) * ln(CAST($M AS DOUBLE) / CAST(v_zero AS DOUBLE))
+         |        ELSE CAST($EstNum AS DOUBLE) / CAST(s_units AS DOUBLE) END, 2) AS est,
+         |  n_exact
+         |FROM b JOIN e ON b.source = e.source ORDER BY b.source""".stripMargin
+    }),
     QueryDef("q_scd2_history", qScd2History, Some(
       """WITH e AS (SELECT user_id, ts, event_id, event_type,
         |       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

@@ -72,6 +72,27 @@ class HllSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(est - 100.0) / 100.0 <= 0.10, s"linear-counting est $est")
   }
 
+  test("per-group sketches roll up: merging group registers equals the global sketch") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val df = (1 to 3000).map(i => (s"g${i % 3}", s"key_$i")).toDF("src", "k")
+    val global = Hll.estimate(Hll.registers(df, col("k"))).head()
+    // rebuild the global from the three per-group register tables
+    val perGroup = (0 to 2).map(g =>
+      Hll.registers(df.filter(col("src") === s"g$g"), col("k")))
+    val merged = Hll.estimate(perGroup.reduce(Hll.merge)).head()
+    assert(merged == global, s"rollup $merged != global $global")
+    // and the grouped aggregator arm matches per-group register math
+    val grouped = Sketches.hllGroupedText(df, col("src"), col("k"))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val direct = (0 to 2).map { g =>
+      val e = Hll.estimate(perGroup(g)).head()
+      (s"g$g", e.getInt(1), e.getLong(2), e.getDouble(3))
+    }
+    assert(grouped == direct, s"$grouped != $direct")
+  }
+
   test("NULL keys are skipped; empty corpus estimates 0") {
     import spark.implicits._
     val withNulls = Seq(Some("x"), None, Some("y"), None).toDF("k")
