@@ -420,6 +420,8 @@ object PipelineQueries {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)),
+    QueryDef("q_stream_cdc", qStreamCdc,
+      Some(RelationalQueries.cdcOracleSql)),
     QueryDef("q_stream_hll", qStreamHll, Some {
       import graft.operators.Sketches.Hll.{EstNum, M, RhoCap}
       s"""WITH h AS (SELECT date_trunc('hour', ts) AS hr,
@@ -481,6 +483,73 @@ object PipelineQueries {
          |FROM co GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
     }),
   )
+
+  /** Streaming CDC snapshot maintenance — the composition of the two
+    * separately-gated pieces (TRUE readStream micro-batch execution +
+    * [[graft.operators.Cdc.applyChanges]]): the Delta-style streaming
+    * MERGE loop a warehouse runs every micro-batch. The two
+    * deterministic change waves ([[RelationalQueries.cdcChanges]] —
+    * ONE shared definition with q_cdc_apply) are staged as two
+    * parquet files with ORDERED modification times and ingested with
+    * `maxFilesPerTrigger = 1`, so foreachBatch drives two real
+    * micro-batch merge generations (each snapshot persisted +
+    * materialized before the previous unpersists). Sequential
+    * in-seq-order application ≡ one latest-wins batch application, so
+    * the final snapshot shares q_cdc_apply's oracle verbatim. */
+  private val streamCdcMemo = new IndexQueries.SessionMemo[DataFrame]
+  private def streamedCdcSnapshot(s: SparkSession, dir: String): DataFrame =
+    streamCdcMemo.get(s, dir) {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val base = s.read.parquet(s"$dir/orders.parquet")
+      var snap = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      snap.count()
+      val stage = Files.createTempDirectory("graft_stream_cdc_")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        Files.walk(stage).iterator().asScala.toSeq.reverse
+          .foreach(f => Files.deleteIfExists(f))
+      }
+      (1 to 2).foreach { w =>
+        val tmp = Files.createTempDirectory(s"graft_cdc_wave$w")
+        RelationalQueries.cdcChanges(base, w).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val part = Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file in $tmp"))
+        val dst = stage.resolve(s"wave$w.parquet")
+        Files.copy(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        // ordered mtimes: the file source processes oldest-first, and
+        // CDC application is order-sensitive across seqs by design
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + w * 3600000L))
+        Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(f => Files.deleteIfExists(f))
+      }
+      val schema = s.read.parquet(stage.toString).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.toString)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val prev = snap
+          val next = graft.operators.Cdc.applyChanges(prev, batch, "o_orderkey")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          prev.unpersist()
+          snap = next
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      snap
+    }
+
+  /** The streamed snapshot, rendered and gated against q_cdc_apply's
+    * oracle: a dropped/duplicated/mis-ordered micro-batch surfaces as
+    * a hash mismatch. */
+  def qStreamCdc(s: SparkSession, dir: String): DataFrame =
+    RelationalQueries.cdcSnapshotOut(streamedCdcSnapshot(s, dir))
 
   /** The streaming HLL distinct-user sketch run over the batch events
     * table (same code path `readStream` uses — the register-state

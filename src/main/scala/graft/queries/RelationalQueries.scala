@@ -150,10 +150,12 @@ object RelationalQueries {
     * keys ≡ 0 (mod 14) at ×2.0 and deletes keys ≡ 1 (mod 7) ∧ ≡ 0
     * (mod 3) that wave 1 had upserted. The oracle replays the batch,
     * the per-key winner, and the merge row-for-row. */
-  def qCdcApply(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "orders")
+  /** The deterministic two-wave change batch over `orders` — ONE
+    * definition shared by the batch gate (q_cdc_apply) and the
+    * streaming maintenance gate (q_stream_cdc, which stages the waves
+    * as ordered files). `waveNo = 0` returns both waves. */
+  private[queries] def cdcChanges(base: DataFrame, waveNo: Int = 0): DataFrame = {
     val k = col("o_orderkey")
-    val keep = base.columns.map(col)
     def wave(f: DataFrame => DataFrame, opv: org.apache.spark.sql.Column,
         seqv: Int,
         price: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
@@ -165,18 +167,72 @@ object RelationalQueries {
         price(col("o_totalprice")).as("o_totalprice"),
         col("o_orderdate"), col("o_orderpriority"),
         opv.as("op"), lit(seqv).as("seq"))
-    val changes = wave(_.filter(k % 7 < 3),
+    val w1 = wave(_.filter(k % 7 < 3),
         when(k % 7 === 0, "D").otherwise("U"), 1, _ * lit(1.1))
       .unionByName(wave(_.filter(k % 13 === 0), lit("U"), 1, identity,
         keyShift = 1000000L, status = Some("I")))
-      .unionByName(wave(_.filter(k % 14 === 0), lit("U"), 2, _ * lit(2.0)))
+    val w2 = wave(_.filter(k % 14 === 0), lit("U"), 2, _ * lit(2.0))
       .unionByName(wave(_.filter(k % 7 === 1 && k % 3 === 0), lit("D"), 2, identity))
-    graft.operators.Cdc.applyChanges(base, changes, "o_orderkey")
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+    waveNo match {
+      case 1 => w1
+      case 2 => w2
+      case _ => w1.unionByName(w2)
+    }
+  }
+
+  /** The q_cdc_apply / q_stream_cdc output rendering — shared so the
+    * two gates share the oracle too. */
+  private[queries] def cdcSnapshotOut(snap: DataFrame): DataFrame =
+    snap.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_orderpriority"))
       .orderBy("o_orderkey")
+
+  /** The batch-gate oracle SQL — also the streaming gate's (sequential
+    * wave application ≡ latest-wins batch application). */
+  private[queries] val cdcOracleSql: String =
+      """WITH chg AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
+        |         o_orderdate, o_orderpriority,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op, 1 AS seq
+        |  FROM orders WHERE o_orderkey % 7 < 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000, o_custkey, 'I', o_totalprice,
+        |         o_orderdate, o_orderpriority, 'U', 1
+        |  FROM orders WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice * CAST(2.0 AS DOUBLE),
+        |         o_orderdate, o_orderpriority, 'U', 2
+        |  FROM orders WHERE o_orderkey % 14 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority, 'D', 2
+        |  FROM orders WHERE o_orderkey % 7 = 1 AND o_orderkey % 3 = 0),
+        |latest AS (SELECT * FROM (
+        |    SELECT chg.*, row_number() OVER (PARTITION BY o_orderkey
+        |                    ORDER BY seq DESC) AS rn
+        |    FROM chg) r WHERE rn = 1),
+        |merged AS (
+        |  SELECT coalesce(l.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    CASE WHEN l.op = 'U' THEN l.o_custkey ELSE b.o_custkey END AS o_custkey,
+        |    CASE WHEN l.op = 'U' THEN l.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN l.op = 'U' THEN l.o_totalprice ELSE b.o_totalprice END AS o_totalprice,
+        |    CASE WHEN l.op = 'U' THEN l.o_orderdate ELSE b.o_orderdate END AS o_orderdate,
+        |    CASE WHEN l.op = 'U' THEN l.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority,
+        |    l.op AS op
+        |  FROM orders b FULL OUTER JOIN latest l ON b.o_orderkey = l.o_orderkey)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+        |FROM merged WHERE op IS NULL OR op = 'U'
+        |ORDER BY o_orderkey""".stripMargin
+
+  def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+    cdcSnapshotOut(
+      graft.operators.Cdc.applyChanges(base, cdcChanges(base), "o_orderkey"))
   }
 
   def qScd2History(s: SparkSession, dir: String): DataFrame = {
@@ -801,43 +857,7 @@ object RelationalQueries {
          |  (SELECT count(DISTINCT tok3) FROM sh) AS n_exact
          |FROM b""".stripMargin
     }),
-    QueryDef("q_cdc_apply", qCdcApply, Some(
-      """WITH chg AS (
-        |  SELECT o_orderkey, o_custkey, o_orderstatus,
-        |         o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
-        |         o_orderdate, o_orderpriority,
-        |         CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op, 1 AS seq
-        |  FROM orders WHERE o_orderkey % 7 < 3
-        |  UNION ALL
-        |  SELECT o_orderkey + 1000000, o_custkey, 'I', o_totalprice,
-        |         o_orderdate, o_orderpriority, 'U', 1
-        |  FROM orders WHERE o_orderkey % 13 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, o_custkey, o_orderstatus,
-        |         o_totalprice * CAST(2.0 AS DOUBLE),
-        |         o_orderdate, o_orderpriority, 'U', 2
-        |  FROM orders WHERE o_orderkey % 14 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-        |         o_orderdate, o_orderpriority, 'D', 2
-        |  FROM orders WHERE o_orderkey % 7 = 1 AND o_orderkey % 3 = 0),
-        |latest AS (SELECT * FROM (
-        |    SELECT chg.*, row_number() OVER (PARTITION BY o_orderkey
-        |                    ORDER BY seq DESC) AS rn
-        |    FROM chg) r WHERE rn = 1),
-        |merged AS (
-        |  SELECT coalesce(l.o_orderkey, b.o_orderkey) AS o_orderkey,
-        |    CASE WHEN l.op = 'U' THEN l.o_custkey ELSE b.o_custkey END AS o_custkey,
-        |    CASE WHEN l.op = 'U' THEN l.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
-        |    CASE WHEN l.op = 'U' THEN l.o_totalprice ELSE b.o_totalprice END AS o_totalprice,
-        |    CASE WHEN l.op = 'U' THEN l.o_orderdate ELSE b.o_orderdate END AS o_orderdate,
-        |    CASE WHEN l.op = 'U' THEN l.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority,
-        |    l.op AS op
-        |  FROM orders b FULL OUTER JOIN latest l ON b.o_orderkey = l.o_orderkey)
-        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
-        |FROM merged WHERE op IS NULL OR op = 'U'
-        |ORDER BY o_orderkey""".stripMargin)),
+    QueryDef("q_cdc_apply", qCdcApply, Some(cdcOracleSql)),
     QueryDef("q_hll_grouped", qHllGrouped, Some {
       import graft.operators.Sketches.Hll.{EstNum, M, RhoCap}
       s"""WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents
