@@ -267,12 +267,22 @@ object TextQueries {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("norm_hash")
 
+  /** The min-label CC result, computed once per session + corpus
+    * (three consumers: cluster gate, corpus materialization, canonical
+    * selection — each re-running the iterative loop is rebuild-per-
+    * query waste; the star-contraction gate deliberately stays
+    * UN-memoized so the two algorithms remain independent evidence). */
+  private val ccMemo = new IndexQueries.SessionMemo[DataFrame]
+  private def nearDupCc(s: SparkSession, dir: String): DataFrame =
+    ccMemo.get(s, dir)(
+      graft.operators.Dedup.connectedComponents(nearDupPairs(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Near-dup clustering: connected components over the Jaccard >= 0.8
     * pair graph; each doc maps to its cluster's minimum id (the kept
     * survivor). */
   def qDedupCluster(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Dedup
-      .connectedComponents(nearDupPairs(s, dir))
+    nearDupCc(s, dir)
       .select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy("doc_id")
 
@@ -301,8 +311,7 @@ object TextQueries {
   def qDedupCanonical(s: SparkSession, dir: String): DataFrame = {
     val q = docs(s, dir).select(col("doc_id"),
       (floor(qualityScore(col("text")) * 10000.0) / 10000.0).as("q"))
-    val cc = graft.operators.Dedup.connectedComponents(nearDupPairs(s, dir))
-      .withColumnRenamed("id", "doc_id")
+    val cc = nearDupCc(s, dir).withColumnRenamed("id", "doc_id")
     val members = q.join(cc, Seq("doc_id"), "left")
       .select(coalesce(col("comp"), col("doc_id")).as("comp"),
         col("doc_id").as("id"), col("q"))
@@ -314,8 +323,7 @@ object TextQueries {
     * cluster → anti-join the non-survivors). */
   def qDedupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val clusters = graft.operators.Dedup
-      .connectedComponents(nearDupPairs(s, dir))
+    val clusters = nearDupCc(s, dir)
     val dropped = clusters.filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
     d.join(dropped, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_chars"))
