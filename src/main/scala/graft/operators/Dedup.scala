@@ -416,6 +416,63 @@ object Dedup {
       .select(col("a"), col("b"), col("jac"))
   }
 
+  /** DIRECTED containment similarity join — the asymmetric near-dup
+    * detector symmetric Jaccard structurally misses: a short document
+    * quoted whole inside a long one has C(A→B) = |A∩B|/|A| ≈ 1 while
+    * J(A,B) ≈ |A|/|B| can be arbitrarily small (the quote-inclusion /
+    * boilerplate-envelope case ExactSubstr-style dedup papers call
+    * out). Emits `(a, b, containment)` for every ordered pair with
+    * C(A→B) ≥ τ, a ≠ b.
+    *
+    * Blocking (never all-pairs): the PROBE side (A) indexes only its
+    * containment prefix — the |A| − ⌈τ·|A|⌉ + 1 globally-rarest
+    * shingles (df asc, then lexicographic): if none of them is in B,
+    * overlap ≤ ⌈τ|A|⌉ − 1 < τ|A| (prefix theorem), so no qualifying
+    * pair is lost. The CONTAINER side (B) must index ALL its shingles
+    * — containment puts no useful lower bound on B's prefix — but the
+    * A-prefix biases the join key toward RARE shingles, which bounds
+    * fan-out exactly where df-skew would hurt. The only length filter
+    * is |B| ≥ τ·|A| (overlap ≤ |B|). Verification re-reads the two
+    * bounded shingle arrays for the candidate pairs only. */
+  def containmentJoin(
+      docs: DataFrame,
+      tau: Double,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    val sh = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val inv = sh.select(col("id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("s"))
+      val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("id").orderBy(col("df").asc, col("s").asc)
+      val probe = inv.join(freq, "s")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * lit(tau)) + 1)
+        .select("id", "n_sh", "s")
+      val cand = probe.as("x")
+        .join(inv.as("y"),
+          col("x.s") === col("y.s") && col("x.id") =!= col("y.id") &&
+            col("y.n_sh").cast("double") >= col("x.n_sh") * lit(tau) - lit(1e-9))
+        .select(col("x.id").as("a"), col("y.id").as("b"))
+        .distinct()
+      val out = cand
+        .join(sh.select(col("id").as("a"), col("sh").as("sha")), "a")
+        .join(sh.select(col("id").as("b"), col("sh").as("shb")), "b")
+        .withColumn("containment",
+          size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            size(col("sha")).cast("double"))
+        .filter(col("containment") >= tau)
+        .select(col("a"), col("b"), col("containment"))
+      out.localCheckpoint() // materialize before releasing the shingle cache
+    } finally sh.unpersist(blocking = false)
+  }
+
   /** Quality-aware canonical selection — the "which duplicate
     * survives" policy that completes the dedup pipeline (the
     * SemDeDup-style keep decision, Abbas et al. 2023 §3: within each

@@ -267,6 +267,17 @@ object TextQueries {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("norm_hash")
 
+  /** Directed containment near-dup pairs
+    * ([[graft.operators.Dedup.containmentJoin]] — the asymmetric
+    * detector beside the symmetric Jaccard gate: quote-inclusion /
+    * boilerplate-envelope duplicates where a short doc sits whole
+    * inside a long one). The oracle is the all-pairs truth, so the
+    * prefix-filtered blocking is proven lossless on the fixture. */
+  def qDedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentJoin(docs(s, dir), tau = 0.8)
+      .select(col("a"), col("b"), round(col("containment"), 4).as("containment"))
+      .orderBy("a", "b")
+
   /** The min-label CC result, computed once per session + corpus
     * (three consumers: cluster gate, corpus materialization, canonical
     * selection — each re-running the iterative loop is rebuild-per-
@@ -765,6 +776,15 @@ object TextQueries {
          |                UNION
          |                SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
          |SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u ORDER BY doc_id""".stripMargin)),
+    QueryDef("q_dedup_containment", qDedupContainment, Some(
+      s"""WITH t AS (SELECT doc_id, $shSql AS sh FROM documents)
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 4)
+         |    AS containment
+         |FROM t a JOIN t b ON a.doc_id <> b.doc_id
+         |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.8
+         |ORDER BY a, b""".stripMargin)),
     QueryDef("q_dedup_canonical", qDedupCanonical, Some(
       s"""WITH RECURSIVE t AS (SELECT doc_id, $shSql AS sh FROM documents),
          |p AS (SELECT a.doc_id AS a, b.doc_id AS b
