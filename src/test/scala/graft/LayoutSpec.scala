@@ -170,4 +170,25 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows == expect)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
+
+  test("bucketed layout PRUNES point lookups to a single bucket") {
+    // depends on the tables the co-located-join test wrote; (re)write
+    // defensively so the test stands alone
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+    Layout.writeBucketed(orders, "/tmp/graft_bucket_spec/orders",
+      "spec_orders_bkt", "o_orderkey", 4)
+    // autoBucketedScan replans a bare filter as a non-bucketed scan
+    // (pruning still applies, but the plan marker disappears) — pin
+    // the marker on the explicitly-bucketed form
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val q = spark.table("spec_orders_bkt").filter(col("o_orderkey") === 42L)
+      assert(q.count() == 1L)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 4"),
+        s"point filter on the bucket key must read exactly one bucket:\n$plan")
+    } finally
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+  }
 }
