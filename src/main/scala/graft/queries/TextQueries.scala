@@ -128,6 +128,53 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** END-TO-END corpus-prep pipeline census — the composition a
+    * training-data run actually executes, as ONE gated query:
+    * quality cascade (the q_filter_cascade rules) → near-dup
+    * clustering among the PASSERS (the memoized pair graph filtered
+    * to kept ends — dedup after filtering, the standard order) →
+    * quality-aware canonical selection per cluster → per-source
+    * keep/drop/token census. All-integer output, so the whole
+    * pipeline replays hash-exact. Every stage is separately gated
+    * elsewhere; this pins their COMPOSITION (flag plumbing, join
+    * keys, drop accounting — where pipeline bugs actually live). */
+  def qPipelineCorpus(s: SparkSession, dir: String): DataFrame = {
+    val t0 = tokens(col("text"))
+    val bi = bigrams(t0)
+    val n = size(t0).cast("long")
+    val dupBi = (size(bi) - size(array_distinct(bi))).cast("long")
+    val short_ = n < 20L
+    val repetitive = n >= 10L &&
+      (dupBi * 100L > (n - 1L) * 8L || topTokenCount(t0) * 100L > n * 28L)
+    val nonEn = langId(col("text")) =!= "en"
+    val base = docs(s, dir).select(col("doc_id"), col("source"),
+      n.as("n_tok"),
+      (!(short_ || repetitive || nonEn)).as("keep_q"),
+      (floor(qualityScore(col("text")) * 10000.0) / 10000.0).as("q"))
+    val passers = base.filter(col("keep_q"))
+    val pairs = nearDupPairs(s, dir)
+      .join(passers.select(col("doc_id").as("a")), "a")
+      .join(passers.select(col("doc_id").as("b")), "b")
+    val cc = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "doc_id")
+    val members = passers.join(cc, Seq("doc_id"), "left")
+      .select(coalesce(col("comp"), col("doc_id")).as("comp"),
+        col("doc_id").as("id"), col("q"))
+    val kept = Dedup.canonicalByQuality(members)
+      .select(col("kept_id").as("doc_id"), lit(true).as("kept"))
+    base.join(kept, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!col("keep_q"), 1L).otherwise(0L)).as("n_drop_quality"),
+        sum(when(col("keep_q") && col("kept").isNull, 1L).otherwise(0L))
+          .as("n_drop_dup"),
+        sum(when(col("kept").isNotNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept").isNotNull, col("n_tok")).otherwise(0L))
+          .as("tok_kept"))
+      .orderBy("source")
+  }
+
   /** Exact dedup groups by content hash. */
   def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactDupGroups(docs(s, dir)).orderBy("content_hash")
@@ -776,6 +823,49 @@ object TextQueries {
          |                UNION
          |                SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
          |SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u ORDER BY doc_id""".stripMargin)),
+    QueryDef("q_pipeline_corpus", qPipelineCorpus, Some(
+      s"""WITH RECURSIVE $tkSql,
+         |f AS (SELECT rep.doc_id, n < 20 AS flag_short,
+         |        n >= 10 AND ((dup_bigram * 100 > (n - 1) * 8) OR (top_tok * 100 > n * 28)) AS flag_repetitive,
+         |        (CASE WHEN ${hitsSql(StopEn)} = 0 AND ${hitsSql(StopEs)} = 0
+         |                   AND ${hitsSql(StopDe)} = 0 AND ${hitsSql(StopFr)} = 0 THEN 'und'
+         |              WHEN ${hitsSql(StopEn)} >= ${hitsSql(StopEs)} AND ${hitsSql(StopEn)} >= ${hitsSql(StopDe)}
+         |                   AND ${hitsSql(StopEn)} >= ${hitsSql(StopFr)} THEN 'en'
+         |              WHEN ${hitsSql(StopEs)} >= ${hitsSql(StopDe)} AND ${hitsSql(StopEs)} >= ${hitsSql(StopFr)} THEN 'es'
+         |              WHEN ${hitsSql(StopDe)} >= ${hitsSql(StopFr)} THEN 'de'
+         |              ELSE 'fr' END) <> 'en' AS flag_non_en
+         |      FROM rep JOIN tc USING (doc_id)),
+         |b AS (SELECT d.doc_id, d.source,
+         |        CAST(len($toksSql) AS BIGINT) AS n_tok,
+         |        NOT (f.flag_short OR f.flag_repetitive OR f.flag_non_en) AS keep_q,
+         |        $qualitySql AS q
+         |      FROM documents d JOIN f ON d.doc_id = f.doc_id),
+         |ps AS (SELECT doc_id FROM b WHERE keep_q),
+         |tsh AS (SELECT doc_id, $shSql AS sh FROM documents
+         |        WHERE doc_id IN (SELECT doc_id FROM ps)),
+         |p AS (SELECT a.doc_id AS a, b2.doc_id AS b
+         |      FROM tsh a JOIN tsh b2 ON a.doc_id < b2.doc_id
+         |      WHERE CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE)
+         |            / CAST(len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh)) AS DOUBLE) >= 0.8),
+         |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+         |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         |                UNION
+         |                SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |cc AS (SELECT u AS doc_id, min(v) AS comp FROM reach GROUP BY u),
+         |memb AS (SELECT b.doc_id, coalesce(cc.comp, b.doc_id) AS comp, b.q
+         |         FROM b JOIN ps USING (doc_id)
+         |         LEFT JOIN cc ON b.doc_id = cc.doc_id),
+         |win AS (SELECT comp, doc_id,
+         |          row_number() OVER (PARTITION BY comp ORDER BY q DESC, doc_id) AS rn
+         |        FROM memb),
+         |k AS (SELECT doc_id FROM win WHERE rn = 1)
+         |SELECT b.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN NOT keep_q THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_quality,
+         |  CAST(sum(CASE WHEN keep_q AND k.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_dup,
+         |  CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept
+         |FROM b LEFT JOIN k ON b.doc_id = k.doc_id
+         |GROUP BY b.source ORDER BY b.source""".stripMargin)),
     QueryDef("q_dedup_containment", qDedupContainment, Some(
       s"""WITH t AS (SELECT doc_id, $shSql AS sh FROM documents)
          |SELECT a.doc_id AS a, b.doc_id AS b,
