@@ -67,4 +67,50 @@ object Cdc {
       .select(when(col("__op") === "U", col("__c")).otherwise(col("__b")).as("__r"))
       .select(col("__r.*"))
   }
+
+  /** Snapshot diff — classify every key as `added` / `removed` /
+    * `changed` between two corpus snapshots, dropping the unchanged
+    * mass. The inverse problem of [[applyChanges]]: MERGE applies a
+    * change feed to produce a snapshot; diff recovers the change feed
+    * from two snapshots (the audit / incremental-reprocessing
+    * primitive — "what actually moved between yesterday's crawl and
+    * today's?" drives which partitions a 100 TB pipeline recomputes).
+    *
+    * Contract: both frames carry identical column sets; `keyCols`
+    * identify a row (at most one row per key per snapshot — violations
+    * surface as duplicate output keys rather than silently winning).
+    * Payload comparison is null-safe (`<=>` over one packed struct):
+    * a payload column going NULL -> non-NULL or back is `changed`,
+    * absent rows are never confused with NULL payloads (row presence
+    * is the struct's own nullity, and a present row's struct is
+    * non-null even when every payload field is NULL).
+    *
+    * Scale shape: ONE full-outer equi-join on the key — each side
+    * shuffles once (or not at all when both snapshots are bucketed /
+    * co-partitioned on the key, the layout a snapshot store should
+    * use); classification is a map-only struct compare and the
+    * dominant unchanged mass is filtered before anything downstream,
+    * so the output is O(churn), not O(corpus). Nothing broadcasts,
+    * nothing collects, no window. */
+  def snapshotDiff(old: DataFrame, neu: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(old.columns.sorted.sameElements(neu.columns.sorted),
+      s"snapshot schemas differ: ${old.columns.mkString(",")} vs " +
+        neu.columns.mkString(","))
+    require(keyCols.forall(old.columns.contains),
+      s"key column(s) missing from snapshots: ${keyCols.mkString(",")}")
+    val payload = old.columns.filterNot(keyCols.contains).toSeq
+    def packed(df: DataFrame, side: String): DataFrame =
+      df.select(keyCols.map(col) :+
+        (if (payload.isEmpty) lit(0) else struct(payload.map(col): _*))
+          .as(side): _*)
+    packed(old, "__po").join(packed(neu, "__pn"), keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("__po").isNull, lit("added"))
+          .when(col("__pn").isNull, lit("removed"))
+          .when(!(col("__po") <=> col("__pn")), lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select(keyCols.map(col) :+ col("change_type"): _*)
+  }
 }

@@ -59,6 +59,19 @@ object MinHash {
       .select(col("id"), col("sh"), size(col("sh")).as("n_sh"),
         transform(col("sh"), s => polyHash(s)).as("hs"))
 
+  /** (id, bkey) band-key rows from a (id, ..., sig) signature table —
+    * the banded OR-of-ANDs blocking key shared by the self-join and
+    * the incremental (batch-vs-corpus) arms. */
+  private def bandKeys(sig: DataFrame): DataFrame = {
+    val rows = K / Bands
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", slice(col("sig"), b * rows + 1, rows).cast("array<string>")).as("bsig"))
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), concat(col("bk.band").cast("string"), lit(":"), col("bk.bsig")).as("bkey"))
+  }
+
   /** LSH candidate pairs + exact Jaccard verification: every output
     * pair shares at least one of the `Bands` band keys AND has true
     * shingle Jaccard >= tau. */
@@ -68,19 +81,12 @@ object MinHash {
       n: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val rows = K / Bands
     // materialize the shingle+hash table once: the band explode and both
     // sides of the verify join all branch from it (without this, the
     // shingling subtree executes up to 4x)
     val base = shingled(docs, n, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
     val sig = base.select(col("id"), col("sh"), col("n_sh"), signature(col("hs")).as("sig"))
-
-    val bandCols = (0 until Bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", slice(col("sig"), b * rows + 1, rows).cast("array<string>")).as("bsig"))
-    }
-    val bands = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), concat(col("bk.band").cast("string"), lit(":"), col("bk.bsig")).as("bkey"))
+    val bands = bandKeys(sig)
 
     val cand = bands.as("x")
       .join(bands.as("y"), col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
@@ -91,6 +97,49 @@ object MinHash {
     cand
       .join(sets.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na")), "a")
       .join(sets.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb")), "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jac") >= tau)
+      .select(col("a"), col("b"), col("jac"))
+  }
+
+  /** Incremental (batch-vs-corpus) LSH dedup — the shape a daily
+    * ingest actually runs: screen the NEW batch against the existing
+    * corpus without ever re-joining the corpus to itself. Emits
+    * `(a, b, jac)` where `a` is a batch id, `b` a corpus id, the two
+    * share at least one of the `Bands` band keys, and true shingle
+    * Jaccard >= tau.
+    *
+    * Scale shape: the corpus side is touched exactly TWICE, both times
+    * linearly — one scan to band its signatures (at steady state a
+    * store persists these, making the scan incremental too) and one
+    * semi-bounded verify re-read of candidate ids; the candidate join
+    * is batch-bands x corpus-bands on the band key, so its output is
+    * O(|batch| x collisions), never O(|corpus|^2). AQE broadcasts the
+    * banded batch when it is small (the common case: a few GB of new
+    * docs against a 100 TB corpus => corpus bands stream map-side
+    * against a broadcast batch table, NO corpus shuffle). Self-pairs
+    * are excluded by id inequality, not assumed disjoint. */
+  def lshDedupIncremental(
+      batch: DataFrame,
+      corpus: DataFrame,
+      tau: Double,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bBase = shingled(batch, n, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    val cBase = shingled(corpus, n, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    def sigOf(df: DataFrame) =
+      df.select(col("id"), signature(col("hs")).as("sig"))
+    val cand = bandKeys(sigOf(bBase)).withColumnRenamed("id", "a").as("x")
+      .join(bandKeys(sigOf(cBase)).withColumnRenamed("id", "b").as("y"),
+        col("x.bkey") === col("y.bkey") && col("a") =!= col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    cand
+      .join(bBase.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na")), "a")
+      .join(cBase.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb")), "b")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jac", col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")).cast("double"))

@@ -22,6 +22,21 @@ object DedupQueries {
       .select(col("a"), col("b"), round(col("jac"), 3).as("jac"))
       .orderBy("a", "b")
 
+  /** Incremental dedup ([[MinHash.lshDedupIncremental]]): the NEW
+    * batch (doc_id ≡ 0 mod 10 — the fixture's stand-in for today's
+    * crawl) screened against the standing corpus (everything else),
+    * candidate-blocked by the same 4-band minhash keys, exact-verified
+    * at τ = 0.7. The corpus never self-joins — the asymmetric shape a
+    * daily ingest runs at 100 TB. */
+  def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    MinHash.lshDedupIncremental(
+      d.filter(col("doc_id") % 10 === 0),
+      d.filter(col("doc_id") % 10 =!= 0), tau = 0.7)
+      .select(col("a"), col("b"), round(col("jac"), 3).as("jac"))
+      .orderBy("a", "b")
+  }
+
   /** Per-document 64-bit SimHash (two 32-bit words). */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     MinHash.simHashTable(docs(s, dir)).orderBy("doc_id")
@@ -353,6 +368,30 @@ object DedupQueries {
          |         ON x.bkey = y.bkey AND x.doc_id < y.doc_id),
          |ver AS (SELECT c.a, c.b, len(list_intersect(ta.sh, tb.sh)) AS i, ta.n_sh AS na, tb.n_sh AS nb
          |        FROM cand c JOIN hs ta ON ta.doc_id = c.a JOIN hs tb ON tb.doc_id = c.b)
+         |SELECT a, b, round(CAST(i AS DOUBLE)/CAST(na+nb-i AS DOUBLE), 3) AS jac
+         |FROM ver WHERE CAST(i AS DOUBLE)/CAST(na+nb-i AS DOUBLE) >= 0.7 ORDER BY a, b""".stripMargin)),
+    QueryDef("q_dedup_incremental", qDedupIncremental, Some(
+      s"""WITH tb AS (SELECT doc_id, $shSql AS sh FROM documents WHERE doc_id % 10 = 0),
+         |tc AS (SELECT doc_id, $shSql AS sh FROM documents WHERE doc_id % 10 <> 0),
+         |hb AS (SELECT doc_id, sh, len(sh) AS n_sh, $hsSql AS hs FROM tb WHERE len(sh) > 0),
+         |hc AS (SELECT doc_id, sh, len(sh) AS n_sh, $hsSql AS hs FROM tc WHERE len(sh) > 0),
+         |sb AS (SELECT doc_id, list_transform($paramsSql, ab ->
+         |         list_min(list_transform(hs, x -> (ab[1]*x + ab[2]) % 2147483647))) AS sig
+         |       FROM hb),
+         |sc AS (SELECT doc_id, list_transform($paramsSql, ab ->
+         |         list_min(list_transform(hs, x -> (ab[1]*x + ab[2]) % 2147483647))) AS sig
+         |       FROM hc),
+         |bb AS (SELECT doc_id,
+         |         CAST(b AS VARCHAR) || ':' || array_to_string(sig[b*4+1 : b*4+4], ',') AS bkey
+         |       FROM sb, unnest([0,1,2,3]) AS u(b)),
+         |bc AS (SELECT doc_id,
+         |         CAST(b AS VARCHAR) || ':' || array_to_string(sig[b*4+1 : b*4+4], ',') AS bkey
+         |       FROM sc, unnest([0,1,2,3]) AS u(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bb x JOIN bc y
+         |         ON x.bkey = y.bkey AND x.doc_id <> y.doc_id),
+         |ver AS (SELECT c.a, c.b, len(list_intersect(ta.sh, tb2.sh)) AS i,
+         |          ta.n_sh AS na, tb2.n_sh AS nb
+         |        FROM cand c JOIN hb ta ON ta.doc_id = c.a JOIN hc tb2 ON tb2.doc_id = c.b)
          |SELECT a, b, round(CAST(i AS DOUBLE)/CAST(na+nb-i AS DOUBLE), 3) AS jac
          |FROM ver WHERE CAST(i AS DOUBLE)/CAST(na+nb-i AS DOUBLE) >= 0.7 ORDER BY a, b""".stripMargin)),
     QueryDef("q_dedup_simhash", qDedupSimhash, Some(

@@ -81,6 +81,15 @@ object HybridQueries {
       .limit(10)
   }
 
+  /** Positional phrase search ([[graft.operators.Phrase]]): every
+    * (doc_id, 0-based token start) where the fixed 2-token phrase
+    * occurs consecutively — the exact-match retrieval leg and the
+    * verbatim-quote forensic. The oracle scans positions directly;
+    * the engine runs the join-free ballot aggregate. */
+  def qPhraseSearch(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Phrase.phraseMatches(docs(s, dir), Seq("table", "value"))
+      .orderBy("doc_id", "start")
+
   // ---- DuckDB oracle fragments --------------------------------------
 
   /** BM25 CTE chain ending in bm(doc_id, score); expression shape
@@ -130,5 +139,11 @@ object HybridQueries {
          |          FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)
          |SELECT doc_id, lex_rnk, vec_rnk, rrf FROM fused
          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
+    QueryDef("q_phrase_search", qPhraseSearch, Some(
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS start
+        |FROM t, unnest(range(1, len(tk) + 1)) AS u(i)
+        |WHERE i + 1 <= len(tk) AND tk[i] = 'table' AND tk[i+1] = 'value'
+        |ORDER BY doc_id, start""".stripMargin)),
   )
 }

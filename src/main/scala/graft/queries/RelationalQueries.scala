@@ -235,6 +235,21 @@ object RelationalQueries {
       graft.operators.Cdc.applyChanges(base, cdcChanges(base), "o_orderkey"))
   }
 
+  /** Snapshot diff ([[graft.operators.Cdc.snapshotDiff]]) gated as the
+    * literal inverse of the MERGE gate: diffing the base `orders`
+    * snapshot against the CDC-applied snapshot must recover exactly
+    * the net change feed — the wave-1 inserts surface as `added`, the
+    * un-resurrected deletes as `removed`, every re-priced key as
+    * `changed`, and the untouched corpus mass (the overwhelming
+    * majority) is filtered out before it reaches the output. */
+  def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+    val applied =
+      graft.operators.Cdc.applyChanges(base, cdcChanges(base), "o_orderkey")
+    graft.operators.Cdc.snapshotDiff(base, applied, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
   def qScd2History(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -858,6 +873,28 @@ object RelationalQueries {
          |FROM b""".stripMargin
     }),
     QueryDef("q_cdc_apply", qCdcApply, Some(cdcOracleSql)),
+    QueryDef("q_snapshot_diff", qSnapshotDiff, Some {
+      // the MERGE oracle's `merged` pipeline, full-outer re-joined to
+      // the base snapshot and classified (null-safe compares)
+      val mergedCtes = cdcOracleSql
+        .split("\nSELECT o_orderkey, o_custkey")(0) // chg/latest/merged CTEs
+      s"""$mergedCtes,
+         |snap AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+         |           o_totalprice, o_orderdate, o_orderpriority
+         |         FROM merged WHERE op IS NULL OR op = 'U'),
+         |d AS (SELECT coalesce(b.o_orderkey, s.o_orderkey) AS o_orderkey,
+         |  CASE WHEN b.o_orderkey IS NULL THEN 'added'
+         |       WHEN s.o_orderkey IS NULL THEN 'removed'
+         |       WHEN b.o_custkey IS DISTINCT FROM s.o_custkey
+         |         OR b.o_orderstatus IS DISTINCT FROM s.o_orderstatus
+         |         OR b.o_totalprice IS DISTINCT FROM s.o_totalprice
+         |         OR b.o_orderdate IS DISTINCT FROM s.o_orderdate
+         |         OR b.o_orderpriority IS DISTINCT FROM s.o_orderpriority
+         |       THEN 'changed' END AS change_type
+         |  FROM orders b FULL OUTER JOIN snap s ON b.o_orderkey = s.o_orderkey)
+         |SELECT o_orderkey, change_type FROM d
+         |WHERE change_type IS NOT NULL ORDER BY o_orderkey""".stripMargin
+    }),
     QueryDef("q_hll_grouped", qHllGrouped, Some {
       import graft.operators.Sketches.Hll.{EstNum, M, RhoCap}
       s"""WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents

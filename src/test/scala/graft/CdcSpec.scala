@@ -80,4 +80,55 @@ class CdcSpec extends AnyFunSuite with BeforeAndAfterAll {
       Cdc.applyChanges(badBase, changes, "id")
     }
   }
+
+  test("snapshotDiff classifies added/removed/changed and drops the unchanged mass") {
+    import spark.implicits._
+    val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "score")
+    val neu = Seq((1L, "a", 10.0), (2L, "b", 21.0), (4L, "d", 40.0))
+      .toDF("id", "name", "score")
+    val got = Cdc.snapshotDiff(old, neu, Seq("id"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
+  test("snapshotDiff payload compare is null-safe: NULL<->value is changed, NULL==NULL is unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, Option("a")), (2L, Option.empty[String]), (3L, Option("c")))
+      .toDF("id", "name")
+    val neu = Seq((1L, Option.empty[String]), (2L, Option.empty[String]), (3L, Option("c")))
+      .toDF("id", "name")
+    val got = Cdc.snapshotDiff(old, neu, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "changed"))) // 2: NULL==NULL, 3: identical
+  }
+
+  test("snapshotDiff round-trips applyChanges: diff(base, merge(base, feed)) = net feed") {
+    import spark.implicits._
+    val changes = Seq(
+      (2L, "B2", 22.0, "U", 1),  // changed
+      (5L, "e", 50.0, "U", 1),   // added
+      (3L, "x", 0.0, "D", 1),    // removed
+      (4L, "d", 40.0, "U", 1))   // upsert to identical payload: NOT in the diff
+      .toDF("id", "name", "score", "op", "seq")
+    val got = Cdc.snapshotDiff(base, Cdc.applyChanges(base, changes, "id"), Seq("id"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((2L, "changed"), (3L, "removed"), (5L, "added")))
+  }
+
+  test("snapshotDiff rejects schema mismatch and missing keys") {
+    import spark.implicits._
+    val old = Seq((1L, "a")).toDF("id", "name")
+    intercept[IllegalArgumentException] {
+      Cdc.snapshotDiff(old, Seq((1L, 2.0)).toDF("id", "score"), Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Cdc.snapshotDiff(old, old, Seq("missing"))
+    }
+    intercept[IllegalArgumentException] {
+      Cdc.snapshotDiff(old, old, Seq.empty)
+    }
+  }
 }
