@@ -442,10 +442,22 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    // Repartition the RAW text by id before the CPU-heavy shingling so
+    // compute balance never depends on the input file layout (a single
+    // unsplittable parquet row-group would otherwise shingle on one
+    // core), then materialize EAGERLY: five plan branches (df census,
+    // probe, container index, both verify sides) read this table, and a
+    // lazy persist lets their concurrently-launched stages race to
+    // compute it from scratch — measured 5 duplicate single-task
+    // ~2.5 s scans at sf0.1 before this. One narrow text shuffle,
+    // amortized across all five consumers.
     val sh = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .select(col(idCol).as("id"), col(textCol).as("__t"))
+      .repartition(col("id"))
+      .select(col("id"), shingles(col("__t"), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     try {
       val inv = sh.select(col("id"), size(col("sh")).as("n_sh"),
         explode(col("sh")).as("s"))
@@ -461,8 +473,18 @@ object Dedup {
             col("y.n_sh").cast("double") >= col("x.n_sh") * lit(tau) - lit(1e-9))
         .select(col("x.id").as("a"), col("y.id").as("b"))
         .distinct()
+      // Verification is byte-small but CPU-heavy (one array_intersect
+      // per candidate pair): AQE's byte-based coalescing would shrink
+      // these exchanges to a handful of tasks, serializing the compute.
+      // Pinned repartitions on the join keys double as the joins' own
+      // exchanges (hash(a)/hash(b) at the session's shuffle parallelism
+      // satisfies each join's required distribution), so this adds NO
+      // extra shuffle — it only pins the task count AQE would collapse.
+      val p = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
       val out = cand
+        .repartition(p, col("a"))
         .join(sh.select(col("id").as("a"), col("sh").as("sha")), "a")
+        .repartition(p, col("b"))
         .join(sh.select(col("id").as("b"), col("sh").as("shb")), "b")
         .withColumn("containment",
           size(array_intersect(col("sha"), col("shb"))).cast("double") /
