@@ -2750,6 +2750,33 @@ object IndexQueries {
       s"""WITH ms AS (SELECT unnest(range(0, 8)) AS m),
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          |${pqAdcSql("embeddings e")}""".stripMargin)),
+    QueryDef("q_ann_opq", qAnnOpq, Some(
+      // full replay of the OPQ-permuted serving pipeline: exact
+      // integer-unit energy census -> (energy DESC, dim ASC) rank ->
+      // closed-form snake block -> permuted-order lists -> PQ init +
+      // ADC in permuted space -> exact refine on the raw vectors
+      s"""WITH ms AS (SELECT unnest(range(0, 8)) AS m),
+         |en AS (SELECT u.i AS i,
+         |         sum(CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) *
+         |                        CAST(e.embedding[u.i] AS DOUBLE) * 1e12) AS BIGINT)) AS en
+         |       FROM embeddings e, unnest(range(1, ${VectorQueries.Dim + 1})) AS u(i)
+         |       GROUP BY u.i),
+         |rk AS (SELECT i, CAST(row_number() OVER (ORDER BY en DESC, i) AS INT) - 1 AS r
+         |       FROM en),
+         |ord AS (SELECT i,
+         |          row_number() OVER (ORDER BY
+         |            CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END, r) AS np
+         |        FROM rk),
+         |px AS (SELECT e.vec_id, o.np, e.embedding[o.i] AS x
+         |       FROM embeddings e, ord o),
+         |pe AS (SELECT vec_id, list(x ORDER BY np) AS embedding FROM px GROUP BY vec_id),
+         |q AS (SELECT embedding AS qv FROM pe WHERE vec_id = 33),
+         |${pqAdcCoreSql("pe e", cwFrom = "pe e")},
+         |cand AS (SELECT vec_id FROM dist ORDER BY d, vec_id LIMIT 20),
+         |qr AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 33)
+         |SELECT e.vec_id, round(${VectorQueries.l2Sql("e.embedding", "qr.qv")}, 3) AS dist
+         |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qr
+         |ORDER BY ${VectorQueries.l2Sql("e.embedding", "qr.qv")}, e.vec_id LIMIT 10""".stripMargin)),
     QueryDef("q_ann_ivfpq", qAnnIvfPq, Some(
       s"""WITH ms AS (SELECT unnest(range(0, 8)) AS m),
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 12),
@@ -3038,6 +3065,38 @@ object IndexQueries {
     * are the memoized iters=0 init (encode depends only on the global
     * codebooks, so restricting encode to probed cells is exact);
     * trained-codebook quality is gated in ScalaTest. */
+  /** OPQ-permuted PQ serving, end-to-end ([[graft.index.Opq]] — Ge et
+    * al. CVPR'13 §4.1 dimension allocation as an actual serving path,
+    * not just the measured rotation artifact): exact integer-unit
+    * energy census → snake-balanced dim permutation (the model
+    * artifact) → map-only permute → PQ init in permuted space → ADC
+    * shortlist (top-20) → EXACT L2 refine on the In-pruned RAW vectors
+    * (a permutation is orthogonal, so refined distances are the true
+    * distances). Every stage replays in the oracle; the full-rotation
+    * arm's serving recall is floor-gated in OpqServingSpec. */
+  def qAnnOpq(s: SparkSession, dir: String): DataFrame = {
+    import graft.index.{Opq, ProductQuantizer}
+    val e = emb(s, dir)
+    val perm = Opq.energyBalancedPerm(e, col("embedding"), VectorQueries.Dim, numSub = 8)
+    val pe = e.select(col("vec_id"), Opq.permuteExpr(col("embedding"), perm).as("embedding"))
+    val model = ProductQuantizer.train(pe, numSub = 8, k = 16, iters = 0)
+    val q = pe.filter(col("vec_id") === 33L).select(col("embedding").as("__qv"))
+    val cand = pe
+      .select(col("vec_id"), ProductQuantizer.encodeExpr(col("embedding"), model).as("codes"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), ProductQuantizer.adcExpr(col("codes"), col("__qv"), model).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .limit(20)
+      .select("vec_id")
+    val qraw = e.filter(col("vec_id") === 33L).select(col("embedding").as("__qr"))
+    e.join(broadcast(cand), "vec_id")
+      .crossJoin(broadcast(qraw))
+      .select(col("vec_id"), l2Sq(col("embedding"), col("__qr")).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), round(col("d"), 3).as("dist"))
+  }
+
   def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
     import graft.index.ProductQuantizer
     val e = emb(s, dir)
