@@ -92,6 +92,15 @@ final class VectorDB private (
   private var pqBuildParams: Option[(Int, Int, Int, Int, Int)] = None
   private var sqBuildParams: Option[(Int, Int)] = None
   private var bqBuildParams: Option[(Int, Int)] = None
+  /** OPQ serving state ([[buildIndexOpq]]): the energy-balanced dim
+    * permutation the PQ router/codebooks were trained under. Applied
+    * IN SERVING SPACE (after the metric reduction) to the corpus at
+    * build/encode time and to every query at reduce time, so the
+    * whole compressed pipeline — routing, codes, ADC — runs permuted
+    * while exact/refine arms stay on the raw vectors (a permutation
+    * is orthogonal: refined distances are true distances). */
+  private var opqPerm: Option[Array[Int]] = None
+  private var opqBuildParams: Option[(Int, Int, Int, Int, Int)] = None
 
   /** Cells probed per query when an IVF router is trained. */
   var nprobe: Int = 3
@@ -158,6 +167,8 @@ final class VectorDB private (
     pqBuildParams = None
     sqBuildParams = None
     bqBuildParams = None
+    opqPerm = None
+    opqBuildParams = None
   }
 
   /** Build the ANN index over an optional contiguous id range
@@ -233,19 +244,24 @@ final class VectorDB private (
     * rounding as [[graft.functions.VectorFunctions.l2Normalize]] /
     * [[mipsAugment]]'s query side), so probe selection and ADC
     * distances are bit-identical to an engine-side reduction. */
-  private def reduceQueryVec(q: Seq[Float]): Array[Float] = indexMetric match {
-    case Knn.Cosine =>
-      val a = q.toArray
-      var s = 0.0
-      var i = 0
-      while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
-      val n = math.sqrt(s)
-      if (n == 0.0) a else a.map(x => (x.toDouble / n).toFloat)
-    case Knn.Dot =>
-      // 0-extend over the augmentation dim and any PQ zero pad: the
-      // query's augmentation coordinate is 0 by the reduction
-      q.toArray.padTo(codesWidth, 0.0f)
-    case _ => q.toArray
+  private def reduceQueryVec(q: Seq[Float]): Array[Float] = {
+    val r: Array[Float] = indexMetric match {
+      case Knn.Cosine =>
+        val a = q.toArray
+        var s = 0.0
+        var i = 0
+        while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+        val n = math.sqrt(s)
+        if (n == 0.0) a else a.map(x => (x.toDouble / n).toFloat)
+      case Knn.Dot =>
+        // 0-extend over the augmentation dim and any PQ zero pad: the
+        // query's augmentation coordinate is 0 by the reduction
+        q.toArray.padTo(codesWidth, 0.0f)
+      case _ => q.toArray
+    }
+    // OPQ: the query enters the permuted space the codes live in
+    // (floats are reordered, never recomputed — bit-exact)
+    opqPerm.map(p => p.map(r)).getOrElse(r)
   }
 
   /** The width vectors were encoded at (augmentation + pads included). */
@@ -336,6 +352,48 @@ final class VectorDB private (
     servedPayloadCols = payloadCols
     pqState = Some((codes, model))
     pqBuildParams = Some((numCells, routerIters, numSub, codebookK, pqIters))
+    codes
+  }
+
+  /** Build the OPQ serving configuration — [[buildIndexPq]] with the
+    * energy-balanced dimension permutation ([[graft.index.Opq]], Ge et
+    * al. CVPR'13 §4.1) trained first and applied in serving space:
+    * router, codebooks, and codes all live in the permuted space
+    * (queries enter it via [[reduceQueryVec]]; incoming batches via
+    * [[reduceRows]], so add/remove/upsert/compact maintenance is
+    * permutation-correct with NO extra arms), while refine/exact
+    * passes stay on the raw vectors — a permutation is orthogonal, so
+    * exact distances are unchanged. The permutation itself is a
+    * d-entry model artifact (one map-side-combined census + one d-row
+    * collect at build). */
+  def buildIndexOpq(numCells: Int = 16, routerIters: Int = 1, numSub: Int = 8,
+      codebookK: Int = 16, pqIters: Int = 0, metric: String = Knn.L2,
+      payloadCols: Seq[String] = Nil): DataFrame = {
+    dropServingState()
+    val width = metric match {
+      case Knn.Dot => ((dims + 1 + numSub - 1) / numSub) * numSub
+      case _ =>
+        require(dims % numSub == 0, s"numSub=$numSub must divide dims=$dims")
+        dims
+    }
+    val src0 = reducedCorpus(metric, width)
+    val perm = graft.index.Opq.energyBalancedPerm(src0, col(vecCol), width, numSub)
+    val src = src0.withColumn(vecCol,
+      graft.index.Opq.permuteExpr(col(vecCol), perm))
+    val router = IvfIndex.train(src, numCells, routerIters, idCol, vecCol)
+    val model = ProductQuantizer.train(src, numSub, codebookK, pqIters, idCol, vecCol)
+    val codes = IvfIndex.assign(src, router, idCol, vecCol)
+      .select(col(idCol), col("cell"),
+        ProductQuantizer.encodeExpr(col(vecCol), model).as("codes"),
+        payExpr(payloadCols).as("payload"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ivfModel = Some(router)
+    indexMetric = metric
+    intendedMetric = metric
+    servedPayloadCols = payloadCols
+    pqState = Some((codes, model))
+    opqPerm = Some(perm)
+    opqBuildParams = Some((numCells, routerIters, numSub, codebookK, pqIters))
     codes
   }
 
@@ -501,7 +559,13 @@ final class VectorDB private (
     * columns the user chose. The rebuild reads only the derived
     * corpus, so the parent's superseded cache releases immediately. */
   private def rebuildOnto(db: VectorDB): Unit = {
-    if (pqState.isDefined) {
+    if (opqPerm.isDefined && pqState.isDefined) {
+      // the permutation is corpus-trained state: a rebuild re-derives
+      // it from the NEW corpus under the recorded shape
+      val (nc, ri, ns, ck, pi) = opqBuildParams.getOrElse((16, 1, 8, 16, 0))
+      db.buildIndexOpq(nc, ri, ns, ck, pi, metric = intendedMetric,
+        payloadCols = servedPayloadCols)
+    } else if (pqState.isDefined) {
       val (nc, ri, ns, ck, pi) = pqBuildParams.getOrElse((16, 1, 8, 16, 0))
       db.buildIndexPq(nc, ri, ns, ck, pi, metric = intendedMetric,
         payloadCols = servedPayloadCols)
@@ -533,13 +597,20 @@ final class VectorDB private (
   /** Rows mapped into the index's serving space with the STORED
     * reduction state (build-time max norm for dot — never recaptured;
     * a batch-derived M would shear the augmentation geometry). */
-  private def reduceRows(rows: DataFrame): DataFrame = indexMetric match {
-    case Knn.Cosine => rows.withColumn(vecCol, l2Normalize(col(vecCol)))
-    case Knn.Dot => rows.withColumn(vecCol,
-      zeroPad(mipsAugment(col(vecCol), mipsMaxNormSq.getOrElse(
-        throw new IllegalStateException("dot codes without their captured max norm"))),
-        codesWidth, dims + 1))
-    case _ => rows
+  private def reduceRows(rows: DataFrame): DataFrame = {
+    val r = indexMetric match {
+      case Knn.Cosine => rows.withColumn(vecCol, l2Normalize(col(vecCol)))
+      case Knn.Dot => rows.withColumn(vecCol,
+        zeroPad(mipsAugment(col(vecCol), mipsMaxNormSq.getOrElse(
+          throw new IllegalStateException("dot codes without their captured max norm"))),
+          codesWidth, dims + 1))
+      case _ => rows
+    }
+    // OPQ: incoming batches encode in the permuted space (mirror of
+    // [[reduceQueryVec]]'s query-side hook)
+    opqPerm.map(p =>
+      r.withColumn(vecCol, graft.index.Opq.permuteExpr(col(vecCol), p)))
+      .getOrElse(r)
   }
 
   private def encodeBatch(newRows: DataFrame): DataFrame = {
@@ -578,6 +649,7 @@ final class VectorDB private (
     db.indexMetric = indexMetric
     db.ivfModel = ivfModel
     db.mipsMaxNormSq = mipsMaxNormSq
+    db.opqPerm = opqPerm
     db
   }
 
@@ -694,6 +766,7 @@ final class VectorDB private (
     db.sourcePath = sourcePath
     db.indexMetric = indexMetric
     db.mipsMaxNormSq = mipsMaxNormSq
+    db.opqPerm = opqPerm
     if (small.isEmpty) {
       // nothing below threshold: the live generation carries over
       db.pqState = pqState
@@ -736,7 +809,8 @@ final class VectorDB private (
     val spark = raw.sparkSession
     import spark.implicits._
     val serving =
-      if (pqState.isDefined) "pq"
+      if (opqPerm.isDefined && pqState.isDefined) "opq"
+      else if (pqState.isDefined) "pq"
       else if (sqState.isDefined) "sq"
       else if (bqState.isDefined) "bq"
       else if (index.isDefined) "hnsw"
@@ -814,6 +888,7 @@ final class VectorDB private (
     db.ivfBuildParams = ivfBuildParams
     db.pqBuildParams = pqBuildParams
     db.sqBuildParams = sqBuildParams
+    db.opqBuildParams = opqBuildParams
     // remove-derived handles keep every corpus column, so exact-arm
     // searchWhere can still pack the declared payload attributes
     // (add-derived handles keep only id+vec — a payload predicate
@@ -1331,6 +1406,8 @@ final class VectorDB private (
       s"pqParams=${pqBuildParams.map { case (a, b, c, d, e) => s"$a,$b,$c,$d,$e" }.getOrElse("")}",
       s"sqParams=${sqBuildParams.map { case (a, b) => s"$a,$b" }.getOrElse("")}",
       s"bqParams=${bqBuildParams.map { case (a, b) => s"$a,$b" }.getOrElse("")}",
+      s"opqParams=${opqBuildParams.map { case (a, b, c, d, e) => s"$a,$b,$c,$d,$e" }.getOrElse("")}",
+      s"opqPerm=${opqPerm.map(_.mkString(",")).getOrElse("")}",
       s"hasRouter=${ivfModel.isDefined}").mkString("", "\n", "\n")
     val p = new org.apache.hadoop.fs.Path(path, "graft_meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1537,6 +1614,8 @@ object VectorDB {
     db.pqBuildParams = ints("pqParams").map(a => (a(0), a(1), a(2), a(3), a(4)))
     db.sqBuildParams = ints("sqParams").map(a => (a(0), a(1)))
     db.bqBuildParams = ints("bqParams").map(a => (a(0), a(1)))
+    db.opqBuildParams = ints("opqParams").map(a => (a(0), a(1), a(2), a(3), a(4)))
+    db.opqPerm = ints("opqPerm")
     db
   }
 }

@@ -1084,6 +1084,92 @@ object IndexQueries {
       .select(col("vec_id"), round(col("dist"), 3).as("dist"))
   }
 
+  /** OPQ handle ([[graft.VectorDB.buildIndexOpq]]): router, codebooks,
+    * and codes trained/served in the energy-balanced permuted space,
+    * queries entering it through the handle's own reduction. */
+  private val vdbOpqMemo = new SessionMemo[graft.VectorDB]
+  private def vdbOpqHandle(s: SparkSession, dir: String) =
+    vdbOpqMemo.get(s, dir) {
+      val db = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
+      db.buildIndexOpq(numCells = 16, routerIters = 1, numSub = 8,
+        codebookK = 16, pqIters = 0)
+      db.nprobe = 3
+      db
+    }
+
+  /** Gate on OPQ handle serving: trained-router probes and ADC ranking
+    * BOTH replay in the permuted space — a query or code entering the
+    * wrong space (or a permutation drifting between router and
+    * codebooks) is a hash mismatch. */
+  def qVectordbOpq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 45L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbOpqHandle(s, dir).search(qv, k = 10)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
+  /** Maintained-ADD OPQ handle: 5 shifted twins appended through the
+    * public handle — the batch must encode through the STORED
+    * permutation + model (nprobe = all cells so the oracle skips probe
+    * replay, the add-gate convention). */
+  private val vdbOpqAddMemo = new SessionMemo[graft.VectorDB]
+  private def vdbOpqAddHandle(s: SparkSession, dir: String) =
+    vdbOpqAddMemo.get(s, dir) {
+      val db = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
+      db.buildIndexOpq(numCells = 16, routerIters = 1, numSub = 8,
+        codebookK = 16, pqIters = 0)
+      db.nprobe = 16
+      val e = emb(s, dir)
+      db.add(e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 300000L).as("vec_id"), col("embedding")))
+    }
+
+  /** Gate on OPQ maintained-codes ADD: row 3's shifted twin must
+    * surface from the APPENDED codes at the identical ADC distance —
+    * an added batch bypassing the stored permutation would encode in
+    * the wrong space and mismatch. */
+  def qVectordbOpqAdd(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 3L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbOpqAddHandle(s, dir).search(qv, k = 10)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
+  /** Save/load round-trip of the OPQ handle (the permutation rides the
+    * manifest; codes + codebooks + router ride parquet). */
+  private val vdbOpqPersistMemo = new SessionMemo[graft.VectorDB]
+  private def vdbOpqPersistedHandle(s: SparkSession, dir: String) =
+    vdbOpqPersistMemo.get(s, dir) {
+      val db = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
+      db.buildIndexOpq(numCells = 16, routerIters = 1, numSub = 8,
+        codebookK = 16, pqIters = 0)
+      db.nprobe = 3
+      val p = java.nio.file.Files.createTempDirectory("graft_vdb_opq_")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+      db.save(p.toString)
+      graft.VectorDB.load(s, p.toString)
+    }
+
+  /** Gate on persisted OPQ serving: the RESTORED handle must replay
+    * the identical permuted-space pipeline — a lost or re-derived
+    * permutation, or codes restored into the wrong space, mismatches. */
+  def qVectordbOpqPersisted(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 46L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbOpqPersistedHandle(s, dir).search(qv, k = 10)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
   /** Gate on exact-refined compressed serving — the standard IVFADC
     * re-ranking step through the public handle
     * ([[graft.VectorDB.searchRefined]]): ADC ranks the probed cells to
@@ -2204,6 +2290,31 @@ object IndexQueries {
        |         JOIN qsub ON qsub.m = code.m
        |         GROUP BY code.vec_id)""".stripMargin
 
+  /** OPQ permutation replay ([[graft.index.Opq.energyBalancedPerm]]):
+    * exact integer-unit energy census over `src` → (energy DESC, dim
+    * ASC) rank → closed-form snake block → `ord(i, np)` mapping
+    * original dim `i` to 1-based permuted position `np`. */
+  private def opqOrdSqlFrom(src: String): String =
+    s"""en AS (SELECT u.i AS i,
+       |         sum(CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) *
+       |                        CAST(e.embedding[u.i] AS DOUBLE) * 1e12) AS BIGINT)) AS en
+       |       FROM $src e, unnest(range(1, ${VectorQueries.Dim + 1})) AS u(i)
+       |       GROUP BY u.i),
+       |rk AS (SELECT i, CAST(row_number() OVER (ORDER BY en DESC, i) AS INT) - 1 AS r
+       |       FROM en),
+       |ord AS (SELECT i,
+       |          row_number() OVER (ORDER BY
+       |            CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END, r) AS np
+       |        FROM rk)""".stripMargin
+
+  /** `out(vec_id, embedding)` = `src` with every vector re-ordered by
+    * the [[opqOrdSqlFrom]] permutation (requires its `ord` CTE). */
+  private def opqPermutedSqlFrom(src: String, out: String): String =
+    s"""px_$out AS (SELECT e.vec_id, o.np, e.embedding[o.i] AS x
+       |        FROM $src e, ord o),
+       |$out AS (SELECT vec_id, list(x ORDER BY np) AS embedding
+       |       FROM px_$out GROUP BY vec_id)""".stripMargin
+
   private def pqAdcSql(subFrom: String, cwFrom: String = "embeddings e",
       subDim: Int = 8): String =
     s"""${pqAdcCoreSql(subFrom, cwFrom, subDim)}
@@ -2222,6 +2333,24 @@ object IndexQueries {
        |             (SELECT cell, row_number() OVER (ORDER BY d, cell) AS rn FROM cd)
        |           WHERE rn <= 3),
        |${pqAdcSql("embeddings e JOIN a1 ON a1.vec_id = e.vec_id JOIN probes p ON a1.cell = p.cell")}""".stripMargin
+
+  /** OPQ handle oracle (mirror of [[qVectordbOpq]]): the whole
+    * trained-probe + ADC pipeline of [[pqTrainedOracleSql]] replayed
+    * INSIDE the permuted space — permutation census, permuted corpus,
+    * permuted query, router trained on permuted vectors. */
+  private def opqTrainedOracleSql(qid: Long): String =
+    s"""WITH ms AS (SELECT unnest(range(0, 8)) AS m),
+       |${opqOrdSqlFrom("embeddings")},
+       |${opqPermutedSqlFrom("embeddings", "pe")},
+       |q AS (SELECT embedding AS qv FROM pe WHERE vec_id = $qid),
+       |${trainedCellsSqlFrom("pe")},
+       |cd AS (SELECT c.cell, sum((c.m - CAST(q.qv[c.i] AS DOUBLE))^2) AS d
+       |       FROM c1 c, q GROUP BY c.cell),
+       |probes AS (SELECT cell FROM
+       |             (SELECT cell, row_number() OVER (ORDER BY d, cell) AS rn FROM cd)
+       |           WHERE rn <= 3),
+       |${pqAdcSql("pe e JOIN a1 ON a1.vec_id = e.vec_id JOIN probes p ON a1.cell = p.cell",
+                   cwFrom = "pe e")}""".stripMargin
 
   /** IVF-PQ + exact-refine oracle: the [[pqTrainedOracleSql]] ADC
     * pipeline cut at the top-(k·refine) candidate set, then exact L2²
@@ -2608,6 +2737,19 @@ object IndexQueries {
          |SELECT qid, CAST(rnk AS INT) AS rank, vec_id, round(dd, 3) AS dist
          |FROM f WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin)),
     QueryDef("q_vectordb_pq", qVectordbPq, Some(pqTrainedOracleSql(53))),
+    QueryDef("q_vectordb_opq", qVectordbOpq, Some(opqTrainedOracleSql(45))),
+    QueryDef("q_vectordb_opq_persisted", qVectordbOpqPersisted,
+      Some(opqTrainedOracleSql(46))),
+    QueryDef("q_vectordb_opq_add", qVectordbOpqAdd, Some(
+      s"""WITH u AS (SELECT vec_id, embedding FROM embeddings
+         |           UNION ALL
+         |           SELECT vec_id + 300000 AS vec_id, embedding
+         |           FROM embeddings WHERE vec_id < 5),
+         |ms AS (SELECT unnest(range(0, 8)) AS m),
+         |${opqOrdSqlFrom("embeddings")},
+         |${opqPermutedSqlFrom("u", "pe")},
+         |q AS (SELECT embedding AS qv FROM pe WHERE vec_id = 3),
+         |${pqAdcSql("pe e", cwFrom = "pe e")}""".stripMargin)),
     QueryDef("q_vectordb_pq_refined", qVectordbPqRefined,
       Some(pqRefinedOracleSql(78, k = 5, refine = 4))),
     QueryDef("q_vectordb_batch_refined", qVectordbBatchRefined,
@@ -2751,25 +2893,12 @@ object IndexQueries {
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          |${pqAdcSql("embeddings e")}""".stripMargin)),
     QueryDef("q_ann_opq", qAnnOpq, Some(
-      // full replay of the OPQ-permuted serving pipeline: exact
-      // integer-unit energy census -> (energy DESC, dim ASC) rank ->
-      // closed-form snake block -> permuted-order lists -> PQ init +
-      // ADC in permuted space -> exact refine on the raw vectors
+      // full replay of the OPQ-permuted serving pipeline: permutation
+      // census/rank/snake -> permuted lists -> PQ init + ADC in
+      // permuted space -> exact refine on the raw vectors
       s"""WITH ms AS (SELECT unnest(range(0, 8)) AS m),
-         |en AS (SELECT u.i AS i,
-         |         sum(CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) *
-         |                        CAST(e.embedding[u.i] AS DOUBLE) * 1e12) AS BIGINT)) AS en
-         |       FROM embeddings e, unnest(range(1, ${VectorQueries.Dim + 1})) AS u(i)
-         |       GROUP BY u.i),
-         |rk AS (SELECT i, CAST(row_number() OVER (ORDER BY en DESC, i) AS INT) - 1 AS r
-         |       FROM en),
-         |ord AS (SELECT i,
-         |          row_number() OVER (ORDER BY
-         |            CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END, r) AS np
-         |        FROM rk),
-         |px AS (SELECT e.vec_id, o.np, e.embedding[o.i] AS x
-         |       FROM embeddings e, ord o),
-         |pe AS (SELECT vec_id, list(x ORDER BY np) AS embedding FROM px GROUP BY vec_id),
+         |${opqOrdSqlFrom("embeddings")},
+         |${opqPermutedSqlFrom("embeddings", "pe")},
          |q AS (SELECT embedding AS qv FROM pe WHERE vec_id = 33),
          |${pqAdcCoreSql("pe e", cwFrom = "pe e")},
          |cand AS (SELECT vec_id FROM dist ORDER BY d, vec_id LIMIT 20),

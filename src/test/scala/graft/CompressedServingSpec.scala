@@ -73,6 +73,57 @@ class CompressedServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("OPQ handle: wide refine equals exact brute force (permutation is distance-neutral)") {
+    val qv = qvOf(17L)
+    val exact = Knn.searchKnn(e, qv, 10, metric = Knn.L2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    db.buildIndexOpq(numCells = 4, routerIters = 1)
+    db.nprobe = 4
+    // refine covers the whole corpus: the permuted-space ADC shortlist
+    // cannot reach the output, and the exact re-rank runs on the RAW
+    // vectors — any leakage of the permutation into refine distances
+    // (or vice versa) breaks bit-for-bit equality
+    val refined = db.searchRefined(qv, k = 10, refine = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(refined.toSeq == exact.toSeq,
+      s"opq wide refine diverged:\n${refined.toSeq}\nvs\n${exact.toSeq}")
+  }
+
+  test("OPQ add encodes through the STORED permutation; remove round-trips; stats says opq") {
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    db.buildIndexOpq(numCells = 4, routerIters = 1)
+    db.nprobe = 4
+    val batch = e.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    val grown = db.add(batch)
+    val codes = grown.servedCodes.getOrElse(fail("add must maintain the codes"))
+    assert(codes.count() == 505L)
+    // resident corpus never re-encodes; only the batch does
+    val plan = codes.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"appended codes must reuse the cached parent generation:\n$plan")
+    // THE permutation-maintenance pin: row 3's shifted twin encodes
+    // through the stored permutation, so it serves at the IDENTICAL
+    // ADC distance as row 3 itself — a batch encoded un-permuted (or
+    // re-permuted under a re-derived order) would diverge
+    val hits = grown.search(qvOf(3L), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val d3 = hits.toMap.apply(3L)
+    assert(hits.toMap.get(900003L).contains(d3),
+      s"appended row must serve at its twin's permuted ADC distance: ${hits.toSeq}")
+    val st = grown.stats.head()
+    assert(st.getAs[String]("serving") == "opq" && st.getAs[Long]("n_indexed") == 505L)
+    val shrunk = grown.remove(batch.select("vec_id"))
+    assert(shrunk.servedCodes.get.count() == 500L)
+    val roundTrip = shrunk.search(qvOf(3L), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val original = db.search(qvOf(3L), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(roundTrip.toSeq == original.toSeq,
+      "add → remove round trip must serve exactly the original ranking")
+  }
+
   test("compressed add appends batch codes only; resident codes reuse the cached generation") {
     val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
     db.buildIndexPq(numCells = 4, routerIters = 1)
