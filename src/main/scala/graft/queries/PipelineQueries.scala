@@ -105,6 +105,26 @@ object PipelineQueries {
     * table — same code path `readStream` uses (watermark is a no-op in
     * batch). `ts` normalizes to a micros timestamp via
     * [[EventsFixture]] whatever dtype the fixture shipped. */
+  /** Late-data census ([[EventStreams.lateDataCensus]]): the events
+    * fixture split into 4 replay micro-batches by a deterministic
+    * ingest order — event_id plus a +5000-id straggler bump for every
+    * 23rd event, so ~4% of rows arrive one batch after their event
+    * time (the real-world tail of delayed ingestion). The census
+    * replays Structured Streaming's watermark contract exactly: per
+    * batch, how many rows' tumbling windows were already finalized.
+    * The global ntile is only the FIXTURE's replay key — production
+    * feeds the ingestion system's own batch/file id. The boundary
+    * convention (window_end ≤ wm drops) is pinned against a real
+    * MemoryStream run in StreamingSpec. */
+  def qStreamLate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ik = col("event_id") +
+      when(col("event_id") % 23 === 0, 5000L).otherwise(0L)
+    val assigned = EventsFixture.events(s, dir)
+      .withColumn("__bt", ntile(4).over(Window.orderBy(ik, col("event_id"))))
+    EventStreams.lateDataCensus(assigned, col("__bt"))
+  }
+
   def qStreamHourly(s: SparkSession, dir: String): DataFrame =
     EventStreams.hourlyCounts(EventsFixture.events(s, dir))
       .select(
@@ -415,6 +435,24 @@ object PipelineQueries {
         |  round(CASE WHEN len(pg) = 0 THEN 0.0 ELSE CAST(list_sum(pg) AS DOUBLE) / len(pg) END, 4) AS mean_g,
         |  round(CASE WHEN len(pb) = 0 THEN 0.0 ELSE CAST(list_sum(pb) AS DOUBLE) / len(pb) END, 4) AS mean_b
         |FROM f ORDER BY media_id, frame_idx""".stripMargin)),
+    QueryDef("q_stream_late", qStreamLate, Some(
+      """WITH b AS (SELECT ts,
+        |        ntile(4) OVER (ORDER BY
+        |          event_id + CASE WHEN event_id % 23 = 0 THEN 5000 ELSE 0 END,
+        |          event_id) AS bt
+        |      FROM events),
+        |mx AS (SELECT bt, max(ts) AS mx FROM b GROUP BY bt),
+        |wm AS (SELECT bt,
+        |         max(mx) OVER (ORDER BY bt
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           - INTERVAL 10 MINUTE AS wm
+        |       FROM mx)
+        |SELECT b.bt AS batch, count(*) AS n_events,
+        |  coalesce(sum(CASE WHEN date_trunc('hour', b.ts) + INTERVAL 1 HOUR <= wm.wm
+        |                    THEN 1 ELSE 0 END), 0) AS n_late,
+        |  epoch_us(min(wm.wm)) AS wm_micros
+        |FROM b JOIN wm ON b.bt = wm.bt
+        |GROUP BY b.bt ORDER BY batch""".stripMargin)),
     QueryDef("q_stream_hourly", qStreamHourly, Some(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start, event_type,
         |  count(*) AS n,

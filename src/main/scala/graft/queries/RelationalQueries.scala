@@ -545,6 +545,46 @@ object RelationalQueries {
       .orderBy(col("rank").desc, col("node")).limit(50)
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004 §3) —
+    * [[graft.operators.Graph.pageRank]] COMPOSED over the word
+    * co-occurrence graph instead of a link graph: adjacent content
+    * tokens (length ≥ 4, the cheap replayable stopword screen) become
+    * symmetrized edges, 3 exact integer-unit damped iterations rank
+    * the vocabulary, top-15 keywords by (rank DESC, word). Words
+    * enter the long-id node space via the established md5-prefix
+    * fingerprint and map back by a collision-safe min(word).
+    *
+    * Scale shape: the ONLY corpus-scale work is tokenize + adjacent-
+    * pair emission (map-only) followed by the edge distinct — the
+    * graph itself is O(vocab²∩observed), a model-sized artifact, and
+    * the iteration cost is [[Graph.pageRank]]'s (per-round: one O(N)
+    * rank shuffle against the degree-annotated edge cache). */
+  def qTextrank(s: SparkSession, dir: String): DataFrame = {
+    def fp(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    val tk = t(s, dir, "documents")
+      .select(split(col("text"), "\\s+").as("tk"))
+    val pairs = tk
+      .select(explode(filter(
+        transform(sequence(lit(0), size(col("tk")) - 2),
+          i => struct(element_at(col("tk"), i + 1).as("a"),
+            element_at(col("tk"), i + 2).as("b"))),
+        p => length(p("a")) >= 4 && length(p("b")) >= 4 && p("a") =!= p("b")))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val base = pairs.select(fp(col("a")).as("s"), fp(col("b")).as("p")).distinct()
+    val edges = base.select(col("s").as("src"), col("p").as("dst"))
+      .union(base.select(col("p").as("src"), col("s").as("dst")))
+    val words = pairs.select(col("a").as("word"))
+      .union(pairs.select(col("b").as("word"))).distinct()
+      .groupBy(fp(col("word")).as("node")).agg(min(col("word")).as("word"))
+    graft.operators.Graph.pageRank(edges, iters = 3)
+      .join(words, "node")
+      .orderBy(col("rank").desc, col("word").asc)
+      .limit(15)
+      .select(col("word"), col("rank"))
+  }
+
   /** PageRank over a graph WITH sinks — the directed customer→order
     * bipartite graph, where every order node is dangling
     * ([[graft.operators.Graph.pageRank]] with `danglingRedistribute`:
@@ -967,6 +1007,27 @@ object RelationalQueries {
          |${prIterSql(2)},
          |${prIterSql(3)}
          |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 50""".stripMargin)),
+    QueryDef("q_textrank", qTextrank, Some(
+      s"""WITH tok AS (SELECT string_split_regex(text, '\\s+') AS tk FROM documents),
+         |pr AS (SELECT tk[i] AS a, tk[i+1] AS b
+         |       FROM tok, unnest(range(1, len(tk))) AS u(i)
+         |       WHERE len(tk[i]) >= 4 AND len(tk[i+1]) >= 4 AND tk[i] <> tk[i+1]),
+         |e0 AS (SELECT DISTINCT ('0x' || substr(md5(a), 1, 15))::BIGINT AS s,
+         |                       ('0x' || substr(md5(b), 1, 15))::BIGINT AS p FROM pr),
+         |e AS (SELECT s AS src, p AS dst FROM e0
+         |      UNION SELECT p AS src, s AS dst FROM e0),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT node, floor(CAST(1.0 AS DOUBLE) / nn.n * 1e12) / 1e12 AS rank
+         |       FROM nodes CROSS JOIN nn),
+         |${prIterSql(1)},
+         |${prIterSql(2)},
+         |${prIterSql(3)},
+         |wm AS (SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT AS node, min(w) AS word
+         |       FROM (SELECT a AS w FROM pr UNION SELECT b FROM pr) GROUP BY 1)
+         |SELECT wm.word, r3.rank FROM r3 JOIN wm ON wm.node = r3.node
+         |ORDER BY r3.rank DESC, wm.word LIMIT 15""".stripMargin)),
     QueryDef("q_pagerank_dangling", qPageRankDangling, Some(
       s"""WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
          |             CAST(o_orderkey AS BIGINT) + 2000000 AS dst FROM orders),

@@ -233,6 +233,43 @@ object EventStreams {
       .select(col("__k").as(key), col("l_id"), col("r_id"))
   }
 
+  /** Late-data census — the batch-replayable AUDIT of what a
+    * watermarked streaming windowed aggregate would drop, given an
+    * explicit micro-batch assignment (`batchCol` — in production the
+    * ingestion system's batch/file id; here a deterministic replay
+    * key). Structured Streaming's contract, replayed exactly:
+    * the watermark at the START of batch b is `max(event time over
+    * batches < b) − delay` (never the current batch's own data), and
+    * a row is DROPPED iff its tumbling window has already been
+    * finalized — `window_end(ts) ≤ watermark` (the boundary
+    * convention is pinned empirically in StreamingSpec against a real
+    * MemoryStream run). Answers the capacity-planning question "how
+    * much data would we lose at delay D?" BEFORE changing production
+    * delay — on historical data, in one batch query.
+    *
+    * Scale shape: one map-side-combined per-batch max, a #batches-row
+    * running-max artifact that BROADCASTS back, and one map-only
+    * classify + per-batch aggregate — two small shuffles total, no
+    * window over the event rows themselves. */
+  def lateDataCensus(events: DataFrame, batchCol: org.apache.spark.sql.Column,
+      delay: String = "10 minutes", windowLen: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val b = events.withColumn("__b", batchCol.cast("int"))
+    val wmTab = b.groupBy("__b").agg(max(col("ts")).as("__mx"))
+      .select(col("__b"),
+        (max(col("__mx")).over(
+          W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1))
+          - expr(s"INTERVAL $delay")).as("__wm"))
+    b.join(broadcast(wmTab), "__b")
+      .withColumn("__wend", window(col("ts"), windowLen)("end"))
+      .groupBy(col("__b").as("batch"))
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(sum(when(col("__wend") <= col("__wm"), 1L).otherwise(0L)), lit(0L))
+          .as("n_late"),
+        unix_micros(min(col("__wm"))).as("wm_micros"))
+      .orderBy("batch")
+  }
+
   /** Wire a streaming query end-to-end (memory sink, for tests/demos). */
   def startToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()) =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

@@ -102,6 +102,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("late-data census predicts the real engine's watermark drops, boundary included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(hhmm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    // batch 1: max 12:10 -> watermark at batch-2 start = 12:00 sharp
+    val b1 = Seq((at("10:10"), "a", 1.0), (at("12:10"), "a", 1.0))
+    // batch 2: 10:30 (window end 11:00 < wm -> drop), 11:10 (window
+    // end 12:00 == wm -> the BOUNDARY row), 12:05 + 12:20 (kept)
+    val b2 = Seq((at("10:30"), "a", 1.0), (at("11:10"), "a", 1.0),
+      (at("12:05"), "a", 1.0), (at("12:20"), "a", 1.0))
+    val src = MemoryStream[(Timestamp, String, Double)]
+    val df = src.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.startToMemory(
+      EventStreams.hourlyCounts(df), "late_test", OutputMode.Update())
+    val engineCounts =
+      try {
+        src.addData(b1: _*); q.processAllAvailable()
+        src.addData(b2: _*); q.processAllAvailable()
+        // last update per window = its final surviving count
+        spark.sql("""SELECT hour_start, max(n) AS n FROM late_test
+                     GROUP BY hour_start ORDER BY hour_start""")
+          .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq
+      } finally q.stop()
+    // census over the SAME batch assignment
+    val assigned = (b1.map(e => (e._1, e._2, e._3, 1)) ++
+      b2.map(e => (e._1, e._2, e._3, 2))).toDF("ts", "event_type", "value", "bt")
+    val census = EventStreams.lateDataCensus(assigned,
+      org.apache.spark.sql.functions.col("bt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // the census says: batch 1 drops nothing, batch 2 drops the 10:30
+    // row AND the 12:00-boundary row (window_end <= wm)
+    assert(census.toSeq == Seq((1, 2L, 0L), (2, 4L, 2L)), s"census: ${census.toSeq}")
+    // and the ENGINE agrees: 10:00 window keeps only batch-1's row,
+    // 11:00 window's late boundary row never lands, 12:00 window gets
+    // batch-1's 12:10 + batch-2's 12:05/12:20
+    assert(engineCounts == Seq(
+      ("2024-01-01 10:00:00.0", 1L), ("2024-01-01 12:00:00.0", 3L)),
+      s"engine: $engineCounts")
+  }
+
   test("streaming KMV distinct sketch: incremental micro-batches equal the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
