@@ -530,6 +530,33 @@ object TextQueries {
       .groupBy("subtok").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("subtok")).limit(30)
 
+  /** Tokenizer-evaluation census — the metric a tokenizer is CHOSEN
+    * by (fertility = sub-tokens per word, compression = chars per
+    * sub-token), per source, under the 8 learned merges. Fertility
+    * directly prices a training corpus in tokens: a source with
+    * fertility 2.1 costs 2.1× its word count in sequence length. The
+    * Spark side encodes every word occurrence through the map-only
+    * codegen'd merge chain; counts are exact longs, the two ratios
+    * divide them in double and round to 4 dp in both engines. */
+  def qBpeCoverage(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bpe
+    val merges = bpeMerges(s, dir)
+    docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("source"), length(col("tok")).as("chars"),
+        size(filter(split(Bpe.applyMerges(Bpe.spacedForm(col("tok")), merges), "  "),
+          t => length(t) > 0)).as("subtoks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("subtoks")).as("n_subtoks"),
+        sum(col("chars")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_subtoks"), col("n_chars"),
+        round(col("n_subtoks").cast("double") / col("n_words"), 4).as("fertility"),
+        round(col("n_chars").cast("double") / col("n_subtoks"), 4).as("chars_per_subtok"))
+      .orderBy("source")
+  }
+
   /** One BPE oracle round: pair census over w{k-1}, argmax b{k},
     * rewritten vocab w{k}. MATERIALIZED — each round reads its
     * predecessor twice (census + rewrite), so inlined CTEs would
@@ -576,6 +603,38 @@ object TextQueries {
        |WHERE len(subtok) > 0
        |GROUP BY subtok ORDER BY n DESC, subtok LIMIT 30""".stripMargin
 
+  /** Coverage-census oracle: the [[bpeCtesSql]] training replay yields
+    * the merge argmaxes b1..bN; segmentation then applies the same
+    * replace chain to the DISTINCT word forms only (sg0..sgN — the
+    * vocab is model-sized) and joins back to the per-source word
+    * stream for the exact counts. */
+  private def bpeCoverageOracleSql(nMerges: Int): String = {
+    val segChain = (1 to nMerges).map { k =>
+      s"""sg$k AS (SELECT tok, replace(w,
+         |    ' ' || (SELECT a FROM b$k) || '  ' || (SELECT b FROM b$k) || ' ',
+         |    ' ' || (SELECT a FROM b$k) || (SELECT b FROM b$k) || ' ') AS w
+         |  FROM sg${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""${bpeCtesSql(nMerges)},
+       |wt AS (SELECT source, tok FROM (
+       |         SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) u
+       |       WHERE len(tok) > 0),
+       |sg0 AS (SELECT DISTINCT tok,
+       |          '  ' || regexp_replace(tok, '(.)', '\\1  ', 'g') || '</w>  ' AS w
+       |        FROM wt),
+       |$segChain,
+       |st AS (SELECT tok, len(list_filter(string_split(w, '  '), x -> len(x) > 0)) AS subtoks
+       |       FROM sg$nMerges),
+       |agg AS (SELECT source, count(*) AS n_words,
+       |          CAST(sum(st.subtoks) AS BIGINT) AS n_subtoks,
+       |          CAST(sum(len(wt.tok)) AS BIGINT) AS n_chars
+       |        FROM wt JOIN st ON wt.tok = st.tok GROUP BY source)
+       |SELECT source, n_words, n_subtoks, n_chars,
+       |  round(CAST(n_subtoks AS DOUBLE) / n_words, 4) AS fertility,
+       |  round(CAST(n_chars AS DOUBLE) / n_subtoks, 4) AS chars_per_subtok
+       |FROM agg ORDER BY source""".stripMargin
+  }
+
   /** DuckDB bucket expression of the CountMin row family (shared
     * constants — ONE definition with the Scala side). */
   private def cmsBucketSql(fCol: String, jCol: String, width: Int): String = {
@@ -588,6 +647,7 @@ object TextQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_bpe_merges", qBpeMerges, Some(bpeOracleSql(8))),
     QueryDef("q_bpe_encode", qBpeEncode, Some(bpeEncodeOracleSql(8))),
+    QueryDef("q_bpe_coverage", qBpeCoverage, Some(bpeCoverageOracleSql(8))),
     QueryDef("q_pmi", qPmi, Some(
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |p AS (SELECT unnest(list_transform(range(1, len(toks)),
