@@ -284,6 +284,49 @@ object Curation {
         (-col("hit._1")).as("score"))
   }
 
+  /** Hash-bucketed negative sampling — the contrastive-training
+    * primitive ("for each anchor, k pseudo-random negatives from a
+    * different class"), shaped so it NEVER goes all-pairs: candidates
+    * hash into `buckets` pools by id, each anchor samples from exactly
+    * ONE pool (an independent hash family picks which), so the join
+    * fan-out is |corpus|/buckets per anchor by construction — at
+    * 100 TB, `buckets` is the knob that sizes the per-anchor pool,
+    * and the equi-join on the bucket key shuffles each side once.
+    * Selection ranks the pool by a deterministic PAIR hash (anchor
+    * remix · 10007 + candidate remix, mod 2³² — every intermediate
+    * stays far under the checked-BIGINT range for ids < 2³¹) through
+    * the bounded-heap [[TopK]] aggregator: map-side partial top-k,
+    * O(#anchors · k) shuffle, no window sort. Same-label candidates
+    * are excluded (which also excludes the anchor itself).
+    * Output: `(anchor, rank, neg)`, rank 1..k by (pair hash, neg id).
+    * Re-running is idempotent — the sample is a pure function of the
+    * ids, the [[epochShuffleKey]] replayability contract. */
+  def negativeSample(anchors: DataFrame, corpus: DataFrame, k: Int,
+      buckets: Long = 16L, idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val a = anchors.select(col(idCol).cast("long").as("anchor"),
+      col(labelCol).as("__al"),
+      hashBucket(col(idCol), buckets, mult = 2246822519L, add = 98765L).as("__b"))
+    val c = corpus.select(col(idCol).cast("long").as("__neg"),
+      col(labelCol).as("__cl"),
+      hashBucket(col(idCol), buckets).as("__b"))
+    val pairHash = pmod(
+      pmod(col("anchor") * lit(3266489917L) + lit(374761393L), lit(HashMod))
+        * lit(10007L)
+        + pmod(col("__neg") * lit(2654435761L) + lit(12345L), lit(HashMod)),
+      lit(HashMod))
+    val topk = graft.operators.TopK.topK(k)
+    a.join(c, "__b")
+      .filter(col("__al") =!= col("__cl"))
+      .groupBy(col("anchor"))
+      .agg(topk(pairHash.cast("double"), col("__neg")).as("hits"))
+      .select(col("anchor"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("anchor"), (col("pos") + 1).cast("int").as("rank"),
+        col("hit._2").as("neg"))
+  }
+
   /** Weighted sampling without replacement (Efraimidis & Spirakis,
     * IPL 2006 — the "exponential race"): each row draws the key
     * e = −ln(u)/w with u hash-uniform in (0, 1]; the k SMALLEST keys

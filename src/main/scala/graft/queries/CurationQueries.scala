@@ -219,6 +219,20 @@ object CurationQueries {
       .withColumnRenamed("grp", "source")
       .orderBy("source", "rnk")
 
+  /** Hash-bucketed negative sampling
+    * ([[graft.operators.Curation.negativeSample]] — the contrastive-
+    * training primitive): anchors = embedding rows with vec_id < 8,
+    * corpus = the embeddings table, 5 negatives each from the
+    * anchor's hash-assigned bucket of 4, same-label candidates
+    * excluded, ranked by the deterministic pair hash. The oracle
+    * replays both bucket hashes, the label screen, the pair-hash
+    * arithmetic, and the (hash, id) selection order. */
+  def qNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    Curation.negativeSample(e.filter(col("vec_id") < 8), e, k = 5, buckets = 4L)
+      .orderBy("anchor", "rank")
+  }
+
   /** The race-key SQL shared by both weighted-sampling oracles (ONE
     * definition of the draw arithmetic). */
   private val ekeySql: String =
@@ -226,6 +240,22 @@ object CurationQueries {
       "/ CAST(4294967296 AS DOUBLE)) / CAST(n_chars AS DOUBLE)) * 1e6) / 1e6"
 
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_negatives", qNegatives, Some(
+      """WITH a AS (SELECT vec_id AS anchor, label AS al,
+        |         ((vec_id * 2246822519 + 98765) % 4294967296) % 4 AS b
+        |       FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neg, label AS cl,
+        |        ((vec_id * 2654435761) % 4294967296) % 4 AS b
+        |      FROM embeddings),
+        |p AS (SELECT a.anchor, c.neg,
+        |        (((a.anchor * 3266489917 + 374761393) % 4294967296) * 10007
+        |         + ((c.neg * 2654435761 + 12345) % 4294967296)) % 4294967296 AS h
+        |      FROM a JOIN c ON a.b = c.b AND a.al <> c.cl),
+        |r AS (SELECT anchor, neg,
+        |        CAST(row_number() OVER (PARTITION BY anchor ORDER BY h, neg) AS INT) AS rank
+        |      FROM p)
+        |SELECT anchor, rank, neg FROM r WHERE rank <= 5
+        |ORDER BY anchor, rank""".stripMargin)),
     QueryDef("q_sample_weighted", qSampleWeighted, Some(
       s"""SELECT doc_id AS id, $ekeySql AS ekey
          |FROM documents ORDER BY ekey, id LIMIT 100""".stripMargin)),

@@ -345,7 +345,55 @@ object VectorQueries {
   def qEmbedCov(s: SparkSession, dir: String): DataFrame =
     graft.index.Pca.covariance(emb(s, dir), col("embedding"), Dim)
 
+  /** Embedding anisotropy census — the representation-collapse
+    * diagnostic (Ethayarajh, EMNLP 2019 shape: how much of the
+    * average vector energy sits in the common mean direction):
+    * anisotropy = ‖mean vector‖² / mean ‖x‖², ~0 for isotropic
+    * embeddings, →1 when the space collapses. Two map-side-combined
+    * aggregates (per-dim decimal-exact sums over a posexplode; per-row
+    * HOF norm² summed in the decimal convention), the cross-dim
+    * assembly in floor-1e12 integer units so the 64-term sum is
+    * order-exact. One row out — a monitoring gauge, not a table. */
+  def qEmbedAnisotropy(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val dims = e.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(sum(col("x").cast("decimal(18,12)")).as("sx"), count(lit(1)).as("n"))
+      .select((col("sx").cast("double") / col("n")).as("m"), col("n"))
+    val mv = dims
+      .agg(max(col("n")).as("n_vectors"),
+        (sum(floor(col("m") * col("m") * lit(1e12))).cast("double") / lit(1e12))
+          .as("mean_vec_norm_sq"))
+    val ms = e.select(
+        aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))
+          .cast("decimal(18,6)").as("nsq"))
+      .agg((sum(col("nsq")).cast("double") / count(lit(1))).as("mean_norm_sq"))
+    mv.crossJoin(ms)
+      .select(col("n_vectors"),
+        round(col("mean_norm_sq"), 6).as("mean_norm_sq"),
+        round(col("mean_vec_norm_sq"), 6).as("mean_vec_norm_sq"),
+        round(col("mean_vec_norm_sq") / col("mean_norm_sq"), 6).as("anisotropy"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_embed_anisotropy", qEmbedAnisotropy, Some(
+      """WITH d AS (SELECT u.i AS pos,
+        |         CAST(sum(CAST(e.embedding[u.i] AS DECIMAL(18,12))) AS DOUBLE) AS sx,
+        |         count(*) AS n
+        |       FROM embeddings e, unnest(range(1, 65)) AS u(i) GROUP BY u.i),
+        |mv AS (SELECT max(n) AS n_vectors,
+        |         CAST(sum(CAST(floor((sx / n) * (sx / n) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+        |           AS mean_vec_norm_sq
+        |       FROM d),
+        |ms AS (SELECT CAST(sum(CAST(list_sum(list_transform(embedding,
+        |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DECIMAL(18,6)))
+        |              AS DOUBLE) / count(*) AS mean_norm_sq
+        |       FROM embeddings)
+        |SELECT n_vectors, round(mean_norm_sq, 6) AS mean_norm_sq,
+        |  round(mean_vec_norm_sq, 6) AS mean_vec_norm_sq,
+        |  round(mean_vec_norm_sq / mean_norm_sq, 6) AS anisotropy
+        |FROM mv CROSS JOIN ms""".stripMargin)),
     QueryDef("q_embed_cov", qEmbedCov, Some(
       """WITH x AS (SELECT embedding AS e FROM embeddings),
         |nn AS (SELECT count(*) AS n FROM x),

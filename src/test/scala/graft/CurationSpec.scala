@@ -130,6 +130,31 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       "windows must reach each document's last character")
   }
 
+  test("negativeSample: never same-label or self, bucket-contained, exactly k, deterministic") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val anchors = e.filter(col("vec_id") < 10)
+    val got = Curation.negativeSample(anchors, e, k = 5, buckets = 4L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val labels = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.groupBy(_._1).size == 10 && got.forall(_._2 <= 5))
+    got.groupBy(_._1).foreach { case (a, rows) =>
+      assert(rows.map(_._2).sorted.sameElements(1 to rows.length), "ranks dense from 1")
+      assert(rows.length == 5, s"anchor $a pool must fill k=5 on this fixture")
+    }
+    got.foreach { case (a, _, n) =>
+      assert(n != a, "anchor must never sample itself")
+      assert(labels(n) != labels(a), "negatives must come from another label")
+      // bucket containment: the candidate's pool assignment matches the
+      // anchor's probe bucket (independent hash families)
+      assert((n * 2654435761L % 4294967296L) % 4 ==
+        ((a * 2246822519L + 98765L) % 4294967296L) % 4)
+    }
+    val again = Curation.negativeSample(anchors, e, k = 5, buckets = 4L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq.sorted == again.toSeq.sorted, "pure function of the ids")
+  }
+
   test("upsample emits the requested multiplicity with 1..n copy tags") {
     import spark.implicits._
     val up = Curation.upsample(docs, when(col("lang") === "en", 1).otherwise(3))
