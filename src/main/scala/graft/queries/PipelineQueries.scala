@@ -341,7 +341,116 @@ object PipelineQueries {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** Stream dirs for q_stream_outer, one per JVM + fixture (the binDir
+    * convention): the events parquet plus TWO far-future sentinel
+    * files, mtime-staggered so `maxFilesPerTrigger = 1` replays them
+    * as separate micro-batches. Outer-join null-padding is emitted by
+    * WATERMARK ADVANCEMENT, not by data arrival — on a single-batch
+    * bounded read the watermark only moves after the final batch, and
+    * whether a closing no-data micro-batch runs before
+    * processAllAvailable returns is a race. The sentinels make the
+    * flush a DATA batch the drain must wait for: batch 2 (sentinel A,
+    * +365 d) lifts the watermark past every real event, and batch 3
+    * (sentinel B, +730 d) starts from that watermark and evicts every
+    * remaining unmatched real click as a null-padded row before its
+    * own commit. Sentinels ride OUTSIDE the real id/key space (user_id
+    * < 0; one click + one purchase per file with different keys, so
+    * both sides' watermark nodes advance and the sentinels never join)
+    * and the gate filters them out. */
+  private val outerDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def outerStreamDir(s: SparkSession, dir: String): String =
+    outerDirs.getOrElseUpdate(dir, {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      val p = java.nio.file.Files.createTempDirectory("graft_outer_")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      // dtype-adaptive event-time shift (the EventsFixture contract:
+      // int64 = nanos-since-epoch, else native timestamp)
+      def shift(c: Column, days: Int): Column = raw.schema("ts").dataType match {
+        case LongType => c + lit(days.toLong * 86400L * 1000000000L)
+        case TimestampType => c + expr(s"INTERVAL $days days")
+        case _ => c.cast(TimestampType) + expr(s"INTERVAL $days days")
+      }
+      def sentinel(days: Int, eid: Long): DataFrame = raw
+        .agg(max(col("ts")).as("mx"))
+        .select(explode(array(
+          struct(lit(eid).as("event_id"), shift(col("mx"), days).as("ts"),
+            lit(-1L).as("user_id"), lit("click").as("event_type"),
+            lit(0.0d).as("value"), lit("sentinel").as("props")),
+          struct(lit(eid + 1).as("event_id"), shift(col("mx"), days).as("ts"),
+            lit(-2L).as("user_id"), lit("purchase").as("event_type"),
+            lit(0.0d).as("value"), lit("sentinel").as("props")))).as("r"))
+        .select(raw.columns.map(c => col(s"r.$c")): _*)
+      def place(src: java.nio.file.Path, idx: Int): Unit = {
+        val dst = p.resolve(f"ev_$idx%03d.parquet")
+        java.nio.file.Files.copy(src, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 60000L + idx * 10000L))
+      }
+      place(java.nio.file.Paths.get(dir, "events.parquet"), 0)
+      for ((days, idx) <- Seq(365 -> 1, 730 -> 2)) {
+        val tmp = p.resolve(s"__stage_$idx")
+        sentinel(days, -100L - 2 * idx).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+        place(part, idx)
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+      p.toString
+    })
+
+  /** TRUE stream-stream LEFT OUTER join in the gate
+    * ([[EventStreams.correlateLeftOuter]]): clicks left-outer-joined to
+    * purchases per user within [0, 30 min], Append memory sink. The
+    * null-padded "never converted" rows only exist once the watermark
+    * PROVES no partner can arrive, so the gate replays the fixture as
+    * three mtime-ordered micro-batches ([[outerStreamDir]]) whose
+    * far-future sentinel tail drives the watermark past every real
+    * click — by the final data batch every real left row has either
+    * matched or been emitted null-padded, making the batch LEFT JOIN
+    * oracle exact. NULL purchase_id coalesces to −1 on both engines
+    * (orderBy needs no cross-engine NULL placement convention). */
+  def qStreamOuter(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val sd = outerStreamDir(s, dir)
+    def stream() = EventsFixture.normalizeTs(
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sd))
+    val clicks = stream().filter(col("event_type") === "click")
+    val purchases = stream().filter(col("event_type") === "purchase")
+    val name = "graft_stream_outer_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStreamPartitions(s, 4) {
+      val q = EventStreams.startToMemory(
+        EventStreams.correlateLeftOuter(clicks, purchases), name)
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("l_id").as("click_id"),
+        coalesce(col("r_id"), lit(-1L)).as("purchase_id"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_stream_outer", qStreamOuter, Some(
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |c AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.event_id AS click_id,
+        |  coalesce(p.event_id, -1) AS purchase_id
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
+        | AND p.us >= c.us AND p.us <= c.us + CAST(1800 AS BIGINT) * 1000000
+        |ORDER BY 1, 2, 3""".stripMargin)),
     QueryDef("q_stream_join", qStreamJoin, Some(
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events)
         |SELECT l.user_id, l.event_id AS click_id, r.event_id AS purchase_id

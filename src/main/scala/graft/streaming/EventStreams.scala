@@ -233,6 +233,42 @@ object EventStreams {
       .select(col("__k").as(key), col("l_id"), col("r_id"))
   }
 
+  /** Stream-stream LEFT OUTER join — [[correlateWithin]]'s sibling for
+    * the question inner join structurally cannot answer: which left
+    * events found NO partner ("clicks that never converted")? A
+    * matched pair emits in the micro-batch where both sides are
+    * present, exactly like the inner join; an UNMATCHED left row is a
+    * negative that can only be declared once the watermark proves no
+    * qualifying right row can still arrive — Structured Streaming
+    * emits it null-padded when the watermark passes `l.ts + horizon`,
+    * the same moment the row's buffered state retires. So the state
+    * bound AND the completeness of the "never converted" answer are
+    * the same watermark contract: at 100 TB/day both sides buffer only
+    * watermark + horizon of data, and every older left row has either
+    * matched or been emitted null-padded (eviction timing is pinned
+    * against a real MemoryStream run in StreamingSpec).
+    *
+    * Output: `(key, l_id, r_id)` with `r_id` NULL on the null-padded
+    * rows. Works identically over batch DataFrames (left join). */
+  def correlateLeftOuter(
+      left: DataFrame,
+      right: DataFrame,
+      key: String = "user_id",
+      idCol: String = "event_id",
+      horizon: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key).as("__k"), col("ts").as("l_ts"), col(idCol).as("l_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("__rk"), col("ts").as("r_ts"), col(idCol).as("r_id"))
+    l.join(r,
+        col("__k") === col("__rk") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"),
+        "leftOuter")
+      .select(col("__k").as(key), col("l_id"), col("r_id"))
+  }
+
   /** Late-data census — the batch-replayable AUDIT of what a
     * watermarked streaming windowed aggregate would drop, given an
     * explicit micro-batch assignment (`batchCol` — in production the

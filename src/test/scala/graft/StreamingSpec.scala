@@ -364,6 +364,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("left-outer stream join: null-padding waits for the watermark, then emits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val buys = MemoryStream[(Timestamp, Long, Long)]
+    val q = EventStreams.startToMemory(
+      EventStreams.correlateLeftOuter(
+        clicks.toDF().toDF("ts", "user_id", "event_id"),
+        buys.toDF().toDF("ts", "user_id", "event_id"),
+        horizon = "30 minutes", watermark = "10 minutes"),
+      "souter_test")
+    def rows() = spark.table("souter_test")
+      .select("user_id", "l_id", "r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    try {
+      // user 1 converts; user 2's click has no partner
+      clicks.addData((ts(0), 1L, 100L), (ts(0), 2L, 101L))
+      buys.addData((ts(5), 1L, 200L))
+      q.processAllAvailable()
+      // the unmatched click is NOT yet declarable: the watermark
+      // (10:05 − 10 min = 09:55) hasn't passed its horizon (10:30) —
+      // a partner could still arrive. Matches emit immediately.
+      assert(rows() == Set((1L, 100L, 200L)), s"got ${rows()}")
+      // two far-future batches: the first lifts the watermark past
+      // every horizon at the NEXT batch (the watermark a batch uses is
+      // computed from the batches before it), the second is that next
+      // batch — it starts from the lifted watermark and must evict the
+      // unmatched click as a null-padded row before its own commit
+      // (the q_stream_outer sentinel-file mechanics, pinned here
+      // against MemoryStream ground truth)
+      val far = Timestamp.from(ts(0).toInstant.plusSeconds(4 * 3600))
+      val farther = Timestamp.from(ts(0).toInstant.plusSeconds(8 * 3600))
+      clicks.addData((far, 9L, 900L)); buys.addData((far, 8L, 901L))
+      q.processAllAvailable()
+      clicks.addData((farther, 7L, 700L)); buys.addData((farther, 6L, 701L))
+      q.processAllAvailable()
+      assert(rows().contains((2L, 101L, -1L)),
+        s"watermark-evicted unmatched click must emit null-padded, got ${rows()}")
+      assert(!rows().exists(r => r._2 == 100L && r._3 == -1L),
+        "a matched left row must never ALSO emit null-padded")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
