@@ -437,6 +437,62 @@ object Curation {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** DSIR-shaped importance scoring (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every raw document by how much more likely its text is under a
+    * TARGET distribution (the domain you want more of) than under the
+    * raw crawl itself — log w(x) = log p_target(x) − log p_raw(x) —
+    * with both distributions modeled as unigram bags over HASHED
+    * token features. The hashing is the piece that makes this a
+    * 100 TB operator: the feature space is FIXED at `buckets`
+    * (default 1024), so each model is an O(buckets) table that
+    * broadcasts, however large the corpus or its vocabulary — a raw
+    * token-level model would be corpus-vocabulary-sized. Counts use
+    * add-1 smoothing over the bucket space, so a bucket unseen in the
+    * target stays finite rather than −∞.
+    *
+    * Stages: one tokenize + bucket pass (map-only arithmetic on the
+    * oracle-replayable md5 fingerprint), ONE (doc, bucket) tf
+    * aggregate that both models and the per-doc score reuse, two
+    * O(buckets) model tables broadcast back, and one per-doc sum. Per
+    * (doc, bucket) terms cast to DECIMAL(18,6) BEFORE summing (the
+    * logprob-suite convention: deterministic at any parallelism), and
+    * `selected` derives from the FLOORED score so the flag can never
+    * disagree with the published number. `targetPred` marks the
+    * in-domain exemplars (here: a metadata predicate; in production,
+    * a trusted high-quality slice). Raw = the WHOLE corpus including
+    * the target slice — DSIR's denominator is the crawl distribution,
+    * not its complement. */
+  def dsirScore(docs: DataFrame, targetPred: Column, buckets: Int = 1024,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), targetPred.as("__t"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
+      .select(col("id"), col("__t"),
+        pmod(graft.operators.Sketches.stringFingerprint(col("term")),
+          lit(buckets.toLong)).as("b"))
+      .groupBy("id", "__t", "b").agg(count(lit(1)).as("tf"))
+    val tgt = tf.filter(col("__t")).groupBy("b").agg(sum("tf").as("ct"))
+    val raw = tf.groupBy("b").agg(sum("tf").as("cr"))
+    val nt = tgt.agg(sum("ct").as("nt"))
+    val nr = raw.agg(sum("cr").as("nr"))
+    val model = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val B = lit(buckets.toDouble)
+    tf.join(broadcast(model), "b")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("id"), col("tf"),
+        (col("tf") * (
+          log((col("ct") + 1).cast("double") / (col("nt").cast("double") + B)) -
+            log((col("cr") + 1).cast("double") / (col("nr").cast("double") + B))))
+          .cast("decimal(18,6)").as("c"))
+      .groupBy("id")
+      .agg(sum("c").cast("double").as("lw"), sum("tf").as("n_toks"))
+      .select(col("id").as(idCol), col("n_toks"),
+        (floor(col("lw") * 10000.0) / 10000.0).as("log_ratio"),
+        ((floor(col("lw") * 10000.0) / 10000.0) > 0.0).as("selected"))
+  }
+
   /** Benchmark decontamination: for every corpus document, the eval
     * documents it shares >= `minOverlap` distinct n-gram shingles with.
     * The eval side (benchmark suites — tiny by contract) becomes a

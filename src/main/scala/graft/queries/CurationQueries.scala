@@ -239,7 +239,38 @@ object CurationQueries {
     "floor((-ln((((doc_id * 2654435761 + 987654321) % 4294967296) + 1) " +
       "/ CAST(4294967296 AS DOUBLE)) / CAST(n_chars AS DOUBLE)) * 1e6) / 1e6"
 
+  /** DSIR-shaped importance selection ([[Curation.dsirScore]], Xie et
+    * al. NeurIPS 2023): every document scored by log p_target −
+    * log p_raw under 1024-bucket hashed-unigram models, target = the
+    * fixture's English slice. The oracle replays the md5 bucket hash,
+    * both smoothed models, every per-(doc, bucket) decimal term, and
+    * the floored selection flag. */
+  def qDsirSelect(s: SparkSession, dir: String): DataFrame =
+    Curation.dsirScore(docs(s, dir), targetPred = col("lang") === "en")
+      .orderBy("doc_id")
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_dsir_select", qDsirSelect, Some(
+      """WITH u AS (SELECT doc_id, lang, unnest(string_split_regex(text, '\s+')) AS term
+        |           FROM documents),
+        |f AS (SELECT doc_id, lang = 'en' AS t,
+        |        ('0x' || substr(md5(term), 1, 15))::BIGINT % 1024 AS b FROM u),
+        |tf AS (SELECT doc_id, t, b, count(*) AS tf FROM f GROUP BY 1, 2, 3),
+        |tgt AS (SELECT b, sum(tf) AS ct FROM tf WHERE t GROUP BY b),
+        |raw AS (SELECT b, sum(tf) AS cr FROM tf GROUP BY b),
+        |nt AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt FROM tgt),
+        |nr AS (SELECT CAST(sum(cr) AS DOUBLE) AS nr FROM raw),
+        |sc AS (SELECT tf.doc_id, tf.tf,
+        |         CAST(tf.tf * (ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / (nt.nt + 1024.0))
+        |                     - ln(CAST(cr + 1 AS DOUBLE) / (nr.nr + 1024.0)))
+        |              AS DECIMAL(18,6)) AS c
+        |       FROM tf JOIN raw USING (b) LEFT JOIN tgt USING (b), nt, nr),
+        |pd AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS lw,
+        |         CAST(sum(tf) AS BIGINT) AS n_toks
+        |       FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_toks, floor(lw * 10000.0) / 10000.0 AS log_ratio,
+        |  floor(lw * 10000.0) / 10000.0 > 0 AS selected
+        |FROM pd ORDER BY doc_id""".stripMargin)),
     QueryDef("q_negatives", qNegatives, Some(
       """WITH a AS (SELECT vec_id AS anchor, label AS al,
         |         ((vec_id * 2246822519 + 98765) % 4294967296) % 4 AS b

@@ -312,4 +312,48 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"),
       s"k-smallest race keys must be a bounded heap, not a sort:\n$p")
   }
+
+  test("dsirScore separates target-vocabulary docs from off-target docs") {
+    import spark.implicits._
+    // target slice speaks vocabulary A, the rest vocabulary B; two
+    // held-out raw docs (t = false) are scored by which vocabulary
+    // they use. The A-speaker must land strictly above the B-speaker
+    // and above 0 (more target-like than the crawl average), the
+    // B-speaker strictly below 0 — the importance-resampling ordering
+    // DSIR selection relies on.
+    val corpus = (
+      (1L to 8L).map(i => (i, true, "alpha beta gamma alpha beta")) ++
+      (9L to 16L).map(i => (i, false, "delta epsilon zeta delta epsilon")) ++
+      Seq((17L, false, "alpha beta gamma alpha beta"),
+          (18L, false, "delta epsilon zeta delta epsilon"))
+    ).toDF("doc_id", "is_tgt", "text")
+    // buckets = 64 (not the production 1024): add-1 smoothing adds
+    // `buckets` pseudo-tokens to each model, and this fixture's target
+    // slice is only 40 tokens — at 1024 buckets the smoothing mass
+    // flattens the target model into uselessness (a real property:
+    // the bucket count must stay well below the target token count)
+    val out = Curation.dsirScore(corpus, targetPred = col("is_tgt"), buckets = 64)
+      .select("doc_id", "log_ratio", "selected")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    val (aScore, aSel) = out(17L)
+    val (bScore, bSel) = out(18L)
+    assert(aScore > 0 && aSel, s"target-vocab doc must score > 0 and select: $aScore")
+    assert(bScore < 0 && !bSel, s"off-target doc must score < 0 and drop: $bScore")
+    assert(aScore > bScore)
+    // identical text ⇒ identical score, regardless of the target flag
+    assert(out(17L)._1 == out(1L)._1,
+      "the score is a function of the TEXT alone (the flag only feeds the models)")
+  }
+
+  test("dsirScore model side stays O(buckets): both model joins broadcast") {
+    import org.apache.spark.sql.functions.col
+    val p = Curation.dsirScore(docs, targetPred = col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the O(buckets) model table must broadcast onto the tf stream:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2,
+      s"both 1-row totals must ride in as broadcast cross joins:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no corpus-sized shuffle join belongs in the scoring path:\n$p")
+  }
 }
