@@ -437,6 +437,29 @@ object Curation {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** EMBEDDING-level benchmark decontamination — [[decontaminate]]'s
+    * semantic twin: n-gram overlap misses a contaminated example that
+    * was paraphrased or translated into the training set, which is
+    * exactly what an embedding similarity screen catches (the
+    * standard second stage of eval decontamination). For every corpus
+    * vector, the eval vectors with cosine ≥ `tau`. The eval side
+    * (benchmark suites — tiny by contract, same argument as the
+    * shingle screen) BROADCASTS, so the corpus side is ONE map-only
+    * scan with the eval set resident per task — never a shuffle, and
+    * never corpus × corpus. Emits `(train_id, eval_id, cos)` per hit;
+    * the anti-join against `train_id` is the caller's one extra
+    * line. */
+  def decontaminateSemantic(corpus: DataFrame, evalVecs: DataFrame,
+      tau: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("train_id"), col(vecCol).as("__cv"))
+      .crossJoin(broadcast(
+        evalVecs.select(col(idCol).as("eval_id"), col(vecCol).as("__ev"))))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosineNative(col("__cv"), col("__ev")))
+      .filter(col("cos") >= tau)
+      .select(col("train_id"), col("eval_id"), col("cos"))
+
   /** DSIR-shaped importance scoring (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023): score
     * every raw document by how much more likely its text is under a

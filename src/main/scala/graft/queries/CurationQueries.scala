@@ -249,7 +249,30 @@ object CurationQueries {
     Curation.dsirScore(docs(s, dir), targetPred = col("lang") === "en")
       .orderBy("doc_id")
 
+  /** Embedding-level decontamination
+    * ([[Curation.decontaminateSemantic]]): the fixture's every-50th
+    * vector stands in for the benchmark suite; every corpus vector
+    * within cosine 0.3 of an eval vector is a semantic-contamination
+    * hit. One broadcast + one map-only scan; the oracle replays the
+    * full cross product. */
+  def qDecontaminateSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    Curation.decontaminateSemantic(
+        e.filter(col("vec_id") % 50 =!= 0),
+        e.filter(col("vec_id") % 50 === 0), tau = 0.3)
+      .select(col("train_id"), col("eval_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("train_id", "eval_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_decontaminate_semantic", qDecontaminateSemantic, Some(
+      s"""WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+         |co AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0)
+         |SELECT co.vec_id AS train_id, ev.vec_id AS eval_id,
+         |  round(${VectorQueries.cosSql("co.embedding", "ev.embedding")}, 4) AS cos
+         |FROM co CROSS JOIN ev
+         |WHERE ${VectorQueries.cosSql("co.embedding", "ev.embedding")} >= 0.3
+         |ORDER BY train_id, eval_id""".stripMargin)),
     QueryDef("q_dsir_select", qDsirSelect, Some(
       """WITH u AS (SELECT doc_id, lang, unnest(string_split_regex(text, '\s+')) AS term
         |           FROM documents),

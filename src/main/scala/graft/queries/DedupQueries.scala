@@ -94,7 +94,7 @@ object DedupQueries {
     * nearest centroid except exactly on a cell boundary — the standard
     * blocked-dedup tradeoff (cf. qDedupEmbLsh for the multi-band
     * scheme whose recall is tunable instead). */
-  def qDedupEmbcos(s: SparkSession, dir: String): DataFrame = {
+  private def embcosPairs(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val cell = graft.index.IvfIndex.assignExpr(col("embedding"), embcosRouter(s, dir))
     val binned = e.select(cell.as("cell"), col("vec_id"), col("embedding"))
@@ -104,8 +104,31 @@ object DedupQueries {
       .filter(col("a") < col("b"))
       .withColumn("cos", cosineNative(col("va"), col("vb")))
       .filter(col("cos") >= 0.4)
+  }
+
+  def qDedupEmbcos(s: SparkSession, dir: String): DataFrame =
+    embcosPairs(s, dir)
       .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
       .orderBy("a", "b")
+
+  /** SemDeDup end-to-end (Abbas et al. 2023, arXiv:2303.09540 — the
+    * EMBEDDING-side twin of q_dedup_corpus's shingle pipeline): the
+    * cell-blocked cosine pair graph ([[embcosPairs]] — every stage
+    * sub-quadratic), connected components over it, and the corpus with
+    * each semantic cluster collapsed to its minimum-id survivor via
+    * one anti-join. The paper clusters with k-means and thresholds
+    * cosine within clusters; the trained-IVF cells ARE that clustering
+    * (iters = 0 keeps it oracle-replayable), and the blocked recall
+    * tradeoff is q_dedup_embcos's documented contract — the oracle
+    * replays the SAME blocking, then the reachability closure and the
+    * keep rule. */
+  def qDedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val cc = graft.operators.Dedup.connectedComponents(
+      embcosPairs(s, dir).select("a", "b"))
+    val dropped = cc.filter(col("id") =!= col("comp")).select(col("id").as("vec_id"))
+    emb(s, dir).join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
   }
 
   /** Coarse level of the two-level router: ⌈√k⌉ lowest-id centroids
@@ -181,6 +204,25 @@ object DedupQueries {
   }
 
   // ---- oracle SQL ---------------------------------------------------
+
+  /** The q_dedup_embcos blocking replay (√n lowest-id centroids,
+    * argmin cell assignment) — shared by the pair gate and the
+    * SemDeDup end-to-end gate so ONE definition of the blocking
+    * exists on the oracle side too. */
+  private val embcosCellSql: String =
+    s"""kk AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS INT)) AS k FROM embeddings),
+       |cent AS (SELECT ord, cv FROM (
+       |           SELECT row_number() OVER (ORDER BY vec_id) AS ord,
+       |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |           FROM embeddings)
+       |         WHERE ord <= (SELECT k FROM kk)),
+       |cd AS (SELECT e.vec_id, c.ord, ${VectorQueries.l2Sql("c.cv", "e.embedding")} AS d
+       |       FROM embeddings e CROSS JOIN cent c),
+       |cell AS (SELECT vec_id, ord AS cell FROM (
+       |           SELECT vec_id, ord,
+       |                  row_number() OVER (PARTITION BY vec_id ORDER BY d, ord) AS rn
+       |           FROM cd)
+       |         WHERE rn = 1)""".stripMargin
 
   private[queries] val shSql =
     """list_distinct(list_transform(range(1, len(string_split_regex(text,'\s+')) - 1),
@@ -428,19 +470,7 @@ object DedupQueries {
          |WHERE bit_count(xor(x.sim_hi, y.sim_hi)) + bit_count(xor(x.sim_lo, y.sim_lo)) <= 6
          |ORDER BY a, b""".stripMargin)),
     QueryDef("q_dedup_embcos", qDedupEmbcos, Some(
-      s"""WITH kk AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS INT)) AS k FROM embeddings),
-         |cent AS (SELECT ord, cv FROM (
-         |           SELECT row_number() OVER (ORDER BY vec_id) AS ord,
-         |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-         |           FROM embeddings)
-         |         WHERE ord <= (SELECT k FROM kk)),
-         |cd AS (SELECT e.vec_id, c.ord, ${VectorQueries.l2Sql("c.cv", "e.embedding")} AS d
-         |       FROM embeddings e CROSS JOIN cent c),
-         |cell AS (SELECT vec_id, ord AS cell FROM (
-         |           SELECT vec_id, ord,
-         |                  row_number() OVER (PARTITION BY vec_id ORDER BY d, ord) AS rn
-         |           FROM cd)
-         |         WHERE rn = 1)
+      s"""WITH $embcosCellSql
          |SELECT a.vec_id AS a, b.vec_id AS b,
          |  round(${VectorQueries.cosSql("a.embedding", "b.embedding")}, 4) AS cos
          |FROM cell ca JOIN cell cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
@@ -448,6 +478,23 @@ object DedupQueries {
          |JOIN embeddings b ON b.vec_id = cb.vec_id
          |WHERE ${VectorQueries.cosSql("a.embedding", "b.embedding")} >= 0.4
          |ORDER BY a, b""".stripMargin)),
+    QueryDef("q_dedup_semantic", qDedupSemantic, Some(
+      s"""WITH RECURSIVE $embcosCellSql,
+         |p AS (SELECT a.vec_id AS a, b.vec_id AS b
+         |      FROM cell ca JOIN cell cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+         |      JOIN embeddings a ON a.vec_id = ca.vec_id
+         |      JOIN embeddings b ON b.vec_id = cb.vec_id
+         |      WHERE ${VectorQueries.cosSql("a.embedding", "b.embedding")} >= 0.4),
+         |eg AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+         |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM eg)
+         |                UNION
+         |                SELECT r.u, eg.v FROM reach r JOIN eg ON r.v = eg.u),
+         |comp AS (SELECT u AS vec_id, min(v) AS comp FROM reach GROUP BY u),
+         |dropped AS (SELECT vec_id FROM comp WHERE comp <> vec_id)
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |LEFT JOIN dropped d ON e.vec_id = d.vec_id
+         |WHERE d.vec_id IS NULL
+         |ORDER BY e.vec_id""".stripMargin)),
     QueryDef("q_dedup_embcos2", qDedupEmbcos2, Some(
       s"""WITH kk AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS INT)) AS k FROM embeddings),
          |kp AS (SELECT k, greatest(2, CAST(ceil(sqrt(k)) AS INT)) AS k1 FROM kk),

@@ -313,6 +313,29 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"k-smallest race keys must be a bounded heap, not a sort:\n$p")
   }
 
+  test("decontaminateSemantic flags a planted paraphrase-style duplicate; eval broadcasts") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ev = e.filter(col("vec_id") % 50 === 0).select("vec_id", "embedding")
+    // plant each eval vector back into the corpus under a new id — the
+    // "paraphrased into the training set" case the shingle screen
+    // can't see (no text here at all)
+    val planted = ev.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val corpus = e.filter(col("vec_id") % 50 =!= 0)
+      .select("vec_id", "embedding").union(planted)
+    val out = Curation.decontaminateSemantic(corpus, ev, tau = 0.999)
+    val hits = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val evIds = ev.collect().map(_.getLong(0))
+    for (id <- evIds)
+      assert(hits.contains((id + 1000000L, id)),
+        s"planted copy of eval vector $id must be flagged, got $hits")
+    // the eval side rides in as a broadcast; the corpus side never shuffles
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the bounded eval set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Exchange hashpartitioning"),
+      s"the corpus side must stay map-only (no shuffle):\n$p")
+  }
+
   test("dsirScore separates target-vocabulary docs from off-target docs") {
     import spark.implicits._
     // target slice speaks vocabulary A, the rest vocabulary B; two
