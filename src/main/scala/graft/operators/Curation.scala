@@ -284,6 +284,56 @@ object Curation {
         (-col("hit._1")).as("score"))
   }
 
+  /** Token-budget WATERFILLING across sources — the mixture-
+    * rebalancing decision a pipeline makes when the training budget is
+    * smaller than the crawl: small sources keep everything, large
+    * sources are capped at ONE common level C chosen so the total
+    * lands on the budget (the proportional-with-cap rule; waterfilling
+    * because raising the water level C fills small sources completely
+    * before large ones grow). Budget = `total · budgetNum / budgetDen`
+    * in INTEGER arithmetic, and the cap search is integer too: sources
+    * sort by (tokens ASC, key), and at rank i the candidate cap is
+    * Cᵢ = (B − prefix₍ᵢ₋₁₎) div (m − i + 1) — the first rank whose own
+    * count exceeds its candidate cap is where the water level sits;
+    * everything from there on gets exactly that C (Σ alloc ≤ B by
+    * construction, every step replayable in the oracle with zero
+    * float ops).
+    *
+    * Scale shape: the ONLY corpus-scale stage is the per-source token
+    * aggregate (one map-side-combined shuffle, O(#sources) rows out);
+    * the sort, prefix sums, and cap search run on that #sources-row
+    * artifact — a window over sources, never over documents — and the
+    * 1-row cap broadcasts back onto it. Applying the allocation to
+    * rows (sample `allocated/n_tokens` of each capped source) is the
+    * existing [[stratifiedSample]]/[[weightedSample]] machinery.
+    * Output: `(key, n_tokens, allocated, capped)` per source. */
+  def budgetAllocate(df: DataFrame, keyCol: Column, tokCol: Column,
+      budgetNum: Long, budgetDen: Long): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0 && budgetNum <= budgetDen,
+      s"budget fraction must be in [0, 1]: $budgetNum/$budgetDen")
+    val per = df.select(keyCol.as("key"), tokCol.cast("long").as("t"))
+      .groupBy("key").agg(sum("t").as("n_tokens"))
+    val w = Window.orderBy(col("n_tokens").asc, col("key").asc)
+    val ranked = per
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__pfx", coalesce(sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__m", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__tot", sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__b", expr(s"(__tot * $budgetNum) DIV $budgetDen"))
+      .withColumn("__cand", expr("(__b - __pfx) DIV (__m - __i + 1)"))
+    val lvl = ranked.filter(col("n_tokens") > col("__cand"))
+      .agg(min(struct(col("__i"), col("__cand"))).as("s"))
+      .select(col("s.__i").as("__ci"), col("s.__cand").as("__cap"))
+    ranked.crossJoin(broadcast(lvl))
+      .select(col("key"), col("n_tokens"),
+        when(col("__ci").isNull || col("__i") < col("__ci"), col("n_tokens"))
+          .otherwise(col("__cap")).as("allocated"),
+        (col("__ci").isNotNull && col("__i") >= col("__ci")).as("capped"))
+  }
+
   /** Hash-bucketed negative sampling — the contrastive-training
     * primitive ("for each anchor, k pseudo-random negatives from a
     * different class"), shaped so it NEVER goes all-pairs: candidates

@@ -264,7 +264,38 @@ object CurationQueries {
       .orderBy("train_id", "eval_id")
   }
 
+  /** Token-budget waterfilling ([[Curation.budgetAllocate]]): the
+    * per-source allocation when only 60% of the corpus's tokens fit
+    * the training budget — small sources keep everything, large ones
+    * cap at one integer water level. Every step is integer
+    * arithmetic on the #sources-row artifact, replayed by the
+    * oracle. */
+  def qTokenBudget(s: SparkSession, dir: String): DataFrame =
+    Curation.budgetAllocate(docs(s, dir), keyCol = col("source"),
+        tokCol = size(tokens(col("text"))), budgetNum = 6L, budgetDen = 10L)
+      .orderBy("key")
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_token_budget", qTokenBudget, Some(
+      """WITH per AS (SELECT source AS key,
+        |         CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens
+        |       FROM documents GROUP BY source),
+        |r AS (SELECT key, n_tokens,
+        |        row_number() OVER (ORDER BY n_tokens, key) AS i,
+        |        coalesce(sum(n_tokens) OVER (ORDER BY n_tokens, key
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx,
+        |        count(*) OVER () AS m,
+        |        sum(n_tokens) OVER () AS tot
+        |      FROM per),
+        |c AS (SELECT *, ((tot * 6) // 10 - pfx) // (m - i + 1) AS cand FROM r),
+        |l AS (SELECT min(i) AS ci FROM c WHERE n_tokens > cand),
+        |lv AS (SELECT c.cand AS cap, l.ci AS ci FROM c JOIN l ON c.i = l.ci)
+        |SELECT c.key, c.n_tokens,
+        |  CAST(CASE WHEN lv.ci IS NULL OR c.i < lv.ci THEN c.n_tokens
+        |            ELSE lv.cap END AS BIGINT) AS allocated,
+        |  (lv.ci IS NOT NULL AND c.i >= lv.ci) AS capped
+        |FROM c LEFT JOIN lv ON TRUE
+        |ORDER BY c.key""".stripMargin)),
     QueryDef("q_decontaminate_semantic", qDecontaminateSemantic, Some(
       s"""WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
          |co AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0)

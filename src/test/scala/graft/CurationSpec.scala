@@ -313,6 +313,27 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"k-smallest race keys must be a bounded heap, not a sort:\n$p")
   }
 
+  test("budgetAllocate waterfills: small sources whole, large capped at one level, total = budget") {
+    import spark.implicits._
+    // counts (1, 2, 100), budget 50% of 103 = 51: candidate caps walk
+    // 17, 25, 48 — the first two keep everything, the big source caps
+    // at 48, and the allocation lands EXACTLY on the budget
+    val df = (Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(100)("c"))
+      .map(k => (k, "x")).toDF("src", "text")
+    val out = Curation.budgetAllocate(df, col("src"), lit(1L), 5L, 10L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("a") == ((1L, 1L, false)) && out("b") == ((2L, 2L, false)),
+      s"small sources keep everything: $out")
+    assert(out("c") == ((100L, 48L, true)), s"large source caps at the water level: $out")
+    assert(out.values.map(_._2).sum == 51L, "the allocation exhausts the integer budget")
+    // budget >= total: nobody capped
+    val free = Curation.budgetAllocate(df, col("src"), lit(1L), 10L, 10L)
+      .collect().map(r => (r.getLong(2), r.getBoolean(3)))
+    assert(free.forall(!_._2) && free.map(_._1).sum == 103L,
+      s"a full budget must cap nothing: ${free.toSeq}")
+  }
+
   test("decontaminateSemantic flags a planted paraphrase-style duplicate; eval broadcasts") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val ev = e.filter(col("vec_id") % 50 === 0).select("vec_id", "embedding")
