@@ -37,6 +37,28 @@ object DedupQueries {
       .orderBy("a", "b")
   }
 
+  /** Split-leakage census — the audit a pipeline runs BETWEEN
+    * splitting and training: every near-duplicate pair (the
+    * q_dedup_minhash detector, τ = 0.7) labeled with both members'
+    * train/val/test assignment ([[graft.operators.Curation.splitAssign]])
+    * and whether it LEAKS (crosses a split boundary — the eval
+    * contamination a random split inflicts on near-dup corpora, the
+    * reason dedup-then-split ordering matters). The pair set is
+    * bounded by the dedup contract, so the two label joins are
+    * pair-sized, not corpus × corpus; the oracle replays detector,
+    * split hash, and the leak flag. */
+  def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sp = graft.operators.Curation.splitAssign(d).select(col("doc_id"), col("split"))
+    MinHash.lshDedup(d, tau = 0.7)
+      .join(sp.select(col("doc_id").as("a"), col("split").as("split_a")), "a")
+      .join(sp.select(col("doc_id").as("b"), col("split").as("split_b")), "b")
+      .select(col("a"), col("b"), col("split_a"), col("split_b"),
+        (col("split_a") =!= col("split_b")).as("leaks"),
+        round(col("jac"), 3).as("jac"))
+      .orderBy("a", "b")
+  }
+
   /** Per-document 64-bit SimHash (two 32-bit words). */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     MinHash.simHashTable(docs(s, dir)).orderBy("doc_id")
@@ -396,6 +418,31 @@ object DedupQueries {
         |  CAST(sum(CASE WHEN n = 1 OR rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
         |  md5(string_agg(CASE WHEN n = 1 OR rn = 1 THEN seg END, ' ' ORDER BY seg_idx)) AS clean_hash
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    QueryDef("q_split_leakage", qSplitLeakage, Some(
+      s"""WITH t AS (SELECT doc_id, $shSql AS sh FROM documents),
+         |hs AS (SELECT doc_id, sh, len(sh) AS n_sh, $hsSql AS hs FROM t WHERE len(sh) > 0),
+         |sig AS (SELECT doc_id, sh, n_sh,
+         |          list_transform($paramsSql, ab ->
+         |            list_min(list_transform(hs, x -> (ab[1]*x + ab[2]) % 2147483647))) AS sig
+         |        FROM hs),
+         |bands AS (SELECT doc_id,
+         |            CAST(b AS VARCHAR) || ':' || array_to_string(sig[b*4+1 : b*4+4], ',') AS bkey
+         |          FROM sig, unnest([0,1,2,3]) AS u(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+         |         ON x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |ver AS (SELECT c.a, c.b, len(list_intersect(ta.sh, tb.sh)) AS i, ta.n_sh AS na, tb.n_sh AS nb
+         |        FROM cand c JOIN hs ta ON ta.doc_id = c.a JOIN hs tb ON tb.doc_id = c.b),
+         |p AS (SELECT a, b, round(CAST(i AS DOUBLE)/CAST(na+nb-i AS DOUBLE), 3) AS jac
+         |      FROM ver WHERE CAST(i AS DOUBLE)/CAST(na+nb-i AS DOUBLE) >= 0.7),
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+         |              WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM documents)
+         |SELECT p.a, p.b, sa.split AS split_a, sb.split AS split_b,
+         |  sa.split <> sb.split AS leaks, p.jac
+         |FROM p JOIN sp sa ON sa.doc_id = p.a JOIN sp sb ON sb.doc_id = p.b
+         |ORDER BY p.a, p.b""".stripMargin)),
     QueryDef("q_dedup_minhash", qDedupMinhash, Some(
       s"""WITH t AS (SELECT doc_id, $shSql AS sh FROM documents),
          |hs AS (SELECT doc_id, sh, len(sh) AS n_sh, $hsSql AS hs FROM t WHERE len(sh) > 0),
