@@ -422,9 +422,14 @@ object PipelineQueries {
   def qStreamOuter(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val sd = outerStreamDir(s, dir)
+    // 2 files/trigger folds the fixture and sentinel A into ONE batch
+    // (matches emit there, and the post-batch watermark jumps past
+    // every real event); sentinel B is the second, flushing batch —
+    // the minimum, since eviction uses the watermark computed from
+    // the batches BEFORE the one running
     def stream() = EventsFixture.normalizeTs(
       s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "2")
         .parquet(sd))
     val clicks = stream().filter(col("event_type") === "click")
     val purchases = stream().filter(col("event_type") === "purchase")
