@@ -446,7 +446,57 @@ object PipelineQueries {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** TRUE custom-state sessionization in the gate
+    * ([[EventStreams.sessionizeWithState]] — flatMapGroupsWithState +
+    * EventTimeTimeout): sessions that close ON GAP emit inline from
+    * the callback; sessions still OPEN at end of input can only emit
+    * when the watermark proves no event can reopen them — the state
+    * EXPIRY path — so the gate reuses [[outerStreamDir]]'s sentinel
+    * replay: the flush batch's watermark jump fires every armed
+    * timeout, and the drain waits for it because it is a data batch.
+    * Must equal the batch gap-sessionization oracle exactly (the
+    * q_stream_sessions contract through a completely different
+    * mechanism: session_window state-merge there, custom O(1) state +
+    * timeouts here). */
+  def qStreamSessionsState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val sd = outerStreamDir(s, dir)
+    val stream = EventsFixture.normalizeTs(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "2")
+          .parquet(sd))
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[EventStreams.SessEvent]
+    val name = "graft_stream_sess_state_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStreamPartitions(s, 4) {
+      val q = EventStreams.sessionizeWithState(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .orderBy("user_id", "start_us")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_stream_sessions_state", qStreamSessionsState, Some(
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |g AS (SELECT user_id, us, event_id,
+        |        CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |               > CAST(1800 AS BIGINT) * 1000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |s AS (SELECT user_id, us,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM g)
+        |SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,
+        |  CAST(max(us) + CAST(1800 AS BIGINT) * 1000000 AS BIGINT) AS end_us,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin)),
     QueryDef("q_stream_outer", qStreamOuter, Some(
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
         |c AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'click'),

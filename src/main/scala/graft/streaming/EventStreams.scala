@@ -189,6 +189,76 @@ object EventStreams {
       }
   }
 
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+  final case class SessState(start_us: Long, last_us: Long, n: Long)
+  final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Gap-based sessionization through the CUSTOM-state API —
+    * flatMapGroupsWithState with an EVENT-TIME TIMEOUT — the one
+    * stateful-streaming surface `session_window` can't demonstrate:
+    * emission driven by STATE EXPIRY. Per user, the state is the open
+    * session tail (start, last, count — O(1) per key); events extend
+    * it or, past the gap, close it (closed sessions emit inline); and
+    * the timeout is armed at `last + gap`, so when the WATERMARK
+    * passes that point Spark fires the callback with `hasTimedOut`
+    * and the final session emits with no further data — exactly when
+    * no event could legally reopen it. State expiry, result
+    * completeness, and the memory bound are all the same watermark
+    * contract (the correlateLeftOuter argument, on the custom-state
+    * surface).
+    *
+    * Within a micro-batch the group's events sort by (ts, event_id)
+    * in memory — bounded by the micro-batch, the standard
+    * custom-sessionization shape; across batches the state carries
+    * only the open tail, and an event older than the watermark
+    * arriving out of order is the documented streaming-sessionization
+    * exclusion (the watermark is what makes `hasTimedOut` final).
+    * Output matches the batch gap-sessionization exactly: end = last
+    * event + gap, sessions merge at exactly-gap spacing (strict `>`
+    * opens a new one). */
+  def sessionizeWithState(events: Dataset[SessEvent],
+      gapMinutes: Int = 30,
+      watermark: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SessEvent], state: GroupState[SessState]) =>
+          val evs = it.toArray.sortBy(e => (tsMicros(e.ts), e.event_id))
+          if (evs.isEmpty) {
+            // only reachable via timeout: the watermark passed
+            // last + gap, so the open tail is final
+            val out = state.getOption.map(s =>
+              Session(uid, s.start_us, s.last_us + gapUs, s.n)).iterator
+            state.remove()
+            out
+          } else {
+            val closed = scala.collection.mutable.ArrayBuffer[Session]()
+            var cur = state.getOption.orNull
+            for (e <- evs) {
+              val us = tsMicros(e.ts)
+              if (cur == null) cur = SessState(us, us, 1L)
+              else if (us - cur.last_us > gapUs) {
+                closed += Session(uid, cur.start_us, cur.last_us + gapUs, cur.n)
+                cur = SessState(us, us, 1L)
+              } else cur = SessState(cur.start_us, math.max(cur.last_us, us), cur.n + 1L)
+            }
+            state.update(cur)
+            // arm the expiry at the open tail's horizon (ms precision
+            // is all the API offers; the flush batch's watermark jump
+            // dwarfs the sub-ms truncation)
+            state.setTimeoutTimestamp((cur.last_us + gapUs) / 1000L)
+            closed.iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup for document ingest: first event per
     * content hash passes, later duplicates drop, and — the part that
     * matters at 100 TB/day — the per-key state store retains a hash

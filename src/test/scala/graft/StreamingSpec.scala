@@ -408,6 +408,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("sessionizeWithState: gap closes inline, open tail emits only via event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[EventStreams.SessEvent]
+    val q = EventStreams.sessionizeWithState(src.toDS(), gapMinutes = 30,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_state_test")
+      .outputMode(OutputMode.Append()).start()
+    def rows() = spark.table("sess_state_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def us(t: Timestamp) = t.getTime * 1000L
+    try {
+      // user 1: two events 5 min apart, then one 50 min later — the
+      // third event CLOSES the first session inline (gap exceeded
+      // inside the batch) and opens a second
+      src.addData(EventStreams.SessEvent(1L, ts(0), 1L),
+        EventStreams.SessEvent(1L, ts(5), 2L),
+        EventStreams.SessEvent(1L, ts(55), 3L))
+      q.processAllAvailable()
+      val gapUs = 30L * 60 * 1000000
+      assert(rows() == Set((1L, us(ts(0)), us(ts(5)) + gapUs, 2L)),
+        s"only the gap-closed session may emit; the open tail must wait: ${rows()}")
+      // two far-future batches: the first lifts the watermark, the
+      // second starts from it — the armed timeout fires with NO data
+      // for user 1 and the final session emits from state expiry
+      val far = Timestamp.from(ts(0).toInstant.plusSeconds(4 * 3600))
+      val farther = Timestamp.from(ts(0).toInstant.plusSeconds(8 * 3600))
+      src.addData(EventStreams.SessEvent(9L, far, 90L))
+      q.processAllAvailable()
+      src.addData(EventStreams.SessEvent(9L, farther, 91L))
+      q.processAllAvailable()
+      assert(rows().contains((1L, us(ts(55)), us(ts(55)) + gapUs, 1L)),
+        s"the timed-out open tail must emit its final session: ${rows()}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
