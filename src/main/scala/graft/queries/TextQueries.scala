@@ -376,6 +376,27 @@ object TextQueries {
     graft.operators.Dedup.canonicalByQuality(members).orderBy("component")
   }
 
+  /** Cluster-aware split assignment — the REMEDY for what
+    * q_split_leakage measures: a per-document hash split scatters
+    * near-duplicates across train/val/test (83/256 pairs leak at
+    * sf0.1), so the split decision moves UP to the near-dup component
+    * — every member of a cluster inherits the split of its component
+    * id (singletons are their own component, reducing to the plain
+    * per-doc split), making cross-split leakage structurally zero for
+    * every detected pair. Same deterministic hash family as
+    * [[graft.operators.Curation.splitAssign]], same stability-under-
+    * growth contract, one label join against the memoized cluster
+    * map. */
+  def qSplitCluster(s: SparkSession, dir: String): DataFrame = {
+    val cc = nearDupCc(s, dir).withColumnRenamed("id", "doc_id")
+    val withComp = docs(s, dir).select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("component"))
+    graft.operators.Curation.splitAssign(withComp, idCol = "component")
+      .select(col("doc_id"), col("component"), col("split"))
+      .orderBy("doc_id")
+  }
+
   /** The dedup pipeline's end product: the corpus with every near-dup
     * cluster collapsed to its minimum-id survivor (detect pairs →
     * cluster → anti-join the non-survivors). */
@@ -847,6 +868,24 @@ object TextQueries {
       """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash,
         |  min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin)),
+    QueryDef("q_split_cluster", qSplitCluster, Some(
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $shSql AS sh FROM documents),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |            / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.8),
+         |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+         |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         |                UNION
+         |                SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+         |f AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+         |      FROM documents d LEFT JOIN comp c USING (doc_id))
+         |SELECT doc_id, component,
+         |  CASE WHEN (component * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+         |       WHEN (component * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM f ORDER BY doc_id""".stripMargin)),
     QueryDef("q_dedup_corpus", qDedupCorpus, Some(
       s"""WITH RECURSIVE t AS (SELECT doc_id, $shSql AS sh FROM documents),
          |p AS (SELECT a.doc_id AS a, b.doc_id AS b

@@ -313,6 +313,22 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"k-smallest race keys must be a bounded heap, not a sort:\n$p")
   }
 
+  test("cluster-aware split: zero leakage across every detected near-dup pair") {
+    // q_split_leakage measures what the per-doc split inflicts;
+    // q_split_cluster is the remedy — every near-dup pair (its own
+    // detector's graph) must land in ONE split, by construction
+    val sp = graft.queries.TextQueries.qSplitCluster(spark, sfDir)
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = graft.operators.MinHash.lshDedup(docs, tau = 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs for this to mean anything")
+    val leaks = pairs.filter { case (a, b) => sp(a) != sp(b) }
+    assert(leaks.isEmpty, s"cluster-level splitting must never separate a near-dup pair: $leaks")
+    // and it is still a real split (more than one label in use)
+    assert(sp.values.toSet.size > 1, "the corpus must still spread across splits")
+  }
+
   test("budgetAllocate waterfills: small sources whole, large capped at one level, total = budget") {
     import spark.implicits._
     // counts (1, 2, 100), budget 50% of 103 = 51: candidate caps walk
