@@ -155,6 +155,60 @@ object PipelineQueries {
       p.toString
     })
 
+  /** One round-trip dir per JVM + fixture + format (the binDir
+    * convention — fresh across JVMs, overwritten in place within one,
+    * removed on shutdown). */
+  private val fmtDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def fmtDir(tag: String, fixture: String): String =
+    fmtDirs.getOrElseUpdate(s"$tag:$fixture", {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_${tag}_")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+      p.toString
+    })
+
+  /** Content-integrity aggregate both text-format round-trips gate on:
+    * row count, id and length sums, and an order-independent text
+    * fingerprint (per-doc md5 prefix summed in DECIMAL(38,0), so any
+    * single mangled character anywhere in the corpus changes it). */
+  private def roundTripAgg(df: DataFrame): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("doc_id")).as("sum_ids"),
+      sum(col("n_chars")).as("sum_chars"),
+      sum(conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+        .cast("decimal(38,0)")).as("text_fp"))
+
+  /** JSONL round-trip (the LLM-corpus interchange format): documents →
+    * line-delimited JSON part files → schema'd read-back; the oracle
+    * aggregates the ORIGINAL parquet, so equality proves the codec
+    * (quoting, escapes, types) lost nothing. Line-splittable at any
+    * corpus size. */
+  def qJsonlSource(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    val tmp = fmtDir("jsonl", dir)
+    graft.sources.TextCorpusSource.writeJsonl(d, tmp)
+    roundTripAgg(graft.sources.TextCorpusSource.readJsonl(s, tmp, d.schema))
+  }
+
+  /** RFC 4180 CSV round-trip (quote-doubling escapes, multiLine read)
+    * — same integrity aggregate, same oracle as the JSONL gate. */
+  def qCsvSource(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    val tmp = fmtDir("csv", dir)
+    graft.sources.TextCorpusSource.writeCsv(d, tmp)
+    roundTripAgg(graft.sources.TextCorpusSource.readCsv(s, tmp, d.schema))
+  }
+
+  private val roundTripOracleSql =
+    """SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT) AS DECIMAL(38,0)) AS text_fp
+      |FROM documents""".stripMargin
+
   def qBinSource(s: SparkSession, dir: String): DataFrame = {
     val tmp = binDir(dir)
     BinaryVectorSource.write(s.read.parquet(s"$dir/embeddings.parquet"), tmp, dims = 64)
@@ -483,6 +537,8 @@ object PipelineQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_jsonl_source", qJsonlSource, Some(roundTripOracleSql)),
+    QueryDef("q_csv_source", qCsvSource, Some(roundTripOracleSql)),
     QueryDef("q_stream_sessions_state", qStreamSessionsState, Some(
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
         |g AS (SELECT user_id, us, event_id,
