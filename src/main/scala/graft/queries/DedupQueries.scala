@@ -116,16 +116,26 @@ object DedupQueries {
     * nearest centroid except exactly on a cell boundary — the standard
     * blocked-dedup tradeoff (cf. qDedupEmbLsh for the multi-band
     * scheme whose recall is tunable instead). */
-  private def embcosPairs(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val cell = graft.index.IvfIndex.assignExpr(col("embedding"), embcosRouter(s, dir))
+  private def embcosPairs(s: SparkSession, dir: String): DataFrame =
+    blockedPairs(emb(s, dir), embcosRouter(s, dir), tau = 0.4)
+
+  /** The cell-blocked pair stage over an arbitrary (vec_id, embedding)
+    * frame — shared by the fixture gates (memoized router) and the
+    * planted-near-dup recall floor in RecallSpec (fresh router). */
+  private[graft] def blockedPairsOf(e: DataFrame, tau: Double): DataFrame =
+    blockedPairs(e,
+      graft.index.IvfIndex.train(e, embcosCells(e.count()), iters = 0), tau)
+
+  private def blockedPairs(e: DataFrame,
+      model: graft.index.IvfIndex.Model, tau: Double): DataFrame = {
+    val cell = graft.index.IvfIndex.assignExpr(col("embedding"), model)
     val binned = e.select(cell.as("cell"), col("vec_id"), col("embedding"))
     val a = binned.select(col("cell"), col("vec_id").as("a"), col("embedding").as("va"))
     val b = binned.select(col("cell"), col("vec_id").as("b"), col("embedding").as("vb"))
     a.join(b, Seq("cell"))
       .filter(col("a") < col("b"))
       .withColumn("cos", cosineNative(col("va"), col("vb")))
-      .filter(col("cos") >= 0.4)
+      .filter(col("cos") >= tau)
   }
 
   def qDedupEmbcos(s: SparkSession, dir: String): DataFrame =

@@ -299,4 +299,37 @@ class RecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(resR >= 2.0 * rawR,
       f"residual ADC lost its clustered-data advantage: $resR%.3f vs raw $rawR%.3f")
   }
+
+  test("cell-blocked near-dup pairs: planted duplicates recall@tau=0.99 >= 0.95 (measured 0.980)") {
+    // The claim the SemDeDup blocking (q_dedup_embcos/q_dedup_semantic)
+    // actually rests on: NEAR-IDENTICAL vectors share a nearest coarse
+    // centroid except exactly on a cell boundary. The i.i.d. fixture
+    // contains no true near-dups (one pair above cos 0.6 in 2M), so
+    // the floor plants them: every 10th vector re-enters under a new
+    // id with +0.01 on one component (cos ≈ 0.9999). Measured: 196 of
+    // 200 planted pairs found (4 boundary losses), ZERO false pairs
+    // at τ = 0.99. Honesty note (BASELINE.md): at MODERATE similarity
+    // the same blocking is only a low-recall candidate generator —
+    // cos ≥ 0.4 recall on the i.i.d. fixture measures 0.162 (920
+    // true pairs, single-probe cells) — which is the documented
+    // contract: blocked dedup detects near-duplicates; tunable-recall
+    // candidate generation at lower thresholds is the multi-band LSH
+    // arm (q_dedup_emblsh).
+    import org.apache.spark.sql.functions.{col, lit, transform, when}
+    val base = e.select("vec_id", "embedding")
+    val planted = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
+    val corpus = base.union(planted)
+    val pairs = graft.queries.DedupQueries.blockedPairsOf(corpus, tau = 0.99)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wanted = base.filter(col("vec_id") % 10 === 0).select("vec_id")
+      .collect().map(_.getLong(0)).map(i => (i, i + 100000L)).toSet
+    val recall = pairs.intersect(wanted).size.toDouble / wanted.size
+    assert(recall >= 0.95,
+      f"planted near-dup recall through the cell blocking: $recall%.3f (measured 0.980)")
+    assert((pairs -- wanted).isEmpty,
+      s"τ=0.99 must admit no false pairs on this fixture: ${(pairs -- wanted).take(5)}")
+  }
 }
