@@ -233,6 +233,38 @@ object CurationQueries {
       .orderBy("anchor", "rank")
   }
 
+  /** HARD-negative mining — [[qNegatives]]'s difficulty-ordered twin
+    * (the contrastive-training recipe: random negatives teach the
+    * easy margin, HARD negatives — the most similar wrong-label
+    * candidates — teach the boundary). For each anchor, the top-5
+    * different-label vectors by cosine. Anchors broadcast (bounded
+    * query batch by contract), the corpus pass is map-only scoring,
+    * and the per-anchor top-k runs through the bounded-heap TopK
+    * aggregator — map-side partials, O(#anchors·k) shuffle, no
+    * ranking window anywhere. Heap key (1 − cos, id): monotone in
+    * cos DESC with the id tiebreak, so the oracle's row_number
+    * replays the exact order. */
+  def qNegativesHard(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val anchors = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("anchor"), col("label").as("al"),
+        col("embedding").as("av"))
+    val topk = graft.operators.TopK.topK(5)
+    e.crossJoin(broadcast(anchors))
+      .filter(col("label") =!= col("al"))
+      .select(col("anchor"),
+        (lit(1.0d) - graft.functions.VectorFunctions.cosineNative(
+          col("embedding"), col("av"))).as("d"),
+        col("vec_id"))
+      .groupBy("anchor")
+      .agg(topk(col("d"), col("vec_id")).as("hits"))
+      .select(col("anchor"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("anchor"), (col("pos") + 1).cast("int").as("rank"),
+        col("hit._2").as("neg"),
+        round(lit(1.0d) - col("hit._1"), 4).as("cos"))
+      .orderBy("anchor", "rank")
+  }
+
   /** The race-key SQL shared by both weighted-sampling oracles (ONE
     * definition of the draw arithmetic). */
   private val ekeySql: String =
@@ -276,6 +308,17 @@ object CurationQueries {
       .orderBy("key")
 
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_negatives_hard", qNegativesHard, Some(
+      s"""WITH a AS (SELECT vec_id AS anchor, label AS al, embedding AS av
+         |           FROM embeddings WHERE vec_id < 8),
+         |p AS (SELECT a.anchor, e.vec_id AS neg,
+         |        ${VectorQueries.cosSql("e.embedding", "a.av")} AS cos
+         |      FROM embeddings e JOIN a ON e.label <> a.al),
+         |r AS (SELECT anchor, neg, cos,
+         |        row_number() OVER (PARTITION BY anchor ORDER BY cos DESC, neg) AS rnk
+         |      FROM p)
+         |SELECT anchor, CAST(rnk AS INT) AS rank, neg, round(cos, 4) AS cos
+         |FROM r WHERE rnk <= 5 ORDER BY anchor, rank""".stripMargin)),
     QueryDef("q_token_budget", qTokenBudget, Some(
       """WITH per AS (SELECT source AS key,
         |         CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens
