@@ -51,9 +51,26 @@ object Graph {
     * [[Dedup.connectedComponents]] lesson) — at a fixed iteration
     * count the wall-clock is iters × (join + agg), however large the
     * graph. */
+  /** PERSONALIZED PageRank (Page et al. '99 §6 "personalized" E
+    * vector; the related-items / topic-sensitive serving variant):
+    * identical recurrence, but the teleport mass lands on a SEED set
+    * instead of uniformly — t(v) = 1/|S| on seeds, 0 elsewhere — so
+    * rank measures proximity TO THE SEEDS, not global centrality.
+    * Same exact integer-unit convention (t(v) itself 12-dp floored),
+    * same per-round shape; dangling mass (if `danglingRedistribute`)
+    * flows back to the seeds, mirroring the teleport vector, per the
+    * standard treatment. `teleport` is a 1-column `node` frame; it
+    * joins the node set once at build time (broadcast when small —
+    * the usual case: a query's seed items). */
+  def pageRankPersonalized(edges: DataFrame, teleport: DataFrame,
+      iters: Int = 3, damping: Double = 0.85,
+      danglingRedistribute: Boolean = false): DataFrame =
+    pageRank(edges, iters, damping, danglingRedistribute, Some(teleport))
+
   def pageRank(edges: DataFrame, iters: Int = 3,
       damping: Double = 0.85,
-      danglingRedistribute: Boolean = false): DataFrame = {
+      danglingRedistribute: Boolean = false,
+      teleport: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges
@@ -67,27 +84,59 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // nodes carry their sink flag (no out-edge) from one build-time
     // anti-join — the per-round dangling census is then a filter+agg
-    val nodes = e.select(col("src").as("node"))
+    val nodesBase = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
       .join(e.select(col("src").as("node")).distinct()
         .withColumn("__out", lit(true)), Seq("node"), "left")
       .select(col("node"), coalesce(col("__out"), lit(false)).as("has_out"))
+    val nodes = teleport
+      .map(tp => nodesBase
+        .join(tp.select(col("node")).distinct().withColumn("__seed", lit(true)),
+          Seq("node"), "left")
+        .select(col("node"), col("has_out"),
+          coalesce(col("__seed"), lit(false)).as("is_seed")))
+      .getOrElse(nodesBase.withColumn("is_seed", lit(true)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // node count + sink census in ONE job (each would otherwise be
-      // its own ~job-floor round trip on a cached O(N) frame)
+      // node count + sink census + seed count in ONE job (each would
+      // otherwise be its own ~job-floor round trip on a cached frame)
       val census = nodes.agg(count(lit(1)).as("n"),
-        coalesce(sum(when(!col("has_out"), 1L).otherwise(0L)), lit(0L)).as("nd"))
+        coalesce(sum(when(!col("has_out"), 1L).otherwise(0L)), lit(0L)).as("nd"),
+        coalesce(sum(when(col("is_seed"), 1L).otherwise(0L)), lit(0L)).as("ns"))
         .head()
       val (n, nDangling) = (census.getLong(0), census.getLong(1))
+      // uniform PageRank: every node is a "seed" (nSeed = n); the
+      // personalized arm teleports to the seed subset only
+      val nSeed = census.getLong(2)
+      require(teleport.isEmpty || nSeed > 0,
+        "personalized PageRank needs at least one teleport seed present in the graph")
       require(danglingRedistribute || nDangling == 0,
         s"$nDangling dangling node(s) — pageRank requires every node to " +
           "have an out-edge (symmetrize the graph, drop sinks, or pass " +
           "danglingRedistribute = true)")
       val floor12 = (c: Column) => floor(c * lit(1e12)).cast("double") / lit(1e12)
-      var rank = nodes.select(col("node"), col("has_out"),
-        floor12(lit(1.0) / n).as("rank")).localCheckpoint()
+      // the teleport vector, itself 12-dp floored so both engines see
+      // identical doubles: 1/|seeds| on seeds, 0 elsewhere
+      val tv = when(col("is_seed"),
+        floor12(lit(1.0) / nSeed)).otherwise(lit(0.0d))
+      // the uniform arm keeps its ORIGINAL expressions bit-for-bit
+      // ((1−d)/n as one double division, dangling /n) — the gated
+      // oracles replay exactly those; the personalized arm scales the
+      // floored teleport vector instead
+      // tv is ALREADY 12-dp floored; re-flooring is not numerically
+      // idempotent (floor12(x)·1e12 can land one ulp under the
+      // integer), so the personalized init uses tv as-is
+      val initRank =
+        if (teleport.isEmpty) floor12(lit(1.0) / n) else tv
+      val teleTerm: Column =
+        if (teleport.isEmpty) lit((1 - damping) / n)
+        else lit(1 - damping) * tv
+      val dangTerm: Column =
+        if (teleport.isEmpty) col("du").cast("double") / lit(1e12) / lit(n.toDouble)
+        else col("du").cast("double") / lit(1e12) * tv
+      var rank = nodes.select(col("node"), col("has_out"), col("is_seed"),
+        initRank.as("rank")).localCheckpoint()
       for (_ <- 1 to iters) {
         val units = ed
           .join(rank.withColumnRenamed("node", "src"), "src")
@@ -102,15 +151,15 @@ object Graph {
         val joined = nodes.join(units, Seq("node"), "left")
         val next =
           if (!danglingRedistribute)
-            joined.select(col("node"), col("has_out"),
-              floor12(lit((1 - damping) / n) + lit(damping) *
+            joined.select(col("node"), col("has_out"), col("is_seed"),
+              floor12(teleTerm + lit(damping) *
                 (coalesce(col("u"), lit(0L)).cast("double") / lit(1e12))).as("rank"))
           else
             joined.crossJoin(dang)
-              .select(col("node"), col("has_out"),
-                floor12(lit((1 - damping) / n) + lit(damping) *
+              .select(col("node"), col("has_out"), col("is_seed"),
+                floor12(teleTerm + lit(damping) *
                   (coalesce(col("u"), lit(0L)).cast("double") / lit(1e12) +
-                    col("du").cast("double") / lit(1e12) / lit(n.toDouble)))
+                    dangTerm))
                   .as("rank"))
         rank = next.localCheckpoint()
       }

@@ -585,6 +585,26 @@ object RelationalQueries {
       .select(col("word"), col("rank"))
   }
 
+  /** PERSONALIZED PageRank ([[graft.operators.Graph.pageRankPersonalized]]
+    * — teleport mass on a 3-supplier seed set instead of uniform, so
+    * rank measures proximity TO THE SEEDS over the symmetric
+    * supplier↔part graph: the "related items from these anchors"
+    * serving query). Same exact integer-unit rounds; the teleport
+    * vector is itself 12-dp floored, and the oracle unrolls all three
+    * rounds with the per-node t(v) term. */
+  def qPageRankPersonalized(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "lineitem")
+      .select(col("l_suppkey").cast("long").as("s"),
+        (col("l_partkey").cast("long") + 1000000L).as("p"))
+      .distinct()
+    val edges = base.select(col("s").as("src"), col("p").as("dst"))
+      .union(base.select(col("p").as("src"), col("s").as("dst")))
+    val seeds = Seq(1L, 2L, 3L).toDF("node")
+    graft.operators.Graph.pageRankPersonalized(edges, seeds, iters = 3)
+      .orderBy(col("rank").desc, col("node")).limit(50)
+  }
+
   /** PageRank over a graph WITH sinks — the directed customer→order
     * bipartite graph, where every order node is dangling
     * ([[graft.operators.Graph.pageRank]] with `danglingRedistribute`:
@@ -615,6 +635,21 @@ object RelationalQueries {
        |               + CAST(0.85 AS DOUBLE) * (CAST(coalesce(u, 0) AS DOUBLE) / 1e12
        |                 + CAST(dd.du AS DOUBLE) / 1e12 / nn.n)) * 1e12) / 1e12 AS rank
        |      FROM nodes CROSS JOIN nn CROSS JOIN d$k dd
+       |           LEFT JOIN i$k ON nodes.node = i$k.node)""".stripMargin
+
+  /** The k-th PERSONALIZED PageRank iteration as oracle CTEs — the
+    * teleport term is the per-node 12-dp-floored t(v) from the `tvv`
+    * CTE, scaled by (1 − d), mirroring the engine's
+    * `lit(1 - damping) * tv`. */
+  private def pprIterSql(k: Int): String =
+    s"""i$k AS (SELECT e.dst AS node,
+       |        sum(CAST(floor(r.rank / d.deg * 1e12) AS BIGINT)) AS u
+       |      FROM e JOIN deg d ON e.src = d.src
+       |             JOIN r${k - 1} r ON e.src = r.node GROUP BY 1),
+       |r$k AS (SELECT nodes.node,
+       |        floor(((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * tvv.t
+       |               + CAST(0.85 AS DOUBLE) * (CAST(coalesce(u, 0) AS DOUBLE) / 1e12)) * 1e12) / 1e12 AS rank
+       |      FROM nodes JOIN tvv ON nodes.node = tvv.node
        |           LEFT JOIN i$k ON nodes.node = i$k.node)""".stripMargin
 
   /** The k-th PageRank iteration as oracle CTEs (`i{k}`, `r{k}` from
@@ -1006,6 +1041,24 @@ object RelationalQueries {
          |${prIterSql(1)},
          |${prIterSql(2)},
          |${prIterSql(3)}
+         |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 50""".stripMargin)),
+    QueryDef("q_pagerank_personalized", qPageRankPersonalized, Some(
+      s"""WITH e0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+         |              CAST(l_partkey AS BIGINT) + 1000000 AS p FROM lineitem),
+         |e AS (SELECT s AS src, p AS dst FROM e0
+         |      UNION ALL SELECT p AS src, s AS dst FROM e0),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |ns AS (SELECT count(*) AS ns FROM nodes WHERE node IN (1, 2, 3)),
+         |tvv AS (SELECT node,
+         |          CASE WHEN node IN (1, 2, 3)
+         |               THEN floor(CAST(1.0 AS DOUBLE) / ns.ns * 1e12) / 1e12
+         |               ELSE CAST(0.0 AS DOUBLE) END AS t
+         |        FROM nodes CROSS JOIN ns),
+         |r0 AS (SELECT node, t AS rank FROM tvv),
+         |${pprIterSql(1)},
+         |${pprIterSql(2)},
+         |${pprIterSql(3)}
          |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 50""".stripMargin)),
     QueryDef("q_textrank", qTextrank, Some(
       s"""WITH tok AS (SELECT string_split_regex(text, '\\s+') AS tk FROM documents),

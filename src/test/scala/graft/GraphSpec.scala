@@ -117,4 +117,43 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
     assert((4L until 8L).map(r).toSet.size == 1, s"symmetric sinks diverged: $r")
   }
+
+  test("personalized: rank concentrates around the seed, not by global degree") {
+    import spark.implicits._
+    // two symmetric 4-cliques bridged by one edge (4-5): globally the
+    // graph is near-regular (uniform PageRank spreads flat), but with
+    // the teleport pinned on node 0 its own clique must strictly
+    // out-rank the far clique, seed first
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    val edges = (clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(4L, 5L, 6L, 7L)) ++
+      Seq((3L, 4L), (4L, 3L))).toDF("src", "dst")
+    val r = Graph.pageRankPersonalized(edges, Seq(0L).toDF("node"), iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(0L) == r.values.max, s"the seed must hold the top rank: $r")
+    val near = Seq(1L, 2L, 3L).map(r).min
+    val far = Seq(5L, 6L, 7L).map(r).max
+    assert(near > far, s"seed clique must out-rank the far clique: $r")
+    // teleport mass only enters through seeds: nothing outranks them
+    // spuriously, and total mass stays <= 1 (floor loss only)
+    val total = r.values.sum
+    assert(total <= 1.0 && total > 1.0 - 8 * 3 * 1e-12,
+      s"personalized mass $total drifted past the floor-loss bound")
+  }
+
+  test("personalized with an all-node seed set reduces toward the uniform shape") {
+    import spark.implicits._
+    // on a regular ring they must agree EXACTLY: tv = floor12(1/n) on
+    // every node, the same value the uniform arm floors per round
+    val ring = (0L until 6L).map(i => (i, (i + 1) % 6)).toDF("src", "dst")
+    val uni = Graph.pageRank(ring, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val per = Graph.pageRankPersonalized(ring,
+        (0L until 6L).toDF("node"), iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(uni.keySet == per.keySet)
+    for ((k, v) <- uni)
+      assert(math.abs(per(k) - v) <= 2e-12,
+        s"all-seed personalization must match uniform at node $k: ${per(k)} vs $v")
+  }
 }

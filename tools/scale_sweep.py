@@ -66,6 +66,16 @@ EMB_QUERIES = {
     "q_bq_knn", "q_bq_refined", "q_maxsim", "q_ann_ivfpq_res",
     "q_vectordb_bq", "q_vectordb_bq_refined", "q_vectordb_bq_add",
     "q_vectordb_bq_persisted",
+    # rounds 11-12: OPQ serving, routed MaxSim, local cosine/dot arms,
+    # covariance/anisotropy censuses, embedding dedup/decontamination,
+    # negative mining — all embeddings-dominant (x4), keeping the
+    # stricter data ratio on them instead of the lenient doc x10
+    "q_ann_opq", "q_vectordb_opq", "q_vectordb_opq_add",
+    "q_vectordb_opq_persisted", "q_maxsim_routed", "q_maxsim_routed_selective",
+    "q_vectordb_local_cosine", "q_vectordb_local_dot",
+    "q_embed_cov", "q_embed_anisotropy",
+    "q_dedup_semantic", "q_decontaminate_semantic",
+    "q_negatives", "q_negatives_hard",
 }
 
 
