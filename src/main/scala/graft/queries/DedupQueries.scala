@@ -126,6 +126,50 @@ object DedupQueries {
     blockedPairs(e,
       graft.index.IvfIndex.train(e, embcosCells(e.count()), iters = 0), tau)
 
+  /** MULTI-PROBE cell-blocked pairs — the measured answer to the
+    * single-probe blocking's moderate-similarity recall (0.162 at
+    * cos ≥ 0.4, BASELINE.md): each vector joins its `probes` nearest
+    * cells instead of one, so a pair split by one cell boundary still
+    * collides in the runner-up cell. Candidate volume rises ≤
+    * probes²× (still O(n^1.5) at probes fixed); duplicate collisions
+    * dedup by key. The per-row top-`probes` runs as one in-plan
+    * expression over the centroid literal (sorted (d, ord) structs —
+    * the assignOne tie rule), so assignment stays a map-only pass,
+    * and the oracle replays it as `row_number ≤ probes`. */
+  private[graft] def blockedPairsMultiOf(e: DataFrame, tau: Double,
+      probes: Int = 2): DataFrame =
+    blockedPairsMulti(e,
+      graft.index.IvfIndex.train(e, embcosCells(e.count()), iters = 0), tau, probes)
+
+  private def blockedPairsMulti(e: DataFrame,
+      model: graft.index.IvfIndex.Model, tau: Double, probes: Int): DataFrame = {
+    val centLit = array(model.centroids.zipWithIndex.map { case (cv, ord) =>
+      struct(lit(ord).cast("int").as("ord"),
+        array(cv.map(x => lit(x)): _*).as("cv"))
+    }: _*)
+    // (distance, ord) per centroid; lexicographic array_sort IS the
+    // assignOne order (d asc, lowest ordinal on ties); fold order over
+    // dims matches the kernel's sequential accumulation
+    val scored = transform(centLit, c =>
+      struct(
+        aggregate(
+          zip_with(c.getField("cv"), col("embedding").cast("array<double>"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, x) => acc + x).as("d"),
+        c.getField("ord").as("ord")))
+    val cells = slice(array_sort(scored), 1, probes)
+    val binned = e.select(explode(cells).as("cs"), col("vec_id"), col("embedding"))
+      .select(col("cs.ord").as("cell"), col("vec_id"), col("embedding"))
+    val a = binned.select(col("cell"), col("vec_id").as("a"), col("embedding").as("va"))
+    val b = binned.select(col("cell"), col("vec_id").as("b"), col("embedding").as("vb"))
+    a.join(b, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", cosineNative(col("va"), col("vb")))
+      .filter(col("cos") >= tau)
+      .select(col("a"), col("b"), col("cos"))
+      .distinct()
+  }
+
   private def blockedPairs(e: DataFrame,
       model: graft.index.IvfIndex.Model, tau: Double): DataFrame = {
     val cell = graft.index.IvfIndex.assignExpr(col("embedding"), model)
@@ -140,6 +184,16 @@ object DedupQueries {
 
   def qDedupEmbcos(s: SparkSession, dir: String): DataFrame =
     embcosPairs(s, dir)
+      .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+      .orderBy("a", "b")
+
+  /** Multi-probe (2-cell) embedding near-dup pairs
+    * ([[blockedPairsMulti]]) — same router, same τ as
+    * [[qDedupEmbcos]], each vector joined through its TWO nearest
+    * cells: measured candidate recall at cos ≥ 0.4 rises 0.162 →
+    * 0.353 for ~2.2× emitted pairs (BASELINE.md). */
+  def qDedupEmbcosMp(s: SparkSession, dir: String): DataFrame =
+    blockedPairsMulti(emb(s, dir), embcosRouter(s, dir), tau = 0.4, probes = 2)
       .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
       .orderBy("a", "b")
 
@@ -241,7 +295,7 @@ object DedupQueries {
     * argmin cell assignment) — shared by the pair gate and the
     * SemDeDup end-to-end gate so ONE definition of the blocking
     * exists on the oracle side too. */
-  private val embcosCellSql: String =
+  private val embcosCoreSql: String =
     s"""kk AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS INT)) AS k FROM embeddings),
        |cent AS (SELECT ord, cv FROM (
        |           SELECT row_number() OVER (ORDER BY vec_id) AS ord,
@@ -249,7 +303,10 @@ object DedupQueries {
        |           FROM embeddings)
        |         WHERE ord <= (SELECT k FROM kk)),
        |cd AS (SELECT e.vec_id, c.ord, ${VectorQueries.l2Sql("c.cv", "e.embedding")} AS d
-       |       FROM embeddings e CROSS JOIN cent c),
+       |       FROM embeddings e CROSS JOIN cent c)""".stripMargin
+
+  private val embcosCellSql: String =
+    s"""$embcosCoreSql,
        |cell AS (SELECT vec_id, ord AS cell FROM (
        |           SELECT vec_id, ord,
        |                  row_number() OVER (PARTITION BY vec_id ORDER BY d, ord) AS rn
@@ -529,6 +586,20 @@ object DedupQueries {
     QueryDef("q_dedup_embcos", qDedupEmbcos, Some(
       s"""WITH $embcosCellSql
          |SELECT a.vec_id AS a, b.vec_id AS b,
+         |  round(${VectorQueries.cosSql("a.embedding", "b.embedding")}, 4) AS cos
+         |FROM cell ca JOIN cell cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+         |JOIN embeddings a ON a.vec_id = ca.vec_id
+         |JOIN embeddings b ON b.vec_id = cb.vec_id
+         |WHERE ${VectorQueries.cosSql("a.embedding", "b.embedding")} >= 0.4
+         |ORDER BY a, b""".stripMargin)),
+    QueryDef("q_dedup_embcos_mp", qDedupEmbcosMp, Some(
+      s"""WITH $embcosCoreSql,
+         |cell AS (SELECT vec_id, ord AS cell FROM (
+         |           SELECT vec_id, ord,
+         |                  row_number() OVER (PARTITION BY vec_id ORDER BY d, ord) AS rn
+         |           FROM cd)
+         |         WHERE rn <= 2)
+         |SELECT DISTINCT a.vec_id AS a, b.vec_id AS b,
          |  round(${VectorQueries.cosSql("a.embedding", "b.embedding")}, 4) AS cos
          |FROM cell ca JOIN cell cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
          |JOIN embeddings a ON a.vec_id = ca.vec_id
