@@ -82,7 +82,18 @@ final class HnswGraph(params: HnswParams, vectors: IndexedSeq[Array[Float]], lev
 
   def hasLayer(node: Int, layer: Int): Boolean = layer < adjacency(node).length
 
-  private def dist(q: Array[Float], node: Int): Double = Hnsw.l2Sq(q, vectors(node))
+  /** Distance evaluations since [[resetDistEvals]] — a diagnostics
+    * counter (one long increment beside a d-element float loop; used
+    * by [[IvfIndex.GraphRouter]] to MEASURE routing sublinearity
+    * instead of asserting it in prose). */
+  private var evals: Long = 0L
+  def distEvals: Long = evals
+  def resetDistEvals(): Unit = evals = 0L
+
+  private def dist(q: Array[Float], node: Int): Double = {
+    evals += 1
+    Hnsw.l2Sq(q, vectors(node))
+  }
 
   /** Best-first beam search within one layer. Returns up to `ef`
     * (node, dist) pairs ascending by distance.

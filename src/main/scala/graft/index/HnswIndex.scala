@@ -152,10 +152,12 @@ object HnswIndex {
       router: Option[IvfIndex.Model] = None,
       nprobe: Int = 3,
       adaptiveAlpha: Option[Double] = None,
-      candidateFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      candidateFilter: Option[org.apache.spark.sql.Column] = None,
+      routerGraph: Option[IvfIndex.GraphRouter] = None,
+      routerEf: Int = -1): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
-    require(adaptiveAlpha.isEmpty || router.isDefined,
+    require(adaptiveAlpha.isEmpty || router.isDefined || routerGraph.isDefined,
       "adaptiveAlpha only applies to routed search — pass a router")
     val ef = if (efSearch > 0) efSearch else math.max(params.efConstruction, k)
     val qRows = queries
@@ -166,8 +168,20 @@ object HnswIndex {
     // search cost scales with nprobe/L of the index instead of all of
     // it (and with partition pruning on the part column, so do the
     // parquet reads when the index is cell-partitioned on disk).
-    val targeted: Map[Int, Array[(Long, Array[Float])]] = router match {
-      case Some(model) =>
+    // `routerGraph` replaces the flat O(L·d)-per-query centroid scan
+    // with the sublinear centroid-graph walk (IvfIndex.GraphRouter) —
+    // the probe CHOICE changes mechanism, everything downstream is
+    // identical; when both are passed, the graph wins.
+    val targeted: Map[Int, Array[(Long, Array[Float])]] = (routerGraph, router) match {
+      case (Some(g), _) =>
+        qRows.flatMap { case (qid, qv) =>
+          val cells = adaptiveAlpha match {
+            case Some(a) => g.probeAdaptive(qv, a, nprobe, routerEf)
+            case None    => g.probe(qv, nprobe, routerEf)
+          }
+          cells.map(cell => (cell, (qid, qv)))
+        }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+      case (None, Some(model)) =>
         qRows.flatMap { case (qid, qv) =>
           val cells = adaptiveAlpha match {
             case Some(a) => model.probeAdaptive(qv, a, nprobe)
@@ -175,9 +189,9 @@ object HnswIndex {
           }
           cells.map(cell => (cell, (qid, qv)))
         }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
-      case None => Map.empty
+      case (None, None) => Map.empty
     }
-    val routed = router.isDefined
+    val routed = router.isDefined || routerGraph.isDefined
     val qBc = spark.sparkContext.broadcast(qRows)
     val tBc = spark.sparkContext.broadcast(targeted)
 

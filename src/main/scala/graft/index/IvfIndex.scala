@@ -82,6 +82,78 @@ object IvfIndex {
     }
   }
 
+  /** Sublinear query routing over the centroid table itself — the
+    * second routing level a 100 TB index needs. Flat routing
+    * ([[Model.probeOrder]]) scans every centroid per query: at ~1 M
+    * vectors per cell, a 100 TB/512-dim corpus carries ~50 k-500 k
+    * cells, so O(L·d) per query becomes the serving bottleneck long
+    * before the cell scans do (the standard coarse-quantizer scaling
+    * wall — FAISS meets it with an HNSW coarse quantizer, the
+    * IVF_HNSW layout). This router walks an HNSW graph built OVER THE
+    * CENTROIDS instead: O(ef·log L) distance evaluations per query.
+    *
+    * Scale + determinism shape: the graph is built once, driver-side,
+    * from the O(L·d) model artifact (the same bounded object that
+    * already broadcasts — nothing corpus-sized is touched) with the
+    * deterministic [[Hnsw.levelFor]] ordinal levels, so the build is
+    * bit-reproducible. The walk navigates in float (the graph storage
+    * dtype); the ≤ ef surfaced candidates then RE-RANK in the
+    * router's own double space with the cell-id tiebreak — so at
+    * exhaustive ef (≥ L, connected layer 0) the probe set is
+    * bit-identical to [[Model.probeOrder]], which is what anchors the
+    * oracle gate; at production ef the probe set is approximate and
+    * its recall is pinned by a measured RecallSpec floor, the
+    * q_maxsim_routed convention. [[probeAdaptive]]'s
+    * diminishing-returns cutoff applies unchanged over the re-ranked
+    * candidates (identical math at exhaustive ef). */
+  final class GraphRouter(val model: Model,
+      params: HnswParams = HnswParams(m = 8, efConstruction = 32)) {
+    private val graph = HnswGraph.build(
+      params,
+      model.centroids.map(cv => cv.map(_.toFloat)).toIndexedSeq,
+      ord => Hnsw.levelFor(ord.toLong, params.mL))
+
+    /** Graph-walk distance evaluations during the last [[probeWithDist]]
+      * call — the measured sublinearity evidence (flat routing always
+      * evaluates exactly L). */
+    @volatile var lastEvals: Long = 0L
+
+    /** Up to `nprobe` nearest cells: float graph walk at beam `ef`
+      * (default max(efConstruction, nprobe)), then double re-rank of
+      * the ≤ ef candidates. */
+    def probe(q: Array[Float], nprobe: Int, ef: Int = -1): Array[Int] =
+      probeWithDist(q, nprobe, ef).map(_._2)
+
+    /** The adaptive arm over graph candidates: same cutoff rule as
+      * [[Model.probeAdaptive]] (closest-first until distance exceeds
+      * alpha × the nearest), applied to the re-ranked candidate list. */
+    def probeAdaptive(q: Array[Float], alpha: Double, maxProbes: Int,
+        ef: Int = -1): Array[Int] = {
+      require(alpha >= 1.0 && maxProbes >= 1, "alpha >= 1 and maxProbes >= 1")
+      val ordered = probeWithDist(q, maxProbes, ef)
+      val cutoff = ordered.head._1 * alpha
+      ordered.takeWhile(_._1 <= cutoff).map(_._2)
+    }
+
+    private def probeWithDist(q: Array[Float], nprobe: Int, ef: Int): Array[(Double, Int)] = {
+      require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+      val beam = if (ef > 0) ef else math.max(32, nprobe)
+      graph.resetDistEvals()
+      // k = beam: surface the WHOLE beam, not just nprobe — the double
+      // re-rank below needs every candidate the walk found
+      val cand = graph.searchEf(q, beam, beam)
+      lastEvals = graph.distEvals
+      val reranked = cand.map { case (ord, _) =>
+        val cv = model.centroids(ord)
+        var d = 0.0
+        var i = 0
+        while (i < cv.length) { val t = cv(i) - q(i); d += t * t; i += 1 }
+        (d, model.cellId(ord))
+      }.sorted
+      reranked.take(nprobe).toArray
+    }
+  }
+
   /** Exact-decimal per-cell mean of the assigned vectors (the same
     * deterministic-centroid construction the q_ann_ivf oracle uses). */
   private def cellMeans(assigned: DataFrame, vecCol: String): Map[Int, Array[Double]] =

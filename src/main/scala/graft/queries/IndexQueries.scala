@@ -406,6 +406,49 @@ object IndexQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** The centroid-graph router over the label cells, built once per
+    * session + fixture from the O(L·d) flat-router artifact (zero
+    * extra jobs — the graph build is driver-side over the model the
+    * flat router already holds). */
+  private val graphRouterMemo = new SessionMemo[graft.index.IvfIndex.GraphRouter]
+  private def labelGraphRouter(s: SparkSession, dir: String) =
+    graphRouterMemo.get(s, dir)(
+      new graft.index.IvfIndex.GraphRouter(labelRouter(s, dir)))
+
+  /** Routed search with the probe CHOICE made by the centroid-graph
+    * walk ([[graft.index.IvfIndex.GraphRouter]] — HNSW over the
+    * centroid table) instead of the flat O(L·d)-per-query centroid
+    * scan: the second routing level a 100 TB index needs, where the
+    * cell count itself (~50 k-500 k at ~1 M vectors/cell) makes flat
+    * routing the serving bottleneck (FAISS's IVF_HNSW coarse-quantizer
+    * shape). Everything downstream of the probe choice — cell
+    * pruning, per-cell beam, bounded-heap merge — is byte-identical
+    * to q_ann_routed.
+    *
+    * Gate anchor: at `routerEf ≥ L` the walk surfaces every centroid
+    * and the double re-rank is bit-identical to the flat router's
+    * probe order, so the oracle is EXACTLY the q_ann_routed replay
+    * (decimal-exact centroids, probe-3 choice in SQL) on fresh query
+    * ids. The production-ef behavior (approximate probe choice) is
+    * pinned separately: RecallSpec floors probe-set recall at
+    * ef ≪ L on a many-cell fixture, with measured distance-eval
+    * counts (sublinearity) recorded in BASELINE.md. */
+  def qAnnBigroute(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val idx = labelIndex(s, dir)
+    val router = labelRouter(s, dir)
+    val queries = e.filter(col("vec_id") >= 110 && col("vec_id") < 114)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    HnswIndex.search(idx, queries, k = 5, P,
+        efSearch = exhaustiveEf(s, dir, "label")(idx),
+        router = Some(router), nprobe = 3,
+        routerGraph = Some(labelGraphRouter(s, dir)),
+        routerEf = math.max(64, router.k))
+      .select(col("qid"), col("rank").as("rnk"), col("vector_id").as("vec_id"),
+        round(col("dist"), 3).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
   /** The full serving lifecycle under the gate: build → save
     * (cell-partitioned parquet) → load → routed search. Identical
     * semantics to qAnnRouted, but the scan side is the PERSISTED
@@ -2456,6 +2499,8 @@ object IndexQueries {
       Some(routedOracleSql("vec_id < 4", probesFixedSql))),
     QueryDef("q_ann_adaptive", qAnnAdaptive,
       Some(routedOracleSql("vec_id < 4", probesAdaptiveSql))),
+    QueryDef("q_ann_bigroute", qAnnBigroute,
+      Some(routedOracleSql("vec_id >= 110 AND vec_id < 114", probesFixedSql))),
     QueryDef("q_ann_persisted", qAnnPersisted,
       Some(routedOracleSql("vec_id >= 4 AND vec_id < 8", probesFixedSql))),
     QueryDef("q_ann_compacted", qAnnCompacted,
