@@ -67,6 +67,70 @@ object Graph {
       danglingRedistribute: Boolean = false): DataFrame =
     pageRank(edges, iters, damping, danglingRedistribute, Some(teleport))
 
+  /** Fixed-round k-core peeling (Seidman '83 degeneracy cores; the
+    * Batagelj-Zaveršnik iterative formulation): repeatedly delete
+    * every node of degree < k — what survives to fixpoint is the
+    * k-core, the standard graph-cleanup pass a link/near-dup graph
+    * gets before centrality or community work (peels crawl-frontier
+    * tendrils and one-off dup pairs; keeps the densely-connected
+    * heart).
+    *
+    * `pairs` is an undirected pair list (a, b); edges symmetrize and
+    * dedup internally. Exactly `rounds` peel rounds run (the
+    * PageRank fixed-iteration convention — data-dependent round
+    * counts are ungateable), then the final edge set's degree census
+    * is returned as `(node, deg)`: at fixpoint this IS the k-core
+    * with in-core degrees; before fixpoint it is the round-`rounds`
+    * peel state, bit-reproducible either way. GraphSpec pins
+    * fixpoint-vs-naive equality; rounds ≥ the fixture's peel depth
+    * makes the gate the true core.
+    *
+    * Scale shape: per round ONE map-side-combined degree census
+    * (shuffle O(N)) and ONE semi-join of the edge list against the
+    * surviving nodes on each endpoint (equi-joins; the edge list only
+    * ever shrinks). All-integer arithmetic — degree thresholds replay
+    * exactly in SQL as unrolled round CTEs. `localCheckpoint` per
+    * round keeps the plan flat (the [[pageRank]] lesson). */
+  def kCorePeel(pairs: DataFrame, k: Int, rounds: Int,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // normalize to u < v before the dedup so a pair supplied in both
+    // directions cannot double an edge's degree contribution
+    val base = pairs
+      .select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")) // self-loops never contribute core degree
+      .distinct()
+    var e = base.select(col("u"), col("v"))
+      .union(base.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    // early exit at fixpoint: an unchanged edge count means no node
+    // peeled, and peel rounds are IDEMPOTENT at fixpoint — so stopping
+    // early yields exactly the `rounds`-round answer while an oracle
+    // that unrolls all `rounds` rounds replays no-ops. A long cascade
+    // (one node per round) still terminates within `rounds`.
+    var edgeCount = e.count()
+    var r = 0
+    var fixed = false
+    while (r < rounds && !fixed) {
+      val keep = e.groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("u").as("kept"))
+      e = e
+        .join(keep.withColumnRenamed("kept", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("kept", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      val n2 = e.count()
+      fixed = n2 == edgeCount
+      edgeCount = n2
+      r += 1
+    }
+    e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
   def pageRank(edges: DataFrame, iters: Int = 3,
       damping: Double = 0.85,
       danglingRedistribute: Boolean = false,

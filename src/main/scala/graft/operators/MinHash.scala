@@ -51,6 +51,16 @@ object MinHash {
     * population, one native pass. */
   def simHash(hs: Column): Column = toCol(SimHash64(toExpr(hs)))
 
+  /** The `[sim_hi, sim_lo]` fingerprint as ONE inline column over the
+    * text — the schema-preserving (streaming-safe) twin of
+    * [[simHashTable]]: shingle → hash → SimHash in a single map-only
+    * expression chain, no intermediate frame, so it rides a
+    * `readStream` transform unchanged. Caller must screen
+    * empty-shingle texts (`size(Dedup.shingles(text, n)) > 0`) to
+    * mirror the table form's filter. */
+  def simHashCols(text: Column, n: Int = 3): Column =
+    simHash(transform(Dedup.shingles(text, n), s => polyHash(s)))
+
   /** Docs -> (id, sh, n_sh, hs): distinct shingles and their hashes. */
   private def shingled(docs: DataFrame, n: Int, idCol: String, textCol: String): DataFrame =
     docs

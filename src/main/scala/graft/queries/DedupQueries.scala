@@ -317,7 +317,7 @@ object DedupQueries {
     """list_distinct(list_transform(range(1, len(string_split_regex(text,'\s+')) - 1),
       | i -> string_split_regex(text,'\s+')[i] || '_' || string_split_regex(text,'\s+')[i+1]
       |      || '_' || string_split_regex(text,'\s+')[i+2]))""".stripMargin.replaceAll("\\s+", " ")
-  private val hsSql =
+  private[queries] val hsSql =
     """list_transform(sh, s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
       | list_transform(string_split(s,''), c -> CAST(ord(c) AS BIGINT))),
       | (h,c) -> (h*31+c) % 1000000007))""".stripMargin.replaceAll("\\s+", " ")
@@ -331,8 +331,8 @@ object DedupQueries {
        |   CASE WHEN (($remix) >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
        | THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)""".stripMargin
       .replaceAll("\\s+", " ")
-  private val simLoSql = simWordSql("(h * 2654435761) % 4294967296")
-  private val simHiSql = simWordSql("(h * 2246822519 + 12345) % 4294967296")
+  private[queries] val simLoSql = simWordSql("(h * 2654435761) % 4294967296")
+  private[queries] val simHiSql = simWordSql("(h * 2246822519 + 12345) % 4294967296")
 
   /** Segment-level exact dedup over 8-token segments: per-document
     * census plus the md5 of the cleaned text (duplicate passages

@@ -296,6 +296,32 @@ object PipelineQueries {
     s.table(name).select(col("content_hash")).orderBy("content_hash")
   }
 
+  /** TRUE streaming NEAR-dup screen in the gate: readStream over the
+    * documents parquet, watermark-bounded dedup on the 64-bit SimHash
+    * fingerprint ([[EventStreams.dedupByFingerprint]] — the in-flight
+    * admission screen that catches trivially-perturbed re-crawls
+    * byte-exact dedup passes). Output is the sorted distinct
+    * fingerprint set — survivor-independent, so the oracle (DISTINCT
+    * over the replayed SimHash) is deterministic whatever arrival
+    * order the source produces; the 1000-day watermark covers any
+    * fixture span (the q_stream_dedup batch-structure-independence
+    * argument). Bounded-state expiry is StreamingSpec's job. */
+  def qStreamNearDedup(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros((col("doc_id") + 1700000000L) * 1000000L))
+    val name = "graft_stream_neardedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStreamPartitions(s, 4) {
+      val q = EventStreams.startToMemory(
+        EventStreams.dedupByFingerprint(stream, watermark = "1000 days"), name)
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name).select(col("sim_hi"), col("sim_lo")).distinct()
+      .orderBy("sim_hi", "sim_lo")
+  }
+
   /** TRUE streaming session windows in the gate: readStream over the
     * events parquet, 30-min-gap `session_window` aggregation
     * (EventStreams.sessionWindows — the same transform StreamingSpec
@@ -586,6 +612,11 @@ object PipelineQueries {
     QueryDef("q_stream_state", qStreamState, Some(
       """SELECT user_id, count(*) AS n_events, max(value) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+    QueryDef("q_stream_neardedup", qStreamNearDedup, Some(
+      s"""WITH t AS (SELECT doc_id, ${DedupQueries.shSql} AS sh FROM documents),
+         |hs AS (SELECT doc_id, ${DedupQueries.hsSql} AS hs FROM t WHERE len(sh) > 0),
+         |sim AS (SELECT ${DedupQueries.simHiSql} AS sim_hi, ${DedupQueries.simLoSql} AS sim_lo FROM hs)
+         |SELECT DISTINCT sim_hi, sim_lo FROM sim ORDER BY sim_hi, sim_lo""".stripMargin)),
     QueryDef("q_stream_dedup", qStreamDedup, Some(
       """SELECT DISTINCT md5(text) AS content_hash FROM documents
         |ORDER BY content_hash""".stripMargin)),

@@ -131,6 +131,42 @@ object RelationalQueries {
         sum(col("k")).as("sum_k"))
       .orderBy("hour", "event_type")
 
+  /** Exponentially time-decayed event census per type (Cormode et al.
+    * time-decayed streams — the freshness-weighted popularity a
+    * mixing/trending pipeline uses where a plain count forgets
+    * nothing): each event weighs 2^-age_days against the corpus max
+    * timestamp (one-day half-life).
+    *
+    * Exactness convention: the weights are EXACT powers of two, so
+    * each term enters the sum as the integer `2^(30 − age_days)` in
+    * 2^-30 units — the sum is pure integer arithmetic (no float
+    * accumulation at all), events older than 30 days contribute 0
+    * (below one part in 2^30 — the documented truncation), and the
+    * final division by 2^30 is an exact binary scale. The per-type
+    * unit sums stay < 2^53 at any fixture SF (600 k × 2^30 ≈ 2^49.2),
+    * so even the double rendering is bit-exact in both engines.
+    *
+    * Scale shape: ONE max-timestamp aggregate (1-row crossJoin back —
+    * never collected) + ONE map-side-combined hash aggregate per
+    * type. At 100 TB this is the cheapest possible shape: two narrow
+    * scans' worth of work in one pass each, shuffle O(#types). */
+  def qDecayCounts(s: SparkSession, dir: String): DataFrame = {
+    val ev = EventsFixture.events(s, dir)
+      .select(col("event_type"), unix_timestamp(col("ts")).as("sec"))
+    val ref = ev.agg(max(col("sec")).as("ref"))
+    ev.crossJoin(ref)
+      .withColumn("age", expr("(ref - sec) div 86400"))
+      .withColumn("w_units",
+        when(col("age") <= 30L,
+          expr("shiftleft(1L, cast(30 - age as int))")).otherwise(0L))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("w_units")).as("decay_units"),
+        (sum(col("w_units")).cast("double") / lit(1073741824.0d)).as("decayed"))
+      .orderBy("event_type")
+  }
+
   /** Gap-based sessionization (30-min inactivity): the batch rendering
     * of the streaming session-window operator. */
   /** SCD type-2 history: per-user validity intervals of the event_type
@@ -620,6 +656,34 @@ object RelationalQueries {
       .orderBy(col("rank").desc, col("node")).limit(50)
   }
 
+  /** k-core peeling over the supplier↔part bipartite graph
+    * ([[graft.operators.Graph.kCorePeel]] — Seidman degeneracy cores,
+    * the graph-cleanup pass before centrality/community work): 3
+    * fixed peel rounds at k = 25 (≥ the measured fixpoint depth on
+    * every fixture SF, so the gate IS the true 25-core), output =
+    * survivors with their in-core degree. At sf0.001 every part has
+    * degree ≤ 10, so the whole graph peels — the all-peeled edge
+    * case rides the gate there; the nontrivial cores (1370/2100
+    * nodes at sf0.01) gate the other two SFs. All-integer
+    * arithmetic; the oracle unrolls the rounds from one shared CTE
+    * definition. */
+  def qKcore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "lineitem")
+      .select(col("l_suppkey").cast("long").as("a"),
+        (col("l_partkey").cast("long") + 1000000L).as("b"))
+      .distinct()
+    graft.operators.Graph.kCorePeel(pairs, k = 25, rounds = 3)
+      .orderBy("node")
+  }
+
+  /** The r-th k-core peel round as oracle CTEs: degree census over
+    * the surviving edges, keep set, filtered edge list. */
+  private def kcoreRoundSql(r: Int, k: Int): String =
+    s"""d$r AS (SELECT u, count(*) AS deg FROM e${r - 1} GROUP BY u),
+       |k$r AS (SELECT u FROM d$r WHERE deg >= $k),
+       |e$r AS (SELECT e.u, e.v FROM e${r - 1} e
+       |        JOIN k$r a ON e.u = a.u JOIN k$r b ON e.v = b.u)""".stripMargin
+
   /** The k-th dangling-aware PageRank iteration as oracle CTEs
     * (`d{k}` sink census, `i{k}` contributions, `r{k}`). */
   private def prIterDangSql(k: Int): String =
@@ -1093,6 +1157,14 @@ object RelationalQueries {
          |${prIterDangSql(2)},
          |${prIterDangSql(3)}
          |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 50""".stripMargin)),
+    QueryDef("q_kcore", qKcore, Some(
+      s"""WITH base AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS u,
+         |                CAST(l_partkey AS BIGINT) + 1000000 AS v FROM lineitem),
+         |e0 AS (SELECT u, v FROM base UNION ALL SELECT v, u FROM base),
+         |${kcoreRoundSql(1, 25)},
+         |${kcoreRoundSql(2, 25)},
+         |${kcoreRoundSql(3, 25)}
+         |SELECT u AS node, count(*) AS deg FROM e3 GROUP BY u ORDER BY node""".stripMargin)),
     QueryDef("q_kmv_grouped", qKmvGrouped, Some(
       """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents
         |              WHERE len(string_split(text, ' ')) >= 3),
@@ -1215,6 +1287,18 @@ object RelationalQueries {
     QueryDef("q_topn_price", qTopnPrice, Some(
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin)),
+    QueryDef("q_decay_counts", qDecayCounts, Some(
+      """WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |ref AS (SELECT max(sec) AS ref FROM ev),
+        |w AS (SELECT event_type,
+        |        CASE WHEN (ref - sec) // 86400 <= 30
+        |             THEN (CAST(1 AS BIGINT) << CAST(30 - (ref - sec) // 86400 AS INT))
+        |             ELSE CAST(0 AS BIGINT) END AS w_units
+        |      FROM ev, ref)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(w_units) AS BIGINT) AS decay_units,
+        |  CAST(sum(w_units) AS DOUBLE) / 1073741824.0 AS decayed
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin)),
     QueryDef("q_events_hourly", qEventsHourly, Some(
       """SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour, event_type,
         |  count(*) AS n,

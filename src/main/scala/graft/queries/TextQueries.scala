@@ -397,6 +397,54 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Cross-source duplication matrix — the crawl-overlap diagnosis
+    * between detection and policy: every near-dup pair (the
+    * q_dedup_minhash-contract detector) labeled with both members'
+    * sources and censused per unordered source pair. "Which sources
+    * duplicate which" decides whose crawl gets deduped against whose
+    * (24/25 pairs are cross-source at sf0.01 — exactly the overlap a
+    * per-source dedup would MISS). Pair set bounded by the dedup
+    * contract, so the two source joins and the census are pair-sized;
+    * the documents side joins by key, never scans per pair. */
+  def qDupMatrix(s: SparkSession, dir: String): DataFrame = {
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    nearDupPairs(s, dir)
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Per-cluster metadata consensus — weak-label cleanup over the
+    * near-dup graph (the label-spreading step of a curation pipeline:
+    * near-identical texts carrying different `lang` tags are tag
+    * NOISE, and the cluster majority is the repair): every doc joins
+    * its near-dup component (singletons stand alone), each component
+    * elects its majority lang with the deterministic (count DESC,
+    * lang ASC) tiebreak in ONE struct-min hash aggregate (the
+    * canonicalByQuality pattern — integer negation, no window sort,
+    * no −0.0 hazard), and members report whether they were outvoted.
+    * 19/25 near-dup pairs at sf0.01 are lang-mixed, so the gate
+    * exercises real disagreement. */
+  def qLangConsensus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"))
+    val cc = nearDupCc(s, dir).withColumnRenamed("id", "doc_id")
+    val members = d.join(cc, Seq("doc_id"), "left")
+      .select(coalesce(col("comp"), col("doc_id")).as("comp"),
+        col("doc_id"), col("lang"))
+    val winner = members.groupBy("comp", "lang").agg(count(lit(1)).as("cnt"))
+      .groupBy("comp")
+      .agg(min(struct((-col("cnt")).as("nc"), col("lang").as("lang"))).as("w"))
+      .select(col("comp"), col("w.lang").as("consensus_lang"))
+    members.join(winner, "comp")
+      .select(col("doc_id"), col("comp").as("component"), col("lang"),
+        col("consensus_lang"),
+        (col("lang") =!= col("consensus_lang")).as("outvoted"))
+      .orderBy("doc_id")
+  }
+
   /** The dedup pipeline's end product: the corpus with every near-dup
     * cluster collapsed to its minimum-id survivor (detect pairs →
     * cluster → anti-join the non-survivors). */
@@ -900,6 +948,38 @@ object TextQueries {
          |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component)
          |ORDER BY d.doc_id""".stripMargin)),
+    QueryDef("q_dup_matrix", qDupMatrix, Some(
+      s"""WITH t AS (SELECT doc_id, $shSql AS sh FROM documents),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |            / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.8)
+         |SELECT least(da.source, db.source) AS src_a,
+         |       greatest(da.source, db.source) AS src_b,
+         |       count(*) AS n_pairs
+         |FROM p JOIN documents da ON p.a = da.doc_id
+         |       JOIN documents db ON p.b = db.doc_id
+         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin)),
+    QueryDef("q_lang_consensus", qLangConsensus, Some(
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $shSql AS sh FROM documents),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |            / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.8),
+         |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+         |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         |                UNION
+         |                SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+         |m AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS comp, d.lang
+         |      FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |cnts AS (SELECT comp, lang, count(*) AS cnt FROM m GROUP BY comp, lang),
+         |w AS (SELECT comp, lang AS consensus_lang FROM
+         |        (SELECT comp, lang, row_number() OVER (PARTITION BY comp ORDER BY cnt DESC, lang) AS rn
+         |         FROM cnts) WHERE rn = 1)
+         |SELECT m.doc_id, m.comp AS component, m.lang, w.consensus_lang,
+         |       m.lang <> w.consensus_lang AS outvoted
+         |FROM m JOIN w USING (comp) ORDER BY m.doc_id""".stripMargin)),
     QueryDef("q_dedup_cluster", qDedupCluster, Some(
       s"""WITH RECURSIVE t AS (SELECT doc_id, $shSql AS sh FROM documents),
          |p AS (SELECT a.doc_id AS a, b.doc_id AS b

@@ -277,6 +277,39 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming NEAR-dup novelty screen: watermark-bounded
+    * deduplication on the 64-bit SimHash fingerprint instead of the
+    * content hash — drops, in flight, the re-crawls whose perturbation
+    * is invisible to the \s+ shingle tokenizer (whitespace churn,
+    * trailing junk — fingerprint IDENTICAL) plus any text close enough
+    * to collide on all 64 majority votes, both of which byte-exact
+    * [[dedupByContent]] passes through. SimHash collisions conflate
+    * only near-identical texts by construction (Manku et al. WWW'07).
+    * Honesty note (measured in the spec): a one-TOKEN edit on a
+    * ~200-shingle doc flips a few fingerprint bits, so equality-keyed
+    * streaming dedup does NOT catch it — hamming-tolerant matching
+    * needs the banded structure, which is the in-corpus
+    * q_dedup_simhash_pairs arm; this screen is the cheap in-flight
+    * admission filter in front of it.
+    *
+    * State shape: one row per distinct fingerprint inside the
+    * watermark horizon — O(distinct-fingerprints/horizon), the same
+    * bounded-state contract as dedupByContent; the fingerprint itself
+    * is the [[graft.operators.MinHash.simHashCols]] map-only
+    * expression chain, so the only stateful operator is the dedup. */
+  def dedupByFingerprint(
+      docs: DataFrame,
+      tsCol: String = "ts",
+      textCol: String = "text",
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .filter(size(graft.operators.Dedup.shingles(col(textCol), 3)) > 0)
+      .withColumn("__sim", graft.operators.MinHash.simHashCols(col(textCol)))
+      .select(col("*"), col("__sim")(0).as("sim_hi"), col("__sim")(1).as("sim_lo"))
+      .drop("__sim")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("sim_hi", "sim_lo")
+
   /** Stream-stream inner join: each left event pairs with the right
     * events of the same key whose time falls in [l.ts, l.ts + horizon]
     * — attribution-style correlation (click → purchase within 30 min).

@@ -156,4 +156,81 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(per(k) - v) <= 2e-12,
         s"all-seed personalization must match uniform at node $k: ${per(k)} vs $v")
   }
+
+  // ---- k-core peeling ----
+
+  private def core(pairs: Seq[(Long, Long)], k: Int, rounds: Int = 5): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.kCorePeel(pairs.toDF("a", "b"), k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Naive reference: peel to fixpoint on an in-memory adjacency map. */
+  private def naiveCore(pairs: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    import scala.collection.mutable
+    val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+    pairs.filter(p => p._1 != p._2).foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, mutable.Set.empty) += a
+    }
+    var changed = true
+    while (changed) {
+      val weak = adj.collect { case (u, ns) if ns.size < k => u }.toSeq
+      changed = weak.nonEmpty
+      weak.foreach { u =>
+        adj(u).foreach(v => adj.get(v).foreach(_ -= u))
+        adj -= u
+      }
+    }
+    adj.map { case (u, ns) => u -> ns.size.toLong }.toMap
+  }
+
+  test("k-core: a triangle with a tail keeps the triangle, peels the tail") {
+    // 1-2-3 triangle, tail 3-4-5
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val r = core(g, k = 2)
+    assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"2-core wrong: $r")
+  }
+
+  test("k-core: a path peels to empty through the cascade") {
+    // a-b-c-d at k=2: endpoints peel, then everything
+    val r = core(Seq((1L, 2L), (2L, 3L), (3L, 4L)), k = 2)
+    assert(r.isEmpty, s"path 2-core must be empty: $r")
+  }
+
+  test("k-core: k above the max degree empties the graph") {
+    val r = core(Seq((1L, 2L), (2L, 3L), (1L, 3L)), k = 3)
+    assert(r.isEmpty, s"3-core of a triangle must be empty: $r")
+  }
+
+  test("k-core: duplicate / reversed / self-loop edges do not inflate degrees") {
+    val g = Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 1L), (2L, 3L), (1L, 3L))
+    val r = core(g, k = 2)
+    assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"normalized 2-core wrong: $r")
+  }
+
+  test("k-core: enough rounds reach the naive fixpoint on a seeded random graph") {
+    val rnd = new scala.util.Random(19)
+    val n = 60
+    val pairs = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    // rounds > |V|: a cascade can peel one node per round, so the
+    // fixpoint bound is the node count; the operator's early exit
+    // stops as soon as an edge census repeats, so the extra headroom
+    // costs nothing once converged
+    for (k <- Seq(2, 4, 6)) {
+      val dist = core(pairs, k, rounds = 64)
+      val naive = naiveCore(pairs, k)
+      assert(dist == naive, s"k=$k core diverged from the naive peel: " +
+        s"dist=${dist.toSeq.sorted} naive=${naive.toSeq.sorted}")
+    }
+  }
+
+  test("k-core: a stopped-early peel is a superset of the fixpoint core") {
+    val rnd = new scala.util.Random(23)
+    val pairs = Seq.fill(160)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val early = core(pairs, k = 4, rounds = 1).keySet
+    val fix = core(pairs, k = 4, rounds = 12).keySet
+    assert(fix.subsetOf(early),
+      s"round-1 peel must contain the fixpoint core: early=$early fix=$fix")
+  }
 }

@@ -318,6 +318,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming near-dup screen: perturbed re-crawl drops, distinct text passes, expired state re-admits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a long non-repeating token stream and a ONE-token perturbation of
+    // it: the SimHash majority vote absorbs the 3 changed shingles, so
+    // the fingerprints collide — the near-dup case byte-exact dedup
+    // misses. The collision is asserted as a precondition so the test
+    // can never silently gate the exact-dup path instead.
+    val base = (0 until 100).map(i => s"tok$i").mkString(" ")
+    val distinct_ = (0 until 100).map(i => s"other$i").mkString(" ")
+    // whitespace churn: doubled/newline-swapped interior separators —
+    // the classic re-crawl noise. The \s+ tokenizer collapses interior
+    // runs (Spark's split keeps a TRAILING empty token, so trailing
+    // junk is not invariant — interior churn is), making the shingle
+    // set (hence the fingerprint) IDENTICAL while the bytes (hence
+    // content_hash) are not — the case the exact screen passes and
+    // this screen drops.
+    val nearDup = base.replace(" tok50 ", "  tok50\n ").replace(" tok80 ", " \t tok80 ")
+    val fps = graft.operators.MinHash
+      .simHashTable(Seq((1L, base), (2L, nearDup), (3L, distinct_)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fps(1L) == fps(2L),
+      s"precondition: whitespace churn must be fingerprint-invariant, got ${fps(1L)} vs ${fps(2L)}")
+    assert(fps(1L) != fps(3L), "precondition: the distinct text must not collide")
+    assert(base != nearDup, "precondition: the bytes must differ (content_hash would pass it)")
+    val src = MemoryStream[(Timestamp, Long, String)]
+    val df = src.toDF().toDF("ts", "doc_id", "text")
+    val q = EventStreams.startToMemory(
+      EventStreams.dedupByFingerprint(df, watermark = "30 minutes"), "neardedup_test")
+    try {
+      src.addData((ts(0), 1L, base), (ts(1), 2L, nearDup), (ts(2), 3L, distinct_))
+      q.processAllAvailable()
+      val ids = spark.table("neardedup_test").select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 3L),
+        s"near-dup must drop, distinct must pass: got ${ids.toSeq}")
+      // past the watermark horizon the fingerprint state expires — the
+      // bounded-state property that keeps the screen runnable forever
+      src.addData((Timestamp.from(ts(2).toInstant.plusSeconds(7200)), 4L, base))
+      q.processAllAvailable()
+      src.addData((Timestamp.from(ts(2).toInstant.plusSeconds(7260)), 5L, nearDup))
+      q.processAllAvailable()
+      val n = spark.table("neardedup_test").count()
+      assert(n == 3L, s"expired-state re-arrival must pass exactly once more, got $n rows")
+    } finally q.stop()
+  }
+
   test("session windows split on the inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
