@@ -215,6 +215,78 @@ object Curation {
         col(textCol).substr(col("start_pos").cast("int"), lit(size)).as("chunk"))
   }
 
+  /** Content-defined chunking (Manber '94 fingerprint cut points — the
+    * rsync/LBFS family): cut after every position whose last-`w`-chars
+    * rolling hash is ≡ 0 (mod `modulus`). Because a cut decision
+    * depends only on a local w-char window, an INSERTION re-
+    * synchronizes the chunk stream within one window — downstream
+    * chunk-hash dedup still matches everything past the edit, where
+    * fixed-width chunking ([[chunkDocs]]) shifts every later boundary
+    * and matches nothing (CurationSpec measures exactly this).
+    * Expected chunk length = `modulus` chars.
+    *
+    * Deliberate deviation from FastCDC-style min/max chunk bounds:
+    * those make each cut depend on the PREVIOUS cut (sequential
+    * state), which is neither SQL-replayable nor parallel; the pure
+    * position-local cut set is the original Manber construction and
+    * keeps every stage an independent per-position decision.
+    *
+    * Scale + determinism shape: map-only — one expression chain per
+    * row (codes → per-position window hashes via O(w) slices → cut
+    * positions → chunk explode), no shuffle at any corpus size; all
+    * arithmetic is exact integer mod 1e9+7 over character codes (the
+    * [[graft.functions.TextFunctions.fingerprint]] conventions), so
+    * every boundary replays bit-for-bit in SQL. Window hashes cost
+    * O(n·w) per doc — w is a small constant, and the O(n) prefix-hash
+    * trick needs an O(n²) array fold in HOF form, so the direct
+    * window is the cheaper Spark shape. */
+  def cdcChunks(df: DataFrame, w: Int = 16, modulus: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(w >= 2, s"window must be >= 2 chars, got $w")
+    require(modulus >= 2, s"modulus must be >= 2, got $modulus")
+    val codes = transform(split(col(textCol), ""), c => ascii(c).cast("long"))
+    // window hash at position i (1-based, i >= w): polynomial over the
+    // last w character codes, H = sum c_j * 31^(w-1-j) mod 1e9+7
+    val n = size(col("__codes"))
+    val winHash = (i: Column) =>
+      aggregate(slice(col("__codes"), i - lit(w - 1), lit(w)),
+        lit(0L), (acc, c) => (acc * 31L + c) % 1000000007L)
+    // sequence(a, b) DESCENDS when a > b — a doc shorter than the
+    // window has no cut candidates, not a reversed range
+    val cutsAt = when(n >= w,
+      filter(
+        transform(sequence(lit(w), n),
+          i => struct(i.cast("long").as("i"), winHash(i).as("h"))),
+        s => s("h") % modulus === 0L))
+      .otherwise(array().cast("array<struct<i:bigint,h:bigint>>"))
+    df.select(col(idCol), col(textCol))
+      .filter(length(col(textCol)) > 0)
+      .withColumn("__codes", codes)
+      // cut positions, padded with the document end (a trailing cut at
+      // exactly n must not produce an empty final chunk — dedup it)
+      .withColumn("__cuts",
+        array_distinct(concat(transform(cutsAt, s => s("i")),
+          array(size(col("__codes")).cast("long")))))
+      .withColumn("__c",
+        explode(transform(sequence(lit(1), size(col("__cuts"))), j => {
+          // element_at rejects index 0 (unlike SQL's NULL), so the
+          // first chunk's predecessor cut is an explicit literal 0
+          val prev = when(j === 1, lit(0L))
+            .otherwise(element_at(col("__cuts"), (j - lit(1)).cast("int")))
+          struct(
+            j.cast("int").as("ord"),
+            (prev + 1L).as("start"),
+            (element_at(col("__cuts"), j.cast("int")) - prev).as("len"))
+        })))
+      .select(
+        col(idCol),
+        col("__c.ord").as("chunk_ord"),
+        col("__c.start").as("start"),
+        col("__c.len").as("len"),
+        col(textCol).substr(col("__c.start").cast("int"), col("__c.len").cast("int")).as("chunk"))
+      .withColumn("chunk_md5", md5(col("chunk").cast("binary")))
+  }
+
   /** Deterministic weighted upsampling (data-mixing repetition): emit
     * `copiesCol` copies of each row, tagged 1..n in `copy`. The
     * mixture-weight stage of a training-data pipeline — map-only

@@ -53,6 +53,20 @@ object CurationQueries {
         md5(col("chunk").cast("binary")).as("chunk_hash"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Content-defined chunking ([[Curation.cdcChunks]] — Manber
+    * fingerprint cut points, the insertion-robust counterpart of the
+    * fixed-width q_chunk_docs windows): boundary positions, chunk
+    * extents, and chunk hashes all under the oracle, so the rolling
+    * window hash, the mod-64 cut rule, and the end-pad/dedup edge
+    * cases replay bit-for-bit. CurationSpec measures the property the
+    * operator exists for: a prefix insertion re-synchronizes the
+    * chunk stream where fixed windows lose every later chunk. */
+  def qCdcChunks(s: SparkSession, dir: String): DataFrame =
+    Curation.cdcChunks(docs(s, dir))
+      .select(col("doc_id"), col("chunk_ord"), col("start"), col("len"),
+        col("chunk_md5"))
+      .orderBy("doc_id", "chunk_ord")
+
   /** The (train, eval, overlap) contamination pair table, built once
     * per session + fixture ([[IndexQueries.SessionMemo]] — the same
     * derived-artifact rationale as the near-dup pair graph): two
@@ -450,6 +464,27 @@ object CurationQueries {
         |  CAST(start_pos AS BIGINT) AS start_pos,
         |  CAST(length(chunk) AS INT) AS chunk_len, md5(chunk) AS chunk_hash
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+    QueryDef("q_cdc_chunks", qCdcChunks, Some(
+      """WITH c AS (SELECT doc_id, text,
+        |             list_transform(string_split(text, ''), ch -> CAST(ord(ch) AS BIGINT)) AS codes,
+        |             CAST(len(string_split(text, '')) AS BIGINT) AS n
+        |           FROM documents WHERE len(text) > 0),
+        |cut AS (SELECT doc_id, text, list_sort(list_distinct(list_append(
+        |          CASE WHEN n >= 16 THEN
+        |            list_filter(range(16, n + 1), i ->
+        |              list_reduce(list_prepend(CAST(0 AS BIGINT), codes[CAST(i - 15 AS INT):CAST(i AS INT)]),
+        |                (h, ch) -> (h * 31 + ch) % 1000000007) % 64 = 0)
+        |          ELSE CAST([] AS BIGINT[]) END, n))) AS cuts
+        |        FROM c),
+        |ch AS (SELECT doc_id, text, cuts,
+        |         unnest(range(1, CAST(len(cuts) AS BIGINT) + 1)) AS j
+        |       FROM cut)
+        |SELECT doc_id, CAST(j AS INT) AS chunk_ord,
+        |  coalesce(cuts[CAST(j - 1 AS INT)], 0) + 1 AS start,
+        |  cuts[CAST(j AS INT)] - coalesce(cuts[CAST(j - 1 AS INT)], 0) AS len,
+        |  md5(substr(text, CAST(coalesce(cuts[CAST(j - 1 AS INT)], 0) + 1 AS INT),
+        |      CAST(cuts[CAST(j AS INT)] - coalesce(cuts[CAST(j - 1 AS INT)], 0) AS INT))) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_ord""".stripMargin)),
     QueryDef("q_domain_cap", qDomainCap, Some(
       s"""WITH q AS (SELECT doc_id, source, ${TextQueries.qualitySql} AS quality
          |           FROM documents),

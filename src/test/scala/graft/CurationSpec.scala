@@ -416,4 +416,74 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"no corpus-sized shuffle join belongs in the scoring path:\n$p")
   }
+
+  // ---- content-defined chunking ----
+
+  private def cdcHashes(texts: Seq[(Long, String)]): Map[Long, Seq[String]] = {
+    import spark.implicits._
+    graft.operators.Curation.cdcChunks(texts.toDF("doc_id", "text"))
+      .select(col("doc_id"), col("chunk_ord"), col("chunk_md5"))
+      .collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getString(2)).toSeq).toMap
+  }
+
+  test("cdcChunks: chunks tile the document exactly (coverage, order, no empties)") {
+    import spark.implicits._
+    val text = (0 until 120).map(i => s"w$i").mkString(" ")
+    val rows = graft.operators.Curation.cdcChunks(Seq((1L, text), (2L, "ab")).toDF("doc_id", "text"))
+      .orderBy("doc_id", "chunk_ord").collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    for ((id, rs) <- byDoc) {
+      val txt = if (id == 1L) text else "ab"
+      assert(rs.map(_.getAs[String]("chunk")).mkString("") == txt,
+        s"doc $id: chunks must concatenate back to the text")
+      assert(rs.forall(_.getAs[Long]("len") > 0), s"doc $id: empty chunk emitted")
+      val starts = rs.map(_.getAs[Long]("start"))
+      assert(starts.head == 1L && starts.toSeq == starts.sorted.toSeq)
+    }
+    // a doc shorter than the window is one whole chunk
+    assert(byDoc(2L).length == 1 && byDoc(2L).head.getAs[Long]("len") == 2L)
+  }
+
+  test("cdcChunks: a prefix insertion re-synchronizes, fixed-width chunking does not") {
+    val base = (0 until 400).map(i => s"w$i").mkString(" ") // ~1900 chars
+    val shifted = "INSERTED PREFIX " + base
+    val cdc = cdcHashes(Seq((1L, base), (2L, shifted)))
+    val shared = cdc(1L).toSet.intersect(cdc(2L).toSet).size
+    val frac = shared.toDouble / cdc(1L).size
+    info(f"CDC chunks shared after prefix insertion: $shared/${cdc(1L).size} (${frac * 100}%.0f%%)")
+    // fixed-width control: every boundary shifts by the insertion, so
+    // no full-width chunk survives (the last ragged tail may — allow 1)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.md5
+    val fixed = graft.operators.Curation
+      .chunkDocs(Seq((1L, base), (2L, shifted)).toDF("doc_id", "text"), size = 64, overlap = 0)
+      .select(col("doc_id"), md5(col("chunk").cast("binary")).as("h"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    val fixedShared = fixed(1L).intersect(fixed(2L)).size
+    info(s"fixed-width chunks shared: $fixedShared/${fixed(1L).size}")
+    // measured 2026-08-15 (deterministic fixture): CDC re-syncs all but
+    // the first chunk(s) — >= 75% shared; fixed-width shares <= 1
+    assert(frac >= 0.75,
+      f"CDC must re-synchronize after an insertion: only $frac%.2f of chunks shared")
+    assert(fixedShared <= 1,
+      s"control broken: fixed-width chunking shared $fixedShared chunks across the shift")
+    assert(frac * cdc(1L).size > fixedShared,
+      "CDC must beat the fixed-width control on shared chunks")
+  }
+
+  test("cdcChunks: boundaries are position-local (chunk set is partition-invariant)") {
+    import spark.implicits._
+    val texts = (0 until 24).map(i => (i.toLong, (0 until 80).map(j => s"t${i}x$j").mkString(" ")))
+    val one = cdcHashes(texts)
+    val many = {
+      val df = texts.toDF("doc_id", "text").repartition(13)
+      graft.operators.Curation.cdcChunks(df)
+        .select(col("doc_id"), col("chunk_ord"), col("chunk_md5"))
+        .collect().groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getInt(1)).map(_.getString(2)).toSeq).toMap
+    }
+    assert(one == many, "chunking must not depend on partitioning")
+  }
 }
