@@ -119,6 +119,29 @@ final class VectorDB private (
     * fixed [[nprobe]]. */
   var adaptiveAlpha: Option[Double] = None
 
+  /** Centroid-graph routing beam ([[IvfIndex.GraphRouter]] — the
+    * sublinear second routing level for handles whose CELL COUNT is
+    * itself large): > 0 routes queries through an HNSW walk over the
+    * centroid table at this beam width instead of the flat O(L·d)
+    * scan; ≥ L is exhaustive (probe set bit-identical to flat
+    * routing — the gate anchor); <= 0 (default) keeps flat routing.
+    * Applies to the indexed-uncompressed serving arms; the graph is
+    * built lazily driver-side from the trained router and re-derives
+    * automatically whenever the router retrains. */
+  var graphRouteEf: Int = -1
+  private var graphRouterCache: Option[IvfIndex.GraphRouter] = None
+  private def routerGraphOpt: Option[IvfIndex.GraphRouter] =
+    if (graphRouteEf <= 0) None
+    else ivfModel.map { m =>
+      graphRouterCache match {
+        case Some(g) if g.model eq m => g
+        case _ =>
+          val g = new IvfIndex.GraphRouter(m)
+          graphRouterCache = Some(g)
+          g
+      }
+    }
+
   /** Eagerly enforce the dimension rule — the reference's open/ingest
     * semantics (`src/lib.rs:62-72`, error at open/add): one
     * short-circuit job over the UNGUARDED source; throws on the first
@@ -1220,7 +1243,8 @@ final class VectorDB private (
         HnswIndex.search(idx, q, k, params,
           efSearch = filteredEf(k, pred.isDefined),
           router = ivfModel, nprobe = nprobe, adaptiveAlpha = routedAlpha,
-          candidateFilter = pred)
+          candidateFilter = pred,
+          routerGraph = routerGraphOpt, routerEf = graphRouteEf)
           .select(col("qid"), col("rank"), col("vector_id").as(idCol), col("dist"))
       case None =>
         val base = pred.map { p =>
@@ -1333,7 +1357,8 @@ final class VectorDB private (
         // to know which dispatch arm answered
         HnswIndex.search(idx, q, k, params, efSearch = filteredEf(k, pred.isDefined),
           router = ivfModel, nprobe = nprobe, adaptiveAlpha = routedAlpha,
-          candidateFilter = pred)
+          candidateFilter = pred,
+          routerGraph = routerGraphOpt, routerEf = graphRouteEf)
           .select(col("vector_id").as(idCol), col("dist"))
       case None =>
         val base = pred.map { p =>
@@ -1473,7 +1498,8 @@ final class VectorDB private (
       val pairs = HnswIndex.search(idx, qReduced, k + margin, params,
           efSearch = ef,
           router = ivfModel, nprobe = nprobe, adaptiveAlpha = routedAlpha,
-          candidateFilter = candidateFilter)
+          candidateFilter = candidateFilter,
+          routerGraph = routerGraphOpt, routerEf = graphRouteEf)
         .select(col("qid"), col("vector_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
       val hits = pairs.toSeq.toDF("qid", idCol)

@@ -693,6 +693,40 @@ object IndexQueries {
       db
     }
 
+  /** The trained handle with CENTROID-GRAPH routing enabled
+    * ([[graft.VectorDB.graphRouteEf]] exhaustive — the probe choice
+    * walks the centroid HNSW, everything downstream identical), so
+    * the public-handle arm of q_ann_bigroute sits under its own
+    * oracle. Separate memo: the knob is handle state, and mutating
+    * the shared [[vdbHandle]] mid-run would leak into its gates. */
+  private val vdbGraphMemo = new SessionMemo[graft.VectorDB]
+  private def vdbGraphHandle(s: SparkSession, dir: String) =
+    vdbGraphMemo.get(s, dir) {
+      val db = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
+      val built = db.buildIndexIvf(numCells = 16, iters = 1)
+      db.efSearch = exhaustiveEf(s, dir, "vdb_graph")(built)
+      db.graphRouteEf = 64 // >= L = 16: exhaustive, flat-identical probes
+      db
+    }
+
+  /** Public-handle centroid-graph routing: the q_vectordb_search
+    * trained-cells contract served with the probe choice made by the
+    * graph walk. At exhaustive graphRouteEf the probes are
+    * bit-identical to flat routing, so the oracle is the SAME trained
+    * probe-3 replay — pinned through the handle dispatch path on a
+    * fresh query id. */
+  def qVectordbBigroute(s: SparkSession, dir: String): DataFrame = {
+    val qv = emb(s, dir).filter(col("vec_id") === 95L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dist"), col("vec_id")) // bounded: k rows
+    vdbGraphHandle(s, dir).search(qv, k = 5)
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .select(lit(95L).as("qid"), col("rnk"), col("vec_id"),
+        round(col("dist"), 3).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
   /** The same handle WITHOUT an index — dispatch picks the exact
     * brute-force arm. (`open` is pay-as-you-go since r6 — no
     * validation job — but the handle is still memoized for symmetry
@@ -2501,6 +2535,8 @@ object IndexQueries {
       Some(routedOracleSql("vec_id < 4", probesAdaptiveSql))),
     QueryDef("q_ann_bigroute", qAnnBigroute,
       Some(routedOracleSql("vec_id >= 110 AND vec_id < 114", probesFixedSql))),
+    QueryDef("q_vectordb_bigroute", qVectordbBigroute,
+      Some(trainedOracleSql("vec_id = 95"))),
     QueryDef("q_ann_persisted", qAnnPersisted,
       Some(routedOracleSql("vec_id >= 4 AND vec_id < 8", probesFixedSql))),
     QueryDef("q_ann_compacted", qAnnCompacted,

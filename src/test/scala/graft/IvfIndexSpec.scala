@@ -133,6 +133,34 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       f"graph routing evaluated $meanEvals%.1f >= L/3 = ${l / 3} distances — not sublinear")
   }
 
+  test("VectorDB graphRouteEf: graph-routed handle serves identically to flat routing at exhaustive beams") {
+    import spark.implicits._
+    val qv = emb.filter(col("vec_id") === 7L)
+      .select(col("embedding").cast("array<float>")).as[Array[Float]].collect()(0).toSeq
+    def open() = {
+      val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64)
+      db.buildIndexIvf(numCells = 8, iters = 1)
+      db.efSearch = 4096
+      db
+    }
+    val flat = open()
+    val graph = open()
+    graph.graphRouteEf = 64 // >= L = 8: exhaustive walk, flat-identical probes
+    def rows(db: VectorDB) =
+      db.search(qv, k = 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows(graph) == rows(flat),
+      "graph-routed handle must serve the flat-routed answer at exhaustive beams")
+    // retrain invalidates the cached centroid graph (eq-based rebuild):
+    // the retrained graph handle must match a retrained FLAT handle,
+    // not the stale 8-cell routing
+    graph.buildIndexIvf(numCells = 4, iters = 1)
+    graph.efSearch = 4096
+    flat.buildIndexIvf(numCells = 4, iters = 1)
+    flat.efSearch = 4096
+    assert(rows(graph) == rows(flat),
+      "after retrain the graph router must re-derive from the new centroids")
+  }
+
   test("VectorDB end-to-end: IVF-partitioned HNSW self-query") {
     val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64)
     db.buildIndexIvf(numCells = 8, iters = 3)
