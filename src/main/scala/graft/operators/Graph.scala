@@ -199,22 +199,9 @@ object Graph {
       val dangTerm: Column =
         if (teleport.isEmpty) col("du").cast("double") / lit(1e12) / lit(n.toDouble)
         else col("du").cast("double") / lit(1e12) * tv
-      // Checkpoint cadence: the dangling arm references rank TWICE per
-      // round (the contribution join and the sink census), so an
-      // unmaterialized chain would recompute exponentially — it keeps
-      // the checkpoint-per-round shape. The uniform/personalized arm
-      // references rank once per round: its chain is linear, so it
-      // materializes only every 8th round (plan-depth hygiene for
-      // large iters) and once at the end (which also keeps the
-      // finally-unpersist of e/ed/nodes safe for the caller) — at the
-      // default iters=3 that is ONE rank job instead of four, and the
-      // per-round ~0.2 s local job floor is the dominant cost of the
-      // whole operator on anything smaller than a real cluster.
-      val checkpointEvery = if (danglingRedistribute) 1 else 8
       var rank = nodes.select(col("node"), col("has_out"), col("is_seed"),
-        initRank.as("rank"))
-      if (danglingRedistribute) rank = rank.localCheckpoint()
-      for (it <- 1 to iters) {
+        initRank.as("rank")).localCheckpoint()
+      for (_ <- 1 to iters) {
         val units = ed
           .join(rank.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node"))
@@ -238,9 +225,7 @@ object Graph {
                   (coalesce(col("u"), lit(0L)).cast("double") / lit(1e12) +
                     dangTerm))
                   .as("rank"))
-        rank =
-          if (it % checkpointEvery == 0 || it == iters) next.localCheckpoint()
-          else next
+        rank = next.localCheckpoint()
       }
       rank.select(col("node"), col("rank"))
     } finally {
