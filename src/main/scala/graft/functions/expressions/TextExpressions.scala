@@ -50,6 +50,85 @@ case class PolyHash(child: Expression, mod: Long) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Content-defined-chunking cut positions (Manber fingerprint cuts):
+  * 1-based CHARACTER positions i >= w whose trailing-w-chars polynomial
+  * hash (fold (h*31 + codepoint) mod 1e9+7 over the window) is
+  * divisible by `modulus`. One compiled pass with a circular code
+  * buffer — the HOF form (transform(sequence) + aggregate(slice))
+  * pays interpreted lambda dispatch per (position × window) element,
+  * ~50x this loop on corpus text. Code-point iteration matches the
+  * oracle's ord()/the HOF's ascii() on any BMP+ text; positions are
+  * char positions (what substr consumes). */
+case class CdcCuts(child: Expression, w: Int, modulus: Int) extends UnaryExpression {
+  override def prettyName: String = "cdc_cuts"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val buf = new Array[Long](w)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var pos = 0 // 1-based char position counter
+    var ci = 0 // UTF-16 index
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      ci += Character.charCount(cp)
+      pos += 1
+      buf((pos - 1) % w) = cp.toLong
+      if (pos >= w) {
+        // window hash oldest->newest: start at index pos % w
+        var h = 0L
+        var j = 0
+        while (j < w) {
+          h = (h * 31L + buf((pos + j) % w)) % 1000000007L
+          j += 1
+        }
+        if (h % modulus == 0L) out += pos.toLong
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s")
+      val buf = ctx.freshName("buf")
+      val out = ctx.freshName("out")
+      val pos = ctx.freshName("pos")
+      val ci = ctx.freshName("ci")
+      val cp = ctx.freshName("cp")
+      val h = ctx.freshName("h")
+      val j = ctx.freshName("j")
+      val arr = ctx.freshName("arr")
+      val i2 = ctx.freshName("i2")
+      s"""
+         |String $s = $a.toString();
+         |long[] $buf = new long[$w];
+         |java.util.ArrayList<Long> $out = new java.util.ArrayList<Long>();
+         |int $pos = 0;
+         |int $ci = 0;
+         |while ($ci < $s.length()) {
+         |  int $cp = $s.codePointAt($ci);
+         |  $ci += Character.charCount($cp);
+         |  $pos += 1;
+         |  $buf[($pos - 1) % $w] = (long) $cp;
+         |  if ($pos >= $w) {
+         |    long $h = 0L;
+         |    for (int $j = 0; $j < $w; $j++) {
+         |      $h = ($h * 31L + $buf[($pos + $j) % $w]) % 1000000007L;
+         |    }
+         |    if ($h % $modulus == 0L) $out.add((long) $pos);
+         |  }
+         |}
+         |long[] $arr = new long[$out.size()];
+         |for (int $i2 = 0; $i2 < $arr.length; $i2++) $arr[$i2] = $out.get($i2).longValue();
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** K-way minhash signature over an array<long> of element hashes in a
   * single pass: sig[j] = min over h of (a_j*h + b_j) mod prime.
   * Returns null-free array<long> of length K (input must be non-empty —

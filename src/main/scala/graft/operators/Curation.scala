@@ -232,41 +232,30 @@ object Curation {
     * keeps every stage an independent per-position decision.
     *
     * Scale + determinism shape: map-only — one expression chain per
-    * row (codes → per-position window hashes via O(w) slices → cut
-    * positions → chunk explode), no shuffle at any corpus size; all
-    * arithmetic is exact integer mod 1e9+7 over character codes (the
+    * row (native [[graft.functions.expressions.CdcCuts]] codegen loop
+    * for the per-position window hashes → cut positions → chunk
+    * explode), no shuffle at any corpus size; all arithmetic is exact
+    * integer mod 1e9+7 over character codes (the
     * [[graft.functions.TextFunctions.fingerprint]] conventions), so
-    * every boundary replays bit-for-bit in SQL. Window hashes cost
-    * O(n·w) per doc — w is a small constant, and the O(n) prefix-hash
-    * trick needs an O(n²) array fold in HOF form, so the direct
-    * window is the cheaper Spark shape. */
+    * every boundary replays bit-for-bit in SQL. The HOF form of the
+    * window hash (transform(sequence) + aggregate(slice)) measured
+    * 4.4 s at sf0.1 from interpreted lambda dispatch per
+    * (position × window) element; the compiled loop runs the
+    * identical O(n·w) arithmetic in one codegen pass. */
   def cdcChunks(df: DataFrame, w: Int = 16, modulus: Int = 64,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(w >= 2, s"window must be >= 2 chars, got $w")
     require(modulus >= 2, s"modulus must be >= 2, got $modulus")
-    val codes = transform(split(col(textCol), ""), c => ascii(c).cast("long"))
-    // window hash at position i (1-based, i >= w): polynomial over the
-    // last w character codes, H = sum c_j * 31^(w-1-j) mod 1e9+7
-    val n = size(col("__codes"))
-    val winHash = (i: Column) =>
-      aggregate(slice(col("__codes"), i - lit(w - 1), lit(w)),
-        lit(0L), (acc, c) => (acc * 31L + c) % 1000000007L)
-    // sequence(a, b) DESCENDS when a > b — a doc shorter than the
-    // window has no cut candidates, not a reversed range
-    val cutsAt = when(n >= w,
-      filter(
-        transform(sequence(lit(w), n),
-          i => struct(i.cast("long").as("i"), winHash(i).as("h"))),
-        s => s("h") % modulus === 0L))
-      .otherwise(array().cast("array<struct<i:bigint,h:bigint>>"))
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    val cutsAt = toCol(graft.functions.expressions.CdcCuts(
+      toExpr(col(textCol)), w, modulus))
     df.select(col(idCol), col(textCol))
       .filter(length(col(textCol)) > 0)
-      .withColumn("__codes", codes)
       // cut positions, padded with the document end (a trailing cut at
       // exactly n must not produce an empty final chunk — dedup it)
       .withColumn("__cuts",
-        array_distinct(concat(transform(cutsAt, s => s("i")),
-          array(size(col("__codes")).cast("long")))))
+        array_distinct(concat(cutsAt,
+          array(length(col(textCol)).cast("long")))))
       .withColumn("__c",
         explode(transform(sequence(lit(1), size(col("__cuts"))), j => {
           // element_at rejects index 0 (unlike SQL's NULL), so the

@@ -51,6 +51,48 @@ object MinHash {
     * population, one native pass. */
   def simHash(hs: Column): Column = toCol(SimHash64(toExpr(hs)))
 
+  /** Optimal LSH band plan (Leskovec-Rajaraman-Ullman §3.4): among the
+    * divisor splits b·r = nHashes, pick the (bands, rows) whose
+    * banded-OR collision curve 1 − (1 − s^r)^b best separates pairs
+    * around the Jaccard threshold `tau` — minimizing the false-
+    * positive mass below tau plus the false-negative mass above it
+    * (uniform-s integrals, the textbook objective; `fnWeight` skews
+    * the trade toward recall when misses cost more than verification,
+    * the usual dedup posture since FPs die in the exact-verify
+    * stage). Driver-side arithmetic over O(divisors × grid) — a
+    * planning utility, not a query stage; deterministic (fixed
+    * 1e-3-step midpoint grid). Returns (bands, rows, fpMass, fnMass).
+    *
+    * This is the tool that says when the fixed 4×4 default
+    * ([[Bands]]×[[K]]/[[Bands]]) stops being right: at tau = 0.8 with
+    * 16 hashes, equal weighting picks the late-rising 2×8 curve
+    * (minimal FP mass) while the recall-leaning fnWeight = 3 lands on
+    * the shipped 4×4 (s-curve midpoint (1/4)^(1/4) ≈ 0.707 — cheap
+    * insurance below the threshold) — both pinned in the spec. */
+  def planBands(nHashes: Int, tau: Double, fnWeight: Double = 1.0): (Int, Int, Double, Double) = {
+    require(nHashes >= 1, s"nHashes must be >= 1, got $nHashes")
+    require(tau > 0.0 && tau < 1.0, s"tau must be in (0, 1), got $tau")
+    require(fnWeight > 0.0, s"fnWeight must be > 0, got $fnWeight")
+    val splits = (1 to nHashes).filter(nHashes % _ == 0).map(b => (b, nHashes / b))
+    val step = 1e-3
+    def collide(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    val scored = splits.map { case (b, r) =>
+      var fp = 0.0
+      var fn = 0.0
+      var s = step / 2
+      while (s < 1.0) {
+        val p = collide(s, b, r)
+        if (s < tau) fp += p * step else fn += (1.0 - p) * step
+        s += step
+      }
+      (fp + fnWeight * fn, b, r, fp, fn)
+    }
+    // deterministic tiebreak: fewer bands (cheaper index) first
+    val best = scored.minBy(t => (t._1, t._2))
+    (best._2, best._3, best._4, best._5)
+  }
+
   /** The `[sim_hi, sim_lo]` fingerprint as ONE inline column over the
     * text — the schema-preserving (streaming-safe) twin of
     * [[simHashTable]]: shingle → hash → SimHash in a single map-only

@@ -60,4 +60,37 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inc == full,
       s"arms disagree: missing=${full -- inc} extra=${inc -- full}")
   }
+
+  // ---- LSH band planning ----
+
+  test("planBands: the production 4x4 config is the recall-leaning pick at tau=0.8, 16 hashes") {
+    // equal weighting favors the late-rising 2x8 curve (tiny FP mass);
+    // the repo's dedup posture weights misses more — FPs die in the
+    // exact-verify stage — and at fnWeight=3 the planner lands on the
+    // 4x4 default the pipeline ships with
+    val (b1, r1, _, _) = MinHash.planBands(16, tau = 0.8)
+    assert((b1, r1) == (2, 8), s"equal-weight pick changed: ${b1}x$r1")
+    val (b, r, fp, fn) = MinHash.planBands(16, tau = 0.8, fnWeight = 3.0)
+    assert((b, r) == (4, 4), s"expected the 4x4 default, got ${b}x$r (fp=$fp, fn=$fn)")
+  }
+
+  test("planBands: lower thresholds shift toward more bands (higher recall curves)") {
+    val (bHi, _, _, _) = MinHash.planBands(16, tau = 0.9)
+    val (bLo, _, _, _) = MinHash.planBands(16, tau = 0.3)
+    assert(bLo > bHi,
+      s"a lower tau needs an earlier-rising curve (more bands): tau=.3 -> $bLo, tau=.9 -> $bHi")
+  }
+
+  test("planBands: recall weighting trades FP mass for FN mass monotonically") {
+    val (_, _, fp1, fn1) = MinHash.planBands(64, tau = 0.7, fnWeight = 1.0)
+    val (_, _, fp5, fn5) = MinHash.planBands(64, tau = 0.7, fnWeight = 5.0)
+    assert(fn5 <= fn1 + 1e-12 && fp5 >= fp1 - 1e-12,
+      s"fnWeight=5 must not lose recall: fn $fn1 -> $fn5, fp $fp1 -> $fp5")
+  }
+
+  test("planBands: the chosen split's s-curve midpoint brackets the threshold sensibly") {
+    val (b, r, _, _) = MinHash.planBands(32, tau = 0.6)
+    val mid = math.pow(1.0 / b, 1.0 / r) // where collision prob = 1 - (1-1/b)^b ~ .63
+    assert(math.abs(mid - 0.6) < 0.2, s"midpoint $mid far from tau for ${b}x$r")
+  }
 }
