@@ -143,23 +143,17 @@ object DedupQueries {
 
   private def blockedPairsMulti(e: DataFrame,
       model: graft.index.IvfIndex.Model, tau: Double, probes: Int): DataFrame = {
-    val centLit = array(model.centroids.zipWithIndex.map { case (cv, ord) =>
-      struct(lit(ord).cast("int").as("ord"),
-        array(cv.map(x => lit(x)): _*).as("cv"))
-    }: _*)
-    // (distance, ord) per centroid; lexicographic array_sort IS the
-    // assignOne order (d asc, lowest ordinal on ties); fold order over
-    // dims matches the kernel's sequential accumulation
-    val scored = transform(centLit, c =>
-      struct(
-        aggregate(
-          zip_with(c.getField("cv"), col("embedding").cast("array<double>"),
-            (a, b) => (a - b) * (a - b)),
-          lit(0.0d), (acc, x) => acc + x).as("d"),
-        c.getField("ord").as("ord")))
-    val cells = slice(array_sort(scored), 1, probes)
-    val binned = e.select(explode(cells).as("cs"), col("vec_id"), col("embedding"))
-      .select(col("cs.ord").as("cell"), col("vec_id"), col("embedding"))
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    // top-`probes` cells by (d asc, ord asc) in ONE fused codegen pass
+    // (IvfAssignTopK) — the sorted-struct HOF form this replaces
+    // measured ~3 s at sf0.1 in interpreted lambda dispatch per
+    // (row × centroid × dim); the kernel's stable strict-< insertion
+    // reproduces the lexicographic sort exactly, which is what the
+    // oracle replays
+    val dim = model.centroids.head.length
+    val cells = toCol(graft.functions.expressions.IvfAssignTopK(
+      toExpr(col("embedding")), model.centroids.flatten, model.cellIds, dim, probes))
+    val binned = e.select(explode(cells).as("cell"), col("vec_id"), col("embedding"))
     val a = binned.select(col("cell"), col("vec_id").as("a"), col("embedding").as("va"))
     val b = binned.select(col("cell"), col("vec_id").as("b"), col("embedding").as("vb"))
     a.join(b, Seq("cell"))
