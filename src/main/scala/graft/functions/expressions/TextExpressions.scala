@@ -93,17 +93,20 @@ case class CdcCuts(child: Expression, w: Int, modulus: Int) extends UnaryExpress
       val s = ctx.freshName("s")
       val buf = ctx.freshName("buf")
       val out = ctx.freshName("out")
+      val nOut = ctx.freshName("nOut")
+      val grown = ctx.freshName("grown")
       val pos = ctx.freshName("pos")
       val ci = ctx.freshName("ci")
       val cp = ctx.freshName("cp")
       val h = ctx.freshName("h")
       val j = ctx.freshName("j")
-      val arr = ctx.freshName("arr")
-      val i2 = ctx.freshName("i2")
+      // Janino can't compile generic collections — grow a primitive
+      // long[] by hand instead of ArrayList<Long>
       s"""
          |String $s = $a.toString();
          |long[] $buf = new long[$w];
-         |java.util.ArrayList<Long> $out = new java.util.ArrayList<Long>();
+         |long[] $out = new long[8];
+         |int $nOut = 0;
          |int $pos = 0;
          |int $ci = 0;
          |while ($ci < $s.length()) {
@@ -116,12 +119,18 @@ case class CdcCuts(child: Expression, w: Int, modulus: Int) extends UnaryExpress
          |    for (int $j = 0; $j < $w; $j++) {
          |      $h = ($h * 31L + $buf[($pos + $j) % $w]) % 1000000007L;
          |    }
-         |    if ($h % $modulus == 0L) $out.add((long) $pos);
+         |    if ($h % $modulus == 0L) {
+         |      if ($nOut == $out.length) {
+         |        long[] $grown = new long[$out.length * 2];
+         |        System.arraycopy($out, 0, $grown, 0, $nOut);
+         |        $out = $grown;
+         |      }
+         |      $out[$nOut++] = (long) $pos;
+         |    }
          |  }
          |}
-         |long[] $arr = new long[$out.size()];
-         |for (int $i2 = 0; $i2 < $arr.length; $i2++) $arr[$i2] = $out.get($i2).longValue();
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($out, $nOut));
        """.stripMargin
     })
 

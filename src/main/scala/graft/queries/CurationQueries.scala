@@ -53,6 +53,32 @@ object CurationQueries {
         md5(col("chunk").cast("binary")).as("chunk_hash"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** The CDC chunk table as shared oracle CTEs (`chunks`): codes →
+    * window-hash cut positions → end-pad/dedup → per-chunk (doc_id,
+    * chunk_ord, start, len, chunk_md5). ONE definition feeds both the
+    * chunk-table gate and the chunk-dedup census gate. */
+  private val cdcChunkCtesSql: String =
+    """c AS (SELECT doc_id, text,
+      |        list_transform(string_split(text, ''), ch -> CAST(ord(ch) AS BIGINT)) AS codes,
+      |        CAST(len(string_split(text, '')) AS BIGINT) AS n
+      |      FROM documents WHERE len(text) > 0),
+      |cut AS (SELECT doc_id, text, list_sort(list_distinct(list_append(
+      |          CASE WHEN n >= 16 THEN
+      |            list_filter(range(16, n + 1), i ->
+      |              list_reduce(list_prepend(CAST(0 AS BIGINT), codes[CAST(i - 15 AS INT):CAST(i AS INT)]),
+      |                (h, ch) -> (h * 31 + ch) % 1000000007) % 64 = 0)
+      |          ELSE CAST([] AS BIGINT[]) END, n))) AS cuts
+      |        FROM c),
+      |expl AS (SELECT doc_id, text, cuts,
+      |           unnest(range(1, CAST(len(cuts) AS BIGINT) + 1)) AS j
+      |         FROM cut),
+      |chunks AS (SELECT doc_id, CAST(j AS INT) AS chunk_ord,
+      |             coalesce(cuts[CAST(j - 1 AS INT)], 0) + 1 AS start,
+      |             cuts[CAST(j AS INT)] - coalesce(cuts[CAST(j - 1 AS INT)], 0) AS len,
+      |             md5(substr(text, CAST(coalesce(cuts[CAST(j - 1 AS INT)], 0) + 1 AS INT),
+      |                 CAST(cuts[CAST(j AS INT)] - coalesce(cuts[CAST(j - 1 AS INT)], 0) AS INT))) AS chunk_md5
+      |           FROM expl)""".stripMargin
+
   /** Content-defined chunking ([[Curation.cdcChunks]] — Manber
     * fingerprint cut points, the insertion-robust counterpart of the
     * fixed-width q_chunk_docs windows): boundary positions, chunk
@@ -66,6 +92,35 @@ object CurationQueries {
       .select(col("doc_id"), col("chunk_ord"), col("start"), col("len"),
         col("chunk_md5"))
       .orderBy("doc_id", "chunk_ord")
+
+  /** Chunk-level duplication census — CDC chunking's dedup consumer
+    * (the chunk-store dedup shape: how much of each document is
+    * boilerplate shared with OTHER documents): corpus-wide census of
+    * each chunk hash's distinct-document count, joined back for a
+    * per-doc (chunks, shared chunks, shared chars) report. Because
+    * the chunks are content-defined, a shifted copy of a passage
+    * still censuses as shared ([[Curation.cdcChunks]]' measured
+    * re-sync property) — fixed windows would miss it.
+    *
+    * Scale shape: two map-side-combined hash aggregates + one key
+    * join on `chunk_md5` — nothing all-pairs, shuffle O(chunks).
+    * The distinct-doc count is exact (bounded by chunk occurrences);
+    * at 100 TB the census would ride the same aggregate with a
+    * sketch ([[graft.operators.Sketches.Hll]]) if the per-key doc
+    * lists themselves became hot. */
+  def qDedupChunks(s: SparkSession, dir: String): DataFrame = {
+    val ch = Curation.cdcChunks(docs(s, dir))
+      .select(col("doc_id"), col("chunk_md5"), col("len"))
+    val census = ch.groupBy("chunk_md5")
+      .agg(countDistinct("doc_id").as("nd"))
+    ch.join(census, "chunk_md5")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared_chunks"),
+        sum(when(col("nd") > 1, col("len")).otherwise(0L)).as("shared_chars"))
+      .orderBy("doc_id")
+  }
 
   /** The (train, eval, overlap) contamination pair table, built once
     * per session + fixture ([[IndexQueries.SessionMemo]] — the same
@@ -465,26 +520,18 @@ object CurationQueries {
         |  CAST(length(chunk) AS INT) AS chunk_len, md5(chunk) AS chunk_hash
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
     QueryDef("q_cdc_chunks", qCdcChunks, Some(
-      """WITH c AS (SELECT doc_id, text,
-        |             list_transform(string_split(text, ''), ch -> CAST(ord(ch) AS BIGINT)) AS codes,
-        |             CAST(len(string_split(text, '')) AS BIGINT) AS n
-        |           FROM documents WHERE len(text) > 0),
-        |cut AS (SELECT doc_id, text, list_sort(list_distinct(list_append(
-        |          CASE WHEN n >= 16 THEN
-        |            list_filter(range(16, n + 1), i ->
-        |              list_reduce(list_prepend(CAST(0 AS BIGINT), codes[CAST(i - 15 AS INT):CAST(i AS INT)]),
-        |                (h, ch) -> (h * 31 + ch) % 1000000007) % 64 = 0)
-        |          ELSE CAST([] AS BIGINT[]) END, n))) AS cuts
-        |        FROM c),
-        |ch AS (SELECT doc_id, text, cuts,
-        |         unnest(range(1, CAST(len(cuts) AS BIGINT) + 1)) AS j
-        |       FROM cut)
-        |SELECT doc_id, CAST(j AS INT) AS chunk_ord,
-        |  coalesce(cuts[CAST(j - 1 AS INT)], 0) + 1 AS start,
-        |  cuts[CAST(j AS INT)] - coalesce(cuts[CAST(j - 1 AS INT)], 0) AS len,
-        |  md5(substr(text, CAST(coalesce(cuts[CAST(j - 1 AS INT)], 0) + 1 AS INT),
-        |      CAST(cuts[CAST(j AS INT)] - coalesce(cuts[CAST(j - 1 AS INT)], 0) AS INT))) AS chunk_md5
-        |FROM ch ORDER BY doc_id, chunk_ord""".stripMargin)),
+      s"""WITH $cdcChunkCtesSql
+         |SELECT doc_id, chunk_ord, start, len, chunk_md5
+         |FROM chunks ORDER BY doc_id, chunk_ord""".stripMargin)),
+    QueryDef("q_dedup_chunks", qDedupChunks, Some(
+      s"""WITH $cdcChunkCtesSql,
+         |census AS (SELECT chunk_md5, count(DISTINCT doc_id) AS nd
+         |           FROM chunks GROUP BY chunk_md5)
+         |SELECT c.doc_id, count(*) AS n_chunks,
+         |  sum(CASE WHEN census.nd > 1 THEN 1 ELSE 0 END) AS n_shared_chunks,
+         |  sum(CASE WHEN census.nd > 1 THEN c.len ELSE 0 END) AS shared_chars
+         |FROM chunks c JOIN census USING (chunk_md5)
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
     QueryDef("q_domain_cap", qDomainCap, Some(
       s"""WITH q AS (SELECT doc_id, source, ${TextQueries.qualitySql} AS quality
          |           FROM documents),
