@@ -156,6 +156,46 @@ object MinHash {
       .select(col("a"), col("b"), col("jac"))
   }
 
+  /** Banded candidates with the signature-agreement Jaccard ESTIMATE
+    * beside the exact value — the calibration view of the identity
+    * the whole MinHash-LSH stack rests on (Broder '97:
+    * P[minhash agrees] = J, so ĵ = matching positions / K is an
+    * unbiased K-sample estimate with s.e. √(J(1−J)/K)). A pipeline
+    * tunes band plans ([[planBands]]) and thresholds against ĵ; this
+    * is the census that shows what K buys on real candidates — no tau
+    * filter, so the low-similarity band-collision tail is visible
+    * too.
+    *
+    * Scale shape: identical to [[lshDedup]]'s (banded equi-join
+    * candidates, never all-pairs; per-pair work is one K-element
+    * zip + one bounded intersect on the candidate set). */
+  def estimatePairs(
+      docs: DataFrame,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = shingled(docs, n, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = base.select(col("id"), col("sh"), col("n_sh"), signature(col("hs")).as("sig"))
+    val bands = bandKeys(sig)
+    val cand = bands.as("x")
+      .join(bands.as("y"), col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    val side = sig.select(col("id"), col("sh"), col("n_sh"), col("sig"))
+    cand
+      .join(side.select(col("id").as("a"), col("sh").as("sha"),
+        col("n_sh").as("na"), col("sig").as("siga")), "a")
+      .join(side.select(col("id").as("b"), col("sh").as("shb"),
+        col("n_sh").as("nb"), col("sig").as("sigb")), "b")
+      .withColumn("match_k",
+        size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), b => b)))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .select(col("a"), col("b"), col("match_k").cast("int").as("match_k"),
+        (col("match_k").cast("double") / K).as("j_est"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
+  }
+
   /** Incremental (batch-vs-corpus) LSH dedup — the shape a daily
     * ingest actually runs: screen the NEW batch against the existing
     * corpus without ever re-joining the corpus to itself. Emits

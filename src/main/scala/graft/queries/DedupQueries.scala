@@ -328,6 +328,18 @@ object DedupQueries {
   private[queries] val simLoSql = simWordSql("(h * 2654435761) % 4294967296")
   private[queries] val simHiSql = simWordSql("(h * 2246822519 + 12345) % 4294967296")
 
+  /** MinHash estimator calibration ([[MinHash.estimatePairs]] — the
+    * Broder identity P[minhash agrees] = J made visible: per banded
+    * candidate pair, the K=16-sample signature-agreement estimate ĵ
+    * beside exact Jaccard; the census a pipeline tunes band plans and
+    * thresholds against). No tau filter, so the band-collision
+    * low-similarity tail rides the gate too. */
+  def qMinhashEstimate(s: SparkSession, dir: String): DataFrame =
+    MinHash.estimatePairs(docs(s, dir))
+      .select(col("a"), col("b"), col("match_k"),
+        round(col("j_est"), 4).as("j_est"), round(col("jac"), 4).as("jac"))
+      .orderBy("a", "b")
+
   /** Segment-level exact dedup over 8-token segments: per-document
     * census plus the md5 of the cleaned text (duplicate passages
     * removed, canonical first occurrence kept) — the oracle replays
@@ -504,6 +516,25 @@ object DedupQueries {
          |  sa.split <> sb.split AS leaks, p.jac
          |FROM p JOIN sp sa ON sa.doc_id = p.a JOIN sp sb ON sb.doc_id = p.b
          |ORDER BY p.a, p.b""".stripMargin)),
+    QueryDef("q_minhash_estimate", qMinhashEstimate, Some(
+      s"""WITH t AS (SELECT doc_id, $shSql AS sh FROM documents),
+         |hs AS (SELECT doc_id, sh, len(sh) AS n_sh, $hsSql AS hs FROM t WHERE len(sh) > 0),
+         |sig AS (SELECT doc_id, sh, n_sh, list_transform($paramsSql, ab ->
+         |          list_min(list_transform(hs, x -> (ab[1]*x + ab[2]) % 2147483647))) AS sig
+         |        FROM hs),
+         |bands AS (SELECT doc_id,
+         |            CAST(b AS VARCHAR) || ':' || array_to_string(sig[b*4+1 : b*4+4], ',') AS bkey
+         |          FROM sig, unnest([0,1,2,3]) AS u(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+         |         ON x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |p AS (SELECT c.a, c.b,
+         |        len(list_filter(range(1, 17), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS mk,
+         |        len(list_intersect(sa.sh, sb.sh)) AS i2, sa.n_sh AS na, sb.n_sh AS nb
+         |      FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b)
+         |SELECT a, b, CAST(mk AS INT) AS match_k,
+         |  round(CAST(mk AS DOUBLE) / CAST(16 AS DOUBLE), 4) AS j_est,
+         |  round(CAST(i2 AS DOUBLE) / CAST(na + nb - i2 AS DOUBLE), 4) AS jac
+         |FROM p ORDER BY a, b""".stripMargin)),
     QueryDef("q_dedup_minhash", qDedupMinhash, Some(
       s"""WITH t AS (SELECT doc_id, $shSql AS sh FROM documents),
          |hs AS (SELECT doc_id, sh, len(sh) AS n_sh, $hsSql AS hs FROM t WHERE len(sh) > 0),

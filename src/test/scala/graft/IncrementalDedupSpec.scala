@@ -61,6 +61,34 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"arms disagree: missing=${full -- inc} extra=${inc -- full}")
   }
 
+  // ---- MinHash estimator calibration ----
+
+  test("estimatePairs: identical docs estimate 1.0; the K=16 estimate tracks exact Jaccard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = (0 until 60).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, base), (2L, base), // identical pair
+      (3L, (0 until 60).map(i => if (i < 45) s"w$i" else s"x$i").mkString(" ")) // ~0.6 overlap
+    ).toDF("doc_id", "text")
+    val rows = MinHash.estimatePairs(df)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(3), r.getDouble(4)))).toMap
+    val (est12, jac12) = rows((1L, 2L))
+    assert(est12 == 1.0 && jac12 == 1.0, s"identical docs: est=$est12 jac=$jac12")
+    // the banded candidates for (1,3)/(2,3) may or may not surface —
+    // calibration quality is asserted on the fixture below instead
+    val fixture = MinHash
+      .estimatePairs(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .select(abs(col("j_est") - col("jac")).as("err")).collect().map(_.getDouble(0))
+    assert(fixture.nonEmpty, "fixture produced no candidate pairs")
+    val mae = fixture.sum / fixture.length
+    info(f"mean |j_est - jac| over ${fixture.length} candidate pairs: $mae%.4f")
+    // K=16 sampling s.e. is sqrt(J(1-J)/16) <= 0.125; the measured MAE
+    // on the sf0.001 fixture is recorded in BASELINE.md, floor 0.15
+    assert(mae <= 0.15, f"estimator mis-calibrated: MAE $mae%.4f > 0.15")
+  }
+
   // ---- LSH band planning ----
 
   test("planBands: the production 4x4 config is the recall-leaning pick at tau=0.8, 16 hashes") {
