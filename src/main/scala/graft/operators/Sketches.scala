@@ -375,6 +375,55 @@ object Sketches {
     * (plus the standard linear-counting branch below 2.5·m when empty
     * registers remain). Scale shape: ONE map-side-combined aggregate;
     * the shuffle carries O(m) register rows, never the key set. */
+  /** Count-Sketch second-moment (F2) estimator — AMS '96 via the
+    * Charikar-Chen-Farach-Colton sketch: F2 = Σ_key cnt(key)² is the
+    * SELF-JOIN SIZE of the key column, the planning statistic that
+    * predicts join/groupBy blowup before the shuffle runs (a key
+    * column with F2 ≫ N is the q_skew_join situation). Each of d=4
+    * rows hashes every occurrence to a signed ±1 bucket counter;
+    * E[Σ_b counter²] = F2 per row (cross terms cancel in
+    * expectation, Var ≈ 2·F2²/w), and the MEDIAN of the 4 row
+    * estimates tightens the tail.
+    *
+    * Determinism + replay: row j's bucket is the [[CountMin.textBucket]]
+    * md5 slice (chars 8j+1..8j+7); its SIGN is the parity of hex char
+    * 8j+8 — the remaining nibble of the same 8-char block, so the
+    * four (bucket, sign) draws partition md5's 32 hex chars exactly
+    * and every value fits checked BIGINT arithmetic. All counters and
+    * squares are exact integers; the even-count median is the mean of
+    * the two middle values — a single exact /2.
+    *
+    * Scale shape: ONE map-side-combined aggregate whose shuffle
+    * carries the O(d·w) grid, never the key universe; the exact F2
+    * census beside it in the gate shuffles every distinct key — the
+    * contrast the sketch exists to avoid at 100 TB. */
+  object F2 {
+    /** Row-j ±1 sign of a string key: parity of md5 hex char 8j+8. */
+    def textSign(key: Column, j: Int): Column =
+      conv(substring(md5(key.cast("binary")), 8 * j + 8, 1), 16, 10)
+        .cast("long") % 2L * 2L - 1L
+
+    /** One-row (w, d, est_f2) frame: grid → per-row Σ counter² →
+      * median of the d row estimates. */
+    def estimateText(df: DataFrame, key: Column, width: Int = 256): DataFrame = {
+      require(width >= 2, s"width must be >= 2, got $width")
+      val rows = (0 until 4).map { j =>
+        struct(lit(j).as("r"),
+          CountMin.textBucket(key, j, width).as("b"),
+          textSign(key, j).as("s"))
+      }
+      df.filter(key.isNotNull)
+        .select(explode(array(rows: _*)).as("rb"))
+        .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+        .agg(sum(col("rb.s")).as("c"))
+        .groupBy("r").agg(sum(col("c") * col("c")).as("f2r"))
+        .agg(sort_array(collect_list(col("f2r"))).as("fs"))
+        .select(lit(width).as("w"), lit(4).as("d"),
+          ((element_at(col("fs"), 2) + element_at(col("fs"), 3)).cast("double") / 2.0d)
+            .as("est_f2"))
+    }
+  }
+
   object Hll {
     /** Register-index bits; m = 2^P registers (σ ≈ 1.04/√m ≈ 4.6%). */
     val P = 9

@@ -496,6 +496,24 @@ object TextQueries {
        |              i -> tk[i] || ' ' || tk[i+1]))) END AS dup_bigram
        |        FROM t)""".stripMargin
 
+  /** Count-Sketch F2 (self-join size) of the token-frequency vector
+    * ([[graft.operators.Sketches.F2]] — AMS second moment): the
+    * shuffle-blowup predictor, estimated from an O(d·w) grid in one
+    * map-side-combined pass, with the exact Σ cnt² census riding
+    * beside (the contrast arm that shuffles every distinct token —
+    * what the sketch avoids at 100 TB). Median-of-4 row estimates;
+    * everything integer until one exact /2. */
+  def qF2Tokens(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(explode(tokens(col("text"))).as("t"))
+      .filter(length(col("t")) > 0)
+    val sk = graft.operators.Sketches.F2.estimateText(tok, col("t"))
+    val exact = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("f2_exact"))
+    sk.crossJoin(exact)
+      .select(col("w"), col("d"), col("est_f2"), col("f2_exact"))
+  }
+
   /** Count-Min token-frequency census: the 4×64 grid built from ONE
     * corpus scan, then every distinct token's upper-bound estimate
     * beside its exact count — the bounded-memory heavy-hitter pass
@@ -762,6 +780,22 @@ object TextQueries {
         |FROM c JOIN est e ON e.tok = c.tok
         |WHERE c.cnt >= ((SELECT n FROM tot) + 29) // 30
         |ORDER BY c.cnt DESC, c.tok""".stripMargin)),
+    QueryDef("q_f2_tokens", qF2Tokens, Some(
+      s"""WITH tok AS (SELECT t FROM (SELECT unnest($toksSql) AS t FROM documents)
+         |             WHERE len(t) > 0),
+         |g AS (SELECT u.j AS r,
+         |        ('0x' || substr(md5(t), u.j * 8 + 1, 7))::BIGINT % 256 AS b,
+         |        (('0x' || substr(md5(t), u.j * 8 + 8, 1))::BIGINT % 2) * 2 - 1 AS s
+         |      FROM tok CROSS JOIN unnest([0, 1, 2, 3]) AS u(j)),
+         |grid AS (SELECT r, b, sum(s) AS c FROM g GROUP BY r, b),
+         |f2 AS (SELECT r, sum(c * c) AS f2r FROM grid GROUP BY r),
+         |m AS (SELECT list_sort(list(f2r)) AS fs FROM f2),
+         |e AS (SELECT sum(c * c) AS f2_exact
+         |      FROM (SELECT count(*) AS c FROM tok GROUP BY t))
+         |SELECT 256 AS w, 4 AS d,
+         |  CAST(CAST(fs[2] + fs[3] AS DOUBLE) / CAST(2 AS DOUBLE) AS DOUBLE) AS est_f2,
+         |  CAST(e.f2_exact AS BIGINT) AS f2_exact
+         |FROM m, e""".stripMargin)),
     QueryDef("q_freq_cms", qFreqCms, Some(
       s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
          |fp AS (SELECT token,
