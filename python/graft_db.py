@@ -69,6 +69,15 @@ class VectorDB:
                                float(adaptive_alpha))
         return self
 
+    def configure_graph_route(self, ef):
+        """Centroid-graph routing (the sublinear coarse-quantizer walk
+        for handles whose CELL COUNT is itself large): ``ef > 0``
+        routes queries through an HNSW over the centroid table at that
+        beam width — ``ef >= num_cells`` is exhaustive (identical to
+        flat routing); ``ef <= 0`` restores the flat centroid scan."""
+        self._facade.configureGraphRoute(self._jdb, int(ef))
+        return self
+
     # -- serving ------------------------------------------------------------
 
     def search(self, query, k):

@@ -52,6 +52,13 @@ rows = [(r[0], r[1]) for r in sdf.collect()]
 assert sorted(rows, key=lambda t: (t[1], t[0])) == hits, (rows, hits)
 print("distributed DataFrame arm OK")
 
+# centroid-graph routing at exhaustive beam serves the flat answer
+db.configure_graph_route(64)
+rows_g = [(r[0], r[1]) for r in db.search_df(qv, 5).collect()]
+assert sorted(rows_g, key=lambda t: (t[1], t[0])) == hits, (rows_g, hits)
+db.configure_graph_route(0)  # restore flat routing
+print("graph-routed arm OK")
+
 # .bin corpus (the reference's mmap format): 20 vectors of dim 4
 binf = os.path.join(tempfile.mkdtemp(), "vecs.bin")
 with open(binf, "wb") as f:

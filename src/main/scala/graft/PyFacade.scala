@@ -64,6 +64,16 @@ object PyFacade {
     db.adaptiveAlpha = if (adaptiveAlpha >= 1.0) Some(adaptiveAlpha) else None
   }
 
+  /** Centroid-graph routing knob ([[VectorDB.graphRouteEf]] — the
+    * sublinear coarse-quantizer walk for handles with many cells):
+    * `ef > 0` enables at that beam width, `<= 0` restores flat
+    * routing. Separate method (not a `configure` parameter) so
+    * existing callers keep their arity — the py4j constraint. */
+  def configureGraphRoute(db: VectorDB, ef: Int): Unit = {
+    db.graphRouteEf = ef
+    ()
+  }
+
   /** Point-result holder: parallel (ids, dists), ascending by
     * (dist, id) — py4j exposes the vals as zero-arg methods. */
   final class SearchResult(val ids: Array[Long], val dists: Array[Double])

@@ -460,6 +460,37 @@ object RelationalQueries {
       .orderBy("p_brand")
   }
 
+  /** Join-key skew census — the pre-shuffle diagnostic that decides
+    * whether a join needs [[graft.operators.SkewJoin.salted]] / AQE
+    * skew handling BEFORE it runs: per-key occurrence counts rolled
+    * into (rows, distinct keys, max key count, top-1 share in basis
+    * points, self-join size Σcnt²) plus the top-5 hottest keys. The
+    * `selfjoin_size` column is exactly what [[graft.operators.
+    * Sketches.F2]] estimates from O(d·w) state when the exact census
+    * is itself too hot to shuffle. One map-side-combined aggregate +
+    * a bounded top-k (no window sort); all-integer output. */
+  def qKeySkew(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "lineitem").select(col("l_partkey").as("k"))
+    val perKey = keyed.groupBy("k").agg(count(lit(1)).as("c"))
+    val census = perKey.agg(
+      sum(col("c")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("c")).as("max_c"),
+      sum(col("c") * col("c")).as("selfjoin_size"))
+    val top = perKey.orderBy(col("c").desc, col("k")).limit(5)
+      .select(col("k"), col("c"))
+      .agg(collect_list(struct(col("c"), col("k"))).as("tl"))
+      .select(transform(array_sort(col("tl"),
+        (a, b) => when(a("c") > b("c"), -1).when(a("c") < b("c"), 1)
+          .when(a("k") < b("k"), -1).when(a("k") > b("k"), 1).otherwise(0)),
+        x => x("k")).as("top_keys"))
+    census.crossJoin(top)
+      .select(col("n_rows"), col("n_keys"), col("max_c"),
+        expr("max_c * 10000 div n_rows").as("top1_share_bp"),
+        col("selfjoin_size"),
+        concat_ws(",", col("top_keys")).as("top_keys"))
+  }
+
   /** Pivot rollup: per-user event counts by type as columns. */
   def qPivotEvents(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -1229,6 +1260,17 @@ object RelationalQueries {
         |  AND c.cus >= p.pus - CAST(3600 AS BIGINT) * 1000000
         |  AND c.cus < p.pus
         |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin)),
+    QueryDef("q_key_skew", qKeySkew, Some(
+      """WITH pk AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |census AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |             max(c) AS max_c, CAST(sum(c * c) AS BIGINT) AS selfjoin_size
+        |           FROM pk),
+        |top AS (SELECT array_to_string(list(k ORDER BY c DESC, k)[1:5], ',') AS top_keys
+        |        FROM pk)
+        |SELECT n_rows, n_keys, max_c,
+        |  CAST(max_c * 10000 // n_rows AS BIGINT) AS top1_share_bp,
+        |  selfjoin_size, top_keys
+        |FROM census, top""".stripMargin)),
     QueryDef("q_skew_join", qSkewJoin, Some(
       """SELECT p_brand, count(*) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
