@@ -94,6 +94,75 @@ object Profile {
       .select(col("q"), col("value"))
       .orderBy("q")
 
+  /** Exact WEIGHTED quantiles — the size-biased view of a value
+    * distribution (weighted by integer `weight` ≥ 1): "the p50
+    * DOCUMENT is 300 chars, but the p50 TOKEN lives in a 450-char
+    * document" — the statistic that prices sequence packing and
+    * chunking, where what matters is what a typical token sees, not
+    * a typical row. The weighted q-quantile is the smallest value v
+    * with cumWeight(≤ v) ≥ ⌈q·W⌉ — equivalently the plain quantile
+    * of the multiset with each row repeated `weight` times
+    * (ProfileSpec pins that equivalence against [[exactQuantiles]]
+    * on the exploded multiset).
+    *
+    * Same no-global-sort shape as [[exactQuantiles]]: pass 1 is a
+    * per-bin WEIGHT census over the shared equi-width grid (shuffle
+    * O(bins)); the driver locates each target's bin and in-bin
+    * weighted rank in exact integer arithmetic (k = (num·W + den −
+    * 1) div den); pass 2 ranks only the needed bins by cumulative
+    * weight window (partitions of ~n/bins rows). Under value ties
+    * the covering row depends on the window's internal tie order,
+    * but its VALUE doesn't (cum crosses the target inside the tied
+    * run) — and only the value is emitted, so the result is total-
+    * order-free and oracle-replayable. Rows with NULL or < 1 weights
+    * are rejected loudly (a silent drop would bias every quantile). */
+  def weightedQuantiles(df: DataFrame, value: Column, weight: Column,
+      quantiles: Seq[(Int, Int)], bins: Int = 64): DataFrame = {
+    require(quantiles.nonEmpty, "at least one quantile required")
+    quantiles.foreach { case (num, den) =>
+      require(num >= 1 && num <= den, s"quantile $num/$den out of (0, 1]")
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = value.cast("double")
+    val wc = when(weight.isNull || weight.cast("long") < 1L,
+      raise_error(concat(lit("weightedQuantiles: weight must be a " +
+        "non-null positive integer, got "), weight.cast("string"))))
+      .otherwise(weight.cast("long"))
+    val rows = df.filter(v.isNotNull).select(v.as("__v"), wc.as("__w"))
+    val mm = rows.agg(min(col("__v")).as("lo"), max(col("__v")).as("hi")).head()
+    if (mm.isNullAt(0))
+      return Seq.empty[(Double, Double)].toDF("q", "value")
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val width = (hi - lo) / bins
+    val binExpr =
+      if (width == 0.0) lit(0)
+      else least(floor((col("__v") - lit(lo)) / lit(width)).cast("int"), lit(bins - 1))
+    val census = rows.groupBy(binExpr.as("__b"))
+      .agg(sum(col("__w")).as("sw"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val totalW = census.map(_._2).sum
+    val cum = census.scanLeft(0L)(_ + _._2).init
+    val targets = quantiles.map { case (num, den) =>
+      val k = (num.toLong * totalW + den - 1) / den
+      val i = cum.indices.find(i0 => cum(i0) + census(i0)._2 >= k).get
+      (census(i)._1, k - cum(i), num.toDouble / den)
+    }
+    val targetDf = targets.toDF("__b", "__r", "q")
+    val needed = targets.map(_._1).distinct.toDF("__b")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    rows.withColumn("__b", binExpr)
+      .join(broadcast(needed), Seq("__b"), "left_semi")
+      .withColumn("__cum", sum(col("__w")).over(w))
+      .join(broadcast(targetDf), Seq("__b"))
+      .filter(col("__cum") >= col("__r") && col("__cum") - col("__w") < col("__r"))
+      .select(col("q"), col("__v").as("value"))
+      .orderBy("q")
+  }
+
   /** Robust location/scale census: EXACT median, MAD (median absolute
     * deviation — itself an exact order statistic of |x − median|, so
     * two [[exactQuantiles]] passes, never a global sort), and the

@@ -496,6 +496,19 @@ object TextQueries {
        |              i -> tk[i] || ' ' || tk[i+1]))) END AS dup_bigram
        |        FROM t)""".stripMargin
 
+  /** Token-weighted document-length quantiles
+    * ([[graft.operators.Profile.weightedQuantiles]] — the size-biased
+    * distribution: what a typical TOKEN sees, not a typical document;
+    * the statistic that prices sequence packing and chunking). The
+    * engine runs the two-pass bin-census machinery; the oracle checks
+    * it against the grid-independent mathematical definition —
+    * smallest value whose cumulative weight reaches ⌈q·W⌉ — so the
+    * gate pins the machinery TO the definition. */
+  def qQuantilesWeighted(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.weightedQuantiles(
+      docs(s, dir), col("n_chars"), size(tokens(col("text"))),
+      Seq((1, 4), (1, 2), (3, 4), (19, 20)))
+
   /** Count-Sketch F2 (self-join size) of the token-frequency vector
     * ([[graft.operators.Sketches.F2]] — AMS second moment): the
     * shuffle-blowup predictor, estimated from an O(d·w) grid in one
@@ -780,6 +793,17 @@ object TextQueries {
         |FROM c JOIN est e ON e.tok = c.tok
         |WHERE c.cnt >= ((SELECT n FROM tot) + 29) // 30
         |ORDER BY c.cnt DESC, c.tok""".stripMargin)),
+    QueryDef("q_quantiles_weighted", qQuantilesWeighted, Some(
+      s"""WITH r AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+         |             CAST(len($toksSql) AS BIGINT) AS w FROM documents),
+         |tot AS (SELECT sum(w) AS tw FROM r),
+         |t AS (SELECT num, den, (num * tw + den - 1) // den AS k
+         |      FROM tot, (VALUES (1, 4), (1, 2), (3, 4), (19, 20)) AS qs(num, den)),
+         |g AS (SELECT v, sum(w) AS w FROM r GROUP BY v),
+         |c AS (SELECT v, sum(w) OVER (ORDER BY v) AS cum FROM g),
+         |sel AS (SELECT t.num, t.den, min(c.v) AS value
+         |        FROM t JOIN c ON c.cum >= t.k GROUP BY 1, 2)
+         |SELECT CAST(num AS DOUBLE) / den AS q, value FROM sel ORDER BY q""".stripMargin)),
     QueryDef("q_f2_tokens", qF2Tokens, Some(
       s"""WITH tok AS (SELECT t FROM (SELECT unnest($toksSql) AS t FROM documents)
          |             WHERE len(t) > 0),

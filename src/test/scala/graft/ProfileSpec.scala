@@ -146,4 +146,49 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clean.getDouble(0) == 5.0 && clean.getDouble(1) == 2.0 &&
       clean.getLong(3) == 0L, s"clean baseline: $clean")
   }
+
+  // ---- weighted quantiles ----
+
+  test("weightedQuantiles == exactQuantiles over the weight-exploded multiset") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 300).map(_ => (rnd.nextInt(1000).toDouble, 1L + rnd.nextInt(9)))
+    val df = rows.toDF("v", "w")
+    val qs = Seq((1, 4), (1, 2), (3, 4), (19, 20))
+    val weighted = Profile.weightedQuantiles(df, col("v"), col("w"), qs)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toMap
+    val exploded = rows.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }.toDF("v")
+    val plain = Profile.exactQuantiles(exploded, col("v"), qs)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toMap
+    assert(weighted == plain,
+      s"weighted must equal the exploded-multiset quantiles: $weighted vs $plain")
+  }
+
+  test("weightedQuantiles: hand case and the size-bias direction") {
+    import spark.implicits._
+    // values 1,2,3 with weights 1,1,8 -> W=10, p50 rank 5 lands in the 3s
+    val hand = Profile.weightedQuantiles(
+      Seq((1.0, 1L), (2.0, 1L), (3.0, 8L)).toDF("v", "w"),
+      col("v"), col("w"), Seq((1, 2))).head().getDouble(1)
+    assert(hand == 3.0, s"hand-computed weighted median: $hand")
+    // fixture: doc length weighted by token count - the size-biased
+    // median can never sit below the plain one (weight grows with value)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val wq = Profile.weightedQuantiles(docs, col("n_chars"),
+      org.apache.spark.sql.functions.size(
+        graft.functions.TextFunctions.tokens(col("text"))), Seq((1, 2)))
+      .head().getDouble(1)
+    val pq = Profile.exactQuantiles(docs, col("n_chars"), Seq((1, 2))).head().getDouble(1)
+    info(f"doc-median length $pq%.0f vs token-weighted $wq%.0f")
+    assert(wq >= pq, s"size bias must not lower the median: $wq < $pq")
+  }
+
+  test("weightedQuantiles: NULL / non-positive weights are rejected loudly") {
+    import spark.implicits._
+    val df = Seq((1.0, 1L), (2.0, 0L)).toDF("v", "w")
+    val e = intercept[Exception] {
+      Profile.weightedQuantiles(df, col("v"), col("w"), Seq((1, 2))).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
