@@ -496,6 +496,34 @@ object TextQueries {
        |              i -> tk[i] || ' ' || tk[i+1]))) END AS dup_bigram
        |        FROM t)""".stripMargin
 
+  /** Source-relative quality gate — keep each source's top 60% by
+    * quality WITHOUT ranking every document: absolute quality scales
+    * differ per source (a forum's p50 ≠ an encyclopedia's p50), so
+    * the filter that preserves source diversity thresholds at a
+    * per-source QUANTILE. The scalable form is NOT a per-source
+    * percent_rank (a full per-group sort — exactly the hot-group
+    * serialization the domain-cap operator exists to avoid): it is
+    * the per-source p40 from [[graft.operators.Profile
+    * .groupedQuantiles]]' bin-census machinery, broadcast back as a
+    * threshold for one map-only keep filter. Gate output is the
+    * per-source census (threshold, kept, dropped) — all values exact
+    * order statistics or counts. Keep rule `q >= p40` (closed: the
+    * threshold doc itself survives). */
+  def qQualityGate(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir).select(col("doc_id"), col("source"),
+      (floor(qualityScore(col("text")) * 10000.0) / 10000.0).as("q"))
+    val thr = graft.operators.Profile.groupedQuantiles(
+      scored, col("source"), col("q"), Seq((2, 5)))
+      .select(col("group").as("source"), col("value").as("p40"))
+    scored.join(broadcast(thr), "source")
+      .groupBy("source")
+      .agg(
+        min(col("p40")).as("p40"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("q") >= col("p40"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
   /** Token-weighted document-length quantiles
     * ([[graft.operators.Profile.weightedQuantiles]] — the size-biased
     * distribution: what a typical TOKEN sees, not a typical document;
@@ -793,6 +821,17 @@ object TextQueries {
         |FROM c JOIN est e ON e.tok = c.tok
         |WHERE c.cnt >= ((SELECT n FROM tot) + 29) // 30
         |ORDER BY c.cnt DESC, c.tok""".stripMargin)),
+    QueryDef("q_quality_gate", qQualityGate, Some(
+      s"""WITH sc AS (SELECT doc_id, source, $qualitySql AS q FROM documents),
+         |r AS (SELECT source, q,
+         |        row_number() OVER (PARTITION BY source ORDER BY q, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY source) AS n
+         |      FROM sc),
+         |thr AS (SELECT source, q AS p40 FROM r WHERE rn = (2 * n + 4) // 5)
+         |SELECT sc.source, t.p40, count(*) AS n_docs,
+         |  sum(CASE WHEN sc.q >= t.p40 THEN 1 ELSE 0 END) AS n_kept
+         |FROM sc JOIN thr t USING (source)
+         |GROUP BY 1, 2 ORDER BY source""".stripMargin)),
     QueryDef("q_quantiles_weighted", qQuantilesWeighted, Some(
       s"""WITH r AS (SELECT CAST(n_chars AS DOUBLE) AS v,
          |             CAST(len($toksSql) AS BIGINT) AS w FROM documents),
