@@ -118,9 +118,9 @@ object IvfIndex {
       * evaluates exactly L). */
     @volatile var lastEvals: Long = 0L
 
-    /** Up to `nprobe` nearest cells: float graph walk at beam `ef`
-      * (default max(efConstruction, nprobe)), then double re-rank of
-      * the ≤ ef candidates. */
+    /** Up to `nprobe` nearest cells: float graph walk at beam
+      * max(ef, nprobe) — defaulting ef to the graph's efConstruction —
+      * then double re-rank of the surfaced candidates. */
     def probe(q: Array[Float], nprobe: Int, ef: Int = -1): Array[Int] =
       probeWithDist(q, nprobe, ef).map(_._2)
 
@@ -137,20 +137,29 @@ object IvfIndex {
 
     private def probeWithDist(q: Array[Float], nprobe: Int, ef: Int): Array[(Double, Int)] = {
       require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-      val beam = if (ef > 0) ef else math.max(32, nprobe)
-      graph.resetDistEvals()
-      // k = beam: surface the WHOLE beam, not just nprobe — the double
-      // re-rank below needs every candidate the walk found
-      val cand = graph.searchEf(q, beam, beam)
-      lastEvals = graph.distEvals
-      val reranked = cand.map { case (ord, _) =>
-        val cv = model.centroids(ord)
-        var d = 0.0
-        var i = 0
-        while (i < cv.length) { val t = cv(i) - q(i); d += t * t; i += 1 }
-        (d, model.cellId(ord))
-      }.sorted
-      reranked.take(nprobe).toArray
+      // the beam never drops below nprobe — an ef smaller than the
+      // probe count would silently return fewer cells than the flat
+      // router's min(nprobe, L) contract; default = max(efc, nprobe)
+      val beam = math.max(if (ef > 0) ef else params.efConstruction, nprobe)
+      // synchronized: the router is session-memoized and shared; the
+      // graph's eval counter (and its internal beam scratch) must not
+      // interleave across concurrent driver-side probes — probes are
+      // sub-ms, so serializing them is the cheap correct choice
+      graph.synchronized {
+        graph.resetDistEvals()
+        // k = beam: surface the WHOLE beam, not just nprobe — the double
+        // re-rank below needs every candidate the walk found
+        val cand = graph.searchEf(q, beam, beam)
+        lastEvals = graph.distEvals
+        val reranked = cand.map { case (ord, _) =>
+          val cv = model.centroids(ord)
+          var d = 0.0
+          var i = 0
+          while (i < cv.length) { val t = cv(i) - q(i); d += t * t; i += 1 }
+          (d, model.cellId(ord))
+        }.sorted
+        reranked.take(nprobe).toArray
+      }
     }
   }
 

@@ -93,15 +93,6 @@ object MinHash {
     (best._2, best._3, best._4, best._5)
   }
 
-  /** The `[sim_hi, sim_lo]` fingerprint as ONE inline column over the
-    * text — the schema-preserving (streaming-safe) twin of
-    * [[simHashTable]]: shingle → hash → SimHash in a single map-only
-    * expression chain, no intermediate frame, so it rides a
-    * `readStream` transform unchanged. Caller must screen
-    * empty-shingle texts (`size(Dedup.shingles(text, n)) > 0`) to
-    * mirror the table form's filter. */
-  def simHashCols(text: Column, n: Int = 3): Column =
-    simHash(transform(Dedup.shingles(text, n), s => polyHash(s)))
 
   /** Docs -> (id, sh, n_sh, hs): distinct shingles and their hashes. */
   private def shingled(docs: DataFrame, n: Int, idCol: String, textCol: String): DataFrame =
@@ -124,6 +115,18 @@ object MinHash {
       .select(col("id"), concat(col("bk.band").cast("string"), lit(":"), col("bk.bsig")).as("bkey"))
   }
 
+  /** The banded candidate pair set (a < b, distinct) from a signature
+    * table — ONE definition feeding [[lshDedup]] AND [[estimatePairs]],
+    * so the calibration census can never drift from the dedup path it
+    * calibrates. */
+  private def bandedCandidates(sig: DataFrame): DataFrame = {
+    val bands = bandKeys(sig)
+    bands.as("x")
+      .join(bands.as("y"), col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+  }
+
   /** LSH candidate pairs + exact Jaccard verification: every output
     * pair shares at least one of the `Bands` band keys AND has true
     * shingle Jaccard >= tau. */
@@ -138,12 +141,7 @@ object MinHash {
     // shingling subtree executes up to 4x)
     val base = shingled(docs, n, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
     val sig = base.select(col("id"), col("sh"), col("n_sh"), signature(col("hs")).as("sig"))
-    val bands = bandKeys(sig)
-
-    val cand = bands.as("x")
-      .join(bands.as("y"), col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
-      .distinct()
+    val cand = bandedCandidates(sig)
 
     val sets = base.select(col("id"), col("sh"), col("n_sh"))
     cand
@@ -176,11 +174,7 @@ object MinHash {
       textCol: String = "text"): DataFrame = {
     val base = shingled(docs, n, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
     val sig = base.select(col("id"), col("sh"), col("n_sh"), signature(col("hs")).as("sig"))
-    val bands = bandKeys(sig)
-    val cand = bands.as("x")
-      .join(bands.as("y"), col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
-      .distinct()
+    val cand = bandedCandidates(sig)
     val side = sig.select(col("id"), col("sh"), col("n_sh"), col("sig"))
     cand
       .join(side.select(col("id").as("a"), col("sh").as("sha"),

@@ -151,10 +151,25 @@ object Profile {
     }
     val targetDf = targets.toDF("__b", "__r", "q")
     val needed = targets.map(_._1).distinct.toDF("__b")
+    // pass-2 scan prune (the groupedQuantiles fetchRows pattern): the
+    // needed bins' value span as pushable native-type literals, so
+    // parquet row groups outside it never read; the exact bin
+    // semi-join below does the precise cut
+    val fetchRows =
+      if (width == 0.0) rows
+      else {
+        val dt = df.select(value).schema.head.dataType
+        val bs = targets.map(_._1)
+        val loB = lo + bs.min * width - width - 1
+        val hiB = lo + (bs.max + 1) * width + width + 1
+        df.filter(value >= lit(loB).cast(dt) && value <= lit(hiB).cast(dt))
+          .filter(v.isNotNull)
+          .select(v.as("__v"), wc.as("__w"))
+      }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__b")).orderBy(col("__v").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    rows.withColumn("__b", binExpr)
+    fetchRows.withColumn("__b", binExpr)
       .join(broadcast(needed), Seq("__b"), "left_semi")
       .withColumn("__cum", sum(col("__w")).over(w))
       .join(broadcast(targetDf), Seq("__b"))

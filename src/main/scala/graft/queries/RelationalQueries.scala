@@ -699,10 +699,11 @@ object RelationalQueries {
     * arithmetic; the oracle unrolls the rounds from one shared CTE
     * definition. */
   def qKcore(s: SparkSession, dir: String): DataFrame = {
+    // no caller-side distinct: kCorePeel normalizes + dedups the pair
+    // list itself, so one here would just add an extra O(E) shuffle
     val pairs = t(s, dir, "lineitem")
       .select(col("l_suppkey").cast("long").as("a"),
         (col("l_partkey").cast("long") + 1000000L).as("b"))
-      .distinct()
     graft.operators.Graph.kCorePeel(pairs, k = 25, rounds = 3)
       .orderBy("node")
   }

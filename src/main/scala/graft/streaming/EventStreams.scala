@@ -301,14 +301,22 @@ object EventStreams {
       docs: DataFrame,
       tsCol: String = "ts",
       textCol: String = "text",
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.operators.{Dedup, MinHash}
+    // the shingle-hash array materializes as ONE column: the emptiness
+    // screen and the fingerprint both read it (filtering on a separate
+    // shingle expression would shingle every row twice — Spark does
+    // not CSE across the filter/project boundary)
     docs
-      .filter(size(graft.operators.Dedup.shingles(col(textCol), 3)) > 0)
-      .withColumn("__sim", graft.operators.MinHash.simHashCols(col(textCol)))
+      .withColumn("__hs",
+        transform(Dedup.shingles(col(textCol), 3), s => MinHash.polyHash(s)))
+      .filter(size(col("__hs")) > 0)
+      .withColumn("__sim", MinHash.simHash(col("__hs")))
       .select(col("*"), col("__sim")(0).as("sim_hi"), col("__sim")(1).as("sim_lo"))
-      .drop("__sim")
+      .drop("__sim", "__hs")
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("sim_hi", "sim_lo")
+  }
 
   /** Stream-stream inner join: each left event pairs with the right
     * events of the same key whose time falls in [l.ts, l.ts + horizon]
