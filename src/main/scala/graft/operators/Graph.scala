@@ -131,12 +131,23 @@ object Graph {
     e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
   }
 
-  def pageRank(edges: DataFrame, iters: Int = 3,
-      damping: Double = 0.85,
-      danglingRedistribute: Boolean = false,
-      teleport: Option[DataFrame] = None): DataFrame = {
+  /** The loop-invariant graph artifacts [[pageRank]] builds before its
+    * first iteration — the distinct edge list, its degree-annotated
+    * `src`-partitioned cache, and the sink-flagged node set. They are
+    * pure functions of the EDGES (not of damping/teleport/iters), so
+    * gates ranking the same graph under different recurrences share
+    * one build via [[prepare]] + [[pageRankPrepared]] instead of
+    * re-running the O(E) distinct + degree join + node census per
+    * call. All three frames are persisted; [[PreparedGraph.unpersist]]
+    * releases them (the convenience [[pageRank]] wrapper does so in
+    * `finally`, preserving its original lifecycle). */
+  final case class PreparedGraph(e: DataFrame, ed: DataFrame,
+      nodesBase: DataFrame) {
+    def unpersist(): Unit = { e.unpersist(); ed.unpersist(); nodesBase.unpersist() }
+  }
+
+  def prepare(edges: DataFrame): PreparedGraph = {
     import org.apache.spark.storage.StorageLevel
-    require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
@@ -154,6 +165,31 @@ object Graph {
       .join(e.select(col("src").as("node")).distinct()
         .withColumn("__out", lit(true)), Seq("node"), "left")
       .select(col("node"), coalesce(col("__out"), lit(false)).as("has_out"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    PreparedGraph(e, ed, nodesBase)
+  }
+
+  def pageRank(edges: DataFrame, iters: Int = 3,
+      damping: Double = 0.85,
+      danglingRedistribute: Boolean = false,
+      teleport: Option[DataFrame] = None): DataFrame = {
+    val g = prepare(edges)
+    try pageRankPrepared(g, iters, damping, danglingRedistribute, teleport)
+    finally g.unpersist()
+  }
+
+  /** The [[pageRank]] recurrence over a [[PreparedGraph]] whose
+    * lifecycle the CALLER owns (session-memoized gates). The returned
+    * frame is fully materialized (every round localCheckpoints), so
+    * the caller may unpersist the graph at any point after return. */
+  def pageRankPrepared(g: PreparedGraph, iters: Int = 3,
+      damping: Double = 0.85,
+      danglingRedistribute: Boolean = false,
+      teleport: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val ed = g.ed
+    val nodesBase = g.nodesBase
     val nodes = teleport
       .map(tp => nodesBase
         .join(tp.select(col("node")).distinct().withColumn("__seed", lit(true)),
@@ -229,7 +265,9 @@ object Graph {
       }
       rank.select(col("node"), col("rank"))
     } finally {
-      e.unpersist(); ed.unpersist(); nodes.unpersist()
+      // only the per-call seed-flagged node frame: the PreparedGraph
+      // frames belong to the caller (pageRank's wrapper releases them)
+      nodes.unpersist()
     }
   }
 }

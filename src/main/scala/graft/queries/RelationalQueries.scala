@@ -601,16 +601,29 @@ object RelationalQueries {
     * integer-unit arithmetic, top-50 by (rank DESC, node). The
     * oracle unrolls all three iterations as CTEs with the identical
     * floor/unit convention. */
-  def qPageRank(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "lineitem")
-      .select(col("l_suppkey").cast("long").as("s"),
-        (col("l_partkey").cast("long") + 1000000L).as("p"))
-      .distinct()
-    val edges = base.select(col("s").as("src"), col("p").as("dst"))
-      .union(base.select(col("p").as("src"), col("s").as("dst")))
-    graft.operators.Graph.pageRank(edges, iters = 3)
+  /** The symmetrized supplier↔part link graph, PREPARED (distinct +
+    * degree-annotated cache + sink-flagged nodes) once per session +
+    * fixture: the uniform and personalized PageRank gates rank the
+    * SAME graph under different teleport vectors, so the loop-
+    * invariant O(E) build is shared (the ccMemo rationale). The
+    * dangling gate (orders graph) and TextRank (word graph) rank
+    * different graphs and keep their own builds. */
+  private val suppPartGraphMemo =
+    new IndexQueries.SessionMemo[graft.operators.Graph.PreparedGraph]
+  private def suppPartGraph(s: SparkSession, dir: String) =
+    suppPartGraphMemo.get(s, dir) {
+      val base = t(s, dir, "lineitem")
+        .select(col("l_suppkey").cast("long").as("s"),
+          (col("l_partkey").cast("long") + 1000000L).as("p"))
+        .distinct()
+      val edges = base.select(col("s").as("src"), col("p").as("dst"))
+        .union(base.select(col("p").as("src"), col("s").as("dst")))
+      graft.operators.Graph.prepare(edges)
+    }
+
+  def qPageRank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.pageRankPrepared(suppPartGraph(s, dir), iters = 3)
       .orderBy(col("rank").desc, col("node")).limit(50)
-  }
 
   /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004 §3) —
     * [[graft.operators.Graph.pageRank]] COMPOSED over the word
@@ -661,14 +674,9 @@ object RelationalQueries {
     * rounds with the per-node t(v) term. */
   def qPageRankPersonalized(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = t(s, dir, "lineitem")
-      .select(col("l_suppkey").cast("long").as("s"),
-        (col("l_partkey").cast("long") + 1000000L).as("p"))
-      .distinct()
-    val edges = base.select(col("s").as("src"), col("p").as("dst"))
-      .union(base.select(col("p").as("src"), col("s").as("dst")))
     val seeds = Seq(1L, 2L, 3L).toDF("node")
-    graft.operators.Graph.pageRankPersonalized(edges, seeds, iters = 3)
+    graft.operators.Graph.pageRankPrepared(suppPartGraph(s, dir),
+        iters = 3, teleport = Some(seeds))
       .orderBy(col("rank").desc, col("node")).limit(50)
   }
 
@@ -707,6 +715,20 @@ object RelationalQueries {
     graft.operators.Graph.kCorePeel(pairs, k = 25, rounds = 3)
       .orderBy("node")
   }
+
+  /** A-Priori frequent co-purchase pairs
+    * ([[graft.operators.Itemsets.frequentPairs]] — the two-pass
+    * Agrawal-Srikant shape over order baskets): items = parts, baskets
+    * = orders; pass 1 keeps parts ordered ≥ 30 times (about half the
+    * catalog at every fixture SF — the pruning is real), pass 2
+    * counts pairs of surviving parts co-ordered in one basket and
+    * keeps support ≥ 3. All-integer; the oracle replays both passes
+    * verbatim. Non-empty at all three SFs (231/36/1 pairs). */
+  def qFreqPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Itemsets.frequentPairs(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", itemMinSupport = 30L, pairMinSupport = 3L)
+      .orderBy("item_a", "item_b")
 
   /** The r-th k-core peel round as oracle CTEs: degree census over
     * the surviving edges, keep set, filtered edge list. */
@@ -1197,6 +1219,14 @@ object RelationalQueries {
          |${kcoreRoundSql(2, 25)},
          |${kcoreRoundSql(3, 25)}
          |SELECT u AS node, count(*) AS deg FROM e3 GROUP BY u ORDER BY node""".stripMargin)),
+    QueryDef("q_freq_pairs", qFreqPairs, Some(
+      """WITH b AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS basket,
+        |             CAST(l_partkey AS BIGINT) AS item FROM lineitem),
+        |f AS (SELECT item FROM b GROUP BY item HAVING count(*) >= 30),
+        |fb AS (SELECT b.basket, b.item FROM b JOIN f USING (item))
+        |SELECT x.item AS item_a, y.item AS item_b, count(*) AS supp
+        |FROM fb x JOIN fb y ON x.basket = y.basket AND x.item < y.item
+        |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2""".stripMargin)),
     QueryDef("q_kmv_grouped", qKmvGrouped, Some(
       """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents
         |              WHERE len(string_split(text, ' ')) >= 3),

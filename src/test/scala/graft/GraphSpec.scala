@@ -233,4 +233,33 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fix.subsetOf(early),
       s"round-1 peel must contain the fixpoint core: early=$early fix=$fix")
   }
+
+  test("a shared PreparedGraph serves uniform AND personalized calls " +
+      "identically to independent builds (no state bleed)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(120)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val edges = (base ++ base.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L, 2L).toDF("node")
+    val g = Graph.prepare(edges)
+    try {
+      val sharedU = Graph.pageRankPrepared(g, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val sharedP = Graph.pageRankPrepared(g, iters = 3, teleport = Some(seeds))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // and AGAIN on the same prepared graph — a second consumer must
+      // see identical numbers (the session-memo usage pattern)
+      val sharedU2 = Graph.pageRankPrepared(g, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val soloU = Graph.pageRank(edges, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val soloP = Graph.pageRankPersonalized(edges, seeds, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(sharedU == soloU, "uniform ranks must not depend on graph sharing")
+      assert(sharedP == soloP, "personalized ranks must not depend on graph sharing")
+      assert(sharedU == sharedU2, "repeat calls on one PreparedGraph must agree")
+      assert(sharedU != sharedP, "the two recurrences must actually differ on this fixture")
+    } finally g.unpersist()
+  }
 }
