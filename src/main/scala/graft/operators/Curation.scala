@@ -647,4 +647,45 @@ object Curation {
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
   }
+
+  /** k-anonymity generalization ladder (Sweeney '02; the release
+    * census run beside PII redaction before any per-record data
+    * leaves the pipeline): a record is k-anonymous when its QUASI-
+    * IDENTIFIER tuple is shared by ≥ k records. Each level-0 group
+    * (the full quasi-identifier) that clears k publishes as-is
+    * (`anon_level` 0); an under-k group GENERALIZES — drops to the
+    * coarser `level1` prefix of its quasi-identifier — and publishes
+    * at level 1 if the coarser group's TOTAL clears k; otherwise it
+    * must be suppressed (`anon_level` 2). Returns one row per level-0
+    * group: the quasi-identifier columns, `n`, and `anon_level` —
+    * the exact census a release gate thresholds on (suppression rate
+    * = Σ n where anon_level = 2 / Σ n). All-integer.
+    *
+    * Note the standard subtlety: level-1 membership counts the WHOLE
+    * coarser group (every record with that prefix), not just the
+    * under-k remainder — generalized records are indistinguishable
+    * from the level-0 publishers within the same prefix, which is
+    * precisely what makes them k-anonymous there.
+    *
+    * Scale shape: two map-side-combined censuses (level 0, and level
+    * 1 re-aggregated FROM level 0's output — never a second corpus
+    * scan) and one equi-join of the level-0 census onto the O(coarser
+    * groups) level-1 census. Output is O(#groups), a census, never
+    * per-row. */
+  def kAnonLadder(df: DataFrame, level0: Seq[String], level1: Seq[String],
+      k: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(level0.nonEmpty, "level0 quasi-identifier columns required")
+    require(level1.nonEmpty && level1.forall(level0.contains),
+      s"level1 must be a non-empty subset of level0 ($level0), got $level1")
+    require(level1.toSet != level0.toSet,
+      "level1 must be strictly coarser than level0 (drop at least one column)")
+    val g0 = df.groupBy(level0.map(col): _*).agg(count(lit(1)).as("n"))
+    val g1 = g0.groupBy(level1.map(col): _*).agg(sum(col("n")).as("n1"))
+    g0.join(g1, level1)
+      .select(level0.map(col) :+ col("n") :+
+        when(col("n") >= k, lit(0L))
+          .when(col("n1") >= k, lit(1L))
+          .otherwise(lit(2L)).as("anon_level"): _*)
+  }
 }

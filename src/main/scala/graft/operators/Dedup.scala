@@ -188,6 +188,59 @@ object Dedup {
     Seq((nNodes, nEdges, nTri)).toDF("n_nodes", "n_edges", "n_triangles")
   }
 
+  /** Per-node local clustering coefficient (Watts & Strogatz '98) over
+    * an undirected pair graph — the node-level refinement of
+    * [[triangleCount]]'s one-row census, and the statistic that
+    * separates a dup graph's TRANSITIVE families (high-LCC cores:
+    * safe to collapse to one canonical doc) from chain artifacts of
+    * the blocking scheme (low-LCC paths: each hop needs verification).
+    * Returns `(node, deg, tri, lcc_micro)` for every node of the pair
+    * graph, where `tri` counts triangles THROUGH the node and
+    * `lcc_micro` = ⌊2·tri·10⁶ / (deg·(deg−1))⌋ — the coefficient in
+    * exact integer millionths (deg < 2 ⇒ 0), SQL-replayable with no
+    * float in sight.
+    *
+    * Scale shape: the same degree-oriented wedge join as
+    * [[triangleCount]] (O(√E) fan-out bound), but the closing
+    * semi-join keeps the (x, y, z) triple so each triangle charges
+    * its three corners — one explode + map-side-combined count, then
+    * one equi-join onto the degree census. The oriented edge list is
+    * localCheckpointed (eager, task-scoped) rather than persisted:
+    * nothing leaks into a later query's timing. */
+  def localClustering(pairs: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val e = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val oriented = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint()
+    // wedge x→y→z closed by x→z; keeping y makes the triple explicit
+    val triples = oriented.toDF("x", "y")
+      .join(oriented.toDF("y", "z"), "y")
+      .join(oriented.toDF("x", "z"), Seq("x", "z"), "left_semi")
+    val perNode = triples
+      .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("v"), "left")
+      .select(col("v").as("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("lcc_micro",
+        when(col("deg") >= 2,
+          expr("(2 * tri * 1000000) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)))
+  }
+
   /** Exact duplicate groups keyed by content hash: one row per distinct
     * text with the surviving (minimum) doc id and the group size. */
   def exactDupGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

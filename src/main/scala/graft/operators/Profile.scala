@@ -287,4 +287,51 @@ object Profile {
       .select(col("__g").as("group"), col("q"), col("__v").as("value"))
       .orderBy("group", "q")
   }
+
+  /** Exact two-sample Kolmogorov-Smirnov statistic — the
+    * distribution-drift test a pipeline runs between two slices of a
+    * statistic (this crawl snapshot vs the last one, source A vs
+    * source B) before trusting per-source thresholds tuned on the
+    * other slice; the nonparametric complement to the binned-KL gate.
+    * D = max over x of |F_a(x) − F_b(x)|, computed in EXACT integer
+    * arithmetic: the gap at x is |cumA(x)·n_b − cumB(x)·n_a| (an
+    * integer), maximized over the distinct-value domain, and only the
+    * final report divides — `d_micro` = ⌊d_num·10⁶/(n_a·n_b)⌋, with
+    * the raw numerator beside it so nothing float-sensitive is
+    * gated. One row: `(n_a, n_b, d_num, d_micro, at_value)` where
+    * `at_value` is the smallest value attaining the max gap (the
+    * drift location).
+    *
+    * Contract: the value must be DISCRETE/quantized (counts collapse
+    * by value, and the cumulative pass runs over the distinct-value
+    * domain in one ordered partition) — a continuous statistic goes
+    * through [[histogram]]-style binning first. That makes the heavy
+    * part ONE map-side-combined (value → countA, countB) census of
+    * O(|domain|) output; everything after is domain-sized. */
+  def ksTwoSample(df: DataFrame, value: Column, isA: Column, isB: Column): DataFrame = {
+    val v = value.cast("double")
+    val r = df.filter(v.isNotNull && (isA || isB))
+      .groupBy(v.as("__v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("ca"),
+        sum(when(isB, 1L).otherwise(0L)).as("cb"))
+    val tot = r.agg(coalesce(sum(col("ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("cb")), lit(0L)).as("n_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val g = r
+      .withColumn("cua", sum(col("ca")).over(w))
+      .withColumn("cub", sum(col("cb")).over(w))
+      .crossJoin(tot) // 1-row frame, auto-broadcast
+      .select(col("__v"), col("n_a"), col("n_b"),
+        abs(col("cua") * col("n_b") - col("cub") * col("n_a")).as("gap"))
+      .localCheckpoint() // two consumers (max + argmin), domain-sized
+    val mx = g.agg(max(col("gap")).as("d_num"))
+    g.join(mx, col("gap") === col("d_num"))
+      .groupBy(col("n_a"), col("n_b"), col("d_num"))
+      .agg(min(col("__v")).as("at_value"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        expr("(d_num * 1000000) div (n_a * n_b)").as("d_micro"),
+        col("at_value"))
+  }
 }

@@ -360,6 +360,18 @@ object DedupQueries {
     graft.operators.Dedup.triangleCount(
       MinHash.simHashPairs(docs(s, dir), maxHamming = 6).select("a", "b"))
 
+  /** Per-node local clustering coefficient over the SAME SimHash
+    * near-dup graph the triangle census grades
+    * ([[graft.operators.Dedup.localClustering]] — the node-level
+    * statistic the one-row census motivates: high-LCC nodes sit in
+    * transitive dup families, low-LCC nodes on blocking-artifact
+    * chains). Exact integer millionths; the oracle charges each
+    * a<b<c triangle to its three corners and replays the division. */
+  def qClustering(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.localClustering(
+      MinHash.simHashPairs(docs(s, dir), maxHamming = 6).select("a", "b"))
+      .orderBy("node")
+
   /** Bloom-filter novelty screen ([[graft.operators.Sketches.Bloom]])
     * — the incremental-ingest dedup shape: the resident corpus (75% of
     * docs) builds an m-bit filter over its word 3-shingles ONCE; the
@@ -475,6 +487,26 @@ object DedupQueries {
          |       FROM p p1 JOIN p p2 ON p1.b = p2.a
          |       JOIN p p3 ON p3.a = p1.a AND p3.b = p2.b)
          |SELECT v.n_nodes, n.n_edges, tr.n_triangles FROM n, v, tr""".stripMargin)),
+    QueryDef("q_clustering", qClustering, Some(
+      s"""WITH t AS (SELECT doc_id, $shSql AS sh FROM documents),
+         |hs AS (SELECT doc_id, $hsSql AS hs FROM t WHERE len(sh) > 0),
+         |sim AS (SELECT doc_id, $simHiSql AS sim_hi, $simLoSql AS sim_lo FROM hs),
+         |p AS (SELECT x.doc_id AS a, y.doc_id AS b FROM sim x JOIN sim y
+         |      ON x.doc_id < y.doc_id
+         |      WHERE bit_count(xor(x.sim_hi, y.sim_hi)) + bit_count(xor(x.sim_lo, y.sim_lo)) <= 6),
+         |deg AS (SELECT u, count(*) AS deg
+         |        FROM (SELECT a AS u FROM p UNION ALL SELECT b AS u FROM p) GROUP BY 1),
+         |tr AS (SELECT p1.a AS x, p1.b AS y, p2.b AS z
+         |       FROM p p1 JOIN p p2 ON p1.b = p2.a
+         |       JOIN p p3 ON p3.a = p1.a AND p3.b = p2.b),
+         |pn AS (SELECT u, count(*) AS tri
+         |       FROM (SELECT x AS u FROM tr UNION ALL SELECT y FROM tr
+         |             UNION ALL SELECT z FROM tr) GROUP BY 1)
+         |SELECT deg.u AS node, deg.deg, coalesce(pn.tri, 0) AS tri,
+         |  CASE WHEN deg.deg >= 2
+         |       THEN (2 * coalesce(pn.tri, 0) * 1000000) // (deg.deg * (deg.deg - 1))
+         |       ELSE 0 END AS lcc_micro
+         |FROM deg LEFT JOIN pn ON deg.u = pn.u ORDER BY node""".stripMargin)),
     QueryDef("q_dedup_segments", qDedupSegments, Some(
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents WHERE length(text) > 0),

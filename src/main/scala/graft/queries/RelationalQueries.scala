@@ -819,6 +819,30 @@ object RelationalQueries {
     graft.operators.Profile.robustStats(
       t(s, dir, "lineitem"), col("l_extendedprice"))
 
+  /** k-anonymity release census
+    * ([[graft.operators.Curation.kAnonLadder]] — the privacy gate
+    * beside PII redaction): quasi-identifier (nation, market
+    * segment) at k = 5; an under-k group generalizes to segment-only
+    * and suppresses if even that is under k. Per-group `anon_level`
+    * ∈ {0 publish, 1 generalize, 2 suppress}; all-integer. */
+  def qKAnon(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.kAnonLadder(
+      t(s, dir, "customer"),
+      level0 = Seq("c_nationkey", "c_mktsegment"),
+      level1 = Seq("c_mktsegment"), k = 5L)
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  /** Exact two-sample Kolmogorov-Smirnov drift test
+    * ([[graft.operators.Profile.ksTwoSample]] — returned-vs-delivered
+    * quantity distributions: the nonparametric drift statistic beside
+    * the binned-KL census, all-integer until the final reported
+    * millionth division). l_quantity is already discrete (50 values),
+    * the operator's documented domain contract. */
+  def qKsDrift(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.ksTwoSample(
+      t(s, dir, "lineitem"), col("l_quantity"),
+      col("l_returnflag") === "A", col("l_returnflag") === "N")
+
   /** EXACT quantiles in two narrow passes + a per-quantile bin-pruned
     * order-statistic fetch ([[graft.operators.Profile.exactQuantiles]]
     * — the scale shape replacing a full global sort; ranks are
@@ -928,6 +952,29 @@ object RelationalQueries {
         |SELECT bin, w.lo + bin * w.width AS lo,
         |  w.lo + (bin + 1) * w.width AS hi, count(*) AS n
         |FROM b, w GROUP BY bin, w.lo, w.width ORDER BY bin""".stripMargin)),
+    QueryDef("q_k_anon", qKAnon, Some(
+      """WITH g0 AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |g1 AS (SELECT c_mktsegment, CAST(sum(n) AS BIGINT) AS n1 FROM g0 GROUP BY 1)
+        |SELECT g0.c_nationkey, g0.c_mktsegment, g0.n,
+        |  CAST(CASE WHEN g0.n >= 5 THEN 0 WHEN g1.n1 >= 5 THEN 1 ELSE 2 END AS BIGINT) AS anon_level
+        |FROM g0 JOIN g1 USING (c_mktsegment)
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
+    QueryDef("q_ks_drift", qKsDrift, Some(
+      """WITH r AS (SELECT l_quantity AS v,
+        |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'N') GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |          CAST(sum(cb) AS BIGINT) AS n_b FROM r),
+        |c AS (SELECT v, CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cua,
+        |        CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cub FROM r),
+        |g AS (SELECT v, abs(cua * t.n_b - cub * t.n_a) AS gap FROM c, tot t),
+        |mx AS (SELECT max(gap) AS d_num FROM g),
+        |av AS (SELECT min(v) AS at_value FROM g, mx WHERE g.gap = mx.d_num)
+        |SELECT t.n_a, t.n_b, mx.d_num,
+        |  (mx.d_num * 1000000) // (t.n_a * t.n_b) AS d_micro, av.at_value
+        |FROM tot t, mx, av""".stripMargin)),
     QueryDef("q_robust_stats", qRobustStats, Some(
       """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
         |           WHERE l_extendedprice IS NOT NULL),

@@ -93,4 +93,52 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nE == canon.size && nT == naive.toLong,
       s"oriented wedge count $nT must equal naive $naive")
   }
+
+  private def lcc(es: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+    Dedup.localClustering(pairs(es)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+  test("local clustering: complete graph is all-1, path is all-0") {
+    val k4 = for (a <- 0L until 4L; b <- (a + 1) until 4L) yield (a, b)
+    val rk4 = lcc(k4)
+    assert(rk4.size == 4)
+    assert(rk4.values.forall { case (deg, tri, m) => deg == 3 && tri == 3 && m == 1000000L },
+      s"every K4 node sits on C(3,2)=3 triangles with LCC 1: $rk4")
+    val path = lcc((0L until 5L).map(i => (i, i + 1)))
+    assert(path.values.forall { case (_, tri, m) => tri == 0 && m == 0L })
+    // degree-1 endpoints report 0 (undefined coefficient pinned to 0)
+    assert(path(0L)._1 == 1 && path(5L)._1 == 1)
+  }
+
+  test("local clustering: triangle with a tail — hand numbers") {
+    // triangle 1-2-3 plus tail 3-4
+    val r = lcc(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    assert(r(1L) == ((2L, 1L, 1000000L)))
+    assert(r(2L) == ((2L, 1L, 1000000L)))
+    // node 3: deg 3, 1 triangle of C(3,2)=3 wedges → 1/3 in floored micro
+    assert(r(3L) == ((3L, 1L, 333333L)))
+    assert(r(4L) == ((1L, 0L, 0L)))
+  }
+
+  test("local clustering: per-node triangles sum to 3x the census count " +
+      "and match naive per-corner charging on a seeded random graph") {
+    val rnd = new scala.util.Random(11)
+    val es = Seq.fill(140)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+    val canon = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val edgeSet = canon.toSet
+    val triples = for {
+      (a, b) <- canon; (c, d) <- canon
+      if b == c && edgeSet.contains((a, d))
+    } yield (a, b, d)
+    val naivePer = triples.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    val got = lcc(es)
+    assert(got.values.map(_._2).sum == 3L * triples.size)
+    got.foreach { case (v, (deg, tri, m)) =>
+      assert(tri == naivePer.getOrElse(v, 0L), s"node $v triangle count")
+      val expect = if (deg >= 2) 2L * tri * 1000000L / (deg * (deg - 1)) else 0L
+      assert(m == expect, s"node $v lcc")
+    }
+  }
 }

@@ -486,4 +486,44 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(one == many, "chunking must not depend on partitioning")
   }
+
+  private def anon(rows: Seq[(String, String)], k: Long): Map[(String, String), (Long, Long)] = {
+    import spark.implicits._
+    Curation.kAnonLadder(rows.toDF("nat", "seg"), Seq("nat", "seg"), Seq("seg"), k)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+  }
+
+  test("kAnonLadder: publish / generalize / suppress hand case") {
+    // seg X: (a,X)x5 publishes at level 0; (b,X)x2 generalizes (X total 7 >= 5)
+    // seg Y: (c,Y)x2 alone — even the coarser group misses k → suppress
+    val rows = Seq.fill(5)(("a", "X")) ++ Seq.fill(2)(("b", "X")) ++
+      Seq.fill(2)(("c", "Y"))
+    val r = anon(rows, k = 5)
+    assert(r(("a", "X")) == ((5L, 0L)))
+    assert(r(("b", "X")) == ((2L, 1L)))
+    assert(r(("c", "Y")) == ((2L, 2L)))
+  }
+
+  test("kAnonLadder: level-1 membership counts the WHOLE coarser group") {
+    // three under-k groups in one segment: 2+2+2 = 6 >= 5 → all generalize
+    val rows = Seq.fill(2)(("a", "X")) ++ Seq.fill(2)(("b", "X")) ++
+      Seq.fill(2)(("c", "X"))
+    val r = anon(rows, k = 5)
+    assert(r.values.forall(_ == ((2L, 1L))),
+      s"each pair is k-anonymous within the pooled segment: $r")
+  }
+
+  test("kAnonLadder: k = 1 publishes everything; misuse is rejected loudly") {
+    val rows = Seq(("a", "X"), ("b", "Y"))
+    assert(anon(rows, k = 1).values.forall(_._2 == 0L))
+    import spark.implicits._
+    val df = rows.toDF("nat", "seg")
+    intercept[IllegalArgumentException] {
+      Curation.kAnonLadder(df, Seq("nat", "seg"), Seq("nat", "seg"), 5)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.kAnonLadder(df, Seq("nat", "seg"), Seq("other"), 5)
+    }
+  }
 }

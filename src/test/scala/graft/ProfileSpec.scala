@@ -191,4 +191,55 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage != null)
   }
+
+  private def ks(rows: Seq[(Double, String)]): (Long, Long, Long, Long, Double) = {
+    import spark.implicits._
+    val r = Profile.ksTwoSample(rows.toDF("v", "s"), col("v"),
+      col("s") === "a", col("s") === "b").head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+  }
+
+  test("ksTwoSample: identical samples have zero statistic") {
+    val rows = Seq(1.0, 2.0, 3.0, 3.0, 7.0)
+      .flatMap(v => Seq((v, "a"), (v, "b")))
+    val (na, nb, dNum, dMicro, _) = ks(rows)
+    assert((na, nb) == (5L, 5L))
+    assert(dNum == 0L && dMicro == 0L)
+  }
+
+  test("ksTwoSample: disjoint supports give D = 1 at the lower sample's max") {
+    val rows = Seq((1.0, "a"), (2.0, "a"), (3.0, "a"),
+      (10.0, "b"), (11.0, "b"))
+    val (na, nb, dNum, dMicro, at) = ks(rows)
+    assert(dNum == na * nb, "full separation: max gap = n_a*n_b")
+    assert(dMicro == 1000000L)
+    assert(at == 3.0, "the gap peaks once all of a has accumulated")
+  }
+
+  test("ksTwoSample: hand case — D = max |cumA*nB - cumB*nA|") {
+    // a: {1,2,2,5}  b: {2,3}
+    // at v=1: |1*2-0*4|=2; v=2: |3*2-1*4|=2; v=3: |3*2-2*4|=2; v=5: 0
+    val rows = Seq((1.0, "a"), (2.0, "a"), (2.0, "a"), (5.0, "a"),
+      (2.0, "b"), (3.0, "b"))
+    val (na, nb, dNum, dMicro, at) = ks(rows)
+    assert((na, nb) == (4L, 2L))
+    assert(dNum == 2L)
+    assert(dMicro == 250000L) // 2*1e6 div 8
+    assert(at == 1.0, "ties on the max gap resolve to the smallest value")
+  }
+
+  test("ksTwoSample matches a naive two-ECDF scan on the fixture") {
+    val rows = li.select(col("l_quantity"), col("l_returnflag"))
+      .filter(col("l_returnflag").isin("A", "N"))
+      .collect().map(r => (r.getDouble(0), r.getString(1)))
+    val a = rows.filter(_._2 == "A").map(_._1)
+    val b = rows.filter(_._2 == "N").map(_._1)
+    val dom = (a ++ b).distinct.sorted
+    val naive = dom.map(x =>
+      math.abs(a.count(_ <= x).toLong * b.length - b.count(_ <= x).toLong * a.length)).max
+    val (na, nb, dNum, _, _) = ks(rows.map { case (v, f) =>
+      (v, if (f == "A") "a" else "b") }.toSeq)
+    assert((na, nb) == (a.length.toLong, b.length.toLong))
+    assert(dNum == naive)
+  }
 }
