@@ -120,4 +120,43 @@ object Knn {
         col("hit._2").as(corpusId),
         col("hit._1").as("dist"))
   }
+
+  /** MUTUAL k-NN pairs over a candidate pool: (a, b) survives iff b is
+    * among a's k nearest AND a is among b's k nearest — the standard
+    * high-precision seed for semantic clustering and near-dup
+    * verification (one-directional neighbors include hubness
+    * artifacts; mutuality filters them without any threshold to tune;
+    * Jégou et al.'s reciprocal-NN lineage). Returns one row per
+    * mutual pair: `(a, b, dist)` with `a < b`.
+    *
+    * Contract: the POOL is a bounded candidate set (an IVF cell, a
+    * near-dup cluster, a blocking bucket — the MMR fetch convention),
+    * so broadcasting it as [[knnJoin]]'s query side is the honest
+    * cost. At corpus scale mutual-kNN runs per-pool after routing —
+    * the all-corpus variant IS the k-NN self-join the index arms
+    * exist to avoid.
+    *
+    * Self-matches are dropped AFTER an over-fetch of k+1 and the
+    * survivors re-ranked by (dist, id) — a zero-distance duplicate
+    * can displace the self row inside the heap, and without the
+    * re-rank the directed edge set would be partition-dependent. */
+  def mutualKnn(pool: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      metric: String = L2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = pool.select(col(idCol).as("__qid"), col(vecCol).as("__qv"))
+    val nn = knnJoin(pool, q, k + 1, corpusId = idCol, corpusVec = vecCol,
+        queryId = "__qid", queryVec = "__qv", metric = metric)
+      .filter(col("__qid") =!= col(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid")).orderBy(col("dist").asc, col(idCol).asc)
+    val directed = nn
+      .withColumn("__r", row_number().over(w)).filter(col("__r") <= k)
+      .select(col("__qid").as("src"), col(idCol).as("dst"), col("dist"))
+    directed
+      .join(directed.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"), col("dist"))
+  }
 }

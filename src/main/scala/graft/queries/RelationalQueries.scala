@@ -819,6 +819,17 @@ object RelationalQueries {
     graft.operators.Profile.robustStats(
       t(s, dir, "lineitem"), col("l_extendedprice"))
 
+  /** Last-touch conversion attribution
+    * ([[graft.operators.Attribution.lastTouch]] — each purchase
+    * credits the user's most recent prior non-purchase event type;
+    * no prior touch → "none"). One user-partitioned window + one
+    * census; decimal-exact value sums, 4-dp reported. */
+  def qAttribution(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Attribution.lastTouch(EventsFixture.events(s, dir),
+      col("user_id"), col("ts"), col("event_id"), col("event_type"),
+      col("value"), convType = "purchase")
+      .orderBy("touch_type")
+
   /** k-anonymity release census
     * ([[graft.operators.Curation.kAnonLadder]] — the privacy gate
     * beside PII redaction): quasi-identifier (nation, market
@@ -952,6 +963,15 @@ object RelationalQueries {
         |SELECT bin, w.lo + bin * w.width AS lo,
         |  w.lo + (bin + 1) * w.width AS hi, count(*) AS n
         |FROM b, w GROUP BY bin, w.lo, w.width ORDER BY bin""".stripMargin)),
+    QueryDef("q_attribution", qAttribution, Some(
+      """WITH w AS (SELECT event_type AS t, value AS v,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT coalesce(touch, 'none') AS touch_type, count(*) AS n_conv,
+        |  round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 4) AS value_sum
+        |FROM w WHERE t = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("q_k_anon", qKAnon, Some(
       """WITH g0 AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
         |  FROM customer GROUP BY 1, 2),

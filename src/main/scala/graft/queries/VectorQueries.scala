@@ -21,6 +21,17 @@ object VectorQueries {
     Knn.searchKnnById(emb(s, dir), qid = 0L, k = 10)
       .select(col("vec_id"), round(col("dist"), 3).as("dist"))
 
+  /** Mutual k-NN pairs over a bounded candidate pool
+    * ([[graft.operators.Knn.mutualKnn]] — reciprocal-NN seeds for
+    * semantic clustering: (a,b) survives iff each is in the other's
+    * top-k; the pool here is the vec_id%4 sample, the operator's
+    * bounded-pool contract). The oracle replays both directed top-4
+    * lists and the reciprocity join exactly. */
+  def qKnnMutual(s: SparkSession, dir: String): DataFrame =
+    Knn.mutualKnn(emb(s, dir).filter(col("vec_id") % 4 === 0), k = 4)
+      .select(col("a"), col("b"), round(col("dist"), 3).as("dist"))
+      .orderBy("a", "b")
+
   /** Same top-k under cosine distance (ref kernel `src/lib.rs:32-47`).
     * `+ 0.0` normalizes IEEE -0.0 on the self-match row (1 - cos(v,v)
     * rounds to -0.0 in DuckDB, +0.0 in Spark) — same fix as
@@ -428,6 +439,18 @@ object VectorQueries {
          |SELECT e.vec_id, round(${l2Sql("e.embedding", "q.qv")}, 3) AS dist
          |FROM embeddings e CROSS JOIN q
          |ORDER BY ${l2Sql("e.embedding", "q.qv")}, e.vec_id LIMIT 10""".stripMargin)),
+    QueryDef("q_knn_mutual", qKnnMutual, Some(
+      s"""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+         |d AS (SELECT x.vec_id AS src, y.vec_id AS dst,
+         |        ${l2Sql("x.embedding", "y.embedding")} AS dist
+         |      FROM s x JOIN s y ON x.vec_id <> y.vec_id),
+         |r AS (SELECT src, dst, dist,
+         |        row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn FROM d),
+         |e AS (SELECT src, dst, dist FROM r WHERE rn <= 4)
+         |SELECT e.src AS a, e.dst AS b, round(e.dist, 3) AS dist
+         |FROM e WHERE e.src < e.dst
+         |  AND EXISTS (SELECT 1 FROM e m WHERE m.src = e.dst AND m.dst = e.src)
+         |ORDER BY 1, 2""".stripMargin)),
     QueryDef("q_knn_cosine", qKnnCosine, Some(
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          |scored AS (SELECT e.vec_id, 1.0 - ${cosSql("e.embedding", "q.qv")} AS d
