@@ -510,8 +510,18 @@ object TextQueries {
     * order statistics or counts. Keep rule `q >= p40` (closed: the
     * threshold doc itself survives). */
   def qQualityGate(s: SparkSession, dir: String): DataFrame = {
-    val scored = docs(s, dir).select(col("doc_id"), col("source"),
-      (floor(qualityScore(col("text")) * 10000.0) / 10000.0).as("q"))
+    // score ONCE, in parallel, and materialize the tiny (id, source, q)
+    // projection: three downstream passes (quantile census, pruned
+    // order-statistic fetch, gate census) would otherwise each re-run
+    // the heavy text score — and the fixture's single parquet file
+    // would run it single-task (measured 4 × ~0.5-0.9 s at sf0.1; at
+    // corpus scale "score once, keep the score column" is the same
+    // standard shape)
+    val scored = docs(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        (floor(qualityScore(col("text")) * 10000.0) / 10000.0).as("q"))
+      .localCheckpoint()
     val thr = graft.operators.Profile.groupedQuantiles(
       scored, col("source"), col("q"), Seq((2, 5)))
       .select(col("group").as("source"), col("value").as("p40"))
