@@ -44,4 +44,31 @@ object Attribution {
         round(sum(col("__v").cast("decimal(18,6)")).cast("double"), 4)
           .as("value_sum"))
   }
+
+  /** Top-k length-3 behavioural paths: the census of consecutive
+    * event-type triples across every user sequence (`t1>t2>t3`,
+    * ordered by time with the id tiebreak), counted corpus-wide and
+    * top-k'd by (count DESC, path) — the sequence-mining staple that
+    * feeds funnel design and next-event models. Paths never cross
+    * users; sequences shorter than 3 contribute nothing.
+    *
+    * Scale shape: one user-partitioned window (two `lead`s of a
+    * one-byte-ish type column — O(1) state), one map-side-combined
+    * path census over O(|types|³) keys, and a bounded top-k — never a
+    * global sort over the log. */
+  def topPaths(events: DataFrame, user: Column, ts: Column, id: Column,
+      typ: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__ts").asc, col("__id").asc)
+    events.select(user.as("__u"), ts.as("__ts"), id.as("__id"), typ.as("__t"))
+      .select(col("__t").as("t1"),
+        lead(col("__t"), 1).over(w).as("t2"),
+        lead(col("__t"), 2).over(w).as("t3"))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(concat_ws(">", col("t1"), col("t2"), col("t3")).as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
 }

@@ -288,6 +288,35 @@ object Profile {
       .orderBy("group", "q")
   }
 
+  /** Whole-table column profile — the schema-health census a pipeline
+    * runs on every new corpus drop before anything downstream trusts
+    * it: per column, row count, NULL count, and EXACT distinct count
+    * (`(column, n_rows, n_null, n_distinct)`; n_distinct excludes
+    * NULLs, the SQL COUNT DISTINCT convention). The tripwire for
+    * silently-broken joins (key cardinality collapsed), dead columns
+    * (all NULL), and fixture drift.
+    *
+    * Scale shape: one narrow census PER COLUMN, each a column-pruned
+    * scan (`ReadSchema` carries exactly one field — columnar formats
+    * make N single-column passes cheaper than one N-column pass) into
+    * Spark's two-phase distinct aggregate (partial per partition,
+    * merge on the key). Deliberately NOT one multi-countDistinct
+    * aggregate: Catalyst plans that through Expand, multiplying every
+    * corpus row ×N into the shuffle — the wrong trade at 100 TB. For
+    * columns too hot even for a two-phase exact distinct, the O(m)
+    * register sketches ([[Sketches]]) are the documented fallback. */
+  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column required")
+    cols.map { c =>
+      df.select(col(c))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_null"),
+          col("n_distinct"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Exact two-sample Kolmogorov-Smirnov statistic — the
     * distribution-drift test a pipeline runs between two slices of a
     * statistic (this crawl snapshot vs the last one, source A vs

@@ -66,6 +66,27 @@ object RelationalQueries {
       .agg(decSum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
       .orderBy("n_name")
 
+  /** TPC-H Q3-shaped shipping priority: the classic SELECTIVE
+    * dimension filter (one market segment ≈ 20% of customers) + two
+    * date predicates that must reach their parquet scans, a 3-way
+    * join AQE sizes (the filtered customer side broadcasts), and a
+    * top-10 over the join's revenue aggregate — TakeOrderedAndProject,
+    * never a global sort. Revenue sums the per-row double product
+    * DECIMAL-exactly (merge-order-free, the decSum convention). */
+  def qShipPriority(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-06-01").cast("timestamp")
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < cut)
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > cut)
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
   /** Bucketed co-located join ([[graft.operators.Layout.writeBucketed]]
     * — both fact tables written with 8 hash buckets on the order key,
     * once per session via the memo): the orders↔lineitem revenue join
@@ -819,6 +840,25 @@ object RelationalQueries {
     graft.operators.Profile.robustStats(
       t(s, dir, "lineitem"), col("l_extendedprice"))
 
+  /** Whole-table column profile over lineitem
+    * ([[graft.operators.Profile.tableProfile]] — per-column row/NULL/
+    * exact-distinct census via one column-pruned pass per column,
+    * deliberately never the Expand-based multi-countDistinct). */
+  def qProfileTable(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.tableProfile(
+      t(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+        "l_linestatus", "l_quantity", "l_shipdate"))
+      .orderBy("column")
+
+  /** Top-10 behavioural event paths
+    * ([[graft.operators.Attribution.topPaths]] — consecutive
+    * event-type triples per user sequence, corpus census, bounded
+    * top-k). */
+  def qEventPaths(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Attribution.topPaths(EventsFixture.events(s, dir),
+      col("user_id"), col("ts"), col("event_id"), col("event_type"), k = 10)
+
   /** Last-touch conversion attribution
     * ([[graft.operators.Attribution.lastTouch]] — each purchase
     * credits the user's most recent prior non-purchase event type;
@@ -963,6 +1003,37 @@ object RelationalQueries {
         |SELECT bin, w.lo + bin * w.width AS lo,
         |  w.lo + (bin + 1) * w.width AS hi, count(*) AS n
         |FROM b, w GROUP BY bin, w.lo, w.width ORDER BY bin""".stripMargin)),
+    QueryDef("q_profile_table", qProfileTable, Some(
+      """SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  count(DISTINCT l_orderkey) AS n_distinct FROM lineitem
+        |UNION ALL SELECT 'l_partkey', count(*),
+        |  CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT l_partkey) FROM lineitem
+        |UNION ALL SELECT 'l_suppkey', count(*),
+        |  CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT l_suppkey) FROM lineitem
+        |UNION ALL SELECT 'l_returnflag', count(*),
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT l_returnflag) FROM lineitem
+        |UNION ALL SELECT 'l_linestatus', count(*),
+        |  CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT l_linestatus) FROM lineitem
+        |UNION ALL SELECT 'l_quantity', count(*),
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT l_quantity) FROM lineitem
+        |UNION ALL SELECT 'l_shipdate', count(*),
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT l_shipdate) FROM lineitem
+        |ORDER BY 1""".stripMargin)),
+    QueryDef("q_event_paths", qEventPaths, Some(
+      """WITH s AS (SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+        |  FROM events)
+        |SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
+        |FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin)),
     QueryDef("q_attribution", qAttribution, Some(
       """WITH w AS (SELECT event_type AS t, value AS v,
         |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
@@ -1411,6 +1482,17 @@ object RelationalQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+    QueryDef("q_ship_priority", qShipPriority, Some(
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin)),
     QueryDef("q_bucketed_join", qBucketedJoin, Some(
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)

@@ -62,6 +62,31 @@ class AttributionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(rows) == Map("none" -> ((1L, 9.0))))
   }
 
+  private def paths(rows: Seq[(Long, Long, Long, String)], k: Int): Seq[(String, Long)] = {
+    import spark.implicits._
+    val df = rows.toDF("user_id", "tsn", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("tsn")))
+    Attribution.topPaths(df, col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  test("topPaths: consecutive triples, never crossing users, short sequences drop") {
+    val rows = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "c"), (1L, 40L, 4L, "d"),
+      (2L, 10L, 5L, "a"), (2L, 20L, 6L, "b"), (2L, 30L, 7L, "c"),
+      (3L, 10L, 8L, "x"), (3L, 20L, 9L, "y")) // length-2: no triple
+    assert(paths(rows, k = 10) == Seq(("a>b>c", 2L), ("b>c>d", 1L)))
+  }
+
+  test("topPaths: k bounds the output and ties break on the path string") {
+    val rows = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "a"), (1L, 30L, 3L, "a"), (1L, 40L, 4L, "b"),
+      (2L, 10L, 5L, "b"), (2L, 20L, 6L, "b"), (2L, 30L, 7L, "b"))
+    // triples: a>a>a, a>a>b (user 1), b>b>b (user 2) — all count 1
+    assert(paths(rows, k = 2) == Seq(("a>a>a", 1L), ("a>a>b", 1L)))
+  }
+
   test("value sums are decimal-exact (no float accumulation drift)") {
     // 0.1 added 100 times is exactly 10.0 in decimal, not 9.99999...
     val rows = (1L to 100L).flatMap(i => Seq(

@@ -441,4 +441,27 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_bit_or") || p.contains("partial_"),
       s"bloom build must pre-aggregate the word census map-side:\n$p")
   }
+
+  test("ship-priority pushes all three filters to their scans, " +
+      "top-10 is bounded, no cartesian") {
+    val p = plan(RelationalQueries.qShipPriority(spark, sfDir))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter must reach the customer scan:\n$p")
+    assert(p.contains("LessThan(o_orderdate"),
+      s"order-date filter must reach the orders scan:\n$p")
+    assert(p.contains("GreaterThan(l_shipdate"),
+      s"ship-date filter must reach the lineitem scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be a bounded operator, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("table profile scans exactly one column per census (column pruning), " +
+      "and never plans an Expand") {
+    val p = plan(RelationalQueries.qProfileTable(spark, sfDir))
+    assert(p.contains("ReadSchema: struct<l_returnflag:string>"),
+      s"each per-column census must prune the scan to its one field:\n$p")
+    assert(!p.contains("Expand"),
+      s"multi-countDistinct Expand would multiply corpus rows into the shuffle:\n$p")
+  }
 }

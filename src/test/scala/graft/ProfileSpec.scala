@@ -228,6 +228,22 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(at == 1.0, "ties on the max gap resolve to the smallest value")
   }
 
+  test("tableProfile: null / distinct / constant / all-null columns") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), "x", Option.empty[Double]),
+      (Some(1L), "y", None),
+      (None, "x", None),
+      (Some(3L), "x", None))
+      .toDF("a", "b", "c")
+    val r = Profile.tableProfile(df, Seq("a", "b", "c"))
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(r("a") == ((4L, 1L, 2L)), "NULL excluded from the distinct count")
+    assert(r("b") == ((4L, 0L, 2L)))
+    assert(r("c") == ((4L, 4L, 0L)), "dead column: all NULL, zero distinct")
+  }
+
   test("ksTwoSample matches a naive two-ECDF scan on the fixture") {
     val rows = li.select(col("l_quantity"), col("l_returnflag"))
       .filter(col("l_returnflag").isin("A", "N"))
