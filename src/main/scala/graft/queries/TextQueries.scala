@@ -534,6 +534,28 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Length-balance census: every document assigned its GLOBAL length
+    * quartile (thresholds = exact order statistics via
+    * [[graft.operators.Profile.exactQuantiles]]'s no-global-sort
+    * machinery, an O(3)-row driver-side model), then the per-source ×
+    * bucket count matrix — the diagnostic that exposes a source
+    * feeding only short (or only long) sequences into packing, the
+    * usual hidden skew behind padding waste. Bucketing is one
+    * broadcast-literal map pass; nothing sorts the corpus. */
+  def qLengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val qs = graft.operators.Profile.exactQuantiles(
+        d, col("n_chars"), Seq((1, 4), (1, 2), (3, 4)))
+      .orderBy("q").collect().map(_.getDouble(1))
+    d.groupBy(col("source"),
+        when(col("n_chars") <= qs(0), 1)
+          .when(col("n_chars") <= qs(1), 2)
+          .when(col("n_chars") <= qs(2), 3)
+          .otherwise(4).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("source", "bucket")
+  }
+
   /** Token-weighted document-length quantiles
     * ([[graft.operators.Profile.weightedQuantiles]] — the size-biased
     * distribution: what a typical TOKEN sees, not a typical document;
@@ -842,6 +864,20 @@ object TextQueries {
          |  sum(CASE WHEN sc.q >= t.p40 THEN 1 ELSE 0 END) AS n_kept
          |FROM sc JOIN thr t USING (source)
          |GROUP BY 1, 2 ORDER BY source""".stripMargin)),
+    QueryDef("q_length_buckets", qLengthBuckets, Some(
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |o AS (SELECT n_chars AS x, row_number() OVER (ORDER BY n_chars) AS rn
+        |      FROM documents),
+        |t AS (SELECT
+        |    max(CASE WHEN rn = (n.n + 3) // 4 THEN x END) AS q1,
+        |    max(CASE WHEN rn = (n.n + 1) // 2 THEN x END) AS q2,
+        |    max(CASE WHEN rn = (3 * n.n + 3) // 4 THEN x END) AS q3
+        |  FROM o, n)
+        |SELECT source,
+        |  CAST(CASE WHEN n_chars <= q1 THEN 1 WHEN n_chars <= q2 THEN 2
+        |            WHEN n_chars <= q3 THEN 3 ELSE 4 END AS INT) AS bucket,
+        |  count(*) AS n
+        |FROM documents, t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QueryDef("q_quantiles_weighted", qQuantilesWeighted, Some(
       s"""WITH r AS (SELECT CAST(n_chars AS DOUBLE) AS v,
          |             CAST(len($toksSql) AS BIGINT) AS w FROM documents),

@@ -456,6 +456,29 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("frequent pairs: survivor prune is a broadcast semi-join and the " +
+      "self-join reuses one basket partitioning") {
+    val p = plan(RelationalQueries.qFreqPairs(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"the model-sized survivor set must broadcast (map-side prune):\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // at fixture scale AQE broadcasts the small self-join side (fine);
+    // the 100 TB shape is the shuffled self-join — force it and pin
+    // that the basket exchange is computed ONCE and reused, so the
+    // corpus never shuffles twice for the two identical sides
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // exchange reuse is an AQE runtime decision — execute, then read
+      // the FINAL adaptive plan
+      val df = RelationalQueries.qFreqPairs(spark, sfDir)
+      df.collect() // executes THIS QueryExecution (count() would clone it)
+      val ps = df.queryExecution.executedPlan.toString
+      assert(ps.contains("ReusedExchange") || ps.contains("ReusedQueryStage"),
+        s"both self-join sides are the same frame — one basket exchange, reused:\n$ps")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("table profile scans exactly one column per census (column pruning), " +
       "and never plans an Expand") {
     val p = plan(RelationalQueries.qProfileTable(spark, sfDir))
