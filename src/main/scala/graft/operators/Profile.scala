@@ -337,6 +337,64 @@ object Profile {
     * through [[histogram]]-style binning first. That makes the heavy
     * part ONE map-side-combined (value → countA, countB) census of
     * O(|domain|) output; everything after is domain-sized. */
+  /** Per-group one-vs-rest KS census — [[ksTwoSample]] for EVERY
+    * group in one query: each group's exact D statistic against the
+    * pooled rest of the corpus, `(group, n_g, n_rest, d_num, d_micro,
+    * at_value)` per group. The whole-corpus drift screen a multi-
+    * source pipeline runs per snapshot: which sources' distributions
+    * moved, by how much, and where.
+    *
+    * gap_g(x) = |cum_g(x)·(N−n_g) − (cumT(x)−cum_g(x))·n_g| in exact
+    * integers, maximized over the value domain.
+    *
+    * Scale shape: one map-side-combined (group, value) census, then
+    * everything runs on the DENSE group×domain grid — bounded by the
+    * same two contracts the inputs already carry (quantized value
+    * domain, census-sized group count), built as a broadcast
+    * crossJoin so no corpus row is touched twice. The cumulative
+    * window partitions BY GROUP (parallel, domain-sized partitions),
+    * unlike the single-pair arm's one-partition pass. */
+  def ksByGroup(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val v = value.cast("double")
+    val g = group.cast("string")
+    val r = df.filter(v.isNotNull && g.isNotNull)
+      .groupBy(g.as("__g"), v.as("__v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // grid + totals + domain all read it
+    val vals = r.select(col("__v")).distinct()
+    val grps = r.select(col("__g")).distinct()
+    val totals = r.groupBy(col("__g")).agg(sum(col("c")).as("n_g"))
+    val nAll = r.agg(coalesce(sum(col("c")), lit(0L)).as("n_all"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wt = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val perValue = r.groupBy(col("__v")).agg(sum(col("c")).as("ct"))
+      .withColumn("cum_t", sum(col("ct")).over(wt))
+      .select(col("__v"), col("cum_t"))
+    val gaps = vals.crossJoin(broadcast(grps))
+      .join(r, Seq("__g", "__v"), "left")
+      .select(col("__g"), col("__v"), coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("cum_g", sum(col("c")).over(w))
+      .join(perValue, "__v")
+      .join(broadcast(totals), "__g")
+      .crossJoin(nAll) // 1-row frame
+      .select(col("__g"), col("__v"), col("n_g"),
+        (col("n_all") - col("n_g")).as("n_rest"),
+        abs(col("cum_g") * (col("n_all") - col("n_g")) -
+          (col("cum_t") - col("cum_g")) * col("n_g")).as("gap"))
+      .localCheckpoint() // two consumers (per-group max + argmin)
+    val mx = gaps.groupBy(col("__g")).agg(max(col("gap")).as("d_num"))
+    gaps.join(mx, Seq("__g")).filter(col("gap") === col("d_num"))
+      .groupBy(col("__g").as("group"), col("n_g"), col("n_rest"), col("d_num"))
+      .agg(min(col("__v")).as("at_value"))
+      .select(col("group"), col("n_g"), col("n_rest"), col("d_num"),
+        expr("(d_num * 1000000) div (n_g * n_rest)").as("d_micro"),
+        col("at_value"))
+  }
+
   def ksTwoSample(df: DataFrame, value: Column, isA: Column, isB: Column): DataFrame = {
     val v = value.cast("double")
     val r = df.filter(v.isNotNull && (isA || isB))

@@ -534,6 +534,18 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Per-source one-vs-rest KS drift census
+    * ([[graft.operators.Profile.ksByGroup]] — every source's exact D
+    * statistic against the pooled rest in ONE query, the snapshot
+    * screen beside the binned-KL census: which sources moved, by how
+    * much, and at what value). Exact integers end-to-end; the dense
+    * source×length grid is bounded by the quantized domain and the
+    * census-sized source count. */
+  def qKsSources(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.ksByGroup(
+      docs(s, dir), col("source"), col("n_chars"))
+      .orderBy("group")
+
   /** Length-balance census: every document assigned its GLOBAL length
     * quartile (thresholds = exact order statistics via
     * [[graft.operators.Profile.exactQuantiles]]'s no-global-sort
@@ -864,6 +876,27 @@ object TextQueries {
          |  sum(CASE WHEN sc.q >= t.p40 THEN 1 ELSE 0 END) AS n_kept
          |FROM sc JOIN thr t USING (source)
          |GROUP BY 1, 2 ORDER BY source""".stripMargin)),
+    QueryDef("q_ks_sources", qKsSources, Some(
+      """WITH r AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS v,
+        |             CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g FROM r GROUP BY 1),
+        |na AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM r),
+        |pv AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM r GROUP BY 1),
+        |pt AS (SELECT v, CAST(sum(ct) OVER (ORDER BY v) AS BIGINT) AS cum_t FROM pv),
+        |grid AS (SELECT gg.g, vv.v
+        |         FROM (SELECT DISTINCT g FROM r) gg, (SELECT DISTINCT v FROM r) vv),
+        |cg AS (SELECT grid.g, grid.v,
+        |         CAST(sum(coalesce(r.c, 0)) OVER (PARTITION BY grid.g ORDER BY grid.v) AS BIGINT) AS cum_g
+        |       FROM grid LEFT JOIN r ON r.g = grid.g AND r.v = grid.v),
+        |gaps AS (SELECT cg.g, cg.v, tot.n_g, na.n_all - tot.n_g AS n_rest,
+        |           abs(cum_g * (na.n_all - tot.n_g) - (pt.cum_t - cum_g) * tot.n_g) AS gap
+        |         FROM cg JOIN pt USING (v) JOIN tot ON tot.g = cg.g, na),
+        |mx AS (SELECT g, max(gap) AS d_num FROM gaps GROUP BY 1)
+        |SELECT gaps.g AS "group", gaps.n_g, gaps.n_rest, mx.d_num,
+        |  (mx.d_num * 1000000) // (gaps.n_g * gaps.n_rest) AS d_micro,
+        |  min(gaps.v) AS at_value
+        |FROM gaps JOIN mx ON mx.g = gaps.g AND gaps.gap = mx.d_num
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin)),
     QueryDef("q_length_buckets", qLengthBuckets, Some(
       """WITH n AS (SELECT count(*) AS n FROM documents),
         |o AS (SELECT n_chars AS x, row_number() OVER (ORDER BY n_chars) AS rn

@@ -244,6 +244,20 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r("c") == ((4L, 4L, 0L)), "dead column: all NULL, zero distinct")
   }
 
+  test("ksByGroup row == ksTwoSample(group vs rest) for every group on the fixture") {
+    val df = li.select(col("l_quantity").as("v"), col("l_returnflag").as("g"))
+    val grouped = Profile.ksByGroup(df, col("g"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(grouped.keySet == Set("A", "N", "R"))
+    grouped.keys.foreach { g =>
+      val two = Profile.ksTwoSample(df, col("v"), col("g") === g, col("g") =!= g).head()
+      assert(grouped(g) == ((two.getLong(0), two.getLong(1), two.getLong(2),
+        two.getLong(3), two.getDouble(4))),
+        s"group $g must match the dedicated two-sample arm")
+    }
+  }
+
   test("ksTwoSample matches a naive two-ECDF scan on the fixture") {
     val rows = li.select(col("l_quantity"), col("l_returnflag"))
       .filter(col("l_returnflag").isin("A", "N"))
