@@ -113,4 +113,58 @@ object NgramLm {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** Distinctive vocabulary per group — the log-odds ratio with an
+    * informative Dirichlet prior (Monroe, Colaresi & Quinn '08,
+    * "Fightin' Words" §3.5: the statistic that replaced raw TF-IDF
+    * for "what words characterize THIS source vs the rest", because
+    * the prior shrinks rare-word noise and the z-scaling undoes the
+    * frequency-variance confound). Per (group, token):
+    * δ = ln((y_g+α)/(n_g+a0−y_g−α)) − ln((y_r+α)/(n_r+a0−y_r−α)),
+    * z = δ/√(1/(y_g+α) + 1/(y_r+α)), α = a0·y_all/n_all — assembled
+    * from EXACT integer counts in double, two lns + one sqrt per key,
+    * floored once to 4dp (the [[pmiTop]] libm convention); ranking
+    * uses the FLOORED z with the token tiebreak so both engines pick
+    * identical top-k rows. Output: top-`k` per group by (z DESC,
+    * token).
+    *
+    * Scale shape: ONE tokenize pass into a map-side-combined
+    * (group, token) census; the global token census and both totals
+    * DERIVE from that census (no second corpus scan); one token-key
+    * join against the model-sized global census + one broadcast of
+    * the O(groups) totals; final top-k is a window over the
+    * group-partitioned vocabulary. */
+  def distinctiveTerms(docs: DataFrame, group: Column, textCol: Column,
+      a0: Double, minCount: Long, k: Int): DataFrame = {
+    require(a0 > 0, s"prior mass a0 must be > 0, got $a0")
+    require(minCount >= 1 && k >= 1, "minCount and k must be >= 1")
+    val tok = docs
+      .select(group.cast("string").as("g"), explode(tokens(textCol)).as("tok"))
+    val cg = tok.groupBy("g", "tok").agg(count(lit(1)).as("yg"))
+      .localCheckpoint() // three derived censuses read it
+    val callT = cg.groupBy("tok").agg(sum(col("yg")).as("ya"))
+      .filter(col("ya") >= minCount)
+    val ng = cg.groupBy("g").agg(sum(col("yg")).as("ng"))
+    val nAll = cg.agg(sum(col("yg")).as("na"))
+    val alpha = lit(a0) * col("ya").cast("double") / col("na")
+    val ygD = col("yg").cast("double")
+    val yrD = (col("ya") - col("yg")).cast("double")
+    val ngD = col("ng").cast("double")
+    val nrD = (col("na") - col("ng")).cast("double")
+    val delta =
+      log((ygD + alpha) / (ngD + lit(a0) - ygD - alpha)) -
+        log((yrD + alpha) / (nrD + lit(a0) - yrD - alpha))
+    val z = delta / sqrt(lit(1.0) / (ygD + alpha) + lit(1.0) / (yrD + alpha))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("z").desc, col("tok").asc)
+    cg.join(callT, "tok")
+      .join(broadcast(ng), "g")
+      .crossJoin(nAll) // 1-row frame
+      .select(col("g"), col("tok"), col("yg"),
+        (floor(z * 10000.0) / 10000.0).as("z"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("g").as("group"), col("rank"), col("tok").as("token"),
+        col("yg").as("n_in_group"), col("z"))
+  }
 }

@@ -840,6 +840,20 @@ object RelationalQueries {
     graft.operators.Profile.robustStats(
       t(s, dir, "lineitem"), col("l_extendedprice"))
 
+  /** CUBE pricing summary — all four grouping sets of (returnflag,
+    * linestatus) in ONE pass (Catalyst plans cube as a single Expand
+    * + hash aggregate — here the ×4 row expansion is the POINT, four
+    * censuses for one scan, unlike the tableProfile case where Expand
+    * would be waste); `grouping_id` disambiguates the NULL markers,
+    * sums are decimal-exact. Completes the rollup gate's lattice. */
+  def qCubePricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        decSum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
   /** Whole-table column profile over lineitem
     * ([[graft.operators.Profile.tableProfile]] — per-column row/NULL/
     * exact-distinct census via one column-pruned pass per column,
@@ -1003,6 +1017,14 @@ object RelationalQueries {
         |SELECT bin, w.lo + bin * w.width AS lo,
         |  w.lo + (bin + 1) * w.width AS hi, count(*) AS n
         |FROM b, w GROUP BY bin, w.lo, w.width ORDER BY bin""".stripMargin)),
+    QueryDef("q_cube_pricing", qCubePricing, Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)),
     QueryDef("q_profile_table", qProfileTable, Some(
       """SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
         |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,

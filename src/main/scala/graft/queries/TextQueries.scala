@@ -534,6 +534,17 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Distinctive vocabulary per source
+    * ([[graft.operators.NgramLm.distinctiveTerms]] — Monroe log-odds
+    * with informative Dirichlet prior, the "Fightin' Words" statistic:
+    * what characterizes THIS source against the pooled rest, with
+    * rare-word shrinkage and variance normalization raw TF-IDF
+    * lacks). a0 = 100, minCount = 5, top-3 per source. */
+  def qDistinctiveTerms(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NgramLm.distinctiveTerms(docs(s, dir),
+      col("source"), col("text"), a0 = 100.0, minCount = 5L, k = 3)
+      .orderBy("group", "rank")
+
   /** Per-source one-vs-rest KS drift census
     * ([[graft.operators.Profile.ksByGroup]] — every source's exact D
     * statistic against the pooled rest in ONE query, the snapshot
@@ -876,6 +887,28 @@ object TextQueries {
          |  sum(CASE WHEN sc.q >= t.p40 THEN 1 ELSE 0 END) AS n_kept
          |FROM sc JOIN thr t USING (source)
          |GROUP BY 1, 2 ORDER BY source""".stripMargin)),
+    QueryDef("q_distinctive_terms", qDistinctiveTerms, Some(
+      s"""WITH tk AS (SELECT source AS g, unnest($toksSql) AS tok FROM documents),
+         |cg AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS yg FROM tk GROUP BY 1, 2),
+         |ca AS (SELECT tok, CAST(sum(yg) AS BIGINT) AS ya FROM cg
+         |       GROUP BY 1 HAVING CAST(sum(yg) AS BIGINT) >= 5),
+         |ngc AS (SELECT g, CAST(sum(yg) AS BIGINT) AS ng FROM cg GROUP BY 1),
+         |nac AS (SELECT CAST(sum(yg) AS BIGINT) AS na FROM cg),
+         |j AS (SELECT cg.g, cg.tok, cg.yg AS ygi,
+         |        CAST(cg.yg AS DOUBLE) AS yg, CAST(ca.ya - cg.yg AS DOUBLE) AS yr,
+         |        CAST(ngc.ng AS DOUBLE) AS ngd, CAST(nac.na - ngc.ng AS DOUBLE) AS nrd,
+         |        100.0 * ca.ya / nac.na AS al
+         |      FROM cg JOIN ca USING (tok) JOIN ngc USING (g), nac),
+         |sc AS (SELECT g, tok, ygi,
+         |        floor((ln((yg + al) / (ngd + 100.0 - yg - al))
+         |             - ln((yr + al) / (nrd + 100.0 - yr - al)))
+         |          / sqrt(1.0 / (yg + al) + 1.0 / (yr + al)) * 10000.0) / 10000.0 AS z
+         |      FROM j),
+         |r AS (SELECT g, tok, ygi, z,
+         |        row_number() OVER (PARTITION BY g ORDER BY z DESC, tok) AS rank FROM sc)
+         |SELECT g AS "group", CAST(rank AS INT) AS rank, tok AS token,
+         |  ygi AS n_in_group, z
+         |FROM r WHERE rank <= 3 ORDER BY 1, 2""".stripMargin)),
     QueryDef("q_ks_sources", qKsSources, Some(
       """WITH r AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS v,
         |             CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),

@@ -124,4 +124,29 @@ class TextStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val mash = h("xK9#mQ2$vL7@pR4!wZ8%nB3^jF6&hT1*")
     assert(mash > eng + 0.3, s"mash $mash must clearly exceed english $eng")
   }
+
+  test("distinctiveTerms: a planted group-exclusive token ranks first, " +
+      "shared vocabulary scores near zero, minCount filters") {
+    import spark.implicits._
+    // group a over-uses "alpha"; both share the filler vocabulary
+    val filler = "one two three four five six"
+    val docs = (Seq.fill(8)(("a", s"$filler alpha alpha")) ++
+      Seq.fill(8)(("b", s"$filler beta beta"))).toDF("src", "text")
+    val r = graft.operators.NgramLm.distinctiveTerms(docs, col("src"),
+        col("text"), a0 = 10.0, minCount = 2L, k = 2)
+      .collect().map(x => (x.getString(0), x.getInt(1)) ->
+        (x.getString(2), x.getDouble(4))).toMap
+    assert(r(("a", 1))._1 == "alpha", s"a's top token must be its exclusive one: $r")
+    assert(r(("b", 1))._1 == "beta")
+    assert(r(("a", 1))._2 > 0, "over-use scores positive")
+    // rank-2 tokens are shared filler: |z| well below the planted token
+    assert(math.abs(r(("a", 2))._2) < r(("a", 1))._2 / 2,
+      s"shared vocabulary must not out-score the planted token: $r")
+    // minCount above the planted count removes it from contention
+    val r2 = graft.operators.NgramLm.distinctiveTerms(docs, col("src"),
+        col("text"), a0 = 10.0, minCount = 17L, k = 1)
+      .collect().map(x => x.getString(2)).toSet
+    assert(!r2.contains("alpha") && !r2.contains("beta"),
+      s"minCount must filter the 16-occurrence planted tokens: $r2")
+  }
 }
