@@ -317,6 +317,45 @@ object Multimodal {
     out
   }
 
+  /** Grayscale a P6 PPM in place: integer ITU-R BT.601 luma
+    * y = (299·r + 587·g + 114·b) / 1000 (integer division — exact,
+    * replayable; the float-free form of the standard weights), written
+    * back as r = g = b = y so the output is again a VALID P6 that
+    * round-trips [[parsePpmHeader]]/[[decodePpm]] — the channel-drop
+    * preprocessing stage of an image pipeline, composing with resize
+    * and every downstream decode. */
+  def grayscalePpm(content: Array[Byte]): Array[Byte] = {
+    val (w, h, off) = parsePpmHeader(content)
+    val out = content.clone()
+    var p = off
+    val end = off + w * h * 3
+    while (p < end) {
+      val r = content(p) & 0xff
+      val g = content(p + 1) & 0xff
+      val b = content(p + 2) & 0xff
+      val y = ((299 * r + 587 * g + 114 * b) / 1000).toByte
+      out(p) = y; out(p + 1) = y; out(p + 2) = y
+      p += 3
+    }
+    out
+  }
+
+  /** Media-table grayscale stage: PPM rows convert via
+    * [[grayscalePpm]], other modalities pass through — the
+    * [[resizeMedia]] shape (mapPartitions batching, map-only, no
+    * shuffle at any scale). */
+  def grayscaleMedia(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("modality"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, modality, bytes) =>
+        val out = if (modality == PpmModality) grayscalePpm(bytes) else bytes
+        (id, modality, out)
+      })
+      .toDF("media_id", "modality", "content")
+  }
+
   /** Media-table resize stage: PPM rows downsample by `factor`
     * ([[resizePpm]] — real pixel decimation through the real codec),
     * other modalities pass through untouched. Batched in

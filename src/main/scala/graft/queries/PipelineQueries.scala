@@ -63,6 +63,28 @@ object PipelineQueries {
     * round-trip (w=h=2, 23 bytes) plus channel means over exactly the
     * four surviving pixels, which the oracle recomputes from the
     * generating characters at the decimation offsets. */
+  /** Grayscale through the real codec
+    * ([[graft.multimodal.Multimodal.grayscalePpm]] — integer BT.601
+    * luma written back as a VALID P6, then re-decoded by the same
+    * parser every other stage uses; the decode proves the emitted
+    * bytes are a real image, and equal channel means prove the
+    * conversion). Map-only; the oracle replays the luma arithmetic
+    * per pixel from the text-derived plane. */
+  def qMultimodalGray(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+        Multimodal.grayscaleMedia(
+          Multimodal.mediaFromDocs(s.read.parquet(s"$dir/documents.parquet"))))
+      .toDF()
+      .select(
+        col("media_id"),
+        col("n_bytes"),
+        element_at(col("features"), 1).cast("int").as("w"),
+        element_at(col("features"), 2).cast("int").as("h"),
+        round(element_at(col("features"), 3), 4).as("mean_r"),
+        round(element_at(col("features"), 4), 4).as("mean_g"),
+        round(element_at(col("features"), 5), 4).as("mean_b"))
+      .orderBy("media_id")
+
   def qMultimodalResize(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
         Multimodal.resizeMedia(
@@ -642,6 +664,22 @@ object PipelineQueries {
         |  round(CAST(list_sum(list_transform(range(0,16), j -> c[j*3+2])) AS DOUBLE) / 16.0, 4) AS mean_g,
         |  round(CAST(list_sum(list_transform(range(0,16), j -> c[j*3+3])) AS DOUBLE) / 16.0, 4) AS mean_b
         |FROM codes ORDER BY media_id""".stripMargin)),
+    QueryDef("q_multimodal_gray", qMultimodalGray, Some(
+      """WITH px AS (SELECT doc_id,
+        |              rpad(substring(regexp_replace(text, '[^ -~]', '.', 'g'), 1, 48),
+        |                   48, '.') AS p FROM documents),
+        |codes AS (SELECT doc_id,
+        |            list_transform(string_split(p, ''), ch -> ord(ch)) AS c FROM px),
+        |luma AS (SELECT doc_id,
+        |           list_transform(range(0, 16),
+        |             i -> (299 * c[3*i+1] + 587 * c[3*i+2] + 114 * c[3*i+3]) // 1000) AS y
+        |         FROM codes)
+        |SELECT doc_id AS media_id, CAST(59 AS BIGINT) AS n_bytes,
+        |  CAST(4 AS INT) AS w, CAST(4 AS INT) AS h,
+        |  round(CAST(list_sum(y) AS DOUBLE) / 16.0, 4) AS mean_r,
+        |  round(CAST(list_sum(y) AS DOUBLE) / 16.0, 4) AS mean_g,
+        |  round(CAST(list_sum(y) AS DOUBLE) / 16.0, 4) AS mean_b
+        |FROM luma ORDER BY media_id""".stripMargin)),
     QueryDef("q_multimodal_resize", qMultimodalResize, Some(
       """WITH px AS (SELECT doc_id,
         |              rpad(substring(regexp_replace(text, '[^ -~]', '.', 'g'), 1, 48),

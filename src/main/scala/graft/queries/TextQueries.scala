@@ -534,6 +534,18 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Naive-Bayes source confusion census
+    * ([[graft.operators.NaiveBayes.confusion]] — Laplace-smoothed
+    * multinomial NB trained per source, every doc scored against
+    * every source, argmax confusion matrix: the provenance/mixing
+    * diagnostic run before per-source thresholds are trusted).
+    * Per-token log-probs cast to DECIMAL(18,6) before the per-doc
+    * sums, so prediction is exact integer arithmetic. */
+  def qNbConfusion(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NaiveBayes.confusion(docs(s, dir),
+      col("doc_id"), col("source"), col("text"))
+      .orderBy("group", "predicted")
+
   /** Distinctive vocabulary per source
     * ([[graft.operators.NgramLm.distinctiveTerms]] — Monroe log-odds
     * with informative Dirichlet prior, the "Fightin' Words" statistic:
@@ -887,6 +899,28 @@ object TextQueries {
          |  sum(CASE WHEN sc.q >= t.p40 THEN 1 ELSE 0 END) AS n_kept
          |FROM sc JOIN thr t USING (source)
          |GROUP BY 1, 2 ORDER BY source""".stripMargin)),
+    QueryDef("q_nb_confusion", qNbConfusion, Some(
+      s"""WITH tk AS (SELECT doc_id, source AS g, unnest($toksSql) AS tok FROM documents),
+         |cg AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+         |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cg),
+         |ngc AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g FROM cg GROUP BY 1),
+         |pr AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS d_g
+         |       FROM documents GROUP BY 1),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+         |cand AS (SELECT ngc.g AS cand, CAST(ngc.n_g + v.v AS DOUBLE) AS den,
+         |           CAST(ln(CAST(pr.d_g AS DOUBLE) / CAST(nd.nd AS DOUBLE)) AS DECIMAL(18,6)) AS lprior
+         |         FROM ngc JOIN pr USING (g), v, nd),
+         |sc AS (SELECT tk.doc_id, tk.g, cand.cand, cand.lprior,
+         |         CAST(ln((CAST(coalesce(cg.c, 0) AS DOUBLE) + 1.0) / cand.den) AS DECIMAL(18,6)) AS lp
+         |       FROM tk CROSS JOIN cand
+         |       LEFT JOIN cg ON cg.g = cand.cand AND cg.tok = tk.tok),
+         |ds AS (SELECT doc_id, g, cand, lprior + sum(lp) AS score
+         |       FROM sc GROUP BY doc_id, g, cand, lprior),
+         |pred AS (SELECT doc_id, g, cand,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS r
+         |         FROM ds)
+         |SELECT g AS "group", cand AS predicted, count(*) AS n
+         |FROM pred WHERE r = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QueryDef("q_distinctive_terms", qDistinctiveTerms, Some(
       s"""WITH tk AS (SELECT source AS g, unnest($toksSql) AS tok FROM documents),
          |cg AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS yg FROM tk GROUP BY 1, 2),

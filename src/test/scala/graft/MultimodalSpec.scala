@@ -110,6 +110,28 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("PPM grayscale: exact integer luma, equal channels, idempotent, " +
+      "re-parsable, composes with resize") {
+    // pixel (x, y) has bytes (o, 100+o, 200) like the resize fixture
+    val plane = (0 until 16).flatMap(o => Seq(o.toByte, (100 + o).toByte, 200.toByte))
+    val img = ("P6\n4 4\n255\n".getBytes("US-ASCII") ++ plane).toArray
+    val gray = Multimodal.grayscalePpm(img)
+    val feats = Multimodal.decodePpm(gray)
+    assert(feats(0) == 4.0 && feats(1) == 4.0, "dimensions unchanged")
+    // luma of ordinal o: (299*o + 587*(100+o) + 114*200) / 1000
+    val lumas = (0 until 16).map(o => (299 * o + 587 * (100 + o) + 114 * 200) / 1000)
+    val expect = lumas.sum.toDouble / 16.0
+    assert(feats(2) == expect && feats(3) == expect && feats(4) == expect,
+      s"all three channel means must equal the mean luma $expect: ${feats.toSeq}")
+    // idempotent up to the integer division's fixpoint behaviour:
+    // a gray pixel (y,y,y) maps to (299y+587y+114y)/1000 = y exactly
+    assert(Multimodal.grayscalePpm(gray).toSeq == gray.toSeq,
+      "grayscaling a gray image must be the identity")
+    // composes with resize: still a valid P6 after both stages
+    val both = Multimodal.decodePpm(Multimodal.resizePpm(gray, 2))
+    assert(both(0) == 2.0 && both(2) == both(3) && both(3) == both(4))
+  }
+
   test("resizeMedia passes non-PPM modalities through untouched") {
     import spark.implicits._
     val wav = Multimodal.audioFromDocs(
