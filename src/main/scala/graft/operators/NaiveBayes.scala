@@ -27,9 +27,11 @@ object NaiveBayes {
     * (the [[NgramLm.bigramLogProb]] convention). Each ln's INPUT is a
     * ratio of exact integers, identical in both engines.
     *
-    * Scale shape: ONE tokenize pass feeds the (group, token) census;
-    * the vocabulary size, per-group totals, and priors all DERIVE
-    * from it. Scoring fans each document token out to |groups|
+    * Scale shape: one tokenize pass feeds the MODEL census, and the
+    * vocabulary size, per-group totals, and priors all DERIVE from
+    * it; SCORING runs its own tokenize pass (inherent, not waste —
+    * in production the scored corpus is a different dataset than the
+    * training one). Scoring fans each document token out to |groups|
     * candidate rows (the standard NB scoring shape — classes are a
     * bounded census), via a broadcast of the O(groups) candidate
     * list and one token-key LEFT join against the model (missing

@@ -401,6 +401,8 @@ object Profile {
       .groupBy(v.as("__v"))
       .agg(sum(when(isA, 1L).otherwise(0L)).as("ca"),
         sum(when(isB, 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint() // the corpus census: totals + the window chain
+      // both read it — without this the heavy pass runs twice
     val tot = r.agg(coalesce(sum(col("ca")), lit(0L)).as("n_a"),
       coalesce(sum(col("cb")), lit(0L)).as("n_b"))
     val w = org.apache.spark.sql.expressions.Window

@@ -29,13 +29,24 @@ object HnswProperties extends Properties("graft") {
       .flatMap(n => Gen.containerOfN[Vector, Array[Float]](n, gridVecGen))
       .map(_.distinctBy(_.toSeq))
 
+  /** NoShrink: ScalaCheck shrinking mutates the generated FLOATS and
+    * silently breaks the grid invariant above (a shrunk corpus can
+    * contain a 1e-10 near-twin of the query, which then legitimately
+    * tops the beam — a round-12 flake reproduced exactly that).
+    * Exhaustive ef + the single-component guard make this a
+    * DETERMINISTIC correctness property (the beam visits every
+    * reachable node) rather than a recall gamble on the default
+    * beam width — the same discipline as the filtered property
+    * below; in exchange the assertion strengthens to identity, not
+    * just distance zero. */
   property("selfQuerySearchReturnsDistanceZero (ref src/lib.rs:546-549)") =
-    forAll(corpusGen) { vecs =>
+    Prop.forAllNoShrink(corpusGen) { vecs =>
       val p = HnswParams(8, 16)
       val g = HnswGraph.build(p, vecs, ord => Hnsw.levelFor(ord.toLong, p.mL))
-      Prop.all(vecs.indices.take(10).map { i =>
-        val hits = g.search(vecs(i), 1)
-        Prop(hits.nonEmpty && hits.head._2 == 0.0) :| s"self-query miss at $i: $hits"
+      (g.layer0Components == 1) ==> Prop.all(vecs.indices.take(10).map { i =>
+        val hits = g.searchEf(vecs(i), 1, ef = vecs.length + 1, _ => true)
+        Prop(hits.nonEmpty && hits.head._1 == i && hits.head._2 == 0.0) :|
+          s"self-query miss at $i: $hits"
       }: _*)
     }
 
