@@ -40,8 +40,17 @@ object NaiveBayes {
     * one argmax window over |groups| rows per doc, one census. */
   def confusion(docs: DataFrame, id: Column, group: Column, textCol: Column)
       : DataFrame = {
-    val tok = docs.select(id.as("doc_id"), group.cast("string").as("g"),
-      explode(tokens(textCol)).as("tok"))
+    // spread the corpus before the heavy map chain (tokenize → ×|groups|
+    // fan-out → ln + decimal cast): a single input file would otherwise
+    // run the whole scoring pass on one task (measured 4.7 s of the
+    // gate's 6.3 s at sf0.1). The partition count is EXPLICIT because
+    // AQE's byte-based coalescing folds this sub-MB shuffle back into
+    // one partition — the cost here is per-row compute downstream, not
+    // input bytes, exactly what the advisory-size heuristic can't see.
+    val tok = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, id)
+      .select(id.as("doc_id"), group.cast("string").as("g"),
+        explode(tokens(textCol)).as("tok"))
     val cg = tok.groupBy("g", "tok").agg(count(lit(1)).as("c"))
       .localCheckpoint() // model table: vocabulary/totals derive from it
     val vocab = cg.select(col("tok")).distinct().count()

@@ -518,7 +518,10 @@ object TextQueries {
     // corpus scale "score once, keep the score column" is the same
     // standard shape)
     val scored = docs(s, dir)
-      .repartition(col("doc_id"))
+      // explicit partition count: AQE's byte-based coalescing would
+      // fold the sub-MB shuffle back to one task, hiding the per-row
+      // score cost (the NaiveBayes.confusion lesson)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("source"),
         (floor(qualityScore(col("text")) * 10000.0) / 10000.0).as("q"))
       .localCheckpoint()
