@@ -560,6 +560,44 @@ object PipelineQueries {
     * q_stream_sessions contract through a completely different
     * mechanism: session_window state-merge there, custom O(1) state +
     * timeouts here). */
+  /** Streaming windowed last-touch attribution
+    * ([[EventStreams.attributeLastTouch]] — flatMapGroupsWithState
+    * with the attribution window as BOTH the crediting rule and the
+    * state bound via EventTimeTimeout; credits emit inline with each
+    * conversion, so the gate needs no expiry flush for completeness —
+    * the sentinel files only exercise the state-expiry path). The
+    * per-credit stream aggregates AFTER the drain into the same
+    * (touch_type, n_conv, value_sum) census shape as q_attribution;
+    * the oracle replays the windowed batch semantics (two IGNORE-NULLS
+    * last_value windows + the lookback CASE). */
+  def qStreamAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val sd = outerStreamDir(s, dir)
+    val stream = EventsFixture.normalizeTs(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "2")
+          .parquet(sd))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .as[EventStreams.TouchEvent]
+    val name = "graft_stream_attr_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStreamPartitions(s, 4) {
+      val q = EventStreams.attributeLastTouch(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name)
+      .filter(col("user_id") >= 0) // sentinels ride outside the id space
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_conv"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4)
+          .as("value_sum"))
+      .orderBy("touch_type")
+  }
+
   def qStreamSessionsState(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -587,6 +625,21 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_jsonl_source", qJsonlSource, Some(roundTripOracleSql)),
     QueryDef("q_csv_source", qCsvSource, Some(roundTripOracleSql)),
+    QueryDef("q_stream_attribution", qStreamAttribution, Some(
+      """WITH w AS (SELECT event_type AS t, value AS v, epoch_ns(ts) // 1000 AS us,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER win AS touch_t,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN epoch_ns(ts) // 1000 END IGNORE NULLS)
+        |      OVER win AS touch_us
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT CASE WHEN touch_us IS NOT NULL
+        |              AND us - touch_us <= CAST(2880 AS BIGINT) * 60 * 1000000
+        |            THEN touch_t ELSE 'none' END AS touch_type,
+        |  count(*) AS n_conv,
+        |  round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 4) AS value_sum
+        |FROM w WHERE t = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("q_stream_sessions_state", qStreamSessionsState, Some(
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
         |g AS (SELECT user_id, us, event_id,

@@ -259,6 +259,76 @@ object EventStreams {
       }
   }
 
+  final case class TouchEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, event_type: String, value: Double)
+  final case class TouchState(touch_type: String, touch_us: Long)
+  final case class Credit(user_id: Long, touch_type: String, value: Double)
+
+  /** STREAMING last-touch attribution with an attribution WINDOW —
+    * the real-time twin of [[graft.operators.Attribution.lastTouch]],
+    * carrying the industry-standard lookback the batch census skips:
+    * a conversion credits the user's most recent prior non-conversion
+    * touch only if it happened within `windowMinutes`; older (or
+    * absent) touches credit `"none"`. Credits emit INLINE with their
+    * conversion event (no watermark wait for results).
+    *
+    * The attribution window IS the state bound: per user the state is
+    * ONE (touch_type, touch_us) pair, and the event-time timeout is
+    * armed at touch + window — when the watermark passes that point
+    * the state removes itself, which is semantically invisible
+    * (in-order, any conversion arriving later is itself past the
+    * window and credits "none" either way; out-of-order events older
+    * than the watermark are the documented streaming exclusion, the
+    * [[sessionizeWithState]] contract). Total state = O(users active
+    * within the window), whatever the stream's lifetime.
+    *
+    * Within a micro-batch the group's events sort by (ts, event_id)
+    * in memory — bounded by the micro-batch, same as
+    * [[sessionizeWithState]]. */
+  def attributeLastTouch(events: Dataset[TouchEvent],
+      convType: String = "purchase",
+      windowMinutes: Int = 2880,
+      watermark: String = "10 minutes"): Dataset[Credit] = {
+    import events.sparkSession.implicits._
+    val wUs = windowMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, Credit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[TouchEvent], state: GroupState[TouchState]) =>
+          val evs = it.toArray.sortBy(e => (tsMicros(e.ts), e.event_id))
+          if (evs.isEmpty) {
+            // timeout: the watermark passed touch + window — no future
+            // in-order conversion can credit this touch
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer[Credit]()
+            var cur = state.getOption.orNull
+            for (e <- evs) {
+              val us = tsMicros(e.ts)
+              if (e.event_type == convType) {
+                val credit =
+                  if (cur != null && us - cur.touch_us <= wUs) cur.touch_type
+                  else "none"
+                out += Credit(uid, credit, e.value)
+              } else cur = TouchState(e.event_type, us)
+            }
+            if (cur != null) {
+              val toMs = (cur.touch_us + wUs) / 1000L
+              // the API rejects a timeout at/below the watermark — an
+              // already-expired touch just drops its state now
+              if (toMs > state.getCurrentWatermarkMs()) {
+                state.update(cur)
+                state.setTimeoutTimestamp(toMs)
+              } else state.remove()
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup for document ingest: first event per
     * content hash passes, later duplicates drop, and — the part that
     * matters at 100 TB/day — the per-key state store retains a hash

@@ -507,4 +507,64 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(last.getLong(0) == 3L && last.getDouble(1) == 10.0)
     } finally q.stop()
   }
+
+  test("streaming last-touch attribution: window crediting, cross-batch " +
+      "state carry, per-user isolation, and expired-touch none-crediting") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(day: Int, hhmm: String): Timestamp =
+      Timestamp.valueOf(f"2024-01-0$day%d $hhmm:00")
+    val src = MemoryStream[EventStreams.TouchEvent]
+    val name = "attr_state_test"
+    val q = EventStreams.attributeLastTouch(src.toDS(),
+        windowMinutes = 60, watermark = "0 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 clicks; user 2 purchases with NO prior touch
+      src.addData(
+        EventStreams.TouchEvent(1L, at(1, "10:00"), 1L, "click", 0.0),
+        EventStreams.TouchEvent(2L, at(1, "10:05"), 2L, "purchase", 3.0))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases 30 min after the click (state carried
+      // ACROSS batches, inside the 60-min window -> credits click);
+      // then purchases again 2 h later -> window expired -> none
+      src.addData(
+        EventStreams.TouchEvent(1L, at(1, "10:30"), 3L, "purchase", 5.0),
+        EventStreams.TouchEvent(1L, at(1, "12:30"), 4L, "purchase", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(rows == Set(
+        (2L, "none", 3.0),
+        (1L, "click", 5.0),
+        (1L, "none", 7.0)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("streaming attribution: in-batch ordering and touch replacement") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(hhmm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val src = MemoryStream[EventStreams.TouchEvent]
+    val name = "attr_order_test"
+    val q = EventStreams.attributeLastTouch(src.toDS(),
+        windowMinutes = 60, watermark = "0 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // one batch, deliberately unordered input: view -> signup -> buy;
+      // the callback's (ts, event_id) sort must credit signup, and a
+      // second buy still credits signup (touch persists until replaced)
+      src.addData(
+        EventStreams.TouchEvent(1L, at("10:20"), 3L, "purchase", 1.0),
+        EventStreams.TouchEvent(1L, at("10:00"), 1L, "view", 0.0),
+        EventStreams.TouchEvent(1L, at("10:10"), 2L, "signup", 0.0),
+        EventStreams.TouchEvent(1L, at("10:25"), 4L, "purchase", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .collect().map(r => (r.getString(1), r.getDouble(2))).toSet
+      assert(rows == Set(("signup", 1.0), ("signup", 2.0)), s"got $rows")
+    } finally q.stop()
+  }
 }
