@@ -680,7 +680,11 @@ object Curation {
       s"level1 must be a non-empty subset of level0 ($level0), got $level1")
     require(level1.toSet != level0.toSet,
       "level1 must be strictly coarser than level0 (drop at least one column)")
+    // materialized: g1 AND the final join both consume g0 — without
+    // this the corpus census runs twice, contradicting the "never a
+    // second corpus scan" shape above
     val g0 = df.groupBy(level0.map(col): _*).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val g1 = g0.groupBy(level1.map(col): _*).agg(sum(col("n")).as("n1"))
     g0.join(g1, level1)
       .select(level0.map(col) :+ col("n") :+

@@ -214,8 +214,11 @@ object Dedup {
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .distinct()
       .localCheckpoint()
+    // materialized: three consumers (both orientation joins + the
+    // final output join) would each redo the explode + census
     val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val oriented = e
       .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")

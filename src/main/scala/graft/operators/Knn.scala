@@ -153,6 +153,9 @@ object Knn {
     val directed = nn
       .withColumn("__r", row_number().over(w)).filter(col("__r") <= k)
       .select(col("__qid").as("src"), col(idCol).as("dst"), col("dist"))
+      // materialized: both reciprocity-join sides read it — without
+      // this the whole k-NN join + re-rank would compute twice
+      .localCheckpoint()
     directed
       .join(directed.select(col("dst").as("src"), col("src").as("dst")),
         Seq("src", "dst"), "left_semi")
