@@ -13,7 +13,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // dev loop only (the driver never sets it): SPARK_GRAFT_BENCH_ONLY
+    // restricts the run to a comma-separated query subset for A/Bs
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val sorted = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy(_._1)
     // per-query shuffle volume: wall-clock in the fixed-cost regime
     // hides data-movement growth, so record task-level shuffle
     // read/write deltas alongside the timings (the scale sweep flags

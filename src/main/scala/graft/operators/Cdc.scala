@@ -58,6 +58,13 @@ object Cdc {
         raise_error(concat(
           lit(s"duplicate ($key, $seq) at the winning seq for key "),
           col(key).cast("string"))))
+        // an unrecognized (or NULL) op must fail loudly, not silently
+        // behave as a delete: the downstream filter keeps only NULL
+        // (base-only) / "U" winners, so a typo'd op would vanish rows
+        .when(col(op).isNull || !col(op).isin("U", "D"),
+          raise_error(concat(
+            lit(s"unrecognized $op value '"), col(op).cast("string"),
+            lit(s"' (expected U or D) for key "), col(key).cast("string"))))
         .otherwise(col(op)).as("__op"),
       struct(cols.map(col): _*).as("__c"))
     val b = base.select(col(key).as("__k"),

@@ -232,22 +232,40 @@ object Graph {
       val teleTerm: Column =
         if (teleport.isEmpty) lit((1 - damping) / n)
         else lit(1 - damping) * tv
-      val dangTerm: Column =
-        if (teleport.isEmpty) col("du").cast("double") / lit(1e12) / lit(n.toDouble)
-        else col("du").cast("double") / lit(1e12) * tv
-      var rank = nodes.select(col("node"), col("has_out"), col("is_seed"),
-        initRank.as("rank")).localCheckpoint()
-      for (_ <- 1 to iters) {
+      // Σ floor(rank·1e12) over sinks — one exact integer scalar per
+      // round. It rides the SAME action that checkpoints the round's
+      // ranks as an observed metric (CollectMetrics accumulator), so
+      // the redistribute arm launches ZERO extra jobs per round: the
+      // previous shape (a 1-row sink aggregate crossJoined into the
+      // next-rank plan) paid a broadcast-build job — a scan of the
+      // checkpointed ranks plus a job floor — every round beside the
+      // rank job. The scalar then enters the next round's expressions
+      // as a driver literal with the identical double operation order
+      // (du→double, /1e12, then /n or ·tv), so ranks are bit-for-bit
+      // what the crossJoin produced.
+      val sinkMetric = coalesce(sum(when(!col("has_out"),
+        floor(col("rank") * lit(1e12))).otherwise(lit(0L))), lit(0L)).as("du")
+      def observedDu(d: org.apache.spark.sql.Dataset[_], name: String): Long =
+        d.queryExecution.observedMetrics(name).getAs[Long]("du")
+      val init = nodes.select(col("node"), col("has_out"), col("is_seed"),
+        initRank.as("rank"))
+      var du = 0L
+      var rank =
+        if (!danglingRedistribute) init.localCheckpoint()
+        else {
+          val obs = init.observe("pr_sink_0", sinkMetric)
+          val ck = obs.localCheckpoint()
+          du = observedDu(obs, "pr_sink_0")
+          ck
+        }
+      for (i <- 1 to iters) {
         val units = ed
           .join(rank.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node"))
           .agg(sum(floor(col("rank") / col("deg") * lit(1e12))).as("u"))
-        // Σ floor(rank·1e12) over sinks — one exact integer scalar,
-        // rides the plan via crossJoin (1-row frame, auto-broadcast)
-        val dang =
-          if (!danglingRedistribute) null
-          else rank.filter(!col("has_out"))
-            .agg(coalesce(sum(floor(col("rank") * lit(1e12))), lit(0L)).as("du"))
+        val dangTerm: Column =
+          if (teleport.isEmpty) lit(du.toDouble / 1e12 / n.toDouble)
+          else lit(du.toDouble / 1e12) * tv
         val joined = nodes.join(units, Seq("node"), "left")
         val next =
           if (!danglingRedistribute)
@@ -255,13 +273,19 @@ object Graph {
               floor12(teleTerm + lit(damping) *
                 (coalesce(col("u"), lit(0L)).cast("double") / lit(1e12))).as("rank"))
           else
-            joined.crossJoin(dang)
-              .select(col("node"), col("has_out"), col("is_seed"),
-                floor12(teleTerm + lit(damping) *
-                  (coalesce(col("u"), lit(0L)).cast("double") / lit(1e12) +
-                    dangTerm))
-                  .as("rank"))
-        rank = next.localCheckpoint()
+            joined.select(col("node"), col("has_out"), col("is_seed"),
+              floor12(teleTerm + lit(damping) *
+                (coalesce(col("u"), lit(0L)).cast("double") / lit(1e12) +
+                  dangTerm))
+                .as("rank"))
+        rank =
+          if (!danglingRedistribute || i == iters) next.localCheckpoint()
+          else {
+            val obs = next.observe(s"pr_sink_$i", sinkMetric)
+            val ck = obs.localCheckpoint()
+            du = observedDu(obs, s"pr_sink_$i")
+            ck
+          }
       }
       rank.select(col("node"), col("rank"))
     } finally {
@@ -269,5 +293,54 @@ object Graph {
       // frames belong to the caller (pageRank's wrapper releases them)
       nodes.unpersist()
     }
+  }
+
+  /** Synchronous label-propagation communities (Raghavan, Albert &
+    * Kumara 2007) over an undirected graph, made DETERMINISTIC: every
+    * node starts labelled with its own id; each round every node
+    * simultaneously adopts the label most frequent among its
+    * neighbours, ties broken by the SMALLEST label; the round count is
+    * fixed. The original algorithm updates asynchronously in random
+    * node order with random tie-breaks — that is neither reproducible
+    * across reruns nor SQL-replayable, so this is the standard
+    * synchronous-deterministic variant (the HNSW level-hash deviation
+    * convention: same convergence behaviour class, pinned semantics).
+    *
+    * Scale shape: per round ONE (node, label) hash aggregate over the
+    * edge→label equi-join (map-side combined, shuffle O(E)) and ONE
+    * argmax aggregate rendered as `max(struct(count, -label))` —
+    * bounded-state aggregates, no per-node window sort, nothing
+    * all-pairs. `localCheckpoint` per round keeps the plan flat (the
+    * [[pageRank]] cadence, A/B'd in round 12). Input edges may arrive
+    * directed or duplicated: they are symmetrized and de-duplicated
+    * first, self-loops dropped (a self-vote would freeze every node). */
+  def labelPropagate(edges: DataFrame, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val base = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val e = base
+      .union(base.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val counts = e
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      // argmax(count DESC, label ASC) as one aggregate: max over
+      // (cnt, -lbl) structs picks the highest count, then the highest
+      // negated label = the smallest label (ids are non-negative in
+      // every caller — fingerprints/keys — so negation cannot wrap)
+      labels = counts
+        .groupBy("node")
+        .agg(max(struct(col("cnt").as("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels
   }
 }

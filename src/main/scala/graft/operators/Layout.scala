@@ -98,4 +98,36 @@ object Layout {
       .mode("overwrite")
       .saveAsTable(table)
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment — Thaler &
+    * Ravishankar '98: a key's shard is the one maximizing
+    * hash(key, shard). Unlike `hash(key) % n`, growing the shard set
+    * moves ONLY the keys won by the new shard (≈ 1/(n+1) of them) and
+    * removing a shard moves only ITS keys — the stable-routing
+    * property an incremental corpus layout needs (re-sharding a 100 TB
+    * store to add capacity rewrites ~1/(n+1) of the data, not
+    * (n-1)/n of it). The weight is the established md5-prefix
+    * fingerprint of "key:shard", so assignment is a pure map-only
+    * STATIC expression tree over a literal shard list (codegen'd, no
+    * UDF, no shuffle, SQL-replayable); ties (a 60-bit hash collision
+    * across shards for one key) break to the lexicographically
+    * LARGEST shard name via the struct order, deterministically. */
+  def hrwShard(key: Column, shards: Seq[String]): Column = {
+    require(shards.nonEmpty, "shards must be non-empty")
+    require(shards.distinct.size == shards.size,
+      s"duplicate shard names: ${shards.diff(shards.distinct).mkString(", ")}")
+    val entries = shards.map { sh =>
+      struct(
+        conv(substring(md5(concat(key.cast("string"), lit(":"), lit(sh))
+          .cast("binary")), 1, 15), 16, 10).cast("long").as("w"),
+        lit(sh).as("shard"))
+    }
+    array_max(array(entries: _*)).getField("shard")
+  }
+
+  /** The oracle-side rendering of [[hrwShard]]'s weight for one
+    * key-expression/shard pair (DuckDB md5 of the same concatenation,
+    * the established hex-prefix identity). */
+  def hrwWeightSql(keyExpr: String, shardLit: String): String =
+    s"('0x' || substr(md5(CAST($keyExpr AS VARCHAR) || ':' || $shardLit), 1, 15))::BIGINT"
 }

@@ -173,21 +173,27 @@ object MinHash {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val base = shingled(docs, n, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
-    val sig = base.select(col("id"), col("sh"), col("n_sh"), signature(col("hs")).as("sig"))
-    val cand = bandedCandidates(sig)
-    val side = sig.select(col("id"), col("sh"), col("n_sh"), col("sig"))
-    cand
-      .join(side.select(col("id").as("a"), col("sh").as("sha"),
-        col("n_sh").as("na"), col("sig").as("siga")), "a")
-      .join(side.select(col("id").as("b"), col("sh").as("shb"),
-        col("n_sh").as("nb"), col("sig").as("sigb")), "b")
-      .withColumn("match_k",
-        size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), b => b)))
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .select(col("a"), col("b"), col("match_k").cast("int").as("match_k"),
-        (col("match_k").cast("double") / K).as("j_est"),
-        (col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
+    try {
+      val sig = base.select(col("id"), col("sh"), col("n_sh"), signature(col("hs")).as("sig"))
+      val cand = bandedCandidates(sig)
+      val side = sig.select(col("id"), col("sh"), col("n_sh"), col("sig"))
+      cand
+        .join(side.select(col("id").as("a"), col("sh").as("sha"),
+          col("n_sh").as("na"), col("sig").as("siga")), "a")
+        .join(side.select(col("id").as("b"), col("sh").as("shb"),
+          col("n_sh").as("nb"), col("sig").as("sigb")), "b")
+        .withColumn("match_k",
+          size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), b => b)))
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+        .select(col("a"), col("b"), col("match_k").cast("int").as("match_k"),
+          (col("match_k").cast("double") / K).as("j_est"),
+          (col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
+        // materialize before releasing the shingle cache (the
+        // containmentJoin convention): a long-lived session invoking
+        // this repeatedly must not accumulate cached partitions
+        .localCheckpoint()
+    } finally base.unpersist(blocking = false)
   }
 
   /** Incremental (batch-vs-corpus) LSH dedup — the shape a daily
@@ -216,21 +222,30 @@ object MinHash {
       textCol: String = "text"): DataFrame = {
     val bBase = shingled(batch, n, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
     val cBase = shingled(corpus, n, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
-    def sigOf(df: DataFrame) =
-      df.select(col("id"), signature(col("hs")).as("sig"))
-    val cand = bandKeys(sigOf(bBase)).withColumnRenamed("id", "a").as("x")
-      .join(bandKeys(sigOf(cBase)).withColumnRenamed("id", "b").as("y"),
-        col("x.bkey") === col("y.bkey") && col("a") =!= col("b"))
-      .select(col("a"), col("b"))
-      .distinct()
-    cand
-      .join(bBase.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na")), "a")
-      .join(cBase.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb")), "b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jac", col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")).cast("double"))
-      .filter(col("jac") >= tau)
-      .select(col("a"), col("b"), col("jac"))
+    try {
+      def sigOf(df: DataFrame) =
+        df.select(col("id"), signature(col("hs")).as("sig"))
+      val cand = bandKeys(sigOf(bBase)).withColumnRenamed("id", "a").as("x")
+        .join(bandKeys(sigOf(cBase)).withColumnRenamed("id", "b").as("y"),
+          col("x.bkey") === col("y.bkey") && col("a") =!= col("b"))
+        .select(col("a"), col("b"))
+        .distinct()
+      cand
+        .join(bBase.select(col("id").as("a"), col("sh").as("sha"), col("n_sh").as("na")), "a")
+        .join(cBase.select(col("id").as("b"), col("sh").as("shb"), col("n_sh").as("nb")), "b")
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("jac", col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+        .filter(col("jac") >= tau)
+        .select(col("a"), col("b"), col("jac"))
+        // materialize before releasing both shingle caches (the
+        // containmentJoin convention — repeated daily-ingest calls in
+        // one session must not accumulate cached partitions)
+        .localCheckpoint()
+    } finally {
+      bBase.unpersist(blocking = false)
+      cBase.unpersist(blocking = false)
+    }
   }
 
   /** Per-document 64-bit SimHash fingerprints as two 32-bit words. */

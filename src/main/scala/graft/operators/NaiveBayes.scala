@@ -65,17 +65,28 @@ object NaiveBayes {
         (col("n_g") + lit(vocab)).cast("double").as("den"),
         log(col("d_g").cast("double") / lit(nDocs.toDouble))
           .cast("decimal(18,6)").as("lprior"))
-    val scored = tok
+    // per-(doc, candidate) token log-likelihood; a document whose text
+    // tokenizes to zero tokens (NULL text) has no rows here
+    val ltok = tok
       .crossJoin(broadcast(cand))
       .join(cg.select(col("g").as("cand"), col("tok"), col("c")),
         Seq("cand", "tok"), "left")
-      .select(col("doc_id"), col("g"), col("cand"), col("lprior"),
+      .select(col("doc_id"), col("cand"),
         log((coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) / col("den"))
           .cast("decimal(18,6)").as("lp"))
-      .groupBy(col("doc_id"), col("g"), col("cand"), col("lprior"))
+      .groupBy(col("doc_id"), col("cand"))
       .agg(sum(col("lp")).as("ltok"))
+    // score from a doc x candidate base so token-less documents are
+    // scored on priors alone (ltok = 0) instead of silently vanishing
+    // from the confusion census — every doc contributes exactly one
+    // predicted row and per-group row sums equal the group's doc count
+    val scored = docs
+      .select(id.as("doc_id"), group.cast("string").as("g"))
+      .crossJoin(broadcast(cand.select(col("cand"), col("lprior"))))
+      .join(ltok, Seq("doc_id", "cand"), "left")
       .select(col("doc_id"), col("g"), col("cand"),
-        (col("lprior") + col("ltok")).as("score"))
+        (col("lprior") + coalesce(col("ltok"), lit(0).cast("decimal(28,6)")))
+          .as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand").asc)
     scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)

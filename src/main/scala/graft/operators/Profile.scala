@@ -65,6 +65,43 @@ object Profile {
           .as("variance"))
   }
 
+  /** Per-group Pearson correlation of two numeric columns — the
+    * profiling diagnostic that turns two per-column censuses into a
+    * RELATIONSHIP check (chars-per-token drift across sources, value
+    * vs. length coupling): one map-side-combined aggregate carrying
+    * the five classical sums, nothing wider than O(#groups) after the
+    * combine. The [[moments]] exactness convention: per-row products
+    * compute in double (IEEE-identical in any engine) and cast to
+    * DECIMAL(28,10) BEFORE summing, so accumulation order cannot
+    * change a bit; the final assembly is a handful of double ops both
+    * engines execute identically, rounded once. Rows with a NULL/NaN
+    * on either side are excluded (the SQL covariance convention);
+    * a group with zero variance on either side has no defined r and
+    * yields NULL rather than ±inf. */
+  def pearson(df: DataFrame, group: Column, x: Column, y: Column,
+      dp: Int = 6): DataFrame = {
+    val xd = x.cast("double")
+    val yd = y.cast("double")
+    val agg = df
+      .filter(xd.isNotNull && yd.isNotNull && !isnan(xd) && !isnan(yd))
+      .groupBy(group.as("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(xd.cast("decimal(28,10)")).cast("double").as("__sx"),
+        sum(yd.cast("decimal(28,10)")).cast("double").as("__sy"),
+        sum((xd * yd).cast("decimal(28,10)")).cast("double").as("__sxy"),
+        sum((xd * xd).cast("decimal(28,10)")).cast("double").as("__sxx"),
+        sum((yd * yd).cast("decimal(28,10)")).cast("double").as("__syy"))
+    val nd = col("n").cast("double")
+    val vx = nd * col("__sxx") - col("__sx") * col("__sx")
+    val vy = nd * col("__syy") - col("__sy") * col("__sy")
+    agg.select(col("grp"), col("n"),
+      when(vx > 0.0d && vy > 0.0d,
+        round((nd * col("__sxy") - col("__sx") * col("__sy")) /
+          sqrt(vx * vy), dp))
+        .as("r"))
+  }
+
   /** EXACT quantiles in two narrow passes plus one tiny sorted fetch
     * per quantile — the scale shape that replaces a full global sort
     * (`approx_percentile`'s summaries are merge-order-dependent, so

@@ -418,8 +418,13 @@ object Sketches {
         .agg(sum(col("rb.s")).as("c"))
         .groupBy("r").agg(sum(col("c") * col("c")).as("f2r"))
         .agg(sort_array(collect_list(col("f2r"))).as("fs"))
+        // empty (or all-NULL-key) input leaves fs = [] — define the
+        // result as 0.0 (the KMV/HLL empty-input convention) instead
+        // of a NULL est_f2 / ANSI element_at error
         .select(lit(width).as("w"), lit(4).as("d"),
-          ((element_at(col("fs"), 2) + element_at(col("fs"), 3)).cast("double") / 2.0d)
+          when(size(col("fs")) === 4,
+            (element_at(col("fs"), 2) + element_at(col("fs"), 3)).cast("double") / 2.0d)
+            .otherwise(lit(0.0d))
             .as("est_f2"))
     }
   }

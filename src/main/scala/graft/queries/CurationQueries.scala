@@ -528,8 +528,8 @@ object CurationQueries {
          |census AS (SELECT chunk_md5, count(DISTINCT doc_id) AS nd
          |           FROM chunks GROUP BY chunk_md5)
          |SELECT c.doc_id, count(*) AS n_chunks,
-         |  sum(CASE WHEN census.nd > 1 THEN 1 ELSE 0 END) AS n_shared_chunks,
-         |  sum(CASE WHEN census.nd > 1 THEN c.len ELSE 0 END) AS shared_chars
+         |  CAST(sum(CASE WHEN census.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+         |  CAST(sum(CASE WHEN census.nd > 1 THEN c.len ELSE 0 END) AS BIGINT) AS shared_chars
          |FROM chunks c JOIN census USING (chunk_md5)
          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
     QueryDef("q_domain_cap", qDomainCap, Some(

@@ -2517,9 +2517,9 @@ object IndexQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_hnsw_levels", qHnswLevels, Some(
-      """SELECT least(62, CAST(floor(-ln(
+      """SELECT CAST(least(62, CAST(floor(-ln(
         |  ((((vec_id * CAST(2654435761 AS BIGINT)) % 1000003) + 1000003) % 1000003 + 1) / 1000003.0)
-        |  * (1.0 / ln(16.0))) AS INT)) AS level, count(*) AS n
+        |  * (1.0 / ln(16.0))) AS INT)) AS INT) AS level, count(*) AS n
         |FROM embeddings GROUP BY 1 ORDER BY level""".stripMargin)),
     QueryDef("q_ann_ivf", qAnnIvf, Some(
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

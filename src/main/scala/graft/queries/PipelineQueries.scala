@@ -194,15 +194,17 @@ object PipelineQueries {
 
   /** Content-integrity aggregate both text-format round-trips gate on:
     * row count, id and length sums, and an order-independent text
-    * fingerprint (per-doc md5 prefix summed in DECIMAL(38,0), so any
-    * single mangled character anywhere in the corpus changes it). */
+    * fingerprint (per-doc md5 prefix mod 2^31, summed as BIGINT — the
+    * sum stays inside int64 up to ~4e9 docs so the cross-engine gate
+    * hashes a plain long, while any single mangled character anywhere
+    * in the corpus still changes it). */
   private def roundTripAgg(df: DataFrame): DataFrame =
     df.agg(
       count(lit(1)).as("n_rows"),
       sum(col("doc_id")).as("sum_ids"),
       sum(col("n_chars")).as("sum_chars"),
       sum(conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
-        .cast("decimal(38,0)")).as("text_fp"))
+        .cast("long") % lit(2147483648L)).as("text_fp"))
 
   /** JSONL round-trip (the LLM-corpus interchange format): documents →
     * line-delimited JSON part files → schema'd read-back; the oracle
@@ -228,7 +230,7 @@ object PipelineQueries {
   private val roundTripOracleSql =
     """SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-      |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT) AS DECIMAL(38,0)) AS text_fp
+      |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 2147483648) AS BIGINT) AS text_fp
       |FROM documents""".stripMargin
 
   def qBinSource(s: SparkSession, dir: String): DataFrame = {
@@ -254,9 +256,27 @@ object PipelineQueries {
     * a finally). */
   private def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    // Also skip trailing NO-DATA micro-batches for the gate's run:
+    // every gate under this helper emits on DATA batches only —
+    // Complete/Update sinks re-output state as data arrives, the
+    // append dedup/inner-join gates emit matches when rows arrive, and
+    // the watermark-eviction gates (outer join, attribution, session
+    // state) advance the watermark with sentinel DATA files precisely
+    // because a closing no-data batch is a scheduling race, not a
+    // contract. The no-data batch these gates were paying for after
+    // the final file was pure drain overhead (state-store load +
+    // offset/commit WAL fsyncs with zero input rows). Semantics under
+    // tight watermarks (where no-data batches DO emit) stay exercised
+    // in StreamingSpec, which runs its own sessions with the default.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.get(key)
+    val prevNd = s.conf.get(ndKey)
     s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+    s.conf.set(ndKey, "false")
+    try body finally {
+      s.conf.set(key, prev)
+      s.conf.set(ndKey, prevNd)
+    }
   }
 
   /** TRUE streaming execution in the gate: readStream over the events
@@ -789,9 +809,9 @@ object PipelineQueries {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |           - INTERVAL 10 MINUTE AS wm
         |       FROM mx)
-        |SELECT b.bt AS batch, count(*) AS n_events,
-        |  coalesce(sum(CASE WHEN date_trunc('hour', b.ts) + INTERVAL 1 HOUR <= wm.wm
-        |                    THEN 1 ELSE 0 END), 0) AS n_late,
+        |SELECT CAST(b.bt AS INT) AS batch, count(*) AS n_events,
+        |  CAST(coalesce(sum(CASE WHEN date_trunc('hour', b.ts) + INTERVAL 1 HOUR <= wm.wm
+        |                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_late,
         |  epoch_us(min(wm.wm)) AS wm_micros
         |FROM b JOIN wm ON b.bt = wm.bt
         |GROUP BY b.bt ORDER BY batch""".stripMargin)),
@@ -814,7 +834,8 @@ object PipelineQueries {
          |a AS (SELECT hr, count(*) AS nz,
          |        sum(CAST(1 AS BIGINT) << ($RhoCap - rho)) AS s_obs FROM reg GROUP BY 1),
          |b AS (SELECT hr, CAST($M - nz AS INT) AS v_zero,
-         |        s_obs + ($M - nz) * (CAST(1 AS BIGINT) << $RhoCap) AS s_units FROM a)
+         |        CAST(s_obs + ($M - nz) * (CAST(1 AS BIGINT) << $RhoCap) AS BIGINT)
+         |          AS s_units FROM a)
          |SELECT strftime(hr, '%Y-%m-%d %H:%M') AS hour_start, v_zero, s_units,
          |  round(CASE WHEN v_zero > 0
          |              AND CAST($EstNum AS DOUBLE) / CAST(s_units AS DOUBLE)

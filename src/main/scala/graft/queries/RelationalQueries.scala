@@ -673,11 +673,18 @@ object RelationalQueries {
         p => length(p("a")) >= 4 && length(p("b")) >= 4 && p("a") =!= p("b")))
         .as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-    val base = pairs.select(fp(col("a")).as("s"), fp(col("b")).as("p")).distinct()
+    // ONE tokenize→pair pass feeds both the fingerprint edge list and
+    // the word→id mapback table: distinct pairs are vocabulary²-bounded
+    // (tiny vs the corpus), so materializing them here means the heavy
+    // corpus scan never re-runs for the second consumer (it did — the
+    // words branch re-tokenized the whole corpus, measured in the
+    // BASELINE.md textrank A/B)
+    val wordPairs = pairs.distinct().localCheckpoint()
+    val base = wordPairs.select(fp(col("a")).as("s"), fp(col("b")).as("p")).distinct()
     val edges = base.select(col("s").as("src"), col("p").as("dst"))
       .union(base.select(col("p").as("src"), col("s").as("dst")))
-    val words = pairs.select(col("a").as("word"))
-      .union(pairs.select(col("b").as("word"))).distinct()
+    val words = wordPairs.select(col("a").as("word"))
+      .union(wordPairs.select(col("b").as("word"))).distinct()
       .groupBy(fp(col("word")).as("node")).agg(min(col("word")).as("word"))
     graft.operators.Graph.pageRank(edges, iters = 3)
       .join(words, "node")
@@ -1014,7 +1021,7 @@ object RelationalQueries {
         |             ELSE least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - w.lo) / w.width) AS INT), 31)
         |             END AS bin
         |      FROM lineitem, w WHERE l_extendedprice IS NOT NULL)
-        |SELECT bin, w.lo + bin * w.width AS lo,
+        |SELECT CAST(bin AS INT) AS bin, w.lo + bin * w.width AS lo,
         |  w.lo + (bin + 1) * w.width AS hi, count(*) AS n
         |FROM b, w GROUP BY bin, w.lo, w.width ORDER BY bin""".stripMargin)),
     QueryDef("q_cube_pricing", qCubePricing, Some(
@@ -1215,7 +1222,8 @@ object RelationalQueries {
          |a AS (SELECT count(*) AS nz,
          |        coalesce(sum(CAST(1 AS BIGINT) << ($RhoCap - rho)), 0) AS s_obs FROM reg),
          |b AS (SELECT CAST($M AS INT) AS m, CAST($M - nz AS INT) AS v_zero,
-         |        s_obs + ($M - nz) * (CAST(1 AS BIGINT) << $RhoCap) AS s_units FROM a)
+         |        CAST(s_obs + ($M - nz) * (CAST(1 AS BIGINT) << $RhoCap) AS BIGINT)
+         |          AS s_units FROM a)
          |SELECT m, v_zero, s_units,
          |  round(CASE WHEN v_zero > 0
          |              AND CAST($EstNum AS DOUBLE) / CAST(s_units AS DOUBLE)
@@ -1263,7 +1271,8 @@ object RelationalQueries {
          |a AS (SELECT source, count(*) AS nz,
          |        sum(CAST(1 AS BIGINT) << ($RhoCap - rho)) AS s_obs FROM reg GROUP BY 1),
          |b AS (SELECT source, CAST($M - nz AS INT) AS v_zero,
-         |        s_obs + ($M - nz) * (CAST(1 AS BIGINT) << $RhoCap) AS s_units FROM a),
+         |        CAST(s_obs + ($M - nz) * (CAST(1 AS BIGINT) << $RhoCap) AS BIGINT)
+         |          AS s_units FROM a),
          |e AS (SELECT source, count(DISTINCT tok3) AS n_exact FROM sh GROUP BY 1)
          |SELECT b.source, v_zero, s_units,
          |  round(CASE WHEN v_zero > 0

@@ -899,7 +899,7 @@ object TextQueries {
          |      FROM sc),
          |thr AS (SELECT source, q AS p40 FROM r WHERE rn = (2 * n + 4) // 5)
          |SELECT sc.source, t.p40, count(*) AS n_docs,
-         |  sum(CASE WHEN sc.q >= t.p40 THEN 1 ELSE 0 END) AS n_kept
+         |  CAST(sum(CASE WHEN sc.q >= t.p40 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM sc JOIN thr t USING (source)
          |GROUP BY 1, 2 ORDER BY source""".stripMargin)),
     QueryDef("q_nb_confusion", qNbConfusion, Some(
@@ -913,12 +913,15 @@ object TextQueries {
          |cand AS (SELECT ngc.g AS cand, CAST(ngc.n_g + v.v AS DOUBLE) AS den,
          |           CAST(ln(CAST(pr.d_g AS DOUBLE) / CAST(nd.nd AS DOUBLE)) AS DECIMAL(18,6)) AS lprior
          |         FROM ngc JOIN pr USING (g), v, nd),
-         |sc AS (SELECT tk.doc_id, tk.g, cand.cand, cand.lprior,
+         |sc AS (SELECT tk.doc_id, cand.cand,
          |         CAST(ln((CAST(coalesce(cg.c, 0) AS DOUBLE) + 1.0) / cand.den) AS DECIMAL(18,6)) AS lp
          |       FROM tk CROSS JOIN cand
          |       LEFT JOIN cg ON cg.g = cand.cand AND cg.tok = tk.tok),
-         |ds AS (SELECT doc_id, g, cand, lprior + sum(lp) AS score
-         |       FROM sc GROUP BY doc_id, g, cand, lprior),
+         |lt AS (SELECT doc_id, cand, sum(lp) AS ltok FROM sc GROUP BY 1, 2),
+         |ds AS (SELECT d.doc_id, d.source AS g, cand.cand,
+         |         cand.lprior + coalesce(lt.ltok, 0) AS score
+         |       FROM documents d CROSS JOIN cand
+         |       LEFT JOIN lt ON lt.doc_id = d.doc_id AND lt.cand = cand.cand),
          |pred AS (SELECT doc_id, g, cand,
          |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS r
          |         FROM ds)

@@ -9,6 +9,28 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# The driver's hash is sensitive to the oracle's OUTPUT DTYPES, not just
+# values (round-12 postmortem: DuckDB sum(BIGINT)->HUGEINT, ntile->BIGINT,
+# and DECIMAL values beyond int64 all failed the driver hash while being
+# value-exact).  So beyond value equality we require DESCRIBE-level dtype
+# parity between the Spark result parquet and the oracle query, and lint
+# the oracle for types that can never match a Spark output.
+def dtypes(con, sql):
+    return {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+
+def lint_oracle_types(types):
+    """Oracle output types Spark cannot emit -> always a contract bug."""
+    bad = []
+    for c, t in types.items():
+        if t in ("HUGEINT", "UHUGEINT"):
+            bad.append(f"{c}:{t} (uncast sum()? Spark has no {t})")
+        elif t.startswith("DECIMAL("):
+            prec = int(t.split("(")[1].split(",")[0])
+            if prec > 18:
+                bad.append(f"{c}:{t} (precision>18: values may exceed "
+                           "int64 and diverge in driver canonicalization)")
+    return bad
+
 def norm(rows):
     out = []
     for r in rows:
@@ -44,8 +66,19 @@ def main(sf_dir, out_dir):
         wi = sorted(range(len(want_cols)), key=lambda i: want_cols[i])
         g = norm([tuple(r[i] for i in gi) for r in got])
         w = norm([tuple(r[i] for i in wi) for r in want])
+        gt = dtypes(con, f"SELECT * FROM read_parquet({files!r})")
+        wt = dtypes(con, f"({oracle[name]})")
+        lint = lint_oracle_types(wt)
+        dt_diff = {c: (gt.get(c), wt.get(c))
+                   for c in set(gt) | set(wt) if gt.get(c) != wt.get(c)}
         if sorted(got_cols) != sorted(want_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} vs {sorted(want_cols)}")
+            bad += 1
+        elif lint:
+            print(f"FAIL {name}: oracle dtype lint: {lint}")
+            bad += 1
+        elif dt_diff:
+            print(f"FAIL {name}: dtype mismatch (spark, oracle): {dt_diff}")
             bad += 1
         elif len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
