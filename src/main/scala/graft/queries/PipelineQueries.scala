@@ -233,6 +233,48 @@ object PipelineQueries {
       |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 2147483648) AS BIGINT) AS text_fp
       |FROM documents""".stripMargin
 
+  /** Rendezvous-sharded corpus layout ([[graft.operators.Layout.hrwShard]]
+    * — highest-random-weight routing over 8 named shards): map-only
+    * static-expression assignment, per-shard census gated. The
+    * stable-routing property (growing the shard set moves ONLY the
+    * keys the new shard wins) is pinned in LayoutSpec. */
+  def qHrwShard(s: SparkSession, dir: String): DataFrame = {
+    val shards = (0 until 8).map(i => f"shard-$i%02d")
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.operators.Layout.hrwShard(col("doc_id"), shards).as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy("shard")
+  }
+
+  private val hrwShardLits: String =
+    (0 until 8).map(i => f"'shard-$i%02d'").mkString("[", ", ", "]")
+
+  /** TAR corpus round-trip ([[graft.sources.TarCorpusSource]] — the
+    * crawl-dump/dataset-release interchange shape, one ustar archive
+    * per task): documents → 8 tar shards → parse-back; the integrity
+    * aggregate (ids recovered from member names, char census, md5
+    * fingerprint mod 2^31 — the int64 fingerprint convention) equals
+    * the oracle over the ORIGINAL parquet iff headers, sizes, padding
+    * and UTF-8 payloads all survived. */
+  def qTarSource(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull)
+    val tmp = fmtDir("tar", dir)
+    graft.sources.TarCorpusSource.write(
+      d.select(concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+        col("text")),
+      tmp, shards = 8)
+    graft.sources.TarCorpusSource.read(s, tmp)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(split(col("entry_name"), "\\.").getItem(0).cast("long")).as("sum_ids"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        sum(conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+          .cast("long") % lit(2147483648L)).as("text_fp"))
+  }
+
   def qBinSource(s: SparkSession, dir: String): DataFrame = {
     val tmp = binDir(dir)
     BinaryVectorSource.write(s.read.parquet(s"$dir/embeddings.parquet"), tmp, dims = 64)
@@ -645,6 +687,21 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_jsonl_source", qJsonlSource, Some(roundTripOracleSql)),
     QueryDef("q_csv_source", qCsvSource, Some(roundTripOracleSql)),
+    QueryDef("q_tar_source", qTarSource, Some(
+      """SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 2147483648) AS BIGINT) AS text_fp
+        |FROM documents WHERE text IS NOT NULL""".stripMargin)),
+    QueryDef("q_hrw_shard", qHrwShard, Some(
+      s"""WITH sh AS (SELECT unnest($hrwShardLits) AS sh),
+         |a AS (SELECT d.doc_id, sh.sh,
+         |        ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || sh.sh), 1, 15))::BIGINT AS w
+         |      FROM documents d CROSS JOIN sh),
+         |r AS (SELECT doc_id, sh,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, sh DESC) AS rn
+         |      FROM a)
+         |SELECT sh AS shard, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM r WHERE rn = 1 GROUP BY 1 ORDER BY shard""".stripMargin)),
     QueryDef("q_stream_attribution", qStreamAttribution, Some(
       """WITH w AS (SELECT event_type AS t, value AS v, epoch_ns(ts) // 1000 AS us,
         |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)

@@ -723,6 +723,26 @@ object RelationalQueries {
       .orderBy(col("rank").desc, col("node")).limit(50)
   }
 
+  /** Label-propagation communities
+    * ([[graft.operators.Graph.labelPropagate]] — Raghavan et al. '07
+    * made synchronous + deterministic) over the supplier↔part
+    * bipartite graph: 2 rounds, labels seeded by node id, most-
+    * frequent-neighbour-label updates with smallest-label tie-break,
+    * output = the community-size census (top 50 by size, label
+    * tiebreak). The oracle unrolls both rounds — the per-round
+    * (node, label) count census and the (count DESC, label ASC)
+    * argmax window — exactly. */
+  def qLpa(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_suppkey").cast("long").as("src"),
+        (col("l_partkey").cast("long") + 1000000L).as("dst"))
+    graft.operators.Graph.labelPropagate(edges, rounds = 2)
+      .groupBy(col("lbl").as("label"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("label"))
+      .limit(50)
+  }
+
   /** k-core peeling over the supplier↔part bipartite graph
     * ([[graft.operators.Graph.kCorePeel]] — Seidman degeneracy cores,
     * the graph-cleanup pass before centrality/community work): 3
@@ -760,6 +780,22 @@ object RelationalQueries {
 
   /** The r-th k-core peel round as oracle CTEs: degree census over
     * the surviving edges, keep set, filtered edge list. */
+  /** One unrolled label-propagation round for the q_lpa oracle: the
+    * (node, label) neighbour census over the symmetric edge CTE `e`,
+    * then the (count DESC, label ASC) argmax. Round 1 seeds labels
+    * with node ids inline. */
+  private def lpaRoundSql(k: Int): String = {
+    val prev =
+      if (k == 1) "(SELECT DISTINCT src AS node, src AS lbl FROM e)"
+      else s"l${k - 1}"
+    s"""c$k AS (SELECT e.dst AS node, l.lbl, count(*) AS cnt
+       |      FROM e JOIN $prev l ON l.node = e.src GROUP BY 1, 2),
+       |l$k AS (SELECT node, lbl FROM (
+       |        SELECT node, lbl,
+       |          row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+       |        FROM c$k) WHERE rn = 1)""".stripMargin
+  }
+
   private def kcoreRoundSql(r: Int, k: Int): String =
     s"""d$r AS (SELECT u, count(*) AS deg FROM e${r - 1} GROUP BY u),
        |k$r AS (SELECT u FROM d$r WHERE deg >= $k),
@@ -1388,6 +1424,15 @@ object RelationalQueries {
          |${kcoreRoundSql(2, 25)},
          |${kcoreRoundSql(3, 25)}
          |SELECT u AS node, count(*) AS deg FROM e3 GROUP BY u ORDER BY node""".stripMargin)),
+    QueryDef("q_lpa", qLpa, Some(
+      s"""WITH b0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+         |              CAST(l_partkey AS BIGINT) + 1000000 AS p FROM lineitem),
+         |e AS (SELECT s AS src, p AS dst FROM b0
+         |      UNION SELECT p AS src, s AS dst FROM b0),
+         |${lpaRoundSql(1)},
+         |${lpaRoundSql(2)}
+         |SELECT lbl AS label, count(*) AS n_members
+         |FROM l2 GROUP BY 1 ORDER BY n_members DESC, label LIMIT 50""".stripMargin)),
     QueryDef("q_freq_pairs", qFreqPairs, Some(
       """WITH b AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS basket,
         |             CAST(l_partkey AS BIGINT) AS item FROM lineitem),

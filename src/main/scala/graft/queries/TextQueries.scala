@@ -509,6 +509,23 @@ object TextQueries {
     * per-source census (threshold, kept, dropped) — all values exact
     * order statistics or counts. Keep rule `q >= p40` (closed: the
     * threshold doc itself survives). */
+  /** Per-source chars↔tokens Pearson correlation
+    * ([[graft.operators.Profile.pearson]] — the relationship check
+    * between two per-column censuses: a source whose character count
+    * decouples from its whitespace token count has different
+    * tokenization behaviour — markup, CJK-like runs, punctuation soup
+    * — and needs its own chars-per-token budget assumptions). One
+    * map-side-combined five-sum aggregate per source; DECIMAL(28,10)
+    * per-row casts make the sums exact at any parallelism (the
+    * moments convention), and sqrt is IEEE-correctly-rounded in both
+    * engines so the assembled r replays exactly. */
+  def qCorrSources(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.pearson(
+        docs(s, dir).filter(col("text").isNotNull),
+        col("source"), col("n_chars"), size(split(col("text"), "\\s+")))
+      .select(col("grp").as("source"), col("n"), col("r"))
+      .orderBy("source")
+
   def qQualityGate(s: SparkSession, dir: String): DataFrame = {
     // score ONCE, in parallel, and materialize the tiny (id, source, q)
     // projection: three downstream passes (quantile census, pruned
@@ -891,6 +908,25 @@ object TextQueries {
         |FROM c JOIN est e ON e.tok = c.tok
         |WHERE c.cnt >= ((SELECT n FROM tot) + 29) // 30
         |ORDER BY c.cnt DESC, c.tok""".stripMargin)),
+    QueryDef("q_corr_sources", qCorrSources, Some(
+      s"""WITH b AS (SELECT source, CAST(n_chars AS DOUBLE) AS x,
+         |             CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS y
+         |           FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+         |a AS (SELECT source, count(*) AS n,
+         |        CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+         |        CAST(sum(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+         |        CAST(sum(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+         |        CAST(sum(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+         |        CAST(sum(CAST(y * y AS DECIMAL(28,10))) AS DOUBLE) AS syy
+         |      FROM b GROUP BY 1)
+         |SELECT source, n,
+         |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+         |        AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+         |       THEN round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+         |            sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+         |                 * (CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+         |       END AS r
+         |FROM a ORDER BY source""".stripMargin)),
     QueryDef("q_quality_gate", qQualityGate, Some(
       s"""WITH sc AS (SELECT doc_id, source, $qualitySql AS q FROM documents),
          |r AS (SELECT source, q,

@@ -262,4 +262,44 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(sharedU != sharedP, "the two recurrences must actually differ on this fixture")
     } finally g.unpersist()
   }
+
+  private def lpa(edges: Seq[(Long, Long)], rounds: Int = 2): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.labelPropagate(edges.toDF("src", "dst"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("LPA: two disjoint triangles converge to one label each") {
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L), (12L, 10L))
+    val l = lpa(tri, rounds = 2)
+    assert(l == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L),
+      s"each triangle must settle on its smallest seed label: $l")
+  }
+
+  test("LPA: synchronous rounds + smallest-label tie-break on a path, pinned") {
+    // path 1-2-3. Round 1 (all labels unique, every count 1, min wins):
+    // 1→2, 2→1 (tie {1,3}), 3→2. Round 2: 1 sees {2:1}→1; 2 sees
+    // {1:2, 3:2} = two votes for label 2 → 2; 3 sees {2:1}→1.
+    val l = lpa(Seq((1L, 2L), (2L, 3L)), rounds = 2)
+    assert(l == Map(1L -> 1L, 2L -> 2L, 3L -> 1L),
+      s"the synchronous 2-round path labels are pinned: $l")
+  }
+
+  test("LPA: direction, duplication and self-loops do not change the answer") {
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val noisy = base ++ base.map(_.swap) ++ base ++ Seq((2L, 2L))
+    assert(lpa(base) == lpa(noisy),
+      "edges must be symmetrized + de-duplicated and self-loops dropped")
+  }
+
+  test("LPA: a hub's label floods its star") {
+    // star 0-{1..6}: round 1 — hub takes min leaf label 1, leaves take 0;
+    // round 2 — hub sees six votes for 0 → 0, leaves see {1} → 1... the
+    // classic bipartite oscillation, which the DETERMINISTIC synchronous
+    // contract makes reproducible: assert the exact pinned state.
+    val star = (1L to 6L).map(l => (0L, l))
+    val l = lpa(star, rounds = 2)
+    assert(l(0L) == 0L && (1L to 6L).forall(i => l(i) == 1L),
+      s"2-round synchronous star labels are pinned: $l")
+  }
 }

@@ -191,4 +191,43 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally
       spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
   }
+
+  private def hrwAssign(shards: Seq[String]): Map[Long, String] = {
+    import spark.implicits._
+    (0L until 1000L).toDF("k")
+      .select(col("k"), Layout.hrwShard(col("k"), shards).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+  }
+
+  test("hrwShard: growing the shard set moves ONLY the new shard's keys") {
+    val s8 = (0 until 8).map(i => f"shard-$i%02d")
+    val a8 = hrwAssign(s8)
+    val a9 = hrwAssign(s8 :+ "shard-08")
+    val moved = a8.keys.filter(k => a8(k) != a9(k))
+    assert(moved.nonEmpty, "a new shard must win some keys")
+    assert(moved.forall(k => a9(k) == "shard-08"),
+      "every moved key must land on the NEW shard — that is the rendezvous contract")
+    // and the new shard wins roughly 1/9 of the keyspace
+    assert(moved.size > 1000 / 9 / 2 && moved.size < 1000 / 9 * 2,
+      s"the new shard should win ~1/9 of 1000 keys, won ${moved.size}")
+  }
+
+  test("hrwShard: removing a shard moves only ITS keys") {
+    val s8 = (0 until 8).map(i => f"shard-$i%02d")
+    val a8 = hrwAssign(s8)
+    val a7 = hrwAssign(s8.filterNot(_ == "shard-03"))
+    a8.foreach { case (k, s) =>
+      if (s != "shard-03")
+        assert(a7(k) == s, s"key $k must keep $s when an unrelated shard leaves")
+    }
+  }
+
+  test("hrwShard: balanced and total over a small keyspace; duplicates rejected") {
+    val s8 = (0 until 8).map(i => f"shard-$i%02d")
+    val byShard = hrwAssign(s8).groupBy(_._2)
+    assert(byShard.keySet == s8.toSet, "every shard must win some keys at n=1000")
+    intercept[IllegalArgumentException] {
+      Layout.hrwShard(col("k"), Seq("a", "a"))
+    }
+  }
 }

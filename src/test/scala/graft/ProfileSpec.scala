@@ -272,4 +272,52 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((na, nb) == (a.length.toLong, b.length.toLong))
     assert(dNum == naive)
   }
+
+  private def pearsonOf(rows: Seq[(String, java.lang.Double, java.lang.Double)])
+      : Map[String, Option[Double]] = {
+    import spark.implicits._
+    Profile.pearson(rows.toDF("g", "x", "y"), col("g"), col("x"), col("y"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+  }
+
+  test("pearson: exact ±1 on linear data, NULL on zero variance, hand value") {
+    val rows =
+      (1 to 5).map(i => ("up", Double.box(i.toDouble), Double.box(2.0 * i + 1))) ++
+      (1 to 5).map(i => ("down", Double.box(i.toDouble), Double.box(-i.toDouble))) ++
+      Seq(("flat", Double.box(1.0), Double.box(7.0)),
+          ("flat", Double.box(2.0), Double.box(7.0)),
+          ("flat", Double.box(3.0), Double.box(7.0))) ++
+      // hand case: (1,1),(2,3),(3,2) → num = 3·13 − 36 = 3, den = 6 → 0.5
+      Seq(("hand", Double.box(1.0), Double.box(1.0)),
+          ("hand", Double.box(2.0), Double.box(3.0)),
+          ("hand", Double.box(3.0), Double.box(2.0)))
+    val r = pearsonOf(rows)
+    assert(r("up").contains(1.0) && r("down").contains(-1.0))
+    assert(r("flat").isEmpty, "zero variance has no defined correlation")
+    assert(r("hand").contains(0.5))
+  }
+
+  test("pearson: NULL and NaN rows are excluded, not poisonous") {
+    val clean = (1 to 4).map(i => ("g", Double.box(i.toDouble), Double.box(3.0 * i)))
+    val noisy = clean ++ Seq(
+      ("g", null.asInstanceOf[java.lang.Double], Double.box(9.0)),
+      ("g", Double.box(2.0), null.asInstanceOf[java.lang.Double]),
+      ("g", Double.box(Double.NaN), Double.box(1.0)))
+    assert(pearsonOf(clean) == pearsonOf(noisy))
+  }
+
+  test("pearson: partition count cannot change a bit of r") {
+    import spark.implicits._
+    val df = (1 to 200)
+      .map(i => ("s" + i % 3, i.toDouble, (i % 17).toDouble + 0.25 * i))
+      .toDF("g", "x", "y")
+    val one = Profile.pearson(df.repartition(1), col("g"), col("x"), col("y"))
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSet
+    val many = Profile.pearson(df.repartition(7), col("g"), col("x"), col("y"))
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSet
+    assert(one == many, "decimal-exact sums must be partition invariant")
+  }
 }
