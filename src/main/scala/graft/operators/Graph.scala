@@ -295,6 +295,39 @@ object Graph {
     }
   }
 
+  /** k-hop reach census — for every node, the number of DISTINCT
+    * nodes reachable in 1..k undirected hops (self excluded): the
+    * neighbourhood-size profile behind friend-of-friend recall,
+    * expansion QA on near-dup graphs, and seed-set sizing. Exact BFS
+    * frontier by k-1 self-joins: reach_i = distinct (src, dst) pairs
+    * of path length ≤ i. All equi-joins and distincts; the inherent
+    * cost term is the wedge count Σ deg² at k = 2 (the same term the
+    * triangle census carries — a graph with bounded degree keeps it
+    * linear in E, a power-law hub makes it the true answer's own
+    * size, since reach IS the pair set being counted). Per-level
+    * localCheckpoint keeps the plan flat (the [[pageRank]] cadence). */
+  def kHopReach(edges: DataFrame, k: Int = 2): DataFrame = {
+    require(k >= 1 && k <= 4, s"k must be in [1, 4] (pair sets explode past that), got $k")
+    val base = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val e = base
+      .union(base.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var pairs = e
+    for (_ <- 2 to k) {
+      pairs = pairs.as("a")
+        .join(e.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .union(pairs)
+        .distinct()
+        .localCheckpoint()
+    }
+    pairs.groupBy(col("src").as("node")).agg(count(lit(1)).as("reach"))
+  }
+
   /** Synchronous label-propagation communities (Raghavan, Albert &
     * Kumara 2007) over an undirected graph, made DETERMINISTIC: every
     * node starts labelled with its own id; each round every node

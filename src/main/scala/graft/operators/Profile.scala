@@ -80,6 +80,37 @@ object Profile {
     * yields NULL rather than ±inf. */
   def pearson(df: DataFrame, group: Column, x: Column, y: Column,
       dp: Int = 6): DataFrame = {
+    val (agg, vx, vy, nd) = fiveSums(df, group, x, y)
+    agg.select(col("grp"), col("n"),
+      when(vx > 0.0d && vy > 0.0d,
+        round((nd * col("__sxy") - col("__sx") * col("__sy")) /
+          sqrt(vx * vy), dp))
+        .as("r"))
+  }
+
+  /** Per-group ordinary-least-squares line y = slope·x + intercept —
+    * the same five exact sums as [[pearson]], assembled into the
+    * regression coefficients instead of the correlation (slope =
+    * cov/var_x, intercept from the means): the fit behind
+    * rank-frequency (Zipf) slopes, scaling-law eyeballs, and any
+    * "does y grow linearly with x per group" QA. Zero-variance-x
+    * groups have no defined line and yield NULL coefficients. */
+  def linearFit(df: DataFrame, group: Column, x: Column, y: Column,
+      dp: Int = 6): DataFrame = {
+    val (agg, vx, _, nd) = fiveSums(df, group, x, y)
+    val slope = (nd * col("__sxy") - col("__sx") * col("__sy")) / vx
+    agg.select(col("grp"), col("n"),
+      when(vx > 0.0d, round(slope, dp)).as("slope"),
+      when(vx > 0.0d,
+        round((col("__sy") - slope * col("__sx")) / nd, dp)).as("intercept"))
+  }
+
+  /** The shared exact-sum census behind [[pearson]] and [[linearFit]]:
+    * one map-side-combined aggregate of (n, Σx, Σy, Σxy, Σx², Σy²)
+    * with DECIMAL(28,10) per-row casts (products computed in double
+    * first — the [[moments]] rule), NULL/NaN rows excluded. */
+  private def fiveSums(df: DataFrame, group: Column, x: Column, y: Column)
+      : (DataFrame, Column, Column, Column) = {
     val xd = x.cast("double")
     val yd = y.cast("double")
     val agg = df
@@ -95,11 +126,7 @@ object Profile {
     val nd = col("n").cast("double")
     val vx = nd * col("__sxx") - col("__sx") * col("__sx")
     val vy = nd * col("__syy") - col("__sy") * col("__sy")
-    agg.select(col("grp"), col("n"),
-      when(vx > 0.0d && vy > 0.0d,
-        round((nd * col("__sxy") - col("__sx") * col("__sy")) /
-          sqrt(vx * vy), dp))
-        .as("r"))
+    (agg, vx, vy, nd)
   }
 
   /** EXACT quantiles in two narrow passes plus one tiny sorted fetch

@@ -743,6 +743,29 @@ object RelationalQueries {
       .limit(50)
   }
 
+  /** 2-hop reach census ([[graft.operators.Graph.kHopReach]] — the
+    * friend-of-friend neighbourhood size per node, the expansion
+    * profile behind seed-set sizing and near-dup-graph QA) over the
+    * supplier↔part bipartite graph: exact distinct-pair BFS (one
+    * self-join + union + distinct), top-50 by (reach DESC, node).
+    *
+    * The gate runs on the part-key-bounded induced subgraph (the
+    * MMR/mutual-kNN bounded-pool contract): 2-hop reach's inherent
+    * cost is the wedge count Σ deg², which on the FULL fixture
+    * bipartite graph is ~374M pairs at sf0.1 — the true answer's own
+    * size, not a missing filter, so the fixture bounds the pool the
+    * way a production caller bounds it (a blocking bucket, a
+    * community, a category subgraph). The predicate pushes to the
+    * parquet scan. */
+  def qKhop(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "lineitem")
+      .filter(col("l_partkey") < 2000)
+      .select(col("l_suppkey").cast("long").as("src"),
+        (col("l_partkey").cast("long") + 1000000L).as("dst"))
+    graft.operators.Graph.kHopReach(edges, k = 2)
+      .orderBy(col("reach").desc, col("node")).limit(50)
+  }
+
   /** k-core peeling over the supplier↔part bipartite graph
     * ([[graft.operators.Graph.kCorePeel]] — Seidman degeneracy cores,
     * the graph-cleanup pass before centrality/community work): 3
@@ -1433,6 +1456,17 @@ object RelationalQueries {
          |${lpaRoundSql(2)}
          |SELECT lbl AS label, count(*) AS n_members
          |FROM l2 GROUP BY 1 ORDER BY n_members DESC, label LIMIT 50""".stripMargin)),
+    QueryDef("q_khop", qKhop, Some(
+      """WITH b0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+        |              CAST(l_partkey AS BIGINT) + 1000000 AS p FROM lineitem
+        |            WHERE l_partkey < 2000),
+        |e AS (SELECT s AS src, p AS dst FROM b0
+        |      UNION SELECT p AS src, s AS dst FROM b0),
+        |p2 AS (SELECT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src
+        |       WHERE a.src <> b.dst
+        |       UNION SELECT src, dst FROM e)
+        |SELECT src AS node, count(*) AS reach FROM p2
+        |GROUP BY 1 ORDER BY reach DESC, node LIMIT 50""".stripMargin)),
     QueryDef("q_freq_pairs", qFreqPairs, Some(
       """WITH b AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS basket,
         |             CAST(l_partkey AS BIGINT) AS item FROM lineitem),

@@ -526,6 +526,55 @@ object TextQueries {
       .select(col("grp").as("source"), col("n"), col("r"))
       .orderBy("source")
 
+  /** Per-source out-of-vocabulary rate against a corpus-derived
+    * vocabulary (the tokenizer-coverage QA: a source whose tokens
+    * fall outside the global top-5000 at an outsized rate will
+    * fragment into subword soup under a tokenizer trained on the
+    * mix). Vocabulary = top 5000 tokens by (count DESC, token) — a
+    * bounded TakeOrdered artifact that BROADCASTS, so the scoring
+    * pass is one map-side join however large the corpus; one token
+    * census + one broadcast left join, nothing else. */
+  def qOovRate(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(5000)
+      .select(col("tok"), lit(true).as("__in"))
+    tok.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum(when(col("__in").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("oov_rate"))
+      .orderBy("source")
+  }
+
+  /** Per-source Zipf (rank-frequency) slope
+    * ([[graft.operators.Profile.linearFit]] over ln rank → ln count):
+    * natural text sits near slope −1; a source whose slope diverges
+    * (template boilerplate → steeper, id/hash soup → flatter) is a
+    * composition outlier the per-token censuses don't summarize. The
+    * rank window runs over the per-source TOKEN CENSUS (vocabulary-
+    * sized partitions, never corpus rows); each ln casts to
+    * DECIMAL(18,6) first (the bigramLogProb libm-ulp convention) so
+    * the regression sums are exact at any parallelism. */
+  def qZipfSlope(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source").orderBy(col("c").desc, col("tok"))
+    val xy = census.withColumn("rank", row_number().over(w))
+      .select(col("source"),
+        log(col("rank").cast("double")).cast("decimal(18,6)").cast("double").as("x"),
+        log(col("c").cast("double")).cast("decimal(18,6)").cast("double").as("y"))
+    graft.operators.Profile.linearFit(xy, col("source"), col("x"), col("y"))
+      .select(col("grp").as("source"), col("n"), col("slope"), col("intercept"))
+      .orderBy("source")
+  }
+
   def qQualityGate(s: SparkSession, dir: String): DataFrame = {
     // score ONCE, in parallel, and materialize the tiny (id, source, q)
     // projection: three downstream passes (quantile census, pruned
@@ -908,6 +957,46 @@ object TextQueries {
         |FROM c JOIN est e ON e.tok = c.tok
         |WHERE c.cnt >= ((SELECT n FROM tot) + 29) // 30
         |ORDER BY c.cnt DESC, c.tok""".stripMargin)),
+    QueryDef("q_oov_rate", qOovRate, Some(
+      s"""WITH tk AS (SELECT source, unnest($toksSql) AS tok
+         |            FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+         |v AS (SELECT tok FROM (
+         |        SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rn FROM c)
+         |      WHERE rn <= 5000),
+         |j AS (SELECT tk.source, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+         |      FROM tk LEFT JOIN v ON v.tok = tk.tok),
+         |a AS (SELECT source, count(*) AS n_tokens,
+         |        CAST(sum(oov) AS BIGINT) AS n_oov FROM j GROUP BY 1)
+         |SELECT source, n_tokens, n_oov,
+         |  round(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS oov_rate
+         |FROM a ORDER BY source""".stripMargin)),
+    QueryDef("q_zipf_slope", qZipfSlope, Some(
+      s"""WITH cs AS (SELECT source, tok, count(*) AS c FROM (
+         |        SELECT source, unnest($toksSql) AS tok
+         |        FROM documents WHERE text IS NOT NULL) GROUP BY 1, 2),
+         |rk AS (SELECT source, c,
+         |         row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rank
+         |       FROM cs),
+         |xy AS (SELECT source,
+         |         CAST(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS x,
+         |         CAST(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS y
+         |       FROM rk),
+         |a AS (SELECT source, count(*) AS n,
+         |        CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+         |        CAST(sum(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+         |        CAST(sum(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+         |        CAST(sum(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx
+         |      FROM xy GROUP BY 1)
+         |SELECT source, n,
+         |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+         |       THEN round((CAST(n AS DOUBLE) * sxy - sx * sy)
+         |                  / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) END AS slope,
+         |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+         |       THEN round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+         |                         / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+         |                  / CAST(n AS DOUBLE), 6) END AS intercept
+         |FROM a ORDER BY source""".stripMargin)),
     QueryDef("q_corr_sources", qCorrSources, Some(
       s"""WITH b AS (SELECT source, CAST(n_chars AS DOUBLE) AS x,
          |             CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS y

@@ -292,6 +292,25 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       "edges must be symmetrized + de-duplicated and self-loops dropped")
   }
 
+  test("kHopReach: hand values on a path and a triangle; input noise immune") {
+    import spark.implicits._
+    def reach(edges: Seq[(Long, Long)], k: Int = 2): Map[Long, Long] =
+      Graph.kHopReach(edges.toDF("src", "dst"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // path 1-2-3-4: 1 reaches {2,3}, 2 reaches {1,3,4}, symmetric
+    assert(reach(Seq((1L, 2L), (2L, 3L), (3L, 4L))) ==
+      Map(1L -> 2L, 2L -> 3L, 3L -> 3L, 4L -> 2L))
+    // triangle: everyone reaches the other two (2-hop adds nothing new)
+    assert(reach(Seq((1L, 2L), (2L, 3L), (3L, 1L))) ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k = 1 is plain degree over the symmetrized distinct edges
+    assert(reach(Seq((1L, 2L), (2L, 3L)), k = 1) ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    // duplicated/reversed/self-loop input must not change reach
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(reach(base) == reach(base ++ base.map(_.swap) ++ Seq((2L, 2L))))
+  }
+
   test("LPA: a hub's label floods its star") {
     // star 0-{1..6}: round 1 — hub takes min leaf label 1, leaves take 0;
     // round 2 — hub sees six votes for 0 → 0, leaves see {1} → 1... the

@@ -309,6 +309,19 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pearsonOf(clean) == pearsonOf(noisy))
   }
 
+  test("linearFit recovers an exact line and declines zero variance") {
+    import spark.implicits._
+    val rows =
+      (1 to 6).map(i => ("line", i.toDouble, 2.5 * i - 3.0)) ++
+      (1 to 3).map(_ => ("flat", 4.0, 9.0))
+    val f = Profile.linearFit(rows.toDF("g", "x", "y"),
+        col("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some((r.getDouble(2), r.getDouble(3))))).toMap
+    assert(f("line").contains((2.5, -3.0)))
+    assert(f("flat").isEmpty, "zero x-variance has no defined line")
+  }
+
   test("pearson: partition count cannot change a bit of r") {
     import spark.implicits._
     val df = (1 to 200)
