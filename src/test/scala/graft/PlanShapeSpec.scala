@@ -487,4 +487,38 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Expand"),
       s"multi-countDistinct Expand would multiply corpus rows into the shuffle:\n$p")
   }
+
+  test("HRW shard assignment is map-only: no join, one census exchange") {
+    val p = plan(graft.queries.PipelineQueries.qHrwShard(spark, sfDir))
+    assert(!p.contains("Join"),
+      s"rendezvous routing is a static expression tree, never a join:\n$p")
+    assert(p.count(_ == '\n') > 0 &&
+      "Exchange".r.findAllIn(p).size - "ReusedExchange".r.findAllIn(p).size <= 2,
+      s"only the O(#shards) census (+AQE read) may shuffle:\n$p")
+  }
+
+  test("OOV scoring joins the corpus against a BROADCAST vocabulary") {
+    val p = plan(graft.queries.TextQueries.qOovRate(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the top-5000 vocabulary must broadcast — the corpus never shuffles on token:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join here would shuffle the whole token stream:\n$p")
+  }
+
+  test("bounded k-hop gate pushes its subgraph predicate into the scan") {
+    // kHopReach localCheckpoints per level, so the returned frame reads
+    // an ExistingRDD — pin the pushdown on the gate's OWN scan shape
+    // (the exact edge expression qKhop feeds the operator)
+    import org.apache.spark.sql.functions.col
+    val edges = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_partkey") < 2000)
+      .select(col("l_suppkey").cast("long").as("src"),
+        (col("l_partkey").cast("long") + 1000000L).as("dst"))
+    val p = plan(edges)
+    assert(p.contains("LessThan(l_partkey,2000)"),
+      s"the bounded-pool predicate must reach the parquet scan:\n$p")
+    // and the gate end-to-end stays bounded: top-50, no cartesian
+    val g = plan(RelationalQueries.qKhop(spark, sfDir))
+    assert(g.contains("TakeOrderedAndProject") && !g.contains("CartesianProduct"), g)
+  }
 }
