@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy record linkage (extension — the entity-resolution /
+  * near-identical-title screen beside the shingle and SimHash dedup
+  * arms): candidate pairs form ONLY within caller-supplied blocking
+  * keys, then survive an exact edit-distance threshold.
+  *
+  * This is the standard two-stage ER shape (Fellegi-Sunter pipelines,
+  * dedupe-style blocking): the quadratic term is confined to block
+  * sizes the caller controls — blocking keys are domain knowledge
+  * (source × length bucket, zip code, title prefix), and a key that
+  * blocks badly is a data decision this operator surfaces (via the
+  * candidate count) rather than hides. Distance is Levenshtein on a
+  * caller-chosen representation (e.g. a fixed-length prefix — edit
+  * distance is O(len²) per pair, so production callers compare keys,
+  * titles, or prefixes, never whole documents); `levenshtein` is an
+  * EXACT metric with identical semantics in Spark and DuckDB, so
+  * gates replay it verbatim.
+  */
+object Linkage {
+
+  /** Candidate pairs `(a, b, dist)` with `a < b`, both rows sharing
+    * every blocking column, and `levenshtein(repr_a, repr_b) <=
+    * maxDist`. One hash-partitioned equi-join on the block key; the
+    * per-pair work is one edit distance on the bounded repr. */
+  def fuzzyPairs(df: DataFrame, id: Column, repr: Column,
+      blocks: Seq[Column], maxDist: Int): DataFrame = {
+    require(blocks.nonEmpty, "blocking keys are required — unblocked " +
+      "linkage is the all-pairs join this operator exists to avoid")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val side = df.select(
+      (id.as("id") +: repr.cast("string").as("repr") +:
+        blocks.zipWithIndex.map { case (b, i) => b.as(s"__b$i") }): _*)
+    val keys = blocks.indices.map(i => s"__b$i")
+    val a = side.toDF(side.columns.map(c => if (c == "id" || c == "repr") s"${c}_a" else c): _*)
+    val b = side.toDF(side.columns.map(c => if (c == "id" || c == "repr") s"${c}_b" else c): _*)
+    a.join(b, keys)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("repr_a"), col("repr_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a").as("a"), col("id_b").as("b"), col("dist"))
+  }
+}

@@ -575,6 +575,25 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Blocked fuzzy linkage over document prefixes
+    * ([[graft.operators.Linkage.fuzzyPairs]] — the entity-resolution
+    * screen beside the shingle/SimHash arms: candidates only within
+    * (source, length-bucket) blocks, survivors by exact Levenshtein
+    * on the 40-char prefix). The fixture's planted duplicates surface
+    * here as zero-distance prefix pairs; the threshold rejects the
+    * ~99.99% of blocked candidates that are genuinely different (at
+    * sf0.1: 214k candidates → 7 matches). */
+  def qFuzzyPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    graft.operators.Linkage.fuzzyPairs(d,
+        id = col("doc_id"),
+        repr = substring(col("text"), 1, 40),
+        blocks = Seq(col("source"),
+          expr("CAST(length(text) AS BIGINT) div 200")),
+        maxDist = 10)
+      .orderBy("a", "b")
+  }
+
   def qQualityGate(s: SparkSession, dir: String): DataFrame = {
     // score ONCE, in parallel, and materialize the tiny (id, source, q)
     // projection: three downstream passes (quantile census, pruned
@@ -957,6 +976,16 @@ object TextQueries {
         |FROM c JOIN est e ON e.tok = c.tok
         |WHERE c.cnt >= ((SELECT n FROM tot) + 29) // 30
         |ORDER BY c.cnt DESC, c.tok""".stripMargin)),
+    QueryDef("q_fuzzy_pairs", qFuzzyPairs, Some(
+      """WITH b AS (SELECT doc_id, source, substr(text, 1, 40) AS pre,
+        |             CAST(length(text) AS BIGINT) // 200 AS lb
+        |           FROM documents WHERE text IS NOT NULL)
+        |SELECT a.doc_id AS a, c.doc_id AS b,
+        |  CAST(levenshtein(a.pre, c.pre) AS INT) AS dist
+        |FROM b a JOIN b c ON a.source = c.source AND a.lb = c.lb
+        |                 AND a.doc_id < c.doc_id
+        |WHERE levenshtein(a.pre, c.pre) <= 10
+        |ORDER BY a, b""".stripMargin)),
     QueryDef("q_oov_rate", qOovRate, Some(
       s"""WITH tk AS (SELECT source, unnest($toksSql) AS tok
          |            FROM documents WHERE text IS NOT NULL),
