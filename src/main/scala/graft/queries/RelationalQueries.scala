@@ -752,14 +752,14 @@ object RelationalQueries {
     * The gate runs on the part-key-bounded induced subgraph (the
     * MMR/mutual-kNN bounded-pool contract): 2-hop reach's inherent
     * cost is the wedge count Σ deg², which on the FULL fixture
-    * bipartite graph is ~374M pairs at sf0.1 — the true answer's own
+    * bipartite graph is ~374M pairs at sf0.1 (and ~28M at the DENSER sf0.01, whose 100 suppliers share 2000 parts) — the true answer's own
     * size, not a missing filter, so the fixture bounds the pool the
     * way a production caller bounds it (a blocking bucket, a
     * community, a category subgraph). The predicate pushes to the
     * parquet scan. */
   def qKhop(s: SparkSession, dir: String): DataFrame = {
     val edges = t(s, dir, "lineitem")
-      .filter(col("l_partkey") < 2000)
+      .filter(col("l_partkey") < 500)
       .select(col("l_suppkey").cast("long").as("src"),
         (col("l_partkey").cast("long") + 1000000L).as("dst"))
     graft.operators.Graph.kHopReach(edges, k = 2)
@@ -1459,7 +1459,7 @@ object RelationalQueries {
     QueryDef("q_khop", qKhop, Some(
       """WITH b0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
         |              CAST(l_partkey AS BIGINT) + 1000000 AS p FROM lineitem
-        |            WHERE l_partkey < 2000),
+        |            WHERE l_partkey < 500),
         |e AS (SELECT s AS src, p AS dst FROM b0
         |      UNION SELECT p AS src, s AS dst FROM b0),
         |p2 AS (SELECT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src

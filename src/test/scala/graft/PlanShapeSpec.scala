@@ -511,11 +511,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (the exact edge expression qKhop feeds the operator)
     import org.apache.spark.sql.functions.col
     val edges = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .filter(col("l_partkey") < 2000)
+      .filter(col("l_partkey") < 500)
       .select(col("l_suppkey").cast("long").as("src"),
         (col("l_partkey").cast("long") + 1000000L).as("dst"))
     val p = plan(edges)
-    assert(p.contains("LessThan(l_partkey,2000)"),
+    assert(p.contains("LessThan(l_partkey,500)"),
       s"the bounded-pool predicate must reach the parquet scan:\n$p")
     // and the gate end-to-end stays bounded: top-50, no cartesian
     val g = plan(RelationalQueries.qKhop(spark, sfDir))
