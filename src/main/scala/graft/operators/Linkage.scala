@@ -31,9 +31,14 @@ object Linkage {
     require(blocks.nonEmpty, "blocking keys are required — unblocked " +
       "linkage is the all-pairs join this operator exists to avoid")
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    // materialize the projected side once: both self-join branches read
+    // it, and without this the source scan + repr projection run twice
+    // (the textrank tokenize-once lesson; the projected table is
+    // (id, bounded repr, block keys) — corpus-row count but narrow)
     val side = df.select(
       (id.as("id") +: repr.cast("string").as("repr") +:
         blocks.zipWithIndex.map { case (b, i) => b.as(s"__b$i") }): _*)
+      .localCheckpoint()
     val keys = blocks.indices.map(i => s"__b$i")
     val a = side.toDF(side.columns.map(c => if (c == "id" || c == "repr") s"${c}_a" else c): _*)
     val b = side.toDF(side.columns.map(c => if (c == "id" || c == "repr") s"${c}_b" else c): _*)

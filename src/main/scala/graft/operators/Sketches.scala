@@ -463,6 +463,27 @@ object Sketches {
     def merge(regA: DataFrame, regB: DataFrame): DataFrame =
       regA.unionByName(regB).groupBy("idx").agg(max(col("rho")).as("rho"))
 
+    /** Per-group register tables `(grp, idx, rho)` — the shard-local
+      * sketch builds (one per source/partition/day) whose element-wise
+      * max IS the global sketch: the mergeability that lets a 100 TB
+      * corpus keep O(m) state per shard and roll up without ever
+      * re-scanning. One map-side-combined MAX aggregate. */
+    def registersBy(df: DataFrame, group: Column, key: Column): DataFrame =
+      df.filter(key.isNotNull)
+        .select(group.as("grp"), stringFingerprint(key).as("fp"))
+        .select(col("grp"), (col("fp") % lit(M.toLong)).as("idx"),
+          expr(s"fp div $M").as("sfx"))
+        .select(col("grp"), col("idx"),
+          when(col("sfx") === 0L, lit(RhoCap))
+            .otherwise(floor(log2(col("sfx").bitwiseAND(-col("sfx"))))
+              .cast("int") + lit(1)).as("rho"))
+        .groupBy("grp", "idx").agg(max(col("rho")).as("rho"))
+
+    /** N-way [[merge]]: the element-wise max over EVERY group's
+      * register table at once — O(groups·m) rows in, O(m) out. */
+    def mergeAll(regs: DataFrame): DataFrame =
+      regs.groupBy("idx").agg(max(col("rho")).as("rho"))
+
     /** The estimate from a register table — ONE row
       * `(m, v_zero, s_units, est)`: v_zero = empty registers,
       * s_units = the exact integer indicator sum (pins the full

@@ -901,6 +901,23 @@ object PipelineQueries {
          |        ELSE CAST($EstNum AS DOUBLE) / CAST(s_units AS DOUBLE) END, 2) AS est_users
          |FROM b ORDER BY hour_start""".stripMargin
     }),
+    QueryDef("q_stream_oov", qStreamOov, Some(
+      """WITH tk AS (SELECT ts,
+        |        unnest(list_filter(string_split_regex(lower(props), '[^a-z0-9]+'),
+        |                           t -> t <> '')) AS tok
+        |      FROM events),
+        |c AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+        |v AS (SELECT tok FROM (
+        |        SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rn FROM c)
+        |      WHERE rn <= 200),
+        |j AS (SELECT date_trunc('hour', tk.ts) AS hr,
+        |        CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM tk LEFT JOIN v ON v.tok = tk.tok),
+        |a AS (SELECT hr, count(*) AS n_tokens,
+        |        CAST(sum(oov) AS BIGINT) AS n_oov FROM j GROUP BY 1)
+        |SELECT strftime(hr, '%Y-%m-%d %H:%M') AS hour_start, n_tokens, n_oov,
+        |  round(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS oov_rate
+        |FROM a ORDER BY hour_start""".stripMargin)),
     QueryDef("q_stream_kmv", qStreamKmv, Some(
       """WITH h AS (SELECT DISTINCT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
         |             (user_id * 2654435761 + 987654321) % 4294967296 AS hv
@@ -1022,6 +1039,27 @@ object PipelineQueries {
         date_format(col("hour_start"), "yyyy-MM-dd HH:mm").as("hour_start"),
         col("v_zero"), col("s_units"), col("est_users"))
       .orderBy("hour_start")
+
+  /** Hourly OOV drift over the live event payloads
+    * ([[EventStreams.hourlyOovRate]] — the streaming twin of
+    * q_oov_rate's per-source census): payload tokens vs a broadcast
+    * top-200 vocabulary derived from the same table, per-hour
+    * token/OOV census. The gate runs the SAME transform `readStream`
+    * runs (watermark a no-op in batch; the vocabulary is the static
+    * broadcast side either way). */
+  def qStreamOov(s: SparkSession, dir: String): DataFrame = {
+    val ev = EventsFixture.events(s, dir)
+    val vocab = ev
+      .select(explode(filter(
+        split(lower(col("props")), "[^a-z0-9]+"), t => t =!= "")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(200)
+      .select("tok")
+    EventStreams.hourlyOovRate(ev, vocab)
+      .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("n_tokens"), col("n_oov"), col("oov_rate"))
+      .orderBy("hour_start")
+  }
 
   /** The streaming KMV distinct-user sketch run over the batch events
     * table (same code path `readStream` uses): per hour window, the k=8

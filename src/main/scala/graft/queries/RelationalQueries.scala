@@ -570,6 +570,52 @@ object RelationalQueries {
       .crossJoin(sh.agg(countDistinct(col("tok3")).as("n_exact")))
   }
 
+  /** The one-pass GLOBAL HLL build replayed in SQL — shared verbatim
+    * by q_distinct_hll (whose engine arm builds globally) and
+    * q_hll_union (whose engine arm builds per-source shards and
+    * merges), so the cross-engine hash doubles as the merge ≡ global
+    * equivalence proof. */
+  private val distinctHllOracleSql: String = {
+    import graft.operators.Sketches.Hll.{EstNum, M, RhoCap}
+    s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents
+       |              WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (SELECT unnest(list_transform(range(1, len(t) - 1),
+       |                i -> t[i] || '_' || t[i+1] || '_' || t[i+2])) AS tok3
+       |       FROM toks),
+       |h AS (SELECT ('0x' || substr(md5(tok3), 1, 15))::BIGINT AS fp FROM sh),
+       |reg AS (SELECT fp % $M AS idx,
+       |          max(CASE WHEN fp // $M = 0 THEN $RhoCap
+       |               ELSE CAST(floor(log2((fp // $M) & -(fp // $M))) AS INT) + 1 END) AS rho
+       |        FROM h GROUP BY 1),
+       |a AS (SELECT count(*) AS nz,
+       |        coalesce(sum(CAST(1 AS BIGINT) << ($RhoCap - rho)), 0) AS s_obs FROM reg),
+       |b AS (SELECT CAST($M AS INT) AS m, CAST($M - nz AS INT) AS v_zero,
+       |        CAST(s_obs + ($M - nz) * (CAST(1 AS BIGINT) << $RhoCap) AS BIGINT)
+       |          AS s_units FROM a)
+       |SELECT m, v_zero, s_units,
+       |  round(CASE WHEN v_zero > 0
+       |              AND CAST($EstNum AS DOUBLE) / CAST(s_units AS DOUBLE)
+       |                  <= CAST(${2.5 * M} AS DOUBLE)
+       |        THEN CAST($M AS DOUBLE) * ln(CAST($M AS DOUBLE) / CAST(v_zero AS DOUBLE))
+       |        ELSE CAST($EstNum AS DOUBLE) / CAST(s_units AS DOUBLE) END, 2) AS est,
+       |  (SELECT count(DISTINCT tok3) FROM sh) AS n_exact
+       |FROM b""".stripMargin
+  }
+
+  /** The mergeability pin for the HLL family
+    * ([[graft.operators.Sketches.Hll.registersBy]] + `mergeAll`):
+    * per-SOURCE register tables — the shard-local builds a 100 TB
+    * layout actually produces — merged by element-wise max, then
+    * estimated. The oracle is the GLOBAL one-pass build verbatim
+    * (q_distinct_hll's SQL), so the driver hash itself proves
+    * merge(shard sketches) ≡ global sketch, register-for-register. */
+  def qHllUnion(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+    import graft.operators.Sketches.Hll
+    Hll.estimate(Hll.mergeAll(Hll.registersBy(sh, col("source"), col("tok3"))))
+      .crossJoin(sh.agg(countDistinct(col("tok3")).as("n_exact")))
+  }
+
   /** `(source, tok3)` word 3-shingles of the document corpus — shared
     * by the global and grouped text-KMV gates. The token array
     * materializes before shingling (the shinglesFromTokens lesson:
@@ -733,15 +779,48 @@ object RelationalQueries {
     * (node, label) count census and the (count DESC, label ASC)
     * argmax window — exactly. */
   def qLpa(s: SparkSession, dir: String): DataFrame = {
-    val edges = t(s, dir, "lineitem")
-      .select(col("l_suppkey").cast("long").as("src"),
-        (col("l_partkey").cast("long") + 1000000L).as("dst"))
+    // share the session-memoized supplier↔part graph with the PageRank
+    // gates (the ccMemo convention): its persisted `e` is already the
+    // symmetric distinct edge list, so the operator's normalization
+    // pass runs over the cache instead of re-scanning lineitem
+    val edges = suppPartGraph(s, dir).e
     graft.operators.Graph.labelPropagate(edges, rounds = 2)
       .groupBy(col("lbl").as("label"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("n_members").desc, col("label"))
       .limit(50)
   }
+
+  /** WEIGHTED PageRank ([[graft.operators.Graph.pageRankWeighted]] —
+    * mass splits across out-edges proportionally to weight, the
+    * general form of the uniform recurrence) over the supplier↔part
+    * graph weighted by lineitem multiplicity per pair: rank now
+    * reflects interaction VOLUME, not mere adjacency. The oracle
+    * unrolls all three rounds with the exact integer per-edge share
+    * `(floor(rank·1e12) · w) // W_src`. */
+  def qPageRankWeighted(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey").cast("long").as("s"),
+        (col("l_partkey").cast("long") + 1000000L).as("p"))
+      .agg(count(lit(1)).as("w"))
+    val edges = base.select(col("s").as("src"), col("p").as("dst"), col("w"))
+      .union(base.select(col("p").as("src"), col("s").as("dst"), col("w")))
+    graft.operators.Graph.pageRankWeighted(edges, iters = 3)
+      .orderBy(col("rank").desc, col("node")).limit(50)
+  }
+
+  /** One unrolled weighted-PageRank round for the q_pagerank_weighted
+    * oracle — the integer per-edge share `(u · w) // W` beside
+    * [[prIterSql]]'s uniform `floor(rank/deg·1e12)`. */
+  private def wprIterSql(k: Int): String =
+    s"""i$k AS (SELECT e.dst AS node,
+       |        sum((CAST(floor(r.rank * 1e12) AS BIGINT) * e.w) // ws.ws) AS u
+       |      FROM e JOIN ws ON e.src = ws.src
+       |             JOIN r${k - 1} r ON e.src = r.node GROUP BY 1),
+       |r$k AS (SELECT nodes.node,
+       |        floor(((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+       |               + CAST(0.85 AS DOUBLE) * (CAST(coalesce(u, 0) AS DOUBLE) / 1e12)) * 1e12) / 1e12 AS rank
+       |      FROM nodes CROSS JOIN nn LEFT JOIN i$k ON nodes.node = i$k.node)""".stripMargin
 
   /** 2-hop reach census ([[graft.operators.Graph.kHopReach]] — the
     * friend-of-friend neighbourhood size per node, the expansion
@@ -1266,32 +1345,10 @@ object RelationalQueries {
         |       ELSE round(255.0 * 4294967296.0 / kth, 2) END AS est,
         |  (SELECT count(DISTINCT tok3) FROM sh) AS n_exact
         |FROM s""".stripMargin)),
-    QueryDef("q_distinct_hll", qDistinctHll, Some {
-      import graft.operators.Sketches.Hll.{EstNum, M, RhoCap}
-      s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents
-         |              WHERE len(string_split(text, ' ')) >= 3),
-         |sh AS (SELECT unnest(list_transform(range(1, len(t) - 1),
-         |                i -> t[i] || '_' || t[i+1] || '_' || t[i+2])) AS tok3
-         |       FROM toks),
-         |h AS (SELECT ('0x' || substr(md5(tok3), 1, 15))::BIGINT AS fp FROM sh),
-         |reg AS (SELECT fp % $M AS idx,
-         |          max(CASE WHEN fp // $M = 0 THEN $RhoCap
-         |               ELSE CAST(floor(log2((fp // $M) & -(fp // $M))) AS INT) + 1 END) AS rho
-         |        FROM h GROUP BY 1),
-         |a AS (SELECT count(*) AS nz,
-         |        coalesce(sum(CAST(1 AS BIGINT) << ($RhoCap - rho)), 0) AS s_obs FROM reg),
-         |b AS (SELECT CAST($M AS INT) AS m, CAST($M - nz AS INT) AS v_zero,
-         |        CAST(s_obs + ($M - nz) * (CAST(1 AS BIGINT) << $RhoCap) AS BIGINT)
-         |          AS s_units FROM a)
-         |SELECT m, v_zero, s_units,
-         |  round(CASE WHEN v_zero > 0
-         |              AND CAST($EstNum AS DOUBLE) / CAST(s_units AS DOUBLE)
-         |                  <= CAST(${2.5 * M} AS DOUBLE)
-         |        THEN CAST($M AS DOUBLE) * ln(CAST($M AS DOUBLE) / CAST(v_zero AS DOUBLE))
-         |        ELSE CAST($EstNum AS DOUBLE) / CAST(s_units AS DOUBLE) END, 2) AS est,
-         |  (SELECT count(DISTINCT tok3) FROM sh) AS n_exact
-         |FROM b""".stripMargin
-    }),
+    QueryDef("q_distinct_hll", qDistinctHll, Some(distinctHllOracleSql)),
+    // the SAME global-build SQL gates the shard-merged arm: hash
+    // equality IS the merge ≡ global proof (register-for-register)
+    QueryDef("q_hll_union", qHllUnion, Some(distinctHllOracleSql)),
     QueryDef("q_cdc_apply", qCdcApply, Some(cdcOracleSql)),
     QueryDef("q_snapshot_diff", qSnapshotDiff, Some {
       // the MERGE oracle's `merged` pipeline, full-outer re-joined to
@@ -1387,6 +1444,22 @@ object RelationalQueries {
          |${prIterSql(1)},
          |${prIterSql(2)},
          |${prIterSql(3)}
+         |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 50""".stripMargin)),
+    QueryDef("q_pagerank_weighted", qPageRankWeighted, Some(
+      s"""WITH b0 AS (SELECT CAST(l_suppkey AS BIGINT) AS s,
+         |              CAST(l_partkey AS BIGINT) + 1000000 AS p,
+         |              CAST(count(*) AS BIGINT) AS w
+         |            FROM lineitem GROUP BY 1, 2),
+         |e AS (SELECT s AS src, p AS dst, w FROM b0
+         |      UNION ALL SELECT p AS src, s AS dst, w FROM b0),
+         |ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS ws FROM e GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT node, floor(CAST(1.0 AS DOUBLE) / nn.n * 1e12) / 1e12 AS rank
+         |       FROM nodes CROSS JOIN nn),
+         |${wprIterSql(1)},
+         |${wprIterSql(2)},
+         |${wprIterSql(3)}
          |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 50""".stripMargin)),
     QueryDef("q_pagerank_personalized", qPageRankPersonalized, Some(
       s"""WITH e0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,

@@ -63,6 +63,30 @@ object EventStreams {
       .select(col("window.start").as("hour_start"),
         col("c_mktsegment").as("segment"), col("n"), col("sum_value"))
 
+  /** Hourly out-of-vocabulary drift — the LIVE tokenizer-coverage
+    * monitor ([[graft.queries.TextQueries.qOovRate]]'s streaming
+    * twin): event-payload tokens left-joined against a BROADCAST
+    * static vocabulary, per-hour token/OOV census. A rising hourly
+    * OOV rate is the earliest signal that live traffic drifted away
+    * from the corpus the tokenizer/vocab was fit on. State is
+    * O(windows) counters under the watermark; the vocabulary is the
+    * static side of a stream-static broadcast join (no stream
+    * shuffle on token); same transform batch and streaming. */
+  def hourlyOovRate(events: DataFrame, vocab: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("ts"), explode(filter(
+        split(lower(col("props")), "[^a-z0-9]+"), t => t =!= "")).as("tok"))
+      .join(broadcast(vocab.select(col("tok"), lit(true).as("__in"))),
+        Seq("tok"), "left")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum(when(col("__in").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_oov"))
+      .select(col("window.start").as("hour_start"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("oov_rate"))
+
   /** Gap-based session windows (30-min inactivity) per user — the
     * streaming twin of RelationalQueries.qEventsSessions. */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =

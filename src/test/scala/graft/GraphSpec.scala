@@ -263,6 +263,53 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally g.unpersist()
   }
 
+  private def wRanks(edges: Seq[(Long, Long, Long)], iters: Int = 3): Map[Long, Double] = {
+    import spark.implicits._
+    Graph.pageRankWeighted(edges.toDF("src", "dst", "w"), iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  test("weighted PageRank: a ring with EQUAL weights keeps the uniform distribution") {
+    // each node has one out-edge, so (u·w) div w = u exactly — the
+    // uniform fixpoint survives in exact integer units like the
+    // unweighted ring test
+    val n = 10L
+    val ring = (0L until n).map(i => (i, (i + 1) % n, 7L))
+    val r = wRanks(ring)
+    val u = math.floor(1.0 / n * 1e12) / 1e12
+    assert(r.values.forall(v => math.abs(v - u) < 2e-12), s"$r")
+  }
+
+  test("weighted PageRank: shifting weight toward an edge raises its head's rank") {
+    // hub 0 splits to 1 and 2; back-edges keep the graph sink-free
+    def graph(w1: Long, w2: Long) = Seq(
+      (0L, 1L, w1), (0L, 2L, w2), (1L, 0L, 1L), (2L, 0L, 1L))
+    val even = wRanks(graph(5L, 5L))
+    assert(math.abs(even(1L) - even(2L)) < 2e-12,
+      s"equal weights must rank the two heads equally: $even")
+    val skewed = wRanks(graph(9L, 1L))
+    assert(skewed(1L) > skewed(2L) + 1e-6,
+      s"the 9:1 head must out-rank the 1:9 head: $skewed")
+  }
+
+  test("weighted PageRank: duplicate edges fold into summed weights exactly") {
+    val folded = wRanks(Seq((0L, 1L, 3L), (1L, 0L, 1L), (0L, 2L, 1L), (2L, 0L, 1L)))
+    val dup = wRanks(Seq((0L, 1L, 2L), (0L, 1L, 1L), (1L, 0L, 1L),
+      (0L, 2L, 1L), (2L, 0L, 1L)))
+    assert(folded == dup, "multi-edge weights must sum before the recurrence")
+  }
+
+  test("weighted PageRank: non-positive weights and sinks fail loudly") {
+    import spark.implicits._
+    intercept[Exception] {
+      Graph.pageRankWeighted(Seq((0L, 1L, 0L), (1L, 0L, 1L)).toDF("src", "dst", "w"))
+        .collect()
+    }
+    intercept[Exception] { // 1 is a sink
+      Graph.pageRankWeighted(Seq((0L, 1L, 1L)).toDF("src", "dst", "w")).collect()
+    }
+  }
+
   private def lpa(edges: Seq[(Long, Long)], rounds: Int = 2): Map[Long, Long] = {
     import spark.implicits._
     Graph.labelPropagate(edges.toDF("src", "dst"), rounds)

@@ -91,6 +91,13 @@ class HllSpec extends AnyFunSuite with BeforeAndAfterAll {
       (s"g$g", e.getInt(1), e.getLong(2), e.getDouble(3))
     }
     assert(grouped == direct, s"$grouped != $direct")
+    // the one-pass grouped register build + n-way merge is the same
+    // roll-up (the q_hll_union path): register-for-register equality
+    val viaBy = Hll.mergeAll(Hll.registersBy(df, col("src"), col("k")))
+      .orderBy("idx").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val viaGlobal = Hll.registers(df, col("k"))
+      .orderBy("idx").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(viaBy == viaGlobal, "registersBy + mergeAll must equal the global build")
   }
 
   test("NULL keys are skipped; empty corpus estimates 0") {

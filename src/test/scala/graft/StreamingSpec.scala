@@ -197,6 +197,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming hourly OOV drift: incremental micro-batches equal the batch census") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Timestamp, String)]
+    val df = src.toDF().toDF("ts", "props")
+    val vocab = Seq("alpha", "beta").toDF("tok") // the static broadcast side
+    val q = EventStreams.startToMemory(
+      EventStreams.hourlyOovRate(df, vocab), "oov_test", OutputMode.Complete())
+    try {
+      src.addData((ts(1), "alpha beta"), (ts(2), "alpha zzz"))
+      q.processAllAvailable()
+      src.addData((ts(3), "qqq; beta!"), (ts(4), "alpha"))
+      q.processAllAvailable()
+      val streamed = spark.table("oov_test")
+        .select("n_tokens", "n_oov", "oov_rate").head()
+      val batch = EventStreams.hourlyOovRate(
+          Seq((ts(1), "alpha beta"), (ts(2), "alpha zzz"),
+            (ts(3), "qqq; beta!"), (ts(4), "alpha")).toDF("ts", "props"), vocab)
+        .select("n_tokens", "n_oov", "oov_rate").head()
+      assert(streamed == batch,
+        s"incremental census $streamed must equal one-shot batch $batch")
+      // 7 tokens, 2 OOV (zzz, qqq); punctuation splits away
+      assert(streamed.getLong(0) == 7L && streamed.getLong(1) == 2L, s"$streamed")
+    } finally q.stop()
+  }
+
   test("hopping windows: each event lands in 4 overlapping windows, incremental equals batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
