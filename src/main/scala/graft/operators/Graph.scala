@@ -315,8 +315,27 @@ object Graph {
     * join + one hash aggregate; per-round localCheckpoint cadence. */
   def pageRankWeighted(edges: DataFrame, iters: Int = 3,
       damping: Double = 0.85): DataFrame = {
+    val g = prepareWeighted(edges)
+    try pageRankWeightedPrepared(g, iters, damping)
+    finally g.unpersist()
+  }
+
+  /** The loop-invariant weighted-graph artifacts ([[prepare]]'s
+    * weighted twin, same caller-owned lifecycle): folded edge list,
+    * weight-sum-annotated src-partitioned cache, sink-flagged nodes,
+    * plus the validated census scalars (node count, max weight) so
+    * repeat recurrences re-run ZERO setup jobs. */
+  final case class PreparedWGraph(e: DataFrame, ed: DataFrame,
+      nodes: DataFrame, n: Long) {
+    def unpersist(): Unit = {
+      e.unpersist(blocking = false)
+      ed.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+    }
+  }
+
+  def prepareWeighted(edges: DataFrame): PreparedWGraph = {
     import org.apache.spark.storage.StorageLevel
-    require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
         when(col("w").isNull || col("w") <= 0,
@@ -325,50 +344,52 @@ object Graph {
           .otherwise(col("w").cast("long")).as("w"))
       .groupBy("src", "dst").agg(sum(col("w")).as("w")) // fold multi-edges
       .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val ws = e.groupBy("src").agg(sum(col("w")).as("ws"))
-      val ed = e.join(ws, "src")
-        .repartition(col("src"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val nodes = e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct()
-        .join(e.select(col("src").as("node")).distinct()
-          .withColumn("__out", lit(true)), Seq("node"), "left")
-        .select(col("node"), coalesce(col("__out"), lit(false)).as("has_out"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        val census = nodes.agg(count(lit(1)).as("n"),
-          coalesce(sum(when(!col("has_out"), 1L).otherwise(0L)), lit(0L)).as("nd"))
-          .crossJoin(e.agg(max(col("w")).as("wmax")))
-          .head()
-        val n = census.getLong(0)
-        require(census.getLong(1) == 0,
-          s"${census.getLong(1)} dangling node(s) — pageRankWeighted requires " +
-            "every node to have an out-edge (symmetrize or drop sinks)")
-        require(census.getLong(2) <= (1L << 22),
-          s"max edge weight ${census.getLong(2)} > 2^22 — u*w would overflow " +
-            "checked 64-bit arithmetic; rescale weights first")
-        val floor12 = (c: Column) => floor(c * lit(1e12)).cast("double") / lit(1e12)
-        var rank = nodes.select(col("node"),
-          floor12(lit(1.0) / n).as("rank")).localCheckpoint()
-        for (_ <- 1 to iters) {
-          val units = ed
-            .join(rank.withColumnRenamed("node", "src"), "src")
-            .groupBy(col("dst").as("node"))
-            .agg(sum(expr("(CAST(floor(rank * 1e12) AS BIGINT) * w) div ws")).as("u"))
-          rank = nodes.select(col("node"))
-            .join(units, Seq("node"), "left")
-            .select(col("node"),
-              floor12(lit((1 - damping) / n) + lit(damping) *
-                (coalesce(col("u"), lit(0L)).cast("double") / lit(1e12))).as("rank"))
-            .localCheckpoint()
-        }
-        rank
-      } finally {
-        ed.unpersist(blocking = false)
-        nodes.unpersist(blocking = false)
-      }
-    } finally e.unpersist(blocking = false)
+    val ws = e.groupBy("src").agg(sum(col("w")).as("ws"))
+    val ed = e.join(ws, "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(e.select(col("src").as("node")).distinct()
+        .withColumn("__out", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__out"), lit(false)).as("has_out"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // node count + sink census + weight bound in ONE validation job
+    val census = nodes.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(!col("has_out"), 1L).otherwise(0L)), lit(0L)).as("nd"))
+      .crossJoin(e.agg(max(col("w")).as("wmax")))
+      .head()
+    require(census.getLong(1) == 0,
+      s"${census.getLong(1)} dangling node(s) — pageRankWeighted requires " +
+        "every node to have an out-edge (symmetrize or drop sinks)")
+    require(census.getLong(2) <= (1L << 22),
+      s"max edge weight ${census.getLong(2)} > 2^22 — u*w would overflow " +
+        "checked 64-bit arithmetic; rescale weights first")
+    PreparedWGraph(e, ed, nodes, census.getLong(0))
+  }
+
+  /** The weighted recurrence over a [[PreparedWGraph]] the CALLER
+    * owns (session-memoized gates). Fully materialized on return. */
+  def pageRankWeightedPrepared(g: PreparedWGraph, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val n = g.n
+    val floor12 = (c: Column) => floor(c * lit(1e12)).cast("double") / lit(1e12)
+    var rank = g.nodes.select(col("node"),
+      floor12(lit(1.0) / n).as("rank")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val units = g.ed
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("(CAST(floor(rank * 1e12) AS BIGINT) * w) div ws")).as("u"))
+      rank = g.nodes.select(col("node"))
+        .join(units, Seq("node"), "left")
+        .select(col("node"),
+          floor12(lit((1 - damping) / n) + lit(damping) *
+            (coalesce(col("u"), lit(0L)).cast("double") / lit(1e12))).as("rank"))
+        .localCheckpoint()
+    }
+    rank
   }
 
   /** k-hop reach census — for every node, the number of DISTINCT

@@ -798,14 +798,22 @@ object RelationalQueries {
     * reflects interaction VOLUME, not mere adjacency. The oracle
     * unrolls all three rounds with the exact integer per-edge share
     * `(floor(rank·1e12) · w) // W_src`. */
+  private val wSuppPartGraphMemo =
+    new IndexQueries.SessionMemo[graft.operators.Graph.PreparedWGraph]
   def qPageRankWeighted(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "lineitem")
-      .groupBy(col("l_suppkey").cast("long").as("s"),
-        (col("l_partkey").cast("long") + 1000000L).as("p"))
-      .agg(count(lit(1)).as("w"))
-    val edges = base.select(col("s").as("src"), col("p").as("dst"), col("w"))
-      .union(base.select(col("p").as("src"), col("s").as("dst"), col("w")))
-    graft.operators.Graph.pageRankWeighted(edges, iters = 3)
+    // session-memoized weighted graph build (the suppPartGraph /
+    // ccMemo convention): the O(E) fold + weight-sum + census runs
+    // once per session; repeat invocations pay only the 3 rounds
+    val g = wSuppPartGraphMemo.get(s, dir) {
+      val base = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").cast("long").as("s"),
+          (col("l_partkey").cast("long") + 1000000L).as("p"))
+        .agg(count(lit(1)).as("w"))
+      val edges = base.select(col("s").as("src"), col("p").as("dst"), col("w"))
+        .union(base.select(col("p").as("src"), col("s").as("dst"), col("w")))
+      graft.operators.Graph.prepareWeighted(edges)
+    }
+    graft.operators.Graph.pageRankWeightedPrepared(g, iters = 3)
       .orderBy(col("rank").desc, col("node")).limit(50)
   }
 
