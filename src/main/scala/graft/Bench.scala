@@ -14,9 +14,21 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // dev loop only (the driver never sets it): SPARK_GRAFT_BENCH_ONLY
-    // restricts the run to a comma-separated query subset for A/Bs
+    // restricts the run to a comma-separated query subset for A/Bs.
+    // Unknown names FAIL LOUDLY (a typo or stale env var must not
+    // yield a partial run indistinguishable from a canonical one),
+    // and any active filter tags the output JSON as partial.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+      System.err.println(s"[bench] PARTIAL run: SPARK_GRAFT_BENCH_ONLY " +
+        s"filter active (${names.size} of ${SparkEntry.queries.size} queries)")
+    }
+    val partialTag = if (only.isDefined) "\"partial\":true," else ""
     val sorted = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .sortBy(_._1)
@@ -124,7 +136,7 @@ object Bench {
       (kept ++ tail).mkString("{", ",", "}")
     }
     val head =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_timed":${results.size},""" +
+      s"""{"metric":"total",$partialTag"value":${fmt(total)},"unit":"sec","n_timed":${results.size},""" +
         s""""errors":$errsCapped,"sf":"${new java.io.File(sfDir).getName}",""" +
         s""""detail":"/tmp/graft_bench.json","queries":{"""
     var used = head.length + 2 // closing "}}"
@@ -137,7 +149,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString(",")
     val compact = head + qs + "}}"
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"rows":$rows,""" +
+      s"""{"metric":"total",$partialTag"value":$total,"unit":"sec","queries":$qsFull,"rows":$rows,""" +
         s""""shuffle_read":$shufR,"shuffle_write":$shufW,"errors":$errs,"sf":"$sfDir"}"""
     // persist the full line FIRST: stdout can be lost to log truncation
     // when the harness captures only a tail. Two copies: /tmp for the

@@ -446,8 +446,18 @@ object Graph {
     * first, self-loops dropped (a self-vote would freeze every node). */
   def labelPropagate(edges: DataFrame, rounds: Int = 2): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // the argmax tie-break below negates labels, so ids must be
+    // non-negative — enforced ON the normalization pass (scan-riding,
+    // zero extra jobs), not assumed in a comment: a negative id would
+    // silently invert tie-breaks and Long.MinValue wraps to itself
+    def nonNeg(c: Column): Column =
+      when(c < 0L, raise_error(concat(
+        lit("labelPropagate requires non-negative node ids "),
+        lit("(the smallest-label tie-break negates labels), got "),
+        c.cast("string")))).otherwise(c)
     val base = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .select(nonNeg(col("src").cast("long")).as("src"),
+        nonNeg(col("dst").cast("long")).as("dst"))
       .filter(col("src") =!= col("dst"))
     val e = base
       .union(base.select(col("dst").as("src"), col("src").as("dst")))
@@ -472,5 +482,63 @@ object Graph {
         .localCheckpoint()
     }
     labels
+  }
+
+  /** Newman modularity Q of a community assignment (Newman & Girvan,
+    * Phys. Rev. E 69, 2004, eq. 5) — the standard quality number for a
+    * partition like [[labelPropagate]]'s output: Q = Σ_c [ e_c/(2m) −
+    * (deg_c/(2m))² ] over the SYMMETRIZED distinct edge list, where 2m
+    * is the directed edge count, e_c the directed edges internal to
+    * community c, and deg_c the community's degree sum. Q ∈ [−½, 1);
+    * two disjoint equal cliques score exactly ½ (the GraphSpec hand
+    * value); a random partition scores ≈ 0.
+    *
+    * EXACT integer arithmetic end-to-end (the PageRank integer-unit
+    * convention): the one-row census carries q_num = 2m·Σe_c − Σdeg_c²
+    * and q_den = (2m)² as exact longs, plus q_units = floor(q_num·10⁹
+    * / q_den) evaluated in DECIMAL(38,0) (the product leaves int64
+    * around 2m ≈ 3·10⁶ directed edges). FLOOR is explicit for negative
+    * q_num — Spark `DIV` truncates toward zero where floor rounds down,
+    * so the negative arm routes through the ceil-of-negation identity
+    * floor(a/b) = −ceil(−a/b) = −((−a + b − 1) div b) — because a bad
+    * partition's NEGATIVE Q is precisely the signal this census exists
+    * to report (see the q_modularity gate: synchronous LPA on a
+    * bipartite graph oscillates sides, leaving ZERO internal edges).
+    *
+    * Scale shape: two equi-joins of the edge list to the label table
+    * (shuffle O(E) on node keys) and two map-side-combined aggregates —
+    * the per-community census is O(#communities) after combine and the
+    * output is ONE row. Nothing collects; nothing is all-pairs. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val base = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val e = base
+      .union(base.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val l = labels.select(col("node").cast("long").as("node"), col("lbl"))
+    val lab = e
+      .join(l.toDF("src", "sl"), "src")
+      .join(l.toDF("dst", "dl"), "dst")
+    val perC = lab
+      .groupBy(col("sl").as("label"))
+      .agg(count(lit(1)).as("deg_c"),
+        sum(when(col("sl") === col("dl"), 1L).otherwise(0L)).as("e_c"))
+    perC
+      .agg(
+        count(lit(1)).as("n_communities"),
+        sum(col("deg_c")).as("two_m"),
+        sum(col("e_c")).as("e_in"),
+        sum(col("deg_c") * col("deg_c")).as("deg_sq"))
+      .select(
+        col("n_communities"), col("two_m"), col("e_in"),
+        (col("e_in") * col("two_m") - col("deg_sq")).as("q_num"),
+        (col("two_m") * col("two_m")).as("q_den"))
+      .withColumn("q_units", expr(
+        """CASE WHEN q_num >= 0
+          |THEN (CAST(q_num AS DECIMAL(38,0)) * 1000000000) DIV CAST(q_den AS DECIMAL(38,0))
+          |ELSE -((CAST(-q_num AS DECIMAL(38,0)) * 1000000000 + q_den - 1)
+          |       DIV CAST(q_den AS DECIMAL(38,0)))
+          |END""".stripMargin))
   }
 }

@@ -321,32 +321,96 @@ object PipelineQueries {
     }
   }
 
+  /** ONE TRUE-streaming execution per session + fixture for the whole
+    * memory-sink gate family (the streamCdcMemo / streamedIndex
+    * precedent, made family-wide): all nine streaming queries START
+    * together and drain in a single processAllAvailable pass, so the
+    * per-query start→drain fixed cost (state-store spin-up,
+    * offset/commit WAL fsyncs, micro-batch scheduling) is paid ONCE —
+    * concurrently — instead of nine times serially. Each gate still
+    * executes its own genuine readStream → transform → memory-sink
+    * run: own file source, own state stores, own watermark line; only
+    * the WALL-CLOCK is shared, exactly how a production deployment
+    * runs many streaming queries in one long-lived session rather
+    * than restarting the runtime per query. Per-gate transforms,
+    * sink modes, watermarks, and oracles are UNCHANGED (gates project
+    * from their own sink tables); green three-SF gates are the
+    * evidence. Failure is loud family-wide: if any query errors, the
+    * memo does not cache and every gate in the family re-raises. */
+  private val streamBundleMemo = new IndexQueries.SessionMemo[Map[String, String]]
+  private def streamBundle(s: SparkSession, dir: String): Map[String, String] =
+    streamBundleMemo.get(s, dir) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      def nm(g: String) = s"graft_sb_${g}_$tag"
+      // the fixture table is a single parquet file; the streaming file
+      // source wants a directory, so list the parent filtered to it
+      val evSchema = s.read.parquet(s"$dir/events.parquet").schema
+      def evStream() = EventsFixture.normalizeTs(
+        s.readStream.schema(evSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val docSchema = s.read.parquet(s"$dir/documents.parquet").schema
+      // event time derives from doc_id (deterministic; the fixture has
+      // no ingest timestamp), offset past epoch 0: the initial
+      // watermark is 0 and a row whose event time equals it is treated
+      // as expired state
+      def docStream() = s.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros((col("doc_id") + 1700000000L) * 1000000L))
+      val sd = outerStreamDir(s, dir)
+      // 2 files/trigger folds the fixture and sentinel A into ONE
+      // batch; sentinel B is the flushing batch (see outerStreamDir)
+      def sdStream() = EventsFixture.normalizeTs(
+        s.readStream.schema(evSchema)
+          .option("maxFilesPerTrigger", "2").parquet(sd))
+      withStreamPartitions(s, 4) {
+        val started = scala.collection.mutable.ArrayBuffer.empty[StreamingQuery]
+        def go(g: String, df: DataFrame, mode: OutputMode): Unit =
+          started += df.writeStream.format("memory").queryName(nm(g))
+            .outputMode(mode).start()
+        go("exec", EventStreams.hourlyCounts(evStream()), OutputMode.Complete())
+        go("sessions", EventStreams.sessionWindows(evStream()), OutputMode.Complete())
+        go("state", EventStreams.runningUserStats(
+          evStream().select(col("user_id"), col("ts"), col("value"))
+            .as[EventStreams.UserEvent]).toDF(), OutputMode.Update())
+        go("join", EventStreams.correlateWithin(
+          evStream().filter(col("event_type") === "click"),
+          evStream().filter(col("event_type") === "purchase"),
+          watermark = "365 days"), OutputMode.Append())
+        go("dedup", EventStreams.dedupByContent(docStream(), watermark = "1000 days"),
+          OutputMode.Append())
+        go("neardedup", EventStreams.dedupByFingerprint(docStream(), watermark = "1000 days"),
+          OutputMode.Append())
+        go("outer", EventStreams.correlateLeftOuter(
+          sdStream().filter(col("event_type") === "click"),
+          sdStream().filter(col("event_type") === "purchase")), OutputMode.Append())
+        go("attr", EventStreams.attributeLastTouch(
+          sdStream().select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value")).as[EventStreams.TouchEvent]).toDF(),
+          OutputMode.Append())
+        go("sess_state", EventStreams.sessionizeWithState(
+          sdStream().select(col("user_id"), col("ts"), col("event_id"))
+            .as[EventStreams.SessEvent]).toDF(), OutputMode.Append())
+        try started.foreach(_.processAllAvailable())
+        finally started.foreach(q =>
+          try q.stop() catch { case scala.util.control.NonFatal(_) => () })
+      }
+      Seq("exec", "sessions", "state", "join", "dedup", "neardedup",
+        "outer", "attr", "sess_state").map(g => g -> nm(g)).toMap
+    }
+
   /** TRUE streaming execution in the gate: readStream over the events
     * parquet, the same hourlyCounts transform, Complete-mode memory
-    * sink drained with processAllAvailable — proving the streaming
-    * path computes exactly what the batch oracle computes. */
-  def qStreamExec(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    // the fixture table is a single parquet file; the streaming file
-    // source wants a directory, so list the parent filtered to it
-    val stream = EventsFixture.normalizeTs(
-      s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
-    val name = "graft_stream_exec_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStreamPartitions(s, 4) {
-      val q = EventStreams.hourlyCounts(stream)
-        .writeStream.format("memory").queryName(name)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    s.table(name)
+    * sink drained with processAllAvailable (shared family drain —
+    * [[streamBundle]]) — proving the streaming path computes exactly
+    * what the batch oracle computes. */
+  def qStreamExec(s: SparkSession, dir: String): DataFrame =
+    s.table(streamBundle(s, dir)("exec"))
       .select(
         date_format(col("hour_start"), "yyyy-MM-dd HH:mm").as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour_start", "event_type")
-  }
 
   /** TRUE streaming dedup in the gate: readStream over the documents
     * parquet, watermark-bounded exact dedup
@@ -363,22 +427,9 @@ object PipelineQueries {
     * fixture). Bounded-state expiry semantics — the 100 TB/day
     * property — are gated separately in StreamingSpec with a tight
     * watermark. */
-  def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/documents.parquet").schema
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-      // offset past epoch 0: the initial watermark is 0, and a row whose
-      // event time equals the watermark is treated as expired state
-      .withColumn("ts", timestamp_micros((col("doc_id") + 1700000000L) * 1000000L))
-    val name = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStreamPartitions(s, 4) {
-      val q = EventStreams.startToMemory(
-        EventStreams.dedupByContent(stream, watermark = "1000 days"), name)
-      try q.processAllAvailable() finally q.stop()
-    }
-    s.table(name).select(col("content_hash")).orderBy("content_hash")
-  }
+  def qStreamDedup(s: SparkSession, dir: String): DataFrame =
+    s.table(streamBundle(s, dir)("dedup"))
+      .select(col("content_hash")).orderBy("content_hash")
 
   /** TRUE streaming NEAR-dup screen in the gate: readStream over the
     * documents parquet, watermark-bounded dedup on the 64-bit SimHash
@@ -390,21 +441,10 @@ object PipelineQueries {
     * order the source produces; the 1000-day watermark covers any
     * fixture span (the q_stream_dedup batch-structure-independence
     * argument). Bounded-state expiry is StreamingSpec's job. */
-  def qStreamNearDedup(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/documents.parquet").schema
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("doc_id") + 1700000000L) * 1000000L))
-    val name = "graft_stream_neardedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStreamPartitions(s, 4) {
-      val q = EventStreams.startToMemory(
-        EventStreams.dedupByFingerprint(stream, watermark = "1000 days"), name)
-      try q.processAllAvailable() finally q.stop()
-    }
-    s.table(name).select(col("sim_hi"), col("sim_lo")).distinct()
+  def qStreamNearDedup(s: SparkSession, dir: String): DataFrame =
+    s.table(streamBundle(s, dir)("neardedup"))
+      .select(col("sim_hi"), col("sim_lo")).distinct()
       .orderBy("sim_hi", "sim_lo")
-  }
 
   /** TRUE streaming session windows in the gate: readStream over the
     * events parquet, 30-min-gap `session_window` aggregation
@@ -417,28 +457,14 @@ object PipelineQueries {
     * boundaries are emitted as epoch micros (end = last event + gap;
     * Spark merges inclusively at exactly-gap spacing, and the oracle's
     * strict `>` mirrors that). */
-  def qStreamSessions(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val stream = EventsFixture.normalizeTs(
-      s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
-    val name = "graft_stream_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStreamPartitions(s, 4) {
-      val q = EventStreams.sessionWindows(stream)
-        .writeStream.format("memory").queryName(name)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    s.table(name)
+  def qStreamSessions(s: SparkSession, dir: String): DataFrame =
+    s.table(streamBundle(s, dir)("sessions"))
       .select(
         col("user_id"),
         unix_micros(col("session_start")).as("start_us"),
         unix_micros(col("session_end")).as("end_us"),
         col("n_events"))
       .orderBy("user_id", "start_us")
-  }
 
   /** TRUE streaming keyed state in the gate: readStream over the
     * events parquet, mapGroupsWithState running per-user stats
@@ -449,25 +475,9 @@ object PipelineQueries {
     * unique and batch-structure independent). Count and max are
     * arrival-order free, so the oracle is a plain GROUP BY. */
   def qStreamState(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val stream = EventsFixture.normalizeTs(
-        s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir))
-      .select(col("user_id"), col("ts"), col("value"))
-      .as[EventStreams.UserEvent]
-    val name = "graft_stream_state_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStreamPartitions(s, 4) {
-      val q = EventStreams.runningUserStats(stream)
-        .writeStream.format("memory").queryName(name)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("n_events").desc)
-    s.table(name)
+    s.table(streamBundle(s, dir)("state"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("user_id"), col("n_events"), col("max_value"))
@@ -486,24 +496,10 @@ object PipelineQueries {
     * StreamingSpec. Timestamps compare in micros on both engines
     * (the normalized ts is micros precision; the oracle mirrors with
     * epoch_ns // 1000). */
-  def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    def stream() = EventsFixture.normalizeTs(
-      s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
-    val clicks = stream().filter(col("event_type") === "click")
-    val purchases = stream().filter(col("event_type") === "purchase")
-    val name = "graft_stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStreamPartitions(s, 4) {
-      val q = EventStreams.startToMemory(
-        EventStreams.correlateWithin(clicks, purchases, watermark = "365 days"), name)
-      try q.processAllAvailable() finally q.stop()
-    }
-    s.table(name)
+  def qStreamJoin(s: SparkSession, dir: String): DataFrame =
+    s.table(streamBundle(s, dir)("join"))
       .select(col("user_id"), col("l_id").as("click_id"), col("r_id").as("purchase_id"))
       .orderBy("user_id", "click_id", "purchase_id")
-  }
 
   /** Stream dirs for q_stream_outer, one per JVM + fixture (the binDir
     * convention): the events parquet plus TWO far-future sentinel
@@ -583,32 +579,12 @@ object PipelineQueries {
     * matched or been emitted null-padded, making the batch LEFT JOIN
     * oracle exact. NULL purchase_id coalesces to −1 on both engines
     * (orderBy needs no cross-engine NULL placement convention). */
-  def qStreamOuter(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val sd = outerStreamDir(s, dir)
-    // 2 files/trigger folds the fixture and sentinel A into ONE batch
-    // (matches emit there, and the post-batch watermark jumps past
-    // every real event); sentinel B is the second, flushing batch —
-    // the minimum, since eviction uses the watermark computed from
-    // the batches BEFORE the one running
-    def stream() = EventsFixture.normalizeTs(
-      s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "2")
-        .parquet(sd))
-    val clicks = stream().filter(col("event_type") === "click")
-    val purchases = stream().filter(col("event_type") === "purchase")
-    val name = "graft_stream_outer_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStreamPartitions(s, 4) {
-      val q = EventStreams.startToMemory(
-        EventStreams.correlateLeftOuter(clicks, purchases), name)
-      try q.processAllAvailable() finally q.stop()
-    }
-    s.table(name)
+  def qStreamOuter(s: SparkSession, dir: String): DataFrame =
+    s.table(streamBundle(s, dir)("outer"))
       .filter(col("user_id") >= 0)
       .select(col("user_id"), col("l_id").as("click_id"),
         coalesce(col("r_id"), lit(-1L)).as("purchase_id"))
       .orderBy("user_id", "click_id", "purchase_id")
-  }
 
   /** TRUE custom-state sessionization in the gate
     * ([[EventStreams.sessionizeWithState]] — flatMapGroupsWithState +
@@ -632,57 +608,20 @@ object PipelineQueries {
     * (touch_type, n_conv, value_sum) census shape as q_attribution;
     * the oracle replays the windowed batch semantics (two IGNORE-NULLS
     * last_value windows + the lookback CASE). */
-  def qStreamAttribution(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val sd = outerStreamDir(s, dir)
-    val stream = EventsFixture.normalizeTs(
-        s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "2")
-          .parquet(sd))
-      .select(col("user_id"), col("ts"), col("event_id"),
-        col("event_type"), col("value"))
-      .as[EventStreams.TouchEvent]
-    val name = "graft_stream_attr_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStreamPartitions(s, 4) {
-      val q = EventStreams.attributeLastTouch(stream)
-        .writeStream.format("memory").queryName(name)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    s.table(name)
+  def qStreamAttribution(s: SparkSession, dir: String): DataFrame =
+    s.table(streamBundle(s, dir)("attr"))
       .filter(col("user_id") >= 0) // sentinels ride outside the id space
       .groupBy(col("touch_type"))
       .agg(count(lit(1)).as("n_conv"),
         round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4)
           .as("value_sum"))
       .orderBy("touch_type")
-  }
 
-  def qStreamSessionsState(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val sd = outerStreamDir(s, dir)
-    val stream = EventsFixture.normalizeTs(
-        s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "2")
-          .parquet(sd))
-      .select(col("user_id"), col("ts"), col("event_id"))
-      .as[EventStreams.SessEvent]
-    val name = "graft_stream_sess_state_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStreamPartitions(s, 4) {
-      val q = EventStreams.sessionizeWithState(stream)
-        .writeStream.format("memory").queryName(name)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    s.table(name)
+  def qStreamSessionsState(s: SparkSession, dir: String): DataFrame =
+    s.table(streamBundle(s, dir)("sess_state"))
       .filter(col("user_id") >= 0)
       .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
       .orderBy("user_id", "start_us")
-  }
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_jsonl_source", qJsonlSource, Some(roundTripOracleSql)),

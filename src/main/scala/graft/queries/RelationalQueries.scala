@@ -791,6 +791,29 @@ object RelationalQueries {
       .limit(50)
   }
 
+  /** Newman modularity Q over the q_lpa communities
+    * ([[graft.operators.Graph.modularity]] — the falsifiable quality
+    * number for the community gate, the way RecallSpec floors the ANN
+    * gates): one exact-integer census row (n_communities, 2m, internal
+    * edges, q_num/q_den, floor(Q·10⁹)).
+    *
+    * HONESTY NOTE (the metric working as intended): on this BIPARTITE
+    * supplier↔part graph, synchronous label propagation OSCILLATES —
+    * each round every supplier adopts a part-side label and vice versa
+    * (the known synchronous-LPA bipartite pathology; Raghavan et al.
+    * '07 §III discuss label oscillation on bipartite structure) — so
+    * after any fixed even round count NO edge is internal (e_in = 0,
+    * probed 0 at all three SFs) and Q is NEGATIVE (−0.5/−0.43/−0.04 by
+    * SF). That is exactly what a modularity census is FOR: it flags
+    * that this partition is anti-community, which the size census
+    * (q_lpa) alone cannot see. The positive arm (two disjoint cliques
+    * → Q = +½ exactly) is pinned by hand in GraphSpec. */
+  def qModularity(s: SparkSession, dir: String): DataFrame = {
+    val edges = suppPartGraph(s, dir).e
+    val labels = graft.operators.Graph.labelPropagate(edges, rounds = 2)
+    graft.operators.Graph.modularity(edges, labels)
+  }
+
   /** WEIGHTED PageRank ([[graft.operators.Graph.pageRankWeighted]] —
     * mass splits across out-edges proportionally to weight, the
     * general form of the uniform recurrence) over the supplier↔part
@@ -1537,6 +1560,31 @@ object RelationalQueries {
          |${lpaRoundSql(2)}
          |SELECT lbl AS label, count(*) AS n_members
          |FROM l2 GROUP BY 1 ORDER BY n_members DESC, label LIMIT 50""".stripMargin)),
+    QueryDef("q_modularity", qModularity, Some(
+      s"""WITH b0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+         |              CAST(l_partkey AS BIGINT) + 1000000 AS p FROM lineitem),
+         |e AS (SELECT s AS src, p AS dst FROM b0
+         |      UNION SELECT p AS src, s AS dst FROM b0),
+         |${lpaRoundSql(1)},
+         |${lpaRoundSql(2)},
+         |lab AS (SELECT ls.lbl AS sl, ld.lbl AS dl FROM e
+         |        JOIN l2 ls ON e.src = ls.node JOIN l2 ld ON e.dst = ld.node),
+         |perc AS (SELECT sl AS label, count(*) AS deg_c,
+         |           CAST(sum(CASE WHEN sl = dl THEN 1 ELSE 0 END) AS BIGINT) AS e_c
+         |         FROM lab GROUP BY 1),
+         |a AS (SELECT count(*) AS n_communities, CAST(sum(deg_c) AS BIGINT) AS two_m,
+         |        CAST(sum(e_c) AS BIGINT) AS e_in,
+         |        CAST(sum(deg_c * deg_c) AS BIGINT) AS deg_sq
+         |      FROM perc)
+         |SELECT n_communities, two_m, e_in,
+         |  CAST(e_in * two_m - deg_sq AS BIGINT) AS q_num,
+         |  CAST(two_m * two_m AS BIGINT) AS q_den,
+         |  CAST(CASE WHEN e_in * two_m - deg_sq >= 0
+         |    THEN (CAST(e_in * two_m - deg_sq AS HUGEINT) * 1000000000) // (two_m * two_m)
+         |    ELSE -((CAST(deg_sq - e_in * two_m AS HUGEINT) * 1000000000 + two_m * two_m - 1)
+         |           // (two_m * two_m))
+         |    END AS BIGINT) AS q_units
+         |FROM a""".stripMargin)),
     QueryDef("q_khop", qKhop, Some(
       """WITH b0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
         |              CAST(l_partkey AS BIGINT) + 1000000 AS p FROM lineitem

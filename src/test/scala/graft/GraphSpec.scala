@@ -368,4 +368,49 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(l(0L) == 0L && (1L to 6L).forall(i => l(i) == 1L),
       s"2-round synchronous star labels are pinned: $l")
   }
+
+  test("LPA: negative node ids fail loudly (tie-break negation guard)") {
+    import spark.implicits._
+    val ex = intercept[Exception] {
+      Graph.labelPropagate(Seq((-1L, 2L), (2L, 3L)).toDF("src", "dst")).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("non-negative"),
+      s"guard must name the contract: ${ex.getMessage}")
+  }
+
+  private def modRow(edges: Seq[(Long, Long)], labels: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    Graph.modularity(edges.toDF("src", "dst"), labels.toDF("node", "lbl"))
+      .collect().head
+  }
+
+  test("modularity: two disjoint triangles under their LPA labels score exactly +1/2") {
+    import spark.implicits._
+    // the Newman & Girvan hand value: all edges internal, two equal
+    // communities -> Q = 1 - 2*(1/2)^2 = 1/2 exactly
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L), (12L, 10L))
+    val labels = Graph.labelPropagate(tri.toDF("src", "dst"), rounds = 2)
+    val r = Graph.modularity(tri.toDF("src", "dst"), labels).collect().head
+    assert(r.getAs[Long]("n_communities") == 2L && r.getAs[Long]("two_m") == 12L)
+    assert(r.getAs[Long]("e_in") == 12L, "every edge internal")
+    assert(r.getAs[Long]("q_num") == 72L && r.getAs[Long]("q_den") == 144L)
+    assert(r.getAs[Long]("q_units") == 500000000L, s"Q must be exactly +0.5: $r")
+  }
+
+  test("modularity: negative Q floors (not truncates) — the bad-partition arm") {
+    // triangle split {1} vs {2,3}: 2m=6, e_in=2 (the 2<->3 pair),
+    // deg_sq = 2^2 + 4^2 = 20, q_num = 2*6-20 = -8, q_den = 36,
+    // Q = -2/9 -> floor(-222222222.22) = -222222223 (truncation would
+    // give -222222222 — this pins the explicit floor identity)
+    val r = modRow(Seq((1L, 2L), (2L, 3L), (3L, 1L)),
+      Seq(1L -> 100L, 2L -> 200L, 3L -> 200L))
+    assert(r.getAs[Long]("q_num") == -8L && r.getAs[Long]("q_den") == 36L)
+    assert(r.getAs[Long]("q_units") == -222222223L, s"negative Q must FLOOR: $r")
+  }
+
+  test("modularity: the whole graph as one community scores exactly 0") {
+    val r = modRow(Seq((1L, 2L), (2L, 3L)), Seq(1L -> 7L, 2L -> 7L, 3L -> 7L))
+    assert(r.getAs[Long]("q_num") == 0L && r.getAs[Long]("q_units") == 0L,
+      s"single community: e_in*2m == deg_sq == (2m)^2: $r")
+  }
 }
