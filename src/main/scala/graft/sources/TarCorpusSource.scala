@@ -66,15 +66,26 @@ object TarCorpusSource {
 
   /** Write `(nameCol, textCol)` rows as `shards` tar part files under
     * `dir` (overwrites). One archive per task; each member is the
-    * row's UTF-8 text under the row's name. */
+    * row's UTF-8 text under the row's name.
+    *
+    * Tasks resolve their FileSystem from a BROADCAST of the driver's
+    * session hadoopConfiguration ([[SerializableHadoopConf]]) — the
+    * same credentials/fs-overrides the driver's delete/mkdirs used —
+    * and COMMIT via write-to-temp + rename: a speculative duplicate
+    * attempt writes its own `.tmp` file (invisible to the reader's
+    * `*.tar` glob) and withdraws when it finds the winner's rename
+    * already in place, so attempts never interleave bytes in one
+    * final file. */
   def write(df: DataFrame, dir: String, shards: Int,
       nameCol: String = "name", textCol: String = "text"): Unit = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val spark = df.sparkSession
     import spark.implicits._
-    val fs = FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val sc = spark.sparkContext
+    val fs = FileSystem.get(new java.net.URI(dir), sc.hadoopConfiguration)
     fs.delete(new Path(dir), true)
     fs.mkdirs(new Path(dir))
+    val bcConf = sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
     df.select(
         when(col(nameCol).isNull || col(textCol).isNull,
           raise_error(lit("tar cannot represent NULL names/contents — " +
@@ -85,9 +96,12 @@ object TarCorpusSource {
       .repartition(shards)
       .rdd
       .mapPartitionsWithIndex { (pid, it) =>
-        val conf = new Configuration()
-        val pfs = FileSystem.get(new java.net.URI(dir), conf)
-        val out = new DataOutputStream(pfs.create(new Path(dir, f"part-$pid%05d.tar"), true))
+        val pfs = FileSystem.get(new java.net.URI(dir), bcConf.value.conf)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val tmp = new Path(dir, f"part-$pid%05d.tar.$attempt%d.tmp")
+        val fin = new Path(dir, f"part-$pid%05d.tar")
+        val out = new DataOutputStream(pfs.create(tmp, true))
         var n = 0L
         it.foreach { case (name, text) =>
           val content = text.getBytes(StandardCharsets.UTF_8)
@@ -99,25 +113,74 @@ object TarCorpusSource {
         }
         out.write(new Array[Byte](2 * BlockSize)) // end-of-archive
         out.close()
+        if (!pfs.rename(tmp, fin)) {
+          // rename refuses when the destination exists: a faster
+          // attempt already committed this shard — withdraw
+          pfs.delete(tmp, false)
+          require(pfs.exists(fin), s"tar shard commit failed: $fin")
+        }
         Iterator.single(n)
       }
       .count() // force the write
   }
 
+  /** Single-member size bound for [[read]]: a member is a DOCUMENT
+    * (it decodes to one java String), so anything approaching the
+    * 2 GiB String/array ceiling is a data bug this source refuses
+    * loudly instead of OOMing opaquely. */
+  val MaxMemberBytes: Long = 1L << 30
+
   /** Open a directory of tar shards as `(entry_name, text)` — one
-    * task per shard, members decoded as UTF-8. */
+    * task per shard, members decoded as UTF-8.
+    *
+    * The shard streams INCREMENTALLY (`PortableDataStream.open()`,
+    * 512-byte header blocks, `Long` offsets): task memory holds one
+    * member at a time, never the whole archive, so the many-small-
+    * shards contract bounds memory by the largest MEMBER, not the
+    * shard size — and an oversized member fails loudly against
+    * [[MaxMemberBytes]] instead of OOMing. Truncation mid-member or
+    * mid-padding raises the same loud contract error the byte-exact
+    * header checksum does. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.sparkContext.binaryFiles(s"$dir/*.tar")
       .flatMap { case (path, stream) =>
-        val bytes = stream.toArray()
-        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-        var off = 0
-        var done = false
-        while (!done && off + BlockSize <= bytes.length) {
-          val h = java.util.Arrays.copyOfRange(bytes, off, off + BlockSize)
-          if (h.forall(_ == 0)) done = true // end-of-archive zero block
-          else {
+        val in = new java.io.DataInputStream(new java.io.BufferedInputStream(stream.open()))
+        // close on task end even if a downstream limit stops early
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try in.close() catch { case scala.util.control.NonFatal(_) => () }))
+        new Iterator[(String, String)] {
+          private var off = 0L
+          private var done = false
+          private var queued: (String, String) = null
+
+          private def fill(b: Array[Byte], what: => String): Unit =
+            try { in.readFully(b); off += b.length }
+            catch {
+              case _: java.io.EOFException =>
+                throw new IllegalArgumentException(
+                  s"$path: truncated shard at offset $off ($what past EOF)")
+            }
+
+          private def advance(): Unit = {
+            if (done || queued != null) return
+            val h = new Array[Byte](BlockSize)
+            // clean EOF at a header boundary ends the archive (some
+            // writers omit the trailing zero blocks); EOF anywhere
+            // else is loud truncation
+            val n = in.read(h, 0, BlockSize)
+            if (n < 0) { done = true; return }
+            if (n < BlockSize) {
+              val m = try { in.read(h, n, BlockSize - n) } catch {
+                case _: java.io.EOFException => -1
+              }
+              if (m < 0 || n + m < BlockSize)
+                throw new IllegalArgumentException(
+                  s"$path: truncated shard at offset $off (partial header block)")
+            }
+            off += BlockSize
+            if (h.forall(_ == 0)) { done = true; return } // end-of-archive
             var nameEnd = 0
             while (nameEnd < 100 && h(nameEnd) != 0) nameEnd += 1
             val name = new String(h, 0, nameEnd, StandardCharsets.UTF_8)
@@ -132,16 +195,26 @@ object TarCorpusSource {
             val sum = h.foldLeft(0L)((a, b) => a + (b & 0xff))
             if (recorded.isEmpty || java.lang.Long.parseLong(recorded, 8) != sum)
               throw new IllegalArgumentException(
-                s"$path: corrupt tar header at offset $off (checksum mismatch for '$name')")
-            val start = off + BlockSize
-            require(start + size <= bytes.length,
-              s"$path: truncated member '$name' (declared $size bytes past EOF)")
-            out += ((name, new String(bytes, start, size.toInt, StandardCharsets.UTF_8)))
-            val padded = ((size + BlockSize - 1) / BlockSize) * BlockSize
-            off = start + padded.toInt
+                s"$path: corrupt tar header at offset ${off - BlockSize} " +
+                  s"(checksum mismatch for '$name')")
+            require(size <= MaxMemberBytes,
+              s"$path: member '$name' declares $size bytes — past the " +
+                s"$MaxMemberBytes single-member bound (members are documents; " +
+                "shard the corpus, don't archive blobs)")
+            val content = new Array[Byte](size.toInt)
+            fill(content, s"member '$name' (declared $size bytes)")
+            val pad = ((size + BlockSize - 1) / BlockSize * BlockSize - size).toInt
+            if (pad > 0) fill(new Array[Byte](pad), s"padding after '$name'")
+            queued = (name, new String(content, StandardCharsets.UTF_8))
+          }
+
+          override def hasNext: Boolean = { advance(); queued != null }
+          override def next(): (String, String) = {
+            advance()
+            if (queued == null) throw new NoSuchElementException("tar iterator drained")
+            val r = queued; queued = null; r
           }
         }
-        out.iterator
       }
       .toDF("entry_name", "text")
   }
