@@ -275,6 +275,31 @@ object PipelineQueries {
           .cast("long") % lit(2147483648L)).as("text_fp"))
   }
 
+  /** WARC/WET corpus round-trip ([[graft.sources.WarcCorpusSource]] —
+    * the Common-Crawl interchange shape: gzip-member-per-record
+    * conversion records, one shard per task): documents → 8 .warc.gz
+    * shards → length-framed parse-back; the integrity aggregate (ids
+    * recovered from target URIs, char census, md5 fingerprint mod 2^31)
+    * equals the oracle over the ORIGINAL parquet iff headers, declared
+    * lengths, terminators and UTF-8 payloads all survived both the
+    * record grammar and the member-per-record compression. */
+  def qWarcSource(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull)
+    val tmp = fmtDir("warc", dir)
+    graft.sources.WarcCorpusSource.write(
+      d.select(concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+        col("text")),
+      tmp, shards = 8)
+    graft.sources.WarcCorpusSource.read(s, tmp)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(split(col("record_uri"), "\\.").getItem(0).cast("long")).as("sum_ids"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        sum(conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+          .cast("long") % lit(2147483648L)).as("text_fp"))
+  }
+
   def qBinSource(s: SparkSession, dir: String): DataFrame = {
     val tmp = binDir(dir)
     BinaryVectorSource.write(s.read.parquet(s"$dir/embeddings.parquet"), tmp, dims = 64)
@@ -627,6 +652,11 @@ object PipelineQueries {
     QueryDef("q_jsonl_source", qJsonlSource, Some(roundTripOracleSql)),
     QueryDef("q_csv_source", qCsvSource, Some(roundTripOracleSql)),
     QueryDef("q_tar_source", qTarSource, Some(
+      """SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 2147483648) AS BIGINT) AS text_fp
+        |FROM documents WHERE text IS NOT NULL""".stripMargin)),
+    QueryDef("q_warc_source", qWarcSource, Some(
       """SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 2147483648) AS BIGINT) AS text_fp

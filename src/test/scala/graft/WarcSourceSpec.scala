@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.WarcCorpusSource
+
+/** WARC/WET corpus source: exact UTF-8 round-trips under hostile
+  * payloads (including embedded fake WARC records — the length-framed
+  * parser must never scan payloads for boundaries), loud failures on
+  * malformed/truncated records and unrepresentable inputs, gzip
+  * member-per-record layout, and byte-deterministic shards. */
+class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_warc_spec_").toString
+
+  private def roundTrip(rows: Seq[(String, String)], shards: Int = 3)
+      : Set[(String, String)] = {
+    import spark.implicits._
+    val dir = tmp()
+    WarcCorpusSource.write(rows.toDF("name", "text"), dir, shards)
+    WarcCorpusSource.read(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+  }
+
+  private def errText(e: Throwable): String =
+    Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+
+  test("round-trip is exact under hostile payloads, including embedded WARC framing") {
+    val fakeRecord = "WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "Content-Length: 999999\r\n\r\nnot a real payload\r\n\r\n"
+    val rows = Seq(
+      "empty.txt" -> "",
+      "plain.txt" -> "hello world",
+      // a payload that IS a syntactically complete WARC record: the
+      // reader is Content-Length-framed, so this must pass through
+      "hostile_warc.txt" -> fakeRecord,
+      "crlf.txt" -> "line1\r\nline2\nline3\r\n\r\n",
+      "utf8.txt" -> "héllo wörld — ¿日本語? ®©",
+      "long.txt" -> ("x" * 10000 + "\r\n") * 30)
+    assert(roundTrip(rows) == rows.toSet)
+  }
+
+  test("shard count is honoured; each shard is a multi-member gzip stream") {
+    import spark.implicits._
+    val rows = (0 until 40).map(i => (s"doc-$i.txt", s"content $i"))
+    val dir = tmp()
+    WarcCorpusSource.write(rows.toDF("name", "text"), dir, shards = 4)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz"))
+    assert(parts.length == 4, "one .warc.gz per shard task")
+    // member-per-record: a 10-record shard has 10 gzip magic headers
+    val bytes = java.nio.file.Files.readAllBytes(parts.head.toPath)
+    val magics = bytes.sliding(2).count(a =>
+      (a(0) & 0xff) == 0x1f && (a(1) & 0xff) == 0x8b)
+    assert(magics >= 2, s"expected one gzip member per record, saw $magics magic pairs")
+    assert(roundTrip(rows, shards = 4) == rows.toSet)
+  }
+
+  test("NULLs and control characters in names fail loudly") {
+    import spark.implicits._
+    intercept[Exception] {
+      WarcCorpusSource.write(
+        Seq(("a.txt", "ok"), ("b.txt", null)).toDF("name", "text"), tmp(), 1)
+    }
+    val e = intercept[Exception] {
+      WarcCorpusSource.write(
+        Seq(("evil\r\nWARC-Type: forged", "ok")).toDF("name", "text"), tmp(), 1)
+    }
+    assert(errText(e).contains("control") || errText(e).nonEmpty)
+  }
+
+  test("a non-WARC stream fails the version check, not a silent mis-parse") {
+    val dir = tmp()
+    val f = java.nio.file.Paths.get(dir, "part-00000.warc.gz")
+    val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(f))
+    out.write("HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n".getBytes("UTF-8"))
+    out.close()
+    val e = intercept[Exception] { WarcCorpusSource.read(spark, dir).collect() }
+    assert(errText(e).contains("WARC/1.0"), s"expected the version-line error: $e")
+  }
+
+  test("a record missing Content-Length fails loudly") {
+    val dir = tmp()
+    val f = java.nio.file.Paths.get(dir, "part-00000.warc.gz")
+    val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(f))
+    out.write(("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: a.txt\r\n\r\nhi\r\n\r\n").getBytes("UTF-8"))
+    out.close()
+    val e = intercept[Exception] { WarcCorpusSource.read(spark, dir).collect() }
+    assert(errText(e).contains("Content-Length"), s"expected the missing-header error: $e")
+  }
+
+  test("truncation mid-payload fails loudly with the declared length") {
+    val dir = tmp()
+    val f = java.nio.file.Paths.get(dir, "part-00000.warc.gz")
+    val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(f))
+    out.write(("WARC/1.0\r\nWARC-Target-URI: a.txt\r\n" +
+      "Content-Length: 5000\r\n\r\nonly a little").getBytes("UTF-8"))
+    out.close()
+    val e = intercept[Exception] { WarcCorpusSource.read(spark, dir).collect() }
+    assert(errText(e).contains("truncated"), s"expected the truncation error: $e")
+  }
+
+  test("a payload/Content-Length disagreement trips the terminator check") {
+    val dir = tmp()
+    val f = java.nio.file.Paths.get(dir, "part-00000.warc.gz")
+    val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(f))
+    // declares 2 but carries 4 before the terminator: after reading 2
+    // bytes the parser must find junk where CRLF CRLF belongs
+    out.write(("WARC/1.0\r\nWARC-Target-URI: a.txt\r\n" +
+      "Content-Length: 2\r\n\r\nhiXX\r\n\r\n").getBytes("UTF-8"))
+    out.close()
+    val e = intercept[Exception] { WarcCorpusSource.read(spark, dir).collect() }
+    assert(errText(e).contains("CRLF"), s"expected the terminator error: $e")
+  }
+
+  test("shards are byte-deterministic (fixed date, name-derived ids, gzip mtime 0)") {
+    import spark.implicits._
+    val rows = (0 until 20).map(i => (s"d$i.txt", s"text $i"))
+    val df = rows.toDF("name", "text").repartition(1).orderBy("name")
+    val (d1, d2) = (tmp(), tmp())
+    WarcCorpusSource.write(df, d1, shards = 1)
+    WarcCorpusSource.write(df, d2, shards = 1)
+    def partBytes(d: String) = java.nio.file.Files.readAllBytes(
+      new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).head.toPath)
+    assert(java.util.Arrays.equals(partBytes(d1), partBytes(d2)),
+      "the same corpus must produce byte-identical shards")
+  }
+}
