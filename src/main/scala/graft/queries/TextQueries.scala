@@ -840,6 +840,150 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** The unigram-LM E-step segmentation of the word census under the
+    * seed model ([[graft.operators.UnigramLm]] — Kudo '18 / the
+    * SentencePiece unigram class): the bounded trained artifact BOTH
+    * unigram gates consume (the bpeMemo rationale), localCheckpointed
+    * so repeat consumers pay neither the substring census nor the
+    * Viterbi again. The model collects and broadcasts (all chars +
+    * top-200 multi-char substrings, integer floored-ln units); Viterbi
+    * runs once per DISTINCT censused word. */
+  private val unigramMemo = new IndexQueries.SessionMemo[DataFrame]
+  private def unigramSegmented(s: SparkSession, dir: String): DataFrame =
+    unigramMemo.get(s, dir) {
+      import graft.operators.UnigramLm
+      val census = UnigramLm.wordCensus(docs(s, dir), col("text")).localCheckpoint()
+      val model = UnigramLm.lpUnits(UnigramLm.seedVocab(census, 200))
+        .select(col("piece"), col("lp_units"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      UnigramLm.segmentCensus(census, model).localCheckpoint()
+    }
+
+  /** Unigram-LM trainer gate: the M-step piece census (piece,
+    * weighted occurrence count) after one hard-EM round, top-100 by
+    * (n DESC, piece). The oracle unrolls the WHOLE pipeline in SQL —
+    * word census, substring seed, integer-unit log-probs, the
+    * 10-position Viterbi DP (argmax per position, longer-piece
+    * tie-break), and the ≤10-step backtrack — so a single divergent
+    * segmentation anywhere in the vocabulary breaks the hash. */
+  def qUnigramTrain(s: SparkSession, dir: String): DataFrame =
+    unigramSegmented(s, dir)
+      .select(explode(col("pieces")).as("piece"), col("cnt"))
+      .groupBy("piece").agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("piece")).limit(100)
+
+  /** Unigram-LM coverage census — the q_bpe_coverage metric under the
+    * OTHER tokenizer class: per source, trainable words, emitted
+    * sub-tokens, chars, fertility and compression. The (word →
+    * subtoks) table is vocabulary-sized and BROADCASTS; the
+    * corpus-scale word stream never shuffles on word. */
+  def qUnigramCoverage(s: SparkSession, dir: String): DataFrame = {
+    val wordPieces = unigramSegmented(s, dir)
+      .select(col("word"), size(col("pieces")).as("subtoks"))
+    docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0 &&
+        length(col("word")) <= graft.operators.UnigramLm.MaxWordLen)
+      .join(broadcast(wordPieces), "word")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("subtoks").cast("long")).as("n_subtoks"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_subtoks"), col("n_chars"),
+        round(col("n_subtoks").cast("double") / col("n_words"), 4).as("fertility"),
+        round(col("n_chars").cast("double") / col("n_subtoks"), 4).as("chars_per_subtok"))
+      .orderBy("source")
+  }
+
+  /** The shared unigram oracle CTE chain: word census `wc`, substring
+    * census `subs`, pruned seed + integer-unit log-probs `vp`, the
+    * unrolled MaxWordLen-position Viterbi DP (`c{i}` candidates /
+    * `v{i}` per-position argmax — ONE row per word per reachable
+    * position, ties to the longer piece), the position→choice table
+    * `d`, the ≤MaxWordLen-step backtrack `t{k}` (a row drops out when
+    * its pos hits 0), and the exploded `pieces`. MATERIALIZED at every
+    * reused stage (the bpeRoundSql lesson). */
+  private def unigramCtesSql: String = {
+    val maxW = graft.operators.UnigramLm.MaxWordLen
+    val maxP = graft.operators.UnigramLm.MaxPieceLen
+    val scale = graft.operators.UnigramLm.Scale
+    val dp = (1 to maxW).map { i =>
+      val cands = (1 to math.min(maxP, i)).map { p =>
+        val piece = s"substr(w.word, ${i - p + 1}, $p)"
+        if (i - p == 0)
+          s"""SELECT w.word, $p AS p, vp.lp AS s FROM wc w
+             |    JOIN vp ON vp.piece = $piece WHERE len(w.word) >= $i""".stripMargin
+        else
+          s"""SELECT w.word, $p AS p, b.s + vp.lp AS s FROM wc w
+             |    JOIN v${i - p} b ON b.word = w.word
+             |    JOIN vp ON vp.piece = $piece WHERE len(w.word) >= $i""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""c$i AS ($cands),
+         |v$i AS MATERIALIZED (SELECT word, s, p FROM (
+         |  SELECT word, s, p,
+         |    row_number() OVER (PARTITION BY word ORDER BY s DESC, p DESC) AS rn
+         |  FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val dUnion = (1 to maxW).map(i => s"SELECT word, $i AS i, p FROM v$i")
+      .mkString("\n  UNION ALL ")
+    val bts = (1 to maxW).map { k =>
+      s"""t$k AS MATERIALIZED (SELECT t.word, t.cnt, t.pos - d.p AS pos,
+         |  substr(t.word, t.pos - d.p + 1, d.p) AS piece
+         |  FROM t${k - 1} t JOIN d ON d.word = t.word AND d.i = t.pos)""".stripMargin
+    }.mkString(",\n")
+    val pUnion = (1 to maxW).map(k => s"SELECT word, cnt, piece FROM t$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH wc AS MATERIALIZED (
+       |  SELECT word, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
+       |  WHERE len(word) >= 1 AND len(word) <= $maxW
+       |  GROUP BY word),
+       |subs AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(flatten(list_transform(range(1, len(word) + 1),
+       |             i -> list_transform(range(1, least($maxP, len(word) - i + 1) + 1),
+       |                    l -> substr(word, i, l))))) AS piece, cnt
+       |    FROM wc) s
+       |  GROUP BY piece),
+       |seed AS MATERIALIZED (
+       |  SELECT piece, cnt FROM subs WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+       |    FROM subs WHERE len(piece) > 1) WHERE rn <= 200),
+       |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM seed),
+       |vp AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(floor(ln(CAST(cnt AS DOUBLE) / tot.t) * $scale.0) AS BIGINT) AS lp
+       |  FROM seed CROSS JOIN tot),
+       |$dp,
+       |d AS MATERIALIZED ($dUnion),
+       |t0 AS (SELECT word, cnt, len(word) AS pos FROM wc),
+       |$bts,
+       |pieces AS MATERIALIZED ($pUnion)""".stripMargin
+  }
+
+  private def unigramTrainOracleSql: String =
+    s"""$unigramCtesSql
+       |SELECT piece, CAST(sum(cnt) AS BIGINT) AS n
+       |FROM pieces GROUP BY piece ORDER BY n DESC, piece LIMIT 100""".stripMargin
+
+  private def unigramCoverageOracleSql: String =
+    s"""$unigramCtesSql,
+       |wt AS (SELECT source, word FROM (
+       |         SELECT source, unnest(string_split(text, ' ')) AS word
+       |         FROM documents) u
+       |       WHERE len(word) >= 1 AND len(word) <= ${graft.operators.UnigramLm.MaxWordLen}),
+       |st AS (SELECT word, count(*) AS subtoks FROM pieces GROUP BY word),
+       |agg AS (SELECT source, count(*) AS n_words,
+       |          CAST(sum(st.subtoks) AS BIGINT) AS n_subtoks,
+       |          CAST(sum(len(wt.word)) AS BIGINT) AS n_chars
+       |        FROM wt JOIN st ON wt.word = st.word GROUP BY source)
+       |SELECT source, n_words, n_subtoks, n_chars,
+       |  round(CAST(n_subtoks AS DOUBLE) / n_words, 4) AS fertility,
+       |  round(CAST(n_chars AS DOUBLE) / n_subtoks, 4) AS chars_per_subtok
+       |FROM agg ORDER BY source""".stripMargin
+
   /** One BPE oracle round: pair census over w{k-1}, argmax b{k},
     * rewritten vocab w{k}. MATERIALIZED — each round reads its
     * predecessor twice (census + rewrite), so inlined CTEs would
@@ -928,6 +1072,8 @@ object TextQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_unigram_train", qUnigramTrain, Some(unigramTrainOracleSql)),
+    QueryDef("q_unigram_coverage", qUnigramCoverage, Some(unigramCoverageOracleSql)),
     QueryDef("q_bpe_merges", qBpeMerges, Some(bpeOracleSql(8))),
     QueryDef("q_bpe_encode", qBpeEncode, Some(bpeEncodeOracleSql(8))),
     QueryDef("q_bpe_coverage", qBpeCoverage, Some(bpeCoverageOracleSql(8))),
