@@ -44,8 +44,17 @@ object Linkage {
     val b = side.toDF(side.columns.map(c => if (c == "id" || c == "repr") s"${c}_b" else c): _*)
     a.join(b, keys)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("repr_a"), col("repr_b")))
-      .filter(col("dist") <= maxDist)
+      // standard edit-distance lower bound: |len(a) − len(b)| > maxDist
+      // ⇒ dist > maxDist — a free pre-filter that skips the DP
+      // entirely on length-diverse reprs (on fixed-length prefixes it
+      // passes everything; A/B'd in BASELINE.md, kept because it is
+      // semantically free and the production case is variable-length)
+      .filter(abs(length(col("repr_a")) - length(col("repr_b"))) <= maxDist)
+      // thresholded Levenshtein: the banded O(len·maxDist) DP instead
+      // of the full O(len²) table; returns −1 past the threshold, so
+      // kept pairs carry the EXACT distance and the filter is unchanged
+      .withColumn("dist", levenshtein(col("repr_a"), col("repr_b"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a").as("a"), col("id_b").as("b"), col("dist"))
   }
 }
