@@ -27,6 +27,25 @@ distributed arm as a PySpark DataFrame for batch/cluster use.
 from pyspark.sql import DataFrame, SparkSession
 
 
+def hrw_route(key, shards, spark=None):
+    """Rendezvous (highest-random-weight) shard for ``key`` over the
+    ``shards`` name list — the serving-side twin of the engine's
+    distributed ``hrwShard`` layout column (identical md5-prefix
+    weights and tie-break, zero Spark jobs). Numeric keys route as
+    their canonical integer string (``str(key)``)."""
+    spark = spark or SparkSession.builder.getOrCreate()
+    return spark._jvm.graft.PyFacade.hrwRoute(str(key), [str(s) for s in shards])
+
+
+def fuzzy_distance(a, b, max_dist, spark=None):
+    """Fuzzy-linkage candidate screen: exact edit distance between
+    ``a`` and ``b`` when ``<= max_dist``, ``-1`` past the threshold —
+    the same thresholded semantics the engine's blocked pair stage
+    filters on (length lower bound + banded DP)."""
+    spark = spark or SparkSession.builder.getOrCreate()
+    return int(spark._jvm.graft.PyFacade.fuzzyDistance(str(a), str(b), int(max_dist)))
+
+
 class VectorDB:
     """A vector database handle backed by the Scala engine.
 

@@ -103,6 +103,29 @@ except Exception as e:
     assert "multiple" in str(e).lower(), str(e)[:200]
 print("bin divisibility raise OK")
 
+# HRW routing through the Python surface: must equal an independent
+# hashlib replay of the md5-prefix weights (w DESC, shard DESC ties)
+from graft_db import hrw_route, fuzzy_distance
+import hashlib
+shards = ["shard-%02d" % i for i in range(8)]
+def py_hrw(key):
+    return max(shards, key=lambda s: (
+        int(hashlib.md5(("%s:%s" % (key, s)).encode()).hexdigest()[:15], 16), s))
+for k in [0, 1, 7, 42, 999999, "doc-x", "日本語"]:
+    got = hrw_route(k, shards, spark=spark)
+    want = py_hrw(str(k))
+    assert got == want, (k, got, want)
+print("hrw_route OK (8 shards, hashlib replay)")
+
+# fuzzy candidate screen: exact distance under the threshold, -1 past
+# it, and the length lower bound short-circuits
+assert fuzzy_distance("kitten", "sitting", 3, spark=spark) == 3
+assert fuzzy_distance("abc", "abd", 2, spark=spark) == 1
+assert fuzzy_distance("same", "same", 0, spark=spark) == 0
+assert fuzzy_distance("abc", "zzz", 2, spark=spark) == -1
+assert fuzzy_distance("a", "abcdef", 2, spark=spark) == -1  # length bound
+print("fuzzy_distance OK")
+
 # warm point-query latency through the py4j bridge (informational):
 # the Scala-side walk is ~0.2 ms; the rest is gateway round-trip
 import time

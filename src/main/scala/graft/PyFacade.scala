@@ -119,6 +119,22 @@ object PyFacade {
   def load(spark: SparkSession, path: String): VectorDB =
     VectorDB.load(spark, path)
 
+  /** Rendezvous shard routing, point arm
+    * ([[graft.operators.Layout.hrwRouteLocal]] — identical weights and
+    * tie-break to the distributed column arm, zero Spark jobs): route
+    * one key string over a shard list. */
+  def hrwRoute(key: String, shards: java.util.List[String]): String = {
+    import scala.jdk.CollectionConverters._
+    graft.operators.Layout.hrwRouteLocal(key, shards.asScala.toSeq)
+  }
+
+  /** Fuzzy-linkage candidate screen, point arm
+    * ([[graft.operators.Linkage.distanceLocal]]): exact edit distance
+    * when ≤ maxDist, −1 past the threshold — the same semantics the
+    * distributed pair stage filters on. */
+  def fuzzyDistance(a: String, b: String, maxDist: Int): Int =
+    graft.operators.Linkage.distanceLocal(a, b, maxDist)
+
   private def toFloats(query: java.util.List[java.lang.Double]): Seq[Float] = {
     val out = new Array[Float](query.size())
     var i = 0

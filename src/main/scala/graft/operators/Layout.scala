@@ -130,4 +130,23 @@ object Layout {
     * the established hex-prefix identity). */
   def hrwWeightSql(keyExpr: String, shardLit: String): String =
     s"('0x' || substr(md5(CAST($keyExpr AS VARCHAR) || ':' || $shardLit), 1, 15))::BIGINT"
+
+  /** Driver-local point arm of [[hrwShard]] — route ONE key with zero
+    * Spark jobs (the searchLocal serving convention; the Python
+    * facade's routing surface): identical md5-prefix weights over the
+    * identical "key:shard" bytes and the identical (w DESC, shard
+    * DESC) tie-break, pinned ≡ the column arm in LayoutSpec. Callers
+    * routing a numeric key pass the same string Spark's cast renders
+    * (`123`, not `123.0`). */
+  def hrwRouteLocal(key: String, shards: Seq[String]): String = {
+    require(shards.nonEmpty, "shards must be non-empty")
+    require(shards.distinct.size == shards.size,
+      s"duplicate shard names: ${shards.diff(shards.distinct).mkString(", ")}")
+    shards.map { sh =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$key:$sh".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = d.take(8).map(b => f"$b%02x").mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16), sh)
+    }.max._2
+  }
 }

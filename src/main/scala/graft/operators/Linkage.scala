@@ -57,4 +57,36 @@ object Linkage {
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a").as("a"), col("id_b").as("b"), col("dist"))
   }
+
+  /** Driver-local point arm of the distance stage (the Python
+    * facade's candidate-screen surface): exact Levenshtein over code
+    * points when ≤ maxDist, −1 past it — the thresholded-column
+    * semantics, pinned ≡ the column arm in LinkageSpec. The length
+    * lower bound short-circuits without touching the DP; the DP
+    * early-exits when a whole row exceeds the threshold. */
+  def distanceLocal(a: String, b: String, maxDist: Int): Int = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val ca = a.codePoints().toArray
+    val cb = b.codePoints().toArray
+    if (math.abs(ca.length - cb.length) > maxDist) return -1
+    val n = cb.length
+    var prev = Array.tabulate(n + 1)(identity)
+    var cur = new Array[Int](n + 1)
+    var i = 1
+    while (i <= ca.length) {
+      cur(0) = i
+      var best = i
+      var j = 1
+      while (j <= n) {
+        val cost = if (ca(i - 1) == cb(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), prev(j - 1) + cost)
+        if (cur(j) < best) best = cur(j)
+        j += 1
+      }
+      if (best > maxDist) return -1 // every extension only grows
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    if (prev(n) <= maxDist) prev(n) else -1
+  }
 }

@@ -230,4 +230,19 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       Layout.hrwShard(col("k"), Seq("a", "a"))
     }
   }
+
+  test("hrwRouteLocal (the point arm) ≡ the hrwShard column on every key") {
+    val s8 = (0 until 8).map(i => f"shard-$i%02d")
+    val colArm = hrwAssign(s8)
+    (0L until 1000L).foreach { k =>
+      val local = Layout.hrwRouteLocal(k.toString, s8)
+      assert(local == colArm(k),
+        s"point arm diverged on key $k: $local vs ${colArm(k)}")
+    }
+    // string keys route too, and duplicates are rejected
+    assert(Layout.hrwRouteLocal("doc-x", s8).startsWith("shard-"))
+    intercept[IllegalArgumentException] {
+      Layout.hrwRouteLocal("k", Seq("a", "a"))
+    }
+  }
 }

@@ -57,4 +57,27 @@ class LinkageSpec extends AnyFunSuite with BeforeAndAfterAll {
         col("id"), col("name"), Seq.empty, maxDist = 1)
     }
   }
+
+  test("distanceLocal (the point arm) ≡ Spark's thresholded levenshtein column") {
+    import spark.implicits._
+    val words = Seq("", "a", "ab", "abc", "abd", "kitten", "sitting",
+      "héllo", "hello", "日本語", "日本", "xxxxxxxxxx")
+    val grid = for (a <- words; b <- words) yield (a, b)
+    for (maxDist <- Seq(0, 1, 2, 3)) {
+      val colArm = grid.toDF("a", "b")
+        .select(col("a"), col("b"), levenshtein(col("a"), col("b"), maxDist).as("d"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+      grid.foreach { case (a, b) =>
+        val local = Linkage.distanceLocal(a, b, maxDist)
+        assert(local == colArm((a, b)),
+          s"point arm diverged on ('$a','$b',$maxDist): local $local vs column ${colArm((a, b))}")
+      }
+    }
+  }
+
+  test("distanceLocal: the length lower bound short-circuits to -1") {
+    assert(Linkage.distanceLocal("a", "abcdef", 2) == -1)
+    assert(Linkage.distanceLocal("abcdef", "a", 2) == -1)
+    assert(Linkage.distanceLocal("", "abc", 3) == 3) // boundary: equal to maxDist
+  }
 }
