@@ -89,8 +89,12 @@ object UnigramLm {
   /** Viterbi segmentation of one word under integer-unit piece
     * log-probs: maximize Σ lp_units over pieces (length ≤ MaxPieceLen);
     * score ties prefer the LONGER final piece at each position. The
-    * model must contain every character of the word (the [[seedVocab]]
-    * coverage guarantee) — a gap fails loudly. */
+    * model must cover the WORD (position n reachable) — guaranteed for
+    * the seed (all single chars) and preserved by re-estimation (every
+    * word's own previous-round pieces survive with positive count), so
+    * a gap fails loudly as a contract violation. Interior positions
+    * may legitimately be unreachable under a re-estimated model (a
+    * dropped single char inside a surviving multi-char piece). */
   private[graft] def segment(word: String, lp: collection.Map[String, Long]): Array[String] = {
     val n = word.length
     val best = Array.fill(n + 1)(Long.MinValue)
@@ -113,11 +117,11 @@ object UnigramLm {
         }
         p += 1
       }
-      require(best(i) != Long.MinValue,
-        s"unigram model cannot cover '$word' at position $i — the seed's " +
-          "single-character coverage guarantee was violated (stale model?)")
       i += 1
     }
+    require(best(n) != Long.MinValue,
+      s"unigram model cannot cover '$word' — the coverage contract " +
+        "(seed chars / surviving previous-round pieces) was violated (stale model?)")
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var pos = n
     while (pos > 0) {

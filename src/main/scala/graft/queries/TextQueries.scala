@@ -903,36 +903,50 @@ object TextQueries {
     * `d`, the ≤MaxWordLen-step backtrack `t{k}` (a row drops out when
     * its pos hits 0), and the exploded `pieces`. MATERIALIZED at every
     * reused stage (the bpeRoundSql lesson). */
-  private def unigramCtesSql: String = {
+  /** ONE definition of the unrolled Viterbi DP + backtrack for an
+    * arbitrary log-prob table `vp` and CTE-name prefix `pre` — the
+    * round-1 (seed) and round-2 (re-estimated) replays share it
+    * verbatim, so the EM rounds cannot drift apart in the oracle. */
+  private def unigramDpSql(vp: String, pre: String): String = {
     val maxW = graft.operators.UnigramLm.MaxWordLen
     val maxP = graft.operators.UnigramLm.MaxPieceLen
-    val scale = graft.operators.UnigramLm.Scale
     val dp = (1 to maxW).map { i =>
       val cands = (1 to math.min(maxP, i)).map { p =>
         val piece = s"substr(w.word, ${i - p + 1}, $p)"
         if (i - p == 0)
-          s"""SELECT w.word, $p AS p, vp.lp AS s FROM wc w
-             |    JOIN vp ON vp.piece = $piece WHERE len(w.word) >= $i""".stripMargin
+          s"""SELECT w.word, $p AS p, $vp.lp AS s FROM wc w
+             |    JOIN $vp ON $vp.piece = $piece WHERE len(w.word) >= $i""".stripMargin
         else
-          s"""SELECT w.word, $p AS p, b.s + vp.lp AS s FROM wc w
-             |    JOIN v${i - p} b ON b.word = w.word
-             |    JOIN vp ON vp.piece = $piece WHERE len(w.word) >= $i""".stripMargin
+          s"""SELECT w.word, $p AS p, b.s + $vp.lp AS s FROM wc w
+             |    JOIN v$pre${i - p} b ON b.word = w.word
+             |    JOIN $vp ON $vp.piece = $piece WHERE len(w.word) >= $i""".stripMargin
       }.mkString("\n  UNION ALL ")
-      s"""c$i AS ($cands),
-         |v$i AS MATERIALIZED (SELECT word, s, p FROM (
+      s"""c$pre$i AS ($cands),
+         |v$pre$i AS MATERIALIZED (SELECT word, s, p FROM (
          |  SELECT word, s, p,
          |    row_number() OVER (PARTITION BY word ORDER BY s DESC, p DESC) AS rn
-         |  FROM c$i) WHERE rn = 1)""".stripMargin
+         |  FROM c$pre$i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    val dUnion = (1 to maxW).map(i => s"SELECT word, $i AS i, p FROM v$i")
+    val dUnion = (1 to maxW).map(i => s"SELECT word, $i AS i, p FROM v$pre$i")
       .mkString("\n  UNION ALL ")
     val bts = (1 to maxW).map { k =>
-      s"""t$k AS MATERIALIZED (SELECT t.word, t.cnt, t.pos - d.p AS pos,
+      s"""t$pre$k AS MATERIALIZED (SELECT t.word, t.cnt, t.pos - d.p AS pos,
          |  substr(t.word, t.pos - d.p + 1, d.p) AS piece
-         |  FROM t${k - 1} t JOIN d ON d.word = t.word AND d.i = t.pos)""".stripMargin
+         |  FROM t$pre${k - 1} t JOIN d$pre d ON d.word = t.word AND d.i = t.pos)""".stripMargin
     }.mkString(",\n")
-    val pUnion = (1 to maxW).map(k => s"SELECT word, cnt, piece FROM t$k")
+    val pUnion = (1 to maxW).map(k => s"SELECT word, cnt, piece FROM t$pre$k")
       .mkString("\n  UNION ALL ")
+    s"""$dp,
+       |d$pre AS MATERIALIZED ($dUnion),
+       |t${pre}0 AS (SELECT word, cnt, len(word) AS pos FROM wc),
+       |$bts,
+       |pieces$pre AS MATERIALIZED ($pUnion)""".stripMargin
+  }
+
+  private def unigramCtesSql: String = {
+    val maxW = graft.operators.UnigramLm.MaxWordLen
+    val maxP = graft.operators.UnigramLm.MaxPieceLen
+    val scale = graft.operators.UnigramLm.Scale
     s"""WITH wc AS MATERIALIZED (
        |  SELECT word, count(*) AS cnt FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
@@ -956,12 +970,58 @@ object TextQueries {
        |  SELECT piece,
        |    CAST(floor(ln(CAST(cnt AS DOUBLE) / tot.t) * $scale.0) AS BIGINT) AS lp
        |  FROM seed CROSS JOIN tot),
-       |$dp,
-       |d AS MATERIALIZED ($dUnion),
-       |t0 AS (SELECT word, cnt, len(word) AS pos FROM wc),
-       |$bts,
-       |pieces AS MATERIALIZED ($pUnion)""".stripMargin
+       |${unigramDpSql("vp", "")}""".stripMargin
   }
+
+  /** The round-2 EM extension: re-estimated piece counts from the
+    * round-1 segmentation, fresh integer log-prob units, and the SAME
+    * DP/backtrack block re-instantiated against them (prefix r2_). */
+  private def unigramR2CtesSql: String = {
+    val scale = graft.operators.UnigramLm.Scale
+    s"""$unigramCtesSql,
+       |cnt2 AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM pieces GROUP BY piece),
+       |tot2 AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM cnt2),
+       |vp2 AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(floor(ln(CAST(cnt AS DOUBLE) / tot2.t) * $scale.0) AS BIGINT) AS lp
+       |  FROM cnt2 CROSS JOIN tot2),
+       |${unigramDpSql("vp2", "r2_")}""".stripMargin
+  }
+
+  /** The round-2 segmentation: the round-1 memo's piece counts
+    * re-estimate the model (M-step), then the census re-segments under
+    * it (E-step) — EM actually ITERATING, cross-engine. */
+  private val unigramMemo2 = new IndexQueries.SessionMemo[DataFrame]
+  private def unigramSegmented2(s: SparkSession, dir: String): DataFrame =
+    unigramMemo2.get(s, dir) {
+      import graft.operators.UnigramLm
+      val seg1 = unigramSegmented(s, dir)
+      val counts = seg1.select(explode(col("pieces")).as("piece"), col("cnt"))
+        .groupBy("piece").agg(sum(col("cnt")).as("cnt"))
+      val model2 = UnigramLm.lpUnits(counts)
+        .select(col("piece"), col("lp_units"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      UnigramLm.segmentCensus(seg1.select(col("word"), col("cnt")), model2)
+        .localCheckpoint()
+    }
+
+  /** Unigram ENCODE gate under the round-2 EM model (encode ≡
+    * train-state — a unigram tokenizer has no separate merge table, so
+    * the piece census under the re-estimated model IS the encode
+    * census): pins that the M-step (re-estimated integer units) and
+    * the second E-step land identically in both engines — the EM loop
+    * itself, not just one round. Top-100 by (n DESC, piece). */
+  def qUnigramEncode(s: SparkSession, dir: String): DataFrame =
+    unigramSegmented2(s, dir)
+      .select(explode(col("pieces")).as("piece"), col("cnt"))
+      .groupBy("piece").agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("piece")).limit(100)
+
+  private def unigramEncodeOracleSql: String =
+    s"""$unigramR2CtesSql
+       |SELECT piece, CAST(sum(cnt) AS BIGINT) AS n
+       |FROM piecesr2_ GROUP BY piece ORDER BY n DESC, piece LIMIT 100""".stripMargin
 
   private def unigramTrainOracleSql: String =
     s"""$unigramCtesSql
@@ -1073,6 +1133,7 @@ object TextQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_unigram_train", qUnigramTrain, Some(unigramTrainOracleSql)),
+    QueryDef("q_unigram_encode", qUnigramEncode, Some(unigramEncodeOracleSql)),
     QueryDef("q_unigram_coverage", qUnigramCoverage, Some(unigramCoverageOracleSql)),
     QueryDef("q_bpe_merges", qBpeMerges, Some(bpeOracleSql(8))),
     QueryDef("q_bpe_encode", qBpeEncode, Some(bpeEncodeOracleSql(8))),

@@ -505,6 +505,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a sort-merge join here would shuffle the whole token stream:\n$p")
   }
 
+  test("unigram coverage joins the word stream against a BROADCAST vocabulary table") {
+    val p = plan(graft.queries.TextQueries.qUnigramCoverage(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocabulary-sized (word → subtoks) table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join here would shuffle the whole word stream:\n$p")
+  }
+
   test("bounded k-hop gate pushes its subgraph predicate into the scan") {
     // kHopReach localCheckpoints per level, so the returned frame reads
     // an ExistingRDD — pin the pushdown on the gate's OWN scan shape
