@@ -692,4 +692,103 @@ object Curation {
           .when(col("n1") >= k, lit(1L))
           .otherwise(lit(2L)).as("anon_level"): _*)
   }
+
+  /** Distinct l-diversity release census (Machanavajjhala et al.
+    * ICDE '06 §3, the "distinct l-diversity" instantiation) — the
+    * check [[kAnonLadder]] CANNOT make: a quasi-identifier group can
+    * clear k and still leak its sensitive attribute outright when
+    * every member shares one value (the homogeneity attack — k
+    * bystanders are no crowd if they all have the same diagnosis).
+    * Per QI group the census reports `n` (the k-anonymity count),
+    * `l_distinct` (distinct non-NULL sensitive values — NULL is a
+    * missing measurement, not a value an attacker learns), and the
+    * release `verdict`: 0 = publish (n ≥ k AND l_distinct ≥ l),
+    * 1 = suppress on k (too few members — reported first when both
+    * fail, since an under-k group never reaches the diversity test),
+    * 2 = suppress on l (k-anonymous but sensitive-homogeneous).
+    * All-integer.
+    *
+    * Scale shape: ONE map-side-combined census over (QI, sensitive)
+    * — never a per-group count(DISTINCT) Expand over corpus rows —
+    * then an O(#distinct cells) re-aggregate to QI groups (`n` =
+    * Σ cell counts, `l_distinct` = cell count with non-NULL
+    * sensitive). Output is O(#groups). */
+  def lDiversity(df: DataFrame, qi: Seq[String], sensitive: String,
+      k: Long, l: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(l >= 1, s"l must be >= 1, got $l")
+    require(qi.nonEmpty, "quasi-identifier columns required")
+    require(!qi.contains(sensitive),
+      s"sensitive column '$sensitive' must not be part of the quasi-identifier $qi")
+    val cells = df.groupBy((qi :+ sensitive).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    cells.groupBy(qi.map(col): _*)
+      .agg(sum(col("cnt")).as("n"),
+        sum(when(col(sensitive).isNotNull, 1L).otherwise(0L)).as("l_distinct"))
+      .select(qi.map(col) :+ col("n") :+ col("l_distinct") :+
+        when(col("n") < k, lit(1L))
+          .when(col("l_distinct") < l, lit(2L))
+          .otherwise(lit(0L)).as("verdict"): _*)
+  }
+
+  /** Temperature-scaled mixture reweighting census — the data-mixing
+    * plan every multi-source pretraining run starts from (the
+    * exponential-smoothing lineage: multilingual BERT's α = 0.7,
+    * XLM-R §3.1, GPT-3's non-proportional corpus weights): source g
+    * with n_g tokens samples with probability p_g ∝ n_g^α, flattening
+    * the head so low-resource sources aren't drowned (α = 1 is
+    * proportional, α = 0 uniform). Returns per source: `n_size`, the
+    * smoothed weight, the mix share, and the EPOCH COUNT the share
+    * implies at a total budget of Σn — epochs > 1000 milli flags the
+    * source a balanced mix would repeat (the memorization-risk census
+    * for the mixing plan).
+    *
+    * Exponent convention: α comes QUANTIZED TO QUARTERS
+    * (`alphaQuarters`/4, 0..4) so n^α composes from IEEE-exact pieces
+    * — `sqrt` is correctly rounded in both engines (the [[Profile]]
+    * pearson convention) where a general libm `pow` is NOT — n^(3/4)
+    * = sqrt(n)·sqrt(sqrt(n)), one correctly-rounded op per factor
+    * plus exact double multiplies, then ONE floor into integer
+    * 1e-6 units (the floored-ln convention). All downstream
+    * arithmetic — Σw, shares in ppm, milli-epochs — is exact integer
+    * (DECIMAL(38,0) where products leave int64).
+    *
+    * Scale shape: the input is already a per-group census (`sizes`:
+    * one row per source, model-sized); everything here is O(#groups)
+    * with the normalizing Σ crossJoined as a 1-row aggregate. The
+    * caller produces `sizes` with ONE map-side-combined corpus census
+    * (see the q_mixture_weights gate). */
+  def mixtureWeights(sizes: DataFrame, group: String, size: String,
+      alphaQuarters: Int = 2): DataFrame = {
+    require(alphaQuarters >= 0 && alphaQuarters <= 4,
+      s"alphaQuarters must be in 0..4 (α = quarters/4), got $alphaQuarters")
+    val n = col("n_size").cast("double")
+    val factors = Seq(
+      if ((alphaQuarters & 4) != 0) Some(n) else None,
+      if ((alphaQuarters & 2) != 0) Some(sqrt(n)) else None,
+      if ((alphaQuarters & 1) != 0) Some(sqrt(sqrt(n))) else None).flatten
+    val w = factors.reduceOption(_ * _).getOrElse(lit(1.0d))
+    val base = sizes
+      .select(col(group), col(size).cast("long").as("n_size"))
+      .withColumn("__chk", when(col("n_size") <= 0L,
+        raise_error(concat(lit("mixtureWeights requires positive sizes, got "),
+          col("n_size").cast("string"), lit(" for group "),
+          col(group).cast("string")))).otherwise(lit(0)))
+      .select(col(group), col("n_size"),
+        floor(w * lit(1e6)).cast("decimal(38,0)").as("w_units"))
+    val tot = base.agg(sum(col("w_units")).cast("decimal(38,0)").as("s"),
+      sum(col("n_size")).cast("decimal(38,0)").as("tot_size"))
+    base.crossJoin(tot)
+      .select(col(group), col("n_size"),
+        // the weight REPORT column is int64; α = 1 over a >9.2e12-token
+        // source would wrap it, so fail loudly (shares/epochs stay exact
+        // in decimal regardless)
+        when(col("w_units") > lit(9200000000000000000L),
+          raise_error(lit("mixtureWeights: w_units exceeds int64 — " +
+            "lower alphaQuarters or pre-scale sizes")))
+          .otherwise(col("w_units").cast("long")).as("w_units"),
+        expr("CAST((w_units * 1000000) DIV s AS BIGINT)").as("share_ppm"),
+        expr("CAST(((w_units * 1000000) DIV s * tot_size) DIV (CAST(n_size AS DECIMAL(38,0)) * 1000) AS BIGINT)")
+          .as("epochs_milli"))
+  }
 }

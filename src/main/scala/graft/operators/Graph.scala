@@ -509,6 +509,88 @@ object Graph {
     * (shuffle O(E) on node keys) and two map-side-combined aggregates —
     * the per-community census is O(#communities) after combine and the
     * output is ONE row. Nothing collects; nothing is all-pairs. */
+  /** HITS hubs-and-authorities (Kleinberg JACM '99 §3) over a directed
+    * edge list `(src, dst)` — the OTHER classic link-centrality beside
+    * [[pageRank]], and the one that distinguishes CURATORS from
+    * CONTENT: a hub scores by the authorities it points at, an
+    * authority by the hubs that point at it. On a crawl graph the hub
+    * score finds directory/aggregator pages (high-value seeds for
+    * frontier scheduling) that PageRank's single score conflates with
+    * the content they link.
+    *
+    * Numeric convention (the [[pageRank]] integer-unit discipline,
+    * adapted to HITS's per-round normalization): scores live as
+    * integer 1e-12 units. Each half-round is (1) an exact integer
+    * transfer sum — per-row DECIMAL(38,0) casts so the sum can never
+    * silently wrap — and (2) an L1 re-normalization
+    * `units = (raw · 1e12) div Σraw`, all values non-negative so
+    * truncating division IS floor in both engines. Kleinberg's L2
+    * normalization is deliberately replaced by L1: the eigenvector
+    * direction is identical in the limit and the ranking identical at
+    * every round (a positive scalar rescale), but L1 keeps every
+    * operation in exact integer arithmetic where an L2 sqrt would
+    * reintroduce accumulation-order noise (the approx_percentile
+    * lesson). Init is the constant 1e6 per node — any positive
+    * constant, since round 1 renormalizes it away.
+    *
+    * Overflow bound, checked by construction: after normalization
+    * Σ units = 1e12, so every raw transfer sum ≤ E·1e12 and the
+    * normalization numerator raw·1e12 ≤ E·1e24 — inside DECIMAL(38,0)
+    * (and DuckDB HUGEINT) for any graph under ~10^14 edges, far past
+    * a 100 TB edge list.
+    *
+    * Scale shape: per round TWO equi-joins of the O(N) score table to
+    * the distinct edge list (the edge side is loop-invariant and
+    * localCheckpointed once; only scores move per round) and TWO
+    * map-side-combined sums; the normalizing Σ is a 1-row aggregate
+    * crossJoined in-plan (never collected). Self-loops are dropped
+    * (a self-citation is not an endorsement); duplicate edges fold by
+    * `distinct`. Returns `(node, auth_units, hub_units)` for every
+    * node, zeros where a side never receives mass (sources have
+    * auth 0, sinks hub 0 — on a bipartite graph each side is pure). */
+  def hits(edges: DataFrame, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    def normalize(raw: DataFrame, outCol: String): DataFrame = {
+      // raw: (node, raw DECIMAL(38,0)); Σ is a 1-row frame crossJoined
+      // in-plan; all values ≥ 0 so DIV-truncation == floor
+      val s = raw.agg(sum(col("raw")).as("s"))
+      raw.crossJoin(s)
+        .select(col("node"),
+          // DIV = integral division (truncating; == floor here since
+          // everything is ≥ 0) — a decimal `/` + cast would ROUND
+          expr("CAST((raw * 1000000000000) DIV s AS BIGINT)").as(outCol))
+    }
+    var hub = nodes.select(col("node"), lit(1000000L).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val aRaw = e
+        .join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("h").cast("decimal(38,0)")).cast("decimal(38,0)").as("raw"))
+      auth = normalize(aRaw, "a").localCheckpoint()
+      val hRaw = e
+        .join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("a").cast("decimal(38,0)")).cast("decimal(38,0)").as("raw"))
+      hub = normalize(hRaw, "h").localCheckpoint()
+    }
+    nodes
+      .join(auth, Seq("node"), "left")
+      .join(hub, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("a"), lit(0L)).as("auth_units"),
+        coalesce(col("h"), lit(0L)).as("hub_units"))
+  }
+
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
     val base = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))

@@ -376,6 +376,20 @@ object CurationQueries {
         tokCol = size(tokens(col("text"))), budgetNum = 6L, budgetDen = 10L)
       .orderBy("key")
 
+  /** Temperature-scaled mixture plan
+    * ([[Curation.mixtureWeights]] at α = 1/2 — p_g ∝ √n_g, the
+    * exponential-smoothing data-mixing census): per source, token
+    * count, smoothed weight in exact 1e-6 units, mix share in ppm,
+    * and the implied epoch count — the repeat-risk number a balanced
+    * mix assigns each low-resource source. ONE map-side-combined
+    * token census feeds the model-sized weight table. */
+  def qMixtureWeights(s: SparkSession, dir: String): DataFrame =
+    Curation.mixtureWeights(
+      docs(s, dir).groupBy(col("source"))
+        .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tok")),
+      group = "source", size = "n_tok", alphaQuarters = 2)
+      .orderBy("source")
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_negatives_hard", qNegativesHard, Some(
       s"""WITH a AS (SELECT vec_id AS anchor, label AS al, embedding AS av
@@ -408,6 +422,19 @@ object CurationQueries {
         |  (lv.ci IS NOT NULL AND c.i >= lv.ci) AS capped
         |FROM c LEFT JOIN lv ON TRUE
         |ORDER BY c.key""".stripMargin)),
+    QueryDef("q_mixture_weights", qMixtureWeights, Some(
+      """WITH per AS (SELECT source,
+        |    CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_size
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, n_size,
+        |    CAST(floor(sqrt(CAST(n_size AS DOUBLE)) * 1000000) AS BIGINT) AS w_units
+        |  FROM per),
+        |t AS (SELECT sum(w_units) AS s, sum(n_size) AS tot FROM w)
+        |SELECT source, n_size, w_units,
+        |  CAST((CAST(w_units AS HUGEINT) * 1000000) // s AS BIGINT) AS share_ppm,
+        |  CAST(((CAST(w_units AS HUGEINT) * 1000000) // s * tot)
+        |       // (CAST(n_size AS HUGEINT) * 1000) AS BIGINT) AS epochs_milli
+        |FROM w, t ORDER BY source""".stripMargin)),
     QueryDef("q_decontaminate_semantic", qDecontaminateSemantic, Some(
       s"""WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
          |co AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0)

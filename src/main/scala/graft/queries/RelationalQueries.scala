@@ -814,6 +814,31 @@ object RelationalQueries {
     graft.operators.Graph.modularity(edges, labels)
   }
 
+  /** HITS hubs-and-authorities ([[graft.operators.Graph.hits]] —
+    * Kleinberg '99, L1-normalized integer units) over the directed
+    * customer→order graph: hubs are customers weighted by the
+    * authority of the orders they place, authorities are orders
+    * weighted by their customer's hub score — after 2 rounds the hub
+    * side ranks customers by reinforced order volume, the side
+    * PageRank's single score can't separate (q_pagerank_dangling ranks
+    * the SAME graph by in-mass only). Output is the two-sided census:
+    * top-25 authorities and top-25 hubs, each tagged, so a gate
+    * exercises BOTH score vectors. The oracle unrolls both rounds —
+    * transfer sums and the `(raw·1e12) // Σraw` L1 re-normalizations —
+    * exactly (`//` in DuckDB and `DIV` in Spark agree: all values
+    * non-negative). */
+  def qHits(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders")
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("o_orderkey").cast("long") + 2000000L).as("dst"))
+    val hb = graft.operators.Graph.hits(edges, rounds = 2).localCheckpoint()
+    def top(c: String, side: String) = hb
+      .orderBy(col(c).desc, col("node")).limit(25)
+      .select(lit(side).as("side"), col("node"), col(c).as("units"))
+    top("auth_units", "auth").unionAll(top("hub_units", "hub"))
+      .orderBy(col("side"), col("units").desc, col("node"))
+  }
+
   /** WEIGHTED PageRank ([[graft.operators.Graph.pageRankWeighted]] —
     * mass splits across out-edges proportionally to weight, the
     * general form of the uniform recurrence) over the supplier↔part
@@ -927,6 +952,24 @@ object RelationalQueries {
        |        SELECT node, lbl,
        |          row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
        |        FROM c$k) WHERE rn = 1)""".stripMargin
+  }
+
+  /** The k-th HITS round as oracle CTEs: authority transfer sum +
+    * L1 re-norm (`a{k}raw`/`a{k}s`/`a{k}`), then the hub half
+    * (`h{k}raw`/`h{k}s`/`h{k}`). `//` floors in DuckDB; every value is
+    * non-negative so it agrees with Spark's truncating DIV. */
+  private def hitsRoundSql(k: Int): String = {
+    val hPrev = if (k == 1) "h0" else s"h${k - 1}"
+    s"""a${k}raw AS (SELECT e.dst AS node, sum(p.h) AS raw
+       |  FROM e JOIN $hPrev p ON e.src = p.node GROUP BY 1),
+       |a${k}s AS (SELECT sum(raw) AS s FROM a${k}raw),
+       |a$k AS (SELECT node, CAST((raw * 1000000000000) // s AS BIGINT) AS a
+       |  FROM a${k}raw, a${k}s),
+       |h${k}raw AS (SELECT e.src AS node, sum(q.a) AS raw
+       |  FROM e JOIN a$k q ON e.dst = q.node GROUP BY 1),
+       |h${k}s AS (SELECT sum(raw) AS s FROM h${k}raw),
+       |h$k AS (SELECT node, CAST((raw * 1000000000000) // s AS BIGINT) AS h
+       |  FROM h${k}raw, h${k}s)""".stripMargin
   }
 
   private def kcoreRoundSql(r: Int, k: Int): String =
@@ -1072,6 +1115,23 @@ object RelationalQueries {
       level0 = Seq("c_nationkey", "c_mktsegment"),
       level1 = Seq("c_mktsegment"), k = 5L)
       .orderBy("c_nationkey", "c_mktsegment")
+
+  /** Distinct l-diversity release census
+    * ([[graft.operators.Curation.lDiversity]] — the homogeneity-attack
+    * check k-anonymity alone cannot make): quasi-identifier
+    * (order status, order month) at k = 5, sensitive attribute
+    * o_orderpriority at l = 3. Per-group verdict ∈ {0 publish,
+    * 1 suppress-on-k, 2 suppress-on-l}; all three arms live at
+    * sf0.001 (probed 173/58/6), densifying toward publish-all at
+    * sf0.1 — the k-arm/l-arm semantics are hand-pinned in
+    * CurationSpec. All-integer. */
+  def qLDiversity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.lDiversity(
+      t(s, dir, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM")),
+      qi = Seq("o_orderstatus", "o_month"),
+      sensitive = "o_orderpriority", k = 5L, l = 3L)
+      .orderBy("o_orderstatus", "o_month")
 
   /** Exact two-sample Kolmogorov-Smirnov drift test
     * ([[graft.operators.Profile.ksTwoSample]] — returned-vs-delivered
@@ -1249,6 +1309,18 @@ object RelationalQueries {
         |  CAST(CASE WHEN g0.n >= 5 THEN 0 WHEN g1.n1 >= 5 THEN 1 ELSE 2 END AS BIGINT) AS anon_level
         |FROM g0 JOIN g1 USING (c_mktsegment)
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
+    QueryDef("q_l_diversity", qLDiversity, Some(
+      """WITH cells AS (SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS o_month,
+        |    o_orderpriority, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2, 3),
+        |g AS (SELECT o_orderstatus, o_month, CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderpriority IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS l_distinct
+        |  FROM cells GROUP BY 1, 2)
+        |SELECT o_orderstatus, o_month, n, l_distinct,
+        |  CAST(CASE WHEN n < 5 THEN 1 WHEN l_distinct < 3 THEN 2 ELSE 0 END
+        |    AS BIGINT) AS verdict
+        |FROM g ORDER BY o_orderstatus, o_month""".stripMargin)),
     QueryDef("q_ks_drift", qKsDrift, Some(
       """WITH r AS (SELECT l_quantity AS v,
         |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
@@ -1585,6 +1657,24 @@ object RelationalQueries {
          |           // (two_m * two_m))
          |    END AS BIGINT) AS q_units
          |FROM a""".stripMargin)),
+    QueryDef("q_hits", qHits, Some(
+      s"""WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+         |             CAST(o_orderkey AS BIGINT) + 2000000 AS dst FROM orders),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+         |${hitsRoundSql(1)},
+         |${hitsRoundSql(2)},
+         |f AS (SELECT n.node,
+         |        CAST(coalesce(a2.a, 0) AS BIGINT) AS auth_units,
+         |        CAST(coalesce(h2.h, 0) AS BIGINT) AS hub_units
+         |      FROM nodes n LEFT JOIN a2 ON n.node = a2.node
+         |        LEFT JOIN h2 ON n.node = h2.node),
+         |ta AS (SELECT 'auth' AS side, node, auth_units AS units FROM f
+         |       ORDER BY auth_units DESC, node LIMIT 25),
+         |th AS (SELECT 'hub' AS side, node, hub_units AS units FROM f
+         |       ORDER BY hub_units DESC, node LIMIT 25)
+         |SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+         |ORDER BY side, units DESC, node""".stripMargin)),
     QueryDef("q_khop", qKhop, Some(
       """WITH b0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
         |              CAST(l_partkey AS BIGINT) + 1000000 AS p FROM lineitem

@@ -526,4 +526,105 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       Curation.kAnonLadder(df, Seq("nat", "seg"), Seq("other"), 5)
     }
   }
+
+  // ---- distinct l-diversity -----------------------------------------
+
+  private def ldiv(rows: Seq[(String, String)], k: Long, l: Long): Map[String, (Long, Long, Long)] = {
+    import spark.implicits._
+    Curation.lDiversity(rows.toDF("qi", "sens"), Seq("qi"), "sens", k, l)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+  }
+
+  test("lDiversity: the homogeneity attack — k-anonymous but single-valued suppresses") {
+    // group A: 5 members, all sensitive 'flu' → clears k=5, fails l=2;
+    // group B: 5 members, 2 values → publishes;
+    // group C: 3 members → fails k (reported as the k failure even
+    // though its diversity is also 1)
+    val rows = Seq.fill(5)(("A", "flu")) ++
+      Seq(("B", "flu"), ("B", "flu"), ("B", "cold"), ("B", "cold"), ("B", "cold")) ++
+      Seq.fill(3)(("C", "flu"))
+    val r = ldiv(rows, k = 5, l = 2)
+    assert(r("A") == ((5L, 1L, 2L)), s"homogeneous group must suppress on l: $r")
+    assert(r("B") == ((5L, 2L, 0L)), s"diverse group publishes: $r")
+    assert(r("C") == ((3L, 1L, 1L)), s"under-k reports the k failure first: $r")
+  }
+
+  test("lDiversity: NULL sensitive values count toward n but never toward l") {
+    import spark.implicits._
+    val df = Seq(("A", Some("x")), ("A", None), ("A", None),
+      ("B", None), ("B", None)).toDF("qi", "sens")
+    val r = Curation.lDiversity(df, Seq("qi"), "sens", k = 2, l = 1)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r("A") == ((3L, 1L, 0L)))
+    assert(r("B") == ((2L, 0L, 2L)), s"all-NULL group has zero diversity: $r")
+  }
+
+  // ---- temperature-scaled mixture weights ---------------------------
+
+  private def mix(sizes: Seq[(String, Long)], q: Int): Map[String, (Long, Long, Long, Long)] = {
+    import spark.implicits._
+    Curation.mixtureWeights(sizes.toDF("g", "n"), "g", "n", q)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+  }
+
+  /** Independent BigInt replay of the quarter-power + ppm/milli floors. */
+  private def mixModel(sizes: Seq[(String, Long)], q: Int): Map[String, (Long, Long, Long, Long)] = {
+    def w(n: Long): Double = {
+      val d = n.toDouble
+      var p = 1.0
+      if ((q & 4) != 0) p *= d
+      if ((q & 2) != 0) p *= math.sqrt(d)
+      if ((q & 1) != 0) p *= math.sqrt(math.sqrt(d))
+      p
+    }
+    val wu = sizes.map { case (g, n) => (g, n, BigInt(math.floor(w(n) * 1e6).toLong)) }
+    val s = wu.map(_._3).sum
+    val tot = BigInt(sizes.map(_._2).sum)
+    wu.map { case (g, n, u) =>
+      val ppm = u * 1000000 / s
+      g -> (n, u.toLong, ppm.toLong, (ppm * tot / (BigInt(n) * 1000)).toLong)
+    }.toMap
+  }
+
+  test("mixtureWeights: matches the BigInt model at every quarter exponent") {
+    val sizes = Seq(("a", 1000000L), ("b", 10000L), ("c", 137L), ("d", 999L))
+    for (q <- 0 to 4)
+      assert(mix(sizes, q) == mixModel(sizes, q), s"alphaQuarters=$q")
+  }
+
+  test("mixtureWeights: α<1 flattens the head — small sources gain share, and " +
+    "uniform sizes imply exactly 1 epoch") {
+    val sizes = Seq(("big", 1000000L), ("small", 10000L))
+    val half = mix(sizes, 2)
+    // proportional share of 'small' is ~9901 ppm; sqrt smoothing lifts it
+    assert(half("small")._3 > 9901L * 5,
+      s"sqrt mix must lift the small source well above proportional: $half")
+    assert(half("small")._4 > 1000L && half("big")._4 < 1000L,
+      "the small source repeats (epochs>1) while the big one is undersampled")
+    val uni = mix(Seq(("a", 5000L), ("b", 5000L), ("c", 5000L), ("d", 5000L)), 3)
+    assert(uni.values.forall(_._4 == 1000L), s"uniform sizes → exactly 1.0 epochs: $uni")
+  }
+
+  test("mixtureWeights: misuse rejected loudly (bad α, non-positive sizes)") {
+    import spark.implicits._
+    val df = Seq(("a", 10L)).toDF("g", "n")
+    intercept[IllegalArgumentException] { Curation.mixtureWeights(df, "g", "n", 5) }
+    val bad = Seq(("a", 10L), ("b", 0L)).toDF("g", "n")
+    val e = intercept[Exception] { Curation.mixtureWeights(bad, "g", "n", 2).collect() }
+    assert(e.getMessage.contains("positive sizes"))
+  }
+
+  test("lDiversity: misuse rejected loudly (sensitive inside the QI; bad thresholds)") {
+    import spark.implicits._
+    val df = Seq(("a", "x")).toDF("qi", "sens")
+    intercept[IllegalArgumentException] {
+      Curation.lDiversity(df, Seq("qi", "sens"), "sens", 2, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.lDiversity(df, Seq("qi"), "sens", 0, 2)
+    }
+  }
 }

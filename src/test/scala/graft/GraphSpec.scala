@@ -413,4 +413,77 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("q_num") == 0L && r.getAs[Long]("q_units") == 0L,
       s"single community: e_in*2m == deg_sq == (2m)^2: $r")
   }
+
+  // ---- HITS hubs & authorities --------------------------------------
+
+  private def hitsMap(edges: Seq[(Long, Long)], rounds: Int = 2): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    Graph.hits(edges.toDF("src", "dst"), rounds)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  /** The operator's exact integer recurrence replayed with BigInt —
+    * an independent single-threaded model of L1-normalized HITS. */
+  private def hitsModel(edges: Seq[(Long, Long)], rounds: Int): Map[Long, (Long, Long)] = {
+    val e = edges.filter(p => p._1 != p._2).distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val U = BigInt(1000000000000L)
+    var h = nodes.map(_ -> BigInt(1000000)).toMap
+    var a = Map.empty[Long, BigInt]
+    def norm(raw: Map[Long, BigInt]): Map[Long, BigInt] = {
+      val s = raw.values.sum
+      raw.map { case (n, v) => n -> (v * U / s) }
+    }
+    for (_ <- 1 to rounds) {
+      a = norm(e.groupBy(_._2).map { case (v, es) => v -> es.map(x => h(x._1)).sum })
+      h = norm(e.groupBy(_._1).map { case (u, es) => u -> es.map(x => a(x._2)).sum })
+    }
+    nodes.map(n => n -> (a.getOrElse(n, BigInt(0)).toLong,
+      h.getOrElse(n, BigInt(0)).toLong)).toMap
+  }
+
+  test("hits: hand graph — the doubly-pointed-at node is the authority") {
+    // 1->3, 2->3, 3->4: node 3 receives two hubs, node 4 one; after
+    // round 1 a(3)=floor(2/3*1e12), a(4)=floor(1/3*1e12), and hubs
+    // 1,2 (pointing at the authority) out-rank hub 3
+    val m = hitsMap(Seq((1L, 3L), (2L, 3L), (3L, 4L)), rounds = 1)
+    assert(m(3L)._1 == 666666666666L && m(4L)._1 == 333333333333L, s"$m")
+    assert(m(1L)._2 == m(2L)._2 && m(1L)._2 > m(3L)._2, s"$m")
+    assert(m(1L)._1 == 0L && m(2L)._1 == 0L, "sources have no authority")
+    assert(m(4L)._2 == 0L, "sinks have no hub score")
+  }
+
+  test("hits: matches the BigInt model exactly on a seeded graph, 1 and 3 rounds") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    for (r <- Seq(1, 3))
+      assert(hitsMap(edges, r) == hitsModel(edges, r), s"rounds=$r")
+  }
+
+  test("hits: duplicate edges and self-loops do not change scores") {
+    val base = Seq((1L, 3L), (2L, 3L), (3L, 4L))
+    val noisy = base ++ base ++ Seq((3L, 3L), (1L, 1L))
+    assert(hitsMap(noisy) == hitsMap(base))
+  }
+
+  test("hits: on a bipartite graph each side is pure (auth xor hub)") {
+    val m = hitsMap(Seq((1L, 10L), (1L, 11L), (2L, 10L)))
+    assert(Seq(1L, 2L).forall(n => m(n)._1 == 0L && m(n)._2 > 0L))
+    assert(Seq(10L, 11L).forall(n => m(n)._1 > 0L && m(n)._2 == 0L))
+    // L1 convention: each normalized side sums to ~1e12 (floor loss < #nodes)
+    val sumA = m.values.map(_._1).sum
+    assert(sumA <= 1000000000000L && sumA > 1000000000000L - 4)
+  }
+
+  test("hits: partition invariance — 1 vs 4 shuffle partitions agree exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(200)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    val df = edges.toDF("src", "dst")
+    val one = Graph.hits(df.repartition(1), 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val four = Graph.hits(df.repartition(4), 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(one.sameElements(four))
+  }
 }
