@@ -196,6 +196,53 @@ object MinHash {
     } finally base.unpersist(blocking = false)
   }
 
+  /** LSH detector QUALITY census — measured recall and precision of
+    * the banded MinHash blocking against EXACT ground truth, the
+    * falsifiable number the whole dedup family rests on (the way
+    * RecallSpec floors the ANN gates): Broder's collision identity
+    * says a K=16/4×4-band plan catches a Jaccard-τ pair with
+    * probability 1−(1−s⁴)⁴ — this census says what it ACTUALLY
+    * catches on this corpus, before anyone trusts the dedup rate.
+    *
+    * Ground truth is [[Dedup.jaccardJoin]] — the prefix-filtered
+    * ALL-QUALIFYING-pairs join, exact by the prefix theorem (its own
+    * spec pins naive equality) — so `n_true` is every pair at
+    * jac ≥ τ, blocked or not. Candidates and their exact Jaccard come
+    * from [[estimatePairs]], which shares [[bandedCandidates]] with
+    * [[lshDedup]] BY CONSTRUCTION, so the census can never drift from
+    * the detector it grades. Hits are candidates at jac ≥ τ counted
+    * through a semi-join against the truth set (membership measured,
+    * not assumed). One row: n_true, n_cand, n_hit, recall_ppm
+    * (floor(n_hit·10⁶/n_true); vacuously 10⁶ when no true pair
+    * exists), precision_ppm (n_hit/n_cand — the verify-work yield;
+    * vacuously 10⁶ on an empty candidate set). All-integer.
+    *
+    * Scale shape: both inputs keep their own bounded-candidate
+    * contracts (banded equi-joins, never all-pairs); everything after
+    * is three 1-row counts crossJoined. The census costs roughly one
+    * dedup run plus one exact join — run it on a SAMPLE SHARD at
+    * 100 TB (recall is a property of the band plan and the similarity
+    * distribution, not of the corpus size). */
+  def lshQuality(docs: DataFrame, tau: Double, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cand = estimatePairs(docs, n, idCol, textCol)
+      .select(col("a"), col("b"), col("jac"))
+    val truth = Dedup.jaccardJoin(docs, tau, n, idCol, textCol)
+      .select(col("a"), col("b"))
+      .localCheckpoint() // two consumers: the count and the semi-join
+    val hits = cand.filter(col("jac") >= tau)
+      .join(truth, Seq("a", "b"), "left_semi")
+    val tN = truth.agg(count(lit(1)).as("n_true"))
+    val cN = cand.agg(count(lit(1)).as("n_cand"))
+    val hN = hits.agg(count(lit(1)).as("n_hit"))
+    tN.crossJoin(cN).crossJoin(hN)
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        when(col("n_true") === 0L, lit(1000000L))
+          .otherwise(expr("(n_hit * 1000000) div n_true")).as("recall_ppm"),
+        when(col("n_cand") === 0L, lit(1000000L))
+          .otherwise(expr("(n_hit * 1000000) div n_cand")).as("precision_ppm"))
+  }
+
   /** Incremental (batch-vs-corpus) LSH dedup — the shape a daily
     * ingest actually runs: screen the NEW batch against the existing
     * corpus without ever re-joining the corpus to itself. Emits

@@ -487,4 +487,58 @@ object Profile {
         expr("(d_num * 1000000) div (n_a * n_b)").as("d_micro"),
         col("at_value"))
   }
+
+  /** Exact ROC-AUC census (Mann-Whitney U / Wilcoxon rank-sum form —
+    * Hanley & McNeil '82 for the identity): the CALIBRATION number
+    * for any score a pipeline thresholds on — a quality classifier,
+    * a dedup similarity, a heuristic filter — against a binary label:
+    * P(score of a random positive > score of a random negative), ties
+    * at ½. Before a threshold tuned on one slice is trusted, this is
+    * the number that says whether the score ranks the label AT ALL
+    * (0.5 = coin flip).
+    *
+    * Exact-integer convention (the [[ksTwoSample]] shape): ONE
+    * map-side-combined (score → n_pos, n_neg) census over the
+    * QUANTIZED score domain (the documented contract shared with the
+    * KS family: scores must be discrete — cents, millis, bucketed),
+    * then a domain-sized cumulative window and the tie-correct
+    * integer identity 2·AUC·P·N = Σ_s pos(s)·(2·cumNegBelow(s) +
+    * neg(s)) — halves avoided by carrying TWICE the U statistic.
+    * Per-term products enter a DECIMAL(38,0) sum (terms reach P·2N,
+    * past int64 on big slices); the reported `num2` is BIGINT (exact
+    * while 2·P·N < 2^63, i.e. any slice pair under ~2·10⁹ rows each)
+    * and `auc_micro = floor(num2·10⁶ / (2·P·N))` is exact integer
+    * division in both engines. A single-class input (P = 0 or N = 0)
+    * fails loudly — AUC is undefined, not 0.
+    *
+    * Scale shape: the heavy pass is the one combined census; the
+    * window runs on the DOMAIN-sized census (the KS contract), and
+    * the output is ONE row. */
+  def aucCensus(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val s = score.cast("double")
+    val r = df.filter(s.isNotNull && label.isNotNull)
+      .groupBy(s.as("__s"))
+      .agg(sum(when(label, 1L).otherwise(0L)).as("cp"),
+        sum(when(!label, 1L).otherwise(0L)).as("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    r.withColumn("cun", sum(col("cn")).over(w))
+      .select(col("cp"), col("cn"),
+        (col("cp").cast("decimal(38,0)") *
+          (lit(2L) * col("cun") - col("cn")).cast("decimal(38,0)")).as("t"))
+      .agg(coalesce(sum(col("t")), lit(0L).cast("decimal(38,0)")).as("num2"),
+        coalesce(sum(col("cp")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("cn")), lit(0L)).as("n_neg"))
+      .select(
+        when(col("n_pos") === 0L || col("n_neg") === 0L,
+          raise_error(lit("aucCensus: both classes required — AUC is " +
+            "undefined on a single-class input")))
+          .otherwise(col("n_pos")).as("n_pos"),
+        col("n_neg"),
+        col("num2").cast("long").as("num2"),
+        expr("""CAST((num2 * 1000000)
+                DIV (CAST(n_pos AS DECIMAL(38,0)) * n_neg * 2) AS BIGINT)""")
+          .as("auc_micro"))
+  }
 }

@@ -22,6 +22,14 @@ object DedupQueries {
       .select(col("a"), col("b"), round(col("jac"), 3).as("jac"))
       .orderBy("a", "b")
 
+  /** LSH detector quality census ([[MinHash.lshQuality]] at τ = 0.7):
+    * measured recall/precision of the q_dedup_minhash band plan
+    * against the exact all-qualifying-pairs ground truth — the
+    * falsifiable number behind the dedup family's candidate
+    * generation. One all-integer row. */
+  def qLshRecall(s: SparkSession, dir: String): DataFrame =
+    MinHash.lshQuality(docs(s, dir), tau = 0.7)
+
   /** Incremental dedup ([[MinHash.lshDedupIncremental]]): the NEW
     * batch (doc_id ≡ 0 mod 10 — the fixture's stand-in for today's
     * crawl) screened against the standing corpus (everything else),
@@ -583,6 +591,37 @@ object DedupQueries {
          |        FROM cand c JOIN hs ta ON ta.doc_id = c.a JOIN hs tb ON tb.doc_id = c.b)
          |SELECT a, b, round(CAST(i AS DOUBLE)/CAST(na+nb-i AS DOUBLE), 3) AS jac
          |FROM ver WHERE CAST(i AS DOUBLE)/CAST(na+nb-i AS DOUBLE) >= 0.7 ORDER BY a, b""".stripMargin)),
+    QueryDef("q_lsh_recall", qLshRecall, Some(
+      s"""WITH t AS (SELECT doc_id, $shSql AS sh FROM documents),
+         |hs AS (SELECT doc_id, sh, len(sh) AS n_sh, $hsSql AS hs FROM t WHERE len(sh) > 0),
+         |sig AS (SELECT doc_id, sh, n_sh,
+         |          list_transform($paramsSql, ab ->
+         |            list_min(list_transform(hs, x -> (ab[1]*x + ab[2]) % 2147483647))) AS sig
+         |        FROM hs),
+         |bands AS (SELECT doc_id,
+         |            CAST(b AS VARCHAR) || ':' || array_to_string(sig[b*4+1 : b*4+4], ',') AS bkey
+         |          FROM sig, unnest([0,1,2,3]) AS u(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+         |         ON x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |cj AS (SELECT c.a, c.b,
+         |         CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) /
+         |         CAST(ta.n_sh + tb.n_sh - len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) AS jac
+         |       FROM cand c JOIN hs ta ON ta.doc_id = c.a JOIN hs tb ON tb.doc_id = c.b),
+         |truth AS (SELECT x.doc_id AS a, y.doc_id AS b
+         |          FROM hs x JOIN hs y ON x.doc_id < y.doc_id
+         |          WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |                CAST(x.n_sh + y.n_sh - len(list_intersect(x.sh, y.sh)) AS DOUBLE) >= 0.7),
+         |tn AS (SELECT count(*) AS n_true FROM truth),
+         |cn AS (SELECT count(*) AS n_cand FROM cj),
+         |hn AS (SELECT count(*) AS n_hit FROM cj
+         |       WHERE jac >= 0.7
+         |         AND EXISTS (SELECT 1 FROM truth tr WHERE tr.a = cj.a AND tr.b = cj.b))
+         |SELECT n_true, n_cand, n_hit,
+         |  CAST(CASE WHEN n_true = 0 THEN 1000000
+         |       ELSE (n_hit * 1000000) // n_true END AS BIGINT) AS recall_ppm,
+         |  CAST(CASE WHEN n_cand = 0 THEN 1000000
+         |       ELSE (n_hit * 1000000) // n_cand END AS BIGINT) AS precision_ppm
+         |FROM tn, cn, hn""".stripMargin)),
     QueryDef("q_dedup_incremental", qDedupIncremental, Some(
       s"""WITH tb AS (SELECT doc_id, $shSql AS sh FROM documents WHERE doc_id % 10 = 0),
          |tc AS (SELECT doc_id, $shSql AS sh FROM documents WHERE doc_id % 10 <> 0),

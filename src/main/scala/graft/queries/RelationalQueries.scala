@@ -1144,6 +1144,19 @@ object RelationalQueries {
       t(s, dir, "lineitem"), col("l_quantity"),
       col("l_returnflag") === "A", col("l_returnflag") === "N")
 
+  /** Exact ROC-AUC census ([[graft.operators.Profile.aucCensus]] —
+    * Mann-Whitney form, ties at ½, all-integer over the quantized
+    * score domain): does event `value` rank purchases? The one-row
+    * calibration number (≈0.5 on this fixture — value does NOT
+    * predict purchase, which is the honest answer a threshold-tuner
+    * needs before trusting a value cut). `value` is cent-quantized
+    * by the generator, satisfying the discrete-domain contract the
+    * KS family documents. */
+  def qAucPurchase(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.aucCensus(
+      EventsFixture.events(s, dir), col("value"),
+      col("event_type") === "purchase")
+
   /** EXACT quantiles in two narrow passes + a per-quantile bin-pruned
     * order-statistic fetch ([[graft.operators.Profile.exactQuantiles]]
     * — the scale shape replacing a full global sort; ranks are
@@ -1336,6 +1349,20 @@ object RelationalQueries {
         |SELECT t.n_a, t.n_b, mx.d_num,
         |  (mx.d_num * 1000000) // (t.n_a * t.n_b) AS d_micro, av.at_value
         |FROM tot t, mx, av""".stripMargin)),
+    QueryDef("q_auc_purchase", qAucPurchase, Some(
+      """WITH r AS (SELECT value AS s,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cn
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1),
+        |c AS (SELECT cp, cn, sum(cn) OVER (ORDER BY s) AS cun FROM r),
+        |a AS (SELECT sum(CAST(cp AS HUGEINT) * (2 * cun - cn)) AS num2,
+        |        CAST(sum(cp) AS BIGINT) AS n_pos,
+        |        CAST(sum(cn) AS BIGINT) AS n_neg FROM c)
+        |SELECT n_pos, n_neg, CAST(num2 AS BIGINT) AS num2,
+        |  CAST((num2 * 1000000) // (CAST(n_pos AS HUGEINT) * n_neg * 2) AS BIGINT)
+        |    AS auc_micro
+        |FROM a""".stripMargin)),
     QueryDef("q_robust_stats", qRobustStats, Some(
       """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
         |           WHERE l_extendedprice IS NOT NULL),

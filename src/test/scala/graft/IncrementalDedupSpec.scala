@@ -109,6 +109,45 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a lower tau needs an earlier-rising curve (more bands): tau=.3 -> $bLo, tau=.9 -> $bHi")
   }
 
+  // ---- lshQuality: the detector's measured recall/precision ---------
+
+  private def quality(rows: Seq[(Long, String)]): (Long, Long, Long, Long, Long) = {
+    import spark.implicits._
+    val r = MinHash.lshQuality(rows.toDF("doc_id", "text"), tau = 0.7)
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  test("lshQuality: exact duplicates are always caught — recall 1e6 on a twin corpus") {
+    val rows = Seq((1L, a), (2L, a),
+      (3L, "some other sentence entirely about different things and words here today"))
+    val (nTrue, _, nHit, recall, _) = quality(rows)
+    assert(nTrue == 1L && nHit == 1L && recall == 1000000L)
+  }
+
+  test("lshQuality: recall counts MISSED true pairs — agrees with a direct diff on the fixture") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val r = MinHash.lshQuality(docs, tau = 0.7).collect().head
+    val truth = Dedup.jaccardJoin(docs, 0.7).select("a", "b")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val caught = MinHash.lshDedup(docs, 0.7).select("a", "b")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(caught.subsetOf(truth), "verified LSH pairs must be a subset of truth")
+    assert(r.getLong(0) == truth.size && r.getLong(2) == caught.size,
+      s"census (${r.getLong(0)}, ${r.getLong(2)}) vs direct (${truth.size}, ${caught.size})")
+    assert(r.getLong(3) == caught.size.toLong * 1000000L / truth.size)
+  }
+
+  test("lshQuality: a truth-free corpus reports vacuous recall, and precision counts band noise") {
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"))
+    val (nTrue, _, nHit, recall, precision) = quality(rows)
+    assert(nTrue == 0L && nHit == 0L && recall == 1000000L)
+    assert(precision == 1000000L, "no candidates → vacuous precision")
+  }
+
   test("planBands: recall weighting trades FP mass for FN mass monotonically") {
     val (_, _, fp1, fn1) = MinHash.planBands(64, tau = 0.7, fnWeight = 1.0)
     val (_, _, fp5, fn5) = MinHash.planBands(64, tau = 0.7, fnWeight = 5.0)

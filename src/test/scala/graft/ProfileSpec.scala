@@ -322,6 +322,64 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f("flat").isEmpty, "zero x-variance has no defined line")
   }
 
+  // ---- exact ROC-AUC census ------------------------------------------
+
+  private def auc(rows: Seq[(Double, Boolean)]): (Long, Long, Long, Long) = {
+    import spark.implicits._
+    val r = Profile.aucCensus(rows.toDF("s", "lab"), col("s"), col("lab"))
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  /** Independent model: Mann-Whitney with average ranks, carried as
+    * 2·U so ties stay integer. */
+  private def aucModel(rows: Seq[(Double, Boolean)]): Long = {
+    val sorted = rows.sortBy(_._1)
+    // 2×average rank per value (average of consecutive ints, doubled)
+    val byVal = sorted.zipWithIndex.groupBy(_._1._1)
+    val rank2 = byVal.map { case (v, g) =>
+      v -> g.map(_._2 + 1).map(_.toLong * 2).sum / g.size
+    }
+    val rankSum2 = rows.filter(_._2).map(r => rank2(r._1)).sum
+    val p = rows.count(_._2).toLong
+    rankSum2 - p * (p + 1) // = 2·U = 2·AUC·P·N
+  }
+
+  test("aucCensus: perfect separation scores exactly 1.0 (and 0.0 reversed)") {
+    val rows = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+    val (p, n, num2, micro) = auc(rows)
+    assert((p, n) == ((2L, 2L)) && num2 == 2L * p * n && micro == 1000000L)
+    val (_, _, num2r, micror) = auc(rows.map { case (s, l) => (-s, l) })
+    assert(num2r == 0L && micror == 0L)
+  }
+
+  test("aucCensus: ties count one half — the all-tied score is a coin flip") {
+    val rows = Seq((5.0, true), (5.0, true), (5.0, false), (5.0, false))
+    val (_, _, num2, micro) = auc(rows)
+    assert(num2 == 4L && micro == 500000L, s"2*AUC*P*N = P*N on full ties: $num2")
+  }
+
+  test("aucCensus: equals the average-rank Mann-Whitney model on seeded data with ties") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(500)((rnd.nextInt(40) / 4.0, rnd.nextBoolean())) ++
+      Seq.fill(50)((3.25, true)) // pile extra ties on one value
+    val (_, _, num2, _) = auc(rows)
+    assert(num2 == aucModel(rows), "census identity must equal rank-sum U")
+  }
+
+  test("aucCensus: score and its negation partition the mass — num2 + num2' = 2PN") {
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(300)((rnd.nextInt(20) / 2.0, rnd.nextInt(3) == 0))
+    val (p, n, a, _) = auc(rows)
+    val (_, _, b, _) = auc(rows.map { case (s, l) => (-s, l) })
+    assert(a + b == 2L * p * n)
+  }
+
+  test("aucCensus: single-class input fails loudly") {
+    val e = intercept[Exception] { auc(Seq((1.0, true), (2.0, true))) }
+    assert(e.getMessage.contains("undefined"))
+  }
+
   test("pearson: partition count cannot change a bit of r") {
     import spark.implicits._
     val df = (1 to 200)
