@@ -65,8 +65,9 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
 
   /** One classic merge application on the double-space form (see the
-    * object doc for why plain `replace` is exact here). */
-  private def rewrite(w: org.apache.spark.sql.Column, a: String,
+    * object doc for why plain `replace` is exact here). Shared with
+    * [[WordPiece]], which differs only in merge SELECTION. */
+  private[operators] def rewrite(w: org.apache.spark.sql.Column, a: String,
       b: String): org.apache.spark.sql.Column =
     replace(w, lit(s" $a  $b "), lit(s" $a$b "))
 

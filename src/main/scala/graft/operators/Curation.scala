@@ -731,6 +731,48 @@ object Curation {
           .otherwise(lit(0L)).as("verdict"): _*)
   }
 
+  /** High-entropy credential/secret screen — the PII family's
+    * machine-token arm (beside [[redactPii]]'s email/phone patterns):
+    * API keys, tokens, and password-mash strings leak into crawled
+    * and user-generated text constantly, and a pretraining corpus
+    * must surface them BEFORE a model memorizes them (the
+    * training-data-extraction threat model of Carlini et al. USENIX
+    * '21 — verbatim low-frequency high-entropy strings are exactly
+    * what LMs regurgitate). The classic detector stack (truffleHog
+    * lineage): a cheap shape prefilter — token length ≥ `minLen`,
+    * charset confined to the base64/url-safe alphabet
+    * `[A-Za-z0-9+/=_-]`, at least one letter AND one digit (kills
+    * long natural words and digit runs) — then Shannon entropy of
+    * the surviving token ≥ `minEntropy` nats, computed by the
+    * integer-exact [[graft.functions.TextFunctions.charEntropy]]
+    * machinery (per-term DECIMAL cast → 1e-6-unit longs → one
+    * quantized report), so the verdict is bit-identical at any
+    * parallelism and replayable in SQL. Natural English sits near
+    * 2.5-3 nats BUT fails the shape screen; hex/base64 material
+    * passes both. Emits the review queue `(id, token, entropy)` —
+    * tokens deduped per doc (`array_distinct`: one secret pasted
+    * twice is one finding).
+    *
+    * Scale shape: the prefilter is map-only on the token stream
+    * (length + three regexes, codegen'd); the entropy HOF runs ONLY
+    * on surviving candidates (rare by construction). No shuffle at
+    * all — censusing/joining the queue is the caller's move. */
+  def secretScan(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minLen: Int = 16,
+      minEntropy: Double = 2.5): DataFrame = {
+    require(minLen >= 8, s"minLen < 8 would flag natural words, got $minLen")
+    df.select(col(idCol).as("id"),
+        explode(array_distinct(graft.functions.TextFunctions.tokens(col(textCol))))
+          .as("token"))
+      .filter(length(col("token")) >= minLen &&
+        col("token").rlike("^[A-Za-z0-9+/=_-]+$") &&
+        col("token").rlike("[A-Za-z]") &&
+        col("token").rlike("[0-9]"))
+      .withColumn("entropy",
+        graft.functions.TextFunctions.charEntropy(col("token")))
+      .filter(col("entropy") >= minEntropy)
+  }
+
   /** Temperature-scaled mixture reweighting census — the data-mixing
     * plan every multi-source pretraining run starts from (the
     * exponential-smoothing lineage: multilingual BERT's α = 0.7,

@@ -365,6 +365,30 @@ object CurationQueries {
       .orderBy("train_id", "eval_id")
   }
 
+  /** High-entropy secret screen ([[Curation.secretScan]] — the PII
+    * family's machine-token arm). The fixture corpus is secret-free
+    * by construction, so the gate plants one deterministic
+    * credential-shaped token per doc_id ≡ 0 (mod 7) — the doc's md5
+    * hex, 32 chars of mixed hex through the shape screen — the
+    * q_pii_redact enrichment convention. Output is the per-source
+    * census of the review queue: finding count + distinct docs hit.
+    * The entropy verdict is the integer-exact charEntropy machinery,
+    * replayed term-for-term by the oracle. */
+  def qSecretScan(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(
+      col("doc_id"), col("source"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" "),
+          md5(col("doc_id").cast("string").cast("binary"))))
+        .otherwise(col("text")).as("text"))
+    Curation.secretScan(planted)
+      .join(planted.select(col("doc_id").as("id"), col("source")), "id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_secrets"),
+        countDistinct(col("id")).as("n_docs_hit"))
+      .orderBy("source")
+  }
+
   /** Token-budget waterfilling ([[Curation.budgetAllocate]]): the
     * per-source allocation when only 60% of the corpus's tokens fit
     * the training budget — small sources keep everything, large ones
@@ -536,6 +560,35 @@ object CurationQueries {
          |    '${Curation.Ipv4Re}', '<IP>', 'g'),
          |    '${Curation.PhoneRe}', '<PHONE>', 'g')) AS red_hash
          |FROM t ORDER BY doc_id""".stripMargin)),
+    QueryDef("q_secret_scan", qSecretScan, Some(
+      """WITH d AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN text || ' ' || md5(CAST(doc_id AS VARCHAR))
+        |         ELSE text END AS text
+        |  FROM documents),
+        |tk AS (SELECT doc_id, source,
+        |         unnest(list_distinct(string_split_regex(text, '\s+'))) AS tok
+        |       FROM d),
+        |cand AS (SELECT doc_id, source, tok FROM tk
+        |         WHERE length(tok) >= 16
+        |           AND regexp_matches(tok, '^[A-Za-z0-9+/=_-]+$')
+        |           AND regexp_matches(tok, '[A-Za-z]')
+        |           AND regexp_matches(tok, '[0-9]')),
+        |u AS (SELECT doc_id, source, tok,
+        |        list_transform(range(1, length(tok) + 1), i -> tok[i]) AS ch
+        |      FROM cand),
+        |t AS (SELECT doc_id, source, tok, ch, len(ch) AS n,
+        |        unnest(list_distinct(ch)) AS dch FROM u),
+        |e AS (SELECT doc_id, source, tok,
+        |        sum(CAST(CAST((CAST(len(list_filter(ch, x -> x = dch)) AS DOUBLE) / n)
+        |            * ln(CAST(len(list_filter(ch, x -> x = dch)) AS DOUBLE) / n)
+        |            AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS su
+        |      FROM t GROUP BY 1, 2, 3),
+        |hits AS (SELECT doc_id, source FROM e
+        |         WHERE floor(CAST(-su AS DOUBLE) / 100) / 10000 >= 2.5)
+        |SELECT source, count(*) AS n_secrets,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_hit
+        |FROM hits GROUP BY source ORDER BY source""".stripMargin)),
     QueryDef("q_chunk_docs", qChunkDocs, Some(
       """WITH c AS (
         |  SELECT doc_id, u.i AS chunk_idx, u.i * 224 + 1 AS start_pos,

@@ -840,6 +840,39 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** The 8-round WordPiece merge table, learned once per session +
+    * fixture (the bpeMemo rationale; both WordPiece gates consume it). */
+  private val wordPieceMemo =
+    new IndexQueries.SessionMemo[Seq[graft.operators.WordPiece.Merge]]
+  private def wordPieceMerges(s: SparkSession, dir: String): Seq[graft.operators.WordPiece.Merge] =
+    wordPieceMemo.get(s, dir)(graft.operators.WordPiece.learnMerges(
+      graft.operators.Bpe.vocabCensus(docs(s, dir), col("text")), nMerges = 8))
+
+  /** WordPiece trainer ([[graft.operators.WordPiece]] — the BERT
+    * tokenizer's likelihood-gain merge rule score(a,b) =
+    * cnt(ab)/(cnt(a)·cnt(b)), selected by its exact integer floor):
+    * the 8-step merge table with pair counts AND the score units each
+    * winner was chosen by. The oracle unrolls every round — symbol
+    * census, pair census, two-join score, argmax, rewrite. */
+  def qWordPieceMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    wordPieceMerges(s, dir).toDF()
+      .select(col("step"), col("left"), col("right"), col("cnt"),
+        col("scoreUnits").as("score_units"))
+      .orderBy("step")
+  }
+
+  /** WordPiece ENCODE ([[graft.operators.WordPiece.encode]] — the
+    * trained merge chain applied map-only, pieces presented with the
+    * classic `##` continuation prefix): top-30 sub-token census. The
+    * oracle derives the census from the trained vocabulary state, so
+    * the gate pins encode ≡ train-state under the ## presentation. */
+  def qWordPieceEncode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.WordPiece.encode(docs(s, dir), col("text"),
+        wordPieceMerges(s, dir))
+      .groupBy("subtok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("subtok")).limit(30)
+
   /** The unigram-LM E-step segmentation of the word census under the
     * seed model ([[graft.operators.UnigramLm]] — Kudo '18 / the
     * SentencePiece unigram class): the bounded trained artifact BOTH
@@ -1072,6 +1105,59 @@ object TextQueries {
        |$rounds""".stripMargin
   }
 
+  /** One WordPiece oracle round over v{k-1}: symbol census sy{k},
+    * pair census p{k}, the two-join exact-integer score argmax b{k},
+    * rewritten vocab v{k}. MATERIALIZED for the bpeRoundSql reason. */
+  private def wpRoundSql(k: Int): String =
+    s"""sy$k AS MATERIALIZED (SELECT sym, CAST(sum(cnt) AS BIGINT) AS c FROM (
+       |       SELECT unnest(list_filter(string_split(w, '  '), x -> len(x) > 0)) AS sym, cnt
+       |       FROM v${k - 1}) u GROUP BY 1),
+       |p$k AS MATERIALIZED (SELECT pr.a AS a, pr.b AS b, CAST(sum(cnt) AS BIGINT) AS s
+       |       FROM (SELECT unnest(list_transform(range(1, len(t)),
+       |                i -> {'a': t[i], 'b': t[i + 1]})) AS pr, cnt
+       |             FROM (SELECT list_filter(string_split(w, '  '),
+       |                     x -> len(x) > 0) AS t, cnt FROM v${k - 1}) tt
+       |             WHERE len(t) >= 2) pp
+       |       GROUP BY 1, 2),
+       |b$k AS MATERIALIZED (SELECT p.a, p.b, p.s,
+       |         CAST((CAST(p.s AS HUGEINT) * 1000000000000)
+       |              // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS su
+       |       FROM p$k p JOIN sy$k ca ON ca.sym = p.a JOIN sy$k cb ON cb.sym = p.b
+       |       ORDER BY su DESC, p.s DESC, p.a, p.b LIMIT 1),
+       |v$k AS MATERIALIZED (SELECT replace(w,
+       |          ' ' || (SELECT a FROM b$k) || '  ' || (SELECT b FROM b$k) || ' ',
+       |          ' ' || (SELECT a FROM b$k) || (SELECT b FROM b$k) || ' ') AS w, cnt
+       |        FROM v${k - 1})""".stripMargin
+
+  private def wpCtesSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map(wpRoundSql).mkString(",\n")
+    s"""WITH v0 AS MATERIALIZED (SELECT w, count(*) AS cnt FROM (
+       |  SELECT '  ' || regexp_replace(tok, '(.)', '\\1  ', 'g') || '</w>  ' AS w
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u
+       |  WHERE len(tok) > 0) v GROUP BY w),
+       |$rounds""".stripMargin
+  }
+
+  private def wpOracleSql(nMerges: Int): String = {
+    val out = (1 to nMerges).map(k =>
+      s"""SELECT $k AS step, a AS "left", b AS "right", s AS cnt, su AS score_units FROM b$k""")
+      .mkString("\nUNION ALL ")
+    s"""${wpCtesSql(nMerges)}
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
+  /** `##`-presented sub-word census from the trained state v{n} —
+    * the WordPiece encode oracle (encode ≡ train-state). */
+  private def wpEncodeOracleSql(nMerges: Int): String =
+    s"""${wpCtesSql(nMerges)}
+       |SELECT subtok, CAST(sum(cnt) AS BIGINT) AS n FROM (
+       |  SELECT unnest(list_transform(range(1, len(t) + 1),
+       |           i -> CASE WHEN i = 1 THEN t[i] ELSE '##' || t[i] END)) AS subtok, cnt
+       |  FROM (SELECT list_filter(string_split(w, '  '), x -> len(x) > 0) AS t, cnt
+       |        FROM v$nMerges) y) x
+       |GROUP BY subtok ORDER BY n DESC, subtok LIMIT 30""".stripMargin
+
   private def bpeOracleSql(nMerges: Int): String = {
     val out = (1 to nMerges).map(k =>
       s"""SELECT $k AS step, a AS "left", b AS "right", s AS cnt FROM b$k""")
@@ -1138,6 +1224,8 @@ object TextQueries {
     QueryDef("q_bpe_merges", qBpeMerges, Some(bpeOracleSql(8))),
     QueryDef("q_bpe_encode", qBpeEncode, Some(bpeEncodeOracleSql(8))),
     QueryDef("q_bpe_coverage", qBpeCoverage, Some(bpeCoverageOracleSql(8))),
+    QueryDef("q_wordpiece_merges", qWordPieceMerges, Some(wpOracleSql(8))),
+    QueryDef("q_wordpiece_encode", qWordPieceEncode, Some(wpEncodeOracleSql(8))),
     QueryDef("q_pmi", qPmi, Some(
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |p AS (SELECT unnest(list_transform(range(1, len(toks)),

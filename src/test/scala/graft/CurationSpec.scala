@@ -560,6 +560,37 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r("B") == ((2L, 0L, 2L)), s"all-NULL group has zero diversity: $r")
   }
 
+  // ---- high-entropy secret screen ------------------------------------
+
+  private def secrets(texts: Seq[String]): Set[String] = {
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    Curation.secretScan(df).collect().map(_.getString(1)).toSet
+  }
+
+  test("secretScan: a credential-shaped token is flagged; natural text never is") {
+    val key = "a3f8c2e917b4d605a3f8c2e917b4d605" // 16 distinct hex chars → ln16 ≈ 2.77 nats
+    val got = secrets(Seq(
+      s"please rotate the key $key immediately",
+      "the internationalization documentation paragraph describes exceedingly long words",
+      "account 123456789012345678 balance pending", // digit run: no letter → shape-screened
+      "xxxxxxxx1111111111xxxxxxxx1111111111 repeated"))  // mixed but ~0.69 nats → entropy-screened
+    assert(got == Set(key), s"got $got")
+  }
+
+  test("secretScan: per-doc dedup — one secret pasted twice is one finding") {
+    val key = "a3f8c2e917b4d605a3f8c2e917b4d605"
+    import spark.implicits._
+    val df = Seq((1L, s"$key appears then again $key here")).toDF("doc_id", "text")
+    assert(Curation.secretScan(df).count() == 1L)
+  }
+
+  test("secretScan: a permissive minLen is rejected loudly") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] { Curation.secretScan(df, minLen = 4) }
+  }
+
   // ---- temperature-scaled mixture weights ---------------------------
 
   private def mix(sizes: Seq[(String, Long)], q: Int): Map[String, (Long, Long, Long, Long)] = {
