@@ -399,4 +399,89 @@ object Multimodal {
       }
       .toDF("media_id", "frame_idx", "frame_bytes", "frame_features")
   }
+
+  /** Difference-hash (dHash) perceptual fingerprint of a P6 PPM — the
+    * image-side near-duplicate key (the pHash/aHash/dHash family every
+    * image-dedup pipeline starts from; dHash is the
+    * gradient-direction variant: robust to uniform brightness/contrast
+    * shifts because only the SIGN of each horizontal luma step
+    * survives). Bit k = y·(w−1)+x is set iff
+    * luma(x, y) > luma(x+1, y), luma by the integer BT.601 form
+    * shared with [[grayscalePpm]] — float-free, so the fingerprint is
+    * exactly replayable in SQL from the fixture's text-derived pixel
+    * plane. Classic dHash resizes to 9×8 first ([[resizePpm]]
+    * composes for that); the hash itself works on any geometry with
+    * (w−1)·h ≤ 64 bits. */
+  def dHashPpm(content: Array[Byte]): Long = {
+    val (w, h, off) = parsePpmHeader(content)
+    require(w >= 2, s"dHash needs horizontal neighbors, got width $w")
+    require((w - 1) * h <= 64, s"dHash bits (w-1)*h must fit 64, got ${(w - 1) * h}")
+    def luma(x: Int, y: Int): Int = {
+      val p = off + (y * w + x) * 3
+      (299 * (content(p) & 0xff) + 587 * (content(p + 1) & 0xff) +
+        114 * (content(p + 2) & 0xff)) / 1000
+    }
+    var hash = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w - 1) {
+        if (luma(x, y) > luma(x + 1, y)) hash |= 1L << (y * (w - 1) + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Media-table dHash stage: PPM rows fingerprint via [[dHashPpm]]
+    * (map-only, one decoder pass per partition — the
+    * [[extractFeatures]] shape); non-PPM modalities are excluded
+    * (a perceptual image hash of audio bytes would be noise wearing
+    * a number). Returns `(media_id, dhash)`. */
+  def dHashMedia(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("modality") === lit(PpmModality))
+      .select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, c) => (id, dHashPpm(c)) })
+      .toDF("media_id", "dhash")
+  }
+
+  /** Near-duplicate census over a SMALL-domain perceptual hash: pair
+    * counts by Hamming distance ≤ `maxHamming`. The scale shape that
+    * fits a ≤16-bit fingerprint (where banded blocking degenerates —
+    * a 4-bit band has 16 buckets, so band joins go quadratic in the
+    * corpus): ONE map-side-combined (hash → count) census reduces the
+    * corpus to its DOMAIN (≤ 2^bits rows, constant in corpus size),
+    * then the all-pairs comparison runs on the domain² grid — 8M
+    * integer popcounts at 12 bits, independent of whether the corpus
+    * is 60 k or 60 B images. Same-hash pairs enter as C(cnt, 2) at
+    * distance 0; cross-hash pairs as cnt_a·cnt_b (products in
+    * DECIMAL(38,0) — two 10⁹-image buckets overflow int64). Exact
+    * integer end-to-end. For ≥32-bit hashes use the banded
+    * [[graft.operators.MinHash.simHashPairs]] shape instead. */
+  def dHashCensus(hashes: DataFrame, maxHamming: Int, bits: Int,
+      hashCol: String = "dhash"): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    require(bits >= 1 && bits <= 16,
+      s"domain-census shape is for <=16-bit hashes (got $bits); band instead")
+    val c = hashes
+      .select(col(hashCol).cast("long").as("h"))
+      .withColumn("__chk", when(col("h") < 0L || col("h") >= (1L << bits),
+        raise_error(concat(lit(s"dHashCensus: hash outside the declared $bits-bit domain: "),
+          col("h").cast("string")))).otherwise(lit(0)))
+      .groupBy("h").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // two self-join consumers
+    val same = c.select(lit(0).cast("int").as("hamming"),
+      expr("CAST((CAST(cnt AS DECIMAL(38,0)) * (cnt - 1)) DIV 2 AS BIGINT)").as("pairs"))
+    val cross = c.as("x").join(c.as("y"), col("x.h") < col("y.h"))
+      .select(bit_count(col("x.h").bitwiseXOR(col("y.h"))).cast("int").as("hamming"),
+        expr("CAST(CAST(x.cnt AS DECIMAL(38,0)) * y.cnt AS BIGINT)").as("pairs"))
+      .filter(col("hamming") <= maxHamming)
+    same.unionAll(cross.filter(col("hamming") >= 1))
+      .groupBy("hamming").agg(sum(col("pairs")).as("n_pairs"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

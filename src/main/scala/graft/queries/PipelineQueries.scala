@@ -85,6 +85,30 @@ object PipelineQueries {
         round(element_at(col("features"), 5), 4).as("mean_b"))
       .orderBy("media_id")
 
+  /** Perceptual image fingerprints
+    * ([[graft.multimodal.Multimodal.dHashPpm]] — gradient-sign dHash
+    * over the integer BT.601 luma plane, 12 bits on the 4×4 fixture
+    * geometry): the image-side near-dup key, per media row. The
+    * oracle replays luma + bit assembly from the text-derived plane. */
+  def qMultimodalDhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.dHashMedia(
+        Multimodal.mediaFromDocs(s.read.parquet(s"$dir/documents.parquet")))
+      .orderBy("media_id")
+
+  /** Image near-duplicate census
+    * ([[graft.multimodal.Multimodal.dHashCensus]] — pair counts by
+    * Hamming distance over the 12-bit dHash DOMAIN census: the
+    * corpus reduces to ≤4096 hash rows, the all-pairs comparison
+    * runs on that constant-size grid whatever the corpus size).
+    * Distance 0 = same perceptual fingerprint (C(n,2) pairs),
+    * 1–3 = near-dups by one to three gradient flips. All-integer. */
+  def qMultimodalDhashPairs(s: SparkSession, dir: String): DataFrame =
+    Multimodal.dHashCensus(
+        Multimodal.dHashMedia(
+          Multimodal.mediaFromDocs(s.read.parquet(s"$dir/documents.parquet"))),
+        maxHamming = 3, bits = 12)
+      .orderBy("hamming")
+
   def qMultimodalResize(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
         Multimodal.resizeMedia(
@@ -763,6 +787,46 @@ object PipelineQueries {
         |  round(CAST(list_sum(list_transform(range(0,16), j -> c[j*3+2])) AS DOUBLE) / 16.0, 4) AS mean_g,
         |  round(CAST(list_sum(list_transform(range(0,16), j -> c[j*3+3])) AS DOUBLE) / 16.0, 4) AS mean_b
         |FROM codes ORDER BY media_id""".stripMargin)),
+    QueryDef("q_multimodal_dhash", qMultimodalDhash, Some(
+      """WITH px AS (SELECT doc_id,
+        |              rpad(substring(regexp_replace(text, '[^ -~]', '.', 'g'), 1, 48),
+        |                   48, '.') AS p FROM documents),
+        |codes AS (SELECT doc_id,
+        |            list_transform(string_split(p, ''), ch -> ord(ch)) AS c FROM px),
+        |luma AS (SELECT doc_id,
+        |           list_transform(range(0, 16),
+        |             i -> (299 * c[3*i+1] + 587 * c[3*i+2] + 114 * c[3*i+3]) // 1000) AS y
+        |         FROM codes)
+        |SELECT doc_id AS media_id,
+        |  CAST(list_sum(list_transform(range(0, 12), k ->
+        |    CASE WHEN y[(k // 3) * 4 + (k % 3) + 1] > y[(k // 3) * 4 + (k % 3) + 2]
+        |         THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT) AS dhash
+        |FROM luma ORDER BY media_id""".stripMargin)),
+    QueryDef("q_multimodal_dhash_pairs", qMultimodalDhashPairs, Some(
+      """WITH px AS (SELECT doc_id,
+        |              rpad(substring(regexp_replace(text, '[^ -~]', '.', 'g'), 1, 48),
+        |                   48, '.') AS p FROM documents),
+        |codes AS (SELECT doc_id,
+        |            list_transform(string_split(p, ''), ch -> ord(ch)) AS c FROM px),
+        |luma AS (SELECT doc_id,
+        |           list_transform(range(0, 16),
+        |             i -> (299 * c[3*i+1] + 587 * c[3*i+2] + 114 * c[3*i+3]) // 1000) AS y
+        |         FROM codes),
+        |dh AS (SELECT doc_id,
+        |         CAST(list_sum(list_transform(range(0, 12), k ->
+        |           CASE WHEN y[(k // 3) * 4 + (k % 3) + 1] > y[(k // 3) * 4 + (k % 3) + 2]
+        |                THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT) AS h
+        |       FROM luma),
+        |c AS (SELECT h, count(*) AS cnt FROM dh GROUP BY 1),
+        |same AS (SELECT 0 AS hamming, (CAST(cnt AS HUGEINT) * (cnt - 1)) // 2 AS pairs
+        |         FROM c),
+        |xh AS (SELECT CAST(bit_count(xor(x.h, y.h)) AS INT) AS hamming,
+        |            CAST(x.cnt AS HUGEINT) * y.cnt AS pairs
+        |          FROM c x JOIN c y ON x.h < y.h
+        |          WHERE bit_count(xor(x.h, y.h)) <= 3)
+        |SELECT CAST(hamming AS INT) AS hamming, CAST(sum(pairs) AS BIGINT) AS n_pairs
+        |FROM (SELECT * FROM same UNION ALL SELECT * FROM xh WHERE hamming >= 1) u
+        |GROUP BY 1 ORDER BY hamming""".stripMargin)),
     QueryDef("q_multimodal_gray", qMultimodalGray, Some(
       """WITH px AS (SELECT doc_id,
         |              rpad(substring(regexp_replace(text, '[^ -~]', '.', 'g'), 1, 48),

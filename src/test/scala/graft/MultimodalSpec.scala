@@ -255,6 +255,63 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---- dHash perceptual fingerprint ----------------------------------
+
+  /** 4×4 P6 from 16 gray levels (r = g = b = v). */
+  private def grayPpm(levels: Seq[Int]): Array[Byte] =
+    "P6\n4 4\n255\n".getBytes("US-ASCII") ++
+      levels.flatMap(v => Seq(v.toByte, v.toByte, v.toByte)).toArray
+
+  test("dHash: hand bits — one descending row sets exactly its three row bits") {
+    // row 0 strictly descending (bits 0,1,2 set); rows 1-3 flat (no bits)
+    val img = grayPpm(Seq(40, 30, 20, 10) ++ Seq.fill(12)(7))
+    assert(Multimodal.dHashPpm(img) == 7L)
+    // ascending row: luma(x) > luma(x+1) never holds → 0
+    assert(Multimodal.dHashPpm(grayPpm(Seq(10, 20, 30, 40) ++ Seq.fill(12)(7))) == 0L)
+  }
+
+  test("dHash: invariant to uniform brightness shift (gradient signs survive)") {
+    val base = Seq(40, 30, 20, 10, 5, 9, 9, 5, 100, 90, 110, 95, 7, 7, 8, 6)
+    val shifted = base.map(_ + 60)
+    assert(Multimodal.dHashPpm(grayPpm(base)) == Multimodal.dHashPpm(grayPpm(shifted)))
+  }
+
+  test("dHash: misuse rejected loudly (width 1; oversized bit plane)") {
+    intercept[IllegalArgumentException] {
+      Multimodal.dHashPpm(("P6\n1 4\n255\n" + "x" * 12).getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.dHashPpm(("P6\n12 12\n255\n" + "x" * 432).getBytes("US-ASCII"))
+    }
+  }
+
+  test("dHashCensus: hand pair counts by distance; out-of-domain hash raises") {
+    import spark.implicits._
+    // hashes: 5 ×3 (3 same-pairs), 4 (hamming(5,4)=1, ×3 pairs), 12 (h(5,12)=2... )
+    val df = Seq(5L, 5L, 5L, 4L, 12L).toDF("dhash")
+    val got = Multimodal.dHashCensus(df, maxHamming = 3, bits = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // h(5,4)=1 → 3·1 pairs; h(5,12)=bits(9)=2 → 3 pairs; h(4,12)=bits(8)=1 → 1 pair
+    assert(got == Map(0 -> 3L, 1 -> 4L, 2 -> 3L), s"got $got")
+    val bad = Seq(5L, 99L).toDF("dhash")
+    val e = intercept[Exception] {
+      Multimodal.dHashCensus(bad, maxHamming = 1, bits = 4).collect()
+    }
+    assert(e.getMessage.contains("domain"))
+  }
+
+  test("dHash media stage: fixture twins share fingerprints; census ≡ direct count") {
+    val media = Multimodal.mediaFromDocs(spark.read.parquet(s"$sfDir/documents.parquet"))
+    val hashes = Multimodal.dHashMedia(media)
+    val hs = hashes.collect().map(r => r.getLong(1))
+    val direct0 = hs.groupBy(identity).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val census = Multimodal.dHashCensus(hashes, maxHamming = 3, bits = 12)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(census(0) == direct0, s"distance-0 census must equal the direct dup count")
+    assert(census.getOrElse(1, 0L) + census.getOrElse(2, 0L) > 0L,
+      "fixture prefixes should produce some near-miss fingerprints")
+  }
+
   test("simhash: near-dup docs land at small hamming distance") {
     // doc pair (8, 245) is a generator-injected near-dup (J ~ 0.988 at sf0.01)
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
