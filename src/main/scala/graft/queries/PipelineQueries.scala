@@ -441,12 +441,26 @@ object PipelineQueries {
         go("sess_state", EventStreams.sessionizeWithState(
           sdStream().select(col("user_id"), col("ts"), col("event_id"))
             .as[EventStreams.SessEvent]).toDF(), OutputMode.Append())
+        // streaming secret screen — the q_secret_scan admission twin:
+        // the SAME map-only operator over the doc stream (no state, no
+        // watermark — a pure append screen), with the same planted
+        // credentials, so flagged rows emit in-flight before a doc is
+        // admitted to the corpus
+        def plantedDocStream() = s.readStream.schema(docSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .select(col("doc_id"), col("source"),
+            when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(" "),
+                md5(col("doc_id").cast("string").cast("binary"))))
+              .otherwise(col("text")).as("text"))
+        go("secrets", graft.operators.Curation.secretScan(plantedDocStream()),
+          OutputMode.Append())
         try started.foreach(_.processAllAvailable())
         finally started.foreach(q =>
           try q.stop() catch { case scala.util.control.NonFatal(_) => () })
       }
       Seq("exec", "sessions", "state", "join", "dedup", "neardedup",
-        "outer", "attr", "sess_state").map(g => g -> nm(g)).toMap
+        "outer", "attr", "sess_state", "secrets").map(g => g -> nm(g)).toMap
     }
 
   /** TRUE streaming execution in the gate: readStream over the events
@@ -494,6 +508,17 @@ object PipelineQueries {
     s.table(streamBundle(s, dir)("neardedup"))
       .select(col("sim_hi"), col("sim_lo")).distinct()
       .orderBy("sim_hi", "sim_lo")
+
+  /** TRUE streaming secret screen — q_secret_scan's admission twin
+    * (same [[graft.operators.Curation.secretScan]] map-only operator,
+    * same planted credentials, run as a stateless Append stream in
+    * the shared bundle): flagged (id, token, entropy) rows emit
+    * in-flight, before a document is admitted to the corpus. The
+    * oracle replays the batch semantics row-for-row — a pure map
+    * screen must emit identically in both modes. */
+  def qStreamSecrets(s: SparkSession, dir: String): DataFrame =
+    s.table(streamBundle(s, dir)("secrets"))
+      .orderBy("id", "token")
 
   /** TRUE streaming session windows in the gate: readStream over the
     * events parquet, 30-min-gap `session_window` aggregation
@@ -757,6 +782,34 @@ object PipelineQueries {
     QueryDef("q_stream_state", qStreamState, Some(
       """SELECT user_id, count(*) AS n_events, max(value) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+    QueryDef("q_stream_secrets", qStreamSecrets, Some(
+      """WITH d AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN text || ' ' || md5(CAST(doc_id AS VARCHAR))
+        |         ELSE text END AS text
+        |  FROM documents),
+        |tk AS (SELECT doc_id,
+        |         unnest(list_distinct(string_split_regex(text, '\s+'))) AS tok
+        |       FROM d),
+        |cand AS (SELECT doc_id, tok FROM tk
+        |         WHERE length(tok) >= 16
+        |           AND regexp_matches(tok, '^[A-Za-z0-9+/=_-]+$')
+        |           AND regexp_matches(tok, '[A-Za-z]')
+        |           AND regexp_matches(tok, '[0-9]')),
+        |u AS (SELECT doc_id, tok,
+        |        list_transform(range(1, length(tok) + 1), i -> tok[i]) AS ch
+        |      FROM cand),
+        |t AS (SELECT doc_id, tok, ch, len(ch) AS n,
+        |        unnest(list_distinct(ch)) AS dch FROM u),
+        |e AS (SELECT doc_id, tok,
+        |        sum(CAST(CAST((CAST(len(list_filter(ch, x -> x = dch)) AS DOUBLE) / n)
+        |            * ln(CAST(len(list_filter(ch, x -> x = dch)) AS DOUBLE) / n)
+        |            AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS su
+        |      FROM t GROUP BY 1, 2)
+        |SELECT doc_id AS id, tok AS token,
+        |  floor(CAST(-su AS DOUBLE) / 100) / 10000 AS entropy
+        |FROM e WHERE floor(CAST(-su AS DOUBLE) / 100) / 10000 >= 2.5
+        |ORDER BY id, token""".stripMargin)),
     QueryDef("q_stream_neardedup", qStreamNearDedup, Some(
       s"""WITH t AS (SELECT doc_id, ${DedupQueries.shSql} AS sh FROM documents),
          |hs AS (SELECT doc_id, ${DedupQueries.hsSql} AS hs FROM t WHERE len(sh) > 0),

@@ -160,6 +160,42 @@ object VectorQueries {
       .orderBy("rnk")
   }
 
+  /** Greedy k-center coreset ([[graft.operators.Coreset.kCenter]] —
+    * Gonzalez farthest-point traversal over a bounded id-ordered pool:
+    * seed = smallest id, each round the point farthest from the
+    * selected set, ascending-id ties; the emitted radius sequence is
+    * the 2-approximation's own quality floor). The oracle unrolls all
+    * 8 picks; min over centers is order-free, so the float replay is
+    * exact at any parallelism. */
+  def qKCenter(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Coreset.kCenter(
+      emb(s, dir).filter(col("vec_id") < 200L), k = 8, fetch = 200)
+
+  /** Unrolled k-center oracle: stage i takes the max min-distance to
+    * sel{i-1} (id-asc tie). */
+  private def kCenterOracleSql(k: Int, bound: Long, fetch: Int): String = {
+    val stages = (2 to k).map { i =>
+      s"""sc$i AS MATERIALIZED (SELECT c.vec_id, min(${l2Sql("c.embedding", "s.embedding")}) AS md
+         |  FROM pool c CROSS JOIN sel${i - 1} s
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |  GROUP BY c.vec_id),
+         |p$i AS MATERIALIZED (SELECT vec_id, md AS r FROM sc$i ORDER BY md DESC, vec_id LIMIT 1),
+         |sel$i AS MATERIALIZED (SELECT vec_id, embedding FROM sel${i - 1}
+         |          UNION ALL
+         |          SELECT c.vec_id, c.embedding FROM pool c JOIN p$i USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    val ranks = (1 to k)
+      .map(i => s"SELECT $i AS rnk, vec_id, r FROM p$i")
+      .mkString("\n UNION ALL\n ")
+    s"""WITH pool AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+       |              WHERE vec_id < $bound ORDER BY vec_id LIMIT $fetch),
+       |sel1 AS MATERIALIZED (SELECT vec_id, embedding FROM pool ORDER BY vec_id LIMIT 1),
+       |p1 AS MATERIALIZED (SELECT vec_id, 0.0 AS r FROM sel1),
+       |$stages
+       |SELECT CAST(rnk AS INT) AS rnk, vec_id, round(r, 3) AS radius
+       |FROM ($ranks) ORDER BY rnk""".stripMargin
+  }
+
   /** Unrolled-greedy MMR oracle: stage i scores the unpicked
     * candidates against the selected set and picks the max-m (id-asc
     * tie) row — the same expression tree the driver-side greedy
@@ -428,6 +464,7 @@ object VectorQueries {
     QueryDef("q_maxsim_routed_selective", qMaxsimRoutedSelective,
       Some(maxsimRoutedSelectiveOracleSql)),
     QueryDef("q_mmr", qMmr, Some(mmrOracleSql(95L, k = 5, fetch = 20))),
+    QueryDef("q_kcenter", qKCenter, Some(kCenterOracleSql(k = 8, bound = 200L, fetch = 200))),
     QueryDef("q_knn_truncated", qKnnTruncated, Some(
       s"""WITH t AS (SELECT vec_id, embedding[1:16] AS embedding FROM embeddings),
          |q AS (SELECT embedding AS qv FROM t WHERE vec_id = 93)

@@ -594,4 +594,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows == Set(("signup", 1.0), ("signup", 2.0)), s"got $rows")
     } finally q.stop()
   }
+
+  test("streaming secret screen: the map-only scan emits flagged rows incrementally, " +
+    "identical to the batch operator") {
+    import spark.implicits._
+    import graft.operators.Curation
+    implicit val sqlCtx = spark.sqlContext
+    val key = "a3f8c2e917b4d605a3f8c2e917b4d605"
+    val src = MemoryStream[(Long, String)]
+    val name = "secrets_inc"
+    val q = Curation.secretScan(src.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData((1L, s"rotate $key now"), (2L, "plain words only here"))
+      q.processAllAvailable()
+      assert(spark.table(name).collect().map(_.getString(1)).toSeq == Seq(key),
+        "batch 1 must flag in-flight")
+      src.addData((3L, s"another leak $key today"))
+      q.processAllAvailable()
+      val got = spark.table(name).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = Curation.secretScan(
+        Seq((1L, s"rotate $key now"), (2L, "plain words only here"),
+          (3L, s"another leak $key today")).toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == batch, s"streaming $got != batch $batch")
+    } finally q.stop()
+  }
 }
