@@ -46,6 +46,16 @@ def fuzzy_distance(a, b, max_dist, spark=None):
     return int(spark._jvm.graft.PyFacade.fuzzyDistance(str(a), str(b), int(max_dist)))
 
 
+def dhash_ppm(content, spark=None):
+    """Perceptual image fingerprint (dHash) of a binary P6 PPM payload
+    — the serving-side twin of the engine's distributed ``dHashMedia``
+    stage (identical integer BT.601 luma + gradient-sign bits, zero
+    Spark jobs): fingerprint an image client-side, compare against the
+    corpus census, decide before shipping."""
+    spark = spark or SparkSession.builder.getOrCreate()
+    return int(spark._jvm.graft.PyFacade.dhashPpm(bytearray(content)))
+
+
 class VectorDB:
     """A vector database handle backed by the Scala engine.
 

@@ -126,6 +126,28 @@ assert fuzzy_distance("abc", "zzz", 2, spark=spark) == -1
 assert fuzzy_distance("a", "abcdef", 2, spark=spark) == -1  # length bound
 print("fuzzy_distance OK")
 
+# dHash point arm: independent python replay of the integer BT.601
+# gradient-sign hash on a constructed 4x4 P6
+from graft_db import dhash_ppm
+levels = [40, 30, 20, 10] + [7] * 12  # one descending row -> bits 0,1,2
+ppm = b"P6\n4 4\n255\n" + bytes(v for lv in levels for v in (lv, lv, lv))
+assert dhash_ppm(ppm, spark=spark) == 7
+def py_dhash(pix):  # pix: 16 (r,g,b) tuples, row-major 4x4
+    luma = [(299 * r + 587 * g + 114 * b) // 1000 for (r, g, b) in pix]
+    h = 0
+    for y in range(4):
+        for x in range(3):
+            if luma[y * 4 + x] > luma[y * 4 + x + 1]:
+                h |= 1 << (y * 3 + x)
+    return h
+import random
+random.seed(9)
+pix = [(random.randrange(256), random.randrange(256), random.randrange(256))
+       for _ in range(16)]
+ppm2 = b"P6\n4 4\n255\n" + bytes(v for p in pix for v in p)
+assert dhash_ppm(ppm2, spark=spark) == py_dhash(pix)
+print("dhash_ppm OK (independent python replay)")
+
 # warm point-query latency through the py4j bridge (informational):
 # the Scala-side walk is ~0.2 ms; the rest is gateway round-trip
 import time

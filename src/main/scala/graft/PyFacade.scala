@@ -135,6 +135,14 @@ object PyFacade {
   def fuzzyDistance(a: String, b: String, maxDist: Int): Int =
     graft.operators.Linkage.distanceLocal(a, b, maxDist)
 
+  /** Perceptual image fingerprint, point arm
+    * ([[graft.multimodal.Multimodal.dHashPpm]] — the same integer
+    * BT.601 gradient-sign hash the distributed dHashMedia stage
+    * computes, zero Spark jobs): fingerprint one P6 PPM payload
+    * client-side before deciding whether to ship it. */
+  def dhashPpm(content: Array[Byte]): Long =
+    graft.multimodal.Multimodal.dHashPpm(content)
+
   private def toFloats(query: java.util.List[java.lang.Double]): Seq[Float] = {
     val out = new Array[Float](query.size())
     var i = 0

@@ -529,4 +529,36 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val g = plan(RelationalQueries.qKhop(spark, sfDir))
     assert(g.contains("TakeOrderedAndProject") && !g.contains("CartesianProduct"), g)
   }
+
+  test("secret screen is map-only up to the review queue: no shuffle, no join") {
+    import org.apache.spark.sql.functions.col
+    val p = plan(graft.operators.Curation.secretScan(
+      spark.read.parquet(s"$sfDir/documents.parquet")))
+    assert(!p.contains("Exchange"),
+      s"the shape prefilter + entropy verdict must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"the screen touches only its own row:\n$p")
+  }
+
+  test("AUC census: one combined score census, the window on the domain, one row out") {
+    val p = plan(RelationalQueries.qAucPurchase(spark, sfDir))
+    // the heavy pass is the (score -> pos,neg) hash aggregate; the only
+    // exchanges are that census + the final 1-row aggregate chain
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing in the AUC census may join corpus-scale sides:\n$p")
+  }
+
+  test("dHash near-dup census: the corpus reduces to the hash domain before any join") {
+    import org.apache.spark.sql.functions.col
+    import graft.multimodal.Multimodal
+    val hashes = Multimodal.dHashMedia(Multimodal.mediaFromDocs(
+      spark.read.parquet(s"$sfDir/documents.parquet")))
+    val p = plan(Multimodal.dHashCensus(hashes, maxHamming = 3, bits = 12))
+    // the self-join must read the checkpointed DOMAIN census (an
+    // ExistingRDD after localCheckpoint), never re-scan the corpus
+    assert(!p.contains("parquet"),
+      s"the domain self-join must run on the censused artifact, not the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a 4096-row domain join must broadcast:\n$p")
+  }
 }
