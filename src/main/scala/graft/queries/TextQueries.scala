@@ -583,6 +583,38 @@ object TextQueries {
     * here as zero-distance prefix pairs; the threshold rejects the
     * ~99.99% of blocked candidates that are genuinely different (at
     * sf0.1: 214k candidates → 7 matches). */
+  /** End-to-end ENTITY RESOLUTION — the production composition the
+    * linkage/cluster/canonical pieces exist for, run as ONE gate:
+    * blocked fuzzy pairs ([[graft.operators.Linkage.fuzzyPairs]], the
+    * q_fuzzy_pairs detector unchanged) → min-label connected
+    * components ([[graft.operators.Dedup.connectedComponents]] — a
+    * matched pair and its transitive friends are ONE entity) → the
+    * classic keep-the-longest-record survivor rule
+    * ([[graft.operators.Dedup.canonicalByQuality]] with q = n_chars,
+    * smallest-id ties). Output: one row per merged entity (component
+    * label, surviving doc, its length, member count). Every stage is
+    * its own gated operator; this pins the COMPOSITION — label
+    * propagation over the fuzzy graph and the survivor pick — against
+    * a recursive-CTE oracle replay. Scale shape: the pair graph is
+    * bounded by the blocking contract, CC runs on pair-graph nodes
+    * only (never the corpus), the survivor join is entity-sized. */
+  def qEntityResolution(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    val pairs = graft.operators.Linkage.fuzzyPairs(d,
+      id = col("doc_id"),
+      repr = substring(col("text"), 1, 40),
+      blocks = Seq(col("source"),
+        expr("CAST(length(text) AS BIGINT) div 200")),
+      maxDist = 10)
+    val cc = graft.operators.Dedup.connectedComponents(pairs)
+    val members = cc.join(
+      d.select(col("doc_id").as("id"), col("n_chars").cast("double").as("q")), "id")
+    graft.operators.Dedup.canonicalByQuality(members)
+      .select(col("component"), col("kept_id"),
+        col("kept_q").cast("long").as("kept_chars"), col("n_members"))
+      .orderBy("component")
+  }
+
   def qFuzzyPairs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).filter(col("text").isNotNull)
     graft.operators.Linkage.fuzzyPairs(d,
@@ -1281,6 +1313,28 @@ object TextQueries {
         |                 AND a.doc_id < c.doc_id
         |WHERE levenshtein(a.pre, c.pre) <= 10
         |ORDER BY a, b""".stripMargin)),
+    QueryDef("q_entity_resolution", qEntityResolution, Some(
+      """WITH RECURSIVE b AS (SELECT doc_id, source, substr(text, 1, 40) AS pre,
+        |             CAST(length(text) AS BIGINT) // 200 AS lb
+        |           FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT a.doc_id AS a, c.doc_id AS b
+        |      FROM b a JOIN b c ON a.source = c.source AND a.lb = c.lb
+        |                       AND a.doc_id < c.doc_id
+        |      WHERE levenshtein(a.pre, c.pre) <= 10),
+        |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+        |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        |                UNION
+        |                SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+        |cc AS (SELECT u AS id, min(v) AS comp FROM reach GROUP BY u),
+        |m AS (SELECT cc.comp, cc.id, d.n_chars,
+        |        row_number() OVER (PARTITION BY cc.comp
+        |                           ORDER BY d.n_chars DESC, cc.id) AS rn,
+        |        count(*) OVER (PARTITION BY cc.comp) AS n_members
+        |      FROM cc JOIN documents d ON d.doc_id = cc.id)
+        |SELECT comp AS component, id AS kept_id,
+        |  CAST(n_chars AS BIGINT) AS kept_chars,
+        |  CAST(n_members AS BIGINT) AS n_members
+        |FROM m WHERE rn = 1 ORDER BY component""".stripMargin)),
     QueryDef("q_oov_rate", qOovRate, Some(
       s"""WITH tk AS (SELECT source, unnest($toksSql) AS tok
          |            FROM documents WHERE text IS NOT NULL),
