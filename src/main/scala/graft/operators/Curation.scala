@@ -773,6 +773,30 @@ object Curation {
       .filter(col("entropy") >= minEntropy)
   }
 
+  /** Secret REDACTION — [[secretScan]]'s sibling the way
+    * [[redactPii]] pairs with [[piiCounts]]: the scan finds, this
+    * removes. A ROW-LOCAL column expression (no scan output to join
+    * back): the text splits on single spaces (lossless — runs of
+    * spaces become empty fragments that rejoin exactly), each
+    * fragment passes the same shape screen + integer-exact entropy
+    * verdict the scanner applies, and flagged fragments rewrite to
+    * `<SECRET>`. Single-space split vs the scanner's `\s+` tokens:
+    * a secret containing a tab/newline boundary tokenizes the same
+    * way under both (neither fragment type may contain whitespace),
+    * so scan-flagged tokens and redact-flagged fragments agree on
+    * every whitespace-delimited secret. Map-only, codegen'd HOFs,
+    * zero shuffle at any corpus size. */
+  def redactSecrets(text: Column, minLen: Int = 16,
+      minEntropy: Double = 2.5): Column = {
+    val frag = (t: Column) =>
+      when(length(t) >= minLen &&
+        t.rlike("^[A-Za-z0-9+/=_-]+$") &&
+        t.rlike("[A-Za-z]") && t.rlike("[0-9]") &&
+        graft.functions.TextFunctions.charEntropy(t) >= minEntropy,
+        lit("<SECRET>")).otherwise(t)
+    array_join(transform(split(text, " "), frag), " ")
+  }
+
   /** Temperature-scaled mixture reweighting census — the data-mixing
     * plan every multi-source pretraining run starts from (the
     * exponential-smoothing lineage: multilingual BERT's α = 0.7,

@@ -488,6 +488,68 @@ object Profile {
         col("at_value"))
   }
 
+  /** Per-group one-vs-rest AUC census — [[aucCensus]] for EVERY group
+    * in one query (the [[ksByGroup]] composition applied to the rank
+    * statistic): each group's exact AUC of the score against the
+    * pooled rest. The separability screen a multi-source pipeline
+    * runs before trusting per-source thresholds: a group whose score
+    * distribution is rankably different from the rest (AUC far from
+    * ½) needs its own cut.
+    *
+    * Same exact-integer identity as the two-class arm, evaluated per
+    * group on the DENSE group×domain grid: positives at value v are
+    * the group's count, negatives the rest's; 2·AUC_g·P_g·N_g =
+    * Σ_v pos_g(v)·(2·cumNegBelow_g(v) + neg_g(v)), per-term products
+    * in DECIMAL(38,0). Quantized-score contract and grid bounds as
+    * [[ksByGroup]]; cumulative windows partition BY GROUP. A corpus
+    * with a single group fails loudly (the rest is empty — AUC
+    * undefined). */
+  def aucByGroup(df: DataFrame, group: Column, score: Column): DataFrame = {
+    val v = score.cast("double")
+    val g = group.cast("string")
+    val r = df.filter(v.isNotNull && g.isNotNull)
+      .groupBy(g.as("__g"), v.as("__v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // grid + totals + domain all read it
+    val vals = r.select(col("__v")).distinct()
+    val grps = r.select(col("__g")).distinct()
+    val totals = r.groupBy(col("__g")).agg(sum(col("c")).as("n_g"))
+    val nAll = r.agg(coalesce(sum(col("c")), lit(0L)).as("n_all"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wt = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val perValue = r.groupBy(col("__v")).agg(sum(col("c")).as("ct"))
+      .withColumn("cum_t", sum(col("ct")).over(wt))
+      .select(col("__v"), col("ct"), col("cum_t"))
+    val terms = vals.crossJoin(broadcast(grps))
+      .join(r, Seq("__g", "__v"), "left")
+      .select(col("__g"), col("__v"), coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("cum_g", sum(col("c")).over(w))
+      .join(perValue, "__v")
+      .select(col("__g"),
+        (col("c").cast("decimal(38,0)") *
+          (lit(2L) * ((col("cum_t") - col("ct")) - (col("cum_g") - col("c"))) +
+            (col("ct") - col("c"))).cast("decimal(38,0)")).as("t"))
+    terms.groupBy(col("__g"))
+      .agg(sum(col("t")).as("num2"))
+      .join(broadcast(totals), "__g")
+      .crossJoin(nAll)
+      .select(col("__g").as("group"),
+        col("n_g").as("n_pos"),
+        (col("n_all") - col("n_g")).as("n_neg"),
+        col("num2").cast("long").as("num2"),
+        when(col("n_all") === col("n_g"),
+          raise_error(lit("aucByGroup: a single-group corpus has no rest — " +
+            "AUC is undefined")))
+          .otherwise(expr(
+            """CAST((num2 * 1000000)
+              |DIV (CAST(n_g AS DECIMAL(38,0)) * (n_all - n_g) * 2) AS BIGINT)"""
+              .stripMargin)).as("auc_micro"))
+  }
+
   /** Exact ROC-AUC census (Mann-Whitney U / Wilcoxon rank-sum form —
     * Hanley & McNeil '82 for the identity): the CALIBRATION number
     * for any score a pipeline thresholds on — a quality classifier,

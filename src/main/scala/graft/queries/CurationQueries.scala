@@ -389,6 +389,29 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  /** Secret REDACTION census ([[Curation.redactSecrets]] — the
+    * scan's sibling, the q_pii_redact shape: same planted
+    * credentials, row-local shape screen + integer-exact entropy
+    * verdict rewriting flagged fragments to `<SECRET>`, hash-compared
+    * against the oracle's identical replay; `n_secrets` carries the
+    * per-doc finding count beside the redacted-text hash). */
+  def qSecretRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(
+      col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" "),
+          md5(col("doc_id").cast("string").cast("binary"))))
+        .otherwise(col("text")).as("text"))
+    val red = Curation.redactSecrets(col("text"))
+    planted.select(
+        col("doc_id"),
+        (size(split(red, " ")) -
+          size(filter(split(red, " "), f => f =!= "<SECRET>"))).cast("long")
+          .as("n_secrets"),
+        md5(red.cast("binary")).as("red_hash"))
+      .orderBy("doc_id")
+  }
+
   /** Token-budget waterfilling ([[Curation.budgetAllocate]]): the
     * per-source allocation when only 60% of the corpus's tokens fit
     * the training budget — small sources keep everything, large ones
@@ -560,6 +583,41 @@ object CurationQueries {
          |    '${Curation.Ipv4Re}', '<IP>', 'g'),
          |    '${Curation.PhoneRe}', '<PHONE>', 'g')) AS red_hash
          |FROM t ORDER BY doc_id""".stripMargin)),
+    QueryDef("q_secret_redact", qSecretRedact, Some(
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN text || ' ' || md5(CAST(doc_id AS VARCHAR))
+        |         ELSE text END AS text
+        |  FROM documents),
+        |fr AS (SELECT doc_id, string_split(text, ' ') AS fs FROM d),
+        |f AS (SELECT doc_id, u.i AS ord, fs[u.i] AS frag
+        |      FROM fr CROSS JOIN unnest(range(1, len(fs) + 1)) AS u(i)),
+        |c AS (SELECT doc_id, ord, frag,
+        |        (length(frag) >= 16
+        |         AND regexp_matches(frag, '^[A-Za-z0-9+/=_-]+$')
+        |         AND regexp_matches(frag, '[A-Za-z]')
+        |         AND regexp_matches(frag, '[0-9]')) AS shape
+        |      FROM f),
+        |u2 AS (SELECT doc_id, ord,
+        |         list_transform(range(1, length(frag) + 1), i -> frag[i]) AS ch
+        |       FROM c WHERE shape),
+        |t AS (SELECT doc_id, ord, ch, len(ch) AS n,
+        |        unnest(list_distinct(ch)) AS dch FROM u2),
+        |e AS (SELECT doc_id, ord,
+        |        sum(CAST(CAST((CAST(len(list_filter(ch, x -> x = dch)) AS DOUBLE) / n)
+        |            * ln(CAST(len(list_filter(ch, x -> x = dch)) AS DOUBLE) / n)
+        |            AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS su
+        |      FROM t GROUP BY 1, 2),
+        |flag AS (SELECT doc_id, ord FROM e
+        |         WHERE floor(CAST(-su AS DOUBLE) / 100) / 10000 >= 2.5),
+        |r AS (SELECT c.doc_id, c.ord,
+        |        CASE WHEN fl.ord IS NOT NULL THEN '<SECRET>' ELSE c.frag END AS frag
+        |      FROM c LEFT JOIN flag fl ON fl.doc_id = c.doc_id AND fl.ord = c.ord),
+        |o AS (SELECT doc_id, string_agg(frag, ' ' ORDER BY ord) AS red FROM r GROUP BY 1),
+        |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM flag GROUP BY 1)
+        |SELECT o.doc_id, coalesce(nf.n, 0) AS n_secrets, md5(o.red) AS red_hash
+        |FROM o LEFT JOIN nf ON nf.doc_id = o.doc_id
+        |ORDER BY o.doc_id""".stripMargin)),
     QueryDef("q_secret_scan", qSecretScan, Some(
       """WITH d AS (SELECT doc_id, source,
         |    CASE WHEN doc_id % 7 = 0

@@ -1167,6 +1167,17 @@ object RelationalQueries {
       EventsFixture.events(s, dir), col("value"),
       col("event_type") === "purchase")
 
+  /** Per-event-type one-vs-rest AUC
+    * ([[graft.operators.Profile.aucByGroup]] — the separability
+    * screen over all five event types at once: which types' value
+    * distributions are rankably different from the rest). The
+    * purchase row must reproduce q_auc_purchase exactly (spec-pinned
+    * identity). */
+  def qAucTypes(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.aucByGroup(
+      EventsFixture.events(s, dir), col("event_type"), col("value"))
+      .orderBy("group")
+
   /** EXACT quantiles in two narrow passes + a per-quantile bin-pruned
     * order-statistic fetch ([[graft.operators.Profile.exactQuantiles]]
     * — the scale shape replacing a full global sort; ranks are
@@ -1373,6 +1384,33 @@ object RelationalQueries {
         |  CAST((num2 * 1000000) // (CAST(n_pos AS HUGEINT) * n_neg * 2) AS BIGINT)
         |    AS auc_micro
         |FROM a""".stripMargin)),
+    QueryDef("q_auc_types", qAucTypes, Some(
+      """WITH r AS (SELECT event_type AS g, value AS v,
+        |             CAST(count(*) AS BIGINT) AS c FROM events
+        |           WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |           GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g FROM r GROUP BY 1),
+        |na AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM r),
+        |pv AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM r GROUP BY 1),
+        |pt AS (SELECT v, ct, CAST(sum(ct) OVER (ORDER BY v) AS BIGINT) AS cum_t FROM pv),
+        |grid AS (SELECT gg.g, vv.v
+        |         FROM (SELECT DISTINCT g FROM r) gg, (SELECT DISTINCT v FROM r) vv),
+        |cg AS (SELECT grid.g, grid.v, coalesce(r.c, 0) AS c,
+        |         CAST(sum(coalesce(r.c, 0)) OVER (PARTITION BY grid.g ORDER BY grid.v) AS BIGINT) AS cum_g
+        |       FROM grid LEFT JOIN r ON r.g = grid.g AND r.v = grid.v),
+        |term AS (SELECT cg.g,
+        |           CAST(cg.c AS HUGEINT) *
+        |           (2 * ((pt.cum_t - pt.ct) - (cg.cum_g - cg.c)) + (pt.ct - cg.c)) AS t
+        |         FROM cg JOIN pt USING (v)),
+        |agg AS (SELECT g, sum(t) AS num2 FROM term GROUP BY 1)
+        |SELECT agg.g AS "group", tot.n_g AS n_pos,
+        |  CAST(na.n_all - tot.n_g AS BIGINT) AS n_neg,
+        |  CAST(agg.num2 AS BIGINT) AS num2,
+        |  CAST((agg.num2 * 1000000)
+        |       // (CAST(tot.n_g AS HUGEINT) * (na.n_all - tot.n_g) * 2) AS BIGINT)
+        |    AS auc_micro
+        |FROM agg JOIN tot ON tot.g = agg.g, na
+        |ORDER BY 1""".stripMargin)),
     QueryDef("q_robust_stats", qRobustStats, Some(
       """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
         |           WHERE l_extendedprice IS NOT NULL),

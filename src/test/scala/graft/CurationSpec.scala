@@ -585,6 +585,34 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Curation.secretScan(df).count() == 1L)
   }
 
+  test("redactSecrets: flagged fragments rewrite to <SECRET>; spacing is lossless") {
+    import spark.implicits._
+    val key = "a3f8c2e917b4d605a3f8c2e917b4d605"
+    val df = Seq(
+      (1L, s"rotate  $key  now"), // double spaces must survive
+      (2L, "plain words stay untouched")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        Curation.redactSecrets(col("text")).as("red"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "rotate  <SECRET>  now", s"got ${got(1L)}")
+    assert(got(2L) == "plain words stay untouched")
+  }
+
+  test("redactSecrets agrees with secretScan on every whitespace-delimited secret") {
+    import spark.implicits._
+    val key = "a3f8c2e917b4d605a3f8c2e917b4d605"
+    val texts = Seq(
+      (1L, s"a $key b"), (2L, "nothing here"),
+      (3L, s"$key"), (4L, s"x ${key}distinct0123456789AB y"))
+    val df = texts.toDF("doc_id", "text")
+    val scanned = Curation.secretScan(df)
+      .collect().map(_.getLong(0)).toSet
+    val redacted = df.select(col("doc_id"),
+        Curation.redactSecrets(col("text")).as("red"))
+      .collect().filter(_.getString(1).contains("<SECRET>")).map(_.getLong(0)).toSet
+    assert(scanned == redacted, s"scan $scanned != redact $redacted")
+  }
+
   test("secretScan: a permissive minLen is rejected loudly") {
     import spark.implicits._
     val df = Seq((1L, "x")).toDF("doc_id", "text")

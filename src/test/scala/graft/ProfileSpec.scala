@@ -375,6 +375,30 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a + b == 2L * p * n)
   }
 
+  test("aucByGroup: every group row equals the dedicated one-vs-rest aucCensus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(400)(("g" + rnd.nextInt(4), rnd.nextInt(15) / 2.0))
+    val df = rows.toDF("g", "s")
+    val grouped = Profile.aucByGroup(df, col("g"), col("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    for (g <- rows.map(_._1).distinct) {
+      val one = Profile.aucCensus(df, col("s"), col("g") === g).collect().head
+      assert(grouped(g) == ((one.getLong(0), one.getLong(1), one.getLong(2), one.getLong(3))),
+        s"group $g diverged from the dedicated census")
+    }
+  }
+
+  test("aucByGroup: a single-group corpus fails loudly") {
+    import spark.implicits._
+    val df = Seq(("only", 1.0), ("only", 2.0)).toDF("g", "s")
+    val e = intercept[Exception] {
+      Profile.aucByGroup(df, col("g"), col("s")).collect()
+    }
+    assert(e.getMessage.contains("no rest"))
+  }
+
   test("aucCensus: single-class input fails loudly") {
     val e = intercept[Exception] { auc(Seq((1.0, true), (2.0, true))) }
     assert(e.getMessage.contains("undefined"))
