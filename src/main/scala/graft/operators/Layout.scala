@@ -149,4 +149,34 @@ object Layout {
       (java.lang.Long.parseLong(hex, 16), sh)
     }.max._2
   }
+
+  /** Per-shard dataset MANIFEST — the integrity census every
+    * multi-stage pipeline materializes between copy/convert/filter
+    * stages (the interchange sources' round-trip aggregate, promoted
+    * to a first-class operator): per shard, row count, id sum, and an
+    * ORDER-INDEPENDENT content fingerprint (per-row md5 prefix mod
+    * 2^31, summed as BIGINT — inside int64 to ~4·10⁹ rows per shard,
+    * yet any single mangled character anywhere still changes it).
+    * Every column is ADDITIVE, so manifests MERGE: the union of two
+    * shards' manifests is the elementwise sum ([[mergeManifests]]) —
+    * verify a 100 TB copy by comparing per-shard manifests locally
+    * and folding, never by re-reading both sides into one job. ONE
+    * map-side-combined census; output is O(#shards). */
+  def manifest(df: DataFrame, shard: Column, id: Column,
+      payload: Column): DataFrame =
+    df.groupBy(shard.cast("string").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(id.cast("long")).as("sum_ids"),
+        sum(conv(substring(md5(payload.cast("binary")), 1, 15), 16, 10)
+          .cast("long") % lit(2147483648L)).as("payload_fp"))
+
+  /** Fold a set of per-shard manifests into one (all columns are
+    * additive sums) — merge(manifest(A), manifest(B)) ≡
+    * manifest(A ∪ B), pinned in LayoutSpec and by the q_manifest
+    * gate's oracle (the q_hll_union shared-oracle trick). */
+  def mergeManifests(manifests: DataFrame): DataFrame =
+    manifests.agg(
+      sum(col("n_rows")).as("n_rows"),
+      sum(col("sum_ids")).as("sum_ids"),
+      sum(col("payload_fp")).as("payload_fp"))
 }

@@ -262,6 +262,25 @@ object PipelineQueries {
     * static-expression assignment, per-shard census gated. The
     * stable-routing property (growing the shard set moves ONLY the
     * keys the new shard wins) is pinned in LayoutSpec. */
+  /** Per-shard dataset manifest + merged total
+    * ([[graft.operators.Layout.manifest]] / [[Layout.mergeManifests]]
+    * — the cross-stage integrity census): one row per source shard
+    * (count, id sum, order-free content fingerprint) plus a `__total`
+    * row built by FOLDING the per-shard manifests, never by a second
+    * corpus scan. The oracle computes the total directly from the
+    * corpus, so the driver hash itself proves merge ≡ global (the
+    * q_hll_union shared-oracle trick). */
+  def qManifest(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    val per = graft.operators.Layout.manifest(
+        d, col("source"), col("doc_id"), col("text"))
+      .localCheckpoint() // two consumers: the rows and the fold
+    val total = graft.operators.Layout.mergeManifests(per)
+      .select(lit("__total").as("shard"), col("n_rows"),
+        col("sum_ids"), col("payload_fp"))
+    per.unionAll(total).orderBy("shard")
+  }
+
   def qHrwShard(s: SparkSession, dir: String): DataFrame = {
     val shards = (0 until 8).map(i => f"shard-$i%02d")
     s.read.parquet(s"$dir/documents.parquet")
@@ -710,6 +729,18 @@ object PipelineQueries {
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 2147483648) AS BIGINT) AS text_fp
         |FROM documents WHERE text IS NOT NULL""".stripMargin)),
+    QueryDef("q_manifest", qManifest, Some(
+      """WITH per AS (SELECT source AS shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |    CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 2147483648) AS BIGINT)
+        |      AS payload_fp
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT '__total' AS shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |    CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 2147483648) AS BIGINT)
+        |      AS payload_fp
+        |  FROM documents)
+        |SELECT * FROM per UNION ALL SELECT * FROM tot ORDER BY shard""".stripMargin)),
     QueryDef("q_hrw_shard", qHrwShard, Some(
       s"""WITH sh AS (SELECT unnest($hrwShardLits) AS sh),
          |a AS (SELECT d.doc_id, sh.sh,

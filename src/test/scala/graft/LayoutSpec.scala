@@ -245,4 +245,38 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       Layout.hrwRouteLocal("k", Seq("a", "a"))
     }
   }
+
+  // ---- dataset manifest ----------------------------------------------
+
+  private def mrows(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long, Long)] = {
+    Layout.manifest(df, col("shard"), col("id"), col("payload"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+  }
+
+  test("manifest: merge(shard manifests) == manifest of the union; order-free") {
+    import spark.implicits._
+    val a = Seq(("s1", 1L, "alpha"), ("s1", 2L, "beta")).toDF("shard", "id", "payload")
+    val b = Seq(("s2", 3L, "gamma")).toDF("shard", "id", "payload")
+    val merged = Layout.mergeManifests(
+      Layout.manifest(a.unionAll(b), col("shard"), col("id"), col("payload")))
+      .collect().head
+    val direct = Layout.manifest(a.unionAll(b).withColumn("shard", lit("all")),
+      col("shard"), col("id"), col("payload")).collect().head
+    assert((merged.getLong(0), merged.getLong(1), merged.getLong(2)) ==
+      ((direct.getLong(1), direct.getLong(2), direct.getLong(3))))
+    // row order cannot change any manifest column
+    val shuffled = a.unionAll(b).orderBy(col("payload").desc)
+    assert(mrows(a.unionAll(b)) == mrows(shuffled))
+  }
+
+  test("manifest: a single mangled character changes the payload fingerprint") {
+    import spark.implicits._
+    val base = Seq(("s", 1L, "the quick brown fox"), ("s", 2L, "other")).toDF("shard", "id", "payload")
+    val mangled = Seq(("s", 1L, "the quick brown fOx"), ("s", 2L, "other")).toDF("shard", "id", "payload")
+    val f1 = mrows(base)("s")
+    val f2 = mrows(mangled)("s")
+    assert(f1._1 == f2._1 && f1._2 == f2._2 && f1._3 != f2._3,
+      s"only the fingerprint may move: $f1 vs $f2")
+  }
 }
