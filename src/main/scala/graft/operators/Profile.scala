@@ -459,6 +459,54 @@ object Profile {
         col("at_value"))
   }
 
+  /** Population Stability Index — the industry-standard drift number
+    * beside the rank-based [[ksTwoSample]] (credit-scoring lineage;
+    * the symmetrized mass-based divergence): PSI = Σ_bins
+    * (p_i − q_i)·ln(p_i/q_i) over the quantized value domain, with
+    * add-one smoothing on bin counts so structurally-empty bins score
+    * finite (the standard practice — an unsmoothed empty bin is ±∞).
+    * KS asks "did the cdf move anywhere"; PSI asks "how much mass
+    * rebalanced, weighted by log-odds" — a pipeline reads both before
+    * trusting thresholds across slices (rule of thumb: < 0.1 stable,
+    * > 0.25 shifted).
+    *
+    * Exact-integer convention: p_i − q_i enters as its integer
+    * numerator over the common denominator D = (N_a+B)(N_b+B); the
+    * single ln per bin evaluates on an exactly-representable integer
+    * ratio and casts DECIMAL(18,6) (the floored-ln family); per-bin
+    * products sum in DECIMAL(38,0) and ONE integer division reports
+    * `psi_micro` (every term is ≥ 0, so truncation is floor). Same
+    * discrete-domain contract and census shape as the KS family: ONE
+    * map-side-combined (value → countA, countB) census, everything
+    * after domain-sized, one row out. */
+  def psi(df: DataFrame, value: Column, isA: Column, isB: Column): DataFrame = {
+    val v = value.cast("double")
+    val r = df.filter(v.isNotNull && (isA || isB))
+      .groupBy(v.as("__v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("ca"),
+        sum(when(isB, 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint() // totals + the term pass both read it
+    val tot = r.agg(coalesce(sum(col("ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("cb")), lit(0L)).as("n_b"),
+      count(lit(1)).as("n_bins"))
+    r.crossJoin(tot) // 1-row frame, auto-broadcast
+      .select(col("n_a"), col("n_b"), col("n_bins"),
+        // diff_num = (ca+1)(N_b+B) − (cb+1)(N_a+B); ln on the same
+        // exact ratio; term ≥ 0 by same-sign
+        ((col("ca") + 1L) * (col("n_b") + col("n_bins")) -
+          (col("cb") + 1L) * (col("n_a") + col("n_bins"))).as("dn"),
+        log(((col("ca") + 1L) * (col("n_b") + col("n_bins"))).cast("double") /
+          ((col("cb") + 1L) * (col("n_a") + col("n_bins"))).cast("double"))
+          .cast("decimal(18,6)").as("lnr"))
+      .groupBy(col("n_a"), col("n_b"), col("n_bins"))
+      .agg(sum((col("dn").cast("decimal(38,0)") *
+        (col("lnr") * lit(1000000)).cast("decimal(38,0)")).cast("decimal(38,0)"))
+        .as("s"))
+      .select(col("n_a"), col("n_b"), col("n_bins").cast("long").as("n_bins"),
+        expr("""CAST(s DIV (CAST(n_a + n_bins AS DECIMAL(38,0)) * (n_b + n_bins))
+                AS BIGINT)""").as("psi_micro"))
+  }
+
   def ksTwoSample(df: DataFrame, value: Column, isA: Column, isB: Column): DataFrame = {
     val v = value.cast("double")
     val r = df.filter(v.isNotNull && (isA || isB))

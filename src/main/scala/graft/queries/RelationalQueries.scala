@@ -1167,6 +1167,17 @@ object RelationalQueries {
       EventsFixture.events(s, dir), col("value"),
       col("event_type") === "purchase")
 
+  /** Population Stability Index between the same two slices q_ks_drift
+    * compares ([[graft.operators.Profile.psi]] — the mass-based
+    * industry drift number beside the rank-based KS: how much
+    * probability mass rebalanced, log-odds weighted, add-one
+    * smoothed). One all-integer row; reading both statistics over the
+    * same slices is exactly how a drift review runs. */
+  def qPsiDrift(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.psi(
+      t(s, dir, "lineitem"), col("l_quantity"),
+      col("l_returnflag") === "A", col("l_returnflag") === "N")
+
   /** Per-event-type one-vs-rest AUC
     * ([[graft.operators.Profile.aucByGroup]] — the separability
     * screen over all five event types at once: which types' value
@@ -1384,6 +1395,23 @@ object RelationalQueries {
         |  CAST((num2 * 1000000) // (CAST(n_pos AS HUGEINT) * n_neg * 2) AS BIGINT)
         |    AS auc_micro
         |FROM a""".stripMargin)),
+    QueryDef("q_psi_drift", qPsiDrift, Some(
+      """WITH r AS (SELECT l_quantity AS v,
+        |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'N') GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+        |          CAST(count(*) AS BIGINT) AS n_bins FROM r),
+        |t AS (SELECT n_a, n_b, n_bins,
+        |        (ca + 1) * (n_b + n_bins) - (cb + 1) * (n_a + n_bins) AS dn,
+        |        CAST(CAST(ln(CAST((ca + 1) * (n_b + n_bins) AS DOUBLE)
+        |                     / ((cb + 1) * (n_a + n_bins))) AS DECIMAL(18,6))
+        |             * 1000000 AS BIGINT) AS lnr
+        |      FROM r, tot)
+        |SELECT n_a, n_b, n_bins,
+        |  CAST(sum(CAST(dn AS HUGEINT) * lnr)
+        |       // (CAST(n_a + n_bins AS HUGEINT) * (n_b + n_bins)) AS BIGINT) AS psi_micro
+        |FROM t GROUP BY 1, 2, 3""".stripMargin)),
     QueryDef("q_auc_types", qAucTypes, Some(
       """WITH r AS (SELECT event_type AS g, value AS v,
         |             CAST(count(*) AS BIGINT) AS c FROM events

@@ -905,6 +905,32 @@ object TextQueries {
       .groupBy("subtok").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("subtok")).limit(30)
 
+  /** WordPiece coverage census — the tokenizer-evaluation metric
+    * (fertility, chars/sub-token) under the 8 learned WordPiece
+    * merges, per source: the SAME census q_bpe_coverage and
+    * q_unigram_coverage report for the other two trainer classes, so
+    * the three production tokenizers are comparable on the one number
+    * a pipeline chooses them by. Encode is the map-only codegen'd
+    * replace chain; counts exact longs; 4-dp ratios in both engines. */
+  def qWordPieceCoverage(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Bpe, WordPiece}
+    val merges = wordPieceMerges(s, dir)
+    docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("source"), length(col("tok")).as("chars"),
+        size(filter(split(WordPiece.applyMerges(Bpe.spacedForm(col("tok")), merges), "  "),
+          t => length(t) > 0)).as("subtoks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("subtoks")).as("n_subtoks"),
+        sum(col("chars")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_subtoks"), col("n_chars"),
+        round(col("n_subtoks").cast("double") / col("n_words"), 4).as("fertility"),
+        round(col("n_chars").cast("double") / col("n_subtoks"), 4).as("chars_per_subtok"))
+      .orderBy("source")
+  }
+
   /** The unigram-LM E-step segmentation of the word census under the
     * seed model ([[graft.operators.UnigramLm]] — Kudo '18 / the
     * SentencePiece unigram class): the bounded trained artifact BOTH
@@ -1190,6 +1216,38 @@ object TextQueries {
        |        FROM v$nMerges) y) x
        |GROUP BY subtok ORDER BY n DESC, subtok LIMIT 30""".stripMargin
 
+  /** WordPiece coverage oracle: the [[wpCtesSql]] training replay
+    * yields the argmaxes b1..bN; segmentation applies the same
+    * replace chain to DISTINCT word forms (model-sized) and joins
+    * back to the per-source word stream — the bpeCoverageOracleSql
+    * shape under the WordPiece merge rule. */
+  private def wpCoverageOracleSql(nMerges: Int): String = {
+    val segChain = (1 to nMerges).map { k =>
+      s"""wsg$k AS (SELECT tok, replace(w,
+         |    ' ' || (SELECT a FROM b$k) || '  ' || (SELECT b FROM b$k) || ' ',
+         |    ' ' || (SELECT a FROM b$k) || (SELECT b FROM b$k) || ' ') AS w
+         |  FROM wsg${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""${wpCtesSql(nMerges)},
+       |wt AS (SELECT source, tok FROM (
+       |         SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) u
+       |       WHERE len(tok) > 0),
+       |wsg0 AS (SELECT DISTINCT tok,
+       |          '  ' || regexp_replace(tok, '(.)', '\\1  ', 'g') || '</w>  ' AS w
+       |        FROM wt),
+       |$segChain,
+       |st AS (SELECT tok, len(list_filter(string_split(w, '  '), x -> len(x) > 0)) AS n_sub
+       |       FROM wsg$nMerges),
+       |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+       |          CAST(sum(st.n_sub) AS BIGINT) AS n_subtoks,
+       |          CAST(sum(len(wt.tok)) AS BIGINT) AS n_chars
+       |        FROM wt JOIN st ON wt.tok = st.tok GROUP BY source)
+       |SELECT source, n_words, n_subtoks, n_chars,
+       |  round(CAST(n_subtoks AS DOUBLE) / n_words, 4) AS fertility,
+       |  round(CAST(n_chars AS DOUBLE) / n_subtoks, 4) AS chars_per_subtok
+       |FROM agg ORDER BY source""".stripMargin
+  }
+
   private def bpeOracleSql(nMerges: Int): String = {
     val out = (1 to nMerges).map(k =>
       s"""SELECT $k AS step, a AS "left", b AS "right", s AS cnt FROM b$k""")
@@ -1258,6 +1316,7 @@ object TextQueries {
     QueryDef("q_bpe_coverage", qBpeCoverage, Some(bpeCoverageOracleSql(8))),
     QueryDef("q_wordpiece_merges", qWordPieceMerges, Some(wpOracleSql(8))),
     QueryDef("q_wordpiece_encode", qWordPieceEncode, Some(wpEncodeOracleSql(8))),
+    QueryDef("q_wordpiece_coverage", qWordPieceCoverage, Some(wpCoverageOracleSql(8))),
     QueryDef("q_pmi", qPmi, Some(
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |p AS (SELECT unnest(list_transform(range(1, len(toks)),

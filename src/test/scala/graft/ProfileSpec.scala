@@ -375,6 +375,47 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a + b == 2L * p * n)
   }
 
+  // ---- PSI drift -------------------------------------------------------
+
+  private def psiRow(rows: Seq[(Double, String)]): (Long, Long, Long, Long) = {
+    import spark.implicits._
+    val df = rows.toDF("v", "side")
+    val r = Profile.psi(df, col("v"), col("side") === "a", col("side") === "b")
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("psi: identical samples score exactly zero") {
+    val rows = Seq(1.0, 2.0, 2.0, 3.0).flatMap(v => Seq((v, "a"), (v, "b")))
+    val (na, nb, bins, psi) = psiRow(rows)
+    assert(na == 4L && nb == 4L && bins == 3L && psi == 0L,
+      s"equal per-bin counts → every dn = 0: $psi")
+  }
+
+  test("psi: disjoint supports score large; hand value on a 2-bin shift") {
+    val disjoint = Seq((1.0, "a"), (1.0, "a"), (9.0, "b"), (9.0, "b"))
+    assert(psiRow(disjoint)._4 > 1000000L, "full mass swap must exceed PSI 1.0")
+    // hand case: a = {1,1,2}, b = {1,2,2}; B = 2 bins, N = 3 each
+    // p1 = 3/5, q1 = 2/5 → dn1 = 3·5−2·5 = 5, ln(15/10) = 0.405465
+    // bin2 symmetric: dn2 = −5... wait p2 = 2/5, q2 = 3/5, dn2 = 2·5−3·5 = −5,
+    // ln(10/15) = −0.405465 → both terms +5·405465 → psi_micro =
+    // (2·5·405465)/25 = 162186
+    val hand = Seq((1.0, "a"), (1.0, "a"), (2.0, "a"), (1.0, "b"), (2.0, "b"), (2.0, "b"))
+    val (_, _, _, psi) = psiRow(hand)
+    assert(psi == 162186L, s"hand PSI: got $psi")
+  }
+
+  test("psi: partition count cannot change a unit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.fill(400)((rnd.nextInt(12).toDouble, if (rnd.nextBoolean()) "a" else "b"))
+    val df = rows.toDF("v", "side")
+    def run(parts: Int) =
+      Profile.psi(df.repartition(parts), col("v"), col("side") === "a", col("side") === "b")
+        .collect().head.getLong(3)
+    assert(run(1) == run(7))
+  }
+
   test("aucByGroup: every group row equals the dedicated one-vs-rest aucCensus") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)

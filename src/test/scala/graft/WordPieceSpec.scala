@@ -117,6 +117,20 @@ class WordPieceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"reassembly broke: $toks")
   }
 
+  test("coverage-style fertility: merged words cost fewer sub-tokens") {
+    import spark.implicits._
+    val merges = WordPiece.learnMerges(
+      Bpe.vocabCensus(Seq("ab ab ab ab cd").toDF("text"), col("text")), 4)
+    def subtoks(w: String): Int = {
+      val enc = WordPiece.applyMerges(Bpe.spacedForm(lit(w)), merges)
+      spark.range(1).select(enc).head().getString(0)
+        .split("  ").count(_.nonEmpty)
+    }
+    // 'ab' fully merges (with its </w>) → fewer pieces than raw chars+1
+    assert(subtoks("ab") < 3, s"trained word must compress: ${subtoks("ab")}")
+    assert(subtoks("zz") == 3, "unseen symbols stay char + char + </w>")
+  }
+
   test("stops early on a fully merged vocabulary; partition-invariant on fixture text") {
     import spark.implicits._
     assert(learned(Seq("ab ab"), 50).size < 50)
