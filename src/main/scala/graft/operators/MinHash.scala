@@ -243,6 +243,42 @@ object MinHash {
           .otherwise(expr("(n_hit * 1000000) div n_cand")).as("precision_ppm"))
   }
 
+  /** SimHash detector QUALITY census — [[lshQuality]]'s twin for the
+    * OTHER blocking family: what fraction of true Jaccard-τ pairs
+    * does the banded 64-bit SimHash screen (8×8-bit bands, Hamming ≤
+    * `maxHamming` verify) actually catch, and how many of its kept
+    * pairs are true? Unlike MinHash bands, SimHash's Hamming radius
+    * is NOT a Jaccard threshold — the mapping depends on the shingle
+    * distribution — which is precisely why the number must be
+    * MEASURED before a pipeline trusts a Hamming cut as a dedup
+    * criterion. Ground truth is the same exact
+    * [[Dedup.jaccardJoin]]; candidates are [[simHashPairs]]' kept
+    * set (banded + Hamming-verified, the q_dedup_simhash_pairs
+    * detector unchanged). One row: n_true, n_kept, n_hit,
+    * recall_ppm, precision_ppm (vacuous-10⁶ conventions on empty
+    * denominators). Same sample-shard scale contract as
+    * [[lshQuality]]. */
+  def simHashQuality(docs: DataFrame, tau: Double, maxHamming: Int = 6,
+      n: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val kept = simHashPairs(docs, maxHamming, n, idCol, textCol)
+      .select(col("a"), col("b"))
+      .localCheckpoint() // two consumers: the count and the semi-join
+    val truth = Dedup.jaccardJoin(docs, tau, n, idCol, textCol)
+      .select(col("a"), col("b"))
+      .localCheckpoint()
+    val hits = kept.join(truth, Seq("a", "b"), "left_semi")
+    val tN = truth.agg(count(lit(1)).as("n_true"))
+    val kN = kept.agg(count(lit(1)).as("n_kept"))
+    val hN = hits.agg(count(lit(1)).as("n_hit"))
+    tN.crossJoin(kN).crossJoin(hN)
+      .select(col("n_true"), col("n_kept"), col("n_hit"),
+        when(col("n_true") === 0L, lit(1000000L))
+          .otherwise(expr("(n_hit * 1000000) div n_true")).as("recall_ppm"),
+        when(col("n_kept") === 0L, lit(1000000L))
+          .otherwise(expr("(n_hit * 1000000) div n_kept")).as("precision_ppm"))
+  }
+
   /** Incremental (batch-vs-corpus) LSH dedup — the shape a daily
     * ingest actually runs: screen the NEW batch against the existing
     * corpus without ever re-joining the corpus to itself. Emits

@@ -30,6 +30,15 @@ object DedupQueries {
   def qLshRecall(s: SparkSession, dir: String): DataFrame =
     MinHash.lshQuality(docs(s, dir), tau = 0.7)
 
+  /** SimHash detector quality census ([[MinHash.simHashQuality]] at
+    * τ = 0.7, Hamming ≤ 6): the measured recall/precision of the
+    * q_dedup_simhash_pairs screen against exact Jaccard truth —
+    * SimHash's Hamming radius is not a Jaccard threshold, so this is
+    * the number that says what a Hamming-6 cut actually means on this
+    * corpus. One all-integer row. */
+  def qSimhashRecall(s: SparkSession, dir: String): DataFrame =
+    MinHash.simHashQuality(docs(s, dir), tau = 0.7, maxHamming = 6)
+
   /** Incremental dedup ([[MinHash.lshDedupIncremental]]): the NEW
     * batch (doc_id ≡ 0 mod 10 — the fixture's stand-in for today's
     * crawl) screened against the standing corpus (everything else),
@@ -670,6 +679,28 @@ object DedupQueries {
          |            JOIN embeddings eb ON eb.vec_id = c.b
          |WHERE ${VectorQueries.cosSql("ea.embedding", "eb.embedding")} >= 0.3
          |ORDER BY a, b""".stripMargin)),
+    QueryDef("q_simhash_recall", qSimhashRecall, Some(
+      s"""WITH t AS (SELECT doc_id, $shSql AS sh FROM documents),
+         |hs AS (SELECT doc_id, sh, len(sh) AS n_sh, $hsSql AS hs FROM t WHERE len(sh) > 0),
+         |sim AS (SELECT doc_id, $simHiSql AS sim_hi, $simLoSql AS sim_lo FROM hs),
+         |kept AS (SELECT x.doc_id AS a, y.doc_id AS b
+         |         FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+         |         WHERE bit_count(xor(x.sim_hi, y.sim_hi))
+         |               + bit_count(xor(x.sim_lo, y.sim_lo)) <= 6),
+         |truth AS (SELECT x.doc_id AS a, y.doc_id AS b
+         |          FROM hs x JOIN hs y ON x.doc_id < y.doc_id
+         |          WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |                CAST(x.n_sh + y.n_sh - len(list_intersect(x.sh, y.sh)) AS DOUBLE) >= 0.7),
+         |tn AS (SELECT count(*) AS n_true FROM truth),
+         |kn AS (SELECT count(*) AS n_kept FROM kept),
+         |hn AS (SELECT count(*) AS n_hit FROM kept k
+         |       WHERE EXISTS (SELECT 1 FROM truth tr WHERE tr.a = k.a AND tr.b = k.b))
+         |SELECT n_true, n_kept, n_hit,
+         |  CAST(CASE WHEN n_true = 0 THEN 1000000
+         |       ELSE (n_hit * 1000000) // n_true END AS BIGINT) AS recall_ppm,
+         |  CAST(CASE WHEN n_kept = 0 THEN 1000000
+         |       ELSE (n_hit * 1000000) // n_kept END AS BIGINT) AS precision_ppm
+         |FROM tn, kn, hn""".stripMargin)),
     QueryDef("q_dedup_simhash_pairs", qDedupSimhashPairs, Some(
       s"""WITH t AS (SELECT doc_id, $shSql AS sh FROM documents),
          |hs AS (SELECT doc_id, $hsSql AS hs FROM t WHERE len(sh) > 0),

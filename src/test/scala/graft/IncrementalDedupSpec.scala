@@ -148,6 +148,26 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(precision == 1000000L, "no candidates → vacuous precision")
   }
 
+  test("simHashQuality: twin corpus scores perfect; census ≡ direct diff on the fixture") {
+    import graft.operators.Dedup
+    val rows = Seq((1L, a), (2L, a),
+      (3L, "some other sentence entirely about different things and words here today"))
+    import spark.implicits._
+    val twin = MinHash.simHashQuality(rows.toDF("doc_id", "text"), tau = 0.7)
+      .collect().head
+    assert(twin.getLong(0) == 1L && twin.getLong(2) == 1L && twin.getLong(3) == 1000000L)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val r = MinHash.simHashQuality(docs, tau = 0.7, maxHamming = 6).collect().head
+    val truth = Dedup.jaccardJoin(docs, 0.7).select("a", "b")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val kept = MinHash.simHashPairs(docs, 6).select("a", "b")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r.getLong(0) == truth.size && r.getLong(1) == kept.size &&
+      r.getLong(2) == (kept & truth).size,
+      s"census (${r.getLong(0)},${r.getLong(1)},${r.getLong(2)}) vs direct " +
+        s"(${truth.size},${kept.size},${(kept & truth).size})")
+  }
+
   test("planBands: recall weighting trades FP mass for FN mass monotonically") {
     val (_, _, fp1, fn1) = MinHash.planBands(64, tau = 0.7, fnWeight = 1.0)
     val (_, _, fp5, fn5) = MinHash.planBands(64, tau = 0.7, fnWeight = 5.0)
