@@ -459,6 +459,57 @@ object Profile {
         col("at_value"))
   }
 
+  /** Embedding centroid-drift census — the EMBEDDING-SPACE drift
+    * monitor beside the scalar KS/PSI family: per group, the cosine
+    * of the group's mean vector against the global mean. A source or
+    * label whose centroid points away from the corpus centroid feeds
+    * systematically different geometry into ANN routing, SemDeDup
+    * cells, and negative mining — this is the census that catches it
+    * before those consumers drift (the embedding sibling of
+    * "which sources moved" — cf. Reimers' anisotropy literature; the
+    * q_embed_anisotropy gate reads the same geometry globally).
+    *
+    * Determinism: cos(mean_g, mean_T) = cos(sum_g, sum_T) (positive
+    * scalars cancel), so the census works on exact SUMS — per
+    * (group, dim) the float values sum through DECIMAL(28,10) casts
+    * (exact at any parallelism), quantize ONCE to integer 1e-6 units
+    * (the charEntropy cast-chain), and the global sums are the
+    * GROUP-SUM of those integer units (exactly mergeable — shard
+    * centroids fold without re-reading vectors). Dot and norms are
+    * exact DECIMAL(38,0) integer aggregates; only the final
+    * `dot/(√n_g·√n_T)` runs in double (two correctly-rounded sqrts +
+    * one divide on identical inputs), rounded to 4 dp. All-zero
+    * centroids report 0.0, never NaN.
+    *
+    * Scale shape: ONE map-only posexplode (×d, the standard embedding
+    * census cost) into a map-side-combined (group, dim) sum; all
+    * joins after are (groups×d)-sized. */
+  def centroidDrift(df: DataFrame, group: Column, vec: Column): DataFrame = {
+    val e = df.select(group.cast("string").as("__g"),
+        posexplode(vec.cast("array<double>")).as(Seq("dim", "v")))
+      .filter(col("__g").isNotNull)
+    val s = e.groupBy(col("__g"), col("dim"))
+      .agg((sum(col("v").cast("decimal(28,10)")).cast("decimal(18,6)") *
+        lit(1000000)).cast("long").as("u"))
+      .localCheckpoint() // group sums + the global fold both read it
+    val g = s.groupBy(col("dim")).agg(sum(col("u")).as("ut"))
+    val counts = df.select(group.cast("string").as("__g"))
+      .filter(col("__g").isNotNull)
+      .groupBy(col("__g")).agg(count(lit(1)).as("n_vecs"))
+    val prods = s.join(g, "dim")
+      .groupBy(col("__g"))
+      .agg(
+        sum((col("u").cast("decimal(38,0)") * col("ut")).cast("decimal(38,0)")).as("dot"),
+        sum((col("u").cast("decimal(38,0)") * col("u")).cast("decimal(38,0)")).as("ng"),
+        sum((col("ut").cast("decimal(38,0)") * col("ut")).cast("decimal(38,0)")).as("nt"))
+    prods.join(counts, "__g")
+      .select(col("__g").as("group"), col("n_vecs"),
+        when(col("ng") === 0 || col("nt") === 0, lit(0.0d))
+          .otherwise(round(col("dot").cast("double") /
+            (sqrt(col("ng").cast("double")) * sqrt(col("nt").cast("double"))), 4))
+          .as("cos_to_global"))
+  }
+
   /** Population Stability Index — the industry-standard drift number
     * beside the rank-based [[ksTwoSample]] (credit-scoring lineage;
     * the symmetrized mass-based divergence): PSI = Σ_bins

@@ -392,6 +392,16 @@ object VectorQueries {
   def qEmbedCov(s: SparkSession, dir: String): DataFrame =
     graft.index.Pca.covariance(emb(s, dir), col("embedding"), Dim)
 
+  /** Embedding centroid-drift census
+    * ([[graft.operators.Profile.centroidDrift]] — the embedding-space
+    * drift monitor beside KS/PSI: per label, the cosine of the label
+    * centroid against the global centroid, from exactly-mergeable
+    * integer-unit dimension sums). */
+  def qEmbedDrift(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.centroidDrift(
+      emb(s, dir), col("label"), col("embedding"))
+      .orderBy("group")
+
   /** Embedding anisotropy census — the representation-collapse
     * diagnostic (Ethayarajh, EMNLP 2019 shape: how much of the
     * average vector energy sits in the common mean direction):
@@ -441,6 +451,29 @@ object VectorQueries {
         |  round(mean_vec_norm_sq, 6) AS mean_vec_norm_sq,
         |  round(mean_vec_norm_sq / mean_norm_sq, 6) AS anisotropy
         |FROM mv CROSS JOIN ms""".stripMargin)),
+    QueryDef("q_embed_drift", qEmbedDrift, Some(
+      """WITH e AS (SELECT CAST(label AS VARCHAR) AS g, u.i AS dim,
+        |             CAST(embedding[u.i] AS DOUBLE) AS v
+        |           FROM embeddings CROSS JOIN unnest(range(1, len(embedding) + 1)) AS u(i)
+        |           WHERE label IS NOT NULL),
+        |s AS (SELECT g, dim,
+        |        CAST(CAST(sum(CAST(v AS DECIMAL(28,10))) AS DECIMAL(18,6)) * 1000000
+        |             AS BIGINT) AS u
+        |      FROM e GROUP BY 1, 2),
+        |gt AS (SELECT dim, CAST(sum(u) AS BIGINT) AS ut FROM s GROUP BY 1),
+        |cnt AS (SELECT CAST(label AS VARCHAR) AS g, CAST(count(*) AS BIGINT) AS n_vecs
+        |        FROM embeddings WHERE label IS NOT NULL GROUP BY 1),
+        |p AS (SELECT s.g,
+        |        sum(CAST(s.u AS HUGEINT) * gt.ut) AS dot,
+        |        sum(CAST(s.u AS HUGEINT) * s.u) AS ng,
+        |        sum(CAST(gt.ut AS HUGEINT) * gt.ut) AS nt
+        |      FROM s JOIN gt USING (dim) GROUP BY 1)
+        |SELECT p.g AS "group", cnt.n_vecs,
+        |  CASE WHEN ng = 0 OR nt = 0 THEN 0.0
+        |       ELSE round(CAST(dot AS DOUBLE)
+        |                  / (sqrt(CAST(ng AS DOUBLE)) * sqrt(CAST(nt AS DOUBLE))), 4)
+        |  END AS cos_to_global
+        |FROM p JOIN cnt USING (g) ORDER BY 1""".stripMargin)),
     QueryDef("q_embed_cov", qEmbedCov, Some(
       """WITH x AS (SELECT embedding AS e FROM embeddings),
         |nn AS (SELECT count(*) AS n FROM x),

@@ -375,6 +375,33 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a + b == 2L * p * n)
   }
 
+  // ---- embedding centroid drift ---------------------------------------
+
+  test("centroidDrift: aligned group ≈ 1, opposed group negative, zero-centroid guarded") {
+    import spark.implicits._
+    // group 'a' points +x, 'b' points −x, 'z' cancels to the zero vector;
+    // global = sum points +x (a dominates)
+    val rows = Seq(
+      ("a", Seq(1f, 0f)), ("a", Seq(2f, 0f)), ("a", Seq(3f, 0f)),
+      ("b", Seq(-1f, 0f)),
+      ("z", Seq(0f, 1f)), ("z", Seq(0f, -1f)))
+    val m = Profile.centroidDrift(rows.toDF("g", "v"), col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m("a") == ((3L, 1.0)), s"$m")
+    assert(m("b")._2 == -1.0, s"$m")
+    assert(m("z") == ((2L, 0.0)), "a cancelled centroid must report 0, never NaN")
+  }
+
+  test("centroidDrift: partition invariance (integer-unit sums)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(120)(("g" + rnd.nextInt(3), Seq.fill(8)(rnd.nextFloat() - 0.3f)))
+    val df = rows.toDF("g", "v")
+    def run(p: Int) = Profile.centroidDrift(df.repartition(p), col("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSet
+    assert(run(1) == run(8))
+  }
+
   // ---- PSI drift -------------------------------------------------------
 
   private def psiRow(rows: Seq[(Double, String)]): (Long, Long, Long, Long) = {

@@ -76,6 +76,8 @@ EMB_QUERIES = {
     "q_embed_cov", "q_embed_anisotropy",
     "q_dedup_semantic", "q_decontaminate_semantic",
     "q_negatives", "q_negatives_hard",
+    # round 14: k-center coreset pools from embeddings
+    "q_kcenter",
 }
 
 
