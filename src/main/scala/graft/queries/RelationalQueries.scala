@@ -788,13 +788,25 @@ object RelationalQueries {
     * tiebreak). The oracle unrolls both rounds — the per-round
     * (node, label) count census and the (count DESC, label ASC)
     * argmax window — exactly. */
+  /** The 2-round LPA labels over the supplier↔part graph, computed
+    * once per session + fixture: q_lpa censuses them and q_modularity
+    * grades them — the SAME labeling both times by construction, so
+    * the second gate pays a lookup, not a second 2-round propagation
+    * (the suppPartGraph memo convention one level up). The returned
+    * frame is fully materialized (labelPropagate localCheckpoints its
+    * result). */
+  private val lpaLabelsMemo = new IndexQueries.SessionMemo[DataFrame]
+  private def lpaLabels(s: SparkSession, dir: String): DataFrame =
+    lpaLabelsMemo.get(s, dir) {
+      graft.operators.Graph.labelPropagate(suppPartGraph(s, dir).e, rounds = 2)
+    }
+
   def qLpa(s: SparkSession, dir: String): DataFrame = {
     // share the session-memoized supplier↔part graph with the PageRank
     // gates (the ccMemo convention): its persisted `e` is already the
     // symmetric distinct edge list, so the operator's normalization
     // pass runs over the cache instead of re-scanning lineitem
-    val edges = suppPartGraph(s, dir).e
-    graft.operators.Graph.labelPropagate(edges, rounds = 2)
+    lpaLabels(s, dir)
       .groupBy(col("lbl").as("label"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("n_members").desc, col("label"))
@@ -818,11 +830,8 @@ object RelationalQueries {
     * that this partition is anti-community, which the size census
     * (q_lpa) alone cannot see. The positive arm (two disjoint cliques
     * → Q = +½ exactly) is pinned by hand in GraphSpec. */
-  def qModularity(s: SparkSession, dir: String): DataFrame = {
-    val edges = suppPartGraph(s, dir).e
-    val labels = graft.operators.Graph.labelPropagate(edges, rounds = 2)
-    graft.operators.Graph.modularity(edges, labels)
-  }
+  def qModularity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.modularity(suppPartGraph(s, dir).e, lpaLabels(s, dir))
 
   /** HITS hubs-and-authorities ([[graft.operators.Graph.hits]] —
     * Kleinberg '99, L1-normalized integer units) over the directed
