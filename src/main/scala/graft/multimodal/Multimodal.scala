@@ -474,14 +474,18 @@ object Multimodal {
           col("h").cast("string")))).otherwise(lit(0)))
       .groupBy("h").agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // two self-join consumers
+    // per-pair products stay DECIMAL(38,0) THROUGH the sum (two 10⁹-
+    // image buckets overflow int64, and a non-ANSI decimal→long cast
+    // per row would wrap/null silently); only the final per-distance
+    // total casts down, where overflow would need >9.2e18 total pairs
     val same = c.select(lit(0).cast("int").as("hamming"),
-      expr("CAST((CAST(cnt AS DECIMAL(38,0)) * (cnt - 1)) DIV 2 AS BIGINT)").as("pairs"))
+      expr("CAST((CAST(cnt AS DECIMAL(38,0)) * (cnt - 1)) DIV 2 AS DECIMAL(38,0))").as("pairs"))
     val cross = c.as("x").join(c.as("y"), col("x.h") < col("y.h"))
       .select(bit_count(col("x.h").bitwiseXOR(col("y.h"))).cast("int").as("hamming"),
-        expr("CAST(CAST(x.cnt AS DECIMAL(38,0)) * y.cnt AS BIGINT)").as("pairs"))
+        expr("CAST(CAST(x.cnt AS DECIMAL(38,0)) * y.cnt AS DECIMAL(38,0))").as("pairs"))
       .filter(col("hamming") <= maxHamming)
     same.unionAll(cross.filter(col("hamming") >= 1))
-      .groupBy("hamming").agg(sum(col("pairs")).as("n_pairs"))
+      .groupBy("hamming").agg(sum(col("pairs")).cast("bigint").as("n_pairs"))
       .filter(col("hamming") <= maxHamming)
   }
 }

@@ -523,88 +523,6 @@ object Graph {
     * (shuffle O(E) on node keys) and two map-side-combined aggregates —
     * the per-community census is O(#communities) after combine and the
     * output is ONE row. Nothing collects; nothing is all-pairs. */
-  /** HITS hubs-and-authorities (Kleinberg JACM '99 §3) over a directed
-    * edge list `(src, dst)` — the OTHER classic link-centrality beside
-    * [[pageRank]], and the one that distinguishes CURATORS from
-    * CONTENT: a hub scores by the authorities it points at, an
-    * authority by the hubs that point at it. On a crawl graph the hub
-    * score finds directory/aggregator pages (high-value seeds for
-    * frontier scheduling) that PageRank's single score conflates with
-    * the content they link.
-    *
-    * Numeric convention (the [[pageRank]] integer-unit discipline,
-    * adapted to HITS's per-round normalization): scores live as
-    * integer 1e-12 units. Each half-round is (1) an exact integer
-    * transfer sum — per-row DECIMAL(38,0) casts so the sum can never
-    * silently wrap — and (2) an L1 re-normalization
-    * `units = (raw · 1e12) div Σraw`, all values non-negative so
-    * truncating division IS floor in both engines. Kleinberg's L2
-    * normalization is deliberately replaced by L1: the eigenvector
-    * direction is identical in the limit and the ranking identical at
-    * every round (a positive scalar rescale), but L1 keeps every
-    * operation in exact integer arithmetic where an L2 sqrt would
-    * reintroduce accumulation-order noise (the approx_percentile
-    * lesson). Init is the constant 1e6 per node — any positive
-    * constant, since round 1 renormalizes it away.
-    *
-    * Overflow bound, checked by construction: after normalization
-    * Σ units = 1e12, so every raw transfer sum ≤ E·1e12 and the
-    * normalization numerator raw·1e12 ≤ E·1e24 — inside DECIMAL(38,0)
-    * (and DuckDB HUGEINT) for any graph under ~10^14 edges, far past
-    * a 100 TB edge list.
-    *
-    * Scale shape: per round TWO equi-joins of the O(N) score table to
-    * the distinct edge list (the edge side is loop-invariant and
-    * localCheckpointed once; only scores move per round) and TWO
-    * map-side-combined sums; the normalizing Σ is a 1-row aggregate
-    * crossJoined in-plan (never collected). Self-loops are dropped
-    * (a self-citation is not an endorsement); duplicate edges fold by
-    * `distinct`. Returns `(node, auth_units, hub_units)` for every
-    * node, zeros where a side never receives mass (sources have
-    * auth 0, sinks hub 0 — on a bipartite graph each side is pure). */
-  def hits(edges: DataFrame, rounds: Int = 2): DataFrame = {
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val e = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint()
-    def normalize(raw: DataFrame, outCol: String): DataFrame = {
-      // raw: (node, raw DECIMAL(38,0)); Σ is a 1-row frame crossJoined
-      // in-plan; all values ≥ 0 so DIV-truncation == floor
-      val s = raw.agg(sum(col("raw")).as("s"))
-      raw.crossJoin(s)
-        .select(col("node"),
-          // DIV = integral division (truncating; == floor here since
-          // everything is ≥ 0) — a decimal `/` + cast would ROUND
-          expr("CAST((raw * 1000000000000) DIV s AS BIGINT)").as(outCol))
-    }
-    var hub = nodes.select(col("node"), lit(1000000L).as("h"))
-    var auth: DataFrame = null
-    for (_ <- 1 to rounds) {
-      val aRaw = e
-        .join(hub.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("h").cast("decimal(38,0)")).cast("decimal(38,0)").as("raw"))
-      auth = normalize(aRaw, "a").localCheckpoint()
-      val hRaw = e
-        .join(auth.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node"))
-        .agg(sum(col("a").cast("decimal(38,0)")).cast("decimal(38,0)").as("raw"))
-      hub = normalize(hRaw, "h").localCheckpoint()
-    }
-    nodes
-      .join(auth, Seq("node"), "left")
-      .join(hub, Seq("node"), "left")
-      .select(col("node"),
-        coalesce(col("a"), lit(0L)).as("auth_units"),
-        coalesce(col("h"), lit(0L)).as("hub_units"))
-  }
-
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
     val base = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
@@ -636,5 +554,137 @@ object Graph {
           |ELSE -((CAST(-q_num AS DECIMAL(38,0)) * 1000000000 + q_den - 1)
           |       DIV CAST(q_den AS DECIMAL(38,0)))
           |END""".stripMargin))
+  }
+
+  /** HITS hubs-and-authorities (Kleinberg JACM '99 §3) over a directed
+    * edge list `(src, dst)` — the OTHER classic link-centrality beside
+    * [[pageRank]], and the one that distinguishes CURATORS from
+    * CONTENT: a hub scores by the authorities it points at, an
+    * authority by the hubs that point at it. On a crawl graph the hub
+    * score finds directory/aggregator pages (high-value seeds for
+    * frontier scheduling) that PageRank's single score conflates with
+    * the content they link.
+    *
+    * Numeric convention (the [[pageRank]] integer-unit discipline,
+    * adapted to HITS's per-round normalization): scores live as
+    * integer 1e-12 units. Each half-round is (1) an exact integer
+    * transfer sum — per-row DECIMAL(38,0) casts so the sum can never
+    * silently wrap — and (2) an L1 re-normalization
+    * `units = (raw · 1e12) div Σraw`, all values non-negative so
+    * truncating division IS floor in both engines. Kleinberg's L2
+    * normalization is deliberately replaced by L1: the eigenvector
+    * direction is identical in the limit and the ranking identical at
+    * every round (a positive scalar rescale), but L1 keeps every
+    * operation in exact integer arithmetic where an L2 sqrt would
+    * reintroduce accumulation-order noise (the approx_percentile
+    * lesson). Init is the constant 1e6 per node — any positive
+    * constant, since round 1 renormalizes it away.
+    *
+    * Overflow bound, checked by construction: after normalization
+    * Σ units = 1e12, so every raw transfer sum ≤ E·1e12 and the
+    * normalization numerator raw·1e12 ≤ E·1e24 — inside DECIMAL(38,0)
+    * (and DuckDB HUGEINT) for any graph under ~10^14 edges, far past
+    * a 100 TB edge list.
+    *
+    * Scale shape: per round TWO equi-joins of the O(N) score table to
+    * the distinct edge list and TWO map-side-combined sums — and the
+    * edge-side strategy is SIZE-ADAPTIVE — decided from the same size
+    * estimate the planner's broadcast decision reads, so the two
+    * cannot disagree — because the two regimes want opposite physical
+    * plans. Broadcast-sized graphs (the q_hits gate: 150 k edges,
+    * 3.4 MiB cached — read off the round-15 `.explain`): every
+    * per-round join is a BroadcastHashJoin with NO shuffle on either
+    * side, so forcing a partitioning first is pure upfront waste (the
+    * round-15 A/B measured the blind LPA-style fix REGRESSING q_hits
+    * 3.73 → 4.24 s and shuffle 9.6 → 12.5 MB — the "re-shuffle per
+    * round" it targets never existed in the broadcast plan). Beyond
+    * the broadcast threshold the joins become SortMergeJoins, and
+    * THERE the [[labelPropagate]] round-14 lesson applies
+    * (`localCheckpoint` makes a LogicalRDD whose partitioning Catalyst
+    * can't see, so every round re-shuffles the O(E) side): the edge
+    * list is persisted TWICE with a DECLARED partitioning, once per
+    * join key — HITS alternates, auth rounds join on `src`, hub rounds
+    * on `dst`, and a single partitioning can't serve both. Each twin
+    * shuffles once at first materialization (reading the already-
+    * cached distinct, never recomputing it); every later round moves
+    * only the O(N) score table instead of `2·rounds·O(E)`. The
+    * normalizing Σ is a 1-row aggregate
+    * crossJoined in-plan (never collected). Self-loops are dropped
+    * (a self-citation is not an endorsement); duplicate edges fold by
+    * `distinct`. Returns `(node, auth_units, hub_units)` for every
+    * node, zeros where a side never receives mass (sources have
+    * auth 0, sinks hub 0 — on a bipartite graph each side is pure). */
+  def hits(edges: DataFrame, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = edges.sparkSession
+    // the loop-invariant distinct edge list, checkpointed UNPARTITIONED
+    // (raw block write — cheaper to build than a columnar cache, and
+    // the broadcast-regime joins never need a partitioning anyway)
+    val eBase = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var twins: List[DataFrame] = Nil
+    try {
+      val nodes = eBase.select(col("src").as("node"))
+        .union(eBase.select(col("dst").as("node")))
+        .distinct()
+        .localCheckpoint()
+      // decide the edge-side strategy from the SAME size estimate the
+      // planner's own broadcast decision reads (localCheckpoint
+      // propagates the source plan's stats), so the two decisions
+      // cannot disagree: small edge list → the per-round joins WILL be
+      // broadcast, partitioned twins would be pure waste
+      val edgeBytes = eBase.queryExecution.optimizedPlan.stats.sizeInBytes
+      // the session's own threshold (-1 = broadcast disabled), read as
+      // the resolved Long, not a re-parse of the conf string
+      val bcBytes = spark.sessionState.conf.autoBroadcastJoinThreshold
+      val (eSrc, eDst) =
+        if (bcBytes > 0 && edgeBytes <= bcBytes) (eBase, eBase)
+        else {
+          val s = eBase.repartition(col("src"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val d = eBase.repartition(col("dst"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          twins = List(s, d)
+          (s, d)
+        }
+      def normalize(raw: DataFrame, outCol: String): DataFrame = {
+        // raw: (node, raw DECIMAL(38,0)); Σ is a 1-row frame crossJoined
+        // in-plan; all values ≥ 0 so DIV-truncation == floor
+        val s = raw.agg(sum(col("raw")).as("s"))
+        raw.crossJoin(s)
+          .select(col("node"),
+            // DIV = integral division (truncating; == floor here since
+            // everything is ≥ 0) — a decimal `/` + cast would ROUND
+            expr("CAST((raw * 1000000000000) DIV s AS BIGINT)").as(outCol))
+      }
+      var hub = nodes.select(col("node"), lit(1000000L).as("h"))
+      var auth: DataFrame = null
+      for (_ <- 1 to rounds) {
+        val aRaw = eSrc
+          .join(hub.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("h").cast("decimal(38,0)")).cast("decimal(38,0)").as("raw"))
+        auth = normalize(aRaw, "a").localCheckpoint()
+        val hRaw = eDst
+          .join(auth.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src").as("node"))
+          .agg(sum(col("a").cast("decimal(38,0)")).cast("decimal(38,0)").as("raw"))
+        hub = normalize(hRaw, "h").localCheckpoint()
+      }
+      // nodes/auth/hub are all materialized (localCheckpoint is eager),
+      // so the edge twins can be dropped before the lazy final join
+      nodes
+        .join(auth, Seq("node"), "left")
+        .join(hub, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("a"), lit(0L)).as("auth_units"),
+          coalesce(col("h"), lit(0L)).as("hub_units"))
+    } finally {
+      twins.foreach(_.unpersist(blocking = false))
+      eBase.unpersist(blocking = false)
+    }
   }
 }

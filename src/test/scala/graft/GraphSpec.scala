@@ -486,4 +486,21 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(one.sameElements(four))
   }
+
+  test("hits: large-graph twin path (broadcast disabled) matches the broadcast path") {
+    // hits() is size-adaptive: under the broadcast threshold the edge
+    // list rides BroadcastHashJoins; past it, src-/dst-partitioned
+    // persisted twins keep the per-round SMJs from re-shuffling O(E).
+    // Forcing threshold -1 exercises the twin arm on a small fixture —
+    // the two physical strategies must agree to the unit
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val viaBroadcast = hitsMap(edges, rounds = 2)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val viaTwins = hitsMap(edges, rounds = 2)
+      assert(viaTwins == viaBroadcast)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -77,7 +77,7 @@ EMB_QUERIES = {
     "q_dedup_semantic", "q_decontaminate_semantic",
     "q_negatives", "q_negatives_hard",
     # round 14: k-center coreset pools from embeddings
-    "q_kcenter",
+    "q_kcenter", "q_embed_drift",
 }
 
 
