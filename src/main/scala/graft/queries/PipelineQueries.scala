@@ -343,6 +343,40 @@ object PipelineQueries {
           .cast("long") % lit(2147483648L)).as("text_fp"))
   }
 
+  /** Raw-crawl WARC round-trip ([[graft.sources.WarcCorpusSource]]
+    * `response` grammar — the shape Common Crawl's raw `.warc.gz`
+    * actually ships: each record's payload is a full HTTP message,
+    * status line + header block + body, inside the record's declared
+    * length): documents → 8 response shards (status derived from
+    * doc_id so the status column is load-bearing) → head/body split
+    * parse-back. The integrity aggregate extends the [[qWarcSource]]
+    * census with the status side (per-class counts + status sum):
+    * it equals the oracle over the ORIGINAL parquet iff the WARC
+    * framing, the inner HTTP framing, the status-line parse AND the
+    * UTF-8 bodies all survived. */
+  def qWarcResponse(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull)
+    val tmp = fmtDir("warcresp", dir)
+    graft.sources.WarcCorpusSource.writeResponses(
+      d.select(concat(col("doc_id").cast("string"), lit(".html")).as("name"),
+        col("text"),
+        when(col("doc_id") % 10 === 0, 404)
+          .when(col("doc_id") % 10 === 1, 301)
+          .otherwise(200).as("status")),
+      tmp, shards = 8)
+    graft.sources.WarcCorpusSource.readResponses(s, tmp)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(split(col("record_uri"), "\\.").getItem(0).cast("long")).as("sum_ids"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        sum(conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+          .cast("long") % lit(2147483648L)).as("text_fp"),
+        sum(col("status").cast("long")).as("sum_status"),
+        sum(when(col("status") === 404, 1L).otherwise(0L)).as("n_404"),
+        sum(when(col("status") === 301, 1L).otherwise(0L)).as("n_301"))
+  }
+
   def qBinSource(s: SparkSession, dir: String): DataFrame = {
     val tmp = binDir(dir)
     BinaryVectorSource.write(s.read.parquet(s"$dir/embeddings.parquet"), tmp, dims = 64)
@@ -728,6 +762,15 @@ object PipelineQueries {
       """SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 2147483648) AS BIGINT) AS text_fp
+        |FROM documents WHERE text IS NOT NULL""".stripMargin)),
+    QueryDef("q_warc_response", qWarcResponse, Some(
+      """SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 2147483648) AS BIGINT) AS text_fp,
+        |  CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 404
+        |               WHEN doc_id % 10 = 1 THEN 301 ELSE 200 END) AS BIGINT) AS sum_status,
+        |  CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_404,
+        |  CAST(sum(CASE WHEN doc_id % 10 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_301
         |FROM documents WHERE text IS NOT NULL""".stripMargin)),
     QueryDef("q_manifest", qManifest, Some(
       """WITH per AS (SELECT source AS shard, CAST(count(*) AS BIGINT) AS n_rows,

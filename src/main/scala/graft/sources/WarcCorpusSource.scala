@@ -5,18 +5,27 @@ import java.nio.charset.StandardCharsets
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** WARC/WET corpus reader/writer (ISO 28500 / the WARC 1.0 record
+/** WARC corpus reader/writer (ISO 28500 / the WARC 1.0 record
   * grammar — the Common-Crawl interchange format, the FIRST thing a
   * 100 TB pretraining user reads; extension — the reference has no
-  * corpus-format surface). Records are WET-style extracted-text
-  * (`WARC-Type: conversion`) with the production framing: version
-  * line, CRLF header block with a declared `Content-Length`, payload,
-  * double-CRLF terminator — and the production COMPRESSION layout,
-  * one gzip MEMBER per record concatenated into the shard, which is
-  * what lets tooling skip records without inflating payloads.
+  * corpus-format surface). Two record grammars are covered, matching
+  * the two shapes Common Crawl actually ships:
+  *
+  *  - WET-style extracted text (`WARC-Type: conversion`, plain-text
+  *    payload) via [[write]]/[[read]];
+  *  - raw crawl captures (`WARC-Type: response`, payload =
+  *    `application/http; msgtype=response`: an HTTP status line +
+  *    header block + body, all inside the record's declared
+  *    `Content-Length`) via [[writeResponses]]/[[readResponses]].
+  *
+  * Both use the production framing — version line, CRLF header block
+  * with a declared `Content-Length`, payload, double-CRLF terminator —
+  * and the production COMPRESSION layout, one gzip MEMBER per record
+  * concatenated into the shard, which is what lets tooling skip
+  * records without inflating payloads.
   *
   * Spark rendering (the [[TarCorpusSource]] contract): the SHARD is
   * the parallel unit — the writer emits one `.warc.gz` part per task
@@ -26,20 +35,27 @@ import org.apache.spark.sql.functions._
   * bound). A 100 TB WARC corpus is tens of thousands of shards,
   * never one archive. Malformed input fails loudly at the exact
   * offset class that broke: a wrong version line, a missing or
-  * non-numeric `Content-Length`, a missing record terminator, or
-  * truncation mid-payload each raise a named contract error — never
-  * a silently short or mangled document. Archives are
+  * non-numeric `Content-Length`, a missing record terminator,
+  * truncation mid-payload, a record of the WRONG type for the reader,
+  * or (responses) a payload with no HTTP head/body separator or a
+  * lying HTTP `Content-Length` each raise a named contract error —
+  * never a silently short or mangled document. Archives are
   * byte-deterministic (fixed `WARC-Date`, name-derived record ids,
   * gzip MTIME 0), so shard-level caching/dedup can key on content
   * hashes.
   *
-  * Header values are length-framed on read (the payload is NEVER
+  * Record boundaries are length-framed on read (the payload is NEVER
   * scanned for record boundaries), so hostile payloads containing
-  * literal `WARC/1.0` blocks round-trip exactly.
+  * literal `WARC/1.0` blocks round-trip exactly. The HTTP head/body
+  * split inside a response payload is likewise framing, not scanning:
+  * RFC 9112 ends the header section at the FIRST blank line, so a
+  * body containing `\r\n\r\n` (or a fake status line) is untouched —
+  * the split happens inside bytes already bounded by the record's
+  * declared length.
   */
 object WarcCorpusSource {
 
-  /** Single-record payload bound for [[read]] — the
+  /** Single-record payload bound for the readers — the
     * [[TarCorpusSource.MaxMemberBytes]] posture: a record is a
     * DOCUMENT; anything near the 2 GiB String ceiling is a data bug
     * refused loudly instead of an opaque OOM. */
@@ -49,15 +65,21 @@ object WarcCorpusSource {
   private val FixedDate = "2024-01-01T00:00:00Z"
   private val MaxHeaderLine = 16384
 
-  /** One WARC record's uncompressed bytes. */
-  private def record(name: String, payload: Array[Byte]): Array[Byte] = {
+  private val ConversionType = "conversion"
+  private val ResponseType = "response"
+
+  /** One WARC record's uncompressed bytes — shared by both grammars
+    * (the payload is opaque here; responses pass their full HTTP
+    * message as the payload). */
+  private def record(name: String, warcType: String, contentType: String,
+      payload: Array[Byte]): Array[Byte] = {
     val head =
       s"""WARC/1.0\r
-         |WARC-Type: conversion\r
+         |WARC-Type: $warcType\r
          |WARC-Record-ID: <urn:graft:$name>\r
          |WARC-Target-URI: $name\r
          |WARC-Date: $FixedDate\r
-         |Content-Type: text/plain\r
+         |Content-Type: $contentType\r
          |Content-Length: ${payload.length}\r
          |\r
          |""".stripMargin.getBytes(StandardCharsets.UTF_8)
@@ -69,31 +91,29 @@ object WarcCorpusSource {
     out
   }
 
-  /** Write `(nameCol, textCol)` rows as `shards` gzip-member-per-record
-    * `.warc.gz` part files under `dir` (overwrites). NULLs are
-    * unrepresentable and rejected loudly (the tar convention), as are
-    * names carrying control characters — a CR/LF in a name would
-    * forge header lines. */
-  def write(df: DataFrame, dir: String, shards: Int,
-      nameCol: String = "name", textCol: String = "text"): Unit = {
-    require(shards >= 1, s"shards must be >= 1, got $shards")
-    val spark = df.sparkSession
+  /** NULL / header-forgery guard shared by both writers. */
+  private def validName(nameCol: String, textCol: String): Column =
+    when(col(nameCol).isNull || col(textCol).isNull,
+      raise_error(lit("WARC cannot represent NULL names/contents — " +
+        "filter or encode before WarcCorpusSource.write")))
+      .when(col(nameCol).rlike("[\\x00-\\x1f]"),
+        raise_error(concat(lit("WARC record names must not carry control "),
+          lit("characters (header-forgery guard): "), col(nameCol))))
+      .otherwise(col(nameCol).cast("string"))
+
+  /** Write pre-built `(name, recordPayload)` rows as `shards`
+    * gzip-member-per-record `.warc.gz` part files under `dir`
+    * (overwrites) — the shard machinery both writers share. */
+  private def writeShards(spark: SparkSession, prepared: DataFrame,
+      dir: String, shards: Int, warcType: String, contentType: String): Unit = {
     import spark.implicits._
     val sc = spark.sparkContext
     val fs = FileSystem.get(new java.net.URI(dir), sc.hadoopConfiguration)
     fs.delete(new Path(dir), true)
     fs.mkdirs(new Path(dir))
     val bcConf = sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
-    df.select(
-        when(col(nameCol).isNull || col(textCol).isNull,
-          raise_error(lit("WARC cannot represent NULL names/contents — " +
-            "filter or encode before WarcCorpusSource.write")))
-          .when(col(nameCol).rlike("[\\x00-\\x1f]"),
-            raise_error(concat(lit("WARC record names must not carry control "),
-              lit("characters (header-forgery guard): "), col(nameCol))))
-          .otherwise(col(nameCol).cast("string")).as("n"),
-        col(textCol).cast("string").as("t"))
-      .as[(String, String)]
+    prepared
+      .as[(String, Array[Byte])]
       .repartition(shards)
       .rdd
       .mapPartitionsWithIndex { (pid, it) =>
@@ -104,11 +124,11 @@ object WarcCorpusSource {
         val fin = new Path(dir, f"part-$pid%05d.warc.gz")
         val out = new DataOutputStream(pfs.create(tmp, true))
         var n = 0L
-        it.foreach { case (name, text) =>
+        it.foreach { case (name, payload) =>
           // one gzip MEMBER per record (finish() seals the member
           // without closing the shard stream) — the production layout
           val member = new GZIPOutputStream(out)
-          member.write(record(name, text.getBytes(StandardCharsets.UTF_8)))
+          member.write(record(name, warcType, contentType, payload))
           member.finish()
           n += 1
         }
@@ -122,98 +142,253 @@ object WarcCorpusSource {
       .count() // force the write
   }
 
-  /** Open a directory of `.warc.gz` shards as `(record_uri, text)` —
-    * one task per shard, records streamed incrementally through the
-    * multi-member gzip stream, payloads decoded as UTF-8. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  /** Write `(nameCol, textCol)` rows as `shards` gzip-member-per-record
+    * WET-style `.warc.gz` part files under `dir` (overwrites). NULLs
+    * are unrepresentable and rejected loudly (the tar convention), as
+    * are names carrying control characters — a CR/LF in a name would
+    * forge header lines. */
+  def write(df: DataFrame, dir: String, shards: Int,
+      nameCol: String = "name", textCol: String = "text"): Unit = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val prepared = df.select(
+      validName(nameCol, textCol).as("n"),
+      encode(col(textCol).cast("string"), "UTF-8").as("p"))
+    writeShards(df.sparkSession, prepared, dir, shards,
+      ConversionType, "text/plain")
+  }
+
+  /** The deterministic reason phrase for a status line — the common
+    * registry entries, a fixed fallback elsewhere (reason phrases are
+    * advisory per RFC 9112 §4; parsers must key on the code). */
+  private def reasonFor(code: Int): String = code match {
+    case 200 => "OK"
+    case 301 => "Moved Permanently"
+    case 304 => "Not Modified"
+    case 403 => "Forbidden"
+    case 404 => "Not Found"
+    case 500 => "Internal Server Error"
+    case 503 => "Service Unavailable"
+    case _ => "Status"
+  }
+
+  /** Write `(nameCol, textCol, statusCol)` rows as raw-crawl
+    * `WARC-Type: response` records: each record's payload is a full
+    * HTTP message — `HTTP/1.1 <status> <reason>`, a `Content-Type` +
+    * `Content-Length` header block, CRLF CRLF, then the body — inside
+    * the record's own declared length (the Common-Crawl raw-WARC
+    * layout). Statuses outside 100-599 are rejected loudly (a forged
+    * status line is a header-forgery class, like CR/LF in names). */
+  def writeResponses(df: DataFrame, dir: String, shards: Int,
+      nameCol: String = "name", textCol: String = "text",
+      statusCol: String = "status"): Unit = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val spark = df.sparkSession
     import spark.implicits._
+    val rows = df.select(
+        validName(nameCol, textCol).as("n"),
+        col(textCol).cast("string").as("t"),
+        when(col(statusCol).isNull || col(statusCol) < 100 || col(statusCol) > 599,
+          raise_error(concat(lit("HTTP status must be 100-599, got "),
+            col(statusCol).cast("string"))))
+          .otherwise(col(statusCol).cast("int")).as("s"))
+      .as[(String, String, Int)]
+      .map { case (name, text, status) =>
+        val body = text.getBytes(StandardCharsets.UTF_8)
+        val head = (s"HTTP/1.1 $status ${reasonFor(status)}\r\n" +
+          "Content-Type: text/html; charset=utf-8\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n")
+          .getBytes(StandardCharsets.US_ASCII)
+        val payload = new Array[Byte](head.length + body.length)
+        System.arraycopy(head, 0, payload, 0, head.length)
+        System.arraycopy(body, 0, payload, head.length, body.length)
+        (name, payload)
+      }
+      .toDF("n", "p")
+    writeShards(spark, rows, dir, shards,
+      ResponseType, "application/http; msgtype=response")
+  }
+
+  /** The shared record-grammar parser: stream one shard's records as
+    * `(uri, warcType, payload)` — incremental (one payload in memory),
+    * length-framed, loud on every malformation class. A record with
+    * no `WARC-Type` header parses with an empty type (legacy shards;
+    * the readers treat it as their own type rather than rejecting,
+    * matching the pre-response reader's behavior). */
+  private def recordIterator(path: String, in: DataInputStream)
+      : Iterator[(String, String, Array[Byte])] = {
+
+    def fail(what: String): Nothing =
+      throw new IllegalArgumentException(s"$path: $what")
+
+    // CRLF-terminated ASCII header line; -1 on clean EOF at a
+    // record boundary (null sentinel), loud anywhere else
+    def readLine(atBoundary: Boolean): String = {
+      val first = in.read()
+      if (first < 0) {
+        if (atBoundary) return null
+        fail("truncated shard (EOF inside a record header)")
+      }
+      val buf = new java.io.ByteArrayOutputStream(64)
+      var b = first
+      while (b != '\n') {
+        buf.write(b)
+        if (buf.size > MaxHeaderLine) fail(s"header line past $MaxHeaderLine bytes")
+        b = in.read()
+        if (b < 0) fail("truncated shard (EOF inside a header line)")
+      }
+      val s = buf.toString(StandardCharsets.UTF_8.name())
+      if (!s.endsWith("\r")) fail("malformed header line (LF without CR)")
+      s.dropRight(1)
+    }
+
+    new Iterator[(String, String, Array[Byte])] {
+      private var queued: (String, String, Array[Byte]) = null
+      private var done = false
+
+      private def advance(): Unit = {
+        if (done || queued != null) return
+        val version = readLine(atBoundary = true)
+        if (version == null) { done = true; return }
+        if (version != "WARC/1.0")
+          fail(s"expected a WARC/1.0 version line, got '$version'")
+        var contentLength = -1L
+        var uri: String = null
+        var warcType = ""
+        var line = readLine(atBoundary = false)
+        while (line.nonEmpty) {
+          val i = line.indexOf(':')
+          if (i <= 0) fail(s"malformed WARC header '$line'")
+          val (k, v) = (line.substring(0, i).trim, line.substring(i + 1).trim)
+          if (k.equalsIgnoreCase("Content-Length")) {
+            contentLength =
+              try java.lang.Long.parseLong(v)
+              catch { case _: NumberFormatException =>
+                fail(s"non-numeric Content-Length '$v'") }
+          } else if (k.equalsIgnoreCase("WARC-Target-URI")) uri = v
+          else if (k.equalsIgnoreCase("WARC-Type")) warcType = v
+          line = readLine(atBoundary = false)
+        }
+        if (contentLength < 0) fail("record missing Content-Length")
+        if (uri == null) fail("record missing WARC-Target-URI")
+        if (contentLength > MaxPayloadBytes)
+          fail(s"record '$uri' declares $contentLength bytes — past the " +
+            s"$MaxPayloadBytes single-record bound (records are documents; " +
+            "shard the corpus, don't archive blobs)")
+        val payload = new Array[Byte](contentLength.toInt)
+        try in.readFully(payload)
+        catch { case _: EOFException =>
+          fail(s"truncated record '$uri' (declared $contentLength bytes past EOF)") }
+        val term = new Array[Byte](4)
+        try in.readFully(term)
+        catch { case _: EOFException =>
+          fail(s"record '$uri' missing its CRLF CRLF terminator (EOF)") }
+        if (!(term(0) == '\r' && term(1) == '\n' && term(2) == '\r' && term(3) == '\n'))
+          fail(s"record '$uri' not followed by CRLF CRLF — Content-Length " +
+            "and payload disagree")
+        queued = (uri, warcType, payload)
+      }
+
+      override def hasNext: Boolean = { advance(); queued != null }
+      override def next(): (String, String, Array[Byte]) = {
+        advance()
+        if (queued == null) throw new NoSuchElementException("WARC iterator drained")
+        val r = queued; queued = null; r
+      }
+    }
+  }
+
+  /** One task per shard over the multi-member gzip stream (which
+    * GZIPInputStream reads transparently — the record parser sees one
+    * continuous WARC stream), records streamed incrementally. */
+  private def shardRecords(spark: SparkSession, dir: String)
+      : org.apache.spark.rdd.RDD[(String, String, String, Array[Byte])] =
     spark.sparkContext.binaryFiles(s"$dir/*.warc.gz")
       .flatMap { case (path, stream) =>
-        // GZIPInputStream reads CONCATENATED members transparently —
-        // the record parser sees one continuous WARC stream
         val in = new DataInputStream(new BufferedInputStream(
           new GZIPInputStream(new BufferedInputStream(stream.open()))))
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ =>
             try in.close() catch { case scala.util.control.NonFatal(_) => () }))
+        recordIterator(path.toString, in)
+          .map { case (uri, typ, payload) => (path.toString, uri, typ, payload) }
+      }
 
-        def fail(what: String): Nothing =
-          throw new IllegalArgumentException(s"$path: $what")
-
-        // CRLF-terminated ASCII header line; -1 on clean EOF at a
-        // record boundary (null sentinel), loud anywhere else
-        def readLine(atBoundary: Boolean): String = {
-          val first = in.read()
-          if (first < 0) {
-            if (atBoundary) return null
-            fail("truncated shard (EOF inside a record header)")
-          }
-          val buf = new java.io.ByteArrayOutputStream(64)
-          var b = first
-          while (b != '\n') {
-            buf.write(b)
-            if (buf.size > MaxHeaderLine) fail(s"header line past $MaxHeaderLine bytes")
-            b = in.read()
-            if (b < 0) fail("truncated shard (EOF inside a header line)")
-          }
-          val s = buf.toString(StandardCharsets.UTF_8.name())
-          if (!s.endsWith("\r")) fail("malformed header line (LF without CR)")
-          s.dropRight(1)
-        }
-
-        new Iterator[(String, String)] {
-          private var queued: (String, String) = null
-          private var done = false
-
-          private def advance(): Unit = {
-            if (done || queued != null) return
-            val version = readLine(atBoundary = true)
-            if (version == null) { done = true; return }
-            if (version != "WARC/1.0")
-              fail(s"expected a WARC/1.0 version line, got '$version'")
-            var contentLength = -1L
-            var uri: String = null
-            var line = readLine(atBoundary = false)
-            while (line.nonEmpty) {
-              val i = line.indexOf(':')
-              if (i <= 0) fail(s"malformed WARC header '$line'")
-              val (k, v) = (line.substring(0, i).trim, line.substring(i + 1).trim)
-              if (k.equalsIgnoreCase("Content-Length")) {
-                contentLength =
-                  try java.lang.Long.parseLong(v)
-                  catch { case _: NumberFormatException =>
-                    fail(s"non-numeric Content-Length '$v'") }
-              } else if (k.equalsIgnoreCase("WARC-Target-URI")) uri = v
-              line = readLine(atBoundary = false)
-            }
-            if (contentLength < 0) fail("record missing Content-Length")
-            if (uri == null) fail("record missing WARC-Target-URI")
-            if (contentLength > MaxPayloadBytes)
-              fail(s"record '$uri' declares $contentLength bytes — past the " +
-                s"$MaxPayloadBytes single-record bound (records are documents; " +
-                "shard the corpus, don't archive blobs)")
-            val payload = new Array[Byte](contentLength.toInt)
-            try in.readFully(payload)
-            catch { case _: EOFException =>
-              fail(s"truncated record '$uri' (declared $contentLength bytes past EOF)") }
-            val term = new Array[Byte](4)
-            try in.readFully(term)
-            catch { case _: EOFException =>
-              fail(s"record '$uri' missing its CRLF CRLF terminator (EOF)") }
-            if (!(term(0) == '\r' && term(1) == '\n' && term(2) == '\r' && term(3) == '\n'))
-              fail(s"record '$uri' not followed by CRLF CRLF — Content-Length " +
-                "and payload disagree")
-            queued = (uri, new String(payload, StandardCharsets.UTF_8))
-          }
-
-          override def hasNext: Boolean = { advance(); queued != null }
-          override def next(): (String, String) = {
-            advance()
-            if (queued == null) throw new NoSuchElementException("WARC iterator drained")
-            val r = queued; queued = null; r
-          }
-        }
+  /** Open a directory of WET-style `.warc.gz` shards as
+    * `(record_uri, text)` — payloads decoded as UTF-8. A `response`
+    * record in the stream is a contract error (its payload is an HTTP
+    * message, not text — decoding it here would silently prepend HTTP
+    * headers to the document): [[readResponses]] is the reader for
+    * raw-crawl shards. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    shardRecords(spark, dir)
+      .map { case (path, uri, typ, payload) =>
+        if (typ.nonEmpty && typ != ConversionType)
+          throw new IllegalArgumentException(s"$path: record '$uri' is " +
+            s"WARC-Type: $typ — WarcCorpusSource.read reads conversion (WET) " +
+            "records; use readResponses for raw-crawl response shards")
+        (uri, new String(payload, StandardCharsets.UTF_8))
       }
       .toDF("record_uri", "text")
+  }
+
+  /** Open a directory of raw-crawl `.warc.gz` shards (`WARC-Type:
+    * response` records) as `(record_uri, status, text)`: each payload
+    * is split into its HTTP head and body per RFC 9112 framing — the
+    * header section ends at the FIRST blank line, inside bytes already
+    * bounded by the record's declared Content-Length, so a hostile
+    * body containing `\r\n\r\n`, a fake status line, or a fake WARC
+    * record is untouched. The status code parses from the status
+    * line; a declared HTTP `Content-Length` must equal the actual
+    * body length (a lying inner length is the truncation class the
+    * outer framing can't see). Body decodes as UTF-8. */
+  def readResponses(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    shardRecords(spark, dir)
+      .map { case (path, uri, typ, payload) =>
+        def fail(what: String): Nothing =
+          throw new IllegalArgumentException(s"$path: record '$uri' $what")
+        if (typ.nonEmpty && typ != ResponseType)
+          fail(s"is WARC-Type: $typ — readResponses reads response records; " +
+            "use read for conversion (WET) shards")
+        // head/body separator: first CRLF CRLF in the length-framed payload
+        var sep = -1
+        var i = 0
+        while (sep < 0 && i + 3 < payload.length) {
+          if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+              payload(i + 2) == '\r' && payload(i + 3) == '\n') sep = i
+          i += 1
+        }
+        if (sep < 0) fail("has no HTTP head/body separator (CRLF CRLF)")
+        // HTTP headers are ISO-8859-1 per RFC 9112 §5.1
+        val head = new String(payload, 0, sep, StandardCharsets.ISO_8859_1)
+        val lines = head.split("\r\n", -1)
+        val statusLine = lines(0)
+        if (!statusLine.startsWith("HTTP/"))
+          fail(s"payload does not start with an HTTP status line: '$statusLine'")
+        val parts = statusLine.split(" ", 3)
+        if (parts.length < 2) fail(s"malformed HTTP status line: '$statusLine'")
+        val status =
+          try Integer.parseInt(parts(1))
+          catch { case _: NumberFormatException =>
+            fail(s"non-numeric HTTP status '${parts(1)}'") }
+        if (status < 100 || status > 599) fail(s"HTTP status $status out of range")
+        val bodyLen = payload.length - (sep + 4)
+        lines.iterator.drop(1).foreach { h =>
+          val ci = h.indexOf(':')
+          if (ci <= 0) fail(s"malformed HTTP header '$h'")
+          if (h.substring(0, ci).trim.equalsIgnoreCase("Content-Length")) {
+            val declared =
+              try java.lang.Long.parseLong(h.substring(ci + 1).trim)
+              catch { case _: NumberFormatException =>
+                fail(s"non-numeric HTTP Content-Length '${h.substring(ci + 1).trim}'") }
+            if (declared != bodyLen)
+              fail(s"HTTP Content-Length $declared disagrees with the " +
+                s"actual $bodyLen-byte body (inner truncation/padding)")
+          }
+        }
+        (uri, status, new String(payload, sep + 4, bodyLen, StandardCharsets.UTF_8))
+      }
+      .toDF("record_uri", "status", "text")
   }
 }

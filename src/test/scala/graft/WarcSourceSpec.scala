@@ -126,6 +126,104 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(errText(e).contains("CRLF"), s"expected the terminator error: $e")
   }
 
+  // ---- response records (raw-crawl grammar) -------------------------
+
+  private def responseTrip(rows: Seq[(String, String, Int)], shards: Int = 3)
+      : Set[(String, Int, String)] = {
+    import spark.implicits._
+    val dir = tmp()
+    WarcCorpusSource.writeResponses(rows.toDF("name", "text", "status"), dir, shards)
+    WarcCorpusSource.readResponses(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+  }
+
+  test("response round-trip: statuses and hostile bodies survive exactly") {
+    val rows = Seq(
+      ("ok.html", "<html>fine</html>", 200),
+      ("gone.html", "", 404),
+      // a body containing the head/body separator AND a fake status
+      // line: the split is RFC framing (FIRST blank line) inside the
+      // length-framed payload, so none of this is touched
+      ("hostile_http.html", "HTTP/1.1 500 Fake\r\nX: y\r\n\r\nnot headers", 200),
+      // a body that IS a complete WARC record: outer framing is
+      // length-based, never a scan
+      ("hostile_warc.html",
+        "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 9\r\n\r\nfake body\r\n\r\n", 503),
+      ("utf8.html", "héllo wörld — ¿日本語?", 301))
+    assert(responseTrip(rows) ==
+      rows.map { case (n, t, s) => (n, s, t) }.toSet)
+  }
+
+  test("a lying inner HTTP Content-Length fails loudly (inner truncation class)") {
+    val dir = tmp()
+    val f = java.nio.file.Paths.get(dir, "part-00000.warc.gz")
+    val http = "HTTP/1.1 200 OK\r\nContent-Length: 999\r\n\r\nshort body"
+    val rec = s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: a.html\r\n" +
+      s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\n$http\r\n\r\n"
+    val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(f))
+    out.write(rec.getBytes("UTF-8"))
+    out.close()
+    val e = intercept[Exception] {
+      WarcCorpusSource.readResponses(spark, dir).collect()
+    }
+    assert(errText(e).contains("disagrees"), s"expected the inner-length error: $e")
+  }
+
+  test("a response payload with no head/body separator fails loudly") {
+    val dir = tmp()
+    val f = java.nio.file.Paths.get(dir, "part-00000.warc.gz")
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html" // no CRLF CRLF
+    val rec = s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: a.html\r\n" +
+      s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\n$http\r\n\r\n"
+    val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(f))
+    out.write(rec.getBytes("UTF-8"))
+    out.close()
+    val e = intercept[Exception] {
+      WarcCorpusSource.readResponses(spark, dir).collect()
+    }
+    assert(errText(e).contains("separator"), s"expected the separator error: $e")
+  }
+
+  test("record-type mismatches fail loudly in BOTH directions") {
+    import spark.implicits._
+    val wet = tmp()
+    WarcCorpusSource.write(Seq(("a.txt", "text")).toDF("name", "text"), wet, 1)
+    val e1 = intercept[Exception] {
+      WarcCorpusSource.readResponses(spark, wet).collect()
+    }
+    assert(errText(e1).contains("WARC-Type"), s"expected the type error: $e1")
+    val raw = tmp()
+    WarcCorpusSource.writeResponses(
+      Seq(("a.html", "body", 200)).toDF("name", "text", "status"), raw, 1)
+    val e2 = intercept[Exception] {
+      WarcCorpusSource.read(spark, raw).collect()
+    }
+    assert(errText(e2).contains("readResponses"), s"expected the type error: $e2")
+  }
+
+  test("statuses outside 100-599 are rejected at write time") {
+    import spark.implicits._
+    val e = intercept[Exception] {
+      WarcCorpusSource.writeResponses(
+        Seq(("a.html", "body", 1200)).toDF("name", "text", "status"), tmp(), 1)
+    }
+    assert(errText(e).contains("100-599"), s"expected the status-range error: $e")
+  }
+
+  test("response shards are byte-deterministic") {
+    import spark.implicits._
+    val rows = (0 until 12).map(i => (s"d$i.html", s"body $i", if (i % 3 == 0) 404 else 200))
+    val df = rows.toDF("name", "text", "status").repartition(1).orderBy("name")
+    val (d1, d2) = (tmp(), tmp())
+    WarcCorpusSource.writeResponses(df, d1, shards = 1)
+    WarcCorpusSource.writeResponses(df, d2, shards = 1)
+    def partBytes(d: String) = java.nio.file.Files.readAllBytes(
+      new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).head.toPath)
+    assert(java.util.Arrays.equals(partBytes(d1), partBytes(d2)),
+      "the same corpus must produce byte-identical response shards")
+  }
+
   test("shards are byte-deterministic (fixed date, name-derived ids, gzip mtime 0)") {
     import spark.implicits._
     val rows = (0 until 20).map(i => (s"d$i.txt", s"text $i"))
