@@ -401,6 +401,46 @@ object HnswIndex {
     untouched.union(build(moved, params, maxCellSize = maxCellSize))
   }
 
+  /** Merge two INDEPENDENTLY BUILT indexes into one serving layout
+    * without rebuilding any cell graph — the 100 TB parallel-build
+    * path: shard the corpus, build (and [[save]]) each shard's index
+    * in its own job, then merge the [[load]]ed results into one
+    * handle. Each cell's adjacency references only ids inside that
+    * cell, so cells are SELF-CONTAINED and merging is a union with
+    * the right side's part ids shifted past the left side's (shards
+    * number their cells from their own router — part ids are
+    * shard-local, and a collision would interleave two unrelated
+    * graphs into one cell). Vector ids, however, are GLOBAL: the same
+    * id in both shards would double-serve that vector, so
+    * id-disjointness is checked loudly with one aggregate — merge is
+    * a build-path operation, never a serving-path one, and a silent
+    * duplicate would poison every later search. Routed serving
+    * re-derives its router from the merged layout
+    * ([[IvfIndex.fromPartitionMeans]]), exactly as [[rebalance]]'s
+    * consumers do. At exhaustive ef, merged-search ≡ a single build
+    * over the union corpus (the q_ann_merged gate's brute-force
+    * oracle); at finite ef the merged index keeps each shard's own
+    * recall, since every cell graph is byte-identical to its
+    * pre-merge self. */
+  def merge(a: Dataset[IndexRow], b: Dataset[IndexRow]): Dataset[IndexRow] = {
+    val aMax = a.agg(max("part")).head().get(0)
+    val bMin = b.agg(min("part")).head().get(0)
+    if (aMax == null) return b
+    if (bMin == null) return a
+    val shift = aMax.asInstanceOf[Int] + 1 - bMin.asInstanceOf[Int]
+    val shifted = b.toDF()
+      .withColumn("part", (col("part") + shift).cast("int"))
+      .as[IndexRow](a.encoder)
+    val merged = a.union(shifted)
+    val dup = merged.groupBy("vector_id").count()
+      .filter(col("count") > 1).select("vector_id").head(1)
+    require(dup.isEmpty,
+      s"merge requires globally unique vector ids; id ${dup.headOption.map(_.getLong(0)).getOrElse(-1L)} " +
+        "appears in more than one shard (shard the corpus disjointly, " +
+        "or removeBatch/upsert before merging)")
+    merged
+  }
+
   /** Persist a built index partitioned by cell: each IVF cell becomes
     * its own parquet subtree, so a routed search with nprobe cells
     * reads exactly those subtrees (partition pruning on `part`) —

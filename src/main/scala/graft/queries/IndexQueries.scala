@@ -123,6 +123,51 @@ object IndexQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Shard-merged index ([[HnswIndex.merge]] — the 100 TB
+    * parallel-build path): the corpus splits into two DISJOINT halves
+    * by id parity, each half builds its own label-partitioned index
+    * INDEPENDENTLY (both number cells from the same label space, so
+    * their part ids COLLIDE — the merge must re-key, not just union),
+    * each is [[HnswIndex.save]]d and re-[[HnswIndex.load]]ed (the
+    * persisted-shard hand-off the parallel build actually does), then
+    * merged into one serving handle with NO cell rebuilt. Built once
+    * per session + fixture. */
+  private val mergedMemo =
+    new SessionMemo[org.apache.spark.sql.Dataset[HnswIndex.IndexRow]]
+  private def mergedIndex(s: SparkSession, dir: String) =
+    mergedMemo.get(s, dir) {
+      val e = emb(s, dir).withColumn("part", col("label"))
+      val halves = Seq(0, 1).map { parity =>
+        val idx = HnswIndex.build(e.filter(col("vec_id") % 2 === parity), P)
+        val p = java.nio.file.Files.createTempDirectory(s"graft_shard${parity}_")
+        sys.addShutdownHook {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        }
+        HnswIndex.save(idx, p.toString)
+        HnswIndex.load(s, p.toString)
+      }
+      HnswIndex.merge(halves(0), halves(1))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Search over the [[mergedIndex]] — fresh query ids (114-117).
+    * Exhaustive ef ⇒ the brute-force oracle over the FULL corpus gates
+    * that the merge re-keyed both shards' colliding cell ids, lost no
+    * vector, duplicated none, and left every shard graph intact. */
+  def qAnnMerged(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val idx = mergedIndex(s, dir)
+    val queries = e.filter(col("vec_id") >= 114 && col("vec_id") < 118)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    HnswIndex.search(idx, queries, k = 5, P,
+        efSearch = exhaustiveEf(s, dir, "merged")(idx))
+      .select(col("qid"), col("rank").as("rnk"), col("vector_id").as("vec_id"),
+        round(col("dist"), 3).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Search over the [[rebalancedIndex]] — fresh query ids (99-102). */
   def qAnnRebalanced(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -2545,6 +2590,8 @@ object IndexQueries {
       Some(bruteOracleSql("vec_id >= 83 AND vec_id < 87"))),
     QueryDef("q_ann_rebalanced", qAnnRebalanced,
       Some(bruteOracleSql("vec_id >= 99 AND vec_id < 103"))),
+    QueryDef("q_ann_merged", qAnnMerged,
+      Some(bruteOracleSql("vec_id >= 114 AND vec_id < 118"))),
     QueryDef("q_vectordb_rebalanced", qVectordbRebalanced,
       Some(bruteOracleSql("vec_id >= 103 AND vec_id < 107"))),
     QueryDef("q_ann_trained", qAnnTrained,

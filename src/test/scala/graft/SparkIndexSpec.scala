@@ -529,6 +529,54 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "routed search over a capped layout missed sub-parts of a probed cell")
   }
 
+  test("shard merge: two independently built indexes serve the union corpus without a rebuild") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val parted = e.withColumn("part", col("label"))
+    // both shards number their cells from the SAME label space — the
+    // colliding-part-id case merge must re-key, not just union
+    val a = HnswIndex.build(parted.filter(col("vec_id") % 2 === 0), P)
+    val b = HnswIndex.build(parted.filter(col("vec_id") % 2 === 1), P)
+    val merged = HnswIndex.merge(a, b)
+
+    // nothing lost, nothing duplicated, and the shards' cells stay
+    // disjoint after the re-key (every (shardA cell, shardB cell) pair
+    // lands on a distinct merged part id)
+    assert(merged.count() == 500L &&
+      merged.select("vector_id").distinct().count() == 500L)
+    val nA = a.select("part").distinct().count()
+    val nB = b.select("part").distinct().count()
+    assert(merged.select("part").distinct().count() == nA + nB,
+      "merge interleaved two shards' cells under one part id")
+
+    // merged-search ≡ a single build over the union corpus at
+    // exhaustive ef (graph layouts differ; served answers must not)
+    val single = HnswIndex.build(parted, P)
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def top(ds: org.apache.spark.sql.Dataset[HnswIndex.IndexRow], ef: Int) =
+      HnswIndex.search(ds, queries, k = 5, P, efSearch = ef)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = top(single, 4096)
+    assert(top(merged, 4096) == exact,
+      "merged index serves different exhaustive-ef answers than a single build")
+
+    // finite-ef recall floor (NOT graph isomorphism — each shard keeps
+    // its own deterministic graph): production-ef merged recall vs the
+    // exhaustive truth stays high
+    val got = top(merged, 64)
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"merged finite-ef recall $recall below the floor")
+
+    // duplicate vector ids across shards fail loudly, not double-serve
+    val eDup = intercept[Exception] { HnswIndex.merge(a, a).count() }
+    assert(messages(eDup).exists(_.contains("unique vector ids")), s"$eDup")
+
+    // an empty shard passes the other side through
+    val none = b.filter(lit(false))
+    assert(top(HnswIndex.merge(a, none), 4096) == top(a, 4096))
+    assert(top(HnswIndex.merge(none, b), 4096) == top(b, 4096))
+  }
+
   test("searchLocal serves the distributed routed results driver-side, with zero jobs when warm") {
     val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
     db.buildIndexIvf(numCells = 16, iters = 1)

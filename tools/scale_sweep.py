@@ -78,6 +78,8 @@ EMB_QUERIES = {
     "q_negatives", "q_negatives_hard",
     # round 14: k-center coreset pools from embeddings
     "q_kcenter", "q_embed_drift",
+    # round 15: shard-merged index serves from embeddings
+    "q_ann_merged",
 }
 
 
