@@ -369,6 +369,66 @@ object Dedup {
           .as("clean_text"))
   }
 
+  /** CDC-anchored exact-substring dedup — [[segmentDedup]] with
+    * CONTENT-DEFINED boundaries instead of fixed 8-token ones, closing
+    * the documented deviation from Lee et al. ACL'22's suffix array:
+    * fixed segmentation misses a duplicated passage planted at a
+    * non-multiple-of-the-segment-width offset (every segment straddles
+    * the shift and matches nothing), while a Manber cut point depends
+    * only on its local `w`-char window, so inside a shared passage the
+    * cut positions RE-SYNCHRONIZE within one window whatever the
+    * offset — every interior chunk of the passage is then
+    * byte-identical across copies and dedups exactly
+    * ([[Curation.cdcChunks]]; CurationSpec measures the ~96% re-sync).
+    * Residual (the honesty note): only the passage's FIRST and LAST
+    * chunks straddle the copy boundary and can differ per copy — a
+    * bounded O(w + modulus)-char fringe per occurrence, vs fixed
+    * segmentation's total miss (SegmentDedupSpec plants an offset-7
+    * copy that [[segmentDedup]] provably misses and this catches).
+    *
+    * Semantics mirror [[segmentDedup]]: an occurrence is a DUPLICATE
+    * when its chunk occurs anywhere else in the corpus (census on the
+    * chunk md5 — the q_dedup_chunks key: the shuffle carries 32-byte
+    * hashes, never chunk text); every occurrence except the canonical
+    * first (minimum (doc_id, chunk_ord)) is REMOVED; output is the
+    * per-document census plus `clean_text`, the kept chunks
+    * reassembled in order — chunks partition the text exactly, so the
+    * join separator is empty (vs segmentDedup's single space).
+    *
+    * Scale shape: chunking is map-only (compiled codegen loop); the
+    * census is one map-side-combined aggregate on the hash; the keep
+    * decision a same-key join; reassembly one groupBy doc_id. Linear
+    * end-to-end, nothing all-pairs. */
+  def cdcSegmentDedup(docs: DataFrame, w: Int = 16, modulus: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val segs = Curation.cdcChunks(
+        docs.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).cast("string").as("text")),
+        w, modulus)
+      .select(col("doc_id"), col("chunk_ord").as("seg_idx"),
+        col("chunk").as("seg"), col("chunk_md5").as("__h"))
+    val census = segs.groupBy("__h").agg(
+      count(lit(1)).as("__n_occ"),
+      min(struct(col("doc_id"), col("seg_idx"))).as("__first"))
+    val marked = segs.join(census, "__h").select(
+      col("doc_id"), col("seg_idx"), col("seg"),
+      (col("__n_occ") > 1).as("__is_dup"),
+      (col("__n_occ") === 1 ||
+        (col("__first.doc_id") === col("doc_id") &&
+          col("__first.seg_idx") === col("seg_idx"))).as("__keep"))
+    marked.groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_segs"),
+        sum(when(col("__is_dup"), 1).otherwise(0)).cast("int").as("n_dup"),
+        sum(when(col("__keep"), 1).otherwise(0)).cast("int").as("n_kept"),
+        sort_array(collect_list(when(col("__keep"),
+          struct(col("seg_idx"), col("seg"))))).as("__kept"))
+      .select(col("doc_id"), col("n_segs"), col("n_dup"), col("n_kept"),
+        when(col("n_kept") === 0, lit(null).cast("string"))
+          .otherwise(array_join(transform(col("__kept"), _.getField("seg")), ""))
+          .as("clean_text"))
+  }
+
   /** Word n-gram shingles (distinct). Built as a reduce of `slice` +
     * `zip_with` rather than `transform(sequence, i -> element_at(...))`:
     * higher-order functions re-evaluate expressions nested in the

@@ -57,7 +57,7 @@ object CurationQueries {
     * window-hash cut positions → end-pad/dedup → per-chunk (doc_id,
     * chunk_ord, start, len, chunk_md5). ONE definition feeds both the
     * chunk-table gate and the chunk-dedup census gate. */
-  private val cdcChunkCtesSql: String =
+  private[queries] val cdcChunkCtesSql: String =
     """c AS (SELECT doc_id, text,
       |        list_transform(string_split(text, ''), ch -> CAST(ord(ch) AS BIGINT)) AS codes,
       |        CAST(len(string_split(text, '')) AS BIGINT) AS n

@@ -368,6 +368,19 @@ object DedupQueries {
         md5(col("clean_text")).as("clean_hash"))
       .orderBy("doc_id")
 
+  /** CDC-anchored exact-substring dedup
+    * ([[graft.operators.Dedup.cdcSegmentDedup]] — the shift-invariant
+    * closure of q_dedup_segments' fixed-offset gap): same per-document
+    * census + cleaned-text hash, but over content-defined chunk
+    * boundaries, so the oracle replays the rolling-hash cut points,
+    * the md5-keyed corpus census, the keep rule, AND the empty-
+    * separator reassembly. */
+  def qDedupCdcSegments(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.cdcSegmentDedup(docs(s, dir))
+      .select(col("doc_id"), col("n_segs"), col("n_dup"), col("n_kept"),
+        md5(col("clean_text")).as("clean_hash"))
+      .orderBy("doc_id")
+
   /** Triangle census over the SimHash near-dup graph: transitivity QA
     * (triangle-dense ⇒ duplicate families, triangle-free ⇒ isolated
     * pairs). The oracle recomputes the pair graph and counts ordered
@@ -540,6 +553,21 @@ object DedupQueries {
         |  CAST(sum(CASE WHEN n = 1 OR rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
         |  md5(string_agg(CASE WHEN n = 1 OR rn = 1 THEN seg END, ' ' ORDER BY seg_idx)) AS clean_hash
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    QueryDef("q_dedup_cdc_segments", qDedupCdcSegments, Some(
+      s"""WITH ${CurationQueries.cdcChunkCtesSql},
+         |ct AS (SELECT ch.doc_id, ch.chunk_ord AS seg_idx, ch.chunk_md5,
+         |         substr(d.text, CAST(ch.start AS INT), CAST(ch.len AS INT)) AS seg
+         |       FROM chunks ch JOIN documents d USING (doc_id)),
+         |mm AS (SELECT doc_id, seg_idx, seg,
+         |         count(*) OVER (PARTITION BY chunk_md5) AS n,
+         |         row_number() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, seg_idx) AS rn
+         |       FROM ct)
+         |SELECT doc_id,
+         |  CAST(count(*) AS INT) AS n_segs,
+         |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS INT) AS n_dup,
+         |  CAST(sum(CASE WHEN n = 1 OR rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+         |  md5(string_agg(CASE WHEN n = 1 OR rn = 1 THEN seg END, '' ORDER BY seg_idx)) AS clean_hash
+         |FROM mm GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     QueryDef("q_split_leakage", qSplitLeakage, Some(
       s"""WITH t AS (SELECT doc_id, $shSql AS sh FROM documents),
          |hs AS (SELECT doc_id, sh, len(sh) AS n_sh, $hsSql AS hs FROM t WHERE len(sh) > 0),

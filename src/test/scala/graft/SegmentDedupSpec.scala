@@ -80,4 +80,72 @@ class SegmentDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("doc_id").collect().toSeq
     assert(run(1) == run(32))
   }
+
+  // ---- CDC-anchored variant ------------------------------------------
+
+  /** Deterministic pseudo-random word stream (LCG) — varied enough for
+    * the rolling hash to cut roughly every `modulus` chars. */
+  private def words(seed: Long, n: Int): String = {
+    var s = seed
+    (0 until n).map { _ =>
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val x = (s >>> 33).toInt.abs
+      s"w${x % 99991}"
+    }.mkString(" ")
+  }
+
+  test("planted offset-7 duplicate: fixed segments provably miss it, CDC chunks catch it") {
+    import spark.implicits._
+    val passage = words(42L, 120) // ~600 chars of shared passage
+    // doc 1 carries the passage after an 8-token prefix (aligned to the
+    // 8-token grid); doc 2 after a 7-token prefix — every fixed 8-token
+    // segment of doc 2's copy straddles the shift, the exact evasion
+    // class of the documented Lee et al. deviation
+    val two = Seq(
+      (1L, words(7L, 8) + " " + passage + " " + words(8L, 8)),
+      (2L, words(9L, 7) + " " + passage + " " + words(10L, 8)))
+      .toDF("doc_id", "text")
+    val fixedDup = Dedup.segmentDedup(two, segTokens = 8)
+      .agg(sum("n_dup")).head().getLong(0)
+    assert(fixedDup == 0L,
+      s"fixture broken: fixed segmentation was supposed to miss the offset-7 copy, found $fixedDup")
+    val cdc = Dedup.cdcSegmentDedup(two)
+      .orderBy("doc_id").collect()
+    assert(cdc.map(_.getInt(2)).sum >= 2,
+      s"CDC chunking must re-synchronize inside the shared passage: ${cdc.mkString(";")}")
+    // the canonical first copy keeps everything; the second copy loses
+    // its interior duplicated chunks but keeps its unique fringe
+    assert(cdc(0).getInt(3) == cdc(0).getInt(1), "doc 1 must keep all chunks")
+    assert(cdc(1).getInt(3) < cdc(1).getInt(1), "doc 2 must lose duplicated chunks")
+  }
+
+  test("CDC variant: unique corpus is the identity; clean_text reassembles exactly") {
+    import spark.implicits._
+    val unique = (0 until 5).map(i => (i.toLong, words(100L + i, 60)))
+      .toDF("doc_id", "text")
+    val out = Dedup.cdcSegmentDedup(unique).orderBy("doc_id").collect()
+    val want = unique.orderBy("doc_id").collect()
+    out.zip(want).foreach { case (o, w) =>
+      assert(o.getInt(2) == 0, "n_dup must be 0 on a unique corpus")
+      assert(o.getInt(1) == o.getInt(3), "every chunk must be kept")
+      assert(o.getString(4) == w.getString(1),
+        "empty-separator reassembly of all chunks must equal the original text")
+    }
+  }
+
+  test("CDC variant: exact full-document duplicate loses every chunk in the copy") {
+    import spark.implicits._
+    val t = words(55L, 80)
+    val two = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val got = Dedup.cdcSegmentDedup(two).orderBy("doc_id").collect()
+    assert(got(0).getString(4) == t, "canonical copy must survive whole")
+    assert(got(1).getInt(3) == 0 && got(1).getString(4) == null,
+      "the duplicate copy must lose every chunk")
+  }
+
+  test("CDC variant: result is invariant to physical partitioning") {
+    def run(parts: Int) = Dedup.cdcSegmentDedup(docs.repartition(parts))
+      .orderBy("doc_id").collect().toSeq
+    assert(run(1) == run(32))
+  }
 }
