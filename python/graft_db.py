@@ -56,6 +56,47 @@ def dhash_ppm(content, spark=None):
     return int(spark._jvm.graft.PyFacade.dhashPpm(bytearray(content)))
 
 
+def secret_scan(text, min_len=16, min_entropy=2.5, spark=None):
+    """High-entropy secret screen of one document (admission-time
+    serving call) — the serving-side twin of the engine's distributed
+    ``secretScan`` stage (identical shape prefilter + integer-exact
+    Shannon-entropy verdict, zero Spark jobs). Returns a list of
+    ``(token, entropy)`` pairs in first-occurrence order."""
+    spark = spark or SparkSession.builder.getOrCreate()
+    r = spark._jvm.graft.PyFacade.secretScan(str(text), int(min_len), float(min_entropy))
+    return list(zip(list(r.tokens()), list(r.entropies())))
+
+
+def redact_secrets(text, min_len=16, min_entropy=2.5, spark=None):
+    """Rewrite one document's flagged high-entropy fragments to
+    ``<SECRET>`` — the serving-side twin of the engine's row-local
+    ``redactSecrets`` column (identical split/verdict/rejoin)."""
+    spark = spark or SparkSession.builder.getOrCreate()
+    return spark._jvm.graft.PyFacade.redactSecrets(
+        str(text), int(min_len), float(min_entropy))
+
+
+def wordpiece_encode(text, merges, spark=None):
+    """WordPiece-encode one string under a learned merge table
+    (``[(left, right), ...]`` in learned order) with the classic
+    ``##`` continuation presentation — the serving-side twin of the
+    engine's distributed encode (identical replace chain)."""
+    spark = spark or SparkSession.builder.getOrCreate()
+    jm = [[str(a), str(b)] for (a, b) in merges]
+    return list(spark._jvm.graft.PyFacade.wordpieceEncode(str(text), jm))
+
+
+def unigram_encode(word, model, spark=None):
+    """Viterbi-segment one word under a trained unigram-LM piece model
+    (``{piece: lp_units}`` integer log-prob units) — the EXACT routine
+    the engine broadcasts to executors for corpus segmentation."""
+    spark = spark or SparkSession.builder.getOrCreate()
+    jmap = spark._jvm.java.util.HashMap()
+    for k, v in model.items():
+        jmap.put(str(k), int(v))
+    return list(spark._jvm.graft.PyFacade.unigramEncode(str(word), jmap))
+
+
 class VectorDB:
     """A vector database handle backed by the Scala engine.
 

@@ -148,6 +148,94 @@ ppm2 = b"P6\n4 4\n255\n" + bytes(v for p in pix for v in p)
 assert dhash_ppm(ppm2, spark=spark) == py_dhash(pix)
 print("dhash_ppm OK (independent python replay)")
 
+# secret screen + redaction point arms: independent python replay of
+# the shape prefilter and the integer-exact entropy quantization
+# (per-term HALF_UP 6-dp rounding to 1e-6 units, floored report)
+from graft_db import secret_scan, redact_secrets
+import math, re
+from decimal import Decimal, ROUND_HALF_UP
+def py_entropy(tok):
+    if not tok:
+        return 0.0
+    n = float(len(tok))
+    su = 0
+    for c in dict.fromkeys(tok):  # first-occurrence order
+        p = tok.count(c) / n
+        v = p * math.log(p)
+        su += int((Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+                   * 10**6).to_integral_value())
+    return math.floor(-su / 100.0) / 10000.0
+def py_shape(t, min_len=16):
+    return (len(t) >= min_len and re.fullmatch(r"[A-Za-z0-9+/=_-]+", t)
+            and re.search(r"[A-Za-z]", t) and re.search(r"[0-9]", t))
+key = "a3f8c2e917b4d605Qz01wXy2"
+text = "rotate %s now or aaaaaaaaaaaaaaaa1 stays" % key
+got = secret_scan(text, spark=spark)
+want = [(t, py_entropy(t)) for t in dict.fromkeys(text.split())
+        if py_shape(t) and py_entropy(t) >= 2.5]
+assert got == want, (got, want)
+assert secret_scan("plain words only here", spark=spark) == []
+red = redact_secrets(text, spark=spark)
+want_red = " ".join("<SECRET>" if (py_shape(f) and py_entropy(f) >= 2.5) else f
+                    for f in text.split(" "))
+assert red == want_red, (red, want_red)
+print("secret_scan / redact_secrets OK (independent python replay)")
+
+# wordpiece encode point arm: independent python replay of the
+# spaced-form + literal replace chain + ## presentation
+from graft_db import wordpiece_encode
+merges = [("l", "o"), ("lo", "w"), ("low", "</w>")]
+def py_wp(text, merges):
+    out = []
+    for tok in text.split(" "):
+        if not tok:
+            continue
+        spaced = "  " + "".join(c + "  " for c in tok) + "</w>  "
+        for a, b in merges:
+            spaced = spaced.replace(" %s  %s " % (a, b), " %s%s " % (a, b))
+        pieces = [p for p in spaced.split("  ") if p]
+        out += [pieces[0]] + ["##" + p for p in pieces[1:]]
+    return out
+for t in ["low lower lowest", "zz low", "a"]:
+    got = wordpiece_encode(t, merges, spark=spark)
+    assert got == py_wp(t, merges), (t, got, py_wp(t, merges))
+print("wordpiece_encode OK (independent python replay)")
+
+# unigram encode point arm: independent python replay of the
+# integer-unit Viterbi (longer-final-piece tie-break)
+from graft_db import unigram_encode
+model = {"a": -1203973, "b": -1203973, "ab": -1203973, "c": -2302586,
+         "abc": -2500000}
+def py_unigram(word, model, max_piece=4):
+    n = len(word)
+    NEG = None
+    best = [NEG] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0
+    for i in range(1, n + 1):
+        for p in range(1, min(max_piece, i) + 1):
+            if best[i - p] is NEG:
+                continue
+            u = model.get(word[i - p:i])
+            if u is None:
+                continue
+            sc = best[i - p] + u
+            if best[i] is NEG or sc > best[i] or (sc == best[i] and p > back[i]):
+                best[i] = sc
+                back[i] = p
+    assert best[n] is not NEG, word
+    out = []
+    pos = n
+    while pos > 0:
+        p = back[pos]
+        out.append(word[pos - p:pos])
+        pos -= p
+    return out[::-1]
+for w in ["ab", "abc", "cab", "abab", "aabb"]:
+    got = unigram_encode(w, model, spark=spark)
+    assert got == py_unigram(w, model), (w, got, py_unigram(w, model))
+print("unigram_encode OK (independent python replay)")
+
 # warm point-query latency through the py4j bridge (informational):
 # the Scala-side walk is ~0.2 ms; the rest is gateway round-trip
 import time

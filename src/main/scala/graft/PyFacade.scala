@@ -143,6 +143,53 @@ object PyFacade {
   def dhashPpm(content: Array[Byte]): Long =
     graft.multimodal.Multimodal.dHashPpm(content)
 
+  /** Secret-screen result holder: parallel (tokens, entropies) in
+    * first-occurrence order. */
+  final class SecretResult(val tokens: Array[String],
+      val entropies: Array[Double])
+
+  /** High-entropy secret screen, point arm
+    * ([[graft.operators.Curation.secretScanLocal]] — identical shape
+    * prefilter + integer-exact entropy verdict as the distributed
+    * scan, zero Spark jobs): screen one document at admission time. */
+  def secretScan(text: String, minLen: Int, minEntropy: Double): SecretResult = {
+    val hits = graft.operators.Curation.secretScanLocal(text, minLen, minEntropy)
+    new SecretResult(hits.map(_._1).toArray, hits.map(_._2).toArray)
+  }
+
+  /** Secret redaction, point arm
+    * ([[graft.operators.Curation.redactSecretsLocal]]): rewrite one
+    * document's flagged fragments to `<SECRET>` before it ships. */
+  def redactSecrets(text: String, minLen: Int, minEntropy: Double): String =
+    graft.operators.Curation.redactSecretsLocal(text, minLen, minEntropy)
+
+  /** WordPiece encode, point arm
+    * ([[graft.operators.WordPiece.encodeLocal]] — the same spaced-form
+    * + replace-chain + `##` presentation as the distributed encode):
+    * `merges` is the learned table as [left, right] pairs in order. */
+  def wordpieceEncode(text: String,
+      merges: java.util.List[java.util.List[String]]): java.util.List[String] = {
+    import scala.jdk.CollectionConverters._
+    val m = merges.asScala.toSeq.map { p =>
+      require(p.size() == 2, s"each merge must be a [left, right] pair, got $p")
+      (p.get(0), p.get(1))
+    }
+    graft.operators.WordPiece.encodeLocal(text, m).asJava
+  }
+
+  /** Unigram-LM encode, point arm
+    * ([[graft.operators.UnigramLm.encodeLocal]] — the EXACT Viterbi
+    * routine the distributed segmentCensus broadcasts): `model` maps
+    * piece → integer lp_units. */
+  def unigramEncode(word: String,
+      model: java.util.Map[String, java.lang.Number]): java.util.List[String] = {
+    import scala.jdk.CollectionConverters._
+    // py4j boxes small Python ints as Integer and large ones as Long —
+    // accept any Number rather than forcing the caller to care
+    val m = model.asScala.map { case (k, v) => k -> v.longValue() }
+    graft.operators.UnigramLm.encodeLocal(word, m).asJava
+  }
+
   private def toFloats(query: java.util.List[java.lang.Double]): Seq[Float] = {
     val out = new Array[Float](query.size())
     var i = 0

@@ -797,6 +797,60 @@ object Curation {
     array_join(transform(split(text, " "), frag), " ")
   }
 
+  /** Integer-exact Shannon entropy of ONE string — the LOCAL arm of
+    * [[graft.functions.TextFunctions.charEntropy]] for point serving
+    * (admission screening is a serving call): identical quantization
+    * pipeline — per-distinct-char `p·ln p` rounded HALF_UP to 6 dp
+    * (the DECIMAL(18,6) cast), summed as exact 1e-6-unit longs, ONE
+    * floored report — so a verdict computed client-side agrees with
+    * the scan column bit-for-bit (pinned in CurationSpec). */
+  def charEntropyLocal(s: String): Double = {
+    if (s.isEmpty) return 0.0
+    val cps = s.codePoints().toArray
+    val n = cps.length.toDouble
+    val counts = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+    cps.foreach(c => counts.update(c, counts.getOrElse(c, 0) + 1))
+    var su = 0L
+    counts.valuesIterator.foreach { c =>
+      val p = c / n
+      su += java.math.BigDecimal.valueOf(p * math.log(p))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .movePointRight(6).longValueExact()
+    }
+    math.floor(-su / 100.0) / 10000.0
+  }
+
+  /** The [[secretScan]] shape screen on one token — shared by the
+    * local scan and redact arms so the three surfaces cannot drift. */
+  private def secretShapeLocal(t: String, minLen: Int): Boolean =
+    t.length >= minLen &&
+      t.matches("^[A-Za-z0-9+/=_-]+$") &&
+      t.exists(_.isLetter) && t.exists(_.isDigit)
+
+  /** [[secretScan]], LOCAL point arm: flagged `(token, entropy)` pairs
+    * of one text, deduped in first-occurrence order — the same
+    * whitespace tokenization, shape screen, and integer-exact entropy
+    * verdict as the distributed scan (CurationSpec pins the identity
+    * over the fixture corpus). */
+  def secretScanLocal(text: String, minLen: Int = 16,
+      minEntropy: Double = 2.5): Seq[(String, Double)] = {
+    require(minLen >= 8, s"minLen < 8 would flag natural words, got $minLen")
+    text.split("\\s+", -1).toSeq.distinct
+      .filter(secretShapeLocal(_, minLen))
+      .map(t => (t, charEntropyLocal(t)))
+      .filter(_._2 >= minEntropy)
+  }
+
+  /** [[redactSecrets]], LOCAL point arm: identical single-space split,
+    * per-fragment verdict, and rejoin. */
+  def redactSecretsLocal(text: String, minLen: Int = 16,
+      minEntropy: Double = 2.5): String =
+    text.split(" ", -1).iterator.map { frag =>
+      if (secretShapeLocal(frag, minLen) && charEntropyLocal(frag) >= minEntropy)
+        "<SECRET>"
+      else frag
+    }.mkString(" ")
+
   /** Temperature-scaled mixture reweighting census — the data-mixing
     * plan every multi-source pretraining run starts from (the
     * exponential-smoothing lineage: multilingual BERT's α = 0.7,

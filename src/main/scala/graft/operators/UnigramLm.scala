@@ -95,6 +95,16 @@ object UnigramLm {
     * a gap fails loudly as a contract violation. Interior positions
     * may legitimately be unreachable under a re-estimated model (a
     * dropped single char inside a surviving multi-char piece). */
+  /** [[segment]] as the public LOCAL point arm (single-word
+    * tokenization is a serving call): Viterbi-segment one word under a
+    * trained `(piece → lp_units)` model — the EXACT routine
+    * [[segmentCensus]] broadcasts to executors, so the local and
+    * distributed answers are identical by construction. */
+  def encodeLocal(word: String, model: collection.Map[String, Long]): Seq[String] = {
+    require(word.nonEmpty, "encodeLocal requires a non-empty word")
+    segment(word, model).toSeq
+  }
+
   private[graft] def segment(word: String, lp: collection.Map[String, Long]): Array[String] = {
     val n = word.length
     val best = Array.fill(n + 1)(Long.MinValue)

@@ -113,4 +113,20 @@ object WordPiece {
       .select(toks(applyMerges(Bpe.spacedForm(col("tok")), merges)).as("pieces"))
       .select(explode(transform(col("pieces"),
         (p, i) => when(i === 0, p).otherwise(concat(lit("##"), p)))).as("subtok"))
+
+  /** [[encode]], LOCAL point arm (single-string tokenization is a
+    * serving call): the same spaced-form regex, literal replace chain,
+    * and `##` continuation presentation as the distributed column
+    * expressions — the merge table is `(left, right)` pairs in learned
+    * order. Agrees with [[encode]] token-for-token (WordPieceSpec pins
+    * the identity over the fixture corpus). */
+  def encodeLocal(text: String, merges: Seq[(String, String)]): Seq[String] =
+    text.split(" ", -1).iterator.filter(_.nonEmpty).flatMap { tok =>
+      val spaced = "  " + tok.replaceAll("(.)", "$1  ") + "</w>  "
+      val merged = merges.foldLeft(spaced) { case (w, (a, b)) =>
+        w.replace(s" $a  $b ", s" $a$b ")
+      }
+      merged.split("  ", -1).iterator.filter(_.nonEmpty).zipWithIndex
+        .map { case (p, i) => if (i == 0) p else s"##$p" }
+    }.toSeq
 }

@@ -619,6 +619,35 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { Curation.secretScan(df, minLen = 4) }
   }
 
+  test("local point arms agree with the distributed scan/redact over the whole fixture") {
+    // the PyFacade serving arms must be bit-identical to the engine's
+    // column expressions — including the integer-exact entropy
+    // quantization (per-term HALF_UP 6-dp rounding, floored report)
+    val rows = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val dist = Curation.secretScan(docs.filter(col("text").isNotNull))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val local = rows.flatMap { case (id, t) =>
+      Curation.secretScanLocal(t).map { case (tok, e) => (id, tok, e) }
+    }.toSet
+    assert(dist == local,
+      s"scan arms disagree: only-dist ${dist -- local}, only-local ${local -- dist}")
+    val distRed = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), Curation.redactSecrets(col("text")).as("red"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, t) =>
+      assert(Curation.redactSecretsLocal(t) == distRed(id), s"doc $id")
+    }
+    // the entropy kernel itself, on a value-bearing token set
+    Seq("a3f8c2e917b4d605", "AKIA1234567890EXAMPLE", "aaaa1111aaaa1111",
+      "x9", "").foreach { t =>
+      val viaCol = spark.range(1)
+        .select(graft.functions.TextFunctions.charEntropy(lit(t))).head().getDouble(0)
+      assert(Curation.charEntropyLocal(t) == viaCol, s"token '$t'")
+    }
+  }
+
   // ---- temperature-scaled mixture weights ---------------------------
 
   private def mix(sizes: Seq[(String, Long)], q: Int): Map[String, (Long, Long, Long, Long)] = {

@@ -66,6 +66,20 @@ class UnigramLmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map("ab" -> 3L, "c" -> 1L), s"hand value: $got")
   }
 
+  test("encodeLocal serves exactly what segmentCensus broadcasts") {
+    import spark.implicits._
+    val df = Seq("ab ab ab c abc cab").toDF("text")
+    val census = UnigramLm.wordCensus(df, col("text"))
+    val model = UnigramLm.lpUnits(UnigramLm.seedVocab(census, 200))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    val dist = UnigramLm.segmentCensus(census, model)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    dist.foreach { case (w, pieces) =>
+      assert(UnigramLm.encodeLocal(w, model) == pieces, s"word '$w'")
+    }
+    intercept[IllegalArgumentException] { UnigramLm.encodeLocal("", model) }
+  }
+
   test("train: words past MaxWordLen are excluded by the documented cap") {
     import spark.implicits._
     val long = "z" * (UnigramLm.MaxWordLen + 1)

@@ -117,6 +117,19 @@ class WordPieceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"reassembly broke: $toks")
   }
 
+  test("encodeLocal agrees with the distributed encode token-for-token") {
+    import spark.implicits._
+    val merges = WordPiece.learnMerges(
+      Bpe.vocabCensus(Seq("low low low lower newest newest wide west").toDF("text"),
+        col("text")), 8)
+    val pairs = merges.map(m => (m.left, m.right))
+    for (t <- Seq("lowest newest west zz", "low wider", "a", "")) {
+      val dist = WordPiece.encode(Seq(t).toDF("text"), col("text"), merges)
+        .collect().map(_.getString(0)).toSeq
+      assert(WordPiece.encodeLocal(t, pairs) == dist, s"text '$t'")
+    }
+  }
+
   test("coverage-style fertility: merged words cost fewer sub-tokens") {
     import spark.implicits._
     val merges = WordPiece.learnMerges(
