@@ -558,6 +558,52 @@ object Profile {
                 AS BIGINT)""").as("psi_micro"))
   }
 
+  /** One-vs-rest [[psi]] for EVERY group in one query — the
+    * [[ksByGroup]] sibling on the mass side: per group g,
+    * PSI(value | group = g vs group ≠ g). The one-vs-rest domain is
+    * the CORPUS value domain for every group (a bin empty on one side
+    * is add-one smoothed — exactly [[psi]]'s convention), so `n_bins`
+    * is shared and the dense group×value grid is bounded by the
+    * quantized domain times the census-sized group count. Identical
+    * per-bin integer-numerator arithmetic to [[psi]]: row g ≡
+    * `psi(df, value, group === g, group =!= g)` (spec-pinned).
+    * Returns `(group, n_g, n_rest, n_bins, psi_micro)`. */
+  def psiByGroup(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val v = value.cast("double")
+    val g = group.cast("string")
+    val r = df.filter(v.isNotNull && g.isNotNull)
+      .groupBy(g.as("__g"), v.as("__v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // grid + totals + domain all read it
+    val perValue = r.groupBy(col("__v")).agg(sum(col("c")).as("ct"))
+    val grps = r.select(col("__g")).distinct()
+    val totals = r.groupBy(col("__g")).agg(sum(col("c")).as("n_g"))
+    val nAll = r.agg(coalesce(sum(col("c")), lit(0L)).as("n_all"),
+      countDistinct(col("__v")).as("n_bins"))
+    perValue.crossJoin(broadcast(grps))
+      .join(r, Seq("__g", "__v"), "left")
+      .select(col("__g"), col("ct"), coalesce(col("c"), lit(0L)).as("ca"))
+      .join(broadcast(totals), "__g")
+      .crossJoin(nAll) // 1-row frame
+      .select(col("__g"), col("n_g"), col("n_all"), col("n_bins"),
+        // the [[psi]] terms with n_a = n_g, n_b = n_all − n_g,
+        // cb = ct − ca: dn and lnr share a sign, so the summed
+        // products are ≥ 0 and DIV-truncation is floor
+        ((col("ca") + 1L) * (col("n_all") - col("n_g") + col("n_bins")) -
+          (col("ct") - col("ca") + 1L) * (col("n_g") + col("n_bins"))).as("dn"),
+        log(((col("ca") + 1L) * (col("n_all") - col("n_g") + col("n_bins"))).cast("double") /
+          ((col("ct") - col("ca") + 1L) * (col("n_g") + col("n_bins"))).cast("double"))
+          .cast("decimal(18,6)").as("lnr"))
+      .groupBy(col("__g").as("group"), col("n_g"), col("n_all"), col("n_bins"))
+      .agg(sum((col("dn").cast("decimal(38,0)") *
+        (col("lnr") * lit(1000000)).cast("decimal(38,0)")).cast("decimal(38,0)"))
+        .as("s"))
+      .select(col("group"), col("n_g"), (col("n_all") - col("n_g")).as("n_rest"),
+        col("n_bins").cast("long").as("n_bins"),
+        expr("""CAST(s DIV (CAST(n_g + n_bins AS DECIMAL(38,0))
+                * (n_all - n_g + n_bins)) AS BIGINT)""").as("psi_micro"))
+  }
+
   def ksTwoSample(df: DataFrame, value: Column, isA: Column, isB: Column): DataFrame = {
     val v = value.cast("double")
     val r = df.filter(v.isNotNull && (isA || isB))

@@ -292,6 +292,71 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** ONE-PASS drift dashboard — the composed per-source drift census a
+    * snapshot review actually runs (VERDICT r14 item #6): token-KL,
+    * OOV rate, Zipf slope, length-KS, and length-PSI in ONE result,
+    * where the standalone gates each rescan the corpus independently.
+    * The corpus-dominant cost — the token-stream explode — runs ONCE:
+    * the `(source, term)` census is checkpointed and KL, the top-5000
+    * OOV vocabulary, and the Zipf rank-frequency fit all derive from
+    * it (the OOV count is census-WEIGHTED — Σ sf over out-of-vocab
+    * terms — identical to the per-token left join by construction).
+    * The two length metrics share [[graft.operators.Profile]]'s
+    * (source, n_chars) census machinery — narrow 2-column scans, not
+    * token streams. Every sub-metric is pinned ≡ its standalone gate's
+    * value in DriftPanelSpec; each piece keeps its own exact-decimal
+    * convention, so the panel row IS the standalone row, cheaper. */
+  def driftPanel(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = d
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("sf"))
+      .localCheckpoint() // the ONE corpus-scale token census; 4 consumers
+    val cf = tf.groupBy("term").agg(sum("sf").as("cf"))
+      .localCheckpoint() // KL terms + the OOV vocabulary both read it
+    val stot = tf.groupBy("source").agg(sum("sf").as("stot"))
+    val tot = cf.agg(sum("cf").cast("double").as("tot"))
+    val kl = tf.join(cf, "term")
+      .join(stot, "source")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("stot"),
+        ((col("sf").cast("double") / col("stot")) *
+          log((col("sf").cast("double") / col("stot")) /
+            (col("cf").cast("double") / col("tot"))))
+          .cast("decimal(18,6)").as("c"))
+      .groupBy("source")
+      .agg(max("stot").as("n_tokens"), sum("c").cast("double").as("kl"))
+      .select(col("source"), col("n_tokens"),
+        (floor(col("kl") * 10000.0) / 10000.0).as("kl"))
+    val vocab = cf.orderBy(col("cf").desc, col("term")).limit(5000)
+      .select(col("term"), lit(true).as("__in"))
+    val oov = tf.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("source")
+      .agg(sum("sf").as("__nt"),
+        sum(when(col("__in").isNull, col("sf")).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("__nt").cast("double"), 6)
+          .as("oov_rate"))
+    val w = Window.partitionBy("source").orderBy(col("sf").desc, col("term"))
+    val xy = tf.withColumn("rank", row_number().over(w))
+      .select(col("source"),
+        log(col("rank").cast("double")).cast("decimal(18,6)").cast("double").as("x"),
+        log(col("sf").cast("double")).cast("decimal(18,6)").cast("double").as("y"))
+    val zipf = graft.operators.Profile.linearFit(xy, col("source"), col("x"), col("y"))
+      .select(col("grp").as("source"), col("slope").as("zipf_slope"))
+    val ks = graft.operators.Profile.ksByGroup(d, col("source"), col("n_chars"))
+      .select(col("group").as("source"), col("n_g").as("n_docs"),
+        col("d_micro").as("ks_micro"), col("at_value").as("ks_at_chars"))
+    val psi = graft.operators.Profile.psiByGroup(d, col("source"), col("n_chars"))
+      .select(col("group").as("source"), col("psi_micro"))
+    kl.join(oov, "source").join(zipf, "source")
+      .join(ks, "source").join(psi, "source")
+      .orderBy("source")
+  }
+
+  def qDriftPanel(s: SparkSession, dir: String): DataFrame =
+    driftPanel(docs(s, dir))
+
   /** Context-aware LM quality score — the bigram upgrade of
     * [[qUnigramLogprob]] and the shape of the CCNet perplexity filter:
     * train the add-one-smoothed corpus bigram model
@@ -1636,6 +1701,81 @@ object TextQueries {
          |SELECT source, max(stot) AS n_tokens,
          |       floor(CAST(sum(c) AS DOUBLE) * 10000.0) / 10000.0 AS kl
          |FROM sc GROUP BY source ORDER BY source""".stripMargin)),
+    QueryDef("q_drift_panel", qDriftPanel, Some(
+      s"""WITH u AS (SELECT source, unnest($toksSql) AS term FROM documents),
+         |tf AS MATERIALIZED (SELECT source, term, count(*) AS sf FROM u GROUP BY 1, 2),
+         |cf AS MATERIALIZED (SELECT term, CAST(sum(sf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+         |st AS (SELECT source, CAST(sum(sf) AS BIGINT) AS stot FROM tf GROUP BY 1),
+         |tt AS (SELECT CAST(sum(cf) AS DOUBLE) AS tot FROM cf),
+         |klsc AS (SELECT tf.source, st.stot,
+         |           CAST((CAST(tf.sf AS DOUBLE) / st.stot) *
+         |                ln((CAST(tf.sf AS DOUBLE) / st.stot) /
+         |                   (CAST(cf.cf AS DOUBLE) / tt.tot)) AS DECIMAL(18,6)) AS c
+         |         FROM tf JOIN cf USING (term) JOIN st USING (source), tt),
+         |kl AS (SELECT source, max(stot) AS n_tokens,
+         |         floor(CAST(sum(c) AS DOUBLE) * 10000.0) / 10000.0 AS kl
+         |       FROM klsc GROUP BY 1),
+         |v AS (SELECT term FROM (
+         |        SELECT term, row_number() OVER (ORDER BY cf DESC, term) AS rn FROM cf)
+         |      WHERE rn <= 5000),
+         |oov AS (SELECT tf.source, CAST(sum(tf.sf) AS BIGINT) AS nt,
+         |          CAST(sum(CASE WHEN v.term IS NULL THEN tf.sf ELSE 0 END) AS BIGINT) AS n_oov
+         |        FROM tf LEFT JOIN v USING (term) GROUP BY 1),
+         |rk AS (SELECT source, sf,
+         |         row_number() OVER (PARTITION BY source ORDER BY sf DESC, term) AS rank
+         |       FROM tf),
+         |xy AS (SELECT source,
+         |         CAST(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS x,
+         |         CAST(CAST(ln(CAST(sf AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS y
+         |       FROM rk),
+         |za AS (SELECT source, count(*) AS n,
+         |         CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+         |         CAST(sum(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+         |         CAST(sum(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+         |         CAST(sum(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx
+         |       FROM xy GROUP BY 1),
+         |zipf AS (SELECT source,
+         |           CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+         |                THEN round((CAST(n AS DOUBLE) * sxy - sx * sy)
+         |                           / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) END AS zipf_slope
+         |         FROM za),
+         |r AS MATERIALIZED (SELECT source AS g, CAST(n_chars AS DOUBLE) AS v,
+         |       CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+         |tot2 AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g FROM r GROUP BY 1),
+         |na AS (SELECT CAST(sum(c) AS BIGINT) AS n_all,
+         |         CAST(count(DISTINCT v) AS BIGINT) AS n_bins FROM r),
+         |pv AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM r GROUP BY 1),
+         |pt AS (SELECT v, ct, CAST(sum(ct) OVER (ORDER BY v) AS BIGINT) AS cum_t FROM pv),
+         |grid AS (SELECT gg.g, pv.v, pv.ct FROM (SELECT DISTINCT g FROM r) gg, pv),
+         |cg AS MATERIALIZED (SELECT grid.g, grid.v, grid.ct, coalesce(r.c, 0) AS ca,
+         |         CAST(sum(coalesce(r.c, 0)) OVER (PARTITION BY grid.g ORDER BY grid.v) AS BIGINT) AS cum_g
+         |       FROM grid LEFT JOIN r ON r.g = grid.g AND r.v = grid.v),
+         |gaps AS (SELECT cg.g, cg.v, tot2.n_g, na.n_all - tot2.n_g AS n_rest,
+         |           abs(cum_g * (na.n_all - tot2.n_g) - (pt.cum_t - cum_g) * tot2.n_g) AS gap
+         |         FROM cg JOIN pt USING (v) JOIN tot2 ON tot2.g = cg.g, na),
+         |mx AS (SELECT g, max(gap) AS d_num FROM gaps GROUP BY 1),
+         |ks AS (SELECT gaps.g AS source, gaps.n_g AS n_docs,
+         |         (mx.d_num * 1000000) // (gaps.n_g * gaps.n_rest) AS ks_micro,
+         |         min(gaps.v) AS ks_at_chars
+         |       FROM gaps JOIN mx ON mx.g = gaps.g AND gaps.gap = mx.d_num
+         |       GROUP BY 1, 2, mx.d_num, gaps.n_rest),
+         |pterm AS (SELECT cg.g, tot2.n_g, na.n_all, na.n_bins,
+         |            (ca + 1) * (na.n_all - tot2.n_g + na.n_bins)
+         |              - (ct - ca + 1) * (tot2.n_g + na.n_bins) AS dn,
+         |            CAST(CAST(ln(CAST((ca + 1) * (na.n_all - tot2.n_g + na.n_bins) AS DOUBLE)
+         |                         / ((ct - ca + 1) * (tot2.n_g + na.n_bins))) AS DECIMAL(18,6))
+         |                 * 1000000 AS BIGINT) AS lnr
+         |          FROM cg JOIN tot2 ON tot2.g = cg.g, na),
+         |psi AS (SELECT g AS source,
+         |          CAST(sum(CAST(dn AS HUGEINT) * lnr)
+         |               // (CAST(n_g + n_bins AS HUGEINT) * (n_all - n_g + n_bins)) AS BIGINT) AS psi_micro
+         |        FROM pterm GROUP BY 1, n_g, n_all, n_bins)
+         |SELECT kl.source, kl.n_tokens, kl.kl, oov.n_oov,
+         |  round(CAST(oov.n_oov AS DOUBLE) / oov.nt, 6) AS oov_rate,
+         |  zipf.zipf_slope, ks.n_docs, ks.ks_micro, ks.ks_at_chars, psi.psi_micro
+         |FROM kl JOIN oov USING (source) JOIN zipf USING (source)
+         |     JOIN ks USING (source) JOIN psi USING (source)
+         |ORDER BY source""".stripMargin)),
     QueryDef("q_bigram_logprob", qBigramLogprob, Some(
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |p AS (SELECT doc_id,
