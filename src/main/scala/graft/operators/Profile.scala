@@ -418,13 +418,26 @@ object Profile {
     * crossJoin so no corpus row is touched twice. The cumulative
     * window partitions BY GROUP (parallel, domain-sized partitions),
     * unlike the single-pair arm's one-partition pass. */
-  def ksByGroup(df: DataFrame, group: Column, value: Column): DataFrame = {
+  def ksByGroup(df: DataFrame, group: Column, value: Column): DataFrame =
+    ksByGroupCensus(groupValueCensus(df, group, value))
+
+  /** The `(group, value) → count` census [[ksByGroup]] and
+    * [[psiByGroup]] both run on — build it ONCE and feed both when a
+    * dashboard reads the two statistics over the same column (the
+    * drift-panel shape): the corpus scan and the census shuffle are
+    * the only corpus-sized work either statistic does. Checkpointed:
+    * each consumer reads it several times. */
+  def groupValueCensus(df: DataFrame, group: Column, value: Column): DataFrame = {
     val v = value.cast("double")
     val g = group.cast("string")
-    val r = df.filter(v.isNotNull && g.isNotNull)
+    df.filter(v.isNotNull && g.isNotNull)
       .groupBy(g.as("__g"), v.as("__v"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint() // grid + totals + domain all read it
+  }
+
+  /** [[ksByGroup]] over a pre-built [[groupValueCensus]]. */
+  def ksByGroupCensus(r: DataFrame): DataFrame = {
     val vals = r.select(col("__v")).distinct()
     val grps = r.select(col("__g")).distinct()
     val totals = r.groupBy(col("__g")).agg(sum(col("c")).as("n_g"))
@@ -568,13 +581,11 @@ object Profile {
     * per-bin integer-numerator arithmetic to [[psi]]: row g ≡
     * `psi(df, value, group === g, group =!= g)` (spec-pinned).
     * Returns `(group, n_g, n_rest, n_bins, psi_micro)`. */
-  def psiByGroup(df: DataFrame, group: Column, value: Column): DataFrame = {
-    val v = value.cast("double")
-    val g = group.cast("string")
-    val r = df.filter(v.isNotNull && g.isNotNull)
-      .groupBy(g.as("__g"), v.as("__v"))
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint() // grid + totals + domain all read it
+  def psiByGroup(df: DataFrame, group: Column, value: Column): DataFrame =
+    psiByGroupCensus(groupValueCensus(df, group, value))
+
+  /** [[psiByGroup]] over a pre-built [[groupValueCensus]]. */
+  def psiByGroupCensus(r: DataFrame): DataFrame = {
     val perValue = r.groupBy(col("__v")).agg(sum(col("c")).as("ct"))
     val grps = r.select(col("__g")).distinct()
     val totals = r.groupBy(col("__g")).agg(sum(col("c")).as("n_g"))

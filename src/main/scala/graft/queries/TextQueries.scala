@@ -344,10 +344,13 @@ object TextQueries {
         log(col("sf").cast("double")).cast("decimal(18,6)").cast("double").as("y"))
     val zipf = graft.operators.Profile.linearFit(xy, col("source"), col("x"), col("y"))
       .select(col("grp").as("source"), col("slope").as("zipf_slope"))
-    val ks = graft.operators.Profile.ksByGroup(d, col("source"), col("n_chars"))
+    // ONE (source, n_chars) census feeds BOTH length statistics
+    val lenCensus = graft.operators.Profile
+      .groupValueCensus(d, col("source"), col("n_chars"))
+    val ks = graft.operators.Profile.ksByGroupCensus(lenCensus)
       .select(col("group").as("source"), col("n_g").as("n_docs"),
         col("d_micro").as("ks_micro"), col("at_value").as("ks_at_chars"))
-    val psi = graft.operators.Profile.psiByGroup(d, col("source"), col("n_chars"))
+    val psi = graft.operators.Profile.psiByGroupCensus(lenCensus)
       .select(col("group").as("source"), col("psi_micro"))
     kl.join(oov, "source").join(zipf, "source")
       .join(ks, "source").join(psi, "source")
