@@ -762,6 +762,62 @@ final class VectorDB private (
     db
   }
 
+  /** Merge another INDEPENDENTLY BUILT handle into one serving handle
+    * — the serving-level arm of [[graft.index.HnswIndex.merge]] (the
+    * 100 TB parallel-build path: shard the corpus, build/[[save]] each
+    * shard's handle in its own job, [[VectorDB.load]] and merge). No
+    * cell graph rebuilds; the right side's cell ids shift past the
+    * left's; duplicate vector ids across shards fail loudly inside
+    * the index merge. The router (when either side trained one)
+    * RE-DERIVES from the merged layout — the [[compact]]/[[rebalance]]
+    * precedent. HNSW raw/cosine serving only, both sides the SAME
+    * metric: compressed modes train CORPUS-GLOBAL codebooks/bounds and
+    * the dot (MIPS) augmentation bakes a corpus-global max-norm into
+    * every stored vector — shard-local versions of either cannot be
+    * reconciled without a rebuild, so those merges are rejected
+    * loudly rather than served subtly wrong. */
+  def mergeWith(other: VectorDB): VectorDB = {
+    require(dims == other.dims,
+      s"dimension mismatch: $dims vs ${other.dims}")
+    require(idCol == other.idCol && vecCol == other.vecCol,
+      s"column-name mismatch: ($idCol, $vecCol) vs (${other.idCol}, ${other.vecCol})")
+    require(params == other.params,
+      s"HNSW parameter mismatch: $params vs ${other.params}")
+    // compressed state rejects BEFORE the index requirement: a PQ/SQ/BQ
+    // handle has no HNSW index at all, and "build an index first" would
+    // misdirect a user whose real blocker is the corpus-global codebook
+    require(pqState.isEmpty && sqState.isEmpty && bqState.isEmpty &&
+      other.pqState.isEmpty && other.sqState.isEmpty && other.bqState.isEmpty,
+      "compressed handles merge by REBUILD — PQ/SQ/BQ/OPQ codebooks and " +
+        "bounds are corpus-global, two shard-local trainings cannot reconcile")
+    val a = index.getOrElse(throw new IllegalStateException(
+      "mergeWith requires a built HNSW index on BOTH handles"))
+    val b = other.index.getOrElse(throw new IllegalStateException(
+      "mergeWith requires a built HNSW index on BOTH handles"))
+    require(indexMetric == other.indexMetric && intendedMetric == other.intendedMetric,
+      s"metric mismatch: $indexMetric/$intendedMetric vs " +
+        s"${other.indexMetric}/${other.intendedMetric}")
+    require(indexMetric != Knn.Dot,
+      "dot (MIPS) handles merge by REBUILD — the augmentation max-norm " +
+        "is corpus-global and each shard baked its own into the stored vectors")
+    require(servedPayloadCols == other.servedPayloadCols,
+      s"payload-column mismatch: $servedPayloadCols vs ${other.servedPayloadCols}")
+    require(vectors.columns.sorted.sameElements(other.vectors.columns.sorted),
+      s"corpus schema mismatch: ${vectors.columns.sorted.mkString(",")} vs " +
+        s"${other.vectors.columns.sorted.mkString(",")}")
+    val merged = HnswIndex.merge(a, b)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    merged.count() // materialize (runs the duplicate-id check eagerly)
+    val db = tuned(new VectorDB(
+      vectors.unionByName(other.vectors), dims, params, idCol, vecCol))
+    db.index = Some(merged)
+    db.indexMetric = indexMetric
+    db.ivfModel = ivfModel.orElse(other.ivfModel).map(_ =>
+      IvfIndex.fromPartitionMeans(
+        merged.toDF().select(col("part"), col("vec")), "part", "vec"))
+    db
+  }
+
   /** Codes-table defrag — [[compact]]'s contract on the compressed
     * modes: cells below `minCellSize` DISSOLVE and their rows re-route
     * to the nearest SURVIVING centroid; the router restricts to the

@@ -895,6 +895,43 @@ object IndexQueries {
       rb
     }
 
+  /** Shard-merged SERVING handle ([[graft.VectorDB.mergeWith]] — the
+    * handle-level arm of [[HnswIndex.merge]]): each id-parity half of
+    * the corpus becomes its own handle with its OWN trained 4-cell
+    * router (cell ids 0-3 in both shards — the collision the merge
+    * re-keys), then the two merge into one handle whose router
+    * re-derives from the merged layout. Exhaustive probing makes
+    * serving ≡ global brute force, gating that the handle arm (index
+    * merge + corpus union + router re-derivation) lost nothing. */
+  private val vdbMergedMemo = new SessionMemo[graft.VectorDB]
+  private def vdbMergedHandle(s: SparkSession, dir: String) =
+    vdbMergedMemo.get(s, dir) {
+      val e = emb(s, dir)
+      def shard(parity: Int) = {
+        val db = graft.VectorDB.fromDataFrame(
+          e.filter(col("vec_id") % 2 === parity), dims = 64, P)
+        db.buildIndexIvf(numCells = 4, iters = 1)
+        db
+      }
+      val m = shard(0).mergeWith(shard(1))
+      val st = m.stats.head()
+      m.nprobe = st.getAs[Long]("n_cells").toInt
+      m.efSearch =
+        math.max(4096L, st.getAs[Long]("max_cell") + 1L).min(Int.MaxValue).toInt
+      m
+    }
+
+  /** Gate on the public merge arm — fresh query ids (118-121). */
+  def qVectordbMerged(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") >= 118 && col("vec_id") < 122)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    vdbMergedHandle(s, dir).searchBatch(queries, k = 5)
+      .select(col("qid"), col("rank").cast("int").as("rnk"), col("vec_id"),
+        round(col("dist"), 3).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Gate on the public rebalance arm — fresh query ids (103-106). */
   def qVectordbRebalanced(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -2592,6 +2629,8 @@ object IndexQueries {
       Some(bruteOracleSql("vec_id >= 99 AND vec_id < 103"))),
     QueryDef("q_ann_merged", qAnnMerged,
       Some(bruteOracleSql("vec_id >= 114 AND vec_id < 118"))),
+    QueryDef("q_vectordb_merged", qVectordbMerged,
+      Some(bruteOracleSql("vec_id >= 118 AND vec_id < 122"))),
     QueryDef("q_vectordb_rebalanced", qVectordbRebalanced,
       Some(bruteOracleSql("vec_id >= 103 AND vec_id < 107"))),
     QueryDef("q_ann_trained", qAnnTrained,

@@ -577,6 +577,44 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top(HnswIndex.merge(none, b), 4096) == top(b, 4096))
   }
 
+  test("handle merge: two shard handles serve the union corpus; unsound merges fail loudly") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def shard(parity: Int) = {
+      val db = VectorDB.fromDataFrame(
+        e.filter(col("vec_id") % 2 === parity), dims = 64, P)
+      db.buildIndexIvf(numCells = 4, iters = 1)
+      db
+    }
+    val merged = shard(0).mergeWith(shard(1))
+    assert(merged.len == 500L, "corpus union lost rows")
+    val st = merged.stats.head()
+    merged.nprobe = st.getAs[Long]("n_cells").toInt
+    merged.efSearch = math.max(4096L, st.getAs[Long]("max_cell") + 1L).toInt
+    // exhaustive probing over the merged handle == one handle over the
+    // whole corpus (both exhaustive => both are brute force)
+    val whole = VectorDB.fromDataFrame(e, dims = 64, P)
+    val q = e.filter(col("vec_id") === 7).head().getSeq[Float](1)
+    val got = merged.search(q, 5).collect()
+      .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1000))).toSeq
+    val want = whole.search(q, 5).collect()
+      .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1000))).toSeq
+    assert(got == want, s"merged handle drifted: $got vs $want")
+
+    // rejections: dims, compressed state, dot metric — each loud
+    val half = shard(0)
+    val eDim = intercept[IllegalArgumentException] {
+      half.mergeWith(VectorDB.fromDataFrame(e, dims = 32, P))
+    }
+    assert(messages(eDim).exists(_.contains("dimension")), s"$eDim")
+    val pq = shard(1)
+    pq.buildIndexPq(numCells = 4, routerIters = 1, numSub = 8,
+      codebookK = 16, pqIters = 0)
+    val ePq = intercept[IllegalArgumentException] { half.mergeWith(pq) }
+    assert(messages(ePq).exists(_.contains("REBUILD")), s"$ePq")
+    val dup = intercept[Exception] { shard(0).mergeWith(shard(0)) }
+    assert(messages(dup).exists(_.contains("unique vector ids")), s"$dup")
+  }
+
   test("searchLocal serves the distributed routed results driver-side, with zero jobs when warm") {
     val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
     db.buildIndexIvf(numCells = 16, iters = 1)

@@ -79,7 +79,7 @@ EMB_QUERIES = {
     # round 14: k-center coreset pools from embeddings
     "q_kcenter", "q_embed_drift",
     # round 15: shard-merged index serves from embeddings
-    "q_ann_merged",
+    "q_ann_merged", "q_vectordb_merged",
 }
 
 
