@@ -441,6 +441,44 @@ object HnswIndex {
     merged
   }
 
+  /** N-way [[merge]] — the form the 100 TB build actually runs
+    * (hundreds of per-shard indexes, not two): every shard's part
+    * range shifts into its own packed slot and ONE union + ONE
+    * id-disjointness aggregate finishes the job, where a fold of
+    * binary merges re-checks the GROWING union once per shard —
+    * O(N²·rows) of duplicate-check work for N shards vs this one
+    * O(total) pass. Per-shard part ranges are tiny aggregates
+    * (min/max, one narrow job each); empty shards drop. Served
+    * results ≡ the binary-merge fold (spec-pinned) — only the packed
+    * part-id labeling differs, and part ids are layout-internal. */
+  def mergeAll(shards: Seq[Dataset[IndexRow]]): Dataset[IndexRow] = {
+    require(shards.nonEmpty, "mergeAll requires at least one shard")
+    val ranges = shards.map(s => s.agg(min("part"), max("part")).head())
+    val nonEmpty = shards.zip(ranges).filter(_._2.get(0) != null)
+    if (nonEmpty.isEmpty) return shards.head
+    var next = 0
+    val shifted = nonEmpty.map { case (s, r) =>
+      val lo = r.getInt(0)
+      val hi = r.getInt(1)
+      val shift = next - lo
+      next += hi - lo + 1
+      if (shift == 0) s
+      else s.toDF()
+        .withColumn("part", (col("part") + shift).cast("int"))
+        .as[IndexRow](s.encoder)
+    }
+    val merged = shifted.reduce(_ union _)
+    if (nonEmpty.size > 1) {
+      val dup = merged.groupBy("vector_id").count()
+        .filter(col("count") > 1).select("vector_id").head(1)
+      require(dup.isEmpty,
+        s"mergeAll requires globally unique vector ids; id ${dup.headOption.map(_.getLong(0)).getOrElse(-1L)} " +
+          "appears in more than one shard (shard the corpus disjointly, " +
+          "or removeBatch/upsert before merging)")
+    }
+    merged
+  }
+
   /** Persist a built index partitioned by cell: each IVF cell becomes
     * its own parquet subtree, so a routed search with nprobe cells
     * reads exactly those subtrees (partition pruning on `part`) —

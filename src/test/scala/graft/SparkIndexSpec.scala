@@ -577,6 +577,36 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top(HnswIndex.merge(none, b), 4096) == top(b, 4096))
   }
 
+  test("mergeAll over N shards serves exactly what the binary-merge fold serves") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val parted = e.withColumn("part", col("label"))
+    val shards = (0 until 4).map(p =>
+      HnswIndex.build(parted.filter(col("vec_id") % 4 === p), P))
+    val nary = HnswIndex.mergeAll(shards)
+    val folded = shards.reduce(HnswIndex.merge(_, _))
+    assert(nary.count() == 500L &&
+      nary.select("vector_id").distinct().count() == 500L)
+    // part labelings differ (packed vs max-shifted) but cells stay
+    // disjoint and served answers are identical
+    val nCells = shards.map(_.select("part").distinct().count()).sum
+    assert(nary.select("part").distinct().count() == nCells)
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def top(ds: org.apache.spark.sql.Dataset[HnswIndex.IndexRow]) =
+      HnswIndex.search(ds, queries, k = 5, P, efSearch = 4096)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(top(nary) == top(folded), "N-way merge drifted from the fold")
+    // duplicate ids still fail loudly through the single check
+    val eDup = intercept[Exception] {
+      HnswIndex.mergeAll(Seq(shards(0), shards(1), shards(0))).count()
+    }
+    assert(messages(eDup).exists(_.contains("unique vector ids")), s"$eDup")
+    // single-shard and all-empty inputs pass through
+    assert(top(HnswIndex.mergeAll(Seq(shards(0)))) == top(shards(0)))
+    val none = shards(0).filter(lit(false))
+    assert(HnswIndex.mergeAll(Seq(none, none)).count() == 0L)
+  }
+
   test("handle merge: two shard handles serve the union corpus; unsound merges fail loudly") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     def shard(parity: Int) = {
