@@ -86,6 +86,14 @@ def wordpiece_encode(text, merges, spark=None):
     return list(spark._jvm.graft.PyFacade.wordpieceEncode(str(text), jm))
 
 
+def wordpiece_decode(pieces, spark=None):
+    """Detokenize one word's WordPiece piece sequence — the exact
+    inverse of the ``##`` presentation (continuation markers strip,
+    the terminal ``</w>`` drops)."""
+    spark = spark or SparkSession.builder.getOrCreate()
+    return spark._jvm.graft.PyFacade.wordpieceDecode([str(p) for p in pieces])
+
+
 def unigram_encode(word, model, spark=None):
     """Viterbi-segment one word under a trained unigram-LM piece model
     (``{piece: lp_units}`` integer log-prob units) — the EXACT routine

@@ -201,6 +201,15 @@ for t in ["low lower lowest", "zz low", "a"]:
     assert got == py_wp(t, merges), (t, got, py_wp(t, merges))
 print("wordpiece_encode OK (independent python replay)")
 
+# decode is the exact inverse of the ## presentation — including words
+# that themselves start with ## or end with </w>
+from graft_db import wordpiece_decode
+for w in ["low", "zz", "##x", "a</w>", "#"]:
+    pieces = wordpiece_encode(w, merges, spark=spark)
+    back = wordpiece_decode(pieces, spark=spark)
+    assert back == w, (w, pieces, back)
+print("wordpiece_decode OK (round-trip incl. hostile marker words)")
+
 # unigram encode point arm: independent python replay of the
 # integer-unit Viterbi (longer-final-piece tie-break)
 from graft_db import unigram_encode

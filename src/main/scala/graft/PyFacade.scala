@@ -177,6 +177,14 @@ object PyFacade {
     graft.operators.WordPiece.encodeLocal(text, m).asJava
   }
 
+  /** WordPiece decode, point arm
+    * ([[graft.operators.WordPiece.decodeLocal]] — the exact inverse of
+    * the `##` presentation: detokenize one word's piece sequence). */
+  def wordpieceDecode(pieces: java.util.List[String]): String = {
+    import scala.jdk.CollectionConverters._
+    graft.operators.WordPiece.decodeLocal(pieces.asScala.toSeq)
+  }
+
   /** Unigram-LM encode, point arm
     * ([[graft.operators.UnigramLm.encodeLocal]] — the EXACT Viterbi
     * routine the distributed segmentCensus broadcasts): `model` maps

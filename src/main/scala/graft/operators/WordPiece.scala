@@ -114,6 +114,29 @@ object WordPiece {
       .select(explode(transform(col("pieces"),
         (p, i) => when(i === 0, p).otherwise(concat(lit("##"), p)))).as("subtok"))
 
+  /** Inverse of the `##` presentation for ONE word's piece sequence —
+    * the detokenization arm a serving path needs beside [[encode]]:
+    * continuation markers strip, pieces concatenate, and the terminal
+    * `</w>` end-of-word marker drops. Column form; round-trip
+    * `decode(pieces of w) == w` holds for every whitespace token by
+    * construction (the merge chain only ever concatenates adjacent
+    * pieces of the spaced form) — the q_wordpiece_roundtrip gate
+    * counts that identity over the whole corpus. */
+  def decode(pieces: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      // the marker strips from CONTINUATIONS only — [[encode]] adds it
+      // at i > 0, so a first piece that genuinely starts with ## (a
+      // word beginning "##") survives: decode is the exact inverse
+      array_join(transform(pieces, (p, i) =>
+        when(i === 0, p).otherwise(regexp_replace(p, "^##", ""))), ""),
+      "</w>$", "")
+
+  /** [[decode]], LOCAL point arm. */
+  def decodeLocal(pieces: Seq[String]): String =
+    pieces.zipWithIndex.map { case (p, i) =>
+      if (i == 0) p else p.replaceFirst("^##", "")
+    }.mkString.replaceFirst("</w>$", "")
+
   /** [[encode]], LOCAL point arm (single-string tokenization is a
     * serving call): the same spaced-form regex, literal replace chain,
     * and `##` continuation presentation as the distributed column

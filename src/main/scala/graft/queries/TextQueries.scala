@@ -973,6 +973,35 @@ object TextQueries {
       .groupBy("subtok").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("subtok")).limit(30)
 
+  /** WordPiece DECODE round-trip census ([[graft.operators.WordPiece.decode]]
+    * — the serving detokenization arm beside encode): every fixture
+    * word encodes through the trained merge chain, presents with
+    * `##`, decodes back, and the per-source census reports total
+    * words vs exact round-trip matches. The oracle is the
+    * mathematical property itself — decode∘encode is the identity on
+    * every whitespace token (encode only concatenates adjacent pieces
+    * of the spaced form; decode strips exactly what the presentation
+    * added) — so `n_ok` must equal `n_words`: any decode bug (marker
+    * stripped from a first piece, wrong join, marker left behind)
+    * breaks the Spark side's equality and hash-mismatches. */
+  def qWordPieceRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Bpe, WordPiece}
+    val merges = wordPieceMerges(s, dir)
+    val pieces = filter(
+      split(WordPiece.applyMerges(Bpe.spacedForm(col("tok")), merges), "  "),
+      t => length(t) > 0)
+    val presented = transform(pieces,
+      (p, i) => when(i === 0, p).otherwise(concat(lit("##"), p)))
+    docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("source"), col("tok"), WordPiece.decode(presented).as("rt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("rt") === col("tok"), 1L).otherwise(0L)).as("n_ok"))
+      .orderBy("source")
+  }
+
   /** WordPiece coverage census — the tokenizer-evaluation metric
     * (fertility, chars/sub-token) under the 8 learned WordPiece
     * merges, per source: the SAME census q_bpe_coverage and
@@ -1384,6 +1413,10 @@ object TextQueries {
     QueryDef("q_bpe_coverage", qBpeCoverage, Some(bpeCoverageOracleSql(8))),
     QueryDef("q_wordpiece_merges", qWordPieceMerges, Some(wpOracleSql(8))),
     QueryDef("q_wordpiece_encode", qWordPieceEncode, Some(wpEncodeOracleSql(8))),
+    QueryDef("q_wordpiece_roundtrip", qWordPieceRoundtrip, Some(
+      """SELECT source, count(*) AS n_words, count(*) AS n_ok
+        |FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |WHERE length(tok) > 0 GROUP BY source ORDER BY source""".stripMargin)),
     QueryDef("q_wordpiece_coverage", qWordPieceCoverage, Some(wpCoverageOracleSql(8))),
     QueryDef("q_pmi", qPmi, Some(
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -117,6 +117,32 @@ class WordPieceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"reassembly broke: $toks")
   }
 
+  test("decode inverts the ## presentation, including hostile marker words") {
+    import spark.implicits._
+    val merges = WordPiece.learnMerges(
+      Bpe.vocabCensus(Seq("low low low lower newest newest").toDF("text"),
+        col("text")), 6)
+    val pairs = merges.map(m => (m.left, m.right))
+    // words that probe every decode hazard: plain, unseen symbols, a
+    // word STARTING with the continuation marker, a word ENDING with
+    // the end-of-word marker, a lone marker character
+    val words = Seq("low", "lowest", "zz", "##x", "a</w>", "#")
+    words.foreach { w =>
+      val pieces = WordPiece.encodeLocal(w, pairs)
+      assert(WordPiece.decodeLocal(pieces) == w, s"local round-trip broke on '$w'")
+    }
+    // the column arm agrees with the local arm piece-for-piece
+    val dfPieces = filter(
+      split(WordPiece.applyMerges(Bpe.spacedForm(col("w")), merges), "  "),
+      t => length(t) > 0)
+    val presented = transform(dfPieces,
+      (p, i) => when(i === 0, p).otherwise(concat(lit("##"), p)))
+    val got = words.toDF("w")
+      .select(col("w"), WordPiece.decode(presented).as("rt"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    got.foreach { case (w, rt) => assert(rt == w, s"column round-trip broke on '$w'") }
+  }
+
   test("encodeLocal agrees with the distributed encode token-for-token") {
     import spark.implicits._
     val merges = WordPiece.learnMerges(
