@@ -545,11 +545,20 @@ object Profile {
     * after domain-sized, one row out. */
   def psi(df: DataFrame, value: Column, isA: Column, isB: Column): DataFrame = {
     val v = value.cast("double")
-    val r = df.filter(v.isNotNull && (isA || isB))
+    psiFromCensus(df.filter(v.isNotNull && (isA || isB))
       .groupBy(v.as("__v"))
       .agg(sum(when(isA, 1L).otherwise(0L)).as("ca"),
         sum(when(isB, 1L).otherwise(0L)).as("cb"))
-      .localCheckpoint() // totals + the term pass both read it
+      .localCheckpoint()) // totals + the term pass both read it
+  }
+
+  /** [[psi]] over a pre-built `(__v, ca, cb)` census — the
+    * STREAMING-MONITOR arm: a Complete-mode streaming aggregate
+    * maintains the census in-flight, and each snapshot read runs this
+    * same exact-integer assembly over the sink (q_stream_drift). The
+    * caller passes a MATERIALIZED frame (memory-sink table /
+    * checkpointed census) — the assembly reads it twice. */
+  def psiFromCensus(r: DataFrame): DataFrame = {
     val tot = r.agg(coalesce(sum(col("ca")), lit(0L)).as("n_a"),
       coalesce(sum(col("cb")), lit(0L)).as("n_b"),
       count(lit(1)).as("n_bins"))

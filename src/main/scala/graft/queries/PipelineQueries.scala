@@ -508,12 +508,26 @@ object PipelineQueries {
               .otherwise(col("text")).as("text"))
         go("secrets", graft.operators.Curation.secretScan(plantedDocStream()),
           OutputMode.Append())
+        // streaming drift census — the q_psi_drift monitor shape made
+        // live: a Complete-mode (value → countA, countB) census over
+        // the purchase-vs-click slices; the exact-integer PSI assembly
+        // runs over each SINK SNAPSHOT (the gate), which is how a
+        // drift monitor actually deploys — census streams, the number
+        // computes per review. State is O(quantized domain), the
+        // documented PSI contract.
+        go("drift", evStream()
+          .filter(col("event_type").isin("purchase", "click") &&
+            col("value").isNotNull)
+          .groupBy(col("value").cast("double").as("__v"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("ca"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("cb")),
+          OutputMode.Complete())
         try started.foreach(_.processAllAvailable())
         finally started.foreach(q =>
           try q.stop() catch { case scala.util.control.NonFatal(_) => () })
       }
       Seq("exec", "sessions", "state", "join", "dedup", "neardedup",
-        "outer", "attr", "sess_state", "secrets").map(g => g -> nm(g)).toMap
+        "outer", "attr", "sess_state", "secrets", "drift").map(g => g -> nm(g)).toMap
     }
 
   /** TRUE streaming execution in the gate: readStream over the events
@@ -572,6 +586,18 @@ object PipelineQueries {
   def qStreamSecrets(s: SparkSession, dir: String): DataFrame =
     s.table(streamBundle(s, dir)("secrets"))
       .orderBy("id", "token")
+
+  /** TRUE streaming drift monitor in the gate: the PSI census streams
+    * as a Complete-mode aggregate (purchase-vs-click value counts,
+    * state O(quantized domain)) and [[graft.operators.Profile.psiFromCensus]]
+    * runs the exact-integer PSI assembly over the FINAL sink snapshot
+    * — exactly how a deployed drift monitor works: the census is live,
+    * the number computes per review. The oracle is q_psi_drift's
+    * replay over the events slices, so the gate pins streaming census
+    * ≡ batch census AND the assembly arithmetic in one row. */
+  def qStreamDrift(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.psiFromCensus(
+      s.table(streamBundle(s, dir)("drift")))
 
   /** TRUE streaming session windows in the gate: readStream over the
     * events parquet, 30-min-gap `session_window` aggregation
@@ -856,6 +882,24 @@ object PipelineQueries {
     QueryDef("q_stream_state", qStreamState, Some(
       """SELECT user_id, count(*) AS n_events, max(value) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+    QueryDef("q_stream_drift", qStreamDrift, Some(
+      """WITH r AS (SELECT CAST(value AS DOUBLE) AS v,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |    AND value IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+        |          CAST(count(*) AS BIGINT) AS n_bins FROM r),
+        |t AS (SELECT n_a, n_b, n_bins,
+        |        (ca + 1) * (n_b + n_bins) - (cb + 1) * (n_a + n_bins) AS dn,
+        |        CAST(CAST(ln(CAST((ca + 1) * (n_b + n_bins) AS DOUBLE)
+        |                     / ((cb + 1) * (n_a + n_bins))) AS DECIMAL(18,6))
+        |             * 1000000 AS BIGINT) AS lnr
+        |      FROM r, tot)
+        |SELECT n_a, n_b, n_bins,
+        |  CAST(sum(CAST(dn AS HUGEINT) * lnr)
+        |       // (CAST(n_a + n_bins AS HUGEINT) * (n_b + n_bins)) AS BIGINT) AS psi_micro
+        |FROM t GROUP BY 1, 2, 3""".stripMargin)),
     QueryDef("q_stream_secrets", qStreamSecrets, Some(
       """WITH d AS (SELECT doc_id, source,
         |    CASE WHEN doc_id % 7 = 0
