@@ -131,6 +131,26 @@ object TextFunctions {
       floor((-su).cast("double") / lit(100.0)) / lit(10000.0))
   }
 
+  /** Sentence count: maximal `[.!?]+` runs terminate sentences; a
+    * document with text but no terminator counts as ONE sentence
+    * (the max(1) floor — readability of a fragment is still defined).
+    * Integer, regex-only — replays exactly in SQL. */
+  def sentenceCount(text: Column): Column =
+    greatest(lit(1), size(regexp_extract_all(text, lit("[.!?]+"), lit(0))))
+
+  /** Heuristic syllable count: Σ over `[A-Za-z]+` words of
+    * max(1, #maximal-vowel-group runs `[aeiouyAEIOUY]+` in the word)
+    * — the classic Flesch-family approximation (every vowel cluster
+    * is one nucleus; consonant-only tokens still cost one syllable).
+    * Integer, regex-only. */
+  def syllableCount(text: Column): Column =
+    coalesce(aggregate(
+      regexp_extract_all(text, lit("[A-Za-z]+"), lit(0)),
+      lit(0L),
+      (acc, w) => acc +
+        greatest(lit(1), size(regexp_extract_all(w, lit("[aeiouyAEIOUY]+"), lit(0)))).cast("long")),
+      lit(0L))
+
   /** Heuristic document quality score in [0,1]:
     * 0.4·min(1, n_tokens/50) + 0.3·(1 − punct_ratio) + 0.3·stop_ratio.
     * The shape a pretraining-data quality filter uses (length prior,

@@ -624,6 +624,69 @@ object Profile {
                 * (n_all - n_g + n_bins)) AS BIGINT)""").as("psi_micro"))
   }
 
+  /** Youden's optimal threshold (Youden '50 J statistic) — the
+    * natural CONSUMER of the [[aucCensus]] separability number: once
+    * AUC says a score ranks a class at all, J = max_t (TPR(t) −
+    * FPR(t)) says WHERE to cut, under the convention "score ≥ t
+    * predicts positive" with t ranging over the observed quantized
+    * score domain. Exact integers end-to-end: per threshold,
+    * j_num(t) = TP(t)·N_neg − FP(t)·N_pos (maximizing j_num/(P·N) ≡
+    * maximizing J); only the final report divides to millionths.
+    * The reported maximum is PROVABLY ≥ 0 — the smallest observed
+    * value's cut admits every row (TP = P, FP = N ⇒ j_num = 0), so a
+    * backward-ranking score reports J = 0 at the all-admit cut
+    * rather than a negative J (ProfileSpec pins the invariant), and
+    * truncating DIV is floor. Ties break to the SMALLEST threshold
+    * attaining the max. A single-class input fails loudly in-plan
+    * (no threshold to tune). One row: `(n_pos, n_neg, threshold, tp,
+    * fp, j_num, j_micro)`.
+    *
+    * Scale shape: the KS-family census contract — ONE
+    * map-side-combined (value → posCount, negCount) census, then
+    * everything is domain-sized (one descending cumulative window,
+    * one max, one argmin pick). */
+  def youden(df: DataFrame, value: Column, isPos: Column): DataFrame = {
+    val v = value.cast("double")
+    val r = df.filter(v.isNotNull)
+      .groupBy(v.as("__v"))
+      .agg(sum(when(isPos, 1L).otherwise(0L)).as("cp"),
+        sum(when(isPos, 0L).otherwise(1L)).as("cn"))
+      .localCheckpoint() // totals + the window chain both read it
+    val tot = r
+      .agg(coalesce(sum(col("cp")), lit(0L)).as("np"),
+        coalesce(sum(col("cn")), lit(0L)).as("nn"))
+      .select(
+        when(col("np") === 0 || col("nn") === 0,
+          raise_error(concat(lit("youden requires both classes present, got "),
+            col("np").cast("string"), lit(" positives / "),
+            col("nn").cast("string"), lit(" negatives"))))
+          .otherwise(col("np")).as("n_pos"),
+        col("nn").as("n_neg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val g = r
+      .withColumn("tp", sum(col("cp")).over(w))
+      .withColumn("fp", sum(col("cn")).over(w))
+      .crossJoin(tot) // 1-row frame
+      .select(col("__v"), col("n_pos"), col("n_neg"), col("tp"), col("fp"),
+        (col("tp") * col("n_neg") - col("fp") * col("n_pos")).as("j_num"))
+      .localCheckpoint() // max + the argmax pick both read it
+    val mx = g.agg(max(col("j_num")).as("jm"))
+    g.join(broadcast(mx), col("j_num") === col("jm"))
+      .groupBy(col("n_pos"), col("n_neg"), col("j_num"))
+      .agg(min(struct(col("__v"), col("tp"), col("fp"))).as("m"))
+      .select(col("n_pos"), col("n_neg"),
+        col("m.__v").as("threshold"), col("m.tp").as("tp"), col("m.fp").as("fp"),
+        col("j_num"))
+      .withColumn("j_micro", expr(
+        // the max is ≥ 0 by the all-admit-cut invariant (scaladoc),
+        // so DIV-truncation IS floor
+        """(CAST(j_num AS DECIMAL(38,0)) * 1000000)
+          |DIV (CAST(n_pos AS DECIMAL(38,0)) * n_neg)""".stripMargin)
+        .cast("bigint"))
+  }
+
   def ksTwoSample(df: DataFrame, value: Column, isA: Column, isB: Column): DataFrame = {
     val v = value.cast("double")
     val r = df.filter(v.isNotNull && (isA || isB))

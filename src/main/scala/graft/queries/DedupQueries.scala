@@ -22,6 +22,21 @@ object DedupQueries {
       .select(col("a"), col("b"), round(col("jac"), 3).as("jac"))
       .orderBy("a", "b")
 
+  /** Detector-agreement kappa
+    * ([[graft.operators.Dedup.detectorKappa]]) between the two
+    * near-dup screens the quality censuses grade individually — the
+    * MinHash-LSH verified detector (τ = 0.7, the q_dedup_minhash
+    * pipeline unchanged) vs the SimHash Hamming-6 screen
+    * (q_dedup_simhash_pairs unchanged) — at the DOCUMENT level,
+    * chance-corrected: the number a review reads before swapping one
+    * screen for the other. The oracle replays BOTH detector
+    * pipelines, the doc-spine verdict join, the 2×2 census, and the
+    * exact rational κ assembly. */
+  def qDetectorKappa(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.detectorKappa(docs(s, dir),
+      MinHash.lshDedup(docs(s, dir), tau = 0.7),
+      MinHash.simHashPairs(docs(s, dir), maxHamming = 6))
+
   /** LSH detector quality census ([[MinHash.lshQuality]] at τ = 0.7):
     * measured recall/precision of the q_dedup_minhash band plan
     * against the exact all-qualifying-pairs ground truth — the
@@ -628,6 +643,48 @@ object DedupQueries {
          |        FROM cand c JOIN hs ta ON ta.doc_id = c.a JOIN hs tb ON tb.doc_id = c.b)
          |SELECT a, b, round(CAST(i AS DOUBLE)/CAST(na+nb-i AS DOUBLE), 3) AS jac
          |FROM ver WHERE CAST(i AS DOUBLE)/CAST(na+nb-i AS DOUBLE) >= 0.7 ORDER BY a, b""".stripMargin)),
+    QueryDef("q_detector_kappa", qDetectorKappa, Some(
+      s"""WITH t AS (SELECT doc_id, $shSql AS sh FROM documents),
+         |hs AS (SELECT doc_id, sh, len(sh) AS n_sh, $hsSql AS hs FROM t WHERE len(sh) > 0),
+         |sig AS (SELECT doc_id, sh, n_sh,
+         |          list_transform($paramsSql, ab ->
+         |            list_min(list_transform(hs, x -> (ab[1]*x + ab[2]) % 2147483647))) AS sig
+         |        FROM hs),
+         |bands AS (SELECT doc_id,
+         |            CAST(b AS VARCHAR) || ':' || array_to_string(sig[b*4+1 : b*4+4], ',') AS bkey
+         |          FROM sig, unnest([0,1,2,3]) AS u(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+         |         ON x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |mh AS (SELECT c.a, c.b
+         |       FROM cand c JOIN hs ta ON ta.doc_id = c.a JOIN hs tb ON tb.doc_id = c.b
+         |       WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) /
+         |             CAST(ta.n_sh + tb.n_sh - len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) >= 0.7),
+         |sim AS (SELECT doc_id, $simHiSql AS sim_hi, $simLoSql AS sim_lo FROM hs),
+         |sp AS (SELECT x.doc_id AS a, y.doc_id AS b FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+         |       WHERE bit_count(xor(x.sim_hi, y.sim_hi)) + bit_count(xor(x.sim_lo, y.sim_lo)) <= 6),
+         |fa AS (SELECT DISTINCT id FROM (SELECT a AS id FROM mh UNION ALL SELECT b AS id FROM mh)),
+         |fb AS (SELECT DISTINCT id FROM (SELECT a AS id FROM sp UNION ALL SELECT b AS id FROM sp)),
+         |v AS (SELECT CASE WHEN fa.id IS NULL THEN 0 ELSE 1 END AS fva,
+         |             CASE WHEN fb.id IS NULL THEN 0 ELSE 1 END AS fvb
+         |      FROM documents d LEFT JOIN fa ON fa.id = d.doc_id LEFT JOIN fb ON fb.id = d.doc_id),
+         |cen AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |          CAST(sum(fva * fvb) AS BIGINT) AS n_both,
+         |          CAST(sum(fva * (1 - fvb)) AS BIGINT) AS n_a_only,
+         |          CAST(sum((1 - fva) * fvb) AS BIGINT) AS n_b_only,
+         |          CAST(sum((1 - fva) * (1 - fvb)) AS BIGINT) AS n_neither
+         |        FROM v),
+         |k AS (SELECT n_docs, n_both, n_a_only, n_b_only, n_neither,
+         |        CAST(n_both + n_a_only AS HUGEINT) * (n_both + n_b_only)
+         |          + CAST(n_neither + n_b_only AS HUGEINT) * (n_neither + n_a_only) AS pe,
+         |        CAST(n_docs AS HUGEINT) * (n_both + n_neither) AS po_n,
+         |        CAST(n_docs AS HUGEINT) * n_docs AS n2
+         |      FROM cen)
+         |SELECT n_docs, n_both, n_a_only, n_b_only, n_neither,
+         |  CAST(CASE WHEN (po_n - pe) >= 0
+         |       THEN ((po_n - pe) * 1000000) // (n2 - pe)
+         |       ELSE -((-(po_n - pe) * 1000000 + (n2 - pe) - 1) // (n2 - pe)) END AS BIGINT)
+         |    AS kappa_micro
+         |FROM k""".stripMargin)),
     QueryDef("q_lsh_recall", qLshRecall, Some(
       s"""WITH t AS (SELECT doc_id, $shSql AS sh FROM documents),
          |hs AS (SELECT doc_id, sh, len(sh) AS n_sh, $hsSql AS hs FROM t WHERE len(sh) > 0),

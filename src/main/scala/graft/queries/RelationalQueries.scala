@@ -1187,6 +1187,18 @@ object RelationalQueries {
       t(s, dir, "lineitem"), col("l_quantity"),
       col("l_returnflag") === "A", col("l_returnflag") === "N")
 
+  /** Youden optimal threshold ([[graft.operators.Profile.youden]] —
+    * the q_auc_purchase consumer: AUC says whether `value` ranks
+    * purchases at all; J says where a value cut would sit and how
+    * little it buys (≈0 on this fixture, consistent with the ≈0.5
+    * AUC — the honest "don't ship this threshold" answer). Exact
+    * integer j_num over the cent-quantized domain; smallest-threshold
+    * tie-break. */
+  def qYouden(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.youden(
+      EventsFixture.events(s, dir), col("value"),
+      col("event_type") === "purchase")
+
   /** Per-event-type one-vs-rest AUC
     * ([[graft.operators.Profile.aucByGroup]] — the separability
     * screen over all five event types at once: which types' value
@@ -1421,6 +1433,26 @@ object RelationalQueries {
         |  CAST(sum(CAST(dn AS HUGEINT) * lnr)
         |       // (CAST(n_a + n_bins AS HUGEINT) * (n_b + n_bins)) AS BIGINT) AS psi_micro
         |FROM t GROUP BY 1, 2, 3""".stripMargin)),
+    QueryDef("q_youden", qYouden, Some(
+      """WITH r AS (SELECT CAST(value AS DOUBLE) AS v,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cn
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+        |          CAST(sum(cn) AS BIGINT) AS n_neg FROM r),
+        |g AS (SELECT v,
+        |        CAST(sum(cp) OVER (ORDER BY v DESC) AS BIGINT) AS tp,
+        |        CAST(sum(cn) OVER (ORDER BY v DESC) AS BIGINT) AS fp
+        |      FROM r),
+        |j AS (SELECT g.v, g.tp, g.fp, tot.n_pos, tot.n_neg,
+        |        g.tp * tot.n_neg - g.fp * tot.n_pos AS j_num FROM g, tot),
+        |mx AS (SELECT max(j_num) AS jm FROM j),
+        |sel AS (SELECT j.*, row_number() OVER (ORDER BY v) AS rn
+        |        FROM j, mx WHERE j.j_num = mx.jm)
+        |SELECT n_pos, n_neg, v AS threshold, tp, fp, j_num,
+        |  CAST((CAST(j_num AS HUGEINT) * 1000000)
+        |       // (CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) AS j_micro
+        |FROM sel WHERE rn = 1""".stripMargin)),
     QueryDef("q_auc_types", qAucTypes, Some(
       """WITH r AS (SELECT event_type AS g, value AS v,
         |             CAST(count(*) AS BIGINT) AS c FROM events

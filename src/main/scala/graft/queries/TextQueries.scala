@@ -292,6 +292,37 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Per-source Flesch Reading Ease census (Flesch '48; the
+    * readability prior quality filters use beside length/stopword
+    * heuristics — template boilerplate and OCR soup sit far from
+    * natural prose on this scale): per source, exact integer totals of
+    * alpha words, sentences (maximal `[.!?]+` runs, min 1 per doc),
+    * and heuristic syllables (maximal vowel-group runs per word,
+    * min 1), then FRE = 206.835 − 1.015·(W/S) − 84.6·(Y/W) on the
+    * RATIO OF SUMS — the corpus-level readability of each source, not
+    * a mean of per-doc scores (short docs would dominate a mean).
+    * Docs with no alpha words are excluded (W = 0 has no defined
+    * score). Map-only regex counting + one census; the formula runs
+    * on exact integer sums, so the one double expression replays
+    * bit-for-bit. */
+  def qReadability(s: SparkSession, dir: String): DataFrame = {
+    val words = size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
+    docs(s, dir).filter(col("text").isNotNull)
+      .select(col("source"), words.as("w"),
+        sentenceCount(col("text")).as("st"),
+        syllableCount(col("text")).as("sy"))
+      .filter(col("w") > 0)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w").cast("long")).as("n_words"),
+        sum(col("st").cast("long")).as("n_sentences"),
+        sum(col("sy")).as("n_syllables"))
+      .withColumn("flesch", round(lit(206.835)
+        - lit(1.015) * col("n_words").cast("double") / col("n_sentences").cast("double")
+        - lit(84.6) * col("n_syllables").cast("double") / col("n_words").cast("double"), 4))
+      .orderBy("source")
+  }
+
   /** ONE-PASS drift dashboard — the composed per-source drift census a
     * snapshot review actually runs (VERDICT r14 item #6): token-KL,
     * OOV rate, Zipf slope, length-KS, and length-PSI in ONE result,
@@ -1737,6 +1768,18 @@ object TextQueries {
          |SELECT source, max(stot) AS n_tokens,
          |       floor(CAST(sum(c) AS DOUBLE) * 10000.0) / 10000.0 AS kl
          |FROM sc GROUP BY source ORDER BY source""".stripMargin)),
+    QueryDef("q_readability", qReadability, Some(
+      """WITH t AS (SELECT source,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS w,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS st,
+        |    CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+        |        x -> greatest(1, len(regexp_extract_all(x, '[aeiouyAEIOUY]+'))))), 0) AS BIGINT) AS sy
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT source, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS n_words,
+        |  CAST(sum(st) AS BIGINT) AS n_sentences, CAST(sum(sy) AS BIGINT) AS n_syllables,
+        |  round(206.835 - 1.015 * CAST(sum(w) AS DOUBLE) / CAST(sum(st) AS DOUBLE)
+        |        - 84.6 * CAST(sum(sy) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 4) AS flesch
+        |FROM t WHERE w > 0 GROUP BY source ORDER BY source""".stripMargin)),
     QueryDef("q_drift_panel", qDriftPanel, Some(
       s"""WITH u AS (SELECT source, unnest($toksSql) AS term FROM documents),
          |tf AS MATERIALIZED (SELECT source, term, count(*) AS sf FROM u GROUP BY 1, 2),

@@ -432,6 +432,66 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(psi == 162186L, s"hand PSI: got $psi")
   }
 
+  private def youdenRow(rows: Seq[(Double, String)]): (Long, Long, Double, Long, Long, Long, Long) = {
+    import spark.implicits._
+    val df = rows.toDF("v", "side")
+    val r = Profile.youden(df, col("v"), col("side") === "p").collect().head
+    (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6))
+  }
+
+  test("youden: hand case — the cut lands between the classes") {
+    // pos = {3, 4}, neg = {1, 2}: t = 3 gives TP = 2, FP = 0 →
+    // j_num = 2·2 − 0·2 = 4 = P·N → J = 1.0 exactly
+    val (np, nn, t, tp, fp, jn, jm) = youdenRow(
+      Seq((3.0, "p"), (4.0, "p"), (1.0, "n"), (2.0, "n")))
+    assert((np, nn, t, tp, fp, jn, jm) == (2L, 2L, 3.0, 2L, 0L, 4L, 1000000L),
+      s"got ($np, $nn, $t, $tp, $fp, $jn, $jm)")
+  }
+
+  test("youden: identical score distributions give J = 0 at every cut") {
+    val rows = Seq(1.0, 2.0, 3.0).flatMap(v => Seq((v, "p"), (v, "n")))
+    val (_, _, t, _, _, jn, jm) = youdenRow(rows)
+    assert(jn == 0L && jm == 0L, s"J must be 0: $jn/$jm")
+    assert(t == 1.0, "smallest threshold attaining the max breaks the tie")
+  }
+
+  test("youden: a backward-ranking score bottoms out at the all-admit cut (max J = 0, never negative)") {
+    // the smallest observed value's cut admits every row, so
+    // j_num(min v) = P·N − N·P = 0 and the reported max is ≥ 0 for
+    // ANY input — the invariant that makes DIV-truncation floor.
+    // Two backward-ranking shapes (pos below neg; pos interleaved
+    // under a neg majority) must both report exactly the all-admit 0
+    // at the smallest threshold:
+    val a = youdenRow(Seq((1.0, "p"), (1.0, "p"), (1.0, "p"), (9.0, "n"), (9.0, "n")))
+    assert(a._3 == 1.0 && a._6 == 0L && a._7 == 0L, s"$a")
+    val b = youdenRow(Seq((1.0, "p"), (2.0, "p"), (2.0, "n"), (3.0, "n"), (3.0, "n")))
+    assert(b._3 == 1.0 && b._6 == 0L && b._7 == 0L, s"$b")
+  }
+
+  test("youden: single-class input fails loudly") {
+    import spark.implicits._
+    val df = Seq((1.0, "p"), (2.0, "p")).toDF("v", "side")
+    val e = intercept[Exception] {
+      Profile.youden(df, col("v"), col("side") === "p").collect()
+    }
+    assert(Option(e.getMessage).getOrElse("").contains("both classes") ||
+      Option(e.getCause).exists(c => Option(c.getMessage).exists(_.contains("both classes"))),
+      s"$e")
+  }
+
+  test("youden: partition count cannot change the cut") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(300)((rnd.nextInt(20).toDouble,
+      if (rnd.nextInt(3) == 0) "p" else "n"))
+    val df = rows.toDF("v", "side")
+    def run(parts: Int) =
+      Profile.youden(df.repartition(parts), col("v"), col("side") === "p")
+        .collect().head.toSeq
+    assert(run(1) == run(8))
+  }
+
   test("psi: partition count cannot change a unit") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
