@@ -687,6 +687,55 @@ object Profile {
         .cast("bigint"))
   }
 
+  /** Average precision (the PR-AUC summary — the ranking number that,
+    * unlike ROC-AUC, does not reward a detector for the ocean of easy
+    * negatives: the right headline for IMBALANCED screens like dup
+    * detection, where positives are rare by construction). Tie-aware
+    * quantized-domain form: distinct score values are BLOCKS in
+    * descending order, and AP = (1/P) · Σ_b cp_b · TP_b/(TP_b+FP_b) —
+    * each block's positives credited at the block-END precision (ties
+    * share one precision, so the result is independent of any
+    * within-tie ordering an item-level definition would need). Exact
+    * integer convention: each term floors ONCE to 1e-6 units
+    * (`(cp·TP·10⁶) div (TP+FP)` — the PageRank per-term floor), the
+    * term sum is exact, and one final division by P reports
+    * `ap_micro`; floor loss ≤ #blocks·1e-6. A perfect ranking scores
+    * exactly 1e6; an uninformative one ≈ prevalence. No positives →
+    * loud (nothing to average). One row: `(n_pos, n_neg, ap_micro)`.
+    *
+    * Scale shape: the KS-family contract — ONE map-side-combined
+    * value census, then domain-sized windows. */
+  def averagePrecision(df: DataFrame, value: Column, isPos: Column): DataFrame = {
+    val v = value.cast("double")
+    val r = df.filter(v.isNotNull)
+      .groupBy(v.as("__v"))
+      .agg(sum(when(isPos, 1L).otherwise(0L)).as("cp"),
+        sum(when(isPos, 0L).otherwise(1L)).as("cn"))
+      .localCheckpoint() // totals + the window chain both read it
+    val tot = r
+      .agg(coalesce(sum(col("cp")), lit(0L)).as("np"),
+        coalesce(sum(col("cn")), lit(0L)).as("nn"))
+      .select(
+        when(col("np") === 0,
+          raise_error(lit("averagePrecision requires at least one positive")))
+          .otherwise(col("np")).as("n_pos"),
+        col("nn").as("n_neg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    r.withColumn("tp", sum(col("cp")).over(w))
+      .withColumn("fp", sum(col("cn")).over(w))
+      .crossJoin(tot) // 1-row frame
+      .select(col("n_pos"), col("n_neg"),
+        // per-block floor to 1e-6 units; all values ≥ 0 so DIV = floor
+        expr("""(CAST(cp AS DECIMAL(38,0)) * tp * 1000000)
+               |DIV (tp + fp)""".stripMargin).as("term"))
+      .groupBy(col("n_pos"), col("n_neg"))
+      .agg(sum(col("term")).as("s"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("CAST(s DIV n_pos AS BIGINT)").as("ap_micro"))
+  }
+
   def ksTwoSample(df: DataFrame, value: Column, isA: Column, isB: Column): DataFrame = {
     val v = value.cast("double")
     val r = df.filter(v.isNotNull && (isA || isB))

@@ -1199,6 +1199,19 @@ object RelationalQueries {
       EventsFixture.events(s, dir), col("value"),
       col("event_type") === "purchase")
 
+  /** Average precision ([[graft.operators.Profile.averagePrecision]]
+    * — the eval trio's third leg beside q_auc_purchase and q_youden:
+    * ROC-AUC says whether value ranks purchases, Youden says where a
+    * cut would sit, AP says what the ranking is worth on the
+    * IMBALANCED reading that doesn't credit easy negatives; ≈
+    * prevalence on this fixture, the consistent "value doesn't rank
+    * purchases" answer). Tie-aware block form over the cent-quantized
+    * domain, per-term integer floor. */
+  def qPrAuc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.averagePrecision(
+      EventsFixture.events(s, dir), col("value"),
+      col("event_type") === "purchase")
+
   /** Per-event-type one-vs-rest AUC
     * ([[graft.operators.Profile.aucByGroup]] — the separability
     * screen over all five event types at once: which types' value
@@ -1433,6 +1446,21 @@ object RelationalQueries {
         |  CAST(sum(CAST(dn AS HUGEINT) * lnr)
         |       // (CAST(n_a + n_bins AS HUGEINT) * (n_b + n_bins)) AS BIGINT) AS psi_micro
         |FROM t GROUP BY 1, 2, 3""".stripMargin)),
+    QueryDef("q_pr_auc", qPrAuc, Some(
+      """WITH r AS (SELECT CAST(value AS DOUBLE) AS v,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cn
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+        |          CAST(sum(cn) AS BIGINT) AS n_neg FROM r),
+        |g AS (SELECT cp,
+        |        CAST(sum(cp) OVER (ORDER BY v DESC) AS BIGINT) AS tp,
+        |        CAST(sum(cn) OVER (ORDER BY v DESC) AS BIGINT) AS fp
+        |      FROM r),
+        |t AS (SELECT (CAST(cp AS HUGEINT) * tp * 1000000) // (tp + fp) AS term FROM g)
+        |SELECT n_pos, n_neg,
+        |  CAST((SELECT sum(term) FROM t) // n_pos AS BIGINT) AS ap_micro
+        |FROM tot""".stripMargin)),
     QueryDef("q_youden", qYouden, Some(
       """WITH r AS (SELECT CAST(value AS DOUBLE) AS v,
         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cp,

@@ -492,6 +492,56 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(1) == run(8))
   }
 
+  private def apRow(rows: Seq[(Double, String)]): (Long, Long, Long) = {
+    import spark.implicits._
+    val r = Profile.averagePrecision(rows.toDF("v", "side"),
+      col("v"), col("side") === "p").collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("averagePrecision: a perfect ranking scores exactly 1e6") {
+    assert(apRow(Seq((9.0, "p"), (8.0, "p"), (2.0, "n"), (1.0, "n")))._3 == 1000000L)
+  }
+
+  test("averagePrecision: hand case with a tie block") {
+    // blocks DESC: v=3 (1p), v=2 (1p + 1n TIED), v=1 (1n)
+    // b1: tp=1, fp=0, term = 1·1·1e6/1 = 1e6
+    // b2: tp=2, fp=1, term = 1·2·1e6 div 3 = 666666
+    // ap = (1e6 + 666666) div 2 = 833333
+    val (np, nn, ap) = apRow(Seq((3.0, "p"), (2.0, "p"), (2.0, "n"), (1.0, "n")))
+    assert((np, nn, ap) == (2L, 2L, 833333L), s"got ($np, $nn, $ap)")
+  }
+
+  test("averagePrecision: an uninformative constant score reports the prevalence") {
+    // one block: tp = P, fp = N → AP = P/(P+N) exactly
+    val (_, _, ap) = apRow(Seq.fill(3)((5.0, "p")) ++ Seq.fill(7)((5.0, "n")))
+    assert(ap == 300000L, s"prevalence 3/10: $ap")
+  }
+
+  test("averagePrecision: no positives fails loudly; zero negatives is trivially 1") {
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Profile.averagePrecision(Seq((1.0, "n")).toDF("v", "side"),
+        col("v"), col("side") === "p").collect()
+    }
+    assert((Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse(""))
+      .contains("positive"), s"$e")
+    assert(apRow(Seq((1.0, "p"), (2.0, "p")))._3 == 1000000L)
+  }
+
+  test("averagePrecision: partition count cannot change a unit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val rows = Seq.fill(300)((rnd.nextInt(15).toDouble,
+      if (rnd.nextInt(4) == 0) "p" else "n"))
+    val df = rows.toDF("v", "side")
+    def run(parts: Int) =
+      Profile.averagePrecision(df.repartition(parts), col("v"), col("side") === "p")
+        .collect().head.toSeq
+    assert(run(1) == run(8))
+  }
+
   test("psi: partition count cannot change a unit") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
