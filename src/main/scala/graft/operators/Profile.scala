@@ -41,6 +41,48 @@ object Profile {
       .orderBy("bin")
   }
 
+  /** Calibration (reliability-diagram) census — the diagnostic
+    * companion of the ranking trio ([[aucCensus]] / [[youden]] /
+    * [[averagePrecision]]): those say whether and where a score
+    * separates a class; this says whether the score's MAGNITUDE means
+    * anything — per equi-width score bin ([[histogram]]'s exact grid
+    * convention: one min/max aggregate fixes the edges, max lands in
+    * the last bin), the bin's observed positive rate beside its mean
+    * score. A calibrated score tracks the diagonal; a ranking-only
+    * score doesn't, and a review needs to know which it holds before
+    * using the value as a probability. Sums are DECIMAL-exact (the
+    * [[moments]] convention); the two per-bin ratios are the only
+    * floating steps, 6-dp rounded. Output: `(bin, lo, hi, n, n_pos,
+    * mean_score, pos_rate)` per non-empty bin ascending. */
+  def calibrationCensus(df: DataFrame, score: Column, isPos: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = score.cast("double")
+    val mm = df.agg(min(v).as("lo"), max(v).as("hi")).head()
+    if (mm.isNullAt(0))
+      return Seq.empty[(Int, Double, Double, Long, Long, Double, Double)]
+        .toDF("bin", "lo", "hi", "n", "n_pos", "mean_score", "pos_rate")
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val width = (hi - lo) / bins
+    val bin =
+      if (width == 0.0) lit(0)
+      else least(floor((v - lit(lo)) / lit(width)).cast("int"), lit(bins - 1))
+    df.filter(v.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(isPos, 1L).otherwise(0L)).as("n_pos"),
+        sum(v.cast("decimal(28,10)")).cast("double").as("__s"))
+      .select(col("bin"),
+        (lit(lo) + col("bin") * lit(width)).as("lo"),
+        (lit(lo) + (col("bin") + 1) * lit(width)).as("hi"),
+        col("n"), col("n_pos"),
+        round(col("__s") / col("n").cast("double"), 6).as("mean_score"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6).as("pos_rate"))
+      .orderBy("bin")
+  }
+
   /** Exact first/second moments of `value` plus null census, in ONE
     * map-side-combined aggregate: count, nulls, min, max, mean, and
     * population variance — the sums go through DECIMAL(28,10) per-row

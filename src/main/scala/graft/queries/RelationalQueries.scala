@@ -1199,6 +1199,16 @@ object RelationalQueries {
       EventsFixture.events(s, dir), col("value"),
       col("event_type") === "purchase")
 
+  /** Calibration census ([[graft.operators.Profile.calibrationCensus]]
+    * — the ranking trio's diagnostic: does `value`'s MAGNITUDE mean
+    * anything for purchase probability, bin by bin, or does it only
+    * (fail to) rank? 10 equi-width bins over the cent-quantized
+    * domain, DECIMAL-exact sums, the histogram grid convention). */
+  def qCalibration(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.calibrationCensus(
+      EventsFixture.events(s, dir), col("value"),
+      col("event_type") === "purchase", bins = 10)
+
   /** Average precision ([[graft.operators.Profile.averagePrecision]]
     * — the eval trio's third leg beside q_auc_purchase and q_youden:
     * ROC-AUC says whether value ranks purchases, Youden says where a
@@ -1446,6 +1456,22 @@ object RelationalQueries {
         |  CAST(sum(CAST(dn AS HUGEINT) * lnr)
         |       // (CAST(n_a + n_bins AS HUGEINT) * (n_b + n_bins)) AS BIGINT) AS psi_micro
         |FROM t GROUP BY 1, 2, 3""".stripMargin)),
+    QueryDef("q_calibration", qCalibration, Some(
+      """WITH mm AS (SELECT min(CAST(value AS DOUBLE)) AS lo,
+        |                   max(CAST(value AS DOUBLE)) AS hi FROM events),
+        |w AS (SELECT lo, hi, (hi - lo) / 10 AS width FROM mm),
+        |b AS (SELECT CASE WHEN w.width = 0 THEN 0
+        |             ELSE least(CAST(floor((CAST(value AS DOUBLE) - w.lo) / w.width) AS INT), 9)
+        |             END AS bin,
+        |        CAST(value AS DOUBLE) AS v,
+        |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+        |      FROM events, w WHERE value IS NOT NULL)
+        |SELECT CAST(bin AS INT) AS bin, w.lo + bin * w.width AS lo,
+        |  w.lo + (bin + 1) * w.width AS hi, count(*) AS n,
+        |  CAST(sum(p) AS BIGINT) AS n_pos,
+        |  round(CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS mean_score,
+        |  round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS pos_rate
+        |FROM b, w GROUP BY bin, w.lo, w.width ORDER BY bin""".stripMargin)),
     QueryDef("q_pr_auc", qPrAuc, Some(
       """WITH r AS (SELECT CAST(value AS DOUBLE) AS v,
         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cp,

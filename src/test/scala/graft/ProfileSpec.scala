@@ -542,6 +542,39 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(1) == run(8))
   }
 
+  test("calibrationCensus: a calibrated score tracks the diagonal; constant scores one bin") {
+    import spark.implicits._
+    // score IS the positive probability over a deterministic lattice:
+    // at v = k/10, exactly k of 10 rows are positive
+    val rows = for (k <- 0 to 9; i <- 0 until 10)
+      yield (k / 10.0, if (i < k) "p" else "n")
+    val got = Profile.calibrationCensus(rows.toDF("v", "side"),
+        col("v"), col("side") === "p", bins = 9)
+      .collect()
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(6) - r.getDouble(5)) < 0.12,
+        s"bin ${r.getInt(0)}: pos_rate ${r.getDouble(6)} far from mean score ${r.getDouble(5)}")
+    }
+    assert(got.map(_.getLong(3)).sum == 100L, "every row lands in a bin")
+    val const = Profile.calibrationCensus(
+      Seq((5.0, "p"), (5.0, "n")).toDF("v", "side"),
+      col("v"), col("side") === "p", bins = 10).collect()
+    assert(const.length == 1 && const.head.getLong(3) == 2L &&
+      const.head.getDouble(6) == 0.5)
+  }
+
+  test("calibrationCensus: bin grid identical to histogram's on the same column") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val df = Seq.fill(500)((rnd.nextInt(1000) / 10.0,
+      if (rnd.nextBoolean()) "p" else "n")).toDF("v", "side")
+    val h = Profile.histogram(df, col("v"), bins = 16)
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    val c = Profile.calibrationCensus(df, col("v"), col("side") === "p", bins = 16)
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(h.toSeq == c.toSeq, "the two censuses must share one grid convention")
+  }
+
   test("psi: partition count cannot change a unit") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
