@@ -429,6 +429,69 @@ object Dedup {
         col("n_b_only"), col("n_neither"), col("kappa_micro"))
   }
 
+  /** Adjusted Rand Index (Hubert & Arabie, J. Classif. '85) between
+    * the dup-CLUSTER partitions two detectors induce — the
+    * clustering-level companion of [[detectorKappa]]: kappa compares
+    * the binary "is this doc dup-involved" verdicts; ARI compares the
+    * full partitions (each detector's pair graph → connected
+    * components; unflagged docs are singleton clusters), so detectors
+    * that flag the same docs but GROUP them differently stop looking
+    * identical. Chance-corrected like kappa: ARI = 1 identical
+    * partitions, ≈ 0 at chance, < 0 systematic disagreement.
+    *
+    * Exact integer arithmetic on the doubled pair counts: with the
+    * contingency cells n_ij and marginals a_i, b_j, let Sij =
+    * Σ n_ij(n_ij−1), Sa = Σ a_i(a_i−1), Sb = Σ b_j(b_j−1), Sn =
+    * n(n−1); then ARI = 2(Sn·Sij − Sa·Sb) / (Sn(Sa+Sb) − 2·Sa·Sb),
+    * reported as floor millionths with the explicit negative-arm
+    * floor identity. A zero denominator occurs only when BOTH
+    * partitions are degenerate-identical (both all-singletons or both
+    * one cluster) — reported as the conventional ARI = 1. DECIMAL
+    * (38,0) holds the Sn·S·10⁶ products to n ≈ 10⁸ docs; past that,
+    * run the census per shard or on a sample (scaladoc contract, the
+    * lshQuality convention).
+    *
+    * Scale shape: two [[connectedComponents]] runs over the PAIR
+    * graphs (bounded by the detectors' blocking contracts, never the
+    * corpus), two O(N) label joins onto the doc spine, ONE
+    * map-side-combined contingency census (≤ N nonzero cells), and
+    * domain-sized marginal aggregates. Nothing all-pairs. */
+  def adjustedRand(docs: DataFrame, pairsA: DataFrame, pairsB: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val spine = docs.select(col(idCol).cast("long").as("id"))
+    def labeled(p: DataFrame, name: String) =
+      spine.join(connectedComponents(p).withColumnRenamed("comp", name),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col(name), col("id")).as(name))
+    val joint = labeled(pairsA, "la")
+      .join(labeled(pairsB, "lb"), "id")
+    val cells = joint.groupBy("la", "lb").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // contingency + both marginals read it
+    def pairSum(s: DataFrame): DataFrame =
+      s.agg(coalesce(sum(expr("CAST(s AS DECIMAL(38,0)) * (s - 1)")),
+        lit(0).cast("decimal(38,0)")).as("ps"))
+    val sij = pairSum(cells.select(col("c").as("s")))
+    val sa = pairSum(cells.groupBy("la").agg(sum("c").as("s")))
+    val sb = pairSum(cells.groupBy("lb").agg(sum("c").as("s")))
+    val counts = cells.agg(sum(col("c")).as("n_docs"),
+      countDistinct(col("la")).as("n_clusters_a"),
+      countDistinct(col("lb")).as("n_clusters_b"))
+    counts
+      .crossJoin(sij.select(col("ps").as("Sij")))
+      .crossJoin(sa.select(col("ps").as("Sa")))
+      .crossJoin(sb.select(col("ps").as("Sb")))
+      .withColumn("Sn", expr("CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1)"))
+      .withColumn("__num", expr("2 * (Sn * Sij - Sa * Sb)"))
+      .withColumn("__den", expr("Sn * (Sa + Sb) - 2 * Sa * Sb"))
+      .withColumn("ari_micro", expr(
+        """CASE WHEN __den = 0 THEN CAST(1000000 AS BIGINT)
+          |WHEN __num >= 0 THEN CAST((__num * 1000000) DIV __den AS BIGINT)
+          |ELSE CAST(-(((-__num) * 1000000 + __den - 1) DIV __den) AS BIGINT)
+          |END""".stripMargin))
+      .select(col("n_docs"), col("n_clusters_a"), col("n_clusters_b"),
+        col("ari_micro"))
+  }
+
   /** CDC-anchored exact-substring dedup — [[segmentDedup]] with
     * CONTENT-DEFINED boundaries instead of fixed 8-token ones, closing
     * the documented deviation from Lee et al. ACL'22's suffix array:

@@ -37,6 +37,20 @@ object DedupQueries {
       MinHash.lshDedup(docs(s, dir), tau = 0.7),
       MinHash.simHashPairs(docs(s, dir), maxHamming = 6))
 
+  /** Detector-agreement ARI
+    * ([[graft.operators.Dedup.adjustedRand]] — q_detector_kappa's
+    * clustering-level deepening: the SAME two detectors, but compared
+    * on the dup-cluster PARTITIONS their pair graphs induce, so
+    * detectors that flag the same documents while grouping them
+    * differently stop looking identical). The oracle replays both
+    * detector pipelines, BOTH recursive-CTE connected-component
+    * labelings, the singleton-completed contingency, and the exact
+    * doubled-pair-count ARI assembly. */
+  def qDetectorAri(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.adjustedRand(docs(s, dir),
+      MinHash.lshDedup(docs(s, dir), tau = 0.7),
+      MinHash.simHashPairs(docs(s, dir), maxHamming = 6))
+
   /** LSH detector quality census ([[MinHash.lshQuality]] at τ = 0.7):
     * measured recall/precision of the q_dedup_minhash band plan
     * against the exact all-qualifying-pairs ground truth — the
@@ -684,6 +698,61 @@ object DedupQueries {
          |       THEN ((po_n - pe) * 1000000) // (n2 - pe)
          |       ELSE -((-(po_n - pe) * 1000000 + (n2 - pe) - 1) // (n2 - pe)) END AS BIGINT)
          |    AS kappa_micro
+         |FROM k""".stripMargin)),
+    QueryDef("q_detector_ari", qDetectorAri, Some(
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $shSql AS sh FROM documents),
+         |hs AS MATERIALIZED (SELECT doc_id, sh, len(sh) AS n_sh, $hsSql AS hs
+         |                    FROM t WHERE len(sh) > 0),
+         |sig AS (SELECT doc_id, sh, n_sh,
+         |          list_transform($paramsSql, ab ->
+         |            list_min(list_transform(hs, x -> (ab[1]*x + ab[2]) % 2147483647))) AS sig
+         |        FROM hs),
+         |bands AS (SELECT doc_id,
+         |            CAST(b AS VARCHAR) || ':' || array_to_string(sig[b*4+1 : b*4+4], ',') AS bkey
+         |          FROM sig, unnest([0,1,2,3]) AS u(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+         |         ON x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |mh AS MATERIALIZED (SELECT c.a, c.b
+         |       FROM cand c JOIN hs ta ON ta.doc_id = c.a JOIN hs tb ON tb.doc_id = c.b
+         |       WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) /
+         |             CAST(ta.n_sh + tb.n_sh - len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) >= 0.7),
+         |sim AS (SELECT doc_id, $simHiSql AS sim_hi, $simLoSql AS sim_lo FROM hs),
+         |sp AS MATERIALIZED (SELECT x.doc_id AS a, y.doc_id AS b
+         |       FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+         |       WHERE bit_count(xor(x.sim_hi, y.sim_hi)) + bit_count(xor(x.sim_lo, y.sim_lo)) <= 6),
+         |ea AS MATERIALIZED (SELECT a AS u, b AS v FROM mh UNION SELECT b, a FROM mh),
+         |ra(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM ea)
+         |             UNION
+         |             SELECT r.u, e.v FROM ra r JOIN ea e ON r.v = e.u),
+         |ca AS MATERIALIZED (SELECT u AS id, min(v) AS comp FROM ra GROUP BY u),
+         |eb AS MATERIALIZED (SELECT a AS u, b AS v FROM sp UNION SELECT b, a FROM sp),
+         |rb(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM eb)
+         |             UNION
+         |             SELECT r.u, e.v FROM rb r JOIN eb e ON r.v = e.u),
+         |cb AS MATERIALIZED (SELECT u AS id, min(v) AS comp FROM rb GROUP BY u),
+         |l AS (SELECT coalesce(ca.comp, d.doc_id) AS la, coalesce(cb.comp, d.doc_id) AS lb
+         |      FROM documents d LEFT JOIN ca ON ca.id = d.doc_id
+         |                        LEFT JOIN cb ON cb.id = d.doc_id),
+         |cells AS MATERIALIZED (SELECT la, lb, CAST(count(*) AS BIGINT) AS c
+         |                       FROM l GROUP BY 1, 2),
+         |st AS (SELECT CAST(sum(c) AS HUGEINT) AS n,
+         |         CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS HUGEINT) AS sij,
+         |         (SELECT CAST(coalesce(sum(CAST(s AS HUGEINT) * (s - 1)), 0) AS HUGEINT)
+         |          FROM (SELECT sum(c) AS s FROM cells GROUP BY la)) AS sa,
+         |         (SELECT CAST(coalesce(sum(CAST(s AS HUGEINT) * (s - 1)), 0) AS HUGEINT)
+         |          FROM (SELECT sum(c) AS s FROM cells GROUP BY lb)) AS sb,
+         |         CAST(count(DISTINCT la) AS BIGINT) AS nca,
+         |         CAST(count(DISTINCT lb) AS BIGINT) AS ncb
+         |       FROM cells),
+         |k AS (SELECT n, nca, ncb, sij, sa, sb, n * (n - 1) AS sn FROM st)
+         |SELECT CAST(n AS BIGINT) AS n_docs, nca AS n_clusters_a, ncb AS n_clusters_b,
+         |  CAST(CASE WHEN (sn * (sa + sb) - 2 * sa * sb) = 0 THEN 1000000
+         |       WHEN 2 * (sn * sij - sa * sb) >= 0
+         |       THEN (2 * (sn * sij - sa * sb) * 1000000)
+         |            // (sn * (sa + sb) - 2 * sa * sb)
+         |       ELSE -((-(2 * (sn * sij - sa * sb)) * 1000000
+         |               + (sn * (sa + sb) - 2 * sa * sb) - 1)
+         |              // (sn * (sa + sb) - 2 * sa * sb)) END AS BIGINT) AS ari_micro
          |FROM k""".stripMargin)),
     QueryDef("q_lsh_recall", qLshRecall, Some(
       s"""WITH t AS (SELECT doc_id, $shSql AS sh FROM documents),

@@ -76,6 +76,66 @@ class DetectorKappaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msg.contains("constant"), s"$e")
   }
 
+  // ---- adjusted Rand index (the clustering-level companion) ----------
+
+  private def ari(n: Int, pairsA: Seq[(Long, Long)], pairsB: Seq[(Long, Long)])
+      : (Long, Long, Long, Long) = {
+    import spark.implicits._
+    val docs = (0 until n).map(_.toLong).toDF("doc_id")
+    val r = Dedup.adjustedRand(docs,
+      pairsA.toDF("a", "b"), pairsB.toDF("a", "b")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  /** Single-threaded ARI replay from cluster labelings. */
+  private def naiveAri(la: Seq[Long], lb: Seq[Long]): Double = {
+    val n = la.size
+    val cells = la.zip(lb).groupBy(identity).view.mapValues(_.size.toLong)
+    def ps(xs: Iterable[Long]) = xs.map(x => x * (x - 1)).sum.toDouble
+    val sij = ps(cells.values)
+    val sa = ps(la.groupBy(identity).view.mapValues(_.size.toLong).values)
+    val sb = ps(lb.groupBy(identity).view.mapValues(_.size.toLong).values)
+    val sn = n.toLong * (n - 1)
+    2.0 * (sn * sij - sa * sb) / (sn * (sa + sb) - 2.0 * sa * sb)
+  }
+
+  test("ARI: identical partitions score exactly 1; degenerate all-singletons too") {
+    val p = Seq((0L, 1L), (2L, 3L))
+    assert(ari(8, p, p)._4 == 1000000L)
+    assert(ari(8, Seq.empty, Seq.empty)._4 == 1000000L,
+      "both all-singletons: the conventional ARI = 1 degenerate case")
+  }
+
+  test("ARI separates detectors kappa cannot: same flagged docs, different grouping") {
+    // A groups {0,1,2,3} as one cluster; B as two pairs — the binary
+    // dup-involved verdicts are IDENTICAL (kappa = 1) but the
+    // partitions differ, so ARI < 1
+    val a = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    val b = Seq((0L, 1L), (2L, 3L))
+    val kOnly = kappa(8, a, b)._6
+    val (n, nca, ncb, ariMicro) = ari(8, a, b)
+    assert(kOnly == 1000000L, s"kappa blind spot precondition: $kOnly")
+    assert(nca == 5L && ncb == 6L && ariMicro < 1000000L && ariMicro > 0L,
+      s"ARI must see the grouping difference: ($n, $nca, $ncb, $ariMicro)")
+  }
+
+  test("ARI: matches a naive replay on a seeded random instance (floor millionths)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val n = 60
+    val pa = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(p => p._1 != p._2)
+    val pb = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(p => p._1 != p._2)
+    val docs = (0 until n).map(_.toLong).toDF("doc_id")
+    def labels(p: Seq[(Long, Long)]): Seq[Long] = {
+      val lbl = Dedup.connectedComponents(p.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0 until n).map(i => lbl.getOrElse(i.toLong, i.toLong))
+    }
+    val want = math.floor(naiveAri(labels(pa), labels(pb)) * 1e6).toLong
+    val got = ari(n, pa, pb)._4
+    assert(got == want, s"engine $got vs naive $want")
+  }
+
   test("partition count cannot change the census or the unit") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
