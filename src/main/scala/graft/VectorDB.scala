@@ -101,6 +101,11 @@ final class VectorDB private (
     * is orthogonal: refined distances are true distances). */
   private var opqPerm: Option[Array[Int]] = None
   private var opqBuildParams: Option[(Int, Int, Int, Int, Int)] = None
+  /** The corpus-global training artifact this handle was encoded
+    * against ([[buildIndexShared]]) — presence is what makes the
+    * handle MERGEABLE with fingerprint-equal peers, including the
+    * compressed and dot modes that shard-local training locks out. */
+  private var sharedTraining: Option[graft.index.SharedTraining] = None
 
   /** Cells probed per query when an IVF router is trained. */
   var nprobe: Int = 3
@@ -192,6 +197,7 @@ final class VectorDB private (
     bqBuildParams = None
     opqPerm = None
     opqBuildParams = None
+    sharedTraining = None
   }
 
   /** Build the ANN index over an optional contiguous id range
@@ -231,15 +237,14 @@ final class VectorDB private (
     * the walk could miss it entirely (recall loss, not just rank
     * noise). */
   private def mipsAugment(v: org.apache.spark.sql.Column, maxNormSq: Double) =
-    concat(v.cast("array<float>"),
-      array(sqrt(greatest(lit(0.0d), lit(maxNormSq) - dotNative(v, v))).cast("float")))
+    graft.index.SharedTraining.mipsAugment(v, maxNormSq)
 
   /** Zero-pad a `from`-wide vector column to `width`: PQ subspaces must
     * divide the encoded width, and zero pads are metric-neutral — the
     * query pads with zeros too, so every padded dim contributes 0 to
     * any distance. */
   private def zeroPad(v: org.apache.spark.sql.Column, width: Int, from: Int) =
-    if (width == from) v else concat(v, array_repeat(lit(0.0f), width - from))
+    graft.index.SharedTraining.zeroPad(v, width, from)
 
   /** The corpus mapped into `metric`'s serving space — the shared
     * preprocessing behind the HNSW AND compressed (PQ/SQ) builds:
@@ -475,6 +480,90 @@ final class VectorDB private (
     codes
   }
 
+  /** Build this handle's serving state by ENCODING the corpus against
+    * a corpus-global [[graft.index.SharedTraining]] artifact — the
+    * shard arm of the 100 TB compressed build path (train once
+    * globally, encode per shard, merge the handles; see
+    * SharedTraining's doc). NO training job runs here: the router,
+    * codebooks/bounds, OPQ permutation, and the MIPS max-norm all come
+    * from `t`, which is what makes independently built shards
+    * MERGEABLE — [[mergeWith]] accepts fingerprint-equal artifacts on
+    * every mode, including the compressed and dot ones that
+    * shard-local training locks out.
+    *
+    * The dot arm re-checks the norm bound LOUDLY (one aggregate over
+    * this shard): a vector with ‖x‖² above the trained bound would
+    * clamp in the augmentation and silently lose recall — a
+    * correctness failure, not a quality one (the sample-training
+    * contract on [[graft.index.SharedTraining.train]]). */
+  def buildIndexShared(t: graft.index.SharedTraining,
+      payloadCols: Seq[String] = Nil): DataFrame = {
+    require(t.dims == dims,
+      s"artifact dims ${t.dims} != handle dims $dims")
+    dropServingState()
+    if (t.metric == Knn.Dot) {
+      val bound = t.mipsMaxNormSq.getOrElse(throw new IllegalStateException(
+        "dot artifact without its trained max norm"))
+      val row = vectors.agg(max(dotNative(col(vecCol), col(vecCol)))).head()
+      val shardM2 = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      require(shardM2 <= bound,
+        f"shard max squared norm $shardM2%.6g exceeds the artifact's trained " +
+          f"bound $bound%.6g - train SharedTraining on the union corpus, or " +
+          "pass a normBoundSq that dominates every shard (a clamped over-norm " +
+          "vector would silently lose recall)")
+      mipsMaxNormSq = Some(bound)
+    }
+    val reduced = {
+      val r = t.metric match {
+        case Knn.Cosine => vectors.withColumn(vecCol, l2Normalize(col(vecCol)))
+        case Knn.Dot => vectors.withColumn(vecCol,
+          zeroPad(mipsAugment(col(vecCol), t.mipsMaxNormSq.get), t.width, dims + 1))
+        case _ => vectors
+      }
+      t.opqPerm
+        .map(p => r.withColumn(vecCol, graft.index.Opq.permuteExpr(col(vecCol), p)))
+        .getOrElse(r)
+    }
+    val assigned = IvfIndex.assign(reduced, t.router, idCol, vecCol)
+    def codesWith(enc: org.apache.spark.sql.Column): DataFrame =
+      assigned
+        .select(col(idCol), col("cell"), enc.as("codes"),
+          payExpr(payloadCols).as("payload"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out: DataFrame = t.mode match {
+      case "ivf" =>
+        val built = HnswIndex.build(assigned.withColumn("part", col("cell")),
+            params, idCol, vecCol, "part", payloadCols)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        index = Some(built)
+        built.toDF()
+      case "pq" | "opq" =>
+        val model = t.pqModel.getOrElse(throw new IllegalStateException(
+          s"${t.mode} artifact without codebooks"))
+        val codes = codesWith(ProductQuantizer.encodeExpr(col(vecCol), model))
+        pqState = Some((codes, model))
+        opqPerm = t.opqPerm
+        codes
+      case "sq" =>
+        val (lo, hi) = t.sqBounds.getOrElse(throw new IllegalStateException(
+          "sq artifact without trained bounds"))
+        val codes = codesWith(ScalarQuantizer.encodeExpr(col(vecCol), lo, hi))
+        sqState = Some((codes, lo, hi))
+        codes
+      case "bq" =>
+        val codes = codesWith(graft.index.BinaryQuant.packExpr(col(vecCol), t.width))
+        bqState = Some(codes)
+        codes
+      case m => throw new IllegalArgumentException(s"unknown artifact mode '$m'")
+    }
+    ivfModel = Some(t.router)
+    indexMetric = t.metric
+    intendedMetric = t.metric
+    servedPayloadCols = payloadCols
+    sharedTraining = Some(t)
+    out
+  }
+
   /** Append rows — the reference's `add_vector` ingest rule
     * (`src/lib.rs:62-72`, any bad row rejects the batch) applies
     * lazily: the returned handle's guard covers the appended rows, so
@@ -582,6 +671,17 @@ final class VectorDB private (
     * columns the user chose. The rebuild reads only the derived
     * corpus, so the parent's superseded cache releases immediately. */
   private def rebuildOnto(db: VectorDB): Unit = {
+    if (sharedTraining.isDefined)
+      // a norm-/bound-expanding batch invalidates GLOBAL geometry: a
+      // shard that locally retrained would stop fingerprint-matching
+      // its peers and silently lose mergeability — fail loudly with
+      // the real fix instead
+      throw new IllegalStateException(
+        "this handle serves a corpus-global SharedTraining artifact and the " +
+          "batch expands its trained bound (max-norm / SQ range) — a shard " +
+          "cannot locally rebuild global geometry; retrain SharedTraining " +
+          "over the grown corpus (or with a dominating normBoundSq) and " +
+          "buildIndexShared every shard against the new artifact")
     if (opqPerm.isDefined && pqState.isDefined) {
       // the permutation is corpus-trained state: a rebuild re-derives
       // it from the NEW corpus under the recorded shape
@@ -673,6 +773,9 @@ final class VectorDB private (
     db.ivfModel = ivfModel
     db.mipsMaxNormSq = mipsMaxNormSq
     db.opqPerm = opqPerm
+    // in-bound maintenance encodes against the shared artifact, so the
+    // derived handle keeps its merge compatibility
+    db.sharedTraining = sharedTraining
     db
   }
 
@@ -713,7 +816,11 @@ final class VectorDB private (
     * compacted layout — a stale router would probe dissolved cells
     * that no longer exist and silently lose their vectors. Corpus and
     * serving knobs carry over. Compressed (PQ/SQ) handles take
-    * [[compactCodes]] — same dissolve semantics on the codes table. */
+    * [[compactCodes]] — same dissolve semantics on the codes table.
+    * A [[buildIndexShared]] handle DROPS its shared status here: the
+    * compacted cell layout diverges from the artifact's router, so the
+    * derived handle is no longer fingerprint-mergeable (merge before
+    * compacting, or compact the merged result). */
   def compact(minCellSize: Int = 64): VectorDB = {
     if (servesCompressed) return compactCodes(minCellSize)
     val idx = index.getOrElse(throw new IllegalStateException(
@@ -742,7 +849,10 @@ final class VectorDB private (
     * one is trained) is RE-DERIVED from the rebalanced layout — the
     * new cells must be routable. HNSW serving only: compressed cell
     * membership is codes-table routing metadata whose balance
-    * maintenance is [[compactCodes]]' concern. */
+    * maintenance is [[compactCodes]]' concern. Like [[compact]], a
+    * shared-artifact handle drops its shared status here (the split
+    * layout diverges from the artifact's router) — merge first, then
+    * rebalance the merged result. */
   def rebalance(maxCellSize: Int = HnswIndex.DefaultMaxCellSize): VectorDB = {
     val idx = index.getOrElse(throw new IllegalStateException(
       "rebalance requires a built HNSW index — call buildIndex/buildIndexIvf first"))
@@ -783,13 +893,31 @@ final class VectorDB private (
       s"column-name mismatch: ($idCol, $vecCol) vs (${other.idCol}, ${other.vecCol})")
     require(params == other.params,
       s"HNSW parameter mismatch: $params vs ${other.params}")
+    // the SHARED-ARTIFACT arm: both sides encoded against the same
+    // corpus-global training ([[buildIndexShared]]) — every mode
+    // merges, including compressed and dot. A fingerprint MISMATCH
+    // between two shared handles fails here with the real diagnosis
+    // instead of falling through to the shard-local reject below.
+    (sharedTraining, other.sharedTraining) match {
+      case (Some(ta), Some(tb)) =>
+        require(ta.fingerprint == tb.fingerprint,
+          "shared-training fingerprint mismatch: the two handles were " +
+            s"encoded against different artifacts (${ta.fingerprint.take(12)}… " +
+            s"vs ${tb.fingerprint.take(12)}…) — retrain once and " +
+            "buildIndexShared both sides from the SAME artifact")
+        return mergeShared(ta, other)
+      case _ => ()
+    }
     // compressed state rejects BEFORE the index requirement: a PQ/SQ/BQ
     // handle has no HNSW index at all, and "build an index first" would
     // misdirect a user whose real blocker is the corpus-global codebook
     require(pqState.isEmpty && sqState.isEmpty && bqState.isEmpty &&
       other.pqState.isEmpty && other.sqState.isEmpty && other.bqState.isEmpty,
-      "compressed handles merge by REBUILD — PQ/SQ/BQ/OPQ codebooks and " +
-        "bounds are corpus-global, two shard-local trainings cannot reconcile")
+      "compressed handles with shard-local training merge by REBUILD — " +
+        "PQ/SQ/BQ/OPQ codebooks and bounds are corpus-global, two " +
+        "shard-local trainings cannot reconcile; train once with " +
+        "SharedTraining.train and buildIndexShared each shard to make " +
+        "compressed shards mergeable")
     val a = index.getOrElse(throw new IllegalStateException(
       "mergeWith requires a built HNSW index on BOTH handles"))
     val b = other.index.getOrElse(throw new IllegalStateException(
@@ -798,16 +926,21 @@ final class VectorDB private (
       s"metric mismatch: $indexMetric/$intendedMetric vs " +
         s"${other.indexMetric}/${other.intendedMetric}")
     require(indexMetric != Knn.Dot,
-      "dot (MIPS) handles merge by REBUILD — the augmentation max-norm " +
-        "is corpus-global and each shard baked its own into the stored vectors")
+      "dot (MIPS) handles with shard-local training merge by REBUILD — " +
+        "the augmentation max-norm is corpus-global and each shard baked " +
+        "its own into the stored vectors; train once with " +
+        "SharedTraining.train(metric = dot) and buildIndexShared each " +
+        "shard to make dot shards mergeable")
     require(servedPayloadCols == other.servedPayloadCols,
       s"payload-column mismatch: $servedPayloadCols vs ${other.servedPayloadCols}")
     require(vectors.columns.sorted.sameElements(other.vectors.columns.sorted),
       s"corpus schema mismatch: ${vectors.columns.sorted.mkString(",")} vs " +
         s"${other.vectors.columns.sorted.mkString(",")}")
+    // HnswIndex.merge persists the union BEFORE its duplicate-id
+    // aggregate (one computation serves the check and this
+    // materialization); the count just completes the cache fill
     val merged = HnswIndex.merge(a, b)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    merged.count() // materialize (runs the duplicate-id check eagerly)
+    merged.count()
     val db = tuned(new VectorDB(
       vectors.unionByName(other.vectors), dims, params, idCol, vecCol))
     db.index = Some(merged)
@@ -815,6 +948,66 @@ final class VectorDB private (
     db.ivfModel = ivfModel.orElse(other.ivfModel).map(_ =>
       IvfIndex.fromPartitionMeans(
         merged.toDF().select(col("part"), col("vec")), "part", "vec"))
+    db
+  }
+
+  /** The fingerprint-equal arm of [[mergeWith]]: both handles encoded
+    * against the SAME [[graft.index.SharedTraining]] artifact, so
+    * corpus-global state reconciles by construction. Compressed codes
+    * tables union DIRECTLY — cell ids are global (both sides routed
+    * through the shared centroids), so nothing re-keys and the SHARED
+    * router keeps serving. The HNSW ("ivf") mode still merges via
+    * [[graft.index.HnswIndex.merge]] with re-keyed parts — cell GRAPHS
+    * are shard-local even under a shared router (interleaving two
+    * graphs under one part id would corrupt both) — and re-derives its
+    * router from the merged layout; the shared dot max-norm is what
+    * makes the dot variant sound. Id-disjointness is checked loudly on
+    * the compressed union (the HnswIndex.merge contract; the HNSW arm
+    * checks inside merge). Merged serving state ≡ a single
+    * [[buildIndexShared]] over the union corpus — encode and cell
+    * assignment are per-row maps of the shared artifact — which is the
+    * anchor CompressedServingSpec pins and the q_vectordb_pq_merged /
+    * q_vectordb_dot_merged oracles gate. */
+  private def mergeShared(t: graft.index.SharedTraining, other: VectorDB): VectorDB = {
+    require(servedPayloadCols == other.servedPayloadCols,
+      s"payload-column mismatch: $servedPayloadCols vs ${other.servedPayloadCols}")
+    require(vectors.columns.sorted.sameElements(other.vectors.columns.sorted),
+      s"corpus schema mismatch: ${vectors.columns.sorted.mkString(",")} vs " +
+        s"${other.vectors.columns.sorted.mkString(",")}")
+    val db = tuned(new VectorDB(
+      vectors.unionByName(other.vectors), dims, params, idCol, vecCol))
+    db.indexMetric = indexMetric
+    db.intendedMetric = intendedMetric
+    db.mipsMaxNormSq = t.mipsMaxNormSq
+    db.opqPerm = t.opqPerm
+    db.sharedTraining = Some(t)
+    if (servesCompressed) {
+      // persist BEFORE the duplicate-id aggregate: one computation
+      // serves the check and the merged handle's first search
+      val union = codesTable.unionByName(other.codesTable)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dup = union.groupBy(col(idCol)).count()
+        .filter(col("count") > 1).select(col(idCol)).head(1)
+      require(dup.isEmpty,
+        s"merge requires globally unique vector ids; id " +
+          s"${dup.headOption.map(_.get(0)).getOrElse(-1L)} appears in more " +
+          "than one shard (shard the corpus disjointly, or remove/upsert " +
+          "before merging)")
+      db.pqState = pqState.map { case (_, m) => (union, m) }
+      db.sqState = sqState.map { case (_, lo, hi) => (union, lo, hi) }
+      db.bqState = bqState.map(_ => union)
+      db.ivfModel = Some(t.router)
+    } else {
+      val a = index.getOrElse(throw new IllegalStateException(
+        "mergeWith requires a built HNSW index on BOTH handles"))
+      val b = other.index.getOrElse(throw new IllegalStateException(
+        "mergeWith requires a built HNSW index on BOTH handles"))
+      val merged = HnswIndex.merge(a, b)
+      merged.count()
+      db.index = Some(merged)
+      db.ivfModel = Some(IvfIndex.fromPartitionMeans(
+        merged.toDF().select(col("part"), col("vec")), "part", "vec"))
+    }
     db
   }
 
@@ -952,6 +1145,9 @@ final class VectorDB private (
       db.indexMetric = indexMetric
       db.ivfModel = ivfModel
       db.mipsMaxNormSq = mipsMaxNormSq
+      // in-bound maintenance reduces batches with the artifact's stored
+      // geometry, so the derived handle keeps its merge compatibility
+      db.sharedTraining = sharedTraining
     }
     db
   }
@@ -1489,6 +1685,14 @@ final class VectorDB private (
       s"bqParams=${bqBuildParams.map { case (a, b) => s"$a,$b" }.getOrElse("")}",
       s"opqParams=${opqBuildParams.map { case (a, b, c, d, e) => s"$a,$b,$c,$d,$e" }.getOrElse("")}",
       s"opqPerm=${opqPerm.map(_.mkString(",")).getOrElse("")}",
+      // shared-artifact handles stay MERGEABLE across a save/load
+      // round-trip: every component (router, codebooks/bounds, perm,
+      // max-norm) is already persisted above; the mode marker tells
+      // load to re-assemble them, and the stored fingerprint is an
+      // integrity check against the recomputed one
+      s"shared=${sharedTraining.map(_.mode).getOrElse("")}",
+      s"sharedWidth=${sharedTraining.map(_.width.toString).getOrElse("")}",
+      s"sharedFingerprint=${sharedTraining.map(_.fingerprint).getOrElse("")}",
       s"hasRouter=${ivfModel.isDefined}").mkString("", "\n", "\n")
     val p = new org.apache.hadoop.fs.Path(path, "graft_meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1698,6 +1902,27 @@ object VectorDB {
     db.bqBuildParams = ints("bqParams").map(a => (a(0), a(1)))
     db.opqBuildParams = ints("opqParams").map(a => (a(0), a(1), a(2), a(3), a(4)))
     db.opqPerm = ints("opqPerm")
+    // re-assemble the SharedTraining artifact from its persisted
+    // components so a loaded shard keeps its merge compatibility; the
+    // recomputed fingerprint must equal the saved one (doubles
+    // round-trip parquet and Double.toString bit-exactly — a mismatch
+    // means the artifact directory was tampered with or mixed)
+    meta.get("shared").filter(_.nonEmpty).foreach { mode =>
+      val router = db.ivfModel.getOrElse(throw new IllegalStateException(
+        "shared-artifact manifest without a persisted router"))
+      val t = graft.index.SharedTraining(
+        metric = db.indexMetric, mode = mode, dims = db.dims,
+        width = meta("sharedWidth").toInt, router = router,
+        pqModel = db.pqState.map(_._2),
+        sqBounds = db.sqState.map { case (_, lo, hi) => (lo, hi) },
+        opqPerm = db.opqPerm, mipsMaxNormSq = db.mipsMaxNormSq)
+      val saved = meta.getOrElse("sharedFingerprint", "")
+      require(saved.isEmpty || saved == t.fingerprint,
+        s"shared-training fingerprint mismatch on load: manifest says $saved, " +
+          s"re-assembled artifact hashes to ${t.fingerprint} — the saved " +
+          "components were altered or mixed across saves")
+      db.sharedTraining = Some(t)
+    }
     db
   }
 }

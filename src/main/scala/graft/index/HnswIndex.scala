@@ -431,7 +431,12 @@ object HnswIndex {
     val shifted = b.toDF()
       .withColumn("part", (col("part") + shift).cast("int"))
       .as[IndexRow](a.encoder)
+    // persist BEFORE the duplicate-id aggregate so the check and the
+    // caller's first materialization share one computation of the
+    // union lineage (the returned dataset is persisted; the caller
+    // owns its unpersist — VectorDB.mergeWith's generation contract)
     val merged = a.union(shifted)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = merged.groupBy("vector_id").count()
       .filter(col("count") > 1).select("vector_id").head(1)
     require(dup.isEmpty,
@@ -447,19 +452,33 @@ object HnswIndex {
     * id-disjointness aggregate finishes the job, where a fold of
     * binary merges re-checks the GROWING union once per shard —
     * O(N²·rows) of duplicate-check work for N shards vs this one
-    * O(total) pass. Per-shard part ranges are tiny aggregates
-    * (min/max, one narrow job each); empty shards drop. Served
-    * results ≡ the binary-merge fold (spec-pinned) — only the packed
-    * part-id labeling differs, and part ids are layout-internal. */
+    * O(total) pass. Part-range discovery is ONE job: every shard's
+    * part column is tagged with its shard ordinal, unioned, and
+    * aggregated in a single groupBy(shard) min/max — N sequential
+    * driver-side aggregates would cost N job floors (~0.2 s each)
+    * before the merge starts, hundreds of shards deep at 100 TB.
+    * Empty shards drop. Served results ≡ the binary-merge fold
+    * (spec-pinned) — only the packed part-id labeling differs, and
+    * part ids are layout-internal. Like [[merge]], the returned union
+    * is persisted before the duplicate-id aggregate (one computation
+    * serves the check and the caller's first materialization; the
+    * caller owns the unpersist). */
   def mergeAll(shards: Seq[Dataset[IndexRow]]): Dataset[IndexRow] = {
     require(shards.nonEmpty, "mergeAll requires at least one shard")
-    val ranges = shards.map(s => s.agg(min("part"), max("part")).head())
-    val nonEmpty = shards.zip(ranges).filter(_._2.get(0) != null)
+    val rangeRows = shards.zipWithIndex
+      .map { case (s, i) => s.toDF().select(lit(i).as("__shard"), col("part")) }
+      .reduce(_ union _)
+      .groupBy("__shard")
+      .agg(min("part").as("lo"), max("part").as("hi"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getInt(1), r.getInt(2)))
+      .toMap
+    val nonEmpty = shards.zipWithIndex.flatMap { case (s, i) =>
+      rangeRows.get(i).map(r => (s, r))
+    }
     if (nonEmpty.isEmpty) return shards.head
     var next = 0
-    val shifted = nonEmpty.map { case (s, r) =>
-      val lo = r.getInt(0)
-      val hi = r.getInt(1)
+    val shifted = nonEmpty.map { case (s, (lo, hi)) =>
       val shift = next - lo
       next += hi - lo + 1
       if (shift == 0) s
@@ -467,15 +486,15 @@ object HnswIndex {
         .withColumn("part", (col("part") + shift).cast("int"))
         .as[IndexRow](s.encoder)
     }
+    if (nonEmpty.size == 1) return shifted.head
     val merged = shifted.reduce(_ union _)
-    if (nonEmpty.size > 1) {
-      val dup = merged.groupBy("vector_id").count()
-        .filter(col("count") > 1).select("vector_id").head(1)
-      require(dup.isEmpty,
-        s"mergeAll requires globally unique vector ids; id ${dup.headOption.map(_.getLong(0)).getOrElse(-1L)} " +
-          "appears in more than one shard (shard the corpus disjointly, " +
-          "or removeBatch/upsert before merging)")
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = merged.groupBy("vector_id").count()
+      .filter(col("count") > 1).select("vector_id").head(1)
+    require(dup.isEmpty,
+      s"mergeAll requires globally unique vector ids; id ${dup.headOption.map(_.getLong(0)).getOrElse(-1L)} " +
+        "appears in more than one shard (shard the corpus disjointly, " +
+        "or removeBatch/upsert before merging)")
     merged
   }
 

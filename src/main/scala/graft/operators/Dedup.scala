@@ -447,9 +447,12 @@ object Dedup {
     * floor identity. A zero denominator occurs only when BOTH
     * partitions are degenerate-identical (both all-singletons or both
     * one cluster) — reported as the conventional ARI = 1. DECIMAL
-    * (38,0) holds the Sn·S·10⁶ products to n ≈ 10⁸ docs; past that,
-    * run the census per shard or on a sample (scaladoc contract, the
-    * lshQuality convention).
+    * (38,0) holds the worst-case product |__num|·10⁶ ≤ 2·Sn²·10⁶ only
+    * while Sn = n(n−1) ≤ 7×10¹⁵, i.e. n ≈ 8.3×10⁷ docs — and because
+    * non-ANSI decimal overflow surfaces as a silent NULL, the plan
+    * RAISES when Sn exceeds that bound instead of returning one (the
+    * fail-loudly convention); past it, run the census per shard or on
+    * a sample (the lshQuality contract).
     *
     * Scale shape: two [[connectedComponents]] runs over the PAIR
     * graphs (bounded by the detectors' blocking contracts, never the
@@ -481,6 +484,17 @@ object Dedup {
       .crossJoin(sa.select(col("ps").as("Sa")))
       .crossJoin(sb.select(col("ps").as("Sb")))
       .withColumn("Sn", expr("CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1)"))
+      // overflow guard BEFORE the products: |__num|·10⁶ ≤ 2·Sn²·10⁶
+      // (Sij, Sa, Sb ≤ Sn) fits DECIMAL(38,0) iff Sn ≤ ~7.07×10¹⁵;
+      // past that, non-ANSI decimal arithmetic would return a silent
+      // NULL ari_micro — raise loudly instead
+      .withColumn("Sn", expr(
+        """CASE WHEN Sn > CAST(7000000000000000 AS DECIMAL(38,0))
+          |THEN CAST(raise_error(CONCAT('adjustedRand overflow: n(n-1) = ',
+          |  CAST(Sn AS STRING), ' exceeds the DECIMAL(38,0)-safe bound 7e15',
+          |  ' (n > ~8.3e7 docs) - run the census per shard or on a sample'))
+          |  AS DECIMAL(38,0))
+          |ELSE Sn END""".stripMargin))
       .withColumn("__num", expr("2 * (Sn * Sij - Sa * Sb)"))
       .withColumn("__den", expr("Sn * (Sa + Sb) - 2 * Sa * Sb"))
       .withColumn("ari_micro", expr(

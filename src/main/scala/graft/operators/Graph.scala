@@ -684,7 +684,11 @@ object Graph {
           coalesce(col("h"), lit(0L)).as("hub_units"))
     } finally {
       twins.foreach(_.unpersist(blocking = false))
-      eBase.unpersist(blocking = false)
+      // eBase is localCheckpointed, not persisted: Dataset.unpersist
+      // would be a no-op there (the checkpoint blocks live on the RDD,
+      // not in the CacheManager) — ContextCleaner reclaims them when
+      // the RDD goes out of scope, as with every other localCheckpoint
+      // in this file
     }
   }
 }

@@ -86,15 +86,6 @@ object UnigramLm {
           * Scale.toDouble).cast("long").as("lp_units"))
   }
 
-  /** Viterbi segmentation of one word under integer-unit piece
-    * log-probs: maximize Σ lp_units over pieces (length ≤ MaxPieceLen);
-    * score ties prefer the LONGER final piece at each position. The
-    * model must cover the WORD (position n reachable) — guaranteed for
-    * the seed (all single chars) and preserved by re-estimation (every
-    * word's own previous-round pieces survive with positive count), so
-    * a gap fails loudly as a contract violation. Interior positions
-    * may legitimately be unreachable under a re-estimated model (a
-    * dropped single char inside a surviving multi-char piece). */
   /** [[segment]] as the public LOCAL point arm (single-word
     * tokenization is a serving call): Viterbi-segment one word under a
     * trained `(piece → lp_units)` model — the EXACT routine
@@ -105,6 +96,15 @@ object UnigramLm {
     segment(word, model).toSeq
   }
 
+  /** Viterbi segmentation of one word under integer-unit piece
+    * log-probs: maximize Σ lp_units over pieces (length ≤ MaxPieceLen);
+    * score ties prefer the LONGER final piece at each position. The
+    * model must cover the WORD (position n reachable) — guaranteed for
+    * the seed (all single chars) and preserved by re-estimation (every
+    * word's own previous-round pieces survive with positive count), so
+    * a gap fails loudly as a contract violation. Interior positions
+    * may legitimately be unreachable under a re-estimated model (a
+    * dropped single char inside a surviving multi-char piece). */
   private[graft] def segment(word: String, lp: collection.Map[String, Long]): Array[String] = {
     val n = word.length
     val best = Array.fill(n + 1)(Long.MinValue)

@@ -148,8 +148,9 @@ object IndexQueries {
         HnswIndex.save(idx, p.toString)
         HnswIndex.load(s, p.toString)
       }
+      // merge() persists the union itself (before its duplicate-id
+      // check) — no second persist here
       HnswIndex.merge(halves(0), halves(1))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   /** Search over the [[mergedIndex]] — fresh query ids (114-117).
@@ -927,6 +928,128 @@ object IndexQueries {
     val queries = e.filter(col("vec_id") >= 118 && col("vec_id") < 122)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     vdbMergedHandle(s, dir).searchBatch(queries, k = 5)
+      .select(col("qid"), col("rank").cast("int").as("rnk"), col("vec_id"),
+        round(col("dist"), 3).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Shared-artifact merged COMPRESSED handle (VERDICT r15 item #1 —
+    * the corpus-global compressed build): ONE
+    * [[graft.index.SharedTraining.train]] pass over the union corpus
+    * (the same 16-trained-cell / iters=0-init-codebook shape as
+    * [[vdbPqHandle]]'s build), then each id-parity half ENCODES
+    * against the shared artifact ([[graft.VectorDB.buildIndexShared]]
+    * — a map-only job, no per-shard training) and the two handles
+    * merge (fingerprint-equal artifacts lift the compressed-merge
+    * rejection). Because encode and cell assignment are per-row maps
+    * of the shared artifact, the merged codes table is row-identical
+    * to a single full-corpus shared build — so the oracle is exactly
+    * the q_vectordb_pq trained-probe + ADC replay, at a fresh query
+    * id. */
+  private val vdbPqMergedMemo = new SessionMemo[graft.VectorDB]
+  private def vdbPqMergedHandle(s: SparkSession, dir: String) =
+    vdbPqMergedMemo.get(s, dir) {
+      val t = graft.index.SharedTraining.train(emb(s, dir), dims = 64,
+        mode = "pq", metric = graft.operators.Knn.L2,
+        numCells = 16, routerIters = 1, numSub = 8, codebookK = 16,
+        pqIters = 0)
+      def shard(parity: Int) = {
+        val db = graft.VectorDB.fromDataFrame(
+          emb(s, dir).filter(col("vec_id") % 2 === parity), dims = 64, P)
+        db.buildIndexShared(t)
+        db
+      }
+      val m = shard(0).mergeWith(shard(1))
+      m.nprobe = 3
+      m
+    }
+
+  /** Gate on merged shared-artifact PQ serving — fresh query id (123):
+    * trained-router probe selection AND init-codebook ADC ranking must
+    * both survive the shard-encode + merge path bit-for-bit. */
+  def qVectordbPqMerged(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 123L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbPqMergedHandle(s, dir).search(qv, k = 10)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
+  /** Shared-artifact merged DOT (MIPS) handle — the dot twin of
+    * [[vdbPqMergedHandle]]: the augmentation max-norm is trained ONCE
+    * over the union corpus, so both shards' augmented geometries agree
+    * and the dot-merge rejection lifts. Exhaustive probing ⇒ merged
+    * serving ≡ global brute-force argmax dot (the q_vectordb_dot
+    * oracle shape at a fresh query id). */
+  private val vdbDotMergedMemo = new SessionMemo[graft.VectorDB]
+  private def vdbDotMergedHandle(s: SparkSession, dir: String) =
+    vdbDotMergedMemo.get(s, dir) {
+      val t = graft.index.SharedTraining.train(emb(s, dir), dims = 64,
+        mode = "ivf", metric = graft.operators.Knn.Dot,
+        numCells = 4, routerIters = 1)
+      def shard(parity: Int) = {
+        val db = graft.VectorDB.fromDataFrame(
+          emb(s, dir).filter(col("vec_id") % 2 === parity), dims = 64, P)
+        db.buildIndexShared(t)
+        db
+      }
+      val m = shard(0).mergeWith(shard(1))
+      val st = m.stats.head()
+      m.nprobe = st.getAs[Long]("n_cells").toInt
+      m.efSearch =
+        math.max(4096L, st.getAs[Long]("max_cell") + 1L).min(Int.MaxValue).toInt
+      m
+    }
+
+  /** Gate on merged shared-artifact dot serving — fresh query id
+    * (124). */
+  def qVectordbDotMerged(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 124L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbDotMergedHandle(s, dir).search(qv, k = 5)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), (round(col("dist"), 3) + lit(0.0)).as("dist"))
+  }
+
+  /** Merge → REBALANCE composition (VERDICT r15 item #3): a merged
+    * layout keeps Σ shard-cells forever — after hundreds of shards the
+    * router probes a cell count no single build would produce — so the
+    * 100 TB lifecycle is merge, then rebalance the merged result into
+    * the bounded-cell layout a fresh build would have. Fresh shard
+    * handles (the memoized [[vdbMergedHandle]] must keep serving
+    * q_vectordb_merged — rebalance releases its parent's cache), then
+    * [[graft.VectorDB.rebalance]] splits every over-cap merged cell
+    * into first-class cells and RE-DERIVES the router over the split
+    * layout. Exhaustive probing ⇒ serving ≡ global brute force, so the
+    * oracle gates that the composition lost no vector, duplicated
+    * none, and left every graph servable. */
+  private val vdbMergedRebalMemo = new SessionMemo[graft.VectorDB]
+  private def vdbMergedRebalancedHandle(s: SparkSession, dir: String) =
+    vdbMergedRebalMemo.get(s, dir) {
+      val e = emb(s, dir)
+      def shard(parity: Int) = {
+        val db = graft.VectorDB.fromDataFrame(
+          e.filter(col("vec_id") % 2 === parity), dims = 64, P)
+        db.buildIndexIvf(numCells = 4, iters = 1)
+        db
+      }
+      val rb = shard(0).mergeWith(shard(1)).rebalance(maxCellSize = 64)
+      val st = rb.stats.head()
+      rb.nprobe = st.getAs[Long]("n_cells").toInt
+      rb.efSearch =
+        math.max(4096L, st.getAs[Long]("max_cell") + 1L).min(Int.MaxValue).toInt
+      rb
+    }
+
+  /** Gate on the merge → rebalance composition — fresh query ids
+    * (125-128). */
+  def qVectordbMergedRebalanced(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") >= 125 && col("vec_id") < 129)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    vdbMergedRebalancedHandle(s, dir).searchBatch(queries, k = 5)
       .select(col("qid"), col("rank").cast("int").as("rnk"), col("vec_id"),
         round(col("dist"), 3).as("dist"))
       .orderBy("qid", "rnk")
@@ -2631,8 +2754,22 @@ object IndexQueries {
       Some(bruteOracleSql("vec_id >= 114 AND vec_id < 118"))),
     QueryDef("q_vectordb_merged", qVectordbMerged,
       Some(bruteOracleSql("vec_id >= 118 AND vec_id < 122"))),
+    // merged shared-artifact handles serve exactly what one shared
+    // build over the union corpus serves: the pq oracle is the same
+    // trained-probe + ADC replay as q_vectordb_pq; the dot oracle is
+    // brute-force MIPS (exhaustive probing)
+    QueryDef("q_vectordb_pq_merged", qVectordbPqMerged,
+      Some(pqTrainedOracleSql(123))),
+    QueryDef("q_vectordb_dot_merged", qVectordbDotMerged, Some(
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 124)
+         |SELECT e.vec_id,
+         |  round(-(${VectorQueries.dotSql("e.embedding", "q.qv")}), 3) + CAST(0.0 AS DOUBLE) AS dist
+         |FROM embeddings e CROSS JOIN q
+         |ORDER BY -(${VectorQueries.dotSql("e.embedding", "q.qv")}), e.vec_id LIMIT 5""".stripMargin)),
     QueryDef("q_vectordb_rebalanced", qVectordbRebalanced,
       Some(bruteOracleSql("vec_id >= 103 AND vec_id < 107"))),
+    QueryDef("q_vectordb_merged_rebalanced", qVectordbMergedRebalanced,
+      Some(bruteOracleSql("vec_id >= 125 AND vec_id < 129"))),
     QueryDef("q_ann_trained", qAnnTrained,
       Some(trainedOracleSql("vec_id >= 16 AND vec_id < 20"))),
     QueryDef("q_ann_incremental", qAnnIncremental,

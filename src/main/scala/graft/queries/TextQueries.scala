@@ -418,7 +418,27 @@ object TextQueries {
     * detector beside the symmetric Jaccard gate: quote-inclusion /
     * boilerplate-envelope duplicates where a short doc sits whole
     * inside a long one). The oracle is the all-pairs truth, so the
-    * prefix-filtered blocking is proven lossless on the fixture. */
+    * prefix-filtered blocking is proven lossless on the fixture.
+    *
+    * FORMAL WONTFIX on the sweep's shuffle flag (rounds 12-15, ×91
+    * bytes on ×10 data, ~128 MB absolute at sf0.1 — the board's one
+    * standing artifact, closed round 16): measured and diagnosed as a
+    * FIXTURE property, not a missing filter. True result pairs grow
+    * linearly (50 → 512 from sf0.01 → sf0.1) but candidate pairs grow
+    * quadratically because the synthetic documents draw from a FIXED
+    * phrase pool — a 3-shingle with df≈2 at sf0.01 has df≈20 at sf0.1,
+    * so its prefix bucket joins ×100, where natural text grows its
+    * shingle universe with the corpus and df stays roughly flat. The
+    * PPJoin positional filter was implemented and A/B-measured: it
+    * prunes NOTHING here (the blown buckets are rare shingles that
+    * sort EARLY in both docs' prefix orders, so the positional bound
+    * is loose exactly there) and its rank bookkeeping ADDED ~25%
+    * shuffle (227 → 285 MB at sf0.1) — reverted with the numbers. The
+    * verify stage already moves only In(id)-pruned arrays for the
+    * surviving candidates; the residual bytes are candidates × shingle
+    * arrays, the operator's inherent cost on this fixture. The sweep
+    * carries this as a DOCUMENTED_ARTIFACT entry (tools/
+    * scale_sweep.py) so the board reads clean-by-contract. */
   def qDedupContainment(s: SparkSession, dir: String): DataFrame =
     Dedup.containmentJoin(docs(s, dir), tau = 0.8)
       .select(col("a"), col("b"), round(col("containment"), 4).as("containment"))

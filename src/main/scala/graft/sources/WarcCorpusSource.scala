@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   *  - raw crawl captures (`WARC-Type: response`, payload =
   *    `application/http; msgtype=response`: an HTTP status line +
   *    header block + body, all inside the record's declared
-  *    `Content-Length`) via [[writeResponses]]/[[readResponses]].
+  *    `Content-Length`) via [[writeResponses]]/[[readResponses]] —
+  *    including the MIXED bundles real crawls ship, where `request`
+  *    and `metadata` records interleave with the responses
+  *    ([[writeCaptures]]; `readResponses(skipNonResponse = true)`
+  *    skips them framing-only).
   *
   * Both use the production framing — version line, CRLF header block
   * with a declared `Content-Length`, payload, double-CRLF terminator —
@@ -67,6 +71,8 @@ object WarcCorpusSource {
 
   private val ConversionType = "conversion"
   private val ResponseType = "response"
+  private val RequestType = "request"
+  private val MetadataType = "metadata"
 
   /** One WARC record's uncompressed bytes — shared by both grammars
     * (the payload is opaque here; responses pass their full HTTP
@@ -101,11 +107,13 @@ object WarcCorpusSource {
           lit("characters (header-forgery guard): "), col(nameCol))))
       .otherwise(col(nameCol).cast("string"))
 
-  /** Write pre-built `(name, recordPayload)` rows as `shards`
-    * gzip-member-per-record `.warc.gz` part files under `dir`
-    * (overwrites) — the shard machinery both writers share. */
+  /** Write pre-built `(name, warcType, contentType, recordPayload)`
+    * rows as `shards` gzip-member-per-record `.warc.gz` part files
+    * under `dir` (overwrites) — the shard machinery every writer
+    * shares; per-row record types are what let [[writeCaptures]]
+    * interleave request/response/metadata records in one bundle. */
   private def writeShards(spark: SparkSession, prepared: DataFrame,
-      dir: String, shards: Int, warcType: String, contentType: String): Unit = {
+      dir: String, shards: Int): Unit = {
     import spark.implicits._
     val sc = spark.sparkContext
     val fs = FileSystem.get(new java.net.URI(dir), sc.hadoopConfiguration)
@@ -113,7 +121,7 @@ object WarcCorpusSource {
     fs.mkdirs(new Path(dir))
     val bcConf = sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
     prepared
-      .as[(String, Array[Byte])]
+      .as[(String, String, String, Array[Byte])]
       .repartition(shards)
       .rdd
       .mapPartitionsWithIndex { (pid, it) =>
@@ -124,7 +132,7 @@ object WarcCorpusSource {
         val fin = new Path(dir, f"part-$pid%05d.warc.gz")
         val out = new DataOutputStream(pfs.create(tmp, true))
         var n = 0L
-        it.foreach { case (name, payload) =>
+        it.foreach { case (name, warcType, contentType, payload) =>
           // one gzip MEMBER per record (finish() seals the member
           // without closing the shard stream) — the production layout
           val member = new GZIPOutputStream(out)
@@ -152,9 +160,9 @@ object WarcCorpusSource {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val prepared = df.select(
       validName(nameCol, textCol).as("n"),
+      lit(ConversionType).as("t"), lit("text/plain").as("c"),
       encode(col(textCol).cast("string"), "UTF-8").as("p"))
-    writeShards(df.sparkSession, prepared, dir, shards,
-      ConversionType, "text/plain")
+    writeShards(df.sparkSession, prepared, dir, shards)
   }
 
   /** The deterministic reason phrase for a status line — the common
@@ -178,34 +186,86 @@ object WarcCorpusSource {
     * the record's own declared length (the Common-Crawl raw-WARC
     * layout). Statuses outside 100-599 are rejected loudly (a forged
     * status line is a header-forgery class, like CR/LF in names). */
+  /** The HTTP response message for one `(name, text, status)` row —
+    * shared by [[writeResponses]] and [[writeCaptures]]. */
+  private def httpResponsePayload(text: String, status: Int): Array[Byte] = {
+    val body = text.getBytes(StandardCharsets.UTF_8)
+    val head = (s"HTTP/1.1 $status ${reasonFor(status)}\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n")
+      .getBytes(StandardCharsets.US_ASCII)
+    val payload = new Array[Byte](head.length + body.length)
+    System.arraycopy(head, 0, payload, 0, head.length)
+    System.arraycopy(body, 0, payload, head.length, body.length)
+    payload
+  }
+
+  /** The validated `(name, text, status)` projection both raw-crawl
+    * writers share. */
+  private def responseRows(df: DataFrame, nameCol: String, textCol: String,
+      statusCol: String): DataFrame =
+    df.select(
+      validName(nameCol, textCol).as("n"),
+      col(textCol).cast("string").as("t"),
+      when(col(statusCol).isNull || col(statusCol) < 100 || col(statusCol) > 599,
+        raise_error(concat(lit("HTTP status must be 100-599, got "),
+          col(statusCol).cast("string"))))
+        .otherwise(col(statusCol).cast("int")).as("s"))
+
   def writeResponses(df: DataFrame, dir: String, shards: Int,
       nameCol: String = "name", textCol: String = "text",
       statusCol: String = "status"): Unit = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val spark = df.sparkSession
     import spark.implicits._
-    val rows = df.select(
-        validName(nameCol, textCol).as("n"),
-        col(textCol).cast("string").as("t"),
-        when(col(statusCol).isNull || col(statusCol) < 100 || col(statusCol) > 599,
-          raise_error(concat(lit("HTTP status must be 100-599, got "),
-            col(statusCol).cast("string"))))
-          .otherwise(col(statusCol).cast("int")).as("s"))
+    val rows = responseRows(df, nameCol, textCol, statusCol)
       .as[(String, String, Int)]
       .map { case (name, text, status) =>
-        val body = text.getBytes(StandardCharsets.UTF_8)
-        val head = (s"HTTP/1.1 $status ${reasonFor(status)}\r\n" +
-          "Content-Type: text/html; charset=utf-8\r\n" +
-          s"Content-Length: ${body.length}\r\n\r\n")
-          .getBytes(StandardCharsets.US_ASCII)
-        val payload = new Array[Byte](head.length + body.length)
-        System.arraycopy(head, 0, payload, 0, head.length)
-        System.arraycopy(body, 0, payload, head.length, body.length)
-        (name, payload)
+        (name, ResponseType, "application/http; msgtype=response",
+          httpResponsePayload(text, status))
       }
-      .toDF("n", "p")
-    writeShards(spark, rows, dir, shards,
-      ResponseType, "application/http; msgtype=response")
+      .toDF("n", "t", "c", "p")
+    writeShards(spark, rows, dir, shards)
+  }
+
+  /** Write `(nameCol, textCol, statusCol)` rows as FULL crawl captures
+    * — the record-type mix a real Common-Crawl raw `.warc.gz` bundle
+    * interleaves: per document a `request` record (the outbound HTTP
+    * message), the `response` record (identical bytes to
+    * [[writeResponses]]'s), and a `metadata` record
+    * (`application/warc-fields`). The metadata payload DELIBERATELY
+    * contains a fake `WARC/1.0` version line and a fake
+    * `Content-Length` field: a reader that scanned payloads for record
+    * boundaries (instead of trusting the declared length framing)
+    * would desync here — [[readResponses]] with
+    * `skipNonResponse = true` must skip these records framing-only. */
+  def writeCaptures(df: DataFrame, dir: String, shards: Int,
+      nameCol: String = "name", textCol: String = "text",
+      statusCol: String = "status"): Unit = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = responseRows(df, nameCol, textCol, statusCol)
+      .as[(String, String, Int)]
+      .flatMap { case (name, text, status) =>
+        val request = (s"GET /$name HTTP/1.1\r\n" +
+          "Host: example.invalid\r\nUser-Agent: graft\r\n\r\n")
+          .getBytes(StandardCharsets.US_ASCII)
+        // hostile on purpose: payload bytes that LOOK like a record
+        // boundary and a record header — framing-only readers are
+        // untouched, scanning readers desync loudly in the spec
+        val metadata = (s"fetchTimeMs: ${text.length}\r\n" +
+          "note: WARC/1.0\r\n" +
+          "note2: Content-Length: 999999\r\n\r\n")
+          .getBytes(StandardCharsets.UTF_8)
+        Seq(
+          (name, RequestType, "application/http; msgtype=request", request),
+          (name, ResponseType, "application/http; msgtype=response",
+            httpResponsePayload(text, status)),
+          (name, MetadataType, "application/warc-fields", metadata))
+      }
+      .toDF("n", "t", "c", "p")
+    writeShards(spark, rows, dir, shards)
   }
 
   /** The shared record-grammar parser: stream one shard's records as
@@ -213,8 +273,16 @@ object WarcCorpusSource {
     * length-framed, loud on every malformation class. A record with
     * no `WARC-Type` header parses with an empty type (legacy shards;
     * the readers treat it as their own type rather than rejecting,
-    * matching the pre-response reader's behavior). */
-  private def recordIterator(path: String, in: DataInputStream)
+    * matching the pre-response reader's behavior).
+    *
+    * `skipType`: record types to SKIP framing-only — the header block
+    * still parses (it is how the skip decision is made) and the
+    * terminator is still verified (framing integrity), but the payload
+    * bytes are SKIPPED, never materialized or scanned, so a hostile
+    * payload in a skipped record (a fake `WARC/1.0` line, a fake
+    * Content-Length) cannot desync the stream and costs no memory. */
+  private def recordIterator(path: String, in: DataInputStream,
+      skipType: String => Boolean = _ => false)
       : Iterator[(String, String, Array[Byte])] = {
 
     def fail(what: String): Nothing =
@@ -246,46 +314,57 @@ object WarcCorpusSource {
       private var done = false
 
       private def advance(): Unit = {
-        if (done || queued != null) return
-        val version = readLine(atBoundary = true)
-        if (version == null) { done = true; return }
-        if (version != "WARC/1.0")
-          fail(s"expected a WARC/1.0 version line, got '$version'")
-        var contentLength = -1L
-        var uri: String = null
-        var warcType = ""
-        var line = readLine(atBoundary = false)
-        while (line.nonEmpty) {
-          val i = line.indexOf(':')
-          if (i <= 0) fail(s"malformed WARC header '$line'")
-          val (k, v) = (line.substring(0, i).trim, line.substring(i + 1).trim)
-          if (k.equalsIgnoreCase("Content-Length")) {
-            contentLength =
-              try java.lang.Long.parseLong(v)
-              catch { case _: NumberFormatException =>
-                fail(s"non-numeric Content-Length '$v'") }
-          } else if (k.equalsIgnoreCase("WARC-Target-URI")) uri = v
-          else if (k.equalsIgnoreCase("WARC-Type")) warcType = v
-          line = readLine(atBoundary = false)
+        while (!done && queued == null) {
+          val version = readLine(atBoundary = true)
+          if (version == null) { done = true; return }
+          if (version != "WARC/1.0")
+            fail(s"expected a WARC/1.0 version line, got '$version'")
+          var contentLength = -1L
+          var uri: String = null
+          var warcType = ""
+          var line = readLine(atBoundary = false)
+          while (line.nonEmpty) {
+            val i = line.indexOf(':')
+            if (i <= 0) fail(s"malformed WARC header '$line'")
+            val (k, v) = (line.substring(0, i).trim, line.substring(i + 1).trim)
+            if (k.equalsIgnoreCase("Content-Length")) {
+              contentLength =
+                try java.lang.Long.parseLong(v)
+                catch { case _: NumberFormatException =>
+                  fail(s"non-numeric Content-Length '$v'") }
+            } else if (k.equalsIgnoreCase("WARC-Target-URI")) uri = v
+            else if (k.equalsIgnoreCase("WARC-Type")) warcType = v
+            line = readLine(atBoundary = false)
+          }
+          if (contentLength < 0) fail("record missing Content-Length")
+          if (uri == null) fail("record missing WARC-Target-URI")
+          if (contentLength > MaxPayloadBytes)
+            fail(s"record '$uri' declares $contentLength bytes — past the " +
+              s"$MaxPayloadBytes single-record bound (records are documents; " +
+              "shard the corpus, don't archive blobs)")
+          val skipped = skipType(warcType)
+          var payload: Array[Byte] = null
+          if (skipped) {
+            // framing-only skip: advance past the declared length
+            // without materializing (or ever scanning) the payload
+            try in.skipNBytes(contentLength)
+            catch { case _: EOFException =>
+              fail(s"truncated record '$uri' (declared $contentLength bytes past EOF)") }
+          } else {
+            payload = new Array[Byte](contentLength.toInt)
+            try in.readFully(payload)
+            catch { case _: EOFException =>
+              fail(s"truncated record '$uri' (declared $contentLength bytes past EOF)") }
+          }
+          val term = new Array[Byte](4)
+          try in.readFully(term)
+          catch { case _: EOFException =>
+            fail(s"record '$uri' missing its CRLF CRLF terminator (EOF)") }
+          if (!(term(0) == '\r' && term(1) == '\n' && term(2) == '\r' && term(3) == '\n'))
+            fail(s"record '$uri' not followed by CRLF CRLF — Content-Length " +
+              "and payload disagree")
+          if (!skipped) queued = (uri, warcType, payload)
         }
-        if (contentLength < 0) fail("record missing Content-Length")
-        if (uri == null) fail("record missing WARC-Target-URI")
-        if (contentLength > MaxPayloadBytes)
-          fail(s"record '$uri' declares $contentLength bytes — past the " +
-            s"$MaxPayloadBytes single-record bound (records are documents; " +
-            "shard the corpus, don't archive blobs)")
-        val payload = new Array[Byte](contentLength.toInt)
-        try in.readFully(payload)
-        catch { case _: EOFException =>
-          fail(s"truncated record '$uri' (declared $contentLength bytes past EOF)") }
-        val term = new Array[Byte](4)
-        try in.readFully(term)
-        catch { case _: EOFException =>
-          fail(s"record '$uri' missing its CRLF CRLF terminator (EOF)") }
-        if (!(term(0) == '\r' && term(1) == '\n' && term(2) == '\r' && term(3) == '\n'))
-          fail(s"record '$uri' not followed by CRLF CRLF — Content-Length " +
-            "and payload disagree")
-        queued = (uri, warcType, payload)
       }
 
       override def hasNext: Boolean = { advance(); queued != null }
@@ -300,7 +379,8 @@ object WarcCorpusSource {
   /** One task per shard over the multi-member gzip stream (which
     * GZIPInputStream reads transparently — the record parser sees one
     * continuous WARC stream), records streamed incrementally. */
-  private def shardRecords(spark: SparkSession, dir: String)
+  private def shardRecords(spark: SparkSession, dir: String,
+      skipType: String => Boolean = _ => false)
       : org.apache.spark.rdd.RDD[(String, String, String, Array[Byte])] =
     spark.sparkContext.binaryFiles(s"$dir/*.warc.gz")
       .flatMap { case (path, stream) =>
@@ -309,7 +389,7 @@ object WarcCorpusSource {
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ =>
             try in.close() catch { case scala.util.control.NonFatal(_) => () }))
-        recordIterator(path.toString, in)
+        recordIterator(path.toString, in, skipType)
           .map { case (uri, typ, payload) => (path.toString, uri, typ, payload) }
       }
 
@@ -341,16 +421,32 @@ object WarcCorpusSource {
     * record is untouched. The status code parses from the status
     * line; a declared HTTP `Content-Length` must equal the actual
     * body length (a lying inner length is the truncation class the
-    * outer framing can't see). Body decodes as UTF-8. */
-  def readResponses(spark: SparkSession, dir: String): DataFrame = {
+    * outer framing can't see). Body decodes as UTF-8.
+    *
+    * `skipNonResponse = true` reads the MIXED bundles real crawls ship
+    * ([[writeCaptures]]' layout): interleaved `request` and `metadata`
+    * records are skipped FRAMING-ONLY — their headers parse (that is
+    * the skip decision), their payloads are length-skipped without
+    * ever being materialized or scanned, so a hostile metadata payload
+    * (fake `WARC/1.0` line, fake Content-Length) cannot desync the
+    * stream. Any OTHER foreign type (a WET `conversion` record in a
+    * raw-crawl bundle) still fails loudly — that is a mixed-up corpus,
+    * not a normal capture bundle. Default `false` keeps the strict
+    * pre-filtered contract. */
+  def readResponses(spark: SparkSession, dir: String,
+      skipNonResponse: Boolean = false): DataFrame = {
     import spark.implicits._
-    shardRecords(spark, dir)
+    val skip: String => Boolean =
+      if (skipNonResponse) t => t == RequestType || t == MetadataType
+      else _ => false
+    shardRecords(spark, dir, skip)
       .map { case (path, uri, typ, payload) =>
         def fail(what: String): Nothing =
           throw new IllegalArgumentException(s"$path: record '$uri' $what")
         if (typ.nonEmpty && typ != ResponseType)
-          fail(s"is WARC-Type: $typ — readResponses reads response records; " +
-            "use read for conversion (WET) shards")
+          fail(s"is WARC-Type: $typ — readResponses reads response records " +
+            "(skipNonResponse = true additionally skips request/metadata " +
+            "capture records); use read for conversion (WET) shards")
         // head/body separator: first CRLF CRLF in the length-framed payload
         var sep = -1
         var i = 0

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.{HnswParams, SharedTraining}
+import graft.operators.Knn
+
+/** The corpus-global compressed build path (VERDICT r15 item #1):
+  * train once ([[SharedTraining.train]]), encode per shard
+  * ([[VectorDB.buildIndexShared]]), merge fingerprint-equal handles
+  * ([[VectorDB.mergeWith]]) — the path that makes PQ/SQ/BQ/OPQ and
+  * dot (MIPS) handles shard-buildable and mergeable. The anchor pin:
+  * a merged handle serves IDENTICALLY to a single shared build over
+  * the union corpus, on every mode. */
+class SharedTrainingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val P = HnswParams(16, 32)
+  private lazy val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+  private def qvOf(id: Long): Seq[Float] =
+    e.filter(col("vec_id") === id).select("embedding").head().getSeq[Float](0)
+
+  private def shardHandle(t: SharedTraining, parity: Int): VectorDB = {
+    val db = VectorDB.fromDataFrame(
+      e.filter(col("vec_id") % 2 === parity), dims = 64, P)
+    db.buildIndexShared(t)
+    db
+  }
+
+  private def served(db: VectorDB, qv: Seq[Float], k: Int = 10) =
+    db.search(qv, k).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("merged compressed shards serve bit-identically to one shared build over the union (all modes)") {
+    val cases = Seq(
+      ("pq", Knn.L2), ("opq", Knn.L2), ("sq", Knn.Cosine),
+      ("bq", Knn.L2), ("pq", Knn.Dot))
+    for ((mode, metric) <- cases) {
+      val t = SharedTraining.train(e, dims = 64, mode = mode, metric = metric,
+        numCells = 4, routerIters = 1, numSub = 8, codebookK = 16, pqIters = 0)
+      val single = VectorDB.fromDataFrame(e, dims = 64, P)
+      single.buildIndexShared(t)
+      single.nprobe = 2
+      val merged = shardHandle(t, 0).mergeWith(shardHandle(t, 1))
+      merged.nprobe = 2
+      val qv = qvOf(29L)
+      assert(served(merged, qv) == served(single, qv),
+        s"$mode/$metric merged serving diverged from the single shared build")
+    }
+  }
+
+  test("dot HNSW shards merge under a shared max-norm and serve exact MIPS at exhaustive settings") {
+    val t = SharedTraining.train(e, dims = 64, mode = "ivf", metric = Knn.Dot,
+      numCells = 4, routerIters = 1)
+    val merged = shardHandle(t, 0).mergeWith(shardHandle(t, 1))
+    val st = merged.stats.head()
+    merged.nprobe = st.getAs[Long]("n_cells").toInt
+    merged.efSearch =
+      math.max(4096L, st.getAs[Long]("max_cell") + 1L).min(Int.MaxValue).toInt
+    val qv = qvOf(31L)
+    val exact = Knn.searchKnn(e, qv, 10, metric = Knn.Dot)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served(merged, qv) == exact,
+      "merged dot HNSW at exhaustive settings diverged from brute-force MIPS")
+  }
+
+  test("a shard over the trained norm bound fails loudly at encode time") {
+    val t = SharedTraining.train(e, dims = 64, mode = "ivf", metric = Knn.Dot,
+      numCells = 4, routerIters = 1, normBoundSq = Some(1e-12))
+    val db = VectorDB.fromDataFrame(e.filter(col("vec_id") < 50), dims = 64, P)
+    val ex = intercept[IllegalArgumentException] { db.buildIndexShared(t) }
+    assert(ex.getMessage.contains("exceeds the artifact's trained"), ex.getMessage)
+  }
+
+  test("fingerprint gating: different artifacts reject; shared+local rejects; duplicate ids reject") {
+    val tA = SharedTraining.train(e, dims = 64, mode = "pq", metric = Knn.L2,
+      numCells = 4, routerIters = 1)
+    val tB = SharedTraining.train(e, dims = 64, mode = "pq", metric = Knn.L2,
+      numCells = 8, routerIters = 1)
+    assert(tA.fingerprint != tB.fingerprint)
+    val a = shardHandle(tA, 0)
+    val eMix = intercept[IllegalArgumentException] { a.mergeWith(shardHandle(tB, 1)) }
+    assert(eMix.getMessage.contains("fingerprint mismatch"), eMix.getMessage)
+    // shared + shard-local-trained: falls to the rebuild reject
+    val local = VectorDB.fromDataFrame(
+      e.filter(col("vec_id") % 2 === 1), dims = 64, P)
+    local.buildIndexPq(numCells = 4, routerIters = 1)
+    val eLoc = intercept[IllegalArgumentException] { a.mergeWith(local) }
+    assert(eLoc.getMessage.contains("shard-local"), eLoc.getMessage)
+    // overlapping ids under the SAME artifact: loud, never double-served
+    val eDup = intercept[IllegalArgumentException] { a.mergeWith(shardHandle(tA, 0)) }
+    assert(eDup.getMessage.contains("unique vector ids"), eDup.getMessage)
+  }
+
+  test("shared status round-trips save/load: a loaded shard still merges and serves identically") {
+    val t = SharedTraining.train(e, dims = 64, mode = "sq", metric = Knn.L2,
+      numCells = 4, routerIters = 1)
+    val a = shardHandle(t, 0)
+    val p = java.nio.file.Files.createTempDirectory("graft_shared_rt_")
+    try {
+      a.save(p.toString)
+      val loaded = VectorDB.load(spark, p.toString)
+      val merged = loaded.mergeWith(shardHandle(t, 1))
+      merged.nprobe = 2
+      val single = VectorDB.fromDataFrame(e, dims = 64, P)
+      single.buildIndexShared(t)
+      single.nprobe = 2
+      val qv = qvOf(37L)
+      assert(served(merged, qv) == served(single, qv),
+        "loaded-shard merge diverged from the single shared build")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  test("in-bound maintenance keeps merge compatibility; bound-expanding adds fail with the retrain message") {
+    val t = SharedTraining.train(e, dims = 64, mode = "pq", metric = Knn.Dot,
+      numCells = 4, routerIters = 1)
+    // id+vec corpora on BOTH sides: add() narrows its derived handle to
+    // the served columns, and merge requires matching corpus schemas
+    def narrowShard(parity: Int): VectorDB = {
+      val db = VectorDB.fromDataFrame(
+        e.select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") % 2 === parity), dims = 64, P)
+      db.buildIndexShared(t)
+      db
+    }
+    val a = narrowShard(0)
+    // in-bound add (an existing vector under a fresh id keeps every
+    // norm under the trained bound): the derived handle still merges
+    val row3 = e.filter(col("vec_id") === 3L)
+      .select((col("vec_id") + 300000L).as("vec_id"), col("embedding"))
+    val aAdded = a.add(row3)
+    val merged = aAdded.mergeWith(narrowShard(1))
+    merged.nprobe = 4
+    val got = served(merged, qvOf(3L)).map(_._1)
+    assert(got.contains(300003L) && got.contains(3L),
+      s"maintained shared shard lost the added row after merge: $got")
+    // norm-expanding add: global geometry — the shard must NOT quietly
+    // retrain its own artifact
+    val big = e.filter(col("vec_id") === 3L)
+      .select((col("vec_id") + 400000L).as("vec_id"),
+        transform(col("embedding"), x => x * 1000.0f).as("embedding"))
+    val eEx = intercept[IllegalStateException] { aAdded.add(big) }
+    assert(eEx.getMessage.contains("retrain SharedTraining"), eEx.getMessage)
+  }
+}

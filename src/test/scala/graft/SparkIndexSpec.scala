@@ -645,6 +645,54 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(messages(dup).exists(_.contains("unique vector ids")), s"$dup")
   }
 
+  test("merge -> rebalance composition: bounded cells, a recall floor, and merged local point serving") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def shard(parity: Int) = {
+      val db = VectorDB.fromDataFrame(
+        e.filter(col("vec_id") % 2 === parity), dims = 64, P)
+      db.buildIndexIvf(numCells = 4, iters = 1)
+      db
+    }
+    val merged = shard(0).mergeWith(shard(1))
+    // the composition the 100 TB lifecycle runs: merged layouts keep
+    // Σ shard-cells forever, rebalance restores the bounded-cell
+    // layout a single build would produce and re-derives the router
+    val rb = merged.rebalance(maxCellSize = 64)
+    val st = rb.stats.head()
+    assert(st.getAs[Long]("max_cell") <= 64L,
+      s"rebalanced merged layout kept an over-cap cell: $st")
+    assert(st.getAs[Long]("n_vectors") == 500L &&
+      st.getAs[Long]("n_indexed") == 500L, s"composition lost rows: $st")
+    val qv = e.filter(col("vec_id") === 7).head().getSeq[Float](1)
+
+    // recall floor at PRODUCTION settings (finite nprobe/ef) vs the
+    // exhaustive truth — the composed router + split graphs must still
+    // route well, not merely serve exhaustively. The two parity shards'
+    // cell sets overlap spatially (each shard's router covered the
+    // whole space), so a query's true neighbors spread across ~2× the
+    // cells a single build would use — the probe budget reflects that
+    val exact = graft.operators.Knn.searchKnn(e, qv, 5)
+      .collect().map(_.getLong(0)).toSet
+    rb.nprobe = 6
+    rb.efSearch = 128
+    val got = rb.search(qv, 5).collect().map(_.getLong(0)).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"composed-path recall $recall below the floor")
+
+    // the re-derived router serves the zero-job LOCAL point path on a
+    // merged handle too: exhaustive knobs make local ≡ distributed ≡
+    // brute force
+    val m2 = shard(0).mergeWith(shard(1))
+    val st2 = m2.stats.head()
+    m2.nprobe = st2.getAs[Long]("n_cells").toInt
+    m2.efSearch = math.max(4096L, st2.getAs[Long]("max_cell") + 1L).toInt
+    val local = m2.searchLocal(qv, 5)
+    val dist = m2.search(qv, 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .sortBy { case (id, d) => (d, id) }
+    assert(local == dist, "merged-handle local point serving diverged")
+  }
+
   test("searchLocal serves the distributed routed results driver-side, with zero jobs when warm") {
     val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
     db.buildIndexIvf(numCells = 16, iters = 1)

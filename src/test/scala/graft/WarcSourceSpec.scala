@@ -201,6 +201,53 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(errText(e2).contains("readResponses"), s"expected the type error: $e2")
   }
 
+  test("mixed capture bundles: skipNonResponse reads exactly the responses; strict mode stays loud") {
+    import spark.implicits._
+    val rows = Seq(
+      ("ok.html", "<html>fine</html>", 200),
+      // hostile BODY in the response record too — both framing layers
+      // under test at once
+      ("hostile.html", "HTTP/1.1 500 Fake\r\nX: y\r\n\r\nWARC/1.0 not a record", 200),
+      ("gone.html", "", 404))
+    val dir = tmp()
+    WarcCorpusSource.writeCaptures(rows.toDF("name", "text", "status"), dir, 2)
+    val got = WarcCorpusSource.readResponses(spark, dir, skipNonResponse = true)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == rows.map { case (n, t, s) => (n, s, t) }.toSet,
+      s"mixed-bundle read drifted: $got")
+    // strict mode keeps the pre-filtered contract loud
+    val e = intercept[Exception] {
+      WarcCorpusSource.readResponses(spark, dir).collect()
+    }
+    assert(errText(e).contains("WARC-Type"), s"expected the type error: $e")
+  }
+
+  test("a hostile metadata payload between responses is skipped framing-only") {
+    val dir = tmp()
+    val f = java.nio.file.Paths.get(dir, "part-00000.warc.gz")
+    def rec(typ: String, uri: String, payload: String) =
+      s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${payload.getBytes("UTF-8").length}\r\n\r\n$payload\r\n\r\n"
+    val httpA = "HTTP/1.1 200 OK\r\n\r\nbody A"
+    val httpB = "HTTP/1.1 404 Not Found\r\n\r\n"
+    // the metadata payload is a COMPLETE fake WARC record: a reader
+    // that scanned payloads for boundaries would parse the fake record
+    // (or desync on its fake Content-Length) instead of record B
+    val hostileMeta =
+      "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: fake.html\r\n" +
+        "Content-Length: 999999\r\n\r\n"
+    val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(f))
+    out.write((rec("response", "a.html", httpA) +
+      rec("metadata", "a.html", hostileMeta) +
+      rec("request", "b.html", "GET /b.html HTTP/1.1\r\n\r\n") +
+      rec("response", "b.html", httpB)).getBytes("UTF-8"))
+    out.close()
+    val got = WarcCorpusSource.readResponses(spark, dir, skipNonResponse = true)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set(("a.html", 200, "body A"), ("b.html", 404, "")),
+      s"hostile metadata desynced the framing-only skip: $got")
+  }
+
   test("statuses outside 100-599 are rejected at write time") {
     import spark.implicits._
     val e = intercept[Exception] {

@@ -80,6 +80,23 @@ EMB_QUERIES = {
     "q_kcenter", "q_embed_drift",
     # round 15: shard-merged index serves from embeddings
     "q_ann_merged", "q_vectordb_merged",
+    # round 16: shared-artifact merged serving + merge->rebalance
+    "q_vectordb_pq_merged", "q_vectordb_dot_merged",
+    "q_vectordb_merged_rebalanced",
+}
+
+# Measured, diagnosed, FORMALLY CLOSED fixture artifacts: each entry
+# carries its diagnosis in the gate's scaladoc and BASELINE.md (with
+# the A/B numbers for every attempted fix). The sweep reports them as
+# "documented artifact" instead of re-flagging the same measurement
+# every round. Applies to the SHUFFLE rule only — a new TIME flag on
+# one of these still surfaces.
+DOCUMENTED_ARTIFACTS = {
+    "q_dedup_containment":
+        "fixed synthetic phrase pool makes candidate pairs quadratic "
+        "(true pairs linear 50->512); PPJoin filter A/B'd WORSE "
+        "(227->285MB) and reverted — see qDedupContainment scaladoc "
+        "and BASELINE.md round-12 sweep note",
 }
 
 
@@ -149,12 +166,16 @@ def main():
             # (e.g. a broadcast join falling back to shuffle past the
             # threshold) — flag it, don't let s1 == 0 dodge the rule
             if s2 > MIN_BYTES and (s1 == 0 or s2 / s1 > FLAG_FACTOR * growth):
-                verdicts.append(
-                    f"**SHUFFLE-FLAGGED** (bytes "
-                    f"{'new at sf0.1' if s1 == 0 else f'x{s2 / s1:.1f}'} "
-                    f"vs data x{growth:.0f})")
-                if q not in flagged:
-                    flagged.append(q)
+                if q in DOCUMENTED_ARTIFACTS:
+                    verdicts.append(
+                        f"documented artifact: {DOCUMENTED_ARTIFACTS[q]}")
+                else:
+                    verdicts.append(
+                        f"**SHUFFLE-FLAGGED** (bytes "
+                        f"{'new at sf0.1' if s1 == 0 else f'x{s2 / s1:.1f}'} "
+                        f"vs data x{growth:.0f})")
+                    if q not in flagged:
+                        flagged.append(q)
         print(f"| {q} | {t[0]:.2f} | {t[1]:.2f} | {t[2]:.2f} | "
               f"x{ratio:.1f} | x{growth:.0f} | {fmt_bytes(s2)} | {bratio} | "
               f"{'; '.join(verdicts)} |")
