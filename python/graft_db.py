@@ -181,6 +181,25 @@ class VectorDB:
     def __len__(self):
         return self.len()
 
+    # -- composition ---------------------------------------------------------
+
+    def merge(self, *others):
+        """Merge independently built shard handles into ONE serving
+        handle — the 100 TB parallel-build orchestration: build and
+        ``save`` each shard in its own job, ``load`` and merge here
+        (no cell graph rebuilds; one duplicate-id check; the router
+        re-derives from the merged layout). Unsound merges — duplicate
+        ids, metric/parameter mismatches, shard-local compressed or
+        dot training — raise with the engine's exact diagnosis."""
+        jothers = self._spark._jvm.java.util.ArrayList()
+        for o in others:
+            jothers.add(o._jdb)
+        merged = VectorDB.__new__(VectorDB)
+        merged._spark = self._spark
+        merged._facade = self._facade
+        merged._jdb = self._facade.mergeAllWith(self._jdb, jothers)
+        return merged
+
     # -- persistence --------------------------------------------------------
 
     def save(self, path):

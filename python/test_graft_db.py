@@ -245,6 +245,32 @@ for w in ["ab", "abc", "cab", "abab", "aabb"]:
     assert got == py_unigram(w, model), (w, got, py_unigram(w, model))
 print("unigram_encode OK (independent python replay)")
 
+# N-way shard merge from the Python driver — the 100 TB orchestration
+# shape: two id-parity shard corpora, each handle built independently
+# (colliding 4-cell routers), merged into one serving handle; the
+# merged handle must serve both parities and unsound merges must raise
+shard_dirs = []
+for parity in (0, 1):
+    d = tempfile.mkdtemp(prefix=f"graft_pyshard{parity}_")
+    (spark.read.parquet(SF_DIR + "/embeddings.parquet")
+        .filter(f"vec_id % 2 = {parity}").write.mode("overwrite").parquet(d))
+    shard_dirs.append(d)
+shards = [VectorDB(d, 64, 16, 32, spark=spark).build_index_ivf(4, 1)
+          for d in shard_dirs]
+merged = shards[0].merge(shards[1]).configure(nprobe=8, ef_search=4096)
+assert merged.len() == 500, merged.len()
+for qid in (24, 25):  # one query per parity: self-hit at distance ~0
+    mq = (spark.read.parquet(SF_DIR + "/embeddings.parquet")
+          .filter(f"vec_id = {qid}").select("embedding").head()[0])
+    mh = merged.search(mq, 3)
+    assert mh[0][0] == qid and abs(mh[0][1]) < 1e-9, (qid, mh)
+try:
+    shards[0].merge(shards[0])
+    raise AssertionError("duplicate-id merge must raise")
+except Exception as e:
+    assert "unique vector ids" in str(e), e
+print("python shard merge OK (both parities served; duplicate ids raise)")
+
 # warm point-query latency through the py4j bridge (informational):
 # the Scala-side walk is ~0.2 ms; the rest is gateway round-trip
 import time

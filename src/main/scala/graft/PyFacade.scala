@@ -119,6 +119,17 @@ object PyFacade {
   def load(spark: SparkSession, path: String): VectorDB =
     VectorDB.load(spark, path)
 
+  /** N-way shard merge ([[graft.VectorDB.mergeAllWith]] — the Python
+    * orchestration shape of the 100 TB parallel build: each shard's
+    * handle built/saved in its own job, loaded and merged from the
+    * driver script; unsound merges — duplicate ids, metric/param
+    * mismatches, shard-local compressed or dot training — fail loudly
+    * with the Scala arm's exact messages). */
+  def mergeAllWith(db: VectorDB, others: java.util.List[VectorDB]): VectorDB = {
+    import scala.jdk.CollectionConverters._
+    db.mergeAllWith(others.asScala.toSeq)
+  }
+
   /** Rendezvous shard routing, point arm
     * ([[graft.operators.Layout.hrwRouteLocal]] — identical weights and
     * tie-break to the distributed column arm, zero Spark jobs): route

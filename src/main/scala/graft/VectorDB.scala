@@ -905,7 +905,7 @@ final class VectorDB private (
             s"encoded against different artifacts (${ta.fingerprint.take(12)}… " +
             s"vs ${tb.fingerprint.take(12)}…) — retrain once and " +
             "buildIndexShared both sides from the SAME artifact")
-        return mergeShared(ta, other)
+        return mergeShared(ta, Seq(other))
       case _ => ()
     }
     // compressed state rejects BEFORE the index requirement: a PQ/SQ/BQ
@@ -968,14 +968,18 @@ final class VectorDB private (
     * assignment are per-row maps of the shared artifact — which is the
     * anchor CompressedServingSpec pins and the q_vectordb_pq_merged /
     * q_vectordb_dot_merged oracles gate. */
-  private def mergeShared(t: graft.index.SharedTraining, other: VectorDB): VectorDB = {
-    require(servedPayloadCols == other.servedPayloadCols,
-      s"payload-column mismatch: $servedPayloadCols vs ${other.servedPayloadCols}")
-    require(vectors.columns.sorted.sameElements(other.vectors.columns.sorted),
-      s"corpus schema mismatch: ${vectors.columns.sorted.mkString(",")} vs " +
-        s"${other.vectors.columns.sorted.mkString(",")}")
+  private def mergeShared(t: graft.index.SharedTraining,
+      others: Seq[VectorDB]): VectorDB = {
+    others.foreach { other =>
+      require(servedPayloadCols == other.servedPayloadCols,
+        s"payload-column mismatch: $servedPayloadCols vs ${other.servedPayloadCols}")
+      require(vectors.columns.sorted.sameElements(other.vectors.columns.sorted),
+        s"corpus schema mismatch: ${vectors.columns.sorted.mkString(",")} vs " +
+          s"${other.vectors.columns.sorted.mkString(",")}")
+    }
+    val all = this +: others
     val db = tuned(new VectorDB(
-      vectors.unionByName(other.vectors), dims, params, idCol, vecCol))
+      all.map(_.vectors).reduce(_ unionByName _), dims, params, idCol, vecCol))
     db.indexMetric = indexMetric
     db.intendedMetric = intendedMetric
     db.mipsMaxNormSq = t.mipsMaxNormSq
@@ -984,7 +988,7 @@ final class VectorDB private (
     if (servesCompressed) {
       // persist BEFORE the duplicate-id aggregate: one computation
       // serves the check and the merged handle's first search
-      val union = codesTable.unionByName(other.codesTable)
+      val union = all.map(_.codesTable).reduce(_ unionByName _)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dup = union.groupBy(col(idCol)).count()
         .filter(col("count") > 1).select(col(idCol)).head(1)
@@ -998,16 +1002,80 @@ final class VectorDB private (
       db.bqState = bqState.map(_ => union)
       db.ivfModel = Some(t.router)
     } else {
-      val a = index.getOrElse(throw new IllegalStateException(
-        "mergeWith requires a built HNSW index on BOTH handles"))
-      val b = other.index.getOrElse(throw new IllegalStateException(
-        "mergeWith requires a built HNSW index on BOTH handles"))
-      val merged = HnswIndex.merge(a, b)
+      val idxs = all.map(_.index.getOrElse(throw new IllegalStateException(
+        "mergeWith requires a built HNSW index on EVERY handle")))
+      val merged = HnswIndex.mergeAll(idxs)
       merged.count()
       db.index = Some(merged)
       db.ivfModel = Some(IvfIndex.fromPartitionMeans(
         merged.toDF().select(col("part"), col("vec")), "part", "vec"))
     }
+    db
+  }
+
+  /** N-way [[mergeWith]] — the form a hundreds-of-shards build
+    * actually runs (the [[graft.index.HnswIndex.mergeAll]] contract at
+    * the handle level): ONE corpus union, ONE codes/index union, ONE
+    * duplicate-id aggregate, and ONE router re-derivation, where a
+    * fold of binary merges would re-check and re-derive against the
+    * growing union once per shard. Accepts either ALL shards carrying
+    * the same fingerprinted [[graft.index.SharedTraining]] artifact
+    * (every serving mode, the [[buildIndexShared]] path) or ALL shards
+    * shard-local-trained HNSW raw/cosine (the [[mergeWith]] rules, N
+    * ways); a mix of shared and local shards cannot reconcile and
+    * fails loudly. Served results ≡ the binary-merge fold
+    * (spec-pinned). */
+  def mergeAllWith(others: Seq[VectorDB]): VectorDB = {
+    if (others.isEmpty) return this
+    others.foreach { o =>
+      require(dims == o.dims, s"dimension mismatch: $dims vs ${o.dims}")
+      require(idCol == o.idCol && vecCol == o.vecCol,
+        s"column-name mismatch: ($idCol, $vecCol) vs (${o.idCol}, ${o.vecCol})")
+      require(params == o.params,
+        s"HNSW parameter mismatch: $params vs ${o.params}")
+    }
+    val all = this +: others
+    val shared = all.map(_.sharedTraining)
+    if (shared.exists(_.isDefined)) {
+      require(shared.forall(_.isDefined),
+        "mixed shared-artifact and shard-local-trained handles cannot " +
+          "merge — buildIndexShared EVERY shard from the same artifact")
+      val fps = shared.flatten.map(_.fingerprint).distinct
+      require(fps.size == 1,
+        "shared-training fingerprint mismatch across shards " +
+          s"(${fps.map(_.take(12)).mkString("…, ")}…) — retrain once and " +
+          "buildIndexShared every shard from the SAME artifact")
+      return mergeShared(shared.head.get, others)
+    }
+    require(all.forall(h => h.pqState.isEmpty && h.sqState.isEmpty && h.bqState.isEmpty),
+      "compressed handles with shard-local training merge by REBUILD — " +
+        "train once with SharedTraining.train and buildIndexShared each " +
+        "shard to make compressed shards mergeable")
+    val idxs = all.map(_.index.getOrElse(throw new IllegalStateException(
+      "mergeAllWith requires a built HNSW index on EVERY handle")))
+    others.foreach { o =>
+      require(indexMetric == o.indexMetric && intendedMetric == o.intendedMetric,
+        s"metric mismatch: $indexMetric/$intendedMetric vs " +
+          s"${o.indexMetric}/${o.intendedMetric}")
+      require(servedPayloadCols == o.servedPayloadCols,
+        s"payload-column mismatch: $servedPayloadCols vs ${o.servedPayloadCols}")
+      require(vectors.columns.sorted.sameElements(o.vectors.columns.sorted),
+        s"corpus schema mismatch: ${vectors.columns.sorted.mkString(",")} vs " +
+          s"${o.vectors.columns.sorted.mkString(",")}")
+    }
+    require(indexMetric != Knn.Dot,
+      "dot (MIPS) handles with shard-local training merge by REBUILD — " +
+        "train once with SharedTraining.train(metric = dot) and " +
+        "buildIndexShared each shard to make dot shards mergeable")
+    val merged = HnswIndex.mergeAll(idxs)
+    merged.count()
+    val db = tuned(new VectorDB(
+      all.map(_.vectors).reduce(_ unionByName _), dims, params, idCol, vecCol))
+    db.index = Some(merged)
+    db.indexMetric = indexMetric
+    db.ivfModel = all.flatMap(_.ivfModel).headOption.map(_ =>
+      IvfIndex.fromPartitionMeans(
+        merged.toDF().select(col("part"), col("vec")), "part", "vec"))
     db
   }
 

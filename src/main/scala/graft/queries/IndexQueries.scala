@@ -1043,6 +1043,42 @@ object IndexQueries {
       rb
     }
 
+  /** N-WAY handle merge ([[graft.VectorDB.mergeAllWith]] — the
+    * hundreds-of-shards form: one corpus union, one index union, one
+    * duplicate-id aggregate, one router re-derivation, where a binary
+    * fold re-checks the growing union per shard): FOUR id-residue
+    * shards, each with its own trained 4-cell router (all four cell-id
+    * spaces collide — the re-key is load-bearing ×4), merged in one
+    * call. Exhaustive probing ⇒ serving ≡ global brute force. */
+  private val vdbMergedManyMemo = new SessionMemo[graft.VectorDB]
+  private def vdbMergedManyHandle(s: SparkSession, dir: String) =
+    vdbMergedManyMemo.get(s, dir) {
+      val e = emb(s, dir)
+      def shard(residue: Int) = {
+        val db = graft.VectorDB.fromDataFrame(
+          e.filter(col("vec_id") % 4 === residue), dims = 64, P)
+        db.buildIndexIvf(numCells = 4, iters = 1)
+        db
+      }
+      val m = shard(0).mergeAllWith((1 to 3).map(shard))
+      val st = m.stats.head()
+      m.nprobe = st.getAs[Long]("n_cells").toInt
+      m.efSearch =
+        math.max(4096L, st.getAs[Long]("max_cell") + 1L).min(Int.MaxValue).toInt
+      m
+    }
+
+  /** Gate on the N-way handle merge — fresh query ids (129-132). */
+  def qVectordbMergedMany(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") >= 129 && col("vec_id") < 133)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    vdbMergedManyHandle(s, dir).searchBatch(queries, k = 5)
+      .select(col("qid"), col("rank").cast("int").as("rnk"), col("vec_id"),
+        round(col("dist"), 3).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Gate on the merge → rebalance composition — fresh query ids
     * (125-128). */
   def qVectordbMergedRebalanced(s: SparkSession, dir: String): DataFrame = {
@@ -2770,6 +2806,8 @@ object IndexQueries {
       Some(bruteOracleSql("vec_id >= 103 AND vec_id < 107"))),
     QueryDef("q_vectordb_merged_rebalanced", qVectordbMergedRebalanced,
       Some(bruteOracleSql("vec_id >= 125 AND vec_id < 129"))),
+    QueryDef("q_vectordb_merged_many", qVectordbMergedMany,
+      Some(bruteOracleSql("vec_id >= 129 AND vec_id < 133"))),
     QueryDef("q_ann_trained", qAnnTrained,
       Some(trainedOracleSql("vec_id >= 16 AND vec_id < 20"))),
     QueryDef("q_ann_incremental", qAnnIncremental,

@@ -103,6 +103,50 @@ class SharedTrainingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(eDup.getMessage.contains("unique vector ids"), eDup.getMessage)
   }
 
+  test("mergeAllWith: N-way shared ≡ single shared build; N-way local ≡ the binary fold; mixes reject") {
+    // shared N-way (compressed): 4 residue shards, one call
+    val t = SharedTraining.train(e, dims = 64, mode = "pq", metric = Knn.L2,
+      numCells = 4, routerIters = 1)
+    def resShard(r: Int) = {
+      val db = VectorDB.fromDataFrame(
+        e.filter(col("vec_id") % 4 === r), dims = 64, P)
+      db.buildIndexShared(t)
+      db
+    }
+    val many = resShard(0).mergeAllWith((1 to 3).map(resShard))
+    many.nprobe = 2
+    val single = VectorDB.fromDataFrame(e, dims = 64, P)
+    single.buildIndexShared(t)
+    single.nprobe = 2
+    val qv = qvOf(41L)
+    assert(served(many, qv) == served(single, qv),
+      "N-way shared merge diverged from the single shared build")
+    // local-trained N-way HNSW ≡ the binary mergeWith fold at
+    // exhaustive settings
+    def localShard(r: Int) = {
+      val db = VectorDB.fromDataFrame(
+        e.filter(col("vec_id") % 4 === r), dims = 64, P)
+      db.buildIndexIvf(numCells = 4, iters = 1)
+      db
+    }
+    def exhaustive(db: VectorDB): VectorDB = {
+      val st = db.stats.head()
+      db.nprobe = st.getAs[Long]("n_cells").toInt
+      db.efSearch = math.max(4096L, st.getAs[Long]("max_cell") + 1L).toInt
+      db
+    }
+    val nary = exhaustive(localShard(0).mergeAllWith((1 to 3).map(localShard)))
+    val fold = exhaustive((1 to 3).map(localShard)
+      .foldLeft(localShard(0))(_ mergeWith _))
+    assert(served(nary, qv) == served(fold, qv),
+      "N-way local merge diverged from the binary fold")
+    // mixed shared/local shards cannot reconcile
+    val eMix = intercept[IllegalArgumentException] {
+      resShard(0).mergeAllWith(Seq(localShard(1)))
+    }
+    assert(eMix.getMessage.contains("mixed"), eMix.getMessage)
+  }
+
   test("shared status round-trips save/load: a loaded shard still merges and serves identically") {
     val t = SharedTraining.train(e, dims = 64, mode = "sq", metric = Knn.L2,
       numCells = 4, routerIters = 1)
@@ -124,6 +168,44 @@ class SharedTrainingSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
         .foreach(f => java.nio.file.Files.deleteIfExists(f))
     }
+  }
+
+  test("sample-trained artifacts: quality degrades gracefully, never correctness (the 100 TB training contract)") {
+    // the real 100 TB shape: codebooks/router train on a SAMPLE (here
+    // the lowest-id 25%), the dot norm bound comes from a full
+    // max-norm pass (one cheap aggregate — sampling IT would be a
+    // correctness bug, not a quality one; the loud-check test above)
+    val sample = e.filter(col("vec_id") < 125)
+    val full = e
+    def recallOf(t: SharedTraining): Double = {
+      val db = VectorDB.fromDataFrame(e, dims = 64, P)
+      db.buildIndexShared(t)
+      db.nprobe = 3
+      val qids = Seq(43L, 47L, 53L, 59L, 61L, 67L, 71L, 73L)
+      val scores = qids.map { q =>
+        val qv = qvOf(q)
+        val exact = graft.operators.Knn.searchKnn(e, qv, 10)
+          .collect().map(_.getLong(0)).toSet
+        // refined serving: the ADC shortlist re-scores exactly, so the
+        // only quality channel left is ROUTING + shortlist membership —
+        // the two things sample training can degrade
+        val got = db.searchRefined(qv, k = 10, refine = 8)
+          .collect().map(_.getLong(0)).toSet
+        exact.count(got.contains).toDouble / exact.size
+      }
+      scores.sum / scores.size
+    }
+    val fullTrained = recallOf(SharedTraining.train(full, dims = 64,
+      mode = "pq", metric = Knn.L2, numCells = 4, routerIters = 1))
+    val sampleTrained = recallOf(SharedTraining.train(sample, dims = 64,
+      mode = "pq", metric = Knn.L2, numCells = 4, routerIters = 1))
+    info(f"recall@10 (nprobe 3/4, refine 8): full-trained $fullTrained%.3f, " +
+      f"sample-trained (25%%) $sampleTrained%.3f")
+    assert(sampleTrained >= 0.6,
+      f"sample-trained recall $sampleTrained%.3f below the contract floor")
+    assert(sampleTrained >= fullTrained - 0.25,
+      f"sample training degraded recall past the graceful band: " +
+        f"$sampleTrained%.3f vs $fullTrained%.3f")
   }
 
   test("in-bound maintenance keeps merge compatibility; bound-expanding adds fail with the retrain message") {

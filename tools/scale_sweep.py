@@ -80,9 +80,10 @@ EMB_QUERIES = {
     "q_kcenter", "q_embed_drift",
     # round 15: shard-merged index serves from embeddings
     "q_ann_merged", "q_vectordb_merged",
-    # round 16: shared-artifact merged serving + merge->rebalance
+    # round 16: shared-artifact merged serving + merge->rebalance +
+    # N-way handle merge
     "q_vectordb_pq_merged", "q_vectordb_dot_merged",
-    "q_vectordb_merged_rebalanced",
+    "q_vectordb_merged_rebalanced", "q_vectordb_merged_many",
 }
 
 # Measured, diagnosed, FORMALLY CLOSED fixture artifacts: each entry
