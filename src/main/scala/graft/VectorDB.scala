@@ -1139,6 +1139,121 @@ final class VectorDB private (
     out
   }
 
+  /** Split oversized serving cells on a COMPRESSED handle —
+    * [[compactCodes]]' mirror image and the compressed twin of
+    * [[rebalance]]: compact dissolves undersized debris; this breaks
+    * up cells that OUTGREW the router (the exact state a long
+    * merge-chain under a fixed shared router produces — merging never
+    * adds cells, so every shard's rows pile into the same L cells and
+    * per-probe scan cost grows with the corpus). Each cell past
+    * `maxCellSize` splits into `ceil(n/maxCellSize)` sub-cells:
+    * sub-centroid SEEDS are the cell's lowest-id member vectors
+    * (deterministic, the IvfIndex.train init convention), members
+    * reassign to their nearest seed (ties to the lower new cell id),
+    * and the final router centroid for each sub-cell is the exact
+    * decimal MEAN of its members (the fromPartitionMeans convention) —
+    * so future routing is geometric, not seed-anchored. The CODES
+    * never change: PQ/SQ/BQ encode against global codebooks/bounds, so
+    * cell membership is routing metadata only (the [[compactCodes]]
+    * contract), and at exhaustive probing serving is provably
+    * IDENTICAL before and after — the q_vectordb_sq_split oracle.
+    *
+    * Scale shape: one codes-table cell census, one corpus scan joined
+    * to the oversized cells' membership (only those rows' raw vectors
+    * reduce), a bounded Σ ceil(n_c/max) seed collect (= the NEW cell
+    * count — router-sized, never corpus-sized), one
+    * (rows × seeds-per-cell) broadcast-join argmin, and one O(#cells·d)
+    * mean re-derivation. The size bound is k-means-approximate, not
+    * hard — a skewed cell can still exceed it; iterate to fixpoint if
+    * a hard bound matters.
+    *
+    * A [[buildIndexShared]] handle DROPS its shared status here (the
+    * split router diverges from the artifact — merge every shard
+    * FIRST, then split the merged result). HNSW handles take
+    * [[rebalance]]. */
+  def splitCells(maxCellSize: Int): VectorDB = {
+    require(maxCellSize >= 1, s"maxCellSize must be >= 1, got $maxCellSize")
+    require(servesCompressed,
+      "splitCells maintains compressed codes tables — HNSW handles take rebalance()")
+    val router = ivfModel.getOrElse(throw new IllegalStateException(
+      "compressed cell split requires the trained router"))
+    val counts = codesTable.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val big = counts.filter(_._2 > maxCellSize).keys.toSet
+    val db = tuned(new VectorDB(raw, dims, params, idCol, vecCol))
+    db.sourcePath = sourcePath
+    db.indexMetric = indexMetric
+    db.mipsMaxNormSq = mipsMaxNormSq
+    db.opqPerm = opqPerm
+    if (big.isEmpty) {
+      db.pqState = pqState
+      db.sqState = sqState
+      db.bqState = bqState
+      db.ivfModel = ivfModel
+      return db
+    }
+    val spark = raw.sparkSession
+    import spark.implicits._
+    // the oversized cells' raw vectors, reduced into serving space:
+    // one corpus scan joined to the big-cell membership on id (the
+    // membership is NOT broadcast-sized — these are the fullest cells)
+    val members = reduceRows(vectors.select(col(idCol), col(vecCol)))
+      .join(codesTable.filter(col("cell").isin(big.toSeq: _*))
+        .select(col(idCol), col("cell")), Seq(idCol))
+    // seeds: the ceil(n/max) lowest-id members per big cell — one
+    // bounded collect (Σ seeds = the new cell count, router-sized)
+    val arity = big.toSeq.sorted
+      .map(c => c -> ((counts(c) + maxCellSize - 1) / maxCellSize).toInt).toMap
+    val seedRows = members
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("cell").orderBy(col(idCol).asc)))
+      .filter(col("rn") <= arity.values.max)
+      .collect()
+      .map(r => (r.getInt(r.fieldIndex("cell")),
+        r.getInt(r.fieldIndex("rn")),
+        r.getSeq[Float](r.fieldIndex(vecCol)).toArray))
+      .filter { case (c, rn, _) => rn <= arity(c) }
+    // new cell ids: sub 1 of cell c KEEPS id c (unsplit probes of c
+    // still route somewhere sane); subs 2+ take fresh ids past the max
+    var nextId = counts.keys.max + 1
+    val newIdOf: Map[(Int, Int), Int] = seedRows.sortBy(s => (s._1, s._2))
+      .map { case (c, rn, _) =>
+        val id = if (rn == 1) c else { val v = nextId; nextId += 1; v }
+        (c, rn) -> id
+      }.toMap
+    val seedsDf = seedRows
+      .map { case (c, rn, v) => (c, newIdOf((c, rn)), v.toSeq) }
+      .toSeq.toDF("cell", "new_cell", "seed")
+    // per-member argmin over ITS cell's seeds: broadcast fan-out join
+    // + min(struct) — deterministic (distance, then lower new id)
+    val assigned = members
+      .join(broadcast(seedsDf), Seq("cell"))
+      .select(col(idCol),
+        struct(l2SqNative(col(vecCol), col("seed").cast("array<float>")).as("d"),
+          col("new_cell").as("nc")).as("s"))
+      .groupBy(col(idCol))
+      .agg(min(col("s")).as("m"))
+      .select(col(idCol), col("m.nc").as("new_cell"))
+    val updated = codesTable.filter(col("cell").isin(big.toSeq: _*))
+      .drop("cell")
+      .join(assigned, Seq(idCol))
+      .select(col(idCol), col("new_cell").as("cell"), col("codes"), col("payload"))
+    val kept = codesTable.filter(!col("cell").isin(big.toSeq: _*))
+    val out = maintainedCodes(db, kept.unionByName(updated))
+    // final router: survivors keep their trained centroids; each new
+    // sub-cell routes by the exact decimal MEAN of its members
+    val subModel = IvfIndex.fromPartitionMeans(
+      members.join(assigned, Seq(idCol)).select(col("new_cell"), col(vecCol)),
+      "new_cell", vecCol)
+    val survOrds = router.centroids.indices.filter(o => !big(router.cellId(o)))
+    val combined = (survOrds.map(o => router.cellId(o) -> router.centroids(o)) ++
+      subModel.centroids.indices.map(o => subModel.cellId(o) -> subModel.centroids(o)))
+      .sortBy(_._1).toArray
+    out.ivfModel = Some(IvfIndex.Model(combined.map(_._2), combined.map(_._1)))
+    out
+  }
+
   /** Deterministic serving-state census — `len` tells a deployment how
     * big the corpus is; this tells it how the handle would SERVE: one
     * row of (corpus count, declared dims, serving mode, metric, cell

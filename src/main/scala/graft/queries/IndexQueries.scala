@@ -1068,6 +1068,37 @@ object IndexQueries {
       m
     }
 
+  /** Compressed CELL SPLIT ([[graft.VectorDB.splitCells]] — compact's
+    * mirror on the codes table, and the post-merge-chain maintenance a
+    * fixed shared router needs: merging never adds cells, so rows pile
+    * into the same L cells and per-probe cost grows with the corpus):
+    * a 4-cell SQ handle splits every cell past 64 rows into
+    * lowest-id-seeded sub-cells with exact-mean sub-centroids. Codes
+    * never change (cell membership is routing metadata), so at
+    * exhaustive probing serving ≡ the global SQ ADC ranking — the
+    * plain SQ oracle gates that the split lost no row, duplicated
+    * none, and left every new cell routable (an unroutable cell's rows
+    * would vanish from the probed union). */
+  private val vdbSqSplitMemo = new SessionMemo[graft.VectorDB]
+  private def vdbSqSplitHandle(s: SparkSession, dir: String) =
+    vdbSqSplitMemo.get(s, dir) {
+      val db = graft.VectorDB.open(s, s"$dir/embeddings.parquet", dims = 64, P)
+      db.buildIndexSq(numCells = 4, routerIters = 1)
+      val sp = db.splitCells(maxCellSize = 64)
+      sp.nprobe = sp.stats.head().getAs[Long]("n_cells").toInt
+      sp
+    }
+
+  /** Gate on the compressed cell split — fresh query id (133). */
+  def qVectordbSqSplit(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 133L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    vdbSqSplitHandle(s, dir).search(qv, k = 10)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
   /** Gate on the N-way handle merge — fresh query ids (129-132). */
   def qVectordbMergedMany(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -2808,6 +2839,9 @@ object IndexQueries {
       Some(bruteOracleSql("vec_id >= 125 AND vec_id < 129"))),
     QueryDef("q_vectordb_merged_many", qVectordbMergedMany,
       Some(bruteOracleSql("vec_id >= 129 AND vec_id < 133"))),
+    // the split is routing metadata only: exhaustive probing serves the
+    // global SQ ADC ranking, so the plain SQ oracle gates conservation
+    QueryDef("q_vectordb_sq_split", qVectordbSqSplit, Some(sqOracleSql(133))),
     QueryDef("q_ann_trained", qAnnTrained,
       Some(trainedOracleSql("vec_id >= 16 AND vec_id < 20"))),
     QueryDef("q_ann_incremental", qAnnIncremental,

@@ -31,6 +31,39 @@ class CompressedServingSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def qvOf(id: Long): Seq[Float] =
     e.filter(col("vec_id") === id).select("embedding").head().getSeq[Float](0)
 
+  test("splitCells: oversized cells split routably, codes untouched, serving conserved") {
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    db.buildIndexSq(numCells = 4, routerIters = 1)
+    db.nprobe = 4
+    val before = db.stats.head()
+    val split = db.splitCells(maxCellSize = 64)
+    val after = split.stats.head()
+    // more, smaller cells; every row still served exactly once
+    assert(after.getAs[Long]("n_cells") > before.getAs[Long]("n_cells"), after)
+    assert(after.getAs[Long]("max_cell") < before.getAs[Long]("max_cell"), after)
+    assert(after.getAs[Long]("n_indexed") == 500L, after)
+    // exhaustive probing: serving is IDENTICAL before and after — the
+    // split moved routing metadata, never a code
+    split.nprobe = after.getAs[Long]("n_cells").toInt
+    val qv = qvOf(19L)
+    def top(h: VectorDB) = h.search(qv, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(split) == top(db), "split changed exhaustive-probe serving")
+    // finite probing still finds the self-hit through the re-derived
+    // sub-centroids (geometric routability, not just conservation)
+    split.nprobe = 3
+    assert(split.search(qv, 1).collect().head.getLong(0) == 19L,
+      "finite-probe routing lost the self-hit after the split")
+    // balanced tables pass through untouched; HNSW handles are loud
+    val noop = split.splitCells(maxCellSize = 1 << 20)
+    assert(noop.stats.head().getAs[Long]("n_cells") ==
+      after.getAs[Long]("n_cells"))
+    val hnsw = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    hnsw.buildIndexIvf(numCells = 4, iters = 1)
+    val e1 = intercept[IllegalArgumentException] { hnsw.splitCells(64) }
+    assert(e1.getMessage.contains("rebalance"), e1.getMessage)
+  }
+
   test("cosine PQ/SQ: wide refine equals exact brute-force cosine bit-for-bit") {
     val qv = qvOf(11L)
     val exact = Knn.searchKnn(e, qv, 10, metric = Knn.Cosine)

@@ -84,6 +84,7 @@ EMB_QUERIES = {
     # N-way handle merge
     "q_vectordb_pq_merged", "q_vectordb_dot_merged",
     "q_vectordb_merged_rebalanced", "q_vectordb_merged_many",
+    "q_vectordb_sq_split",
 }
 
 # Measured, diagnosed, FORMALLY CLOSED fixture artifacts: each entry
