@@ -178,6 +178,7 @@ final class VectorDB private (
     * materializes. */
   private def dropServingState(): Unit = {
     localCells.clear()
+    localCodeCells.clear()
     index.foreach(_.unpersist(blocking = false))
     pqState.foreach(_._1.unpersist(blocking = false))
     sqState.foreach(_._1.unpersist(blocking = false))
@@ -1376,6 +1377,15 @@ final class VectorDB private (
   private val localCells =
     scala.collection.mutable.LinkedHashMap.empty[Int, Option[Seq[(Array[Long], HnswGraph)]]]
 
+  /** The compressed twin of [[localCells]]: cell id → (ids, codes)
+    * with codes widened to Long words (PQ/SQ int codes and BQ packed
+    * words share one representation — the values are exact integers
+    * either way, so every ADC mirror computes on identical numbers).
+    * Codes are ~d·4/M× smaller than graph rows, so the same row cap
+    * bounds a cached cell to single-digit MB. */
+  private val localCodeCells =
+    scala.collection.mutable.LinkedHashMap.empty[Int, Option[(Array[Long], Array[Array[Long]])]]
+
   /** Load one cell's graphs to the driver: ONE narrow job whose scan is
     * pruned to the cell (on a [[save]]d layout, to its parquet subtree).
     * The limit guard keeps an oversized cell from ever materializing on
@@ -1406,6 +1416,90 @@ final class VectorDB private (
         v
     }
 
+  /** Load one cell's (ids, codes) to the driver — [[localCell]]'s
+    * compressed twin: one narrow partition-pruned job, the same cap
+    * guard and cap-breach memory. Codes widen to Long (PQ/SQ ints, BQ
+    * packed words — exact integers either way). */
+  private def localCodeCell(c: Int): Option[(Array[Long], Array[Array[Long]])] =
+    localCodeCells.remove(c) match {
+      case Some(v) => localCodeCells.put(c, v); v // LRU refresh
+      case None =>
+        val rows = codesTable.filter(col("cell") === c)
+          .select(col(idCol), col("codes"))
+          .limit(localCellRowCap + 1).collect()
+        val v =
+          if (rows.length > localCellRowCap) None
+          else Some((
+            rows.map(_.getLong(0)),
+            rows.map { r =>
+              if (bqState.isDefined) r.getSeq[Long](1).toArray
+              else r.getSeq[Int](1).map(_.toLong).toArray
+            }))
+        if (localCodeCells.size >= maxLocalCells)
+          localCodeCells.remove(localCodeCells.head._1)
+        localCodeCells.put(c, v)
+        v
+    }
+
+  /** Driver-side ADC — the bit-exact mirror of the serving kernels
+    * ([[graft.functions.expressions.PqAdc]]/[[graft.functions.expressions.SqAdc]]/
+    * SignPack+HammingWords): same accumulation order (subspace
+    * ascending, dim ascending), same double arithmetic, so the local
+    * distances equal the distributed column values bit-for-bit. `bqQ`
+    * pre-packs the query once per call for the BQ arm. */
+  private def localAdcDist(codes: Array[Long], rq: Array[Float],
+      bqQ: Array[Long]): Double =
+    if (pqState.isDefined) {
+      val m = pqState.get._2
+      var acc = 0.0
+      var s = 0
+      while (s < m.numSub) {
+        val cw = m.codebooks(s)(codes(s).toInt)
+        var d = 0.0
+        var i = 0
+        while (i < m.subDim) {
+          val t = cw(i) - rq(s * m.subDim + i).toDouble
+          d += t * t
+          i += 1
+        }
+        acc += d
+        s += 1
+      }
+      acc
+    } else if (sqState.isDefined) {
+      val (_, lo, hi) = sqState.get
+      var acc = 0.0
+      var i = 0
+      while (i < lo.length) {
+        val dec = lo(i) + codes(i) / 255.0 * (hi(i) - lo(i))
+        val d = dec - rq(i).toDouble
+        acc += d * d
+        i += 1
+      }
+      acc
+    } else {
+      var acc = 0
+      var i = 0
+      while (i < codes.length) {
+        acc += java.lang.Long.bitCount(codes(i) ^ bqQ(i))
+        i += 1
+      }
+      acc.toDouble
+    }
+
+  /** The SignPack kernel driver-side: bit i set iff v(i) > 0, 32 bits
+    * per Long word — identical word layout to the stored codes. */
+  private def localSignPack(v: Array[Float]): Array[Long] = {
+    val n = math.min(v.length, codesWidth)
+    val words = new Array[Long]((codesWidth + 31) / 32)
+    var i = 0
+    while (i < n) {
+      if (v(i) > 0f) words(i >> 5) |= 1L << (i & 31)
+      i += 1
+    }
+    words
+  }
+
   /** Driver-local point-query serving — the reference's headline shape
     * (an in-process index answers one query in well under a
     * millisecond, `/root/reference/readme.md:9`, `benchmark.py:26-33`)
@@ -1414,6 +1508,12 @@ final class VectorDB private (
     * graphs cache on the driver on first touch (one narrow
     * partition-pruned job each), and every later query routes, walks,
     * and merges entirely driver-side — zero jobs, microseconds.
+    *
+    * COMPRESSED handles serve locally too (round 16): the probed
+    * cells' CODES cache instead of graphs (they are the cheapest cells
+    * to hold — M bytes per vector), and the driver ranks them with
+    * bit-exact mirrors of the ADC kernels, so local ≡ distributed on
+    * every serving mode.
     *
     * Serves EXACTLY what the distributed routed path serves: same
     * probe selection (fixed or adaptive) on the same reduced query,
@@ -1429,15 +1529,30 @@ final class VectorDB private (
     * k+8 per sub-part for re-scored metrics so a float-level rank
     * flip at the k boundary cannot drop a true top-k row. Falls back
     * to distributed [[search]] when any probed cell exceeds
-    * [[localCellRowCap]], or for configurations the local walk
-    * doesn't cover (no index, no router, compressed serving).
-    * Returns (id, distance) ascending. */
+    * [[localCellRowCap]], or for configurations no local arm covers
+    * (no index, no router). Returns (id, distance) ascending. */
   def searchLocal(queryVec: Seq[Float], k: Int): Seq[(Long, Double)] = {
-    val eligible = index.isDefined && ivfModel.isDefined && !servesCompressed
     def distributed(): Seq[(Long, Double)] =
       search(queryVec, k).select(col(idCol), col("dist")).collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
         .sortBy { case (id, d) => (d, id) }
+    if (servesCompressed && ivfModel.isDefined) {
+      require(queryVec.length == dims,
+        s"query dimension mismatch: expected $dims, got ${queryVec.length}")
+      // mirror of searchImpl's compressed arm: same reduced query,
+      // same fixed-nprobe probe order, same ADC math, same (dist, id)
+      // ascending cut — driver-side
+      val rq = reduceQueryVec(queryVec)
+      val probes = ivfModel.get.probeOrder(rq).take(nprobe)
+      val cells = probes.map(localCodeCell)
+      if (cells.exists(_.isEmpty)) return distributed()
+      val bqQ = if (bqState.isDefined) localSignPack(rq) else null
+      return cells.flatMap { cOpt =>
+        val (ids, codes) = cOpt.get
+        ids.indices.map(i => (ids(i), localAdcDist(codes(i), rq, bqQ)))
+      }.sortBy { case (id, d) => (d, id) }.take(k).toSeq
+    }
+    val eligible = index.isDefined && ivfModel.isDefined && !servesCompressed
     if (!eligible) return distributed()
     require(queryVec.length == dims,
       s"query dimension mismatch: expected $dims, got ${queryVec.length}")

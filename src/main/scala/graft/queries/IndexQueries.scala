@@ -1089,6 +1089,32 @@ object IndexQueries {
       sp
     }
 
+  /** Gate on COMPRESSED driver-local point serving (round 16 — the
+    * zero-job arm extended to the PQ/SQ/BQ modes: probed cells' CODES
+    * cache driver-side and rank through bit-exact ADC-kernel mirrors):
+    * dist = the distributed routed ADC path, local = the first
+    * driver-local serve (cells load, one narrow pruned job each),
+    * warm = the second (zero jobs — pinned by the spec's listener).
+    * All three must equal the trained-probe + ADC oracle replay.
+    * Fresh query id (134). */
+  def qVectordbLocalPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qv = emb(s, dir).filter(col("vec_id") === 134L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val db = vdbPqHandle(s, dir)
+    val dist = db.search(qv, k = 10).select(col("vec_id"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .sortBy { case (id, d) => (d, id) }
+    val local = db.searchLocal(qv, k = 10)
+    val warm = db.searchLocal(qv, k = 10)
+    (dist.map { case (id, d) => ("dist", id, d) } ++
+      local.map { case (id, d) => ("local", id, d) } ++
+      warm.map { case (id, d) => ("warm", id, d) })
+      .toDF("mode", "vec_id", "d")
+      .orderBy(col("mode"), col("d"), col("vec_id"))
+      .select(col("mode"), col("vec_id"), round(col("d"), 3).as("dist"))
+  }
+
   /** Gate on the compressed cell split — fresh query id (133). */
   def qVectordbSqSplit(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -2842,6 +2868,21 @@ object IndexQueries {
     // the split is routing metadata only: exhaustive probing serves the
     // global SQ ADC ranking, so the plain SQ oracle gates conservation
     QueryDef("q_vectordb_sq_split", qVectordbSqSplit, Some(sqOracleSql(133))),
+    QueryDef("q_vectordb_local_pq", qVectordbLocalPq, Some(
+      s"""WITH ms AS (SELECT unnest(range(0, 8)) AS m),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 134),
+         |$trainedCellsSql,
+         |cd AS (SELECT c.cell, sum((c.m - CAST(q.qv[c.i] AS DOUBLE))^2) AS d
+         |       FROM c1 c, q GROUP BY c.cell),
+         |probes AS (SELECT cell FROM
+         |             (SELECT cell, row_number() OVER (ORDER BY d, cell) AS rn FROM cd)
+         |           WHERE rn <= 3),
+         |${pqAdcCoreSql("embeddings e JOIN a1 ON a1.vec_id = e.vec_id JOIN probes p ON a1.cell = p.cell")},
+         |top AS (SELECT vec_id, d FROM dist ORDER BY d, vec_id LIMIT 10),
+         |u AS (SELECT 'dist' AS mode, vec_id, d FROM top
+         |      UNION ALL SELECT 'local' AS mode, vec_id, d FROM top
+         |      UNION ALL SELECT 'warm' AS mode, vec_id, d FROM top)
+         |SELECT mode, vec_id, round(d, 3) AS dist FROM u ORDER BY mode, d, vec_id""".stripMargin)),
     QueryDef("q_ann_trained", qAnnTrained,
       Some(trainedOracleSql("vec_id >= 16 AND vec_id < 20"))),
     QueryDef("q_ann_incremental", qAnnIncremental,

@@ -64,6 +64,52 @@ class CompressedServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e1.getMessage.contains("rebalance"), e1.getMessage)
   }
 
+  test("searchLocal serves compressed handles: ADC identity with the distributed arm, zero jobs warm") {
+    val qv = qvOf(23L)
+    def distOf(db: VectorDB) = db.search(qv, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .sortBy { case (id, d) => (d, id) }
+    val builds: Seq[(String, VectorDB => Unit)] = Seq(
+      ("pq", db => { db.buildIndexPq(numCells = 4, routerIters = 1); () }),
+      ("opq", db => { db.buildIndexOpq(numCells = 4, routerIters = 1); () }),
+      ("sq", db => { db.buildIndexSq(numCells = 4, routerIters = 1); () }),
+      ("bq", db => { db.buildIndexBq(numCells = 4, routerIters = 1); () }),
+      ("sq-dot", db => { db.buildIndexSq(numCells = 4, routerIters = 1,
+        metric = Knn.Dot); () }))
+    for ((tag, build) <- builds) {
+      val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+      build(db)
+      db.nprobe = 3
+      // bit-exact: the local ADC mirrors accumulate in the kernels'
+      // exact order, so == on raw doubles is the right assertion
+      assert(db.searchLocal(qv, 10) == distOf(db),
+        s"$tag local/distributed ADC divergence")
+    }
+    // zero jobs when warm (the searchLocal headline), on the PQ arm
+    val db = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    db.buildIndexPq(numCells = 4, routerIters = 1)
+    db.nprobe = 4
+    db.searchLocal(qv, 10) // cold: cells load
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    })
+    org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+    val before = jobs.get()
+    db.searchLocal(qv, 10)
+    org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+    assert(jobs.get() == before, "warm compressed searchLocal must launch no Spark job")
+    // cap breach falls back to the identical distributed answer
+    val capped = VectorDB.open(spark, s"$sfDir/embeddings.parquet", dims = 64, P)
+    capped.buildIndexPq(numCells = 4, routerIters = 1)
+    capped.nprobe = 4
+    capped.localCellRowCap = 1
+    assert(capped.searchLocal(qv, 10) == db.searchLocal(qv, 10),
+      "cap-breach fallback diverged from local compressed serving")
+  }
+
   test("cosine PQ/SQ: wide refine equals exact brute-force cosine bit-for-bit") {
     val qv = qvOf(11L)
     val exact = Knn.searchKnn(e, qv, 10, metric = Knn.Cosine)

@@ -84,7 +84,7 @@ EMB_QUERIES = {
     # N-way handle merge
     "q_vectordb_pq_merged", "q_vectordb_dot_merged",
     "q_vectordb_merged_rebalanced", "q_vectordb_merged_many",
-    "q_vectordb_sq_split",
+    "q_vectordb_sq_split", "q_vectordb_local_pq",
 }
 
 # Measured, diagnosed, FORMALLY CLOSED fixture artifacts: each entry
