@@ -138,6 +138,28 @@ class VectorDB:
         self._facade.buildIndexIvf(self._jdb, int(num_cells), int(iters), metric)
         return self
 
+    def build_index_pq(self, num_cells=16, router_iters=1, num_sub=8,
+                       codebook_k=16, pq_iters=0, metric="l2"):
+        """IVF-PQ compressed serving (M-byte codes, ADC ranking in the
+        probed cells); point queries serve driver-locally through the
+        bit-exact ADC kernel mirrors — zero Spark jobs warm."""
+        self._facade.buildIndexPq(self._jdb, int(num_cells), int(router_iters),
+                                  int(num_sub), int(codebook_k), int(pq_iters),
+                                  metric)
+        return self
+
+    def build_index_sq(self, num_cells=16, router_iters=1, metric="l2"):
+        """Int8 scalar-quantized serving (4x smaller codes)."""
+        self._facade.buildIndexSq(self._jdb, int(num_cells), int(router_iters),
+                                  metric)
+        return self
+
+    def build_index_bq(self, num_cells=16, router_iters=1, metric="l2"):
+        """1-bit sign-pattern serving (Hamming ranking)."""
+        self._facade.buildIndexBq(self._jdb, int(num_cells), int(router_iters),
+                                  metric)
+        return self
+
     def configure(self, nprobe=3, ef_search=0, adaptive_alpha=0.0):
         """Serving knobs: probed cells per query, beam width (0 =
         engine default), adaptive probe cost-growth bound

@@ -245,6 +245,18 @@ for w in ["ab", "abc", "cab", "abab", "aabb"]:
     assert got == py_unigram(w, model), (w, got, py_unigram(w, model))
 print("unigram_encode OK (independent python replay)")
 
+# compressed serving from Python: PQ build, then the point arm must
+# serve the distributed DataFrame arm's answer exactly (the point arm
+# runs driver-local through the bit-exact ADC kernel mirrors)
+pq = VectorDB(SF_DIR + "/embeddings.parquet", 64, 16, 32, spark=spark)
+pq.build_index_pq(num_cells=4, router_iters=1).configure(nprobe=3)
+pq_local = pq.search(qv, 10)
+pq_dist = sorted(((r[0], r[1]) for r in pq.search_df(qv, 10).collect()),
+                 key=lambda t: (t[1], t[0]))
+assert [(i, round(d, 9)) for i, d in pq_local] == \
+       [(i, round(d, 9)) for i, d in pq_dist], (pq_local, pq_dist)
+print("python compressed (PQ) point arm OK: local == distributed ADC")
+
 # N-way shard merge from the Python driver — the 100 TB orchestration
 # shape: two id-parity shard corpora, each handle built independently
 # (colliding 4-cell routers), merged into one serving handle; the

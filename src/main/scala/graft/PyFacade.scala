@@ -119,6 +119,28 @@ object PyFacade {
   def load(spark: SparkSession, path: String): VectorDB =
     VectorDB.load(spark, path)
 
+  /** Compressed serving builds — the quantized modes through the
+    * Python surface (PQ = product-quantized codes, SQ = int8, BQ =
+    * 1-bit sign patterns; `metric` as in [[buildIndexIvf]]). Point
+    * queries on compressed handles serve through the driver-local ADC
+    * arm (zero Spark jobs warm — the bit-exact kernel mirrors). */
+  def buildIndexPq(db: VectorDB, numCells: Int, routerIters: Int,
+      numSub: Int, codebookK: Int, pqIters: Int, metric: String): Unit = {
+    db.buildIndexPq(numCells, routerIters, numSub, codebookK, pqIters,
+      metric = metric)
+    ()
+  }
+  def buildIndexSq(db: VectorDB, numCells: Int, routerIters: Int,
+      metric: String): Unit = {
+    db.buildIndexSq(numCells, routerIters, metric = metric)
+    ()
+  }
+  def buildIndexBq(db: VectorDB, numCells: Int, routerIters: Int,
+      metric: String): Unit = {
+    db.buildIndexBq(numCells, routerIters, metric = metric)
+    ()
+  }
+
   /** N-way shard merge ([[graft.VectorDB.mergeAllWith]] — the Python
     * orchestration shape of the 100 TB parallel build: each shard's
     * handle built/saved in its own job, loaded and merged from the

@@ -57,6 +57,11 @@ class SharedTrainingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val qv = qvOf(29L)
       assert(served(merged, qv) == served(single, qv),
         s"$mode/$metric merged serving diverged from the single shared build")
+      // the zero-job local point arm serves the merged compressed
+      // handle too (the shared router + unioned codes cells cache
+      // driver-side), identically to the distributed ADC
+      assert(merged.searchLocal(qv, 10) == served(merged, qv),
+        s"$mode/$metric merged local point serving diverged")
     }
   }
 
