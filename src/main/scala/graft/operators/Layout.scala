@@ -179,4 +179,41 @@ object Layout {
       sum(col("n_rows")).as("n_rows"),
       sum(col("sum_ids")).as("sum_ids"),
       sum(col("payload_fp")).as("payload_fp"))
+
+  /** Diff two per-shard manifests — the VERIFICATION consumer the
+    * additive manifests exist for: after a copy / convert / filter /
+    * re-shard stage, compare the source and destination manifests and
+    * report ONLY the exceptions (an empty result IS the verification).
+    * Verdict per differing shard, checked in severity order:
+    * `missing_in_a`/`missing_in_b` (the shard exists on one side
+    * only), `row_count` (both present, counts differ — dropped or
+    * duplicated rows), `content` (same count but the id sum or the
+    * order-free fingerprint differs — substituted ids or corrupted
+    * payload bytes). Both sides' censuses ride along so the report is
+    * actionable without re-running anything.
+    *
+    * Scale shape: an O(#shards) join of two O(#shards) frames —
+    * verifying a 100 TB copy reads two manifests, never either
+    * corpus; the corpora were read exactly once each, by their own
+    * [[manifest]] call (possibly on different clusters, possibly
+    * folded from finer shards via [[mergeManifests]]). */
+  def diffManifests(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("shard"), col("n_rows").as("a_rows"),
+      col("sum_ids").as("a_sum_ids"), col("payload_fp").as("a_fp"))
+    val r = b.select(col("shard"), col("n_rows").as("b_rows"),
+      col("sum_ids").as("b_sum_ids"), col("payload_fp").as("b_fp"))
+    l.join(r, Seq("shard"), "full_outer")
+      .withColumn("verdict",
+        when(col("a_rows").isNull, lit("missing_in_a"))
+          .when(col("b_rows").isNull, lit("missing_in_b"))
+          .when(col("a_rows") =!= col("b_rows"), lit("row_count"))
+          // null-safe: a shard whose payloads are ALL NULL carries a
+          // NULL fingerprint — a plain =!= would silently skip it
+          .when(!(col("a_sum_ids") <=> col("b_sum_ids")) ||
+            !(col("a_fp") <=> col("b_fp")), lit("content")))
+      .filter(col("verdict").isNotNull)
+      .select(col("shard"), col("verdict"), col("a_rows"), col("b_rows"),
+        col("a_sum_ids"), col("b_sum_ids"), col("a_fp"), col("b_fp"))
+      .orderBy("shard")
+  }
 }

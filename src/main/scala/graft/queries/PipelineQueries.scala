@@ -281,6 +281,27 @@ object PipelineQueries {
     per.unionAll(total).orderBy("shard")
   }
 
+  /** Manifest DIFF ([[graft.operators.Layout.diffManifests]] — the
+    * verification consumer the additive manifests exist for): the
+    * corpus manifest vs the manifest of a DELIBERATELY damaged copy —
+    * all of src0 dropped (`missing_in_b`), doc 3 dropped from src3
+    * (`row_count`), doc 7's text mutated in src7 (`content` — count
+    * and id sum equal, fingerprint differs). The diff must report
+    * EXACTLY those three shards with both sides' censuses; every
+    * clean shard must be absent (an empty diff IS the copy
+    * verification). */
+  def qManifestDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    def mf(df: DataFrame) = graft.operators.Layout.manifest(
+      df, col("source"), col("doc_id"), col("text"))
+    val damaged = d
+      .filter(col("source") =!= "src0" && col("doc_id") =!= 3L)
+      .withColumn("text",
+        when(col("doc_id") === 7L, concat(col("text"), lit("X")))
+          .otherwise(col("text")))
+    graft.operators.Layout.diffManifests(mf(d), mf(damaged))
+  }
+
   def qHrwShard(s: SparkSession, dir: String): DataFrame = {
     val shards = (0 until 8).map(i => f"shard-$i%02d")
     s.read.parquet(s"$dir/documents.parquet")
@@ -854,6 +875,33 @@ object PipelineQueries {
         |      AS payload_fp
         |  FROM documents)
         |SELECT * FROM per UNION ALL SELECT * FROM tot ORDER BY shard""".stripMargin)),
+    QueryDef("q_manifest_diff", qManifestDiff, Some(
+      """WITH a AS (SELECT source AS shard, count(*) AS n,
+        |    CAST(sum(doc_id) AS BIGINT) AS s,
+        |    CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 2147483648) AS BIGINT) AS f
+        |  FROM documents GROUP BY 1),
+        |dmg AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id = 7 THEN text || 'X' ELSE text END AS text
+        |  FROM documents WHERE source <> 'src0' AND doc_id <> 3),
+        |b AS (SELECT source AS shard, count(*) AS n,
+        |    CAST(sum(doc_id) AS BIGINT) AS s,
+        |    CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 2147483648) AS BIGINT) AS f
+        |  FROM dmg GROUP BY 1),
+        |j AS (SELECT coalesce(a.shard, b.shard) AS shard,
+        |    a.n AS a_rows, b.n AS b_rows, a.s AS a_sum_ids, b.s AS b_sum_ids,
+        |    a.f AS a_fp, b.f AS b_fp
+        |  FROM a FULL OUTER JOIN b ON a.shard = b.shard),
+        |v AS (SELECT shard,
+        |    CASE WHEN a_rows IS NULL THEN 'missing_in_a'
+        |         WHEN b_rows IS NULL THEN 'missing_in_b'
+        |         WHEN a_rows <> b_rows THEN 'row_count'
+        |         WHEN a_sum_ids IS DISTINCT FROM b_sum_ids
+        |           OR a_fp IS DISTINCT FROM b_fp THEN 'content'
+        |    END AS verdict,
+        |    a_rows, b_rows, a_sum_ids, b_sum_ids, a_fp, b_fp
+        |  FROM j)
+        |SELECT shard, verdict, a_rows, b_rows, a_sum_ids, b_sum_ids, a_fp, b_fp
+        |FROM v WHERE verdict IS NOT NULL ORDER BY shard""".stripMargin)),
     QueryDef("q_hrw_shard", qHrwShard, Some(
       s"""WITH sh AS (SELECT unnest($hrwShardLits) AS sh),
          |a AS (SELECT d.doc_id, sh.sh,

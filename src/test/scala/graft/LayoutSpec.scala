@@ -279,4 +279,46 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f1._1 == f2._1 && f1._2 == f2._2 && f1._3 != f2._3,
       s"only the fingerprint may move: $f1 vs $f2")
   }
+
+  test("diffManifests: an empty diff IS the verification; every damage class is named") {
+    import spark.implicits._
+    def mf(df: org.apache.spark.sql.DataFrame) =
+      Layout.manifest(df, col("shard"), col("id"), col("payload"))
+    val src = Seq(
+      ("s0", 1L, "a"), ("s0", 2L, "b"),
+      ("s1", 3L, "c"), ("s1", 4L, "d"),
+      ("s2", 5L, "e"), ("s2", 6L, "f"),
+      ("s3", 7L, "g")).toDF("shard", "id", "payload")
+    // identical copies: EMPTY diff
+    assert(Layout.diffManifests(mf(src), mf(src)).count() == 0L)
+    // damage: s0 dropped entirely, a row dropped from s1, a payload
+    // byte flipped in s2, a NEW shard s4 appears; s3 stays clean
+    val dst = Seq(
+      ("s1", 3L, "c"),
+      ("s2", 5L, "e"), ("s2", 6L, "F"),
+      ("s3", 7L, "g"),
+      ("s4", 8L, "h")).toDF("shard", "id", "payload")
+    val got = Layout.diffManifests(mf(src), mf(dst)).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("s0" -> "missing_in_b", "s1" -> "row_count",
+      "s2" -> "content", "s4" -> "missing_in_a"), got.toString)
+    // id substitution at equal count is a content verdict too (the id
+    // sum moves even when the payload bytes do not)
+    val swapped = Seq(
+      ("s0", 1L, "a"), ("s0", 9L, "b"),
+      ("s1", 3L, "c"), ("s1", 4L, "d"),
+      ("s2", 5L, "e"), ("s2", 6L, "f"),
+      ("s3", 7L, "g")).toDF("shard", "id", "payload")
+    val got2 = Layout.diffManifests(mf(src), mf(swapped)).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got2 == Map("s0" -> "content"), got2.toString)
+    // an all-NULL-payload shard carries a NULL fingerprint: the
+    // null-safe compare must neither crash nor report a clean shard
+    val na = Seq(("n", 1L, null.asInstanceOf[String])).toDF("shard", "id", "payload")
+    val nb = Seq(("n", 1L, "now present")).toDF("shard", "id", "payload")
+    assert(Layout.diffManifests(mf(na), mf(na)).count() == 0L)
+    val got3 = Layout.diffManifests(mf(na), mf(nb)).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got3 == Map("n" -> "content"), got3.toString)
+  }
 }
