@@ -1137,6 +1137,11 @@ final class VectorDB private (
     val kept = codesTable.filter(!col("cell").isin(small.toSeq: _*))
     val out = maintainedCodes(db, kept.unionByName(reassigned))
     out.ivfModel = Some(survModel)
+    // compaction restricts the router to the survivors — the layout
+    // diverges from any SharedTraining artifact, so the derived handle
+    // drops its shared status (maintainedCodes carries it for IN-BOUND
+    // maintenance, which never touches the router)
+    out.sharedTraining = None
     out
   }
 
@@ -1252,6 +1257,10 @@ final class VectorDB private (
       subModel.centroids.indices.map(o => subModel.cellId(o) -> subModel.centroids(o)))
       .sortBy(_._1).toArray
     out.ivfModel = Some(IvfIndex.Model(combined.map(_._2), combined.map(_._1)))
+    // the split router diverges from any SharedTraining artifact: the
+    // derived handle drops its shared status (merge shards FIRST, then
+    // split the merged result — the scaladoc contract)
+    out.sharedTraining = None
     out
   }
 

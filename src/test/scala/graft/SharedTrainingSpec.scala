@@ -175,6 +175,35 @@ class SharedTrainingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("merge -> splitCells composition: the merged shared handle splits routably and serves conserved") {
+    // the compressed post-merge lifecycle: a fixed shared router means
+    // merged shards pile rows into the same cells — split restores
+    // probe selectivity. Shared status drops (the split router
+    // diverges from the artifact), serving must not change at
+    // exhaustive probing, and the split cells must stay routable.
+    val t = SharedTraining.train(e, dims = 64, mode = "sq", metric = Knn.L2,
+      numCells = 4, routerIters = 1)
+    val merged = shardHandle(t, 0).mergeWith(shardHandle(t, 1))
+    merged.nprobe = 4
+    val split = merged.splitCells(maxCellSize = 64)
+    val st = split.stats.head()
+    assert(st.getAs[Long]("n_cells") > 4L && st.getAs[Long]("n_indexed") == 500L, st)
+    split.nprobe = st.getAs[Long]("n_cells").toInt
+    val qv = qvOf(83L)
+    val exhaustive = merged.search(qv, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(split.search(qv, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq == exhaustive,
+      "split changed exhaustive-probe serving on the merged handle")
+    // shared status dropped: a further merge with an un-split shard
+    // must reject rather than reconcile divergent routers
+    val eMix = intercept[IllegalArgumentException] {
+      split.mergeWith(shardHandle(t, 0))
+    }
+    assert(eMix.getMessage.contains("shard-local") ||
+      eMix.getMessage.contains("mixed"), eMix.getMessage)
+  }
+
   test("sample-trained artifacts: quality degrades gracefully, never correctness (the 100 TB training contract)") {
     // the real 100 TB shape: codebooks/router train on a SAMPLE (here
     // the lowest-id 25%), the dot norm bound comes from a full
