@@ -105,6 +105,49 @@ def unigram_encode(word, model, spark=None):
     return list(spark._jvm.graft.PyFacade.unigramEncode(str(word), jmap))
 
 
+class SharedTraining:
+    """Opaque corpus-global training artifact (router + codebooks /
+    bounds / permutation / max-norm) — the piece that makes compressed
+    and dot shards buildable in parallel and MERGEABLE. Produced by
+    :func:`shared_train` (or ``VectorDB.reshare``); pass it to
+    ``VectorDB.build_index_shared`` on every shard. ``fingerprint`` is
+    the SHA-256 content identity the merge gate compares — log or
+    persist it to verify every shard encoded against the SAME
+    training."""
+
+    def __init__(self, jt, spark):
+        self._jt = jt
+        self._spark = spark
+
+    @property
+    def fingerprint(self):
+        return str(self._spark._jvm.graft.PyFacade.sharedFingerprint(self._jt))
+
+
+def shared_train(corpus, mode, metric="l2", num_cells=16, router_iters=1,
+                 num_sub=8, codebook_k=16, pq_iters=0, norm_bound_sq=0.0):
+    """ONE training pass over ``corpus`` (a ``VectorDB`` handle over
+    the union corpus, or over a sample — see the engine's sample
+    contract) producing every corpus-global artifact ``mode``
+    (``"ivf"``/``"pq"``/``"opq"``/``"sq"``/``"bq"``) needs under
+    ``metric``. The 100 TB build shape::
+
+        t = shared_train(VectorDB(union_path, dims), "pq")
+        # each shard, in its own job:
+        shard = VectorDB(shard_path, dims).build_index_shared(t).save(out)
+        # then once, on the driver:
+        merged = loaded_shards[0].merge(*loaded_shards[1:])
+
+    ``norm_bound_sq`` (dot metric, sample training only): a true upper
+    bound on the corpus squared norm; ``<= 0`` computes the full-pass
+    bound (sampling the bound would silently lose recall — the engine
+    re-checks per shard and raises)."""
+    jt = corpus._facade.sharedTrain(
+        corpus._jdb, mode, metric, int(num_cells), int(router_iters),
+        int(num_sub), int(codebook_k), int(pq_iters), float(norm_bound_sq))
+    return SharedTraining(jt, corpus._spark)
+
+
 class VectorDB:
     """A vector database handle backed by the Scala engine.
 
@@ -159,6 +202,39 @@ class VectorDB:
         self._facade.buildIndexBq(self._jdb, int(num_cells), int(router_iters),
                                   metric)
         return self
+
+    def build_index_shared(self, training):
+        """Map-only encode of THIS shard against a corpus-global
+        :class:`SharedTraining` artifact — the per-shard step of the
+        parallel 100 TB build (no training job; the only aggregate is
+        the dot arm's loud norm-bound re-check). Handles encoded
+        against the SAME artifact (fingerprint-equal) merge on every
+        serving mode, including the compressed and dot ones that
+        shard-local training locks out."""
+        self._facade.buildIndexShared(self._jdb, training._jt)
+        return self
+
+    def split_cells(self, max_cell_size):
+        """Split serving cells that outgrew the router (the state a
+        long merge-chain under a fixed shared artifact produces) —
+        compressed modes only; codes never change, so exhaustive-probe
+        serving is identical. Returns the derived handle; shared
+        status drops (the split router diverged) — call
+        :meth:`reshare` to mint a v2 artifact for late shards."""
+        out = VectorDB.__new__(VectorDB)
+        out._spark = self._spark
+        out._facade = self._facade
+        out._jdb = self._facade.splitCells(self._jdb, int(max_cell_size))
+        return out
+
+    def reshare(self):
+        """Mint a v2 :class:`SharedTraining` artifact from this
+        handle's CURRENT serving state (post-``split_cells``: new
+        router, carried global codebooks/bounds — zero jobs, no
+        re-encoding), so a rolling merge pipeline never dead-ends:
+        late shards ``build_index_shared(v2)`` and ``merge`` proceeds;
+        v1-encoded shards raise the fingerprint-mismatch error."""
+        return SharedTraining(self._facade.reshare(self._jdb), self._spark)
 
     def configure(self, nprobe=3, ef_search=0, adaptive_alpha=0.0):
         """Serving knobs: probed cells per query, beam width (0 =

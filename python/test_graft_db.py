@@ -283,6 +283,57 @@ except Exception as e:
     assert "unique vector ids" in str(e), e
 print("python shard merge OK (both parities served; duplicate ids raise)")
 
+# shared-training workflow from the Python driver — the full 100 TB
+# orchestration story: train ONCE over the union corpus, encode each
+# parity shard map-only in its own handle, merge fingerprint-equal
+# shards, and serve — asserting parity with a single Scala-side shared
+# build over the union. Then the post-split lifecycle: split_cells
+# drops shared status, reshare mints v2, a late v1 shard raises.
+from graft_db import shared_train
+union = VectorDB(SF_DIR + "/embeddings.parquet", 64, 16, 32, spark=spark)
+t = shared_train(union, "pq", num_cells=4, router_iters=1)
+assert len(t.fingerprint) == 64, t.fingerprint
+pshards = [VectorDB(d, 64, 16, 32, spark=spark).build_index_shared(t)
+           for d in shard_dirs]
+assert all(s.len() == 250 for s in pshards)
+smerged = pshards[0].merge(pshards[1]).configure(nprobe=3)
+single = (VectorDB(SF_DIR + "/embeddings.parquet", 64, 16, 32, spark=spark)
+          .build_index_shared(t).configure(nprobe=3))
+sq_hits = smerged.search(qv, 10)
+assert [(i, round(d, 9)) for i, d in sq_hits] == \
+       [(i, round(d, 9)) for i, d in single.search(qv, 10)], sq_hits
+# mixing artifacts must raise with the fingerprint diagnosis
+t_other = shared_train(union, "pq", num_cells=8, router_iters=1)
+assert t_other.fingerprint != t.fingerprint
+other_shard = VectorDB(shard_dirs[1], 64, 16, 32,
+                       spark=spark).build_index_shared(t_other)
+try:
+    pshards[0].merge(other_shard)
+    raise AssertionError("fingerprint-mismatched merge must raise")
+except Exception as e:
+    assert "fingerprint mismatch" in str(e), e
+print("python shared training OK: merged == single shared build; mixes raise")
+
+# post-split reshare lifecycle: split the merged handle, mint v2, a
+# late v1-encoded shard raises, a v2-encoded one merges and serves
+split = smerged.split_cells(64)
+v2 = split.reshare()
+assert v2.fingerprint != t.fingerprint
+try:
+    split.merge(pshards[1])
+    raise AssertionError("v1 shard against a v2 handle must raise")
+except Exception as e:
+    assert "fingerprint mismatch" in str(e), e
+late_dir = tempfile.mkdtemp(prefix="graft_pylate_")
+(spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    .filter("vec_id % 2 = 1").selectExpr("vec_id + 1000 AS vec_id",
+                                         "label", "embedding")
+    .write.mode("overwrite").parquet(late_dir))
+late = VectorDB(late_dir, 64, 16, 32, spark=spark).build_index_shared(v2)
+rolled = split.merge(late).configure(nprobe=3)
+assert rolled.len() == 750, rolled.len()
+print("python reshare lifecycle OK: split -> reshare -> late shard merged")
+
 # warm point-query latency through the py4j bridge (informational):
 # the Scala-side walk is ~0.2 ms; the rest is gateway round-trip
 import time

