@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
@@ -433,6 +433,156 @@ object PipelineQueries {
         sum(when(col("status") === 301, 1L).otherwise(0L)).as("n_301"))
   }
 
+  /** Deterministic HTML wrapper around a doc's text — the SHARED
+    * fixture contract between the extraction gates and their DuckDB
+    * oracles (both synthesize the same markup from the documents
+    * table; the crawl corpus itself is clean prose, so the markup a
+    * real crawl would carry is reconstructed here): title/nav/footer
+    * boilerplate chrome around one of four id-keyed body variants —
+    * plain paragraph; split across an UPPERCASE attributed tag pair;
+    * entity-encoded text with a hostile comment (tags inside it);
+    * linked prose plus a related-links list (the block the density
+    * rule must cut). The `<script>` carries tag-shaped junk so the
+    * element strip is load-bearing on every row. */
+  private def htmlOf(t: Column, id: Column): Column = {
+    val half = (length(t) / lit(2)).cast("int")
+    val first = t.substr(lit(1), half)
+    val rest = t.substr(half + lit(1), length(t))
+    val body = when(id % 4 === 0, concat(lit("<p>"), t, lit("</p>")))
+      .when(id % 4 === 1, concat(lit("<P CLASS=\"big\">"), first,
+        lit("</P><p>"), rest, lit("</p>")))
+      .when(id % 4 === 2, concat(lit("<p>Q&amp;A &lt;ok&gt;&nbsp;"), t,
+        lit("<!-- <p>ghost</p> --></p>")))
+      .otherwise(concat(lit("<p>"), t,
+        lit(" see <a href=\"/r\">details</a></p><ul><li><a href=\"/1\">rel one</a>" +
+          "</li><li><a href=\"/2\">rel two</a></li></ul>")))
+    concat(
+      lit("<html><head><title>Doc "), id.cast("string"),
+      lit("</title>\n<style>body { color: #000 }</style>" +
+        "<script>var n=1; if (n<2) { document.write(\"<p>junk</p>\"); }</script></head>\n" +
+        "<body><div class=\"nav\"><a href=\"/\">Home</a> | <a href=\"/idx\">Index</a>" +
+        " | <a href=\"/help\">Help</a></div>\n"),
+      body,
+      lit("\n<div class=\"footer\"><a href=\"/about\">About</a> | " +
+        "<a href=\"/c\">Contact</a></div></body></html>"))
+  }
+
+  /** The DuckDB twin of [[htmlOf]] over (doc_id, text). */
+  private val htmlSql: String =
+    """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>' || chr(10) ||
+      |'<style>body { color: #000 }</style><script>var n=1; if (n<2) { document.write("<p>junk</p>"); }</script></head>' || chr(10) ||
+      |'<body><div class="nav"><a href="/">Home</a> | <a href="/idx">Index</a> | <a href="/help">Help</a></div>' || chr(10) ||
+      |CASE WHEN doc_id % 4 = 0 THEN '<p>' || text || '</p>'
+      |     WHEN doc_id % 4 = 1 THEN '<P CLASS="big">' || substr(text, 1, length(text) // 2) || '</P><p>' || substr(text, length(text) // 2 + 1) || '</p>'
+      |     WHEN doc_id % 4 = 2 THEN '<p>Q&amp;A &lt;ok&gt;&nbsp;' || text || '<!-- <p>ghost</p> --></p>'
+      |     ELSE '<p>' || text || ' see <a href="/r">details</a></p><ul><li><a href="/1">rel one</a></li><li><a href="/2">rel two</a></li></ul>'
+      |END || chr(10) || '<div class="footer"><a href="/about">About</a> | <a href="/c">Contact</a></div></body></html>'""".stripMargin
+
+  /** The pinned extraction grammar
+    * ([[graft.operators.HtmlExtract]] scaladoc, stages 0-8) replayed
+    * as a DuckDB CTE chain: expects `h0(doc_id, h)`; ends in
+    * `hb(doc_id, bs)` with the normalized block list (markers intact —
+    * the [[visSql]]/[[linkSql]]/[[keepsSql]] macros finish stage 8). */
+  private val htmlCleanSql: String =
+    """hc0 AS (SELECT doc_id, regexp_replace(h, '[\x00-\x08\x0B\x0C\x0E-\x1F]', ' ', 'g') AS h FROM h0),
+      |hc1 AS (SELECT doc_id, regexp_replace(regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g'), '(?s)<!--.*', ' ', 'g') AS h FROM hc0),
+      |hc2 AS (SELECT doc_id, regexp_replace(regexp_replace(h, '(?is)<script\b[^>]*>.*?</script[^>]*>', ' ', 'g'), '(?is)<script\b[^>]*>.*', ' ', 'g') AS h FROM hc1),
+      |hc3 AS (SELECT doc_id, regexp_replace(regexp_replace(h, '(?is)<style\b[^>]*>.*?</style[^>]*>', ' ', 'g'), '(?is)<style\b[^>]*>.*', ' ', 'g') AS h FROM hc2),
+      |hc4 AS (SELECT doc_id, regexp_replace(h, '(?is)<a\b[^>]*>(.*?)</a[^>]*>', chr(2) || '\1' || chr(3), 'g') AS h FROM hc3),
+      |hc5 AS (SELECT doc_id, replace(h, chr(10), ' ') AS h FROM hc4),
+      |hc6 AS (SELECT doc_id, regexp_replace(h, '(?i)</?(article|aside|blockquote|br|div|footer|form|header|hr|h[1-6]|li|nav|ol|pre|p|section|table|td|th|title|tr|ul)\b[^>]*>', chr(10), 'g') AS h FROM hc5),
+      |hc7 AS (SELECT doc_id, regexp_replace(h, '<[^>]*>', '', 'g') AS h FROM hc6),
+      |hc8 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(replace(h,
+      |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS h FROM hc7),
+      |hb AS (SELECT doc_id, list_transform(string_split(h, chr(10)), b -> trim(regexp_replace(b, '[ \t\r]+', ' ', 'g'))) AS bs FROM hc8)""".stripMargin
+
+  private def visSql(b: String): String =
+    s"replace(replace($b, chr(2), ''), chr(3), '')"
+  private def linkSql(b: String): String =
+    s"""((length($b) - length(regexp_replace($b, '\\x02[^\\x03]*\\x03', '', 'g'))) - 2 * len(regexp_extract_all($b, '\\x02[^\\x03]*\\x03')))"""
+  private def keepsSql(b: String): String =
+    s"(length(${visSql(b)}) >= 30 AND ${linkSql(b)} * 100 <= length(${visSql(b)}) * 20)"
+  private def mainTextSql(bs: String): String =
+    // coalesce: DuckDB's array_to_string is NULL on an empty list where
+    // Spark's array_join is '' — an all-boilerplate doc must agree
+    s"coalesce(array_to_string(list_transform(list_filter($bs, b -> ${keepsSql("b")}), b -> ${visSql("b")}), chr(10)), '')"
+
+  /** HTML → text extraction gate
+    * ([[graft.operators.HtmlExtract.extractMainText]] /
+    * [[graft.operators.HtmlExtract.extractText]] — VERDICT r16 item
+    * #1, the stage between "read the raw crawl" and the entire text
+    * stack): every document wraps in the [[htmlOf]] markup (four
+    * id-keyed variants incl. uppercase tags, entities, hostile
+    * comments, link lists) and the pinned grammar must recover the
+    * main prose — boilerplate chrome cut by the length +
+    * link-density rule — plus the full-text length census. The
+    * oracle replays the grammar stage-for-stage in RE2. Map-only:
+    * the whole pipeline is one Column expression riding the scan. */
+  def qHtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull)
+    val h = htmlOf(col("text"), col("doc_id"))
+    d.select(col("doc_id"),
+        length(graft.operators.HtmlExtract.extractText(h)).cast("long").as("full_len"),
+        graft.operators.HtmlExtract.extractMainText(h).as("main_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-block census gate
+    * ([[graft.operators.HtmlExtract.blockCensus]] — the density math
+    * itself as a surface): visible length, paired-anchor char count
+    * and the keep verdict for every non-empty block of the first 40
+    * docs' markup. */
+  def qHtmlBlocks(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull && col("doc_id") < 40)
+    d.select(col("doc_id"),
+        posexplode(graft.operators.HtmlExtract.blockCensus(
+          htmlOf(col("text"), col("doc_id")))))
+      .select(col("doc_id"), col("pos").cast("long").as("idx"),
+        col("col.vis_len").cast("long").as("vis_len"),
+        col("col.link_chars").cast("long").as("link_chars"),
+        col("col.kept").cast("int").as("kept"),
+        col("col.vis").as("vis"))
+      .orderBy("doc_id", "idx")
+  }
+
+  /** The COMPOSED crawl pipeline (VERDICT r16 item #1's composition
+    * requirement): documents (with id-shifted duplicate copies of
+    * every 7th doc) → [[htmlOf]] markup → WARC capture bundles
+    * ([[graft.sources.WarcCorpusSource.writeCaptures]], hostile
+    * request/metadata records interleaved) → `readResponses`
+    * framing-only skip → [[graft.operators.HtmlExtract
+    * .extractMainText]] → exact dedup on the extracted prose. The
+    * duplicate pairs share a main text ONLY because the boilerplate
+    * cut removes the id-carrying title/nav/footer chrome — a leaky
+    * cut would break every group. Oracle: the same wrap + grammar +
+    * group replay from the parquet table (the WARC leg is the
+    * round-trip identity q_warc_mixed gates). */
+  def qWarcExtractDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val dup = d.unionByName(
+      d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val tmp = fmtDir("warcext", dir)
+    graft.sources.WarcCorpusSource.writeCaptures(
+      dup.select(concat(col("doc_id").cast("string"), lit(".html")).as("name"),
+        htmlOf(col("text"), col("doc_id")).as("text"),
+        lit(200).as("status")),
+      tmp, shards = 8)
+    graft.sources.WarcCorpusSource.readResponses(s, tmp, skipNonResponse = true)
+      .select(split(col("record_uri"), "\\.").getItem(0).cast("long").as("doc_id"),
+        graft.operators.HtmlExtract.extractMainText(col("text")).as("main"))
+      .groupBy(col("main"))
+      .agg(min(col("doc_id")).as("canon_id"), count(lit(1)).as("n_copies"),
+        min(length(col("main"))).cast("long").as("main_len"))
+      .filter(col("n_copies") > 1)
+      .select(col("canon_id"), col("n_copies"), col("main_len"))
+      .orderBy("canon_id")
+  }
+
   def qBinSource(s: SparkSession, dir: String): DataFrame = {
     val tmp = binDir(dir)
     BinaryVectorSource.write(s.read.parquet(s"$dir/embeddings.parquet"), tmp, dims = 64)
@@ -863,6 +1013,36 @@ object PipelineQueries {
         |  CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_404,
         |  CAST(sum(CASE WHEN doc_id % 10 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_301
         |FROM documents WHERE text IS NOT NULL""".stripMargin)),
+    // the pinned extraction grammar replayed stage-for-stage in RE2:
+    // synthesis (htmlSql) and every clean stage (htmlCleanSql) are the
+    // SAME pinned strings the Spark side compiles to Column expressions
+    QueryDef("q_html_extract", qHtmlExtract, Some(
+      s"""WITH h0 AS (SELECT doc_id, $htmlSql AS h FROM documents WHERE text IS NOT NULL),
+         |$htmlCleanSql
+         |SELECT doc_id,
+         |  CAST(length(coalesce(array_to_string(list_filter(list_transform(bs, b -> ${visSql("b")}), t -> length(t) > 0), chr(10)), '')) AS BIGINT) AS full_len,
+         |  ${mainTextSql("bs")} AS main_text
+         |FROM hb ORDER BY doc_id""".stripMargin)),
+    QueryDef("q_html_blocks", qHtmlBlocks, Some(
+      s"""WITH h0 AS (SELECT doc_id, $htmlSql AS h FROM documents WHERE text IS NOT NULL AND doc_id < 40),
+         |$htmlCleanSql,
+         |cs0 AS (SELECT doc_id, list_filter(list_transform(bs, b ->
+         |          {'vis': ${visSql("b")}, 'vl': length(${visSql("b")}), 'lc': ${linkSql("b")}, 'k': ${keepsSql("b")}}),
+         |          s -> length(s.vis) > 0) AS cs FROM hb),
+         |ex AS (SELECT doc_id, generate_subscripts(cs, 1) - 1 AS idx, unnest(cs) AS s FROM cs0)
+         |SELECT doc_id, CAST(idx AS BIGINT) AS idx, CAST(s.vl AS BIGINT) AS vis_len,
+         |  CAST(s.lc AS BIGINT) AS link_chars, CAST(s.k AS INT) AS kept, s.vis AS vis
+         |FROM ex ORDER BY doc_id, idx""".stripMargin)),
+    QueryDef("q_warc_extract_dedup", qWarcExtractDedup, Some(
+      s"""WITH du AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+         |            UNION ALL
+         |            SELECT doc_id + 1000000, text FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0),
+         |h0 AS (SELECT doc_id, $htmlSql AS h FROM du),
+         |$htmlCleanSql,
+         |mt AS (SELECT doc_id, ${mainTextSql("bs")} AS main FROM hb)
+         |SELECT CAST(min(doc_id) AS BIGINT) AS canon_id, CAST(count(*) AS BIGINT) AS n_copies,
+         |  CAST(min(length(main)) AS BIGINT) AS main_len
+         |FROM mt GROUP BY main HAVING count(*) > 1 ORDER BY canon_id""".stripMargin)),
     QueryDef("q_manifest", qManifest, Some(
       """WITH per AS (SELECT source AS shard, CAST(count(*) AS BIGINT) AS n_rows,
         |    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
