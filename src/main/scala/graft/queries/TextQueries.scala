@@ -785,6 +785,27 @@ object TextQueries {
       col("doc_id"), col("source"), col("text"))
       .orderBy("group", "predicted")
 
+  /** Language identification, held-out confusion census
+    * ([[graft.operators.LangId.classify]] — VERDICT r16 item #6: the
+    * engine can now PRODUCE the `lang` column the consensus/drift
+    * gates consume, not just verify a fixture's): char-trigram
+    * Laplace-smoothed NB trained on the 80% residue split, every
+    * held-out doc classified, censused against the fixture labels.
+    * DECIMAL(18,6)-exact scoring (the q_nb_confusion precedent). */
+  def qLangidNb(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    val train = d.filter(col("doc_id") % 5 =!= 0)
+    val heldOut = d.filter(col("doc_id") % 5 === 0)
+    graft.operators.LangId.classify(
+        train, col("lang"), col("text"),
+        heldOut, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("lang").as("predicted"))
+      .join(heldOut.select(col("doc_id"), col("lang").as("actual")), "doc_id")
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("actual", "predicted")
+  }
+
   /** Distinctive vocabulary per source
     * ([[graft.operators.NgramLm.distinctiveTerms]] — Monroe log-odds
     * with informative Dirichlet prior, the "Fightin' Words" statistic:
@@ -1641,6 +1662,41 @@ object TextQueries {
          |         FROM ds)
          |SELECT g AS "group", cand AS predicted, count(*) AS n
          |FROM pred WHERE r = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("q_langid_nb", qLangidNb, Some(
+      """WITH tr AS (SELECT doc_id, lang,
+        |        '_' || regexp_replace(lower(text), '\s+', '_', 'g') || '_' AS s1
+        |      FROM documents WHERE text IS NOT NULL AND doc_id % 5 <> 0),
+        |ho AS (SELECT doc_id, lang,
+        |        '_' || regexp_replace(lower(text), '\s+', '_', 'g') || '_' AS s1
+        |      FROM documents WHERE text IS NOT NULL AND doc_id % 5 = 0),
+        |tk AS (SELECT lang AS g,
+        |        unnest(list_transform(range(1, length(s1) - 1), i -> substr(s1, i, 3))) AS tok
+        |      FROM tr),
+        |cg AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cg),
+        |ngc AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g FROM cg GROUP BY 1),
+        |pr AS (SELECT lang AS g, CAST(count(*) AS BIGINT) AS d_g FROM tr GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM tr),
+        |cand AS (SELECT ngc.g AS cand, CAST(ngc.n_g + v.v AS DOUBLE) AS den,
+        |           CAST(ln(CAST(pr.d_g AS DOUBLE) / CAST(nd.nd AS DOUBLE)) AS DECIMAL(18,6)) AS lprior
+        |         FROM ngc JOIN pr USING (g), v, nd),
+        |hk AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, length(s1) - 1), i -> substr(s1, i, 3))) AS tok
+        |      FROM ho),
+        |sc AS (SELECT hk.doc_id, cand.cand,
+        |         CAST(ln((CAST(coalesce(cg.c, 0) AS DOUBLE) + 1.0) / cand.den) AS DECIMAL(18,6)) AS lp
+        |       FROM hk CROSS JOIN cand
+        |       LEFT JOIN cg ON cg.g = cand.cand AND cg.tok = hk.tok),
+        |lt AS (SELECT doc_id, cand, sum(lp) AS ltok FROM sc GROUP BY 1, 2),
+        |ds AS (SELECT ho.doc_id, ho.lang AS actual, cand.cand,
+        |         cand.lprior + coalesce(lt.ltok, 0) AS score
+        |       FROM ho CROSS JOIN cand
+        |       LEFT JOIN lt ON lt.doc_id = ho.doc_id AND lt.cand = cand.cand),
+        |pred AS (SELECT doc_id, actual, cand,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS r
+        |         FROM ds)
+        |SELECT actual, cand AS predicted, count(*) AS n
+        |FROM pred WHERE r = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QueryDef("q_distinctive_terms", qDistinctiveTerms, Some(
       s"""WITH tk AS (SELECT source AS g, unnest($toksSql) AS tok FROM documents),
          |cg AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS yg FROM tk GROUP BY 1, 2),
