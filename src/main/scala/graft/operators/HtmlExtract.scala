@@ -128,6 +128,36 @@ object HtmlExtract {
     array_join(transform(kept, b => vis(b)), "\n")
   }
 
+  /** Outlink extraction — the crawl-FRONTIER half of the extraction
+    * stage (text feeds the training corpus; hrefs feed the next crawl
+    * round): every `<a>` open tag's href value, in document order,
+    * from the comment/script/style-stripped string (so a commented-out
+    * or script-embedded anchor is NOT a link — same shielding as the
+    * text path). Pinned grammar: the tag set is `(?is)<a\b[^>]*>`;
+    * within a tag, href parses as `href = "…"` | `'…'` | bare token
+    * (first match wins; bare stops at whitespace or `>`); the value
+    * entity-decodes with the pinned set (`&amp;` in query strings);
+    * tags without an href (or with an empty value) yield nothing. */
+  def extractLinks(html: Column): Column = {
+    val s0 = regexp_replace(html, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", " ")
+    val s1 = regexp_replace(s0, "(?s)<!--.*?-->", " ")
+    val s1b = regexp_replace(s1, "(?s)<!--.*", " ")
+    val s2 = regexp_replace(s1b, "(?is)<script\\b[^>]*>.*?</script[^>]*>", " ")
+    val s2b = regexp_replace(s2, "(?is)<script\\b[^>]*>.*", " ")
+    val s3 = regexp_replace(s2b, "(?is)<style\\b[^>]*>.*?</style[^>]*>", " ")
+    val s3b = regexp_replace(s3, "(?is)<style\\b[^>]*>.*", " ")
+    val tags = regexp_extract_all(s3b, lit("(?is)<a\\b[^>]*>"), lit(0))
+    val href = (t: Column) => {
+      val dq = regexp_extract(t, "(?is)\\bhref\\s*=\\s*\"([^\"]*)\"", 1)
+      val sq = regexp_extract(t, "(?is)\\bhref\\s*=\\s*'([^']*)'", 1)
+      val bare = regexp_extract(t, "(?is)\\bhref\\s*=\\s*([^\\s>\"']+)", 1)
+      decodeEntities(
+        when(length(dq) > 0, dq)
+          .otherwise(when(length(sq) > 0, sq).otherwise(bare)))
+    }
+    filter(transform(tags, t => href(t)), v => length(v) > 0)
+  }
+
   /** Per-block census as an array of structs (posexplode in the
     * caller for a row-per-block frame): visible text, visible length,
     * paired-anchor char count, and the stage-8 keep verdict — the

@@ -583,6 +583,158 @@ object PipelineQueries {
       .orderBy("canon_id")
   }
 
+  /** Markup fixture for the crawl-FRONTIER gates (shared contract with
+    * the SQL twin below, like [[htmlOf]]): one page per doc under
+    * base `http://{source}.example/sec{id%4}/page{id}.html`, whose
+    * anchors exercise every [[graft.operators.UrlParse.resolve]] arm —
+    * parent-relative (`../`), child-relative, protocol-relative,
+    * absolute with a case-noisy host and a default port, root-relative,
+    * query-only, fragment-only (NOT a frontier edge), an entity-encoded
+    * query, and a script-embedded anchor (NOT a link). */
+  private def frontierHtmlOf(id: Column): Column =
+    concat(
+      lit("<html><body><p>See <a href=\"../top.html\">up</a> and <a href=\"sub/item"),
+      id.cast("string"),
+      lit(".html\">sub</a></p><p><a href='//cdn.example/lib.js'>cdn</a> " +
+        "<a href=\"http://Other.EXAMPLE:80/x?a=1&amp;b=2\">abs</a></p>" +
+        "<ul><li><a href=\"/idx.html\">idx</a></li>" +
+        "<li><a href=\"?page=2\">next</a></li>" +
+        "<li><a href=\"#frag\">frag</a></li></ul>" +
+        "<script>var u = \"<a href='/not-a-link.html'>x</a>\";</script>" +
+        "</body></html>"))
+
+  private def frontierBase(id: Column, source: Column): Column =
+    concat(lit("http://"), source, lit(".example/sec"),
+      (id % 4).cast("string"), lit("/page"), id.cast("string"), lit(".html"))
+
+  /** The SQL twins over (doc_id, source). */
+  private val frontierHtmlSql: String =
+    """'<html><body><p>See <a href="../top.html">up</a> and <a href="sub/item' || CAST(doc_id AS VARCHAR) || '.html">sub</a></p>' ||
+      |'<p><a href=''//cdn.example/lib.js''>cdn</a> <a href="http://Other.EXAMPLE:80/x?a=1&amp;b=2">abs</a></p>' ||
+      |'<ul><li><a href="/idx.html">idx</a></li><li><a href="?page=2">next</a></li><li><a href="#frag">frag</a></li></ul>' ||
+      |'<script>var u = "<a href=''/not-a-link.html''>x</a>";</script></body></html>'""".stripMargin
+  private val frontierBaseSql: String =
+    "'http://' || source || '.example/sec' || CAST(doc_id % 4 AS VARCHAR) || '/page' || CAST(doc_id AS VARCHAR) || '.html'"
+
+  /** The pinned link-extraction grammar
+    * ([[graft.operators.HtmlExtract.extractLinks]]) as SQL CTEs:
+    * expects `f0(doc_id, base, h)`; ends in `hd(doc_id, base, idx,
+    * href)` (href entity-decoded, empties dropped, idx = pre-filter
+    * anchor ordinal). */
+  private val linksSql: String =
+    """lc0 AS (SELECT doc_id, base, regexp_replace(h, '[\x00-\x08\x0B\x0C\x0E-\x1F]', ' ', 'g') AS h FROM f0),
+      |lc1 AS (SELECT doc_id, base, regexp_replace(regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g'), '(?s)<!--.*', ' ', 'g') AS h FROM lc0),
+      |lc2 AS (SELECT doc_id, base, regexp_replace(regexp_replace(h, '(?is)<script\b[^>]*>.*?</script[^>]*>', ' ', 'g'), '(?is)<script\b[^>]*>.*', ' ', 'g') AS h FROM lc1),
+      |lc3 AS (SELECT doc_id, base, regexp_replace(regexp_replace(h, '(?is)<style\b[^>]*>.*?</style[^>]*>', ' ', 'g'), '(?is)<style\b[^>]*>.*', ' ', 'g') AS h FROM lc2),
+      |lt AS (SELECT doc_id, base, regexp_extract_all(h, '(?is)<a\b[^>]*>') AS tags FROM lc3),
+      |lk AS (SELECT doc_id, base, generate_subscripts(tags, 1) - 1 AS idx, unnest(tags) AS tag FROM lt),
+      |hv AS (SELECT doc_id, base, idx,
+      |         CASE WHEN length(regexp_extract(tag, '(?is)\bhref\s*=\s*"([^"]*)"', 1)) > 0
+      |                THEN regexp_extract(tag, '(?is)\bhref\s*=\s*"([^"]*)"', 1)
+      |              WHEN length(regexp_extract(tag, '(?is)\bhref\s*=\s*''([^'']*)''', 1)) > 0
+      |                THEN regexp_extract(tag, '(?is)\bhref\s*=\s*''([^'']*)''', 1)
+      |              ELSE regexp_extract(tag, '(?is)\bhref\s*=\s*([^\s>"'']+)', 1) END AS h0
+      |       FROM lk),
+      |hd AS (SELECT doc_id, base, idx,
+      |         replace(replace(replace(replace(replace(replace(replace(h0,
+      |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS href
+      |       FROM hv WHERE length(h0) > 0)""".stripMargin
+
+  /** [[graft.operators.UrlParse]] component macros in SQL (the RFC
+    * 3986 appendix-B regex; identical group numbering). */
+  private def uSchemeSql(u: String) =
+    s"lower(regexp_extract($u, '^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\\?([^#]*))?(#(.*))?', 2))"
+  private def uAuthSql(u: String) =
+    s"regexp_extract($u, '^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\\?([^#]*))?(#(.*))?', 4)"
+  private def uHostSql(u: String) =
+    s"lower(regexp_extract(${uAuthSql(u)}, '^(?:[^@]*@)?([^:]*)', 1))"
+  private def uPortSql(u: String) =
+    s"regexp_extract(${uAuthSql(u)}, ':([0-9]+)$$', 1)"
+  private def uPathSql(u: String) =
+    s"regexp_extract($u, '^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\\?([^#]*))?(#(.*))?', 5)"
+  private def uQuerySql(u: String) =
+    s"regexp_extract($u, '^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\\?([^#]*))?(#(.*))?', 7)"
+  private def uOriginSql(u: String) =
+    s"""(${uSchemeSql(u)} || '://' || ${uHostSql(u)} ||
+       | CASE WHEN length(${uPortSql(u)}) > 0
+       |        AND NOT (${uSchemeSql(u)} = 'http' AND ${uPortSql(u)} = '80')
+       |        AND NOT (${uSchemeSql(u)} = 'https' AND ${uPortSql(u)} = '443')
+       |   THEN ':' || ${uPortSql(u)} ELSE '' END)""".stripMargin
+  private def deDotSql(e: String) =
+    s"regexp_replace(regexp_replace($e, '/\\.(/|$$)', '/', 'g'), '^\\./', '', 'g')"
+  private def deUpSql(e: String) =
+    s"""regexp_replace(regexp_replace($e, '/(?:[^/.][^/]*|\\.[^/.][^/]*|\\.\\.[^/]+)/\\.\\.(/|$$)', '/', 'g'), '^/\\.\\.(/|$$)', '/', 'g')"""
+
+  /** The resolve + normalize replay: expects `hd(doc_id, base, idx,
+    * href)` where base = [[frontierBaseSql]] (origin/path/dir known
+    * from the shared synthesis contract); ends in `uf(doc_id, idx,
+    * href, url)` with non-frontier edges dropped. */
+  private val resolveSql: String = {
+    val borigin = "('http://' || d.source || '.example')"
+    val bpath = "('/sec' || CAST(d.doc_id % 4 AS VARCHAR) || '/page' || CAST(d.doc_id AS VARCHAR) || '.html')"
+    val bdir = "('/sec' || CAST(d.doc_id % 4 AS VARCHAR) || '/')"
+    val fold = (1 to 8).foldLeft("pth") { (acc, _) => deUpSql(deDotSql(acc)) }
+    s"""rs AS (SELECT hd.doc_id, hd.idx, hd.href,
+       |         CASE WHEN length(${uSchemeSql("hd.href")}) > 0 THEN hd.href
+       |              WHEN hd.href LIKE '//%' THEN ${uSchemeSql("hd.base")} || ':' || hd.href
+       |              WHEN hd.href LIKE '/%' THEN $borigin || hd.href
+       |              WHEN hd.href LIKE '?%' THEN $borigin || $bpath || hd.href
+       |              WHEN hd.href LIKE '#%' OR length(hd.href) = 0 THEN NULL
+       |              ELSE $borigin || $bdir || hd.href END AS u
+       |       FROM hd JOIN documents d ON d.doc_id = hd.doc_id),
+       |np AS (SELECT doc_id, idx, href, u, ${uSchemeSql("u")} AS sch, ${uHostSql("u")} AS hst,
+       |         ${uPortSql("u")} AS prt,
+       |         CASE WHEN length(${uPathSql("u")}) = 0 THEN '/' ELSE ${uPathSql("u")} END AS pth,
+       |         ${uQuerySql("u")} AS qry
+       |       FROM rs WHERE u IS NOT NULL),
+       |nf AS (SELECT doc_id, idx, href, sch, hst, prt, qry, ${deDotSql(fold)} AS pth2 FROM np),
+       |uf AS (SELECT doc_id, idx, href,
+       |         sch || '://' || hst ||
+       |         CASE WHEN length(prt) > 0 AND NOT (sch = 'http' AND prt = '80')
+       |                   AND NOT (sch = 'https' AND prt = '443')
+       |           THEN ':' || prt ELSE '' END || pth2 ||
+       |         CASE WHEN length(qry) > 0 THEN '?' || qry ELSE '' END AS url
+       |       FROM nf WHERE length(hst) > 0)""".stripMargin
+  }
+
+  /** Per-link URL resolution gate ([[graft.operators.HtmlExtract
+    * .extractLinks]] ∘ [[graft.operators.UrlParse.resolve]] — the
+    * crawl-frontier producer, row-per-edge over the first 30 docs):
+    * every resolve arm exercised per doc; fragment edges and the
+    * script-embedded anchor must be absent. */
+  def qUrlResolve(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 30)
+    d.select(col("doc_id"),
+        frontierBase(col("doc_id"), col("source")).as("base"),
+        posexplode(graft.operators.HtmlExtract.extractLinks(
+          frontierHtmlOf(col("doc_id")))))
+      .select(col("doc_id"), col("pos").cast("long").as("idx"),
+        col("col").as("href"),
+        graft.operators.UrlParse.resolve(col("base"), col("col")).as("url"))
+      .filter(col("url").isNotNull)
+      .orderBy("doc_id", "idx")
+  }
+
+  /** The composed crawl-frontier census ([[qUrlResolve]]'s pipeline
+    * over ALL docs, grouped the way a crawler schedules — per HOST):
+    * one frontier row per target host with its edge count and the
+    * count of distinct source pages, the politeness/quota shape. */
+  def qCrawlFrontier(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    d.select(col("doc_id"),
+        frontierBase(col("doc_id"), col("source")).as("base"),
+        explode(graft.operators.HtmlExtract.extractLinks(
+          frontierHtmlOf(col("doc_id")))).as("href"))
+      .select(col("doc_id"),
+        graft.operators.UrlParse.resolve(col("base"), col("href")).as("url"))
+      .filter(col("url").isNotNull)
+      .groupBy(graft.operators.UrlParse.host(col("url")).as("host"))
+      .agg(count(lit(1)).as("n_edges"),
+        countDistinct(col("doc_id")).as("n_pages"))
+      .orderBy("host")
+  }
+
   def qBinSource(s: SparkSession, dir: String): DataFrame = {
     val tmp = binDir(dir)
     BinaryVectorSource.write(s.read.parquet(s"$dir/embeddings.parquet"), tmp, dims = 64)
@@ -1033,6 +1185,23 @@ object PipelineQueries {
          |SELECT doc_id, CAST(idx AS BIGINT) AS idx, CAST(s.vl AS BIGINT) AS vis_len,
          |  CAST(s.lc AS BIGINT) AS link_chars, CAST(s.k AS INT) AS kept, s.vis AS vis
          |FROM ex ORDER BY doc_id, idx""".stripMargin)),
+    // crawl frontier: link extraction + resolve/normalize replayed in
+    // RE2 (the UrlParse grammar macros above), fragment/script edges out
+    QueryDef("q_url_resolve", qUrlResolve, Some(
+      s"""WITH f0 AS (SELECT doc_id, $frontierBaseSql AS base, $frontierHtmlSql AS h
+         |            FROM documents WHERE doc_id < 30),
+         |$linksSql,
+         |$resolveSql
+         |SELECT doc_id, CAST(idx AS BIGINT) AS idx, href, url
+         |FROM uf ORDER BY doc_id, idx""".stripMargin)),
+    QueryDef("q_crawl_frontier", qCrawlFrontier, Some(
+      s"""WITH f0 AS (SELECT doc_id, $frontierBaseSql AS base, $frontierHtmlSql AS h
+         |            FROM documents),
+         |$linksSql,
+         |$resolveSql
+         |SELECT ${uHostSql("url")} AS host, CAST(count(*) AS BIGINT) AS n_edges,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
+         |FROM uf GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("q_warc_extract_dedup", qWarcExtractDedup, Some(
       s"""WITH du AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL
          |            UNION ALL
