@@ -697,6 +697,126 @@ object PipelineQueries {
        |       FROM nf WHERE length(hst) > 0)""".stripMargin
   }
 
+  /** robots.txt fixture (shared synthesis contract, like
+    * [[frontierHtmlOf]]): per source host a body exercising grouping
+    * (consecutive UA lines share a group), comments, the named-group
+    * override, and a host-varying named rule; plus the cdn host's
+    * wildcard+anchor rule and the other host's disallow-all with a
+    * longest-match allow carve-out. */
+  private def robotsBodies(s: SparkSession, dir: String): DataFrame = {
+    val src = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("source")).distinct()
+      .select(concat(col("source"), lit(".example")).as("host"),
+        concat_ws("\n",
+          concat(lit("# robots for "), col("source")),
+          lit("User-agent: *"),
+          lit("Disallow: /sec1/"),
+          lit("Allow: /sec1/sub/"),
+          lit("Disallow: /*.js$"),
+          lit(""),
+          lit("User-agent: graftbot"),
+          lit("User-agent: otherbot"),
+          concat(lit("Disallow: /sec"),
+            (length(col("source")) % 4).cast("string"), lit("/"))).as("body"))
+    import s.implicits._
+    src.unionByName(Seq(
+      ("cdn.example", "User-agent: *\nDisallow: /*.js$"),
+      ("other.example", "User-agent: *\nDisallow: /\nAllow: /x"))
+      .toDF("host", "body"))
+  }
+
+  /** The SQL twin (over `documents` + the two literal hosts). */
+  private val robotsBodiesSql: String =
+    """rb AS (SELECT source || '.example' AS host,
+      |         '# robots for ' || source || chr(10) ||
+      |         'User-agent: *' || chr(10) ||
+      |         'Disallow: /sec1/' || chr(10) ||
+      |         'Allow: /sec1/sub/' || chr(10) ||
+      |         'Disallow: /*.js$' || chr(10) || chr(10) ||
+      |         'User-agent: graftbot' || chr(10) ||
+      |         'User-agent: otherbot' || chr(10) ||
+      |         'Disallow: /sec' || CAST(length(source) % 4 AS VARCHAR) || '/' AS body
+      |       FROM (SELECT DISTINCT source FROM documents)
+      |       UNION ALL SELECT 'cdn.example', 'User-agent: *' || chr(10) || 'Disallow: /*.js$'
+      |       UNION ALL SELECT 'other.example', 'User-agent: *' || chr(10) || 'Disallow: /' || chr(10) || 'Allow: /x')""".stripMargin
+
+  /** The [[graft.operators.RobotsTxt.rules]] parse replayed as SQL:
+    * expects `rb(host, body)`; ends in `rr(host, agent, seq, allow,
+    * pattern)`. */
+  private val robotsParseSql: String =
+    """rl0 AS (SELECT host, generate_subscripts(string_split(body, chr(10)), 1) - 1 AS seq,
+      |          trim(regexp_replace(unnest(string_split(body, chr(10))), '#.*', '')) AS ln
+      |        FROM rb),
+      |rl1 AS (SELECT host, seq,
+      |          lower(regexp_extract(ln, '^([A-Za-z-]+)\s*:', 1)) AS field,
+      |          trim(regexp_extract(ln, '^[A-Za-z-]+\s*:\s*(.*)$', 1)) AS value
+      |        FROM rl0
+      |        WHERE lower(regexp_extract(ln, '^([A-Za-z-]+)\s*:', 1))
+      |          IN ('user-agent', 'allow', 'disallow')),
+      |rl2 AS (SELECT host, seq, field, value,
+      |          coalesce(lag(field) OVER (PARTITION BY host ORDER BY seq), '') AS prev
+      |        FROM rl1),
+      |rl3 AS (SELECT host, seq, field, value,
+      |          sum(CASE WHEN field = 'user-agent' AND prev <> 'user-agent' THEN 1 ELSE 0 END)
+      |            OVER (PARTITION BY host ORDER BY seq) AS gid
+      |        FROM rl2),
+      |rag AS (SELECT DISTINCT host, gid, lower(value) AS agent FROM rl3
+      |        WHERE field = 'user-agent' AND gid > 0),
+      |rru AS (SELECT host, gid, seq, field = 'allow' AS allow, value AS pattern FROM rl3
+      |        WHERE field <> 'user-agent' AND length(value) > 0 AND gid > 0),
+      |rr AS (SELECT rru.host, rag.agent, rru.seq, rru.allow, rru.pattern
+      |       FROM rru JOIN rag ON rag.host = rru.host AND rag.gid = rru.gid)""".stripMargin
+
+  /** Pattern → regex, the pinned escape-then-wildcard rule, in SQL. */
+  private def robotsRxSql(p: String): String = {
+    val escaped = Seq("\\", ".", "[", "]", "(", ")", "{", "}", "+", "?", "^", "$", "|")
+      .foldLeft(p)((acc, ch) => {
+        val c = ch.replace("'", "''")
+        s"replace($acc, '$c', '\\$c')"
+      })
+    val wild = s"replace($escaped, '*', '.*')"
+    s"""('^' || CASE WHEN $wild LIKE '%\\$$' THEN substr($wild, 1, length($wild) - 2) || '$$'
+       |          ELSE $wild END)""".stripMargin
+  }
+
+  /** robots.txt parse gate ([[graft.operators.RobotsTxt.rules]] —
+    * grouping, comments, named groups, empty-rule drops, all replayed
+    * in SQL). */
+  def qRobotsRules(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RobotsTxt.rules(
+        robotsBodies(s, dir), col("host"), col("body"))
+      .select(col("host"), col("agent"), col("seq").cast("long").as("seq"),
+        col("allow").cast("int").as("allow"), col("pattern"))
+      .orderBy("host", "agent", "seq")
+
+  /** The composed POLITE frontier (the full crawl curation path:
+    * extract links → resolve → robots evaluate → per-host census,
+    * once per agent): `graftbot` obeys its named group (the * rules
+    * must NOT apply — RFC 9309 never-both), `anybot` falls to the *
+    * group (longest-match allow carve-outs and the wildcard+anchor
+    * rule must fire), and hosts with no robots at all stay allowed. */
+  def qFrontierPolite(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    val frontier = d.select(col("doc_id"),
+        frontierBase(col("doc_id"), col("source")).as("base"),
+        explode(graft.operators.HtmlExtract.extractLinks(
+          frontierHtmlOf(col("doc_id")))).as("href"))
+      .select(col("doc_id"),
+        graft.operators.UrlParse.resolve(col("base"), col("href")).as("url"))
+      .filter(col("url").isNotNull)
+    val rules = graft.operators.RobotsTxt.rules(
+      robotsBodies(s, dir), col("host"), col("body"))
+    Seq("graftbot", "anybot").map { agent =>
+      graft.operators.RobotsTxt.evaluate(frontier, col("url"), agent, rules)
+        .groupBy(graft.operators.UrlParse.host(col("url")).as("host"))
+        .agg(sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+          sum(when(col("allowed"), 0L).otherwise(1L)).as("n_blocked"))
+        .select(lit(agent).as("agent"), col("host"),
+          col("n_allowed"), col("n_blocked"))
+    }.reduce(_ unionByName _)
+      .orderBy("agent", "host")
+  }
+
   /** Per-link URL resolution gate ([[graft.operators.HtmlExtract
     * .extractLinks]] ∘ [[graft.operators.UrlParse.resolve]] — the
     * crawl-frontier producer, row-per-edge over the first 30 docs):
@@ -1202,6 +1322,41 @@ object PipelineQueries {
          |SELECT ${uHostSql("url")} AS host, CAST(count(*) AS BIGINT) AS n_edges,
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
          |FROM uf GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q_robots_rules", qRobotsRules, Some(
+      s"""WITH $robotsBodiesSql,
+         |$robotsParseSql
+         |SELECT host, agent, CAST(seq AS BIGINT) AS seq, CAST(allow AS INT) AS allow, pattern
+         |FROM rr ORDER BY host, agent, seq""".stripMargin)),
+    QueryDef("q_frontier_polite", qFrontierPolite, Some({
+      def politeCtes(agent: String, sfx: String): String =
+        s"""ap0$sfx AS (SELECT host, agent, seq, allow, pattern,
+           |         max(CASE WHEN agent = '$agent' THEN 1 ELSE 0 END) OVER (PARTITION BY host) AS has_own
+           |       FROM rr WHERE agent IN ('$agent', '*')),
+           |ap$sfx AS (SELECT host, seq, allow, pattern, ${robotsRxSql("pattern")} AS rx FROM ap0$sfx
+           |      WHERE (has_own = 1 AND agent = '$agent') OR (has_own = 0 AND agent = '*')),
+           |mj$sfx AS (SELECT uu.uid, uu.h, a.allow, a.pattern, a.seq
+           |      FROM uu LEFT JOIN ap$sfx a ON a.host = uu.h AND regexp_matches(uu.pth, a.rx)),
+           |wn$sfx AS (SELECT uid, h, allow,
+           |        row_number() OVER (PARTITION BY uid ORDER BY length(pattern) DESC, allow DESC, seq) AS rn
+           |      FROM mj$sfx),
+           |dc$sfx AS (SELECT uid, h, coalesce(allow, TRUE) AS allowed FROM wn$sfx WHERE rn = 1),
+           |cs$sfx AS (SELECT '$agent' AS agent, h AS host,
+           |        CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+           |        CAST(sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT) AS n_blocked
+           |      FROM dc$sfx GROUP BY 1, 2)""".stripMargin
+      s"""WITH f0 AS (SELECT doc_id, $frontierBaseSql AS base, $frontierHtmlSql AS h
+         |            FROM documents),
+         |$linksSql,
+         |$resolveSql,
+         |$robotsBodiesSql,
+         |$robotsParseSql,
+         |uu AS (SELECT row_number() OVER () AS uid, ${uHostSql("url")} AS h,
+         |         CASE WHEN length(${uPathSql("url")}) = 0 THEN '/' ELSE ${uPathSql("url")} END AS pth
+         |       FROM uf),
+         |${politeCtes("graftbot", "g")},
+         |${politeCtes("anybot", "a")}
+         |SELECT * FROM csg UNION ALL SELECT * FROM csa ORDER BY agent, host""".stripMargin
+    })),
     QueryDef("q_warc_extract_dedup", qWarcExtractDedup, Some(
       s"""WITH du AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL
          |            UNION ALL
