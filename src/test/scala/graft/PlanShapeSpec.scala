@@ -561,4 +561,52 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"),
       s"a 4096-row domain join must broadcast:\n$p")
   }
+
+  test("HTML extraction is one narrow map pass (no shuffle, no explode, no UDF)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.HtmlExtract
+    val p = plan(spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        HtmlExtract.extractMainText(col("text")).as("main"),
+        HtmlExtract.extractLinks(col("text")).as("links")))
+    // the 100 TB claim: extraction rides IN the crawl scan — per-row
+    // string/regex/HOF kernels only
+    assert(!p.contains("Exchange"), s"extraction must not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"extraction must not explode:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"extraction must use built-in kernels, never a UDF:\n$p")
+  }
+
+  test("URL resolve/normalize is map-only; the frontier's ONE shuffle is the host census") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.UrlParse
+    val resolved = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        UrlParse.resolve(lit("http://h.example/d/p.html"), col("source")).as("url"))
+    assert(!plan(resolved).contains("Exchange"),
+      s"resolve/normalize must not shuffle:\n${plan(resolved)}")
+    val census = resolved.groupBy(UrlParse.host(col("url")).as("host"))
+      .agg(count(lit(1)).as("n"))
+    val pc = plan(census)
+    // two-phase hash agg: partials combine map-side before the one wide op
+    assert(pc.contains("partial_count") || pc.contains("partial count"),
+      s"host census must pre-aggregate map-side:\n$pc")
+  }
+
+  test("robots evaluation broadcasts the rules table (politeness is map-side)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.RobotsTxt
+    val rules = RobotsTxt.rules(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("source").as("host"),
+          lit("User-agent: *\nDisallow: /d/").as("body")),
+      col("host"), col("body"))
+    val urls = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(concat(lit("http://"), col("source"), lit("/d/x")).as("url"))
+    val p = plan(RobotsTxt.evaluate(urls, col("url"), "anybot", rules))
+    assert(p.contains("BroadcastExchange"),
+      s"the host-census-sized rules table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the frontier must never shuffle to meet the rules:\n$p")
+  }
 }
