@@ -855,6 +855,35 @@ object PipelineQueries {
       .orderBy("host")
   }
 
+  /** Charset-aware raw-crawl round-trip
+    * ([[graft.sources.WarcCorpusSource]]'s pinned charset table — real
+    * crawls are NOT all UTF-8): every doc gains a non-ASCII suffix
+    * (é/º — single bytes in latin-1, multi-byte in UTF-8, so a reader
+    * that assumed UTF-8 would fail its strict decode, and a sloppy
+    * one would mojibake the fingerprint), writes as `iso-8859-1`
+    * responses with the charset DECLARED in Content-Type, and reads
+    * back through the header-driven strict decode. The census equals
+    * the oracle over the suffixed parquet text iff the declared
+    * charset drove the decode. */
+  def qWarcCharset(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" café nº 5")).as("text"))
+    val tmp = fmtDir("warccs", dir)
+    graft.sources.WarcCorpusSource.writeResponses(
+      d.select(concat(col("doc_id").cast("string"), lit(".html")).as("name"),
+        col("text"), lit(200).as("status")),
+      tmp, shards = 8, charset = "iso-8859-1")
+    graft.sources.WarcCorpusSource.readResponses(s, tmp)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(split(col("record_uri"), "\\.").getItem(0).cast("long")).as("sum_ids"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        sum(conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+          .cast("long") % lit(2147483648L)).as("text_fp"))
+  }
+
   def qBinSource(s: SparkSession, dir: String): DataFrame = {
     val tmp = binDir(dir)
     BinaryVectorSource.write(s.read.parquet(s"$dir/embeddings.parquet"), tmp, dims = 64)
@@ -1322,6 +1351,13 @@ object PipelineQueries {
          |SELECT ${uHostSql("url")} AS host, CAST(count(*) AS BIGINT) AS n_edges,
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
          |FROM uf GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q_warc_charset", qWarcCharset, Some(
+      """WITH t AS (SELECT doc_id, text || ' café nº 5' AS text
+        |           FROM documents WHERE text IS NOT NULL)
+        |SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 2147483648) AS BIGINT) AS text_fp
+        |FROM t""".stripMargin)),
     QueryDef("q_robots_rules", qRobotsRules, Some(
       s"""WITH $robotsBodiesSql,
          |$robotsParseSql

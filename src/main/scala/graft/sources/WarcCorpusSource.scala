@@ -186,12 +186,75 @@ object WarcCorpusSource {
     * the record's own declared length (the Common-Crawl raw-WARC
     * layout). Statuses outside 100-599 are rejected loudly (a forged
     * status line is a header-forgery class, like CR/LF in names). */
+  /** The PINNED charset table — the encodings a crawl pipeline
+    * actually meets and this source round-trips. Anything else fails
+    * LOUDLY on both sides: an unknown (or absent-but-non-UTF-8)
+    * charset silently decoded as UTF-8 is the mojibake class that
+    * poisons a training corpus invisibly. Canonical-name aliases
+    * included; lookup is case-insensitive. */
+  private val Charsets: Map[String, java.nio.charset.Charset] = Map(
+    "utf-8" -> StandardCharsets.UTF_8,
+    "utf8" -> StandardCharsets.UTF_8,
+    "us-ascii" -> StandardCharsets.US_ASCII,
+    "ascii" -> StandardCharsets.US_ASCII,
+    "iso-8859-1" -> StandardCharsets.ISO_8859_1,
+    "latin-1" -> StandardCharsets.ISO_8859_1,
+    "latin1" -> StandardCharsets.ISO_8859_1,
+    "windows-1252" -> java.nio.charset.Charset.forName("windows-1252"),
+    "cp1252" -> java.nio.charset.Charset.forName("windows-1252"))
+
+  private def charsetFor(name: String, fail: String => Nothing)
+      : java.nio.charset.Charset =
+    Charsets.getOrElse(name.toLowerCase,
+      fail(s"unsupported charset '$name' (supported: " +
+        s"${Charsets.keys.toSeq.sorted.mkString(", ")}) — transcode the " +
+        "corpus or extend the pinned table; silently mis-decoding is " +
+        "the one wrong answer"))
+
+  /** STRICT decode — malformed or unmappable bytes fail loudly
+    * instead of silently becoming U+FFFD (a replacement char in a
+    * training document is corruption the pipeline would never see). */
+  private def decodeStrict(payload: Array[Byte], off: Int, len: Int,
+      cs: java.nio.charset.Charset, fail: String => Nothing): String = {
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(payload, off, len)).toString
+    catch {
+      case e: java.nio.charset.CharacterCodingException =>
+        fail(s"body does not decode as ${cs.name()} ($e) — the declared " +
+          "charset and the bytes disagree")
+    }
+  }
+
+  /** STRICT encode — a document carrying chars outside the declared
+    * charset must reject, not silently become '?'. */
+  private def encodeStrict(text: String, cs: java.nio.charset.Charset): Array[Byte] = {
+    val enc = cs.newEncoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try {
+      val bb = enc.encode(java.nio.CharBuffer.wrap(text))
+      val out = new Array[Byte](bb.remaining())
+      bb.get(out)
+      out
+    } catch {
+      case e: java.nio.charset.CharacterCodingException =>
+        throw new IllegalArgumentException(
+          s"document does not encode as ${cs.name()} ($e) — write with a " +
+            "charset that covers the corpus (utf-8 always does)")
+    }
+  }
+
   /** The HTTP response message for one `(name, text, status)` row —
-    * shared by [[writeResponses]] and [[writeCaptures]]. */
-  private def httpResponsePayload(text: String, status: Int): Array[Byte] = {
-    val body = text.getBytes(StandardCharsets.UTF_8)
+    * shared by [[writeResponses]] and [[writeCaptures]]. The body
+    * encodes in `cs` and the Content-Type header declares it (the
+    * contract [[readResponses]] decodes by). */
+  private def httpResponsePayload(text: String, status: Int,
+      cs: java.nio.charset.Charset): Array[Byte] = {
+    val body = encodeStrict(text, cs)
     val head = (s"HTTP/1.1 $status ${reasonFor(status)}\r\n" +
-      "Content-Type: text/html; charset=utf-8\r\n" +
+      s"Content-Type: text/html; charset=${cs.name().toLowerCase}\r\n" +
       s"Content-Length: ${body.length}\r\n\r\n")
       .getBytes(StandardCharsets.US_ASCII)
     val payload = new Array[Byte](head.length + body.length)
@@ -214,15 +277,20 @@ object WarcCorpusSource {
 
   def writeResponses(df: DataFrame, dir: String, shards: Int,
       nameCol: String = "name", textCol: String = "text",
-      statusCol: String = "status"): Unit = {
+      statusCol: String = "status", charset: String = "utf-8"): Unit = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
+    // resolve once for the loud unknown-name check, but ship only the
+    // canonical NAME into the task closure (Charset is not Serializable)
+    val csName = charsetFor(charset,
+      m => throw new IllegalArgumentException(s"writeResponses: $m")).name()
     val spark = df.sparkSession
     import spark.implicits._
     val rows = responseRows(df, nameCol, textCol, statusCol)
       .as[(String, String, Int)]
       .map { case (name, text, status) =>
         (name, ResponseType, "application/http; msgtype=response",
-          httpResponsePayload(text, status))
+          httpResponsePayload(text, status,
+            java.nio.charset.Charset.forName(csName)))
       }
       .toDF("n", "t", "c", "p")
     writeShards(spark, rows, dir, shards)
@@ -261,7 +329,7 @@ object WarcCorpusSource {
         Seq(
           (name, RequestType, "application/http; msgtype=request", request),
           (name, ResponseType, "application/http; msgtype=response",
-            httpResponsePayload(text, status)),
+            httpResponsePayload(text, status, StandardCharsets.UTF_8)),
           (name, MetadataType, "application/warc-fields", metadata))
       }
       .toDF("n", "t", "c", "p")
@@ -403,11 +471,14 @@ object WarcCorpusSource {
     import spark.implicits._
     shardRecords(spark, dir)
       .map { case (path, uri, typ, payload) =>
+        def fail(what: String): Nothing =
+          throw new IllegalArgumentException(s"$path: record '$uri' $what")
         if (typ.nonEmpty && typ != ConversionType)
-          throw new IllegalArgumentException(s"$path: record '$uri' is " +
-            s"WARC-Type: $typ — WarcCorpusSource.read reads conversion (WET) " +
-            "records; use readResponses for raw-crawl response shards")
-        (uri, new String(payload, StandardCharsets.UTF_8))
+          fail(s"is WARC-Type: $typ — WarcCorpusSource.read reads conversion " +
+            "(WET) records; use readResponses for raw-crawl response shards")
+        // WET conversion payloads are UTF-8 by contract; STRICT decode
+        // (malformed bytes fail loudly, never U+FFFD into the corpus)
+        (uri, decodeStrict(payload, 0, payload.length, StandardCharsets.UTF_8, fail))
       }
       .toDF("record_uri", "text")
   }
@@ -470,10 +541,12 @@ object WarcCorpusSource {
             fail(s"non-numeric HTTP status '${parts(1)}'") }
         if (status < 100 || status > 599) fail(s"HTTP status $status out of range")
         val bodyLen = payload.length - (sep + 4)
+        var contentType: String = null
         lines.iterator.drop(1).foreach { h =>
           val ci = h.indexOf(':')
           if (ci <= 0) fail(s"malformed HTTP header '$h'")
-          if (h.substring(0, ci).trim.equalsIgnoreCase("Content-Length")) {
+          val key = h.substring(0, ci).trim
+          if (key.equalsIgnoreCase("Content-Length")) {
             val declared =
               try java.lang.Long.parseLong(h.substring(ci + 1).trim)
               catch { case _: NumberFormatException =>
@@ -481,9 +554,24 @@ object WarcCorpusSource {
             if (declared != bodyLen)
               fail(s"HTTP Content-Length $declared disagrees with the " +
                 s"actual $bodyLen-byte body (inner truncation/padding)")
+          } else if (key.equalsIgnoreCase("Content-Type")) {
+            contentType = h.substring(ci + 1).trim
           }
         }
-        (uri, status, new String(payload, sep + 4, bodyLen, StandardCharsets.UTF_8))
+        // charset: the Content-Type's declared one through the pinned
+        // table (absent → utf-8); decode is STRICT — a body whose
+        // bytes disagree with the declared charset fails loudly
+        // instead of shipping replacement chars into the corpus
+        val csName = Option(contentType)
+          .map { ct =>
+            val m = java.util.regex.Pattern
+              .compile("(?i)charset\\s*=\\s*\"?([^\";\\s]+)\"?")
+              .matcher(ct)
+            if (m.find()) m.group(1) else "utf-8"
+          }
+          .getOrElse("utf-8")
+        val cs = charsetFor(csName, fail)
+        (uri, status, decodeStrict(payload, sep + 4, bodyLen, cs, fail))
       }
       .toDF("record_uri", "status", "text")
   }

@@ -154,6 +154,78 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows.map { case (n, t, s) => (n, s, t) }.toSet)
   }
 
+  test("charset round-trip: declared latin-1 and windows-1252 decode by header, not assumption") {
+    import spark.implicits._
+    val rows = Seq(("a.html", "café nº 5 — ok", 200))
+    // latin-1: é/º are single high bytes — invalid as UTF-8, so a
+    // UTF-8-assuming reader could not produce this round-trip
+    val d1 = tmp()
+    WarcCorpusSource.writeResponses(
+      Seq(("a.html", "café nº 5", 200)).toDF("name", "text", "status"),
+      d1, shards = 1, charset = "iso-8859-1")
+    assert(WarcCorpusSource.readResponses(spark, d1)
+      .collect().map(_.getString(2)).toSeq == Seq("café nº 5"))
+    // windows-1252: the em dash and curly quotes latin-1 lacks
+    val d2 = tmp()
+    WarcCorpusSource.writeResponses(
+      Seq(("b.html", "“curly” — dash", 200)).toDF("name", "text", "status"),
+      d2, shards = 1, charset = "windows-1252")
+    assert(WarcCorpusSource.readResponses(spark, d2)
+      .collect().map(_.getString(2)).toSeq == Seq("“curly” — dash"))
+    rows.length // suppress unused warning
+  }
+
+  test("charset loudness: unknown charsets, undecodable bodies, unencodable docs all reject") {
+    import spark.implicits._
+    // write-side: unknown charset name
+    val e1 = intercept[IllegalArgumentException] {
+      WarcCorpusSource.writeResponses(
+        Seq(("a.html", "x", 200)).toDF("name", "text", "status"),
+        tmp(), shards = 1, charset = "koi8-r")
+    }
+    assert(errText(e1).contains("unsupported charset"), errText(e1))
+    // write-side: a doc outside the declared charset must reject, not '?'
+    val e2 = intercept[Exception] {
+      WarcCorpusSource.writeResponses(
+        Seq(("a.html", "日本語", 200)).toDF("name", "text", "status"),
+        tmp(), shards = 1, charset = "iso-8859-1")
+    }
+    assert(errText(e2).contains("does not encode as"), errText(e2))
+    // read-side: a body whose bytes disagree with the DECLARED charset
+    // fails the strict decode (hand-framed: latin-1 bytes, utf-8 claim)
+    val dir = tmp()
+    val body = "café".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
+    val rec = (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: x.html\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes("US-ASCII") ++
+      http ++ "\r\n\r\n".getBytes("US-ASCII")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(
+        java.nio.file.Paths.get(dir, "part-00000.warc.gz")))
+    out.write(rec); out.close()
+    val e3 = intercept[Exception] {
+      WarcCorpusSource.readResponses(spark, dir).collect()
+    }
+    assert(errText(e3).contains("does not decode as"), errText(e3))
+    // read-side: a declared charset outside the pinned table is loud
+    val dir2 = tmp()
+    val body2 = "ok".getBytes("US-ASCII")
+    val http2 = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=shift_jis\r\n" +
+      s"Content-Length: ${body2.length}\r\n\r\n").getBytes("US-ASCII") ++ body2
+    val rec2 = (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: y.html\r\n" +
+      s"Content-Length: ${http2.length}\r\n\r\n").getBytes("US-ASCII") ++
+      http2 ++ "\r\n\r\n".getBytes("US-ASCII")
+    val out2 = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(
+        java.nio.file.Paths.get(dir2, "part-00000.warc.gz")))
+    out2.write(rec2); out2.close()
+    val e4 = intercept[Exception] {
+      WarcCorpusSource.readResponses(spark, dir2).collect()
+    }
+    assert(errText(e4).contains("unsupported charset"), errText(e4))
+  }
+
   test("a lying inner HTTP Content-Length fails loudly (inner truncation class)") {
     val dir = tmp()
     val f = java.nio.file.Paths.get(dir, "part-00000.warc.gz")
