@@ -30,13 +30,18 @@ object LangId {
     * window. A text shorter than one window yields no grams (scored
     * on priors alone). */
   private[graft] def grams(text: Column, n: Int): Column = {
-    val s = concat(lit("_"), regexp_replace(lower(text), "\\s+", "_"), lit("_"))
-    // guard: Spark's sequence(1, k) DESCENDS for k < 1 where the
-    // intent (and the oracle's range()) is empty
-    when(length(s) >= lit(n),
-      transform(sequence(lit(1), length(s) - lit(n - 1)),
-        i => s.substr(i, lit(n))))
-      .otherwise(array().cast("array<string>"))
+    val s0 = concat(lit("_"), regexp_replace(lower(text), "\\s+", "_"), lit("_"))
+    // bind the padded string ONCE (single-element transform = a let):
+    // a lambda body referencing the raw expression re-evaluates the
+    // lower+regex+concat tree once PER GRAM — measured as the
+    // dominant cost of the sf0.1 scoring pass
+    element_at(transform(array(s0), s =>
+      // guard: Spark's sequence(1, k) DESCENDS for k < 1 where the
+      // intent (and the oracle's range()) is empty
+      when(length(s) >= lit(n),
+        transform(sequence(lit(1), length(s) - lit(n - 1)),
+          i => s.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))), 1)
   }
 
   /** Train on `train`'s labeled text, classify every `score` row:
@@ -71,7 +76,11 @@ object LangId {
       .select(scoreId.as("doc_id"), explode(grams(scoreText, n)).as("tok"))
     val ltok = sg
       .crossJoin(broadcast(cand))
-      .join(cg.select(col("g").as("cand"), col("tok"), col("c")),
+      // the model census is (langs x grams)-sized by construction, but
+      // localCheckpoint hides that from the planner (LogicalRDD, no
+      // stats) — without the explicit broadcast the 2M-row scoring
+      // fan-out sort-merge-joins against it (measured 15.3 s at sf0.1)
+      .join(broadcast(cg.select(col("g").as("cand"), col("tok"), col("c"))),
         Seq("cand", "tok"), "left")
       .select(col("doc_id"), col("cand"),
         log((coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) / col("den"))

@@ -113,20 +113,28 @@ object RobotsTxt {
       .withColumn("__path",
         when(length(UrlParse.path(urlCol)) === 0, lit("/"))
           .otherwise(UrlParse.path(urlCol)))
+    // EQUI-join on host (a regex predicate in the join condition
+    // degenerates a broadcast join to nested-loop — every URL against
+    // every rule; measured 17.8 s on the sf0.1 frontier): each URL
+    // meets only ITS host's handful of rules, and the regex runs as a
+    // cheap post-join match flag
     val matched = withParts
-      .join(broadcast(applicable),
-        col("__host") === col("__rhost") && regexp_like(col("__path"), col("rx")),
-        "left")
-    // longest pattern wins; allow wins length ties; seq is the final
-    // deterministic tiebreak; no match (__rhost null) -> allowed
+      .join(broadcast(applicable), col("__host") === col("__rhost"), "left")
+      .withColumn("__m",
+        col("__rhost").isNotNull && regexp_like(col("__path"), col("rx")))
+    // among MATCHING rules: longest pattern wins; allow wins length
+    // ties; seq is the final deterministic tiebreak. Non-matching and
+    // rule-less rows sort last, so rn=1 with __m false means no rule
+    // matched -> allowed
     val wu = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__uid"))
-      .orderBy(length(col("pattern")).desc, col("allow").desc, col("seq").asc)
+      .orderBy(col("__m").desc,
+        length(col("pattern")).desc, col("allow").desc, col("seq").asc)
     matched
       .withColumn("__rn", row_number().over(wu))
       .filter(col("__rn") === 1)
-      .withColumn("allowed", coalesce(col("allow"), lit(true)))
+      .withColumn("allowed", when(col("__m"), col("allow")).otherwise(lit(true)))
       .drop("__rhost", "seq", "allow", "pattern", "rx", "__rn",
-        "__uid", "__host", "__path")
+        "__uid", "__host", "__path", "__m")
   }
 }

@@ -797,6 +797,9 @@ object PipelineQueries {
     * rule must fire), and hosts with no robots at all stay allowed. */
   def qFrontierPolite(s: SparkSession, dir: String): DataFrame = {
     val d = s.read.parquet(s"$dir/documents.parquet")
+    // the extract+resolve pass runs ONCE for both agents (frontier is
+    // edge-count-sized; localCheckpoint — build-once-read-twice, no
+    // partitioning requirement, ContextCleaner reclaims)
     val frontier = d.select(col("doc_id"),
         frontierBase(col("doc_id"), col("source")).as("base"),
         explode(graft.operators.HtmlExtract.extractLinks(
@@ -804,6 +807,7 @@ object PipelineQueries {
       .select(col("doc_id"),
         graft.operators.UrlParse.resolve(col("base"), col("href")).as("url"))
       .filter(col("url").isNotNull)
+      .localCheckpoint()
     val rules = graft.operators.RobotsTxt.rules(
       robotsBodies(s, dir), col("host"), col("body"))
     Seq("graftbot", "anybot").map { agent =>

@@ -203,6 +203,11 @@ object WarcCorpusSource {
     "windows-1252" -> java.nio.charset.Charset.forName("windows-1252"),
     "cp1252" -> java.nio.charset.Charset.forName("windows-1252"))
 
+  /** Compiled once per JVM — a per-record compile is a measurable tax
+    * on million-record shards. */
+  private val CharsetRe = java.util.regex.Pattern
+    .compile("(?i)charset\\s*=\\s*\"?([^\";\\s]+)\"?")
+
   private def charsetFor(name: String, fail: String => Nothing)
       : java.nio.charset.Charset =
     Charsets.getOrElse(name.toLowerCase,
@@ -564,9 +569,7 @@ object WarcCorpusSource {
         // instead of shipping replacement chars into the corpus
         val csName = Option(contentType)
           .map { ct =>
-            val m = java.util.regex.Pattern
-              .compile("(?i)charset\\s*=\\s*\"?([^\";\\s]+)\"?")
-              .matcher(ct)
+            val m = CharsetRe.matcher(ct)
             if (m.find()) m.group(1) else "utf-8"
           }
           .getOrElse("utf-8")

@@ -85,6 +85,8 @@ EMB_QUERIES = {
     "q_vectordb_pq_merged", "q_vectordb_dot_merged",
     "q_vectordb_merged_rebalanced", "q_vectordb_merged_many",
     "q_vectordb_sq_split", "q_vectordb_local_pq",
+    # round 17: the reshare lifecycle serves from embeddings
+    "q_vectordb_reshared",
 }
 
 # Measured, diagnosed, FORMALLY CLOSED fixture artifacts: each entry
