@@ -158,6 +158,58 @@ object HtmlExtract {
     filter(transform(tags, t => href(t)), v => length(v) > 0)
   }
 
+  /** Anchor extraction — (href, anchor text) PAIRS, the classic
+    * web-scale relevance signal (anchor text describes the TARGET
+    * page better than the target's own markup; aggregated per target
+    * it feeds retrieval, title synthesis, and crawl prioritization).
+    * Same shielding as [[extractLinks]] (stages 0-3: a commented-out
+    * or script-embedded anchor is NOT a link); elements parse as
+    * `(?is)<a\b[^>]*>(.*?)</a[^>]*>` — an UNCLOSED `<a>` yields no
+    * pair here even though [[extractLinks]] still yields its href
+    * (pinned deviation: a crawler follows the edge, but unterminated
+    * markup carries no trustworthy anchor text). Per element the href
+    * parses with the [[extractLinks]] grammar; the anchor text is the
+    * inner body with nested tags stripped (`<[^>]*>` → ''), entities
+    * decoded (pinned set), whitespace (incl. newlines) collapsed and
+    * trimmed — empty anchor text survives (image/icon links are real
+    * edges whose text is ''), empty href drops the pair. Map-only:
+    * one Column expression riding the scan, like every stage here. */
+  def extractAnchors(html: Column): Column = {
+    val s0 = regexp_replace(html, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", " ")
+    val s1 = regexp_replace(s0, "(?s)<!--.*?-->", " ")
+    val s1b = regexp_replace(s1, "(?s)<!--.*", " ")
+    val s2 = regexp_replace(s1b, "(?is)<script\\b[^>]*>.*?</script[^>]*>", " ")
+    val s2b = regexp_replace(s2, "(?is)<script\\b[^>]*>.*", " ")
+    val s3 = regexp_replace(s2b, "(?is)<style\\b[^>]*>.*?</style[^>]*>", " ")
+    val s3b = regexp_replace(s3, "(?is)<style\\b[^>]*>.*", " ")
+    val els = regexp_extract_all(s3b, lit("(?is)<a\\b[^>]*>.*?</a[^>]*>"), lit(0))
+    val pair = (el: Column) => {
+      val tag = regexp_extract(el, "(?is)^(<a\\b[^>]*>)", 1)
+      val dq = regexp_extract(tag, "(?is)\\bhref\\s*=\\s*\"([^\"]*)\"", 1)
+      val sq = regexp_extract(tag, "(?is)\\bhref\\s*=\\s*'([^']*)'", 1)
+      val bare = regexp_extract(tag, "(?is)\\bhref\\s*=\\s*([^\\s>\"']+)", 1)
+      val href = decodeEntities(
+        when(length(dq) > 0, dq)
+          .otherwise(when(length(sq) > 0, sq).otherwise(bare)))
+      val inner = regexp_extract(el, "(?is)^<a\\b[^>]*>(.*)</a[^>]*>$", 1)
+      val anchor = trim(regexp_replace(
+        decodeEntities(regexp_replace(inner, "<[^>]*>", "")),
+        "[ \\t\\r\\n]+", " "))
+      struct(href.as("href"), anchor.as("anchor"))
+    }
+    filter(transform(els, el => pair(el)),
+      p => length(p.getField("href")) > 0)
+  }
+
+  /** Visible block texts as an array (stages 0-8 minus the
+    * boilerplate CUT): normalized, marker-stripped, empties dropped —
+    * the block stream [[graft.operators.Boilerplate]]'s cross-page
+    * frequency census consumes. */
+  def visibleBlocks(html: Column): Column =
+    filter(
+      transform(split(cleaned(html), "\n"), b => vis(norm(b))),
+      t => length(t) > 0)
+
   /** Per-block census as an array of structs (posexplode in the
     * caller for a row-per-block frame): visible text, visible length,
     * paired-anchor char count, and the stage-8 keep verdict — the

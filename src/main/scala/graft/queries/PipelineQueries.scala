@@ -888,6 +888,240 @@ object PipelineQueries {
           .cast("long") % lit(2147483648L)).as("text_fp"))
   }
 
+  /** Markup fixture for the anchor-text and host-rank gates (shared
+    * synthesis contract with the SQL twin, the [[frontierHtmlOf]]
+    * convention): page base `http://{source}.example/p/{doc_id}.html`;
+    * anchors carry doc- and source-VARYING text (a nested `<b>`, an
+    * `&amp;`, an `&nbsp;`), a case-noisy default-port absolute target
+    * (normalize must fold host case and drop `:80`), an EMPTY-text
+    * cdn link (image-link shape — a real edge whose anchor is ''), a
+    * conditional partner link, a fragment edge (not a link) and a
+    * script-embedded anchor (not a link). Cross-host structure for
+    * the rank gate: every page endorses `src{id%7}` and `src{id%3}`;
+    * cdn/partner hosts are FRONTIER (no crawled pages → outside the
+    * rank node set). */
+  private def anchorHtmlOf(id: Column, source: Column): Column =
+    concat(
+      lit("<html><body><p>Read <a href=\"http://SRC"),
+      (id % 7).cast("string"),
+      lit(".EXAMPLE:80/home.html\">the <b>"), source,
+      lit("</b> pick &amp; review</a> daily.</p><p><a href='http://src"),
+      (id % 3).cast("string"),
+      lit(".example/home.html'>mirror&nbsp;"), (id % 3).cast("string"),
+      lit("</a> <a href=\"//cdn.example/lib.js\"></a></p>"),
+      when(id % 3 === 0,
+        lit("<a href=\"http://other.example/x\">partner site</a>"))
+        .otherwise(lit("")),
+      lit("<a href=\"#top\">skip</a>" +
+        "<script>var a=\"<a href='http://ghost.example/'>g</a>\";</script>" +
+        "</body></html>"))
+
+  /** The SQL twins over (doc_id, source). */
+  private val anchorHtmlSql: String =
+    """'<html><body><p>Read <a href="http://SRC' || CAST(doc_id % 7 AS VARCHAR) ||
+      |'.EXAMPLE:80/home.html">the <b>' || source || '</b> pick &amp; review</a> daily.</p>' ||
+      |'<p><a href=''http://src' || CAST(doc_id % 3 AS VARCHAR) ||
+      |'.example/home.html''>mirror&nbsp;' || CAST(doc_id % 3 AS VARCHAR) ||
+      |'</a> <a href="//cdn.example/lib.js"></a></p>' ||
+      |CASE WHEN doc_id % 3 = 0 THEN '<a href="http://other.example/x">partner site</a>' ELSE '' END ||
+      |'<a href="#top">skip</a><script>var a="<a href=''http://ghost.example/''>g</a>";</script></body></html>'"""
+      .stripMargin
+  private val anchorBaseSql: String =
+    "'http://' || source || '.example/p/' || CAST(doc_id AS VARCHAR) || '.html'"
+
+  /** The [[graft.operators.HtmlExtract.extractAnchors]] grammar as
+    * SQL CTEs: expects `f0(doc_id, base, h)`; ends in
+    * `an(doc_id, base, href, anchor)`. */
+  private val anchorsSql: String = {
+    val dec = (e: String) =>
+      s"""replace(replace(replace(replace(replace(replace(replace($e,
+         |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&')""".stripMargin
+    raw"""ac0 AS (SELECT doc_id, base, regexp_replace(h, '[\x00-\x08\x0B\x0C\x0E-\x1F]', ' ', 'g') AS h FROM f0),
+       |ac1 AS (SELECT doc_id, base, regexp_replace(regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g'), '(?s)<!--.*', ' ', 'g') AS h FROM ac0),
+       |ac2 AS (SELECT doc_id, base, regexp_replace(regexp_replace(h, '(?is)<script\b[^>]*>.*?</script[^>]*>', ' ', 'g'), '(?is)<script\b[^>]*>.*', ' ', 'g') AS h FROM ac1),
+       |ac3 AS (SELECT doc_id, base, regexp_replace(regexp_replace(h, '(?is)<style\b[^>]*>.*?</style[^>]*>', ' ', 'g'), '(?is)<style\b[^>]*>.*', ' ', 'g') AS h FROM ac2),
+       |ae AS (SELECT doc_id, base, unnest(regexp_extract_all(h, '(?is)<a\b[^>]*>.*?</a[^>]*>')) AS el FROM ac3),
+       |ap AS (SELECT doc_id, base,
+       |         regexp_extract(el, '(?is)^(<a\b[^>]*>)', 1) AS tag,
+       |         regexp_extract(el, '(?is)^<a\b[^>]*>(.*)</a[^>]*>$$', 1) AS innr
+       |       FROM ae),
+       |ah AS (SELECT doc_id, base,
+       |         CASE WHEN length(regexp_extract(tag, '(?is)\bhref\s*=\s*"([^"]*)"', 1)) > 0
+       |                THEN regexp_extract(tag, '(?is)\bhref\s*=\s*"([^"]*)"', 1)
+       |              WHEN length(regexp_extract(tag, '(?is)\bhref\s*=\s*''([^'']*)''', 1)) > 0
+       |                THEN regexp_extract(tag, '(?is)\bhref\s*=\s*''([^'']*)''', 1)
+       |              ELSE regexp_extract(tag, '(?is)\bhref\s*=\s*([^\s>"'']+)', 1) END AS h0,
+       |         trim(regexp_replace(${dec("regexp_replace(innr, '<[^>]*>', '', 'g')")}, '[ \t\r\n]+', ' ', 'g')) AS anchor
+       |       FROM ap),
+       |an AS (SELECT doc_id, base, ${dec("h0")} AS href, anchor FROM ah WHERE length(h0) > 0)"""
+      .stripMargin
+  }
+
+  /** Anchor-text census
+    * ([[graft.operators.HtmlExtract.extractAnchors]] ∘
+    * [[graft.operators.UrlParse.resolve]] — the classic web-scale
+    * relevance signal: anchor text describes the TARGET page, so
+    * aggregated per normalized target URL it feeds retrieval, title
+    * synthesis, and crawl prioritization): one row per (url, anchor)
+    * with reference and distinct-page counts. The case-noisy
+    * default-port target folds into the same url as its clean twin,
+    * the empty-anchor cdn edge survives as '', fragment and
+    * script-embedded anchors are absent. One explode + one groupBy;
+    * shuffle bounded by the distinct (url, anchor) set. */
+  def qAnchorText(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    d.select(col("doc_id"),
+        concat(lit("http://"), col("source"), lit(".example/p/"),
+          col("doc_id").cast("string"), lit(".html")).as("base"),
+        explode(graft.operators.HtmlExtract.extractAnchors(
+          anchorHtmlOf(col("doc_id"), col("source")))).as("a"))
+      .select(col("doc_id"),
+        graft.operators.UrlParse.resolve(col("base"), col("a.href")).as("url"),
+        col("a.anchor").as("anchor"))
+      .filter(col("url").isNotNull)
+      .groupBy("url", "anchor")
+      .agg(count(lit(1)).as("n_refs"),
+        countDistinct(col("doc_id")).as("n_pages"))
+      .orderBy("url", "anchor")
+  }
+
+  /** One unrolled weighted-PageRank round for the q_host_rank oracle
+    * (the q_pagerank_weighted integer per-edge share
+    * `(floor(rank·1e12) · w) // W_src`, over the crawl host graph's
+    * CTE names). */
+  private def hostPrIterSql(k: Int): String =
+    s"""hi$k AS (SELECT e.dst AS node,
+       |        sum((CAST(floor(r.rank * 1e12) AS BIGINT) * e.w) // ws.ws) AS u
+       |      FROM e JOIN ws ON e.src = ws.src
+       |             JOIN hr${k - 1} r ON e.src = r.node GROUP BY 1),
+       |hr$k AS (SELECT nodes.node,
+       |        floor(((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+       |               + CAST(0.85 AS DOUBLE) * (CAST(coalesce(u, 0) AS DOUBLE) / 1e12)) * 1e12) / 1e12 AS rank
+       |      FROM nodes CROSS JOIN nn LEFT JOIN hi$k ON nodes.node = hi$k.node)""".stripMargin
+
+  /** Host-graph PageRank — crawl prioritization over the link graph
+    * the extraction stage produces: pages ([[anchorHtmlOf]]) →
+    * [[graft.operators.HtmlExtract.extractLinks]] →
+    * [[graft.operators.UrlParse.resolve]] → host→host edges
+    * RESTRICTED to the crawled host set (targets outside it — cdn,
+    * partner — are frontier candidates, scored by [[qCrawlFrontier]]'s
+    * census, not ranked; self-endorsement drops), weighted by link
+    * multiplicity, then 3 rounds of the exact-integer weighted
+    * recurrence ([[graft.operators.Graph.pageRankWeighted]]). The
+    * oracle derives the edge list from the synthesis contract
+    * directly — so an extraction/resolve bug on the Spark side
+    * DIVERGES the ranks and fails the gate — and unrolls the rounds
+    * with the q_pagerank_weighted integer-share SQL. */
+  private val hostGraphMemo =
+    new IndexQueries.SessionMemo[graft.operators.Graph.PreparedWGraph]
+  def qHostRank(s: SparkSession, dir: String): DataFrame = {
+    // session-memoized host-graph build (the wSuppPartGraphMemo /
+    // ccMemo convention): the extract + resolve + fold + census runs
+    // once per session; repeat invocations pay only the 3 rounds
+    val g = hostGraphMemo.get(s, dir) {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val edges = d.select(
+          regexp_extract(col("source"), "([0-9]+)", 1).cast("long").as("src"),
+          concat(lit("http://"), col("source"), lit(".example/p/"),
+            col("doc_id").cast("string"), lit(".html")).as("base"),
+          explode(graft.operators.HtmlExtract.extractLinks(
+            anchorHtmlOf(col("doc_id"), col("source")))).as("href"))
+        .select(col("src"),
+          graft.operators.UrlParse.host(
+            graft.operators.UrlParse.resolve(col("base"), col("href"))).as("h"))
+        .filter(col("h").rlike("^src[0-9]+\\.example$"))
+        .select(col("src"),
+          regexp_extract(col("h"), "([0-9]+)", 1).cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      graft.operators.Graph.prepareWeighted(edges)
+    }
+    graft.operators.Graph.pageRankWeightedPrepared(g, iters = 3)
+      .select(concat(lit("src"), col("node").cast("string"),
+        lit(".example")).as("host"), col("rank"))
+      .orderBy("host")
+  }
+
+  /** The boilerplate-gate wrap: [[htmlOf]]'s chrome plus a HOST-level
+    * legal disclaimer — long and link-free, so the per-page density
+    * rule KEEPS it on every page; only the cross-page frequency
+    * census can identify it as chrome. (Shared synthesis contract
+    * with the SQL twin.) */
+  private def bpHtmlOf(t: Column, id: Column, source: Column): Column =
+    concat(htmlOf(t, id),
+      lit("<p>Content on "), source,
+      lit(".example is provided as-is; redistribution of crawled pages " +
+        "requires written permission from the site operator.</p>"))
+
+  private val bpHtmlSql: String =
+    s"""($htmlSql || '<p>Content on ' || source ||
+       |'.example is provided as-is; redistribution of crawled pages requires written permission from the site operator.</p>')"""
+      .stripMargin
+
+  /** Host-template census gate
+    * ([[graft.operators.Boilerplate.templateCensus]] — the CCNet-class
+    * cross-page frequency cut the density rule cannot express): over
+    * the [[bpHtmlOf]] corpus every host surfaces its nav, footer, and
+    * the disclaimer the density rule keeps; per-page titles and body
+    * prose stay below the 50% line everywhere. The `rel one`/`rel two`
+    * related-links blocks (25% of pages in expectation) cross the
+    * line on the handful of hosts whose page-id mix concentrates the
+    * id%4==3 variant — which is the frequency definition WORKING: on
+    * a host where half the pages carry the same links list, it IS
+    * chrome. */
+  def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull)
+    val pages = d.select(col("doc_id"),
+      concat(col("source"), lit(".example")).as("host"),
+      graft.operators.HtmlExtract.visibleBlocks(
+        bpHtmlOf(col("text"), col("doc_id"), col("source"))).as("blocks"))
+    graft.operators.Boilerplate.templateCensus(
+        pages, col("host"), col("doc_id"), col("blocks"),
+        minPages = 2, minPct = 50)
+      .orderBy("host", "block")
+  }
+
+  /** The COMPOSED boilerplate cut (density ∪ frequency):
+    * [[graft.operators.Boilerplate.stripTemplates]] joined back to
+    * the block census, per host the residual corpus size under the
+    * density rule alone vs density + template cut. The delta IS the
+    * disclaimer mass — the chrome only the frequency census sees.
+    * The page frame localCheckpoints once (census + strip both read
+    * it — build-once-read-twice, no partitioning requirement). */
+  def qBoilerplateClean(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull)
+    val pages = d.select(col("doc_id"),
+        concat(col("source"), lit(".example")).as("host"),
+        graft.operators.HtmlExtract.blockCensus(
+          bpHtmlOf(col("text"), col("doc_id"), col("source"))).as("cs"))
+      .withColumn("blocks", transform(col("cs"), c => c.getField("vis")))
+      .localCheckpoint()
+    val sets = graft.operators.Boilerplate.templateSets(
+      graft.operators.Boilerplate.templateCensus(
+        pages, col("host"), col("doc_id"), col("blocks"),
+        minPages = 2, minPct = 50))
+    val kept = (c: Column) => c.getField("kept")
+    val vis = (c: Column) => c.getField("vis")
+    graft.operators.Boilerplate.stripTemplates(pages, col("host"), sets)
+      .select(col("host"), col("doc_id"),
+        size(col("__templates")).cast("long").as("n_templates"),
+        length(array_join(transform(
+          filter(col("cs"), c => kept(c)), c => vis(c)), "\n"))
+          .cast("long").as("ld"),
+        length(array_join(transform(
+          filter(col("cs"), c =>
+            kept(c) && !array_contains(col("__templates"), vis(c))),
+          c => vis(c)), "\n")).cast("long").as("lb"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("host_pages"),
+        max(col("n_templates")).as("n_templates"),
+        sum(col("ld")).as("sum_len_density"),
+        sum(col("lb")).as("sum_len_both"))
+      .orderBy("host")
+  }
+
   def qBinSource(s: SparkSession, dir: String): DataFrame = {
     val tmp = binDir(dir)
     BinaryVectorSource.write(s.read.parquet(s"$dir/embeddings.parquet"), tmp, dims = 64)
@@ -1019,6 +1253,18 @@ object PipelineQueries {
               .otherwise(col("text")).as("text"))
         go("secrets", graft.operators.Curation.secretScan(plantedDocStream()),
           OutputMode.Append())
+        // streaming crawl-frontier discovery — the crawl IS a stream:
+        // outlinks extract map-only per micro-batch, resolve against
+        // the page base, and the frontier dedups in flight on the
+        // normalized URL (state = one row per distinct URL inside the
+        // watermark horizon; the 1000-day horizon covers any fixture
+        // span, the q_stream_dedup batch-structure-independence
+        // argument — recrawl-window expiry is StreamingSpec's job)
+        go("frontier", EventStreams.discoverFrontier(
+          docStream(),
+          frontierBase(col("doc_id"), col("source")),
+          frontierHtmlOf(col("doc_id")),
+          watermark = "1000 days"), OutputMode.Append())
         // streaming drift census — the q_psi_drift monitor shape made
         // live: a Complete-mode (value → countA, countB) census over
         // the purchase-vs-click slices; the exact-integer PSI assembly
@@ -1038,7 +1284,8 @@ object PipelineQueries {
           try q.stop() catch { case scala.util.control.NonFatal(_) => () })
       }
       Seq("exec", "sessions", "state", "join", "dedup", "neardedup",
-        "outer", "attr", "sess_state", "secrets", "drift").map(g => g -> nm(g)).toMap
+        "outer", "attr", "sess_state", "secrets", "drift",
+        "frontier").map(g => g -> nm(g)).toMap
     }
 
   /** TRUE streaming execution in the gate: readStream over the events
@@ -1097,6 +1344,18 @@ object PipelineQueries {
   def qStreamSecrets(s: SparkSession, dir: String): DataFrame =
     s.table(streamBundle(s, dir)("secrets"))
       .orderBy("id", "token")
+
+  /** TRUE streaming crawl-frontier discovery in the gate: readStream
+    * over the documents parquet, the [[frontierHtmlOf]] markup's
+    * outlinks extracted and resolved per micro-batch
+    * ([[graft.streaming.EventStreams.discoverFrontier]]),
+    * watermark-bounded URL dedup, memory sink. Output is the sorted
+    * distinct frontier — survivor-independent (the first page to
+    * mention a URL wins, but the SET is arrival-order-free), so the
+    * oracle is the batch link-grammar replay's DISTINCT. */
+  def qStreamFrontier(s: SparkSession, dir: String): DataFrame =
+    s.table(streamBundle(s, dir)("frontier"))
+      .select(col("url")).orderBy("url")
 
   /** TRUE streaming drift monitor in the gate: the PSI census streams
     * as a Complete-mode aggregate (purchase-vs-click value counts,
@@ -1407,6 +1666,113 @@ object PipelineQueries {
          |SELECT CAST(min(doc_id) AS BIGINT) AS canon_id, CAST(count(*) AS BIGINT) AS n_copies,
          |  CAST(min(length(main)) AS BIGINT) AS main_len
          |FROM mt GROUP BY main HAVING count(*) > 1 ORDER BY canon_id""".stripMargin)),
+    // anchor-text census: the extractAnchors grammar + the (absolute |
+    // scheme-relative | fragment) resolve arms this fixture pins,
+    // normalized (case-noisy host folds, default :80 drops)
+    QueryDef("q_anchor_text", qAnchorText, Some(
+      s"""WITH f0 AS (SELECT doc_id, $anchorBaseSql AS base, $anchorHtmlSql AS h
+         |            FROM documents),
+         |$anchorsSql,
+         |ar AS (SELECT doc_id, anchor,
+         |         CASE WHEN length(${uSchemeSql("href")}) > 0 THEN href
+         |              WHEN href LIKE '//%' THEN 'http:' || href
+         |              ELSE NULL END AS u
+         |       FROM an),
+         |np AS (SELECT doc_id, anchor, ${uSchemeSql("u")} AS sch, ${uHostSql("u")} AS hst,
+         |         ${uPortSql("u")} AS prt,
+         |         CASE WHEN length(${uPathSql("u")}) = 0 THEN '/' ELSE ${uPathSql("u")} END AS pth,
+         |         ${uQuerySql("u")} AS qry
+         |       FROM ar WHERE u IS NOT NULL),
+         |uf AS (SELECT doc_id, anchor,
+         |         sch || '://' || hst ||
+         |         CASE WHEN length(prt) > 0 AND NOT (sch = 'http' AND prt = '80')
+         |                   AND NOT (sch = 'https' AND prt = '443')
+         |           THEN ':' || prt ELSE '' END || pth ||
+         |         CASE WHEN length(qry) > 0 THEN '?' || qry ELSE '' END AS url
+         |       FROM np WHERE length(hst) > 0)
+         |SELECT url, anchor, CAST(count(*) AS BIGINT) AS n_refs,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
+         |FROM uf GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    // host-graph PageRank: the oracle derives the edge list from the
+    // synthesis contract directly (an extraction/resolve bug on the
+    // Spark side diverges the ranks), then unrolls the exact-integer
+    // weighted recurrence
+    QueryDef("q_host_rank", qHostRank, Some(
+      s"""WITH e0 AS (SELECT CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) AS src,
+         |              CAST(doc_id % 7 AS BIGINT) AS dst FROM documents
+         |            UNION ALL
+         |            SELECT CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) AS src,
+         |              CAST(doc_id % 3 AS BIGINT) AS dst FROM documents),
+         |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM e0
+         |      WHERE src <> dst GROUP BY 1, 2),
+         |ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS ws FROM e GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |hr0 AS (SELECT node, floor(CAST(1.0 AS DOUBLE) / nn.n * 1e12) / 1e12 AS rank
+         |        FROM nodes CROSS JOIN nn),
+         |${hostPrIterSql(1)},
+         |${hostPrIterSql(2)},
+         |${hostPrIterSql(3)}
+         |SELECT 'src' || CAST(node AS VARCHAR) || '.example' AS host, rank
+         |FROM hr3 ORDER BY host""".stripMargin)),
+    // host-template census: the cross-page frequency cut replayed over
+    // the pinned extraction grammar + the disclaimer wrap
+    QueryDef("q_boilerplate", qBoilerplate, Some(
+      s"""WITH h0 AS (SELECT doc_id, $bpHtmlSql AS h
+         |            FROM documents WHERE text IS NOT NULL),
+         |$htmlCleanSql,
+         |vb AS (SELECT hb.doc_id, d.source || '.example' AS host,
+         |         list_distinct(list_filter(list_transform(bs, b -> ${visSql("b")}),
+         |           t -> length(t) > 0)) AS bs
+         |       FROM hb JOIN documents d ON d.doc_id = hb.doc_id),
+         |ph AS (SELECT host, count(DISTINCT doc_id) AS host_pages FROM vb GROUP BY 1),
+         |ex AS (SELECT host, doc_id, unnest(bs) AS block FROM vb),
+         |cn AS (SELECT host, block, count(DISTINCT doc_id) AS n_pages FROM ex GROUP BY 1, 2)
+         |SELECT cn.host, block, CAST(n_pages AS BIGINT) AS n_pages,
+         |  CAST(host_pages AS BIGINT) AS host_pages
+         |FROM cn JOIN ph ON ph.host = cn.host
+         |WHERE n_pages >= 2 AND n_pages * 100 >= host_pages * 50
+         |ORDER BY 1, 2""".stripMargin)),
+    // composed density ∪ frequency cut: per host the residual corpus
+    // size under the density rule alone vs both — the delta is the
+    // disclaimer mass only the frequency census sees
+    QueryDef("q_boilerplate_clean", qBoilerplateClean, Some(
+      s"""WITH h0 AS (SELECT doc_id, $bpHtmlSql AS h
+         |            FROM documents WHERE text IS NOT NULL),
+         |$htmlCleanSql,
+         |cs0 AS (SELECT hb.doc_id, d.source || '.example' AS host,
+         |          list_filter(list_transform(bs, b ->
+         |            {'vis': ${visSql("b")}, 'k': ${keepsSql("b")}}),
+         |            s -> length(s.vis) > 0) AS cs
+         |        FROM hb JOIN documents d ON d.doc_id = hb.doc_id),
+         |ph AS (SELECT host, count(DISTINCT doc_id) AS hp FROM cs0 GROUP BY 1),
+         |ex AS (SELECT host, doc_id,
+         |         unnest(list_distinct(list_transform(cs, s -> s.vis))) AS block
+         |       FROM cs0),
+         |cn AS (SELECT host, block, count(DISTINCT doc_id) AS n_pages FROM ex GROUP BY 1, 2),
+         |tm AS (SELECT cn.host, block FROM cn JOIN ph ON ph.host = cn.host
+         |       WHERE n_pages >= 2 AND n_pages * 100 >= hp * 50),
+         |tl AS (SELECT host, list_sort(list(block)) AS tmpl FROM tm GROUP BY 1),
+         |per AS (SELECT cs0.doc_id, cs0.host, len(tl.tmpl) AS nt,
+         |          length(coalesce(array_to_string(list_transform(
+         |            list_filter(cs, s -> s.k), s -> s.vis), chr(10)), '')) AS ld,
+         |          length(coalesce(array_to_string(list_transform(
+         |            list_filter(cs, s -> s.k AND NOT list_contains(tl.tmpl, s.vis)),
+         |            s -> s.vis), chr(10)), '')) AS lb
+         |        FROM cs0 JOIN tl ON tl.host = cs0.host)
+         |SELECT host, CAST(count(*) AS BIGINT) AS host_pages,
+         |  CAST(max(nt) AS BIGINT) AS n_templates,
+         |  CAST(sum(ld) AS BIGINT) AS sum_len_density,
+         |  CAST(sum(lb) AS BIGINT) AS sum_len_both
+         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // streaming frontier: the batch link-grammar replay's DISTINCT —
+    // the dedup survivor set is arrival-order-free
+    QueryDef("q_stream_frontier", qStreamFrontier, Some(
+      s"""WITH f0 AS (SELECT doc_id, $frontierBaseSql AS base, $frontierHtmlSql AS h
+         |            FROM documents),
+         |$linksSql,
+         |$resolveSql
+         |SELECT DISTINCT url FROM uf ORDER BY url""".stripMargin)),
     QueryDef("q_manifest", qManifest, Some(
       """WITH per AS (SELECT source AS shard, CAST(count(*) AS BIGINT) AS n_rows,
         |    CAST(sum(doc_id) AS BIGINT) AS sum_ids,

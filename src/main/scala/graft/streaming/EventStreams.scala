@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -411,6 +411,33 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("sim_hi", "sim_lo")
   }
+
+  /** Streaming crawl-frontier discovery: pages arrive as a stream
+    * (the crawl IS a stream — captures land continuously), outlinks
+    * extract map-only ([[graft.operators.HtmlExtract.extractLinks]]),
+    * resolve/normalize against the page's base URL
+    * ([[graft.operators.UrlParse.resolve]]), and the frontier dedups
+    * in flight on the NORMALIZED url — a URL seen from ten thousand
+    * pages schedules once. State is one row per distinct frontier URL
+    * inside the watermark horizon (the recrawl-eligibility window: a
+    * URL older than the horizon may re-enter the frontier, which is
+    * exactly recrawl semantics — bounded state and refresh policy are
+    * the same knob). The only stateful operator is the dedup;
+    * everything upstream rides the micro-batch map-side. */
+  def discoverFrontier(
+      pages: DataFrame,
+      baseCol: Column,
+      htmlCol: Column,
+      tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    pages
+      .select(col(tsCol), baseCol.as("__base"),
+        explode(graft.operators.HtmlExtract.extractLinks(htmlCol)).as("__href"))
+      .select(col(tsCol),
+        graft.operators.UrlParse.resolve(col("__base"), col("__href")).as("url"))
+      .filter(col("url").isNotNull)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("url")
 
   /** Stream-stream inner join: each left event pairs with the right
     * events of the same key whose time falls in [l.ts, l.ts + horizon]

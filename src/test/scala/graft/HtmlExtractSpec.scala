@@ -140,4 +140,39 @@ class HtmlExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full("<p>unclosed paragraph runs to the end") ==
       "unclosed paragraph runs to the end")
   }
+
+  private def anchors(html: String): Seq[(String, String)] = {
+    import spark.implicits._
+    Seq(html).toDF("h")
+      .select(explode(HtmlExtract.extractAnchors(col("h"))).as("a"))
+      .select(col("a.href"), col("a.anchor"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
+  test("extractAnchors: pairs in document order; nested tags strip, entities decode, ws collapses") {
+    val h = "<p><a href=\"/a\">the <b>bold</b>\n  pick &amp; more</a>" +
+      " <a href='/b'>B</a> <a href=c>bare</a></p>"
+    assert(anchors(h) == Seq(
+      ("/a", "the bold pick & more"), ("/b", "B"), ("c", "bare")))
+  }
+
+  test("extractAnchors: shielding and pinned deviations") {
+    // commented-out and script-embedded anchors are not links
+    assert(anchors("<!-- <a href='/x'>x</a> --><script>var a=\"<a href='/y'>y</a>\";</script>" +
+      "<a href=\"/z\">z</a>") == Seq(("/z", "z")))
+    // empty anchor text survives (image-link shape); missing/empty href drops
+    assert(anchors("<a href=\"/img\"></a><a name=\"t\">no href</a><a href=\"\">e</a>") ==
+      Seq(("/img", "")))
+    // UNCLOSED <a>: no pair here (extractLinks still yields its href)
+    assert(anchors("<a href=\"/u\">runs off the end") == Seq.empty)
+    val links = {
+      import spark.implicits._
+      Seq("<a href=\"/u\">runs off the end").toDF("h")
+        .select(HtmlExtract.extractLinks(col("h")).as("l"))
+        .head().getSeq[String](0)
+    }
+    assert(links == Seq("/u"))
+    // href entity-decode (&amp; in query strings)
+    assert(anchors("<a href=\"/s?a=1&amp;b=2\">q</a>") == Seq(("/s?a=1&b=2", "q")))
+  }
 }
