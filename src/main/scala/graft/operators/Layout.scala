@@ -216,4 +216,32 @@ object Layout {
         col("a_sum_ids"), col("b_sum_ids"), col("a_fp"), col("b_fp"))
       .orderBy("shard")
   }
+
+  /** Epoch-over-epoch crawl delta — the recrawl-scheduling census:
+    * given two captures `(url, fp)` of the same crawl scope (fp = a
+    * content fingerprint of the fetched payload), classify every URL
+    * as `unchanged` / `changed` / `new` / `vanished`. Downstream this
+    * drives refresh policy (changed-rate per host sets recrawl
+    * cadence), frontier maintenance (vanished URLs leave it), and
+    * incremental corpus updates (only `new`+`changed` re-enter the
+    * text stack — the 100 TB point: a recrawl processes the DELTA,
+    * never the whole corpus again).
+    *
+    * CONTRACT: each epoch is KEYED by url (one row per url — crawl
+    * captures are; dedupe upstream if a capture can repeat a url,
+    * otherwise the join fans out). Shape: ONE full-outer equi-join on
+    * url; an engine-written epoch is already url-partitioned, making
+    * the join co-located; output is per-URL, census it per host
+    * downstream. NULL fingerprints compare null-safely (a fetch whose
+    * payload was empty on both epochs is `unchanged`, not `changed`). */
+  def crawlDelta(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("url"), col("fp").as("__fa"), lit(true).as("__ina"))
+    val r = b.select(col("url"), col("fp").as("__fb"), lit(true).as("__inb"))
+    l.join(r, Seq("url"), "full_outer")
+      .select(col("url"),
+        when(col("__ina").isNull, lit("new"))
+          .when(col("__inb").isNull, lit("vanished"))
+          .when(col("__fa") <=> col("__fb"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

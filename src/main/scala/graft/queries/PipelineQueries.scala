@@ -1011,14 +1011,16 @@ object PipelineQueries {
     * oracle derives the edge list from the synthesis contract
     * directly — so an extraction/resolve bug on the Spark side
     * DIVERGES the ranks and fails the gate — and unrolls the rounds
-    * with the q_pagerank_weighted integer-share SQL. */
+    * with the q_pagerank_weighted integer-share SQL. (Doc for
+    * [[qHostRank]] below; the graph itself is shared with
+    * [[qCrawlBudget]] via [[hostGraph]].) */
   private val hostGraphMemo =
     new IndexQueries.SessionMemo[graft.operators.Graph.PreparedWGraph]
-  def qHostRank(s: SparkSession, dir: String): DataFrame = {
-    // session-memoized host-graph build (the wSuppPartGraphMemo /
-    // ccMemo convention): the extract + resolve + fold + census runs
-    // once per session; repeat invocations pay only the 3 rounds
-    val g = hostGraphMemo.get(s, dir) {
+  /** Session-memoized host-graph build (the wSuppPartGraphMemo /
+    * ccMemo convention): the extract + resolve + fold + census runs
+    * once per session; rank and budget gates pay only their rounds. */
+  private def hostGraph(s: SparkSession, dir: String): graft.operators.Graph.PreparedWGraph =
+    hostGraphMemo.get(s, dir) {
       val d = s.read.parquet(s"$dir/documents.parquet")
       val edges = d.select(
           regexp_extract(col("source"), "([0-9]+)", 1).cast("long").as("src"),
@@ -1036,9 +1038,65 @@ object PipelineQueries {
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
       graft.operators.Graph.prepareWeighted(edges)
     }
-    graft.operators.Graph.pageRankWeightedPrepared(g, iters = 3)
+
+  def qHostRank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.pageRankWeightedPrepared(hostGraph(s, dir), iters = 3)
       .select(concat(lit("src"), col("node").cast("string"),
         lit(".example")).as("host"), col("rank"))
+      .orderBy("host")
+
+  /** Recrawl delta census ([[graft.operators.Layout.crawlDelta]] —
+    * the epoch-over-epoch change classification that drives refresh
+    * cadence, frontier maintenance, and incremental corpus updates):
+    * epoch A is the corpus as crawled; epoch B drops every 13th page
+    * (vanished), rewrites every 7th (changed), and discovers a new
+    * URL for every 11th (new). Census per host × status — the shape a
+    * recrawl scheduler consumes (changed-rate per host sets that
+    * host's cadence). One full-outer equi-join + one census. */
+  def qRecrawlDelta(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull)
+    val url = concat(lit("http://"), col("source"), lit(".example/p/"),
+      col("doc_id").cast("string"), lit(".html"))
+    val a = d.select(url.as("url"), md5(col("text").cast("binary")).as("fp"))
+    val b = d.filter(col("doc_id") % 13 =!= 0)
+      .select(url.as("url"),
+        md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text")).cast("binary")).as("fp"))
+      .unionByName(d.filter(col("doc_id") % 11 === 0)
+        .select(concat(lit("http://"), col("source"), lit(".example/n/"),
+          col("doc_id").cast("string"), lit(".html")).as("url"),
+          md5(col("text").cast("binary")).as("fp")))
+    graft.operators.Layout.crawlDelta(a, b)
+      .groupBy(graft.operators.UrlParse.host(col("url")).as("host"), col("status"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("host", "status")
+  }
+
+  /** Crawl fetch-budget apportionment
+    * ([[graft.operators.Frontier.apportion]] — the scheduling step
+    * between host ranking and this round's fetches): the
+    * [[qHostRank]] graph's ranks split an integer budget of 1000
+    * fetches by Hamilton largest-remainder in exact integer
+    * arithmetic, each host clipped to min(its in-link demand, a
+    * politeness ceiling of 150). Hosts with no in-links (demand 0)
+    * still draw a proportional share — clipped to zero, exercising
+    * the clip arm; the clipped mass is deliberately NOT redistributed
+    * (one call = one round; FrontierSpec pins the iteration). The
+    * oracle replays ranks from the synthesis contract and the exact
+    * Hamilton split. */
+  def qCrawlBudget(s: SparkSession, dir: String): DataFrame = {
+    val g = hostGraph(s, dir)
+    val ranks = graft.operators.Graph.pageRankWeightedPrepared(g, iters = 3)
+    val demand = g.e.groupBy(col("dst").as("node"))
+      .agg(sum(col("w")).as("demand"))
+    val hosts = ranks.join(demand, Seq("node"), "left")
+      .select(concat(lit("src"), col("node").cast("string"),
+        lit(".example")).as("host"), col("rank"),
+        least(coalesce(col("demand"), lit(0L)), lit(150L)).as("cap"))
+    graft.operators.Frontier.apportion(hosts, budget = 1000L)
+      .join(hosts.select(col("host"), col("cap")), "host")
+      .select(col("host"), col("cap"), col("alloc_raw"), col("alloc"))
       .orderBy("host")
   }
 
@@ -1765,6 +1823,63 @@ object PipelineQueries {
          |  CAST(sum(ld) AS BIGINT) AS sum_len_density,
          |  CAST(sum(lb) AS BIGINT) AS sum_len_both
          |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // recrawl delta: the epoch synthesis + full-outer classification
+    // replayed relationally
+    QueryDef("q_recrawl_delta", qRecrawlDelta, Some(
+      s"""WITH a AS (SELECT 'http://' || source || '.example/p/' || CAST(doc_id AS VARCHAR) || '.html' AS url,
+         |             md5(text) AS fp
+         |           FROM documents WHERE text IS NOT NULL),
+         |b AS (SELECT 'http://' || source || '.example/p/' || CAST(doc_id AS VARCHAR) || '.html' AS url,
+         |        md5(CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END) AS fp
+         |      FROM documents WHERE text IS NOT NULL AND doc_id % 13 <> 0
+         |      UNION ALL
+         |      SELECT 'http://' || source || '.example/n/' || CAST(doc_id AS VARCHAR) || '.html',
+         |        md5(text)
+         |      FROM documents WHERE text IS NOT NULL AND doc_id % 11 = 0),
+         |j AS (SELECT coalesce(a.url, b.url) AS url,
+         |        CASE WHEN a.url IS NULL THEN 'new'
+         |             WHEN b.url IS NULL THEN 'vanished'
+         |             WHEN a.fp = b.fp THEN 'unchanged'
+         |             ELSE 'changed' END AS status
+         |      FROM a FULL OUTER JOIN b ON a.url = b.url)
+         |SELECT ${uHostSql("url")} AS host, status, CAST(count(*) AS BIGINT) AS n
+         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    // crawl budget: ranks from the synthesis contract (the q_host_rank
+    // CTEs) + in-link demand + the exact Hamilton split
+    QueryDef("q_crawl_budget", qCrawlBudget, Some(
+      s"""WITH e0 AS (SELECT CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) AS src,
+         |              CAST(doc_id % 7 AS BIGINT) AS dst FROM documents
+         |            UNION ALL
+         |            SELECT CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) AS src,
+         |              CAST(doc_id % 3 AS BIGINT) AS dst FROM documents),
+         |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM e0
+         |      WHERE src <> dst GROUP BY 1, 2),
+         |ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS ws FROM e GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |hr0 AS (SELECT node, floor(CAST(1.0 AS DOUBLE) / nn.n * 1e12) / 1e12 AS rank
+         |        FROM nodes CROSS JOIN nn),
+         |${hostPrIterSql(1)},
+         |${hostPrIterSql(2)},
+         |${hostPrIterSql(3)},
+         |dm AS (SELECT dst AS node, sum(w) AS demand FROM e GROUP BY 1),
+         |hs AS (SELECT 'src' || CAST(r.node AS VARCHAR) || '.example' AS host,
+         |         CAST(floor(r.rank * 1e12) AS BIGINT) AS rr,
+         |         least(coalesce(dm.demand, 0), 150) AS cap
+         |       FROM hr3 r LEFT JOIN dm ON dm.node = r.node),
+         |tt AS (SELECT sum(rr) AS tot FROM hs),
+         |ap AS (SELECT host, rr, cap,
+         |         (1000 * rr) // tt.tot AS base,
+         |         (1000 * rr) % tt.tot AS frac
+         |       FROM hs CROSS JOIN tt),
+         |sb AS (SELECT sum(base) AS sb FROM ap),
+         |al AS (SELECT host, cap,
+         |         CAST(base + CASE WHEN row_number() OVER (ORDER BY frac DESC, host ASC)
+         |                               <= 1000 - sb.sb THEN 1 ELSE 0 END AS BIGINT) AS alloc_raw
+         |       FROM ap CROSS JOIN sb)
+         |SELECT host, CAST(cap AS BIGINT) AS cap, alloc_raw,
+         |  least(alloc_raw, CAST(cap AS BIGINT)) AS alloc
+         |FROM al ORDER BY host""".stripMargin)),
     // streaming frontier: the batch link-grammar replay's DISTINCT —
     // the dedup survivor set is arrival-order-free
     QueryDef("q_stream_frontier", qStreamFrontier, Some(

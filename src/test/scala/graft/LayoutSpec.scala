@@ -321,4 +321,23 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got3 == Map("n" -> "content"), got3.toString)
   }
+
+  test("crawlDelta classifies all four statuses; NULL fingerprints compare null-safely") {
+    import spark.implicits._
+    val a = Seq(("u1", "f1"), ("u2", "f2"), ("u3", "f3"),
+      ("u4", null.asInstanceOf[String])).toDF("url", "fp")
+    val b = Seq(("u1", "f1"), ("u2", "f2b"), ("u5", "f5"),
+      ("u4", null.asInstanceOf[String])).toDF("url", "fp")
+    val got = Layout.crawlDelta(a, b).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "u1" -> "unchanged", "u2" -> "changed", "u3" -> "vanished",
+      // a NULL fp present on BOTH sides is unchanged, not changed —
+      // presence is tracked by flags, never by fp-null
+      "u4" -> "unchanged", "u5" -> "new"), got.toString)
+    // NULL on one side only IS a content change
+    val a2 = Seq(("u", "f")).toDF("url", "fp")
+    val b2 = Seq(("u", null.asInstanceOf[String])).toDF("url", "fp")
+    assert(Layout.crawlDelta(a2, b2).head().getString(1) == "changed")
+  }
 }
