@@ -236,6 +236,35 @@ object IvfIndex {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     df.withColumn("cell", assignExpr(col(vecCol), model))
 
+  /** Router-staleness census — the MONITORING counterpart to the
+    * shared-training retrain contract ([[graft.index.SharedTraining]]
+    * fails loudly when new data breaks a trained bound; this op tells
+    * you it is COMING): assign two epochs of vectors to THIS router's
+    * cells and return the per-cell population census
+    * `(cell, ca, cb)` — feed it to
+    * [[graft.operators.Profile.psiFromCensus]] for the drift number
+    * that gates "retrain the router". A router trained on epoch A
+    * serves epoch B exactly as well as B's cell populations still
+    * match A's; population shift IS recall erosion in the making
+    * (probed cells stop covering the data).
+    *
+    * Scale shape: two map-only [[assignExpr]] passes (the codegen
+    * kernel — no join, no shuffle until the O(#cells) census), one
+    * full-outer cell join. Cells empty in one epoch carry 0 and are
+    * add-one smoothed by the PSI assembly; cells empty in BOTH are
+    * absent (the psi "observed domain" convention). */
+  def cellDrift(model: Model, a: DataFrame, b: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val ca = a.select(assignExpr(col(vecCol), model).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("ca"))
+    val cb = b.select(assignExpr(col(vecCol), model).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("cb"))
+    ca.join(cb, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+  }
+
   /** Total within-cluster squared distance (training diagnostic). */
   def inertia(df: DataFrame, model: Model,
       idCol: String = "vec_id", vecCol: String = "embedding"): Double = {

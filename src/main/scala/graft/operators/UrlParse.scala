@@ -112,4 +112,35 @@ object UrlParse {
         normalize(joined)
       }
     }
+
+  /** Tracking-parameter cleanup + canonical query ordering — the
+    * SEMANTIC layer above [[normalize]]'s syntactic canonicalization:
+    * two fetches of the same page routinely differ only in analytics
+    * baggage (`utm_*`, click ids) and parameter order, so a frontier
+    * keyed on the normalized URL alone schedules the same page many
+    * times and the recrawl delta misclassifies it as `new`. PINNED
+    * grammar (replayable, purely syntactic — no percent-decoding):
+    * the query splits on `&`; empty segments drop; a parameter drops
+    * iff its raw text starts with any of `dropPrefixes` (PREFIX
+    * semantics — `utm_` covers the family, an exact name like
+    * `gclid` also drops `gclid=...` because the `=` terminates
+    * nothing: prefixes match the raw `name=value` token, so pass
+    * `gclid=` to be exact-name strict); survivors sort bytewise
+    * ascending and rejoin; an emptied query loses its `?`. Fragments
+    * are assumed already gone ([[normalize]] drops them — compose
+    * AFTER normalize/[[resolve]]). Map-only. */
+  def canonicalQuery(url: Column, dropPrefixes: Seq[String]): Column = {
+    require(dropPrefixes.nonEmpty, "pass at least one drop prefix")
+    let(url) { u =>
+      val q = query(u)
+      val keep = array_sort(filter(split(q, "&"), p =>
+        length(p) > 0 &&
+          !dropPrefixes.map(d => p.startsWith(lit(d))).reduce(_ || _)))
+      val head = substring_index(u, "?", 1)
+      when(length(q) === 0, u).otherwise(
+        concat(head,
+          when(size(keep) > 0, concat(lit("?"), array_join(keep, "&")))
+            .otherwise(lit(""))))
+    }
+  }
 }

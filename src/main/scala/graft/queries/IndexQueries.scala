@@ -3149,6 +3149,45 @@ object IndexQueries {
     QueryDef("q_ann_cells", qAnnCells, Some(
       """SELECT CAST(label AS INT) AS part, count(*) AS n_nodes
         |FROM embeddings GROUP BY 1 ORDER BY part""".stripMargin)),
+    // router-staleness drift: full assignment replay (argmin over the
+    // label-mean centroids, ties to the lowest cell) for both epochs,
+    // per-cell census, then the q_psi_drift exact-integer assembly
+    QueryDef("q_router_drift", qRouterDrift, Some(
+      s"""WITH $centSql,
+         |va AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |         CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+         |vb AS (SELECT vec_id, i,
+         |         CASE WHEN vec_id % 5 = 0 AND i = 1
+         |              THEN CAST(CAST(x + 0.5 AS REAL) AS DOUBLE) ELSE x END AS x
+         |       FROM va),
+         |da AS (SELECT v.vec_id, c.label, sum((c.m - v.x)^2) AS d
+         |       FROM va v JOIN cent c USING (i) GROUP BY 1, 2),
+         |aa AS (SELECT vec_id, label FROM
+         |        (SELECT vec_id, label,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, label) AS rn
+         |         FROM da) WHERE rn = 1),
+         |db AS (SELECT v.vec_id, c.label, sum((c.m - v.x)^2) AS d
+         |       FROM vb v JOIN cent c USING (i) GROUP BY 1, 2),
+         |ab AS (SELECT vec_id, label FROM
+         |        (SELECT vec_id, label,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, label) AS rn
+         |         FROM db) WHERE rn = 1),
+         |cca AS (SELECT label AS cell, CAST(count(*) AS BIGINT) AS ca FROM aa GROUP BY 1),
+         |ccb AS (SELECT label AS cell, CAST(count(*) AS BIGINT) AS cb FROM ab GROUP BY 1),
+         |r AS (SELECT coalesce(cca.ca, 0) AS ca, coalesce(ccb.cb, 0) AS cb
+         |      FROM cca FULL OUTER JOIN ccb ON cca.cell = ccb.cell),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+         |          CAST(count(*) AS BIGINT) AS n_bins FROM r),
+         |t AS (SELECT n_a, n_b, n_bins,
+         |        (ca + 1) * (n_b + n_bins) - (cb + 1) * (n_a + n_bins) AS dn,
+         |        CAST(CAST(ln(CAST((ca + 1) * (n_b + n_bins) AS DOUBLE)
+         |                     / ((cb + 1) * (n_a + n_bins))) AS DECIMAL(18,6))
+         |             * 1000000 AS BIGINT) AS lnr
+         |      FROM r, tot)
+         |SELECT n_a, n_b, n_bins,
+         |  CAST(sum(CAST(dn AS HUGEINT) * lnr)
+         |       // (CAST(n_a + n_bins AS HUGEINT) * (n_b + n_bins)) AS BIGINT) AS psi_micro
+         |FROM t GROUP BY 1, 2, 3""".stripMargin)),
     QueryDef("q_quantized_knn", qQuantizedKnn, Some(sqOracleSql(0))),
     QueryDef("q_bq_knn", qBqKnn, Some(
       s"""WITH $bqBaseSql
@@ -3426,6 +3465,33 @@ object IndexQueries {
   def qAnnCells(s: SparkSession, dir: String): DataFrame = {
     val idx = labelIndex(s, dir)
     idx.toDF().groupBy("part").agg(count(lit(1)).as("n_nodes")).orderBy("part")
+  }
+
+  /** Router-staleness drift gate
+    * ([[graft.index.IvfIndex.cellDrift]] ∘
+    * [[graft.operators.Profile.psiFromCensus]] — the monitoring
+    * counterpart to the shared-training retrain contract: population
+    * shift against a FIXED router is recall erosion in the making,
+    * and this census is what tells an operator to retrain BEFORE the
+    * bound-expansion failures start): epoch A is the corpus the
+    * label router was derived from; epoch B shifts every 5th
+    * vector's first coordinate by +0.5 (exact in float — the double
+    * sum is representable, so the SQL replay is bit-identical),
+    * moving a deterministic slice across cell boundaries. Output is
+    * the exact-integer PSI over the per-cell populations — the
+    * q_psi_drift assembly on cells instead of value bins. Two
+    * map-only assignment passes (codegen kernel), one O(#cells)
+    * census, checkpointed for the assembly's double read. */
+  def qRouterDrift(s: SparkSession, dir: String): DataFrame = {
+    val model = labelRouter(s, dir)
+    val a = emb(s, dir)
+    val b = a.withColumn("embedding",
+      when(col("vec_id") % 5 === 0,
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + lit(0.5f)).otherwise(x)))
+        .otherwise(col("embedding")))
+    graft.operators.Profile.psiFromCensus(
+      graft.index.IvfIndex.cellDrift(model, a, b).localCheckpoint())
   }
 
   /** Shared binary-quantization oracle base: pack both 32-bit sign

@@ -1100,6 +1100,37 @@ object PipelineQueries {
       .orderBy("host")
   }
 
+  /** Tracking-parameter canonicalization census
+    * ([[graft.operators.UrlParse.canonicalQuery]] — the SEMANTIC
+    * layer above syntactic normalization: two fetches of one page
+    * routinely differ only in analytics baggage and parameter order,
+    * so a frontier keyed on the normalized URL alone schedules the
+    * same page many times): raw URLs carry shuffled params, a
+    * `utm_*` family, a per-doc click id and an empty `&&` segment;
+    * every 7th doc has no query (the passthrough arm) and every 11th
+    * a query that is ONLY tracking (the `?`-vanishes arm). Census per
+    * host: distinct raw vs distinct canonical URLs — the fold factor
+    * IS the duplicate fetches avoided. */
+  def qUrlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    val u = concat(lit("http://"), col("source"), lit(".example/land"),
+      when(col("doc_id") % 7 === 0, lit(""))
+        .when(col("doc_id") % 11 === 0,
+          concat(lit("?utm_source=feed&gclid=g"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("?b=2&&utm_source=feed&a=1&utm_campaign=c"),
+          (col("doc_id") % 3).cast("string"),
+          lit("&gclid=g"), col("doc_id").cast("string"),
+          lit("&z="), (col("doc_id") % 2).cast("string"))))
+    d.select(col("source"), u.as("u"))
+      .select(col("source"), col("u"),
+        graft.operators.UrlParse.canonicalQuery(col("u"),
+          Seq("utm_", "gclid=")).as("c"))
+      .groupBy(concat(col("source"), lit(".example")).as("host"))
+      .agg(countDistinct(col("u")).as("n_raw"),
+        countDistinct(col("c")).as("n_canon"))
+      .orderBy("host")
+  }
+
   /** The boilerplate-gate wrap: [[htmlOf]]'s chrome plus a HOST-level
     * legal disclaimer — long and link-free, so the per-page density
     * rule KEEPS it on every page; only the cross-page frequency
@@ -1823,6 +1854,30 @@ object PipelineQueries {
          |  CAST(sum(ld) AS BIGINT) AS sum_len_density,
          |  CAST(sum(lb) AS BIGINT) AS sum_len_both
          |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // tracking-param canonicalization: the pinned split/drop/sort
+    // grammar replayed with list ops
+    QueryDef("q_url_canonical", qUrlCanonical, Some(
+      s"""WITH r AS (SELECT source, 'http://' || source || '.example/land' ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ''
+         |         WHEN doc_id % 11 = 0 THEN '?utm_source=feed&gclid=g' || CAST(doc_id AS VARCHAR)
+         |         ELSE '?b=2&&utm_source=feed&a=1&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR) ||
+         |              '&gclid=g' || CAST(doc_id AS VARCHAR) || '&z=' || CAST(doc_id % 2 AS VARCHAR)
+         |    END AS u FROM documents),
+         |k AS (SELECT source, u, ${uQuerySql("u")} AS qry FROM r),
+         |c AS (SELECT source, u,
+         |        CASE WHEN length(qry) = 0 THEN u
+         |             ELSE split_part(u, '?', 1) ||
+         |               CASE WHEN len(kp) > 0 THEN '?' || array_to_string(kp, '&') ELSE '' END
+         |        END AS c
+         |      FROM (SELECT source, u, qry,
+         |              list_sort(list_filter(string_split(qry, '&'),
+         |                p -> length(p) > 0 AND NOT starts_with(p, 'utm_')
+         |                     AND NOT starts_with(p, 'gclid='))) AS kp
+         |            FROM k))
+         |SELECT source || '.example' AS host,
+         |  CAST(count(DISTINCT u) AS BIGINT) AS n_raw,
+         |  CAST(count(DISTINCT c) AS BIGINT) AS n_canon
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
     // recrawl delta: the epoch synthesis + full-outer classification
     // replayed relationally
     QueryDef("q_recrawl_delta", qRecrawlDelta, Some(

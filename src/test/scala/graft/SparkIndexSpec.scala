@@ -1076,4 +1076,30 @@ class SparkIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val avg = recalls.sum / recalls.length
     assert(avg >= 0.9, s"avg recall@10 = $avg (per-query: ${qids.zip(recalls)})")
   }
+
+  test("cellDrift: identical epochs census equal, PSI 0; a moved slice shifts exactly its cells") {
+    import graft.index.IvfIndex
+    import spark.implicits._
+    // two well-separated cells at +/-10 on the first axis
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) -10.0f else 10.0f
+      (i.toLong, Array(base, i.toFloat / 100f))
+    }.toDF("vec_id", "embedding")
+    val model = IvfIndex.fromPartitionMeans(
+      vecs.withColumn("label", (col("vec_id") % 2).cast("int")))
+    val same = IvfIndex.cellDrift(model, vecs, vecs).localCheckpoint()
+    assert(same.filter(col("ca") =!= col("cb")).count() == 0)
+    assert(graft.operators.Profile.psiFromCensus(same)
+      .head().getLong(3) == 0L) // psi_micro
+    // epoch B pushes every 4th vector across the axis: exactly 10 of
+    // the 20 negative-cell vectors (ids ≡ 0 mod 4) land in cell 1
+    val b = vecs.withColumn("embedding",
+      when(col("vec_id") % 4 === 0,
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + lit(20.0f)).otherwise(x)))
+        .otherwise(col("embedding")))
+    val moved = IvfIndex.cellDrift(model, vecs, b).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(moved == Map(0 -> (20L, 10L), 1 -> (20L, 30L)), moved.toString)
+  }
 }

@@ -92,4 +92,26 @@ class UrlParseSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getSeq[String](0)
     assert(got == Seq("/dq", "/sq", "/bare", "/q?a=1&b=2", "/upper"), got)
   }
+
+  test("canonicalQuery: drop prefixes, sort, empty segments, passthrough and ?-vanish arms") {
+    def canon(u: String): String =
+      one(UrlParse.canonicalQuery(lit(u), Seq("utm_", "gclid=")))
+    // params sort bytewise; tracking family and click id drop; the
+    // empty `&&` segment drops
+    assert(canon("http://h/p?b=2&&utm_source=f&a=1&utm_campaign=x&gclid=g9&z=0") ==
+      "http://h/p?a=1&b=2&z=0")
+    // no query: untouched
+    assert(canon("http://h/p") == "http://h/p")
+    // query entirely tracking: the `?` vanishes
+    assert(canon("http://h/p?utm_a=1&gclid=x") == "http://h/p")
+    // prefix semantics are PINNED: `gclid=` is exact-name strict
+    // (gclid2=1 survives), `utm_` covers the family
+    assert(canon("http://h/p?gclid2=1&utm_x=2") == "http://h/p?gclid2=1")
+    // a param without `=` is a raw token, matched and sorted as-is
+    assert(canon("http://h/p?flag&a=1") == "http://h/p?a=1&flag")
+    // composes after resolve (fragment already gone, case folded)
+    assert(one(UrlParse.canonicalQuery(
+      UrlParse.resolve(lit("http://H.Example/d/p.html"), lit("?utm_s=1&b=2#f")),
+      Seq("utm_"))) == "http://h.example/d/p.html?b=2")
+  }
 }
