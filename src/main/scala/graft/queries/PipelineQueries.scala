@@ -1211,6 +1211,71 @@ object PipelineQueries {
       .orderBy("host")
   }
 
+  /** The CAPSTONE composition — raw crawl in, training corpus out,
+    * every stage this round's stack provides, in one query: documents
+    * (with id-shifted duplicate copies of every 7th) → [[bpHtmlOf]]
+    * markup (chrome + the density-proof disclaimer) → WARC capture
+    * bundles with hostile interleaved records
+    * ([[graft.sources.WarcCorpusSource.writeCaptures]]) →
+    * `readResponses` framing-only skip → per-block extraction census
+    * ([[graft.operators.HtmlExtract.blockCensus]]) → host-template
+    * frequency cut ([[graft.operators.Boilerplate]]) composed with
+    * the density rule → quality scoring → exact dedup → per-host
+    * admitted-corpus census. The duplicate pairs collapse ONLY
+    * because every id-carrying chrome block (title, nav, footer,
+    * disclaimer) is cut by one of the two rules; a leak in either
+    * breaks every dup group AND shifts the admitted counts. Page
+    * frame and scored frame localCheckpoint (each is read twice —
+    * census+strip, admission+dedup). */
+  def qCrawlCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("text"))
+    val dup = d.unionByName(
+      d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"), col("text")))
+    val tmp = fmtDir("crawlcorpus", dir)
+    graft.sources.WarcCorpusSource.writeCaptures(
+      dup.select(concat(col("source"), lit("/"),
+          col("doc_id").cast("string"), lit(".html")).as("name"),
+        bpHtmlOf(col("text"), col("doc_id"), col("source")).as("text"),
+        lit(200).as("status")),
+      tmp, shards = 8)
+    val pages = graft.sources.WarcCorpusSource
+      .readResponses(s, tmp, skipNonResponse = true)
+      .select(col("record_uri").as("pid"),
+        concat(split(col("record_uri"), "/").getItem(0), lit(".example")).as("host"),
+        graft.operators.HtmlExtract.blockCensus(col("text")).as("cs"))
+      .withColumn("blocks", transform(col("cs"), c => c.getField("vis")))
+      .localCheckpoint()
+    val sets = graft.operators.Boilerplate.templateSets(
+      graft.operators.Boilerplate.templateCensus(
+        pages, col("host"), col("pid"), col("blocks"),
+        minPages = 2, minPct = 50))
+    val scored = graft.operators.Boilerplate
+      .stripTemplates(pages, col("host"), sets)
+      .select(col("host"), col("pid"),
+        array_join(transform(
+          filter(col("cs"), c => c.getField("kept") &&
+            !array_contains(col("__templates"), c.getField("vis"))),
+          c => c.getField("vis")), "\n").as("main"))
+      .withColumn("q",
+        floor(graft.functions.TextFunctions.qualityScore(col("main")) * 10000.0) / 10000.0)
+      .localCheckpoint()
+    val perHost = scored.groupBy("host").agg(
+      count(lit(1)).as("n_pages"),
+      sum(when(col("q") >= 0.5, 1L).otherwise(0L)).as("n_admitted"))
+    val distinctAdm = scored.filter(col("q") >= 0.5)
+      .select(col("host"), col("main")).distinct()
+      .groupBy("host").agg(count(lit(1)).as("n_docs"),
+        sum(length(col("main"))).cast("long").as("corpus_chars"))
+    perHost.join(distinctAdm, Seq("host"), "left")
+      .select(col("host"), col("n_pages"), col("n_admitted"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("corpus_chars"), lit(0L)).as("corpus_chars"))
+      .orderBy("host")
+  }
+
   def qBinSource(s: SparkSession, dir: String): DataFrame = {
     val tmp = binDir(dir)
     BinaryVectorSource.write(s.read.parquet(s"$dir/embeddings.parquet"), tmp, dims = 64)
@@ -1854,6 +1919,44 @@ object PipelineQueries {
          |  CAST(sum(ld) AS BIGINT) AS sum_len_density,
          |  CAST(sum(lb) AS BIGINT) AS sum_len_both
          |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // the capstone: dup-union + markup + grammar + template census +
+    // density + quality + dedup, replayed end to end (the WARC leg is
+    // the round-trip identity q_warc_mixed gates)
+    QueryDef("q_crawl_corpus", qCrawlCorpus, Some(
+      s"""WITH du AS (SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL
+         |            UNION ALL
+         |            SELECT doc_id + 1000000, source, text FROM documents
+         |            WHERE text IS NOT NULL AND doc_id % 7 = 0),
+         |h0 AS (SELECT doc_id, $bpHtmlSql AS h FROM du),
+         |$htmlCleanSql,
+         |cs0 AS (SELECT hb.doc_id, du.source || '.example' AS host,
+         |          list_filter(list_transform(bs, b ->
+         |            {'vis': ${visSql("b")}, 'k': ${keepsSql("b")}}),
+         |            s -> length(s.vis) > 0) AS cs
+         |        FROM hb JOIN du ON du.doc_id = hb.doc_id),
+         |ph AS (SELECT host, count(DISTINCT doc_id) AS hp FROM cs0 GROUP BY 1),
+         |ex AS (SELECT host, doc_id,
+         |         unnest(list_distinct(list_transform(cs, s -> s.vis))) AS block
+         |       FROM cs0),
+         |cn AS (SELECT host, block, count(DISTINCT doc_id) AS n_pages FROM ex GROUP BY 1, 2),
+         |tm AS (SELECT cn.host, block FROM cn JOIN ph ON ph.host = cn.host
+         |       WHERE n_pages >= 2 AND n_pages * 100 >= hp * 50),
+         |tl AS (SELECT host, list_sort(list(block)) AS tmpl FROM tm GROUP BY 1),
+         |mn AS (SELECT cs0.doc_id, cs0.host,
+         |         coalesce(array_to_string(list_transform(
+         |           list_filter(cs, s -> s.k AND NOT list_contains(tl.tmpl, s.vis)),
+         |           s -> s.vis), chr(10)), '') AS text
+         |       FROM cs0 JOIN tl ON tl.host = cs0.host),
+         |sc AS (SELECT doc_id, host, text, ${TextQueries.qualitySql} AS q FROM mn),
+         |p1 AS (SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+         |         CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+         |       FROM sc GROUP BY 1),
+         |p2 AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(length(text)) AS BIGINT) AS corpus_chars
+         |       FROM (SELECT DISTINCT host, text FROM sc WHERE q >= 0.5) GROUP BY 1)
+         |SELECT p1.host, n_pages, n_admitted,
+         |  coalesce(n_docs, 0) AS n_docs, coalesce(corpus_chars, 0) AS corpus_chars
+         |FROM p1 LEFT JOIN p2 ON p2.host = p1.host ORDER BY 1""".stripMargin)),
     // tracking-param canonicalization: the pinned split/drop/sort
     // grammar replayed with list ops
     QueryDef("q_url_canonical", qUrlCanonical, Some(
