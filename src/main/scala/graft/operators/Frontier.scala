@@ -34,6 +34,32 @@ import org.apache.spark.sql.functions._
   * same bounded cost every census-consumer here accepts. */
 object Frontier {
 
+  /** Crawl-trap census — the frontier-hygiene detector for URL-space
+    * explosions (calendar pages, session ids in query strings,
+    * faceted-search grids): a single (host, path) that fans out into
+    * unboundedly many distinct URLs is a trap the crawler must cap or
+    * skip, because every fetch discovers more of the same page.
+    * PINNED rule: group the frontier by (host, path — query
+    * excluded), count DISTINCT full URLs, flag groups whose count
+    * exceeds `cap`. Path-EMBEDDED ids (e.g. `;sid=` path params) are
+    * out of scope by construction — they need a path-prefix
+    * generalization census, a different operator.
+    *
+    * Scale shape: one groupBy bounded by the distinct (host, path)
+    * set with an exact in-group distinct count — exact because this
+    * census IS the detector (an approximate count that under-reports
+    * right at the cap silently admits the trap); the frontier is
+    * already URL-deduped upstream, so the count is a row count per
+    * group in the common case. */
+  def trapCensus(urls: DataFrame, urlCol: Column, cap: Long): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    urls.select(UrlParse.host(urlCol).as("host"),
+        UrlParse.path(urlCol).as("path"), urlCol.as("__u"))
+      .groupBy("host", "path")
+      .agg(countDistinct(col("__u")).as("n_urls"))
+      .filter(col("n_urls") > cap)
+  }
+
   /** @param hosts  one row per host: `host` (string), `rank` (the
     *               1e-12-floored double the PR pipeline emits) and
     *               `cap` (per-host ceiling: min(frontier demand,

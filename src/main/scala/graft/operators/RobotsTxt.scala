@@ -87,6 +87,26 @@ object RobotsTxt {
         col("pattern"), patternRx(col("pattern")).as("rx"))
   }
 
+  /** Sitemap discovery (RFC 9309 §2.3 plus the sitemaps.org
+    * extension every crawler honors): `Sitemap:` lines are
+    * GROUP-INDEPENDENT — they apply regardless of user-agent and may
+    * appear anywhere in the file, including before any group — so
+    * they parse on their own pass, not through [[rules]]' grouping.
+    * Same line grammar (comment strip, case-insensitive field name,
+    * trimmed value); empty values drop; `seq` is the line ordinal
+    * (a file can list many sitemaps, order preserved). These URLs
+    * seed the frontier ALONGSIDE extracted outlinks — the publisher's
+    * own index of what to crawl. Map-only. */
+  def sitemaps(df: DataFrame, host: Column, body: Column): DataFrame =
+    df.select(host.cast("string").as("host"),
+        posexplode(split(coalesce(body, lit("")), "\n")).as(Seq("seq", "raw")))
+      .select(col("host"), col("seq"),
+        trim(regexp_replace(col("raw"), "#.*", "")).as("ln"))
+      .filter(lower(regexp_extract(col("ln"), "^([A-Za-z-]+)\\s*:", 1)) === "sitemap")
+      .select(col("host"), col("seq"),
+        trim(regexp_extract(col("ln"), "^[A-Za-z-]+\\s*:\\s*(.*)$", 1)).as("sitemap"))
+      .filter(length(col("sitemap")) > 0)
+
   /** Decide every URL in `urls` for `agent` against a [[rules]] table:
     * returns the input plus `allowed`. The rules table broadcasts (it
     * is host-census-sized); each URL matches only its own host's

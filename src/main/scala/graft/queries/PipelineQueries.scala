@@ -1100,6 +1100,54 @@ object PipelineQueries {
       .orderBy("host")
   }
 
+  /** Sitemap discovery gate ([[graft.operators.RobotsTxt.sitemaps]]
+    * — `Sitemap:` lines are GROUP-INDEPENDENT per RFC 9309 §2.3, so
+    * they parse on their own pass and seed the frontier alongside
+    * extracted outlinks): gate-local bodies exercise case-variant
+    * field names, a trailing comment on the value line, an
+    * empty-value drop, and placement both before and after a
+    * user-agent group. */
+  def qRobotsSitemaps(s: SparkSession, dir: String): DataFrame = {
+    val bodies = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("source")).distinct()
+      .select(concat(col("source"), lit(".example")).as("host"),
+        concat_ws("\n",
+          concat(lit("# crawl config for "), col("source")),
+          concat(lit("Sitemap: http://"), col("source"), lit(".example/sitemap.xml")),
+          lit("User-agent: *"),
+          lit("Disallow: /tmp/"),
+          concat(lit("SITEMAP: http://"), col("source"), lit(".example/news-"),
+            (length(col("source")) % 3).cast("string"), lit(".xml # daily")),
+          lit("Sitemap:"),
+          lit("sitemap: http://cdn.example/shared.xml")).as("body"))
+    graft.operators.RobotsTxt.sitemaps(bodies, col("host"), col("body"))
+      .select(col("host"), col("seq").cast("long").as("seq"), col("sitemap"))
+      .orderBy("host", "seq")
+  }
+
+  /** Crawl-trap census gate ([[graft.operators.Frontier.trapCensus]]
+    * — frontier hygiene: a (host, path) fanning out into unboundedly
+    * many distinct URLs is a trap to cap or skip): every host carries
+    * a calendar trap (`/cal?d=…` distinct per page), five legitimate
+    * static paths (each ONE url — under any cap), and hosts whose
+    * name ends in `3` a session-id trap (`/q?sid=…`). Cap 10: the
+    * two trap families flag at every SF, the static paths never. */
+  def qCrawlTraps(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    val urls = d.select(col("source"), col("doc_id"),
+        explode(array(
+          concat(lit("http://"), col("source"), lit(".example/cal?d=2026-"),
+            col("doc_id").cast("string")),
+          concat(lit("http://"), col("source"), lit(".example/p/"),
+            (col("doc_id") % 5).cast("string"), lit(".html")),
+          when(col("source").rlike("3$"),
+            concat(lit("http://"), col("source"), lit(".example/q?sid="),
+              col("doc_id").cast("string"))))).as("u"))
+      .filter(col("u").isNotNull)
+    graft.operators.Frontier.trapCensus(urls, col("u"), cap = 10L)
+      .orderBy("host", "path")
+  }
+
   /** Tracking-parameter canonicalization census
     * ([[graft.operators.UrlParse.canonicalQuery]] — the SEMANTIC
     * layer above syntactic normalization: two fetches of one page
@@ -1957,6 +2005,42 @@ object PipelineQueries {
          |SELECT p1.host, n_pages, n_admitted,
          |  coalesce(n_docs, 0) AS n_docs, coalesce(corpus_chars, 0) AS corpus_chars
          |FROM p1 LEFT JOIN p2 ON p2.host = p1.host ORDER BY 1""".stripMargin)),
+    // sitemap discovery: the group-independent line pass replayed
+    QueryDef("q_robots_sitemaps", qRobotsSitemaps, Some(
+      """WITH rb AS (SELECT source || '.example' AS host,
+        |         '# crawl config for ' || source || chr(10) ||
+        |         'Sitemap: http://' || source || '.example/sitemap.xml' || chr(10) ||
+        |         'User-agent: *' || chr(10) ||
+        |         'Disallow: /tmp/' || chr(10) ||
+        |         'SITEMAP: http://' || source || '.example/news-' ||
+        |           CAST(length(source) % 3 AS VARCHAR) || '.xml # daily' || chr(10) ||
+        |         'Sitemap:' || chr(10) ||
+        |         'sitemap: http://cdn.example/shared.xml' AS body
+        |       FROM (SELECT DISTINCT source FROM documents)),
+        |ln AS (SELECT host, generate_subscripts(string_split(body, chr(10)), 1) - 1 AS seq,
+        |         trim(regexp_replace(unnest(string_split(body, chr(10))), '#.*', '')) AS ln
+        |       FROM rb),
+        |sm AS (SELECT host, seq,
+        |         trim(regexp_extract(ln, '^[A-Za-z-]+\s*:\s*(.*)$', 1)) AS sitemap
+        |       FROM ln
+        |       WHERE lower(regexp_extract(ln, '^([A-Za-z-]+)\s*:', 1)) = 'sitemap')
+        |SELECT host, CAST(seq AS BIGINT) AS seq, sitemap
+        |FROM sm WHERE length(sitemap) > 0 ORDER BY host, seq""".stripMargin)),
+    // crawl traps: the (host, path)-grouped distinct-URL census
+    QueryDef("q_crawl_traps", qCrawlTraps, Some(
+      s"""WITH u0 AS (
+         |  SELECT source, 'http://' || source || '.example/cal?d=2026-' || CAST(doc_id AS VARCHAR) AS u FROM documents
+         |  UNION ALL
+         |  SELECT source, 'http://' || source || '.example/p/' || CAST(doc_id % 5 AS VARCHAR) || '.html' FROM documents
+         |  UNION ALL
+         |  SELECT source, 'http://' || source || '.example/q?sid=' || CAST(doc_id AS VARCHAR) FROM documents
+         |  WHERE source LIKE '%3'),
+         |g AS (SELECT ${uHostSql("u")} AS host,
+         |        CASE WHEN length(${uPathSql("u")}) = 0 THEN '' ELSE ${uPathSql("u")} END AS path,
+         |        count(DISTINCT u) AS n_urls
+         |      FROM u0 GROUP BY 1, 2)
+         |SELECT host, path, CAST(n_urls AS BIGINT) AS n_urls
+         |FROM g WHERE n_urls > 10 ORDER BY host, path""".stripMargin)),
     // tracking-param canonicalization: the pinned split/drop/sort
     // grammar replayed with list ops
     QueryDef("q_url_canonical", qUrlCanonical, Some(

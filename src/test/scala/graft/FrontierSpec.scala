@@ -64,6 +64,21 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(eq("a")._1 + eq("b")._1 == 3 && (eq("a")._1 - eq("b")._1).abs == 1)
   }
 
+  test("trapCensus: boundary-exact cap, duplicate URLs count once, query-only fan-out flags") {
+    import spark.implicits._
+    val urls = (
+      (1 to 3).map(i => s"http://h.example/cal?d=$i") ++  // 3 distinct > cap 2
+      Seq("http://h.example/cal?d=1") ++                   // dup counts once
+      (1 to 2).map(i => s"http://h.example/edge?p=$i") ++  // exactly cap: NOT flagged
+      Seq("http://h.example/static.html", "http://other.example/cal?d=1")
+    ).toDF("u")
+    val got = Frontier.trapCensus(urls, col("u"), cap = 2L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("h.example", "/cal", 3L)), got.toString)
+    intercept[IllegalArgumentException](
+      Frontier.trapCensus(urls, col("u"), cap = 0L))
+  }
+
   test("guards: negative budget, negative cap, zero total mass with positive budget all fail loudly") {
     intercept[IllegalArgumentException](Frontier.apportion(
       hosts(Seq(("a", 1.0, 1L))), -1))

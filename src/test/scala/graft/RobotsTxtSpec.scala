@@ -107,4 +107,25 @@ class RobotsTxtSpec extends AnyFunSuite with BeforeAndAfterAll {
       "http://h.example/d/x", "http://h.example/d/x",
       "http://h.example/ok")) == Seq(false, false, true))
   }
+
+  test("sitemaps parse group-independently; hostile lines drop; rules pass is unaffected") {
+    import spark.implicits._
+    val body = "Sitemap: http://h.example/a.xml\n" + // before any group
+      "User-agent: *\nDisallow: /x/\n" +
+      "SITEMAP: http://h.example/b.xml # daily\n" + // case + comment
+      "Sitemap:\n" +            // empty value drops
+      "Sitemapx: http://no\n" + // wrong field name
+      "no colon here\n" +
+      "sitemap: http://h.example/c.xml"
+    val got = RobotsTxt.sitemaps(
+        Seq(("h.example", body)).toDF("host", "body"), col("host"), col("body"))
+      .orderBy("seq").collect()
+      .map(r => (r.getInt(1), r.getString(2))).toSeq
+    assert(got == Seq((0, "http://h.example/a.xml"),
+      (3, "http://h.example/b.xml"), (7, "http://h.example/c.xml")), got)
+    // the rules pass still sees only its own fields (sitemap lines
+    // don't open or pollute groups)
+    assert(decide(body, "any", Seq("http://h.example/x/1", "http://h.example/ok")) ==
+      Seq(false, true))
+  }
 }
