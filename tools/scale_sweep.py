@@ -87,6 +87,9 @@ EMB_QUERIES = {
     "q_vectordb_sq_split", "q_vectordb_local_pq",
     # round 17: the reshare lifecycle serves from embeddings
     "q_vectordb_reshared",
+    # round 17 second tranche: router-staleness drift assigns the
+    # embeddings corpus twice
+    "q_router_drift",
 }
 
 # Measured, diagnosed, FORMALLY CLOSED fixture artifacts: each entry
