@@ -74,28 +74,13 @@ object LangId {
     val sg = score
       .repartition(spark.sparkContext.defaultParallelism, scoreId)
       .select(scoreId.as("doc_id"), explode(grams(scoreText, n)).as("tok"))
-    val ltok = sg
-      .crossJoin(broadcast(cand))
-      // the model census is (langs x grams)-sized by construction, but
-      // localCheckpoint hides that from the planner (LogicalRDD, no
-      // stats) — without the explicit broadcast the 2M-row scoring
-      // fan-out sort-merge-joins against it (measured 15.3 s at sf0.1)
-      .join(broadcast(cg.select(col("g").as("cand"), col("tok"), col("c"))),
-        Seq("cand", "tok"), "left")
-      .select(col("doc_id"), col("cand"),
-        log((coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) / col("den"))
-          .cast("decimal(18,6)").as("lp"))
-      .groupBy(col("doc_id"), col("cand"))
-      .agg(sum(col("lp")).as("ltok"))
-    val scored = score.select(scoreId.as("doc_id"))
-      .crossJoin(broadcast(cand.select(col("cand"), col("lprior"))))
-      .join(ltok, Seq("doc_id", "cand"), "left")
-      .select(col("doc_id"), col("cand"),
-        (col("lprior") + coalesce(col("ltok"), lit(0).cast("decimal(28,6)")))
-          .as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand").asc)
-    scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
-      .select(col("doc_id"), col("cand").as("lang"), col("score"))
+    // WIDE scoring (NaiveBayes.scoreWide — the shared pass): one
+    // broadcast probe per gram against the gram-pivoted model, one
+    // partial-aggregating groupBy(doc), map-side argmax — no ×|langs|
+    // row fan-out and no window, with per-gram DECIMAL(18,6) casts
+    // preserved so scores are the exact same decimals
+    NaiveBayes.scoreWide(cand, cg,
+      score.select(scoreId.as("doc_id")), sg)
+      .select(col("doc_id"), col("predicted").as("lang"), col("score"))
   }
 }

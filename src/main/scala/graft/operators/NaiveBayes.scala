@@ -31,13 +31,18 @@ object NaiveBayes {
     * vocabulary size, per-group totals, and priors all DERIVE from
     * it; SCORING runs its own tokenize pass (inherent, not waste —
     * in production the scored corpus is a different dataset than the
-    * training one). Scoring fans each document token out to |groups|
-    * candidate rows (the standard NB scoring shape — classes are a
-    * bounded census), via a broadcast of the O(groups) candidate
-    * list and one token-key LEFT join against the model (missing
-    * (group, token) pairs score the unseen-mass term, which is why
-    * the join must be left). One decimal sum per (doc, candidate),
-    * one argmax window over |groups| rows per doc, one census. */
+    * training one). Scoring is WIDE, not fanned-out: the model census
+    * pivots to one row per token carrying all |groups| counts (groups
+    * are a bounded census — the classic NB model matrix), broadcasts,
+    * and each document token left-joins it ONCE; the per-(doc, group)
+    * decimal sums run as |groups| parallel aggregates of one
+    * partial-aggregating groupBy(doc), and the argmax folds map-side
+    * over the |groups| score columns (ties → smaller group name).
+    * The previous shape fanned every token ×|groups| through the
+    * join AND a row_number window — |groups|× the shuffled rows plus
+    * a corpus-sized sort, for the same exact decimal scores
+    * (addition order is irrelevant: every addend is an exact
+    * DECIMAL(18,6)). */
   def confusion(docs: DataFrame, id: Column, group: Column, textCol: Column)
       : DataFrame = {
     // spread the corpus before the heavy map chain (tokenize → ×|groups|
@@ -65,32 +70,77 @@ object NaiveBayes {
         (col("n_g") + lit(vocab)).cast("double").as("den"),
         log(col("d_g").cast("double") / lit(nDocs.toDouble))
           .cast("decimal(18,6)").as("lprior"))
-    // per-(doc, candidate) token log-likelihood; a document whose text
-    // tokenizes to zero tokens (NULL text) has no rows here
-    val ltok = tok
-      .crossJoin(broadcast(cand))
-      .join(cg.select(col("g").as("cand"), col("tok"), col("c")),
-        Seq("cand", "tok"), "left")
-      .select(col("doc_id"), col("cand"),
-        log((coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) / col("den"))
-          .cast("decimal(18,6)").as("lp"))
-      .groupBy(col("doc_id"), col("cand"))
-      .agg(sum(col("lp")).as("ltok"))
-    // score from a doc x candidate base so token-less documents are
-    // scored on priors alone (ltok = 0) instead of silently vanishing
-    // from the confusion census — every doc contributes exactly one
-    // predicted row and per-group row sums equal the group's doc count
-    val scored = docs
-      .select(id.as("doc_id"), group.cast("string").as("g"))
-      .crossJoin(broadcast(cand.select(col("cand"), col("lprior"))))
-      .join(ltok, Seq("doc_id", "cand"), "left")
-      .select(col("doc_id"), col("g"), col("cand"),
-        (col("lprior") + coalesce(col("ltok"), lit(0).cast("decimal(28,6)")))
-          .as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand").asc)
-    scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
-      .groupBy(col("g").as("group"), col("cand").as("predicted"))
+    scoreWide(cand,
+      cg.select(col("g"), col("tok"), col("c")),
+      docs.select(id.as("doc_id"), group.cast("string").as("g")),
+      tok.select(col("doc_id"), col("tok")))
+      .groupBy(col("g").as("group"), col("predicted"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** The shared WIDE scoring pass (used by [[confusion]] and
+    * [[LangId.classify]]): given the per-group candidate table
+    * `(cand, den, lprior)`, the model census `(g, tok, c)`, the doc
+    * spine `(doc_id, g?)` (one row per scored doc; any extra columns
+    * ride through), and the scored token/gram table `(doc_id, tok)`,
+    * returns the spine plus `predicted` (argmax group, ties → smaller
+    * name) and `score` (the winning decimal).
+    *
+    * One broadcast join of the token table against the token-pivoted
+    * model, one partial-aggregating groupBy(doc_id), a map-side
+    * argmax — no per-group row fan-out, no window. Token-less docs
+    * score on priors alone via the left spine join. Per-token
+    * log-probs cast to DECIMAL(18,6) before the sums, so scores are
+    * exact whatever the plan shape. */
+  private[graft] def scoreWide(cand: DataFrame, model: DataFrame,
+      spine: DataFrame, toks: DataFrame): DataFrame = {
+    // ONE collect of the group census (bounded by contract). The
+    // literal round-trip is LOSSLESS: a collected Double re-enters the
+    // plan with identical IEEE bits, the DECIMAL(18,6) log-prior with
+    // identical unscaled value and scale — so every downstream double
+    // division / ln / decimal addition sees exactly the in-plan values
+    val cands = cand.select(col("cand"), col("den"), col("lprior"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDecimal(2)))
+      .sortBy(_._1).toSeq
+    require(cands.nonEmpty, "NB scoring needs at least one group")
+    val names = cands.map(_._1)
+    def cn(i: Int) = s"__c$i"
+    def sn(i: Int) = s"__s$i"
+    // token-pivoted model: one row per token, all group counts wide
+    // ((groups × vocab)-sized — the model matrix — so it broadcasts)
+    val pivAggs = names.zipWithIndex.map { case (g, i) =>
+      sum(when(col("g") === g, col("c"))).as(cn(i))
+    }
+    val piv = model.groupBy(col("tok")).agg(pivAggs.head, pivAggs.tail: _*)
+    // one probe per token; lp_i = ln((c_i + 1)/den_i) as DECIMAL(18,6)
+    // — identical per-token values to the fanned-out shape
+    val sumAggs = cands.zipWithIndex.map { case ((_, den, _), i) =>
+      sum(log((coalesce(col(cn(i)), lit(0L)).cast("double") + lit(1.0)) /
+        lit(den)).cast("decimal(18,6)")).as(sn(i))
+    }
+    val sums = toks
+      .join(broadcast(piv), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sumAggs.head, sumAggs.tail: _*)
+    val scoreCols = cands.zipWithIndex.map { case ((_, _, lprior), i) =>
+      (lit(lprior).cast("decimal(18,6)") +
+        coalesce(col(sn(i)), lit(0).cast("decimal(28,6)"))).as(s"__sc$i")
+    }
+    val wide = spine
+      .join(sums, Seq("doc_id"), "left")
+      .select(spine.columns.map(col).toSeq ++ scoreCols: _*)
+    // map-side argmax: greatest() over the score columns, first
+    // (smallest-name) group at the max — exactly the window's
+    // (score DESC, cand ASC) row_number = 1
+    val mx =
+      if (names.size == 1) col("__sc0")
+      else greatest(names.indices.map(i => col(s"__sc$i")): _*)
+    val pred = names.indices.tail.foldLeft(
+      when(col("__sc0") === mx, names.head)) { (acc, i) =>
+      acc.when(col(s"__sc$i") === mx, names(i))
+    }
+    wide.select(spine.columns.map(col).toSeq ++
+      Seq(pred.as("predicted"), mx.as("score")): _*)
   }
 }
