@@ -110,7 +110,13 @@ object RobotsTxt {
   /** Decide every URL in `urls` for `agent` against a [[rules]] table:
     * returns the input plus `allowed`. The rules table broadcasts (it
     * is host-census-sized); each URL matches only its own host's
-    * applicable group. */
+    * applicable group — packed as ONE array per host, so the decision
+    * is MAP-ONLY: one broadcast equi-join probe per URL and a
+    * higher-order fold over that host's handful of rules (longest
+    * matching pattern wins, allow winning length ties; no matching
+    * rule → allowed). The previous shape exploded URL × matching-group
+    * rules into rows and ranked them with a row_number window — a
+    * full-frontier shuffle and sort for a per-row decision. */
   def evaluate(urls: DataFrame, urlCol: Column, agent: String,
       rulesDf: DataFrame): DataFrame = {
     val a = agent.toLowerCase
@@ -124,37 +130,39 @@ object RobotsTxt {
         (col("has_own") === 0 && col("agent") === "*"))
       .select(col("host").as("__rhost"), col("seq"), col("allow"),
         col("pattern"), col("rx"))
-    val withParts = urls
-      // per-ROW key so duplicate URLs each get their own decision (the
-      // id is window-internal, never output, so run-to-run id drift
-      // cannot surface)
-      .withColumn("__uid", monotonically_increasing_id())
-      .withColumn("__host", UrlParse.host(urlCol))
-      .withColumn("__path",
-        when(length(UrlParse.path(urlCol)) === 0, lit("/"))
-          .otherwise(UrlParse.path(urlCol)))
+    // one row per host: its applicable rules as (len, allow, rx)
+    // structs — rule-census-sized, the broadcast side
+    val perHost = applicable
+      .groupBy(col("__rhost"))
+      .agg(collect_list(struct(length(col("pattern")).as("len"),
+        col("allow").as("allow"), col("rx").as("rx"))).as("__rules"))
     // EQUI-join on host (a regex predicate in the join condition
     // degenerates a broadcast join to nested-loop — every URL against
-    // every rule; measured 17.8 s on the sf0.1 frontier): each URL
-    // meets only ITS host's handful of rules, and the regex runs as a
-    // cheap post-join match flag
-    val matched = withParts
-      .join(broadcast(applicable), col("__host") === col("__rhost"), "left")
-      .withColumn("__m",
-        col("__rhost").isNotNull && regexp_like(col("__path"), col("rx")))
-    // among MATCHING rules: longest pattern wins; allow wins length
-    // ties; seq is the final deterministic tiebreak. Non-matching and
-    // rule-less rows sort last, so rn=1 with __m false means no rule
-    // matched -> allowed
-    val wu = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__uid"))
-      .orderBy(col("__m").desc,
-        length(col("pattern")).desc, col("allow").desc, col("seq").asc)
-    matched
-      .withColumn("__rn", row_number().over(wu))
-      .filter(col("__rn") === 1)
-      .withColumn("allowed", when(col("__m"), col("allow")).otherwise(lit(true)))
-      .drop("__rhost", "seq", "allow", "pattern", "rx", "__rn",
-        "__uid", "__host", "__path", "__m")
+    // every rule; measured 17.8 s on the sf0.1 frontier). The path is
+    // LET-bound (single-element transform) so the UrlParse extract
+    // chain evaluates once per URL, not once per rule (the
+    // UrlParse.let lesson); the fold carries (best len so far, allow
+    // at that len): a longer match replaces it, an equal-length match
+    // ORs allow in — exactly the window's (len DESC, allow DESC) head.
+    val decide = element_at(transform(array(
+      when(length(UrlParse.path(urlCol)) === 0, lit("/"))
+        .otherwise(UrlParse.path(urlCol))), p =>
+      aggregate(
+        filter(col("__rules"), r => regexp_like(p, r("rx"))),
+        struct(lit(-1).as("len"), lit(true).as("allow")),
+        (acc, r) =>
+          when(r("len") > acc("len"),
+            struct(r("len").as("len"), r("allow").as("allow")))
+            .when(r("len") === acc("len"),
+              struct(acc("len").as("len"),
+                (acc("allow") || r("allow")).as("allow")))
+            .otherwise(acc),
+        acc => acc("allow"))), 1)
+    urls
+      .join(broadcast(perHost),
+        UrlParse.host(urlCol) === col("__rhost"), "left")
+      .withColumn("allowed",
+        when(col("__rhost").isNull, lit(true)).otherwise(decide))
+      .drop("__rhost", "__rules")
   }
 }
