@@ -27,11 +27,12 @@ object NaiveBayes {
     * (the [[NgramLm.bigramLogProb]] convention). Each ln's INPUT is a
     * ratio of exact integers, identical in both engines.
     *
-    * Scale shape: one tokenize pass feeds the MODEL census, and the
-    * vocabulary size, per-group totals, and priors all DERIVE from
-    * it; SCORING runs its own tokenize pass (inherent, not waste —
-    * in production the scored corpus is a different dataset than the
-    * training one). Scoring is WIDE, not fanned-out: the model census
+    * Scale shape: ONE tokenize pass feeds a per-(doc, tok) census that
+    * both the model table and the scoring pass derive from
+    * (resubstitution scores the training corpus, so re-tokenizing it
+    * for scoring was pure recompute); the vocabulary size, per-group
+    * totals, and priors all derive from the same census in-plan.
+    * Scoring is WIDE, not fanned-out: the model census
     * pivots to one row per token carrying all |groups| counts (groups
     * are a bounded census — the classic NB model matrix), broadcasts,
     * and each document token left-joins it ONCE; the per-(doc, group)
@@ -52,28 +53,42 @@ object NaiveBayes {
     // AQE's byte-based coalescing folds this sub-MB shuffle back into
     // one partition — the cost here is per-row compute downstream, not
     // input bytes, exactly what the advisory-size heuristic can't see.
-    val tok = docs
+    // ONE tokenize pass for the whole gate: the per-(doc, tok) census
+    // checkpoints (resubstitution scoring reads the SAME corpus the
+    // model trains on), and both the model table and the scoring pass
+    // derive from it — the previous shape re-read and re-exploded the
+    // corpus a second time for scoring (466 ms of the gate's 2.3 s at
+    // sf0.1). Scoring with multiplicity c is exact: each occurrence
+    // added the same DECIMAL(18,6) lp, so c × lp is the identical sum
+    val td = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, id)
       .select(id.as("doc_id"), group.cast("string").as("g"),
         explode(tokens(textCol)).as("tok"))
-    val cg = tok.groupBy("g", "tok").agg(count(lit(1)).as("c"))
-      .localCheckpoint() // model table: vocabulary/totals derive from it
-    val vocab = cg.select(col("tok")).distinct().count()
+      .groupBy("doc_id", "g", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val cg = td.groupBy("g", "tok").agg(sum(col("c")).as("c"))
     val ng = cg.groupBy("g").agg(sum(col("c")).as("n_g"))
     val prior = docs.select(group.cast("string").as("g")).groupBy("g")
       .agg(count(lit(1)).as("d_g"))
-    val nDocs = docs.count()
     // candidate table: one row per group carrying its smoothing
-    // denominator and decimal log-prior — O(groups), broadcast
+    // denominator and decimal log-prior — O(groups). Vocabulary size
+    // and the doc total ride IN-PLAN as 1-row cross-joined aggregates
+    // (nDocs = Σ d_g: every doc lands in exactly one prior group), so
+    // the ONE scoreWide collect computes everything — the previous
+    // shape spent two extra driver actions (distinct().count() and
+    // docs.count()) plus their planning per call. Same longs, same
+    // double division, same decimal cast — identical scores
     val cand = ng.join(prior, "g")
+      .crossJoin(cg.agg(count_distinct(col("tok")).as("__v")))
+      .crossJoin(prior.agg(sum(col("d_g")).as("__nd")))
       .select(col("g").as("cand"),
-        (col("n_g") + lit(vocab)).cast("double").as("den"),
-        log(col("d_g").cast("double") / lit(nDocs.toDouble))
+        (col("n_g") + col("__v")).cast("double").as("den"),
+        log(col("d_g").cast("double") / col("__nd").cast("double"))
           .cast("decimal(18,6)").as("lprior"))
     scoreWide(cand,
       cg.select(col("g"), col("tok"), col("c")),
       docs.select(id.as("doc_id"), group.cast("string").as("g")),
-      tok.select(col("doc_id"), col("tok")))
+      td.select(col("doc_id"), col("tok"), col("c")), weighted = true)
       .groupBy(col("g").as("group"), col("predicted"))
       .agg(count(lit(1)).as("n"))
   }
@@ -93,7 +108,7 @@ object NaiveBayes {
     * log-probs cast to DECIMAL(18,6) before the sums, so scores are
     * exact whatever the plan shape. */
   private[graft] def scoreWide(cand: DataFrame, model: DataFrame,
-      spine: DataFrame, toks: DataFrame): DataFrame = {
+      spine: DataFrame, toks: DataFrame, weighted: Boolean = false): DataFrame = {
     // ONE collect of the group census (bounded by contract). The
     // literal round-trip is LOSSLESS: a collected Double re-enters the
     // plan with identical IEEE bits, the DECIMAL(18,6) log-prior with
@@ -116,8 +131,13 @@ object NaiveBayes {
     // one probe per token; lp_i = ln((c_i + 1)/den_i) as DECIMAL(18,6)
     // — identical per-token values to the fanned-out shape
     val sumAggs = cands.zipWithIndex.map { case ((_, den, _), i) =>
-      sum(log((coalesce(col(cn(i)), lit(0L)).cast("double") + lit(1.0)) /
-        lit(den)).cast("decimal(18,6)")).as(sn(i))
+      val lp = log((coalesce(col(cn(i)), lit(0L)).cast("double") + lit(1.0)) /
+        lit(den)).cast("decimal(18,6)")
+      // weighted: `toks` carries a per-(doc, tok) multiplicity `c`
+      // (one tokenize pass upstream) — c × lp is exactly the sum of c
+      // identical DECIMAL(18,6) addends, so scores are bit-identical
+      // to the per-occurrence shape
+      sum(if (weighted) lp * col("c") else lp).as(sn(i))
     }
     val sums = toks
       .join(broadcast(piv), Seq("tok"), "left")
