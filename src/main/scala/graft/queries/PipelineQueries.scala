@@ -1291,6 +1291,12 @@ object PipelineQueries {
       tmp, shards = 8)
     val pages = graft.sources.WarcCorpusSource
       .readResponses(s, tmp, skipNonResponse = true)
+      // spread the block census off the `shards`-way read tasks: the
+      // reader yields one task per shard file (a gzip stream is
+      // sequential), but the regex-heavy census is per-page compute —
+      // shuffling the raw text (MBs) buys a full-core census pass
+      // (guide §2.5: repartition immediately after a skewed read)
+      .repartition(s.sparkContext.defaultParallelism, col("record_uri"))
       .select(col("record_uri").as("pid"),
         concat(split(col("record_uri"), "/").getItem(0), lit(".example")).as("host"),
         graft.operators.HtmlExtract.blockCensus(col("text")).as("cs"))
