@@ -796,7 +796,11 @@ object PipelineQueries {
     * group (longest-match allow carve-outs and the wildcard+anchor
     * rule must fire), and hosts with no robots at all stay allowed. */
   def qFrontierPolite(s: SparkSession, dir: String): DataFrame = {
+    // spread the docs before the regex-heavy extract+resolve chain: a
+    // single input file otherwise runs the whole frontier build on one
+    // task (measured 2.6 s of the gate's 3.5 s at sf0.1)
     val d = s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     // the extract+resolve pass runs ONCE for both agents (frontier is
     // edge-count-sized; localCheckpoint — build-once-read-twice, no
     // partitioning requirement, ContextCleaner reclaims)
@@ -845,7 +849,10 @@ object PipelineQueries {
     * one frontier row per target host with its edge count and the
     * count of distinct source pages, the politeness/quota shape. */
   def qCrawlFrontier(s: SparkSession, dir: String): DataFrame = {
+    // spread before the extract+resolve chain (the qFrontierPolite
+    // single-input-task lesson)
     val d = s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     d.select(col("doc_id"),
         frontierBase(col("doc_id"), col("source")).as("base"),
         explode(graft.operators.HtmlExtract.extractLinks(
