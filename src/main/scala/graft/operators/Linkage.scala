@@ -50,6 +50,20 @@ object Linkage {
       // passes everything; A/B'd in BASELINE.md, kept because it is
       // semantically free and the production case is variable-length)
       .filter(abs(length(col("repr_a")) - length(col("repr_b"))) <= maxDist)
+      // spread the surviving CANDIDATES before the DP and MATERIALIZE
+      // the spread: the join keys are block-census-sized (a handful of
+      // distinct values), so the join stage runs on few tasks while
+      // the banded DP is the whole verify cost (measured 1.9 s of
+      // q_fuzzy_pairs' 2.2 s at sf0.1 on one task). A bare repartition
+      // is not enough — Catalyst pushes the dist filter back through
+      // the exchange, re-running the DP inside the join stage (A/B'd:
+      // post-repartition shuffle read was 2.3 kB, the ~100 survivors,
+      // not the candidate set) — so the checkpoint is the barrier that
+      // pins DP-after-spread. Candidates are narrow (bounded reprs +
+      // ids) and id_a spreads fine-grained
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"), col("id_b"))
+      .localCheckpoint()
       // thresholded Levenshtein: the banded O(len·maxDist) DP instead
       // of the full O(len²) table; returns −1 past the threshold, so
       // kept pairs carry the EXACT distance and the filter is unchanged

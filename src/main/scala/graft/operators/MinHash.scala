@@ -303,8 +303,17 @@ object MinHash {
       n: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val bBase = shingled(batch, n, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
-    val cBase = shingled(corpus, n, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    // spread both corpora before the shingle+hash pass: the persists
+    // materialize the whole per-row map cost up front, and a single
+    // input file otherwise runs each on one task (2×1.3 s at sf0.1 —
+    // the two biggest jobs of the gate). Only THIS arm spreads: the
+    // self-join family's smaller passes measured faster unspread (the
+    // A/B is in OPTIMIZATION_r17.md)
+    val par = batch.sparkSession.sparkContext.defaultParallelism
+    val bBase = shingled(batch.repartition(par, col(idCol)), n, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cBase = shingled(corpus.repartition(par, col(idCol)), n, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       def sigOf(df: DataFrame) =
         df.select(col("id"), signature(col("hs")).as("sig"))

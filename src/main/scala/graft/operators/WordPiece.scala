@@ -108,7 +108,11 @@ object WordPiece {
     * corpus size (the model is a driver-side literal chain). */
   def encode(df: DataFrame, text: org.apache.spark.sql.Column,
       merges: Seq[Merge]): DataFrame =
-    df.select(explode(split(text, " ")).as("tok"))
+    // spread before the merge-chain map (the Bpe.encode single-input-
+    // task lesson; measured 1.4 s of q_wordpiece_encode's 1.6 s at
+    // sf0.1 on one task)
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(explode(split(text, " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .select(toks(applyMerges(Bpe.spacedForm(col("tok")), merges)).as("pieces"))
       .select(explode(transform(col("pieces"),

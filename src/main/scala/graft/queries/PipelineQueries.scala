@@ -976,7 +976,9 @@ object PipelineQueries {
     * script-embedded anchors are absent. One explode + one groupBy;
     * shuffle bounded by the distinct (url, anchor) set. */
   def qAnchorText(s: SparkSession, dir: String): DataFrame = {
+    // spread before the anchor extract (the single-input-task lesson)
     val d = s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     d.select(col("doc_id"),
         concat(lit("http://"), col("source"), lit(".example/p/"),
           col("doc_id").cast("string"), lit(".html")).as("base"),
@@ -1028,7 +1030,9 @@ object PipelineQueries {
     * once per session; rank and budget gates pay only their rounds. */
   private def hostGraph(s: SparkSession, dir: String): graft.operators.Graph.PreparedWGraph =
     hostGraphMemo.get(s, dir) {
+      // spread before the link extract (the single-input-task lesson)
       val d = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val edges = d.select(
           regexp_extract(col("source"), "([0-9]+)", 1).cast("long").as("src"),
           concat(lit("http://"), col("source"), lit(".example/p/"),
@@ -1214,8 +1218,10 @@ object PipelineQueries {
     * a host where half the pages carry the same links list, it IS
     * chrome. */
   def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    // spread before the markup parse (the single-input-task lesson)
     val d = s.read.parquet(s"$dir/documents.parquet")
       .filter(col("text").isNotNull)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     val pages = d.select(col("doc_id"),
       concat(col("source"), lit(".example")).as("host"),
       graft.operators.HtmlExtract.visibleBlocks(
@@ -1234,8 +1240,11 @@ object PipelineQueries {
     * The page frame localCheckpoints once (census + strip both read
     * it — build-once-read-twice, no partitioning requirement). */
   def qBoilerplateClean(s: SparkSession, dir: String): DataFrame = {
+    // spread before the block census (measured 1.5 s of the gate's
+    // 1.8 s at sf0.1 on one task)
     val d = s.read.parquet(s"$dir/documents.parquet")
       .filter(col("text").isNotNull)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     val pages = d.select(col("doc_id"),
         concat(col("source"), lit(".example")).as("host"),
         graft.operators.HtmlExtract.blockCensus(

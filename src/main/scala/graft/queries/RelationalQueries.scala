@@ -709,7 +709,11 @@ object RelationalQueries {
   def qTextrank(s: SparkSession, dir: String): DataFrame = {
     def fp(c: org.apache.spark.sql.Column) =
       conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    // spread before the tokenize→pair pass (the single-input-task
+    // lesson: one parquet file otherwise runs the corpus scan's pair
+    // emission on one task — 0.36 s at sf0.1)
     val tk = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(split(col("text"), "\\s+").as("tk"))
     val pairs = tk
       .select(explode(filter(

@@ -913,7 +913,10 @@ object TextQueries {
     * threshold — est ≥ cnt (the CMS upper bound) is visible in the
     * gated rows. */
   def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    // spread before the tokenize: both CountMin passes (estimate +
+    // verify) otherwise run on one task each (2×0.7 s at sf0.1)
     val toks = docs(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(explode(split(col("text"), " ")).as("tok"))
     // relative threshold ceil(N/30) with N derived from the grid's
     // row-0 sum — no separate corpus-count job
