@@ -412,10 +412,19 @@ object Graph {
       .union(base.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
+    // explicit, non-coalescible exchanges around the wedge join: its
+    // INPUT bytes are sub-MB (AQE folds the shuffle to 1-2 tasks) but
+    // its OUTPUT is the deg² wedge explosion — the cost AQE's
+    // byte-based coalescing can't see (measured 0.77 s on 2 tasks of
+    // q_khop's 1.7 s at sf0.1). A user repartition with an explicit
+    // count satisfies the join's distribution and is never coalesced
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    val eBySrc = e.repartition(par, col("src"))
     var pairs = e
     for (_ <- 2 to k) {
       pairs = pairs.as("a")
-        .join(e.as("b"), col("a.dst") === col("b.src"))
+        .repartition(par, col("a.dst"))
+        .join(eBySrc.as("b"), col("a.dst") === col("b.src"))
         .select(col("a.src").as("src"), col("b.dst").as("dst"))
         .filter(col("src") =!= col("dst"))
         .union(pairs)
@@ -619,7 +628,11 @@ object Graph {
     val spark = edges.sparkSession
     // the loop-invariant distinct edge list, checkpointed UNPARTITIONED
     // (raw block write — cheaper to build than a columnar cache, and
-    // the broadcast-regime joins never need a partitioning anyway)
+    // the broadcast-regime joins never need a partitioning anyway).
+    // NOT spread: an explicit round-robin repartition before the
+    // checkpoint was A/B'd in round 17 (3.1 → 4.2 s median) — the
+    // one-time O(E) exchange costs more than the single-task
+    // broadcast-regime rounds it parallelizes
     val eBase = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))

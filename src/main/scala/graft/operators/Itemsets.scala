@@ -45,6 +45,10 @@ object Itemsets {
       .select("item")
     // model-sized by construction: broadcast the survivors so the
     // pass-2 prune is a map-side semi-join, not an O(E) shuffle
+    // NOT explicitly repartitioned: an explicit basket-keyed exchange
+    // before the self-join was A/B'd in round 17 (flat time, shuffle
+    // bytes 5 → 22 MB) — at this table's shape the exchange costs what
+    // the extra parallelism buys
     val fb = b.join(broadcast(freq), Seq("item"), "left_semi")
     fb.as("x")
       .join(fb.as("y"),
