@@ -187,7 +187,13 @@ object CurationQueries {
     * at 1e-4 BEFORE ranking, so both engines rank identical exact
     * values. */
   def qDomainCap(s: SparkSession, dir: String): DataFrame =
-    Curation.domainCap(docs(s, dir), cap = 3,
+    // spread before the per-doc quality score AND pin the spread with
+    // a checkpoint barrier — Catalyst collapses the score projection
+    // back below a bare exchange (the fuzzyPairs pushdown lesson), so
+    // without it the score still ran single-task
+    Curation.domainCap(
+        docs(s, dir).repartition(s.sparkContext.defaultParallelism,
+          col("doc_id")).localCheckpoint(), cap = 3,
         scoreCol = floor(graft.functions.TextFunctions.qualityScore(col("text")) * 10000.0) / 10000.0)
       .select(col("domain"), col("rnk"), col("doc_id"), col("score").as("quality"))
       .orderBy("domain", "rnk")
@@ -347,7 +353,12 @@ object CurationQueries {
     * both smoothed models, every per-(doc, bucket) decimal term, and
     * the floored selection flag. */
   def qDsirSelect(s: SparkSession, dir: String): DataFrame =
-    Curation.dsirScore(docs(s, dir), targetPred = col("lang") === "en")
+    // spread before the per-(doc, bucket) model scoring (the
+    // single-input-task lesson)
+    Curation.dsirScore(
+        docs(s, dir).repartition(s.sparkContext.defaultParallelism,
+          col("doc_id")),
+        targetPred = col("lang") === "en")
       .orderBy("doc_id")
 
   /** Embedding-level decontamination

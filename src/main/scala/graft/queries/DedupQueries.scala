@@ -420,7 +420,11 @@ object DedupQueries {
     * the md5-keyed corpus census, the keep rule, AND the empty-
     * separator reassembly. */
   def qDedupCdcSegments(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Dedup.cdcSegmentDedup(docs(s, dir))
+    // spread before the rolling-hash chunking (the single-input-task
+    // lesson: 2×0.3 s at sf0.1 on one task)
+    graft.operators.Dedup.cdcSegmentDedup(
+      docs(s, dir).repartition(s.sparkContext.defaultParallelism,
+        col("doc_id")))
       .select(col("doc_id"), col("n_segs"), col("n_dup"), col("n_kept"),
         md5(col("clean_text")).as("clean_hash"))
       .orderBy("doc_id")

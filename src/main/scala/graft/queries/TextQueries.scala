@@ -402,7 +402,11 @@ object TextQueries {
     * determinism conventions as the unigram gate (per-contribution
     * DECIMAL(18,6) cast, floor-scaled output). */
   def qBigramLogprob(s: SparkSession, dir: String): DataFrame =
-    graft.operators.NgramLm.bigramLogProb(docs(s, dir)).orderBy("doc_id")
+    // spread before the bigram census + scoring (the single-input-task
+    // lesson)
+    graft.operators.NgramLm.bigramLogProb(
+      docs(s, dir).repartition(s.sparkContext.defaultParallelism,
+        col("doc_id"))).orderBy("doc_id")
 
   /** Normalized-text dedup keys: lowercase/strip normalization then
     * group — catches case/punctuation-variant duplicates exact dedup
