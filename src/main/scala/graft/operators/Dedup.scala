@@ -41,13 +41,22 @@ object Dedup {
     while (changed > 0 && it < maxIters) {
       val nbrMin = edges.join(labels, edges("v") === labels("id"))
         .groupBy(edges("u").as("nid")).agg(min(col("comp")).as("nbr_comp"))
-      val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+      // the convergence census rides the SAME action that checkpoints
+      // the round's labels as an observed metric (the pageRank
+      // dangling-mass convention), so each round launches ONE job —
+      // the previous shape paid a second full scan + job floor per
+      // round just to count the changed rows
+      val obs = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"), col("comp"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp_next"))
-        // eager localCheckpoint truncates the lineage each round —
-        // without it the plan nests one full join tree per iteration
-        .localCheckpoint()
-      changed = updated.filter(col("comp_next") < col("comp")).count()
+        .observe(s"cc_round_$it",
+          coalesce(sum(when(col("comp_next") < col("comp"), 1L)
+            .otherwise(0L)), lit(0L)).as("chg"))
+      // eager localCheckpoint truncates the lineage each round —
+      // without it the plan nests one full join tree per iteration
+      val updated = obs.localCheckpoint()
+      changed = obs.queryExecution.observedMetrics(s"cc_round_$it")
+        .getAs[Long]("chg")
       labels = updated.select(col("id"), col("comp_next").as("comp"))
       it += 1
     }
