@@ -32,4 +32,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // pre-size the heap to the SAME cap (standard Spark driver practice):
+  // an adaptive G1 heap shrinks to the live set and then concurrent-
+  // marks constantly (A/B'd: 234 vs 138 mark cycles across one bench
+  // run), stealing cores from the 32 worker threads. The memory
+  // contract is unchanged — max stays 8g unless SPARK_DRIVER_MEM says
+  // otherwise.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+) ++
+  // dev-only GC diagnostics for the forked JVM (off unless set):
+  //   SPARK_GRAFT_GCLOG=/tmp/gc.log sbt "runMain graft.Bench"
+  sys.env.get("SPARK_GRAFT_GCLOG").map(p => s"-Xlog:gc*:file=$p").toSeq

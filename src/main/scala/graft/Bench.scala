@@ -12,6 +12,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Residency.sweep unpersists localCheckpoint'd per-query scratch by
+    // design; every such unpersist logs a "lineage has been truncated"
+    // WARN from the RDD class. Silence the rdd package here (ERROR
+    // still surfaces) so ~650 expected lines don't flood the capture.
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    catch { case scala.util.control.NonFatal(_) => () }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // dev loop only (the driver never sets it): SPARK_GRAFT_BENCH_ONLY
     // restricts the run to a comma-separated query subset for A/Bs.
@@ -54,11 +61,18 @@ object Bench {
       try org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
       catch { case scala.util.control.NonFatal(_) => () }
     // one untimed warmup pass: JVM/JIT + codegen compilation + parquet
-    // footer caching are session costs, not per-query engine cost
+    // footer caching are session costs, not per-query engine cost.
+    // Residency.sweep between queries drops each query's per-execution
+    // checkpoint/persist scratch (memo state is pinned and survives):
+    // without it ~650 query executions accumulate gigabytes of dead
+    // blocks and GC-thrash the default 8g heap (round-17 regression).
+    val warmT0 = System.nanoTime()
     sorted.foreach { case (_, fn) =>
       try fn(spark, sfDir).count()
       catch { case scala.util.control.NonFatal(_) => () }
+      Residency.sweep(spark)
     }
+    val warmupSec = (System.nanoTime() - warmT0) / 1e9
     val rowCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
     val shuffles = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
     val results = sorted.flatMap { case (name, fn) =>
@@ -70,6 +84,9 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         drain()
         shuffles(name) = (shufRead.get() - r0, shufWrite.get() - w0)
+        // outside the timed window: drop this query's per-execution
+        // checkpoint/persist scratch so it cannot tax later queries
+        Residency.sweep(spark)
         Some(name -> dt)
       } catch {
         // NonFatal only: a dying JVM (OOM, interrupt) must kill the
@@ -77,6 +94,7 @@ object Bench {
         // mis-attribute the next query's shuffle delta
         case scala.util.control.NonFatal(e) =>
           errors(name) = e.getClass.getSimpleName
+          Residency.sweep(spark)
           None
       }
     }
@@ -148,9 +166,15 @@ object Bench {
     val qs = picked.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString(",")
     val compact = head + qs + "}}"
+    // memo/residency accounting (round-17 verdict item 8): what the
+    // untimed warmup paid to build session memos, and the pinned
+    // footprint those memos hold for the rest of the run
+    val (pinMem, pinDisk, pinN) = Residency.pinnedFootprint(spark)
     val full =
       s"""{"metric":"total",$partialTag"value":$total,"unit":"sec","queries":$qsFull,"rows":$rows,""" +
-        s""""shuffle_read":$shufR,"shuffle_write":$shufW,"errors":$errs,"sf":"$sfDir"}"""
+        s""""shuffle_read":$shufR,"shuffle_write":$shufW,"errors":$errs,""" +
+        s""""warmup_sec":${fmt(warmupSec)},"memo_build_sec":${fmt(Residency.memoBuildSec)},""" +
+        s""""pinned_mem_bytes":$pinMem,"pinned_disk_bytes":$pinDisk,"pinned_rdds":$pinN,"sf":"$sfDir"}"""
     // persist the full line FIRST: stdout can be lost to log truncation
     // when the harness captures only a tail. Two copies: /tmp for the
     // scale sweep's dev loop, and BENCH_DETAIL.json in the repo root so

@@ -38,6 +38,10 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var it = 0
+    // the previous round's checkpoint frame, releasable once the next
+    // round has materialized (labels itself is a projection OVER it,
+    // so releasing must target the checkpointed frame, not labels)
+    var lastCk: DataFrame = null
     while (changed > 0 && it < maxIters) {
       val nbrMin = edges.join(labels, edges("v") === labels("id"))
         .groupBy(edges("u").as("nid")).agg(min(col("comp")).as("nbr_comp"))
@@ -57,6 +61,11 @@ object Dedup {
       val updated = obs.localCheckpoint()
       changed = obs.queryExecution.observedMetrics(s"cc_round_$it")
         .getAs[Long]("chg")
+      // the superseded round's checkpoint blocks are dead once the new
+      // round materialized
+      if (lastCk != null)
+        org.apache.spark.sql.graft.CheckpointBridge.release(lastCk)
+      lastCk = updated
       labels = updated.select(col("id"), col("comp_next").as("comp"))
       it += 1
     }
@@ -65,6 +74,11 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
           "(component diameter exceeds maxIters) — raise maxIters")
+    // edges and the seed labels stay persisted on return (CacheManager
+    // entries, bounded at one per distinct plan): a later execution of
+    // the same query plan-matches and reuses them — unpersisting here
+    // was A/B'd at +3 s on timed q_pipeline_corpus (forced cold
+    // recompute of the quality cascade the pair graph hangs under)
     labels
   }
 
@@ -122,6 +136,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var it = 0
     var stable = false
+    val seedEdges = edges
     while (!stable && it < maxIters) {
       // localCheckpoint truncates per-round lineage (same reasoning as
       // the propagation variant)
@@ -132,6 +147,11 @@ object Dedup {
       stable = next.select(col("v")).distinct()
         .join(next.select(col("u").as("v")).distinct(), "v")
         .count() == 0
+      // the superseded round's checkpoint blocks are dead once `next`
+      // materialized (the seed frame is a persisted CacheManager entry,
+      // deliberately left for cross-execution plan-match reuse)
+      if (!(edges eq seedEdges))
+        org.apache.spark.sql.graft.CheckpointBridge.release(edges)
       edges = next
       it += 1
     }

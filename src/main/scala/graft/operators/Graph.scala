@@ -118,11 +118,14 @@ object Graph {
       val keep = e.groupBy("u").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("u").as("kept"))
+      val prev = e
       e = e
         .join(keep.withColumnRenamed("kept", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("kept", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
         .localCheckpoint()
+      // superseded round's blocks are dead once the new round exists
+      org.apache.spark.sql.graft.CheckpointBridge.release(prev)
       val n2 = e.count()
       fixed = n2 == edgeCount
       edgeCount = n2
@@ -259,6 +262,7 @@ object Graph {
           ck
         }
       for (i <- 1 to iters) {
+        val prev = rank
         val units = ed
           .join(rank.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node"))
@@ -286,6 +290,10 @@ object Graph {
             du = observedDu(obs, s"pr_sink_$i")
             ck
           }
+        // the superseded round's checkpoint blocks are dead the moment
+        // the new round materialized — drop them so in-flight residency
+        // is one round, not `iters` (guide §5)
+        org.apache.spark.sql.graft.CheckpointBridge.release(prev)
       }
       rank.select(col("node"), col("rank"))
     } finally {
@@ -378,6 +386,7 @@ object Graph {
     var rank = g.nodes.select(col("node"),
       floor12(lit(1.0) / n).as("rank")).localCheckpoint()
     for (_ <- 1 to iters) {
+      val prev = rank
       val units = g.ed
         .join(rank.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
@@ -388,6 +397,8 @@ object Graph {
           floor12(lit((1 - damping) / n) + lit(damping) *
             (coalesce(col("u"), lit(0L)).cast("double") / lit(1e12))).as("rank"))
         .localCheckpoint()
+      // superseded round's blocks are dead once the new round exists
+      org.apache.spark.sql.graft.CheckpointBridge.release(prev)
     }
     rank
   }
@@ -422,6 +433,7 @@ object Graph {
     val eBySrc = e.repartition(par, col("src"))
     var pairs = e
     for (_ <- 2 to k) {
+      val prev = pairs
       pairs = pairs.as("a")
         .repartition(par, col("a.dst"))
         .join(eBySrc.as("b"), col("a.dst") === col("b.src"))
@@ -430,6 +442,11 @@ object Graph {
         .union(pairs)
         .distinct()
         .localCheckpoint()
+      // superseded level's blocks are dead once the new level exists
+      // (never `e` itself: eBySrc still reads it on later levels — at
+      // k = 2, the only gated k, prev IS e and the loop runs once)
+      if (!(prev eq e))
+        org.apache.spark.sql.graft.CheckpointBridge.release(prev)
     }
     pairs.groupBy(col("src").as("node")).agg(count(lit(1)).as("reach"))
   }
@@ -489,6 +506,7 @@ object Graph {
         .select(col("node"), col("node").as("lbl"))
         .localCheckpoint()
       for (_ <- 1 to rounds) {
+        val prev = labels
         val counts = e
           .join(labels.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node"), col("lbl"))
@@ -502,6 +520,8 @@ object Graph {
           .agg(max(struct(col("cnt").as("c"), (-col("lbl")).as("nl"))).as("m"))
           .select(col("node"), (-col("m.nl")).as("lbl"))
           .localCheckpoint()
+        // superseded round's blocks are dead once the new round exists
+        org.apache.spark.sql.graft.CheckpointBridge.release(prev)
       }
       labels
     } finally e.unpersist(blocking = false)
@@ -675,17 +695,25 @@ object Graph {
       }
       var hub = nodes.select(col("node"), lit(1000000L).as("h"))
       var auth: DataFrame = null
-      for (_ <- 1 to rounds) {
+      for (r <- 1 to rounds) {
+        val prevAuth = auth
+        val prevHub = hub
         val aRaw = eSrc
           .join(hub.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node"))
           .agg(sum(col("h").cast("decimal(38,0)")).cast("decimal(38,0)").as("raw"))
         auth = normalize(aRaw, "a").localCheckpoint()
+        if (prevAuth != null)
+          org.apache.spark.sql.graft.CheckpointBridge.release(prevAuth)
         val hRaw = eDst
           .join(auth.withColumnRenamed("node", "dst"), "dst")
           .groupBy(col("src").as("node"))
           .agg(sum(col("a").cast("decimal(38,0)")).cast("decimal(38,0)").as("raw"))
         hub = normalize(hRaw, "h").localCheckpoint()
+        // round 1's prevHub is the un-checkpointed init frame (release
+        // is a no-op there); later rounds drop the superseded blocks
+        if (r > 1)
+          org.apache.spark.sql.graft.CheckpointBridge.release(prevHub)
       }
       // nodes/auth/hub are all materialized (localCheckpoint is eager),
       // so the edge twins can be dropped before the lazy final join

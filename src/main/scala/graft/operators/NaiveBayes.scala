@@ -106,7 +106,13 @@ object NaiveBayes {
     * argmax — no per-group row fan-out, no window. Token-less docs
     * score on priors alone via the left spine join. Per-token
     * log-probs cast to DECIMAL(18,6) before the sums, so scores are
-    * exact whatever the plan shape. */
+    * exact whatever the plan shape.
+    *
+    * Spine contract: ONE output row per spine row — a duplicated
+    * doc_id in `spine` yields duplicated scored rows (the pre-r17
+    * window shape deduped by row_number; every caller passes a
+    * distinct-keyed spine, so the simpler contract is pinned here per
+    * ADVICE r17). */
   private[graft] def scoreWide(cand: DataFrame, model: DataFrame,
       spine: DataFrame, toks: DataFrame, weighted: Boolean = false): DataFrame = {
     // ONE collect of the group census (bounded by contract). The
@@ -117,8 +123,19 @@ object NaiveBayes {
     val cands = cand.select(col("cand"), col("den"), col("lprior"))
       .collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getDecimal(2)))
-      .sortBy(_._1).toSeq
-    require(cands.nonEmpty, "NB scoring needs at least one group")
+      // code-point order, not String's UTF-16 code-unit order: the
+      // replaced window ordered cand ASC in UTF8String (code-point)
+      // semantics, and the two differ when a supplementary-plane name
+      // ties against one in [U+E000, U+FFFF] (ADVICE r17)
+      .sortBy(_._1)(codePointOrdering).toSeq
+    // empty training corpus → empty scored frame with the full output
+    // schema (the pre-r17 window shape's behavior on degenerate input;
+    // ADVICE r17 — a throw here broke confusion()/classify() on empty
+    // corpora). decimal(29,6) is the nonempty path's score type.
+    if (cands.isEmpty)
+      return spine.limit(0).select(spine.columns.map(col).toSeq ++ Seq(
+        lit(null).cast("string").as("predicted"),
+        lit(null).cast("decimal(29,6)").as("score")): _*)
     val names = cands.map(_._1)
     def cn(i: Int) = s"__c$i"
     def sn(i: Int) = s"__s$i"
@@ -162,5 +179,21 @@ object NaiveBayes {
     }
     wide.select(spine.columns.map(col).toSeq ++
       Seq(pred.as("predicted"), mx.as("score")): _*)
+  }
+
+  /** Unicode code-point lexicographic order — UTF8String's comparison
+    * semantics (String.compareTo is UTF-16 code-UNIT order; the two
+    * disagree when a supplementary-plane character meets one in
+    * [U+E000, U+FFFF]). */
+  private[graft] val codePointOrdering: Ordering[String] = (x, y) => {
+    val xi = x.codePoints().iterator()
+    val yi = y.codePoints().iterator()
+    var r = 0
+    while (r == 0 && xi.hasNext && yi.hasNext)
+      r = Integer.compare(xi.nextInt(), yi.nextInt())
+    if (r != 0) r
+    else if (xi.hasNext) 1
+    else if (yi.hasNext) -1
+    else 0
   }
 }

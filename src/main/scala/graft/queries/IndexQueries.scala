@@ -30,7 +30,10 @@ object IndexQueries {
     def get(s: SparkSession, dir: String)(build: => V): V = {
       cache.filterInPlace { case (_, (sess, _)) => !sess.sparkContext.isStopped }
       val key = (s.sparkContext.applicationId + ":" + s.sparkContext.startTime, dir)
-      cache.getOrElseUpdate(key, (s, build))._2
+      // builds run inside Residency.pinning: every persistent RDD a
+      // memo creates is session-lived by construction and must survive
+      // the harness's between-query Residency.sweep
+      cache.getOrElseUpdate(key, (s, graft.Residency.pinning(s)(build)))._2
     }
   }
 
