@@ -133,7 +133,9 @@ object Bpe {
     // runs the whole codegen'd replace chain on one task (measured
     // 1.0 s of q_bpe_encode's 1.2 s at sf0.1); round-robin is safe —
     // every consumer aggregates and the chain is per-row
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // width from leaf bytes, core-count floor (graft.Spread; floor
+    // binds at bench SFs so the plan is unchanged)
+    df.repartition(graft.Spread.count(df))
       .select(explode(split(text, " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .select(explode(toks(applyMerges(spacedForm(col("tok")), merges)))

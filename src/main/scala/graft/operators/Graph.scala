@@ -429,7 +429,10 @@ object Graph {
     // byte-based coalescing can't see (measured 0.77 s on 2 tasks of
     // q_khop's 1.7 s at sf0.1). A user repartition with an explicit
     // count satisfies the join's distribution and is never coalesced
-    val par = edges.sparkSession.sparkContext.defaultParallelism
+    // width from the edge list's leaf bytes, core-count floor
+    // (graft.Spread): the wedge output is deg-squared in the input, so
+    // a data-proportional width undershoots less at scale than #cores
+    val par = graft.Spread.count(e)
     val eBySrc = e.repartition(par, col("src"))
     var pairs = e
     for (_ <- 2 to k) {
@@ -673,8 +676,9 @@ object Graph {
       // the session's own threshold (-1 = broadcast disabled), read as
       // the resolved Long, not a re-parse of the conf string
       val bcBytes = spark.sessionState.conf.autoBroadcastJoinThreshold
+      val broadcastRegime = bcBytes > 0 && edgeBytes <= bcBytes
       val (eSrc, eDst) =
-        if (bcBytes > 0 && edgeBytes <= bcBytes) (eBase, eBase)
+        if (broadcastRegime) (eBase, eBase)
         else {
           val s = eBase.repartition(col("src"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -693,6 +697,15 @@ object Graph {
             // everything is ≥ 0) — a decimal `/` + cast would ROUND
             expr("CAST((raw * 1000000000000) DIV s AS BIGINT)").as(outCol))
       }
+      // checkpoint cadence follows the SAME size gate as the join
+      // strategy: in the broadcast regime the whole recurrence stays
+      // LAZY — the repeated subtree references (each normalize reads
+      // its raw twice; each round reads the previous) collapse via
+      // exchange reuse into ONE job of ~15 stages, where per-round
+      // eager checkpoints ran ~8 driver jobs / 31 stages of pure
+      // scheduling floor (A/B'd at sf0.1: 4.5 → ~2 s warm). On a big
+      // (partitioned-twins) graph the rounds checkpoint as before —
+      // there lineage bounding and round-sized materialization matter.
       var hub = nodes.select(col("node"), lit(1000000L).as("h"))
       var auth: DataFrame = null
       for (r <- 1 to rounds) {
@@ -702,17 +715,21 @@ object Graph {
           .join(hub.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node"))
           .agg(sum(col("h").cast("decimal(38,0)")).cast("decimal(38,0)").as("raw"))
-        auth = normalize(aRaw, "a").localCheckpoint()
-        if (prevAuth != null)
+        auth =
+          if (broadcastRegime) normalize(aRaw, "a")
+          else normalize(aRaw, "a").localCheckpoint()
+        if (!broadcastRegime && prevAuth != null)
           org.apache.spark.sql.graft.CheckpointBridge.release(prevAuth)
         val hRaw = eDst
           .join(auth.withColumnRenamed("node", "dst"), "dst")
           .groupBy(col("src").as("node"))
           .agg(sum(col("a").cast("decimal(38,0)")).cast("decimal(38,0)").as("raw"))
-        hub = normalize(hRaw, "h").localCheckpoint()
+        hub =
+          if (broadcastRegime) normalize(hRaw, "h")
+          else normalize(hRaw, "h").localCheckpoint()
         // round 1's prevHub is the un-checkpointed init frame (release
         // is a no-op there); later rounds drop the superseded blocks
-        if (r > 1)
+        if (!broadcastRegime && r > 1)
           org.apache.spark.sql.graft.CheckpointBridge.release(prevHub)
       }
       // nodes/auth/hub are all materialized (localCheckpoint is eager),

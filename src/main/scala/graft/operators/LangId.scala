@@ -58,7 +58,7 @@ object LangId {
     // 3.3 s at sf0.1. Round-robin is safe here: the census is an
     // order-independent exact count
     val tg = train
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(graft.Spread.count(train))
       .select(trainLang.cast("string").as("g"),
         explode(grams(trainText, n)).as("tok"))
     val cg = tg.groupBy("g", "tok").agg(count(lit(1)).as("c"))
@@ -85,7 +85,7 @@ object LangId {
     // this sub-MB shuffle into one task while the cost is per-row
     // compute downstream)
     val sg = score
-      .repartition(spark.sparkContext.defaultParallelism, scoreId)
+      .repartition(graft.Spread.count(score), scoreId)
       .select(scoreId.as("doc_id"), explode(grams(scoreText, n)).as("tok"))
     // WIDE scoring (NaiveBayes.scoreWide — the shared pass): one
     // broadcast probe per gram against the gram-pivoted model, one

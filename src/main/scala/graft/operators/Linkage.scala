@@ -61,8 +61,7 @@ object Linkage {
       // not the candidate set) — so the checkpoint is the barrier that
       // pins DP-after-spread. Candidates are narrow (bounded reprs +
       // ids) and id_a spreads fine-grained
-      .repartition(df.sparkSession.sparkContext.defaultParallelism,
-        col("id_a"), col("id_b"))
+      .repartition(graft.Spread.count(side), col("id_a"), col("id_b"))
       .localCheckpoint()
       // thresholded Levenshtein: the banded O(len·maxDist) DP instead
       // of the full O(len²) table; returns −1 past the threshold, so

@@ -309,10 +309,14 @@ object MinHash {
     // the two biggest jobs of the gate). Only THIS arm spreads: the
     // self-join family's smaller passes measured faster unspread (the
     // A/B is in OPTIMIZATION_r17.md)
-    val par = batch.sparkSession.sparkContext.defaultParallelism
-    val bBase = shingled(batch.repartition(par, col(idCol)), n, idCol, textCol)
+    // widths from each side's leaf bytes, core-count floor (Spread):
+    // the batch is small, the corpus is the 100 TB side — each gets a
+    // data-proportional width instead of the shared core count
+    val bBase = shingled(batch.repartition(graft.Spread.count(batch), col(idCol)),
+        n, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cBase = shingled(corpus.repartition(par, col(idCol)), n, idCol, textCol)
+    val cBase = shingled(corpus.repartition(graft.Spread.count(corpus), col(idCol)),
+        n, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       def sigOf(df: DataFrame) =

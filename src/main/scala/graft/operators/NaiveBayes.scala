@@ -61,7 +61,7 @@ object NaiveBayes {
     // sf0.1). Scoring with multiplicity c is exact: each occurrence
     // added the same DECIMAL(18,6) lp, so c × lp is the identical sum
     val td = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, id)
+      .repartition(graft.Spread.count(docs), id)
       .select(id.as("doc_id"), group.cast("string").as("g"),
         explode(tokens(textCol)).as("tok"))
       .groupBy("doc_id", "g", "tok").agg(count(lit(1)).as("c"))

@@ -111,7 +111,10 @@ object WordPiece {
     // spread before the merge-chain map (the Bpe.encode single-input-
     // task lesson; measured 1.4 s of q_wordpiece_encode's 1.6 s at
     // sf0.1 on one task)
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // width from leaf bytes with the core-count floor (graft.Spread):
+    // at bench SFs the floor binds (plan unchanged); at cluster scale
+    // the width follows the data instead of the core count
+    df.repartition(graft.Spread.count(df))
       .select(explode(split(text, " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .select(toks(applyMerges(Bpe.spacedForm(col("tok")), merges)).as("pieces"))

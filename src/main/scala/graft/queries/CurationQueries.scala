@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.tokens
 import graft.operators.Curation
+import graft.Spread.Ops
 
 /** Training-data curation queries: deterministic splits, stratified
   * sampling, token-budget sharding, benchmark decontamination — the
@@ -109,8 +110,12 @@ object CurationQueries {
     * sketch ([[graft.operators.Sketches.Hll]]) if the per-key doc
     * lists themselves became hot. */
   def qDedupChunks(s: SparkSession, dir: String): DataFrame = {
+    // checkpoint the chunk table: census + join both read it, and
+    // without the barrier the rolling-hash chunking pass runs TWICE
+    // (profiled: 2 × ~0.3 s single-task stages of one warm execution)
     val ch = Curation.cdcChunks(docs(s, dir))
       .select(col("doc_id"), col("chunk_md5"), col("len"))
+      .localCheckpoint()
     val census = ch.groupBy("chunk_md5")
       .agg(countDistinct("doc_id").as("nd"))
     ch.join(census, "chunk_md5")
@@ -192,8 +197,7 @@ object CurationQueries {
     // back below a bare exchange (the fuzzyPairs pushdown lesson), so
     // without it the score still ran single-task
     Curation.domainCap(
-        docs(s, dir).repartition(s.sparkContext.defaultParallelism,
-          col("doc_id")).localCheckpoint(), cap = 3,
+        docs(s, dir).spread(col("doc_id")).localCheckpoint(), cap = 3,
         scoreCol = floor(graft.functions.TextFunctions.qualityScore(col("text")) * 10000.0) / 10000.0)
       .select(col("domain"), col("rnk"), col("doc_id"), col("score").as("quality"))
       .orderBy("domain", "rnk")
@@ -356,8 +360,7 @@ object CurationQueries {
     // spread before the per-(doc, bucket) model scoring (the
     // single-input-task lesson)
     Curation.dsirScore(
-        docs(s, dir).repartition(s.sparkContext.defaultParallelism,
-          col("doc_id")),
+        docs(s, dir).spread(col("doc_id")),
         targetPred = col("lang") === "en")
       .orderBy("doc_id")
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
 import graft.operators.MinHash
+import graft.Spread.Ops
 
 /** Scale-path dedup queries: MinHash-LSH, SimHash, and embedding-cosine
   * near-dup — every stage arithmetic-only so the full pipelines are
@@ -420,11 +421,11 @@ object DedupQueries {
     * the md5-keyed corpus census, the keep rule, AND the empty-
     * separator reassembly. */
   def qDedupCdcSegments(s: SparkSession, dir: String): DataFrame =
-    // spread before the rolling-hash chunking (the single-input-task
-    // lesson: 2×0.3 s at sf0.1 on one task)
-    graft.operators.Dedup.cdcSegmentDedup(
-      docs(s, dir).repartition(s.sparkContext.defaultParallelism,
-        col("doc_id")))
+    // UNSPREAD (round-18 revert of the r17 spread): the extra exchange
+    // cost more than the chunking it parallelized — driver 32c 1.19 →
+    // 1.56 s, local A/B warm 1.19 → 2.1 s; at this gate's size the
+    // rolling hash is cheaper than the shuffle + stage barrier
+    graft.operators.Dedup.cdcSegmentDedup(docs(s, dir))
       .select(col("doc_id"), col("n_segs"), col("n_dup"), col("n_kept"),
         md5(col("clean_text")).as("clean_hash"))
       .orderBy("doc_id")

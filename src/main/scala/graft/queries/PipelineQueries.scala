@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 import graft.sources.BinaryVectorSource
 import graft.streaming.EventStreams
+import graft.Spread.Ops
 
 /** Pipeline-surface queries: multimodal feature extraction (batched
   * typed pipeline over binary columns) and the unified batch/streaming
@@ -800,7 +801,7 @@ object PipelineQueries {
     // single input file otherwise runs the whole frontier build on one
     // task (measured 2.6 s of the gate's 3.5 s at sf0.1)
     val d = s.read.parquet(s"$dir/documents.parquet")
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .spread(col("doc_id"))
     // the extract+resolve pass runs ONCE for both agents (frontier is
     // edge-count-sized; localCheckpoint — build-once-read-twice, no
     // partitioning requirement, ContextCleaner reclaims)
@@ -852,7 +853,7 @@ object PipelineQueries {
     // spread before the extract+resolve chain (the qFrontierPolite
     // single-input-task lesson)
     val d = s.read.parquet(s"$dir/documents.parquet")
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .spread(col("doc_id"))
     d.select(col("doc_id"),
         frontierBase(col("doc_id"), col("source")).as("base"),
         explode(graft.operators.HtmlExtract.extractLinks(
@@ -978,7 +979,7 @@ object PipelineQueries {
   def qAnchorText(s: SparkSession, dir: String): DataFrame = {
     // spread before the anchor extract (the single-input-task lesson)
     val d = s.read.parquet(s"$dir/documents.parquet")
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .spread(col("doc_id"))
     d.select(col("doc_id"),
         concat(lit("http://"), col("source"), lit(".example/p/"),
           col("doc_id").cast("string"), lit(".html")).as("base"),
@@ -1032,7 +1033,7 @@ object PipelineQueries {
     hostGraphMemo.get(s, dir) {
       // spread before the link extract (the single-input-task lesson)
       val d = s.read.parquet(s"$dir/documents.parquet")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .spread(col("doc_id"))
       val edges = d.select(
           regexp_extract(col("source"), "([0-9]+)", 1).cast("long").as("src"),
           concat(lit("http://"), col("source"), lit(".example/p/"),
@@ -1221,7 +1222,7 @@ object PipelineQueries {
     // spread before the markup parse (the single-input-task lesson)
     val d = s.read.parquet(s"$dir/documents.parquet")
       .filter(col("text").isNotNull)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .spread(col("doc_id"))
     val pages = d.select(col("doc_id"),
       concat(col("source"), lit(".example")).as("host"),
       graft.operators.HtmlExtract.visibleBlocks(
@@ -1244,7 +1245,7 @@ object PipelineQueries {
     // 1.8 s at sf0.1 on one task)
     val d = s.read.parquet(s"$dir/documents.parquet")
       .filter(col("text").isNotNull)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .spread(col("doc_id"))
     val pages = d.select(col("doc_id"),
         concat(col("source"), lit(".example")).as("host"),
         graft.operators.HtmlExtract.blockCensus(
@@ -1312,7 +1313,7 @@ object PipelineQueries {
       // sequential), but the regex-heavy census is per-page compute —
       // shuffling the raw text (MBs) buys a full-core census pass
       // (guide §2.5: repartition immediately after a skewed read)
-      .repartition(s.sparkContext.defaultParallelism, col("record_uri"))
+      .spread(col("record_uri"))
       .select(col("record_uri").as("pid"),
         concat(split(col("record_uri"), "/").getItem(0), lit(".example")).as("host"),
         graft.operators.HtmlExtract.blockCensus(col("text")).as("cs"))

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Spread.Ops
 
 /** Relational coverage over the TPC-H-ish fixture tables: scan, filter
   * pushdown, hash aggregate, broadcast + shuffle joins, window
@@ -713,7 +714,7 @@ object RelationalQueries {
     // lesson: one parquet file otherwise runs the corpus scan's pair
     // emission on one task — 0.36 s at sf0.1)
     val tk = t(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .spread(col("doc_id"))
       .select(split(col("text"), "\\s+").as("tk"))
     val pairs = tk
       .select(explode(filter(

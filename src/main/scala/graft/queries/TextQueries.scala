@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.operators.Dedup
+import graft.Spread.Ops
 
 /** Text-analysis + dedup queries over `documents.parquet` (the
   * LLM-data-pipeline extension surface; graded alongside SURVEY.md §2).
@@ -405,8 +406,7 @@ object TextQueries {
     // spread before the bigram census + scoring (the single-input-task
     // lesson)
     graft.operators.NgramLm.bigramLogProb(
-      docs(s, dir).repartition(s.sparkContext.defaultParallelism,
-        col("doc_id"))).orderBy("doc_id")
+      docs(s, dir).spread(col("doc_id"))).orderBy("doc_id")
 
   /** Normalized-text dedup keys: lowercase/strip normalization then
     * group — catches case/punctuation-variant duplicates exact dedup
@@ -761,7 +761,7 @@ object TextQueries {
       // explicit partition count: AQE's byte-based coalescing would
       // fold the sub-MB shuffle back to one task, hiding the per-row
       // score cost (the NaiveBayes.confusion lesson)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .spread(col("doc_id"))
       .select(col("doc_id"), col("source"),
         (floor(qualityScore(col("text")) * 10000.0) / 10000.0).as("q"))
       .localCheckpoint()
@@ -920,7 +920,7 @@ object TextQueries {
     // spread before the tokenize: both CountMin passes (estimate +
     // verify) otherwise run on one task each (2×0.7 s at sf0.1)
     val toks = docs(s, dir)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .spread(col("doc_id"))
       .select(explode(split(col("text"), " ")).as("tok"))
     // relative threshold ceil(N/30) with N derived from the grid's
     // row-0 sum — no separate corpus-count job

@@ -132,7 +132,7 @@ object WarcCorpusSource {
       // bytes are identical to the old in-writer compression (same
       // deflate level, same zeroed-MTIME header), so shard content
       // fingerprints are as deterministic as before
-      .repartition(sc.defaultParallelism)
+      .repartition(graft.Spread.count(prepared))
       .map { case (name, warcType, contentType, payload) =>
         val buf = new java.io.ByteArrayOutputStream(payload.length / 2 + 256)
         val member = new GZIPOutputStream(buf)
