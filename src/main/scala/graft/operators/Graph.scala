@@ -103,15 +103,23 @@ object Graph {
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
       .filter(col("u") =!= col("v")) // self-loops never contribute core degree
       .distinct()
-    var e = base.select(col("u"), col("v"))
+    // the round's edge census rides the SAME action that checkpoints
+    // the round's edges as an observed metric (the pageRank dangling-
+    // mass / CC convention), so each round launches ONE job — the
+    // previous shape paid a second scan-the-checkpoint job per round
+    // just to count rows
+    def observedCount(d: org.apache.spark.sql.Dataset[_], name: String): Long =
+      d.queryExecution.observedMetrics(name).getAs[Long]("n")
+    val obs0 = base.select(col("u"), col("v"))
       .union(base.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+      .observe("kcore_round_0", count(lit(1)).as("n"))
+    var e: DataFrame = obs0.localCheckpoint()
     // early exit at fixpoint: an unchanged edge count means no node
     // peeled, and peel rounds are IDEMPOTENT at fixpoint — so stopping
     // early yields exactly the `rounds`-round answer while an oracle
     // that unrolls all `rounds` rounds replays no-ops. A long cascade
     // (one node per round) still terminates within `rounds`.
-    var edgeCount = e.count()
+    var edgeCount = observedCount(obs0, "kcore_round_0")
     var r = 0
     var fixed = false
     while (r < rounds && !fixed) {
@@ -119,19 +127,29 @@ object Graph {
         .filter(col("deg") >= k)
         .select(col("u").as("kept"))
       val prev = e
-      e = e
+      val obs = e
         .join(keep.withColumnRenamed("kept", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("kept", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-        .localCheckpoint()
+        .observe(s"kcore_round_${r + 1}", count(lit(1)).as("n"))
+      e = obs.localCheckpoint()
       // superseded round's blocks are dead once the new round exists
       org.apache.spark.sql.graft.CheckpointBridge.release(prev)
-      val n2 = e.count()
+      val n2 = observedCount(obs, s"kcore_round_${r + 1}")
       fixed = n2 == edgeCount
       edgeCount = n2
       r += 1
     }
     e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** True when `df`'s size estimate sits under the session broadcast
+    * threshold — the shared gate for both the per-round join strategy
+    * and the checkpoint cadence (broadcast-regime graphs run their
+    * recurrences lazily; big graphs checkpoint per round). */
+  private def broadcastLazy(df: DataFrame): Boolean = {
+    val bc = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    bc > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= bc
   }
 
   /** The loop-invariant graph artifacts [[pageRank]] builds before its
@@ -252,6 +270,18 @@ object Graph {
         d.queryExecution.observedMetrics(name).getAs[Long]("du")
       val init = nodes.select(col("node"), col("has_out"), col("is_seed"),
         initRank.as("rank"))
+      // Checkpoint cadence note: LAZY rounds (the HITS treatment) were
+      // A/B'd here for broadcast-regime graphs and REVERTED — eager
+      // per-round checkpoints measured faster (q_textrank warm 2.3 s
+      // eager vs 3.2-3.7 s lazy-with-final-materialize vs 3.9 s naive
+      // lazy): the recurrence's repeated nodes/ed references re-plan
+      // and partially recompute under one big plan, where the
+      // checkpointed rounds keep each round's plan trivially small.
+      // HITS differs because its per-round normalize adds TWO extra
+      // aggregate+crossJoin subtrees per round, so its per-round jobs
+      // were twice as many. The dangling arm is inherently eager —
+      // each round's sink mass must become a driver literal before the
+      // NEXT round's plan exists.
       var du = 0L
       var rank =
         if (!danglingRedistribute) init.localCheckpoint()
@@ -391,12 +421,12 @@ object Graph {
         .join(rank.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("(CAST(floor(rank * 1e12) AS BIGINT) * w) div ws")).as("u"))
-      rank = g.nodes.select(col("node"))
+      val next = g.nodes.select(col("node"))
         .join(units, Seq("node"), "left")
         .select(col("node"),
           floor12(lit((1 - damping) / n) + lit(damping) *
             (coalesce(col("u"), lit(0L)).cast("double") / lit(1e12))).as("rank"))
-        .localCheckpoint()
+      rank = next.localCheckpoint()
       // superseded round's blocks are dead once the new round exists
       org.apache.spark.sql.graft.CheckpointBridge.release(prev)
     }

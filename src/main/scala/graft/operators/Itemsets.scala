@@ -36,10 +36,16 @@ object Itemsets {
       itemMinSupport: Long, pairMinSupport: Long): DataFrame = {
     require(itemMinSupport >= 1, s"itemMinSupport must be >= 1, got $itemMinSupport")
     require(pairMinSupport >= 1, s"pairMinSupport must be >= 1, got $pairMinSupport")
+    // checkpoint the deduped basket table: both passes read it, and
+    // without the barrier the scan + distinct run once per pass (the
+    // two column-pruned consumers canonicalize differently, so AQE
+    // exchange reuse does not collapse them — profiled as two full
+    // input scans of one warm execution)
     val b = baskets
       .select(col(basketCol).cast("long").as("basket"),
         col(itemCol).cast("long").as("item"))
       .distinct()
+      .localCheckpoint()
     val freq = b.groupBy("item").agg(count(lit(1)).as("c"))
       .filter(col("c") >= itemMinSupport)
       .select("item")
